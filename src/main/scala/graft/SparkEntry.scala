@@ -1,13 +1,112 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.{CoOccur, Tokenize}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a
+  * `queries` entry `(spark, sfDir) => DataFrame`; SQL-expressible ones
+  * carry a DuckDB `oracleSql` twin over the same parquet tables
+  * (registered by bare table name). Oracle-comparability rules
+  * (FIXTURES.md §3): total deterministic ORDER BY on every query,
+  * aggregate columns aliased identically on both sides, no top-level
+  * map columns, float accumulations routed through DECIMAL(38,12) so
+  * both engines sum exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue by region/nation — exercises scan, broadcast joins, agg, sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    rel.Queries.joinAgg(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- text
+  private val textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1-O5, O11 (Spark-variant: lowercase + top-1000, SparkWordCount.scala:28-35)
+    "wordcount_alpha" -> ((s, dir) =>
+      CoOccur.topK(CoOccur.wordCount(tbl(s, dir, "documents"), "text", lowercase = true), "alpha", 1000)),
+    "wordcount_num" -> ((s, dir) =>
+      CoOccur.topK(CoOccur.wordCount(tbl(s, dir, "documents"), "text", lowercase = true), "num", 1000)),
+    // O1-O6 (Hadoop variant: no lowercase, both categories, category column = the
+    // reference's categorical partition routing re-expressed as data)
+    "hadoop_wordcount" -> ((s, dir) =>
+      CoOccur.wordCount(tbl(s, dir, "documents"), "text")
+        .orderBy("category", "tok")),
+    // O7: adjacent pairs
+    "pairs_m1" -> ((s, dir) =>
+      CoOccur.pairs(tbl(s, dir, "documents"), "text", 1).orderBy("w1", "w2")),
+    // O8: windowed pairs, m=4
+    "pairs_m4" -> ((s, dir) =>
+      CoOccur.pairs(tbl(s, dir, "documents"), "text", 4).orderBy("w1", "w2")),
+    // O9: stripes m=1 (exploded oracle form, FIXTURES.md §3)
+    "stripes_m1" -> ((s, dir) =>
+      CoOccur.stripesExploded(tbl(s, dir, "documents"), "text", 1).orderBy("word", "neighbor")),
+    // O10: windowed stripes m=4
+    "stripes_m4" -> ((s, dir) =>
+      CoOccur.stripesExploded(tbl(s, dir, "documents"), "text", 4).orderBy("word", "neighbor")),
+  )
+
+  private def wcOracle(re: String): String =
+    s"""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |SELECT tok, count(*) AS cnt FROM tok
+       |WHERE regexp_full_match(tok, '$re')
+       |GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 1000""".stripMargin
+
+  private def tokCatCte: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |p AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS pos FROM t),
+       |c AS (SELECT doc_id, pos, tok,
+       |  CASE WHEN regexp_full_match(tok, '^[a-z-_]+$$') THEN 'alpha'
+       |       WHEN regexp_full_match(tok, '^[-+]?[0-9]+[.]{0,1}[0-9]*$$') THEN 'num'
+       |  END AS cat FROM p)""".stripMargin
+
+  private def pairsOracle(m: Int): String =
+    s"""$tokCatCte
+       |SELECT a.tok AS w1, b.tok AS w2, count(*) AS cnt
+       |FROM c a JOIN c b ON a.doc_id = b.doc_id
+       |  AND b.pos > a.pos AND b.pos <= a.pos + $m AND b.cat = a.cat
+       |WHERE a.cat IS NOT NULL
+       |GROUP BY w1, w2 ORDER BY w1, w2""".stripMargin
+
+  private def stripesOracle(m: Int): String =
+    s"""$tokCatCte
+       |SELECT a.tok AS word, b.tok AS neighbor, count(*) AS cnt
+       |FROM c a JOIN c b ON a.doc_id = b.doc_id
+       |  AND b.pos BETWEEN a.pos - $m AND a.pos + $m AND b.pos <> a.pos
+       |  AND b.cat = a.cat
+       |WHERE a.cat IS NOT NULL
+       |GROUP BY word, neighbor ORDER BY word, neighbor""".stripMargin
+
+  private val textOracles: Map[String, String] = Map(
+    "wordcount_alpha" -> wcOracle(Tokenize.AlphaRe),
+    "wordcount_num" -> wcOracle(Tokenize.NumRe),
+    "hadoop_wordcount" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cat AS (SELECT tok,
+         |  CASE WHEN regexp_full_match(tok, '^[a-z-_]+$$') THEN 'alpha'
+         |       WHEN regexp_full_match(tok, '^[-+]?[0-9]+[.]{0,1}[0-9]*$$') THEN 'num'
+         |  END AS category FROM tok)
+         |SELECT category, tok, count(*) AS cnt FROM cat
+         |WHERE category IS NOT NULL
+         |GROUP BY category, tok ORDER BY category, tok""".stripMargin,
+    "pairs_m1" -> pairsOracle(1),
+    "pairs_m4" -> pairsOracle(4),
+    "stripes_m1" -> stripesOracle(1),
+    "stripes_m4" -> stripesOracle(4),
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    textQueries ++ rel.Queries.queries ++ llm.Queries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    textOracles ++ rel.Queries.oracles ++ llm.Queries.oracles
 }

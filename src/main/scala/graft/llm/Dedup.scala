@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large text corpora: token-shingling,
+  * MinHash + LSH banding, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale posture (100 TB): signatures are computed per-row with
+  * higher-order array functions (no shuffle, codegen'd); the only
+  * shuffles are (a) the LSH band-bucket equi-join — shuffle volume is
+  * O(docs × bands), not O(docs²) — and (b) the final candidate-pair
+  * verification join, whose input is only the candidate set. Hot buckets
+  * (boilerplate-heavy corpora) are the skew risk: AQE skew-join handles
+  * moderate cases; for extreme ones, cap bucket size before the
+  * pair-expansion (see [[minhashCandidates]]'s `maxBucket`).
+  */
+object Dedup {
+
+  /** Distinct k-token shingles of `text` (space tokenization, empty
+    * tokens excluded by construction since shingles of k real tokens are
+    * formed positionally; shorter-than-k docs yield no shingles). */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = split(text, " ", -1)
+    // try_element_at: tail windows run past the array end (ANSI mode would
+    // throw); the truncated shingles they produce are sliced off below.
+    val all = transform(ts, (_, i) =>
+      concat_ws(" ", (1 to k).map(j => try_element_at(ts, i + lit(j))): _*))
+    array_distinct(slice(all, lit(1), greatest(size(ts) - lit(k - 1), lit(0))))
+  }
+
+  /** Exact Jaccard similarity between two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  private val P = 2147483647L // 2^31 - 1, prime modulus for affine permutations
+  /** Deterministic affine-permutation parameters (seeded, code-level
+    * constants — not data-dependent). */
+  private def perms(nPerm: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(42)
+    val as = Array.fill(nPerm)(1L + math.abs(rnd.nextLong()) % (P - 1))
+    val bs = Array.fill(nPerm)(math.abs(rnd.nextLong()) % P)
+    (as, bs)
+  }
+
+  /** MinHash signature (array of nPerm minima). One xxhash64 per shingle,
+    * then cheap affine permutations (a_j·h + b_j mod p) — avoids nPerm
+    * full string hashes per shingle. */
+  def minhashSig(sh: Column, nPerm: Int): Column = {
+    val (as, bs) = perms(nPerm)
+    val hs = transform(sh, s => pmod(xxhash64(s), lit(P)))
+    array((0 until nPerm).map(j =>
+      array_min(transform(hs, h => (lit(as(j)) * h + lit(bs(j))) % lit(P)))): _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * nPerm/bands rows each, bucket docs by (band index, band hash),
+    * emit all intra-bucket pairs (d1 < d2), deduplicated across bands.
+    * `maxBucket` drops degenerate buckets (all-identical boilerplate)
+    * before the quadratic pair expansion. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
+    val r = nPerm / bands
+    val sig = docs.select(col(idCol).as("doc_id"),
+      minhashSig(shingles(col(textCol), k), nPerm).as("sig"))
+      .where(size(col("sig")) > 0)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(j =>
+        xxhash64(slice(col("sig"), j * r + 1, r))): _*)).as(Seq("band", "bkey")))
+    val buckets = banded.groupBy("band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .where(col("d1") < col("d2"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs verified with exact Jaccard ≥ threshold.
+    * Output: (d1, d2, jaccard). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), k).as("sh"))
+    val cands = minhashCandidates(docs, idCol, textCol, k, nPerm, bands)
+    cands
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
+    * votes ±1, sign of the vote sum becomes the output bit. Entirely
+    * per-row (no shuffle); the token hash is computed once per token via
+    * a single-element transform binding. */
+  def simhash(text: Column): Column = {
+    val ts = filter(split(text, " ", -1), t => t =!= "")
+    val zero = array((0 until 64).map(_ => lit(0L)): _*)
+    val votes = aggregate(ts, zero, (acc, t) =>
+      element_at(transform(array(xxhash64(t)), h =>
+        array((0 until 64).map(j =>
+          element_at(acc, j + 1) +
+            when(h.bitwiseAND(lit(1L << j)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)), 1))
+    (0 until 64).map(j =>
+      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band join (a pair within Hamming
+    * distance ≤ 3 of a 64-bit hash must agree on ≥1 of 4 bands — here we
+    * use bands as a candidate generator for distance ≤ maxDist, then
+    * verify with exact bit_count(xor)). */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Exact all-pairs n-gram Jaccard over a bounded id range (the
+    * brute-force baseline that oracles the MinHash path). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, maxId: Long): DataFrame = {
+    val sh = docs.where(col(idCol) < maxId)
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+        size(col("sh1")).cast("long").as("n1"), size(col("sh2")).cast("long").as("n2"))
+      .where(col("inter") > 0)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque media payload with typed metadata — the multimodal column
+  * pattern: image/audio/video bytes travel as `binary`, everything the
+  * engine needs for planning (sizes, formats, language) is typed. */
+case class MediaDoc(doc_id: Long, payload: Array[Byte], mime: String,
+                    lang: String, byte_len: Long)
+
+/** Decoded/extracted features for one media document. */
+case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
+                         height: Int, n_frames: Int, feature: Array[Float])
+
+/** Multimodal-column plumbing (SURVEY-extension: decode / feature-extract
+  * / frame-sample over opaque binary columns).
+  *
+  * The Spark-side mechanics are real and tested: typed `Dataset[MediaDoc]`
+  * with a binary payload column, partition-local batched processing via
+  * `mapPartitions` (the Scala analogue of a vectorized/batched decode
+  * UDF: decoders amortize setup per batch, not per record), and a typed
+  * feature schema out.
+  *
+  * ==STUB== The decode itself is a deterministic fake: real image/audio
+  * codecs are not available in this container. [[decodeStub]] derives
+  * plausible (width, height, n_frames, feature) values purely from the
+  * payload bytes so tests are reproducible. Swapping in a real decoder
+  * changes only that one function — schema, batching, and partitioning
+  * are decoder-agnostic.
+  */
+object Multimodal {
+
+  /** Ingest: project a text table into the opaque-payload shape (in a
+    * real pipeline the payload column arrives as actual media bytes). */
+  def ingest(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaDoc] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("application/octet-stream").as("mime"),
+      col("lang"),
+      octet_length(col("text")).cast("long").as("byte_len"))
+      .as[MediaDoc]
+  }
+
+  /** ==STUB== deterministic fake decode: real codecs absent here. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val w = 16 + math.abs(h % 1024)        // fake width
+    val ht = 16 + math.abs((h >> 10) % 1024) // fake height
+    val frames = 1 + math.abs((h >> 20) % 32) // fake frame count
+    (w, ht, frames)
+  }
+
+  /** ==STUB== deterministic fake embedding of a frame sample. */
+  def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
+    var j = 0
+    while (j < dim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(j) = (h >>> 40).toFloat / (1L << 24).toFloat - 0.5f
+      j += 1
+    }
+    out
+  }
+
+  /** Batched decode + feature extraction. `batchSize` models the decoder
+    * batch shape (e.g. GPU/vectorized decode): records are processed in
+    * partition-local groups so a real decoder could amortize per-batch
+    * setup. No shuffle — purely partition-parallel. */
+  def extractFeatures(ds: Dataset[MediaDoc], batchSize: Int = 64,
+                      featureDim: Int = 8): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch decoder setup would go here
+        batch.iterator.map { m =>
+          val (w, h, frames) = decodeStub(m.payload)
+          MediaFeatures(m.doc_id, m.byte_len, w, h, frames,
+            featureStub(m.payload, featureDim))
+        }
+      }
+    }
+  }
+
+  /** Oracle-facing metadata projection (no stubbed values — byte/char
+    * lengths are real and SQL-checkable). */
+  def metadata(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("byte_len"),
+      length(col("text")).cast("long").as("char_len"),
+      col("lang"))
+      .orderBy("doc_id")
+}

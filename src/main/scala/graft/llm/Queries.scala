@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline query surface (SURVEY.md §2.3 E15–E17 + extensions):
+  * dedup (exact is q17 in graft.rel), MinHash/SimHash near-dup,
+  * n-gram Jaccard, cosine kNN (exact + LSH), text analysis, multimodal
+  * metadata. Algorithmic operators (MinHash, SimHash, LSH) are declared
+  * without DuckDB oracles — the driver records a rows-only check; their
+  * correctness is property-tested against brute-force baselines in the
+  * ScalaTest suite.
+  */
+object Queries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def embDim(s: SparkSession, dir: String): Int =
+    tbl(s, dir, "embeddings").select(size(col("embedding"))).head().getInt(0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E15: MinHash+LSH near-dup (banded candidates, exact-Jaccard verify)
+    "q18_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.1)
+        .orderBy("d1", "d2")),
+    // E15: SimHash fingerprints (pair generation covered in spec tests)
+    "q19_simhash" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+    // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
+    "q20_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxId = 150)
+        .orderBy("d1", "d2")),
+    // E16: exact cosine top-k (brute force baseline)
+    "q21_cosine_knn" -> ((s, dir) =>
+      Sim.cosineKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
+    // E16: LSH bucket histogram (the ANN scale path's partition shape)
+    "q22_lsh_buckets" -> ((s, dir) =>
+      Sim.lshBuckets(tbl(s, dir, "embeddings"), nPlanes = 16, dim = embDim(s, dir))
+        .orderBy("bucket")),
+    // E17: token counting
+    "q23_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(tbl(s, dir, "documents"))),
+    // E17: quality scoring
+    "q24_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(tbl(s, dir, "documents"))),
+    // E17: language-ID heuristic
+    "q25_lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
+    // E17: per-language top terms
+    "q26_lang_top_terms" -> ((s, dir) => TextAnalysis.langTopTerms(tbl(s, dir, "documents"), 5)),
+    // E17: TF-IDF
+    "q27_tfidf" -> ((s, dir) => TextAnalysis.tfidf(tbl(s, dir, "documents"))),
+    // E17: rolling-hash fingerprint
+    "q28_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"))),
+    // multimodal metadata projection (real part of the stubbed pipeline)
+    "q29_multimodal_meta" -> ((s, dir) => Multimodal.metadata(tbl(s, dir, "documents"))),
+    // E6: approximate distinct (HLL++) next to the exact count
+    "q30_approx_distinct" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))),
+  )
+
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 150),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+      |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+      |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0)""".stripMargin
+
+  private val foldSum = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), %s), (a, b) -> a + b)"
+
+  val oracles: Map[String, String] = Map(
+    "q20_ngram_jaccard" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |  CAST(len(a.sh) AS BIGINT) AS n1, CAST(len(b.sh) AS BIGINT) AS n2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |ORDER BY d1, d2""".stripMargin,
+    "q21_cosine_knn" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+         |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+         |j AS (SELECT qid, n.vec_id,
+         |  ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
+         |    / (n.norm * q.qnorm) AS sim
+         |  FROM n, q WHERE n.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q23_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]', 0)) AS BIGINT) AS n_tokens_re,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_quality_score" ->
+      """WITH q AS (SELECT doc_id, length(text) AS n_chars,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+        |r AS (SELECT doc_id, n_chars, len(ts) AS n_tokens,
+        |  len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$'))) AS n_alpha,
+        |  len(list_filter(ts, t -> list_contains(['the','of','and','to','in','a','is','for','on','with'], t))) AS n_stop
+        |  FROM q)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+        |  CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_ratio,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  0.5 * (CAST(n_alpha AS DOUBLE) / n_tokens)
+        |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q25_lang_id" ->
+      """WITH q AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(ts, t -> list_contains(['the','and','of','to','in'], t))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(ts, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(ts, t -> list_contains(['el','la','de','los','que'], t))) AS BIGINT) AS s_es
+        |  FROM q)
+        |SELECT doc_id, s_en, s_de, s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q26_lang_top_terms" ->
+      """WITH tok AS (SELECT lang, tok FROM
+        |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''),
+        |f AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY lang, tok),
+        |r AS (SELECT lang, tok, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rn FROM f)
+        |SELECT lang, tok, cnt, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+        |ORDER BY lang, rn""".stripMargin,
+    "q27_tfidf" ->
+      """WITH tok AS (SELECT lang, tok FROM
+        |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''),
+        |tf AS (SELECT lang, tok, count(*) AS tf FROM tok GROUP BY lang, tok),
+        |df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT lang, tok FROM tok) GROUP BY tok),
+        |n AS (SELECT count(DISTINCT lang) AS n_langs FROM documents)
+        |SELECT lang, tf.tok AS tok, tf, df,
+        |  round(tf * ln(CAST(n_langs AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        |ORDER BY lang, tok""".stripMargin,
+    "q28_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+        |  (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  CAST(length(text) AS BIGINT) AS char_len, lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, term frequencies / TF-IDF,
+  * document fingerprinting. All per-document computation is narrow and
+  * codegen'd; only the term-frequency family shuffles (standard
+  * partial-agg group-bys).
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " ", -1), t => t =!= "")
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenization
+    * (letter runs | digit runs | single non-space symbol). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_tokens_ws"),
+      size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]', 0)"))
+        .cast("long").as("n_tokens_re"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  val Stopwords: Seq[String] =
+    Seq("the", "of", "and", "to", "in", "a", "is", "for", "on", "with")
+
+  /** Quality scoring: length, mean token length, alpha-token ratio,
+    * stopword ratio, and a blended score. Pure per-row double arithmetic
+    * (identical expression shape on the DuckDB side → bit-equal). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ts = toks(col("text"))
+    val n = size(ts)
+    val alpha = size(filter(ts, t => t.rlike("^[a-z-_]+$")))
+    val stop = size(filter(ts, t => t.isin(Stopwords: _*)))
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      n.cast("long").as("n_tokens"),
+      (length(col("text")).cast("double") / n).as("avg_tok_len"),
+      (alpha.cast("double") / n).as("alpha_ratio"),
+      (stop.cast("double") / n).as("stop_ratio"))
+      .withColumn("quality",
+        lit(0.5) * col("alpha_ratio") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.2) * least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)))
+      .orderBy("doc_id")
+  }
+
+  private val LangLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "que"))
+
+  /** Language-ID heuristic: stopword-hit voting against small per-language
+    * profiles, deterministic tiebreak en &gt; de &gt; es. (A real system
+    * would use char n-gram profiles; the dataflow shape is identical.) */
+  def langId(docs: DataFrame): DataFrame = {
+    val ts = toks(col("text"))
+    val scores = LangLists.map { case (l, ws) =>
+      size(filter(ts, t => t.isin(ws: _*))).cast("long").as(s"s_$l")
+    }
+    docs.select((col("doc_id") +: scores): _*)
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-k terms per language by frequency (deterministic tiebreak). */
+  def langTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)
+    docs.select(col("lang"), explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .orderBy("lang", "rn")
+  }
+
+  /** TF-IDF with languages as the document unit: tf(lang, term) ×
+    * ln(n_langs / df(term)), rounded to 6 dp for cross-engine libm
+    * stability. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("lang"), explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tok.select("lang", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("lang")).as("n_langs"))
+    tf.join(dft, "tok").crossJoin(broadcast(n))
+      .select(col("lang"), col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_langs").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy("lang", "tok")
+  }
+
+  /** Rolling-hash document fingerprint: per-token code
+    * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
+    * code) mod (2^31−1). Stays in positive BIGINT range throughout —
+    * portable integer arithmetic on both engines. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val codes = transform(toks(col("text")),
+      t => (ascii(t) * lit(31) + length(t)).cast("long"))
+    docs.select(col("doc_id"),
+      aggregate(codes, lit(0L),
+        (acc, c) => (acc * lit(1000003L) + c) % lit(2147483647L)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

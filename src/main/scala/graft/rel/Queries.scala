@@ -1,0 +1,380 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.3 E1–E12, E14): scans,
+  * joins (broadcast/shuffle, semi/anti), multi-aggregate group-bys,
+  * rollup, distinct, ranking + frame windows, sorts/top-k, set ops,
+  * scalar functions, JSON extraction, event-time windows, sessionization.
+  *
+  * All plans are declarative DataFrame compositions — Catalyst supplies
+  * predicate pushdown into the parquet scans, column pruning, partial
+  * aggregation, and broadcast-join selection for the small dimensions
+  * (region/nation/customer); AQE handles runtime coalescing and skew.
+  *
+  * Cross-engine float determinism (FIXTURES.md §3): any aggregate over
+  * doubles goes through [[dsum]] — per-row arithmetic stays in IEEE
+  * double (bit-identical in any engine), the running sum is an exact
+  * DECIMAL(38,12), and only the final value is cast back to double. This
+  * makes Spark and DuckDB agree bit-for-bit regardless of accumulation
+  * order, including inside window frames.
+  */
+object Queries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 has no native
+    * type for — read it as nanosecond longs and truncate to a microsecond
+    * TimestampType (the same ns→µs truncation DuckDB applies; the
+    * generated data is µs-grained so no precision is lost). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Exact, order-independent sum of a double expression: sum as
+    * DECIMAL(38,12), result cast back to double. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
+  // Two DuckDB casts are not value-preserving the way Spark's are, so the
+  // oracle routes both through VARCHAR: (a) double→decimal — Spark parses
+  // the double's shortest string repr (BigDecimal.valueOf), DuckDB
+  // multiplies by 10^scale in float math; (b) decimal→double — Spark's
+  // BigDecimal.doubleValue is correctly rounded, DuckDB's int128/1e12 is
+  // not. With both round-trips the two engines agree bit-for-bit.
+  private val DSUM =
+    "CAST(CAST(SUM(CAST(CAST(%s AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+  private def dsumSql(e: String) = DSUM.format(e)
+
+  // E4: TPC-H Q1-shaped multi-aggregate group-by with pushed-down scan filter.
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // E1: scan + filter + project, pushed to parquet (PushedFilters/ReadSchema).
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 30 && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(5000)
+
+  // E2: multi-way equi-join; region/nation/customer are broadcast dims.
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    val customer = tbl(s, dir, "customer")
+    val orders = tbl(s, dir, "orders")
+    val nation = tbl(s, dir, "nation")
+    val region = tbl(s, dir, "region")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // E3: left-semi ≡ EXISTS.
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    tbl(s, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // E3: left-anti ≡ NOT EXISTS.
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    tbl(s, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // E5: rollup with subtotal rows (NULL groups coalesced to a sentinel so
+  // both engines sort identically without null-ordering divergence).
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // E6: exact distinct aggregation.
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  // E7: ranking window — top-3 orders per customer, deterministic tiebreak.
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // E8: analytic window with a running frame; exact decimal accumulation
+  // makes the running double identical across engines.
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "orders")
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(38,12)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // E9: global top-k → TakeOrderedAndProject (no full sort materialization).
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(100)
+
+  // E10: intersect / except / union distinct, tagged and stacked.
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    def keys(status: String) =
+      orders.filter(col("o_orderstatus") === status).select("o_custkey")
+    keys("F").intersect(keys("O")).withColumn("op", lit("f_and_o"))
+      .unionAll(keys("F").except(keys("P")).withColumn("op", lit("f_not_p")))
+      .unionAll(keys("F").union(keys("P")).distinct().withColumn("op", lit("f_or_p")))
+      .select(col("op"), col("o_custkey").as("custkey"))
+      .orderBy("op", "custkey")
+  }
+
+  // E11: scalar function surface — date parts, string ops, math (only
+  // IEEE-exact fns: abs/sqrt; no libm-divergent ln/exp in oracle outputs).
+  def scalarFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        abs(col("o_totalprice") - lit(1000.0)).as("absdiff"),
+        sqrt(col("o_totalprice")).as("sqrt_price"))
+      .orderBy("o_orderkey")
+      .limit(5000)
+
+  // E11 (JSON): extract typed value from events.props.
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  // E12: tumbling event-time window (batch form), epoch-aligned like
+  // DuckDB's date_trunc; window start exported as epoch seconds.
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_start"), col("n"), col("sum_value"))
+      .orderBy("hour_start")
+
+  // E12: sliding event-time window (1 h window, 30 min slide).
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("win_start"), col("n"), col("sum_value"))
+      .orderBy("win_start")
+
+  // E13 (batch form): gap-based sessionization — 30 min inactivity gap,
+  // exact integer microsecond timestamps on both engines. The streaming
+  // twin (session_window + watermark) lives in graft.streaming.Sessions
+  // and is equivalence-tested against this plan.
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 1800L * 1000000L
+    events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("sess_start_us"), max(col("us")).as("sess_end_us"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  // E14: exact deduplication by full text content.
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (pricingSummary _),
+    "q2_filter_project" -> (filterProject _),
+    "q3_join_agg" -> (joinAgg _),
+    "q4_semi_join" -> (semiJoin _),
+    "q5_anti_join" -> (antiJoin _),
+    "q6_rollup" -> (rollupAgg _),
+    "q7_distinct" -> (distinctAgg _),
+    "q8_window_rank" -> (windowRank _),
+    "q9_window_running" -> (windowRunning _),
+    "q10_topk" -> (topkOrders _),
+    "q11_setops" -> (setOps _),
+    "q12_scalar_funcs" -> (scalarFuncs _),
+    "q13_json_extract" -> (jsonExtract _),
+    "q14_tumbling_window" -> (tumblingWindow _),
+    "q15_sliding_window" -> (slidingWindow _),
+    "q16_sessionize" -> (sessionize _),
+    "q17_dedup_exact" -> (dedupExact _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${dsumSql("l_quantity")} / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 30 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber LIMIT 5000""".stripMargin,
+    "q3_join_agg" ->
+      s"""SELECT r_name, n_name, ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q7_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q8_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q9_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,12))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q11_setops" ->
+      """SELECT 'f_and_o' AS op, o_custkey AS custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'f_not_p' AS op, o_custkey AS custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |UNION ALL
+        |SELECT 'f_or_p' AS op, o_custkey AS custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY op, custkey""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  upper(substring(o_orderpriority, 1, 4)) AS prio4,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        |  abs(o_totalprice - 1000.0) AS absdiff,
+        |  sqrt(o_totalprice) AS sqrt_price
+        |FROM orders ORDER BY o_orderkey LIMIT 5000""".stripMargin,
+    "q13_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_tumbling_window" ->
+      s"""SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_start,
+         |  count(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY hour_start ORDER BY hour_start""".stripMargin,
+    "q15_sliding_window" ->
+      s"""WITH e AS (SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS b, value FROM events),
+         |u AS (SELECT unnest([b, b - 1800]) AS win_start, value FROM e)
+         |SELECT win_start, count(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM u GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "q16_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+         |  FROM events),
+         |y AS (
+         |  SELECT user_id, event_id, value, us,
+         |    CAST(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS new_sess
+         |  FROM x),
+         |z AS (
+         |  SELECT user_id, value, us,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+         |  FROM y)
+         |SELECT user_id, sess_id, count(*) AS n_events,
+         |  min(us) AS sess_start_us, max(us) AS sess_end_us,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "q17_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+  )
+}
