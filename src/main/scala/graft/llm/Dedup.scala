@@ -45,12 +45,18 @@ object Dedup {
     (as, bs)
   }
 
-  /** MinHash signature (array of nPerm minima). One xxhash64 per shingle,
-    * then cheap affine permutations (a_j·h + b_j mod p) — avoids nPerm
-    * full string hashes per shingle. */
-  def minhashSig(sh: Column, nPerm: Int): Column = {
+  /** Shingle hash array: one xxhash64 per shingle, reduced mod p. Keep
+    * this in its own projection — [[minhashSig]] references it nPerm
+    * times, and inlining (CollapseProject) would recompute the string
+    * hashes per permutation. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(P)))
+
+  /** MinHash signature (array of nPerm minima) over a *materialized*
+    * hash-array column: cheap affine permutations (a_j·h + b_j mod p)
+    * instead of nPerm full string hashes per shingle. */
+  def minhashSig(hs: Column, nPerm: Int): Column = {
     val (as, bs) = perms(nPerm)
-    val hs = transform(sh, s => pmod(xxhash64(s), lit(P)))
     array((0 until nPerm).map(j =>
       array_min(transform(hs, h => (lit(as(j)) * h + lit(bs(j))) % lit(P)))): _*)
   }
@@ -64,9 +70,11 @@ object Dedup {
                         k: Int = 3, nPerm: Int = 64, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
     val r = nPerm / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSig(shingles(col(textCol), k), nPerm).as("sig"))
-      .where(size(col("sig")) > 0)
+    val sig = docs
+      .select(col(idCol).as("doc_id"),
+        shingleHashes(shingles(col(textCol), k)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSig(col("hs"), nPerm).as("sig"))
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(j =>
         xxhash64(slice(col("sig"), j * r + 1, r))): _*)).as(Seq("band", "bkey")))
@@ -95,22 +103,23 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
-    * votes ±1, sign of the vote sum becomes the output bit. Entirely
-    * per-row (no shuffle); the token hash is computed once per token via
-    * a single-element transform binding. */
-  def simhash(text: Column): Column = {
-    val ts = filter(split(text, " ", -1), t => t =!= "")
-    val zero = array((0 until 64).map(_ => lit(0L)): _*)
-    val votes = aggregate(ts, zero, (acc, t) =>
-      element_at(transform(array(xxhash64(t)), h =>
-        array((0 until 64).map(j =>
-          element_at(acc, j + 1) +
-            when(h.bitwiseAND(lit(1L << j)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)), 1))
-    (0 until 64).map(j =>
-      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-  }
+  /** Per-token hash array for [[simhash]] — materialize in its own
+    * projection (referenced 64 times downstream). */
+  def tokenHashes(text: Column): Column =
+    transform(filter(split(text, " ", -1), t => t =!= ""), t => xxhash64(t))
+
+  /** 64-bit SimHash over a *materialized* token-hash array: each bit
+    * votes ±1 per token, sign of the vote sum becomes the output bit.
+    * Entirely per-row (no shuffle). Implemented as 64 scalar folds over
+    * the long array — higher-order functions evaluate interpreted, and
+    * scalar folds avoid the per-element array allocation a single
+    * vector-fold formulation would pay. */
+  def simhash(hs: Column): Column =
+    (0 until 64).map { j =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
 
   /** SimHash near-dup pairs: 4×16-bit band join (a pair within Hamming
     * distance ≤ 3 of a 64-bit hash must agree on ≥1 of 4 bands — here we
@@ -118,7 +127,9 @@ object Dedup {
     * verify with exact bit_count(xor)). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("hs"))
+      .select(col("doc_id"), simhash(col("hs")).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))

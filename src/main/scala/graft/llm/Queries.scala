@@ -28,7 +28,8 @@ object Queries {
     // E15: SimHash fingerprints (pair generation covered in spec tests)
     "q19_simhash" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
+        .select(col("doc_id"), Dedup.simhash(col("hs")).as("simhash"))
         .orderBy("doc_id")),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>

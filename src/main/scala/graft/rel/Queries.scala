@@ -32,7 +32,12 @@ object Queries {
     * generated data is µs-grained so no precision is lost). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as long
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw // already a (µs) timestamp
+    }
   }
 
   /** Exact, order-independent sum of a double expression: sum as
@@ -210,9 +215,11 @@ object Queries {
       .orderBy("win_start")
 
   // E13 (batch form): gap-based sessionization — 30 min inactivity gap,
-  // exact integer microsecond timestamps on both engines. The streaming
-  // twin (session_window + watermark) lives in graft.streaming.Sessions
-  // and is equivalence-tested against this plan.
+  // exact integer microsecond timestamps on both engines. A new session
+  // starts when the gap is >= 30 min, matching Structured Streaming's
+  // session_window semantics (windows are half-open [t, t+gap)); the
+  // streaming twin in graft.streaming.Sessions is equivalence-tested
+  // against this plan.
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -221,7 +228,7 @@ object Queries {
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= gapUs, 1L).otherwise(0L))
       .withColumn("sess_id",
         sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "sess_id")
@@ -362,7 +369,7 @@ object Queries {
          |  FROM events),
          |y AS (
          |  SELECT user_id, event_id, value, us,
-         |    CAST(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS new_sess
+         |    CAST(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS new_sess
          |  FROM x),
          |z AS (
          |  SELECT user_id, value, us,

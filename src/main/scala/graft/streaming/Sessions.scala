@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface (SURVEY.md §2.3 E13 + streaming forms of
+  * E12): event-time windowed aggregation with watermarks, gap-based
+  * session windows, and custom keyed state via mapGroupsWithState.
+  *
+  * Every transform here takes a DataFrame that may be either a static
+  * batch or a `readStream` source — the plans are identical; only the
+  * sink differs (`write` vs `writeStream`). The batch twin of
+  * [[sessionAgg]] is `graft.rel.Queries.sessionize` (same ≥gap boundary
+  * semantics), which is what the DuckDB oracle checks; the streaming
+  * path is equivalence-tested against it in the test suite via
+  * MemoryStream.
+  */
+object Sessions {
+
+  /** E12 streaming form: tumbling event-time window with a watermark
+    * bounding state (late data beyond `late` is dropped). */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+                  late: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("win_start"), col("n"), col("sum_value"))
+
+  /** E13: gap-based session windows. session_window merges events whose
+    * half-open [ts, ts+gap) windows overlap — i.e. a new session starts
+    * when the inactivity gap is ≥ `gap`. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 late: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("sess_start_us"),
+        max(unix_micros(col("ts"))).as("sess_end_us"))
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"))
+
+  /** Running per-user event count + value total — the custom-keyed-state
+    * pattern (KeyValueGroupedDataset.mapGroupsWithState). State here is a
+    * simple (count, sum) pair; a production pipeline would hold session
+    * buffers or model state. Works under Update output mode. */
+  def runningUserTotals(events: DataFrame): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (user, n, s)
+      }
+  }
+
+  /** Streaming word count (reference O1–O5 as an unbounded pipeline):
+    * same tokenizer core as the batch path; no ordering/limit (not
+    * streamable) — Complete/Update-mode counts per (category, token). */
+  def streamingWordCount(lines: DataFrame, textCol: String): DataFrame =
+    graft.text.CoOccur.wordCount(lines, textCol)
+}

@@ -1,0 +1,67 @@
+package graft.rel
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class RelSpec extends SparkSpec {
+
+  test("entry (driver smoke): rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared oracle key has a query and every query runs at sf0.001") {
+    val qs = SparkEntry.queries
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n >= 0, name)
+    }
+  }
+
+  test("rollup carries group, subtotal and grand-total rows") {
+    val rows = Queries.rollupAgg(spark, sf0001).collect()
+    val keys = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keys.contains(("(all)", "(all)")), "grand total")
+    assert(keys.exists { case (a, b) => a != "(all)" && b == "(all)" }, "subtotal")
+    assert(keys.exists { case (a, b) => a != "(all)" && b != "(all)" }, "leaf groups")
+    val grand = rows.find(r => r.getString(0) == "(all)" && r.getString(1) == "(all)").get
+    val leaves = rows.filter(r => r.getString(0) != "(all)" && r.getString(1) != "(all)")
+    assert(leaves.map(_.getLong(3)).sum == grand.getLong(3), "counts re-aggregate")
+  }
+
+  test("sessionize: sessions split exactly at the >= 30 min gap") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs
+    val gap = 1800L * 1000000L
+    val events = Seq(
+      (1L, 1L, base, 1.0),
+      (2L, 1L, base + gap - 1, 1.0),     // diff = gap-1  => same session
+      (3L, 1L, base + 2 * gap - 2, 1.0), // diff = gap-1  => still chained
+      (4L, 1L, base + 3 * gap - 2, 1.0), // diff = gap    => new session
+      (5L, 2L, base, 1.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    // write to parquet then run the production plan over it
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.sessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 1L) -> 3L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
+  }
+
+  test("broadcast joins are planned for the dimension tables in q3") {
+    val plan = Queries.joinAgg(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("q2 pushes filters into the parquet scan") {
+    val plan = Queries.filterProject(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      plan.contains("GreaterThanOrEqual(l_quantity,30.0)"), plan.take(800))
+  }
+
+  test("q10 plans TakeOrderedAndProject (no full global sort)") {
+    val plan = Queries.topkOrders(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.rel.Queries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private val base = 1700000000000000L // µs
+  private val gapUs = 1800L * 1000000L
+
+  private def mkEvents = Seq(
+    (1L, 1L, base, 1.0),
+    (2L, 1L, base + gapUs - 1, 2.0),
+    (3L, 1L, base + 3 * gapUs, 3.0),
+    (4L, 2L, base, 4.0),
+    (5L, 2L, base + 2 * gapUs, 5.0))
+
+  test("streaming session_window equals the batch sessionize boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // streaming side: MemoryStream -> session_window aggregation
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    mem.addData(mkEvents: _*)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = Sessions.sessionAgg(streamDf, "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch side: the oracle-checked plan over the same rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    mkEvents.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = Queries.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2))).toSet
+
+    assert(stream == batch, s"stream=$stream batch=$batch")
+  }
+
+  test("mapGroupsWithState keeps running per-user totals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val streamDf = mem.toDF().toDF("user_id", "value")
+    val q = Sessions.runningUserTotals(streamDf)
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode("update").start()
+    mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    mem.addData((1L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("totals_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // last update for user 1 must carry state across micro-batches
+    assert(rows.contains((1L, 3L, 6.0)), rows.toSeq.toString)
+    assert(rows.contains((2L, 1L, 5.0)))
+  }
+
+  test("streaming word count runs incrementally over a text stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val q = Sessions.streamingWordCount(mem.toDF().toDF("text"), "text")
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode("complete").start()
+    mem.addData("a b a", "B 7")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wc_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("alpha", "a") -> 2L, ("alpha", "b") -> 1L, ("num", "7") -> 1L))
+  }
+}
