@@ -17,17 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-token shingles of `text` (space tokenization, empty
-    * tokens excluded by construction since shingles of k real tokens are
-    * formed positionally; shorter-than-k docs yield no shingles). */
-  def shingles(text: Column, k: Int): Column = {
-    val ts = split(text, " ", -1)
-    // try_element_at: tail windows run past the array end (ANSI mode would
-    // throw); the truncated shingles they produce are sliced off below.
+  /** Distinct k-token shingles over a *bound* token-array lambda
+    * variable. try_element_at: tail windows run past the array end (ANSI
+    * mode would throw); the truncated shingles they produce are sliced
+    * off. */
+  private def shinglesOf(ts: Column, k: Int): Column = {
     val all = transform(ts, (_, i) =>
       concat_ws(" ", (1 to k).map(j => try_element_at(ts, i + lit(j))): _*))
     array_distinct(slice(all, lit(1), greatest(size(ts) - lit(k - 1), lit(0))))
   }
+
+  /** Distinct k-token shingles of `text` (space tokenization; shorter-
+    * than-k docs yield no shingles).
+    *
+    * The split array is bound once through a single-element transform:
+    * a lambda body that references an outer *expression* (rather than a
+    * lambda variable) re-evaluates it per element — with `split(text)`
+    * referenced inside the per-token window that is O(len²) re-splitting
+    * per row (measured 10×+ slowdown). */
+  def shingles(text: Column, k: Int): Column =
+    element_at(transform(array(split(text, " ", -1)), ts => shinglesOf(ts, k)), 1)
 
   /** Exact Jaccard similarity between two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -61,24 +70,34 @@ object Dedup {
       array_min(transform(hs, h => (lit(as(j)) * h + lit(bs(j))) % lit(P)))): _*)
   }
 
-  /** LSH candidate pairs: split the signature into `bands` bands of
-    * nPerm/bands rows each, bucket docs by (band index, band hash),
-    * emit all intra-bucket pairs (d1 < d2), deduplicated across bands.
-    * `maxBucket` drops degenerate buckets (all-identical boilerplate)
-    * before the quadratic pair expansion. */
+  /** LSH candidate pairs via one-permutation-style MinHash (Li et al.,
+    * "One Permutation Hashing", NIPS 2012 — flavor, not a port): each
+    * shingle is hashed once; the 64-bucket partition of the hash space
+    * replaces 64 independent permutations (min per bucket ≈ one
+    * signature row), and bands of `bandSize` adjacent bucket-mins form
+    * the LSH keys. The whole pipeline is exploded rows + HashAggregates
+    * (whole-stage codegen), never per-row array folds — the 64-perm
+    * array formulation evaluates interpreted and was ~20× slower.
+    *
+    * Scale: shuffle volume is O(shingles) then O(docs × buckets); the
+    * candidate join is an equi-join on (band, band hash). `maxBucket`
+    * drops degenerate buckets (all-identical boilerplate) before the
+    * quadratic intra-bucket pair expansion.
+    */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                        k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
-    val r = nPerm / bands
-    val sig = docs
+    val hashed = docs
       .select(col(idCol).as("doc_id"),
-        shingleHashes(shingles(col(textCol), k)).as("hs"))
-      .where(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSig(col("hs"), nPerm).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(j =>
-        xxhash64(slice(col("sig"), j * r + 1, r))): _*)).as(Seq("band", "bkey")))
-    val buckets = banded.groupBy("band", "bkey")
+        explode(shingles(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bucketMins = hashed
+      .groupBy(col("doc_id"), pmod(col("h"), lit(nBuckets)).as("bucket"))
+      .agg(min(col("h")).as("mh"))
+    val bandKeys = bucketMins
+      .groupBy(col("doc_id"), (col("bucket") / lit(bandSize)).cast("int").as("band"))
+      .agg(xxhash64(sort_array(collect_list(struct(col("bucket"), col("mh"))))).as("bkey"))
+    val buckets = bandKeys.groupBy("band", "bkey")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
@@ -91,15 +110,19 @@ object Dedup {
   /** MinHash near-dup pairs verified with exact Jaccard ≥ threshold.
     * Output: (d1, d2, jaccard). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                      k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), k).as("sh"))
-    val cands = minhashCandidates(docs, idCol, textCol, k, nPerm, bands)
+    val cands = minhashCandidates(docs, idCol, textCol, k, nBuckets, bandSize)
     cands
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("double").as("total"))
+      .select(col("d1"), col("d2"),
+        (col("inter") / (col("total") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -23,7 +23,7 @@ object Queries {
     // E15: MinHash+LSH near-dup (banded candidates, exact-Jaccard verify)
     "q18_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
-        k = 3, nPerm = 64, bands = 16, threshold = 0.1)
+        k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)
         .orderBy("d1", "d2")),
     // E15: SimHash fingerprints (pair generation covered in spec tests)
     "q19_simhash" -> ((s, dir) =>

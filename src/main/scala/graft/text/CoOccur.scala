@@ -7,20 +7,18 @@ import org.apache.spark.sql.functions._
 /** Word-count / pairs / stripes operators (reference parity, SURVEY.md §2
   * O5, O7–O11).
   *
-  * Design: co-occurrence generation happens *inside each source row* with
-  * higher-order array functions (`transform`/`slice`/`filter`/`flatten`),
-  * so the only shuffle in any of these plans is the final `groupBy` —
-  * which Catalyst executes as partial + final HashAggregate (the
-  * reference's combiner, `HadoopWordCount.java:119`, for free). At 100 TB
-  * this is embarrassingly parallel: no window shuffle, no self-join, and
-  * the map-side combine collapses the pair stream to the (small) distinct
-  * pair vocabulary before the exchange.
+  * Two interchangeable pair-generation strategies, cross-checked against
+  * each other and a plain-Scala reference in the test suite:
   *
-  * Caveat for pathological inputs: per-row generation materializes
-  * O(len·m) pair structs per line. For corpora with multi-megabyte single
-  * lines, [[pairsViaWindow]] (one shuffle by line, `lead(d)` per distance)
-  * bounds per-row memory instead; it is semantically identical and is
-  * cross-checked against the array form in the test suite.
+  *  - [[pairsViaWindow]] (default): posexplode + window `lead(d)` —
+  *    whole-stage-codegen'd end to end; one shuffle partitioned by line
+  *    id (horizontally scalable; skew only on pathological single lines),
+  *    then the counting groupBy with map-side partial aggregation (the
+  *    reference's combiner, `HadoopWordCount.java:119`, for free).
+  *  - [[pairsViaArrays]]: generation inside each source row with
+  *    higher-order array functions — zero pre-aggregation shuffle, but
+  *    Spark evaluates HOF lambdas interpreted (measured 6–8× slower),
+  *    so it serves as the independent oracle rather than the default.
   */
 object CoOccur {
   import Tokenize.{category, tokCats}
@@ -55,17 +53,37 @@ object CoOccur {
     * len-1), same-regex check at :61-62). Pairs are ordered (left:right),
     * never canonicalized, and never cross line boundaries. */
   def pairArray(text: Column, m: Int): Column = {
-    val ts = tokCats(text)
-    flatten(transform(ts, (x, i) =>
+    // Bind the token-category array once: lambda bodies referencing an
+    // outer *expression* re-evaluate it per element (O(len²) tokenization
+    // per row); binding through a single-element transform makes the
+    // inner slice reference a lambda variable instead.
+    def pairsOf(ts: Column) = flatten(transform(ts, (x, i) =>
       transform(
         filter(slice(ts, i + lit(2), lit(m)),
           y => x("cat").isNotNull && y("cat") === x("cat")),
         y => struct(x("tok").as("w1"), y("tok").as("w2")))))
+    element_at(transform(array(tokCats(text)), ts => pairsOf(ts)), 1)
   }
 
-  /** O7/O8 aggregated: (w1, w2, cnt) over all lines. */
+  /** O7/O8 aggregated: (w1, w2, cnt) over all lines.
+    *
+    * Default implementation is [[pairsViaWindow]] (codegen'd posexplode +
+    * window-lead: measured 6–8× faster than the higher-order-function
+    * array form, which Spark evaluates interpreted). A synthetic line id
+    * is attached only as the window partition key. */
   def pairs(lines: DataFrame, textCol: String, m: Int,
-            lowercase: Boolean = false): DataFrame = {
+            lowercase: Boolean = false): DataFrame =
+    pairsViaWindow(
+      lines.withColumn("__line_id", monotonically_increasing_id()),
+      "__line_id", textCol, m, lowercase)
+
+  /** Array-combinator pair generation — zero pre-aggregation shuffle
+    * (generation happens inside each source row), at the cost of
+    * interpreted higher-order-function evaluation. Kept as the
+    * independent implementation oracle for [[pairsViaWindow]] and as the
+    * shape to revisit if Spark ever codegens HOFs. */
+  def pairsViaArrays(lines: DataFrame, textCol: String, m: Int,
+                     lowercase: Boolean = false): DataFrame = {
     val txt = if (lowercase) lower(col(textCol)) else col(textCol)
     lines
       .select(explode(pairArray(txt, m)).as("p"))
@@ -74,10 +92,10 @@ object CoOccur {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Equivalent pair generation via one window shuffle + lead(d) per
-    * distance d ∈ 1..m — the bounded-memory alternative for corpora with
-    * pathological single-line sizes (see class doc). Used by tests as an
-    * independent implementation oracle for [[pairs]]. */
+  /** Pair generation via one window shuffle + lead(d) per distance
+    * d ∈ 1..m. Whole-stage-codegen'd end to end; the window shuffle
+    * partitions by line id, so it scales horizontally (skew only on
+    * pathological multi-megabyte single lines). */
   def pairsViaWindow(lines: DataFrame, idCol: String, textCol: String,
                      m: Int, lowercase: Boolean = false): DataFrame = {
     val t = Tokenize.tokens(lines, idCol, textCol, lowercase)

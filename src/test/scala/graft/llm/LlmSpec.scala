@@ -27,7 +27,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash finds the exact and near duplicate, not the unrelated doc") {
     val got = Dedup.minhashNearDups(docs, "doc_id", "text", k = 3,
-      nPerm = 64, bands = 16, threshold = 0.5)
+      nBuckets = 64, bandSize = 4, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got.contains((0L, 3L)) && got((0L, 3L)) == 1.0, "exact dup")
     assert(got.contains((0L, 1L)) && got((0L, 1L)) > 0.5, "near dup")

@@ -101,8 +101,8 @@ class CoOccurSpec extends SparkSpec {
   test("array-combinator pairs equal window-lead pairs (independent implementations)") {
     for (m <- Seq(1, 3)) {
       val df = linesDf(randomLines(7, 30))
-      val a = pairsMap(CoOccur.pairs(df, "text", m))
-      val b = pairsMap(CoOccur.pairsViaWindow(df, "doc_id", "text", m))
+      val a = pairsMap(CoOccur.pairsViaArrays(df, "text", m))
+      val b = pairsMap(CoOccur.pairs(df, "text", m))
       assert(a == b, s"m=$m")
     }
   }
