@@ -27,9 +27,7 @@ object Queries {
         .orderBy("d1", "d2")),
     // E15: SimHash fingerprints (pair generation covered in spec tests)
     "q19_simhash" -> ((s, dir) =>
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
-        .select(col("doc_id"), Dedup.simhash(col("hs")).as("simhash"))
+      Dedup.simhashAgg(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>

@@ -72,7 +72,9 @@ object Queries {
     tbl(s, dir, "lineitem")
       .filter(col("l_quantity") >= 30 && col("l_discount") > 0.05)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by every output column for a total cross-engine order
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .limit(5000)
 
   // E2: multi-way equi-join; region/nation/customer are broadcast dims.
@@ -113,6 +115,17 @@ object Queries {
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // E5: cube — all grouping-set combinations (rollup's superset).
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
@@ -264,6 +277,7 @@ object Queries {
     "q15_sliding_window" -> (slidingWindow _),
     "q16_sessionize" -> (sessionize _),
     "q17_dedup_exact" -> (dedupExact _),
+    "q31_cube" -> (cubeAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -280,7 +294,8 @@ object Queries {
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity >= 30 AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber LIMIT 5000""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |LIMIT 5000""".stripMargin,
     "q3_join_agg" ->
       s"""SELECT r_name, n_name, ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
          |FROM orders
@@ -383,5 +398,11 @@ object Queries {
     "q17_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q31_cube" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

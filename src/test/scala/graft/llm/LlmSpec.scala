@@ -53,12 +53,14 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 2L || b == 2L })
   }
 
-  test("simhash is deterministic across evaluations") {
-    def run() = docs
+  test("simhashAgg (codegen form) equals the per-row fold form") {
+    val perRow = docs
       .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
       .select(col("doc_id"), Dedup.simhash(col("hs")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(run() == run())
+    val agg = Dedup.simhashAgg(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow == agg)
   }
 }
 
