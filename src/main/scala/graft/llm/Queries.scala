@@ -38,6 +38,10 @@ object Queries {
     "q21_cosine_knn" -> ((s, dir) =>
       Sim.cosineKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
+    // E16: exact cosine top-k via the native codegen CosineSim expression
+    "q32_cosine_knn_native" -> ((s, dir) =>
+      Sim.cosineKnnNative(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
     // E16: LSH bucket histogram (the ANN scale path's partition shape)
     "q22_lsh_buckets" -> ((s, dir) =>
       Sim.lshBuckets(tbl(s, dir, "embeddings"), nPlanes = 16, dim = embDim(s, dir))
@@ -71,7 +75,22 @@ object Queries {
 
   private val foldSum = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), %s), (a, b) -> a + b)"
 
+  private val cosineKnnOracle =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+       |j AS (SELECT qid, n.vec_id,
+       |  ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
+       |    / (n.norm * q.qnorm) AS sim
+       |  FROM n, q WHERE n.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q32_cosine_knn_native" -> cosineKnnOracle,
     "q20_ngram_jaccard" ->
       s"""$shingleCte
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -82,19 +101,7 @@ object Queries {
          |FROM f a JOIN f b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) > 0
          |ORDER BY d1, d2""".stripMargin,
-    "q21_cosine_knn" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v,
-         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
-         |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
-         |j AS (SELECT qid, n.vec_id,
-         |  ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
-         |    / (n.norm * q.qnorm) AS sim
-         |  FROM n, q WHERE n.vec_id <> q.qid),
-         |r AS (SELECT qid, vec_id, sim,
-         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
-         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q21_cosine_knn" -> cosineKnnOracle,
     "q23_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,

@@ -49,6 +49,26 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** Exact cosine top-k via the native codegen'd
+    * [[graft.functions.CosineSim]] expression — same plan shape and
+    * bit-identical results as [[cosineKnn]], with the per-pair math in a
+    * fused whole-stage-codegen loop instead of interpreted HOF lambdas. */
+  def cosineKnnNative(emb: DataFrame, nQuery: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = v.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .where(col("qid") < nQuery)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorExprs.cosineSim("v", "qv").as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "sim")
+  }
+
   /** Deterministic pseudo-random hyperplanes: nPlanes × dim doubles. */
   private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new java.util.Random(1337)

@@ -1,0 +1,54 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout techniques for shuffle elimination and skew handling
+  * at cluster scale. Nothing here changes query semantics — both helpers
+  * are equivalence-tested against their naive counterparts.
+  */
+object Layout {
+
+  /** Write a table bucketed (and sorted) by the join key. Two tables
+    * bucketed the same way join with NO exchange — at 100 TB this turns
+    * the nightly fact⋈fact join from a full network shuffle into a
+    * partition-local merge. (Bucketing metadata lives in the session
+    * catalog, hence saveAsTable rather than a bare path.) */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key (exchange-free —
+    * asserted in LayoutSpec). The merge hint keeps the planner on the
+    * sort-merge path — a broadcast would bypass the bucket layout (and
+    * is the right choice anyway when one side is broadcast-small). */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String): DataFrame =
+    spark.table(left).hint("merge").join(spark.table(right).hint("merge"), key)
+
+  /** Salted inner equi-join for skewed keys: the build side is
+    * replicated `saltFactor`× with an explicit salt column, the probe
+    * side gets a deterministic salt in [0, saltFactor) per row, and the
+    * join key becomes (key, salt). A hot key's rows thus spread over
+    * `saltFactor` reducers instead of one. Produces exactly the rows of
+    * `big.join(small, bigKey === smallKey)`.
+    *
+    * AQE's skew-join split handles moderate skew automatically; explicit
+    * salting is for the pathological keys AQE can't split (e.g. a single
+    * key exceeding one executor's memory in a hash build). */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String,
+                 saltFactor: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig
+      .join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+          saltedBig("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,34 @@
+package graft.rel
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed tables join with no exchange") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val customer = spark.read.parquet(s"$sf0001/customer.parquet")
+    Layout.writeBucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+      "orders_b", "custkey", 4)
+    Layout.writeBucketed(customer.withColumnRenamed("c_custkey", "custkey"),
+      "customer_b", "custkey", 4)
+    val joined = Layout.bucketedJoin(spark, "orders_b", "customer_b", "custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    val expected = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey")).count()
+    assert(joined.count() == expected)
+  }
+
+  test("salted join returns exactly the plain inner-join rows") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val customer = spark.read.parquet(s"$sf0001/customer.parquet")
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = Layout.saltedJoin(orders, customer, "o_custkey", "c_custkey", 8)
+      .select("o_orderkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted == plain)
+  }
+}
