@@ -42,6 +42,14 @@ object Queries {
     "q32_cosine_knn_native" -> ((s, dir) =>
       Sim.cosineKnnNative(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
+    // E15/E16: embedding-cosine near-dup, exact baseline (bounded ids)
+    "q33_embed_neardup" -> ((s, dir) =>
+      Sim.cosineNearDups(tbl(s, dir, "embeddings"), maxId = 300, threshold = 0.35)
+        .orderBy("v1", "v2")),
+    // E16: IVF-flat approximate kNN (coarse quantizer + probed lists)
+    "q35_ivf_knn" -> ((s, dir) =>
+      Sim.ivfKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
     // E16: LSH bucket histogram (the ANN scale path's partition shape)
     "q22_lsh_buckets" -> ((s, dir) =>
       Sim.lshBuckets(tbl(s, dir, "embeddings"), nPlanes = 16, dim = embDim(s, dir))
@@ -91,6 +99,18 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q32_cosine_knn_native" -> cosineKnnOracle,
+    "q33_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  ${foldSum.format("list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])")}
+         |    / (a.norm * b.norm) AS sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${foldSum.format("list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])")}
+         |    / (a.norm * b.norm) >= 0.35
+         |ORDER BY v1, v2""".stripMargin,
     "q20_ngram_jaccard" ->
       s"""$shingleCte
          |SELECT a.doc_id AS d1, b.doc_id AS d2,

@@ -93,6 +93,82 @@ object Sim {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"))
 
+  /** Embedding-cosine near-duplicate pairs over a bounded id range —
+    * the exact baseline (DuckDB-oracled). The scale path replaces the
+    * id-bounded cross join with the [[lshBucket]] equi-join (see
+    * [[cosineNearDupsLsh]]). Output: (v1, v2, sim), v1 &lt; v2. */
+  def cosineNearDups(emb: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    val v = emb.where(col("vec_id") < maxId)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val a = v.select(col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
+    val b = v.select(col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup at scale: candidates restricted to equal
+    * LSH sign-buckets (shuffle O(n) instead of O(n²) pairs), verified
+    * with exact cosine. Recall is governed by nPlanes (fewer planes →
+    * larger buckets → higher recall, more verification work). */
+  def cosineNearDupsLsh(emb: DataFrame, threshold: Double,
+                        nPlanes: Int, dim: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val a = v.select(col("bucket"), col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
+    val b = v.select(col("bucket"), col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** IVF-flat approximate kNN — the other scale path (coarse quantizer +
+    * probed inverted lists). Centroids are the first `nlist` vectors
+    * (deterministic seed set; a production pipeline would k-means-refine
+    * them — the dataflow is identical): every vector is assigned to its
+    * nearest centroid (one broadcast pass), queries probe the `nprobe`
+    * nearest lists, and exact cosine ranks within the probed union.
+    * Candidate work per query is ~nprobe/nlist of the corpus. */
+  def ivfKnn(emb: DataFrame, nQuery: Int, k: Int,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val centroids = v.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    // assign: argmax centroid cosine per vector (broadcast nlist rows)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val assigned = v.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"),
+        cosine(col("v"), col("cv"), col("norm"), col("cn")).as("csim"))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+    // probe lists: nprobe nearest centroids per query vector
+    val q = v.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("qnorm"), col("cid"),
+        cosine(col("qv"), col("cv"), col("qnorm"), col("cn")).as("csim"))
+      .withColumn("r", row_number().over(wProbe))
+      .where(col("r") <= nprobe)
+      .select(col("qid"), col("qv"), col("qnorm"), col("cid"))
+    // rank exact cosine within the probed lists
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(probes, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "sim")
+  }
+
   /** Approximate kNN: exact cosine ranking restricted to same-bucket
     * candidates (recall traded for a shuffle-sized candidate set). */
   def annKnn(emb: DataFrame, nQuery: Int, k: Int, nPlanes: Int, dim: Int): DataFrame = {

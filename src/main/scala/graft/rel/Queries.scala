@@ -133,6 +133,18 @@ object Queries {
         col("sum_qty"), col("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // E5 + SQL frontend: explicit GROUPING SETS through spark.sql over the
+  // registered views — every other query is equally SQL-expressible.
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_qty,
+         |  count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
   // E6: exact distinct aggregation.
   def distinctAgg(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders")
@@ -278,6 +290,7 @@ object Queries {
     "q16_sessionize" -> (sessionize _),
     "q17_dedup_exact" -> (dedupExact _),
     "q31_cube" -> (cubeAgg _),
+    "q34_sql_grouping_sets" -> (groupingSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -403,6 +416,13 @@ object Queries {
          |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q34_sql_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }
