@@ -23,8 +23,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap default scales with the machine (half of physical RAM, clamped to
+// [2g, 24g]) so the forked JVM starts on small hosts too; SPARK_DRIVER_MEM
+// still overrides explicitly.
+val defaultDriverMem: String = {
+  import java.lang.management.ManagementFactory
+  ManagementFactory.getOperatingSystemMXBean match {
+    case b: com.sun.management.OperatingSystemMXBean =>
+      val halfGb = b.getTotalMemorySize / (1L << 30) / 2
+      s"${math.max(2L, math.min(24L, halfGb))}g"
+    case _ => "4g"
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverMem)}",
 )

@@ -38,38 +38,6 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     element_at(transform(array(split(text, " ", -1)), ts => shinglesOf(ts, k)), 1)
 
-  /** Exact Jaccard similarity between two distinct-shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
-  }
-
-  private val P = 2147483647L // 2^31 - 1, prime modulus for affine permutations
-  /** Deterministic affine-permutation parameters (seeded, code-level
-    * constants — not data-dependent). */
-  private def perms(nPerm: Int): (Array[Long], Array[Long]) = {
-    val rnd = new java.util.Random(42)
-    val as = Array.fill(nPerm)(1L + math.abs(rnd.nextLong()) % (P - 1))
-    val bs = Array.fill(nPerm)(math.abs(rnd.nextLong()) % P)
-    (as, bs)
-  }
-
-  /** Shingle hash array: one xxhash64 per shingle, reduced mod p. Keep
-    * this in its own projection — [[minhashSig]] references it nPerm
-    * times, and inlining (CollapseProject) would recompute the string
-    * hashes per permutation. */
-  def shingleHashes(sh: Column): Column =
-    transform(sh, s => pmod(xxhash64(s), lit(P)))
-
-  /** MinHash signature (array of nPerm minima) over a *materialized*
-    * hash-array column: cheap affine permutations (a_j·h + b_j mod p)
-    * instead of nPerm full string hashes per shingle. */
-  def minhashSig(hs: Column, nPerm: Int): Column = {
-    val (as, bs) = perms(nPerm)
-    array((0 until nPerm).map(j =>
-      array_min(transform(hs, h => (lit(as(j)) * h + lit(bs(j))) % lit(P)))): _*)
-  }
-
   /** LSH candidate pairs via one-permutation-style MinHash (Li et al.,
     * "One Permutation Hashing", NIPS 2012 — flavor, not a port): each
     * shingle is hashed once; the 64-bucket partition of the hash space
@@ -86,10 +54,20 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
-    val hashed = docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), k)).as("s"))
+                        maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesFromShingles(
+      docs.select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh")),
+      nBuckets, bandSize, maxBucket)
+
+  /** [[minhashCandidates]] over a pre-computed (doc_id, sh) shingle
+    * table, so callers that also need the shingle arrays (e.g. the exact-
+    * Jaccard verification in [[minhashNearDups]]) express the shingling
+    * once instead of twice. */
+  def minhashCandidatesFromShingles(sh: DataFrame, nBuckets: Int = 64,
+                                    bandSize: Int = 4,
+                                    maxBucket: Int = 1000): DataFrame = {
+    val hashed = sh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val bucketMins = hashed
       .groupBy(col("doc_id"), pmod(col("h"), lit(nBuckets)).as("bucket"))
@@ -114,7 +92,7 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), k).as("sh"))
-    val cands = minhashCandidates(docs, idCol, textCol, k, nBuckets, bandSize)
+    val cands = minhashCandidatesFromShingles(sh, nBuckets, bandSize)
     cands
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")

@@ -16,8 +16,11 @@ object Queries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def embDim(s: SparkSession, dir: String): Int =
-    tbl(s, dir, "embeddings").select(size(col("embedding"))).head().getInt(0)
+  /** Embedding dimensionality of the driver's `embeddings` table (all
+    * SFs ship 64-float vectors). A constant rather than a `.head()` probe:
+    * plan construction must never run a Spark job. Pinned by a spec test
+    * against the actual data. */
+  val EmbeddingDim = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E15: MinHash+LSH near-dup (banded candidates, exact-Jaccard verify)
@@ -52,7 +55,7 @@ object Queries {
         .orderBy("qid", "rnk")),
     // E16: LSH bucket histogram (the ANN scale path's partition shape)
     "q22_lsh_buckets" -> ((s, dir) =>
-      Sim.lshBuckets(tbl(s, dir, "embeddings"), nPlanes = 16, dim = embDim(s, dir))
+      Sim.lshBuckets(tbl(s, dir, "embeddings"), nPlanes = 16, dim = EmbeddingDim)
         .orderBy("bucket")),
     // E17: token counting
     "q23_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(tbl(s, dir, "documents"))),

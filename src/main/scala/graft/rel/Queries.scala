@@ -101,9 +101,11 @@ object Queries {
       .orderBy("c_custkey")
   }
 
-  // E3: left-anti ≡ NOT EXISTS.
+  // E3: left-anti ≡ NOT EXISTS. Anti-joins against the *filtered* orders
+  // (status 'P') — every customer has some order in the synthetic data,
+  // so the unfiltered form returns 0 rows and proves nothing.
   def antiJoin(s: SparkSession, dir: String): DataFrame = {
-    val orders = tbl(s, dir, "orders")
+    val orders = tbl(s, dir, "orders").filter(col("o_orderstatus") === "P")
     tbl(s, dir, "customer")
       .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
@@ -323,7 +325,8 @@ object Queries {
         |ORDER BY c_custkey""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "q6_rollup" ->
       s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,

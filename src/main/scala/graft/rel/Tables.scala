@@ -10,9 +10,19 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Last directory registered per live session — registering re-reads 10
+  // parquet footers, so repeat calls for the same (session, dir) skip it.
+  // Weak keys: a stopped session must not be pinned by this cache.
+  private val lastDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register every table under its bare name; events gets the µs-
-    * truncated timestamp treatment. Idempotent. */
+    * truncated timestamp treatment. Idempotent and cached per
+    * (session, dir) — only the first call per directory pays the
+    * footer reads. */
   def register(spark: SparkSession, dir: String): Unit = {
+    if (dir == lastDir.get(spark)) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach { n =>
       val df = spark.read.parquet(s"$dir/$n.parquet")
@@ -22,6 +32,7 @@ object Tables {
         else df
       fixed.createOrReplaceTempView(n)
     }
+    lastDir.put(spark, dir)
   }
 
   /** Run ANSI SQL against the registered views. */

@@ -38,6 +38,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         sdf = sdf.reindex(sorted(sdf.columns), axis=1)
         ddf = ddf.reindex(sorted(ddf.columns), axis=1)
+        # Sort both frames by every hashable column: a multi-file Spark
+        # dump would otherwise depend on filename order, and queries whose
+        # ORDER BY is not total would produce spurious row mismatches.
+        sort_cols = [c for c in sdf.columns
+                     if sdf[c].dtype != object or
+                     sdf[c].map(lambda v: isinstance(v, (str, bytes, type(None)))).all()]
+        if sort_cols:
+            sdf = sdf.sort_values(sort_cols, ignore_index=True)
+            try:
+                ddf = ddf.sort_values(sort_cols, ignore_index=True)
+            except KeyError:
+                pass
         if list(sdf.columns) != list(ddf.columns):
             print(f"FAIL {name}: cols spark={list(sdf.columns)} duck={list(ddf.columns)}")
             n_bad += 1
