@@ -71,11 +71,21 @@ object Queries {
     "q28_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"))),
     // multimodal metadata projection (real part of the stubbed pipeline)
     "q29_multimodal_meta" -> ((s, dir) => Multimodal.metadata(tbl(s, dir, "documents"))),
-    // E6: approximate distinct (HLL++) next to the exact count
-    "q30_approx_distinct" -> ((s, dir) =>
+    // E6: approximate distinct (HLL++) next to the exact count. The
+    // exact count is oracle-checked directly; the HLL++ estimate is
+    // folded into an oracle-checkable *bound* (|approx−exact|/exact
+    // < 5%) — DuckDB asserts `true`, so a drifting sketch turns the row
+    // red instead of hiding behind `no_oracle`. The estimate is
+    // deterministic for fixed data (measured ~2.5% on lineitem at every
+    // SF, well under the bound); the statistical 3σ property is tested
+    // separately in LlmSpec.
+    "q30_approx_distinct" -> ((s, dir) => {
+      val exact = countDistinct(col("l_partkey")).cast("double")
+      val approx = approx_count_distinct(col("l_partkey")).cast("double")
       tbl(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx - exact) / exact < 0.05).as("approx_ok"))
+    }),
   )
 
   private val shingleCte =
@@ -100,7 +110,46 @@ object Queries {
        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  private def dotSql(a: String, b: String): String =
+    foldSum.format(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
+
+  /** DuckDB twin of [[Sim.ivfKnn]] (nlist=16, nprobe=4, nQuery=10, k=5):
+    * same centroid seed set (first nlist by vec_id), same argmax assign,
+    * same probe set, same sequential-fold cosine — bit-identical. */
+  private val ivfKnnOracle = {
+    val normSql = foldSum.format("list_transform(v, x -> x * x)")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM v),
+       |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n ORDER BY vec_id LIMIT 16),
+       |asg AS (
+       |  SELECT vec_id, v, norm, cid FROM (
+       |    SELECT n.vec_id, n.v, n.norm, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.v", "c.cv")} / (n.norm * c.cn) DESC, c.cid ASC) AS r
+       |    FROM n CROSS JOIN c) WHERE r = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+       |pr AS (
+       |  SELECT qid, qv, qnorm, cid FROM (
+       |    SELECT q.qid, q.qv, q.qnorm, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dotSql("q.qv", "c.cv")} / (q.qnorm * c.cn) DESC, c.cid ASC) AS r
+       |    FROM q CROSS JOIN c) WHERE r <= 4),
+       |j AS (
+       |  SELECT pr.qid, asg.vec_id,
+       |    ${dotSql("asg.v", "pr.qv")} / (asg.norm * pr.qnorm) AS sim
+       |  FROM asg JOIN pr ON asg.cid = pr.cid
+       |  WHERE asg.vec_id <> pr.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q35_ivf_knn" -> ivfKnnOracle,
+    "q30_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
+        |FROM lineitem""".stripMargin,
     "q32_cosine_knn_native" -> cosineKnnOracle,
     "q33_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -99,6 +99,38 @@ class SimSpec extends SparkSpec {
   }
 }
 
+class ApproxDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct within 3×rsd of exact across cardinalities") {
+    // rsd is a standard deviation, not a hard bound — individual
+    // cardinalities can deviate ~1-2σ (measured 6.6% at card=5000 with
+    // rsd=0.05), so the property bound is 3σ.
+    for (card <- Seq(100, 5000, 50000)) {
+      val df = (1 to 4 * card).map(i => (i % card).toLong).toDF("k")
+      val r = df.agg(
+        approx_count_distinct(col("k"), 0.05).cast("double").as("a"),
+        countDistinct(col("k")).cast("double").as("e")).head()
+      val rel = math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(1)
+      assert(rel < 0.15, s"card=$card rel=$rel")
+    }
+  }
+
+  test("q30 bound holds on the real lineitem table (sf0.001)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).cast("double").as("a"),
+      countDistinct(col("l_partkey")).cast("double").as("e")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(1) < 0.05)
+  }
+
+  test("EmbeddingDim constant matches the driver data") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(d == Seq(Queries.EmbeddingDim))
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
