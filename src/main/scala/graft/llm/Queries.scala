@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline query surface (SURVEY.md §2.3 E15–E17 + extensions):
   * dedup (exact is q17 in graft.rel), MinHash/SimHash near-dup,
-  * n-gram Jaccard, cosine kNN (exact + LSH), text analysis, multimodal
-  * metadata. Algorithmic operators (MinHash, SimHash, LSH) are declared
-  * without DuckDB oracles — the driver records a rows-only check; their
-  * correctness is property-tested against brute-force baselines in the
-  * ScalaTest suite.
+  * n-gram Jaccard, cosine kNN (exact + banded LSH + IVF), text analysis,
+  * multimodal metadata. Everything deterministic carries a DuckDB oracle —
+  * including the LSH paths, whose hyperplane matrix is embedded in the
+  * oracle SQL as a DOUBLE[][] literal so DuckDB recomputes identical
+  * buckets. Only the xxhash64-based paths (MinHash q18, SimHash q19) are
+  * rows-only (no matching hash in DuckDB); those are recall/property-
+  * tested against brute-force baselines in the ScalaTest suite.
   */
 object Queries {
 
@@ -57,6 +59,18 @@ object Queries {
     "q22_lsh_buckets" -> ((s, dir) =>
       Sim.lshBuckets(tbl(s, dir, "embeddings"), nPlanes = 16, dim = EmbeddingDim)
         .orderBy("bucket")),
+    // E15/E16 scale twin of q33: multi-table banded sign-LSH near-dup
+    // over the FULL corpus (no id bound) — the 100-TB path, fully
+    // DuckDB-oracled via the plane-matrix SQL literal
+    "q36_lsh_neardup" -> ((s, dir) =>
+      Sim.cosineNearDupsLsh(tbl(s, dir, "embeddings"), threshold = 0.35,
+        nTables = 16, bandPlanes = 4, dim = EmbeddingDim)
+        .orderBy("v1", "v2")),
+    // E16 scale twin of q21: banded-LSH approximate kNN, same oracle style
+    "q37_ann_knn" -> ((s, dir) =>
+      Sim.annKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5,
+        nTables = 16, bandPlanes = 4, dim = EmbeddingDim)
+        .orderBy("qid", "rnk")),
     // E17: token counting
     "q23_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(tbl(s, dir, "documents"))),
     // E17: quality scoring
@@ -113,6 +127,29 @@ object Queries {
   private def dotSql(a: String, b: String): String =
     foldSum.format(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
 
+  /** Shared banded-LSH CTE: every embedding exploded to its per-table
+    * sign-bucket ids, computed in DuckDB from the *identical* hyperplane
+    * matrix embedded as a DOUBLE[][] literal (same seeded stream as the
+    * native SignBands expression), with the same sequential-fold dot
+    * accumulation — buckets are bit-identical across engines. */
+  private def bandedCte(nTables: Int, bandPlanes: Int, dim: Int): String = {
+    val pl = graft.functions.Hyperplanes.sqlLiteral(nTables * bandPlanes, dim)
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pm AS (SELECT $pl AS pl),
+       |bt AS (SELECT vec_id, v, tt.t AS t,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range($bandPlanes), j ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range($dim), i -> v[i+1] * pl[tt.t*$bandPlanes + j + 1][i+1])),
+       |      (x, y) -> x + y) > 0
+       |    THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+       |    (acc, e) -> acc | e) AS bucket
+       |  FROM v CROSS JOIN pm CROSS JOIN (SELECT unnest(range($nTables)) AS t) tt)""".stripMargin
+  }
+
+  private val normCte =
+    s"""n AS (SELECT vec_id, v,
+       |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v)""".stripMargin
+
   /** DuckDB twin of [[Sim.ivfKnn]] (nlist=16, nprobe=4, nQuery=10, k=5):
     * same centroid seed set (first nlist by vec_id), same argmax assign,
     * same probe set, same sequential-fold cosine — bit-identical. */
@@ -146,6 +183,33 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q22_lsh_buckets" ->
+      s"""WITH ${bandedCte(1, 16, 64)}
+         |SELECT bucket, count(*) AS n_vecs FROM bt
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q36_lsh_neardup" ->
+      s"""WITH ${bandedCte(16, 4, 64)},
+         |$normCte,
+         |c AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM bt a JOIN bt b
+         |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |j AS (SELECT c.v1, c.v2,
+         |  ${dotSql("na.v", "nb.v")} / (na.norm * nb.norm) AS sim
+         |  FROM c JOIN n na ON na.vec_id = c.v1 JOIN n nb ON nb.vec_id = c.v2)
+         |SELECT v1, v2, sim FROM j WHERE sim >= 0.35 ORDER BY v1, v2""".stripMargin,
+    "q37_ann_knn" ->
+      s"""WITH ${bandedCte(16, 4, 64)},
+         |$normCte,
+         |c AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id AS vec_id
+         |  FROM bt q JOIN bt b ON q.t = b.t AND q.bucket = b.bucket
+         |  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+         |j AS (SELECT c.qid, c.vec_id,
+         |  ${dotSql("nb.v", "nq.v")} / (nb.norm * nq.norm) AS sim
+         |  FROM c JOIN n nq ON nq.vec_id = c.qid JOIN n nb ON nb.vec_id = c.vec_id),
+         |r AS (SELECT qid, vec_id, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q35_ivf_knn" -> ivfKnnOracle,
     "q30_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok

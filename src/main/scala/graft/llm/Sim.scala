@@ -69,15 +69,12 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
-  /** Deterministic pseudo-random hyperplanes: nPlanes × dim doubles. */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new java.util.Random(1337)
-    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
-  /** Sign-bit LSH bucket id: bit j = [v · plane_j > 0]. */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
-    val ps = planes(nPlanes, dim)
+  /** Interpreted HOF formulation of the single-table sign-bit bucket
+    * (bit j = [v · plane_j &gt; 0]) — kept as the independent oracle for
+    * the native codegen'd [[graft.functions.SignBands]] expression in the
+    * test suite; the query paths all use the native form. */
+  def lshBucketHof(v: Column, nPlanes: Int, dim: Int): Column = {
+    val ps = graft.functions.Hyperplanes.planes(nPlanes, dim)
     (0 until nPlanes).map { j =>
       val d = fsum(transform(sequence(lit(0), lit(dim - 1)),
         i => element_at(v, i + lit(1)) * element_at(typedLit(ps(j).toSeq), i + lit(1))))
@@ -85,13 +82,33 @@ object Sim {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Single-table sign-bit LSH bucket id via the native fused-loop
+    * expression (= first table of [[graft.functions.SignBands]]). */
+  def lshBucket(df: DataFrame, v: String, nPlanes: Int, dim: Int): Column = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    element_at(graft.functions.VectorExprs.lshBands(v, 1, nPlanes, dim), 1)
+  }
+
   /** Bucket histogram — the partition-health diagnostic for the ANN path
     * (bucket skew is what kills the equi-join at scale). */
-  def lshBuckets(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame =
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), lshBucket(col("v"), nPlanes, dim).as("bucket"))
+  def lshBuckets(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    v.select(col("vec_id"), lshBucket(v, "v", nPlanes, dim).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** (vec_id, v, t, bucket): each vector exploded to its nTables LSH
+    * bucket ids — the shared candidate-generation spine of the scale
+    * paths. One narrow codegen'd projection, no shuffle. */
+  private def banded(emb: DataFrame, nTables: Int, bandPlanes: Int,
+                     dim: Int): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        posexplode(graft.functions.VectorExprs.lshBands("v", nTables, bandPlanes, dim))
+          .as(Seq("t", "bucket")))
+  }
 
   /** Embedding-cosine near-duplicate pairs over a bounded id range —
     * the exact baseline (DuckDB-oracled). The scale path replaces the
@@ -109,21 +126,36 @@ object Sim {
       .where(col("sim") >= threshold)
   }
 
-  /** Embedding-cosine near-dup at scale: candidates restricted to equal
-    * LSH sign-buckets (shuffle O(n) instead of O(n²) pairs), verified
-    * with exact cosine. Recall is governed by nPlanes (fewer planes →
-    * larger buckets → higher recall, more verification work). */
+  /** Embedding-cosine near-dup at scale: multi-table banded sign-LSH.
+    * A pair is a candidate iff it collides in ≥1 of nTables independent
+    * bucket tables (bandPlanes sign bits each); candidates are verified
+    * with exact cosine. Single-table sign-LSH has near-zero recall at
+    * moderate similarity (collision prob ≈ (1−θ/π)^nPlanes ≈ 2% at
+    * sim 0.35 with 8 planes); banding fixes the S-curve: recall =
+    * 1−(1−p^bandPlanes)^nTables ≈ 0.91 at sim 0.35 with 4×16 — the
+    * standard multi-table LSH design (Indyk–Motwani / Andoni e2LSH
+    * lineage), recall-tested against the exact baseline in LlmSpec.
+    *
+    * Scale: candidate generation is an equi-join on (t, bucket) —
+    * shuffle O(n·nTables), never O(n²); the exact-cosine verify join
+    * touches only the candidate set. Output: (v1, v2, sim), v1 &lt; v2. */
   def cosineNearDupsLsh(emb: DataFrame, threshold: Double,
-                        nPlanes: Int, dim: Int): DataFrame = {
+                        nTables: Int = 16, bandPlanes: Int = 4,
+                        dim: Int = 64): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
-    val a = v.select(col("bucket"), col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
-    val b = v.select(col("bucket"), col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("bucket"))
-      .where(col("v1") < col("v2"))
+    val bt = banded(emb, nTables, bandPlanes, dim)
+      .select(col("vec_id"), col("t"), col("bucket"))
+    val cands = bt.as("a")
+      .join(bt.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    cands
+      .join(v.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
+      .join(v.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
       .select(col("v1"), col("v2"),
-        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+        graft.functions.VectorExprs.cosineSim("va", "vb").as("sim"))
       .where(col("sim") >= threshold)
   }
 
@@ -169,20 +201,25 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
-  /** Approximate kNN: exact cosine ranking restricted to same-bucket
-    * candidates (recall traded for a shuffle-sized candidate set). */
-  def annKnn(emb: DataFrame, nQuery: Int, k: Int, nPlanes: Int, dim: Int): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
-    val q = v.select(col("vec_id").as("qid"), col("v").as("qv"),
-      col("norm").as("qnorm"), col("bucket"))
-      .where(col("qid") < nQuery)
+  /** Approximate kNN via multi-table banded sign-LSH: exact cosine
+    * ranking restricted to candidates colliding with the query in ≥1
+    * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall
+    * math; ≈0.86 expected at this corpus's top-5 similarities with
+    * 4×16). The query side is tiny (nQuery × nTables rows) and
+    * broadcast, so the corpus streams once with no shuffle before the
+    * top-k. Recall-tested against [[cosineKnn]] in LlmSpec. */
+  def annKnn(emb: DataFrame, nQuery: Int, k: Int,
+             nTables: Int = 16, bandPlanes: Int = 4,
+             dim: Int = 64): DataFrame = {
+    val bt = banded(emb, nTables, bandPlanes, dim)
+    val q = bt.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("t"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
-    v.join(q, Seq("bucket"))
+    bt.join(broadcast(q), Seq("t", "bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+        graft.functions.VectorExprs.cosineSim("v", "qv").as("sim"))
+      .distinct()
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "sim")

@@ -93,9 +93,68 @@ class SimSpec extends SparkSpec {
     val rnd = new scala.util.Random(9)
     val v0 = Seq.fill(16)(rnd.nextFloat())
     val vecs = (0L, v0) +: (1L, v0) +: (2L until 20L).map(i => i -> Seq.fill(16)(rnd.nextFloat()))
-    val ann = Sim.annKnn(embDf(vecs), nQuery = 1, k = 3, nPlanes = 8, dim = 16)
+    val ann = Sim.annKnn(embDf(vecs), nQuery = 1, k = 3,
+      nTables = 2, bandPlanes = 4, dim = 16)
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(ann.nonEmpty && ann.head == (1L, 1L), s"twin vector first: ${ann.toSeq}")
+  }
+
+  test("native SignBands equals the interpreted HOF bucket form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = emb.select(col("vec_id"), Sim.asDouble(col("embedding")).as("v"))
+    val native = v.select(col("vec_id"),
+        Sim.lshBucket(v, "v", 16, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = v.select(col("vec_id"),
+        Sim.lshBucketHof(col("v"), 16, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.size == 500 && native == hof)
+  }
+}
+
+/** Recall of the approximate scale paths against their exact baselines
+  * on the real sf0.001 corpus. Planes/hashes are deterministic, so these
+  * are exact repeatable measurements with a safety margin, not flaky
+  * statistical assertions. */
+class RecallSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("banded-LSH near-dup recall >= 0.8 vs exact all-pairs at sim 0.35") {
+    val exact = Sim.cosineNearDups(emb, maxId = Long.MaxValue, threshold = 0.35)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Sim.cosineNearDupsLsh(emb, threshold = 0.35,
+      nTables = 16, bandPlanes = 4, dim = 64)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(exact.nonEmpty && recall >= 0.8, s"recall=$recall over ${exact.size} pairs")
+    assert((lsh -- exact).isEmpty, "verified pairs must be a subset of the exact set")
+  }
+
+  test("banded-LSH annKnn recall >= 0.7 vs exact top-5") {
+    val exact = Sim.cosineKnn(emb, nQuery = 10, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Sim.annKnn(emb, nQuery = 10, k = 5,
+      nTables = 16, bandPlanes = 4, dim = 64)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall over ${exact.size} exact neighbors")
+  }
+
+  test("minhash candidate recall >= 0.8 vs brute force at jaccard 0.5") {
+    // LSH banding is a high-similarity detector: with 16 bands of 4
+    // bucket-mins the S-curve midpoint is ~(1/16)^(1/4) ≈ 0.5, so the
+    // recall contract is over pairs with jaccard >= 0.5 (lower-jaccard
+    // pairs fall below the curve by design).
+    val bf = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, maxId = Long.MaxValue)
+      .where(col("jaccard") >= 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (cand & bf).size.toDouble / bf.size
+    assert(bf.nonEmpty && recall >= 0.8, s"recall=$recall over ${bf.size} pairs")
   }
 }
 
