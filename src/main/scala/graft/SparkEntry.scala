@@ -50,6 +50,35 @@ object SparkEntry {
     // O10: windowed stripes m=4
     "stripes_m4" -> ((s, dir) =>
       CoOccur.stripesExploded(tbl(s, dir, "documents"), "text", 4).orderBy("word", "neighbor")),
+    // O1+O12 end-to-end: the reference's literal text I/O contract —
+    // read a raw text FILE (`sc.textFile`/`TextInputFormat`), word-count
+    // both categories, write the tab-separated text sink
+    // (`HadoopWordCount.java:123-127`), read it back. The fixture carries
+    // numeric tokens (the parquet documents corpus has none), so the num
+    // category gets corpus-level coverage here. The TSV write+readback IS
+    // the operator under test — the deliberate plan-build side effect.
+    "raw_text_wordcount" -> ((s, dir) => {
+      val in = sources.TextLines.ensureFixture()
+      val out = "/root/repo/target/graft_io/raw_text_wordcount"
+      sources.TextLines.writeTsv(
+        CoOccur.wordCount(sources.TextLines.readLines(s, in), "text")
+          .select("category", "tok", "cnt"), out)
+      sources.TextLines.readTsv(s, out, "category", "tok", "cnt")
+        .withColumn("cnt", col("cnt").cast("long"))
+        .orderBy("category", "tok")
+    }),
+    // O7 sink parity: adjacent pairs rendered as the reference's
+    // "left:right" pair keys (`HadoopWordPairs.java:73`) through the
+    // same TSV sink round-trip.
+    "pairs_m1_keyed" -> ((s, dir) => {
+      val out = "/root/repo/target/graft_io/pairs_m1_keyed"
+      sources.TextLines.writeTsv(
+        CoOccur.pairs(tbl(s, dir, "documents"), "text", 1)
+          .select(concat(col("w1"), lit(":"), col("w2")).as("pair"), col("cnt")), out)
+      sources.TextLines.readTsv(s, out, "pair", "cnt")
+        .withColumn("cnt", col("cnt").cast("long"))
+        .orderBy("pair")
+    }),
   )
 
   private def wcOracle(re: String): String =
@@ -99,6 +128,28 @@ object SparkEntry {
     "pairs_m4" -> pairsOracle(4),
     "stripes_m1" -> stripesOracle(1),
     "stripes_m4" -> stripesOracle(4),
+    // The raw-text oracle runs over the same fixture lines as SQL VALUES
+    // literals — DuckDB recomputes the counts from identical input.
+    "raw_text_wordcount" -> {
+      val vals = sources.TextLines.FixtureLines
+        .map(l => "('" + l.replace("'", "''") + "')").mkString(", ")
+      s"""WITH lines(text) AS (VALUES $vals),
+         |tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM lines),
+         |cat AS (SELECT tok,
+         |  CASE WHEN regexp_full_match(tok, '^[a-z-_]+$$') THEN 'alpha'
+         |       WHEN regexp_full_match(tok, '^[-+]?[0-9]+[.]{0,1}[0-9]*$$') THEN 'num'
+         |  END AS category FROM tok)
+         |SELECT category, tok, count(*) AS cnt FROM cat
+         |WHERE category IS NOT NULL
+         |GROUP BY category, tok ORDER BY category, tok""".stripMargin
+    },
+    "pairs_m1_keyed" ->
+      s"""$tokCatCte
+         |SELECT a.tok || ':' || b.tok AS pair, count(*) AS cnt
+         |FROM c a JOIN c b ON a.doc_id = b.doc_id
+         |  AND b.pos = a.pos + 1 AND b.cat = a.cat
+         |WHERE a.cat IS NOT NULL
+         |GROUP BY pair ORDER BY pair""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -48,6 +48,43 @@ object TextLines {
       .coalesce(1)
       .write.mode("overwrite").text(out)
 
+  /** Read back a [[writeTsv]] directory as string columns `cols`. */
+  def readTsv(spark: SparkSession, path: String, cols: String*): DataFrame = {
+    val parts = split(col("value"), "\t")
+    spark.read.text(path)
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        element_at(parts, i + 1).as(c)
+      }: _*)
+  }
+
+  /** Deterministic raw-text fixture for the end-to-end text I/O query:
+    * the parquet `documents` corpus contains no numeric tokens, so the
+    * reference's number category is corpus-untested without it. Content
+    * exercises both categories, tokens matching neither (mixed case,
+    * `2.5.5`, leading-dot `.5`, punctuation), empty tokens from double
+    * spaces, and the signed/trailing-dot number edge cases
+    * (`HadoopWordCount.java:39-40` regexes). */
+  val FixtureLines: Seq[String] = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with 42 dozen liquor jugs and 42 more",
+    "i study in 1 luxembourg",
+    "a group of 3 20 year adults with weight 2.5.5",
+    "-7 +3. 0.5 .5 100 100 7",
+    "MiXeD CaSe TOKENS stay OUT and so does punct-u-ation!",
+    "double  space and trailing space ",
+    "under_score and hyphen-word count too")
+
+  /** Write the fixture once (idempotent — content is deterministic) and
+    * return its path. Lives under target/ (build scratch, gitignored). */
+  def ensureFixture(): String = {
+    val p = java.nio.file.Paths.get("/root/repo/target/graft_io/fixture/lines.txt")
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, FixtureLines.mkString("\n").getBytes("UTF-8"))
+    }
+    p.toString
+  }
+
   /** Classify a raw token file into the reference's two categories —
     * the minimal O1→O4 pipeline as a reusable source transform. */
   def classifiedTokens(spark: SparkSession, path: String): DataFrame =

@@ -32,6 +32,27 @@ class TextLinesSpec extends SparkSpec {
     assert(got == Set("a\t1", "b\t2"))
   }
 
+  test("readTsv round-trips writeTsv including pair keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsv-rt").toString
+    val df = Seq(("am:in", 3L), ("group:of", 1L)).toDF("pair", "cnt")
+    TextLines.writeTsv(df, s"$dir/out")
+    val back = TextLines.readTsv(spark, s"$dir/out", "pair", "cnt")
+      .collect().map(r => r.getString(0) -> r.getString(1).toLong).toSet
+    assert(back == Set("am:in" -> 3L, "group:of" -> 1L))
+  }
+
+  test("fixture contains numeric-category tokens (corpus gap coverage)") {
+    val wc = graft.text.CoOccur.wordCount(
+      TextLines.readLines(spark, TextLines.ensureFixture()), "text")
+    val byCat = wc.collect().groupBy(_.getString(0))
+    assert(byCat("num").nonEmpty, "fixture must exercise the num category")
+    assert(byCat("alpha").nonEmpty)
+    val num = byCat("num").map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(num("42") == 2L && num("100") == 2L && num("+3.") == 1L && num("-7") == 1L)
+    assert(!num.contains(".5") && !num.contains("2.5.5"), "leading-dot and multi-dot are category-less")
+  }
+
   test("classifiedTokens drops non-category tokens but keeps positions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cls").toString
     java.nio.file.Files.writeString(
