@@ -85,6 +85,17 @@ object Queries {
     "q28_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"))),
     // multimodal metadata projection (real part of the stubbed pipeline)
     "q29_multimodal_meta" -> ((s, dir) => Multimodal.metadata(tbl(s, dir, "documents"))),
+    // multimodal decode + feature-extract: deterministic by construction
+    // (==STUB== decode — no codecs in this environment), declared so the
+    // batched mapPartitions pipeline has a CORRECTNESS row (rows+schema
+    // via the parquet dump; JVM-hash-derived values are not
+    // SQL-expressible, so no DuckDB oracle — schema is pinned in
+    // MultimodalSpec instead).
+    "q38_multimodal_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(Multimodal.ingest(tbl(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
     // E6: approximate distinct (HLL++) next to the exact count. The
     // exact count is oracle-checked directly; the HLL++ estimate is
     // folded into an oracle-checkable *bound* (|approx−exact|/exact

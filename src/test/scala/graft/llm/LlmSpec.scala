@@ -251,4 +251,14 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).feature.length == 8)
     assert(f1(0).width >= 16 && f1(0).height >= 16 && f1(0).n_frames >= 1)
   }
+
+  test("q38 output schema is pinned (no oracle — schema checked here)") {
+    implicit val s = spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Multimodal.extractFeatures(Multimodal.ingest(docs)).toDF()
+    assert(df.schema.map(f => f.name -> f.dataType.simpleString) == Seq(
+      "doc_id" -> "bigint", "byte_len" -> "bigint", "width" -> "int",
+      "height" -> "int", "n_frames" -> "int", "feature" -> "array<float>"))
+    assert(df.count() == 500)
+  }
 }

@@ -46,6 +46,39 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch, s"stream=$stream batch=$batch")
   }
 
+  test("tumblingAgg drops events later than the watermark (E13 late data)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    val h0 = 1700000000000000L / hour * hour // aligned hour start, µs
+    val mem = MemoryStream[(Long, Double)]
+    val streamDf = mem.toDF().toDF("us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = Sessions.tumblingAgg(streamDf, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode("append").start()
+    mem.addData((h0 + 1, 1.0), (h0 + 2, 2.0))
+    q.processAllAvailable()
+    // advance the watermark to h0+2h (max event time − 1h): window h0
+    // closes and is emitted in append mode
+    mem.addData((h0 + 3 * hour, 10.0))
+    q.processAllAvailable()
+    // now LATER than the watermark → must be silently dropped
+    mem.addData((h0 + 3, 100.0))
+    q.processAllAvailable()
+    // flush the h0+3h window too
+    mem.addData((h0 + 5 * hour, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumble_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val h0Sec = h0 / 1000000L
+    assert(rows.filter(_._1 == h0Sec) == Seq((h0Sec, 2L, 3.0)),
+      s"late event must not appear or re-emit the closed window: $rows")
+    assert(!rows.exists(_._3 == 100.0), s"dropped value leaked: $rows")
+    assert(rows.contains((h0Sec + 3 * 3600L, 1L, 10.0)), s"on-time window missing: $rows")
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
