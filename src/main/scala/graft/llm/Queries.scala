@@ -201,8 +201,11 @@ object Queries {
     "q36_lsh_neardup" ->
       s"""WITH ${bandedCte(16, 4, 64)},
          |$normCte,
+         |ok AS (SELECT t, bucket FROM bt GROUP BY t, bucket
+         |  HAVING count(*) <= 100000),
+         |cap AS (SELECT bt.* FROM bt JOIN ok USING (t, bucket)),
          |c AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM bt a JOIN bt b
+         |  FROM cap a JOIN cap b
          |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |j AS (SELECT c.v1, c.v2,
          |  ${dotSql("na.v", "nb.v")} / (na.norm * nb.norm) AS sim

