@@ -28,7 +28,10 @@ object Dedup {
   }
 
   /** Distinct k-token shingles of `text` (space tokenization; shorter-
-    * than-k docs yield no shingles).
+    * than-k docs yield no shingles) — higher-order-function form, kept
+    * as the independent oracle for the native codegen'd
+    * [[graft.functions.ShingleArray]] (which the pipelines use; the HOF
+    * form evaluates interpreted and measured ~2× of q18's runtime).
     *
     * The split array is bound once through a single-element transform:
     * a lambda body that references an outer *expression* (rather than a
@@ -37,6 +40,13 @@ object Dedup {
     * per row (measured 10×+ slowdown). */
   def shingles(text: Column, k: Int): Column =
     element_at(transform(array(split(text, " ", -1)), ts => shinglesOf(ts, k)), 1)
+
+  /** The native fused-loop shingle expression as a Column over `df`'s
+    * session (registers the function on first use). */
+  private def nativeShingles(df: DataFrame, textCol: String, k: Int): Column = {
+    graft.functions.TextExprs.register(df.sparkSession)
+    graft.functions.TextExprs.shingles(textCol, k)
+  }
 
   /** LSH candidate pairs via one-permutation-style MinHash (Li et al.,
     * "One Permutation Hashing", NIPS 2012 — flavor, not a port): each
@@ -56,7 +66,7 @@ object Dedup {
                         k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
                         maxBucket: Int = 1000): DataFrame =
     minhashCandidatesFromShingles(
-      docs.select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh")),
+      docs.select(col(idCol).as("doc_id"), nativeShingles(docs, textCol, k).as("sh")),
       nBuckets, bandSize, maxBucket)
 
   /** [[minhashCandidates]] over a pre-computed (doc_id, sh) shingle
@@ -91,7 +101,7 @@ object Dedup {
                       k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), k).as("sh"))
+      nativeShingles(docs, textCol, k).as("sh"))
     val cands = minhashCandidatesFromShingles(sh, nBuckets, bandSize)
     cands
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
@@ -168,7 +178,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, maxId: Long): DataFrame = {
     val sh = docs.where(col(idCol) < maxId)
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("doc_id"), nativeShingles(docs, textCol, k).as("sh"))
       .where(size(col("sh")) > 0)
     val a = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))

@@ -25,6 +25,20 @@ class DedupSpec extends SparkSpec {
     assert(sh(2L) == Set("a b a", "b a b")) // distinct
   }
 
+  test("native ShingleArray equals the HOF shingle form on the real corpus") {
+    graft.functions.TextExprs.register(spark)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edge = Seq((9001L, ""), (9002L, "a b"), (9003L, "a  b c "), (9004L, "x y x y x y"))
+      .toDF("doc_id", "text")
+    val both = real.select(col("doc_id"), col("text")).unionAll(edge)
+    val native = both.select(col("doc_id"),
+        graft.functions.TextExprs.shingles("text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = both.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native.size == hof.size && native == hof, "order-sensitive equality")
+  }
+
   test("minhash finds the exact and near duplicate, not the unrelated doc") {
     val got = Dedup.minhashNearDups(docs, "doc_id", "text", k = 3,
       nBuckets = 64, bandSize = 4, threshold = 0.5)
