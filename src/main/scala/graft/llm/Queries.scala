@@ -96,6 +96,18 @@ object Queries {
       Multimodal.extractFeatures(Multimodal.ingest(tbl(s, dir, "documents")))
         .toDF().orderBy("doc_id")
     }),
+    // Corpus prep: token-budget sequence packing ("concatenate and cut"
+    // shard assignment) via the distributed two-phase prefix sum
+    "q39_shard_pack" -> ((s, dir) =>
+      Pack.shardPack(tbl(s, dir, "documents"), budget = 4096)
+        .orderBy("doc_id")),
+    // Corpus prep: deterministic stratified sampling (per-lang rates,
+    // multiplicative-hash membership — reproducible on any engine)
+    "q40_stratified_sample" -> ((s, dir) =>
+      Pack.stratifiedSample(tbl(s, dir, "documents"),
+        Map("en" -> 50, "de" -> 30), defaultRate = 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
     // E6: approximate distinct (HLL++) next to the exact count. The
     // exact count is oracle-checked directly; the HLL++ estimate is
     // folded into an oracle-checkable *bound* (|approx−exact|/exact
@@ -225,6 +237,19 @@ object Queries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q35_ivf_knn" -> ivfKnnOracle,
+    "q39_shard_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q40_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
     "q30_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
         |FROM lineitem""".stripMargin,

@@ -184,6 +184,41 @@ class RecallSpec extends SparkSpec {
   }
 }
 
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed shardPack equals the single-window reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = Pack.shardPack(docs, budget = 4096, nPartitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = Pack.shardPackNaive(docs, budget = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist.size == 500 && dist == naive)
+  }
+
+  test("shard boundaries: a doc belongs to the shard of its first token") {
+    // token counts 4,4,4,4; budget 10 => starting offsets 0,4,8,12 =>
+    // shards 0,0,0,1
+    val docs = Seq((0L, "a b c d"), (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Pack.shardPack(docs, budget = 10, nPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("stratifiedSample is deterministic and matches the hash formula") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Map("en" -> 50, "de" -> 30)
+    val got = Pack.stratifiedSample(docs, rates, defaultRate = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = docs.select("doc_id", "lang").collect().filter { r =>
+      val h = (r.getLong(0) * 2654435761L) % 4294967296L % 100L
+      h < rates.getOrElse(r.getString(1), 10)
+    }.map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty && got.size < 500)
+  }
+}
+
 class ApproxDistinctSpec extends SparkSpec {
   import spark.implicits._
 
