@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSim, ShingleArray, SignBands, TextExprs, VectorExprs}
+
+/** Library entry point for Spark's extension mechanism: makes every
+  * graft native function available in plain `spark.sql(...)` without any
+  * imperative registration call —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * The query-path code uses the same builders via the per-session
+  * `register()` helpers (idempotent), so both wiring styles produce
+  * identical expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      VectorExprs.cosineSimBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bands"),
+      new ExpressionInfo(classOf[SignBands].getName, "lsh_bands"),
+      VectorExprs.lshBandsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingles"),
+      TextExprs.shinglesBuilder))
+  }
+}

@@ -79,11 +79,15 @@ object TextExprs {
       s"shingles expects a literal integer k, got $other")
   }
 
+  /** Builder shared with [[graft.GraftExtensions]]. */
+  val shinglesBuilder: Seq[Expression] => Expression =
+    exprs => ShingleArray(exprs.head, litInt(exprs(1)))
+
   /** Register `shingles(text, k)` in the session function registry.
     * Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles", exprs => ShingleArray(exprs.head, litInt(exprs(1))), "built-in")
+      "shingles", shinglesBuilder, "built-in")
 
   /** Column-level handle (after [[register]]). */
   def shingles(textCol: String, k: Int): Column = expr(s"shingles($textCol, $k)")

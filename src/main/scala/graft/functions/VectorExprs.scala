@@ -200,15 +200,22 @@ object VectorExprs {
       s"lsh_bands expects literal integer parameters, got $other")
   }
 
+  /** Expression builders — shared by [[register]] (imperative, per
+    * session) and [[graft.GraftExtensions]] (declarative, via
+    * `spark.sql.extensions`). */
+  val cosineSimBuilder: Seq[Expression] => Expression =
+    exprs => CosineSim(exprs.head, exprs(1))
+  val lshBandsBuilder: Seq[Expression] => Expression =
+    exprs => SignBands(exprs.head, litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)))
+
   /** Register `cosine_sim(a, b)` and `lsh_bands(v, nTables, bandPlanes,
     * dim)` in the session's function registry so they are usable from
     * `expr(...)` and `spark.sql(...)`. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+      "cosine_sim", cosineSimBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bands", exprs => SignBands(exprs.head,
-        litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3))), "built-in")
+      "lsh_bands", lshBandsBuilder, "built-in")
   }
 
   /** Column-level handle (after [[register]]): cosine_sim of two columns

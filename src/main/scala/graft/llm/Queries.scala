@@ -101,6 +101,19 @@ object Queries {
     "q39_shard_pack" -> ((s, dir) =>
       Pack.shardPack(tbl(s, dir, "documents"), budget = 4096)
         .orderBy("doc_id")),
+    // Corpus prep end-to-end: quality filter -> exact dedup -> shard
+    // pack — the composed training-data cleaning pipeline, every stage
+    // deterministic and the whole chain oracle-checked
+    "q41_corpus_clean" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val keep = TextAnalysis.qualityScore(docs)
+        .where(col("quality") >= 0.9)
+        .select("doc_id")
+      val deduped = docs.join(keep, "doc_id")
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "text")
+      Pack.shardPack(deduped, budget = 4096).orderBy("doc_id")
+    }),
     // Corpus prep: deterministic stratified sampling (per-lang rates,
     // multiplicative-hash membership — reproducible on any engine)
     "q40_stratified_sample" -> ((s, dir) =>
@@ -250,6 +263,25 @@ object Queries {
         |WHERE (doc_id * 2654435761) % 4294967296 % 100 <
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+    "q41_corpus_clean" ->
+      """WITH q AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+        |r AS (SELECT doc_id, text, len(ts) AS n_tokens,
+        |  len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$'))) AS n_alpha,
+        |  len(list_filter(ts, t -> list_contains(['the','of','and','to','in','a','is','for','on','with'], t))) AS n_stop
+        |  FROM q),
+        |k AS (SELECT doc_id, text FROM r WHERE
+        |  0.5 * (CAST(n_alpha AS DOUBLE) / n_tokens)
+        |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) >= 0.9),
+        |d AS (SELECT min(doc_id) AS doc_id, text FROM k GROUP BY text),
+        |t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM d),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q30_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
         |FROM lineitem""".stripMargin,
