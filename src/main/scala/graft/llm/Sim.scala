@@ -160,13 +160,16 @@ object Sim {
     // Skew guard (same design as the MinHash maxBucket cap): a degenerate
     // bucket — boilerplate or exact-duplicate-heavy corpora put a huge
     // fraction of vectors in one (t, bucket) — would make the intra-bucket
-    // pair expansion quadratic. The bucket-size table is tiny
-    // (≤ nTables·2^bandPlanes rows) and broadcast.
-    val okBuckets = bt.groupBy("t", "bucket")
-      .agg(count(lit(1)).as("bsz"))
+    // pair expansion quadratic. Expressed as a window count over
+    // (t, bucket): the window's hash exchange is the same partitioning
+    // the self-join needs, so Catalyst reuses ONE shuffle for the filter
+    // and both join sides (ReusedExchange — plan-asserted in the spec)
+    // instead of re-scanning the corpus for a bucket-size table.
+    val capped = bt
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("t", "bucket")))
       .where(col("bsz") <= maxBucket)
-      .select("t", "bucket")
-    val capped = bt.join(broadcast(okBuckets), Seq("t", "bucket"))
+      .select("vec_id", "t", "bucket")
     val cands = capped.as("a")
       .join(capped.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
