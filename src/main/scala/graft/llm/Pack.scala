@@ -17,24 +17,36 @@ object Pack {
     *
     * Scale posture: a naive `Window.orderBy(doc_id)` running sum is a
     * single-partition bottleneck. This is the classic two-phase
-    * distributed prefix sum instead: range-partition by doc_id,
-    * per-partition running sums (parallel), then add broadcast partition
+    * distributed prefix sum instead: bucket by doc_id range,
+    * per-bucket running sums (parallel), then add broadcast bucket
     * offsets (a tiny nPartitions-row table). The result is independent
-    * of the partition boundaries, so the plan scales horizontally while
-    * staying deterministic. */
+    * of the bucket boundaries, so the plan scales horizontally while
+    * staying deterministic.
+    *
+    * The bucket id is a pure function of the data (uniform doc_id
+    * ranges over [min_id, max_id]), NOT `spark_partition_id()` after a
+    * sampled `repartitionByRange` exchange: the per-row window branch
+    * and the offsets branch below both consume `parts`, and with a
+    * sampled exchange their bucket assignments only agree while
+    * exchange reuse happens to fire — a silent-wrong-answer hazard
+    * under AQE replanning or `spark.sql.exchange.reuse=false`. A
+    * data-derived bucket agrees by construction. Requires doc_id >= 0. */
   def shardPack(docs: DataFrame, budget: Long, nPartitions: Int = 32): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
-    // Range partitioning makes partition index order == doc_id range
-    // order, which the offset pass below relies on.
-    val parts = toks.repartitionByRange(nPartitions, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    // Broadcast scalar bounds: one tiny agg over the pruned doc_id column.
+    val bounds = toks.agg(min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    // width = span div n + 1 => pid in [0, nPartitions-1], no overflow.
+    val parts = toks.join(broadcast(bounds))
+      .withColumn("pid", expr(
+        s"(doc_id - min_id) DIV ((max_id - min_id) DIV $nPartitions + 1)"))
+      .drop("min_id", "max_id")
     val wLocal = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("local_cum", sum("n_tokens").over(wLocal))
-    // Partition totals: nPartitions rows — the only single-partition
-    // step, over a table the size of the partition count.
-    val offsets = local.groupBy("pid").agg(sum("n_tokens").as("ptotal"))
+    // Bucket totals: <= nPartitions rows — the only single-partition
+    // step, over a table the size of the bucket count.
+    val offsets = parts.groupBy("pid").agg(sum("n_tokens").as("ptotal"))
       .withColumn("offset", coalesce(
         sum("ptotal").over(Window.orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -64,15 +76,26 @@ object Pack {
     * document id — no RNG state, identical output on any engine,
     * cluster, or retry (sampleBy's Bernoulli draw is engine-specific;
     * reproducible sampling wants pure arithmetic). Keep iff
-    * (doc_id · 2654435761) mod 2³² mod 100 < rate(lang). */
+    * (doc_id · 2654435761) mod 2³² mod 100 < rate(lang).
+    *
+    * The multiply is overflow-safe for the full non-negative doc_id
+    * domain: a direct `doc_id * 2654435761` wraps Spark's (non-ANSI)
+    * Long above doc_id ≈ 3.47e9 while DuckDB raises a BIGINT overflow —
+    * so the low 32 bits are split into 16-bit halves and reduced mod 2³²
+    * term-by-term ((x·2¹⁶) mod 2³² = (x mod 2¹⁶)·2¹⁶); every partial
+    * product stays below 2⁴⁸ on both engines. */
   def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
                        defaultRate: Int): DataFrame = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
       when(col("lang") === lang, lit(r)).otherwise(acc)
     }
+    val A = 2654435761L
+    val d32 = pmod(col("doc_id"), lit(4294967296L))
+    val lo = d32.bitwiseAND(lit(65535L))
+    val hi = shiftright(d32, 16)
+    val h32 = pmod(lo * A + pmod(hi * A, lit(65536L)) * 65536L, lit(4294967296L))
     docs
-      .withColumn("__h",
-        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L)))
+      .withColumn("__h", pmod(h32, lit(100L)))
       .where(col("__h") < rate)
       .drop("__h")
   }

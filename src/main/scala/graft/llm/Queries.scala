@@ -91,10 +91,19 @@ object Queries {
     // via the parquet dump; JVM-hash-derived values are not
     // SQL-expressible, so no DuckDB oracle — schema is pinned in
     // MultimodalSpec instead).
+    // The raw array<float> feature column is not hashable/sortable by the
+    // driver's pandas compare, so the declared output carries a
+    // deterministic scalar digest of it (xxhash64 over the comma-joined
+    // float renderings) — the raw-array schema stays pinned in
+    // MultimodalSpec.
     "q38_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(Multimodal.ingest(tbl(s, dir, "documents")))
-        .toDF().orderBy("doc_id")
+        .toDF()
+        .withColumn("feature_sig",
+          xxhash64(concat_ws(",", col("feature").cast("array<string>"))))
+        .drop("feature")
+        .orderBy("doc_id")
     }),
     // Corpus prep: token-budget sequence packing ("concatenate and cut"
     // shard assignment) via the distributed two-phase prefix sum
@@ -256,11 +265,17 @@ object Queries {
         |c AS (SELECT doc_id, n_tokens,
         |  sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-        |SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Same 16-bit-split Knuth hash as Pack.stratifiedSample: every
+    // partial product fits BIGINT, so DuckDB computes the identical h32
+    // without HUGEINT promotion or overflow for any doc_id >= 0.
     "q40_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+        |WHERE ((doc_id % 4294967296) % 65536 * 2654435761
+        |     + ((doc_id % 4294967296) // 65536 * 2654435761) % 65536 * 65536)
+        |    % 4294967296 % 100 <
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
     "q41_corpus_clean" ->
@@ -280,7 +295,8 @@ object Queries {
         |c AS (SELECT doc_id, n_tokens,
         |  sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-        |SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
     "q30_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok

@@ -31,10 +31,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no shuffle join on the corpus side")
   }
 
-  test("q39 prefix sum is range-partitioned, not a single global window") {
+  test("q39 prefix sum distributes over data-derived buckets, no pid capture") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val p = finalPlan(llm.Pack.shardPack(docs, 4096))
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      "running sums must distribute over doc_id ranges")
+    val df = llm.Pack.shardPack(docs, 4096)
+    val p = finalPlan(df)
+    assert(p.toLowerCase.contains("hashpartitioning(pid"),
+      "running sums must distribute over doc_id-range buckets")
+    // The bucket id must be a pure function of the data: a
+    // spark_partition_id() after a sampled exchange only agrees across
+    // the window/offsets branches while exchange reuse fires.
+    assert(!p.contains("SPARK_PARTITION_ID") &&
+           !df.queryExecution.analyzed.toString.contains("SPARK_PARTITION_ID"),
+      "bucket id must not be derived from physical partition ids")
   }
 }

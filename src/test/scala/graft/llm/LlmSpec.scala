@@ -217,6 +217,22 @@ class PackSpec extends SparkSpec {
     }.map(_.getLong(0)).toSet
     assert(got == expected && got.nonEmpty && got.size < 500)
   }
+
+  test("stratifiedSample hash survives the full doc_id domain (no Long wrap)") {
+    // Above doc_id ~3.47e9 a direct doc_id * 2654435761 wraps Spark's
+    // non-ANSI Long (and overflows DuckDB's BIGINT); the 16-bit-split
+    // reduction must still equal the exact BigInt arithmetic.
+    val ids = Seq(0L, 1L, 3470000000L, 4294967295L, 4294967296L,
+      1234567890123L, Long.MaxValue)
+    val docs = ids.map(id => (id, "en")).toDF("doc_id", "lang")
+    val got = Pack.stratifiedSample(docs, Map("en" -> 50), defaultRate = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = ids.filter { id =>
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L))
+        .mod(BigInt(100)) < 50
+    }.toSet
+    assert(got == expected)
+  }
 }
 
 class ApproxDistinctSpec extends SparkSpec {
