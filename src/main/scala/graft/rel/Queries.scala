@@ -265,6 +265,38 @@ object Queries {
       .orderBy("user_id", "sess_id")
   }
 
+  // As-of join (an operator Spark has no native form of): every click
+  // event matched to the same user's most recent view at or before it,
+  // left-outer, ties toward the larger view event_id. Executed as
+  // Temporal.asofJoin's union + ordered-window plan — one shuffle on
+  // user_id, no pair blowup (see Temporal.scaladoc for the scale
+  // argument). Timestamps compared as exact epoch microseconds.
+  def asofClickView(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.where(col("event_type") === "click")
+      .select("event_id", "user_id", "us", "value")
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("us"),
+        col("event_id").as("view_id"), col("us").as("view_us"),
+        col("value").as("view_value"))
+    Temporal.asofJoin(clicks, views, Seq("user_id"), "us", "view_id",
+        Seq("view_id", "view_us", "view_value"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("m_view_id").as("view_id"), col("m_view_us").as("view_us"),
+        col("m_view_value").as("view_value"),
+        (col("us") - col("m_view_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  // Banded range self-join: same-user event pairs within 10 minutes,
+  // each pair exactly once. The time-cell equi-join shape (never a
+  // nested-loop theta join) — see Temporal.bandJoin.
+  def bandPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    Temporal.bandJoin(e, "user_id", "us", "event_id", 600L * 1000000L)
+      .orderBy("a_event_id", "b_event_id")
+  }
+
   // E14: exact deduplication by full text content.
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -293,6 +325,8 @@ object Queries {
     "q17_dedup_exact" -> (dedupExact _),
     "q31_cube" -> (cubeAgg _),
     "q34_sql_grouping_sets" -> (groupingSets _),
+    "q42_asof_join" -> (asofClickView _),
+    "q43_band_join" -> (bandPairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -427,5 +461,29 @@ object Queries {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Deterministic as-of twin: left join + row_number rather than
+    // DuckDB's ASOF JOIN so the right-ts tiebreak (greatest event_id)
+    // is explicit in both engines.
+    "q42_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_id, user_id, us, value FROM e WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, us, value FROM e WHERE event_type = 'view'),
+        |j AS (SELECT l.event_id, l.user_id, l.us, l.value,
+        |    r.event_id AS view_id, r.us AS view_us, r.value AS view_value,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.us DESC, r.event_id DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.us <= l.us)
+        |SELECT event_id, user_id, us, view_id, view_us, view_value,
+        |  us - view_us AS gap_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q43_band_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,
+        |  b.us - a.us AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us - a.us BETWEEN 0 AND 600000000
+        |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |ORDER BY a_event_id, b_event_id""".stripMargin,
   )
 }

@@ -31,6 +31,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no shuffle join on the corpus side")
   }
 
+  test("q42 as-of join plans as one keyed window — no join, no pair blowup") {
+    val p = finalPlan(rel.Queries.asofClickView(spark, sf0001))
+    assert(!p.contains("Join"), "as-of must be the union+window form, not a theta join")
+    assert(p.contains("Window"), "expected the ordered-window match pass")
+  }
+
+  test("q43 band join is an equi-join on time cells, never nested-loop") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      val p = finalPlan(rel.Queries.bandPairs(spark, sf0001))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "band join must never fall back to a quadratic join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a keyed equi-join on (user, cell)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q39 prefix sum distributes over data-derived buckets, no pid capture") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = llm.Pack.shardPack(docs, 4096)

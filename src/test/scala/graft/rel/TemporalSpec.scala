@@ -1,0 +1,86 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics goldens for the temporal joins: inclusive as-of matching,
+  * tie handling, left-outer nulls, and band-join exactly-once emission
+  * across cell boundaries. Plan-shape assertions live in PlanSpec. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val right = Seq(
+    // (user, ts, id, value)
+    (1L, 100L, 10L, 1.0),
+    (1L, 200L, 11L, 2.0),
+    (1L, 200L, 12L, 3.0), // tie on ts: greatest id (12) must win
+    (2L, 500L, 20L, 4.0)
+  ).toDF("user_id", "us", "view_id", "view_value")
+    .withColumn("view_us", col("us"))
+
+  private val left = Seq(
+    (1L, 50L, 100L),  // before any right row -> null match
+    (1L, 200L, 101L), // equal ts -> inclusive, id 12 wins the tie
+    (1L, 999L, 102L), // after all -> latest (id 12)
+    (2L, 501L, 103L), // normal match
+    (3L, 700L, 104L)  // key with no right rows -> null match
+  ).toDF("user_id", "us", "event_id")
+
+  test("asofJoin: inclusive bound, greatest-id tie, left-outer nulls") {
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "us", "view_id",
+        Seq("view_id", "view_us", "view_value"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("event_id")),
+        Option(r.get(r.fieldIndex("m_view_id"))).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      100L -> None, 101L -> Some(12L), 102L -> Some(12L),
+      103L -> Some(20L), 104L -> None))
+  }
+
+  test("asofJoin: matched payload columns come from the SAME right row") {
+    // right row id=12 has value 3.0; a per-column last() would be free
+    // to mix id=12 with value from another row if fields were carried
+    // separately — the struct carrier pins them together.
+    val r = Temporal.asofJoin(left, right, Seq("user_id"), "us", "view_id",
+        Seq("view_id", "view_us", "view_value"))
+      .where(col("event_id") === 101L).head()
+    assert(r.getLong(r.fieldIndex("m_view_id")) == 12L &&
+      r.getDouble(r.fieldIndex("m_view_value")) == 3.0 &&
+      r.getLong(r.fieldIndex("m_view_us")) == 200L)
+  }
+
+  test("bandJoin: exactly-once across cell boundaries, gap bounds, ties") {
+    // width 100: pairs (1,2) gap 100 (boundary, spans cells), (2,3) gap 0
+    // (tie, ordered by id once), (3,4) gap 100, (1,x)-(4,x) gap 200 excluded
+    val df = Seq(
+      (7L, 0L, 1L), (7L, 100L, 2L), (7L, 100L, 3L), (7L, 200L, 4L),
+      (8L, 0L, 9L) // other key: no pairs
+    ).toDF("user_id", "us", "event_id")
+    val got = Temporal.bandJoin(df, "user_id", "us", "event_id", 100L)
+      .select("a_event_id", "b_event_id", "gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 100L), (1L, 3L, 100L), (2L, 3L, 0L),
+      (2L, 4L, 100L), (3L, 4L, 100L)))
+  }
+
+  test("bandJoin agrees with a brute-force theta join on real events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("us", col("ts")) // nanos-as-long is fine: pure arithmetic
+      .select("user_id", "us", "event_id")
+    val w = 600L * 1000000000L
+    val banded = Temporal.bandJoin(e, "user_id", "us", "event_id", w)
+      .select("a_event_id", "b_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = e.select(col("user_id"), col("us").as("us1"), col("event_id").as("e1"))
+    val b = e.select(col("user_id"), col("us").as("us2"), col("event_id").as("e2"))
+    val brute = a.join(b, Seq("user_id"))
+      .where((col("us2") - col("us1")).between(0L, w) &&
+        (col("us1") < col("us2") ||
+          (col("us1") === col("us2") && col("e1") < col("e2"))))
+      .select("e1", "e2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute && banded.nonEmpty)
+  }
+}
