@@ -130,6 +130,28 @@ object Queries {
         Map("en" -> 50, "de" -> 30), defaultRate = 10)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+    // SemDedup-style semantic dedup: cluster via the IVF coarse
+    // quantizer, report members near their cluster representative —
+    // the drop set of an embedding-level near-dup pass at corpus scale
+    "q46_cluster_dedup" -> ((s, dir) =>
+      Sim.clusterDedup(tbl(s, dir, "embeddings"), threshold = 0.35, nlist = 16)
+        .orderBy("vec_id")),
+    // Gopher-style repetition/boilerplate signals over the corpus
+    "q44_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(tbl(s, dir, "documents"))),
+    // PII/URL scrub. The synthetic corpus carries no PII (verified:
+    // zero '@'/'http'/digit occurrences), so the declared query injects
+    // deterministic doc_id-derived fixtures (email, URL, long number)
+    // before scrubbing — mirrored verbatim in the oracle — so the
+    // corpus-level row actually exercises every pattern instead of
+    // passing vacuously.
+    "q45_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact-"), col("doc_id"), lit("@mail.example.com see http://ex.com/p/"),
+        col("doc_id"), lit(" tel "), col("doc_id") + lit(9000000L))
+      TextAnalysis.scrub(tbl(s, dir, "documents"), injected)
+        .orderBy("doc_id")
+    }),
     // E6: approximate distinct (HLL++) next to the exact count. The
     // exact count is oracle-checked directly; the HLL++ estimate is
     // folded into an oracle-checkable *bound* (|approx−exact|/exact
@@ -195,20 +217,25 @@ object Queries {
     s"""n AS (SELECT vec_id, v,
        |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v)""".stripMargin
 
-  /** DuckDB twin of [[Sim.ivfKnn]] (nlist=16, nprobe=4, nQuery=10, k=5):
-    * same centroid seed set (first nlist by vec_id), same argmax assign,
-    * same probe set, same sequential-fold cosine — bit-identical. */
-  private val ivfKnnOracle = {
+  /** Shared IVF coarse-quantizer CTE chain (v, n, c, asg): same centroid
+    * seed set as [[Sim.ivfAssign]] (first nlist by vec_id), same argmax
+    * assign, same sequential-fold cosine — bit-identical. */
+  private def ivfAssignCte(nlist: Int): String = {
     val normSql = foldSum.format("list_transform(v, x -> x * x)")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM v),
-       |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n ORDER BY vec_id LIMIT 16),
+       |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n ORDER BY vec_id LIMIT $nlist),
        |asg AS (
        |  SELECT vec_id, v, norm, cid FROM (
        |    SELECT n.vec_id, n.v, n.norm, c.cid,
        |      row_number() OVER (PARTITION BY n.vec_id
        |        ORDER BY ${dotSql("n.v", "c.cv")} / (n.norm * c.cn) DESC, c.cid ASC) AS r
-       |    FROM n CROSS JOIN c) WHERE r = 1),
+       |    FROM n CROSS JOIN c) WHERE r = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[Sim.ivfKnn]] (nlist=16, nprobe=4, nQuery=10, k=5). */
+  private val ivfKnnOracle =
+    s"""WITH ${ivfAssignCte(16)},
        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
        |pr AS (
        |  SELECT qid, qv, qnorm, cid FROM (
@@ -225,7 +252,19 @@ object Queries {
        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
-  }
+
+  /** DuckDB twin of [[Sim.clusterDedup]] (nlist=16, threshold 0.35). */
+  private val clusterDedupOracle =
+    s"""WITH ${ivfAssignCte(16)},
+       |rep AS (SELECT cid, min(vec_id) AS rep_id FROM asg GROUP BY cid),
+       |rv AS (SELECT rep.cid, rep.rep_id, asg.v AS rv, asg.norm AS rn
+       |  FROM rep JOIN asg ON asg.vec_id = rep.rep_id),
+       |d AS (SELECT asg.vec_id, rv.rep_id,
+       |    ${dotSql("asg.v", "rv.rv")} / (asg.norm * rv.rn) AS sim
+       |  FROM asg JOIN rv ON asg.cid = rv.cid
+       |  WHERE asg.vec_id <> rv.rep_id)
+       |SELECT vec_id, rep_id, sim FROM d WHERE sim >= 0.35
+       |ORDER BY vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q22_lsh_buckets" ->
@@ -259,6 +298,7 @@ object Queries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q35_ivf_knn" -> ivfKnnOracle,
+    "q46_cluster_dedup" -> clusterDedupOracle,
     "q39_shard_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
@@ -301,6 +341,37 @@ object Queries {
     "q30_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
         |FROM lineitem""".stripMargin,
+    "q44_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS dup_tok_ratio,
+        |    CASE WHEN len(ts) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(range(len(ts) - 1),
+        |        i -> ts[i+1] || ' ' || ts[i+2]))) AS DOUBLE) / (len(ts) - 1)
+        |    ELSE 0.0 END AS dup_2gram_ratio
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM e GROUP BY doc_id, tok),
+        |m AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY doc_id)
+        |SELECT b.doc_id, n_tokens, dup_tok_ratio, dup_2gram_ratio,
+        |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_tok_ratio
+        |FROM b JOIN m ON b.doc_id = m.doc_id ORDER BY b.doc_id""".stripMargin,
+    // DuckDB regexp_replace is first-match-only without the 'g' flag.
+    "q45_scrub" ->
+      """WITH i AS (SELECT doc_id,
+        |    text || ' contact-' || doc_id || '@mail.example.com see http://ex.com/p/'
+        |      || doc_id || ' tel ' || (doc_id + 9000000) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{7,}')) AS BIGINT) AS n_longnums
+        |FROM i ORDER BY doc_id""".stripMargin,
     "q32_cosine_knn_native" -> cosineKnnOracle,
     "q33_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -191,20 +191,62 @@ object Sim {
     * nearest centroid (one broadcast pass), queries probe the `nprobe`
     * nearest lists, and exact cosine ranks within the probed union.
     * Candidate work per query is ~nprobe/nlist of the corpus. */
-  def ivfKnn(emb: DataFrame, nQuery: Int, k: Int,
-             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** Deterministic coarse-quantizer centroid set: the first `nlist`
+    * vectors by id (a production pipeline would k-means-refine; the
+    * dataflow downstream is identical). */
+  private def ivfCentroids(v: DataFrame, nlist: Int): DataFrame =
+    v.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+
+  /** Nearest-centroid assignment: (vec_id, v, norm, cid) — one broadcast
+    * pass over the corpus (argmax cosine against nlist rows), ties to
+    * the lowest centroid id. The shared spine of the IVF kNN and the
+    * cluster-dedup paths. */
+  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", norm(col("v")))
-    val centroids = v.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    // assign: argmax centroid cosine per vector (broadcast nlist rows)
+    val centroids = ivfCentroids(v, nlist)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val assigned = v.crossJoin(broadcast(centroids))
+    v.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("cid"),
         cosine(col("v"), col("cv"), col("norm"), col("cn")).as("csim"))
       .withColumn("r", row_number().over(wAssign))
       .where(col("r") === 1)
       .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+  }
+
+  /** SemDedup-style embedding-cluster dedup (Abbas et al. 2023 flavor):
+    * cluster the corpus with the coarse quantizer, keep the lowest
+    * vec_id per cluster as its representative, and report every other
+    * member whose cosine to the representative is ≥ `threshold` — the
+    * semantic near-duplicates a pretraining pipeline would drop.
+    *
+    * Scale: assignment is the broadcast argmax pass (no shuffle of the
+    * corpus), reps are an nlist-row aggregate, and the verify join is
+    * broadcast-by-centroid — the corpus streams once end to end;
+    * cluster-size skew is ordinary equi-join skew (AQE-splittable),
+    * never an all-pairs expansion. Output: (vec_id, rep_id, sim). */
+  def clusterDedup(emb: DataFrame, threshold: Double,
+                   nlist: Int = 16): DataFrame = {
+    val assigned = ivfAssign(emb, nlist)
+    val reps = assigned.groupBy("cid").agg(min(col("vec_id")).as("rep_id"))
+    val repVecs = assigned.as("ra")
+      .join(reps.as("rp"), col("ra.vec_id") === col("rp.rep_id"))
+      .select(col("rp.cid").as("rcid"), col("rp.rep_id").as("rep_id"),
+        col("ra.v").as("rv"), col("ra.norm").as("rn"))
+    assigned.as("m").join(broadcast(repVecs), col("m.cid") === col("rcid"))
+      .where(col("m.vec_id") =!= col("rep_id"))
+      .select(col("m.vec_id").as("vec_id"), col("rep_id"),
+        cosine(col("m.v"), col("rv"), col("m.norm"), col("rn")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  def ivfKnn(emb: DataFrame, nQuery: Int, k: Int,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val centroids = ivfCentroids(v, nlist)
+    val assigned = ivfAssign(emb, nlist)
     // probe lists: nprobe nearest centroids per query vector
     val q = v.where(col("vec_id") < nQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))

@@ -97,6 +97,58 @@ object TextAnalysis {
       .orderBy("lang", "tok")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1 quality-filter flavor): duplicate-token fraction,
+    * duplicate-2-gram fraction, and top-token fraction — the standard
+    * boilerplate/degenerate-text detectors in a pretraining pipeline.
+    * Per-row array math (codegen'd, no shuffle) except the top-token
+    * count, a standard exploded partial-agg group-by keyed by doc.
+    * Ratios are single IEEE divisions of exact longs — bit-identical on
+    * any engine. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val ts = toks(col("text"))
+    val g2 = (t: Column) => slice(
+      transform(t, (x, i) => concat_ws(" ", x, try_element_at(t, i + lit(2)))),
+      lit(1), greatest(size(t) - lit(1), lit(0)))
+    val perRow = docs.select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
+          .as("dup_tok_ratio"),
+        when(size(col("ts")) >= 2,
+          lit(1.0) - size(array_distinct(g2(col("ts")))).cast("double")
+            / (size(col("ts")) - lit(1)))
+          .otherwise(lit(0.0)).as("dup_2gram_ratio"))
+    val top = docs.select(col("doc_id"), explode(ts).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
+    perRow.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dup_tok_ratio"),
+        col("dup_2gram_ratio"),
+        (col("top_cnt").cast("double") / col("n_tokens")).as("top_tok_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // Scrub patterns: simple enough to behave identically under Java
+  // regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val LongNumRe = "[0-9]{7,}"
+
+  /** PII/URL scrubbing: emails, URLs, then long digit runs replaced by
+    * typed placeholders, with per-class match counts. Pure per-row
+    * regexp projection — no shuffle, codegen'd, scales like any map. */
+  def scrub(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        LongNumRe, "<NUM>").as("clean"),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(text, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(text, lit(LongNumRe)).cast("long").as("n_longnums"))
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -309,6 +309,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(("en", "x")) == 0.0 && rows(("de", "x")) == 0.0)
     assert(rows(("en", "y")) > 0.0)
   }
+
+  test("repetitionSignals: dup-token, dup-2gram, top-token goldens") {
+    // "a a a b": 4 tokens, 2 distinct -> dup_tok 0.5;
+    // 2-grams [a a, a a, a b]: 3 total, 2 distinct -> dup 1/3;
+    // top token a: 3/4
+    val df = Seq((0L, "a a a b"), (1L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    assert(r(0L) == ((4L, 0.5, 1.0 - 2.0 / 3.0, 0.75)))
+    assert(r(1L) == ((2L, 0.0, 0.0, 0.5)))
+  }
+
+  test("scrub replaces emails, urls, long numbers and counts matches") {
+    val df = Seq((0L, "mail a.b@x.io or http://x.io/p?q=1 tel 12345678 nope 123"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scrub(df, org.apache.spark.sql.functions.col("text"))
+      .collect().head
+    assert(r.getString(1) == "mail <EMAIL> or <URL> tel <NUM> nope 123")
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 1L, 1L)))
+  }
+}
+
+class ClusterDedupSpec extends SparkSpec {
+
+  test("clusterDedup: reps are cluster minima, drops are same-cluster and above threshold") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val assigned = Sim.ivfAssign(emb, 16)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minByCluster = assigned.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    val out = Sim.clusterDedup(emb, threshold = 0.35, nlist = 16).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (vid, rep, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(assigned(vid) == assigned(rep), "member and rep share a cluster")
+      assert(minByCluster(assigned(vid)) == rep, "rep is the cluster's min id")
+      assert(sim >= 0.35 && vid != rep)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
