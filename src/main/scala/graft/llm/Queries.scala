@@ -136,6 +136,12 @@ object Queries {
     "q46_cluster_dedup" -> ((s, dir) =>
       Sim.clusterDedup(tbl(s, dir, "embeddings"), threshold = 0.35, nlist = 16)
         .orderBy("vec_id")),
+    // One Lloyd iteration of k-means over the embedding corpus — the
+    // quantizer-training step (exact-decimal means make even this
+    // iterative float computation oracle-checkable bit-for-bit)
+    "q47_kmeans_refine" -> ((s, dir) =>
+      Sim.kmeansRefine(tbl(s, dir, "embeddings"), nlist = 16, iters = 1)
+        .orderBy("cid", "dim")),
     // Gopher-style repetition/boilerplate signals over the corpus
     "q44_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(tbl(s, dir, "documents"))),
@@ -266,7 +272,20 @@ object Queries {
        |SELECT vec_id, rep_id, sim FROM d WHERE sim >= 0.35
        |ORDER BY vec_id""".stripMargin
 
+  /** DuckDB twin of [[Sim.kmeansRefine]] (nlist=16, iters=1): same
+    * assignment, per-(cid, dim) means through the same DECIMAL(38,12)
+    * VARCHAR-round-trip accumulation as rel.Queries.dsum. */
+  private val kmeansRefineOracle =
+    s"""WITH ${ivfAssignCte(16)},
+       |e AS (SELECT cid, unnest(v) AS x,
+       |    unnest(range(len(v))) AS dim FROM asg)
+       |SELECT cid, CAST(dim AS BIGINT) AS dim,
+       |  CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |    / count(*) AS c
+       |FROM e GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q47_kmeans_refine" -> kmeansRefineOracle,
     "q22_lsh_buckets" ->
       s"""WITH ${bandedCte(1, 16, 64)}
          |SELECT bucket, count(*) AS n_vecs FROM bt

@@ -198,14 +198,10 @@ object Sim {
     v.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
 
-  /** Nearest-centroid assignment: (vec_id, v, norm, cid) — one broadcast
-    * pass over the corpus (argmax cosine against nlist rows), ties to
-    * the lowest centroid id. The shared spine of the IVF kNN and the
-    * cluster-dedup paths. */
-  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", norm(col("v")))
-    val centroids = ivfCentroids(v, nlist)
+  /** Nearest-centroid assignment of `(vec_id, v, norm)` rows against an
+    * arbitrary `(cid, cv, cn)` centroid table: argmax cosine, ties to
+    * the lowest centroid id, one broadcast pass over the corpus. */
+  private def assignTo(v: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
     v.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("cid"),
@@ -213,6 +209,50 @@ object Sim {
       .withColumn("r", row_number().over(wAssign))
       .where(col("r") === 1)
       .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+  }
+
+  /** Nearest-centroid assignment: (vec_id, v, norm, cid) — one broadcast
+    * pass over the corpus (argmax cosine against nlist rows), ties to
+    * the lowest centroid id. The shared spine of the IVF kNN and the
+    * cluster-dedup paths. */
+  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    assignTo(v, ivfCentroids(v, nlist))
+  }
+
+  /** Lloyd's k-means refinement of the IVF coarse quantizer, entirely
+    * in-plan (no driver-side centroid collection): each iteration is the
+    * broadcast argmax assignment followed by per-(cluster, dimension)
+    * means, reshaped back into centroid vectors. The means accumulate in
+    * exact DECIMAL(38,12) ([[graft.rel.Queries.dsum]] pattern), so the
+    * refined centroids are bit-identical regardless of partitioning,
+    * engine, or row order — an *oracle-checkable training step*.
+    *
+    * Scale: per iteration, one broadcast pass over the corpus (no
+    * shuffle of the vectors) + one exploded groupBy of nlist×dim cells
+    * with map-side partial aggregation; the centroid rebuild is an
+    * nlist-row aggregate. Clusters that lose all members drop out (k
+    * shrinks), matching the textbook algorithm.
+    *
+    * Output: (cid, dim, c) — refined centroid coordinates, exploded for
+    * cross-engine comparability. */
+  def kmeansRefine(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    var cents = ivfCentroids(v, nlist)
+    for (_ <- 1 to iters) {
+      val means = assignTo(v, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((graft.rel.Queries.dsum(col("x")) / count(lit(1))).as("c"))
+      cents = means.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("p"))
+        .select(col("cid"), transform(col("p"), e => e.getField("c")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+    }
+    cents.select(col("cid"), posexplode(col("cv")).as(Seq("dim", "c")))
+      .select(col("cid"), col("dim").cast("long").as("dim"), col("c"))
   }
 
   /** SemDedup-style embedding-cluster dedup (Abbas et al. 2023 flavor):

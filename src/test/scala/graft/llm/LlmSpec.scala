@@ -332,6 +332,41 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class KmeansSpec extends SparkSpec {
+
+  test("kmeansRefine(1): centroids are the exact per-cluster dimension means") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // independent recompute: members per cluster from the assignment,
+    // means in plain double (tolerance covers the decimal-vs-double gap)
+    val members = Sim.ivfAssign(emb, 16)
+      .selectExpr("cid", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val expect = members.groupBy(_._1).map { case (cid, rows) =>
+      val vs: Seq[Seq[Double]] = rows.toSeq.map(_._2)
+      cid -> vs.transpose.map(xs => xs.sum / xs.length).toIndexedSeq
+    }
+    val got = Sim.kmeansRefine(emb, nlist = 16, iters = 1).collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toIndexedSeq
+      }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (cid, cs) =>
+      cs.zip(expect(cid)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("kmeansRefine(2): second iteration runs in-plan and moves centroids") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c1 = Sim.kmeansRefine(emb, 16, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c2 = Sim.kmeansRefine(emb, 16, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c2.nonEmpty && c1.exists { case (k, v) =>
+      c2.get(k).exists(w => math.abs(w - v) > 1e-12) })
+  }
+}
+
 class ClusterDedupSpec extends SparkSpec {
 
   test("clusterDedup: reps are cluster minima, drops are same-cluster and above threshold") {
