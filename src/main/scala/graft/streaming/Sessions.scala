@@ -67,4 +67,19 @@ object Sessions {
     * streamable) — Complete/Update-mode counts per (category, token). */
   def streamingWordCount(lines: DataFrame, textCol: String): DataFrame =
     graft.text.CoOccur.wordCount(lines, textCol)
+
+  /** Streaming exact dedup — E14 as an unbounded pipeline: keep the
+    * first document per content hash, with dedup state BOUNDED by the
+    * watermark (`dropDuplicatesWithinWatermark`: a duplicate arriving
+    * within `late` of the original is dropped; state for horizons past
+    * the watermark is evicted, so memory is O(docs per horizon), not
+    * O(corpus) — the property that makes streaming dedup viable on an
+    * unbounded crawl). Content is keyed by xxhash64, the same exact-
+    * dedup key the batch path would shuffle on at 100 TB. */
+  def streamingDedup(docs: DataFrame, textCol: String,
+                     late: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", xxhash64(col(textCol)))
+      .withWatermark("ts", late)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

@@ -100,6 +100,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 5.0)))
   }
 
+  test("streamingDedup keeps first doc per content, bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[(Long, Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "us", "text")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = Sessions.streamingDedup(streamDf, "text")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: a duplicate within the same micro-batch
+    mem.addData((1L, t0, "alpha text"), (2L, t0 + 1, "alpha text"),
+      (3L, t0 + 2, "beta text"))
+    q.processAllAvailable()
+    // batch 2: duplicate within the watermark horizon -> still dropped
+    mem.addData((4L, t0 + 10, "alpha text"))
+    q.processAllAvailable()
+    // batch 3: advance event time far past the horizon; old state evicts
+    mem.addData((5L, t0 + 10 * hour, "gamma text"))
+    q.processAllAvailable()
+    // batch 4: same content re-appearing AFTER eviction is kept again —
+    // the bounded-state contract (not a correctness bug: the horizon IS
+    // the dedup guarantee)
+    mem.addData((6L, t0 + 10 * hour + 1, "alpha text"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L), s"kept=$kept")
+  }
+
   test("streaming word count runs incrementally over a text stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
