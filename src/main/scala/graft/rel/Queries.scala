@@ -297,6 +297,37 @@ object Queries {
       .orderBy("a_event_id", "b_event_id")
   }
 
+  // Pivot: per-user event counts spread across the event-type columns
+  // (Spark relational op with no direct reference twin; DuckDB oracle
+  // uses conditional aggregates — the pivot's relational definition).
+  // The type list is pinned, not discovered: an unpinned pivot runs a
+  // driver-side distinct job at plan build and its column set drifts
+  // with the data.
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  // Window-function breadth on one deterministic frame: dense_rank,
+  // ntile, lead/lag, first/last over the per-customer order history.
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(wFrame).as("first_order"),
+        max(col("o_totalprice")).over(wFrame).as("max_so_far"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // E14: exact deduplication by full text content.
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -327,6 +358,8 @@ object Queries {
     "q34_sql_grouping_sets" -> (groupingSets _),
     "q42_asof_join" -> (asofClickView _),
     "q43_band_join" -> (bandPairs _),
+    "q48_pivot" -> (pivotEvents _),
+    "q49_window_suite" -> (windowSuite _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -485,5 +518,31 @@ object Queries {
         |  AND b.us - a.us BETWEEN 0 AND 600000000
         |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
         |ORDER BY a_event_id, b_event_id""".stripMargin,
+    // The pivot's relational definition: conditional aggregates.
+    "q48_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q49_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS quartile,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order,
+        |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_order,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+        |  max(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_so_far
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }
