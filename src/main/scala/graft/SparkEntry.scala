@@ -79,6 +79,26 @@ object SparkEntry {
         .withColumn("cnt", col("cnt").cast("long"))
         .orderBy("pair")
     }),
+    // JSON-lines source/sink round trip (the crawl/ingest interchange
+    // format): documents -> .json sink -> schema-pinned read-back ->
+    // per-lang aggregate. The round trip is lossless, so the oracle
+    // aggregates the original parquet directly — any sink/source
+    // corruption (escaping, schema drift, row loss) turns the row red.
+    "q50_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = "/root/repo/target/graft_io/json_docs"
+      sources.TextLines.writeJsonl(
+        tbl(s, dir, "documents").select("doc_id", "lang", "text"), out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      sources.TextLines.readJsonl(s, out, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
   )
 
   private def wcOracle(re: String): String =
@@ -150,6 +170,13 @@ object SparkEntry {
          |  AND b.pos = a.pos + 1 AND b.cat = a.cat
          |WHERE a.cat IS NOT NULL
          |GROUP BY pair ORDER BY pair""".stripMargin,
+    // The JSON round trip is lossless, so the oracle reads the
+    // original parquet table.
+    "q50_json_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -328,6 +328,39 @@ object Queries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // Exact + approximate quantiles. The exact percentiles use only
+  // dyadic fractions (0.25/0.5/0.75): their interpolation positions and
+  // weights are exactly representable in binary, so Spark's percentile
+  // and DuckDB's quantile_cont produce bit-identical doubles over the
+  // integral-valued l_quantity (non-dyadic p like 0.95 would make the
+  // g-weight arithmetic engine-sensitive). The t-digest approximate
+  // median is folded into an oracle-checkable 5% bound, q30-style.
+  def quantileAgg(s: SparkSession, dir: String): DataFrame = {
+    val exactMed = expr("percentile(l_quantity, 0.5)")
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        exactMed.as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        (abs(expr("approx_percentile(l_quantity, 0.5, 10000)") - exactMed)
+          <= exactMed * 0.05).as("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  // Skew-handling path as a declared query: the salted join must
+  // produce exactly the plain join's rows (the oracle IS the plain
+  // join), so the skew mitigation is correctness-gated, not just
+  // equivalence-tested in the suite.
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame =
+    Layout.saltedJoin(
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        "o_custkey", "c_custkey", saltFactor = 8)
+      .groupBy("c_nationkey")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+
   // E14: exact deduplication by full text content.
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -360,6 +393,8 @@ object Queries {
     "q43_band_join" -> (bandPairs _),
     "q48_pivot" -> (pivotEvents _),
     "q49_window_suite" -> (windowSuite _),
+    "q51_quantiles" -> (quantileAgg _),
+    "q52_salted_join" -> (saltedJoinAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -544,5 +579,19 @@ object Queries {
         |    ORDER BY o_orderdate ASC, o_orderkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_so_far
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q51_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The salted join's oracle is the PLAIN join: salting must be
+    // invisible in the results.
+    "q52_salted_join" ->
+      s"""SELECT c_nationkey, ${dsumSql("o_totalprice")} AS revenue,
+         |  count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 }

@@ -90,4 +90,18 @@ object TextLines {
   def classifiedTokens(spark: SparkSession, path: String): DataFrame =
     Tokenize.tokens(readLines(spark, path), "line_id", "text")
       .where(col("category").isNotNull)
+
+  /** JSON-lines sink: one JSON object per line (the interchange format
+    * a crawl/ingest pipeline hands off). Lossless for string content —
+    * the writer escapes, the reader unescapes. */
+  def writeJsonl(df: DataFrame, out: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(out)
+
+  /** JSON-lines source with an EXPLICIT schema. Schema-on-read
+    * inference is a full extra pass over the data and type-drifts with
+    * content (an int-looking string column becomes bigint); a 100-TB
+    * pipeline always pins the schema. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
