@@ -72,19 +72,36 @@ object Dedup {
   /** [[minhashCandidates]] over a pre-computed (doc_id, sh) shingle
     * table, so callers that also need the shingle arrays (e.g. the exact-
     * Jaccard verification in [[minhashNearDups]]) express the shingling
-    * once instead of twice. */
+    * once instead of twice.
+    *
+    * Every hash is the portable [[graft.functions.Fnv1a32]] (round-4
+    * change from xxhash64): the per-shingle hash, and the band key — a
+    * re-hash of the band's canonical `bucket:min|bucket:min` signature
+    * string (sorted by bucket, so it is order-independent). DuckDB
+    * recomputes both bit-for-bit (`string_agg(... ORDER BY bucket)` +
+    * the same FNV fold), which is what lets the q18 gate row carry a
+    * full value oracle instead of `no_oracle`. Re-hashing the signature
+    * keeps the shuffle key an 8-byte long rather than a ~40-byte string;
+    * a band-key collision merges two buckets in BOTH engines identically
+    * and is then discarded by the exact-Jaccard verify, so it can affect
+    * neither correctness nor cross-engine parity. */
   def minhashCandidatesFromShingles(sh: DataFrame, nBuckets: Int = 64,
                                     bandSize: Int = 4,
                                     maxBucket: Int = 1000): DataFrame = {
+    graft.functions.HashExprs.register(sh.sparkSession)
     val hashed = sh
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), graft.functions.HashExprs.fnv1a32("s").as("h"))
     val bucketMins = hashed
       .groupBy(col("doc_id"), pmod(col("h"), lit(nBuckets)).as("bucket"))
       .agg(min(col("h")).as("mh"))
     val bandKeys = bucketMins
       .groupBy(col("doc_id"), (col("bucket") / lit(bandSize)).cast("int").as("band"))
-      .agg(xxhash64(sort_array(collect_list(struct(col("bucket"), col("mh"))))).as("bkey"))
+      .agg(concat_ws("|", transform(
+        sort_array(collect_list(struct(col("bucket"), col("mh")))),
+        e => concat_ws(":", e.getField("bucket"), e.getField("mh")))).as("sig"))
+      .select(col("doc_id"), col("band"),
+        graft.functions.HashExprs.fnv1a32("sig").as("bkey"))
     val buckets = bandKeys.groupBy("band", "bkey")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -114,61 +131,83 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Per-token hash array for [[simhash]] — materialize in its own
-    * projection (referenced 64 times downstream). */
-  def tokenHashes(text: Column): Column =
-    transform(filter(split(text, " ", -1), t => t =!= ""), t => xxhash64(t))
+  /** Per-token portable-hash array (whitespace tokens, empties dropped)
+    * — the interpreted HOF twin of the exploded projection inside
+    * [[simhashAgg]], kept as its independent test oracle. `seed` selects
+    * the FNV stream (the 64-bit signature uses two 32-bit streams). */
+  def tokenHashes(textCol: String, seed: Long = graft.functions.Fnv1a32.Seed): Column =
+    expr(s"transform(filter(split($textCol, ' ', -1), t -> t != ''), " +
+      s"t -> fnv1a32(t, ${seed}L))")
 
-  /** 64-bit SimHash over a *materialized* token-hash array: each bit
-    * votes ±1 per token, sign of the vote sum becomes the output bit.
-    * Entirely per-row (no shuffle). Implemented as 64 scalar folds over
-    * the long array — higher-order functions evaluate interpreted, and
-    * scalar folds avoid the per-element array allocation a single
-    * vector-fold formulation would pay. */
-  def simhash(hs: Column): Column =
-    (0 until 64).map { j =>
+  /** 32-bit SimHash word over a *materialized* token-hash array: each of
+    * 32 bits votes ±1 per token, sign of the vote sum becomes the output
+    * bit. Entirely per-row (no shuffle). Implemented as 32 scalar folds
+    * over the long array — higher-order functions evaluate interpreted,
+    * and scalar folds avoid the per-element array allocation a single
+    * vector-fold formulation would pay. Test oracle for [[simhashAgg]]. */
+  def simhash32(hs: Column): Column =
+    (0 until 32).map { j =>
       val vote = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, lit(1L)).otherwise(lit(-1L)))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
-  /** SimHash per document via exploded rows + one HashAggregate with 64
-    * conditional sums — the whole-stage-codegen formulation of
-    * [[simhash]] (interpreted per-row folds measured several × slower).
-    * Output: (doc_id, simhash). One shuffle keyed by doc id with map-side
-    * partial aggregation; scales like any count-style aggregate. */
+  /** 64-bit SimHash per document as TWO 32-bit words (sh_hi, sh_lo),
+    * each from an independently-seeded [[graft.functions.Fnv1a32]]
+    * stream over the tokens. Two words rather than one packed long
+    * because the packed form (hi·2³² + lo) overflows DuckDB's BIGINT
+    * when hi ≥ 2³¹ — with both words in [0, 2³²) every value is
+    * engine-portable, which is what lets the q19 gate row carry a full
+    * value oracle (round-4 change from xxhash64/no_oracle).
+    *
+    * Execution: exploded rows + one HashAggregate with 64 conditional
+    * sums — the whole-stage-codegen formulation (interpreted per-row
+    * folds measured several × slower). One shuffle keyed by doc id with
+    * map-side partial aggregation; scales like any count-style agg. */
   def simhashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val votes = (0 until 64).map(j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, lit(1L)).otherwise(lit(-1L)))
-        .as(s"v$j"))
+    graft.functions.HashExprs.register(docs.sparkSession)
+    def votes(h: String, p: String) = (0 until 32).map(j =>
+      sum(when(shiftright(col(h), j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"$p$j"))
+    def word(p: String) = (0 until 32).map(j =>
+      when(col(s"$p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val all = votes("h2", "u") ++ votes("h1", "l")
     docs
       .select(col(idCol).as("doc_id"),
-        explode(tokenHashes(col(textCol))).as("h"))
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
+        explode(expr(s"filter(split($textCol, ' ', -1), t -> t != '')")).as("tok"))
       .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
+        graft.functions.HashExprs.fnv1a32("tok").as("h1"),
+        graft.functions.HashExprs.fnv1a32("tok", graft.functions.Fnv1a32.Seed2).as("h2"))
+      .groupBy("doc_id")
+      .agg(all.head, all.tail: _*)
+      .select(col("doc_id"), word("u").as("sh_hi"), word("l").as("sh_lo"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band join (a pair within Hamming
-    * distance ≤ 3 of a 64-bit hash must agree on ≥1 of 4 bands — here we
-    * use bands as a candidate generator for distance ≤ maxDist, then
-    * verify with exact bit_count(xor)). */
+  /** SimHash near-dup pairs: 4×16-bit band join over the two signature
+    * words (a pair within Hamming distance ≤ 3 of a 64-bit hash must
+    * agree on ≥1 of 4 bands — the bands are the candidate generator,
+    * then exact `bit_count(xor)` over both words verifies ≤ maxDist).
+    * For maxDist &gt; 3 band-collision recall is partial (standard LSH
+    * trade-off); the declared q54 oracle replicates the identical
+    * banding, so the gate checks operator parity at any maxDist.
+    * Output: (d1, d2, hamming), d1 &lt; d2. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
     val sh = simhashAgg(docs, idCol, textCol)
-      .select(col("doc_id"), col("simhash").as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
+    val banded = sh.select(col("doc_id"), col("sh_hi"), col("sh_lo"),
+      posexplode(array(
+        col("sh_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("sh_lo"), 16),
+        col("sh_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("sh_hi"), 16))).as(Seq("band", "bval")))
     banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+        (bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi"))) +
+          bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo")))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
   }

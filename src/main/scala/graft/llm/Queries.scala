@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * multimodal metadata. Everything deterministic carries a DuckDB oracle —
   * including the LSH paths, whose hyperplane matrix is embedded in the
   * oracle SQL as a DOUBLE[][] literal so DuckDB recomputes identical
-  * buckets. Only the xxhash64-based paths (MinHash q18, SimHash q19) are
-  * rows-only (no matching hash in DuckDB); those are recall/property-
-  * tested against brute-force baselines in the ScalaTest suite.
+  * buckets, and (since round 4) the sketch paths q18/q19/q54, whose
+  * portable Fnv1a32 hashes the oracle recomputes as a plain SQL fold
+  * (see [[fnvSql]]). The only remaining rows-only row is q38, whose
+  * values derive from the declared decode ==STUB==.
   */
 object Queries {
 
@@ -25,15 +26,27 @@ object Queries {
   val EmbeddingDim = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // E15: MinHash+LSH near-dup (banded candidates, exact-Jaccard verify)
+    // E15: MinHash+LSH near-dup (banded candidates, exact-Jaccard
+    // verify). Fully DuckDB-oracled since round 4: every hash in the
+    // pipeline is the portable Fnv1a32, recomputed by the oracle SQL.
     "q18_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
         k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)
         .orderBy("d1", "d2")),
-    // E15: SimHash fingerprints (pair generation covered in spec tests)
+    // E15: SimHash fingerprints as two portable 32-bit words — fully
+    // DuckDB-oracled since round 4 (see Dedup.simhashAgg scaladoc).
     "q19_simhash" -> ((s, dir) =>
       Dedup.simhashAgg(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // E15: the SimHash near-dup *decision* — 4×16-bit band join +
+    // exact Hamming verify. maxDist 16 keeps the declared row non-vacuous
+    // on the synthetic corpus (which has no exact duplicates at the gate
+    // SF); the oracle replicates the identical banding, so the row
+    // checks operator parity at any maxDist.
+    "q54_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+        maxDist = 16)
+        .orderBy("d1", "d2")),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -175,6 +188,66 @@ object Queries {
     }),
   )
 
+  /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
+    * FNV-1a 32 fold, expressed over `unicode((e)[i:i])`. Every
+    * intermediate is a non-negative BIGINT (h &lt; 2³², the multiply
+    * &lt; 2⁵⁶), so DuckDB neither overflows nor promotes to HUGEINT —
+    * the property that makes the sketch queries oracle-able at all. */
+  private def fnvSql(e: String, seed: Long = graft.functions.Fnv1a32.Seed): String =
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
+      s"list_transform(range(length($e)), i -> unicode(($e)[i+1:i+1]))), " +
+      "(h, c) -> (xor(h, c) * 16777619) % 4294967296)"
+
+  /** DuckDB twin of [[Dedup.minhashNearDups]] at the q18 parameters
+    * (k=3, nBuckets=64, bandSize=4, maxBucket=1000, threshold=0.1):
+    * same shingles, same per-shingle FNV hash, same bucket-min
+    * signature, same `bucket:min|…` band-signature re-hash, same
+    * capped pair expansion, same exact-Jaccard verify. */
+  private val minhashOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+       |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+       |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |hx AS (SELECT doc_id, ${fnvSql("s")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM f) u),
+       |bm AS (SELECT doc_id, h % 64 AS bucket, min(h) AS mh
+       |  FROM hx GROUP BY doc_id, bucket),
+       |sg AS (SELECT doc_id, bucket // 4 AS band,
+       |    string_agg(bucket || ':' || mh, '|' ORDER BY bucket) AS sig
+       |  FROM bm GROUP BY doc_id, band),
+       |bk AS (SELECT doc_id, band, ${fnvSql("sig")} AS bkey FROM sg),
+       |sz AS (SELECT band, bkey FROM bk GROUP BY band, bkey
+       |  HAVING count(*) > 1 AND count(*) <= 1000),
+       |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bk a
+       |  JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN sz ON sz.band = a.band AND sz.bkey = a.bkey),
+       |j AS (SELECT d1, d2,
+       |    CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) AS inter,
+       |    CAST(len(fa.sh) + len(fb.sh) AS DOUBLE) AS total
+       |  FROM c JOIN f fa ON fa.doc_id = c.d1 JOIN f fb ON fb.doc_id = c.d2)
+       |SELECT d1, d2, inter / (total - inter) AS jaccard FROM j
+       |WHERE inter / (total - inter) >= 0.1 ORDER BY d1, d2""".stripMargin
+
+  /** Shared q19/q54 CTE chain ending in `sh(doc_id, sh_hi, sh_lo)`:
+    * DuckDB twin of [[Dedup.simhashAgg]] — same two FNV streams, same
+    * 64 conditional vote sums, bits summed (disjoint ⇒ sum ≡ OR). */
+  private val simhashCte: String = {
+    val votes =
+      (0 until 32).map(j => s"sum(CASE WHEN ((h2 >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS u$j") ++
+        (0 until 32).map(j => s"sum(CASE WHEN ((h1 >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS l$j")
+    val hi = (0 until 32).map(j => s"(CASE WHEN u$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val lo = (0 until 32).map(j => s"(CASE WHEN l$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (SELECT doc_id, t FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+       |  WHERE t <> ''),
+       |h AS (SELECT doc_id, ${fnvSql("t")} AS h1,
+       |  ${fnvSql("t", graft.functions.Fnv1a32.Seed2)} AS h2 FROM tok),
+       |v AS (SELECT doc_id, ${votes.mkString(", ")} FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($hi AS BIGINT) AS sh_hi,
+       |  CAST($lo AS BIGINT) AS sh_lo FROM v)""".stripMargin
+  }
+
   private val shingleCte =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 150),
       |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
@@ -285,6 +358,23 @@ object Queries {
        |FROM e GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q18_minhash_neardup" -> minhashOracle,
+    "q19_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, sh_hi, sh_lo FROM sh ORDER BY doc_id""".stripMargin,
+    "q54_simhash_neardup" ->
+      s"""WITH $simhashCte,
+         |b AS (SELECT doc_id, sh_hi, sh_lo, bd.band AS band,
+         |    CASE bd.band WHEN 0 THEN sh_lo % 65536 WHEN 1 THEN sh_lo // 65536
+         |         WHEN 2 THEN sh_hi % 65536 ELSE sh_hi // 65536 END AS bval
+         |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bd)
+         |SELECT d1, d2, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+         |    CAST(bit_count(xor(a.sh_hi, b2.sh_hi))
+         |       + bit_count(xor(a.sh_lo, b2.sh_lo)) AS BIGINT) AS hamming
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bval = b2.bval
+         |    AND a.doc_id < b2.doc_id) p
+         |WHERE hamming <= 16 ORDER BY d1, d2""".stripMargin,
     "q47_kmeans_refine" -> kmeansRefineOracle,
     "q22_lsh_buckets" ->
       s"""WITH ${bandedCte(1, 16, 64)}

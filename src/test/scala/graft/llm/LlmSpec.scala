@@ -68,13 +68,31 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhashAgg (codegen form) equals the per-row fold form") {
+    graft.functions.HashExprs.register(spark)
     val perRow = docs
-      .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
-      .select(col("doc_id"), Dedup.simhash(col("hs")).as("s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("doc_id"),
+        Dedup.tokenHashes("text", graft.functions.Fnv1a32.Seed2).as("hh"),
+        Dedup.tokenHashes("text").as("hl"))
+      .select(col("doc_id"),
+        Dedup.simhash32(col("hh")).as("hi"), Dedup.simhash32(col("hl")).as("lo"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val agg = Dedup.simhashAgg(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(perRow == agg)
+  }
+
+  test("fnv1a32 matches published FNV-1a vectors and stays in [0, 2^32)") {
+    graft.functions.HashExprs.register(spark)
+    val got = Seq((0L, ""), (1L, "a"), (2L, "abc"), (3L, "the quick brown"),
+      (4L, "42 dozen -7 +3."))
+      .toDF("id", "s")
+      .select(col("id"), graft.functions.HashExprs.fnv1a32("s").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0-2: standard FNV-1a 32 vectors; 3-4: cross-checked against the
+    // DuckDB fold the oracles use (unicode(s[i:i]) code-point iteration).
+    assert(got == Map(0L -> 2166136261L, 1L -> 3826002220L, 2L -> 440920331L,
+      3L -> 4046433963L, 4L -> 4242993283L))
+    assert(got.values.forall(h => h >= 0 && h < (1L << 32)))
   }
 }
 
