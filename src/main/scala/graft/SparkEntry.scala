@@ -79,6 +79,22 @@ object SparkEntry {
         .withColumn("cnt", col("cnt").cast("long"))
         .orderBy("pair")
     }),
+    // O6 gate row: the reference's categorical output routing (its custom
+    // Partitioner sending word-keys and number-keys to different reducer
+    // files) re-expressed as writer-side partitionBy — word counts land
+    // in category=alpha/ and category=num/ directories, read back through
+    // partition discovery. The write+readback IS the operator under test;
+    // the oracle recomputes the counts from the documents table, so any
+    // routing loss/dup/corruption turns the row red.
+    "q56_category_sink" -> ((s, dir) => {
+      val out = "/root/repo/target/graft_io/category_sink"
+      sources.TextLines.writeByCategory(
+        CoOccur.wordCount(tbl(s, dir, "documents"), "text"), out)
+      s.read.parquet(out)
+        .select(col("category").cast("string").as("category"),
+          col("tok"), col("cnt"))
+        .orderBy("category", "tok")
+    }),
     // JSON-lines source/sink round trip (the crawl/ingest interchange
     // format): documents -> .json sink -> schema-pinned read-back ->
     // per-lang aggregate. The round trip is lossless, so the oracle
@@ -136,6 +152,17 @@ object SparkEntry {
     "wordcount_alpha" -> wcOracle(Tokenize.AlphaRe),
     "wordcount_num" -> wcOracle(Tokenize.NumRe),
     "hadoop_wordcount" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cat AS (SELECT tok,
+         |  CASE WHEN regexp_full_match(tok, '^[a-z-_]+$$') THEN 'alpha'
+         |       WHEN regexp_full_match(tok, '^[-+]?[0-9]+[.]{0,1}[0-9]*$$') THEN 'num'
+         |  END AS category FROM tok)
+         |SELECT category, tok, count(*) AS cnt FROM cat
+         |WHERE category IS NOT NULL
+         |GROUP BY category, tok ORDER BY category, tok""".stripMargin,
+    // Same recomputation as hadoop_wordcount: the sink round trip must
+    // be lossless.
+    "q56_category_sink" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |cat AS (SELECT tok,
          |  CASE WHEN regexp_full_match(tok, '^[a-z-_]+$$') THEN 'alpha'

@@ -15,10 +15,20 @@ object Layout {
     * partition-local merge. (Bucketing metadata lives in the session
     * catalog, hence saveAsTable rather than a bare path.) */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val s = df.sparkSession
+    // A managed-table location left behind by a PREVIOUS session (whose
+    // catalog entry died with it) blocks recreation with
+    // LOCATION_ALREADY_EXISTS — drop the catalog entry and clear any
+    // stale directory before writing.
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key (exchange-free —
     * asserted in LayoutSpec). The merge hint keeps the planner on the

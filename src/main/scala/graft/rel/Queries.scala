@@ -361,6 +361,42 @@ object Queries {
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("c_nationkey")
 
+  // Bucketed physical layout declared as a query: both join sides are
+  // written bucketed+sorted by the join key (Layout.writeBucketed — the
+  // plan-build write IS part of the operator, raw_text_wordcount
+  // pattern), then joined AND aggregated with no hash exchange anywhere:
+  // the bucketed scans' HashPartitioning(custkey) feeds the sort-merge
+  // join directly, and — because custkey is a subset of the grouping
+  // keys — the (custkey, c_nationkey) aggregation too. At 100 TB this is
+  // the layout that turns the nightly fact⋈fact join from a full network
+  // shuffle into a partition-local merge. The oracle is the PLAIN join:
+  // physical layout must be invisible in the results. The no-hash-
+  // exchange property is plan-asserted in LayoutSpec.
+  def bucketedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    Layout.writeBucketed(tbl(s, dir, "orders")
+      .withColumnRenamed("o_custkey", "custkey"), "orders_bkt", "custkey", 8)
+    Layout.writeBucketed(tbl(s, dir, "customer")
+      .withColumnRenamed("c_custkey", "custkey"), "customer_bkt", "custkey", 8)
+    Layout.bucketedJoin(s, "orders_bkt", "customer_bkt", "custkey")
+      .groupBy("custkey", "c_nationkey")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  // E13 at the gate: the streaming session plan (session_window grouping,
+  // graft.streaming.Sessions.sessionStats) executed in BATCH mode over
+  // the static events table — same ≥gap boundary semantics as
+  // [[sessionize]], so the oracle is q16's SQL verbatim. Sessions are
+  // renumbered per user by start time to produce q16's sess_id.
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val sw = graft.streaming.Sessions.sessionStats(events(s, dir))
+    val w = Window.partitionBy("user_id").orderBy(col("sess_start_us").asc)
+    sw.withColumn("sess_id", row_number().over(w).cast("long"))
+      .select("user_id", "sess_id", "n_events",
+        "sess_start_us", "sess_end_us", "sum_value")
+      .orderBy("user_id", "sess_id")
+  }
+
   // E14: exact deduplication by full text content.
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -395,7 +431,31 @@ object Queries {
     "q49_window_suite" -> (windowSuite _),
     "q51_quantiles" -> (quantileAgg _),
     "q52_salted_join" -> (saltedJoinAgg _),
+    "q53_bucketed_join" -> (bucketedJoinAgg _),
+    "q55_session_window" -> (sessionWindowAgg _),
   )
+
+  /** Shared by q16 (the window-based batch sessionizer) and q55 (the
+    * session_window streaming plan run in batch) — the two plans must
+    * agree with the same oracle AND each other. */
+  private val sessionizeSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+       |  FROM events),
+       |y AS (
+       |  SELECT user_id, event_id, value, us,
+       |    CAST(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS new_sess
+       |  FROM x),
+       |z AS (
+       |  SELECT user_id, value, us,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+       |  FROM y)
+       |SELECT user_id, sess_id, count(*) AS n_events,
+       |  min(us) AS sess_start_us, max(us) AS sess_end_us,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -495,24 +555,8 @@ object Queries {
          |u AS (SELECT unnest([b, b - 1800]) AS win_start, value FROM e)
          |SELECT win_start, count(*) AS n, ${dsumSql("value")} AS sum_value
          |FROM u GROUP BY win_start ORDER BY win_start""".stripMargin,
-    "q16_sessionize" ->
-      s"""WITH x AS (
-         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
-         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
-         |  FROM events),
-         |y AS (
-         |  SELECT user_id, event_id, value, us,
-         |    CAST(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS new_sess
-         |  FROM x),
-         |z AS (
-         |  SELECT user_id, value, us,
-         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-         |  FROM y)
-         |SELECT user_id, sess_id, count(*) AS n_events,
-         |  min(us) AS sess_start_us, max(us) AS sess_end_us,
-         |  ${dsumSql("value")} AS sum_value
-         |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "q16_sessionize" -> sessionizeSql,
+    "q55_session_window" -> sessionizeSql,
     "q17_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -593,5 +637,12 @@ object Queries {
          |  count(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // The bucketed join's oracle is likewise the PLAIN join: the
+    // physical layout must not change a single row.
+    "q53_bucketed_join" ->
+      s"""SELECT o_custkey AS custkey, c_nationkey,
+         |  ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY custkey, c_nationkey ORDER BY custkey""".stripMargin,
   )
 }

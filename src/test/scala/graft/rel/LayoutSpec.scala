@@ -20,6 +20,22 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("q53 bucketed join+agg plans with no hash exchange") {
+    // The declared query: bucketed scan -> SMJ -> agg. The only Exchange
+    // allowed is the rangepartitioning for the final presentation sort —
+    // join AND aggregation must ride the buckets' HashPartitioning.
+    val df = graft.SparkEntry.queries("q53_bucketed_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+    assert(plan.contains("SortMergeJoin"), plan.take(1200))
+    val expected = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/customer.parquet"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("o_custkey").distinct().count()
+    assert(df.count() == expected)
+  }
+
   test("salted join returns exactly the plain inner-join rows") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val customer = spark.read.parquet(s"$sf0001/customer.parquet")
