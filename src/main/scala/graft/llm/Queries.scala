@@ -149,11 +149,13 @@ object Queries {
     "q46_cluster_dedup" -> ((s, dir) =>
       Sim.clusterDedup(tbl(s, dir, "embeddings"), threshold = 0.35, nlist = 16)
         .orderBy("vec_id")),
-    // One Lloyd iteration of k-means over the embedding corpus — the
+    // Three Lloyd iterations of k-means over the embedding corpus — the
     // quantizer-training step (exact-decimal means make even this
-    // iterative float computation oracle-checkable bit-for-bit)
+    // iterative, data-dependently-branching float computation
+    // oracle-checkable bit-for-bit; lineage is truncated per iteration
+    // so plan cost stays linear in iters)
     "q47_kmeans_refine" -> ((s, dir) =>
-      Sim.kmeansRefine(tbl(s, dir, "embeddings"), nlist = 16, iters = 1)
+      Sim.kmeansRefine(tbl(s, dir, "embeddings"), nlist = 16, iters = 3)
         .orderBy("cid", "dim")),
     // Gopher-style repetition/boilerplate signals over the corpus
     "q44_repetition" -> ((s, dir) =>
@@ -345,17 +347,38 @@ object Queries {
        |SELECT vec_id, rep_id, sim FROM d WHERE sim >= 0.35
        |ORDER BY vec_id""".stripMargin
 
-  /** DuckDB twin of [[Sim.kmeansRefine]] (nlist=16, iters=1): same
-    * assignment, per-(cid, dim) means through the same DECIMAL(38,12)
-    * VARCHAR-round-trip accumulation as rel.Queries.dsum. */
-  private val kmeansRefineOracle =
-    s"""WITH ${ivfAssignCte(16)},
-       |e AS (SELECT cid, unnest(v) AS x,
-       |    unnest(range(len(v))) AS dim FROM asg)
-       |SELECT cid, CAST(dim AS BIGINT) AS dim,
-       |  CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-       |    / count(*) AS c
-       |FROM e GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+  /** DuckDB twin of [[Sim.kmeansRefine]] at any iteration count: the
+    * iterated Lloyd chain unrolled as CTEs. Per iteration — per-(cid,
+    * dim) means through the same DECIMAL(38,12) VARCHAR-round-trip
+    * accumulation as rel.Queries.dsum (bit-identical sums in any order),
+    * centroid arrays rebuilt dim-ordered, the next assignment's cosine
+    * through the same sequential fold as the Spark side. Every
+    * intermediate is therefore bit-identical across engines, so even the
+    * data-dependent argmax re-assignments agree exactly. */
+  private def kmeansRefineOracle(nlist: Int, iters: Int): String = {
+    val mean = "CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)"
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "asg" else s"asg${i - 1}"
+      val reassign =
+        if (i == iters) "" // final output needs only the means
+        else s""",
+           |k$i AS (SELECT cid, list(c ORDER BY dim) AS cv FROM m$i GROUP BY cid),
+           |t$i AS (SELECT cid, cv,
+           |  sqrt(${foldSum.format("list_transform(cv, x -> x * x)")}) AS cn FROM k$i),
+           |asg$i AS (SELECT vec_id, v, norm, cid FROM (
+           |    SELECT n.vec_id, n.v, n.norm, t.cid,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${dotSql("n.v", "t.cv")} / (n.norm * t.cn) DESC, t.cid ASC) AS r
+           |    FROM n CROSS JOIN t$i t) WHERE r = 1)""".stripMargin
+      s""",
+         |m$i AS (SELECT cid, dim, $mean AS c
+         |  FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS dim FROM $prev) e$i
+         |  GROUP BY cid, dim)$reassign""".stripMargin
+    }.mkString
+    s"""WITH ${ivfAssignCte(nlist)}$steps
+       |SELECT cid, CAST(dim AS BIGINT) AS dim, c
+       |FROM m$iters ORDER BY cid, dim""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> minhashOracle,
@@ -375,7 +398,7 @@ object Queries {
          |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bval = b2.bval
          |    AND a.doc_id < b2.doc_id) p
          |WHERE hamming <= 16 ORDER BY d1, d2""".stripMargin,
-    "q47_kmeans_refine" -> kmeansRefineOracle,
+    "q47_kmeans_refine" -> kmeansRefineOracle(16, 3),
     "q22_lsh_buckets" ->
       s"""WITH ${bandedCte(1, 16, 64)}
          |SELECT bucket, count(*) AS n_vecs FROM bt

@@ -241,7 +241,7 @@ object Sim {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", norm(col("v")))
     var cents = ivfCentroids(v, nlist)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val means = assignTo(v, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
@@ -250,6 +250,15 @@ object Sim {
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("p"))
         .select(col("cid"), transform(col("p"), e => e.getField("c")).as("cv"))
         .withColumn("cn", norm(col("cv")))
+      // Truncate lineage between iterations: without this, iteration N's
+      // plan NESTS the whole of iteration N-1's (analysis + codegen cost
+      // superlinear in iters — fine at 1-3, fatal at a production
+      // quantizer's 10+). The checkpointed frame is nlist rows, so the
+      // eager materialization is one corpus pass per iteration — exactly
+      // the work Lloyd's algorithm does anyway. (localCheckpoint =
+      // executor-local blocks; a fault-tolerant cluster run would use
+      // spark.checkpoint against reliable storage — same plan shape.)
+      if (it < iters) cents = cents.localCheckpoint()
     }
     cents.select(col("cid"), posexplode(col("cv")).as(Seq("dim", "c")))
       .select(col("cid"), col("dim").cast("long").as("dim"), col("c"))

@@ -383,6 +383,17 @@ class KmeansSpec extends SparkSpec {
     assert(c2.nonEmpty && c1.exists { case (k, v) =>
       c2.get(k).exists(w => math.abs(w - v) > 1e-12) })
   }
+
+  test("kmeansRefine: plan size is constant in iters (lineage truncated)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // With per-iteration localCheckpoint, the returned plan holds only
+    // the LAST iteration over a checkpointed nlist-row frame — iters=5
+    // must not analyze a 5x-nested tree. Node counts are compared (tree
+    // strings differ only in RDD ids).
+    def planNodes(iters: Int): Int =
+      Sim.kmeansRefine(emb, 16, iters).queryExecution.analyzed.collect { case p => p }.size
+    assert(planNodes(5) == planNodes(2))
+  }
 }
 
 class ClusterDedupSpec extends SparkSpec {
