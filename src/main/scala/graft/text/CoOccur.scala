@@ -93,16 +93,36 @@ object CoOccur {
   }
 
   /** Pair generation via one window shuffle + lead(d) per distance
-    * d ∈ 1..m. Whole-stage-codegen'd end to end; the window shuffle
-    * partitions by line id, so it scales horizontally (skew only on
-    * pathological multi-megabyte single lines). */
+    * d ∈ 1..m. Whole-stage-codegen'd end to end.
+    *
+    * Skew guard: the window partitions by (line id, chunk) where
+    * chunk = pos DIV chunkSize. A token within m positions of a chunk
+    * start is ALSO emitted into the preceding chunk as a carry row —
+    * a lead candidate only, filtered before pair emission — so every
+    * pair is produced exactly once (positions within a partition stay
+    * dense and unique) while a pathological multi-gigabyte line spreads
+    * over len/chunkSize window partitions instead of serializing into
+    * one straggler task (SURVEY.md §7.4). The default chunkSize keeps
+    * ordinary corpora at one chunk per line — same partitioning as the
+    * unchunked form; chunked≡unchunked is property-tested against the
+    * plain-Scala reference in CoOccurSpec. */
   def pairsViaWindow(lines: DataFrame, idCol: String, textCol: String,
-                     m: Int, lowercase: Boolean = false): DataFrame = {
+                     m: Int, lowercase: Boolean = false,
+                     chunkSize: Int = 1 << 15): DataFrame = {
+    require(chunkSize > m, s"chunkSize ($chunkSize) must exceed m ($m)")
+    val base = struct(expr(s"pos DIV $chunkSize").as("c"), lit(false).as("carry"))
+    val dup = struct(expr(s"pos DIV $chunkSize - 1").as("c"), lit(true).as("carry"))
     val t = Tokenize.tokens(lines, idCol, textCol, lowercase)
-    val w = Window.partitionBy("line_id").orderBy("pos")
+      .select(col("line_id"), col("pos"), col("tok"), col("category"),
+        explode(when(col("pos") % chunkSize < m && col("pos") >= chunkSize,
+          array(base, dup)).otherwise(array(base))).as("a"))
+      .select(col("line_id"), col("pos"), col("tok"), col("category"),
+        col("a.c").as("chunk"), col("a.carry").as("carry"))
+    val w = Window.partitionBy("line_id", "chunk").orderBy("pos")
     val leads = (1 to m).map(d =>
       lead(struct(col("tok"), col("category")), d).over(w).as(s"lead_$d"))
-    t.select((col("tok") +: col("category") +: leads): _*)
+    t.select((col("tok") +: col("category") +: col("carry") +: leads): _*)
+      .where(!col("carry"))
       .select(col("tok").as("w1"), col("category").as("cat"),
         explode(array((1 to m).map(d => col(s"lead_$d")): _*)).as("y"))
       .where(col("cat").isNotNull && col("y.category") === col("cat"))

@@ -98,6 +98,24 @@ class CoOccurSpec extends SparkSpec {
     }
   }
 
+  test("chunked window pairs equal unchunked on a pathological single line") {
+    // One 3000-token line: chunkSize=97 forces ~31 window partitions
+    // with carry rows at every boundary; the result must be identical to
+    // the plain-Scala reference (and the chunking must actually engage).
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("alpha", "beta", "gamma", "7", "42", "Mixed", "", "x-y")
+    val giant = Seq.fill(3000)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val df = linesDf(Seq(giant)).withColumn("__line_id", lit(0L))
+    for (m <- Seq(1, 3)) {
+      val chunked = pairsMap(
+        CoOccur.pairsViaWindow(df, "__line_id", "text", m, chunkSize = 97))
+      assert(chunked == RefImpl.pairs(Seq(giant), m), s"m=$m")
+      val nChunks = Tokenize.tokens(df, "__line_id", "text")
+        .select((col("pos") / 97).cast("long")).distinct().count()
+      assert(nChunks > 20, s"chunking did not engage: $nChunks")
+    }
+  }
+
   test("array-combinator pairs equal window-lead pairs (independent implementations)") {
     for (m <- Seq(1, 3)) {
       val df = linesDf(randomLines(7, 30))
