@@ -390,13 +390,16 @@ object Queries {
          |b AS (SELECT doc_id, sh_hi, sh_lo, bd.band AS band,
          |    CASE bd.band WHEN 0 THEN sh_lo % 65536 WHEN 1 THEN sh_lo // 65536
          |         WHEN 2 THEN sh_hi % 65536 ELSE sh_hi // 65536 END AS bval
-         |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bd)
+         |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bd),
+         |sz AS (SELECT band, bval FROM b GROUP BY band, bval
+         |  HAVING count(*) > 1 AND count(*) <= 100000)
          |SELECT d1, d2, hamming FROM (
          |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
          |    CAST(bit_count(xor(a.sh_hi, b2.sh_hi))
          |       + bit_count(xor(a.sh_lo, b2.sh_lo)) AS BIGINT) AS hamming
          |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bval = b2.bval
-         |    AND a.doc_id < b2.doc_id) p
+         |    AND a.doc_id < b2.doc_id
+         |  JOIN sz ON sz.band = a.band AND sz.bval = a.bval) p
          |WHERE hamming <= 16 ORDER BY d1, d2""".stripMargin,
     "q47_kmeans_refine" -> kmeansRefineOracle(16, 3),
     "q22_lsh_buckets" ->
