@@ -115,6 +115,26 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // CSV source/sink round trip (the other interchange format a crawl
+    // pipeline meets): documents -> RFC-4180 CSV -> schema-pinned
+    // read-back -> per-lang aggregate. Lossless, so the oracle
+    // aggregates the original parquet — quoting/escaping/schema drift
+    // in either direction turns the row red.
+    "q57_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = "/root/repo/target/graft_io/csv_docs"
+      sources.TextLines.writeCsv(
+        tbl(s, dir, "documents").select("doc_id", "lang", "text"), out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      sources.TextLines.readCsv(s, out, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ", -1))).cast("long").as("sum_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
   )
 
   private def wcOracle(re: String): String =
@@ -197,8 +217,13 @@ object SparkEntry {
          |  AND b.pos = a.pos + 1 AND b.cat = a.cat
          |WHERE a.cat IS NOT NULL
          |GROUP BY pair ORDER BY pair""".stripMargin,
-    // The JSON round trip is lossless, so the oracle reads the
-    // original parquet table.
+    // Both round trips are lossless, so the oracles read the original
+    // parquet table.
+    "q57_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q50_json_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,

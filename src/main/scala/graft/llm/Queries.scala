@@ -157,6 +157,10 @@ object Queries {
     "q47_kmeans_refine" -> ((s, dir) =>
       Sim.kmeansRefine(tbl(s, dir, "embeddings"), nlist = 16, iters = 3)
         .orderBy("cid", "dim")),
+    // Model-based quality filtering (CCNet-perplexity shape): per-doc
+    // average unigram log-probability under the corpus's own unigram LM
+    "q58_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(tbl(s, dir, "documents"))),
     // Gopher-style repetition/boilerplate signals over the corpus
     "q44_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(tbl(s, dir, "documents"))),
@@ -476,6 +480,17 @@ object Queries {
     "q30_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
         |FROM lineitem""".stripMargin,
+    "q58_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, t AS tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  WHERE t <> ''),
+        |f AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM f)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(CAST(SUM(CAST(CAST(ln(CAST(cnt AS DOUBLE) / total) AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+        |    / count(*), 6) AS avg_logp
+        |FROM tok JOIN f USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q44_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),

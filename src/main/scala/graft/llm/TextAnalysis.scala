@@ -28,6 +28,32 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "of", "and", "to", "in", "a", "is", "for", "on", "with")
 
+  /** Unigram-LM average log-probability per document — the dataflow of a
+    * CCNet/perplexity-style model-based quality filter, with the LM being
+    * the corpus's own unigram distribution (a real pipeline swaps in a
+    * trained model's broadcast table; the plan shape is identical). Two
+    * shuffles: corpus token frequencies (hash-agg on token, map-side
+    * partial), then tokens equi-joined back to their frequencies (AQE
+    * skew-splittable — hot tokens are ordinary join skew) and averaged
+    * per document. The log-prob sum accumulates in exact DECIMAL(38,12)
+    * ([[graft.rel.Queries.dsum]]) so the average is order-independent;
+    * the final `round(.,6)` absorbs the one-ulp libm `ln` divergence
+    * between engines (q27's proven pattern). Output:
+    * (doc_id, n_tokens, avg_logp). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    tok.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("cnt").cast("double") / col("total").cast("double")).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(graft.rel.Queries.dsum(col("logp")) / count(lit(1)), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: length, mean token length, alpha-token ratio,
     * stopword ratio, and a blended score. Pure per-row double arithmetic
     * (identical expression shape on the DuckDB side → bit-equal). */

@@ -91,6 +91,23 @@ object TextLines {
     Tokenize.tokens(readLines(spark, path), "line_id", "text")
       .where(col("category").isNotNull)
 
+  /** CSV sink: RFC-4180 quoting (doubled quote as escape) + header, so
+    * any other engine — including the DuckDB oracle's reader — parses
+    * the same rows. */
+  def writeCsv(df: DataFrame, out: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(out)
+
+  /** CSV source with an EXPLICIT schema (same pinning rationale as
+    * [[readJsonl]]) and multiLine for quoted embedded newlines. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
+
   /** JSON-lines sink: one JSON object per line (the interchange format
     * a crawl/ingest pipeline hands off). Lossless for string content —
     * the writer escapes, the reader unescapes. */
