@@ -135,6 +135,26 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // A REAL Structured Streaming execution at the gate: the file-source
+    // stream drains documents.parquet in bounded micro-batches
+    // (maxFilesPerTrigger), a stateless quality projection runs per
+    // batch, and the checkpointed parquet sink commits exactly-once;
+    // the declared result aggregates the sink. The oracle computes the
+    // same thing from the original table — row loss, duplication, or
+    // transform drift across the streaming boundary turns the row red.
+    "q60_stream_ingest" -> ((s, dir) => {
+      val out = "/root/repo/target/graft_io/stream_ingest"
+      val ingested = sources.StreamIngest.ingestParquet(
+        s, dir, "documents.parquet",
+        tbl(s, dir, "documents").schema, out, out + "_ckpt",
+        df => df.where(length(col("text")) >= 100)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tokens")))
+      ingested.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
   )
 
   private def wcOracle(re: String): String =
@@ -224,6 +244,12 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q60_stream_ingest" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE length(text) >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q50_json_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,

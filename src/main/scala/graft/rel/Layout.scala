@@ -38,6 +38,16 @@ object Layout {
                    key: String): DataFrame =
     spark.table(left).hint("merge").join(spark.table(right).hint("merge"), key)
 
+  /** Hive-style partitioned layout: one directory per partition-column
+    * value. A reader filtering on the partition column touches ONLY its
+    * directories — the listing prunes before any file is opened
+    * (`PartitionFilters` in the scan, plan-asserted in LayoutSpec). The
+    * 100-TB ingest norm: partition by coarse selective keys (date, lang,
+    * source), bucket by join keys — this is the read-side complement of
+    * [[writeBucketed]]. */
+  def writePartitioned(df: DataFrame, out: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(out)
+
   /** Salted inner equi-join for skewed keys: the build side is
     * replicated `saltFactor`× with an explicit salt column, the probe
     * side gets a deterministic salt in [0, saltFactor) per row, and the

@@ -383,6 +383,24 @@ object Queries {
       .orderBy("custkey")
   }
 
+  // Partition-pruned layout declared as a query: documents written
+  // partitionBy(lang), read back with a partition-column filter — the
+  // scan's listing prunes to the lang=de directory before opening a
+  // single file (PartitionFilters, plan-asserted in LayoutSpec). The
+  // oracle filters the original table: pruning must be invisible in
+  // the results.
+  def partitionPrunedAgg(s: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/graft_io/docs_by_lang"
+    Layout.writePartitioned(tbl(s, dir, "documents"), out, "lang")
+    s.read.parquet(out)
+      .where(col("lang") === "de")
+      .groupBy(col("lang").cast("string").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
   // E13 at the gate: the streaming session plan (session_window grouping,
   // graft.streaming.Sessions.sessionStats) executed in BATCH mode over
   // the static events table — same ≥gap boundary semantics as
@@ -433,6 +451,7 @@ object Queries {
     "q52_salted_join" -> (saltedJoinAgg _),
     "q53_bucketed_join" -> (bucketedJoinAgg _),
     "q55_session_window" -> (sessionWindowAgg _),
+    "q59_partition_pruning" -> (partitionPrunedAgg _),
   )
 
   /** Shared by q16 (the window-based batch sessionizer) and q55 (the
@@ -637,6 +656,13 @@ object Queries {
          |  count(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // Pruning must be invisible: the oracle filters the original table.
+    "q59_partition_pruning" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang = 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // The bucketed join's oracle is likewise the PLAIN join: the
     // physical layout must not change a single row.
     "q53_bucketed_join" ->

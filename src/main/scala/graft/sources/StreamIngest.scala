@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Incremental file ingestion — the Structured Streaming file source →
+  * file sink pipeline a crawl/landing-zone feed runs in production:
+  * new files appear under a glob, the source picks them up in bounded
+  * batches (`maxFilesPerTrigger`), a stateless transform runs per
+  * micro-batch, and the checkpointed parquet sink commits exactly-once
+  * (the `_spark_metadata` log makes partial task output invisible to
+  * readers). `Trigger.AvailableNow` drains everything currently present
+  * and stops — the backfill/catch-up mode; a live deployment swaps the
+  * trigger for a processing-time one and nothing else changes.
+  *
+  * Scale: the source lists and checkpoints file names, never content —
+  * state is O(files); each micro-batch is an ordinary distributed batch
+  * plan, so the transform inherits every batch optimization (pushdown,
+  * codegen, AQE off by default in streaming).
+  */
+object StreamIngest {
+
+  private def rm(p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(path, true)
+  }
+
+  /** Drain the files matching `glob` under directory `in` through
+    * `transform` into the exactly-once parquet sink at `out`, then
+    * return the sink's content. Sink + checkpoint are wiped first: each
+    * call is a from-scratch drain, re-runnable within a session.
+    * `transform` must be stateless (projections/filters — append mode
+    * without watermark). */
+  def ingestParquet(spark: SparkSession, in: String, glob: String,
+                    schema: StructType, out: String, ckpt: String,
+                    transform: DataFrame => DataFrame): DataFrame = {
+    rm(out); rm(ckpt)
+    val q = transform(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", glob).parquet(in))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+}

@@ -36,6 +36,21 @@ class LayoutSpec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("q59 partition-pruned scan lists only the filtered lang directory") {
+    val df = graft.SparkEntry.queries("q59_partition_pruning")(spark, sf0001)
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides leaves
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString.take(800))
+    val scan = scans.head
+    assert(scan.toString.contains("PartitionFilters") &&
+      scan.toString.contains("lang"), scan.toString.take(800))
+    // the pruned listing holds ONE matching directory — other langs'
+    // files are never even listed, let alone read
+    assert(scan.selectedPartitions.partitionCount == 1)
+  }
+
   test("salted join returns exactly the plain inner-join rows") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val customer = spark.read.parquet(s"$sf0001/customer.parquet")
