@@ -157,24 +157,21 @@ object Sim {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bt = banded(emb, nTables, bandPlanes, dim)
       .select(col("vec_id"), col("t"), col("bucket"))
-    // Skew guard (same design as the MinHash maxBucket cap): a degenerate
-    // bucket — boilerplate or exact-duplicate-heavy corpora put a huge
-    // fraction of vectors in one (t, bucket) — would make the intra-bucket
-    // pair expansion quadratic. Expressed as a window count over
-    // (t, bucket): the window's hash exchange is the same partitioning
-    // the self-join needs, so Catalyst reuses ONE shuffle for the filter
-    // and both join sides (ReusedExchange — plan-asserted in the spec)
-    // instead of re-scanning the corpus for a bucket-size table.
-    val capped = bt
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy("t", "bucket")))
-      .where(col("bsz") <= maxBucket)
-      .select("vec_id", "t", "bucket")
-    val cands = capped.as("a")
-      .join(capped.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    // Candidate generation as ONE groupBy + intra-bucket explode (the
+    // minhashCandidates/simhashNearDups shape, which replaced this
+    // path's earlier window-cap + self-join: same single (t, bucket)
+    // shuffle, but a hash-agg instead of the self-join's two SMJ sorts
+    // over the reused exchange). The size bound is the skew guard: a
+    // degenerate bucket — boilerplate or exact-duplicate-heavy corpora
+    // put a huge fraction of vectors in one (t, bucket) — is dropped
+    // before the quadratic intra-bucket pair expansion. Only ids are
+    // collected (8 bytes × ≤ maxBucket per agg buffer), never vectors.
+    val cands = bt.groupBy("t", "bucket")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as("v1"), col("ids"))
+      .select(col("v1"), explode(col("ids")).as("v2"))
+      .where(col("v1") < col("v2"))
       .distinct()
     cands
       .join(v.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
