@@ -86,6 +86,31 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling over the media table: every `stride`-th frame index
+    * up to the decoded frame count, one output row per sampled frame
+    * with a per-frame feature signature — the video-pipeline pattern
+    * (decode container metadata → sample frames → per-frame features).
+    * The plumbing is the real thing: per-row generator fan-out, no
+    * shuffle introduced before any downstream aggregate. ==STUB== the
+    * decode derives frame count and per-frame signature from the
+    * portable [[graft.functions.Fnv1a32]] of the payload's text twin, so
+    * unlike q38's JVM-hash stub the WHOLE pipeline is DuckDB-oracled
+    * (q61); a real decoder swaps into the same row shape. */
+  def frameSample(docs: DataFrame, stride: Int = 4): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("text"),
+        (lit(1L) + pmod(graft.functions.HashExprs.fnv1a32("text"), lit(32L)))
+          .as("n_frames"))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        graft.functions.HashExprs
+          .fnv1a32("concat(text, ':', cast(frame_idx as string))")
+          .as("frame_sig"))
+  }
+
   /** Oracle-facing metadata projection (no stubbed values — byte/char
     * lengths are real and SQL-checkable). */
   def metadata(docs: DataFrame): DataFrame =

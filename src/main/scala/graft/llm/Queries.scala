@@ -118,6 +118,13 @@ object Queries {
         .drop("feature")
         .orderBy("doc_id")
     }),
+    // Multimodal frame sampling: every 4th frame of each document's
+    // decoded frame count, one row per sampled frame with its feature
+    // signature — fully DuckDB-oracled via the portable Fnv1a32 stub
+    // decode (see Multimodal.frameSample)
+    "q61_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(tbl(s, dir, "documents"), stride = 4)
+        .orderBy("doc_id", "frame_idx")),
     // Corpus prep: token-budget sequence packing ("concatenate and cut"
     // shard assignment) via the distributed two-phase prefix sum
     "q39_shard_pack" -> ((s, dir) =>
@@ -480,6 +487,15 @@ object Queries {
     "q30_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
         |FROM lineitem""".stripMargin,
+    "q61_frame_sample" ->
+      s"""WITH n AS (SELECT doc_id, text,
+         |    1 + ${fnvSql("text")} % 32 AS n_frames FROM documents),
+         |u AS (SELECT doc_id, text, n_frames,
+         |    unnest(range(0, n_frames, 4)) AS frame_idx FROM n)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  ${fnvSql("(text || ':' || CAST(frame_idx AS VARCHAR))")} AS frame_sig
+         |FROM u ORDER BY doc_id, frame_idx""".stripMargin,
     "q58_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, t AS tok FROM
         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
