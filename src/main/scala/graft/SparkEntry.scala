@@ -135,6 +135,23 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // ORC source/sink round trip — Spark's other native columnar format,
+    // same lossless-oracle contract as the CSV/JSON rows.
+    "q62_orc_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = "/root/repo/target/graft_io/orc_docs"
+      sources.TextLines.writeOrc(
+        tbl(s, dir, "documents").select("doc_id", "lang", "text"), out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      sources.TextLines.readOrc(s, out, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text"))).cast("long").as("sum_bytes"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
     // A REAL Structured Streaming execution at the gate: the file-source
     // stream drains documents.parquet in bounded micro-batches
     // (maxFilesPerTrigger), a stateless quality projection runs per
@@ -242,6 +259,11 @@ object SparkEntry {
     "q57_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q62_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q60_stream_ingest" ->

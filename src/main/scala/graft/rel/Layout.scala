@@ -48,6 +48,20 @@ object Layout {
   def writePartitioned(df: DataFrame, out: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(out)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetFiles` evenly-sized files. The 100-TB housekeeping
+    * operator — streaming ingest and over-parallel writers leave
+    * thousands of tiny files whose per-file open/footer/listing cost
+    * dominates scans. `repartition` (round-robin shuffle) rather than
+    * `coalesce`: coalesce chains the upstream partitioning into the
+    * write and skews file sizes; the shuffle is the price of even
+    * output. Row-preservation is gate-checked (q63); the file-count
+    * contract is asserted in LayoutSpec. */
+  def compact(spark: SparkSession, in: String, out: String,
+              targetFiles: Int): Unit =
+    spark.read.parquet(in).repartition(targetFiles)
+      .write.mode("overwrite").parquet(out)
+
   /** Salted inner equi-join for skewed keys: the build side is
     * replicated `saltFactor`× with an explicit salt column, the probe
     * side gets a deterministic salt in [0, saltFactor) per row, and the

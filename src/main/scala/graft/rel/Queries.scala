@@ -401,6 +401,26 @@ object Queries {
       .orderBy("lang")
   }
 
+  // Small-files compaction declared as a query: documents written
+  // fragmented (64 splits — the streaming-ingest debris pattern), then
+  // compacted to 4 even files (Layout.compact), then aggregated from
+  // the compacted copy. The oracle aggregates the ORIGINAL table:
+  // fragmentation + compaction must preserve every row. The file-count
+  // contract is plan-level and asserted in LayoutSpec.
+  def compactionAgg(s: SparkSession, dir: String): DataFrame = {
+    val frag = "/root/repo/target/graft_io/docs_fragmented"
+    val out = "/root/repo/target/graft_io/docs_compacted"
+    tbl(s, dir, "documents").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    Layout.compact(s, frag, out, 4)
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        countDistinct(col("doc_id")).as("n_ids"))
+      .orderBy("lang")
+  }
+
   // E13 at the gate: the streaming session plan (session_window grouping,
   // graft.streaming.Sessions.sessionStats) executed in BATCH mode over
   // the static events table — same ≥gap boundary semantics as
@@ -452,6 +472,7 @@ object Queries {
     "q53_bucketed_join" -> (bucketedJoinAgg _),
     "q55_session_window" -> (sessionWindowAgg _),
     "q59_partition_pruning" -> (partitionPrunedAgg _),
+    "q63_compaction" -> (compactionAgg _),
   )
 
   /** Shared by q16 (the window-based batch sessionizer) and q55 (the
@@ -656,6 +677,12 @@ object Queries {
          |  count(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // Compaction must be invisible: the oracle reads the original table.
+    "q63_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT doc_id) AS n_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Pruning must be invisible: the oracle filters the original table.
     "q59_partition_pruning" ->
       """SELECT lang, count(*) AS n_docs,

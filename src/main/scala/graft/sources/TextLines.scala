@@ -91,6 +91,16 @@ object TextLines {
     Tokenize.tokens(readLines(spark, path), "line_id", "text")
       .where(col("category").isNotNull)
 
+  /** ORC sink (Spark's other native columnar format — a lake that
+    * standardized on ORC swaps one format string). */
+  def writeOrc(df: DataFrame, out: String): Unit =
+    df.coalesce(1).write.mode("overwrite").orc(out)
+
+  /** ORC source, schema pinned (same rationale as [[readJsonl]]). */
+  def readOrc(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** CSV sink: RFC-4180 quoting (doubled quote as escape) + header, so
     * any other engine — including the DuckDB oracle's reader — parses
     * the same rows. */

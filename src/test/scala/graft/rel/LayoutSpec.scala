@@ -51,6 +51,14 @@ class LayoutSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount == 1)
   }
 
+  test("q63 compaction rewrites the fragmented directory into 4 even files") {
+    graft.SparkEntry.queries("q63_compaction")(spark, sf0001).collect()
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts("/root/repo/target/graft_io/docs_fragmented") == 64)
+    assert(parts("/root/repo/target/graft_io/docs_compacted") == 4)
+  }
+
   test("salted join returns exactly the plain inner-join rows") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val customer = spark.read.parquet(s"$sf0001/customer.parquet")
