@@ -164,6 +164,16 @@ object Queries {
     "q47_kmeans_refine" -> ((s, dir) =>
       Sim.kmeansRefine(tbl(s, dir, "embeddings"), nlist = 16, iters = 3)
         .orderBy("cid", "dim")),
+    // CCNet-style line-level boilerplate removal. The corpus has no
+    // '. '-delimited structure (single word streams), so the query
+    // injects a deterministic boilerplate header/footer around every
+    // document (q45's fixture pattern, mirrored in the oracle): the
+    // injected lines hit df=corpus and are dropped, the real text
+    // (df=1) survives — every branch of the operator exercised.
+    "q64_line_dedup" -> ((s, dir) =>
+      TextAnalysis.lineDedup(tbl(s, dir, "documents"),
+        concat(lit("subscribe to our newsletter. "), col("text"),
+          lit(". all rights reserved")), maxDf = 10)),
     // Model-based quality filtering (CCNet-perplexity shape): per-doc
     // average unigram log-probability under the corpus's own unigram LM
     "q58_unigram_logprob" -> ((s, dir) =>
@@ -487,6 +497,21 @@ object Queries {
     "q30_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
         |FROM lineitem""".stripMargin,
+    // string_agg skips NULLs — the dropped lines — exactly like Spark's
+    // collect_list over the conditional struct.
+    "q64_line_dedup" ->
+      """WITH i AS (SELECT doc_id,
+        |    'subscribe to our newsletter. ' || text || '. all rights reserved' AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(t, '. ')) AS line,
+        |    unnest(range(len(string_split(t, '. ')))) AS pos FROM i),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN df > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  string_agg(CASE WHEN df <= 10 THEN line END, '. ' ORDER BY pos) AS clean
+        |FROM l JOIN f USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q61_frame_sample" ->
       s"""WITH n AS (SELECT doc_id, text,
          |    1 + ${fnvSql("text")} % 32 AS n_frames FROM documents),

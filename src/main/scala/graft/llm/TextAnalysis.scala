@@ -28,6 +28,36 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "of", "and", "to", "in", "a", "is", "for", "on", "with")
 
+  /** CCNet-style line-level dedup (boilerplate removal): split each
+    * document into '. '-delimited lines, count each distinct line's
+    * document frequency across the corpus, drop lines appearing in more
+    * than `maxDf` documents, and reassemble the survivors in original
+    * order. This is the standard crawl-cleaning pass that strips nav
+    * bars / cookie banners / footers which exact- and near-dup document
+    * dedup both miss (the lines repeat; the documents differ).
+    *
+    * Scale: one hash-agg over exploded lines (the line-frequency table —
+    * distributed, map-side partial), one equi-join of lines to their
+    * frequencies (hot boilerplate lines are ordinary join skew — AQE
+    * splits them), one per-doc regroup for reassembly. Order is restored
+    * from the carried position, so the regroup needs no sort of the
+    * corpus. Output: (doc_id, n_lines, n_dropped, clean). */
+  def lineDedup(docs: DataFrame, text: Column, maxDf: Long): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(text, "\\. ")).as(Seq("pos", "line")))
+    val freq = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines.join(freq, "line")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(
+            when(col("df") <= maxDf, struct(col("pos"), col("line"))))),
+          e => e.getField("line"))).as("clean"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram-LM average log-probability per document — the dataflow of a
     * CCNet/perplexity-style model-based quality filter, with the LM being
     * the corpus's own unigram distribution (a real pipeline swaps in a
