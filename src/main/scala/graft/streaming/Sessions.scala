@@ -59,6 +59,68 @@ object Sessions {
       .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** One open (not-yet-final) session in [[sessionizeWithState]]'s
+    * per-user state. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  /** E13 with FULLY custom state: the gap sessionizer re-implemented on
+    * `flatMapGroupsWithState` + event-time timeout — the API a pipeline
+    * reaches for when `session_window` can't express its semantics
+    * (e.g. per-session early results, value-dependent gaps, capped
+    * session length). Semantics here intentionally match [[sessionAgg]]
+    * so the MemoryStream spec can assert equality against the
+    * oracle-checked batch plan.
+    *
+    * Mechanics: per user, open sessions merge arriving events by the
+    * ≥gap rule; a session is EMITTED (append mode) only once the
+    * watermark passes its end + gap — the point it can no longer grow —
+    * via `GroupState.setTimeoutTimestamp`. State per key is O(open
+    * sessions within the watermark horizon), evicted on emission. */
+  def sessionizeWithState(events: DataFrame,
+                          gapUs: Long = 1800L * 1000000L,
+                          late: String = "1 hour")
+      : Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+
+    def merge(sessions: List[OpenSession], evs: Seq[Long]): List[OpenSession] = {
+      val all = (sessions ++ evs.map(u => OpenSession(u, u, 1L)))
+        .sortBy(s => (s.startUs, s.endUs))
+      all.foldLeft(List.empty[OpenSession]) {
+        case (acc @ (cur :: rest), s) if s.startUs - cur.endUs < gapUs =>
+          OpenSession(cur.startUs, math.max(cur.endUs, s.endUs), cur.n + s.n) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+    }
+
+    events
+      .withWatermark("ts", late)
+      // the watermarked ts column must survive into the stateful
+      // operator's input — projecting it away detaches the watermark
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSession], (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[List[OpenSession]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val merged = merge(state.getOption.getOrElse(Nil),
+            rows.map(_._3).toSeq.sorted)
+          // final = can no longer grow: watermark passed end + gap
+          val (fin, open) = merged.partition(_.endUs + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val nextClose = (open.map(_.endUs).min + gapUs) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(nextClose, state.getCurrentWatermarkMs() + 1L))
+          }
+          fin.sortBy(_.startUs).iterator
+            .map(s => (user, s.startUs, s.endUs, s.n))
+      }
+  }
+
   /** Running per-user event count + value total — the custom-keyed-state
     * pattern (KeyValueGroupedDataset.mapGroupsWithState). State here is a
     * simple (count, sum) pair; a production pipeline would hold session

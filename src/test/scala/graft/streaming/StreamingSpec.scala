@@ -46,6 +46,39 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch, s"stream=$stream batch=$batch")
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the batch sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = Sessions.sessionizeWithState(streamDf)
+      .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    mem.addData(mkEvents: _*)
+    q.processAllAvailable()
+    // sentinels on an unused user advance the global watermark far past
+    // every real session's close point; the second batch lets the
+    // event-time timeouts fire and flush the final sessions
+    mem.addData((99L, 99L, base + 20 * gapUs, 0.0))
+    q.processAllAvailable()
+    mem.addData((100L, 99L, base + 40 * gapUs, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fmgws_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != 99L).toSet // drop the watermark-sentinel user
+    // the oracle-checked batch boundaries (same rows as
+    // "streaming session_window equals..." above)
+    val expected = Set(
+      (1L, base, base + gapUs - 1, 2L),
+      (1L, base + 3 * gapUs, base + 3 * gapUs, 1L),
+      (2L, base, base, 1L),
+      (2L, base + 2 * gapUs, base + 2 * gapUs, 1L))
+    assert(got == expected, got.toString)
+  }
+
   test("tumblingAgg drops events later than the watermark (E13 late data)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
