@@ -224,6 +224,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into dedup GROUPS (keep the minimum doc id
+    * per component, drop the rest): pairs are not transitive-closed, so
+    * without it a chain a~b~c dedups to two survivors instead of one.
+    *
+    * Algorithm: iterative min-label propagation (the Pregel/hash-to-min
+    * shape GraphX and large-scale CC papers use — each round every node
+    * takes the min of its own and its neighbors' labels) with per-round
+    * `localCheckpoint` lineage truncation (the [[graft.llm.Sim]] k-means
+    * pattern) and a driver-side fixpoint check — one tiny count per
+    * round, the standard iterative-algorithm control loop; rounds needed
+    * = graph diameter, which for near-dup clusters is small. Each round
+    * is one equi-join + one min-agg: fully distributed, shuffle O(edges).
+    *
+    * Output: (doc_id, component) for every doc appearing in a pair;
+    * component = min doc id reachable — its canonical survivor. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val msgs = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionAll(msgs)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** Exact all-pairs n-gram Jaccard over a bounded id range (the
     * brute-force baseline that oracles the MinHash path). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -47,6 +47,14 @@ object Queries {
       Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
         maxDist = 16)
         .orderBy("d1", "d2")),
+    // E15 closure: near-dup PAIRS -> dedup GROUPS via distributed
+    // connected components (min-label propagation to fixpoint); the
+    // oracle transitive-closes the same pair set with a recursive CTE
+    "q65_dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+          k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1))
+        .orderBy("doc_id")),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -252,6 +260,19 @@ object Queries {
        |SELECT d1, d2, inter / (total - inter) AS jaccard FROM j
        |WHERE inter / (total - inter) >= 0.1 ORDER BY d1, d2""".stripMargin
 
+  /** DuckDB twin of [[Dedup.connectedComponents]] over the q18 pair set:
+    * the recursive CTE transitive-closes the same edges, so min(reach)
+    * per node IS the component's minimum id — exactly the fixpoint the
+    * Spark min-label propagation converges to. */
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($minhashOracle) mh),
+       |e AS (SELECT d1 AS n, d2 AS m FROM p UNION ALL SELECT d2, d1 FROM p),
+       |r AS (SELECT n, n AS reach FROM (SELECT DISTINCT n FROM e) b
+       |  UNION
+       |  SELECT e.n, r.reach FROM e JOIN r ON e.m = r.n)
+       |SELECT n AS doc_id, min(reach) AS component FROM r
+       |GROUP BY n ORDER BY doc_id""".stripMargin
+
   /** Shared q19/q54 CTE chain ending in `sh(doc_id, sh_hi, sh_lo)`:
     * DuckDB twin of [[Dedup.simhashAgg]] — same two FNV streams, same
     * 64 conditional vote sums, bits summed (disjoint ⇒ sum ≡ OR). */
@@ -403,6 +424,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> minhashOracle,
+    "q65_dedup_components" -> componentsOracle,
     "q19_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh_hi, sh_lo FROM sh ORDER BY doc_id""".stripMargin,

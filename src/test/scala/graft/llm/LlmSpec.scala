@@ -96,6 +96,21 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents closes chains to one canonical survivor") {
+    // a~b, b~c must land in ONE component (pairwise dedup alone would
+    // keep two survivors); disconnected pairs stay separate
+    val pairs = Seq((5L, 1L), (5L, 9L), (20L, 21L), (9L, 30L))
+      .toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 30L -> 1L,
+      20L -> 20L, 21L -> 20L), got.toString)
+  }
+}
+
 class SimSpec extends SparkSpec {
   import spark.implicits._
 
