@@ -435,6 +435,49 @@ object Queries {
       .orderBy("user_id", "sess_id")
   }
 
+  // E2/E3 breadth: FULL OUTER join with explicit key coalescence —
+  // per-customer order counts under two disjoint status filters, where
+  // either side may be missing. Output keys are coalesced and counts
+  // zero-filled so the row set is null-free and totally ordered on both
+  // engines (null-ordering defaults differ between Spark and DuckDB).
+  def fullOuterCounts(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    def byStatus(st: String, as: String) =
+      orders.filter(col("o_orderstatus") === st)
+        .groupBy(col("o_custkey").as(s"${as}_key"))
+        .agg(count(lit(1)).as(as))
+    val f = byStatus("F", "n_f")
+    val p = byStatus("P", "n_p")
+    f.join(p, col("n_f_key") === col("n_p_key"), "full_outer")
+      .select(coalesce(col("n_f_key"), col("n_p_key")).as("custkey"),
+        coalesce(col("n_f"), lit(0L)).as("n_f"),
+        coalesce(col("n_p"), lit(0L)).as("n_p"))
+      .orderBy("custkey")
+  }
+
+  // Schema evolution via parquet mergeSchema: two writer generations of
+  // the same table (v2 adds a column), read back as ONE unified schema
+  // with the missing column null-filled — the lake reality of a source
+  // whose schema grows over years of ingest. The oracle recomputes both
+  // generations' aggregates from the original table.
+  def schemaEvolutionAgg(s: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/graft_io/evolving_docs"
+    val docs = tbl(s, dir, "documents")
+    docs.select(col("doc_id"), col("lang"))
+      .where(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .where(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   // E14: exact deduplication by full text content.
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -473,6 +516,8 @@ object Queries {
     "q55_session_window" -> (sessionWindowAgg _),
     "q59_partition_pruning" -> (partitionPrunedAgg _),
     "q63_compaction" -> (compactionAgg _),
+    "q66_full_outer" -> (fullOuterCounts _),
+    "q67_schema_evolution" -> (schemaEvolutionAgg _),
   )
 
   /** Shared by q16 (the window-based batch sessionizer) and q55 (the
@@ -677,6 +722,21 @@ object Queries {
          |  count(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q66_full_outer" ->
+      """WITH f AS (SELECT o_custkey AS k, count(*) AS n_f FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY k),
+        |p AS (SELECT o_custkey AS k, count(*) AS n_p FROM orders
+        |  WHERE o_orderstatus = 'P' GROUP BY k)
+        |SELECT coalesce(f.k, p.k) AS custkey,
+        |  coalesce(n_f, 0) AS n_f, coalesce(n_p, 0) AS n_p
+        |FROM f FULL JOIN p ON f.k = p.k ORDER BY custkey""".stripMargin,
+    // Both generations recomputed from the original table: gen-1 rows
+    // (even ids) have no n_chars, gen-2 rows (odd ids) do.
+    "q67_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) ELSE 0 END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Compaction must be invisible: the oracle reads the original table.
     "q63_compaction" ->
       """SELECT lang, count(*) AS n_docs,
