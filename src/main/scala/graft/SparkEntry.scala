@@ -135,6 +135,22 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // Corrupt-tolerant ingestion: PERMISSIVE CSV with the malformed row
+    // quarantined into _corrupt_record instead of failing the job. The
+    // oracle is a GOLDEN over the embedded fixture (engine-behavior
+    // semantics have no independent SQL recompute): clean rows keep
+    // their ids, the type-failed row lands in quarantine.
+    "q68_corrupt_records" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val in = sources.TextLines.ensureCorruptCsv()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType)))
+      sources.TextLines.readCsvPermissive(s, in, schema)
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("_corrupt_record").isNull, 1)).as("n_valid"),
+          count(col("_corrupt_record")).as("n_quarantined"),
+          sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("sum_valid_ids"))
+    }),
     // ORC source/sink round trip — Spark's other native columnar format,
     // same lossless-oracle contract as the CSV/JSON rows.
     "q62_orc_roundtrip" -> ((s, dir) => {
@@ -261,6 +277,11 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Golden over the fixture: 4 lines, 3 type-clean (ids 1+2+9), 1
+    // quarantined ('bad' fails the BIGINT parse).
+    "q68_corrupt_records" ->
+      """SELECT CAST(4 AS BIGINT) AS n_rows, CAST(3 AS BIGINT) AS n_valid,
+        |  CAST(1 AS BIGINT) AS n_quarantined, CAST(12 AS BIGINT) AS sum_valid_ids""".stripMargin,
     "q62_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,

@@ -118,6 +118,37 @@ object TextLines {
       .option("multiLine", "true")
       .csv(path)
 
+  /** Corrupt-tolerant CSV source: PERMISSIVE mode with the malformed
+    * raw line captured in `_corrupt_record` instead of failing the job —
+    * at crawl scale some fraction of records is ALWAYS malformed, and an
+    * ingest that dies on the first bad byte never finishes. Callers
+    * split the frame on `_corrupt_record IS NULL` (clean path) vs not
+    * (quarantine path). */
+  def readCsvPermissive(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", "false").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** Fixture for the corrupt-record query: unambiguous outcomes only —
+    * three type-clean rows and one whose doc_id fails the BIGINT parse
+    * (Spark's documented PERMISSIVE behavior: malformed field nulled,
+    * raw line captured). */
+  val CorruptCsvLines: Seq[String] =
+    Seq("1,en", "2,de", "bad,fr", "9,xx")
+
+  /** Write the corrupt-CSV fixture once (idempotent). */
+  def ensureCorruptCsv(): String = {
+    val p = java.nio.file.Paths.get("/root/repo/target/graft_io/fixture/corrupt.csv")
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, CorruptCsvLines.mkString("\n").getBytes("UTF-8"))
+    }
+    p.toString
+  }
+
   /** JSON-lines sink: one JSON object per line (the interchange format
     * a crawl/ingest pipeline hands off). Lossless for string content —
     * the writer escapes, the reader unescapes. */
