@@ -43,29 +43,30 @@ object Multimodal {
       .as[MediaDoc]
   }
 
-  /** ==STUB== deterministic fake decode: real codecs absent here. */
+  private def fnvTag(payload: Array[Byte], tag: String): Long =
+    graft.functions.Fnv1a32.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        new String(payload, java.nio.charset.StandardCharsets.UTF_8) + ":" + tag),
+      graft.functions.Fnv1a32.Seed)
+
+  /** ==STUB== deterministic fake decode: real codecs absent here. Since
+    * round 5 the fake values derive from the portable
+    * [[graft.functions.Fnv1a32]] over the payload's text, so the DuckDB
+    * oracle recomputes them and q38 carries a FULL value oracle (the
+    * earlier JVM-hash stub forced a rows-only row). */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = 16 + math.abs(h % 1024)        // fake width
-    val ht = 16 + math.abs((h >> 10) % 1024) // fake height
-    val frames = 1 + math.abs((h >> 20) % 32) // fake frame count
+    val w = (16 + fnvTag(payload, "w") % 1024).toInt
+    val ht = (16 + fnvTag(payload, "h") % 1024).toInt
+    val frames = (1 + fnvTag(payload, "f") % 32).toInt
     (w, ht, frames)
   }
 
-  /** ==STUB== deterministic fake embedding of a frame sample. */
-  def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(j) = (h >>> 40).toFloat / (1L << 24).toFloat - 0.5f
-      j += 1
-    }
-    out
-  }
+  /** ==STUB== deterministic fake embedding of a frame sample. Values are
+    * 24-bit integers as floats — exactly representable, so the dump's
+    * integer signature survives the float round trip bit-for-bit on any
+    * engine. */
+  def featureStub(payload: Array[Byte], dim: Int): Array[Float] =
+    Array.tabulate(dim)(j => (fnvTag(payload, j.toString) % 16777216L).toFloat)
 
   /** Batched decode + feature extraction. `batchSize` models the decoder
     * batch shape (e.g. GPU/vectorized decode): records are processed in

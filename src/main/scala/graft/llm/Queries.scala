@@ -6,13 +6,12 @@ import org.apache.spark.sql.functions._
 /** LLM-data-pipeline query surface (SURVEY.md §2.3 E15–E17 + extensions):
   * dedup (exact is q17 in graft.rel), MinHash/SimHash near-dup,
   * n-gram Jaccard, cosine kNN (exact + banded LSH + IVF), text analysis,
-  * multimodal metadata. Everything deterministic carries a DuckDB oracle —
-  * including the LSH paths, whose hyperplane matrix is embedded in the
-  * oracle SQL as a DOUBLE[][] literal so DuckDB recomputes identical
-  * buckets, and (since round 4) the sketch paths q18/q19/q54, whose
-  * portable Fnv1a32 hashes the oracle recomputes as a plain SQL fold
-  * (see [[fnvSql]]). The only remaining rows-only row is q38, whose
-  * values derive from the declared decode ==STUB==.
+  * multimodal metadata. EVERY declared query carries a DuckDB oracle —
+  * the LSH paths embed their hyperplane matrix in the oracle SQL as a
+  * DOUBLE[][] literal so DuckDB recomputes identical buckets; the
+  * sketch paths (q18/q19/q54, round 4) and the multimodal stub decode
+  * (q38/q61, round 5) use the portable Fnv1a32, which the oracle
+  * recomputes as a plain SQL fold (see [[fnvSql]]).
   */
 object Queries {
 
@@ -106,23 +105,22 @@ object Queries {
     "q28_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"))),
     // multimodal metadata projection (real part of the stubbed pipeline)
     "q29_multimodal_meta" -> ((s, dir) => Multimodal.metadata(tbl(s, dir, "documents"))),
-    // multimodal decode + feature-extract: deterministic by construction
-    // (==STUB== decode — no codecs in this environment), declared so the
-    // batched mapPartitions pipeline has a CORRECTNESS row (rows+schema
-    // via the parquet dump; JVM-hash-derived values are not
-    // SQL-expressible, so no DuckDB oracle — schema is pinned in
-    // MultimodalSpec instead).
-    // The raw array<float> feature column is not hashable/sortable by the
-    // driver's pandas compare, so the declared output carries a
-    // deterministic scalar digest of it (xxhash64 over the comma-joined
-    // float renderings) — the raw-array schema stays pinned in
-    // MultimodalSpec.
+    // multimodal decode + feature-extract through the batched
+    // mapPartitions pipeline. FULLY DuckDB-oracled since round 5: the
+    // ==STUB== decode derives every value from the portable Fnv1a32
+    // (no codecs in this environment — a real decoder swaps into the
+    // same typed row shape). The raw array<float> feature column is not
+    // hashable/sortable by the driver's pandas compare, so the dump
+    // carries its exact integer sum instead (stub features are 24-bit
+    // ints as floats — the cast back to BIGINT is lossless); the
+    // raw-array schema stays pinned in MultimodalSpec.
     "q38_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(Multimodal.ingest(tbl(s, dir, "documents")))
         .toDF()
         .withColumn("feature_sig",
-          xxhash64(concat_ws(",", col("feature").cast("array<string>"))))
+          expr("aggregate(transform(feature, x -> CAST(x AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"))
         .drop("feature")
         .orderBy("doc_id")
     }),
@@ -534,6 +532,17 @@ object Queries {
         |  string_agg(CASE WHEN df <= 10 THEN line END, '. ' ORDER BY pos) AS clean
         |FROM l JOIN f USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DuckDB twin of the portable stub decode: same FNV tags, same mods.
+    "q38_multimodal_features" ->
+      s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+         |  CAST(16 + ${fnvSql("(text || ':w')")} % 1024 AS INTEGER) AS width,
+         |  CAST(16 + ${fnvSql("(text || ':h')")} % 1024 AS INTEGER) AS height,
+         |  CAST(1 + ${fnvSql("(text || ':f')")} % 32 AS INTEGER) AS n_frames,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(8),
+         |      j -> ${fnvSql("(text || ':' || CAST(j AS VARCHAR))")} % 16777216)),
+         |    (a, b) -> a + b) AS feature_sig
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q61_frame_sample" ->
       s"""WITH n AS (SELECT doc_id, text,
          |    1 + ${fnvSql("text")} % 32 AS n_frames FROM documents),

@@ -448,7 +448,7 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).width >= 16 && f1(0).height >= 16 && f1(0).n_frames >= 1)
   }
 
-  test("q38 output schema is pinned (no oracle — schema checked here)") {
+  test("q38 raw feature-array schema is pinned (the gate dump carries its integer sum)") {
     implicit val s = spark
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = Multimodal.extractFeatures(Multimodal.ingest(docs)).toDF()
