@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Generative properties for the invariants the example-based specs
+  * can't sweep: hash portability across the full unicode range, and
+  * partitioning-parameter invariance of the chunked/salted operators
+  * (results must be IDENTICAL for every legal chunk size / salt
+  * factor — the parameters exist for scale, not semantics). */
+class PropertySpec extends SparkSpec {
+
+  private def check(label: String, trials: Int, p: Prop): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), p)
+    assert(r.passed, s"$label: ${r.status}")
+  }
+
+  // Includes astral-plane code points (surrogate pairs in UTF-16) — the
+  // case where a per-char fold would diverge from DuckDB's per-code-
+  // point unicode() fold.
+  private val genText: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', ':', '|', 'ä', 'ß', '日', '本'),
+    1 -> Gen.oneOf("😀", "🤖", "𝔘"))).map(_.mkString)
+
+  test("fnv1a32 folds per CODE POINT (independent java-stream recompute)") {
+    check("fnv", 300, Prop.forAll(genText) { s =>
+      val independent = java.util.Arrays.stream(
+        s.codePoints().toArray).asLongStream().reduce(
+        functions.Fnv1a32.Seed,
+        (h, c) => ((h ^ c) * 16777619L) & 0xFFFFFFFFL)
+      functions.Fnv1a32.compute(UTF8String.fromString(s),
+        functions.Fnv1a32.Seed) == independent
+    })
+  }
+
+  test("chunked pair generation is chunk-size invariant (≡ reference)") {
+    import spark.implicits._
+    val vocab = Seq("am", "big", "7", "42", "Zz", "", "x-y", "q_r")
+    check("chunks", 6, Prop.forAll(
+      Gen.chooseNum(5, 9), // chunkSize — small so chunking engages
+      Gen.chooseNum(1, 4), // m
+      Gen.chooseNum(1L, 10000L)) { (c, m, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val line = Seq.fill(60 + rnd.nextInt(60))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val df = Seq((0L, line)).toDF("id", "text")
+      val got = text.CoOccur
+        .pairsViaWindow(df, "id", "text", m, chunkSize = c)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      got == RefImpl.pairs(Seq(line), m)
+    })
+  }
+
+  test("salted join is salt-factor invariant (≡ plain join)") {
+    import spark.implicits._
+    check("salt", 5, Prop.forAll(
+      Gen.chooseNum(1, 8), Gen.chooseNum(1L, 10000L)) { (salt, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val big = Seq.fill(60)((rnd.nextInt(6).toLong, rnd.nextInt(100)))
+        .toDF("k", "v")
+      val small = (0L to 5L).map(k => (k, s"dim$k")).toDF("sk", "name")
+      val plain = big.join(small, col("k") === col("sk"))
+        .select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val salted = rel.Layout.saltedJoin(big, small, "k", "sk", salt)
+        .select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      salted == plain
+    })
+  }
+}
