@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamIngest {
 
-  private def rm(p: String): Unit = {
+  private def rm(spark: SparkSession, p: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(p)
-    path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the session's hadoopConfiguration, not a fresh Configuration():
+    // on a real cluster the sink may live on object storage whose
+    // credentials/filesystem impl are session-configured
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(path, true)
   }
 
@@ -36,7 +39,7 @@ object StreamIngest {
   def ingestParquet(spark: SparkSession, in: String, glob: String,
                     schema: StructType, out: String, ckpt: String,
                     transform: DataFrame => DataFrame): DataFrame = {
-    rm(out); rm(ckpt)
+    rm(spark, out); rm(spark, ckpt)
     val q = transform(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
