@@ -71,6 +71,28 @@ object Pack {
         expr(s"(cum - n_tokens) DIV $budget").as("shard"))
   }
 
+  /** Deterministic train/val/test split: the same overflow-safe Knuth
+    * hash as [[stratifiedSample]] maps each doc id to a bucket in
+    * [0, 100); contiguous bucket ranges become the splits. No RNG state
+    * — the assignment is reproducible on any engine, cluster, or retry,
+    * and a document NEVER migrates between splits when the corpus grows
+    * (membership depends only on its own id), which is what keeps
+    * eval-set contamination impossible across pipeline re-runs.
+    * Output: docs + `split` column. */
+  def assignSplit(docs: DataFrame, trainPct: Int = 80,
+                  valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "test split must be non-empty")
+    val A = 2654435761L
+    val d32 = pmod(col("doc_id"), lit(4294967296L))
+    val lo = d32.bitwiseAND(lit(65535L))
+    val hi = shiftright(d32, 16)
+    val h32 = pmod(lo * A + pmod(hi * A, lit(65536L)) * 65536L, lit(4294967296L))
+    docs.withColumn("split",
+      when(pmod(h32, lit(100L)) < trainPct, "train")
+        .when(pmod(h32, lit(100L)) < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic stratified sampling: per-stratum (language) keep
     * rates, membership decided by a Knuth multiplicative hash of the
     * document id — no RNG state, identical output on any engine,

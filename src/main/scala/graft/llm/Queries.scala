@@ -156,6 +156,13 @@ object Queries {
         Map("en" -> 50, "de" -> 30), defaultRate = 10)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+    // Corpus prep: deterministic train/val/test split (hash-range
+    // buckets — a doc never migrates splits as the corpus grows)
+    "q69_split" -> ((s, dir) =>
+      Pack.assignSplit(tbl(s, dir, "documents"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang", "split")),
     // SemDedup-style semantic dedup: cluster via the IVF coarse
     // quantizer, report members near their cluster representative —
     // the drop set of an embedding-level near-dup pass at corpus scale
@@ -484,6 +491,17 @@ object Queries {
         |SELECT doc_id, n_tokens,
         |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Same 16-bit-split Knuth hash as q40; buckets [0,80) train,
+    // [80,90) val, [90,100) test.
+    "q69_split" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  ((doc_id % 4294967296) % 65536 * 2654435761
+        |     + ((doc_id % 4294967296) // 65536 * 2654435761) % 65536 * 65536)
+        |    % 4294967296 % 100 AS b FROM documents)
+        |SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id
+        |FROM h GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     // Same 16-bit-split Knuth hash as Pack.stratifiedSample: every
     // partial product fits BIGINT, so DuckDB computes the identical h32
     // without HUGEINT promotion or overflow for any doc_id >= 0.
