@@ -71,6 +71,25 @@ object Pack {
         expr(s"(cum - n_tokens) DIV $budget").as("shard"))
   }
 
+  /** Materialize the packed training sequences: the [[shardPack]]
+    * assignment joined back to the text, each shard's documents
+    * concatenated in doc_id order with an EOS separator — the actual
+    * "concatenate and cut" artifact a tokenizer consumes. Per-shard
+    * state is bounded by the token budget (a shard holds ≈budget
+    * tokens by construction), so the collect buffers can't blow up on
+    * skew. Output: (shard, n_docs, shard_tokens, packed). */
+  def packSequences(docs: DataFrame, budget: Long,
+                    eos: String = "<|eos|>"): DataFrame = {
+    val assigned = shardPack(docs, budget)
+    assigned.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        concat_ws(eos, transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          e => e.getField("text"))).as("packed"))
+  }
+
   /** Deterministic train/val/test split: the same overflow-safe Knuth
     * hash as [[stratifiedSample]] maps each doc id to a bucket in
     * [0, 100); contiguous bucket ranges become the splits. No RNG state

@@ -156,6 +156,11 @@ object Queries {
         Map("en" -> 50, "de" -> 30), defaultRate = 10)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+    // Corpus prep: the materialized "concatenate and cut" sequences —
+    // shard assignment joined back to text, concatenated in id order
+    "q70_pack_sequences" -> ((s, dir) =>
+      Pack.packSequences(tbl(s, dir, "documents"), budget = 4096)
+        .orderBy("shard")),
     // Corpus prep: deterministic train/val/test split (hash-range
     // buckets — a doc never migrates splits as the corpus grows)
     "q69_split" -> ((s, dir) =>
@@ -491,6 +496,18 @@ object Queries {
         |SELECT doc_id, n_tokens,
         |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q70_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, text, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+        |a AS (SELECT doc_id, text, n_tokens,
+        |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard FROM c)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     // Same 16-bit-split Knuth hash as q40; buckets [0,80) train,
     // [80,90) val, [90,100) test.
     "q69_split" ->
