@@ -59,6 +59,28 @@ object Sessions {
       .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream inner join: each click matched to the same user's
+    * views within `gap` BEFORE it, both sides watermarked so the join
+    * state is BOUNDED — without the time-band condition + watermarks a
+    * stream-stream join buffers both streams forever. This is the
+    * attribution-join shape (click ⟕ recent impressions) every event
+    * pipeline runs; the batch twin is the same expression over static
+    * frames, asserted equal in StreamingSpec. Expects `clicks`
+    * (click_id, user_id, ts) and `views` (view_id, v_user_id, ts). */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    gap: String = "10 minutes",
+                    late: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", late).alias("c")
+    val v = views.withWatermark("ts", late).alias("v")
+    c.join(v,
+      col("c.user_id") === col("v.v_user_id") &&
+        col("v.ts") >= col("c.ts") - expr(s"INTERVAL $gap") &&
+        col("v.ts") <= col("c.ts"))
+      .select(col("c.click_id"), col("c.user_id"),
+        col("v.view_id"),
+        (unix_micros(col("c.ts")) - unix_micros(col("v.ts"))).as("gap_us"))
+  }
+
   /** One open (not-yet-final) session in [[sessionizeWithState]]'s
     * per-user state. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long)

@@ -79,6 +79,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, got.toString)
   }
 
+  test("stream-stream band join equals its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val min10 = 600L * 1000000L
+    val clicksData = Seq((1L, 7L, base + min10), (2L, 7L, base + 3 * min10),
+      (3L, 8L, base))
+    val viewsData = Seq((10L, 7L, base), (11L, 7L, base + min10 - 1),
+      (12L, 7L, base + 2 * min10), (13L, 9L, base))
+    def toDf(d: Seq[(Long, Long, Long)], ids: (String, String)) =
+      d.toDF(ids._1, ids._2, "us").withColumn("ts", timestamp_micros(col("us"))).drop("us")
+
+    val memC = MemoryStream[(Long, Long, Long)]
+    val memV = MemoryStream[(Long, Long, Long)]
+    val q = Sessions.clickViewJoin(
+        memC.toDF().toDF("click_id", "user_id", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+        memV.toDF().toDF("view_id", "v_user_id", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    memC.addData(clicksData: _*)
+    memV.addData(viewsData: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val batch = Sessions.clickViewJoin(
+        toDf(clicksData, ("click_id", "user_id")),
+        toDf(viewsData, ("view_id", "v_user_id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream == batch && batch.nonEmpty, s"stream=$stream batch=$batch")
+  }
+
   test("tumblingAgg drops events later than the watermark (E13 late data)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
