@@ -478,6 +478,26 @@ object Queries {
       .orderBy("lang")
   }
 
+  // E4/E6 breadth: argmax/argmin aggregates (max_by/min_by) — "which
+  // row attains the extreme", the lookup every leaderboard query wants
+  // without a window. The ordering key packs a doc_id tiebreak into one
+  // BIGINT (n_chars·2³² + doc_id — lexicographic for doc_id < 2³²,
+  // overflow-free for n_chars < 2³¹): bare max_by on a tied measure is
+  // nondeterministic in BOTH engines, and DuckDB's arg_max takes only
+  // scalar orderings.
+  def argExtremes(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("ord", col("n_chars") * lit(4294967296L) + col("doc_id"))
+      .groupBy("lang")
+      .agg(
+        expr("max_by(doc_id, ord)").as("longest_doc"),
+        expr("min_by(doc_id, ord)").as("shortest_doc"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .orderBy("lang")
+
   // E14: exact deduplication by full text content.
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -518,6 +538,7 @@ object Queries {
     "q63_compaction" -> (compactionAgg _),
     "q66_full_outer" -> (fullOuterCounts _),
     "q67_schema_evolution" -> (schemaEvolutionAgg _),
+    "q71_argmax" -> (argExtremes _),
   )
 
   /** Shared by q16 (the window-based batch sessionizer) and q55 (the
@@ -737,6 +758,15 @@ object Queries {
         |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) ELSE 0 END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q71_argmax" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) AS BIGINT) * 4294967296 + doc_id AS ord
+        |  FROM documents)
+        |SELECT lang,
+        |  arg_max(doc_id, ord) AS longest_doc,
+        |  arg_min(doc_id, ord) AS shortest_doc,
+        |  max(n_chars) AS max_chars, min(n_chars) AS min_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     // Compaction must be invisible: the oracle reads the original table.
     "q63_compaction" ->
       """SELECT lang, count(*) AS n_docs,
