@@ -28,6 +28,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q18 verify scans the corpus exactly 3 times (shingles once, text twice)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = llm.Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // candidates (shingle expression) + the two candidate-only verify
+    // sides (raw text, shingles recomputed post-join) — a regression to
+    // corpus-wide shingle re-evaluation shows up as extra scans of the
+    // shingle projection
+    assert(scans.size == 3, s"${scans.size} scans")
+  }
+
   test("q37 broadcasts the tiny query side (corpus streams once)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val p = finalPlan(llm.Sim.annKnn(emb, nQuery = 10, k = 5))
