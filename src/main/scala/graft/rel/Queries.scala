@@ -498,6 +498,37 @@ object Queries {
         min(col("n_chars")).as("min_chars"))
       .orderBy("lang")
 
+  // E11 breadth: OUTER generator semantics — posexplode_outer keeps a
+  // (null, null) row for documents whose match array is empty, where
+  // plain posexplode would silently drop the document. 'table' occurs in
+  // some documents and not others, so both branches are exercised.
+  def outerExplodeCounts(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode_outer(expr("regexp_extract_all(text, 'table', 0)"))
+          .as(Seq("pos", "hit")))
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_rows"))
+      .orderBy("doc_id")
+
+  // Union-by-name with missing-column null fill — the DataFrame-level
+  // cousin of q67's mergeSchema: two projections with different column
+  // sets and orders union into one frame without positional mixups.
+  def unionByNameAgg(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val v1 = docs.where(col("doc_id") % 2 === 0)
+      .select(col("lang"), col("doc_id")) // reversed order on purpose
+    val v2 = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy("lang")
+  }
+
   // E14: exact deduplication by full text content.
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -539,6 +570,8 @@ object Queries {
     "q66_full_outer" -> (fullOuterCounts _),
     "q67_schema_evolution" -> (schemaEvolutionAgg _),
     "q71_argmax" -> (argExtremes _),
+    "q72_outer_explode" -> (outerExplodeCounts _),
+    "q73_union_by_name" -> (unionByNameAgg _),
   )
 
   /** Shared by q16 (the window-based batch sessionizer) and q55 (the
@@ -757,6 +790,18 @@ object Queries {
       """SELECT lang, count(*) AS n_docs,
         |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) ELSE 0 END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // The outer row contributes to n_rows (count(*)) but not n_hits
+    // (count over the null hit).
+    "q72_outer_explode" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'table')) AS BIGINT) AS n_hits,
+        |  CAST(greatest(len(regexp_extract_all(text, 'table')), 1) AS BIGINT) AS n_rows
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q73_union_by_name" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
+        |  min(doc_id) AS min_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q71_argmax" ->
       """WITH d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
