@@ -44,6 +44,19 @@ object SparkEntry {
     // O8: windowed pairs, m=4
     "pairs_m4" -> ((s, dir) =>
       CoOccur.pairs(tbl(s, dir, "documents"), "text", 4).orderBy("w1", "w2")),
+    // O9 in the reference's ACTUAL output shape: map-typed stripes
+    // (MapWritable per word, including the EMPTY stripes the reference
+    // writes unconditionally for category words). Map columns can't be
+    // gate-compared directly (engine-specific entry order, FIXTURES.md
+    // §3), so the declared row renders each map as its key-sorted
+    // "neighbor:cnt|…" string — order-canonical on both engines.
+    "q74_stripes_map" -> ((s, dir) =>
+      CoOccur.stripesMap(tbl(s, dir, "documents"), "text", 1)
+        .select(col("word"),
+          concat_ws("|", transform(array_sort(map_entries(col("stripe"))),
+            e => concat_ws(":", e.getField("key"), e.getField("value"))))
+            .as("stripe"))
+        .orderBy("word")),
     // O9: stripes m=1 (exploded oracle form, FIXTURES.md §3)
     "stripes_m1" -> ((s, dir) =>
       CoOccur.stripesExploded(tbl(s, dir, "documents"), "text", 1).orderBy("word", "neighbor")),
@@ -246,6 +259,22 @@ object SparkEntry {
          |GROUP BY category, tok ORDER BY category, tok""".stripMargin,
     "pairs_m1" -> pairsOracle(1),
     "pairs_m4" -> pairsOracle(4),
+    // Every occurrence-distinct category word appears, empty stripe or
+    // not (HadoopWordStripes2.java:108-111); entries key-sorted.
+    "q74_stripes_map" ->
+      s"""$tokCatCte,
+         |w AS (SELECT DISTINCT tok AS word FROM c WHERE cat IS NOT NULL),
+         |sp AS (SELECT a.tok AS word, b.tok AS neighbor, count(*) AS cnt
+         |  FROM c a JOIN c b ON a.doc_id = b.doc_id
+         |    AND b.pos BETWEEN a.pos - 1 AND a.pos + 1 AND b.pos <> a.pos
+         |    AND b.cat = a.cat
+         |  WHERE a.cat IS NOT NULL
+         |  GROUP BY word, neighbor),
+         |agg AS (SELECT word,
+         |    string_agg(neighbor || ':' || cnt, '|' ORDER BY neighbor) AS stripe
+         |  FROM sp GROUP BY word)
+         |SELECT w.word, coalesce(agg.stripe, '') AS stripe
+         |FROM w LEFT JOIN agg ON w.word = agg.word ORDER BY w.word""".stripMargin,
     "stripes_m1" -> stripesOracle(1),
     "stripes_m4" -> stripesOracle(4),
     // The raw-text oracle runs over the same fixture lines as SQL VALUES
