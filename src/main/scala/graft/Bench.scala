@@ -58,7 +58,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val nFailed = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the JSON line to a file: the committed BENCH artifact
+    // must never depend on stdout tail capture (BENCH_r05.json lost its
+    // head to truncation). SPARK_GRAFT_BENCH_OUT overrides the path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }
