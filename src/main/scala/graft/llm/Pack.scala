@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,6 +9,34 @@ import org.apache.spark.sql.functions._
   * pure arithmetic over the corpus — fully DuckDB-oracle-able.
   */
 object Pack {
+
+  /** Deterministic subword-aware token-count estimate:
+    * `max(whitespace_words, ceil(utf8_bytes / 4))`.
+    *
+    * A whitespace split systematically under-counts what a BPE
+    * tokenizer produces (long words split into several subword units;
+    * non-ASCII text costs more bytes per character and more tokens per
+    * word — BPE output averages ≈4 UTF-8 bytes/token on web text, the
+    * same heuristic OpenAI/Anthropic docs quote for English). Taking
+    * the max with ceil(bytes/4) restores honesty on exactly the
+    * documents whitespace gets most wrong (CJK text with few spaces,
+    * URLs, code, base64 blobs) while staying a pure integer expression
+    * both engines compute identically — no float division, no
+    * tokenizer model artifact to ship. By construction the estimate is
+    * ≥ the whitespace count (pinned by a ScalaCheck property).
+    * Reference twin: none — the reference splits on a single space
+    * (`SparkWordCount.scala:28`) and has no tokenizer either. */
+  def estTokens(text: Column): Column =
+    greatest(
+      size(split(text, " ", -1)).cast("long"),
+      shiftright(octet_length(text).cast("long") + lit(3L), 2))
+
+  /** The DuckDB twin of [[estTokens]] over a column expression `c` —
+    * kept next to the Spark form so the two can only drift visibly.
+    * DuckDB `strlen` is byte length (= Spark `octet_length`); `//4`
+    * on BIGINT matches the shiftright. */
+  def estTokensSql(c: String): String =
+    s"greatest(CAST(len(string_split($c, ' ')) AS BIGINT), (strlen($c)+3)//4)"
 
   /** Token-budget sequence packing — the LLM-pretraining "concatenate
     * and cut" pattern: documents are concatenated in doc_id order and
@@ -33,7 +61,7 @@ object Pack {
     * data-derived bucket agrees by construction. Requires doc_id >= 0. */
   def shardPack(docs: DataFrame, budget: Long, nPartitions: Int = 32): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      estTokens(col("text")).as("n_tokens"))
     // Broadcast scalar bounds: one tiny agg over the pruned doc_id column.
     val bounds = toks.agg(min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     // width = span div n + 1 => pid in [0, nPartitions-1], no overflow.
@@ -65,7 +93,7 @@ object Pack {
     val w = Window.orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        estTokens(col("text")).as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) DIV $budget").as("shard"))

@@ -488,8 +488,8 @@ object Queries {
     "q35_ivf_knn" -> ivfKnnOracle,
     "q46_cluster_dedup" -> clusterDedupOracle,
     "q39_shard_pack" ->
-      """WITH t AS (SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      s"""WITH t AS (SELECT doc_id,
+        |  ${Pack.estTokensSql("text")} AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |  sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
@@ -497,8 +497,8 @@ object Queries {
         |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
     "q70_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      s"""WITH t AS (SELECT doc_id, text,
+        |  ${Pack.estTokensSql("text")} AS n_tokens FROM documents),
         |c AS (SELECT doc_id, text, n_tokens,
         |  sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
@@ -530,10 +530,10 @@ object Queries {
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
     "q41_corpus_clean" ->
-      """WITH q AS (SELECT doc_id, text,
+      s"""WITH q AS (SELECT doc_id, text,
         |  list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
         |r AS (SELECT doc_id, text, len(ts) AS n_tokens,
-        |  len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$'))) AS n_alpha,
+        |  len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$$'))) AS n_alpha,
         |  len(list_filter(ts, t -> list_contains(['the','of','and','to','in','a','is','for','on','with'], t))) AS n_stop
         |  FROM q),
         |k AS (SELECT doc_id, text FROM r WHERE
@@ -542,7 +542,7 @@ object Queries {
         |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) >= 0.9),
         |d AS (SELECT min(doc_id) AS doc_id, text FROM k GROUP BY text),
         |t AS (SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM d),
+        |  ${Pack.estTokensSql("text")} AS n_tokens FROM d),
         |c AS (SELECT doc_id, n_tokens,
         |  sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)

@@ -54,6 +54,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("estTokens ≥ whitespace count, = max(words, ceil(bytes/4))") {
+    import spark.implicits._
+    check("estTokens", 30, Prop.forAll(Gen.listOfN(8, genText)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          llm.Pack.estTokens(col("text")).as("est"),
+          size(split(col("text"), " ", -1)).cast("long").as("words"))
+        .collect()
+      rows.forall { r =>
+        val (est, words) = (r.getLong(1), r.getLong(2))
+        val bytes = texts(r.getLong(0).toInt).getBytes("UTF-8").length.toLong
+        est >= words && est == math.max(words, (bytes + 3) / 4)
+      }
+    })
+  }
+
   test("salted join is salt-factor invariant (≡ plain join)") {
     import spark.implicits._
     check("salt", 5, Prop.forAll(
