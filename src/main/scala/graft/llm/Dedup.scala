@@ -88,20 +88,7 @@ object Dedup {
   def minhashCandidatesFromShingles(sh: DataFrame, nBuckets: Int = 64,
                                     bandSize: Int = 4,
                                     maxBucket: Int = 1000): DataFrame = {
-    graft.functions.HashExprs.register(sh.sparkSession)
-    val hashed = sh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), graft.functions.HashExprs.fnv1a32("s").as("h"))
-    val bucketMins = hashed
-      .groupBy(col("doc_id"), pmod(col("h"), lit(nBuckets)).as("bucket"))
-      .agg(min(col("h")).as("mh"))
-    val bandKeys = bucketMins
-      .groupBy(col("doc_id"), (col("bucket") / lit(bandSize)).cast("int").as("band"))
-      .agg(concat_ws("|", transform(
-        sort_array(collect_list(struct(col("bucket"), col("mh")))),
-        e => concat_ws(":", e.getField("bucket"), e.getField("mh")))).as("sig"))
-      .select(col("doc_id"), col("band"),
-        graft.functions.HashExprs.fnv1a32("sig").as("bkey"))
+    val bandKeys = bandKeysFromShingles(sh, nBuckets, bandSize)
     val buckets = bandKeys.groupBy("band", "bkey")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -110,6 +97,92 @@ object Dedup {
       .select(col("d1"), explode(col("ids")).as("d2"))
       .where(col("d1") < col("d2"))
       .distinct()
+  }
+
+  /** The (doc_id, band, bkey) LSH band-key table over a pre-computed
+    * shingle frame — the signature every MinHash path shares: q18's
+    * intra-corpus candidate join consumes it directly, and the
+    * incremental path persists it as the cross-batch signature store.
+    * See [[minhashCandidatesFromShingles]]'s scaladoc for why the band
+    * key is an FNV re-hash of the canonical `bucket:min|…` signature
+    * string (8-byte shuffle keys; collision-safe under the exact
+    * verify; bit-identical in DuckDB). */
+  def bandKeysFromShingles(sh: DataFrame, nBuckets: Int = 64,
+                           bandSize: Int = 4): DataFrame = {
+    graft.functions.HashExprs.register(sh.sparkSession)
+    val hashed = sh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), graft.functions.HashExprs.fnv1a32("s").as("h"))
+    val bucketMins = hashed
+      .groupBy(col("doc_id"), pmod(col("h"), lit(nBuckets)).as("bucket"))
+      .agg(min(col("h")).as("mh"))
+    bucketMins
+      .groupBy(col("doc_id"), (col("bucket") / lit(bandSize)).cast("int").as("band"))
+      .agg(concat_ws("|", transform(
+        sort_array(collect_list(struct(col("bucket"), col("mh")))),
+        e => concat_ws(":", e.getField("bucket"), e.getField("mh")))).as("sig"))
+      .select(col("doc_id"), col("band"),
+        graft.functions.HashExprs.fnv1a32("sig").as("bkey"))
+  }
+
+  /** The persisted half of incremental dedup: batch N−1's band keys
+    * grouped into (band, bkey, ids) bucket rows — the "signature store"
+    * a production pipeline keeps between crawls so each new batch is
+    * deduped against ALL history without ever re-shingling it.
+    * Degenerate buckets (> maxBucket ids — boilerplate black holes) are
+    * dropped at store-build time, so no future probe can quadratically
+    * expand them. */
+  def minhashSignatureStore(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
+                            maxBucket: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      nativeShingles(docs, textCol, k).as("sh"))
+    bandKeysFromShingles(sh, nBuckets, bandSize)
+      .groupBy("band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) <= maxBucket)
+  }
+
+  /** Incremental near-dup dedup: probe a NEW batch against a persisted
+    * signature store of all prior batches — the production shape of
+    * E15 (a crawl pipeline never re-deduplicates 100 TB of history per
+    * increment; it keeps the band-key store and probes it).
+    *
+    * `store` is a [[minhashSignatureStore]] frame (typically read back
+    * from its bucketed table — see the q75 declaration); `history`
+    * supplies raw text only for the exact-Jaccard verify of the
+    * candidates, which are ≪ batch at production thresholds. Scale: the
+    * probe is an equi-join on (band, bkey) — when the store is bucketed
+    * by bkey, its side joins exchange-free (HashPartitioning(bkey)
+    * satisfies the (band, bkey) clustering); shuffle volume is
+    * O(new-batch band keys), never O(history).
+    *
+    * Output: (doc_id, dup_of, jaccard) — new docs near-duplicating a
+    * historical doc; anti-joining the new batch on doc_id gives the
+    * keep set. */
+  def incrementalNearDups(fresh: DataFrame, store: DataFrame,
+                          history: DataFrame, idCol: String, textCol: String,
+                          k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val freshSh = fresh.select(col(idCol).as("doc_id"),
+      nativeShingles(fresh, textCol, k).as("sh"))
+    val cands = bandKeysFromShingles(freshSh, nBuckets, bandSize)
+      .join(store, Seq("band", "bkey"))
+      .select(col("doc_id"), explode(col("ids")).as("dup_of"))
+      .distinct()
+    graft.functions.TextExprs.register(fresh.sparkSession)
+    cands
+      .join(fresh.select(col(idCol).as("doc_id"), col(textCol).as("__tf")), "doc_id")
+      .join(history.select(col(idCol).as("dup_of"), col(textCol).as("__th")), "dup_of")
+      .select(col("doc_id"), col("dup_of"),
+        graft.functions.TextExprs.shingles("__tf", k).as("shf"),
+        graft.functions.TextExprs.shingles("__th", k).as("shh"))
+      .select(col("doc_id"), col("dup_of"),
+        size(array_intersect(col("shf"), col("shh"))).cast("double").as("inter"),
+        (size(col("shf")) + size(col("shh"))).cast("double").as("total"))
+      .select(col("doc_id"), col("dup_of"),
+        (col("inter") / (col("total") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** MinHash near-dup pairs verified with exact Jaccard ≥ threshold.

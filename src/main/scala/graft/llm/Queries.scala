@@ -54,6 +54,26 @@ object Queries {
         Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
           k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1))
         .orderBy("doc_id")),
+    // E15 production shape (VERDICT r5 item 4): incremental dedup of a
+    // NEW batch against the PERSISTED signature store of prior history —
+    // a crawl pipeline never re-deduplicates its history per increment;
+    // it keeps the band-key store (bucketed by bkey: the probe join
+    // rides the bucket layout exchange-free on the store side) and
+    // probes it with each new batch. Generations are the doc_id-parity
+    // split (even = history, odd = new batch); the oracle recomputes
+    // both generations end to end, so loss or duplication across the
+    // persist/read-back boundary fails the row.
+    "q75_incremental_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val fresh = docs.where(col("doc_id") % 2 === 1)
+      graft.rel.Layout.writeBucketed(
+        Dedup.minhashSignatureStore(history, "doc_id", "text"),
+        "minhash_store_bkt", "bkey", 8)
+      Dedup.incrementalNearDups(fresh, s.table("minhash_store_bkt"),
+        history, "doc_id", "text", threshold = 0.1)
+        .orderBy("doc_id", "dup_of")
+    }),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -283,6 +303,41 @@ object Queries {
        |SELECT n AS doc_id, min(reach) AS component FROM r
        |GROUP BY n ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of the q75 incremental path: recomputes BOTH
+    * generations' band keys (same CTE chain as [[minhashOracle]]), joins
+    * the odd (new-batch) keys against the even (history) keys with the
+    * same store-side bucket cap, and exact-Jaccard-verifies — so the
+    * Spark side's persist/read-back of the signature store must be
+    * lossless to match. */
+  private val incrementalOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+       |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+       |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |hx AS (SELECT doc_id, ${fnvSql("s")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM f) u),
+       |bm AS (SELECT doc_id, h % 64 AS bucket, min(h) AS mh
+       |  FROM hx GROUP BY doc_id, bucket),
+       |sg AS (SELECT doc_id, bucket // 4 AS band,
+       |    string_agg(bucket || ':' || mh, '|' ORDER BY bucket) AS sig
+       |  FROM bm GROUP BY doc_id, band),
+       |bk AS (SELECT doc_id, band, ${fnvSql("sig")} AS bkey FROM sg),
+       |hb AS (SELECT doc_id, band, bkey FROM bk WHERE doc_id % 2 = 0),
+       |nb AS (SELECT doc_id, band, bkey FROM bk WHERE doc_id % 2 = 1),
+       |sz AS (SELECT band, bkey FROM hb GROUP BY band, bkey
+       |  HAVING count(*) <= 1000),
+       |c AS (SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS dup_of
+       |  FROM nb n
+       |  JOIN hb h ON n.band = h.band AND n.bkey = h.bkey
+       |  JOIN sz ON sz.band = h.band AND sz.bkey = h.bkey),
+       |j AS (SELECT c.doc_id, c.dup_of,
+       |    CAST(len(list_intersect(fn.sh, fh.sh)) AS DOUBLE) AS inter,
+       |    CAST(len(fn.sh) + len(fh.sh) AS DOUBLE) AS total
+       |  FROM c JOIN f fn ON fn.doc_id = c.doc_id
+       |  JOIN f fh ON fh.doc_id = c.dup_of)
+       |SELECT doc_id, dup_of, inter / (total - inter) AS jaccard FROM j
+       |WHERE inter / (total - inter) >= 0.1 ORDER BY doc_id, dup_of""".stripMargin
+
   /** Shared q19/q54 CTE chain ending in `sh(doc_id, sh_hi, sh_lo)`:
     * DuckDB twin of [[Dedup.simhashAgg]] — same two FNV streams, same
     * 64 conditional vote sums, bits summed (disjoint ⇒ sum ≡ OR). */
@@ -435,6 +490,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> minhashOracle,
     "q65_dedup_components" -> componentsOracle,
+    "q75_incremental_dedup" -> incrementalOracle,
     "q19_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh_hi, sh_lo FROM sh ORDER BY doc_id""".stripMargin,

@@ -81,6 +81,24 @@ class DedupSpec extends SparkSpec {
     assert(perRow == agg)
   }
 
+  test("incremental dedup equals full-corpus near-dups restricted to cross-batch pairs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = real.where(col("doc_id") % 2 === 0)
+    val fresh = real.where(col("doc_id") % 2 === 1)
+    val store = Dedup.minhashSignatureStore(history, "doc_id", "text")
+    val inc = Dedup.incrementalNearDups(fresh, store, history,
+        "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The full single-corpus pass over history ∪ fresh, keeping only
+    // cross-parity pairs reoriented (fresh, hist) — candidate generation
+    // and verify must agree exactly with the store-probe path.
+    val full = Dedup.minhashNearDups(real, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("fnv1a32 matches published FNV-1a vectors and stays in [0, 2^32)") {
     graft.functions.HashExprs.register(spark)
     val got = Seq((0L, ""), (1L, "a"), (2L, "abc"), (3L, "the quick brown"),
