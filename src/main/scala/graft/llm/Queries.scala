@@ -121,6 +121,10 @@ object Queries {
     "q26_lang_top_terms" -> ((s, dir) => TextAnalysis.langTopTerms(tbl(s, dir, "documents"), 5)),
     // E17: TF-IDF
     "q27_tfidf" -> ((s, dir) => TextAnalysis.tfidf(tbl(s, dir, "documents"))),
+    // E17 (VERDICT r5 item 5): Okapi BM25 at DOCUMENT granularity — the
+    // per-doc retrieval score a curation pipeline ranks with (q27's
+    // document unit is the language)
+    "q76_bm25" -> ((s, dir) => TextAnalysis.bm25(tbl(s, dir, "documents"))),
     // E17: rolling-hash fingerprint
     "q28_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"))),
     // multimodal metadata projection (real part of the stubbed pipeline)
@@ -338,6 +342,26 @@ object Queries {
        |SELECT doc_id, dup_of, inter / (total - inter) AS jaccard FROM j
        |WHERE inter / (total - inter) >= 0.1 ORDER BY doc_id, dup_of""".stripMargin
 
+  /** DuckDB twin of [[TextAnalysis.bm25]]: same exact-count tf/dl/df
+    * CTEs, and the per-row BM25 expression with IDENTICAL operation
+    * order and the k1/b constants pre-combined in Scala so both engines
+    * parse the same double literals (`${"$"}{k1+1}` etc. round-trip via
+    * Double.toString). round(.,6) absorbs libm `ln` ulp drift. */
+  private def bm25Oracle(k1: Double, b: Double): String =
+    s"""WITH tok AS (SELECT doc_id, t AS tok FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+       |  WHERE t <> ''),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+       |SELECT f.doc_id, f.tok, f.tf, g.df,
+       |  round(ln((st.n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0)
+       |    * (f.tf * ${k1 + 1})
+       |    / (f.tf + $k1 * (${1 - b} + $b * CAST(d.dl AS DOUBLE) * st.n_docs / st.sum_dl)), 6) AS bm25
+       |FROM tf f JOIN dl d USING (doc_id) JOIN dft g USING (tok) CROSS JOIN st
+       |ORDER BY doc_id, tok""".stripMargin
+
   /** Shared q19/q54 CTE chain ending in `sh(doc_id, sh_hi, sh_lo)`:
     * DuckDB twin of [[Dedup.simhashAgg]] — same two FNV streams, same
     * 64 conditional vote sums, bits summed (disjoint ⇒ sum ≡ OR). */
@@ -491,6 +515,7 @@ object Queries {
     "q18_minhash_neardup" -> minhashOracle,
     "q65_dedup_components" -> componentsOracle,
     "q75_incremental_dedup" -> incrementalOracle,
+    "q76_bm25" -> bm25Oracle(1.2, 0.75),
     "q19_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh_hi, sh_lo FROM sh ORDER BY doc_id""".stripMargin,

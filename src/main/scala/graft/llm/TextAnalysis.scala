@@ -153,6 +153,39 @@ object TextAnalysis {
       .orderBy("lang", "tok")
   }
 
+  /** Okapi BM25 at document granularity (Robertson et al., TREC-3; the
+    * idf is the Lucene `ln(1 + (N-df+0.5)/(df+0.5))` non-negative
+    * variant) — the retrieval-style relevance score a data-curation
+    * pipeline uses to mine documents matching a quality corpus. q27
+    * computes TF-IDF with *languages* as the document unit; this is the
+    * per-document scoring a user actually ranks with.
+    *
+    * Three standard shuffles, all exact-count aggregations (tf, dl, df
+    * — no float accumulation anywhere), plus one broadcast 1-row stats
+    * frame; the per-row BM25 arithmetic is single-expression IEEE
+    * double math whose operation ORDER the DuckDB oracle mirrors
+    * exactly, with `round(.,6)` absorbing the one-ulp libm `ln`
+    * divergence (q27/q58's proven pattern). The k1/b constants are
+    * pre-combined in Scala and interpolated into BOTH plans so each
+    * engine parses the identical double literal.
+    * Output: (doc_id, tok, tf, df, bm25). */
+  def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id").join(dft, "tok").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) +
+              lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl"))),
+          6).as("bm25"))
+      .orderBy("doc_id", "tok")
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     * Models" §A1.1 quality-filter flavor): duplicate-token fraction,
     * duplicate-2-gram fraction, and top-token fraction — the standard

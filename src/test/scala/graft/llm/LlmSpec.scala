@@ -361,6 +361,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(("en", "y")) > 0.0)
   }
 
+  test("bm25: hand-computed goldens on a 2-doc fixture") {
+    // docs: (0, "a b a"), (1, "a c") => N=2, sum_dl=5; df(a)=2, df(b)=df(c)=1
+    // bm25(0,b) = ln(2)*2.2 / (1 + 1.2*(0.25 + 0.75*3*2/5)) = .640724
+    // bm25(1,c) = ln(2)*2.2 / (1 + 1.2*(0.25 + 0.75*2*2/5)) = .754913
+    // bm25(0,a) = ln(1.2)*2*2.2 / (2 + 1.38) = .237342 (common term scores low)
+    val df = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got((0L, "b")) == 0.640724)
+    assert(got((1L, "c")) == 0.754913)
+    assert(got((0L, "a")) == 0.237342)
+    assert(got((0L, "a")) < got((0L, "b")), "corpus-wide term ranks below rare term")
+  }
+
   test("repetitionSignals: dup-token, dup-2gram, top-token goldens") {
     // "a a a b": 4 tokens, 2 distinct -> dup_tok 0.5;
     // 2-grams [a a, a a, a b]: 3 total, 2 distinct -> dup 1/3;
