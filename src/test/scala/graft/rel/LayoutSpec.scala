@@ -36,6 +36,42 @@ class LayoutSpec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("bucketed scan feeds a bare aggregation with no exchange") {
+    // The layout contract isn't join-only: a groupBy on the bucket key
+    // must also ride the scan's HashPartitioning — the daily per-key
+    // rollup over a bucketed fact table shuffles nothing.
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    Layout.writeBucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+      "orders_b_agg", "custkey", 4)
+    val agg = spark.table("orders_b_agg").groupBy("custkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(agg.count() == orders.select("o_custkey").distinct().count())
+  }
+
+  test("mismatched bucket counts reintroduce the exchange (negative contract)") {
+    // The exchange-free join is a property of MATCHING layouts, not of
+    // bucketing per se: 4-bucket ⋈ 3-bucket cannot align partitions, so
+    // the planner must re-shuffle at least one side. Pinning this keeps
+    // the positive test honest — if Spark ever silently fell back to
+    // plain shuffles for both, the positive assertion would still need
+    // to fail somewhere.
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val customer = spark.read.parquet(s"$sf0001/customer.parquet")
+    Layout.writeBucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+      "orders_b4", "custkey", 4)
+    Layout.writeBucketed(customer.withColumnRenamed("c_custkey", "custkey"),
+      "customer_b3", "custkey", 3)
+    val joined = Layout.bucketedJoin(spark, "orders_b4", "customer_b3", "custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning"), plan.take(1200))
+    val expected = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey")).count()
+    assert(joined.count() == expected)
+  }
+
   test("q59 partition-pruned scan lists only the filtered lang directory") {
     val df = graft.SparkEntry.queries("q59_partition_pruning")(spark, sf0001)
     // sparkPlan, not executedPlan: AQE wraps the tree and hides leaves
