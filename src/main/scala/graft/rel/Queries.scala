@@ -572,7 +572,51 @@ object Queries {
     "q71_argmax" -> (argExtremes _),
     "q72_outer_explode" -> (outerExplodeCounts _),
     "q73_union_by_name" -> (unionByNameAgg _),
+    "q77_try_arithmetic" -> (tryArithmetic _),
+    "q78_map_funcs" -> (mapFuncs _),
   )
+
+  // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
+  // of throw on divide-by-zero (try_divide), BIGINT overflow (try_add;
+  // every o_orderkey >= 1 pushes Long.MaxValue over), and unparseable
+  // casts (try_cast). Folded to per-status counts/sums so the NULL
+  // semantics are gate-checked without top-level NULL columns (q66's
+  // null-free dump rule); the oracle states the identical semantics as
+  // portable CASE/TRY_CAST SQL.
+  def tryArithmetic(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        expr("try_divide(o_totalprice, o_orderkey % 3)").as("d"),
+        expr("try_add(9223372036854775807, o_orderkey)").as("ov"),
+        expr("try_cast(o_orderpriority AS BIGINT)").as("bad_cast"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").as("prio_num"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        count(col("d")).as("n_div_ok"),
+        dsum(col("d")).as("sum_div"),
+        count(col("ov")).as("n_overflow"),
+        count(col("bad_cast")).as("n_bad_cast"),
+        sum(col("prio_num")).as("sum_prio"))
+      .orderBy("status")
+
+  // E11 breadth: the map-function surface — map_from_arrays, single-
+  // entry map(), map_concat, map_filter, transform_values — exploded to
+  // (doc_id, k, v) rows per FIXTURES §3 (no top-level map columns in
+  // dumped results; DuckDB map ordering differs).
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        map_from_arrays(
+          array(lit("n_chars"), lit("n_toks")),
+          array(length(col("text")).cast("long"),
+            size(split(col("text"), " ", -1)).cast("long"))).as("m1"),
+        map(lit("lang_len"), length(col("lang")).cast("long")).as("m2"))
+      .select(col("doc_id"),
+        transform_values(
+          map_filter(map_concat(col("m1"), col("m2")), (_, v) => v > 5L),
+          (_, v) => v * 2L).as("m"))
+      .select(col("doc_id"), explode(col("m")).as(Seq("k", "v")))
+      .orderBy("doc_id", "k")
 
   /** Shared by q16 (the window-based batch sessionizer) and q55 (the
     * session_window streaming plan run in batch) — the two plans must
@@ -832,5 +876,26 @@ object Queries {
          |  ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY custkey, c_nationkey ORDER BY custkey""".stripMargin,
+    // NULL-on-error semantics stated as portable SQL: div-by-zero and
+    // the overflowing Long.MaxValue add become CASE NULL (overflow iff
+    // o_orderkey > 0 — the synthetic data includes an orderkey-0 row,
+    // for which MaxValue + 0 is fine); bad casts are DuckDB's own
+    // TRY_CAST.
+    "q77_try_arithmetic" ->
+      s"""SELECT o_orderstatus AS status, count(*) AS n,
+         |  count(CASE WHEN o_orderkey % 3 <> 0 THEN 1 END) AS n_div_ok,
+         |  ${dsumSql("CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 3) END")} AS sum_div,
+         |  count(CASE WHEN o_orderkey <= 0 THEN 1 END) AS n_overflow,
+         |  count(TRY_CAST(o_orderpriority AS BIGINT)) AS n_bad_cast,
+         |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
+         |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    "q78_map_funcs" ->
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  CAST(length(lang) AS BIGINT) AS lang_len FROM documents),
+        |u AS (SELECT doc_id, 'n_chars' AS k, n_chars AS v FROM b
+        |  UNION ALL SELECT doc_id, 'n_toks', n_toks FROM b
+        |  UNION ALL SELECT doc_id, 'lang_len', lang_len FROM b)
+        |SELECT doc_id, k, v * 2 AS v FROM u WHERE v > 5 ORDER BY doc_id, k""".stripMargin,
   )
 }
