@@ -24,6 +24,10 @@ object Queries {
     * against the actual data. */
   val EmbeddingDim = 64
 
+  /** q79's fixed query term set — high/low-df mix from the synthetic
+    * corpus vocabulary, shared between the Spark plan and the oracle. */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window", "vector")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E15: MinHash+LSH near-dup (banded candidates, exact-Jaccard
     // verify). Fully DuckDB-oracled since round 4: every hash in the
@@ -125,6 +129,16 @@ object Queries {
     // per-doc retrieval score a curation pipeline ranks with (q27's
     // document unit is the language)
     "q76_bm25" -> ((s, dir) => TextAnalysis.bm25(tbl(s, dir, "documents"))),
+    // E17: the retrieval lookup over that index — top-20 docs by summed
+    // BM25 for a fixed query term set (TakeOrderedAndProject top-k; only
+    // the k survivors pay the rank window)
+    "q79_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(tbl(s, dir, "documents"), Bm25QueryTerms, 20)),
+    // E16: per-label class centroids — the nearest-class-mean building
+    // block over the embeddings table's label column (exact-decimal
+    // means, bit-identical cross-engine like q47)
+    "q80_label_centroids" -> ((s, dir) =>
+      Sim.labelCentroids(tbl(s, dir, "embeddings"))),
     // E17: rolling-hash fingerprint
     "q28_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"))),
     // multimodal metadata projection (real part of the stubbed pipeline)
@@ -347,20 +361,51 @@ object Queries {
     * order and the k1/b constants pre-combined in Scala so both engines
     * parse the same double literals (`${"$"}{k1+1}` etc. round-trip via
     * Double.toString). round(.,6) absorbs libm `ln` ulp drift. */
-  private def bm25Oracle(k1: Double, b: Double): String =
-    s"""WITH tok AS (SELECT doc_id, t AS tok FROM
+  private def bm25CoreCte(k1: Double, b: Double): String =
+    s"""tok AS (SELECT doc_id, t AS tok FROM
        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
        |  WHERE t <> ''),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
-       |SELECT f.doc_id, f.tok, f.tf, g.df,
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |bm AS (SELECT f.doc_id, f.tok, f.tf, g.df,
        |  round(ln((st.n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0)
        |    * (f.tf * ${k1 + 1})
        |    / (f.tf + $k1 * (${1 - b} + $b * CAST(d.dl AS DOUBLE) * st.n_docs / st.sum_dl)), 6) AS bm25
-       |FROM tf f JOIN dl d USING (doc_id) JOIN dft g USING (tok) CROSS JOIN st
+       |FROM tf f JOIN dl d USING (doc_id) JOIN dft g USING (tok) CROSS JOIN st)""".stripMargin
+
+  private def bm25Oracle(k1: Double, b: Double): String =
+    s"""WITH ${bm25CoreCte(k1, b)}
+       |SELECT doc_id, tok, tf, df, bm25 FROM bm
        |ORDER BY doc_id, tok""".stripMargin
+
+  /** DuckDB twin of [[TextAnalysis.bm25TopK]] — same core, summed in
+    * the dsum DECIMAL round-trip, ranked with the identical tiebreak. */
+  private def bm25TopKOracle(k1: Double, b: Double, terms: Seq[String],
+                             kTop: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val dsum = "CAST(CAST(SUM(CAST(CAST(bm25 AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    s"""WITH ${bm25CoreCte(k1, b)},
+       |q AS (SELECT doc_id, count(*) AS n_terms, $dsum AS score
+       |  FROM bm WHERE tok IN ($inList) GROUP BY doc_id),
+       |r AS (SELECT doc_id, n_terms, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM q)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms, score FROM r
+       |WHERE rnk <= $kTop ORDER BY rnk""".stripMargin
+  }
+
+  /** DuckDB twin of [[Sim.labelCentroids]]: the kmeans-oracle mean
+    * (DECIMAL(38,12) VARCHAR round-trip) keyed by the label column. */
+  private val labelCentroidsOracle: String =
+    """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+      |  CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c,
+      |  count(*) AS n_members
+      |FROM (SELECT label,
+      |    unnest(list_transform(embedding, y -> CAST(y AS DOUBLE))) AS x,
+      |    unnest(range(len(embedding))) AS dim
+      |  FROM embeddings) e
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
   /** Shared q19/q54 CTE chain ending in `sh(doc_id, sh_hi, sh_lo)`:
     * DuckDB twin of [[Dedup.simhashAgg]] — same two FNV streams, same
@@ -516,6 +561,8 @@ object Queries {
     "q65_dedup_components" -> componentsOracle,
     "q75_incremental_dedup" -> incrementalOracle,
     "q76_bm25" -> bm25Oracle(1.2, 0.75),
+    "q79_bm25_topk" -> bm25TopKOracle(1.2, 0.75, Bm25QueryTerms, 20),
+    "q80_label_centroids" -> labelCentroidsOracle,
     "q19_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh_hi, sh_lo FROM sh ORDER BY doc_id""".stripMargin,

@@ -261,6 +261,25 @@ object Sim {
       .select(col("cid"), col("dim").cast("long").as("dim"), col("c"))
   }
 
+  /** Per-label class centroids over the embedding corpus — the
+    * nearest-class-mean building block (labeled-anchor quality
+    * filtering, classifier-free class prototypes, per-source embedding
+    * drift monitoring). One exploded groupBy of |labels|×dim cells with
+    * map-side partial aggregation — the [[kmeansRefine]] mean step
+    * keyed by a data column instead of an assignment. Means accumulate
+    * in exact DECIMAL(38,12) ([[graft.rel.Queries.dsum]]) so they are
+    * bit-identical on any engine or row order.
+    * Output: (label, dim, c, n_members). */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label").cast("long").as("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((graft.rel.Queries.dsum(col("x")) / count(lit(1))).as("c"),
+        count(lit(1)).as("n_members"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("c"), col("n_members"))
+      .orderBy("label", "dim")
+
   /** SemDedup-style embedding-cluster dedup (Abbas et al. 2023 flavor):
     * cluster the corpus with the coarse quantizer, keep the lowest
     * vec_id per cluster as its representative, and report every other

@@ -186,6 +186,29 @@ object TextAnalysis {
       .orderBy("doc_id", "tok")
   }
 
+  /** Top-k retrieval over the [[bm25]] scores: rank documents by summed
+    * BM25 across a query term set — the "mine documents resembling the
+    * quality corpus" lookup a curation pipeline runs. The per-doc score
+    * sums ≤|terms| already-rounded values in exact DECIMAL
+    * ([[graft.rel.Queries.dsum]]) so the total is order-independent;
+    * the top-k is `orderBy().limit()` (TakeOrderedAndProject — per-
+    * partition top-k, never a global sort of the match set) and only
+    * the k survivors pay the rank window. Output:
+    * (rnk, doc_id, n_terms, score). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], kTop: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25(docs, k1, b)
+      .where(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        graft.rel.Queries.dsum(col("bm25")).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select("rnk", "doc_id", "n_terms", "score")
+      .orderBy("rnk")
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     * Models" §A1.1 quality-filter flavor): duplicate-token fraction,
     * duplicate-2-gram fraction, and top-token fraction — the standard
