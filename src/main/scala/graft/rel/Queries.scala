@@ -577,18 +577,30 @@ object Queries {
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
-  // of throw on divide-by-zero (try_divide), BIGINT overflow (try_add;
-  // every o_orderkey >= 1 pushes Long.MaxValue over), and unparseable
-  // casts (try_cast). Folded to per-status counts/sums so the NULL
-  // semantics are gate-checked without top-level NULL columns (q66's
-  // null-free dump rule); the oracle states the identical semantics as
-  // portable CASE/TRY_CAST SQL.
+  // of throw on divide-by-zero (try_divide), BIGINT overflow (try_add),
+  // and unparseable casts (try_cast). Folded to per-status counts/sums
+  // so the NULL semantics are gate-checked without top-level NULL
+  // columns (q66's null-free dump rule); the oracle states the
+  // identical semantics as portable CASE/TRY_CAST SQL.
+  //
+  // Cost model (measured): Spark's TryEval catches a real JVM exception
+  // per erroring ROW — an always-overflowing try_add over sf0.1 orders
+  // cost 3.1 s and an always-failing string cast 1.3 s, vs ~0.1 s for
+  // their non-erroring twins. try_* guards the EXCEPTIONAL row; a plan
+  // where the error path is the common case is pathological at any
+  // scale. So the overflow/bad-parse branches here hit a deterministic
+  // 1% of rows (o_orderkey % 100 = 0) — the semantics are pinned from
+  // both sides (erroring rows null out, clean rows survive) at the
+  // production cost shape. try_divide's double zero-divisor path is
+  // exception-free and stays corpus-wide.
   def tryArithmetic(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders")
       .select(col("o_orderstatus").as("status"),
         expr("try_divide(o_totalprice, o_orderkey % 3)").as("d"),
-        expr("try_add(9223372036854775807, o_orderkey)").as("ov"),
-        expr("try_cast(o_orderpriority AS BIGINT)").as("bad_cast"),
+        expr("try_add(9223372036854775807, " +
+          "CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END)").as("ov"),
+        expr("try_cast(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority " +
+          "ELSE NULL END AS BIGINT)").as("bad_cast"),
         expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").as("prio_num"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"),
@@ -877,16 +889,14 @@ object Queries {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY custkey, c_nationkey ORDER BY custkey""".stripMargin,
     // NULL-on-error semantics stated as portable SQL: div-by-zero and
-    // the overflowing Long.MaxValue add become CASE NULL (overflow iff
-    // o_orderkey > 0 — the synthetic data includes an orderkey-0 row,
-    // for which MaxValue + 0 is fine); bad casts are DuckDB's own
-    // TRY_CAST.
+    // the Long.MaxValue+1 overflow (hit on the deterministic 1% branch)
+    // become CASE NULL; bad casts are DuckDB's own TRY_CAST.
     "q77_try_arithmetic" ->
       s"""SELECT o_orderstatus AS status, count(*) AS n,
          |  count(CASE WHEN o_orderkey % 3 <> 0 THEN 1 END) AS n_div_ok,
          |  ${dsumSql("CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 3) END")} AS sum_div,
-         |  count(CASE WHEN o_orderkey <= 0 THEN 1 END) AS n_overflow,
-         |  count(TRY_CAST(o_orderpriority AS BIGINT)) AS n_bad_cast,
+         |  count(CASE WHEN o_orderkey % 100 <> 0 THEN 1 END) AS n_overflow,
+         |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,
     "q78_map_funcs" ->

@@ -67,6 +67,30 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q75 probe join rides the signature store's bucket layout") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val history = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      val fresh = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      rel.Layout.writeBucketed(
+        llm.Dedup.minhashSignatureStore(history, "doc_id", "text"),
+        "minhash_store_plan", "bkey", 8)
+      val cand = llm.Dedup.bandKeysFromShingles(
+          fresh.select(org.apache.spark.sql.functions.col("doc_id"),
+            llm.Dedup.shingles(org.apache.spark.sql.functions.col("text"), 3).as("sh")))
+        .join(spark.table("minhash_store_plan"), Seq("band", "bkey"))
+      val p = finalPlan(cand).split("== Initial Plan ==").head
+      // The store side must contribute NO exchange: its bucketed
+      // HashPartitioning(bkey) already satisfies the (band, bkey)
+      // clustering, so only the new batch's band keys shuffle —
+      // O(new batch), never O(history).
+      assert("exchange hashpartitioning".r
+        .findAllIn(p.toLowerCase).size == 1, p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q39 prefix sum distributes over data-derived buckets, no pid capture") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = llm.Pack.shardPack(docs, 4096)
