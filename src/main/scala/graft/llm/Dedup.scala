@@ -152,10 +152,11 @@ object Dedup {
     * from its bucketed table — see the q75 declaration); `history`
     * supplies raw text only for the exact-Jaccard verify of the
     * candidates, which are ≪ batch at production thresholds. Scale: the
-    * probe is an equi-join on (band, bkey) — when the store is bucketed
-    * by bkey, its side joins exchange-free (HashPartitioning(bkey)
-    * satisfies the (band, bkey) clustering); shuffle volume is
-    * O(new-batch band keys), never O(history).
+    * probe is an equi-join on (band, bkey) — with the store bucketed by
+    * exactly (band, bkey) its side joins exchange-free (a strict-subset
+    * bucket key gets `Bucketed: false (disabled by query planner)` and
+    * re-shuffles — PlanSpec-pinned); shuffle volume is O(new-batch band
+    * keys), never O(history).
     *
     * Output: (doc_id, dup_of, jaccard) — new docs near-duplicating a
     * historical doc; anti-joining the new batch on doc_id gives the

@@ -61,19 +61,21 @@ object Queries {
     // E15 production shape (VERDICT r5 item 4): incremental dedup of a
     // NEW batch against the PERSISTED signature store of prior history —
     // a crawl pipeline never re-deduplicates its history per increment;
-    // it keeps the band-key store (bucketed by bkey: the probe join
-    // rides the bucket layout exchange-free on the store side) and
-    // probes it with each new batch. Generations are the doc_id-parity
-    // split (even = history, odd = new batch); the oracle recomputes
-    // both generations end to end, so loss or duplication across the
-    // persist/read-back boundary fails the row.
+    // it keeps the band-key store (bucketed by the FULL probe key
+    // (band, bkey) — the planner only rides a bucket layout whose
+    // columns exactly match the join keys, PlanSpec-pinned — so the
+    // probe join's store side is exchange-free) and probes it with each
+    // new batch. Generations are the doc_id-parity split (even =
+    // history, odd = new batch); the oracle recomputes both generations
+    // end to end, so loss or duplication across the persist/read-back
+    // boundary fails the row.
     "q75_incremental_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val history = docs.where(col("doc_id") % 2 === 0)
       val fresh = docs.where(col("doc_id") % 2 === 1)
-      graft.rel.Layout.writeBucketed(
+      graft.rel.Layout.writeBucketedBy(
         Dedup.minhashSignatureStore(history, "doc_id", "text"),
-        "minhash_store_bkt", "bkey", 8)
+        "minhash_store_bkt", 8, "band", "bkey")
       Dedup.incrementalNearDups(fresh, s.table("minhash_store_bkt"),
         history, "doc_id", "text", threshold = 0.1)
         .orderBy("doc_id", "dup_of")

@@ -15,7 +15,18 @@ object Layout {
     * partition-local merge. (Bucketing metadata lives in the session
     * catalog, hence saveAsTable rather than a bare path.) */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int): Unit =
+    writeBucketedBy(df, table, buckets, key)
+
+  /** Multi-key form of [[writeBucketed]]: bucket (and sort) by a
+    * composite key. The planner only rides a bucketed layout when the
+    * join/grouping keys MATCH the bucket spec — a store bucketed by a
+    * strict subset of the join keys gets `Bucketed: false (disabled by
+    * query planner)` and re-shuffles (observed on the q75 signature
+    * store; pinned in PlanSpec) — so the bucket columns must be exactly
+    * the keys the consumer joins on. */
+  def writeBucketedBy(df: DataFrame, table: String, buckets: Int,
+                      keys: String*): Unit = {
     val s = df.sparkSession
     // A managed-table location left behind by a PREVIOUS session (whose
     // catalog entry died with it) blocks recreation with
@@ -26,7 +37,8 @@ object Layout {
       s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
 

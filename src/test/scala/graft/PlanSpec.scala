@@ -74,19 +74,25 @@ class PlanSpec extends SparkSpec {
       val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       val history = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
       val fresh = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
-      rel.Layout.writeBucketed(
+      rel.Layout.writeBucketedBy(
         llm.Dedup.minhashSignatureStore(history, "doc_id", "text"),
-        "minhash_store_plan", "bkey", 8)
+        "minhash_store_plan", 8, "band", "bkey")
       val cand = llm.Dedup.bandKeysFromShingles(
           fresh.select(org.apache.spark.sql.functions.col("doc_id"),
             llm.Dedup.shingles(org.apache.spark.sql.functions.col("text"), 3).as("sh")))
         .join(spark.table("minhash_store_plan"), Seq("band", "bkey"))
       val p = finalPlan(cand).split("== Initial Plan ==").head
-      // The store side must contribute NO exchange: its bucketed
-      // HashPartitioning(bkey) already satisfies the (band, bkey)
-      // clustering, so only the new batch's band keys shuffle —
-      // O(new batch), never O(history).
-      assert("exchange hashpartitioning".r
+      // The store side must contribute NO exchange: bucketed by exactly
+      // the probe keys (band, bkey), its scan feeds the SMJ directly
+      // (Bucketed: true) and only the new batch's band keys shuffle to
+      // the bucket count — O(new batch), never O(history). A bucket key
+      // that is a strict SUBSET of the join keys silently loses this
+      // ("Bucketed: false (disabled by query planner)" + re-shuffle),
+      // which is exactly the regression this test pins.
+      assert(p.contains("Bucketed: true"), p.take(1500))
+      assert(!p.contains("disabled by query planner"), p.take(1500))
+      // exactly one join-key exchange: the probe side's
+      assert("exchange hashpartitioning\\(band".r
         .findAllIn(p.toLowerCase).size == 1, p.take(1500))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
