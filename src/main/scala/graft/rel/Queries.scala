@@ -574,6 +574,8 @@ object Queries {
     "q73_union_by_name" -> (unionByNameAgg _),
     "q77_try_arithmetic" -> (tryArithmetic _),
     "q78_map_funcs" -> (mapFuncs _),
+    "q81_hll_merge" -> (hllMergeAgg _),
+    "q82_merge_upsert" -> (mergeUpsert _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -629,6 +631,60 @@ object Queries {
           (_, v) => v * 2L).as("m"))
       .select(col("doc_id"), explode(col("m")).as(Seq("k", "v")))
       .orderBy("doc_id", "k")
+
+  // E6 breadth: the MERGEABLE-sketch workflow q30's scalar
+  // approx_count_distinct hides — per-group Apache DataSketches HLL
+  // sketches (hll_sketch_agg), re-aggregated with hll_union_agg and
+  // estimated over the union. Mergeability is THE property that makes
+  // sketches work at 100 TB (per-partition/per-day sketches roll up
+  // without touching raw data again). Estimates are folded into
+  // oracle-checked bounds (the q30 pattern): a drifting sketch turns
+  // the row red instead of hiding behind no_oracle.
+  def hllMergeAgg(s: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "")
+    val perLang = tok.groupBy("lang")
+      .agg(hll_sketch_agg(col("tok")).as("sk"),
+        countDistinct(col("tok")).as("exact_toks"))
+    val langRows = perLang.select(col("lang"), col("exact_toks"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_toks"))
+        / col("exact_toks") < 0.05).as("approx_ok"))
+    val exactAll = tok.agg(countDistinct(col("tok")).as("exact_toks"))
+    val allRow = perLang.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(exactAll))
+      .select(lit("__all__").as("lang"), col("exact_toks"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_toks"))
+          / col("exact_toks") < 0.05).as("approx_ok"))
+    langRows.unionAll(allRow).orderBy("lang")
+  }
+
+  // CDC apply / MERGE-upsert shape: a base table plus a change batch of
+  // inserts, updates, and deletes materialize the next table version —
+  // the incremental-materialization operator every nightly pipeline
+  // runs. Composition: base LEFT ANTI changes (drop every touched key)
+  // ∪ surviving change rows — one shuffle on the key each side, AQE-
+  // splittable, no window. The change batch is derived deterministically
+  // from the corpus (updates: even doc_id % 10 = 2, text re-versioned;
+  // deletes: % 10 = 0; inserts: the odd % 10 = 1 rows, which are absent
+  // from the even-id base) and mirrored verbatim in the oracle.
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val base = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val changes = base.where(col("doc_id") % 10 === 2)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        col("lang"), lit("U").as("op"))
+      .unionAll(base.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), lit("D").as("op")))
+      .unionAll(docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), lit("I").as("op")))
+    base.join(changes.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionAll(changes.where(col("op") =!= "D").drop("op"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        col("lang"))
+      .orderBy("doc_id")
+  }
 
   /** Shared by q16 (the window-based batch sessionizer) and q55 (the
     * session_window streaming plan run in batch) — the two plans must
@@ -899,6 +955,31 @@ object Queries {
          |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    // Exact distincts recomputed; the sketch estimates are asserted as
+    // in-bound booleans on the Spark side, so DuckDB states `true`.
+    "q81_hll_merge" ->
+      """WITH tok AS (SELECT lang, t AS tok FROM
+        |  (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  WHERE t <> '')
+        |SELECT lang, count(DISTINCT tok) AS exact_toks, true AS approx_ok
+        |FROM tok GROUP BY lang
+        |UNION ALL
+        |SELECT '__all__' AS lang, count(DISTINCT tok) AS exact_toks, true AS approx_ok
+        |FROM tok
+        |ORDER BY lang""".stripMargin,
+    "q82_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |changes AS (
+        |  SELECT doc_id, text || ' v2' AS text, lang, 'U' AS op FROM base WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id, text, lang, 'D' AS op FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, lang, 'I' AS op FROM documents
+        |    WHERE doc_id % 2 = 1 AND doc_id % 10 = 1),
+        |merged AS (
+        |  SELECT doc_id, text, lang FROM base
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM changes)
+        |  UNION ALL SELECT doc_id, text, lang FROM changes WHERE op <> 'D')
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, lang
+        |FROM merged ORDER BY doc_id""".stripMargin,
     "q78_map_funcs" ->
       """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,

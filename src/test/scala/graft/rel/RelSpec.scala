@@ -9,6 +9,20 @@ class RelSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("HLL sketch union over groups equals one sketch over the whole") {
+    import org.apache.spark.sql.functions._
+    val tok = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "")
+    val unioned = tok.groupBy("lang").agg(hll_sketch_agg(col("tok")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val direct = tok.agg(hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("est"))
+      .collect().head.getLong(0)
+    // the mergeability contract: partial sketches union losslessly
+    assert(unioned == direct, s"$unioned vs $direct")
+  }
+
   test("every declared oracle key has a query and every query runs at sf0.001") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
