@@ -576,6 +576,9 @@ object Queries {
     "q78_map_funcs" -> (mapFuncs _),
     "q81_hll_merge" -> (hllMergeAgg _),
     "q82_merge_upsert" -> (mergeUpsert _),
+    "q83_unpivot" -> (unpivotEvents _),
+    "q84_array_funcs" -> (arrayFuncs _),
+    "q85_date_arith" -> (dateArith _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -631,6 +634,57 @@ object Queries {
           (_, v) => v * 2L).as("m"))
       .select(col("doc_id"), explode(col("m")).as(Seq("k", "v")))
       .orderBy("doc_id", "k")
+
+  // Unpivot (melt) — the inverse of q48's pivot: the wide per-user
+  // event-count matrix back to long (user_id, event_type, n) rows.
+  // Spark's unpivot is a pure projection+generator (one output row per
+  // cell, no shuffle beyond the pivot's own); pivot∘unpivot closing the
+  // loop is asserted by the oracle recomputing the long form directly
+  // from events.
+  def unpivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotEvents(s, dir)
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .where(col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
+  // E11 breadth: higher-order array functions over a per-order derived
+  // array — exists/forall/filter/flatten/sequence/array_repeat/
+  // aggregate. The array is built from scalar columns (deterministic),
+  // every result folds to scalars (no top-level arrays in the dump).
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"),
+        sequence(lit(1L), pmod(col("o_orderkey"), lit(5L)) + lit(1L)).as("sq"),
+        array(col("o_totalprice"), col("o_totalprice") * 2, lit(0.0)).as("pr"))
+      .select(
+        col("o_orderkey"),
+        size(col("sq")).cast("long").as("sq_len"),
+        exists(col("pr"), _ > 1000.0).as("any_big"),
+        forall(col("pr"), _ >= 0.0).as("all_nonneg"),
+        size(filter(col("sq"), x => pmod(x, lit(2L)) === 0L)).cast("long").as("n_even"),
+        aggregate(col("sq"), lit(0L), (acc, x) => acc + x).as("sq_sum"),
+        size(flatten(array(col("sq"), col("sq")))).cast("long").as("flat_len"),
+        size(array_repeat(col("o_orderkey"), 3)).cast("long").as("rep_len"))
+      .orderBy("o_orderkey")
+      .limit(5000)
+
+  // E11 breadth: date/interval arithmetic beyond q12's field extracts —
+  // truncation, month arithmetic, day diffs, boundary lookups. All
+  // calendar ops (no timezone arithmetic: o_orderdate is a civil date).
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        datediff(lit("1998-12-31").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_end"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy("o_orderkey")
+      .limit(5000)
 
   // E6 breadth: the MERGEABLE-sketch workflow q30's scalar
   // approx_count_distinct hides — per-group Apache DataSketches HLL
@@ -955,6 +1009,39 @@ object Queries {
          |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    // The unpivot must reproduce the LONG form computed directly from
+    // the raw events — pivot∘unpivot as an identity, up to the zero
+    // cells the pivot materialized and the unpivot filter drops.
+    "q83_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q84_array_funcs" ->
+      """WITH b AS (SELECT o_orderkey,
+        |  range(1, o_orderkey % 5 + 2) AS sq,
+        |  [o_totalprice, o_totalprice * 2, 0.0] AS pr FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(len(sq) AS BIGINT) AS sq_len,
+        |  len(list_filter(pr, x -> x > 1000.0)) > 0 AS any_big,
+        |  len(list_filter(pr, x -> NOT (x >= 0.0))) = 0 AS all_nonneg,
+        |  CAST(len(list_filter(sq, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        |  CAST(list_sum(sq) AS BIGINT) AS sq_sum,
+        |  CAST(len(flatten([sq, sq])) AS BIGINT) AS flat_len,
+        |  CAST(3 AS BIGINT) AS rep_len
+        |FROM b ORDER BY o_orderkey LIMIT 5000""".stripMargin,
+    // DuckDB dayofweek is 0=Sunday..6 vs Spark's 1..7 — shifted in the
+    // oracle; add_months / + INTERVAL MONTH clamp end-of-month
+    // identically.
+    "q85_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey LIMIT 5000""".stripMargin,
     // Exact distincts recomputed; the sketch estimates are asserted as
     // in-bound booleans on the Spark side, so DuckDB states `true`.
     "q81_hll_merge" ->
