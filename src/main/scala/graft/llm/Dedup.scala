@@ -310,6 +310,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Fuzzy string self-join (entity-resolution shape): candidate pairs
+    * via cheap deterministic blocking — (first token, length DIV 4) —
+    * then exact Levenshtein verification inside each block. The
+    * blocking rule is the recall contract: a pair differing in its
+    * first token or by ≥4 length is never compared (standard blocking
+    * trade-off; tighten by unioning more blocking keys).
+    *
+    * Scale: one hash-agg shuffle on the block key, the bucket-grouped
+    * expansion computes each string's key once and `maxBucket` caps the
+    * quadratic step inside a degenerate block (the [[simhashNearDups]]
+    * shape) — never an all-pairs product. A pair shares at most one
+    * block, so no distinct is needed. Output: (d1, d2, dist), d1 < d2. */
+  def fuzzyJoin(docs: DataFrame, idCol: String, strCol: String,
+                maxDist: Int, maxBucket: Int = 10000): DataFrame = {
+    val keyed = docs
+      .select(col(idCol).as("doc_id"), col(strCol).as("s"))
+      .select(col("doc_id"), col("s"),
+        split(col("s"), " ", -1).getItem(0).as("tok1"),
+        expr("length(s) DIV 4").as("lb"))
+    val buckets = keyed.groupBy("tok1", "lb")
+      .agg(collect_list(struct(col("doc_id"), col("s"))).as("xs"))
+      .where(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+    buckets
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise matches into dedup GROUPS (keep the minimum doc id
     * per component, drop the rest): pairs are not transitive-closed, so

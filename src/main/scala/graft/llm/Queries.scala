@@ -80,6 +80,15 @@ object Queries {
         history, "doc_id", "text", threshold = 0.1)
         .orderBy("doc_id", "dup_of")
     }),
+    // E15 cousin: fuzzy string join (entity resolution) — blocked
+    // Levenshtein matching over derived 5-token titles; the edit-
+    // distance complement to the set-based (Jaccard) near-dup family
+    "q86_fuzzy_join" -> ((s, dir) => {
+      val titled = tbl(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " ", -1), 1, 5)).as("title"))
+      Dedup.fuzzyJoin(titled, "doc_id", "title", maxDist = 10)
+        .orderBy("d1", "d2")
+    }),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -563,6 +572,20 @@ object Queries {
     "q65_dedup_components" -> componentsOracle,
     "q75_incremental_dedup" -> incrementalOracle,
     "q76_bm25" -> bm25Oracle(1.2, 0.75),
+    // Same blocking, same capped expansion, same edit distance.
+    "q86_fuzzy_join" ->
+      """WITH t AS (SELECT doc_id,
+        |  array_to_string((string_split(text, ' '))[1:5], ' ') AS title FROM documents),
+        |b AS (SELECT doc_id, title, string_split(title, ' ')[1] AS tok1,
+        |  length(title) // 4 AS lb FROM t),
+        |sz AS (SELECT tok1, lb FROM b GROUP BY tok1, lb
+        |  HAVING count(*) > 1 AND count(*) <= 10000)
+        |SELECT a.doc_id AS d1, c.doc_id AS d2,
+        |  CAST(levenshtein(a.title, c.title) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.tok1 = c.tok1 AND a.lb = c.lb AND a.doc_id < c.doc_id
+        |JOIN sz ON sz.tok1 = a.tok1 AND sz.lb = a.lb
+        |WHERE levenshtein(a.title, c.title) <= 10
+        |ORDER BY d1, d2""".stripMargin,
     "q79_bm25_topk" -> bm25TopKOracle(1.2, 0.75, Bm25QueryTerms, 20),
     "q80_label_centroids" -> labelCentroidsOracle,
     "q19_simhash" ->

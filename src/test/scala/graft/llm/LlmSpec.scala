@@ -81,6 +81,19 @@ class DedupSpec extends SparkSpec {
     assert(perRow == agg)
   }
 
+  test("fuzzyJoin: blocked Levenshtein matches, blocking contract holds") {
+    val titles = Seq(
+      (0L, "spark join order report"),   // near-match of 1 (dist 2)
+      (1L, "spark join ordre report"),
+      (2L, "flink join order report"),   // different first token: blocked out
+      (3L, "spark join order report with many extra tokens here")) // length block differs
+      .toDF("doc_id", "title")
+    val got = Dedup.fuzzyJoin(titles, "doc_id", "title", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((0L, 1L)), got.toString)
+    assert(got((0L, 1L)) == 2L) // transposition = 2 single-char edits
+  }
+
   test("incremental dedup equals full-corpus near-dups restricted to cross-batch pairs") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val history = real.where(col("doc_id") % 2 === 0)
