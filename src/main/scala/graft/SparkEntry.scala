@@ -201,6 +201,45 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // STATEFUL streaming at the gate (q60 is stateless): watermarked
+    // tumbling-window count+sum through the checkpointed exactly-once
+    // sink. The source is the events table re-laid as SEQUENTIAL
+    // time-sliced appends (each append gets a later mtime, and the file
+    // source processes files in mtime order), so the watermark advances
+    // monotonically across micro-batches and nothing is late-dropped —
+    // the layout discipline a production event feed provides via
+    // date-partitioned arrival. Append mode emits exactly the windows
+    // the final watermark (max ts − 1 h) closed; the oracle recomputes
+    // those windows from the original table with the same cutoff, so
+    // loss, duplication, OR an unexpected late-drop turns the row red.
+    // (The 1-row bounds collect is source-prep control flow, not part
+    // of the streaming plan.)
+    "q87_stream_window" -> ((s, dir) => {
+      val src = "/root/repo/target/graft_io/stream_window_src"
+      val out = "/root/repo/target/graft_io/stream_window"
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val Array(lo, hi) = ev
+        .agg(unix_timestamp(min(col("ts"))), unix_timestamp(max(col("ts"))))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val slices = 6
+      val width = (hi - lo) / slices + 1
+      val sliced = ev.withColumn("slice",
+        ((unix_timestamp(col("ts")) - lo) / width).cast("int"))
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(srcPath, true)
+      (0 until slices).foreach { i =>
+        sliced.where(col("slice") === i).drop("slice")
+          .write.mode("append").parquet(src)
+      }
+      val agged = sources.StreamIngest.windowedAggParquet(
+        s, src, sliced.drop("slice").schema, out, out + "_ckpt")
+      agged
+        .select(col("win_start"), col("n"),
+          col("dec_sum").cast("double").as("sum_value"))
+        .orderBy("win_start")
+    }),
   )
 
   private def wcOracle(re: String): String =
@@ -327,6 +366,20 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Epoch-aligned hour windows recomputed from the original events,
+    // kept only where the window END precedes the stream's final
+    // watermark (max event time, ms precision, minus the 1 h delay) —
+    // exactly the set append mode emits. The decimal VARCHAR round-trip
+    // matches the streaming sum's decimal(38,12) accumulation.
+    "q87_stream_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT max(us) AS mxus FROM e),
+        |w AS (SELECT (us // 3600000000) * 3600 AS win_start, value FROM e)
+        |SELECT win_start, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM w CROSS JOIN mx
+        |WHERE (win_start + 3600) * 1000 <= mxus // 1000 - 3600000
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

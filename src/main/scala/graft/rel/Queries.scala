@@ -30,7 +30,7 @@ object Queries {
     * type for — read it as nanosecond longs and truncate to a microsecond
     * TimestampType (the same ns→µs truncation DuckDB applies; the
     * generated data is µs-grained so no precision is lost). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = tbl(s, dir, "events")
     raw.schema("ts").dataType match {

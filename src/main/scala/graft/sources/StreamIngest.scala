@@ -30,6 +30,43 @@ object StreamIngest {
       .delete(path, true)
   }
 
+  /** STATEFUL streaming at the gate: watermarked tumbling-window
+    * aggregation (count + exact-decimal sum) over a file-source stream,
+    * append-mode through the checkpointed exactly-once parquet sink.
+    * Append mode only emits a window once the watermark (max event time
+    * − delay) passes its end, so the stream's output is exactly the
+    * CLOSED windows — the final open tail is retained state that is
+    * discarded at drain end, and the q87 oracle applies the same cutoff.
+    *
+    * Determinism contract: the CALLER must lay the source files out in
+    * event-time order (sequential time-sliced appends — see the q87
+    * declaration); the file source processes files in modification-time
+    * order, so an out-of-order layout would make rows late behind the
+    * watermark and silently drop them (the exact failure mode watermarks
+    * exist to bound). State is O(open windows), not O(events). */
+  def windowedAggParquet(spark: SparkSession, in: String,
+                         schema: StructType, out: String, ckpt: String,
+                         filesPerTrigger: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rm(spark, out); rm(spark, ckpt)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(in)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,12)")).as("dec_sum"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("n"), col("dec_sum"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Drain the files matching `glob` under directory `in` through
     * `transform` into the exactly-once parquet sink at `out`, then
     * return the sink's content. Sink + checkpoint are wiped first: each
