@@ -248,6 +248,11 @@ object Queries {
     // Gopher-style repetition/boilerplate signals over the corpus
     "q44_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(tbl(s, dir, "documents"))),
+    // fastText-style linear classifier filter: σ(w·x + b) over cheap
+    // per-doc features with literal weights (production swaps in a
+    // broadcast weight table; the plan is unchanged)
+    "q88_linear_score" -> ((s, dir) =>
+      TextAnalysis.linearScore(tbl(s, dir, "documents"))),
     // PII/URL scrub. The synthetic corpus carries no PII (verified:
     // zero '@'/'http'/digit occurrences), so the declared query injects
     // deterministic doc_id-derived fixtures (email, URL, long number)
@@ -572,6 +577,22 @@ object Queries {
     "q65_dedup_components" -> componentsOracle,
     "q75_incremental_dedup" -> incrementalOracle,
     "q76_bm25" -> bm25Oracle(1.2, 0.75),
+    // Same features, same weight literals, same evaluation order;
+    // round(6) absorbs libm exp drift.
+    "q88_linear_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+        |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$'))) AS DOUBLE) / len(ts) AS alpha_ratio,
+        |  CAST(len(list_filter(ts, t -> list_contains(['the','of','and','to','in','a','is','for','on','with'], t))) AS DOUBLE) / len(ts) AS stop_ratio
+        |  FROM t),
+        |z AS (SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
+        |  3.0 * alpha_ratio - 2.0 * stop_ratio
+        |    + 0.01 * least(CAST(n_tokens AS DOUBLE), 100.0) - 2.0 AS z FROM f)
+        |SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
+        |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
     // Same blocking, same capped expansion, same edit distance.
     "q86_fuzzy_join" ->
       """WITH t AS (SELECT doc_id,

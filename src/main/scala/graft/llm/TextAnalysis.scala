@@ -241,6 +241,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Linear-model quality scoring — the fastText-style classifier
+    * filter shape (score = σ(w·x + b) over cheap per-doc features) with
+    * a literal weight vector standing in for trained parameters: in
+    * production the weights arrive as a broadcast table and NOTHING
+    * else changes, so the declared plan is the production plan. Pure
+    * per-row double arithmetic in a pinned evaluation order; round(6)
+    * absorbs the one-ulp libm `exp` divergence (the q27/q58/q76 `ln`
+    * pattern). Output: (doc_id, n_tokens, alpha_ratio, stop_ratio,
+    * score, keep). */
+  def linearScore(docs: DataFrame): DataFrame = {
+    val ts = toks(col("text"))
+    val n = size(ts)
+    val alpha = size(filter(ts, t => t.rlike("^[a-z-_]+$")))
+    val stop = size(filter(ts, t => t.isin(Stopwords: _*)))
+    docs.select(col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      (alpha.cast("double") / n).as("alpha_ratio"),
+      (stop.cast("double") / n).as("stop_ratio"))
+      .withColumn("z",
+        lit(3.0) * col("alpha_ratio") - lit(2.0) * col("stop_ratio")
+          + lit(0.01) * least(col("n_tokens").cast("double"), lit(100.0)) - lit(2.0))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .drop("z")
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   // Scrub patterns: simple enough to behave identically under Java
   // regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -579,6 +579,7 @@ object Queries {
     "q83_unpivot" -> (unpivotEvents _),
     "q84_array_funcs" -> (arrayFuncs _),
     "q85_date_arith" -> (dateArith _),
+    "q89_correlated_subquery" -> (correlatedSubquery _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -634,6 +635,23 @@ object Queries {
           (_, v) => v * 2L).as("m"))
       .select(col("doc_id"), explode(col("m")).as(Seq("k", "v")))
       .orderBy("doc_id", "k")
+
+  // SQL-frontend breadth beyond q34's grouping sets: a CORRELATED
+  // scalar subquery — per-customer count of their own big orders,
+  // expressed as the textbook correlated COUNT (Catalyst decorrelates
+  // it to an outer-joined aggregate; no per-row re-execution). The
+  // correlated aggregate is an exact COUNT, so no float accumulation
+  // crosses the engine boundary.
+  def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "customer").createOrReplaceTempView("q89_customer")
+    tbl(s, dir, "orders").createOrReplaceTempView("q89_orders")
+    s.sql("""
+      SELECT c_custkey, c_nationkey,
+        (SELECT count(*) FROM q89_orders o
+         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0) AS n_big
+      FROM q89_customer c
+      ORDER BY c_custkey""")
+  }
 
   // Unpivot (melt) — the inverse of q48's pivot: the wide per-user
   // event-count matrix back to long (user_id, event_type, n) rows.
@@ -1009,6 +1027,12 @@ object Queries {
          |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    "q89_correlated_subquery" ->
+      """SELECT c_custkey, c_nationkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0) AS n_big
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     // The unpivot must reproduce the LONG form computed directly from
     // the raw events — pivot∘unpivot as an identity, up to the zero
     // cells the pivot materialized and the unpivot filter drops.
