@@ -240,6 +240,44 @@ object SparkEntry {
           col("dec_sum").cast("double").as("sum_value"))
         .orderBy("win_start")
     }),
+    // The CUSTOM-state streaming API at the gate: the gap sessionizer on
+    // flatMapGroupsWithState + event-time timeouts (q55 gate-checks the
+    // built-in session_window; this gate-checks the API a pipeline drops
+    // to when session_window can't express its semantics), executed as a
+    // REAL multi-micro-batch drain. Source layout: q87's time-sliced
+    // sequential appends, plus a far-future sentinel event per user as
+    // the LAST file — it pushes the final watermark past every real
+    // session's close so the timeout flush emits them all; the sentinel
+    // sessions themselves never close and are discarded with the state.
+    // The oracle is q16's session computation reduced to the emitted
+    // columns — so the custom-state plan, the session_window plan (q55),
+    // and the batch window plan (q16) are all pinned to ONE truth.
+    "q90_custom_state_sessions" -> ((s, dir) => {
+      val src = "/root/repo/target/graft_io/custom_state_src"
+      val out = "/root/repo/target/graft_io/custom_state"
+      val ev = rel.Queries.events(s, dir).select(col("user_id"), col("ts"))
+      val Array(lo, hi) = ev
+        .agg(unix_timestamp(min(col("ts"))), unix_timestamp(max(col("ts"))))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val slices = 6
+      val width = (hi - lo) / slices + 1
+      val sliced = ev.withColumn("slice",
+        ((unix_timestamp(col("ts")) - lo) / width).cast("int"))
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(srcPath, true)
+      (0 until slices).foreach { i =>
+        sliced.where(col("slice") === i).drop("slice")
+          .write.mode("append").parquet(src)
+      }
+      // sentinel: 2*(late+gap) past the end, one per user, LAST append
+      ev.select(col("user_id")).distinct()
+        .withColumn("ts", timestamp_seconds(lit(hi + 10860L)))
+        .write.mode("append").parquet(src)
+      sources.StreamIngest.sessionizeParquet(
+          s, src, ev.schema, out, out + "_ckpt")
+        .orderBy("user_id", "sess_start_us")
+    }),
   )
 
   private def wcOracle(re: String): String =
@@ -371,6 +409,26 @@ object SparkEntry {
     // watermark (max event time, ms precision, minus the 1 h delay) —
     // exactly the set append mode emits. The decimal VARCHAR round-trip
     // matches the streaming sum's decimal(38,12) accumulation.
+    // q16's session boundaries reduced to the custom-state operator's
+    // emitted columns — one truth for q16 (batch window), q55
+    // (session_window), and q90 (flatMapGroupsWithState).
+    "q90_custom_state_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM y)
+        |SELECT user_id, min(us) AS sess_start_us, max(us) AS sess_end_us,
+        |  count(*) AS n_events
+        |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
     "q87_stream_window" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
         |mx AS (SELECT max(us) AS mxus FROM e),

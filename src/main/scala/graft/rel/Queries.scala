@@ -178,6 +178,25 @@ object Queries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // E8 breadth: RANGE (value-based) frames — q9/q49 bound frames by ROW
+  // offsets; a RANGE frame bounds by ORDER-key VALUE (here: every order
+  // of the same customer within the trailing 5 days) and includes ALL
+  // peer rows of the current key value, which is what makes it
+  // deterministic under order-key ties where a ROWS frame is not. The
+  // rolling-velocity metric shape (txns/revenue per trailing window).
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("od"))
+      .rangeBetween(-432000L, 0L) // trailing 5 days, in epoch seconds
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("od"), col("o_totalprice"))
+      .withColumn("n_5d", count(lit(1)).over(w).cast("long"))
+      .withColumn("rev_5d",
+        sum(col("o_totalprice").cast("decimal(38,12)")).over(w).cast("double"))
+      .select("o_orderkey", "o_custkey", "od", "n_5d", "rev_5d")
+      .orderBy("o_orderkey")
+  }
+
   // E9: global top-k → TakeOrderedAndProject (no full sort materialization).
   def topkOrders(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders")
@@ -580,6 +599,7 @@ object Queries {
     "q84_array_funcs" -> (arrayFuncs _),
     "q85_date_arith" -> (dateArith _),
     "q89_correlated_subquery" -> (correlatedSubquery _),
+    "q91_range_frame" -> (rangeFrame _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -1027,6 +1047,19 @@ object Queries {
          |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    // DuckDB numeric RANGE frame over the identical epoch-second order
+    // key; peers included on both engines; the frame sum rides the same
+    // DECIMAL VARCHAR round-trip as every dsum.
+    "q91_range_frame" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS od, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_custkey, od,
+        |  count(*) OVER w AS n_5d,
+        |  CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,12))) OVER w AS VARCHAR) AS DOUBLE) AS rev_5d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY od
+        |  RANGE BETWEEN 432000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q89_correlated_subquery" ->
       """SELECT c_custkey, c_nationkey,
         |  (SELECT count(*) FROM orders o

@@ -67,6 +67,35 @@ object StreamIngest {
     spark.read.parquet(out)
   }
 
+  /** The FULLY-custom-state path at the gate: drain a (user_id, ts)
+    * file-source stream through
+    * [[graft.streaming.Sessions.sessionizeWithState]] (gap sessionizer
+    * on flatMapGroupsWithState + event-time timeouts) into the
+    * checkpointed exactly-once sink. Emission is timeout-driven: a
+    * session leaves state only once the watermark passes its end + gap,
+    * so the CALLER must both lay the source files out in event-time
+    * order (q87's contract) and append a far-future sentinel event per
+    * user as the LAST file — the sentinel advances the final watermark
+    * past every real session's close, and the trailing no-data batch
+    * fires the timeouts that flush them. Sentinel sessions themselves
+    * stay open and are discarded at drain end. */
+  def sessionizeParquet(spark: SparkSession, in: String,
+                        schema: StructType, out: String,
+                        ckpt: String): DataFrame = {
+    rm(spark, out); rm(spark, ckpt)
+    val sessions = graft.streaming.Sessions.sessionizeWithState(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(in))
+      .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
+    val q = sessions.writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Drain the files matching `glob` under directory `in` through
     * `transform` into the exactly-once parquet sink at `out`, then
     * return the sink's content. Sink + checkpoint are wiped first: each
