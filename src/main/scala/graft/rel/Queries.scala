@@ -600,6 +600,7 @@ object Queries {
     "q85_date_arith" -> (dateArith _),
     "q89_correlated_subquery" -> (correlatedSubquery _),
     "q91_range_frame" -> (rangeFrame _),
+    "q92_quality_report" -> (qualityReport _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -671,6 +672,35 @@ object Queries {
          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0) AS n_big
       FROM q89_customer c
       ORDER BY c_custkey""")
+  }
+
+  // Data-quality constraint report (the Deequ/dbt-test operator family):
+  // uniqueness, referential integrity both directions, domain checks —
+  // one pass of exact-count aggregations + two anti-join counts, emitted
+  // as a single violations row. The synthetic data makes several checks
+  // legitimately non-zero (the orderkey-0 row; customers that never
+  // ordered), so the report is exercised, not vacuous. At 100 TB each
+  // check is an ordinary agg/anti-join (AQE-splittable); nothing
+  // collects.
+  def qualityReport(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer")
+    val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+    val orphans = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"), "left_anti")
+    val childless = customer.join(orders,
+      customer("c_custkey") === orders("o_custkey"), "left_anti")
+    val base = orders.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey") <= 0, 1L).otherwise(0L)).as("n_nonpos_keys"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_nonpos_price"),
+      sum(when(year(col("o_orderdate")).between(1992, 1998), 0L).otherwise(1L))
+        .as("n_bad_dates"))
+    base
+      .crossJoin(broadcast(dupKeys.agg(count(lit(1)).as("n_dup_keys"))))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan_orders"))))
+      .crossJoin(broadcast(childless.agg(count(lit(1)).as("n_childless_custs"))))
   }
 
   // Unpivot (melt) — the inverse of q48's pivot: the wide per-user
@@ -1047,6 +1077,17 @@ object Queries {
          |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    "q92_quality_report" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders) AS n_rows,
+        |  (SELECT CAST(count(CASE WHEN o_orderkey <= 0 THEN 1 END) AS BIGINT) FROM orders) AS n_nonpos_keys,
+        |  (SELECT CAST(count(CASE WHEN o_totalprice <= 0.0 THEN 1 END) AS BIGINT) FROM orders) AS n_nonpos_price,
+        |  (SELECT CAST(count(CASE WHEN year(o_orderdate) BETWEEN 1992 AND 1998 THEN NULL ELSE 1 END) AS BIGINT) FROM orders) AS n_bad_dates,
+        |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS n_dup_keys,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphan_orders,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_childless_custs""".stripMargin,
     // DuckDB numeric RANGE frame over the identical epoch-second order
     // key; peers included on both engines; the frame sum rides the same
     // DECIMAL VARCHAR round-trip as every dsum.
