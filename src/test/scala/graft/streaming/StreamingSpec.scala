@@ -79,6 +79,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, got.toString)
   }
 
+  test("out-of-order source file layout silently late-drops (q87's contract)") {
+    // q87/q90 lay source files out in event-time order and claim that an
+    // out-of-order layout would lose rows behind the watermark. Pin that
+    // empirically: feed two hour-buckets of events NEWEST-BATCH-FIRST
+    // through the same watermark+window pipeline — the old bucket
+    // arrives > 1 h behind the already-advanced watermark and must be
+    // dropped, so its window never appears and the row is LOST, not
+    // late-merged. (The in-order layout of the same rows emits it: the
+    // q87 gate row.)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val mem = MemoryStream[(Long, Long)] // (us, value placeholder)
+    val streamDf = mem.toDF().toDF("us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("n"))
+    val q = streamDf.writeStream.format("memory").queryName("ooo_out")
+      .outputMode("append").start()
+    // batch 1: the NEWEST data (hours 10..13) — watermark jumps to h12
+    mem.addData((base + 10 * hourUs, 1L), (base + 13 * hourUs - 1, 1L))
+    q.processAllAvailable()
+    // batch 2: OLD data (hour 0) — far behind the watermark, dropped
+    mem.addData((base, 1L), (base + 1, 1L))
+    q.processAllAvailable()
+    // batch 3: nudge the watermark so closable windows flush
+    mem.addData((base + 15 * hourUs, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ooo_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hour0 = (base / 1000000L) / 3600L * 3600L
+    assert(!got.contains(hour0), s"late hour-0 rows must be DROPPED, got $got")
+    assert(got.values.sum == 2L, s"only the in-order rows survive: $got")
+  }
+
   test("stream-stream band join equals its batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
