@@ -150,6 +150,25 @@ object Queries {
     // means, bit-identical cross-engine like q47)
     "q80_label_centroids" -> ((s, dir) =>
       Sim.labelCentroids(tbl(s, dir, "embeddings"))),
+    // Cross-modal join: the documents and embeddings tables relate 1:1
+    // on doc_id = vec_id — the text↔vector linkage every curation
+    // pipeline maintains. Per-(lang, label) corpus stats: doc counts,
+    // mean embedding norm (sqrt is IEEE-exact and the sum is decimal,
+    // so the mean needs no rounding), token volume. At scale this is a
+    // plain equi-join (both sides shuffle on the shared id; bucketing
+    // both tables by it would make it exchange-free, the q53 layout).
+    "q93_crossmodal" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          Sim.norm(Sim.asDouble(col("embedding"))).as("nrm"))
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n_docs"),
+          (graft.rel.Queries.dsum(col("nrm")) / count(lit(1))).as("avg_norm"),
+          sum(size(split(col("text"), " ", -1))).cast("long").as("sum_tokens"))
+        .orderBy("lang", "label")
+    }),
     // E17: rolling-hash fingerprint
     "q28_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"))),
     // multimodal metadata projection (real part of the stubbed pipeline)
@@ -609,6 +628,18 @@ object Queries {
         |ORDER BY d1, d2""".stripMargin,
     "q79_bm25_topk" -> bm25TopKOracle(1.2, 0.75, Bm25QueryTerms, 20),
     "q80_label_centroids" -> labelCentroidsOracle,
+    "q93_crossmodal" ->
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS nrm FROM v),
+         |j AS (SELECT d.lang, n.label, n.nrm,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents d JOIN n ON d.doc_id = n.vec_id)
+         |SELECT lang, label, count(*) AS n_docs,
+         |  CAST(CAST(SUM(CAST(CAST(nrm AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_norm,
+         |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+         |FROM j GROUP BY lang, label ORDER BY lang, label""".stripMargin,
     "q19_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh_hi, sh_lo FROM sh ORDER BY doc_id""".stripMargin,
