@@ -80,6 +80,28 @@ object Queries {
         history, "doc_id", "text", threshold = 0.1)
         .orderBy("doc_id", "dup_of")
     }),
+    // E15/E16 ensemble: CONSENSUS dedup — near-dup pairs flagged by
+    // BOTH the text MinHash path (q18) and the embedding sign-LSH path
+    // (q36's pipeline, via the 1:1 doc_id = vec_id linkage). Agreement
+    // across modalities is the high-precision drop set a curation
+    // pipeline deletes without review; either single detector alone
+    // over-fires on its modality's blind spots. Pure composition: two
+    // candidate pipelines + one equi-join on the pair key — no new
+    // shuffle shape. The embedding threshold is 0.2 here, not q36's
+    // 0.35: the synthetic embeddings correlate only weakly with text
+    // similarity (text-dup pairs measure cosine ≈0.07–0.28), and the
+    // consensus's precision comes from the conjunction, not from either
+    // single threshold.
+    "q94_consensus_dedup" -> ((s, dir) => {
+      val text = Dedup.minhashNearDups(tbl(s, dir, "documents"),
+        "doc_id", "text", k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)
+      val embed = Sim.cosineNearDupsLsh(tbl(s, dir, "embeddings"),
+        threshold = 0.2, nTables = 16, bandPlanes = 4, dim = EmbeddingDim)
+        .select(col("v1").as("d1"), col("v2").as("d2"), col("sim"))
+      text.join(embed, Seq("d1", "d2"))
+        .select(col("d1"), col("d2"), col("jaccard"), col("sim"))
+        .orderBy("d1", "d2")
+    }),
     // E15 cousin: fuzzy string join (entity resolution) — blocked
     // Levenshtein matching over derived 5-token titles; the edit-
     // distance complement to the set-based (Jaccard) near-dup family
@@ -509,6 +531,23 @@ object Queries {
     s"""n AS (SELECT vec_id, v,
        |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v)""".stripMargin
 
+  /** DuckDB twin of [[Sim.cosineNearDupsLsh]] at the q36 banding
+    * parameters — shared by the q36 row (threshold 0.35) and the q94
+    * consensus join (threshold 0.2). */
+  private def lshNearDupOracle(threshold: Double): String =
+    s"""WITH ${bandedCte(16, 4, 64)},
+       |$normCte,
+       |ok AS (SELECT t, bucket FROM bt GROUP BY t, bucket
+       |  HAVING count(*) <= 100000),
+       |cap AS (SELECT bt.* FROM bt JOIN ok USING (t, bucket)),
+       |c AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM cap a JOIN cap b
+       |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |j AS (SELECT c.v1, c.v2,
+       |  ${dotSql("na.v", "nb.v")} / (na.norm * nb.norm) AS sim
+       |  FROM c JOIN n na ON na.vec_id = c.v1 JOIN n nb ON nb.vec_id = c.v2)
+       |SELECT v1, v2, sim FROM j WHERE sim >= $threshold ORDER BY v1, v2""".stripMargin
+
   /** Shared IVF coarse-quantizer CTE chain (v, n, c, asg): same centroid
     * seed set as [[Sim.ivfAssign]] (first nlist by vec_id), same argmax
     * assign, same sequential-fold cosine — bit-identical. */
@@ -664,19 +703,15 @@ object Queries {
       s"""WITH ${bandedCte(1, 16, 64)}
          |SELECT bucket, count(*) AS n_vecs FROM bt
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "q36_lsh_neardup" ->
-      s"""WITH ${bandedCte(16, 4, 64)},
-         |$normCte,
-         |ok AS (SELECT t, bucket FROM bt GROUP BY t, bucket
-         |  HAVING count(*) <= 100000),
-         |cap AS (SELECT bt.* FROM bt JOIN ok USING (t, bucket)),
-         |c AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM cap a JOIN cap b
-         |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |j AS (SELECT c.v1, c.v2,
-         |  ${dotSql("na.v", "nb.v")} / (na.norm * nb.norm) AS sim
-         |  FROM c JOIN n na ON na.vec_id = c.v1 JOIN n nb ON nb.vec_id = c.v2)
-         |SELECT v1, v2, sim FROM j WHERE sim >= 0.35 ORDER BY v1, v2""".stripMargin,
+    "q36_lsh_neardup" -> lshNearDupOracle(0.35),
+    // Consensus = the JOIN of the two modality oracles on the 1:1 pair
+    // key — each side is the already-proven full recompute.
+    "q94_consensus_dedup" ->
+      s"""WITH mh AS (SELECT * FROM ($minhashOracle) x),
+         |ls AS (SELECT * FROM (${lshNearDupOracle(0.2)}) y)
+         |SELECT mh.d1, mh.d2, mh.jaccard, ls.sim
+         |FROM mh JOIN ls ON mh.d1 = ls.v1 AND mh.d2 = ls.v2
+         |ORDER BY mh.d1, mh.d2""".stripMargin,
     "q37_ann_knn" ->
       s"""WITH ${bandedCte(16, 4, 64)},
          |$normCte,
