@@ -201,6 +201,40 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // Multimodal ingest surface: the `binaryFile` source — how raw
+    // image/audio/video blobs enter a pipeline as (path, length,
+    // content) rows. Fixture-prep writes one .bin file per document
+    // (content = the UTF-8 text bytes) from the EXECUTORS (foreachPartition
+    // — no driver collect); the declared query reads them back through
+    // the binaryFile source, recovers the doc id from the path, and
+    // verifies the byte round trip by decoding content and matching
+    // length. The oracle recomputes from the documents table — a lost,
+    // duplicated, or corrupted blob fails the row.
+    "q95_binary_ingest" -> ((s, dir) => {
+      val out = "/root/repo/target/graft_io/bin_docs"
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(outPath, true)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      tbl(s, dir, "documents").select("doc_id", "text")
+        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+          rows.forEachRemaining { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$out/doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        }
+      s.read.format("binaryFile").load(s"$out/*.bin")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          col("content").cast("string").as("decoded"))
+        .join(tbl(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("n_bytes"),
+          (col("decoded") === col("text")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
     // STATEFUL streaming at the gate (q60 is stateless): watermarked
     // tumbling-window count+sum through the checkpointed exactly-once
     // sink. The source is the events table re-laid as SEQUENTIAL
@@ -409,6 +443,12 @@ object SparkEntry {
     // watermark (max event time, ms precision, minus the 1 h delay) —
     // exactly the set append mode emits. The decimal VARCHAR round-trip
     // matches the streaming sum's decimal(38,12) accumulation.
+    // The blob round trip must be lossless: n_bytes = the text's UTF-8
+    // byte length, decode-match true for every doc.
+    "q95_binary_ingest" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  true AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q16's session boundaries reduced to the custom-state operator's
     // emitted columns — one truth for q16 (batch window), q55
     // (session_window), and q90 (flatMapGroupsWithState).
