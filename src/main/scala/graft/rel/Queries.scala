@@ -601,6 +601,7 @@ object Queries {
     "q89_correlated_subquery" -> (correlatedSubquery _),
     "q91_range_frame" -> (rangeFrame _),
     "q92_quality_report" -> (qualityReport _),
+    "q96_map_zip" -> (mapZipFuncs _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -753,6 +754,26 @@ object Queries {
         dayofweek(col("o_orderdate")).cast("long").as("dow"))
       .orderBy("o_orderkey")
       .limit(5000)
+
+  // E11: the rest of the map-function family (q78 covers
+  // map_from_arrays/map/map_concat/map_filter/transform_values) —
+  // map_zip_with combines two maps keywise, transform_keys rewrites the
+  // key space; exploded to sorted rows per FIXTURES §3.
+  def mapZipFuncs(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nToks = size(split(col("text"), " ", -1)).cast("long")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        map_from_arrays(array(lit("chars"), lit("toks")),
+          array(nChars, nToks)).as("m1"),
+        map_from_arrays(array(lit("chars"), lit("toks")),
+          array(nChars * 2, nToks + 1)).as("m2"))
+      .select(col("doc_id"), explode(
+        transform_keys(
+          map_zip_with(col("m1"), col("m2"), (_, a, b) => a + b),
+          (k, _) => concat(k, lit("_sum")))).as(Seq("k", "v")))
+      .orderBy("doc_id", "k")
+  }
 
   // E6 breadth: the MERGEABLE-sketch workflow q30's scalar
   // approx_count_distinct hides — per-group Apache DataSketches HLL
@@ -1077,6 +1098,13 @@ object Queries {
          |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    // Keywise sums stated directly: chars + 2*chars, toks + (toks+1).
+    "q96_map_zip" ->
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+        |u AS (SELECT doc_id, 'chars_sum' AS k, n_chars + n_chars * 2 AS v FROM b
+        |  UNION ALL SELECT doc_id, 'toks_sum', n_toks + n_toks + 1 FROM b)
+        |SELECT doc_id, k, v FROM u ORDER BY doc_id, k""".stripMargin,
     "q92_quality_report" ->
       """SELECT
         |  (SELECT count(*) FROM orders) AS n_rows,

@@ -232,6 +232,46 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall over ${exact.size} exact neighbors")
   }
 
+  test("fuzzyJoin: perfect precision; measured blocking recall >= 0.4") {
+    import org.apache.spark.sql.functions.{concat_ws, slice, split}
+    // Brute-force all-pairs edit distance over the derived titles vs the
+    // blocked path — the blocking contract quantified the way the
+    // MinHash/ANN contracts are. Precision is exactly 1 (candidates are
+    // exact-verified); recall measures 0.49 on THIS corpus, whose
+    // titles are 5 anchor-free random vocab words — pairs within edit
+    // 10 often share neither the first token nor (measured: unioning a
+    // last-token key only lifts it to 0.58) any positional anchor.
+    // Real titles share anchors; the floor pins the corpus-honest value.
+    val titled = docs.select(col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " ", -1), 1, 5)).as("title"))
+    val a = titled.select(col("doc_id").as("d1"), col("title").as("t1"))
+    val b = titled.select(col("doc_id").as("d2"), col("title").as("t2"))
+    val bf = a.join(b, col("d1") < col("d2"))
+      .where(levenshtein(col("t1"), col("t2")) <= 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.fuzzyJoin(titled, "doc_id", "title", maxDist = 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(bf), "blocking must not invent pairs")
+    val recall = (blocked & bf).size.toDouble / bf.size
+    assert(bf.nonEmpty && recall >= 0.4, s"recall=$recall over ${bf.size} pairs")
+  }
+
+  test("fuzzyJoin maxBucket drops degenerate blocks before the quadratic step") {
+    import spark.implicits._
+    // 5 identical titles (one block) + a distinct near-pair: with the
+    // cap below the block size the big block contributes NOTHING; the
+    // small block still matches.
+    val titles = (0L until 5L).map(i => (i, "same same same"))
+      .toSeq :+ (10L, "other title here") :+ (11L, "other title hare")
+    val df = titles.toDF("doc_id", "title")
+    val capped = Dedup.fuzzyJoin(df, "doc_id", "title", maxDist = 5, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)), capped.toString)
+    val uncapped = Dedup.fuzzyJoin(df, "doc_id", "title", maxDist = 5)
+      .collect().length
+    assert(uncapped == 11) // C(5,2) identical pairs + the near-pair
+  }
+
   test("minhash candidate recall >= 0.8 vs brute force at jaccard 0.5") {
     // LSH banding is a high-similarity detector: with 16 bands of 4
     // bucket-mins the S-curve midpoint is ~(1/16)^(1/4) ≈ 0.5, so the
