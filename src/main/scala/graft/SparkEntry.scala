@@ -282,7 +282,11 @@ object SparkEntry {
       srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(srcPath, true)
       (0 until slices).foreach { i =>
+        // ONE file per slice: a slice split across part files would
+        // straddle micro-batches (maxFilesPerTrigger) and its unordered
+        // later files would arrive behind the watermark and be dropped.
         sliced.where(col("slice") === i).drop("slice")
+          .coalesce(1)
           .write.mode("append").parquet(src)
       }
       val agged = sources.StreamIngest.windowedAggParquet(
@@ -319,7 +323,11 @@ object SparkEntry {
       srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(srcPath, true)
       (0 until slices).foreach { i =>
+        // ONE file per slice: a slice split across part files would
+        // straddle micro-batches (maxFilesPerTrigger) and its unordered
+        // later files would arrive behind the watermark and be dropped.
         sliced.where(col("slice") === i).drop("slice")
+          .coalesce(1)
           .write.mode("append").parquet(src)
       }
       // sentinel: 2*(late+gap) past the end, one per user, LAST append
@@ -476,12 +484,12 @@ object SparkEntry {
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
         |  FROM events),
         |y AS (
-        |  SELECT user_id, us,
+        |  SELECT user_id, event_id, us,
         |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM x),
         |z AS (
         |  SELECT user_id, us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |  FROM y)
         |SELECT user_id, min(us) AS sess_start_us, max(us) AS sess_end_us,

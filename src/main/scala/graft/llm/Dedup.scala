@@ -197,10 +197,11 @@ object Dedup {
     * Output: (d1, d2, jaccard). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucket: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       nativeShingles(docs, textCol, k).as("sh"))
-    val cands = minhashCandidatesFromShingles(sh, nBuckets, bandSize)
+    val cands = minhashCandidatesFromShingles(sh, nBuckets, bandSize, maxBucket)
     val txt = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     graft.functions.TextExprs.register(docs.sparkSession)
     cands

@@ -634,7 +634,8 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         count(col("d")).as("n_div_ok"),
         dsum(col("d")).as("sum_div"),
-        count(col("ov")).as("n_overflow"),
+        // count() of the try_add column = rows that did NOT overflow
+        count(col("ov")).as("n_add_ok"),
         count(col("bad_cast")).as("n_bad_cast"),
         sum(col("prio_num")).as("sum_prio"))
       .orderBy("status")
@@ -1094,7 +1095,7 @@ object Queries {
       s"""SELECT o_orderstatus AS status, count(*) AS n,
          |  count(CASE WHEN o_orderkey % 3 <> 0 THEN 1 END) AS n_div_ok,
          |  ${dsumSql("CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 3) END")} AS sum_div,
-         |  count(CASE WHEN o_orderkey % 100 <> 0 THEN 1 END) AS n_overflow,
+         |  count(CASE WHEN o_orderkey % 100 <> 0 THEN 1 END) AS n_add_ok,
          |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,

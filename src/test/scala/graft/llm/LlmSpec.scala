@@ -98,14 +98,20 @@ class DedupSpec extends SparkSpec {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val history = real.where(col("doc_id") % 2 === 0)
     val fresh = real.where(col("doc_id") % 2 === 1)
-    val store = Dedup.minhashSignatureStore(history, "doc_id", "text")
+    // Cap disabled on BOTH sides: the equality is a true invariant only
+    // away from maxBucket (the store caps on history-only bucket size,
+    // the full pass on combined size — a bucket straddling the cap
+    // diverges by design), so the equivalence is asserted cap-free.
+    val store = Dedup.minhashSignatureStore(history, "doc_id", "text",
+      maxBucket = Int.MaxValue)
     val inc = Dedup.incrementalNearDups(fresh, store, history,
         "doc_id", "text", threshold = 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // The full single-corpus pass over history ∪ fresh, keeping only
     // cross-parity pairs reoriented (fresh, hist) — candidate generation
     // and verify must agree exactly with the store-probe path.
-    val full = Dedup.minhashNearDups(real, "doc_id", "text", threshold = 0.1)
+    val full = Dedup.minhashNearDups(real, "doc_id", "text", threshold = 0.1,
+        maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .filter { case (a, b) => a % 2 != b % 2 }
       .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
