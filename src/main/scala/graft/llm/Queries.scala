@@ -126,6 +126,46 @@ object Queries {
       Dedup.fuzzyJoin(titled, "doc_id", "title", maxDist = 10)
         .orderBy("d1", "d2")
     }),
+    // E14 finisher: KEEP-BEST dedup — within each exact-duplicate text
+    // group, survive the highest-TRUST copy (metadata score desc,
+    // doc_id asc tiebreak) instead of q17's min-id convention: the
+    // production rule when copies differ in source metadata. The corpus
+    // has no exact duplicates (q17), so duplicate copies are injected
+    // (ids +10000 for doc_id < 25 — the q45 fixture pattern) and trust
+    // is a deterministic metadata stand-in (doc_id mod 7, mirrored in
+    // the oracle); content-derived quality would tie on identical text
+    // by construction. One tiny window per text group.
+    "q97_keep_best" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
+      val copies = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("lang"))
+      val all = docs.unionAll(copies)
+        .withColumn("trust", pmod(col("doc_id"), lit(7L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("text").orderBy(col("trust").desc, col("doc_id").asc)
+      all.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("n_copies_won"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+    // The incremental KEEP SET: fresh docs that do NOT near-duplicate
+    // history (anti join on q75's matched pairs) — what actually flows
+    // downstream after the incremental dedup pass. Composition only.
+    "q98_incremental_keep" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val fresh = docs.where(col("doc_id") % 2 === 1)
+      val store = Dedup.minhashSignatureStore(history, "doc_id", "text")
+      val dups = Dedup.incrementalNearDups(fresh, store, history,
+        "doc_id", "text", threshold = 0.1)
+      fresh.join(dups.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
+    }),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -650,6 +690,25 @@ object Queries {
     "q65_dedup_components" -> componentsOracle,
     "q75_incremental_dedup" -> incrementalOracle,
     "q76_bm25" -> bm25Oracle(1.2, 0.75),
+    // Same injected copies, same trust formula, same window tiebreak.
+    "q97_keep_best" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents),
+        |copies AS (SELECT doc_id + 10000 AS doc_id, text, lang FROM base WHERE doc_id < 25),
+        |allrows AS (SELECT *, doc_id % 7 AS trust FROM (SELECT * FROM base UNION ALL SELECT * FROM copies) u),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY text ORDER BY trust DESC, doc_id ASC) AS rn
+        |  FROM allrows)
+        |SELECT lang, count(*) AS n_survivors,
+        |  CAST(count(CASE WHEN doc_id >= 10000 THEN 1 END) AS BIGINT) AS n_copies_won,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    // Fresh-batch keep set = fresh minus the q75 matched doc ids.
+    "q98_incremental_keep" ->
+      s"""WITH dups AS (SELECT DISTINCT doc_id FROM ($incrementalOracle) x)
+         |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
+         |FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dups)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Same features, same weight literals, same evaluation order;
     // round(6) absorbs libm exp drift.
     "q88_linear_score" ->
