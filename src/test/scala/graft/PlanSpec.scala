@@ -97,6 +97,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q76 BM25 derives dl/df from tf: ≤3 corpus scans, ≥1 reused stage") {
+    // Pins the measured shape the bm25 scaladoc records: before the
+    // derive-from-tf change the corpus was tokenized 4×; now ≤3 scans
+    // with at least one shuffle stage reused across the derived aggs.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = llm.TextAnalysis.bm25(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = "Scan parquet|FileScan".r.findAllIn(p).size
+    val reused = "ReusedExchange|ReusedQueryStage".r.findAllIn(p).size
+    assert(scans <= 3, s"$scans corpus scans")
+    assert(reused >= 1, "expected the tf exchange to be reused")
+  }
+
   test("q39 prefix sum distributes over data-derived buckets, no pid capture") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = llm.Pack.shardPack(docs, 4096)
