@@ -166,6 +166,23 @@ object Queries {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
         .orderBy("lang")
     }),
+    // E6/E17: frequent-items sketch (Spark 4's approx_top_k) — the
+    // heavy-hitters pass a vocabulary/boilerplate monitor runs where an
+    // exact group-by is too wide. Gated in its EXACT regime: with
+    // maxItemsTracked ≥ distinct items (the corpus vocabulary is ~31
+    // tokens) the tracker never evicts, so every count is exact and the
+    // whole sketch output value-oracles against the plain frequency
+    // table; production runs it at k ≪ distinct where the counts go
+    // approximate but the dataflow is identical.
+    "q99_approx_topk" -> ((s, dir) => {
+      val tok = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+        .where(col("tok") =!= "")
+      tok.agg(expr("approx_top_k(tok, 100, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").cast("long").as("cnt"))
+        .orderBy("tok")
+    }),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -690,6 +707,12 @@ object Queries {
     "q65_dedup_components" -> componentsOracle,
     "q75_incremental_dedup" -> incrementalOracle,
     "q76_bm25" -> bm25Oracle(1.2, 0.75),
+    // Exact regime: tracker >= vocab, so the sketch equals the plain
+    // frequency table.
+    "q99_approx_topk" ->
+      """SELECT t AS tok, count(*) AS cnt FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+        |WHERE t <> '' GROUP BY t ORDER BY tok""".stripMargin,
     // Same injected copies, same trust formula, same window tiebreak.
     "q97_keep_best" ->
       """WITH base AS (SELECT doc_id, text, lang FROM documents),
