@@ -1,0 +1,53 @@
+package graft
+
+/** Scratch-directory root for query-local fixtures, sinks, and
+  * checkpoints (the `target/graft_io` tree). Derived from the
+  * `SPARK_GRAFT_SCRATCH` env var (the Bench `SPARK_GRAFT_BENCH_OUT`
+  * pattern) so the repo location is not baked into the code; the
+  * default keeps the historical path.
+  *
+  * Local-mode assumption, stated once: several fixtures write blobs or
+  * sliced source files to this root from executor code (q95's
+  * foreachPartition) or read it back as a streaming source — correct
+  * under `local[*]` where driver and executors share a filesystem. On a
+  * real cluster the root must point at shared storage (the env var),
+  * exactly like any checkpoint location.
+  */
+object Scratch {
+  val root: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/root/repo/target/graft_io")
+
+  /** `root`/`name` as a String path (convenience for query bodies). */
+  def dir(name: String): String = s"$root/$name"
+
+  /** Cheap content fingerprint of a local file tree: every regular
+    * file's (relative name, size, mtime) folded into one string. Used
+    * by the idempotent-fixture markers (q75's signature store, q95's
+    * blob store, q106's ANN index) so that REGENERATING an input table
+    * in place — same path, new bytes — invalidates the persisted
+    * derived state instead of silently reusing it (a stale store would
+    * still fail the oracle, but as a confusing engine-bug-shaped red
+    * row rather than a rebuild). Metadata only — never reads content —
+    * so the check is O(files) driver-side control flow, the same class
+    * as a checkpoint-directory existence probe. */
+  def fingerprint(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        val it = s.filter(java.nio.file.Files.isRegularFile(_))
+          .sorted().iterator()
+        val sb = new StringBuilder
+        var h = 1125899906842597L // large prime; stable across JVMs
+        while (it.hasNext) {
+          val f = it.next()
+          val line = s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+          for (c <- line) h = 31 * h + c
+        }
+        sb.append(java.lang.Long.toHexString(h)).toString
+      } finally s.close()
+    }
+  }
+}

@@ -72,7 +72,7 @@ object SparkEntry {
     // the operator under test — the deliberate plan-build side effect.
     "raw_text_wordcount" -> ((s, dir) => {
       val in = sources.TextLines.ensureFixture()
-      val out = "/root/repo/target/graft_io/raw_text_wordcount"
+      val out = Scratch.dir("raw_text_wordcount")
       sources.TextLines.writeTsv(
         CoOccur.wordCount(sources.TextLines.readLines(s, in), "text")
           .select("category", "tok", "cnt"), out)
@@ -84,7 +84,7 @@ object SparkEntry {
     // "left:right" pair keys (`HadoopWordPairs.java:73`) through the
     // same TSV sink round-trip.
     "pairs_m1_keyed" -> ((s, dir) => {
-      val out = "/root/repo/target/graft_io/pairs_m1_keyed"
+      val out = Scratch.dir("pairs_m1_keyed")
       sources.TextLines.writeTsv(
         CoOccur.pairs(tbl(s, dir, "documents"), "text", 1)
           .select(concat(col("w1"), lit(":"), col("w2")).as("pair"), col("cnt")), out)
@@ -100,7 +100,7 @@ object SparkEntry {
     // the oracle recomputes the counts from the documents table, so any
     // routing loss/dup/corruption turns the row red.
     "q56_category_sink" -> ((s, dir) => {
-      val out = "/root/repo/target/graft_io/category_sink"
+      val out = Scratch.dir("category_sink")
       sources.TextLines.writeByCategory(
         CoOccur.wordCount(tbl(s, dir, "documents"), "text"), out)
       s.read.parquet(out)
@@ -115,7 +115,7 @@ object SparkEntry {
     // corruption (escaping, schema drift, row loss) turns the row red.
     "q50_json_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val out = "/root/repo/target/graft_io/json_docs"
+      val out = Scratch.dir("json_docs")
       sources.TextLines.writeJsonl(
         tbl(s, dir, "documents").select("doc_id", "lang", "text"), out)
       val schema = StructType(Seq(
@@ -135,7 +135,7 @@ object SparkEntry {
     // in either direction turns the row red.
     "q57_csv_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val out = "/root/repo/target/graft_io/csv_docs"
+      val out = Scratch.dir("csv_docs")
       sources.TextLines.writeCsv(
         tbl(s, dir, "documents").select("doc_id", "lang", "text"), out)
       val schema = StructType(Seq(
@@ -168,7 +168,7 @@ object SparkEntry {
     // same lossless-oracle contract as the CSV/JSON rows.
     "q62_orc_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val out = "/root/repo/target/graft_io/orc_docs"
+      val out = Scratch.dir("orc_docs")
       sources.TextLines.writeOrc(
         tbl(s, dir, "documents").select("doc_id", "lang", "text"), out)
       val schema = StructType(Seq(
@@ -189,7 +189,7 @@ object SparkEntry {
     // same thing from the original table — row loss, duplication, or
     // transform drift across the streaming boundary turns the row red.
     "q60_stream_ingest" -> ((s, dir) => {
-      val out = "/root/repo/target/graft_io/stream_ingest"
+      val out = Scratch.dir("stream_ingest")
       val ingested = sources.StreamIngest.ingestParquet(
         s, dir, "documents.parquet",
         tbl(s, dir, "documents").schema, out, out + "_ckpt",
@@ -211,7 +211,7 @@ object SparkEntry {
     // length. The oracle recomputes from the documents table — a lost,
     // duplicated, or corrupted blob fails the row.
     "q95_binary_ingest" -> ((s, dir) => {
-      val out = "/root/repo/target/graft_io/bin_docs"
+      val out = Scratch.dir("bin_docs")
       // Idempotent fixture prep: the blob store is the query's INPUT
       // (like /root/testdata), so it is written once per source dir and
       // reused — a marker records which sfDir produced it, and a stale
@@ -219,8 +219,9 @@ object SparkEntry {
       // warm/timed) therefore measure the binaryFile READ, not 5000
       // file creations.
       val marker = java.nio.file.Paths.get(s"$out/_marker")
+      val stamp = dir + "\n" + Scratch.fingerprint(s"$dir/documents.parquet")
       val fresh = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == dir
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
       if (!fresh) {
         val outPath = new org.apache.hadoop.fs.Path(out)
         outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -235,7 +236,7 @@ object SparkEntry {
                 r.getString(1).getBytes("UTF-8"))
             }
           }
-        java.nio.file.Files.write(marker, dir.getBytes("UTF-8"))
+        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
       }
       // 500 blobs at any SF: the blob COUNT is a fixture bound (the
       // per-file open cost is the small-files problem q63 addresses,
@@ -267,8 +268,8 @@ object SparkEntry {
     // (The 1-row bounds collect is source-prep control flow, not part
     // of the streaming plan.)
     "q87_stream_window" -> ((s, dir) => {
-      val src = "/root/repo/target/graft_io/stream_window_src"
-      val out = "/root/repo/target/graft_io/stream_window"
+      val src = Scratch.dir("stream_window_src")
+      val out = Scratch.dir("stream_window")
       val ev = rel.Queries.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val Array(lo, hi) = ev
@@ -309,8 +310,8 @@ object SparkEntry {
     // columns — so the custom-state plan, the session_window plan (q55),
     // and the batch window plan (q16) are all pinned to ONE truth.
     "q90_custom_state_sessions" -> ((s, dir) => {
-      val src = "/root/repo/target/graft_io/custom_state_src"
-      val out = "/root/repo/target/graft_io/custom_state"
+      val src = Scratch.dir("custom_state_src")
+      val out = Scratch.dir("custom_state")
       val ev = rel.Queries.events(s, dir).select(col("user_id"), col("ts"))
       val Array(lo, hi) = ev
         .agg(unix_timestamp(min(col("ts"))), unix_timestamp(max(col("ts"))))

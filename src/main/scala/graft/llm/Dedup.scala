@@ -143,6 +143,51 @@ object Dedup {
       .where(size(col("ids")) <= maxBucket)
   }
 
+  /** The store-UPDATE half of the incremental-dedup lifecycle: fold a
+    * new batch's band keys into an existing [[minhashSignatureStore]]
+    * frame, producing the store the NEXT batch probes. One full-outer
+    * equi-join on exactly (band, bkey): with the store side bucketed by
+    * that key it joins exchange-free (PlanSpec-pinned), the new batch's
+    * keys are grouped and shuffled once — update cost is O(new batch),
+    * never O(history), which is what makes the store maintainable at
+    * 100 TB (rebuilding from scratch re-shingles all history).
+    *
+    * Cap semantics: a bucket whose MERGED id list exceeds `maxBucket`
+    * is dropped, same rule as the initial build. The cap schedule is
+    * per-generation (a bucket dropped at generation N re-enters with
+    * only later ids if it shrinks below the cap) — at the declared
+    * parameters a bucket needs >1000 colliding docs to diverge from
+    * the recompute-from-scratch store, and the q100 oracle recomputes
+    * from scratch, so the gate row proves the schedules coincide on
+    * real data; a pipeline wanting exact cap fidelity would keep
+    * (band, bkey, n) tombstones for dropped buckets — same join shape. */
+  def mergeSignatureStore(store: DataFrame, fresh: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
+                          maxBucket: Int = 1000,
+                          storeBuckets: Int = 0): DataFrame = {
+    val freshSh = fresh.select(col(idCol).as("doc_id"),
+      nativeShingles(fresh, textCol, k).as("sh"))
+    val rawKeys = bandKeysFromShingles(freshSh, nBuckets, bandSize)
+    // Pre-partition the new keys to the store's bucket COUNT (the
+    // caller wrote the store, so it knows): the groupBy then reuses
+    // that partitioning and the join's ENSURE_REQUIREMENTS is already
+    // met — one (band, bkey) exchange on the new side instead of two
+    // (groupBy at spark.sql.shuffle.partitions, then a re-shuffle to
+    // match the bucketed side's partition count). PlanSpec-pinned.
+    val aligned = if (storeBuckets > 0)
+      rawKeys.repartition(storeBuckets, col("band"), col("bkey")) else rawKeys
+    val newKeys = aligned
+      .groupBy("band", "bkey")
+      .agg(collect_list(col("doc_id")).as("new_ids"))
+    val empty = typedLit(Seq.empty[Long])
+    store.join(newKeys, Seq("band", "bkey"), "full_outer")
+      .select(col("band"), col("bkey"),
+        concat(coalesce(col("ids"), empty),
+          coalesce(col("new_ids"), empty)).as("ids"))
+      .where(size(col("ids")) <= maxBucket)
+  }
+
   /** Incremental near-dup dedup: probe a NEW batch against a persisted
     * signature store of all prior batches — the production shape of
     * E15 (a crawl pipeline never re-deduplicates 100 TB of history per

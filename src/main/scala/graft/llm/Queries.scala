@@ -78,21 +78,65 @@ object Queries {
       // misstate the bench (the query demonstrates the probe, and a
       // crawl pipeline never re-shingles history per increment) and
       // contradict the operator's own contract. The marker records the
-      // source dir; a session without the catalog entry re-registers.
+      // source dir PLUS a metadata fingerprint of the documents table —
+      // a fixture regenerated in place (same path, new bytes) forces a
+      // store rebuild instead of a stale-state red row. A session
+      // without the catalog entry re-registers.
       val marker = java.nio.file.Paths.get(
-        "/root/repo/target/graft_io/minhash_store_marker")
+        graft.Scratch.dir("minhash_store_marker"))
+      val stamp = dir + "\n" + graft.Scratch.fingerprint(s"$dir/documents.parquet")
       val fresh_? = s.catalog.tableExists("minhash_store_bkt") &&
         java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == dir
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
       if (!fresh_?) {
         graft.rel.Layout.writeBucketedBy(
           Dedup.minhashSignatureStore(history, "doc_id", "text"),
           "minhash_store_bkt", 8, "band", "bkey")
         java.nio.file.Files.createDirectories(marker.getParent)
-        java.nio.file.Files.write(marker, dir.getBytes("UTF-8"))
+        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
       }
       Dedup.incrementalNearDups(fresh, s.table("minhash_store_bkt"),
         history, "doc_id", "text", threshold = 0.1)
+        .orderBy("doc_id", "dup_of")
+    }),
+    // E15 lifecycle closure (VERDICT r6 item 1): the store-UPDATE half
+    // q75 leaves out — fold generation 1's band keys into generation
+    // 0's persisted store (one full-outer join riding the bucket
+    // layout, update cost O(gen1)), REWRITE it bucketed by (band,
+    // bkey), and probe generation 2 against the updated store. This is
+    // the complete production loop: probe batch N, fold batch N in,
+    // batch N+1 probes the result — without it the store can only be
+    // rebuilt from scratch. Generations are the doc_id%3 split; the
+    // oracle recomputes the gen0∪gen1 store end to end from both
+    // generations, so a lost, duplicated, or mis-merged band key — or
+    // any bucketed write/read corruption across EITHER rewrite — fails
+    // the row. Gen0's store is prior state (marker-cached, the q75
+    // pattern); the merge + rewrite + probe run per pass: they ARE the
+    // operator.
+    "q100_store_update" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val gen0 = docs.where(col("doc_id") % 3 === 0)
+      val gen1 = docs.where(col("doc_id") % 3 === 1)
+      val gen2 = docs.where(col("doc_id") % 3 === 2)
+      val marker = java.nio.file.Paths.get(
+        graft.Scratch.dir("minhash_store_g0_marker"))
+      val stamp = dir + "\n" + graft.Scratch.fingerprint(s"$dir/documents.parquet")
+      val fresh_? = s.catalog.tableExists("minhash_store_g0") &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
+      if (!fresh_?) {
+        graft.rel.Layout.writeBucketedBy(
+          Dedup.minhashSignatureStore(gen0, "doc_id", "text"),
+          "minhash_store_g0", 8, "band", "bkey")
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+      }
+      graft.rel.Layout.writeBucketedBy(
+        Dedup.mergeSignatureStore(s.table("minhash_store_g0"), gen1,
+          "doc_id", "text", storeBuckets = 8),
+        "minhash_store_g1", 8, "band", "bkey")
+      Dedup.incrementalNearDups(gen2, s.table("minhash_store_g1"),
+        gen0.unionAll(gen1), "doc_id", "text", threshold = 0.1)
         .orderBy("doc_id", "dup_of")
     }),
     // E15/E16 ensemble: CONSENSUS dedup — near-dup pairs flagged by
@@ -450,13 +494,16 @@ object Queries {
        |SELECT n AS doc_id, min(reach) AS component FROM r
        |GROUP BY n ORDER BY doc_id""".stripMargin
 
-  /** DuckDB twin of the q75 incremental path: recomputes BOTH
-    * generations' band keys (same CTE chain as [[minhashOracle]]), joins
-    * the odd (new-batch) keys against the even (history) keys with the
-    * same store-side bucket cap, and exact-Jaccard-verifies — so the
-    * Spark side's persist/read-back of the signature store must be
+  /** DuckDB twin of the incremental probe (q75/q100): recomputes EVERY
+    * generation's band keys from scratch (same CTE chain as
+    * [[minhashOracle]]), joins the new-batch keys (`freshPred`) against
+    * the history keys (`histPred`) with the same store-side bucket cap,
+    * and exact-Jaccard-verifies — so the Spark side's persist/read-back
+    * (q75) AND its incremental store MERGE (q100: gen0-store + gen1
+    * fold-in must equal the from-scratch gen0∪gen1 store) must both be
     * lossless to match. */
-  private val incrementalOracle: String =
+  private def incrementalOracleFor(histPred: String,
+                                   freshPred: String): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
        |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
@@ -469,8 +516,8 @@ object Queries {
        |    string_agg(bucket || ':' || mh, '|' ORDER BY bucket) AS sig
        |  FROM bm GROUP BY doc_id, band),
        |bk AS (SELECT doc_id, band, ${fnvSql("sig")} AS bkey FROM sg),
-       |hb AS (SELECT doc_id, band, bkey FROM bk WHERE doc_id % 2 = 0),
-       |nb AS (SELECT doc_id, band, bkey FROM bk WHERE doc_id % 2 = 1),
+       |hb AS (SELECT doc_id, band, bkey FROM bk WHERE $histPred),
+       |nb AS (SELECT doc_id, band, bkey FROM bk WHERE $freshPred),
        |sz AS (SELECT band, bkey FROM hb GROUP BY band, bkey
        |  HAVING count(*) <= 1000),
        |c AS (SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS dup_of
@@ -484,6 +531,9 @@ object Queries {
        |  JOIN f fh ON fh.doc_id = c.dup_of)
        |SELECT doc_id, dup_of, inter / (total - inter) AS jaccard FROM j
        |WHERE inter / (total - inter) >= 0.1 ORDER BY doc_id, dup_of""".stripMargin
+
+  private val incrementalOracle: String =
+    incrementalOracleFor("doc_id % 2 = 0", "doc_id % 2 = 1")
 
   /** DuckDB twin of [[TextAnalysis.bm25]]: same exact-count tf/dl/df
     * CTEs, and the per-row BM25 expression with IDENTICAL operation
@@ -706,6 +756,10 @@ object Queries {
     "q18_minhash_neardup" -> minhashOracle,
     "q65_dedup_components" -> componentsOracle,
     "q75_incremental_dedup" -> incrementalOracle,
+    // gen0∪gen1 recomputed from scratch IS what the merged store must
+    // equal; gen2 is the probe batch.
+    "q100_store_update" ->
+      incrementalOracleFor("doc_id % 3 IN (0, 1)", "doc_id % 3 = 2"),
     "q76_bm25" -> bm25Oracle(1.2, 0.75),
     // Exact regime: tracker >= vocab, so the sketch equals the plain
     // frequency table.

@@ -409,7 +409,7 @@ object Queries {
   // oracle filters the original table: pruning must be invisible in
   // the results.
   def partitionPrunedAgg(s: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/graft_io/docs_by_lang"
+    val out = graft.Scratch.dir("docs_by_lang")
     Layout.writePartitioned(tbl(s, dir, "documents"), out, "lang")
     s.read.parquet(out)
       .where(col("lang") === "de")
@@ -427,8 +427,8 @@ object Queries {
   // fragmentation + compaction must preserve every row. The file-count
   // contract is plan-level and asserted in LayoutSpec.
   def compactionAgg(s: SparkSession, dir: String): DataFrame = {
-    val frag = "/root/repo/target/graft_io/docs_fragmented"
-    val out = "/root/repo/target/graft_io/docs_compacted"
+    val frag = graft.Scratch.dir("docs_fragmented")
+    val out = graft.Scratch.dir("docs_compacted")
     tbl(s, dir, "documents").repartition(64)
       .write.mode("overwrite").parquet(frag)
     Layout.compact(s, frag, out, 4)
@@ -480,7 +480,7 @@ object Queries {
   // whose schema grows over years of ingest. The oracle recomputes both
   // generations' aggregates from the original table.
   def schemaEvolutionAgg(s: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/graft_io/evolving_docs"
+    val out = graft.Scratch.dir("evolving_docs")
     val docs = tbl(s, dir, "documents")
     docs.select(col("doc_id"), col("lang"))
       .where(col("doc_id") % 2 === 0)
@@ -627,8 +627,15 @@ object Queries {
         expr("try_divide(o_totalprice, o_orderkey % 3)").as("d"),
         expr("try_add(9223372036854775807, " +
           "CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END)").as("ov"),
-        expr("try_cast(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority " +
-          "ELSE NULL END AS BIGINT)").as("bad_cast"),
+        // The cast branch mixes outcomes deterministically: half the 1%
+        // slice (o_orderkey % 200 = 0) carries a PARSEABLE string (the
+        // key itself), the other half the unparseable priority text —
+        // so n_cast_ok/sum_cast_ok distinguish "bad casts null out,
+        // good casts survive" from "everything nulls out" (ADVICE r6:
+        // the all-unparseable form pinned nothing beyond n_add_ok).
+        expr("try_cast(CASE WHEN o_orderkey % 200 = 0 THEN CAST(o_orderkey AS STRING) " +
+          "WHEN o_orderkey % 100 = 0 THEN o_orderpriority " +
+          "ELSE NULL END AS BIGINT)").as("mixed_cast"),
         expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").as("prio_num"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"),
@@ -636,7 +643,8 @@ object Queries {
         dsum(col("d")).as("sum_div"),
         // count() of the try_add column = rows that did NOT overflow
         count(col("ov")).as("n_add_ok"),
-        count(col("bad_cast")).as("n_bad_cast"),
+        count(col("mixed_cast")).as("n_cast_ok"),
+        coalesce(sum(col("mixed_cast")), lit(0L)).as("sum_cast_ok"),
         sum(col("prio_num")).as("sum_prio"))
       .orderBy("status")
 
@@ -1096,7 +1104,8 @@ object Queries {
          |  count(CASE WHEN o_orderkey % 3 <> 0 THEN 1 END) AS n_div_ok,
          |  ${dsumSql("CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 3) END")} AS sum_div,
          |  count(CASE WHEN o_orderkey % 100 <> 0 THEN 1 END) AS n_add_ok,
-         |  count(TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_bad_cast,
+         |  count(TRY_CAST(CASE WHEN o_orderkey % 200 = 0 THEN CAST(o_orderkey AS VARCHAR) WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)) AS n_cast_ok,
+         |  CAST(coalesce(sum(TRY_CAST(CASE WHEN o_orderkey % 200 = 0 THEN CAST(o_orderkey AS VARCHAR) WHEN o_orderkey % 100 = 0 THEN o_orderpriority ELSE NULL END AS BIGINT)), 0) AS BIGINT) AS sum_cast_ok,
          |  CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio
          |FROM orders GROUP BY status ORDER BY status""".stripMargin,
     // Keywise sums stated directly: chars + 2*chars, toks + (toks+1).

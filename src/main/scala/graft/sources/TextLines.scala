@@ -77,7 +77,7 @@ object TextLines {
   /** Write the fixture once (idempotent — content is deterministic) and
     * return its path. Lives under target/ (build scratch, gitignored). */
   def ensureFixture(): String = {
-    val p = java.nio.file.Paths.get("/root/repo/target/graft_io/fixture/lines.txt")
+    val p = java.nio.file.Paths.get(graft.Scratch.dir("fixture/lines.txt"))
     if (!java.nio.file.Files.exists(p)) {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, FixtureLines.mkString("\n").getBytes("UTF-8"))
@@ -141,7 +141,7 @@ object TextLines {
 
   /** Write the corrupt-CSV fixture once (idempotent). */
   def ensureCorruptCsv(): String = {
-    val p = java.nio.file.Paths.get("/root/repo/target/graft_io/fixture/corrupt.csv")
+    val p = java.nio.file.Paths.get(graft.Scratch.dir("fixture/corrupt.csv"))
     if (!java.nio.file.Files.exists(p)) {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, CorruptCsvLines.mkString("\n").getBytes("UTF-8"))

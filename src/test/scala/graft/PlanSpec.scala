@@ -97,6 +97,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q100 store merge and the next probe both ride the bucket layout") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val gen0 = docs.where(col("doc_id") % 3 === 0)
+      val gen1 = docs.where(col("doc_id") % 3 === 1)
+      val gen2 = docs.where(col("doc_id") % 3 === 2)
+      rel.Layout.writeBucketedBy(
+        llm.Dedup.minhashSignatureStore(gen0, "doc_id", "text"),
+        "minhash_store_g0_plan", 8, "band", "bkey")
+      // (a) the UPDATE: the full-outer merge must not exchange the
+      // store side — update cost O(new batch), never O(history)
+      val merged = llm.Dedup.mergeSignatureStore(
+        spark.table("minhash_store_g0_plan"), gen1, "doc_id", "text",
+        storeBuckets = 8)
+      val mp = finalPlan(merged).split("== Initial Plan ==").head
+      assert(mp.contains("Bucketed: true"), mp.take(1500))
+      assert(!mp.contains("disabled by query planner"), mp.take(1500))
+      assert("exchange hashpartitioning\\(band".r
+        .findAllIn(mp.toLowerCase).size == 1, mp.take(1500))
+      // (b) the NEXT probe: after the bucketed REWRITE of the merged
+      // store, generation 2's probe join still rides the layout — the
+      // property that makes the loop sustainable across generations
+      rel.Layout.writeBucketedBy(merged, "minhash_store_g1_plan", 8, "band", "bkey")
+      val probe = llm.Dedup.bandKeysFromShingles(
+          gen2.select(col("doc_id"), llm.Dedup.shingles(col("text"), 3).as("sh")))
+        .join(spark.table("minhash_store_g1_plan"), Seq("band", "bkey"))
+      val pp = finalPlan(probe).split("== Initial Plan ==").head
+      assert(pp.contains("Bucketed: true"), pp.take(1500))
+      assert(!pp.contains("disabled by query planner"), pp.take(1500))
+      assert("exchange hashpartitioning\\(band".r
+        .findAllIn(pp.toLowerCase).size == 1, pp.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q76 BM25 derives dl/df from tf: ≤3 corpus scans, ≥1 reused stage") {
     // Pins the measured shape the bm25 scaladoc records: before the
     // derive-from-tf change the corpus was tokenized 4×; now ≤3 scans

@@ -118,6 +118,25 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("mergeSignatureStore equals the from-scratch store over both generations") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gen0 = real.where(col("doc_id") % 3 === 0)
+    val gen1 = real.where(col("doc_id") % 3 === 1)
+    // Cap-free on both paths, same rationale as the incremental-dedup
+    // equivalence above: the per-generation cap schedule diverges from
+    // the combined one only AT the cap.
+    def canon(df: DataFrame) = df
+      .select(col("band"), col("bkey"), array_sort(col("ids")).as("ids"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    val merged = canon(Dedup.mergeSignatureStore(
+      Dedup.minhashSignatureStore(gen0, "doc_id", "text", maxBucket = Int.MaxValue),
+      gen1, "doc_id", "text", maxBucket = Int.MaxValue))
+    val scratch = canon(Dedup.minhashSignatureStore(
+      gen0.unionAll(gen1), "doc_id", "text", maxBucket = Int.MaxValue))
+    assert(merged.nonEmpty && merged == scratch)
+  }
+
   test("fnv1a32 matches published FNV-1a vectors and stays in [0, 2^32)") {
     graft.functions.HashExprs.register(spark)
     val got = Seq((0L, ""), (1L, "a"), (2L, "abc"), (3L, "the quick brown"),

@@ -185,6 +185,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((h0Sec + 3 * 3600L, 1L, 10.0)), s"on-time window missing: $rows")
   }
 
+  test("append mode emits a window whose end EQUALS the watermark (q87 boundary)") {
+    // q87's oracle keeps windows with window_end_ms <= max_event_ms −
+    // delay — i.e. it assumes Spark's eviction predicate is inclusive
+    // (<=, WatermarkSupport.watermarkExpression builds `end ≤ wm`). The
+    // gate data never lands max-event exactly on hour-boundary + delay,
+    // so the <= vs < distinction was untested (ADVICE r6). Pin it: drive
+    // the watermark to EXACTLY a window's end and assert the window is
+    // emitted, not retained.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    val h0 = 1700000000000000L / hour * hour
+    val mem = MemoryStream[(Long, Double)]
+    val streamDf = mem.toDF().toDF("us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = Sessions.tumblingAgg(streamDf, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("boundary_out")
+      .outputMode("append").start()
+    mem.addData((h0 + 1, 1.0), (h0 + 2, 2.0))
+    q.processAllAvailable()
+    // max event = h0+2h exactly ⇒ watermark (max − 1 h) = h0+1h = the
+    // first window's END. The watermark updates at batch end, so a
+    // further batch (same max, no advance) runs the eviction.
+    mem.addData((h0 + 2 * hour, 10.0))
+    q.processAllAvailable()
+    mem.addData((h0 + 2 * hour, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("boundary_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val h0Sec = h0 / 1000000L
+    assert(rows.contains((h0Sec, 2L, 3.0)),
+      s"the end==watermark window must be EMITTED (<= eviction): $rows")
+    assert(!rows.exists(_._1 == h0Sec + 7200L),
+      s"the still-open tail window must be retained: $rows")
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
