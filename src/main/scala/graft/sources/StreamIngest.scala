@@ -47,8 +47,22 @@ object StreamIngest {
   def windowedAggParquet(spark: SparkSession, in: String,
                          schema: StructType, out: String, ckpt: String,
                          filesPerTrigger: Int = 2): DataFrame = {
-    import org.apache.spark.sql.functions._
     rm(spark, out); rm(spark, ckpt)
+    windowedAggParquetResume(spark, in, schema, out, ckpt, filesPerTrigger)
+  }
+
+  /** [[windowedAggParquet]] WITHOUT the wipe: start (or RESTART) the
+    * same query against an existing checkpoint + sink. A restarted
+    * AvailableNow drain recovers the file-source log, the watermark,
+    * and the open-window state from the checkpoint, processes only the
+    * files that arrived since the previous run, and appends only the
+    * newly-closed windows — the exactly-once recovery contract. q101
+    * exercises it across a real stop/restart boundary: a window whose
+    * events straddle the two runs must be emitted once, complete. */
+  def windowedAggParquetResume(spark: SparkSession, in: String,
+                               schema: StructType, out: String, ckpt: String,
+                               filesPerTrigger: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(in)
@@ -88,6 +102,34 @@ object StreamIngest {
           .option("maxFilesPerTrigger", "2").parquet(in))
       .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
     val q = sessions.writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** Streaming EXACT DEDUP at the gate (E14's unbounded form): drain a
+    * (doc_id, text, lang, ts) file-source stream through
+    * [[graft.streaming.Sessions.streamingDedup]]
+    * (dropDuplicatesWithinWatermark keyed on the content hash — state
+    * bounded by the watermark horizon, the property that makes
+    * streaming dedup viable on an unbounded crawl) into the
+    * checkpointed exactly-once parquet sink. Kept rows pass through
+    * append-mode immediately (dedup is not an aggregation), so the
+    * sink content is exactly the first-seen row per content within the
+    * horizon — cross-micro-batch duplicates are dropped from state,
+    * which is what the q102 layout (originals first, duplicate copies
+    * in a LATER file) exercises. */
+  def dedupParquet(spark: SparkSession, in: String, schema: StructType,
+                   out: String, ckpt: String): DataFrame = {
+    rm(spark, out); rm(spark, ckpt)
+    val q = graft.streaming.Sessions.streamingDedup(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in), "text")
+      .select("doc_id", "lang")
+      .writeStream.format("parquet")
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
