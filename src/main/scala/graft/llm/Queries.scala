@@ -195,6 +195,34 @@ object Queries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // The full production dedup DECISION (VERDICT r6 item 4): q97
+    // picks the trust survivor within EXACT-text groups; this composes
+    // q65's connected components with the same keep-best window so the
+    // survivor is chosen per NEAR-dup cluster — pairs transitively
+    // closed into components, then one row_number window per component
+    // (trust = the q97 doc_id-mod-7 metadata stand-in, trust desc /
+    // doc_id asc tiebreak). Emitted per component: member count and
+    // the survivor's id + trust — fully deterministic. The oracle
+    // recursive-CTE-closes the same pair set (q65's oracle) and applies
+    // the identical window. Scale: components is the audited O(edges)
+    // fixpoint; the window shuffles only docs that appear in a pair
+    // (the non-dup bulk never enters), one partition per cluster.
+    "q103_component_keep_best" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1))
+      val members = comps
+        .withColumn("trust", pmod(col("doc_id"), lit(7L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("trust").desc, col("doc_id").asc)
+      members.withColumn("rn", row_number().over(w))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+          max(when(col("rn") === 1, col("trust"))).as("survivor_trust"))
+        .orderBy("component")
+    }),
     // The incremental KEEP SET: fresh docs that do NOT near-duplicate
     // history (anti join on q75's matched pairs) — what actually flows
     // downstream after the incremental dedup pass. Composition only.
@@ -283,6 +311,24 @@ object Queries {
     // the k survivors pay the rank window)
     "q79_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(tbl(s, dir, "documents"), Bm25QueryTerms, 20)),
+    // E17 production shape (VERDICT r6 item 3): the q88 linear scorer
+    // with its parameters as a REAL broadcast (feature, weight) table
+    // — proving the "a weight table changes nothing" scaladoc claim
+    // in-plan. w·x accumulates in exact DECIMAL, so the row carries
+    // its own full value oracle (weights as a VALUES CTE).
+    "q104_weighted_score" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.linearScoreWeighted(tbl(s, dir, "documents"),
+        TextAnalysis.LinearWeights.toDF("feature", "weight"))
+    }),
+    // E17: q79's retrieval lookup with the query terms as a TABLE
+    // joined into the plan instead of isin literals — same dataflow,
+    // must equal q79 exactly (oracle carries the terms as a CTE).
+    "q105_bm25_term_table" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bm25TopKTerms(tbl(s, dir, "documents"),
+        Bm25QueryTerms.toDF("tok"), 20)
+    }),
     // E16: per-label class centroids — the nearest-class-mean building
     // block over the embeddings table's label column (exact-decimal
     // means, bit-identical cross-engine like q47)
@@ -574,6 +620,48 @@ object Queries {
        |WHERE rnk <= $kTop ORDER BY rnk""".stripMargin
   }
 
+  /** DuckDB twin of [[TextAnalysis.bm25TopKTerms]] — the q79 oracle
+    * with the term set as a VALUES CTE joined in, mirroring the
+    * table-join plan. */
+  private def bm25TopKTermsOracle(k1: Double, b: Double,
+                                  terms: Seq[String], kTop: Int): String = {
+    val termRows = terms.map(t => s"('$t')").mkString(", ")
+    val dsum = "CAST(CAST(SUM(CAST(CAST(bm25 AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    s"""WITH ${bm25CoreCte(k1, b)},
+       |qt(tok) AS (VALUES $termRows),
+       |q AS (SELECT doc_id, count(*) AS n_terms, $dsum AS score
+       |  FROM bm JOIN qt USING (tok) GROUP BY doc_id),
+       |r AS (SELECT doc_id, n_terms, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM q)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms, score FROM r
+       |WHERE rnk <= $kTop ORDER BY rnk""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextAnalysis.linearScoreWeighted]]: the weight
+    * table as a VALUES CTE, the same long-form features, the same
+    * exact-DECIMAL w·x accumulation, round(6) on the sigmoid. */
+  private val weightedScoreOracle: String = {
+    val wRows = TextAnalysis.LinearWeights
+      .map { case (f, w) => s"('$f', $w)" }.mkString(", ")
+    """WITH w(feature, weight) AS (VALUES %s),
+      |t AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+      |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$'))) AS DOUBLE) / len(ts) AS alpha_ratio,
+      |  CAST(len(list_filter(ts, t -> list_contains(['the','of','and','to','in','a','is','for','on','with'], t))) AS DOUBLE) / len(ts) AS stop_ratio
+      |  FROM t),
+      |lf AS (SELECT doc_id, 'alpha_ratio' AS feature, alpha_ratio AS x FROM f
+      |  UNION ALL SELECT doc_id, 'stop_ratio', stop_ratio FROM f
+      |  UNION ALL SELECT doc_id, 'len_capped', least(CAST(n_tokens AS DOUBLE), 100.0) FROM f
+      |  UNION ALL SELECT doc_id, 'bias', 1.0 FROM f),
+      |z AS (SELECT doc_id,
+      |  CAST(CAST(SUM(CAST(CAST(x * weight AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS z
+      |  FROM lf JOIN w USING (feature) GROUP BY doc_id)
+      |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+      |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+      |FROM z ORDER BY doc_id""".stripMargin.format(wRows)
+  }
+
   /** DuckDB twin of [[Sim.labelCentroids]]: the kmeans-oracle mean
     * (DECIMAL(38,12) VARCHAR round-trip) keyed by the label column. */
   private val labelCentroidsOracle: String =
@@ -755,6 +843,17 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> minhashOracle,
     "q65_dedup_components" -> componentsOracle,
+    // q65's closure + q97's window: survivor per near-dup cluster.
+    "q103_component_keep_best" ->
+      s"""WITH comp AS (SELECT * FROM ($componentsOracle) x),
+         |m AS (SELECT doc_id, component, doc_id % 7 AS trust FROM comp),
+         |r AS (SELECT doc_id, component, trust,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY trust DESC, doc_id ASC) AS rn FROM m)
+         |SELECT component, count(*) AS n_members,
+         |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+         |  CAST(max(CASE WHEN rn = 1 THEN trust END) AS BIGINT) AS survivor_trust
+         |FROM r GROUP BY component ORDER BY component""".stripMargin,
     "q75_incremental_dedup" -> incrementalOracle,
     // gen0∪gen1 recomputed from scratch IS what the merged store must
     // equal; gen2 is the probe batch.
@@ -817,6 +916,8 @@ object Queries {
         |WHERE levenshtein(a.title, c.title) <= 10
         |ORDER BY d1, d2""".stripMargin,
     "q79_bm25_topk" -> bm25TopKOracle(1.2, 0.75, Bm25QueryTerms, 20),
+    "q105_bm25_term_table" -> bm25TopKTermsOracle(1.2, 0.75, Bm25QueryTerms, 20),
+    "q104_weighted_score" -> weightedScoreOracle,
     "q80_label_centroids" -> labelCentroidsOracle,
     "q93_crossmodal" ->
       s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -276,6 +276,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[linearScore]] with the parameters as a REAL (feature, weight)
+    * TABLE — the shape a trained scorer actually ships (weights land in
+    * storage, not in code), proving the linearScore scaladoc's "a
+    * broadcast table changes nothing" claim in-plan. Features go long-
+    * form (one map explode per doc — bias rides along as a constant-1
+    * feature), join the broadcast weight table, and the per-doc w·x
+    * accumulates in exact DECIMAL ([[graft.rel.Queries.dsum]]) so the
+    * sum is order-independent — the one semantic difference from the
+    * literal form's fixed-order double adds (equal to a few ulps;
+    * pinned by a tolerance test, while the gate row carries its own
+    * decimal-sum oracle). Scale: the corpus streams once, the weight
+    * table broadcasts, one doc-keyed hash-agg — a 10⁶-feature model
+    * changes the broadcast size, not the plan.
+    * Output: (doc_id, score, keep). */
+  def linearScoreWeighted(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val ts = toks(col("text"))
+    val n = size(ts)
+    val alpha = size(filter(ts, t => t.rlike("^[a-z-_]+$")))
+    val stop = size(filter(ts, t => t.isin(Stopwords: _*)))
+    val feats = docs.select(col("doc_id"),
+      explode(map(
+        lit("alpha_ratio"), alpha.cast("double") / n,
+        lit("stop_ratio"), stop.cast("double") / n,
+        lit("len_capped"), least(n.cast("double"), lit(100.0)),
+        lit("bias"), lit(1.0))).as(Seq("feature", "x")))
+    feats.join(broadcast(weights), "feature")
+      .groupBy("doc_id")
+      .agg(graft.rel.Queries.dsum(col("x") * col("weight")).as("z"))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .drop("z")
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** The q88/q104 weight vector as (feature, weight) rows — shared by
+    * the declared query and its oracle CTE so both engines join the
+    * identical table. */
+  val LinearWeights: Seq[(String, Double)] = Seq(
+    "alpha_ratio" -> 3.0, "stop_ratio" -> -2.0,
+    "len_capped" -> 0.01, "bias" -> -2.0)
+
+  /** [[bm25TopK]] with the query term set as a TABLE joined into the
+    * plan instead of `isin` literals — the production retrieval shape
+    * (term sets come from a query log / anchor corpus, not code).
+    * Identical dataflow: the term table broadcasts into the tf join,
+    * everything downstream is [[bm25TopK]] verbatim, and the result
+    * must equal q79's exactly (same oracle modulo the term CTE). */
+  def bm25TopKTerms(docs: DataFrame, terms: DataFrame, kTop: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25(docs, k1, b)
+      .join(broadcast(terms), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        graft.rel.Queries.dsum(col("bm25")).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select("rnk", "doc_id", "n_terms", "score")
+      .orderBy("rnk")
+  }
+
   // Scrub patterns: simple enough to behave identically under Java
   // regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

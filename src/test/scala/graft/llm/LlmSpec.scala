@@ -465,6 +465,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == ((2L, 0.0, 0.0, 0.5)))
   }
 
+  test("weight-table scorer matches the literal scorer to float tolerance") {
+    // Same model, two accumulation orders: linearScore adds the terms
+    // in a fixed literal order (IEEE rounding each step), the weighted
+    // form sums w·x in exact DECIMAL — equal to a few ulps, which is
+    // exactly the claim "a broadcast weight table changes nothing".
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lit = TextAnalysis.linearScore(real).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    val wtd = TextAnalysis.linearScoreWeighted(real,
+        TextAnalysis.LinearWeights.toDF("feature", "weight")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(lit.keySet == wtd.keySet && lit.nonEmpty)
+    val maxDiff = lit.keys.map(k => math.abs(lit(k) - wtd(k))).max
+    assert(maxDiff <= 1e-6, s"maxDiff=$maxDiff") // one round(6) step
+  }
+
+  test("bm25 term-table retrieval equals the isin-literal form exactly") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Queries.Bm25QueryTerms
+    val a = TextAnalysis.bm25TopK(real, terms, 20).collect().map(_.toSeq)
+    val b = TextAnalysis.bm25TopKTerms(real, terms.toDF("tok"), 20)
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("scrub replaces emails, urls, long numbers and counts matches") {
     val df = Seq((0L, "mail a.b@x.io or http://x.io/p?q=1 tel 12345678 nope 123"))
       .toDF("doc_id", "text")
