@@ -335,6 +335,18 @@ object SparkEntry {
       val src = Scratch.dir("stream_dedup_src")
       val out = Scratch.dir("stream_dedup")
       val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
+      // The oracle aggregates ALL documents rows — survivor-equal only
+      // because the corpus has no exact-duplicate texts (the injected
+      // copies below are the ONLY dups in the stream). Guard that
+      // property here so a fixture change fails loudly at the source
+      // rather than as an engine-bug-shaped oracle diff (ADVICE r7);
+      // 1-row fixture-guard collect, not part of the streaming plan.
+      val Array(nRows, nTexts) = docs
+        .agg(count(lit(1)), countDistinct(col("text")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(nRows == nTexts,
+        s"q102 fixture: documents has exact-duplicate texts ($nRows rows, " +
+          s"$nTexts distinct) — the all-rows oracle is no longer survivor-equal")
       val base = 1700000000L
       val originals = docs.withColumn("ts", timestamp_seconds(lit(base)))
       val copies = docs.where(col("doc_id") < 25)
@@ -434,6 +446,25 @@ object SparkEntry {
        |WHERE a.cat IS NOT NULL
        |GROUP BY word, neighbor ORDER BY word, neighbor""".stripMargin
 
+  /** Epoch-aligned hour windows recomputed from the original events,
+    * kept only where the window END precedes the stream's final
+    * watermark (max event time, ms precision, minus the 1 h delay) —
+    * exactly the set append mode emits. The decimal VARCHAR round-trip
+    * matches the streaming sum's decimal(38,12) accumulation. Shared
+    * verbatim by q87 (single drain) and q101 (drain split across a
+    * checkpoint restart): both must converge to the same final
+    * watermark and window set. Defined BEFORE textOracles so the map
+    * captures the initialized value. */
+  private val streamWindowOracle: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+      |mx AS (SELECT max(us) AS mxus FROM e),
+      |w AS (SELECT (us // 3600000000) * 3600 AS win_start, value FROM e)
+      |SELECT win_start, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM w CROSS JOIN mx
+      |WHERE (win_start + 3600) * 1000 <= mxus // 1000 - 3600000
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
+
   private val textOracles: Map[String, String] = Map(
     "wordcount_alpha" -> wcOracle(Tokenize.AlphaRe),
     "wordcount_num" -> wcOracle(Tokenize.NumRe),
@@ -527,11 +558,6 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    // Epoch-aligned hour windows recomputed from the original events,
-    // kept only where the window END precedes the stream's final
-    // watermark (max event time, ms precision, minus the 1 h delay) —
-    // exactly the set append mode emits. The decimal VARCHAR round-trip
-    // matches the streaming sum's decimal(38,12) accumulation.
     // The blob round trip must be lossless: n_bytes = the text's UTF-8
     // byte length, decode-match true for every doc.
     "q95_binary_ingest" ->
@@ -559,29 +585,19 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
     // One survivor per distinct text; lang and id-mod are copy-invariant.
+    // Aggregating ALL documents rows equals the survivor set only
+    // because the corpus has no exact-duplicate texts — the q102
+    // declaration guards that property at the source (see there).
     "q102_stream_dedup" ->
       """SELECT lang, count(*) AS n_uniq,
         |  CAST(sum(doc_id % 10000) AS BIGINT) AS sum_id_mod
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    // Same cutoff as q87: the restart must be invisible in the result.
-    "q101_stream_resume" ->
-      """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
-        |mx AS (SELECT max(us) AS mxus FROM e),
-        |w AS (SELECT (us // 3600000000) * 3600 AS win_start, value FROM e)
-        |SELECT win_start, count(*) AS n,
-        |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_value
-        |FROM w CROSS JOIN mx
-        |WHERE (win_start + 3600) * 1000 <= mxus // 1000 - 3600000
-        |GROUP BY win_start ORDER BY win_start""".stripMargin,
-    "q87_stream_window" ->
-      """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
-        |mx AS (SELECT max(us) AS mxus FROM e),
-        |w AS (SELECT (us // 3600000000) * 3600 AS win_start, value FROM e)
-        |SELECT win_start, count(*) AS n,
-        |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_value
-        |FROM w CROSS JOIN mx
-        |WHERE (win_start + 3600) * 1000 <= mxus // 1000 - 3600000
-        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // q87 and q101 share ONE oracle string by construction (bound
+    // below): the restart must be invisible in the result, and an edit
+    // to the cutoff in one row can no longer silently desynchronize
+    // the other (ADVICE r7).
+    "q101_stream_resume" -> streamWindowOracle,
+    "q87_stream_window" -> streamWindowOracle,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

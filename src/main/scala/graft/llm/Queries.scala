@@ -135,6 +135,17 @@ object Queries {
         Dedup.mergeSignatureStore(s.table("minhash_store_g0"), gen1,
           "doc_id", "text", storeBuckets = 8),
         "minhash_store_g1", 8, "band", "bkey")
+      // mergeSignatureStore's per-generation cap schedule diverges from
+      // the oracle's combined-cap recompute once any bucket nears
+      // maxBucket (see its scaladoc). Guard that headroom here so a
+      // fixture change fails loudly at the source rather than as a
+      // confusing oracle mismatch (ADVICE r7); 1-row fixture-guard
+      // collect, not part of the declared plan.
+      val maxBkt = s.table("minhash_store_g1")
+        .agg(max(size(col("ids"))).as("m")).collect().head.getInt(0)
+      require(maxBkt <= 500,
+        s"q100 fixture: largest store bucket ($maxBkt ids) is within 2x of " +
+          "the 1000-id cap — per-generation and combined cap schedules diverge")
       Dedup.incrementalNearDups(gen2, s.table("minhash_store_g1"),
         gen0.unionAll(gen1), "doc_id", "text", threshold = 0.1)
         .orderBy("doc_id", "dup_of")
