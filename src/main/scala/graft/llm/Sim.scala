@@ -333,6 +333,70 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** Persist the IVF-flat index (the q75-signature-store move applied
+    * to vector search): the coarse-quantizer centroid table and the
+    * nearest-centroid assignments (= the inverted lists), the
+    * assignments written BUCKETED by `cid` via
+    * [[graft.rel.Layout.writeBucketedBy]]. At 100 TB nobody re-trains
+    * the quantizer or re-assigns the corpus per query batch — the
+    * index is built once per corpus generation and PROBED from a fresh
+    * read ([[ivfKnnFromIndex]]); the cid bucket layout makes every
+    * cid-keyed maintenance pass over the lists (size stats, rebalance
+    * candidates, merge of a new batch's assignments) exchange-free
+    * (PlanSpec-pinned `Bucketed: true`). Centroids are an nlist-row
+    * table — plain saveAsTable. */
+  def ivfIndexWrite(emb: DataFrame, nlist: Int,
+                    assignTable: String, centroidTable: String,
+                    buckets: Int): Unit = {
+    val s = emb.sparkSession
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    graft.rel.Layout.writeBucketedBy(
+      ivfAssign(emb, nlist), assignTable, buckets, "cid")
+    s.sql(s"DROP TABLE IF EXISTS `$centroidTable`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), centroidTable.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    ivfCentroids(v, nlist).write.mode("overwrite").format("parquet")
+      .saveAsTable(centroidTable)
+  }
+
+  /** IVF kNN probing a PERSISTED index ([[ivfIndexWrite]]) instead of
+    * rebuilding it: bit-identical to [[ivfKnn]] with the same
+    * parameters (array&lt;double&gt; and the norms round-trip parquet
+    * exactly; the fold order of every cosine is unchanged), so the two
+    * share one oracle. The query batch arrives as ordinary embedding
+    * rows (a production query set is external to the index). Plan
+    * shape: centroids and the nprobe probe set are broadcast, so the
+    * persisted lists stream once with NO shuffle before the final
+    * per-query top-k window — query latency is O(corpus·nprobe/nlist)
+    * scan + one k-row window per query, independent of index build
+    * cost. */
+  def ivfKnnFromIndex(queries: DataFrame, nQuery: Int, k: Int, nprobe: Int,
+                      assignTable: String, centroidTable: String): DataFrame = {
+    val s = queries.sparkSession
+    val centroids = s.table(centroidTable)
+    val asg = s.table(assignTable)
+    val q = queries.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("qnorm"), col("cid"),
+        cosine(col("qv"), col("cv"), col("qnorm"), col("cn")).as("csim"))
+      .withColumn("r", row_number().over(wProbe))
+      .where(col("r") <= nprobe)
+      .select(col("qid"), col("qv"), col("qnorm"), col("cid"))
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    asg.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "sim")
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

@@ -134,6 +134,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q106 persisted-index probe broadcasts; cid maintenance rides the bucket layout") {
+    import org.apache.spark.sql.functions.{col, count, lit, size}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    llm.Sim.ivfIndexWrite(emb, nlist = 16, "ivf_assign_plan",
+      "ivf_centroids_plan", buckets = 8)
+    // (a) the probe: centroids and the nprobe probe set are broadcast,
+    // so the persisted inverted lists stream once with no shuffle join
+    // — query cost stays O(corpus·nprobe/nlist), never a corpus shuffle
+    val p = finalPlan(llm.Sim.ivfKnnFromIndex(emb, nQuery = 10, k = 5,
+      nprobe = 4, "ivf_assign_plan", "ivf_centroids_plan"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), "probe join must be broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join on the list side")
+    // (b) index maintenance: any cid-keyed pass over the lists (size
+    // stats, rebalance scans, merging a new batch's assignments) rides
+    // the bucket layout with NO exchange — the property that makes the
+    // persisted index maintainable at 100 TB
+    val stats = spark.table("ivf_assign_plan").groupBy("cid")
+      .agg(count(lit(1)).as("list_len"))
+    val sp = finalPlan(stats).split("== Initial Plan ==").head
+    assert(sp.contains("Bucketed: true"), sp.take(1500))
+    assert(!sp.contains("disabled by query planner"), sp.take(1500))
+    assert("exchange hashpartitioning\\(cid".r
+      .findAllIn(sp.toLowerCase).isEmpty, sp.take(1500))
+  }
+
   test("q76 BM25 derives dl/df from tf: ≤3 corpus scans, ≥1 reused stage") {
     // Pins the measured shape the bm25 scaladoc records: before the
     // derive-from-tf change the corpus was tokenized 4×; now ≤3 scans
