@@ -601,6 +601,7 @@ object Queries {
     "q89_correlated_subquery" -> (correlatedSubquery _),
     "q91_range_frame" -> (rangeFrame _),
     "q92_quality_report" -> (qualityReport _),
+    "q107_quality_drift" -> (qualityDrift _),
     "q96_map_zip" -> (mapZipFuncs _),
   )
 
@@ -711,6 +712,62 @@ object Queries {
       .crossJoin(broadcast(dupKeys.agg(count(lit(1)).as("n_dup_keys"))))
       .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan_orders"))))
       .crossJoin(broadcast(childless.agg(count(lit(1)).as("n_childless_custs"))))
+  }
+
+  // Distribution-drift report (VERDICT r6 item 7 — q92's constraint
+  // checks extended to DISTRIBUTION checks): the per-group row-count
+  // histogram of the current corpus compared against a prior snapshot,
+  // plus an approx-quantile bound check, one pass each side. The prior
+  // snapshot is the corpus as of 1998-01-01 (the time-travel cut a
+  // nightly pipeline would diff against); the current generation is
+  // the full corpus plus a DELIBERATELY drifted append — a 20% burst
+  // of 'O' orders and a small batch under a brand-new status 'X' — so
+  // every report column is exercised non-vacuously: 'F'/'P' sit inside
+  // the expected-growth band, 'O' trips the ratio flag, 'X' trips the
+  // new-group flag. Ratios are raw IEEE divisions (cross-engine exact,
+  // -1.0 sentinel for new groups — no top-level NULLs per the q66 dump
+  // rule); the approx-median check follows the q30/q81 bound pattern
+  // (the sketch value itself is engine-specific, so the row carries
+  // the BOOLEAN "approx_percentile lands within the exact p40–p60
+  // band", which the oracle pins to true). At 100 TB: two hash-agg
+  // histograms + an nlist-row full-outer join; the quantile sketch is
+  // a mergeable partial aggregate — nothing collects.
+  def qualityDrift(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val prior = orders.where(col("o_orderdate") < lit("1998-01-01").cast("date"))
+    val burst = orders
+      .where(col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    val novel = orders.where(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+      .withColumn("o_orderstatus", lit("X"))
+    val current = orders.unionByName(burst).unionByName(novel)
+    val p = prior.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_prior"))
+    val c = current.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_curr"),
+        expr("approx_percentile(o_totalprice, 0.5)").as("amed"),
+        expr("percentile(o_totalprice, 0.4)").as("p40"),
+        expr("percentile(o_totalprice, 0.6)").as("p60"))
+    c.join(p, Seq("status"), "full_outer")
+      .select(col("status"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"),
+        col("n_prior").isNull.as("is_new_group"),
+        when(coalesce(col("n_prior"), lit(0L)) > 0,
+          col("n_curr").cast("double") / col("n_prior"))
+          .otherwise(lit(-1.0)).as("growth_ratio"),
+        (col("n_prior").isNull ||
+          !(col("n_curr").cast("double") / col("n_prior")).between(1.9, 2.5))
+          .as("drift_flag"),
+        // The sketch returns an ACTUAL element; for a tiny group the
+        // interpolated p40–p60 band can exclude every element (n=2: both
+        // points sit outside any interior band), so the check applies
+        // only to populated groups — distribution checks on a handful
+        // of rows are noise in any monitoring system.
+        (col("n_curr") < 100 ||
+          col("amed").between(col("p40"), col("p60"))).as("approx_median_ok"))
+      .orderBy("status")
   }
 
   // Unpivot (melt) — the inverse of q48's pivot: the wide per-user
@@ -1126,6 +1183,26 @@ object Queries {
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphan_orders,
         |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
         |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_childless_custs""".stripMargin,
+    // The same injected drift (20% 'O' burst + the novel 'X' batch),
+    // the same snapshot cut, raw IEEE count ratios; the approx-median
+    // band check is engine-side, so the oracle pins its boolean.
+    "q107_quality_drift" ->
+      """WITH cur AS (
+        |  SELECT o_orderstatus AS status FROM orders
+        |  UNION ALL SELECT 'O' FROM orders
+        |    WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0
+        |  UNION ALL SELECT 'X' FROM orders WHERE o_orderkey % 1000 = 0),
+        |p AS (SELECT o_orderstatus AS status, count(*) AS np FROM orders
+        |  WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1),
+        |c AS (SELECT status, count(*) AS nc FROM cur GROUP BY 1)
+        |SELECT c.status, coalesce(p.np, 0) AS n_prior, c.nc AS n_curr,
+        |  p.np IS NULL AS is_new_group,
+        |  CASE WHEN coalesce(p.np, 0) > 0 THEN CAST(c.nc AS DOUBLE) / p.np
+        |       ELSE -1.0 END AS growth_ratio,
+        |  (p.np IS NULL OR NOT (CAST(c.nc AS DOUBLE) / p.np BETWEEN 1.9 AND 2.5))
+        |    AS drift_flag,
+        |  true AS approx_median_ok
+        |FROM c FULL JOIN p USING (status) ORDER BY status""".stripMargin,
     // DuckDB numeric RANGE frame over the identical epoch-second order
     // key; peers included on both engines; the frame sum rides the same
     // DECIMAL VARCHAR round-trip as every dsum.
