@@ -315,6 +315,14 @@ object Queries {
     "q35_ivf_knn" -> ((s, dir) =>
       Sim.ivfKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
+    // E16 compression axis: int8 scalar-quantized kNN (SQ8 codes +
+    // integer-dot candidate pass + exact rerank of the top-20). The
+    // quantization, the integer dot, and the fixed-order dequantized
+    // estimate are all cross-engine bit-reproducible, so the WHOLE
+    // pipeline — candidate set included — is value-oracled.
+    "q108_sq8_knn" -> ((s, dir) =>
+      Sim.sq8Knn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
     // E16: LSH bucket histogram (the ANN scale path's partition shape)
     "q22_lsh_buckets" -> ((s, dir) =>
       Sim.lshBuckets(tbl(s, dir, "embeddings"), nPlanes = 16, dim = EmbeddingDim)
@@ -833,6 +841,40 @@ object Queries {
        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** DuckDB twin of [[Sim.sq8Knn]] (nQuery=10, k=5, rerank=20): same
+    * int8 quantization, same exact integer dot, same fixed-order IEEE
+    * dequantized estimate — so the CANDIDATE SET is bit-identical
+    * across engines, and the exact-rerank tail repeats the proven q21
+    * cosine math. */
+  private val sq8KnnOracle = {
+    val isumSql = "list_reduce(list_prepend(CAST(0 AS BIGINT), %s), (a, b) -> a + b)"
+    val idot = isumSql.format(
+      "list_transform(list_zip(b.qv, q.qv), p -> p[1] * p[2])")
+    val normSql = foldSum.format("list_transform(v, x -> x * x)")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt($normSql) AS norm,
+       |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 1.0
+       |       ELSE list_max(list_transform(v, x -> abs(x))) END AS scale FROM v),
+       |z AS (SELECT vec_id, norm, scale,
+       |  list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM n),
+       |q AS (SELECT vec_id AS qid, qv, scale, norm FROM z WHERE vec_id < 10),
+       |e AS (SELECT q.qid, b.vec_id,
+       |    CAST($idot AS DOUBLE) * b.scale * q.scale / 16129.0
+       |      / (b.norm * q.norm) AS est
+       |  FROM z b CROSS JOIN q WHERE b.vec_id <> q.qid),
+       |c AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY est DESC, vec_id ASC) AS r FROM e) WHERE r <= 20),
+       |j AS (SELECT c.qid, c.vec_id,
+       |    ${dotSql("nb.v", "nq.v")} / (nb.norm * nq.norm) AS sim
+       |  FROM c JOIN n nb ON nb.vec_id = c.vec_id JOIN n nq ON nq.vec_id = c.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** DuckDB twin of [[Sim.clusterDedup]] (nlist=16, threshold 0.35). */
   private val clusterDedupOracle =
     s"""WITH ${ivfAssignCte(16)},
@@ -1020,6 +1062,7 @@ object Queries {
     // ONE oracle with q35: probing the persisted index must be
     // bit-identical to rebuilding it (ADVICE r7 shared-val pattern).
     "q106_ivf_persisted" -> ivfKnnOracle,
+    "q108_sq8_knn" -> sq8KnnOracle,
     "q46_cluster_dedup" -> clusterDedupOracle,
     "q39_shard_pack" ->
       s"""WITH t AS (SELECT doc_id,

@@ -397,6 +397,79 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** Sequential left-fold sum over BIGINT terms — exact integer
+    * accumulation (order-free, but kept as a fold for symmetry with
+    * [[fsum]]). */
+  private def isum(arr: Column): Column =
+    aggregate(arr, lit(0L), (s, x) => s + x)
+
+  /** (vec_id, v, norm, scale, qv): the corpus with each vector's int8
+    * scalar quantization — scale = max |v_i| (1.0 for an all-zero
+    * vector), code_i = floor(v_i / scale · 127 + 0.5) ∈ [−127, 127].
+    * Pure per-row projection, no shuffle. */
+  private def sq8(emb: DataFrame): DataFrame = {
+    val raw = array_max(transform(col("v"), x => abs(x)))
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+      .withColumn("scale", when(raw === 0.0, lit(1.0)).otherwise(raw))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x / col("scale") * lit(127.0) + lit(0.5))))
+  }
+
+  /** SQ8 (int8 scalar-quantized) kNN with exact rerank — the vector
+    * COMPRESSION axis of the ANN toolbox, orthogonal to (and composable
+    * with) the IVF/LSH candidate-pruning axis: the resident index holds
+    * 64 int8 codes + one scale per vector (16× smaller than the double
+    * form, 4× smaller than float32), the first pass ranks by the
+    * integer dot product dequantized to a cosine estimate
+    * (est = idot · scale_a · scale_b / 127² / (‖a‖‖b‖)), and only the
+    * top-`rerank` candidates per query are fetched at full precision
+    * for the exact-cosine final ranking — the FAISS SQ8 design
+    * (Johnson, Douze & Jégou 2017/2019, public).
+    *
+    * Determinism: the quantization codes and the integer dot are exact
+    * integer math; every double step (scale, norm, the dequantized
+    * estimate) is a fixed-order IEEE expression — so the candidate set
+    * itself is cross-engine bit-reproducible and the WHOLE pipeline is
+    * DuckDB-oracled, not just the exact tail. Recall vs the exact
+    * baseline is measured separately in RecallSpec.
+    *
+    * Scale: pass 1 streams the (compressed) corpus once against a
+    * broadcast quantized query set — the win is memory bandwidth and
+    * index footprint, which is what bounds a brute-force scan at
+    * 100 TB; pass 2 touches only nQuery·rerank rows via a broadcast
+    * candidate join. No shuffle before the per-query top-k windows. */
+  def sq8Knn(emb: DataFrame, nQuery: Int, k: Int,
+             rerank: Int = 20): DataFrame = {
+    val z = sq8(emb)
+    val codes = z.select(col("vec_id"), col("qv"), col("scale"), col("norm"))
+    val q = z.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+        col("scale").as("qscale"), col("norm").as("qnorm"))
+    val wEst = Window.partitionBy("qid").orderBy(col("est").desc, col("vec_id").asc)
+    val cand = codes.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (isum(zip_with(col("qv"), col("qqv"), (x, y) => x * y)).cast("double")
+          * col("scale") * col("qscale") / lit(16129.0)
+          / (col("norm") * col("qnorm"))).as("est"))
+      .withColumn("r", row_number().over(wEst))
+      .where(col("r") <= rerank)
+      .select(col("qid"), col("vec_id"))
+    val full = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val qFull = full.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"), col("norm").as("qn2"))
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    full.join(broadcast(cand), "vec_id")
+      .join(broadcast(qFull), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("qv2"), col("norm"), col("qn2")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "sim")
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

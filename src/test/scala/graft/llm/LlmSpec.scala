@@ -257,6 +257,25 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall over ${exact.size} exact neighbors")
   }
 
+  test("sq8Knn recall >= 0.9 vs exact top-5; sims are exact cosines") {
+    // int8 quantization over a 64-dim corpus keeps relative dot error
+    // ~1/127 per term, so with a 4x rerank margin the exact top-5
+    // almost always survives the candidate cut; and because the final
+    // ranking re-scores candidates at full precision, every (qid,
+    // vec_id) the two paths SHARE must carry a bit-identical sim.
+    val exact = Sim.cosineKnn(emb, nQuery = 10, k = 5)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sq8 = Sim.sq8Knn(emb, nQuery = 10, k = 5)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val recall = (sq8.keySet & exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall over ${exact.size} exact neighbors")
+    (sq8.keySet & exact.keySet).foreach { k =>
+      assert(sq8(k) == exact(k), s"rerank sim drifted for $k")
+    }
+  }
+
   test("fuzzyJoin: perfect precision; measured blocking recall >= 0.4") {
     import org.apache.spark.sql.functions.{concat_ws, slice, split}
     // Brute-force all-pairs edit distance over the derived titles vs the
