@@ -364,6 +364,24 @@ object SparkEntry {
           sum(pmod(col("doc_id"), lit(10000L))).as("sum_id_mod"))
         .orderBy("lang")
     }),
+    // STREAM-STREAM JOIN at the gate (the E13 surface q87/q90 don't
+    // touch): view-to-click attribution as a watermarked self-join of
+    // the event feed, drained through the checkpointed exactly-once
+    // sink. Inner-join pairs emit as both sides arrive, so the full
+    // drain equals the batch join and the oracle is the plain SQL
+    // band join — a pair lost to premature state eviction, duplicated
+    // across micro-batches, or late-dropped by a mis-ordered layout
+    // turns the row red.
+    "q109_stream_stream_join" -> ((s, dir) => {
+      val src = Scratch.dir("stream_join_src")
+      val out = Scratch.dir("stream_join")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      sources.StreamIngest.streamJoinParquet(
+          s, src, ev.schema, out, out + "_ckpt")
+        .orderBy("user_id", "view_id", "click_id")
+    }),
     "q90_custom_state_sessions" -> ((s, dir) => {
       val src = Scratch.dir("custom_state_src")
       val out = Scratch.dir("custom_state")
@@ -598,6 +616,18 @@ object SparkEntry {
     // the other (ADVICE r7).
     "q101_stream_resume" -> streamWindowOracle,
     "q87_stream_window" -> streamWindowOracle,
+    // The plain batch band join: the streaming inner join must emit
+    // exactly these pairs. lag_sec mirrors Spark's unix_timestamp
+    // (floor each side to seconds, then subtract).
+    "q109_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, us AS vus FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, us AS cus FROM e WHERE event_type = 'click')
+        |SELECT c.user_id, v.view_id, c.click_id,
+        |  (cus // 1000000) - (vus // 1000000) AS lag_sec
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND cus >= vus AND cus <= vus + 1800000000
+        |ORDER BY c.user_id, view_id, click_id""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -138,6 +138,56 @@ object StreamIngest {
     spark.read.parquet(out)
   }
 
+  /** STREAM-STREAM JOIN at the gate: view-to-click attribution joining
+    * two branches of one watermarked file-source stream (a self-join —
+    * the source is scanned once per side each micro-batch at identical
+    * offsets). A click matches every view by the same user in the
+    * preceding 30 event-time minutes; the inner join emits each pair
+    * exactly once, AS both sides arrive, through the checkpointed
+    * exactly-once parquet sink — so with the full AvailableNow drain
+    * the sink equals the batch join and the oracle needs no watermark
+    * cutoff (unlike q87's append-mode aggregation).
+    *
+    * The watermarks + the two-sided time-range condition are what
+    * BOUND THE STATE: Spark derives each side's retention from them
+    * (a view can only match clicks ≤ 30 min ahead, so view state older
+    * than watermark − 30 min − 1 h is evicted) — without them an
+    * unbounded crawl feed accretes join state forever. The caller owes
+    * the q87 event-time-ordered layout; a late file behind the
+    * watermark would silently lose its pairs (the failure mode the
+    * ordered-layout contract exists to prevent). */
+  def streamJoinParquet(spark: SparkSession, in: String,
+                        schema: StructType, out: String, ckpt: String,
+                        filesPerTrigger: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rm(spark, out); rm(spark, ckpt)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(in)
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val q = clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_timestamp(col("cts")) - unix_timestamp(col("vts")))
+          .as("lag_sec"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Drain the files matching `glob` under directory `in` through
     * `transform` into the exactly-once parquet sink at `out`, then
     * return the sink's content. Sink + checkpoint are wiped first: each
