@@ -74,6 +74,47 @@ object Layout {
     spark.read.parquet(in).repartition(targetFiles)
       .write.mode("overwrite").parquet(out)
 
+  /** Bloom-filter runtime pruning of a fact table against a dim-side
+    * key set — the manual form of the semi-join-reduction / runtime-
+    * filter rewrite warehouse optimizers apply at scale: at 100 TB the
+    * win is shedding non-matching fact rows BEFORE the join's shuffle
+    * (or before a non-broadcastable dim side forces a full fact
+    * exchange), for the price of one tiny aggregate on the dim side
+    * and a per-row hash check on the fact side.
+    *
+    * Mechanics: `bits` bloom bits packed into a word-indexed
+    * map&lt;int,bigint&gt; (8 KB at the default 2¹⁶), built with bit_or
+    * partial aggregation over the dim keys and attached to every fact
+    * row via a 1-row broadcast; `k` probe positions by
+    * Kirsch–Mitzenmacher double hashing (h1 + i·h2 mod bits) over two
+    * independent FNV-1a streams of the key's string form. A bloom has
+    * NO false negatives, so downstream results are unchanged — false
+    * positives merely survive until the exact join, which is why the
+    * gate oracle is the plain join. Deterministic end to end (FNV +
+    * integer math), so the pruned set itself is reproducible. */
+  def bloomPrune(fact: DataFrame, factKey: String, dim: DataFrame,
+                 dimKey: String, bits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    graft.functions.HashExprs.register(fact.sparkSession)
+    def posSql(key: String, i: Int): String =
+      s"pmod(fnv1a32(CAST($key AS STRING), ${graft.functions.Fnv1a32.Seed}L) " +
+        s"+ ${i}L * fnv1a32(CAST($key AS STRING), ${graft.functions.Fnv1a32.Seed2}L), ${bits}L)"
+    val words = dim
+      .select((0 until k).map(i => expr(posSql(dimKey, i)).as(s"p$i")): _*)
+      .select(explode(array((0 until k).map(i => col(s"p$i")): _*)).as("p"))
+      .select((col("p") / lit(64L)).cast("int").as("w"),
+        expr("shiftleft(1L, CAST(p % 64 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bm"))
+    val bloom = words
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bm"))))
+        .as("__bloom"))
+    val checks = (0 until k).map { i =>
+      val p = posSql(factKey, i)
+      s"(coalesce(element_at(__bloom, CAST(($p) DIV 64 AS INT)), 0L) " +
+        s"& shiftleft(1L, CAST(($p) % 64 AS INT))) != 0L"
+    }.mkString(" AND ")
+    fact.crossJoin(broadcast(bloom)).where(expr(checks)).drop("__bloom")
+  }
+
   /** Salted inner equi-join for skewed keys: the build side is
     * replicated `saltFactor`× with an explicit salt column, the probe
     * side gets a deterministic salt in [0, saltFactor) per row, and the

@@ -602,6 +602,7 @@ object Queries {
     "q91_range_frame" -> (rangeFrame _),
     "q92_quality_report" -> (qualityReport _),
     "q107_quality_drift" -> (qualityDrift _),
+    "q110_bloom_prune_join" -> (bloomPrunedJoin _),
     "q96_map_zip" -> (mapZipFuncs _),
   )
 
@@ -712,6 +713,28 @@ object Queries {
       .crossJoin(broadcast(dupKeys.agg(count(lit(1)).as("n_dup_keys"))))
       .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan_orders"))))
       .crossJoin(broadcast(childless.agg(count(lit(1)).as("n_childless_custs"))))
+  }
+
+  // Bloom-pruned fact⋈dim join ([[Layout.bloomPrune]]): lineitem is
+  // shed against an 8 KB bloom of the selective dim key set BEFORE the
+  // exact join — the runtime-filter/semi-join-reduction move that cuts
+  // the fact side's shuffle volume at 100 TB when the dim side is too
+  // big to broadcast. No false negatives, so the oracle is the PLAIN
+  // join+agg: a bloom bug that drops a matching row turns the row red,
+  // while false positives are invisible by construction (the exact
+  // join removes them). Pruning power and the no-false-negative set
+  // property are additionally pinned in LayoutSpec.
+  def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val dim = tbl(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val pruned = Layout.bloomPrune(li, "l_orderkey", dim, "o_orderkey")
+    pruned.join(dim, pruned("l_orderkey") === dim("o_orderkey"))
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("linestatus")
   }
 
   // Distribution-drift report (VERDICT r6 item 7 — q92's constraint
@@ -1183,6 +1206,14 @@ object Queries {
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphan_orders,
         |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
         |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_childless_custs""".stripMargin,
+    // The PLAIN join — the bloom is semantics-free (no false
+    // negatives; false positives die in the exact join).
+    "q110_bloom_prune_join" ->
+      s"""SELECT l_linestatus AS linestatus, count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The same injected drift (20% 'O' burst + the novel 'X' batch),
     // the same snapshot cut, raw IEEE count ratios; the approx-median
     // band check is engine-side, so the oracle pins its boolean.

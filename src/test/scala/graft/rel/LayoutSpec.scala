@@ -95,6 +95,28 @@ class LayoutSpec extends SparkSpec {
     assert(parts("/root/repo/target/graft_io/docs_compacted") == 4)
   }
 
+  test("bloom prune: no false negatives, >=4x pruning on the selective dim") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val dim = spark.read.parquet(s"$sf0001/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val pruned = Layout.bloomPrune(li, "l_orderkey", dim, "o_orderkey")
+    // no false negatives: every truly-matching fact row survives the bloom
+    val trueMatches = li.join(broadcast(dim),
+      li("l_orderkey") === dim("o_orderkey"), "left_semi").count()
+    val survivingMatches = pruned.join(broadcast(dim),
+      pruned("l_orderkey") === dim("o_orderkey"), "left_semi").count()
+    assert(trueMatches > 0 && survivingMatches == trueMatches,
+      s"bloom dropped ${trueMatches - survivingMatches} matching rows")
+    // pruning power: with ~2^16 bits vs a few hundred keys the false-
+    // positive rate is negligible, so the survivor set is close to the
+    // true match rate (~7% here); 25% is a generous stability bound
+    val total = li.count()
+    assert(pruned.count() <= total / 4,
+      s"bloom kept ${pruned.count()} of $total rows — no real pruning")
+  }
+
   test("salted join returns exactly the plain inner-join rows") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val customer = spark.read.parquet(s"$sf0001/customer.parquet")
