@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators a large-scale LLM pipeline runs
+  * between dedup and packing: benchmark decontamination, deterministic
+  * mixture sampling, and sliding-window chunking.
+  *
+  * Scale posture (100 TB): all three are designed around the corpus
+  * streaming ONCE. Decontamination broadcasts the (tiny) eval n-gram
+  * set and shuffles only the matched rows; mixture sampling is a pure
+  * per-row hash filter with no shuffle at all; chunking is per-row
+  * array expressions inside whole-stage codegen — the only shuffles in
+  * this file are final tiny aggregations over already-reduced data.
+  */
+object Curation {
+
+  /** Benchmark decontamination via k-gram overlap (the n-gram-collision
+    * test used for public-benchmark leakage — e.g. Brown et al., "GPT-3",
+    * NeurIPS 2020, Appendix C's 13-gram overlap; k is a parameter here
+    * because the right k scales with corpus vocabulary).
+    *
+    * For each training doc, counts its distinct k-gram shingles that
+    * also occur anywhere in the eval partition (`evalPred` rows).
+    * Emits ONLY contaminated docs: (id, n_grams, n_shared, overlap).
+    *
+    * Scale: eval sets are benchmark-sized (thousands of docs) against a
+    * 100 TB corpus, so their distinct-gram set is broadcast — the
+    * training side streams once with NO shuffle before the per-doc
+    * count, and that groupBy sees only rows that matched the broadcast
+    * (contaminated grams), not the corpus. Shingling is the codegen'd
+    * [[graft.functions.ShingleArray]] (q18's). Plan shape pinned in
+    * PlanSpec. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    evalPred: Column, k: Int): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val sh = docs.select(col(idCol),
+      graft.functions.TextExprs.shingles(textCol, k).as("sh"))
+    val evalGrams = sh.where(evalPred)
+      .select(explode(col("sh")).as("gram")).distinct()
+    val train = sh.where(!evalPred)
+      .select(col(idCol), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("gram"))
+    train.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(idCol, "n_grams")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col(idCol), col("n_grams").cast("long").as("n_grams"),
+        col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("overlap"))
+  }
+
+  /** Per-language keep thresholds for [[mixtureSample]], out of
+    * [[MixtureDenom]]: the curriculum weights a pipeline tunes per
+    * source/language. Shared with the q112 oracle so both engines
+    * apply the identical mixture. */
+  val MixtureWeights: Seq[(String, Int)] =
+    Seq(("en", 4096), ("de", 2048), ("es", 1024), ("fr", 512), ("zh", 256))
+  val MixtureDenom: Int = 4096
+
+  /** Deterministic mixture (curriculum) sampling: down-weight each
+    * group to `weights(group)/denom` of its rows by keeping exactly the
+    * rows whose content hash lands under the group's threshold —
+    * `fnv1a32(id || ':mix') % denom < keep_lt`. The decision is a pure
+    * function of the row id, so re-runs, retries, and different
+    * partitionings select the SAME sample (a `.sample()` would not),
+    * and a doc's fate never migrates when the corpus grows — the q40/
+    * q69 reproducibility contract applied to mixture weighting.
+    *
+    * Scale: the weights are a per-group table (broadcast — the q104
+    * table-not-literals discipline); the corpus streams once through a
+    * broadcast join + filter with NO shuffle (PlanSpec-pinned). */
+  def mixtureSample(docs: DataFrame, idCol: String, groupCol: String,
+                    weights: Seq[(String, Int)],
+                    denom: Int): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.HashExprs.register(s)
+    import s.implicits._
+    val w = weights.toDF(groupCol, "keep_lt")
+    docs.join(broadcast(w), Seq(groupCol))
+      .where(pmod(
+        graft.functions.HashExprs.fnv1a32(
+          s"concat(cast($idCol as string), ':mix')"),
+        lit(denom.toLong)) < col("keep_lt"))
+      .select(col(idCol), col(groupCol))
+  }
+
+  /** Sliding-window chunking: split each doc's token stream into
+    * fixed-`size` windows advancing by `stride` (overlap = size −
+    * stride), the context-window prep for training/embedding when docs
+    * exceed the model's sequence length. Every token is covered: the
+    * number of chunks is 1 + ceil(max(len − size, 0) / stride), so the
+    * final window always reaches the last token (and is the only one
+    * that may be short). Emits (id, chunk_idx, n_tokens, chunk).
+    *
+    * Scale: pure per-row generate — split once, one `sequence` ×
+    * `slice` expansion, all inside whole-stage codegen; NO shuffle
+    * (PlanSpec-pinned). Output rows ≈ input tokens / stride, the
+    * shape that feeds q39/q70's packing. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val nm1 = expr(
+      s"(greatest(size(split($textCol, ' ', -1)) - $window, 0) + ${stride - 1}) " +
+        s"div $stride")
+    docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("ts"),
+        nm1.cast("int").as("nm1"))
+      .select(col(idCol), col("ts"), size(col("ts")).as("len"),
+        explode(sequence(lit(0), col("nm1"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(window), col("len") - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("ts"), col("chunk_idx") * stride + 1, lit(window)),
+          " ").as("chunk"))
+  }
+}

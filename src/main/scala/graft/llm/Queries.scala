@@ -178,6 +178,68 @@ object Queries {
         "ivf_assign", "ivf_centroids")
         .orderBy("qid", "rnk")
     }),
+    // E16 lifecycle closure (the q100 move applied to the ANN index):
+    // INCREMENTAL index maintenance. The persisted index is built from
+    // the BASE generation only (vec_id % 5 != 4 — quantizer trained
+    // there, assignments bucketed by cid), then the new batch
+    // (vec_id % 5 == 4) is assigned against the EXISTING centroids and
+    // APPENDED into the inverted-list table — cost O(batch), the table
+    // is never rewritten, and the scan stays bucketed across the
+    // append (PlanSpec-pinned). Build + append are one-time index
+    // state (marker-cached, the q106 pattern); the declared query
+    // probes the updated index per pass. The oracle recomputes the
+    // ENTIRE index from scratch with base-generation centroids — a
+    // lost or duplicated append file, a mis-assigned batch vector, or
+    // any bucketed-append corruption fails the row.
+    "q114_ivf_update" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 4)
+      val batch = emb.where(col("vec_id") % 5 === 4)
+      val marker = java.nio.file.Paths.get(
+        graft.Scratch.dir("ivf_update_marker"))
+      val stamp = dir + "\n" + graft.Scratch.fingerprint(s"$dir/embeddings.parquet")
+      val fresh_? = s.catalog.tableExists("ivf_assign_upd") &&
+        s.catalog.tableExists("ivf_centroids_upd") &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
+      if (!fresh_?) {
+        Sim.ivfIndexWrite(base, nlist = 16, "ivf_assign_upd",
+          "ivf_centroids_upd", buckets = 8)
+        Sim.ivfIndexAppend(batch, "ivf_assign_upd", "ivf_centroids_upd",
+          buckets = 8)
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+      }
+      Sim.ivfKnnFromIndex(emb, nQuery = 10, k = 5, nprobe = 4,
+        "ivf_assign_upd", "ivf_centroids_upd")
+        .orderBy("qid", "rnk")
+    }),
+    // Benchmark DECONTAMINATION: training docs sharing any 5-gram with
+    // the eval partition (doc_id % 17 == 0 stands in for a held-out
+    // benchmark). At the gate SF this flags exactly the train-side
+    // near-dups of eval docs — the leakage a curation pipeline must
+    // catch before training. Eval gram set broadcast; corpus streams
+    // once (PlanSpec-pinned).
+    "q111_decontaminate" -> ((s, dir) =>
+      Curation.decontaminate(tbl(s, dir, "documents"), "doc_id", "text",
+        evalPred = col("doc_id") % 17 === 0, k = 5)
+        .orderBy("doc_id")),
+    // Deterministic MIXTURE sampling: per-language curriculum weights
+    // applied as a pure content-hash filter — same sample under any
+    // partitioning, retry, or corpus growth. Weights ride a broadcast
+    // table (the q104 discipline); no shuffle (PlanSpec-pinned).
+    "q112_mixture_sample" -> ((s, dir) =>
+      Curation.mixtureSample(tbl(s, dir, "documents"), "doc_id", "lang",
+        Curation.MixtureWeights, Curation.MixtureDenom)
+        .orderBy("doc_id")),
+    // Sliding-window CHUNKING (size 32, stride 24): the context-window
+    // prep between cleaning and packing. Pure per-row codegen
+    // expansion, no shuffle (PlanSpec-pinned); every token covered,
+    // final short window reaches the last token.
+    "q113_chunk_overlap" -> ((s, dir) =>
+      Curation.chunk(tbl(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
     // E15/E16 ensemble: CONSENSUS dedup — near-dup pairs flagged by
     // BOTH the text MinHash path (q18) and the embedding sign-LSH path
     // (q36's pipeline, via the 1:1 doc_id = vec_id linkage). Agreement
@@ -806,13 +868,16 @@ object Queries {
        |SELECT v1, v2, sim FROM j WHERE sim >= $threshold ORDER BY v1, v2""".stripMargin
 
   /** Shared IVF coarse-quantizer CTE chain (v, n, c, asg): same centroid
-    * seed set as [[Sim.ivfAssign]] (first nlist by vec_id), same argmax
-    * assign, same sequential-fold cosine — bit-identical. */
-  private def ivfAssignCte(nlist: Int): String = {
+    * seed set as [[Sim.ivfAssign]] (first nlist by vec_id, restricted
+    * to `centroidPred` — q114 trains on the base generation only),
+    * same argmax assign, same sequential-fold cosine — bit-identical. */
+  private def ivfAssignCte(nlist: Int,
+                           centroidPred: String = "true"): String = {
     val normSql = foldSum.format("list_transform(v, x -> x * x)")
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM v),
-       |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n ORDER BY vec_id LIMIT $nlist),
+       |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n
+       |  WHERE $centroidPred ORDER BY vec_id LIMIT $nlist),
        |asg AS (
        |  SELECT vec_id, v, norm, cid FROM (
        |    SELECT n.vec_id, n.v, n.norm, c.cid,
@@ -821,9 +886,13 @@ object Queries {
        |    FROM n CROSS JOIN c) WHERE r = 1)""".stripMargin
   }
 
-  /** DuckDB twin of [[Sim.ivfKnn]] (nlist=16, nprobe=4, nQuery=10, k=5). */
-  private val ivfKnnOracle =
-    s"""WITH ${ivfAssignCte(16)},
+  /** DuckDB twin of [[Sim.ivfKnn]] (nlist=16, nprobe=4, nQuery=10, k=5),
+    * parameterized by the centroid-training predicate: "true" for
+    * q35/q106 (the whole corpus is the index generation); q114 trains
+    * on the base generation only, then the asg CTE assigns EVERY
+    * vector — exactly what base-build + batch-append must equal. */
+  private def ivfKnnOracleFor(centroidPred: String): String =
+    s"""WITH ${ivfAssignCte(16, centroidPred)},
        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
        |pr AS (
        |  SELECT qid, qv, qnorm, cid FROM (
@@ -840,6 +909,8 @@ object Queries {
        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  private val ivfKnnOracle = ivfKnnOracleFor("true")
 
   /** DuckDB twin of [[Sim.sq8Knn]] (nQuery=10, k=5, rerank=20): same
     * int8 quantization, same exact integer dot, same fixed-order IEEE
@@ -1062,6 +1133,45 @@ object Queries {
     // ONE oracle with q35: probing the persisted index must be
     // bit-identical to rebuilding it (ADVICE r7 shared-val pattern).
     "q106_ivf_persisted" -> ivfKnnOracle,
+    // Same probe, but the quantizer was trained on the base generation
+    // only — the from-scratch recompute the incremental build+append
+    // must equal exactly.
+    "q114_ivf_update" -> ivfKnnOracleFor("vec_id % 5 <> 4"),
+    // Same 5-gram shingle CTE as minhashOracle (k=5): eval grams
+    // (doc_id % 17 = 0) vs the training remainder.
+    "q111_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 4, 0)),
+        |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])) AS sh FROM t),
+        |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 17 = 0),
+        |tr AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram FROM s
+        |  WHERE doc_id % 17 <> 0)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  count(*) AS n_shared,
+        |  CAST(count(*) AS DOUBLE) / n_grams AS overlap
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+    // The identical weights VALUES table (one truth with
+    // Curation.MixtureWeights) + the identical fnv1a32 keep rule.
+    "q112_mixture_sample" -> {
+      val vals = Curation.MixtureWeights
+        .map { case (l, t) => s"('$l', $t)" }.mkString(", ")
+      s"""WITH w(lang, keep_lt) AS (VALUES $vals)
+         |SELECT doc_id, lang FROM documents JOIN w USING (lang)
+         |WHERE ${fnvSql("(CAST(doc_id AS VARCHAR) || ':mix')")} % ${Curation.MixtureDenom} < keep_lt
+         |ORDER BY doc_id""".stripMargin
+    },
+    // Same integer chunk-count rule and the same inclusive 1-based
+    // window slice (DuckDB list[a:b] ≡ Spark slice(ts, a, 32)).
+    "q113_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |b AS (SELECT doc_id, ts, len(ts) AS l,
+        |  (greatest(len(ts) - 32, 0) + 23) // 24 AS nm1 FROM t),
+        |c AS (SELECT doc_id, ts, l, unnest(range(nm1 + 1)) AS chunk_idx FROM b)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, l - chunk_idx * 24) AS BIGINT) AS n_tokens,
+        |  array_to_string(ts[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q108_sq8_knn" -> sq8KnnOracle,
     "q46_cluster_dedup" -> clusterDedupOracle,
     "q39_shard_pack" ->

@@ -361,6 +361,26 @@ object Sim {
       .saveAsTable(centroidTable)
   }
 
+  /** Incremental maintenance of the persisted IVF index
+    * ([[ivfIndexWrite]]): assign a NEW vector batch against the
+    * EXISTING centroid table (one broadcast argmax pass over the batch
+    * — the quantizer is not re-trained; that is the whole point of a
+    * coarse quantizer) and APPEND the assignments into the persisted
+    * inverted-list table via [[graft.rel.Layout.appendBucketedBy]].
+    * Update cost is O(new batch), never O(index): each append adds one
+    * file per non-empty cid bucket, and the scan stays `Bucketed:
+    * true` across appends (PlanSpec-pinned), so probes and cid-keyed
+    * maintenance remain exchange-free — the vector-search twin of the
+    * q100 signature-store fold-in. */
+  def ivfIndexAppend(fresh: DataFrame, assignTable: String,
+                     centroidTable: String, buckets: Int): Unit = {
+    val s = fresh.sparkSession
+    val v = fresh.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    graft.rel.Layout.appendBucketedBy(
+      assignTo(v, s.table(centroidTable)), assignTable, buckets, "cid")
+  }
+
   /** IVF kNN probing a PERSISTED index ([[ivfIndexWrite]]) instead of
     * rebuilding it: bit-identical to [[ivfKnn]] with the same
     * parameters (array&lt;double&gt; and the norms round-trip parquet

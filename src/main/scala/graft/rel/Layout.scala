@@ -42,6 +42,21 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Append into an EXISTING bucketed table with the identical bucket
+    * spec — the incremental write path of a persisted layout: cost is
+    * O(appended batch) (one new file per non-empty bucket), the table
+    * is never rewritten, and the scan stays `Bucketed: true` across
+    * appends (files of the same bucket id are grouped into one input
+    * partition), so downstream bucket-keyed joins/aggs remain
+    * exchange-free. The spec must match the table's exactly — Spark
+    * rejects a mismatched bucketBy at write time. */
+  def appendBucketedBy(df: DataFrame, table: String, buckets: Int,
+                       keys: String*): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** Join two same-bucketed tables on their bucket key (exchange-free —
     * asserted in LayoutSpec). The merge hint keeps the planner on the
     * sort-merge path — a broadcast would bypass the bucket layout (and

@@ -603,6 +603,8 @@ object Queries {
     "q92_quality_report" -> (qualityReport _),
     "q107_quality_drift" -> (qualityDrift _),
     "q110_bloom_prune_join" -> (bloomPrunedJoin _),
+    "q115_value_histogram" -> (valueHistogram _),
+    "q116_props_scrub" -> (propsScrub _),
     "q96_map_zip" -> (mapZipFuncs _),
   )
 
@@ -792,6 +794,48 @@ object Queries {
           col("amed").between(col("p40"), col("p60"))).as("approx_median_ok"))
       .orderBy("status")
   }
+
+  // Fixed-grid histogram of a measure per group (the monitoring
+  // companion to q51's quantiles and q107's drift report): explicit
+  // bucket edges ([0, 500) in 20 cells of 25), NOT data-dependent ones
+  // — a production monitor compares histograms across days, so the
+  // grid must be stable under data change, and a fixed grid needs no
+  // min/max pre-pass (one scan, one partial-agg shuffle of at most
+  // groups × buckets cells). The bucket index is floor(value/width)
+  // clamped to the edge cells — plain IEEE double division, identical
+  // in both engines; per-bucket mass goes through the exact
+  // DECIMAL(38,12) route.
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / 25.0), lit(0.0)), lit(19.0))
+          .cast("long").as("bucket"),
+        col("value"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type", "bucket")
+
+  // Regex REDACTION (the PII-scrub shape over this corpus's only
+  // digit-bearing column): mask every digit run in the JSON props with
+  // '#', report per event type how many events were touched, how many
+  // digit characters were removed, and how many distinct masked
+  // templates remain. The pattern '[0-9]+' means the same thing to
+  // java.util.regex and RE2, so the redaction itself is value-oracled
+  // (DuckDB needs the 'g' flag for replace-ALL, Spark's
+  // regexp_replace is always global). Scale: pure per-row projection
+  // + one tiny agg — the corpus streams once.
+  def propsScrub(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+        (length(col("props")) -
+          length(regexp_replace(col("props"), "[0-9]", ""))).as("n_digits"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("n_digits") > 0, 1L).otherwise(0L)).as("n_redacted"),
+        sum(col("n_digits")).cast("long").as("sum_digits_masked"),
+        countDistinct(col("masked")).as("n_templates"))
+      .orderBy("event_type")
 
   // Unpivot (melt) — the inverse of q48's pivot: the wide per-user
   // event-count matrix back to long (user_id, event_type, n) rows.
@@ -1234,6 +1278,26 @@ object Queries {
         |    AS drift_flag,
         |  true AS approx_median_ok
         |FROM c FULL JOIN p USING (status) ORDER BY status""".stripMargin,
+    // Identical fixed grid (floor(value/25) clamped to [0,19]) and the
+    // exact DECIMAL route for the bucket mass.
+    "q115_value_histogram" ->
+      s"""SELECT event_type,
+         |  CAST(least(greatest(floor("value" / 25.0), 0), 19) AS BIGINT) AS bucket,
+         |  count(*) AS n, ${dsumSql("\"value\"")} AS sum_value
+         |FROM events GROUP BY event_type, bucket
+         |ORDER BY event_type, bucket""".stripMargin,
+    // Same '[0-9]+' / '[0-9]' patterns (java.util.regex ≡ RE2 here);
+    // the 'g' flag matches Spark's always-global regexp_replace.
+    "q116_props_scrub" ->
+      """WITH m AS (SELECT event_type,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+        |  length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS n_digits
+        |FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN n_digits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+        |  CAST(sum(n_digits) AS BIGINT) AS sum_digits_masked,
+        |  count(DISTINCT masked) AS n_templates
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
     // DuckDB numeric RANGE frame over the identical epoch-second order
     // key; peers included on both engines; the frame sum rides the same
     // DECIMAL VARCHAR round-trip as every dsum.

@@ -174,6 +174,56 @@ class PlanSpec extends SparkSpec {
     assert(reused >= 1, "expected the tf exchange to be reused")
   }
 
+  test("q114 appended index batch keeps the bucket layout, loses nothing") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 5 =!= 4)
+    val batch = emb.where(col("vec_id") % 5 === 4)
+    llm.Sim.ivfIndexWrite(base, nlist = 16, "ivf_assign_plan_upd",
+      "ivf_centroids_plan_upd", buckets = 8)
+    llm.Sim.ivfIndexAppend(batch, "ivf_assign_plan_upd",
+      "ivf_centroids_plan_upd", buckets = 8)
+    val t = spark.table("ivf_assign_plan_upd")
+    // the append is lossless and duplicate-free
+    assert(t.count() == emb.count())
+    assert(t.select("vec_id").distinct().count() == emb.count())
+    // cid-keyed maintenance stays exchange-free over the now
+    // multi-file-per-bucket table — the property that makes the
+    // persisted index APPENDABLE, not just buildable
+    val sp = finalPlan(t.groupBy("cid").agg(count(lit(1)).as("n")))
+      .split("== Initial Plan ==").head
+    assert(sp.contains("Bucketed: true"), sp.take(1500))
+    assert(!sp.contains("disabled by query planner"), sp.take(1500))
+    assert("exchange hashpartitioning\\(cid".r
+      .findAllIn(sp.toLowerCase).isEmpty, sp.take(1500))
+  }
+
+  test("q111 decontamination broadcasts the eval grams; corpus never shuffles whole") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = finalPlan(llm.Curation.decontaminate(docs, "doc_id", "text",
+      evalPred = col("doc_id") % 17 === 0, k = 5))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus side must stream")
+    // exactly two shuffles, neither of the corpus: the eval-side gram
+    // distinct (benchmark-sized) and the per-doc count of MATCHED rows
+    assert("exchange hashpartitioning".r.findAllIn(p.toLowerCase).size == 2,
+      p.take(1500))
+  }
+
+  test("q112/q113 mixture sample and chunking are shuffle-free single passes") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p1 = finalPlan(llm.Curation.mixtureSample(docs, "doc_id", "lang",
+      llm.Curation.MixtureWeights, llm.Curation.MixtureDenom))
+      .split("== Initial Plan ==").head
+    assert(!p1.toLowerCase.contains("exchange hashpartitioning"), p1.take(1500))
+    assert(p1.contains("BroadcastHashJoin"), "weights ride a broadcast table")
+    val p2 = finalPlan(llm.Curation.chunk(docs, "doc_id", "text", 32, 24))
+      .split("== Initial Plan ==").head
+    assert(!p2.toLowerCase.contains("exchange"), p2.take(1500))
+  }
+
   test("q39 prefix sum distributes over data-derived buckets, no pid capture") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = llm.Pack.shardPack(docs, 4096)

@@ -1,0 +1,78 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Curation operators: chunking vs a plain-Scala reference, planted
+  * decontamination overlap, mixture-sample determinism vs a direct
+  * hash recompute. */
+class CurationSpec extends SparkSpec {
+
+  test("chunk matches a plain-Scala sliding-window reference on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = Curation.chunk(docs, "doc_id", "text", window = 32, stride = 24)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    val expect = docs.select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val ts = r.getString(1).split(" ", -1)
+      val n = 1 + math.ceil(math.max(ts.length - 32, 0) / 24.0).toInt
+      (0 until n).map { i =>
+        val win = ts.slice(i * 24, i * 24 + 32)
+        (id, i.toLong) -> (win.length.toLong, win.mkString(" "))
+      }
+    }.toMap
+    assert(got == expect)
+    // every token covered: the last chunk reaches the last token
+    assert(expect.nonEmpty)
+  }
+
+  test("chunk: stride == window degenerates to disjoint partitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val total = Curation.chunk(docs, "doc_id", "text", 16, 16)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    val tokens = docs.select(size(split(col("text"), " ", -1)).as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(total == tokens, "disjoint chunks must partition the token stream")
+  }
+
+  test("decontaminate flags exactly the docs sharing a k-gram with eval") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),          // eval
+      (2L, "lazy quick brown fox sits here"),     // shares "quick brown fox"
+      (3L, "entirely different words only here"), // clean
+      (4L, "the quick brown fox jumps again")     // shares two 3-grams
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, "doc_id", "text",
+      evalPred = col("doc_id") === 1, k = 3).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    val byId = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(2L) == 1L) // "quick brown fox"
+    // doc4 shares its first 3 of 4 shingles ("...jumps" vs "...jumps again")
+    assert(byId(4L) == 3L)
+  }
+
+  test("mixture sample equals the direct hash rule and survives repartitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def keptOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Curation.mixtureSample(df, "doc_id", "lang",
+        Curation.MixtureWeights, Curation.MixtureDenom)
+        .collect().map(_.getLong(0)).toSet
+    val kept = keptOf(docs)
+    assert(keptOf(docs.repartition(7)) == kept,
+      "the sample must be a pure function of the row, not the partitioning")
+    val w = Curation.MixtureWeights.toMap
+    val expect = docs.select("doc_id", "lang").collect().filter { r =>
+      val h = graft.functions.Fnv1a32.compute(
+        UTF8String.fromString(s"${r.getLong(0)}:mix"),
+        graft.functions.Fnv1a32.Seed)
+      h % Curation.MixtureDenom < w(r.getString(1))
+    }.map(_.getLong(0)).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
+}
