@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, Fnv1a32, HashExprs, ShingleArray, SignBands, TextExprs, VectorExprs}
+import graft.functions.{CmsSketch, CosineSim, Fnv1a32, HashExprs, ShingleArray, SignBands, SketchAggs, TextExprs, VectorExprs}
 
 /** Library entry point for Spark's extension mechanism: makes every
   * graft native function available in plain `spark.sql(...)` without any
@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fnv1a32"),
       new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),
       HashExprs.fnv1a32Builder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      SketchAggs.cmsSketchBuilder))
   }
 }

@@ -356,6 +356,36 @@ object Queries {
         .select(col("e.item").as("tok"), col("e.count").cast("long").as("cnt"))
         .orderBy("tok")
     }),
+    // E6/E17: COUNT-MIN SKETCH point-frequency estimates via the native
+    // CmsSketch TypedImperativeAggregate (see its scaladoc): one
+    // constant-size mergeable grid aggregated across partitions (the
+    // partial buffers merge by elementwise add — the path this query
+    // exercises under local[32]), then every vocabulary token's
+    // estimate = min over its depth cells, read from the broadcast
+    // 1-row sketch. Unlike q99's exact-regime gate, the oracle
+    // recomputes the GRID itself (4 portable FNV folds), so the row
+    // pins the sketch's actual cells and its overestimates — not just
+    // a collision-free projection.
+    "q117_cms_freq" -> ((s, dir) => {
+      graft.functions.SketchAggs.register(s)
+      graft.functions.HashExprs.register(s)
+      val tok = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+        .where(col("tok") =!= "")
+      val sk = tok.agg(
+        graft.functions.SketchAggs.cmsSketch("tok", 4, 256).as("sk"))
+      val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      val ests = (0 until 4).map { j =>
+        element_at(col("sk"),
+          (pmod(graft.functions.HashExprs.fnv1a32("tok",
+              graft.functions.CmsSketch.seed(j)), lit(256L))
+            + lit(j * 256 + 1)).cast("int"))
+      }
+      exact.crossJoin(broadcast(sk))
+        .select(col("tok"), col("exact_cnt"), least(ests: _*).as("est_cnt"))
+        .withColumn("no_underestimate", col("est_cnt") >= col("exact_cnt"))
+        .orderBy("tok")
+    }),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -1160,6 +1190,26 @@ object Queries {
          |SELECT doc_id, lang FROM documents JOIN w USING (lang)
          |WHERE ${fnvSql("(CAST(doc_id AS VARCHAR) || ':mix')")} % ${Curation.MixtureDenom} < keep_lt
          |ORDER BY doc_id""".stripMargin
+    },
+    // The full CMS grid recomputed as 4 portable FNV folds (one per
+    // depth row, same seeds as CmsSketch.seed), then the same min-of-
+    // cells estimate — sketch content AND approximation error pinned.
+    "q117_cms_freq" -> {
+      val rows = (0 until 4).map { j =>
+        s"SELECT tok, $j AS j, ${fnvSql("tok", graft.functions.CmsSketch.seed(j))} % 256 AS h FROM tok"
+      }
+      s"""WITH tok AS (SELECT t AS tok FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+         |  WHERE t <> ''),
+         |th AS (${rows.mkString("\n UNION ALL ")}),
+         |cells AS (SELECT j, h, count(*) AS c FROM th GROUP BY j, h),
+         |dh AS (SELECT DISTINCT tok, j, h FROM th),
+         |ex AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+         |est AS (SELECT dh.tok, min(c.c) AS est_cnt
+         |  FROM dh JOIN cells c ON c.j = dh.j AND c.h = dh.h GROUP BY dh.tok)
+         |SELECT ex.tok, ex.exact_cnt, est.est_cnt,
+         |  est.est_cnt >= ex.exact_cnt AS no_underestimate
+         |FROM ex JOIN est USING (tok) ORDER BY tok""".stripMargin
     },
     // Same integer chunk-count rule and the same inclusive 1-based
     // window slice (DuckDB list[a:b] ≡ Spark slice(ts, a, 32)).

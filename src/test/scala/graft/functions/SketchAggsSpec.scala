@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CmsSketch: grid vs a plain-Scala reference, partitioning invariance
+  * (the merge path), shard-union linearity, and the CMS no-
+  * underestimate guarantee. */
+class SketchAggsSpec extends SparkSpec {
+
+  private val D = 4
+  private val W = 64
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] = {
+    SketchAggs.register(spark)
+    df.agg(SketchAggs.cmsSketch("tok", D, W).as("sk"))
+      .collect().head.getSeq[Long](0).toArray
+  }
+
+  private def refSketch(toks: Seq[String]): Array[Long] = {
+    val grid = new Array[Long](D * W)
+    toks.foreach { t =>
+      (0 until D).foreach { j =>
+        val h = (Fnv1a32.compute(UTF8String.fromString(t),
+          CmsSketch.seed(j)) % W).toInt
+        grid(j * W + h) += 1
+      }
+    }
+    grid
+  }
+
+  private def tokens = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select(explode(split(col("text"), " ", -1)).as("tok"))
+    .where(col("tok") =!= "")
+
+  test("grid matches the per-row reference and is partitioning-invariant") {
+    val toks = tokens.collect().map(_.getString(0)).toSeq
+    val expect = refSketch(toks)
+    assert(sketchOf(tokens).sameElements(expect))
+    // different partitioning => different partial buffers => the merge
+    // path must still produce the identical grid
+    assert(sketchOf(tokens.repartition(13)).sameElements(expect))
+  }
+
+  test("sketches of disjoint shards union by elementwise add (linearity)") {
+    val a = tokens.where(length(col("tok")) <= 4)
+    val b = tokens.where(length(col("tok")) > 4)
+    val union = sketchOf(tokens)
+    val summed = sketchOf(a).zip(sketchOf(b)).map { case (x, y) => x + y }
+    assert(summed.sameElements(union),
+      "CMS must be mergeable across corpus shards")
+  }
+
+  test("point estimates never underestimate and are exact sans collision") {
+    val toks = tokens.collect().map(_.getString(0)).toSeq
+    val grid = refSketch(toks)
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (t, cnt) =>
+      val est = (0 until D).map { j =>
+        grid(j * W + (Fnv1a32.compute(UTF8String.fromString(t),
+          CmsSketch.seed(j)) % W).toInt)
+      }.min
+      assert(est >= cnt, s"CMS underestimated '$t'")
+    }
+  }
+}
