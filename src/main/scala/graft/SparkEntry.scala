@@ -382,6 +382,24 @@ object SparkEntry {
           s, src, ev.schema, out, out + "_ckpt")
         .orderBy("user_id", "view_id", "click_id")
     }),
+    // Streaming CDC UPSERT at the gate — the foreachBatch idiom: each
+    // micro-batch merges last-writer-wins into a versioned keyed state
+    // table behind an atomic pointer swap, with the batchId guard
+    // making replays idempotent (see cdcUpsertParquet's scaladoc). The
+    // oracle recomputes the final state from the original events (per
+    // user: event count + the argmax-(ts, event_id) event's time and
+    // value), so a lost batch, a double-applied batch, or a stale
+    // pointer turns the row red.
+    "q118_stream_cdc" -> ((s, dir) => {
+      val src = Scratch.dir("stream_cdc_src")
+      val stateRoot = Scratch.dir("stream_cdc_state")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      sources.StreamIngest.cdcUpsertParquet(
+          s, src, ev.schema, stateRoot, stateRoot + "_ckpt")
+        .orderBy("user_id")
+    }),
     "q90_custom_state_sessions" -> ((s, dir) => {
       val src = Scratch.dir("custom_state_src")
       val out = Scratch.dir("custom_state")
@@ -616,6 +634,19 @@ object SparkEntry {
     // the other (ADVICE r7).
     "q101_stream_resume" -> streamWindowOracle,
     "q87_stream_window" -> streamWindowOracle,
+    // The final CDC state recomputed from the original events: per
+    // user, the event count and the latest event by (ts, event_id) —
+    // the same total order as the stream's max(struct(us, event_id,
+    // value)) merge.
+    "q118_stream_cdc" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |g AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id),
+        |r AS (SELECT user_id, us, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT g.user_id, g.n_events, r.us AS last_us, r.value AS last_value
+        |FROM g JOIN r ON r.user_id = g.user_id AND r.rn = 1
+        |ORDER BY g.user_id""".stripMargin,
     // The plain batch band join: the streaming inner join must emit
     // exactly these pairs. lag_sec mirrors Spark's unix_timestamp
     // (floor each side to seconds, then subtract).
