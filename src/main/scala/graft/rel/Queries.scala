@@ -605,6 +605,7 @@ object Queries {
     "q110_bloom_prune_join" -> (bloomPrunedJoin _),
     "q115_value_histogram" -> (valueHistogram _),
     "q116_props_scrub" -> (propsScrub _),
+    "q119_range_layout" -> (rangeLayoutAgg _),
     "q96_map_zip" -> (mapZipFuncs _),
   )
 
@@ -793,6 +794,26 @@ object Queries {
         (col("n_curr") < 100 ||
           col("amed").between(col("p40"), col("p60"))).as("approx_median_ok"))
       .orderBy("status")
+  }
+
+  // Range-sorted layout + time-range scan (Layout.writeRangeSorted's
+  // scaladoc): the events table rewritten range-partitioned and sorted
+  // on ts, then a 2-day window aggregated from the sorted copy. The
+  // values must equal the plain filter over the original table (the
+  // oracle) — the layout is pure physics; LayoutSpec pins the physics
+  // (row-group min/max skipping collapses the scan's output to the
+  // matching slice). The rewrite runs per pass: it IS the declared
+  // operator (the q56/q63 write-side convention).
+  def rangeLayoutAgg(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("events_ts_sorted")
+    Layout.writeRangeSorted(events(s, dir), out, 16, "ts")
+    s.read.parquet(out)
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
   }
 
   // Fixed-grid histogram of a measure per group (the monitoring
@@ -1278,6 +1299,15 @@ object Queries {
         |    AS drift_flag,
         |  true AS approx_median_ok
         |FROM c FULL JOIN p USING (status) ORDER BY status""".stripMargin,
+    // The sorted-layout round trip must be lossless: plain filter over
+    // the original table.
+    "q119_range_layout" ->
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("\"value\"")} AS sum_value,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Identical fixed grid (floor(value/25) clamped to [0,19]) and the
     // exact DECIMAL route for the bucket mass.
     "q115_value_histogram" ->

@@ -117,6 +117,34 @@ class LayoutSpec extends SparkSpec {
       s"bloom kept ${pruned.count()} of $total rows — no real pruning")
   }
 
+  test("q119 range-sorted layout: row-group stats collapse a time-range scan") {
+    import org.apache.spark.sql.functions._
+    val ev = Queries.events(spark, sf0001)
+    val sorted = graft.Scratch.dir("layoutspec_ts_sorted")
+    val unsorted = graft.Scratch.dir("layoutspec_ts_unsorted")
+    Layout.writeRangeSorted(ev, sorted, 16, "ts")
+    ev.repartition(16).write.mode("overwrite").parquet(unsorted)
+    val pred = (col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")) &&
+      (col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+    // rows the parquet reader actually PRODUCED: pushed filters prune
+    // at row-group granularity, so this measures the min/max skipping
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).where(pred).select("event_id")
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val matching = ev.where(pred).count()
+    val s = scanRows(sorted)
+    val u = scanRows(unsorted)
+    assert(s >= matching, "a skipped row group must never hold a match")
+    assert(u == ev.count(), "the unsorted layout reads the whole table")
+    assert(s * 3 <= u,
+      s"sorted scan produced $s rows vs unsorted $u — expected a collapse")
+  }
+
   test("salted join returns exactly the plain inner-join rows") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val customer = spark.read.parquet(s"$sf0001/customer.parquet")
