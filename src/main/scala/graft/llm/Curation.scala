@@ -85,6 +85,34 @@ object Curation {
       .select(col(idCol), col(groupCol))
   }
 
+  /** Fixed-size per-stratum sample: the `k` rows of each group with
+    * the smallest (content hash, id) — eval/holdout-set construction
+    * where every group must contribute EXACTLY min(k, |group|) rows
+    * regardless of group size, which [[mixtureSample]]'s (and q40's)
+    * fraction-threshold rule cannot promise. Deterministic under any
+    * partitioning (the rank is a pure function of the group's rows);
+    * unlike the threshold rule, membership MAY shift when the group
+    * grows — fixed size trades away the no-migration property, which
+    * is why both operators exist.
+    *
+    * Scale: one hash-partition shuffle on the group key + a per-group
+    * top-k window. For heavy-hitter groups the window is the standard
+    * rank-then-filter; a skew-critical run pre-filters with a per-group
+    * approximate hash cutoff before ranking (same output, bounded
+    * partition) — at this k the plain window is the right plan. */
+  def stratumSample(docs: DataFrame, idCol: String, groupCol: String,
+                    k: Int): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), col(groupCol))
+      .withColumn("h", graft.functions.HashExprs.fnv1a32(
+        s"concat(cast($idCol as string), ':strat')"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col(groupCol), col("rnk"))
+  }
+
   /** Sliding-window chunking: split each doc's token stream into
     * fixed-`size` windows advancing by `stride` (overlap = size −
     * stride), the context-window prep for training/embedding when docs

@@ -386,6 +386,29 @@ object Queries {
         .withColumn("no_underestimate", col("est_cnt") >= col("exact_cnt"))
         .orderBy("tok")
     }),
+    // E17: bigram-LM average log-prob with add-one smoothing — the
+    // conditional-probability upgrade of q58's unigram filter (see
+    // TextAnalysis.bigramLogProb's scaladoc): per-row pair generation,
+    // two hash-aggs, one skew-splittable equi-join.
+    "q120_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(tbl(s, dir, "documents"))),
+    // Fixed-size per-stratum sample: EXACTLY min(k, |group|) rows per
+    // language by (content hash, id) rank — the eval-set constructor
+    // q112's fraction-threshold rule can't express (see
+    // Curation.stratumSample's scaladoc for the trade).
+    "q121_stratum_sample" -> ((s, dir) =>
+      Curation.stratumSample(tbl(s, dir, "documents"), "doc_id", "lang",
+        k = 20)
+        .orderBy("lang", "rnk")),
+    // E16 dimension-reduction axis: matryoshka/truncated kNN — exact
+    // top-k over the first 16 of 64 coordinates renormalized, each hit
+    // flagged against the full-dimension top-k (the cheap first stage
+    // before exact rerank; complements q108's precision axis). Both
+    // rankings deterministic, so the recall flag value-oracles too.
+    "q122_matryoshka_knn" -> ((s, dir) =>
+      Sim.truncatedKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5,
+        dims = 16)
+        .orderBy("qid", "rnk")),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -1191,6 +1214,57 @@ object Queries {
          |WHERE ${fnvSql("(CAST(doc_id AS VARCHAR) || ':mix')")} % ${Curation.MixtureDenom} < keep_lt
          |ORDER BY doc_id""".stripMargin
     },
+    // q58's shape with bigram/left-context counts; add-one smoothing
+    // with the same V; identical ln + DECIMAL route + round(6).
+    "q120_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |p0 AS (SELECT doc_id, unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+        |p AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2 FROM p0),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY w1, w2),
+        |lf AS (SELECT w1, count(*) AS cu FROM p GROUP BY w1),
+        |vc AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ts) AS tok FROM t) x)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(CAST(SUM(CAST(CAST(ln(CAST(cb + 1 AS DOUBLE) / (cu + v)) AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+        |    / count(*), 6) AS avg_logp
+        |FROM p JOIN bi USING (w1, w2) JOIN lf USING (w1) CROSS JOIN vc
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The identical (hash, id) rank per language, k=20.
+    "q121_stratum_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ${fnvSql("(CAST(doc_id AS VARCHAR) || ':strat')")} AS h FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk FROM h)
+         |SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM r
+         |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
+    // Truncated ranking (first 16 dims renormalized) left-joined to
+    // the full-dimension top-5 — both with the identical fixed-order
+    // fold and id tiebreak.
+    "q122_matryoshka_knn" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         |tv AS (SELECT vec_id, v0[1:16] AS v FROM v),
+         |tn AS (SELECT vec_id, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM tv),
+         |tq AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM tn WHERE vec_id < 10),
+         |tj AS (SELECT qid, tn.vec_id,
+         |  ${foldSum.format("list_transform(list_zip(tn.v, tq.qv), p -> p[1] * p[2])")}
+         |    / (tn.norm * tq.qnorm) AS sim
+         |  FROM tn, tq WHERE tn.vec_id <> tq.qid),
+         |tr2 AS (SELECT qid, vec_id, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM tj),
+         |fn AS (SELECT vec_id, v0 AS v,
+         |  sqrt(${foldSum.format("list_transform(v0, x -> x * x)")}) AS norm FROM v),
+         |fq AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM fn WHERE vec_id < 10),
+         |fj AS (SELECT qid, fn.vec_id,
+         |  ${foldSum.format("list_transform(list_zip(fn.v, fq.qv), p -> p[1] * p[2])")}
+         |    / (fn.norm * fq.qnorm) AS sim
+         |  FROM fn, fq WHERE fn.vec_id <> fq.qid),
+         |fr AS (SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM fj),
+         |ff AS (SELECT qid, vec_id FROM fr WHERE rnk <= 5)
+         |SELECT tr2.qid, CAST(tr2.rnk AS BIGINT) AS rnk, tr2.vec_id, tr2.sim,
+         |  (ff.vec_id IS NOT NULL) AS in_full_topk
+         |FROM tr2 LEFT JOIN ff ON ff.qid = tr2.qid AND ff.vec_id = tr2.vec_id
+         |WHERE tr2.rnk <= 5 ORDER BY tr2.qid, rnk""".stripMargin,
     // The full CMS grid recomputed as 4 portable FNV folds (one per
     // depth row, same seeds as CmsSketch.seed), then the same min-of-
     // cells estimate — sketch content AND approximation error pinned.

@@ -218,6 +218,43 @@ object Sim {
     assignTo(v, ivfCentroids(v, nlist))
   }
 
+  /** Matryoshka / truncated-dimension kNN — the DIMENSION-reduction
+    * axis of approximate vector search (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022: prefix sub-vectors of an
+    * MRL-trained embedding are usable embeddings; for the synthetic
+    * vectors here the prefix is just a lossy projection, which is
+    * exactly what makes the recall column informative): exact cosine
+    * top-k over the first `dims` coordinates renormalized, with each
+    * hit flagged against the FULL-dimension top-k. At 100 TB the
+    * truncated pass reads `dims/fullDim` of the vector bytes (a
+    * columnar store can even push the truncation into the scan) and is
+    * the standard cheap first stage before an exact rerank — the
+    * compression complement of [[sq8Knn]] (which keeps all dims at
+    * lower precision).
+    *
+    * Both rankings are deterministic (fixed-order fold, id tiebreak),
+    * so the overlap flag is value-oracled too. Plan: two broadcast
+    * query passes over the corpus + a k×nQuery row flag join. */
+  def truncatedKnn(emb: DataFrame, nQuery: Int, k: Int, dims: Int): DataFrame = {
+    val tr = emb.select(col("vec_id"),
+      asDouble(slice(col("embedding"), 1, dims)).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val q = tr.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("norm").as("qnorm")).where(col("qid") < nQuery)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val trunc = tr.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+    val full = cosineKnn(emb, nQuery, k)
+      .select(col("qid"), col("vec_id"), lit(true).as("hit"))
+    trunc.join(full, Seq("qid", "vec_id"), "left_outer")
+      .select(col("qid"), col("rnk"), col("vec_id"), col("sim"),
+        coalesce(col("hit"), lit(false)).as("in_full_topk"))
+  }
+
   /** Lloyd's k-means refinement of the IVF coarse quantizer, entirely
     * in-plan (no driver-side centroid collection): each iteration is the
     * broadcast argmax assignment followed by per-(cluster, dimension)

@@ -84,6 +84,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM average log-probability with add-one smoothing — the
+    * conditional-probability upgrade of [[unigramLogProb]] (a CCNet-
+    * style perplexity filter runs a trained Kneser–Ney model; the
+    * corpus's own add-one bigram model keeps the dataflow identical
+    * and the gate oracle exact): per adjacent token pair,
+    * `P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)`, averaged per doc.
+    *
+    * Scale: pairs are generated PER ROW (an indexed `transform` +
+    * `try_element_at` over the token array — no positional self-join),
+    * then two hash-aggs (bigram and left-context counts, map-side
+    * partial) and the equi-join of pairs back to their counts (AQE
+    * skew-splittable, the q58 shape); V is a broadcast 1-row distinct
+    * count. Log-prob sums ride the exact DECIMAL route; round(.,6)
+    * absorbs libm ln drift. Output: (doc_id, n_bigrams, avg_logp). */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("ts"))
+    val prs = base.select(col("doc_id"), explode(expr(
+        "filter(transform(ts, (t, i) -> struct(t AS w1, try_element_at(ts, i + 2) AS w2)), " +
+          "p -> p.w2 IS NOT NULL)")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = prs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val left = prs.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = docs.select(explode(toks(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    prs.join(bi, Seq("w1", "w2")).join(left, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("cb") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(graft.rel.Queries.dsum(col("logp")) / count(lit(1)), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: length, mean token length, alpha-token ratio,
     * stopword ratio, and a blended score. Pure per-row double arithmetic
     * (identical expression shape on the DuckDB side → bit-equal). */

@@ -56,6 +56,29 @@ class CurationSpec extends SparkSpec {
     assert(byId(4L) == 3L)
   }
 
+  test("stratum sample: exactly min(k, |group|) rows, stable under repartitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = Curation.stratumSample(docs, "doc_id", "lang", 5).collect()
+    val got = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    docs.groupBy("lang").count().collect().foreach { r =>
+      assert(got(r.getString(0)) == math.min(5L, r.getLong(1)),
+        s"lang ${r.getString(0)}")
+    }
+    val again = Curation.stratumSample(docs.repartition(9), "doc_id", "lang", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet,
+      "the sample must not depend on physical partitioning")
+  }
+
+  test("truncated kNN's recall flag is informative at 16 of 64 dims") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Sim.truncatedKnn(emb, nQuery = 10, k = 5, dims = 16).collect()
+    assert(out.length == 50)
+    val flags = out.map(_.getBoolean(4))
+    assert(flags.contains(true) && flags.contains(false),
+      "random 64-dim vectors truncated to 16 dims should hit AND miss")
+  }
+
   test("mixture sample equals the direct hash rule and survives repartitioning") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def keptOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
