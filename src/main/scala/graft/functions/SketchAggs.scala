@@ -111,6 +111,102 @@ object CmsSketch {
   def seed(j: Int): Long = (Fnv1a32.Seed ^ (0x9e3779b9L * j)) & 0xFFFFFFFFL
 }
 
+/** K-minimum-values (bottom-k) sketch over a string column as a native
+  * `TypedImperativeAggregate` (Bar-Yossef et al., "Counting distinct
+  * elements in a data stream", RANDOM 2002; Beyer et al., "On synopses
+  * for distinct-value estimation under multiset operations", SIGMOD
+  * 2007): keep the k smallest DISTINCT 32-bit FNV hashes seen; the
+  * distinct-count estimate is `(k-1) / u_k` where `u_k` is the kth
+  * smallest hash normalized to [0,1) — relative error ~1/sqrt(k-2).
+  *
+  * The mergeable-distinct companion to [[CmsSketch]]'s point
+  * frequencies: per-row cost is one hash plus an O(log k) bounded
+  * tree insert (and only when the hash beats the current kth min —
+  * after warm-up almost every row is a single comparison); partials
+  * merge by "union then trim" (bottom-k of a union IS the bottom-k of
+  * the shards' bottom-ks — the multiset-operation closure property
+  * from the SIGMOD 2007 paper); at most k longs cross the network per
+  * partition. Unlike HLL the kept hashes also SUPPORT intersection /
+  * Jaccard estimates between groups, which is why curation pipelines
+  * carry KMV alongside HLL.
+  *
+  * Portable like CmsSketch: the hash is the oracle-able [[Fnv1a32]],
+  * so DuckDB recomputes the exact kept set (rank over distinct hashes)
+  * and the identical estimate — sketch content AND approximation error
+  * value-checked at the gate. When fewer than k distinct hashes exist
+  * the sketch is the exact distinct set (the q99 exact-regime idea),
+  * but the q123 gate runs it in the genuine k &lt; distinct regime.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k > 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch needs k > 1, got $k")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a string input, got $dt")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): scala.collection.mutable.TreeSet[Long] =
+    scala.collection.mutable.TreeSet.empty[Long]
+
+  private def insert(buffer: scala.collection.mutable.TreeSet[Long], h: Long): Unit = {
+    if (buffer.size < k) buffer += h
+    else if (h < buffer.last) {
+      buffer += h
+      if (buffer.size > k) buffer -= buffer.last
+    }
+  }
+
+  override def update(
+      buffer: scala.collection.mutable.TreeSet[Long],
+      input: InternalRow): scala.collection.mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buffer, Fnv1a32.compute(v.asInstanceOf[UTF8String], Fnv1a32.Seed))
+    buffer
+  }
+
+  override def merge(
+      buffer: scala.collection.mutable.TreeSet[Long],
+      other: scala.collection.mutable.TreeSet[Long]): scala.collection.mutable.TreeSet[Long] = {
+    other.foreach(insert(buffer, _))
+    buffer
+  }
+
+  /** Ascending kept hashes; `eval` must not leak the mutable buffer. */
+  override def eval(buffer: scala.collection.mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buffer.toArray.map(Long.box))
+
+  override def serialize(buffer: scala.collection.mutable.TreeSet[Long]): Array[Byte] = {
+    val arr = buffer.toArray
+    val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
+    bb.asLongBuffer().put(arr)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.TreeSet[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    scala.collection.mutable.TreeSet.empty[Long] ++= out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchAggs {
   private def litInt(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -123,12 +219,24 @@ object SketchAggs {
   val cmsSketchBuilder: Seq[Expression] => Expression =
     exprs => CmsSketch(exprs.head, litInt(exprs(1)), litInt(exprs(2)))
 
-  /** Register `cms_sketch(col, depth, width)`. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Builder shared with [[graft.GraftExtensions]]. */
+  val kmvSketchBuilder: Seq[Expression] => Expression =
+    exprs => KmvSketch(exprs.head, litInt(exprs(1)))
+
+  /** Register `cms_sketch(col, depth, width)` and `kmv_sketch(col, k)`.
+    * Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_sketch", cmsSketchBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", kmvSketchBuilder, "built-in")
+  }
 
   /** Column-level handle (after [[register]]). */
   def cmsSketch(sqlExpr: String, depth: Int, width: Int): Column =
     expr(s"cms_sketch($sqlExpr, $depth, $width)")
+
+  /** Column-level handle (after [[register]]). */
+  def kmvSketch(sqlExpr: String, k: Int): Column =
+    expr(s"kmv_sketch($sqlExpr, $k)")
 }

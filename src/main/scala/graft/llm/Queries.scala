@@ -386,6 +386,40 @@ object Queries {
         .withColumn("no_underestimate", col("est_cnt") >= col("exact_cnt"))
         .orderBy("tok")
     }),
+    // KMV (bottom-k) distinct sketch via the native KmvSketch
+    // TypedImperativeAggregate (see its scaladoc): per-group k smallest
+    // distinct FNV hashes of the user id, estimate (k-1)·2^32/h_k.
+    // Run in the genuine sketch regime (k=32 < ~150 distinct users per
+    // event type); kept-set tail, estimate AND relative error are all
+    // value-oracled — DuckDB recomputes the identical kept set by rank
+    // over distinct portable hashes. The single-division estimate and
+    // the error ratio are correctly-rounded IEEE ops on identical
+    // integer inputs, so they match bit-for-bit (round(6) is belt and
+    // braces on the ratio only).
+    "q123_kmv_distinct" -> ((s, dir) => {
+      graft.functions.SketchAggs.register(s)
+      val k = 32
+      val ev = graft.rel.Queries.events(s, dir)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      val sk = ev.groupBy("event_type")
+        .agg(graft.functions.SketchAggs.kmvSketch("uid", k).as("mins"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("uid")).as("exact_distinct"))
+      sk.join(exact, "event_type")
+        .select(
+          col("event_type"),
+          size(col("mins")).cast("long").as("n_kept"),
+          element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+          when(size(col("mins")) < k, size(col("mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble * 4294967296.0)
+              / element_at(col("mins"), k).cast("double"))
+            .as("est_distinct"),
+          col("exact_distinct"))
+        .withColumn("rel_err",
+          round(abs(col("est_distinct") - col("exact_distinct"))
+            / col("exact_distinct"), 6))
+        .orderBy("event_type")
+    }),
     // E17: bigram-LM average log-prob with add-one smoothing — the
     // conditional-probability upgrade of q58's unigram filter (see
     // TextAnalysis.bigramLogProb's scaladoc): per-row pair generation,
@@ -1285,6 +1319,31 @@ object Queries {
          |  est.est_cnt >= ex.exact_cnt AS no_underestimate
          |FROM ex JOIN est USING (tok) ORDER BY tok""".stripMargin
     },
+    // The identical kept set by rank over distinct portable hashes,
+    // then the same single-division estimate. nd (distinct hashes) vs
+    // exact_distinct (distinct uids) differ only under 32-bit hash
+    // collision — both engines dedup by HASH for the kept set and by
+    // VALUE for the exact count, so even that case stays in lockstep.
+    "q123_kmv_distinct" ->
+      s"""WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
+         |h AS (SELECT DISTINCT event_type, ${fnvSql("uid")} AS h FROM e),
+         |r AS (SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
+         |  count(*) OVER (PARTITION BY event_type) AS nd FROM h),
+         |kept AS (SELECT event_type,
+         |  count(*) AS n_kept, max(h) AS kth_hash, max(nd) AS nd
+         |  FROM r WHERE rnk <= 32 GROUP BY event_type),
+         |ex AS (SELECT event_type, count(DISTINCT uid) AS exact_distinct
+         |  FROM e GROUP BY event_type)
+         |SELECT kept.event_type, n_kept, kth_hash,
+         |  CASE WHEN nd < 32 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE 31.0 * 4294967296.0 / kth_hash END AS est_distinct,
+         |  exact_distinct,
+         |  round(abs(CASE WHEN nd < 32 THEN CAST(n_kept AS DOUBLE)
+         |                 ELSE 31.0 * 4294967296.0 / kth_hash END
+         |            - exact_distinct) / exact_distinct, 6) AS rel_err
+         |FROM kept JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     // Same integer chunk-count rule and the same inclusive 1-based
     // window slice (DuckDB list[a:b] ≡ Spark slice(ts, a, 32)).
     "q113_chunk_overlap" ->

@@ -64,4 +64,55 @@ class SketchAggsSpec extends SparkSpec {
       assert(est >= cnt, s"CMS underestimated '$t'")
     }
   }
+
+  // ---- KmvSketch (bottom-k distinct) ----
+
+  private val K = 16
+
+  private def kmvOf(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    SketchAggs.register(spark)
+    df.agg(SketchAggs.kmvSketch("tok", K).as("mins"))
+      .collect().head.getSeq[Long](0)
+  }
+
+  private def refKmv(toks: Seq[String], k: Int = K): Seq[Long] =
+    toks.map(t => Fnv1a32.compute(UTF8String.fromString(t), Fnv1a32.Seed))
+      .distinct.sorted.take(k)
+
+  test("kmv keeps exactly the k smallest distinct hashes, any partitioning") {
+    val toks = tokens.collect().map(_.getString(0)).toSeq
+    val expect = refKmv(toks)
+    assert(kmvOf(tokens) == expect)
+    // different partitioning => partial bottom-k sets => the union-trim
+    // merge path must reproduce the identical global bottom-k
+    assert(kmvOf(tokens.repartition(13)) == expect)
+  }
+
+  test("kmv of disjoint shards merges to the kmv of the union") {
+    val toks = tokens.collect().map(_.getString(0)).toSeq
+    val a = kmvOf(tokens.where(length(col("tok")) <= 4))
+    val b = kmvOf(tokens.where(length(col("tok")) > 4))
+    val merged = (a ++ b).distinct.sorted.take(K)
+    assert(merged == refKmv(toks),
+      "bottom-k of shard bottom-ks must equal the global bottom-k")
+  }
+
+  test("kmv is the exact distinct set (ascending) when k >= distinct") {
+    val small = tokens.limit(0).sparkSession
+      .createDataFrame(Seq.tabulate(40)(i => Tuple1(s"v${i % 7}")))
+      .toDF("tok")
+    val hashes = (0 until 7).map(i =>
+      Fnv1a32.compute(UTF8String.fromString(s"v$i"), Fnv1a32.Seed)).sorted
+    assert(kmvOf(small) == hashes)
+  }
+
+  test("kmv estimate lands near the true distinct count in sketch regime") {
+    val toks = tokens.collect().map(_.getString(0)).toSeq
+    val distinct = toks.distinct.size
+    assume(distinct > K)
+    val kth = refKmv(toks).last
+    val est = (K - 1).toDouble * 4294967296.0 / kth
+    assert(math.abs(est - distinct) / distinct < 0.75,
+      s"KMV estimate $est too far from $distinct (k=$K)")
+  }
 }
