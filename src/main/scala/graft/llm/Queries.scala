@@ -426,6 +426,23 @@ object Queries {
     // two hash-aggs, one skew-splittable equi-join.
     "q120_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(tbl(s, dir, "documents"))),
+    // Iterative graph analytics: weighted PageRank over the bigram
+    // token graph, 3 rounds, dangling-mass redistribution — the fixed-
+    // iteration shuffle-on-key composition declared as ONE Catalyst
+    // plan with zero driver actions (see rel.Graph.pageRank's scaladoc
+    // for the float-parity and 100 TB analysis). Ranks are bit-
+    // identical across engines at every round via the dsum route.
+    "q124_pagerank" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val edges = prs.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      graft.rel.Graph.pageRank(edges, iters = 3, damping = 0.85)
+        .orderBy("node")
+    }),
     // Fixed-size per-stratum sample: EXACTLY min(k, |group|) rows per
     // language by (content hash, id) rank — the eval-set constructor
     // q112's fraction-threshold rule can't express (see
@@ -1004,6 +1021,40 @@ object Queries {
     * dequantized estimate — so the CANDIDATE SET is bit-identical
     * across engines, and the exact-rerank tail repeats the proven q21
     * cosine math. */
+  /** DuckDB twin of q124: the same bigram edge build, then 3 unrolled
+    * PageRank rounds. Each round's per-node sum takes the identical
+    * DECIMAL(38,12)-via-VARCHAR route as [[graft.rel.Queries.dsum]]'s
+    * oracle twin, and the teleport constant is interpolated from the
+    * very Scala double the Spark plan uses (`1.0 - 0.85` is NOT 0.15
+    * in IEEE arithmetic — see Graph.pageRank's scaladoc), so ranks are
+    * bit-identical across engines at every round. */
+  private val pageRankOracle: String = {
+    val damping = 0.85
+    def dec(x: String) =
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    val head =
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |p0 AS (SELECT unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+        |e AS (SELECT ts[i+1] AS src, ts[i+2] AS dst, count(*) AS w FROM p0 GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nc)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS node, ${dec("r.rank * e.w / ow.outw")} AS s
+         |  FROM e JOIN $prev r ON r.node = e.src JOIN ow ON ow.src = e.src GROUP BY e.dst),
+         |d$i AS (SELECT coalesce(${dec("r.rank")}, CAST(0.0 AS DOUBLE)) AS dmass
+         |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM ow)),
+         |r$i AS (SELECT nodes.node,
+         |  CAST(${1.0 - damping} AS DOUBLE) / nc.n + CAST($damping AS DOUBLE)
+         |    * (coalesce(s$i.s, CAST(0.0 AS DOUBLE)) + d$i.dmass / nc.n) AS rank
+         |  FROM nodes LEFT JOIN s$i ON s$i.node = nodes.node CROSS JOIN d$i CROSS JOIN nc)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      "\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
+  }
+
   private val sq8KnnOracle = {
     val isumSql = "list_reduce(list_prepend(CAST(0 AS BIGINT), %s), (a, b) -> a + b)"
     val idot = isumSql.format(
@@ -1356,6 +1407,7 @@ object Queries {
         |  array_to_string(ts[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q108_sq8_knn" -> sq8KnnOracle,
+    "q124_pagerank" -> pageRankOracle,
     "q46_cluster_dedup" -> clusterDedupOracle,
     "q39_shard_pack" ->
       s"""WITH t AS (SELECT doc_id,
