@@ -400,6 +400,34 @@ object SparkEntry {
           s, src, ev.schema, stateRoot, stateRoot + "_ckpt")
         .orderBy("user_id")
     }),
+    // STREAM-STATIC JOIN at the gate: the enrichment idiom — each
+    // micro-batch of the event stream inner-joins a broadcast batch
+    // dimension (customer segment keyed by user id) with ZERO streaming
+    // state; append mode needs no watermark because the join is
+    // stateless. At 100 TB the static side is re-planned per micro-
+    // batch, so a production run persists the dim (or uses the q53
+    // bucketed layout for a dim too big to broadcast) — the streaming
+    // semantics are unchanged. The drained sink must equal the batch
+    // join exactly, so the oracle is the plain join + aggregate; a
+    // dropped or duplicated micro-batch row turns the count red.
+    "q125_stream_static_join" -> ((s, dir) => {
+      val src = Scratch.dir("stream_enrich_src")
+      val out = Scratch.dir("stream_enrich")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      val dim = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val enriched = sources.StreamIngest.ingestParquet(
+        s, src, "part-*", ev.schema, out, out + "_ckpt",
+        df => df.join(broadcast(dim), Seq("user_id")))
+      enriched.groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          round(rel.Queries.dsum(col("value")), 6).as("sum_value"))
+        .orderBy("segment", "event_type")
+    }),
     "q90_custom_state_sessions" -> ((s, dir) => {
       val src = Scratch.dir("custom_state_src")
       val out = Scratch.dir("custom_state")
@@ -647,6 +675,13 @@ object SparkEntry {
         |SELECT g.user_id, g.n_events, r.us AS last_us, r.value AS last_value
         |FROM g JOIN r ON r.user_id = g.user_id AND r.rn = 1
         |ORDER BY g.user_id""".stripMargin,
+    // The plain batch join + aggregate the drained stream-static sink
+    // must reproduce exactly (same DECIMAL route as q87's sum).
+    "q125_stream_static_join" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+        |  round(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The plain batch band join: the streaming inner join must emit
     // exactly these pairs. lag_sec mirrors Spark's unix_timestamp
     // (floor each side to seconds, then subtract).

@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout techniques for shuffle elimination and skew handling
@@ -121,6 +121,67 @@ object Layout {
               targetFiles: Int): Unit =
     spark.read.parquet(in).repartition(targetFiles)
       .write.mode("overwrite").parquet(out)
+
+  /** Morton (Z-order) key: interleave the low 32 bits of two
+    * non-negative integer columns bit-by-bit into one 64-bit key
+    * (Morton, "A computer oriented geodetic data base", IBM 1966 — the
+    * curve behind every warehouse's Z-ORDER BY clustering). The classic
+    * magic-mask bit spread, expressed entirely in codegen'd integer
+    * ops — no UDF. */
+  def mortonKey(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      var x = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered parquet layout: [[writeRangeSorted]]'s min/max-skipping
+    * idea extended to TWO dimensions. Range-partition + sort on the
+    * Morton key, so every file/row group covers a small Z-curve segment
+    * — a bounded box in BOTH dimensions at once — and parquet min/max
+    * stats prune scans filtered on EITHER column (or a 2-D box). The
+    * single-key sort can only skip on its leading column; Z-order trades
+    * a little per-column locality for locality in both (LayoutSpec
+    * measures both scans collapsing where the single-sorted layout
+    * collapses only one). At 100 TB this is how a fact table serves
+    * both "by order" and "by part" range scans from one copy — the
+    * manual form of Delta/Iceberg `ZORDER BY`. The sort key is dropped
+    * before the write: the layout is pure physics, the schema is
+    * unchanged.
+    *
+    * Each dimension is first NORMALIZED to a 16-bit grid over its
+    * observed [min, max] (pure integer math, a 1-row broadcast stats
+    * aggregate — no driver action): raw interleaving would let the
+    * wider-ranged column own all the high Z bits and the curve
+    * degenerates to a plain sort on it, skipping nothing on the other
+    * dimension (measured: that exact failure on the unequal-width
+    * lineitem keys). This is the same equal-width-rank trick production
+    * ZORDER implementations apply before interleaving. The stats
+    * pre-pass is part of the write job, like the range exchange's own
+    * bounds sampling. */
+  def writeZOrdered(df: DataFrame, out: String, nFiles: Int,
+                    colA: String, colB: String): Unit = {
+    val stats = df.agg(
+      min(col(colA)).cast("long").as("__amin"),
+      max(col(colA)).cast("long").as("__amax"),
+      min(col(colB)).cast("long").as("__bmin"),
+      max(col(colB)).cast("long").as("__bmax"))
+    def grid(c: Column, lo: Column, hi: Column): Column =
+      ((c.cast("long") - lo) * lit(65536L)) / greatest(hi - lo + 1L, lit(1L))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", mortonKey(
+        grid(col(colA), col("__amin"), col("__amax")),
+        grid(col(colB), col("__bmin"), col("__bmax"))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+      .write.mode("overwrite").parquet(out)
+  }
 
   /** Bloom-filter runtime pruning of a fact table against a dim-side
     * key set — the manual form of the semi-join-reduction / runtime-

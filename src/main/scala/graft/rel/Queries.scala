@@ -606,6 +606,7 @@ object Queries {
     "q115_value_histogram" -> (valueHistogram _),
     "q116_props_scrub" -> (propsScrub _),
     "q119_range_layout" -> (rangeLayoutAgg _),
+    "q126_zorder_layout" -> (zorderLayoutAgg _),
     "q96_map_zip" -> (mapZipFuncs _),
   )
 
@@ -814,6 +815,29 @@ object Queries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .orderBy("event_type")
+  }
+
+  // Z-ordered layout + 2-D box scan (Layout.writeZOrdered's scaladoc):
+  // lineitem rewritten sorted on the Morton interleave of (l_orderkey,
+  // l_partkey), then a box predicate on BOTH dimensions aggregated from
+  // the Z-ordered copy. Values must equal the plain filter over the
+  // original table (the oracle) — the layout is pure physics; LayoutSpec
+  // pins the physics (each single-dimension scan collapses on the
+  // Z-ordered copy where a one-key sort collapses only its leading
+  // column). Rewrite-per-pass is the q119/q56/q63 convention: the write
+  // IS the declared operator.
+  def zorderLayoutAgg(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("lineitem_zorder")
+    Layout.writeZOrdered(tbl(s, dir, "lineitem"), out, 16,
+      "l_orderkey", "l_partkey")
+    s.read.parquet(out)
+      .where(col("l_orderkey").between(3000, 3999) &&
+        col("l_partkey").between(500, 699))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+      .orderBy("l_returnflag")
   }
 
   // Fixed-grid histogram of a measure per group (the monitoring
@@ -1308,6 +1332,17 @@ object Queries {
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The plain 2-D box filter over the original table — the Z-ordered
+    // copy must reproduce it exactly.
+    "q126_zorder_layout" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+         |FROM lineitem
+         |WHERE l_orderkey BETWEEN 3000 AND 3999
+         |  AND l_partkey BETWEEN 500 AND 699
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Identical fixed grid (floor(value/25) clamped to [0,19]) and the
     // exact DECIMAL route for the bucket mass.
     "q115_value_histogram" ->
