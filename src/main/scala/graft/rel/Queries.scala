@@ -604,6 +604,9 @@ object Queries {
     "q107_quality_drift" -> (qualityDrift _),
     "q110_bloom_prune_join" -> (bloomPrunedJoin _),
     "q115_value_histogram" -> (valueHistogram _),
+    "q127_funnel" -> (funnel _),
+    "q128_cohort_retention" -> (cohortRetention _),
+    "q129_gap_fill" -> (gapFill _),
     "q116_props_scrub" -> (propsScrub _),
     "q119_range_layout" -> (rangeLayoutAgg _),
     "q126_zorder_layout" -> (zorderLayoutAgg _),
@@ -838,6 +841,87 @@ object Queries {
         min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
         min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
       .orderBy("l_returnflag")
+  }
+
+  // Ordered event funnel (view → click-after-view → purchase-after-
+  // click): the product-analytics staple. Stage t+1's cutoff depends on
+  // stage t's per-user min, so the natural distributed shape is a chain
+  // of (filtered scan ⋈ prior-stage table on user_id → min-agg) — each
+  // stage shuffles only its event type's rows keyed by user (skew-
+  // splittable equi-joins; the stage tables are ~one row per user and
+  // shrink monotonically). No window over the full event stream, no
+  // per-user collect. The conversion-lag average goes through exact
+  // integer µs sums, divided once at the end — bit-identical across
+  // engines.
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val t2 = ev.where(col("event_type") === "click")
+      .join(t1, "user_id").where(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = ev.where(col("event_type") === "purchase")
+      .join(t2.select("user_id", "t2"), "user_id").where(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    val base = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    val s1 = t1.agg(count(lit(1)).as("n_viewed"))
+    val s2 = t2.agg(count(lit(1)).as("n_clicked"),
+      round(sum(col("t2") - col("t1")).cast("double") / count(lit(1))
+        / lit(1000000.0), 6).as("avg_view_click_sec"))
+    val s3 = t3.agg(count(lit(1)).as("n_purchased"))
+    base.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .crossJoin(broadcast(s3))
+      .select(col("n_users"), col("n_viewed"), col("n_clicked"),
+        col("n_purchased"), col("avg_view_click_sec"))
+  }
+
+  // Cohort retention: users grouped by their FIRST-activity week, then
+  // distinct-user counts per (cohort week, weeks-since-cohort) cell —
+  // the triangle every growth dashboard draws. Week indices are pure
+  // integer epoch arithmetic (µs DIV day DIV 7), NOT calendar
+  // truncation: engines disagree on week-start conventions, integer
+  // division they cannot. Two keyed shuffles (per-user min, then the
+  // cell agg) — both partial-aggregated, no windows.
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000 DIV 7").as("week"))
+    val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // Time-series gap fill: per-user daily activity regularized onto a
+  // dense day grid (sequence + explode over each user's [min,max] day
+  // span), missing days carried as n=0 with the last observed daily sum
+  // forward-filled (last_value IGNORE NULLS over a rows frame). The
+  // resample-and-ffill primitive feature pipelines need before any
+  // fixed-step model. Scale: the grid explode is per-user-bounded, the
+  // ffill window partitions by user (no global single-partition window),
+  // and the daily sums take the exact DECIMAL route — the filled value
+  // is rounded BEFORE filling so the carried constant is the same
+  // 6-decimal double in both engines.
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 6).as("day_sum"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("day_sum"), ignoreNulls = true)
+          .over(Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_sum"))
+      .orderBy("user_id", "day")
   }
 
   // Fixed-grid histogram of a measure per group (the monitoring
@@ -1332,6 +1416,45 @@ object Queries {
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The identical stage chain; lag average via the same exact integer
+    // µs sum and the same division order.
+    "q127_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.us) AS t2, min(t1.t1) AS t1
+        |  FROM e JOIN t1 ON e.user_id = t1.user_id AND e.us > t1.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.us) AS t3
+        |  FROM e JOIN t2 ON e.user_id = t2.user_id AND e.us > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+        |  (SELECT count(*) FROM t1) AS n_viewed,
+        |  (SELECT count(*) FROM t2) AS n_clicked,
+        |  (SELECT count(*) FROM t3) AS n_purchased,
+        |  (SELECT round(CAST(sum(t2 - t1) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |   FROM t2) AS avg_view_click_sec""".stripMargin,
+    // The same integer week arithmetic (µs DIV day DIV 7).
+    "q128_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The same dense grid (range(d0, d1+1)) and the same rows-frame
+    // IGNORE NULLS forward fill of the pre-rounded daily sum.
+    "q129_gap_fill" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events),
+         |daily AS (SELECT user_id, day, count(*) AS n,
+         |  round(${dsumSql("value")}, 6) AS day_sum FROM e GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+         |SELECT g.user_id, g.day, coalesce(d.n, 0) AS n,
+         |  last_value(d.day_sum IGNORE NULLS) OVER (PARTITION BY g.user_id
+         |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS filled_sum
+         |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+         |ORDER BY 1, 2""".stripMargin,
     // The plain 2-D box filter over the original table — the Z-ordered
     // copy must reproduce it exactly.
     "q126_zorder_layout" ->
