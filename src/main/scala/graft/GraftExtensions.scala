@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CmsSketch, CosineSim, Fnv1a32, HashExprs, KmvSketch, ShingleArray, SignBands, SketchAggs, TextExprs, VectorExprs}
+import graft.functions.{CmsSketch, CosineSim, Fnv1a32, HashExprs, KmvSketch, ShingleArray, SignBands, SketchAggs, TextExprs, TopKAgg, VectorExprs}
 
 /** Library entry point for Spark's extension mechanism: makes every
   * graft native function available in plain `spark.sql(...)` without any
@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       SketchAggs.kmvSketchBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("topk_rows"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_rows"),
+      TopKAgg.topkRowsBuilder))
   }
 }

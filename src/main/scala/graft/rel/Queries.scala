@@ -605,6 +605,7 @@ object Queries {
     "q110_bloom_prune_join" -> (bloomPrunedJoin _),
     "q115_value_histogram" -> (valueHistogram _),
     "q127_funnel" -> (funnel _),
+    "q130_topk_per_key" -> (topkPerKey _),
     "q128_cohort_retention" -> (cohortRetention _),
     "q129_gap_fill" -> (gapFill _),
     "q116_props_scrub" -> (propsScrub _),
@@ -841,6 +842,28 @@ object Queries {
         min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
         min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
       .orderBy("l_returnflag")
+  }
+
+  // Per-group top-k via the native bounded-heap TopKAgg (its scaladoc
+  // has the scale analysis): top-5 orders by price per priority class,
+  // rank DESC with the order key as total-order tiebreak. Direction is
+  // encoded by negating the price field (exact sign flip, undone on
+  // output); the plan is partial→final ObjectHashAggregate — at most
+  // k rows per (group, map partition) cross the wire, and NO WindowExec
+  // appears (PlanSpec pins both properties).
+  def topkPerKey(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    tbl(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.TopKAgg.topkRows(
+        "named_struct('negprice', -o_totalprice, 'o_orderkey', o_orderkey)", 5)
+        .as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+        col("r.o_orderkey").as("o_orderkey"),
+        (-col("r.negprice")).as("o_totalprice"))
+      .orderBy("o_orderpriority", "rnk")
   }
 
   // Ordered event funnel (view → click-after-view → purchase-after-
@@ -1416,6 +1439,15 @@ object Queries {
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The rank-filter window twin of the bounded-heap aggregate — the
+    // same (price DESC, key ASC) total order.
+    "q130_topk_per_key" ->
+      """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) x
+        |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""".stripMargin,
     // The identical stage chain; lag average via the same exact integer
     // µs sum and the same division order.
     "q127_funnel" ->
