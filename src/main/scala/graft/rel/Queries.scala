@@ -606,6 +606,7 @@ object Queries {
     "q115_value_histogram" -> (valueHistogram _),
     "q127_funnel" -> (funnel _),
     "q130_topk_per_key" -> (topkPerKey _),
+    "q131_incremental_agg" -> (incrementalAgg _),
     "q128_cohort_retention" -> (cohortRetention _),
     "q129_gap_fill" -> (gapFill _),
     "q116_props_scrub" -> (propsScrub _),
@@ -864,6 +865,53 @@ object Queries {
         col("r.o_orderkey").as("o_orderkey"),
         (-col("r.negprice")).as("o_totalprice"))
       .orderBy("o_orderpriority", "rnk")
+  }
+
+  // Incremental AGGREGATE-STATE maintenance — the materialized-view
+  // delta pattern (the aggregation analogue of q75/q100's signature
+  // store and q118's CDC merge): a persisted per-user aggregate table
+  // built from the history generation (events before a fixed day
+  // cutoff), then the new generation's delta aggregate FULL-OUTER-merged
+  // into it. Counts add, sums add EXACTLY (state carries the
+  // DECIMAL(38,12) accumulator, not a lossy double — decimal addition
+  // is associative, so base ⊎ delta ≡ full recompute, which is
+  // precisely what the oracle recomputes), min/max combine by
+  // least/greatest. Cost is O(delta) + a merge that rides the state
+  // table's bucket layout (bucketed by user_id — the state side
+  // contributes NO exchange; PlanSpec pins it), never O(history): the
+  // shape that turns a nightly full recompute into a per-batch
+  // maintenance job at 100 TB.
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cutoffDay = 19747L // 2024-01-25: ~80/20 history/delta split
+    val ev = events(s, dir).select(col("user_id"),
+      expr("unix_micros(ts)").as("us"), col("value"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"))
+    def aggOf(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(38,12)")).as("vsum"),
+      min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    Layout.writeBucketedBy(aggOf(ev.where(col("day") < cutoffDay)),
+      "q131_agg_state", 8, "user_id")
+    // align the delta to the state's bucket count up front: the agg
+    // rides this single user_id exchange AND the merge join accepts it
+    // as-is — otherwise the delta shuffles twice (agg at the default
+    // parallelism, then again to match the 8-bucket state side)
+    val delta = aggOf(ev.where(col("day") >= cutoffDay)
+        .repartition(8, col("user_id")))
+      .select(col("user_id"), col("n").as("d_n"), col("vsum").as("d_vsum"),
+        col("first_us").as("d_first"), col("last_us").as("d_last"))
+    s.table("q131_agg_state").hint("merge")
+      .join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+        round((coalesce(col("vsum"), lit(0).cast("decimal(38,12)"))
+          + coalesce(col("d_vsum"), lit(0).cast("decimal(38,12)")))
+          .cast("double"), 6).as("sum_value"),
+        least(coalesce(col("first_us"), col("d_first")),
+          coalesce(col("d_first"), col("first_us"))).as("first_us"),
+        greatest(coalesce(col("last_us"), col("d_last")),
+          coalesce(col("d_last"), col("last_us"))).as("last_us"))
+      .orderBy("user_id")
   }
 
   // Ordered event funnel (view → click-after-view → purchase-after-
@@ -1439,6 +1487,14 @@ object Queries {
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The full recompute the maintained state must equal exactly —
+    // decimal accumulation is associative, so base ⊎ delta has no
+    // tolerance to hide behind.
+    "q131_incremental_agg" ->
+      s"""SELECT user_id, count(*) AS n,
+         |  round(${dsumSql("value")}, 6) AS sum_value,
+         |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The rank-filter window twin of the bounded-heap aggregate — the
     // same (price DESC, key ASC) total order.
     "q130_topk_per_key" ->

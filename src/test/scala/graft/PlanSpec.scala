@@ -67,6 +67,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q131 aggregate-state merge rides the state table's bucket layout") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      val p = finalPlan(rel.Queries.incrementalAgg(spark, sf0001))
+        .split("== Initial Plan ==").head
+      // the persisted state side contributes NO exchange (bucketed by
+      // exactly the merge key); only the delta aggregate shuffles —
+      // O(delta), never O(history)
+      assert(p.contains("Bucketed: true"), p.take(1500))
+      assert(!p.contains("disabled by query planner"), p.take(1500))
+      assert("exchange hashpartitioning\\(user_id".r
+        .findAllIn(p.toLowerCase).size == 1, p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q75 probe join rides the signature store's bucket layout") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
