@@ -113,6 +113,52 @@ object Curation {
       .select(col(idCol), col(groupCol), col("rnk"))
   }
 
+  /** Corpus-INTERNAL repeated-n-gram report — the memorization/
+    * boilerplate signal of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL 2022), at n-gram rather than
+    * suffix-array granularity: for every doc, the fraction of its
+    * distinct k-grams that also occur in ≥ `minDocs` OTHER contexts
+    * (distinct docs). High dup_frac marks templated/boilerplate docs
+    * that exact- and near-dedup both miss (they repeat *fragments*, not
+    * whole documents). Emits (doc_id, n_grams, n_dup, dup_frac) for
+    * every doc.
+    *
+    * Determinism & parity: grams are hashed to the portable
+    * [[graft.functions.Fnv1a32]] so the shuffle key is 8 bytes rather
+    * than a ~25-byte string (the q18 band-key discipline); a 32-bit
+    * collision merges two grams' doc-frequency counts in BOTH engines
+    * identically (the oracle recomputes the same fold), so parity is
+    * exact; a production run at 100 TB would widen to a 64/128-bit
+    * hash, same plan.
+    *
+    * Scale: two hash-aggs (gram doc-frequency; per-doc count) and one
+    * equi-join on the gram hash, all partial-aggregated — O(corpus
+    * tokens) shuffle, never O(docs²). Ubiquitous grams (boilerplate)
+    * produce O(df) join rows — bounded by corpus size, and the join is
+    * AQE-skew-splittable. */
+  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, minDocs: Int): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("doc_id"),
+      graft.functions.TextExprs.shingles(textCol, k).as("sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), graft.functions.HashExprs.fnv1a32("g").as("h"))
+    val dup = ex.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select(col("h"))
+    val perDoc = ex.join(dup, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** Sliding-window chunking: split each doc's token stream into
     * fixed-`size` windows advancing by `stride` (overlap = size −
     * stride), the context-window prep for training/embedding when docs

@@ -428,6 +428,75 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW 2007; flavor, not a port): finds ALL pairs
+    * with shingle-set Jaccard ≥ tauNum/tauDen, with none of LSH's
+    * false-negative risk. The filter rests on the overlap bound
+    * J(x,y) ≥ τ ⟹ |x∩y| ≥ τ·max(|x|,|y|): order every set by one
+    * global canonical order and keep each set's first
+    * n − ⌈τ·n⌉ + 1 elements (its "prefix") — any qualifying pair must
+    * collide on ≥1 prefix element, so the candidate join touches only
+    * prefix tokens. Ordering by ASCENDING document frequency puts the
+    * RAREST shingles in the prefix, which is what makes the candidate
+    * set small on real corpora.
+    *
+    * Determinism: the canonical order is (df, shingle) — exact integer
+    * counts with the shingle string as total-order tiebreak, so both
+    * engines derive the identical prefix. The prefix length is computed
+    * in pure integer arithmetic (⌈a/b⌉ = (a+b−1) DIV b) — no float
+    * ceil. Because the method is EXACT, the gate oracle does not mimic
+    * the prefixes at all: it is the brute-force all-pairs join, which
+    * the operator must reproduce verbatim (the strongest possible
+    * oracle — a lost candidate is a missing row).
+    *
+    * Scale: two hash-agg shuffles (df count, per-doc regroup) + the
+    * capped bucket expansion on prefix shingles + a candidates-only
+    * verify (the [[minhashNearDups]] convention). Shuffle volume is
+    * O(shingles), never O(docs²); `maxBucket` caps the quadratic step
+    * inside a degenerate prefix bucket (beyond it the bucket is
+    * dropped, trading exactness for a bound — at the declared gate
+    * parameters no bucket approaches the cap, so the brute-force
+    * oracle stays valid; the cap regime is the q99 pattern). */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, tauNum: Int = 1, tauDen: Int = 2,
+                       maxBucket: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        nativeShingles(docs, textCol, k).as("sh"))
+      .where(size(col("sh")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    // per-doc shingles in canonical (df, g) order; struct sort gives the
+    // deterministic total order (g unique within a doc)
+    val prefixes = ex.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .select(col("doc_id"), expr(
+        s"""transform(slice(ord, 1,
+           |  size(ord) - ((size(ord) * $tauNum + $tauDen - 1) DIV $tauDen) + 1),
+           |  e -> e.g)""".stripMargin).as("pre"))
+    val cands = prefixes.select(col("doc_id"), explode(col("pre")).as("g"))
+      .groupBy("g").agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .where(col("d1") < col("d2"))
+      .distinct()
+    val txt = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    cands
+      .join(txt.select(col("doc_id").as("d1"), col("__t").as("__t1")), "d1")
+      .join(txt.select(col("doc_id").as("d2"), col("__t").as("__t2")), "d2")
+      .select(col("d1"), col("d2"),
+        graft.functions.TextExprs.shingles("__t1", k).as("sh1"),
+        graft.functions.TextExprs.shingles("__t2", k).as("sh2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("double").as("total"))
+      .select(col("d1"), col("d2"),
+        (col("inter") / (col("total") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= lit(tauNum.toDouble / tauDen))
+  }
+
   /** Exact all-pairs n-gram Jaccard over a bounded id range (the
     * brute-force baseline that oracles the MinHash path). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

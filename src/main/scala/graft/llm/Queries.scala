@@ -240,6 +240,17 @@ object Queries {
       Curation.chunk(tbl(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
+    // Corpus-INTERNAL repeated n-grams (the Lee et al. 2022 duplication
+    // signal at gram granularity): per-doc fraction of distinct
+    // 3-grams occurring in ≥2 distinct docs — flags templated/
+    // boilerplate fragments that whole-document dedup misses. Gram
+    // doc-frequency rides an 8-byte portable-FNV shuffle key; the
+    // oracle recomputes the identical fold (see
+    // Curation.repeatedNgrams's scaladoc).
+    "q133_repeated_ngrams" -> ((s, dir) =>
+      Curation.repeatedNgrams(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, minDocs = 2)
+        .orderBy("doc_id")),
     // E15/E16 ensemble: CONSENSUS dedup — near-dup pairs flagged by
     // BOTH the text MinHash path (q18) and the embedding sign-LSH path
     // (q36's pipeline, via the 1:1 doc_id = vec_id linkage). Agreement
@@ -464,6 +475,16 @@ object Queries {
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
         k = 3, maxId = 150)
+        .orderBy("d1", "d2")),
+    // E15: EXACT set-similarity self-join via prefix filtering (the
+    // AllPairs/PPJoin family) — all pairs with 3-shingle Jaccard ≥ 0.5
+    // over the WHOLE corpus, no id bound and no LSH false-negative
+    // risk. Because the method is lossless, the oracle is the plain
+    // brute-force all-pairs join: a candidate the prefix filter loses
+    // is a missing row (see Dedup.prefixFilterJoin's scaladoc).
+    "q132_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixFilterJoin(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, tauNum = 1, tauDen = 2)
         .orderBy("d1", "d2")),
     // E16: exact cosine top-k (brute force baseline)
     "q21_cosine_knn" -> ((s, dir) =>
@@ -1289,6 +1310,23 @@ object Queries {
         |  CAST(count(*) AS DOUBLE) / n_grams AS overlap
         |FROM tr JOIN ev USING (gram)
         |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+    // Same 3-gram shingles, same FNV gram hash (collisions merge
+    // identically in both engines), same ≥2-distinct-docs rule.
+    "q133_repeated_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+         |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+         |ex AS (SELECT doc_id, ${fnvSql("g")} AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+         |dup AS (SELECT h FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |pd AS (SELECT doc_id, count(*) AS n_dup FROM ex JOIN dup USING (h) GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+         |  CASE WHEN len(s.sh) > 0
+         |    THEN CAST(coalesce(pd.n_dup, 0) AS DOUBLE) / len(s.sh)
+         |    ELSE 0.0 END AS dup_frac
+         |FROM s LEFT JOIN pd ON s.doc_id = pd.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     // The identical weights VALUES table (one truth with
     // Curation.MixtureWeights) + the identical fnv1a32 keep rule.
     "q112_mixture_sample" -> {
@@ -1574,6 +1612,18 @@ object Queries {
          |FROM f a JOIN f b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) > 0
          |ORDER BY d1, d2""".stripMargin,
+    "q132_prefix_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+        |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
     "q21_cosine_knn" -> cosineKnnOracle,
     "q23_token_stats" ->
       """SELECT doc_id,

@@ -609,6 +609,7 @@ object Queries {
     "q131_incremental_agg" -> (incrementalAgg _),
     "q128_cohort_retention" -> (cohortRetention _),
     "q129_gap_fill" -> (gapFill _),
+    "q134_ewma" -> (ewmaDaily _),
     "q116_props_scrub" -> (propsScrub _),
     "q119_range_layout" -> (rangeLayoutAgg _),
     "q126_zorder_layout" -> (zorderLayoutAgg _),
@@ -992,6 +993,47 @@ object Queries {
           .over(Window.partitionBy("user_id").orderBy("day")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("filled_sum"))
+      .orderBy("user_id", "day")
+  }
+
+  // EWMA (exponentially weighted moving average) smoothing of each
+  // user's daily value series — the time-series denoising companion to
+  // q129's gap-fill. Truncated at horizon W=8: with α=1/2 the weight
+  // of the row 8 steps back is 2⁻⁸ ≈ 0.4% — the cutoff turns the
+  // inherently-sequential recurrence y_i = αx_i + (1−α)y_{i−1} into a
+  // FIXED linear combination of 8 lags (one window, pure projection
+  // after it), which is what makes it a single distributed pass; the
+  // exact recurrence would need a per-key sequential scan (the q39
+  // two-phase prefix trick does not apply to a multiplicative fold in
+  // floats). Normalized by the weights actually present (the
+  // `adjusted` EWMA), so early rows are unbiased. Float parity is by
+  // construction: α=1/2 makes every coefficient 2⁻ʲ (exactly
+  // representable, interpolated into BOTH engines' plans from one
+  // Scala constant), the term sum is the same left-associated chain,
+  // and the normalizer 1−2⁻ᵐ is exact — no round() needed.
+  // Scale: one keyed shuffle (daily agg) + one window over it; the
+  // window frame is 8 physical lags, not a growing frame.
+  val EwmaHorizon = 8
+  private[graft] def ewmaCoef(j: Int): Double = math.pow(0.5, j + 1)
+  def ewmaDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(round(dsum(col("value")), 6).as("day_sum"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val lagged = daily.select(
+      (Seq(col("user_id"), col("day"), col("day_sum"),
+        row_number().over(w).as("rn")) ++
+        (1 until EwmaHorizon).map(j =>
+          lag(col("day_sum"), j).over(w).as(s"l$j"))): _*)
+    val num = (0 until EwmaHorizon).map { j =>
+      val x = if (j == 0) col("day_sum") else coalesce(col(s"l$j"), lit(0.0))
+      x * lit(ewmaCoef(j))
+    }.reduce(_ + _)
+    val den = lit(1.0) - pow(lit(0.5), least(col("rn"), lit(EwmaHorizon)).cast("double"))
+    lagged.select(col("user_id"), col("day"), col("day_sum"),
+        (num / den).as("ewma"))
       .orderBy("user_id", "day")
   }
 
@@ -1543,6 +1585,26 @@ object Queries {
          |    AS filled_sum
          |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
          |ORDER BY 1, 2""".stripMargin,
+    // Identical daily agg, identical lag chain: coefficients are
+    // interpolated from the same ewmaCoef constants (all dyadic ⇒
+    // decimal literals parse exactly), the term sum is the same
+    // left-associated chain, the normalizer the same 1−2⁻ᵐ.
+    "q134_ewma" -> {
+      val terms = (0 until EwmaHorizon).map { j =>
+        val x = if (j == 0) "day_sum" else s"coalesce(l$j, 0.0)"
+        s"$x * ${ewmaCoef(j)}"
+      }.mkString(" + ")
+      val lags = (1 until EwmaHorizon)
+        .map(j => s"lag(day_sum, $j) OVER w AS l$j").mkString(", ")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events),
+         |daily AS (SELECT user_id, day, round(${dsumSql("value")}, 6) AS day_sum
+         |  FROM e GROUP BY 1, 2),
+         |l AS (SELECT user_id, day, day_sum, row_number() OVER w AS rn, $lags
+         |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day))
+         |SELECT user_id, day, day_sum,
+         |  ($terms) / (1.0 - power(0.5, CAST(least(rn, $EwmaHorizon) AS DOUBLE))) AS ewma
+         |FROM l ORDER BY 1, 2""".stripMargin
+    },
     // The plain 2-D box filter over the original table — the Z-ordered
     // copy must reproduce it exactly.
     "q126_zorder_layout" ->

@@ -29,6 +29,31 @@ class CurationSpec extends SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("repeatedNgrams matches a plain-Scala recompute on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = Curation.repeatedNgrams(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // reference: distinct 3-gram sets per doc, grams in >=2 distinct docs
+    val shOf = docs.select("doc_id", "text").collect().map { r =>
+      val ts = r.getString(1).split(" ", -1)
+      r.getLong(0) -> ts.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val dfreq = shOf.values.flatMap(_.toSeq).groupBy(identity)
+      .map { case (g, occ) => g -> occ.size }
+    val expect = shOf.map { case (id, sh) =>
+      val nd = sh.count(g => dfreq(g) >= 2).toLong
+      id -> ((sh.size.toLong, nd,
+        if (sh.nonEmpty) nd.toDouble / sh.size else 0.0))
+    }
+    assert(got == expect)
+    // non-vacuous: some doc shares a gram, some doc doesn't share all
+    assert(expect.values.exists(_._2 > 0) &&
+      expect.values.exists(v => v._2 < v._1))
+  }
+
   test("chunk: stride == window degenerates to disjoint partitioning") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val total = Curation.chunk(docs, "doc_id", "text", 16, 16)

@@ -81,6 +81,27 @@ class DedupSpec extends SparkSpec {
     assert(perRow == agg)
   }
 
+  test("prefixFilterJoin is lossless: equals brute-force all-pairs at the threshold") {
+    // real corpus: every pair the brute-force join finds at τ=0.5 must
+    // come out of the prefix-filtered join with the identical jaccard —
+    // prefix filtering is exact, unlike LSH (no false-negative budget)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.prefixFilterJoin(real, "doc_id", "text",
+        k = 3, tauNum = 1, tauDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bf = Dedup.ngramJaccardPairs(real, "doc_id", "text", k = 3,
+        maxId = Long.MaxValue)
+      .where(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got == bf, s"prefix-filtered=${got.size} brute=${bf.size}")
+    // synthetic: both dup pairs found, the unrelated doc untouched
+    val syn = Dedup.prefixFilterJoin(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(syn((0L, 3L)) == 1.0, "exact dup at jaccard 1")
+    assert(syn.contains((0L, 1L)) && syn.contains((1L, 3L)), syn.toString)
+    assert(!syn.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
   test("fuzzyJoin: blocked Levenshtein matches, blocking contract holds") {
     val titles = Seq(
       (0L, "spark join order report"),   // near-match of 1 (dist 2)
