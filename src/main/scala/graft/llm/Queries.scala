@@ -431,6 +431,61 @@ object Queries {
             / col("exact_distinct"), 6))
         .orderBy("event_type")
     }),
+    // KMV SET ALGEBRA — the property that makes bottom-k sketches an
+    // algebra, not just a counter (Beyer et al., "On Synopses for
+    // Distinct-Value Estimation Under Multiset Operations", SIGMOD
+    // 2007): the bottom-k of A∪B is computable from the two sketches
+    // alone (merge kept sets, keep the k smallest), Jaccard is
+    // estimated by the fraction of that union sketch belonging to both
+    // sides, and |A∩B| ≈ Ĵ·|A∪B|̂. Per event-type pair: union/Jaccard/
+    // intersection estimates next to their exact values. At 100 TB the
+    // exact columns are the expensive path (a distinct self-join over
+    // the raw table); the sketch columns derive from 5 tiny kept sets —
+    // list math on already-reduced data. All hashes portable FNV, so
+    // DuckDB recomputes every kept set and estimate bit-for-bit.
+    "q135_kmv_set_ops" -> ((s, dir) => {
+      graft.functions.SketchAggs.register(s)
+      val k = 32
+      val ev = graft.rel.Queries.events(s, dir)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      val sk = ev.groupBy("event_type")
+        .agg(graft.functions.SketchAggs.kmvSketch("uid", k).as("mins"))
+      val a = sk.select(col("event_type").as("et1"), col("mins").as("ma"))
+      val b = sk.select(col("event_type").as("et2"), col("mins").as("mb"))
+      val dist = ev.distinct()
+      val exact = dist.select(col("event_type").as("et1"), col("uid"))
+        .join(dist.select(col("event_type").as("et2"), col("uid")), "uid")
+        .where(col("et1") < col("et2"))
+        .groupBy("et1", "et2").agg(countDistinct(col("uid")).as("exact_inter"))
+      val nd = ev.groupBy("event_type")
+        .agg(countDistinct(col("uid")).as("nd"))
+      val est = a.join(b, col("et1") < col("et2"))
+        .withColumn("mk",
+          slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+        .select(col("et1"), col("et2"), col("ma"), col("mb"),
+          size(col("mk")).cast("long").as("m"),
+          element_at(col("mk"), size(col("mk"))).as("kth"), col("mk"))
+        .select(col("et1"), col("et2"), col("m"),
+          when(col("m") < k, col("m").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 4294967296.0)
+              / col("kth").cast("double")).as("union_est"),
+          (size(array_intersect(array_intersect(col("mk"), col("ma")),
+            col("mb"))).cast("double") / col("m")).as("jacc_est"))
+        .withColumn("inter_est", col("jacc_est") * col("union_est"))
+      est
+        .join(exact, Seq("et1", "et2"), "left")
+        .join(nd.select(col("event_type").as("et1"), col("nd").as("nd1")), "et1")
+        .join(nd.select(col("event_type").as("et2"), col("nd").as("nd2")), "et2")
+        .select(col("et1"), col("et2"), col("m"), col("union_est"),
+          col("jacc_est"), col("inter_est"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          (col("nd1") + col("nd2")
+            - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+          when(coalesce(col("exact_inter"), lit(0L)) > 0,
+            round(abs(col("inter_est") - col("exact_inter"))
+              / col("exact_inter"), 6)).as("rel_err_inter"))
+        .orderBy("et1", "et2")
+    }),
     // E17: bigram-LM average log-prob with add-one smoothing — the
     // conditional-probability upgrade of q58's unigram filter (see
     // TextAnalysis.bigramLogProb's scaladoc): per-row pair generation,
@@ -1433,6 +1488,43 @@ object Queries {
          |            - exact_distinct) / exact_distinct, 6) AS rel_err
          |FROM kept JOIN ex USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // The same kept sets (rank over distinct portable hashes), the
+    // same k-smallest union merge, and the same three estimators —
+    // every estimate is integer list math + one IEEE division on
+    // identical operands, so no round() is needed outside rel_err.
+    "q135_kmv_set_ops" ->
+      s"""WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
+         |h AS (SELECT DISTINCT event_type, ${fnvSql("uid")} AS h FROM e),
+         |r AS (SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk FROM h),
+         |sk AS (SELECT event_type, list(h ORDER BY h) AS mins
+         |  FROM r WHERE rnk <= 32 GROUP BY event_type),
+         |nd AS (SELECT event_type, count(DISTINCT uid) AS nd FROM e GROUP BY event_type),
+         |d AS (SELECT DISTINCT event_type, uid FROM e),
+         |ex AS (SELECT a.event_type AS et1, b.event_type AS et2,
+         |  count(DISTINCT a.uid) AS exact_inter
+         |  FROM d a JOIN d b ON a.uid = b.uid AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |p AS (SELECT a.event_type AS et1, b.event_type AS et2, a.mins AS ma,
+         |  b.mins AS mb, list_sort(list_distinct(a.mins || b.mins))[1:32] AS mk
+         |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |e1 AS (SELECT et1, et2, CAST(len(mk) AS BIGINT) AS m, mk[len(mk)] AS kth,
+         |  len(list_intersect(list_intersect(mk, ma), mb)) AS ik FROM p),
+         |e2 AS (SELECT et1, et2, m,
+         |  CASE WHEN m < 32 THEN CAST(m AS DOUBLE)
+         |       ELSE 31.0 * 4294967296.0 / kth END AS union_est,
+         |  CAST(ik AS DOUBLE) / m AS jacc_est FROM e1),
+         |e3 AS (SELECT *, jacc_est * union_est AS inter_est FROM e2)
+         |SELECT e3.et1, e3.et2, m, union_est, jacc_est, inter_est,
+         |  coalesce(ex.exact_inter, 0) AS exact_inter,
+         |  n1.nd + n2.nd - coalesce(ex.exact_inter, 0) AS exact_union,
+         |  CASE WHEN coalesce(ex.exact_inter, 0) > 0 THEN
+         |    round(abs(inter_est - ex.exact_inter) / ex.exact_inter, 6)
+         |  END AS rel_err_inter
+         |FROM e3 LEFT JOIN ex ON ex.et1 = e3.et1 AND ex.et2 = e3.et2
+         |JOIN nd n1 ON n1.event_type = e3.et1
+         |JOIN nd n2 ON n2.event_type = e3.et2
+         |ORDER BY e3.et1, e3.et2""".stripMargin,
     // Same integer chunk-count rule and the same inclusive 1-based
     // window slice (DuckDB list[a:b] ≡ Spark slice(ts, a, 32)).
     "q113_chunk_overlap" ->

@@ -106,6 +106,21 @@ class SketchAggsSpec extends SparkSpec {
     assert(kmvOf(small) == hashes)
   }
 
+  test("kmv set algebra: identical sets give J=1, disjoint sets J~0") {
+    // The q135 estimator applied to sketches directly: K(A∪B) from the
+    // two kept sets, Ĵ = |K ∩ A ∩ B| / |K|.
+    def jacc(a: Seq[Long], b: Seq[Long]): Double = {
+      val mk = (a ++ b).distinct.sorted.take(K)
+      mk.count(h => a.contains(h) && b.contains(h)).toDouble / mk.size
+    }
+    val all = kmvOf(tokens)
+    assert(jacc(all, all) == 1.0, "A vs A must estimate J = 1")
+    val a = kmvOf(tokens.where(length(col("tok")) <= 4))
+    val b = kmvOf(tokens.where(length(col("tok")) > 4))
+    // disjoint value sets: shared hashes only under FNV collision
+    assert(jacc(a, b) <= 0.1, s"disjoint sets estimated J=${jacc(a, b)}")
+  }
+
   test("kmv estimate lands near the true distinct count in sketch regime") {
     val toks = tokens.collect().map(_.getString(0)).toSeq
     val distinct = toks.distinct.size
