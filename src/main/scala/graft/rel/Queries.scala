@@ -316,6 +316,28 @@ object Queries {
       .orderBy("a_event_id", "b_event_id")
   }
 
+  // Interval-OVERLAP join (Temporal.intervalJoin): per-user daily
+  // purchase-activity intervals [first, last], pairs of users whose
+  // intervals intersect on the same day, with the overlap length —
+  // concurrency analysis over derived intervals. Cell width 6h (≤5
+  // cells per within-day interval); the exploded cell equi-join
+  // replaces the quadratic-per-day theta join, and the overlap-START
+  // cell rule dedups without a distinct (see the operator scaladoc).
+  // The oracle is the raw theta join — the binned plan must reproduce
+  // it exactly, pair for pair.
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id", "day")
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    Temporal.intervalJoin(iv, Seq("day"), "user_id", "s", "e",
+        6L * 3600L * 1000000L)
+      .orderBy("day", "a_user_id", "b_user_id")
+  }
+
   // Pivot: per-user event counts spread across the event-type columns
   // (Spark relational op with no direct reference twin; DuckDB oracle
   // uses conditional aggregates — the pivot's relational definition).
@@ -578,6 +600,7 @@ object Queries {
     "q34_sql_grouping_sets" -> (groupingSets _),
     "q42_asof_join" -> (asofClickView _),
     "q43_band_join" -> (bandPairs _),
+    "q136_interval_join" -> (intervalOverlap _),
     "q48_pivot" -> (pivotEvents _),
     "q49_window_suite" -> (windowSuite _),
     "q51_quantiles" -> (quantileAgg _),
@@ -1366,6 +1389,15 @@ object Queries {
         |  AND b.us - a.us BETWEEN 0 AND 600000000
         |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
         |ORDER BY a_event_id, b_event_id""".stripMargin,
+    "q136_interval_join" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |  min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT a.day, a.user_id AS a_user_id, b.user_id AS b_user_id,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
+        |  AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a.day, a_user_id, b_user_id""".stripMargin,
     // The pivot's relational definition: conditional aggregates.
     "q48_pivot" ->
       """SELECT user_id,

@@ -71,6 +71,42 @@ object Temporal {
     * 2·|rows|, candidates are cell-local, and hot cells are plain
     * equi-join skew — AQE-splittable, never quadratic in the key's
     * row count. */
+  /** Interval-OVERLAP self-join: all pairs of rows sharing `keys` whose
+    * [start, end] intervals intersect (inclusive ends), each pair
+    * emitted exactly once with its overlap length. The interval
+    * generalization of [[bandJoin]] (whose rows are points): overlap
+    * iff a.s ≤ b.e AND b.s ≤ a.e.
+    *
+    * Shape: each interval explodes onto the `cellUs`-wide time cells it
+    * covers, candidates equi-join on (keys, cell), and the exact
+    * overlap predicate verifies — never the quadratic-per-key nested
+    * loop a raw theta-join plans. A pair overlapping across several
+    * shared cells is NOT deduplicated with a `distinct`: the pair is
+    * counted only in the cell containing the overlap START
+    * (`greatest(a.s, b.s) DIV cellUs` — a cell both sides provably
+    * cover), so each pair survives exactly once and the dedup shuffle
+    * disappears. Shuffle volume is O(Σ interval-length / cellUs);
+    * choose cellUs near the median interval length (cells-per-interval
+    * small) — hot cells are equi-join skew, AQE-splittable. */
+  def intervalJoin(iv: DataFrame, keys: Seq[String], idCol: String,
+                   sCol: String, eCol: String, cellUs: Long): DataFrame = {
+    val exploded = iv
+      .select(keys.map(col) ++ Seq(col(idCol), col(sCol), col(eCol)): _*)
+      .withColumn("__cell", explode(sequence(
+        expr(s"$sCol DIV ${cellUs}L"), expr(s"$eCol DIV ${cellUs}L"))))
+    val cond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a.__cell") === col("b.__cell"))).reduce(_ && _)
+    exploded.as("a").join(exploded.as("b"), cond)
+      .where(col(s"a.$idCol") < col(s"b.$idCol") &&
+        col(s"a.$sCol") <= col(s"b.$eCol") &&
+        col(s"b.$sCol") <= col(s"a.$eCol") &&
+        col("a.__cell") === expr(s"greatest(a.$sCol, b.$sCol) DIV ${cellUs}L"))
+      .select(keys.map(k => col(s"a.$k").as(k)) ++ Seq(
+        col(s"a.$idCol").as(s"a_$idCol"), col(s"b.$idCol").as(s"b_$idCol"),
+        (least(col(s"a.$eCol"), col(s"b.$eCol"))
+          - greatest(col(s"a.$sCol"), col(s"b.$sCol"))).as("overlap_us")): _*)
+  }
+
   def bandJoin(df: DataFrame, key: String, tsUs: String, idCol: String,
                widthUs: Long): DataFrame = {
     val cell = (c: String) => expr(s"$c DIV ${widthUs}L")

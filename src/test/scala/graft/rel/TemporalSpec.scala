@@ -83,4 +83,41 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == brute && banded.nonEmpty)
   }
+
+  test("intervalJoin: exactly-once across cells, inclusive ends, overlap len") {
+    // key 7: [0,100] x [50,120] overlap 50 (spans cells of width 40);
+    // [0,100] x [100,200] touch at a point (inclusive -> overlap 0);
+    // [130,140] x [50,120] disjoint; key 8 isolated from key 7
+    val iv = Seq(
+      (7L, 1L, 0L, 100L), (7L, 2L, 50L, 120L), (7L, 3L, 100L, 200L),
+      (7L, 4L, 130L, 140L), (8L, 5L, 0L, 1000L)
+    ).toDF("k", "id", "s", "e")
+    val got = Temporal.intervalJoin(iv, Seq("k"), "id", "s", "e", 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((7L, 1L, 2L, 50L), (7L, 1L, 3L, 0L), (7L, 2L, 3L, 20L),
+      (7L, 3L, 4L, 10L)), got.toString)
+  }
+
+  test("intervalJoin agrees with a brute-force theta join on real events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val iv = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"),
+        col("ts").as("ns"))
+      .groupBy("user_id", "day")
+      .agg(min(col("ns")).as("s"), max(col("ns")).as("e"))
+    val got = Temporal.intervalJoin(iv, Seq("day"), "user_id", "s", "e",
+        6L * 3600L * 1000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val a = iv.select(col("day"), col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1"))
+    val b = iv.select(col("day"), col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2"))
+    val brute = a.join(b, Seq("day"))
+      .where(col("u1") < col("u2") && col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select(col("day"), col("u1"), col("u2"),
+        (least(col("e1"), col("e2")) - greatest(col("s1"), col("s2"))).as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == brute && got.nonEmpty)
+  }
 }
