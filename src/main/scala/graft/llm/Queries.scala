@@ -509,6 +509,21 @@ object Queries {
       graft.rel.Graph.pageRank(edges, iters = 3, damping = 0.85)
         .orderBy("node")
     }),
+    // Triangle counting + local clustering coefficient over the same
+    // bigram token graph, via degree-ordered orientation (each triangle
+    // enumerated exactly once at its (deg, node)-minimal vertex — see
+    // rel.Graph.triangles' scaladoc). The oracle counts triangles
+    // orientation-free (lexicographic 3-way join) — the two
+    // enumeration orders must agree on every per-node count.
+    "q137_triangles" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      graft.rel.Graph.triangles(prs).orderBy("node")
+    }),
     // Fixed-size per-stratum sample: EXACTLY min(k, |group|) rows per
     // language by (content hash, id) rank — the eval-set constructor
     // q112's fraction-threshold rule can't express (see
@@ -1538,6 +1553,27 @@ object Queries {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q108_sq8_knn" -> sq8KnnOracle,
     "q124_pagerank" -> pageRankOracle,
+    // Orientation-free triangle enumeration (a<b<c lexicographic
+    // 3-way join) — must equal the degree-ordered count node by node.
+    "q137_triangles" ->
+      """WITH tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+        |bg AS (SELECT DISTINCT least(ts[i], ts[i+1]) AS a, greatest(ts[i], ts[i+1]) AS b
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tk)
+        |  WHERE ts[i] <> ts[i+1]),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM bg UNION ALL SELECT b AS node FROM bg)
+        |  GROUP BY node),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM bg e1 JOIN bg e2 ON e1.b = e2.a
+        |  JOIN bg e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, count(*) AS tri FROM
+        |  (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)
+        |SELECT deg.node, deg.deg, coalesce(pn.tri, 0) AS tri,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN (CAST(coalesce(pn.tri, 0) AS DOUBLE) * 2.0) / (deg.deg * (deg.deg - 1))
+        |    ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pn USING (node)
+        |ORDER BY deg.node""".stripMargin,
     "q46_cluster_dedup" -> clusterDedupOracle,
     "q39_shard_pack" ->
       s"""WITH t AS (SELECT doc_id,

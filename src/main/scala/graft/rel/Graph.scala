@@ -45,6 +45,65 @@ object Graph {
     * @param edges columns `src`, `dst` (any equatable type), `weight`
     *              (integral — summed exactly as LONG)
     */
+  /** Per-node triangle counts + local clustering coefficient via
+    * DEGREE-ORDERED ORIENTATION (the standard distributed-triangle
+    * trick — Cohen, "Graph Twiddling in a MapReduce World", CiSE 2009;
+    * Suri &amp; Vassilvitskii, WWW 2011): orient every undirected edge
+    * from its (degree, node)-smaller endpoint, enumerate wedges only at
+    * the smallest vertex of each triangle, and close them with one
+    * equi-join. Each triangle is found EXACTLY once (its vertices are
+    * totally ordered by (deg, node), and only the minimum generates the
+    * wedge), so no distinct is needed; and because wedges form only at
+    * a vertex's oriented out-neighborhood — max out-degree is O(√edges)
+    * under this orientation — the wedge explosion around hubs that
+    * kills the naive formulation never happens: a star's center has
+    * huge degree but zero out-edges to order below its leaves.
+    *
+    * Scale: degree agg O(edges); orientation is a projection; wedge
+    * join + closing join are equi-joins with shuffle O(wedges) =
+    * O(edges^1.5) worst case — the algorithmic optimum for exact
+    * counting. Input `edges` (src, dst) may carry duplicates or
+    * self-loops; they are normalized away first.
+    *
+    * Output: (node, deg, tri, clustering) — clustering =
+    * 2·tri / (deg·(deg−1)), 0 for deg &lt; 2; one IEEE division on
+    * exact integers, bit-identical across engines. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("d"), col("db").as("dd")))
+        .otherwise(
+          struct(col("b").as("s"), col("a").as("d"), col("da").as("dd")))
+        .as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.dd").as("ddeg"))
+    val wedges = oriented.select(col("src"), col("dst").as("v1"), col("ddeg").as("dd1"))
+      .join(oriented.select(col("src"), col("dst").as("v2"), col("ddeg").as("dd2")),
+        "src")
+      .where(col("dd1") < col("dd2")
+        || (col("dd1") === col("dd2") && col("v1") < col("v2")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("v1"), col("dst").as("v2")), Seq("v1", "v2"))
+      .select(col("src").as("x"), col("v1").as("y"), col("v2").as("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          coalesce(col("tri"), lit(0L)).cast("double") * 2.0
+            / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
     val e = edges.select(col("src"), col("dst"), col("weight"))

@@ -45,4 +45,43 @@ class GraphSpec extends SparkSpec {
     val n = ranks.count()
     assert(n > 10, s"bigram graph unexpectedly small: $n nodes")
   }
+
+  test("triangles: hand fixture — K4 plus a pendant edge") {
+    // K4 on a,b,c,d (4 triangles, 3 per node); e pendant off d (0)
+    val e = edgesOf(Seq(("a", "b", 1L), ("a", "c", 1L), ("a", "d", 1L),
+      ("b", "c", 1L), ("b", "d", 1L), ("c", "d", 1L), ("d", "e", 1L),
+      ("b", "a", 1L), ("a", "a", 1L))) // reverse dup + self-loop: normalized away
+    val got = Graph.triangles(e)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((3L, 3L, 1.0)) && got("b") == ((3L, 3L, 1.0))
+      && got("c") == ((3L, 3L, 1.0)), got.toString)
+    assert(got("d") == ((4L, 3L, 0.5)), got.toString) // 3 of C(4,2)=6 pairs closed
+    assert(got("e") == ((1L, 0L, 0.0)), got.toString)
+  }
+
+  test("triangles agree with a plain-Scala count on the real bigram graph") {
+    val prs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      .select(explode(expr(
+        "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+          "p -> p.dst IS NOT NULL)")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val got = Graph.triangles(prs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val und = prs.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else p.swap).toSet
+    val nbrs = und.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val expect = nbrs.map { case (v, nb) =>
+      val tri = nb.toSeq.combinations(2).count { case Seq(u, w) =>
+        und.contains(if (u < w) (u, w) else (w, u))
+      }
+      v -> ((nb.size.toLong, tri.toLong))
+    }
+    assert(got == expect)
+    assert(expect.values.exists(_._2 > 0), "graph has no triangles — vacuous")
+  }
 }
