@@ -615,6 +615,25 @@ object Queries {
     // the k survivors pay the rank window)
     "q79_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(tbl(s, dir, "documents"), Bm25QueryTerms, 20)),
+    // E17: out-of-vocabulary rate vs the corpus top-16 vocabulary
+    // (count-desc, token-asc tiebreak — deterministic in both engines).
+    // The tokenizer-coverage check run before committing to a vocab.
+    "q138_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(tbl(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 16)
+        .orderBy("doc_id")),
+    // E17: persisted INVERTED INDEX (flat postings bucketed+sorted by
+    // term) probed with a conjunctive AND query — the retrieval
+    // analogue of q106's persisted ANN index. The probe scan is
+    // bucket-pruned to the query terms' buckets (PlanSpec pins
+    // SelectedBucketsCount < total); shuffle is O(matched postings).
+    "q139_posting_index" -> ((s, dir) => {
+      TextAnalysis.postingIndexWrite(tbl(s, dir, "documents"), "doc_id",
+        "text", "q139_postings", buckets = 8)
+      TextAnalysis.conjunctiveQuery(s, "q139_postings",
+        Seq("spark", "join"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // E17 production shape (VERDICT r6 item 3): the q88 linear scorer
     // with its parameters as a REAL broadcast (feature, weight) table
     // — proving the "a weight table changes nothing" scaladoc claim
@@ -1297,6 +1316,31 @@ object Queries {
         |WHERE levenshtein(a.title, c.title) <= 10
         |ORDER BY d1, d2""".stripMargin,
     "q79_bm25_topk" -> bm25TopKOracle(1.2, 0.75, Bm25QueryTerms, 20),
+    // Same top-16 vocab (count DESC, token ASC), same occurrence-level
+    // OOV counting.
+    "q138_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, t AS tok FROM
+        |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |   FROM documents)),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        |  ORDER BY c DESC, tok LIMIT 16)),
+        |j AS (SELECT tok.doc_id, v.tok AS vt FROM tok LEFT JOIN v ON tok.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(*) FILTER (vt IS NULL) AS BIGINT) AS n_oov,
+        |  CAST(count(*) FILTER (vt IS NULL) AS DOUBLE) / count(*) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The conjunctive query recomputed straight from the corpus — the
+    // persisted index round trip must change nothing.
+    "q139_posting_index" ->
+      """WITH tok AS (SELECT doc_id, t AS tok FROM
+        |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |   FROM documents)),
+        |p AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('spark', 'join') GROUP BY 1, 2),
+        |c AS (SELECT doc_id, count(DISTINCT tok) AS nt,
+        |  CAST(sum(tf) AS BIGINT) AS score FROM p GROUP BY doc_id)
+        |SELECT doc_id, score FROM c WHERE nt = 2
+        |ORDER BY score DESC, doc_id""".stripMargin,
     "q105_bm25_term_table" -> bm25TopKTermsOracle(1.2, 0.75, Bm25QueryTerms, 20),
     "q104_weighted_score" -> weightedScoreOracle,
     "q80_label_centroids" -> labelCentroidsOracle,

@@ -393,6 +393,63 @@ object TextAnalysis {
       regexp_count(text, lit(UrlRe)).cast("long").as("n_urls"),
       regexp_count(text, lit(LongNumRe)).cast("long").as("n_longnums"))
 
+  /** Out-of-vocabulary rate against a corpus-derived top-V vocabulary —
+    * the coverage check run before committing to a tokenizer/vocab: the
+    * vocab is the V most frequent tokens (ties broken by token — a
+    * deterministic total order, so both engines derive the identical
+    * vocab), and each doc reports how many of its token OCCURRENCES
+    * fall outside it. Docs with no tokens have no rate and are absent.
+    *
+    * Scale: one token-count agg (O(tokens) shuffle, partial-agged), a
+    * top-V that is a TakeOrderedAndProject (never a global sort), and a
+    * broadcast left join back onto the exploded stream — the corpus
+    * streams once more with no shuffle before the per-doc agg. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val toksEx = docs.select(col(idCol).as("doc_id"),
+      explode(expr(s"filter(split($textCol, ' ', -1), t -> t != '')")).as("tok"))
+    val vocab = toksEx.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    toksEx.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  /** Build half of the persisted INVERTED INDEX (search-engine posting
+    * lists — the retrieval analogue of q106's ANN index): flat
+    * (tok, doc_id, tf) postings written as a table bucketed AND sorted
+    * by `tok`. A term-keyed probe then reads only the buckets its terms
+    * hash to (Spark bucket pruning on `isin`) and, within them, skips
+    * row groups via the sorted min/max stats — the index is consulted,
+    * not scanned. Rebuild-per-pass is the q131 convention (the write IS
+    * the declared operator); incremental maintenance would ride
+    * [[graft.rel.Layout.appendBucketedBy]] exactly like q114. */
+  def postingIndexWrite(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, buckets: Int): Unit = {
+    val postings = docs.select(col(idCol).as("doc_id"),
+        explode(expr(s"filter(split($textCol, ' ', -1), t -> t != '')")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    graft.rel.Layout.writeBucketedBy(postings, table, buckets, "tok")
+  }
+
+  /** Probe half: conjunctive (AND) term query over the persisted
+    * posting table — docs containing EVERY query term, scored by
+    * summed tf. Shuffle volume is O(matched postings) only: the scan is
+    * bucket-pruned to the terms' buckets, and the doc-keyed agg sees
+    * just those rows — at 100 TB the candidate set is ≪ corpus, which
+    * is the whole point of an index. */
+  def conjunctiveQuery(s: org.apache.spark.sql.SparkSession, table: String,
+                       terms: Seq[String]): DataFrame =
+    s.table(table).where(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("nt"), sum(col("tf")).as("score"))
+      .where(col("nt") === terms.size)
+      .select(col("doc_id"), col("score"))
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -83,6 +83,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q139 conjunctive probe prunes the posting index to the terms' buckets") {
+    llm.TextAnalysis.postingIndexWrite(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      "doc_id", "text", "planspec_postings", buckets = 8)
+    val df = llm.TextAnalysis.conjunctiveQuery(spark, "planspec_postings",
+      Seq("spark", "join"))
+    val p = finalPlan(df).split("== Initial Plan ==").head
+    // the isin filter selects at most 2 of 8 buckets — the index is
+    // consulted, not scanned (6+ buckets never leave disk)
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(p)
+    assert(sel.isDefined, p.take(1500))
+    assert(sel.get.group(1).toInt <= 2, p.take(1500))
+  }
+
   test("q75 probe join rides the signature store's bucket layout") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
