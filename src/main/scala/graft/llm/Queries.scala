@@ -580,6 +580,18 @@ object Queries {
     "q108_sq8_knn" -> ((s, dir) =>
       Sim.sq8Knn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
+    // E16: PRODUCT-QUANTIZATION kNN (8 subspaces × 16 centroids, ADC
+    // lookup-table scan, exact rerank of the top-20) — the third
+    // compression axis after q108's precision and q122's dimensions.
+    // Codes, LUTs, and estimates are fixed-order folds on identical
+    // inputs, so the whole pipeline value-oracles (see Sim.pqKnn).
+    // Recall honestly measured: 0.52 vs exact top-5 at sf0.01 (floor
+    // pinned in RecallSpec) — the price of the deterministic
+    // unrefined 16-entry codebooks; a Lloyd pass (q47's pattern)
+    // lifts it without changing the dataflow.
+    "q140_pq_knn" -> ((s, dir) =>
+      Sim.pqKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
     // E16: LSH bucket histogram (the ANN scale path's partition shape)
     "q22_lsh_buckets" -> ((s, dir) =>
       Sim.lshBuckets(tbl(s, dir, "embeddings"), nPlanes = 16, dim = EmbeddingDim)
@@ -1194,6 +1206,57 @@ object Queries {
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** DuckDB twin of [[Sim.pqKnn]] at the q140 parameters (dim 64, m=8
+    * subspaces of 8, ksub=16 codebooks from the first 16 vectors, ADC
+    * top-20, exact rerank to top-5): the same flat sub-vector
+    * explosion, the same argmin-L2 encode with (dist, cid) ties, and
+    * every float reduction an identical fixed-order fold — coordinate
+    * order inside sub-vectors, j-ascending `list(... ORDER BY j)` for
+    * the reconstructed norm and the ADC sum. */
+  private val pqKnnOracle = {
+    val l2 = foldSum.format(
+      "list_transform(list_zip(s.sub, cb.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))")
+    val sdot = foldSum.format(
+      "list_transform(list_zip(s.sub, cb.cv), p -> p[1] * p[2])")
+    val normSql = foldSum.format("list_transform(v, x -> x * x)")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM v),
+       |subs AS (SELECT vec_id, norm, j, v[j*8+1 : j*8+8] AS sub
+       |  FROM n, (SELECT unnest(range(8)) AS j)),
+       |cb AS (SELECT j, CAST(vec_id AS INT) AS cid, sub AS cv,
+       |  ${foldSum.format("list_transform(sub, x -> x * x)")} AS ccn
+       |  FROM subs WHERE vec_id < 16),
+       |e0 AS (SELECT s.vec_id, s.j, cb.cid, cb.ccn, $l2 AS dist
+       |  FROM subs s JOIN cb ON cb.j = s.j),
+       |codes AS (SELECT vec_id, j, cid, ccn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |    ORDER BY dist ASC, cid ASC) AS r FROM e0) WHERE r = 1),
+       |enc AS (SELECT vec_id,
+       |  sqrt(${foldSum.format("list(ccn ORDER BY j)")}) AS rnorm
+       |  FROM codes GROUP BY vec_id),
+       |lut AS (SELECT s.vec_id AS qid, s.norm AS qnorm, s.j, cb.cid, $sdot AS d
+       |  FROM subs s JOIN cb ON cb.j = s.j WHERE s.vec_id < 10),
+       |terms AS (SELECT l.qid, l.qnorm, c.vec_id, c.j, l.d
+       |  FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.cid),
+       |ed AS (SELECT qid, vec_id, max(qnorm) AS qnorm,
+       |  ${foldSum.format("list(d ORDER BY j)")} AS s
+       |  FROM terms GROUP BY qid, vec_id),
+       |est AS (SELECT ed.qid, ed.vec_id,
+       |  ed.s / (ed.qnorm * enc.rnorm) AS est
+       |  FROM ed JOIN enc ON enc.vec_id = ed.vec_id
+       |  WHERE ed.vec_id <> ed.qid),
+       |c AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY est DESC, vec_id ASC) AS r FROM est) WHERE r <= 20),
+       |j AS (SELECT c.qid, c.vec_id,
+       |  ${dotSql("nb.v", "nq.v")} / (nb.norm * nq.norm) AS sim
+       |  FROM c JOIN n nb ON nb.vec_id = c.vec_id JOIN n nq ON nq.vec_id = c.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** DuckDB twin of [[Sim.clusterDedup]] (nlist=16, threshold 0.35). */
   private val clusterDedupOracle =
     s"""WITH ${ivfAssignCte(16)},
@@ -1596,6 +1659,7 @@ object Queries {
         |  array_to_string(ts[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q108_sq8_knn" -> sq8KnnOracle,
+    "q140_pq_knn" -> pqKnnOracle,
     "q124_pagerank" -> pageRankOracle,
     // Orientation-free triangle enumeration (a<b<c lexicographic
     // 3-way join) — must equal the degree-ordered count node by node.

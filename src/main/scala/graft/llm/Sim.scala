@@ -534,6 +534,93 @@ object Sim {
     * 4×16). The query side is tiny (nQuery × nTables rows) and
     * broadcast, so the corpus streams once with no shuffle before the
     * top-k. Recall-tested against [[cosineKnn]] in LlmSpec. */
+  /** PRODUCT-QUANTIZATION kNN with ADC scan and exact rerank (Jégou,
+    * Douze &amp; Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011; the FAISS IndexPQ design — flavor, not a
+    * port): the vector splits into `m` subspaces of dim/m coordinates,
+    * each sub-vector is replaced by the id of its nearest codebook
+    * entry (argmin L2, ties to the lowest id), and a query scans the
+    * corpus reading only the m byte-codes per vector, scoring through a
+    * per-query LOOKUP TABLE of m×ksub precomputed sub-dot-products —
+    * the asymmetric-distance (ADC) trick that makes the scan touch
+    * m·log2(ksub) bits per vector instead of dim floats (here 8 codes
+    * ≈ 4 bytes vs 512: a 128× memory-bandwidth cut, the third axis of
+    * the compression toolbox after [[sq8Knn]]'s precision and
+    * [[truncatedKnn]]'s dimensions). Top-`rerank` ADC candidates per
+    * query are then re-ranked at full precision.
+    *
+    * Codebooks are the sub-vectors of the first `ksub` corpus vectors
+    * (the deterministic [[ivfCentroids]] init convention — a Lloyd
+    * refinement would ride [[kmeansRefine]]'s pattern unchanged).
+    * Determinism: every float reduction is a fixed-order fold — the
+    * encode distances and LUT entries fold coordinates in index order,
+    * the per-vector reconstructed norm and the ADC sum fold subspaces
+    * in j-ascending order (pinned by sorted collect + array fold, and
+    * by `list(... ORDER BY j)` folds in the oracle) — so codes,
+    * candidate sets, and estimates are all cross-engine bit-identical
+    * and the WHOLE pipeline value-oracles, the q108 discipline.
+    *
+    * Scale: codebook (m·ksub rows) and LUTs (nQuery·m·ksub) broadcast;
+    * the corpus is touched twice with no shuffle before the per-query
+    * top-k — encode is one broadcast join + per-(vec,j) argmin, the ADC
+    * scan streams the code table once against broadcast LUTs. */
+  def pqKnn(emb: DataFrame, nQuery: Int, k: Int, dim: Int = 64,
+            m: Int = 8, ksub: Int = 16, rerank: Int = 20): DataFrame = {
+    val dsub = dim / m
+    require(dsub * m == dim, s"m=$m must divide dim=$dim")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val subs = base.select(col("vec_id"), col("norm"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $dsub + 1, $dsub))"))
+        .as(Seq("j", "sub")))
+    val cb = subs.where(col("vec_id") < ksub)
+      .select(col("j"), col("vec_id").cast("int").as("cid"), col("sub").as("cv"))
+      .withColumn("ccn", fsum(transform(col("cv"), x => x * x)))
+    val wEnc = Window.partitionBy("vec_id", "j")
+      .orderBy(col("dist").asc, col("cid").asc)
+    val codes = subs.join(broadcast(cb), "j")
+      .select(col("vec_id"), col("norm"), col("j"), col("cid"), col("ccn"),
+        fsum(zip_with(col("sub"), col("cv"), (x, y) => (x - y) * (x - y)))
+          .as("dist"))
+      .withColumn("r", row_number().over(wEnc)).where(col("r") === 1)
+    val enc = codes.groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("j"), col("cid"), col("ccn"))))
+        .as("e"))
+      .select(col("vec_id"),
+        expr("transform(e, s -> s.cid)").as("codes"),
+        sqrt(expr("aggregate(e, 0D, (a, s) -> a + s.ccn)")).as("rnorm"))
+    val lut = subs.where(col("vec_id") < nQuery)
+      .join(broadcast(cb), "j")
+      .select(col("vec_id").as("qid"), col("norm").as("qnorm"),
+        col("j"), col("cid"),
+        fsum(zip_with(col("sub"), col("cv"), (x, y) => x * y)).as("d"))
+      .groupBy("qid", "qnorm")
+      .agg(sort_array(collect_list(struct(col("j"), col("cid"), col("d"))))
+        .as("l"))
+      .select(col("qid"), col("qnorm"), expr("transform(l, s -> s.d)").as("lut"))
+    val wEst = Window.partitionBy("qid").orderBy(col("est").desc, col("vec_id").asc)
+    val cand = enc.crossJoin(broadcast(lut))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (expr(s"aggregate(transform(codes, (c, j) -> " +
+          s"element_at(lut, j * $ksub + c + 1)), 0D, (a, x) -> a + x)")
+          / (col("qnorm") * col("rnorm"))).as("est"))
+      .withColumn("r", row_number().over(wEst))
+      .where(col("r") <= rerank)
+      .select(col("qid"), col("vec_id"))
+    val qFull = base.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"), col("norm").as("qn2"))
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    base.join(broadcast(cand), "vec_id")
+      .join(broadcast(qFull), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("qv2"), col("norm"), col("qn2")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "sim")
+  }
+
   def annKnn(emb: DataFrame, nQuery: Int, k: Int,
              nTables: Int = 16, bandPlanes: Int = 4,
              dim: Int = 64): DataFrame = {

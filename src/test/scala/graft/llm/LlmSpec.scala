@@ -297,6 +297,21 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("pqKnn recall vs exact top-5; shared sims are exact cosines") {
+    val exact = Sim.cosineKnn(emb, nQuery = 10, k = 5)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pq = Sim.pqKnn(emb, nQuery = 10, k = 5)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val recall = (pq.keySet & exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"recall=$recall over ${exact.size} exact neighbors")
+    (pq.keySet & exact.keySet).foreach { k =>
+      assert(pq(k) == exact(k), s"rerank sim drifted for $k")
+    }
+  }
+
   test("fuzzyJoin: perfect precision; measured blocking recall >= 0.4") {
     import org.apache.spark.sql.functions.{concat_ws, slice, split}
     // Brute-force all-pairs edit distance over the derived titles vs the
