@@ -497,6 +497,45 @@ object Dedup {
       .where(col("jaccard") >= lit(tauNum.toDouble / tauDen))
   }
 
+  /** INCREMENTAL maintenance of [[connectedComponents]] — the graph
+    * analogue of the q100 signature-store lifecycle: a production dedup
+    * pipeline keeps (edges, labels) tables between crawls and folds
+    * each new batch's near-dup pairs in WITHOUT re-running CC over the
+    * full history graph. Only the components the fresh edges touch are
+    * recomputed: their stored edges are pulled (one semi-join on the
+    * label), unioned with the fresh edges, and re-labeled; every other
+    * component's labels pass through untouched. A fresh edge can merge
+    * two stored components (both are touched ⇒ both re-label to the
+    * common minimum) or introduce brand-new nodes (present in the
+    * fresh edge set ⇒ labeled by the recompute).
+    *
+    * Cost: O(affected subgraph + fresh batch), never O(graph) — the
+    * label probe and the affected-component semi-join key on the tiny
+    * fresh side (broadcast); the CC rounds run on the affected
+    * subgraph only. Correctness: the affected subgraph contains ALL
+    * edges of every affected component, so its min-label recompute
+    * equals the from-scratch answer exactly — which is what the gate
+    * oracle (the full-graph transitive closure, q65's verbatim)
+    * checks. */
+  def incrementalComponents(storedEdges: DataFrame, storedLabels: DataFrame,
+                            freshEdges: DataFrame): DataFrame = {
+    val touched = freshEdges.select(col("d1").as("doc_id"))
+      .unionAll(freshEdges.select(col("d2").as("doc_id"))).distinct()
+    val affected = storedLabels.join(broadcast(touched), "doc_id")
+      .select(col("component")).distinct()
+    val subEdges = storedEdges
+      .join(storedLabels.select(col("doc_id").as("d1"),
+        col("component").as("c")), "d1")
+      .join(broadcast(affected.withColumnRenamed("component", "c")),
+        Seq("c"), "left_semi")
+      .select("d1", "d2")
+      .unionAll(freshEdges.select("d1", "d2"))
+    val untouched = storedLabels
+      .join(broadcast(affected), Seq("component"), "left_anti")
+    untouched.select("doc_id", "component")
+      .unionAll(connectedComponents(subEdges))
+  }
+
   /** Exact all-pairs n-gram Jaccard over a bounded id range (the
     * brute-force baseline that oracles the MinHash path). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -58,6 +58,28 @@ object Queries {
         Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
           k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1))
         .orderBy("doc_id")),
+    // E15 production shape: INCREMENTAL connected components — fold a
+    // new batch's near-dup pairs into PERSISTED (edges, labels) tables,
+    // recomputing only the components the fresh edges touch (see
+    // Dedup.incrementalComponents). Generations are the doc_id%5 split
+    // (q114's); the oracle is q65's full-graph transitive closure
+    // VERBATIM (one shared SQL string) — the incremental path must
+    // reproduce the from-scratch labels exactly, merges included.
+    "q141_incremental_cc" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(tbl(s, dir, "documents"),
+          "doc_id", "text", k = 3, nBuckets = 64, bandSize = 4,
+          threshold = 0.1)
+        .localCheckpoint() // one LSH pass feeds both generation splits
+      val stored = pairs.where(col("d1") % 5 =!= 4 && col("d2") % 5 =!= 4)
+      val fresh = pairs.where(col("d1") % 5 === 4 || col("d2") % 5 === 4)
+      val eDir = graft.Scratch.dir("q141_edges")
+      val lDir = graft.Scratch.dir("q141_labels")
+      stored.write.mode("overwrite").parquet(eDir)
+      Dedup.connectedComponents(stored).write.mode("overwrite").parquet(lDir)
+      Dedup.incrementalComponents(
+          s.read.parquet(eDir), s.read.parquet(lDir), fresh)
+        .orderBy("doc_id")
+    }),
     // E15 production shape (VERDICT r5 item 4): incremental dedup of a
     // NEW batch against the PERSISTED signature store of prior history —
     // a crawl pipeline never re-deduplicates its history per increment;
@@ -1306,6 +1328,8 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> minhashOracle,
     "q65_dedup_components" -> componentsOracle,
+    // q65's oracle verbatim: incremental ≡ from-scratch, one truth.
+    "q141_incremental_cc" -> componentsOracle,
     // q65's closure + q97's window: survivor per near-dup cluster.
     "q103_component_keep_best" ->
       s"""WITH comp AS (SELECT * FROM ($componentsOracle) x),

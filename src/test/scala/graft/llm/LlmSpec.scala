@@ -81,6 +81,37 @@ class DedupSpec extends SparkSpec {
     assert(perRow == agg)
   }
 
+  test("incrementalComponents: merges, new nodes, untouched pass-through") {
+    // stored graph: {1,2,3} (component 1), {10,11} (component 10),
+    // {20,21} (component 20). Fresh edges: 3-10 (merges comps 1 and 10),
+    // 30-31 (brand-new nodes). Component 20 must pass through untouched.
+    val stored = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(stored)
+    val fresh = Seq((3L, 10L), (30L, 31L)).toDF("d1", "d2")
+    val got = Dedup.incrementalComponents(stored, labels, fresh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Dedup.connectedComponents(stored.unionAll(fresh))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got $got")
+    assert(got(11L) == 1L, "merged component must relabel to the common min")
+    assert(got(31L) == 30L && got(21L) == 20L)
+  }
+
+  test("incrementalComponents equals from-scratch CC on the real pair graph") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashNearDups(real, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4, threshold = 0.05).localCheckpoint()
+    val stored = pairs.where(col("d1") % 3 =!= 0 && col("d2") % 3 =!= 0)
+    val fresh = pairs.where(col("d1") % 3 === 0 || col("d2") % 3 === 0)
+    val got = Dedup.incrementalComponents(stored,
+        Dedup.connectedComponents(stored), fresh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("prefixFilterJoin is lossless: equals brute-force all-pairs at the threshold") {
     // real corpus: every pair the brute-force join finds at τ=0.5 must
     // come out of the prefix-filtered join with the identical jaccard —
