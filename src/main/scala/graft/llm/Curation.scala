@@ -113,6 +113,42 @@ object Curation {
       .select(col(idCol), col(groupCol), col("rnk"))
   }
 
+  /** WEIGHTED sampling without replacement, k per group (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
+    * the A-ES key trick): each row draws a deterministic uniform
+    * u ∈ (0, 1] from its content hash and ranks by key = ln(u)/w —
+    * the top-k keys per group are a weighted-without-replacement
+    * sample (ln(u)/w is a monotone transform of the paper's u^(1/w);
+    * the log form avoids pow and underflow at large weights). The
+    * deterministic-u variant of [[stratumSample]]'s uniform min-k:
+    * same reproducible-under-any-partitioning contract (u is a pure
+    * function of the row id), but heavy rows are proportionally more
+    * likely to survive — importance sampling for curation (sample
+    * long/high-quality docs preferentially, audit rows by cost, ...).
+    * Rows with w ≤ 0 are unsampleable and excluded by contract.
+    *
+    * Scale: a pure per-row projection + one per-group top-k window
+    * (the [[stratumSample]] shape — rank-then-filter; k ≪ group).
+    * Parity: u is portable-FNV-derived, (h+1)/2³² and the division by
+    * w are exact-operand IEEE ops; ln is libm on both engines (the
+    * q58/q79 parity class) and the output key carries round(6). */
+  def weightedSample(docs: DataFrame, idCol: String, groupCol: String,
+                     wCol: String, k: Int): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val u = (graft.functions.HashExprs.fnv1a32(
+      s"concat(cast($idCol as string), ':wsamp')") + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("skey").desc, col(idCol).asc)
+    docs.select(col(idCol), col(groupCol), col(wCol))
+      .where(col(wCol) > 0)
+      .withColumn("skey", log(u) / col(wCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col(idCol), col(wCol),
+        round(col("skey"), 6).as("skey"))
+  }
+
   /** Corpus-INTERNAL repeated-n-gram report — the memorization/
     * boilerplate signal of Lee et al., "Deduplicating Training Data
     * Makes Language Models Better" (ACL 2022), at n-gram rather than

@@ -262,6 +262,16 @@ object Queries {
       Curation.chunk(tbl(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES
+    // keys, deterministic-u variant): top-10 events per type by
+    // ln(u)/value — value-weighted importance sampling with the q112/
+    // q121 reproducibility contract (see Curation.weightedSample).
+    "q142_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(
+        graft.rel.Queries.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_id", "event_type", "value", k = 10)
+        .orderBy("event_type", "rnk")),
     // Corpus-INTERNAL repeated n-grams (the Lee et al. 2022 duplication
     // signal at gram granularity): per-doc fraction of distinct
     // 3-grams occurring in ≥2 distinct docs — flags templated/
@@ -1511,6 +1521,19 @@ object Queries {
         |  CAST(count(*) AS DOUBLE) / n_grams AS overlap
         |FROM tr JOIN ev USING (gram)
         |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+    // The identical hash-derived uniform and ln(u)/w key; ln is the
+    // q58/q79 libm-parity class, and the key itself ships round(6).
+    "q142_weighted_sample" ->
+      s"""WITH e AS (SELECT event_type, event_id, value FROM events WHERE value > 0),
+         |kx AS (SELECT event_type, event_id, value,
+         |  ln(CAST(${fnvSql("(CAST(event_id AS VARCHAR) || ':wsamp')")} + 1 AS DOUBLE)
+         |      / 4294967296.0) / value AS skey FROM e),
+         |r AS (SELECT event_type, event_id, value, skey,
+         |  row_number() OVER (PARTITION BY event_type
+         |    ORDER BY skey DESC, event_id) AS rnk FROM kx)
+         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value,
+         |  round(skey, 6) AS skey
+         |FROM r WHERE rnk <= 10 ORDER BY event_type, rnk""".stripMargin,
     // Same 3-gram shingles, same FNV gram hash (collisions merge
     // identically in both engines), same ≥2-distinct-docs rule.
     "q133_repeated_ngrams" ->

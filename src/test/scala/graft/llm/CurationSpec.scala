@@ -54,6 +54,28 @@ class CurationSpec extends SparkSpec {
       expect.values.exists(v => v._2 < v._1))
   }
 
+  test("weightedSample: deterministic, partitioning-invariant, weight-sensitive") {
+    import spark.implicits._
+    import graft.functions.{Fnv1a32}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = (1L to 200L).map(i => (i, "g", if (i == 77L) 1.0e9 else 0.5))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Curation.weightedSample(df, "id", "grp", "w", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap // rnk -> id
+    // the 2e9x-weight row's key ln(u)/1e9 ~ 0 dominates: must be rank 1
+    assert(got(1L) == 77L, got.toString)
+    // partitioning cannot change the sample (pure function of content)
+    val re = Curation.weightedSample(df.repartition(17), "id", "grp", "w", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(re == got)
+    // matches a plain-Scala recompute of the A-ES keys
+    val expect = rows.map { case (i, _, w) =>
+      val h = Fnv1a32.compute(UTF8String.fromString(s"$i:wsamp"), Fnv1a32.Seed)
+      i -> math.log((h + 1).toDouble / 4294967296.0) / w
+    }.sortBy { case (i, k) => (-k, i) }.take(5).map(_._1)
+    assert(got.toSeq.sortBy(_._1).map(_._2) == expect, got.toString)
+  }
+
   test("chunk: stride == window degenerates to disjoint partitioning") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val total = Curation.chunk(docs, "doc_id", "text", 16, 16)
