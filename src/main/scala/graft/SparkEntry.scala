@@ -382,6 +382,37 @@ object SparkEntry {
           s, src, ev.schema, out, out + "_ckpt")
         .orderBy("user_id", "view_id", "click_id")
     }),
+    // Stream-stream LEFT OUTER join at the gate — the state-EXPIRY
+    // semantics q109's inner join never exercises: unmatched views
+    // emit null-extended only when the watermark proves no click can
+    // still match. Far-future sentinels on BOTH streams (q90's flush
+    // pattern) close every real view's window at the no-data batch;
+    // the drained sink must equal the batch left outer band join.
+    "q144_stream_outer_join" -> ((s, dir) => {
+      val src = Scratch.dir("stream_outer_src")
+      val out = Scratch.dir("stream_outer")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val (_, hi) = writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      import s.implicits._
+      // THREE sentinel waves in separate files: join-state eviction
+      // only happens in a batch that RUNS with the advanced watermark,
+      // and watermarks advance at batch END — so the last batch must
+      // carry data while an earlier batch already saw a sentinel. With
+      // maxFilesPerTrigger=2, three files guarantee ≥2 sentinel
+      // batches, the last of which runs at watermark ≥ wave-1 − delay,
+      // closing every real view's window.
+      (1 to 3).foreach { wave =>
+        Seq((-wave.toLong, -1L, "view"), (-wave.toLong - 10L, -1L, "click"))
+          .toDF("event_id", "user_id", "event_type")
+          .withColumn("ts", timestamp_seconds(lit(hi + wave * 864000L)))
+          .select("event_id", "user_id", "ts", "event_type")
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      sources.StreamIngest.streamOuterJoinParquet(
+          s, src, ev.schema, out, out + "_ckpt")
+        .orderBy("user_id", "view_id", "click_id")
+    }),
     // Streaming CDC UPSERT at the gate — the foreachBatch idiom: each
     // micro-batch merges last-writer-wins into a versioned keyed state
     // table behind an atomic pointer swap, with the batchId guard
@@ -694,6 +725,18 @@ object SparkEntry {
         |FROM c JOIN v ON c.user_id = v.user_id
         |  AND cus >= vus AND cus <= vus + 1800000000
         |ORDER BY c.user_id, view_id, click_id""".stripMargin,
+    // The batch left outer band join: every view exactly once, matched
+    // or null-extended — state stuck past the watermark, double
+    // emission, or premature eviction all change the row set.
+    "q144_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, us AS vus FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, us AS cus FROM e WHERE event_type = 'click')
+        |SELECT v.user_id, v.view_id, c.click_id,
+        |  (cus // 1000000) - (vus // 1000000) AS lag_sec
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |  AND cus >= vus AND cus <= vus + 1800000000
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -659,6 +659,14 @@ object Queries {
     // the k survivors pay the rank window)
     "q79_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(tbl(s, dir, "documents"), Bm25QueryTerms, 20)),
+    // E17: collocation scoring — PMI + Dunning LLR over adjacent
+    // bigrams (min count 5), the relative-frequency upgrade of the
+    // reference's co-occurrence counts (Lin & Dyer ch. 3's own
+    // progression; see TextAnalysis.collocations).
+    "q143_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(tbl(s, dir, "documents"), "text",
+        minCount = 5)
+        .orderBy("w1", "w2")),
     // E17: out-of-vocabulary rate vs the corpus top-16 vocabulary
     // (count-desc, token-asc tiebreak — deterministic in both engines).
     // The tokenizer-coverage check run before committing to a vocab.
@@ -1413,6 +1421,30 @@ object Queries {
         |WHERE levenshtein(a.title, c.title) <= 10
         |ORDER BY d1, d2""".stripMargin,
     "q79_bm25_topk" -> bm25TopKOracle(1.2, 0.75, Bm25QueryTerms, 20),
+    // Same bigram counts, same 2×2 contingency table, the xlogx and
+    // term chains written in the identical order; ln is the libm
+    // parity class and both scores ship round(6).
+    "q143_collocations" -> {
+      def xlx(x: String) =
+        s"CASE WHEN $x > 0 THEN CAST($x AS DOUBLE) * ln(CAST($x AS DOUBLE)) ELSE 0.0 END"
+      s"""WITH tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+         |bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tk)),
+         |cnt AS (SELECT w1, w2, count(*) AS n11 FROM bg GROUP BY w1, w2),
+         |l AS (SELECT w1, CAST(sum(n11) AS BIGINT) AS n1dot FROM cnt GROUP BY w1),
+         |r AS (SELECT w2, CAST(sum(n11) AS BIGINT) AS ndot2 FROM cnt GROUP BY w2),
+         |t AS (SELECT CAST(sum(n11) AS BIGINT) AS nn FROM cnt)
+         |SELECT cnt.w1, cnt.w2, n11, n1dot, ndot2,
+         |  round(ln(CAST(n11 * nn AS DOUBLE)) - ln(CAST(n1dot * ndot2 AS DOUBLE)), 6) AS pmi,
+         |  round(2.0 * (${xlx("n11")} + ${xlx("(n1dot - n11)")} + ${xlx("(ndot2 - n11)")}
+         |    + ${xlx("(nn - n1dot - ndot2 + n11)")}
+         |    - ${xlx("n1dot")} - ${xlx("(nn - n1dot)")}
+         |    - ${xlx("ndot2")} - ${xlx("(nn - ndot2)")}
+         |    + ${xlx("nn")}), 6) AS llr
+         |FROM cnt JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+         |WHERE n11 >= 5
+         |ORDER BY cnt.w1, cnt.w2""".stripMargin
+    },
     // Same top-16 vocab (count DESC, token ASC), same occurrence-level
     // OOV counting.
     "q138_oov_rate" ->

@@ -393,6 +393,51 @@ object TextAnalysis {
       regexp_count(text, lit(UrlRe)).cast("long").as("n_urls"),
       regexp_count(text, lit(LongNumRe)).cast("long").as("n_longnums"))
 
+  /** Collocation scoring over adjacent bigrams: PMI (Church &amp; Hanks,
+    * CL 1990) and Dunning's log-likelihood ratio ("Accurate Methods for
+    * the Statistics of Surprise and Coincidence", CL 1993) — the
+    * relative-frequency upgrade of the reference's raw co-occurrence
+    * counts (Lin &amp; Dyer ch. 3 presents exactly this progression):
+    * counts say "the pair is frequent", PMI/LLR say "more frequent than
+    * its parts predict". PMI = ln(n11·N / (n1dot·ndot2));
+    * LLR = 2·Σ x·ln x over the 2×2 contingency table minus its
+    * marginals — the statistically robust score for sparse counts.
+    *
+    * Scale: ONE bigram hash-agg over the corpus (O(tokens) shuffle,
+    * partial-agged); the marginals derive from the already-reduced
+    * bigram table (two more tiny aggs), the 1-row total broadcasts.
+    * Parity: all counts exact longs; ln is the q58/q79 libm class;
+    * every ln argument is an exact integer-valued double, the
+    * xlogx/term chains are written in one fixed order in both engines,
+    * and the scores ship round(6). */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long): DataFrame = {
+    val bg = docs
+      .select(expr(s"filter(split($textCol, ' ', -1), t -> t != '')").as("ts"))
+      .select(explode(expr(
+        "filter(transform(ts, (t, i) -> struct(t AS w1, try_element_at(ts, i + 2) AS w2)), " +
+          "p -> p.w2 IS NOT NULL)")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n11"))
+    val left = cnt.groupBy("w1").agg(sum(col("n11")).as("n1dot"))
+    val right = cnt.groupBy("w2").agg(sum(col("n11")).as("ndot2"))
+    val tot = cnt.agg(sum(col("n11")).as("nn"))
+    def xlx(x: Column): Column =
+      when(x > 0, x.cast("double") * log(x.cast("double"))).otherwise(lit(0.0))
+    val k12 = col("n1dot") - col("n11")
+    val k21 = col("ndot2") - col("n11")
+    val k22 = col("nn") - col("n1dot") - col("ndot2") + col("n11")
+    cnt.join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
+      .where(col("n11") >= minCount)
+      .select(col("w1"), col("w2"), col("n11"), col("n1dot"), col("ndot2"),
+        round(log((col("n11") * col("nn")).cast("double"))
+          - log((col("n1dot") * col("ndot2")).cast("double")), 6).as("pmi"),
+        round(lit(2.0) * (xlx(col("n11")) + xlx(k12) + xlx(k21) + xlx(k22)
+          - xlx(col("n1dot")) - xlx(col("nn") - col("n1dot"))
+          - xlx(col("ndot2")) - xlx(col("nn") - col("ndot2"))
+          + xlx(col("nn"))), 6).as("llr"))
+  }
+
   /** Out-of-vocabulary rate against a corpus-derived top-V vocabulary —
     * the coverage check run before committing to a tokenizer/vocab: the
     * vocab is the V most frequent tokens (ties broken by token — a

@@ -188,6 +188,65 @@ object StreamIngest {
     spark.read.parquet(out)
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the state-EXPIRY
+    * semantics [[streamJoinParquet]]'s inner join never exercises: an
+    * unmatched left row can only be emitted once the global watermark
+    * proves no future right row can match it (Spark emits it with null
+    * right columns at state eviction), so correctness depends on
+    * watermark progress, not just on data arrival. Every view row
+    * appears exactly once in the drained sink — matched with each
+    * qualifying click, or null-extended — and must equal the BATCH
+    * left outer band join row for row, which is what the oracle
+    * recomputes: a row stuck in state (watermark stalled), double
+    * emission, or premature eviction all fail the gate.
+    *
+    * Drain mechanics: the caller appends a LATE sentinel (far-future
+    * ts, negative user id) to BOTH event types — the q90 flush pattern
+    * — so the final no-data batch advances the watermark past every
+    * real view's match window. The sentinel view itself stays in state
+    * forever (its own window never closes) and is filtered out.
+    *
+    * Scale: join state is bounded by the watermark delay + match
+    * window on both sides; keyed shuffles are per micro-batch. */
+  def streamOuterJoinParquet(spark: SparkSession, in: String,
+                             schema: StructType, out: String, ckpt: String,
+                             filesPerTrigger: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rm(spark, out); rm(spark, ckpt)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(in)
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    // No sentinel filter inside the streaming plan: a predicate on the
+    // views-side column would be PUSHED below the views watermark node,
+    // silently removing the sentinel before it can advance the
+    // watermark — the whole flush mechanism dies (observed: the last
+    // ~1.5 h of unmatched views stay in state forever). Sentinels are
+    // filtered on the batch read-back below instead.
+    val q = views.join(clicks,
+        col("user_id") === col("v_user") &&
+          col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_timestamp(col("cts")) - unix_timestamp(col("vts")))
+          .as("lag_sec"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read.parquet(out).where(col("user_id") >= 0)
+  }
+
   /** Streaming CDC UPSERT at the gate — the `foreachBatch` idiom (the
     * one streaming surface the other gates don't touch): each
     * micro-batch is reduced to per-key (count, latest-event struct) and
