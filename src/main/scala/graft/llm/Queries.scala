@@ -541,6 +541,19 @@ object Queries {
       graft.rel.Graph.pageRank(edges, iters = 3, damping = 0.85)
         .orderBy("node")
     }),
+    // Single-source BFS distances over the (undirected) bigram graph,
+    // 6 fixed relaxation rounds as one declarative plan; the oracle's
+    // recursive CTE computes the TRUE minimum, so the gate row also
+    // certifies 6 rounds covered the diameter (see rel.Graph.bfs).
+    "q145_bfs" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      graft.rel.Graph.bfs(prs, "spark", iters = 6).orderBy("node")
+    }),
     // Triangle counting + local clustering coefficient over the same
     // bigram token graph, via degree-ordered orientation (each triangle
     // enumerated exactly once at its (deg, node)-minimal vertex — see
@@ -1740,6 +1753,22 @@ object Queries {
     "q108_sq8_knn" -> sq8KnnOracle,
     "q140_pq_knn" -> pqKnnOracle,
     "q124_pagerank" -> pageRankOracle,
+    // True shortest paths by recursive CTE (UNION dedups the state
+    // space to nodes × depths) — certifies the fixed 6 rounds covered
+    // the diameter.
+    "q145_bfs" ->
+      """WITH RECURSIVE tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+        |bgd AS (SELECT ts[i] AS a, ts[i+1] AS b
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tk)),
+        |e AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM bgd UNION ALL SELECT b AS a, a AS b FROM bgd)
+        |  WHERE a <> b),
+        |d AS (SELECT 'spark' AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.b AS node, d.dist + 1 AS dist
+        |  FROM d JOIN e ON e.a = d.node WHERE d.dist < 6)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM d GROUP BY node ORDER BY node""".stripMargin,
     // Orientation-free triangle enumeration (a<b<c lexicographic
     // 3-way join) — must equal the degree-ordered count node by node.
     "q137_triangles" ->

@@ -20,6 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Single-source BFS shortest-path distances over an UNDIRECTED edge
+    * set, `iters` fixed relaxation rounds declared as ONE Catalyst plan
+    * (the [[pageRank]] discipline — zero driver actions): round t+1's
+    * frontier is round t's distance table unioned with every neighbor
+    * at dist+1, re-minimized per node. With iters ≥ graph diameter the
+    * result IS the exact shortest-path distance (the gate corpus's
+    * bigram graph has diameter ≪ 6; the oracle's recursive CTE computes
+    * the true minimum, so the gate row also certifies the iteration
+    * count sufficed — an undershot diameter fails the hash).
+    *
+    * Scale: per round one equi-join on the frontier key + one min-agg
+    * — shuffle O(edges), the BFS round a Pregel system runs; row count
+    * is bounded by |reachable nodes| after every round thanks to the
+    * per-round re-min. Deep graphs would localCheckpoint every few
+    * rounds (the q47/q65 pattern); at analytic depths the single
+    * declarative plan lets Catalyst reuse the edge exchange across all
+    * rounds. Output: (node, dist) for nodes within `iters` hops. */
+  def bfs(edges: DataFrame, source: String, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .where(col("a") =!= col("b"))
+    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var d = Seq((source, 0L)).toDF("node", "dist")
+    for (_ <- 1 to iters) {
+      val next = d.join(e, d("node") === e("a"))
+        .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
+      d = d.unionAll(next).groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    d
+  }
+
   /** Weighted PageRank with dangling-mass redistribution
     * (Page et al., "The PageRank citation ranking", Stanford 1999):
     *

@@ -633,6 +633,11 @@ object Queries {
     "q128_cohort_retention" -> (cohortRetention _),
     "q129_gap_fill" -> (gapFill _),
     "q134_ewma" -> (ewmaDaily _),
+    "q146_scd2" -> (scd2Versions _),
+    "q147_time_travel" -> (scd2Snapshot _),
+    "q148_correlation" -> (corrByGroup _),
+    "q149_ols_regression" -> (olsByGroup _),
+    "q150_ab_test" -> (abTest _),
     "q116_props_scrub" -> (propsScrub _),
     "q119_range_layout" -> (rangeLayoutAgg _),
     "q126_zorder_layout" -> (zorderLayoutAgg _),
@@ -1058,6 +1063,114 @@ object Queries {
     lagged.select(col("user_id"), col("day"), col("day_sum"),
         (num / den).as("ewma"))
       .orderBy("user_id", "day")
+  }
+
+  // SCD TYPE-2 history build — every change event becomes a version
+  // row with [valid_from, valid_to) validity (exclusive end = next
+  // version's start; NULL = current): the warehouse pattern that KEEPS
+  // history where q82/q118's upserts overwrite it. One window per key,
+  // (ts, event_id) total order so same-timestamp ties version
+  // deterministically (the earlier id gets a zero-length interval —
+  // the standard SCD2 convention for intra-batch duplicates).
+  // Scale: one keyed shuffle + one lead() — O(events), no self-join.
+  def scd2Versions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("valid_from"), col("value"))
+      .select(col("user_id"), col("event_id"), col("value"), col("valid_from"),
+        lead(col("valid_from"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  // Point-in-time (time-travel) read over the SCD2 history: the state
+  // of every key as of one instant — the interval predicate
+  // valid_from <= t < valid_to replaces q42's as-of window machinery
+  // once the history table exists. At 100 TB the history would be
+  // range-partitioned on valid_from (q119's layout) so the snapshot
+  // scan prunes to segments overlapping t.
+  val Scd2AsOfUs = 1705276800000000L // 2024-01-15T00:00:00Z
+  def scd2Snapshot(s: SparkSession, dir: String): DataFrame =
+    scd2Versions(s, dir)
+      .where(col("valid_from") <= Scd2AsOfUs &&
+        (col("valid_to").isNull || col("valid_to") > Scd2AsOfUs))
+      .select(col("user_id"), col("event_id"), col("value"), col("valid_from"))
+      .orderBy("user_id")
+
+  // Pearson correlation per group from EXACT moments — corr(value,
+  // hour-of-day) per event type. Spark's corr() (and DuckDB's) stream
+  // float co-moments in partition order — order-dependent doubles that
+  // can't cross-engine-match; accumulating the five raw moments through
+  // the DECIMAL route instead makes every sum order-independent and
+  // bit-identical, and the closed-form combination is one fixed-order
+  // IEEE expression. Same single partial-agged shuffle as any groupBy.
+  def corrByGroup(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"), col("value").as("x"),
+      expr("CAST((unix_micros(ts) DIV 3600000000) % 24 AS DOUBLE)").as("y"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_xy"))
+      .orderBy("event_type")
+  }
+
+  // OLS linear regression per group (closed-form normal equations from
+  // the same exact-moment route): value trend over days-since-epoch
+  // per event type. x is rescaled to days BEFORE the moment sums —
+  // µs² products overflow DECIMAL(38,12)'s 26 integer digits; day²
+  // products don't, and the rescale is one deterministic division.
+  def olsByGroup(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      ((expr("unix_micros(ts)") - lit(1704067200000000L)).cast("double")
+        / lit(86400000000.0)).as("x"),
+      col("value").as("y"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  // Two-sample z-test (Welch) between the purchase and click value
+  // distributions — the A/B-test decision from the same exact-moment
+  // route: means and variances from DECIMAL sums, one closed-form z,
+  // and the 5%-level verdict as a boolean. The whole test is one
+  // partial-agged scan + a 2-row broadcast combine.
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value"))
+    val m = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sx"),
+        dsum(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)).as("variance"))
+    val a = m.where(col("event_type") === "purchase")
+      .select(col("n").as("n_a"), col("mean").as("mean_a"), col("variance").as("var_a"))
+    val b = m.where(col("event_type") === "click")
+      .select(col("n").as("n_b"), col("mean").as("mean_b"), col("variance").as("var_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+        round((col("mean_a") - col("mean_b"))
+          / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+          .as("z"),
+        (abs((col("mean_a") - col("mean_b"))
+          / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+          > 1.959963984540054).as("significant"))
   }
 
   // Fixed-grid histogram of a measure per group (the monitoring
@@ -1617,6 +1730,66 @@ object Queries {
          |    AS filled_sum
          |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
          |ORDER BY 1, 2""".stripMargin,
+    // Identical (ts, event_id) version ordering; lead() is pure.
+    "q146_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from, value FROM events)
+        |SELECT user_id, event_id, value, valid_from,
+        |  lead(valid_from, 1) OVER w AS valid_to,
+        |  lead(valid_from, 1) OVER w IS NULL AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // The interval predicate over the same versions at the same instant.
+    "q147_time_travel" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from, value FROM events),
+         |v AS (SELECT user_id, event_id, value, valid_from,
+         |  lead(valid_from, 1) OVER (PARTITION BY user_id
+         |    ORDER BY valid_from, event_id) AS valid_to FROM e)
+         |SELECT user_id, event_id, value, valid_from FROM v
+         |WHERE valid_from <= $Scd2AsOfUs
+         |  AND (valid_to IS NULL OR valid_to > $Scd2AsOfUs)
+         |ORDER BY user_id""".stripMargin,
+    // The same five DECIMAL-route moments and the same closed form.
+    "q148_correlation" ->
+      s"""WITH e AS (SELECT event_type, value AS x,
+         |  CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS y FROM events),
+         |m AS (SELECT event_type, count(*) AS n, ${dsumSql("x")} AS sx,
+         |  ${dsumSql("y")} AS sy, ${dsumSql("x * y")} AS sxy,
+         |  ${dsumSql("x * x")} AS sxx, ${dsumSql("y * y")} AS syy
+         |  FROM e GROUP BY event_type)
+         |SELECT event_type, n,
+         |  round((n * sxy - sx * sy)
+         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_xy
+         |FROM m ORDER BY event_type""".stripMargin,
+    // Same day-rescaled x (µs² would overflow the DECIMAL), same
+    // normal-equation closed form in one fixed order.
+    "q149_ols_regression" ->
+      s"""WITH e AS (SELECT event_type,
+         |  CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 86400000000.0 AS x,
+         |  value AS y FROM events),
+         |m AS (SELECT event_type, count(*) AS n, ${dsumSql("x")} AS sx,
+         |  ${dsumSql("y")} AS sy, ${dsumSql("x * y")} AS sxy, ${dsumSql("x * x")} AS sxx
+         |  FROM e GROUP BY event_type)
+         |SELECT event_type, n,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+         |FROM m ORDER BY event_type""".stripMargin,
+    // Same moments, same Welch z, same 1.96 critical literal.
+    "q150_ab_test" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |m AS (SELECT event_type, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(CAST(value * value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM e GROUP BY event_type),
+        |s AS (SELECT event_type, n, sx / n AS mean,
+        |  (sxx - sx * sx / n) / (n - 1) AS variance FROM m),
+        |a AS (SELECT n AS n_a, mean AS mean_a, variance AS var_a FROM s WHERE event_type = 'purchase'),
+        |b AS (SELECT n AS n_b, mean AS mean_b, variance AS var_b FROM s WHERE event_type = 'click')
+        |SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS z,
+        |  abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b))
+        |    > 1.959963984540054 AS significant
+        |FROM a CROSS JOIN b""".stripMargin,
     // Identical daily agg, identical lag chain: coefficients are
     // interpolated from the same ewmaCoef constants (all dyadic ⇒
     // decimal literals parse exactly), the term sum is the same
