@@ -617,6 +617,7 @@ object Queries {
     "q77_try_arithmetic" -> (tryArithmetic _),
     "q78_map_funcs" -> (mapFuncs _),
     "q81_hll_merge" -> (hllMergeAgg _),
+    "q151_sketch_rollup" -> (sketchRollup _),
     "q82_merge_upsert" -> (mergeUpsert _),
     "q83_unpivot" -> (unpivotEvents _),
     "q84_array_funcs" -> (arrayFuncs _),
@@ -1313,6 +1314,37 @@ object Queries {
     langRows.unionAll(allRow).orderBy("lang")
   }
 
+  // The PERSISTED sketch-rollup lifecycle q81's single-query form
+  // doesn't show: per-day HLL user sketches are written as a partials
+  // table (binary sketch column in parquet), and the weekly rollup
+  // unions THE TABLE ONLY — raw events are never re-scanned. This is
+  // how 100 TB dashboards serve distinct counts at any rollup level:
+  // O(days) sketch rows per query instead of O(events), with the raw
+  // scan paid exactly once at partial-build time. The estimate is
+  // gate-checked against the exact weekly distinct (recomputed from
+  // raw — the expensive path the rollup replaces) via the q30/q81
+  // bound pattern: a drifting or wrongly-merged sketch flips
+  // approx_ok and fails the hash.
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      expr("unix_micros(ts) DIV 86400000000").as("day"),
+      col("user_id").cast("string").as("uid"))
+      .withColumn("week", expr("day DIV 7"))
+    val partials = graft.Scratch.dir("q151_daily_sketches")
+    ev.groupBy("week", "day")
+      .agg(hll_sketch_agg(col("uid")).as("sk"))
+      .write.mode("overwrite").parquet(partials)
+    val weekly = s.read.parquet(partials)
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_days"), hll_union_agg(col("sk")).as("sk"))
+    val exact = ev.groupBy("week").agg(countDistinct(col("uid")).as("exact_users"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("n_days"), col("exact_users"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+          / col("exact_users") < 0.05).as("approx_ok"))
+      .orderBy("week")
+  }
+
   // CDC apply / MERGE-upsert shape: a base table plus a change batch of
   // inserts, updates, and deletes materialize the next table version —
   // the incremental-materialization operator every nightly pipeline
@@ -1905,6 +1937,15 @@ object Queries {
         |SELECT '__all__' AS lang, count(DISTINCT tok) AS exact_toks, true AS approx_ok
         |FROM tok
         |ORDER BY lang""".stripMargin,
+    // Exact weekly distinct + the true bound booleans (q81's pattern):
+    // the rollup's estimate must land within 5% of this.
+    "q151_sketch_rollup" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(user_id AS VARCHAR) AS uid FROM events),
+        |w AS (SELECT day // 7 AS week, day, uid FROM e)
+        |SELECT week, count(DISTINCT day) AS n_days,
+        |  count(DISTINCT uid) AS exact_users, true AS approx_ok
+        |FROM w GROUP BY week ORDER BY week""".stripMargin,
     "q82_merge_upsert" ->
       """WITH base AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
         |changes AS (
