@@ -879,7 +879,7 @@ object Queries {
     * intermediate is a non-negative BIGINT (h &lt; 2³², the multiply
     * &lt; 2⁵⁶), so DuckDB neither overflows nor promotes to HUGEINT —
     * the property that makes the sketch queries oracle-able at all. */
-  private def fnvSql(e: String, seed: Long = graft.functions.Fnv1a32.Seed): String =
+  private[graft] def fnvSql(e: String, seed: Long = graft.functions.Fnv1a32.Seed): String =
     s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
       s"list_transform(range(length($e)), i -> unicode(($e)[i+1:i+1]))), " +
       "(h, c) -> (xor(h, c) * 16777619) % 4294967296)"

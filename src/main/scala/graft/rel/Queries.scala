@@ -618,6 +618,10 @@ object Queries {
     "q78_map_funcs" -> (mapFuncs _),
     "q81_hll_merge" -> (hllMergeAgg _),
     "q151_sketch_rollup" -> (sketchRollup _),
+    "q152_table_diff" -> (tableDiff _),
+    "q153_markov" -> (markovTransitions _),
+    "q154_entropy" -> (userEntropy _),
+    "q155_gini" -> (giniByType _),
     "q82_merge_upsert" -> (mergeUpsert _),
     "q83_unpivot" -> (unpivotEvents _),
     "q84_array_funcs" -> (arrayFuncs _),
@@ -1314,6 +1318,104 @@ object Queries {
     langRows.unionAll(allRow).orderBy("lang")
   }
 
+  // TABLE DIFF — the snapshot-reconciliation operator (what a data
+  // engineer runs after a backfill, a migration, or a vendor refresh):
+  // full outer join of two table generations on the key, each row
+  // classified added / removed / changed / unchanged by comparing a
+  // content digest, plus the per-class counts. The digest is the
+  // portable FNV over the concatenated payload (q18's discipline) so
+  // a changed row is detected identically in both engines. Scale: one
+  // keyed shuffle per side (or zero with the q53 bucketed layout);
+  // payload comparison is per-row. The two generations here are
+  // derived from the corpus (gen1 = q82's update/delete/insert batch
+  // applied), mirrored verbatim in the oracle.
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val docs = tbl(s, dir, "documents")
+    val gen0 = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val gen1 = gen0.where(col("doc_id") % 10 =!= 0) // deletes
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"), col("lang")) // updates
+      .unionAll(docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+        .select(col("doc_id"), col("text"), col("lang"))) // inserts
+    def dig(df: DataFrame, n: String) = df.select(col("doc_id"),
+      graft.functions.HashExprs.fnv1a32("concat(text, '|', lang)").as(n))
+    dig(gen0, "h0").join(dig(gen1, "h1"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h0").isNull, "added")
+          .when(col("h1").isNull, "removed")
+          .when(col("h0") =!= col("h1"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("status")
+  }
+
+  // Per-user event-type TRANSITION MATRIX (first-order Markov counts +
+  // row-normalized probabilities) — the sequence-analytics staple
+  // between q127's funnel (one fixed path) and a full sequence model:
+  // consecutive event pairs per user via one lag() window, then a
+  // global pair count. (ts, event_id) total order makes same-timestamp
+  // ties deterministic. Two keyed shuffles, both partial-agged; the
+  // probability is one division of exact longs.
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+    val cnt = pairs.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum(col("n")).as("row_n"))
+    cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("row_n")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // Shannon ENTROPY of the event-type distribution per user (plus the
+  // type count) — the behavioral-diversity score monitoring and
+  // bot-detection pipelines compute; the q143 xlogx discipline: counts
+  // exact, H = ln(n) − Σ c·ln(c)/n in one fixed-order expression,
+  // round(6) absorbs libm ln drift. Two partial-agged shuffles.
+  def userEntropy(s: SparkSession, dir: String): DataFrame = {
+    val c = events(s, dir).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    c.groupBy("user_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+        dsum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        round(log(col("n").cast("double"))
+          - col("sclc") / col("n").cast("double"), 6).as("entropy"))
+      .orderBy("user_id")
+  }
+
+  // GINI concentration of spend across users per event type — the
+  // inequality/concentration index (is value dominated by whales?):
+  // G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over per-user totals ranked
+  // ascending with user_id tiebreak. The rank weight is exact integer
+  // work inside a window; both Σ terms ride the DECIMAL route. One
+  // extra keyed shuffle for the rank — at 100 TB the per-user totals
+  // table is already ≪ raw events, so the window is cheap.
+  def giniByType(s: SparkSession, dir: String): DataFrame = {
+    val per = events(s, dir).groupBy("event_type", "user_id")
+      .agg(dsum(col("value")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy(col("x").asc, col("user_id").asc)
+    per.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        dsum(col("x")).as("sx"),
+        dsum((lit(2L) * col("i")).cast("double") * col("x")).as("s2ix"))
+      .select(col("event_type"), col("n_users"),
+        round((col("s2ix") - (col("n_users") + 1L).cast("double") * col("sx"))
+          / (col("n_users").cast("double") * col("sx")), 6).as("gini"))
+      .orderBy("event_type")
+  }
+
   // The PERSISTED sketch-rollup lifecycle q81's single-query form
   // doesn't show: per-day HLL user sketches are written as a partials
   // table (binary sketch column in parquet), and the weekly rollup
@@ -1937,6 +2039,57 @@ object Queries {
         |SELECT '__all__' AS lang, count(DISTINCT tok) AS exact_toks, true AS approx_ok
         |FROM tok
         |ORDER BY lang""".stripMargin,
+    // Same generation derivation, same FNV payload digest.
+    "q152_table_diff" -> {
+      val dig = graft.llm.Queries.fnvSql("(text || '|' || lang)")
+      s"""WITH g0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+         |g1 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END AS text, lang
+         |  FROM g0 WHERE doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id, text, lang FROM documents
+         |    WHERE doc_id % 2 = 1 AND doc_id % 10 = 1),
+         |d0 AS (SELECT doc_id, $dig AS h0 FROM g0),
+         |d1 AS (SELECT doc_id, $dig AS h1 FROM g1),
+         |j AS (SELECT coalesce(d0.doc_id, d1.doc_id) AS doc_id,
+         |  CASE WHEN h0 IS NULL THEN 'added' WHEN h1 IS NULL THEN 'removed'
+         |       WHEN h0 <> h1 THEN 'changed' ELSE 'unchanged' END AS status
+         |  FROM d0 FULL JOIN d1 ON d0.doc_id = d1.doc_id)
+         |SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM j GROUP BY status ORDER BY status""".stripMargin
+    },
+    // The same (ts, event_id)-ordered lag pairs and exact-count division.
+    "q153_markov" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, CAST(c.n AS DOUBLE) / t.row_n AS p
+        |FROM c JOIN t USING (from_type) ORDER BY c.from_type, c.to_type""".stripMargin,
+    // Exact counts; H = ln(n) - sum(c ln c)/n with the DECIMAL-route
+    // sum and the same fixed order.
+    "q154_entropy" ->
+      s"""WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+         |a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
+         |  ${dsumSql("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")} AS sclc
+         |  FROM c GROUP BY user_id)
+         |SELECT user_id, n, n_types,
+         |  round(ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE), 6) AS entropy
+         |FROM a ORDER BY user_id""".stripMargin,
+    // Same ascending (x, user) rank and the same two DECIMAL sums.
+    "q155_gini" ->
+      s"""WITH per AS (SELECT event_type, user_id, ${dsumSql("value")} AS x
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, user_id, x,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i FROM per),
+         |a AS (SELECT event_type, count(*) AS n_users, ${dsumSql("x")} AS sx,
+         |  ${dsumSql("CAST(2 * i AS DOUBLE) * x")} AS s2ix FROM r GROUP BY event_type)
+         |SELECT event_type, n_users,
+         |  round((s2ix - CAST(n_users + 1 AS DOUBLE) * sx)
+         |    / (CAST(n_users AS DOUBLE) * sx), 6) AS gini
+         |FROM a ORDER BY event_type""".stripMargin,
     // Exact weekly distinct + the true bound booleans (q81's pattern):
     // the rollup's estimate must land within 5% of this.
     "q151_sketch_rollup" ->
