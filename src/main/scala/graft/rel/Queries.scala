@@ -619,6 +619,8 @@ object Queries {
     "q81_hll_merge" -> (hllMergeAgg _),
     "q151_sketch_rollup" -> (sketchRollup _),
     "q152_table_diff" -> (tableDiff _),
+    "q156_ref_integrity" -> (refIntegrity _),
+    "q157_hist_quantiles" -> (histogramQuantiles _),
     "q153_markov" -> (markovTransitions _),
     "q154_entropy" -> (userEntropy _),
     "q155_gini" -> (giniByType _),
@@ -1316,6 +1318,70 @@ object Queries {
         (abs(hll_sketch_estimate(col("sk")) - col("exact_toks"))
           / col("exact_toks") < 0.05).as("approx_ok"))
     langRows.unionAll(allRow).orderBy("lang")
+  }
+
+  // REFERENTIAL-INTEGRITY audit across the full TPC-H foreign-key
+  // graph — the warehouse acceptance test (dangling FKs after a
+  // partial load are the classic silent corruption): one LEFT ANTI
+  // join per FK edge counting orphaned children, plus both sides' row
+  // counts for context. Dimension parents broadcast; the two fact-fact
+  // edges are keyed shuffles (AQE-splittable). All counts exact longs.
+  def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+      child.agg(count(lit(1)).as("child_rows")).crossJoin(
+          parent.agg(count(lit(1)).as("parent_rows")))
+        .crossJoin(orphans.agg(count(lit(1)).as("orphans")))
+        .select(lit(name).as("fk_edge"), col("child_rows"),
+          col("parent_rows"), col("orphans"))
+    }
+    val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+    val c = tbl(s, dir, "customer"); val su = tbl(s, dir, "supplier")
+    val p = tbl(s, dir, "part"); val n = tbl(s, dir, "nation")
+    val r = tbl(s, dir, "region")
+    edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+      .unionAll(edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
+      .unionAll(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+      .unionAll(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+      .unionAll(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+      .unionAll(edge("nation->region", n, "n_regionkey", r, "r_regionkey"))
+      .orderBy("fk_edge")
+  }
+
+  // Quantile estimation FROM the persisted fixed-grid histogram (q115's
+  // grid made useful): p50/p90 read off the cumulative bucket mass —
+  // the O(buckets) answer a monitoring dashboard serves without
+  // touching raw data, bounded by one bucket width of the truth. The
+  // estimate itself is pure integer/grid arithmetic (upper edge of the
+  // first bucket whose cumulative count reaches q·n) ⇒ exact parity;
+  // the ok_* booleans check it against each engine's own exact
+  // percentile with the one-bucket tolerance (the q30/q81 bound
+  // pattern — robust to cross-engine interpolation drift, red if the
+  // histogram path is wrong).
+  def histogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val h = events(s, dir)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / 25.0), lit(0.0)), lit(19.0))
+          .cast("long").as("bucket"), col("value"))
+    val hist = h.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val cum = hist.select(col("event_type"), col("bucket"), col("c"),
+      sum(col("c")).over(w).as("cum"),
+      sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+    def est(q: Double) = min(when(col("cum") >= col("n") * q,
+      (col("bucket") + 1L) * 25L)).cast("double")
+    val ex = events(s, dir).groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("ex50"),
+        expr("percentile(value, 0.9)").as("ex90"))
+    cum.groupBy("event_type")
+      .agg(est(0.5).as("est_p50"), est(0.9).as("est_p90"))
+      .join(ex, "event_type")
+      .select(col("event_type"), col("est_p50"), col("est_p90"),
+        (abs(col("est_p50") - col("ex50")) <= 25.0).as("ok_p50"),
+        (abs(col("est_p90") - col("ex90")) <= 25.0).as("ok_p90"))
+      .orderBy("event_type")
   }
 
   // TABLE DIFF — the snapshot-reconciliation operator (what a data
@@ -2039,6 +2105,44 @@ object Queries {
         |SELECT '__all__' AS lang, count(DISTINCT tok) AS exact_toks, true AS approx_ok
         |FROM tok
         |ORDER BY lang""".stripMargin,
+    // One anti-join count per FK edge, identical names and counts.
+    "q156_ref_integrity" ->
+      """WITH e(fk_edge, child_rows, parent_rows, orphans) AS (
+        |  SELECT 'lineitem->orders', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL SELECT 'lineitem->part', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM part),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  UNION ALL SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |  UNION ALL SELECT 'orders->customer', (SELECT count(*) FROM orders), (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL SELECT 'customer->nation', (SELECT count(*) FROM customer), (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |  UNION ALL SELECT 'supplier->nation', (SELECT count(*) FROM supplier), (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |  UNION ALL SELECT 'nation->region', (SELECT count(*) FROM nation), (SELECT count(*) FROM region),
+        |    (SELECT count(*) FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)))
+        |SELECT fk_edge, child_rows, parent_rows, orphans FROM e ORDER BY fk_edge""".stripMargin,
+    // The same integer grid walk; ok_* re-derived against DuckDB's own
+    // exact quantile with the one-bucket tolerance.
+    "q157_hist_quantiles" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(least(greatest(floor(value / 25.0), 0.0), 19.0) AS BIGINT) AS bucket, value
+        |  FROM events),
+        |hist AS (SELECT event_type, bucket, count(*) AS c FROM h GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bucket, c,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |  sum(c) OVER (PARTITION BY event_type) AS n FROM hist),
+        |est AS (SELECT event_type,
+        |  CAST(min(CASE WHEN cum >= n * 0.5 THEN (bucket + 1) * 25 END) AS DOUBLE) AS est_p50,
+        |  CAST(min(CASE WHEN cum >= n * 0.9 THEN (bucket + 1) * 25 END) AS DOUBLE) AS est_p90
+        |  FROM cum GROUP BY event_type),
+        |ex AS (SELECT event_type, quantile_cont(value, 0.5) AS ex50,
+        |  quantile_cont(value, 0.9) AS ex90 FROM events GROUP BY event_type)
+        |SELECT est.event_type, est_p50, est_p90,
+        |  abs(est_p50 - ex50) <= 25.0 AS ok_p50,
+        |  abs(est_p90 - ex90) <= 25.0 AS ok_p90
+        |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin,
     // Same generation derivation, same FNV payload digest.
     "q152_table_diff" -> {
       val dig = graft.llm.Queries.fnvSql("(text || '|' || lang)")
