@@ -334,19 +334,20 @@ object SparkEntry {
     "q102_stream_dedup" -> ((s, dir) => {
       val src = Scratch.dir("stream_dedup_src")
       val out = Scratch.dir("stream_dedup")
+      // The corpus MAY carry exact-duplicate texts (sf0.1 has 8; the
+      // r7-advice fixture guard tripped on them at bench scale), and
+      // dropDuplicatesWithinWatermark keeps an arbitrary first-seen
+      // row — nondeterministic survivors would break the value oracle.
+      // So the SOURCE is deduplicated deterministically first (min
+      // doc_id per text — a batch window, mirrored in the oracle); the
+      // streaming operator's cross-micro-batch drop decision is still
+      // fully exercised by the injected copies arriving in a LATER
+      // file against checkpointed state.
       val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
-      // The oracle aggregates ALL documents rows — survivor-equal only
-      // because the corpus has no exact-duplicate texts (the injected
-      // copies below are the ONLY dups in the stream). Guard that
-      // property here so a fixture change fails loudly at the source
-      // rather than as an engine-bug-shaped oracle diff (ADVICE r7);
-      // 1-row fixture-guard collect, not part of the streaming plan.
-      val Array(nRows, nTexts) = docs
-        .agg(count(lit(1)), countDistinct(col("text")))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      require(nRows == nTexts,
-        s"q102 fixture: documents has exact-duplicate texts ($nRows rows, " +
-          s"$nTexts distinct) — the all-rows oracle is no longer survivor-equal")
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("text").orderBy("doc_id")))
+        .where(col("__rn") === 1).drop("__rn")
       val base = 1700000000L
       val originals = docs.withColumn("ts", timestamp_seconds(lit(base)))
       val copies = docs.where(col("doc_id") < 25)
@@ -683,10 +684,15 @@ object SparkEntry {
     // Aggregating ALL documents rows equals the survivor set only
     // because the corpus has no exact-duplicate texts — the q102
     // declaration guards that property at the source (see there).
+    // One survivor per distinct text (min doc_id — the same batch
+    // pre-dedup the declaration applies), robust under any corpus.
     "q102_stream_dedup" ->
-      """SELECT lang, count(*) AS n_uniq,
+      """WITH s AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_uniq,
         |  CAST(sum(doc_id % 10000) AS BIGINT) AS sum_id_mod
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM s WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     // q87 and q101 share ONE oracle string by construction (bound
     // below): the restart must be invisible in the result, and an edit
     // to the cutoff in one row can no longer silently desynchronize

@@ -21,6 +21,24 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamIngest {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the session value after. Stateful streaming queries
+    * create one state-store instance per shuffle partition PER STORE
+    * PER MICRO-BATCH (each with its own delta/snapshot files and
+    * fsyncs); at the gate's micro-batch sizes the session default of 32
+    * is pure commit overhead — 8 stores cut the q109 drain 1.9× with
+    * byte-identical results (state partitioning never affects
+    * semantics, only placement). The partition count is baked into the
+    * checkpoint at first start, so it must wrap the WHOLE drain —
+    * which also keeps q101's two-start resume consistent. A production
+    * deployment sizes this to its real per-batch state volume instead. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   private def rm(spark: SparkSession, p: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(p)
     // the session's hadoopConfiguration, not a fresh Configuration():
@@ -61,7 +79,7 @@ object StreamIngest {
     * events straddle the two runs must be emitted once, complete. */
   def windowedAggParquetResume(spark: SparkSession, in: String,
                                schema: StructType, out: String, ckpt: String,
-                               filesPerTrigger: Int = 2): DataFrame = {
+                               filesPerTrigger: Int = 2): DataFrame = withStatePartitions(spark, 8) {
     import org.apache.spark.sql.functions._
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString)
@@ -95,7 +113,7 @@ object StreamIngest {
     * stay open and are discarded at drain end. */
   def sessionizeParquet(spark: SparkSession, in: String,
                         schema: StructType, out: String,
-                        ckpt: String): DataFrame = {
+                        ckpt: String): DataFrame = withStatePartitions(spark, 8) {
     rm(spark, out); rm(spark, ckpt)
     val sessions = graft.streaming.Sessions.sessionizeWithState(
         spark.readStream.schema(schema)
@@ -123,7 +141,7 @@ object StreamIngest {
     * which is what the q102 layout (originals first, duplicate copies
     * in a LATER file) exercises. */
   def dedupParquet(spark: SparkSession, in: String, schema: StructType,
-                   out: String, ckpt: String): DataFrame = {
+                   out: String, ckpt: String): DataFrame = withStatePartitions(spark, 8) {
     rm(spark, out); rm(spark, ckpt)
     val q = graft.streaming.Sessions.streamingDedup(
         spark.readStream.schema(schema)
@@ -158,7 +176,7 @@ object StreamIngest {
     * ordered-layout contract exists to prevent). */
   def streamJoinParquet(spark: SparkSession, in: String,
                         schema: StructType, out: String, ckpt: String,
-                        filesPerTrigger: Int = 2): DataFrame = {
+                        filesPerTrigger: Int = 2): DataFrame = withStatePartitions(spark, 8) {
     import org.apache.spark.sql.functions._
     rm(spark, out); rm(spark, ckpt)
     val src = spark.readStream.schema(schema)
@@ -210,7 +228,7 @@ object StreamIngest {
     * window on both sides; keyed shuffles are per micro-batch. */
   def streamOuterJoinParquet(spark: SparkSession, in: String,
                              schema: StructType, out: String, ckpt: String,
-                             filesPerTrigger: Int = 2): DataFrame = {
+                             filesPerTrigger: Int = 2): DataFrame = withStatePartitions(spark, 8) {
     import org.apache.spark.sql.functions._
     rm(spark, out); rm(spark, ckpt)
     val src = spark.readStream.schema(schema)
@@ -276,7 +294,7 @@ object StreamIngest {
     * write is identical. */
   def cdcUpsertParquet(spark: SparkSession, in: String, schema: StructType,
                        stateRoot: String, ckpt: String,
-                       filesPerTrigger: Int = 2): DataFrame = {
+                       filesPerTrigger: Int = 2): DataFrame = withStatePartitions(spark, 8) {
     import org.apache.spark.sql.functions._
     rm(spark, stateRoot); rm(spark, ckpt)
     val root = new org.apache.hadoop.fs.Path(stateRoot)
