@@ -284,6 +284,72 @@ object Queries {
       .orderBy("user_id", "sess_id")
   }
 
+  // Gap + DURATION-CAP sessionization: q16's inactivity-gap sessions
+  // additionally split whenever a session exceeds a maximum length —
+  // the policy real trackers enforce (a 12-hour "session" is a bug or
+  // a bot). A true running-reset cap needs sequential state, but
+  // splitting the gap-session into fixed cap-width cells measured
+  // from ITS OWN start is declarative: one more window (the session-
+  // start min) and an integer division — each sub-session is
+  // [start + i·cap, start + (i+1)·cap). Same two keyed shuffles as
+  // q16; the sub-split is a projection. Cap = 15 min: 224 of the 9549
+  // gate-SF sessions exceed it (max 56.6 min), so the split is
+  // exercised, not vacuous — a 1 h cap never fires on this corpus.
+  def sessionizeCapped(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val bySess = Window.partitionBy("user_id", "sess_id")
+    val gapUs = 1800L * 1000000L
+    val capUs = 900L * 1000000L
+    events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sess_start", min(col("us")).over(bySess))
+      .withColumn("sub_id", expr(s"(us - sess_start) DIV ${capUs}L"))
+      .groupBy("user_id", "sess_id", "sub_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("sub_start_us"), max(col("us")).as("sub_end_us"))
+      .withColumn("capped",
+        (col("sub_end_us") - col("sub_start_us")) <= capUs)
+      .orderBy("user_id", "sess_id", "sub_id")
+  }
+
+  // GOLDEN-RECORD construction (MDM survivorship): one current row per
+  // user where EACH column independently takes its most recent
+  // non-null value from the event history — the multi-source
+  // master-data rule that plain last-row-wins (q82/q118) gets wrong
+  // whenever the newest record has gaps (here: props.k is present on
+  // only some events, so the newest k usually lives on an older row
+  // than the newest event). One window pass with ignoreNulls last()
+  // per column over the (ts, event_id) total order, then the newest
+  // row per user carries the assembled record out. Scale: one keyed
+  // shuffle; the full-partition frame is a single ordered pass per
+  // user (no per-column re-sort).
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val newestFirst = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("last_k", last(col("k"), ignoreNulls = true).over(full))
+      .withColumn("last_type", last(col("event_type"), ignoreNulls = true).over(full))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("rn", row_number().over(newestFirst))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("us").as("last_us"),
+        col("last_type"), round(col("value"), 6).as("last_value"), col("last_k"))
+      .orderBy("user_id")
+  }
+
   // As-of join (an operator Spark has no native form of): every click
   // event matched to the same user's most recent view at or before it,
   // left-outer, ties toward the larger view event_id. Executed as
@@ -641,6 +707,8 @@ object Queries {
     "q129_gap_fill" -> (gapFill _),
     "q134_ewma" -> (ewmaDaily _),
     "q146_scd2" -> (scd2Versions _),
+    "q158_capped_sessions" -> (sessionizeCapped _),
+    "q159_golden_record" -> (goldenRecord _),
     "q147_time_travel" -> (scd2Snapshot _),
     "q148_correlation" -> (corrByGroup _),
     "q149_ols_regression" -> (olsByGroup _),
@@ -1930,6 +1998,47 @@ object Queries {
          |    AS filled_sum
          |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
          |ORDER BY 1, 2""".stripMargin,
+    // The same per-column IGNORE NULLS last over the same total order;
+    // the newest row carries the record (value rounds like everywhere).
+    "q159_golden_record" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |w AS (SELECT user_id, event_id, us, event_type, value,
+        |  last_value(k IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k,
+        |  last_value(event_type IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+        |  count(*) OVER (PARTITION BY user_id) AS n_events,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, n_events, us AS last_us, last_type,
+        |  round(value, 6) AS last_value, last_k
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // q16's gap machinery + the session-start window + the same
+    // integer cap-cell split.
+    "q158_capped_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, us,
+        |    CAST(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM y),
+        |w AS (
+        |  SELECT user_id, us, sess_id,
+        |    (us - min(us) OVER (PARTITION BY user_id, sess_id)) // 900000000 AS sub_id
+        |  FROM z)
+        |SELECT user_id, sess_id, sub_id, count(*) AS n_events,
+        |  min(us) AS sub_start_us, max(us) AS sub_end_us,
+        |  max(us) - min(us) <= 900000000 AS capped
+        |FROM w GROUP BY user_id, sess_id, sub_id
+        |ORDER BY user_id, sess_id, sub_id""".stripMargin,
     // Identical (ts, event_id) version ordering; lead() is pure.
     "q146_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from, value FROM events)
