@@ -319,6 +319,27 @@ object Queries {
       .orderBy("user_id", "sess_id", "sub_id")
   }
 
+  // TYPED Dataset aggregation — the Aggregator[IN, BUF, OUT] API
+  // (case-class buffers through Encoders, plain-Scala merge) driven
+  // from the typed groupByKey pipeline; the 8th custom-aggregation
+  // surface, complementing the native TypedImperativeAggregates (see
+  // functions.TypedAggs). The running sum follows the dsum DECIMAL
+  // route addend-for-addend, so the typed path lands on the same
+  // bits as the untyped aggregations and the oracle.
+  def typedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = events(s, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.TypedAggs.valueStatsCol)
+      .toDF("user_id", "stats")
+      .select(col("user_id"), col("stats.n").as("n"),
+        round(col("stats.sum").cast("double"), 6).as("sum_value"),
+        col("stats.min").as("min_value"), col("stats.max").as("max_value"))
+      .orderBy("user_id")
+  }
+
   // GOLDEN-RECORD construction (MDM survivorship): one current row per
   // user where EACH column independently takes its most recent
   // non-null value from the event history — the multi-source
@@ -709,6 +730,7 @@ object Queries {
     "q146_scd2" -> (scd2Versions _),
     "q158_capped_sessions" -> (sessionizeCapped _),
     "q159_golden_record" -> (goldenRecord _),
+    "q160_typed_agg" -> (typedAgg _),
     "q147_time_travel" -> (scd2Snapshot _),
     "q148_correlation" -> (corrByGroup _),
     "q149_ols_regression" -> (olsByGroup _),
@@ -1998,6 +2020,12 @@ object Queries {
          |    AS filled_sum
          |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
          |ORDER BY 1, 2""".stripMargin,
+    // The dsum route per group — the typed Aggregator must land on
+    // the identical bits.
+    "q160_typed_agg" ->
+      s"""SELECT user_id, count(*) AS n, round(${dsumSql("value")}, 6) AS sum_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The same per-column IGNORE NULLS last over the same total order;
     // the newest row carries the record (value rounds like everywhere).
     "q159_golden_record" ->

@@ -83,6 +83,41 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q136 interval join plans as a cell equi-join, never nested-loop") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = finalPlan(rel.Queries.intervalOverlap(spark, sf0001))
+        .split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        p.take(1200))
+      // the overlap-start dedup rule means NO distinct/dedup aggregate
+      // over the pair stream — exactly-once by construction
+      assert("hashaggregate".r.findAllIn(p.toLowerCase).isEmpty ||
+        !p.toLowerCase.contains("distinct"), p.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q137 triangles: equi-joins only, no cartesian wedge explosion") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val prs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(org.apache.spark.sql.functions.expr(
+          "filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr(
+            "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+              "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(org.apache.spark.sql.functions.col("p.src").as("src"),
+          org.apache.spark.sql.functions.col("p.dst").as("dst"))
+      val p = finalPlan(rel.Graph.triangles(prs))
+        .split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        p.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q139 conjunctive probe prunes the posting index to the terms' buckets") {
     llm.TextAnalysis.postingIndexWrite(
       spark.read.parquet(s"$sf0001/documents.parquet"),
