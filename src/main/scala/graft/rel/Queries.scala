@@ -319,6 +319,31 @@ object Queries {
       .orderBy("user_id", "sess_id", "sub_id")
   }
 
+  // BITMAP-based EXACT distinct (the Spark 3.5+ bitmap_* family):
+  // ids bucket into 32k-bit bitmap segments (bitmap_bucket_number /
+  // bitmap_construct_agg), per-bucket bitmaps OR-merge across any
+  // regrouping (bitmap_or_agg), and popcounts sum to the exact
+  // distinct — the warehouse pattern for SUB-AGGREGATABLE exact
+  // distincts (a materialized per-day bitmap table rolls up to any
+  // period exactly, where countDistinct forces a re-scan and HLL
+  // (q81/q151) pays an error). Here: per event type, the two-level
+  // bitmap pipeline next to countDistinct, equality as a column. The
+  // bitmaps themselves are engine-internal; everything EXPORTED is an
+  // exact count the oracle recomputes directly.
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"))
+    val seg = ev.groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    seg.groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_bitmap"),
+        count(lit(1)).as("n_buckets"))
+      .join(ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_distinct_exact")), "event_type")
+      .withColumn("agree", col("n_distinct_bitmap") === col("n_distinct_exact"))
+      .orderBy("event_type")
+  }
+
   // TYPED Dataset aggregation — the Aggregator[IN, BUF, OUT] API
   // (case-class buffers through Encoders, plain-Scala merge) driven
   // from the typed groupByKey pipeline; the 8th custom-aggregation
@@ -731,6 +756,7 @@ object Queries {
     "q158_capped_sessions" -> (sessionizeCapped _),
     "q159_golden_record" -> (goldenRecord _),
     "q160_typed_agg" -> (typedAgg _),
+    "q161_bitmap_distinct" -> (bitmapDistinct _),
     "q147_time_travel" -> (scd2Snapshot _),
     "q148_correlation" -> (corrByGroup _),
     "q149_ols_regression" -> (olsByGroup _),
@@ -2020,6 +2046,17 @@ object Queries {
          |    AS filled_sum
          |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
          |ORDER BY 1, 2""".stripMargin,
+    // Exact distincts recomputed directly; bucket count = distinct
+    // 32k-wide id segments (bitmap_bucket_number is 1-based:
+    // floor((id-1)/32768) + 1 — floor, not truncation: id 0 lands in
+    // bucket 0, and DuckDB's // truncates toward zero on negatives).
+    "q161_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_distinct_bitmap,
+        |  count(DISTINCT CAST(floor((user_id - 1) / 32768.0) AS BIGINT) + 1) AS n_buckets,
+        |  count(DISTINCT user_id) AS n_distinct_exact,
+        |  true AS agree
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The dsum route per group — the typed Aggregator must land on
     // the identical bits.
     "q160_typed_agg" ->
