@@ -344,6 +344,40 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // EXACT ROLLING DISTINCT via bitmap rollup — the q161 partials made
+  // operational (the bitmap analogue of q151's HLL rollup, but exact):
+  // per-(day, bucket) bitmaps build once from raw events; each day's
+  // trailing-7-day distinct-user count is then an OR-merge of ≤7×
+  // buckets bitmap rows (a range self-join on the day spine) + one
+  // popcount sum — O(days × window × buckets) bitmap work instead of
+  // re-scanning O(events × window) raw rows per day, and unlike HLL
+  // the answer is exact. countDistinct cannot do this: distinct is
+  // not sub-aggregatable, bitmaps are. Oracle recomputes each
+  // window's distinct from raw — the expensive path the rollup
+  // replaces.
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      expr("unix_micros(ts) DIV 86400000000").as("day"), col("user_id"))
+    val daily = ev.groupBy(col("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    // each day's bitmap serves the 7 trailing windows ending on
+    // day..day+6: explode onto that spine (the q43 cell trick — an
+    // equi-keyed shuffle, not a range join), OR-merge per (serve day,
+    // bucket), popcount, sum; a semi-join against the real day spine
+    // drops the phantom windows past the last day of data
+    val spine = ev.select(col("day")).distinct()
+    daily
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("bucket"), col("bm"))
+      .join(broadcast(spine), Seq("day"), "left_semi")
+      .groupBy("day", "bucket")
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("bc"))
+      .groupBy("day")
+      .agg(sum(col("bc")).as("users_7d"))
+      .orderBy("day")
+  }
+
   // TYPED Dataset aggregation — the Aggregator[IN, BUF, OUT] API
   // (case-class buffers through Encoders, plain-Scala merge) driven
   // from the typed groupByKey pipeline; the 8th custom-aggregation
@@ -757,6 +791,7 @@ object Queries {
     "q159_golden_record" -> (goldenRecord _),
     "q160_typed_agg" -> (typedAgg _),
     "q161_bitmap_distinct" -> (bitmapDistinct _),
+    "q162_rolling_distinct" -> (rollingDistinct _),
     "q147_time_travel" -> (scd2Snapshot _),
     "q148_correlation" -> (corrByGroup _),
     "q149_ols_regression" -> (olsByGroup _),
@@ -2046,6 +2081,14 @@ object Queries {
          |    AS filled_sum
          |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
          |ORDER BY 1, 2""".stripMargin,
+    // Each trailing window's distinct recomputed from raw — the
+    // expensive path the bitmap rollup replaces.
+    "q162_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |s AS (SELECT DISTINCT day FROM e)
+        |SELECT s.day, count(DISTINCT e.user_id) AS users_7d
+        |FROM s JOIN e ON e.day BETWEEN s.day - 6 AND s.day
+        |GROUP BY s.day ORDER BY s.day""".stripMargin,
     // Exact distincts recomputed directly; bucket count = distinct
     // 32k-wide id segments (bitmap_bucket_number is 1-based:
     // floor((id-1)/32768) + 1 — floor, not truncation: id 0 lands in
