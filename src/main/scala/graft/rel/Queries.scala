@@ -768,6 +768,7 @@ object Queries {
     "q156_ref_integrity" -> (refIntegrity _),
     "q157_hist_quantiles" -> (histogramQuantiles _),
     "q153_markov" -> (markovTransitions _),
+    "q163_markov_eval" -> (markovEval _),
     "q154_entropy" -> (userEntropy _),
     "q155_gini" -> (giniByType _),
     "q82_merge_upsert" -> (mergeUpsert _),
@@ -1594,6 +1595,41 @@ object Queries {
       .orderBy("from_type", "to_type")
   }
 
+  // NEXT-EVENT PREDICTION eval — q153's transition matrix used as a
+  // first-order Markov model and scored IN-ENGINE on the same events
+  // (training accuracy; a production run would fit on day < t and
+  // score on day ≥ t — same plan with two filters): per from-type the
+  // argmax next-type (ties to the lexicographically smallest — both
+  // engines' total order), then the fraction of transitions the
+  // argmax gets right. The model table is tiny (|types|²) and
+  // broadcast back onto the pair stream; the whole eval adds one
+  // window over 25 rows + one broadcast join to q153's plan.
+  def markovEval(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type"))
+    val cnt = pairs.groupBy("from_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val wArg = Window.partitionBy("from_type")
+      .orderBy(col("n").desc, col("next_type").asc)
+    val model = cnt.withColumn("r", row_number().over(wArg))
+      .where(col("r") === 1)
+      .select(col("from_type"), col("next_type").as("predicted"))
+    pairs.join(broadcast(model), "from_type")
+      .groupBy("from_type")
+      .agg(first(col("predicted")).as("predicted"),
+        count(lit(1)).as("n"),
+        sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n"))
+      .orderBy("from_type")
+  }
+
   // Shannon ENTROPY of the event-type distribution per user (plus the
   // type count) — the behavioral-diversity score monitoring and
   // bot-detection pipelines compute; the q143 xlogx discipline: counts
@@ -2378,6 +2414,23 @@ object Queries {
          |SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM j GROUP BY status ORDER BY status""".stripMargin
     },
+    // Same argmax (count DESC, type ASC) and the same scored stream.
+    "q163_markov_eval" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+        |  FROM e),
+        |pp AS (SELECT from_type, next_type FROM p WHERE next_type IS NOT NULL),
+        |c AS (SELECT from_type, next_type, count(*) AS n FROM pp GROUP BY 1, 2),
+        |m AS (SELECT from_type, next_type AS predicted FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY from_type
+        |     ORDER BY n DESC, next_type ASC) AS r FROM c) WHERE r = 1)
+        |SELECT pp.from_type, max(m.predicted) AS predicted, count(*) AS n,
+        |  CAST(sum(CASE WHEN pp.next_type = m.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN pp.next_type = m.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS accuracy
+        |FROM pp JOIN m USING (from_type)
+        |GROUP BY pp.from_type ORDER BY pp.from_type""".stripMargin,
     // The same (ts, event_id)-ordered lag pairs and exact-count division.
     "q153_markov" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
