@@ -625,6 +625,17 @@ object Queries {
     "q108_sq8_knn" -> ((s, dir) =>
       Sim.sq8Knn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
+    // E16 capstone: IVF-PQ — the coarse-pruning × residual-compression
+    // COMPOSITION (FAISS IndexIVFPQ design): nprobe=4 of 16 lists per
+    // query, vectors stored as 8 PQ codes of their residual, ADC
+    // estimate dot(q,c) + Σ LUT, exact rerank of the top-20. Every
+    // stage a fixed-order fold ⇒ the whole pipeline value-oracles
+    // (see Sim.ivfpqKnn). Recall honestly measured: 0.46 vs exact
+    // top-5 at sf0.01 (RecallSpec floor 0.3) — two approximations
+    // compound; production tunes nprobe and trains real codebooks.
+    "q164_ivfpq_knn" -> ((s, dir) =>
+      Sim.ivfpqKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
     // E16: PRODUCT-QUANTIZATION kNN (8 subspaces × 16 centroids, ADC
     // lookup-table scan, exact rerank of the top-20) — the third
     // compression axis after q108's precision and q122's dimensions.
@@ -1310,6 +1321,63 @@ object Queries {
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** DuckDB twin of [[Sim.ivfpqKnn]] at the q164 parameters (nlist=16,
+    * nprobe=4, m=8, ksub=16, rerank=20, k=5): the shared IVF assign
+    * CTE, residual sub-vectors against the assigned centroid, global
+    * residual codebooks from the first 16 vectors, argmin-L2 encode,
+    * probed-list restriction, and the ADC estimate dot(q,c) + Σ LUT
+    * with j-ascending folds throughout. */
+  private val ivfpqKnnOracle = {
+    val l2 = foldSum.format(
+      "list_transform(list_zip(rs.rsub, cb.pcv), p -> (p[1] - p[2]) * (p[1] - p[2]))")
+    val qdot = foldSum.format(
+      "list_transform(list_zip(qs.qsub, cb.pcv), p -> p[1] * p[2])")
+    s"""WITH ${ivfAssignCte(16)},
+       |rs AS (SELECT asg.vec_id, asg.cid, j,
+       |  list_transform(list_zip(asg.v[j*8+1 : j*8+8], c.cv[j*8+1 : j*8+8]),
+       |    p -> p[1] - p[2]) AS rsub
+       |  FROM asg JOIN c USING (cid), (SELECT unnest(range(8)) AS j)),
+       |cb AS (SELECT j, CAST(vec_id AS INT) AS pcid, rsub AS pcv
+       |  FROM rs WHERE vec_id < 16),
+       |e0 AS (SELECT rs.vec_id, rs.cid, rs.j, cb.pcid, $l2 AS dist
+       |  FROM rs JOIN cb ON cb.j = rs.j),
+       |codes AS (SELECT vec_id, cid, j, pcid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |    ORDER BY dist ASC, pcid ASC) AS r FROM e0) WHERE r = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+       |probed AS (SELECT qid, cid, qcdot FROM (
+       |  SELECT q.qid, c.cid,
+       |    ${dotSql("q.qv", "c.cv")} AS qcdot,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${dotSql("q.qv", "c.cv")} / (q.qnorm * c.cn) DESC, c.cid ASC) AS r
+       |  FROM q CROSS JOIN c) WHERE r <= 4),
+       |qs AS (SELECT qid, j, qv[j*8+1 : j*8+8] AS qsub
+       |  FROM q, (SELECT unnest(range(8)) AS j)),
+       |lut AS (SELECT qs.qid, qs.j, cb.pcid, $qdot AS d
+       |  FROM qs JOIN cb ON cb.j = qs.j),
+       |cand0 AS (SELECT p.qid, codes.vec_id, codes.j, codes.pcid, p.qcdot
+       |  FROM probed p JOIN codes ON codes.cid = p.cid
+       |  WHERE codes.vec_id <> p.qid),
+       |terms AS (SELECT c0.qid, c0.vec_id, c0.j, c0.qcdot, l.d
+       |  FROM cand0 c0 JOIN lut l
+       |    ON l.qid = c0.qid AND l.j = c0.j AND l.pcid = c0.pcid),
+       |ed AS (SELECT qid, vec_id, max(qcdot) AS qcdot,
+       |  ${foldSum.format("list(d ORDER BY j)")} AS rd
+       |  FROM terms GROUP BY qid, vec_id),
+       |est AS (SELECT qid, vec_id, qcdot + rd AS est FROM ed),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY est DESC, vec_id ASC) AS r FROM est) WHERE r <= 20),
+       |j2 AS (SELECT cand.qid, cand.vec_id,
+       |  ${dotSql("nb.v", "nq.v")} / (nb.norm * nq.norm) AS sim
+       |  FROM cand JOIN n nb ON nb.vec_id = cand.vec_id
+       |  JOIN n nq ON nq.vec_id = cand.qid),
+       |r2 AS (SELECT qid, vec_id, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, sim FROM r2
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** DuckDB twin of [[Sim.clusterDedup]] (nlist=16, threshold 0.35). */
   private val clusterDedupOracle =
     s"""WITH ${ivfAssignCte(16)},
@@ -1752,6 +1820,7 @@ object Queries {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q108_sq8_knn" -> sq8KnnOracle,
     "q140_pq_knn" -> pqKnnOracle,
+    "q164_ivfpq_knn" -> ivfpqKnnOracle,
     "q124_pagerank" -> pageRankOracle,
     // True shortest paths by recursive CTE (UNION dedups the state
     // space to nodes × depths) — certifies the fixed 6 rounds covered

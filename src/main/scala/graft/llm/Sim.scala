@@ -621,6 +621,99 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** IVF-PQ kNN — the COMPOSITION of the two ANN axes this file builds
+    * separately (Jégou et al., TPAMI 2011 §V; the FAISS IndexIVFPQ
+    * design — flavor, not a port): the coarse IVF quantizer prunes the
+    * corpus to `nprobe` inverted lists per query, and vectors inside a
+    * list are stored as PQ codes of their RESIDUAL v − c(list) —
+    * residuals concentrate near zero, so the same codebook budget
+    * quantizes them far better than raw vectors. Candidates rank by
+    * the inner-product estimate dot(q, c) + Σⱼ LUT[q][codeⱼ] (the
+    * first term exact per probed list, the second the ADC residual
+    * lookup), then the top-`rerank` are re-scored at full precision.
+    *
+    * Determinism: coarse centroids and residual codebooks both derive
+    * from the first vectors (the [[ivfCentroids]] convention); every
+    * reduction is a fixed-order fold (coordinates in index order,
+    * subspaces j-ascending) — candidates and estimates value-oracle
+    * end to end, the q108/q140 discipline.
+    *
+    * Scale: centroids, codebooks, probed-list keys, and LUTs all
+    * broadcast; the corpus streams through assign + encode once, and
+    * the ADC scan touches ONLY the probed lists' code rows — at
+    * 100 TB `enc` is the persisted cid-bucketed index table (exactly
+    * q106's layout; q114's append lifecycle applies unchanged), so a
+    * query batch reads nprobe/nlist of the codes, each 8 bytes per
+    * vector. */
+  def ivfpqKnn(emb: DataFrame, nQuery: Int, k: Int, dim: Int = 64,
+               nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+               rerank: Int = 20): DataFrame = {
+    val dsub = dim / m
+    require(dsub * m == dim, s"m=$m must divide dim=$dim")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val cents = ivfCentroids(base, nlist)
+    val asg = assignTo(base, cents)
+    val rsubs = asg.join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  zip_with(slice(v, j * $dsub + 1, $dsub),
+           |           slice(cv, j * $dsub + 1, $dsub), (x, y) -> x - y))"""
+          .stripMargin)).as(Seq("j", "rsub")))
+    val cb = rsubs.where(col("vec_id") < ksub)
+      .select(col("j"), col("vec_id").cast("int").as("pcid"), col("rsub").as("pcv"))
+    val wEnc = Window.partitionBy("vec_id", "j")
+      .orderBy(col("dist").asc, col("pcid").asc)
+    val codes = rsubs.join(broadcast(cb), "j")
+      .select(col("vec_id"), col("cid"), col("j"), col("pcid"),
+        fsum(zip_with(col("rsub"), col("pcv"), (x, y) => (x - y) * (x - y)))
+          .as("dist"))
+      .withColumn("r", row_number().over(wEnc)).where(col("r") === 1)
+    val enc = codes.groupBy("vec_id", "cid")
+      .agg(sort_array(collect_list(struct(col("j"), col("pcid")))).as("e"))
+      .select(col("vec_id"), col("cid"),
+        expr("transform(e, s -> s.pcid)").as("codes"))
+    val q = base.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        cosine(col("qv"), col("cv"), col("qnorm"), col("cn")).as("csim"),
+        fsum(zip_with(col("qv"), col("cv"), (x, y) => x * y)).as("qcdot"))
+      .withColumn("r", row_number().over(wProbe)).where(col("r") <= nprobe)
+      .select(col("qid"), col("cid"), col("qcdot"))
+    val lut = q.select(col("qid"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(qv, j * $dsub + 1, $dsub))"))
+        .as(Seq("j", "qsub")))
+      .join(broadcast(cb), "j")
+      .select(col("qid"), col("j"), col("pcid"),
+        fsum(zip_with(col("qsub"), col("pcv"), (x, y) => x * y)).as("d"))
+      .groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("j"), col("pcid"), col("d"))))
+        .as("l"))
+      .select(col("qid"), expr("transform(l, s -> s.d)").as("lut"))
+    val wEst = Window.partitionBy("qid").orderBy(col("est").desc, col("vec_id").asc)
+    val cand = enc.join(broadcast(probed), "cid")
+      .join(broadcast(lut), "qid")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("qcdot") + expr(s"aggregate(transform(codes, (c, j) -> " +
+          s"element_at(lut, j * $ksub + c + 1)), 0D, (a, x) -> a + x)"))
+          .as("est"))
+      .withColumn("r", row_number().over(wEst)).where(col("r") <= rerank)
+      .select(col("qid"), col("vec_id"))
+    val qFull = base.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"), col("norm").as("qn2"))
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    base.join(broadcast(cand), "vec_id")
+      .join(broadcast(qFull), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("qv2"), col("norm"), col("qn2")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "sim")
+  }
+
   def annKnn(emb: DataFrame, nQuery: Int, k: Int,
              nTables: Int = 16, bandPlanes: Int = 4,
              dim: Int = 64): DataFrame = {

@@ -343,6 +343,23 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("ivfpqKnn recall vs exact top-5; shared sims are exact cosines") {
+    val exact = Sim.cosineKnn(emb, nQuery = 10, k = 5)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivfpq = Sim.ivfpqKnn(emb, nQuery = 10, k = 5)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val recall = (ivfpq.keySet & exact.keySet).size.toDouble / exact.size
+    // two approximations compound (nprobe/nlist pruning × residual
+    // codes), so the floor sits below q140's single-axis PQ
+    assert(recall >= 0.3,
+      s"recall=$recall over ${exact.size} exact neighbors")
+    (ivfpq.keySet & exact.keySet).foreach { k =>
+      assert(ivfpq(k) == exact(k), s"rerank sim drifted for $k")
+    }
+  }
+
   test("fuzzyJoin: perfect precision; measured blocking recall >= 0.4") {
     import org.apache.spark.sql.functions.{concat_ws, slice, split}
     // Brute-force all-pairs edit distance over the derived titles vs the
