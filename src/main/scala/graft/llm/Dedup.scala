@@ -522,6 +522,72 @@ object Dedup {
       .where(col("jaccard") >= lit(tauNum.toDouble / tauDen))
   }
 
+  /** SORTED-NEIGHBORHOOD dedup (Hernández &amp; Stolfo, "The Merge/Purge
+    * Problem for Large Databases", SIGMOD 1995): sort every record by
+    * a key and compare each record only with its `w−1` successors in
+    * that order — O(n·w) comparisons, the window-based alternative to
+    * [[fuzzyJoin]]'s blocking (blocking recalls what shares a block
+    * key; SNM recalls what sorts NEARBY, catching prefix-similar pairs
+    * whose block keys differ).
+    *
+    * Distributed shape: a single global sort window would serialize on
+    * one partition, so records bucket by their leading character — a
+    * DATA-DERIVED, sort-contiguous bucketing (the q39 discipline: no
+    * spark_partition_id) — and rank inside buckets in parallel.
+    * Within-bucket neighbor pairs come from `w−1` lead() columns; the
+    * pairs that straddle a bucket boundary are recovered by joining
+    * each bucket's last `w−1` rows to the NEXT bucket's first `w−1`
+    * rows (bucket adjacency via a row_number over the tiny distinct-
+    * bucket table — the [[graft.llm.Pack.shardPack]] offsets
+    * convention) and keeping those with combined rank distance &lt; w.
+    * The union EQUALS the ideal single-window SNM whenever every
+    * bucket holds ≥ w−1 rows — and the gate oracle IS the ideal
+    * global-window form, so the row certifies the equivalence on the
+    * corpus rather than assuming it.
+    *
+    * Output: (d1, d2, dist) with d1 &lt; d2, exact Levenshtein ≤
+    * maxDist — precision 1, recall = what sorts within w. */
+  def sortedNeighborhood(docs: DataFrame, idCol: String, strCol: String,
+                         w: Int, maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), col(strCol).as("s"))
+      .withColumn("bkt", substring(col("s"), 1, 1))
+    val wB = Window.partitionBy("bkt").orderBy(col("s"), col("doc_id"))
+    val ranked = base
+      .withColumn("r", row_number().over(wB))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("bkt")))
+    val withLeads = ranked.select(
+      (Seq(col("doc_id"), col("s"), col("bkt"), col("r"), col("n")) ++
+        (1 until w).flatMap(i => Seq(
+          lead(col("doc_id"), i).over(wB).as(s"id$i"),
+          lead(col("s"), i).over(wB).as(s"s$i")))): _*)
+    val within = (1 until w).map { i =>
+      withLeads.where(col(s"id$i").isNotNull)
+        .select(col("doc_id").as("ida"), col("s").as("sa"),
+          col(s"id$i").as("idb"), col(s"s$i").as("sb"))
+    }.reduce(_ unionAll _)
+    // bucket adjacency: consecutive index over the (tiny) distinct
+    // bucket table — ≤ |alphabet| rows, the shardPack offsets shape
+    val bIdx = base.select(col("bkt")).distinct()
+      .withColumn("bi", row_number().over(Window.orderBy("bkt")))
+    val tails = ranked.join(broadcast(bIdx), "bkt")
+      .where(col("r") > col("n") - (w - 1))
+      .select(col("bi"), col("doc_id").as("ida"), col("s").as("sa"),
+        (col("n") - col("r")).as("from_end"))
+    val heads = ranked.join(broadcast(bIdx), "bkt")
+      .where(col("r") <= w - 1)
+      .select((col("bi") - 1).as("bi"), col("doc_id").as("idb"),
+        col("s").as("sb"), col("r").as("from_start"))
+    val cross = tails.join(heads, "bi")
+      .where(col("from_end") + col("from_start") < w)
+      .select(col("ida"), col("sa"), col("idb"), col("sb"))
+    within.unionAll(cross)
+      .select(least(col("ida"), col("idb")).as("d1"),
+        greatest(col("ida"), col("idb")).as("d2"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** INCREMENTAL maintenance of [[connectedComponents]] — the graph
     * analogue of the q100 signature-store lifecycle: a production dedup
     * pipeline keeps (edges, labels) tables between crawls and folds

@@ -314,6 +314,19 @@ object Queries {
       Dedup.fuzzyJoin(titled, "doc_id", "title", maxDist = 10)
         .orderBy("d1", "d2")
     }),
+    // E15: SORTED-NEIGHBORHOOD dedup over the same derived titles —
+    // the window-based entity-resolution alternative to q86's
+    // blocking (Hernández–Stolfo 1995). Buckets by leading character,
+    // parallel in-bucket leads + cross-boundary recovery; the oracle
+    // is the IDEAL single-window SNM, so the gate row certifies the
+    // distributed form reproduces it exactly on this corpus (see
+    // Dedup.sortedNeighborhood).
+    "q165_sorted_neighborhood" -> ((s, dir) => {
+      val titled = tbl(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " ", -1), 1, 5)).as("title"))
+      Dedup.sortedNeighborhood(titled, "doc_id", "title", w = 4, maxDist = 10)
+        .orderBy("d1", "d2")
+    }),
     // E14 finisher: KEEP-BEST dedup — within each exact-duplicate text
     // group, survive the highest-TRUST copy (metadata score desc,
     // doc_id asc tiebreak) instead of q17's min-id convention: the
@@ -1500,6 +1513,20 @@ object Queries {
         |FROM b a JOIN b c ON a.tok1 = c.tok1 AND a.lb = c.lb AND a.doc_id < c.doc_id
         |JOIN sz ON sz.tok1 = a.tok1 AND sz.lb = a.lb
         |WHERE levenshtein(a.title, c.title) <= 10
+        |ORDER BY d1, d2""".stripMargin,
+    // The IDEAL global-window SNM: one row_number over (title, id),
+    // pairs at rank distance 1..w-1 — the distributed bucketed form
+    // must reproduce it pair for pair.
+    "q165_sorted_neighborhood" ->
+      """WITH t AS (SELECT doc_id,
+        |  array_to_string((string_split(text, ' '))[1:5], ' ') AS title FROM documents),
+        |r AS (SELECT doc_id, title,
+        |  row_number() OVER (ORDER BY title, doc_id) AS rk FROM t)
+        |SELECT least(a.doc_id, b.doc_id) AS d1,
+        |  greatest(a.doc_id, b.doc_id) AS d2,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+        |WHERE levenshtein(a.title, b.title) <= 10
         |ORDER BY d1, d2""".stripMargin,
     "q79_bm25_topk" -> bm25TopKOracle(1.2, 0.75, Bm25QueryTerms, 20),
     // Same bigram counts, same 2×2 contingency table, the xlogx and

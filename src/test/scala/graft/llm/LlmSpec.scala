@@ -360,6 +360,33 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhood equals the ideal single-window SNM on real titles") {
+    import org.apache.spark.sql.functions.{concat_ws, slice, split}
+    val titled = docs.select(col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " ", -1), 1, 5)).as("title"))
+    val got = Dedup.sortedNeighborhood(titled, "doc_id", "title",
+        w = 4, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // plain-Scala ideal: global sort by (title, id), pairs at rank
+    // distance 1..3, Levenshtein <= 10
+    val rows = titled.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, t) => (t, id) }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      i <- rows.indices; j <- (i + 1) until math.min(i + 4, rows.length)
+      d = lev(rows(i)._2, rows(j)._2) if d <= 10
+    } yield (math.min(rows(i)._1, rows(j)._1),
+      math.max(rows(i)._1, rows(j)._1)) -> d.toLong).toMap
+    assert(got == expect && got.nonEmpty, s"got=${got.size} expect=${expect.size}")
+  }
+
   test("fuzzyJoin: perfect precision; measured blocking recall >= 0.4") {
     import org.apache.spark.sql.functions.{concat_ws, slice, split}
     // Brute-force all-pairs edit distance over the derived titles vs the
