@@ -724,6 +724,144 @@ object Queries {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  // ROC-AUC of a score column separating two classes, computed exactly
+  // via the Mann-Whitney rank-sum identity: AUC = (R⁺ − P(P+1)/2)/(P·N)
+  // where R⁺ is the sum of average ranks (ascending score, ties get the
+  // mean rank of their tie group) over the positive class. Score =
+  // events.value, positive class = purchase events — the classifier-
+  // evaluation operator (q88/q104 produce scores; this grades them).
+  //
+  // Scale shape: the raw stream reduces to one row PER DISTINCT SCORE
+  // (hash-agg, partial+final), and the global rank prefix-sum is the
+  // TWO-PHASE distributed form (q39's discipline): scores hash into
+  // fixed 50-unit range cells, the running count within each cell is a
+  // cell-local window (parallel across cells), and the cross-cell
+  // offsets come from a ≤16-row cell-totals table whose own prefix sum
+  // is the only single-partition window — O(cells), not O(scores).
+  // Ranks are integers+halves and R⁺ runs through dsum, so the one
+  // float division at the end is bit-identical cross-engine. The oracle
+  // computes the SAME statistic with a single global window — the
+  // distributed two-phase form must reproduce it exactly.
+  def rocAuc(s: SparkSession, dir: String): DataFrame = {
+    val perScore = events(s, dir)
+      .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("poscnt"))
+      .withColumn("cell", floor(col("score") / 50.0).cast("long"))
+    val inCell = Window.partitionBy("cell").orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellTotals = perScore.groupBy("cell")
+      .agg(sum(col("cnt")).as("cell_cnt"))
+      .withColumn("cell_offset",
+        coalesce(sum(col("cell_cnt")).over(
+          Window.orderBy(col("cell").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cell", "cell_offset")
+    perScore
+      .withColumn("cum_in", coalesce(sum(col("cnt")).over(inCell), lit(0L)))
+      .join(broadcast(cellTotals), "cell")
+      .withColumn("avg_rank",
+        (col("cell_offset") + col("cum_in")).cast("double")
+          + (col("cnt") + 1L).cast("double") / 2.0)
+      .agg(sum(col("poscnt")).as("n_pos"),
+        sum(col("cnt") - col("poscnt")).as("n_neg"),
+        dsum(col("poscnt").cast("double") * col("avg_rank")).as("rpos"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("rpos")
+          - col("n_pos").cast("double") * (col("n_pos") + 1L).cast("double") / 2.0)
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
+  }
+
+  // Market-basket association rules over the orders→parts bipartite
+  // graph (Agrawal–Srikant, VLDB 1994 measures): baskets are orders,
+  // items are distinct partkeys; for every co-occurring ordered pair
+  // (a→b) with pair support ≥ MinSup emit support, confidence
+  // supp(ab)/supp(a) and lift N·supp(ab)/(supp(a)·supp(b)), top-K by
+  // lift. Per-basket pair expansion is O(basket²) but baskets are
+  // naturally small (≤13 parts here) and the explicit size cap bounds
+  // the quadratic step at 100 TB — a degenerate mega-basket (a crawler
+  // session touching every item) is dropped, not exploded. Shuffles:
+  // one distinct on (order, part), one self-join keyed by order (AQE-
+  // splittable), two hash-aggs; item supports broadcast back onto the
+  // pair table. Confidence/lift are single divisions of exact integer
+  // counts in one fixed order, round(6).
+  def assocRules(s: SparkSession, dir: String, minSup: Long = 3L,
+                 maxBasket: Int = 64, topK: Int = 50): DataFrame = {
+    val items = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val bounded = items
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("ok")))
+      .where(col("bsize") <= maxBasket)
+      .select("ok", "pk")
+    val nBaskets = bounded.groupBy("ok").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = bounded.groupBy("pk").agg(count(lit(1)).as("item_cnt"))
+    val l = bounded.select(col("ok"), col("pk").as("a"))
+    val r = bounded.select(col("ok"), col("pk").as("b"))
+    val pairCnt = l.join(r, Seq("ok"))
+      .where(col("a") =!= col("b")) // both directions: a→b and b→a
+      .groupBy("a", "b").agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minSup)
+    pairCnt
+      .join(itemCnt.withColumnRenamed("pk", "a")
+        .withColumnRenamed("item_cnt", "cnt_a"), "a")
+      .join(itemCnt.withColumnRenamed("pk", "b")
+        .withColumnRenamed("item_cnt", "cnt_b"), "b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("pair_cnt"),
+        round(col("pair_cnt").cast("double") / col("cnt_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("pair_cnt").cast("double") * col("n_baskets").cast("double")
+          / (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
+  // 2-D skyline (Pareto frontier; Börzsönyi–Kossmann–Stocker, ICDE
+  // 2001): the parts no other part beats on BOTH price (minimize) and
+  // size (maximize) — dominance = (≤ price, ≥ size, strictly better in
+  // one). Prices go to exact integer cents so every comparison is
+  // integer. Distributed form (the q165 sorted-neighborhood discipline):
+  // parts hash into fixed $10 price cells; within a cell a part survives
+  // locally iff its size equals the cell's max at its exact price AND
+  // beats the running max over strictly-cheaper prices (a RANGE frame to
+  // 1 cent preceding — equal prices never leak in); across cells the
+  // ≤10-row cell-max table's prefix max (the only single-partition
+  // window, O(cells)) eliminates anything an earlier — strictly cheaper —
+  // cell already beats. Equal (price, size) twins never dominate each
+  // other, so both survive; the oracle is the ORTHOGONAL formulation
+  // (NOT EXISTS dominance anti-join) — two different algorithms must
+  // produce the identical frontier.
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = tbl(s, dir, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("sz"))
+      .withColumn("cell", expr("cents DIV 1000"))
+    val eqW = Window.partitionBy("cell", "cents")
+    val ltW = Window.partitionBy("cell").orderBy(col("cents").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val local = pts
+      .withColumn("m_eq", max(col("sz")).over(eqW))
+      .withColumn("m_lt", max(col("sz")).over(ltW))
+      .where(col("sz") === col("m_eq")
+        && (col("m_lt").isNull || col("sz") > col("m_lt")))
+    val cellMax = local.groupBy("cell").agg(max(col("sz")).as("cmax"))
+      .withColumn("g_lt", max(col("cmax")).over(
+        Window.orderBy(col("cell").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("cell", "g_lt")
+    local.join(broadcast(cellMax), "cell")
+      .where(col("g_lt").isNull || col("sz") > col("g_lt"))
+      .select(col("p_partkey"), col("cents"), col("sz"))
+      .orderBy(col("cents").asc, col("p_partkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -801,6 +939,9 @@ object Queries {
     "q119_range_layout" -> (rangeLayoutAgg _),
     "q126_zorder_layout" -> (zorderLayoutAgg _),
     "q96_map_zip" -> (mapZipFuncs _),
+    "q166_auc" -> (rocAuc _),
+    "q167_assoc_rules" -> ((s, dir) => assocRules(s, dir)),
+    "q168_skyline" -> (skyline _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -2494,5 +2635,52 @@ object Queries {
         |  UNION ALL SELECT doc_id, 'n_toks', n_toks FROM b
         |  UNION ALL SELECT doc_id, 'lang_len', lang_len FROM b)
         |SELECT doc_id, k, v * 2 AS v FROM u WHERE v > 5 ORDER BY doc_id, k""".stripMargin,
+    // Single GLOBAL-window formulation of the same Mann-Whitney rank
+    // statistic — the distributed two-phase prefix sum must match it.
+    "q166_auc" ->
+      s"""WITH g AS (SELECT value AS score, count(*) AS cnt,
+         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS poscnt
+         |  FROM events GROUP BY value),
+         |r AS (SELECT score, cnt, poscnt,
+         |  coalesce(sum(cnt) OVER (ORDER BY score ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM g),
+         |a AS (SELECT sum(poscnt) AS n_pos, sum(cnt - poscnt) AS n_neg,
+         |  ${dsumSql("CAST(poscnt AS DOUBLE) * (CAST(cum_before AS DOUBLE) + CAST(cnt + 1 AS DOUBLE) / 2.0)")} AS rpos
+         |  FROM r)
+         |SELECT n_pos, n_neg,
+         |  round((rpos - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+         |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+         |FROM a""".stripMargin,
+    // Same support/confidence/lift definitions on the same bounded
+    // baskets; divisions in the same fixed order.
+    "q167_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |bounded AS (SELECT ok, pk FROM (
+        |  SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS bsize FROM items)
+        |  WHERE bsize <= 64),
+        |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM bounded),
+        |ic AS (SELECT pk, count(*) AS item_cnt FROM bounded GROUP BY pk),
+        |pc AS (SELECT l.pk AS a, r.pk AS b, count(*) AS pair_cnt
+        |  FROM bounded l JOIN bounded r ON l.ok = r.ok AND l.pk <> r.pk
+        |  GROUP BY l.pk, r.pk HAVING count(*) >= 3)
+        |SELECT a, b, pair_cnt,
+        |  round(CAST(pair_cnt AS DOUBLE) / CAST(ca.item_cnt AS DOUBLE), 6) AS confidence,
+        |  round(CAST(pair_cnt AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+        |    / (CAST(ca.item_cnt AS DOUBLE) * CAST(cb.item_cnt AS DOUBLE)), 6) AS lift
+        |FROM pc JOIN ic ca ON pc.a = ca.pk JOIN ic cb ON pc.b = cb.pk CROSS JOIN nb
+        |ORDER BY lift DESC, confidence DESC, a ASC, b ASC LIMIT 50""".stripMargin,
+    // The orthogonal skyline formulation: dominance as a NOT EXISTS
+    // anti-join (≤ price, ≥ size, strictly better somewhere). The
+    // cell-partitioned window algorithm must produce this exact set.
+    "q168_skyline" ->
+      """WITH pts AS (SELECT p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |  CAST(p_size AS BIGINT) AS sz FROM part)
+        |SELECT p_partkey, cents, sz FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |  WHERE q.cents <= p.cents AND q.sz >= p.sz
+        |    AND (q.cents < p.cents OR q.sz > p.sz))
+        |ORDER BY cents ASC, p_partkey ASC""".stripMargin,
   )
 }

@@ -78,4 +78,35 @@ class RelSpec extends SparkSpec {
     val plan = Queries.topkOrders(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("q166 AUC equals the direct pairwise comparison probability") {
+    // Brute-force P(score_pos > score_neg) + 0.5*P(=) over all
+    // pos×neg pairs — the definition the rank-sum identity shortcuts.
+    val rows = Queries.events(spark, sf0001)
+      .select(col("value"), (col("event_type") === "purchase").cast("int"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expect = wins / (pos.length.toDouble * neg.length.toDouble)
+    val got = Queries.rocAuc(spark, sf0001).collect()(0)
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(math.abs(got.getDouble(2) - expect) < 1e-6,
+      s"auc ${got.getDouble(2)} vs brute $expect")
+  }
+
+  test("q168 skyline equals brute-force dominance filtering") {
+    val pts = spark.read.parquet(s"$sf0001/part.parquet")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, c, z) =>
+      !pts.exists { case (_, c2, z2) =>
+        c2 <= c && z2 >= z && (c2 < c || z2 > z) }
+    }.map(_._1).toSet
+    val got = Queries.skyline(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"got $got vs brute $brute")
+  }
 }
