@@ -862,6 +862,120 @@ object Queries {
       .orderBy(col("cents").asc, col("p_partkey").asc)
   }
 
+  // Interval coalescing (gaps-and-islands over genuine intervals — the
+  // temporal-normalization operator behind SCD merges and coverage
+  // reports): each purchase event opens a 30-minute activity interval
+  // [ts, ts+30m]; overlapping-or-touching intervals per user merge into
+  // maximal islands. The sequential "does this interval extend the
+  // current island?" recurrence becomes one window pass: an interval
+  // starts a new island iff its start exceeds the running max end over
+  // all earlier intervals (ordered by start, end, event_id — a total
+  // order), island id = prefix sum of those flags. All arithmetic is
+  // exact integer µs, so the recurrence is bit-identical cross-engine.
+  // Windows partition by user — parallel across users, no global sort;
+  // at 100 TB this is the q16 sessionize shape (one keyed shuffle).
+  def intervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val lenUs = 1800L * 1000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("start_us").asc, col("end_us").asc, col("event_id").asc)
+    events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + lenUs).as("end_us"))
+      .withColumn("prev_max_end",
+        max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull
+          || col("start_us") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("start_us")).as("island_start_us"),
+        max(col("end_us")).as("island_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "island")
+  }
+
+  // CUSUM changepoint statistic per event-type daily series (Page 1954),
+  // computed DECLARATIVELY via the prefix-sum closed form: the
+  // sequential recurrence S_t = max(0, S_{t-1} + x_t − k) equals
+  // C_t − min(0, min_{j≤t} C_j) with C the running sum of (x_t − k) —
+  // two window functions replace the unparallelizable fold. Everything
+  // is exact integer micro-units (values scaled ×10⁶, k = floor mean,
+  // h = 4×mean absolute deviation), so the cumulative sums are
+  // bit-identical cross-engine with no float-association risk (a window
+  // SUM over doubles is NOT order-safe — DuckDB's segment-tree
+  // accumulation associates differently). Scale shape: one hash-agg
+  // reduces the raw stream to O(types × days) rows; every window after
+  // that runs on the reduced table, partitioned by type.
+  def cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        round(col("value") * 1000000).cast("long").as("vmicro"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("vmicro")).as("x"))
+    val params = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("tot"))
+      .withColumn("k", expr("tot DIV n_days"))
+      .select("event_type", "n_days", "k")
+    val withK = daily.join(broadcast(params), "event_type")
+    val h = withK.groupBy("event_type")
+      .agg(expr("sum(abs(x - k)) DIV count(1)").as("adev"))
+      .withColumn("h", col("adev") * 4L)
+      .select("event_type", "h")
+    val byDay = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withK.join(broadcast(h), "event_type")
+      .withColumn("c", sum(col("x") - col("k")).over(byDay))
+      .withColumn("s_t", col("c") - least(lit(0L), min(col("c")).over(byDay)))
+      .groupBy("event_type")
+      .agg(max(col("n_days")).as("n_days"), max(col("k")).as("k"),
+        max(col("h")).as("h"), max(col("s_t")).as("max_s"),
+        sum(when(col("s_t") > col("h"), 1L).otherwise(0L)).as("n_alarms"),
+        coalesce(min(when(col("s_t") > col("h"), col("day"))), lit(-1L))
+          .as("first_alarm_day"))
+      .orderBy("event_type")
+  }
+
+  // Trailing-window z-score anomaly detection over per-type daily event
+  // counts: each day is scored against the mean/σ of the 7 PRECEDING
+  // observed days (ROWS frame — strictly causal, the current day never
+  // contaminates its own baseline). The |z| > 3 decision is evaluated in
+  // PURE INTEGER form: z² > 9 ⇔ (7x − s1)² > 9(7s2 − s1²), so the flag
+  // itself is exact with no float comparison at all; only the reported
+  // max |z| rounds a float, computed in one fixed order from the same
+  // integer sums. One hash-agg reduces the stream to O(types × days);
+  // the window runs per type over the reduced table.
+  def zscoreAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("x"))
+    val trail = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("s1", sum(col("x")).over(trail))
+      .withColumn("s2", sum(col("x") * col("x")).over(trail))
+      .withColumn("m", count(lit(1)).over(trail))
+      .where(col("m") === 7L)
+      .withColumn("num", lit(7L) * col("x") - col("s1"))
+      .withColumn("den2", lit(7L) * col("s2") - col("s1") * col("s1"))
+      .withColumn("anom", col("num") * col("num") > lit(9L) * col("den2"))
+      .withColumn("z6",
+        when(col("den2") > 0L,
+          round(abs(col("num")).cast("double")
+            / sqrt(col("den2").cast("double")), 6)).otherwise(lit(0.0)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"),
+        max(col("z6")).as("max_z"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -942,6 +1056,9 @@ object Queries {
     "q166_auc" -> (rocAuc _),
     "q167_assoc_rules" -> ((s, dir) => assocRules(s, dir)),
     "q168_skyline" -> (skyline _),
+    "q169_interval_coalesce" -> (intervalCoalesce _),
+    "q170_cusum" -> (cusum _),
+    "q171_zscore_anomaly" -> (zscoreAnomaly _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -2673,6 +2790,65 @@ object Queries {
     // The orthogonal skyline formulation: dominance as a NOT EXISTS
     // anti-join (≤ price, ≥ size, strictly better somewhere). The
     // cell-partitioned window algorithm must produce this exact set.
+    // Same total order, same running-max-end island rule, exact µs.
+    "q169_interval_coalesce" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+        |  epoch_us(ts) + 1800000000 AS end_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, start_us, end_us,
+        |  CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |    ORDER BY start_us ASC, end_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR start_us > max(end_us) OVER (PARTITION BY user_id
+        |    ORDER BY start_us ASC, end_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS new_island,
+        |  event_id FROM iv),
+        |g AS (SELECT user_id, start_us, end_us,
+        |  sum(new_island) OVER (PARTITION BY user_id
+        |    ORDER BY start_us ASC, end_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f)
+        |SELECT user_id, island, min(start_us) AS island_start_us,
+        |  max(end_us) AS island_end_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
+    // Same integer micro-units, same closed-form S_t = C_t − min(0, min C).
+    "q170_cusum" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  sum(CAST(round(value * 1000000) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, count(*) AS n_days,
+        |  sum(x) // count(*) AS k FROM daily GROUP BY 1),
+        |hh AS (SELECT d.event_type, (sum(abs(d.x - p.k)) // count(*)) * 4 AS h
+        |  FROM daily d JOIN p USING (event_type) GROUP BY d.event_type),
+        |c AS (SELECT d.event_type, d.day, p.n_days, p.k, hh.h,
+        |  sum(d.x - p.k) OVER (PARTITION BY d.event_type ORDER BY d.day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily d JOIN p USING (event_type) JOIN hh USING (event_type)),
+        |s AS (SELECT event_type, day, n_days, k, h,
+        |  cum - least(0, min(cum) OVER (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_t FROM c)
+        |SELECT event_type, max(n_days) AS n_days, max(k) AS k, max(h) AS h,
+        |  max(s_t) AS max_s,
+        |  sum(CASE WHEN s_t > h THEN 1 ELSE 0 END) AS n_alarms,
+        |  coalesce(min(CASE WHEN s_t > h THEN day END), -1) AS first_alarm_day
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same integer flag algebra; the only float is the same fixed-order
+    // rounded |z|.
+    "q171_zscore_anomaly" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS x FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |  sum(x) OVER tr AS s1, sum(x * x) OVER tr AS s2, count(*) OVER tr AS m
+        |  FROM daily WINDOW tr AS (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT event_type, 7 * x - s1 AS num, 7 * s2 - s1 * s1 AS den2
+        |  FROM w WHERE m = 7)
+        |SELECT event_type, count(*) AS n_scored,
+        |  sum(CASE WHEN num * num > 9 * den2 THEN 1 ELSE 0 END) AS n_anomalies,
+        |  max(CASE WHEN den2 > 0
+        |    THEN round(abs(num) / sqrt(CAST(den2 AS DOUBLE)), 6)
+        |    ELSE 0.0 END) AS max_z
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q168_skyline" ->
       """WITH pts AS (SELECT p_partkey,
         |  CAST(round(p_retailprice * 100) AS BIGINT) AS cents,

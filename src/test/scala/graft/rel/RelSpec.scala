@@ -96,6 +96,33 @@ class RelSpec extends SparkSpec {
       s"auc ${got.getDouble(2)} vs brute $expect")
   }
 
+  test("q170 CUSUM closed form equals the sequential max(0, S+d) fold") {
+    // Rebuild the same per-(type, day) integer series and fold it the
+    // textbook way; the window closed form must land on the same
+    // max_s / n_alarms / first_alarm_day.
+    val daily = Queries.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        round(col("value") * 1000000).cast("long").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2)
+      val k = xs.map(_._3).sum / xs.length
+      val h = 4L * (xs.map(x => math.abs(x._3 - k)).sum / xs.length)
+      var s = 0L; var maxS = 0L; var nAl = 0L; var first = -1L
+      for ((_, day, x) <- xs) {
+        s = math.max(0L, s + (x - k))
+        maxS = math.max(maxS, s)
+        if (s > h) { nAl += 1; if (first < 0) first = day }
+      }
+      t -> ((maxS, nAl, first))
+    }
+    val got = Queries.cusum(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, s"got $got vs fold $expect")
+  }
+
   test("q168 skyline equals brute-force dominance filtering") {
     val pts = spark.read.parquet(s"$sf0001/part.parquet")
       .select(col("p_partkey"),
