@@ -599,6 +599,15 @@ object Queries {
       Sim.truncatedKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5,
         dims = 16)
         .orderBy("qid", "rnk")),
+    // Cluster labeling: top TF-IDF tokens per embedding cluster — the
+    // "what is this cluster about" report right after the quantizer
+    // runs (q46/q47's clusters made human-readable; cross-modal
+    // composition like q93: clusters from embeddings, labels from the
+    // joined documents' text).
+    "q173_cluster_labels" -> ((s, dir) =>
+      TextAnalysis.clusterLabels(tbl(s, dir, "documents"),
+        Sim.ivfAssign(tbl(s, dir, "embeddings"), nlist = 16)
+          .select("vec_id", "cid"))),
     // E15: exact n-gram Jaccard brute-force baseline (bounded id range)
     "q20_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -1404,6 +1413,28 @@ object Queries {
        |SELECT vec_id, rep_id, sim FROM d WHERE sim >= 0.35
        |ORDER BY vec_id""".stripMargin
 
+  /** DuckDB twin of [[TextAnalysis.clusterLabels]]: the same IVF
+    * assignment CTE, the same cluster-level tf/df, the same fixed-order
+    * tf·ln(n/df) with round(6). */
+  private val clusterLabelsOracle =
+    s"""WITH ${ivfAssignCte(16)},
+       |tok AS (SELECT asg.cid, t.tok
+       |  FROM documents d JOIN asg ON d.doc_id = asg.vec_id,
+       |  LATERAL unnest(string_split(d.text, ' ')) AS t(tok)
+       |  WHERE t.tok <> ''),
+       |tf AS (SELECT cid, tok, count(*) AS tf FROM tok GROUP BY cid, tok),
+       |dfp AS (SELECT tok, count(*) AS df FROM
+       |  (SELECT DISTINCT cid, tok FROM tok) GROUP BY tok),
+       |nc AS (SELECT count(DISTINCT cid) AS n_clusters FROM asg),
+       |sc AS (SELECT tf.cid, tf.tok, tf.tf, dfp.df,
+       |  round(tf.tf * ln(CAST(nc.n_clusters AS DOUBLE) / dfp.df), 6) AS score
+       |  FROM tf JOIN dfp USING (tok) CROSS JOIN nc),
+       |r AS (SELECT cid, tok, tf, df, score,
+       |  CAST(row_number() OVER (PARTITION BY cid
+       |    ORDER BY score DESC, tok ASC) AS BIGINT) AS rnk FROM sc)
+       |SELECT cid, rnk, tok, tf, df, score FROM r
+       |WHERE rnk <= 3 ORDER BY cid, rnk""".stripMargin
+
   /** DuckDB twin of [[Sim.kmeansRefine]] at any iteration count: the
     * iterated Lloyd chain unrolled as CTEs. Per iteration — per-(cid,
     * dim) means through the same DECIMAL(38,12) VARCHAR-round-trip
@@ -1887,6 +1918,7 @@ object Queries {
         |FROM deg LEFT JOIN pn USING (node)
         |ORDER BY deg.node""".stripMargin,
     "q46_cluster_dedup" -> clusterDedupOracle,
+    "q173_cluster_labels" -> clusterLabelsOracle,
     "q39_shard_pack" ->
       s"""WITH t AS (SELECT doc_id,
         |  ${Pack.estTokensSql("text")} AS n_tokens FROM documents),

@@ -176,6 +176,37 @@ object TextAnalysis {
   /** TF-IDF with languages as the document unit: tf(lang, term) ×
     * ln(n_langs / df(term)), rounded to 6 dp for cross-engine libm
     * stability. */
+  /** Cluster labeling: the top-`topK` tokens per embedding cluster by
+    * cluster-level TF-IDF — the human-readable "what is this cluster
+    * about" report a curation pipeline runs right after k-means
+    * (cluster via [[Sim.ivfAssign]], label here). The cluster plays the
+    * document role: tf = token count within the cluster, df = number of
+    * clusters containing the token, score = tf·ln(n_clusters/df).
+    *
+    * Scale: the corpus tokenizes once (one exchange feeds both the tf
+    * and df aggs), the 1-row cluster count broadcasts, and the rank
+    * window partitions by cid over the already-reduced (cid, tok)
+    * table — O(vocab) per cluster, never O(tokens). The only float is
+    * tf·ln(ratio) in one fixed order, round(6) absorbing the one-ulp
+    * libm divergence (q27's proven pattern); ties break on token ASC. */
+  def clusterLabels(docs: DataFrame, asg: DataFrame, topK: Int = 3): DataFrame = {
+    val tok = docs.join(asg, docs("doc_id") === asg("vec_id"))
+      .select(col("cid"), explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = tok.groupBy("cid", "tok").agg(count(lit(1)).as("tf"))
+    val dfp = tok.select("cid", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = asg.agg(countDistinct(col("cid")).as("n_clusters"))
+    val w = Window.partitionBy("cid").orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfp, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_clusters").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select("cid", "rnk", "tok", "tf", "df", "score")
+      .orderBy("cid", "rnk")
+  }
+
   def tfidf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("lang"), explode(split(col("text"), " ", -1)).as("tok"))
       .where(col("tok") =!= "")

@@ -976,6 +976,41 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Session path analysis: the top event-type TRIGRAMS users walk
+  // within a session (q16's 30-min gap rule) — the navigation-pattern
+  // operator behind funnel discovery (q127 checks a KNOWN funnel; this
+  // MINES candidate paths). Two lead() calls over the session-partitioned
+  // order produce each 3-step window; trigrams never cross a session
+  // boundary (lead is frame-bounded by the partition). One keyed
+  // shuffle for the windows (user — same partitioning serves both the
+  // session-id and lead passes), one hash-agg over trigrams, top-20 via
+  // TakeOrderedAndProject. Deterministic tiebreak (cnt DESC, then the
+  // three types ASC).
+  def pathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gapUs = 1800L * 1000000L
+    val sess = events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy("user_id", "sess_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1059,6 +1094,7 @@ object Queries {
     "q169_interval_coalesce" -> (intervalCoalesce _),
     "q170_cusum" -> (cusum _),
     "q171_zscore_anomaly" -> (zscoreAnomaly _),
+    "q172_path_trigrams" -> (pathTrigrams _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -2832,6 +2868,24 @@ object Queries {
         |  sum(CASE WHEN s_t > h THEN 1 ELSE 0 END) AS n_alarms,
         |  coalesce(min(CASE WHEN s_t > h THEN day END), -1) AS first_alarm_day
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same gap rule, same session-bounded leads, same total order.
+    "q172_path_trigrams" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN lag(us, 1) OVER w IS NULL
+        |    OR us - lag(us, 1) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |g AS (SELECT user_id, event_id, event_type, us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f),
+        |t AS (SELECT event_type AS t1,
+        |  lead(event_type, 1) OVER sw AS t2, lead(event_type, 2) OVER sw AS t3
+        |  FROM g WINDOW sw AS (PARTITION BY user_id, sess_id
+        |    ORDER BY us ASC, event_id ASC))
+        |SELECT t1, t2, t3, count(*) AS cnt FROM t
+        |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY cnt DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 20""".stripMargin,
     // Same integer flag algebra; the only float is the same fixed-order
     // rounded |z|.
     "q171_zscore_anomaly" ->
