@@ -207,6 +207,64 @@ object Curation {
     * `slice` expansion, all inside whole-stage codegen; NO shuffle
     * (PlanSpec-pinned). Output rows ≈ input tokens / stride, the
     * shape that feeds q39/q70's packing. */
+  /** Distributed BPE tokenizer training (Sennrich et al., ACL 2016;
+    * the Gage 1994 byte-pair idea): `rounds` merge steps over the
+    * corpus word-frequency table, returning the learned merge table
+    * (round, a, b, wcnt) — the artifact a tokenizer ships.
+    *
+    * The standard formulation already IS the distributed one: BPE
+    * statistics live on the (word, count) VOCABULARY, not the corpus —
+    * so the corpus shuffles ONCE (the word-count hash-agg) and every
+    * merge round runs on the reduced vocab table: per-round cost is one
+    * pair-explosion + hash-agg over O(distinct words × word length),
+    * the argmax pair is a TakeOrderedAndProject(1) whose single row
+    * broadcasts back, and the merge application is a per-row codegen'd
+    * `aggregate()` fold — ZERO driver actions in any round (the q124
+    * discipline; `localCheckpoint` between rounds truncates lineage
+    * exactly as [[Sim.kmeansRefine]] documents).
+    *
+    * The fold implements the greedy LEFT-TO-RIGHT merge exactly: walk
+    * the symbol array, and when the accumulator's last symbol is `a`
+    * and the next is `b`, replace the last with `ab` (a just-merged
+    * `ab` becomes the new last symbol and is never retroactively
+    * re-merged — [a,a,a] → [aa,a], [a,b,a,b] → [ab,ab]). The DuckDB
+    * oracle replays the identical fold via `list_reduce`, so merge
+    * CHOICES (argmax with the (wcnt DESC, a ASC, b ASC) total order),
+    * merged vocabularies, and weights all value-oracle bit-for-bit —
+    * integer counts, no floats anywhere. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    var vocab = docs
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val pairsOfSyms =
+      "CASE WHEN size(syms) > 1 THEN transform(sequence(1, size(syms) - 1), " +
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) " +
+        "ELSE cast(array() AS array<struct<a: string, b: string>>) END"
+    val mergeFold =
+      "aggregate(syms, cast(array() AS array<string>), (acc, x) -> " +
+        "CASE WHEN try_element_at(acc, -1) = ma AND x = mb " +
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb))) " +
+        "ELSE concat(acc, array(x)) END)"
+    val merges = (1 to rounds).map { r =>
+      val best = vocab
+        .select(col("cnt"), explode(expr(pairsOfSyms)).as("p"))
+        .groupBy(col("p.a").as("ma"), col("p.b").as("mb"))
+        .agg(sum(col("cnt")).as("wcnt"))
+        .orderBy(col("wcnt").desc, col("ma").asc, col("mb").asc)
+        .limit(1)
+      vocab = vocab.crossJoin(broadcast(best.select("ma", "mb")))
+        .withColumn("syms", expr(mergeFold))
+        .drop("ma", "mb")
+      if (r < rounds) vocab = vocab.localCheckpoint()
+      best.select(lit(r.toLong).as("round"), col("ma").as("a"),
+        col("mb").as("b"), col("wcnt"))
+    }
+    merges.reduce(_.unionByName(_)).orderBy("round")
+  }
+
   def chunk(docs: DataFrame, idCol: String, textCol: String,
             window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,

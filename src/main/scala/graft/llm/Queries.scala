@@ -599,6 +599,14 @@ object Queries {
       Sim.truncatedKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5,
         dims = 16)
         .orderBy("qid", "rnk")),
+    // Distributed BPE tokenizer training: 4 merge rounds over the
+    // corpus word-frequency vocabulary — corpus shuffles once, every
+    // round is vocab-sized, argmax via TakeOrderedAndProject(1), merge
+    // applied as a broadcast-joined codegen aggregate() fold; zero
+    // driver actions (q124 discipline). The oracle replays the exact
+    // greedy fold, so merge choices AND weights value-oracle.
+    "q174_bpe_train" -> ((s, dir) =>
+      Curation.bpeTrain(tbl(s, dir, "documents"), "text", rounds = 4)),
     // Cluster labeling: top TF-IDF tokens per embedding cluster — the
     // "what is this cluster about" report right after the quantizer
     // runs (q46/q47's clusters made human-readable; cross-modal
@@ -1413,6 +1421,45 @@ object Queries {
        |SELECT vec_id, rep_id, sim FROM d WHERE sim >= 0.35
        |ORDER BY vec_id""".stripMargin
 
+  /** DuckDB twin of [[Curation.bpeTrain]] at any round count: the
+    * merge loop unrolled as CTEs. Per round — the same weighted pair
+    * counts over the same vocabulary, the same (wcnt DESC, a, b) argmax,
+    * and the same greedy left-to-right merge fold replayed via
+    * `list_reduce` (accumulator prepended as a typed empty list, the
+    * just-merged symbol never retroactively re-merged). Integer counts
+    * only, so every round's choice and weight is bit-exact. Pair keys
+    * ride a space separator — symbols come from space-split words and
+    * can never contain one. */
+  private def bpeOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      val fold = s"""list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+         |    (acc, x) -> CASE WHEN acc[-1] = b.ma AND x[1] = b.mb
+         |      THEN list_append(array_slice(acc, 1, len(acc) - 1), b.ma || b.mb)
+         |      ELSE list_concat(acc, x) END)""".stripMargin
+      s""",
+         |p$r AS (SELECT string_split(pr, ' ')[1] AS ma,
+         |  string_split(pr, ' ')[2] AS mb, sum(cnt) AS wcnt
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |    i -> syms[i] || ' ' || syms[i + 1])) AS pr FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT ma, mb, wcnt FROM p$r
+         |  ORDER BY wcnt DESC, ma ASC, mb ASC LIMIT 1),
+         |w$r AS (SELECT cnt, $fold AS syms FROM $prev CROSS JOIN b$r b)""".stripMargin
+    }.mkString
+    val rows = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, ma AS a, mb AS b, wcnt FROM b$r")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |w0 AS (SELECT cnt, string_split(w, '') AS syms FROM wc)$steps
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY round""".stripMargin
+  }
+
   /** DuckDB twin of [[TextAnalysis.clusterLabels]]: the same IVF
     * assignment CTE, the same cluster-level tf/df, the same fixed-order
     * tf·ln(n/df) with round(6). */
@@ -1919,6 +1966,7 @@ object Queries {
         |ORDER BY deg.node""".stripMargin,
     "q46_cluster_dedup" -> clusterDedupOracle,
     "q173_cluster_labels" -> clusterLabelsOracle,
+    "q174_bpe_train" -> bpeOracle(4),
     "q39_shard_pack" ->
       s"""WITH t AS (SELECT doc_id,
         |  ${Pack.estTokensSql("text")} AS n_tokens FROM documents),

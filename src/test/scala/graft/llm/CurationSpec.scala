@@ -145,4 +145,32 @@ class CurationSpec extends SparkSpec {
     assert(kept == expect)
     assert(kept.nonEmpty && kept.size < docs.count())
   }
+
+  test("q174 BPE merge table equals a plain-Scala reference on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // Textbook single-machine BPE: weighted pair counts over the word
+    // vocabulary, (count DESC, a, b) argmax, greedy left-to-right merge.
+    var vocab: Vector[(Vector[String], Long)] = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector, ws.length.toLong) }.toVector
+    val expect = (1 to 4).map { r =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- vocab; i <- 0 until syms.length - 1)
+        pairs.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + cnt))
+      val ((a, b), w) = pairs.toVector
+        .sortBy { case ((pa, pb), c) => (-c, pa, pb) }.head
+      vocab = vocab.map { case (syms, cnt) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (x <- syms)
+          if (buf.nonEmpty && buf.last == a && x == b) buf(buf.length - 1) = a + b
+          else buf += x
+        (buf.toVector, cnt)
+      }
+      (r.toLong, a, b, w)
+    }
+    val got = Curation.bpeTrain(docs, "text", rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect, s"got $got vs reference $expect")
+  }
 }
