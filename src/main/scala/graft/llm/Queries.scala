@@ -607,6 +607,19 @@ object Queries {
     // greedy fold, so merge choices AND weights value-oracle.
     "q174_bpe_train" -> ((s, dir) =>
       Curation.bpeTrain(tbl(s, dir, "documents"), "text", rounds = 4)),
+    // MMR diversified top-k rerank: greedy λ-tradeoff between query
+    // relevance and redundancy vs the already-picked set, unrolled as
+    // 5 declarative rounds over the checkpointed top-20 pool; the
+    // corpus is touched once (the pool stage).
+    "q175_mmr_diversify" -> ((s, dir) =>
+      Sim.mmrDiversify(tbl(s, dir, "embeddings"), nQuery = 10, pool = 20,
+        k = 5)),
+    // Hybrid dense+sparse retrieval: RRF-fuse the cosine ranking with
+    // the lexical token-overlap ranking for the same query docs
+    // (doc_id = vec_id identity, q93).
+    "q176_rrf_fusion" -> ((s, dir) =>
+      Sim.rrfFusion(tbl(s, dir, "embeddings"), tbl(s, dir, "documents"),
+        nQuery = 10, pool = 20, k = 10)),
     // Cluster labeling: top TF-IDF tokens per embedding cluster — the
     // "what is this cluster about" report right after the quantizer
     // runs (q46/q47's clusters made human-readable; cross-modal
@@ -1421,6 +1434,99 @@ object Queries {
        |SELECT vec_id, rep_id, sim FROM d WHERE sim >= 0.35
        |ORDER BY vec_id""".stripMargin
 
+  /** DuckDB twin of [[Sim.mmrDiversify]]: the greedy MMR loop unrolled
+    * as CTEs. The same fold-cosine pool and pair sims, the same
+    * λ·sim − (1−λ)·max-penalty scoring with the SAME pre-combined
+    * double literals, the same (score DESC, vec_id ASC) argmax per
+    * round — so the data-dependent pick sequence must match exactly. */
+  private def mmrOracle(nQuery: Int, pool: Int, k: Int, lam: Double): String = {
+    val mu = 1.0 - lam
+    def dot(a: String, b: String) =
+      foldSum.format(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
+    val rounds = (2 to k).map { r =>
+      s""",
+         |p$r AS (SELECT qid, vec_id, score FROM (
+         |  SELECT g.qid, g.vec_id, g.score, row_number() OVER (PARTITION BY g.qid
+         |    ORDER BY g.score DESC, g.vec_id ASC) AS rn
+         |  FROM (SELECT c.qid, c.vec_id, $lam * c.sim - $mu * max(p.dsim) AS score
+         |    FROM cands c
+         |    JOIN cp p ON p.qid = c.qid AND p.d1 = c.vec_id
+         |    JOIN sel${r - 1} s ON s.qid = p.qid AND s.vec_id = p.d2
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+         |      WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |    GROUP BY c.qid, c.vec_id, c.sim) g) WHERE rn = 1),
+         |sel$r AS (SELECT qid, vec_id FROM sel${r - 1}
+         |  UNION ALL SELECT qid, vec_id FROM p$r)""".stripMargin
+    }.mkString
+    val out = (1 to k).map(r =>
+      s"SELECT qid, CAST($r AS BIGINT) AS rnk, vec_id, round(score, 6) AS score FROM p$r")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n
+       |  WHERE vec_id < $nQuery),
+       |cs AS (SELECT qid, vec_id, v, norm, sim,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rnk FROM (
+       |  SELECT q.qid, n.vec_id, n.v, n.norm,
+       |    ${dot("n.v", "q.qv")} / (n.norm * q.qnorm) AS sim
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid)),
+       |cands AS (SELECT qid, vec_id, v, norm, sim FROM cs WHERE rnk <= $pool),
+       |cp AS (SELECT a.qid, a.vec_id AS d1, b.vec_id AS d2,
+       |  ${dot("a.v", "b.v")} / (a.norm * b.norm) AS dsim
+       |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+       |p1 AS (SELECT qid, vec_id, score FROM (
+       |  SELECT qid, vec_id, $lam * sim AS score,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY $lam * sim DESC, vec_id ASC) AS rn FROM cands)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT qid, vec_id FROM p1)$rounds
+       |SELECT * FROM (
+       |  $out)
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** DuckDB twin of [[Sim.rrfFusion]]: the same two deterministic
+    * rankings, the same union-fuse with CAST(1.0 AS DOUBLE) forcing
+    * IEEE division (a bare 1.0 is DECIMAL in DuckDB), terms summed in
+    * the same cos-then-text order. */
+  private def rrfOracle(nQuery: Int, pool: Int, k: Int, rrfK: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n
+       |  WHERE vec_id < $nQuery),
+       |cs AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rnk FROM (
+       |  SELECT q.qid, n.vec_id,
+       |    ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
+       |      / (n.norm * q.qnorm) AS sim
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid)),
+       |cosr AS (SELECT qid, vec_id AS doc_id, CAST(rnk AS BIGINT) AS r_cos
+       |  FROM cs WHERE rnk <= $pool),
+       |tok AS (SELECT DISTINCT doc_id, t AS tok FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+       |  WHERE t <> ''),
+       |qt AS (SELECT doc_id AS qid, tok FROM tok WHERE doc_id < $nQuery),
+       |ov AS (SELECT qt.qid, tok.doc_id, count(*) AS overlap
+       |  FROM qt JOIN tok USING (tok) WHERE tok.doc_id <> qt.qid
+       |  GROUP BY qt.qid, tok.doc_id),
+       |txtr AS (SELECT qid, doc_id, r_txt FROM (
+       |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY overlap DESC, doc_id ASC) AS BIGINT) AS r_txt FROM ov)
+       |  WHERE r_txt <= $pool),
+       |f AS (SELECT coalesce(c.qid, t.qid) AS qid,
+       |  coalesce(c.doc_id, t.doc_id) AS doc_id,
+       |  coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + c.r_cos), 0.0)
+       |    + coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + t.r_txt), 0.0) AS rrf
+       |  FROM cosr c FULL JOIN txtr t
+       |    ON c.qid = t.qid AND c.doc_id = t.doc_id)
+       |SELECT qid, rnk, doc_id, round(rrf, 6) AS rrf FROM (
+       |  SELECT qid, doc_id, rrf, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rnk FROM f)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
   /** DuckDB twin of [[Curation.bpeTrain]] at any round count: the
     * merge loop unrolled as CTEs. Per round — the same weighted pair
     * counts over the same vocabulary, the same (wcnt DESC, a, b) argmax,
@@ -1967,6 +2073,8 @@ object Queries {
     "q46_cluster_dedup" -> clusterDedupOracle,
     "q173_cluster_labels" -> clusterLabelsOracle,
     "q174_bpe_train" -> bpeOracle(4),
+    "q175_mmr_diversify" -> mmrOracle(10, 20, 5, 0.7),
+    "q176_rrf_fusion" -> rrfOracle(10, 20, 10, 60),
     "q39_shard_pack" ->
       s"""WITH t AS (SELECT doc_id,
         |  ${Pack.estTokensSql("text")} AS n_tokens FROM documents),

@@ -49,6 +49,125 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k re-ranking (Carbonell
+    * & Goldstein, SIGIR 1998): from each query's exact top-`pool`
+    * relevance candidates, greedily pick `k` results maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) — the standard
+    * redundancy-suppressing rerank between retrieval and a context
+    * window. The sequential greedy loop unrolls into `k` declarative
+    * rounds (the q124/q174 discipline — zero driver actions): each
+    * round anti-joins out the picked set, computes every remaining
+    * candidate's penalty with one (qid, picked)-keyed join + max-agg
+    * over the PRECOMPUTED candidate-pair sims, and picks the per-query
+    * argmax (score DESC, vec_id ASC). All rounds run on checkpointed
+    * nQuery×pool-row tables — the corpus is touched exactly once, by
+    * the pool stage (one broadcast pass, q21's shape).
+    *
+    * Float determinism: sims are the same sequential-fold cosine both
+    * engines compute bit-identically; λ and (1−λ) are pre-combined in
+    * Scala and the SAME double literals are interpolated into both
+    * plans (bm25's constant discipline), so even the data-dependent
+    * argmax choices agree exactly; output rounds to 6dp. */
+  def mmrDiversify(emb: DataFrame, nQuery: Int, pool: Int, k: Int,
+                   lam: Double = 0.7): DataFrame = {
+    val mu = 1.0 - lam
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val q = v.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("norm").as("qnorm")).where(col("qid") < nQuery)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val cands = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("norm"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= pool)
+      .select("qid", "vec_id", "v", "norm", "sim")
+      .localCheckpoint()
+    val candSim = cands.select(col("qid"), col("vec_id").as("d1"),
+        col("v").as("v1"), col("norm").as("n1"))
+      .join(cands.select(col("qid"), col("vec_id").as("d2"),
+        col("v").as("v2"), col("norm").as("n2")), Seq("qid"))
+      .where(col("d1") =!= col("d2"))
+      .select(col("qid"), col("d1"), col("d2"),
+        cosine(col("v1"), col("v2"), col("n1"), col("n2")).as("dsim"))
+      .localCheckpoint()
+    val rel = cands.select("qid", "vec_id", "sim")
+    val pickW = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    var sel: DataFrame = null
+    val picks = (1 to k).map { r =>
+      val scored =
+        if (r == 1) rel.withColumn("score", col("sim") * lit(lam))
+        else {
+          val pen = candSim
+            .join(broadcast(sel.select(col("qid"), col("vec_id").as("d2"))),
+              Seq("qid", "d2"))
+            .groupBy(col("qid"), col("d1").as("vec_id"))
+            .agg(max(col("dsim")).as("pen"))
+          rel.join(sel, Seq("qid", "vec_id"), "left_anti")
+            .join(pen, Seq("qid", "vec_id"))
+            .withColumn("score", col("sim") * lit(lam) - col("pen") * lit(mu))
+        }
+      val pick = scored
+        .withColumn("rn", row_number().over(pickW))
+        .where(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("score"), lit(r.toLong).as("rnk"))
+      sel = (if (r == 1) pick.select("qid", "vec_id")
+             else sel.union(pick.select("qid", "vec_id"))).localCheckpoint()
+      pick
+    }
+    picks.reduce(_.union(_))
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse each query's embedding-cosine ranking
+    * with its lexical token-overlap ranking as
+    * Σ 1/(60 + rank), over the UNION of both top-`pool` lists (a doc
+    * missing from one list contributes 0 from it) — the
+    * dense+sparse ensemble every modern retrieval stack runs, here as
+    * one declarative plan over the q93 cross-modal identity
+    * (doc_id = vec_id). Both input rankings are integer-deterministic
+    * (fold-cosine with id tiebreak; distinct-token overlap counts), so
+    * the fused scores — two exact divisions summed in one fixed
+    * order — value-oracle bit-for-bit.
+    *
+    * Scale: the query token set broadcasts and only matching tokens
+    * shuffle (q111's decontamination shape); the cosine pool is one
+    * broadcast corpus pass (q21); the fusion join runs on two
+    * nQuery×pool-row tables. */
+  def rrfFusion(emb: DataFrame, docs: DataFrame, nQuery: Int, pool: Int,
+                k: Int, rrfK: Int = 60): DataFrame = {
+    val cosR = cosineKnn(emb, nQuery, pool)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("r_cos"))
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "").distinct()
+    val qtoks = toks.where(col("doc_id") < nQuery)
+      .select(col("doc_id").as("qid"), col("tok"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("overlap").desc, col("doc_id").asc)
+    val txtR = qtoks.join(toks, Seq("tok"))
+      .where(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("overlap"))
+      .withColumn("r_txt", row_number().over(w).cast("long"))
+      .where(col("r_txt") <= pool)
+      .select("qid", "doc_id", "r_txt")
+    val fuseW = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    cosR.join(txtR, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_cos")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("r_txt")), lit(0.0)))
+      .withColumn("rnk", row_number().over(fuseW).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Exact cosine top-k via the native codegen'd
     * [[graft.functions.CosineSim]] expression — same plan shape and
     * bit-identical results as [[cosineKnn]], with the per-pair math in a

@@ -244,6 +244,38 @@ class SimSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mmrDiversify equals a plain-Scala greedy MMR on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 30L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val lam = 0.7; val mu = 1.0 - lam
+    val expected = (0L until 3L).flatMap { q =>
+      val cands = vecs.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(vecs(q.toInt)._2, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(10)
+      var sel = Vector.empty[Long]
+      (1 to 4).map { r =>
+        val scored = cands.filter(c => !sel.contains(c._1)).map { case (i, s) =>
+          if (sel.isEmpty) (i, s * lam)
+          else {
+            val pen = sel.map(j => cos(vecs(i.toInt)._2, vecs(j.toInt)._2)).max
+            (i, s * lam - pen * mu)
+          }
+        }
+        val pick = scored.sortBy { case (i, sc) => (-sc, i) }.head
+        sel :+= pick._1
+        (q, r.toLong, pick._1)
+      }
+    }.toSet
+    val got = Sim.mmrDiversify(embDf(vecs), nQuery = 3, pool = 10, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("lsh buckets: identical vectors share a bucket; annKnn finds the twin") {
     val rnd = new scala.util.Random(9)
     val v0 = Seq.fill(16)(rnd.nextFloat())
