@@ -554,6 +554,24 @@ object Queries {
       graft.rel.Graph.pageRank(edges, iters = 3, damping = 0.85)
         .orderBy("node")
     }),
+    // Community detection: 2 synchronous weighted label-propagation
+    // rounds over the (undirected) bigram graph — deterministic
+    // min-label tiebreak, all-integer state, zero driver actions per
+    // round (see rel.Graph.labelPropagation). 2 rounds keeps the gate
+    // graph (31 densely-connected token nodes) at 3 communities —
+    // probed at 1/2/3 rounds: 19/3/1; full LPA on so dense a graph
+    // collapses to one label, textbook behavior, so the declared row
+    // is pinned just before the collapse to stay non-vacuous.
+    "q177_label_propagation" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val edges = prs.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      graft.rel.Graph.labelPropagation(edges, iters = 2)
+    }),
     // Single-source BFS distances over the (undirected) bigram graph,
     // 6 fixed relaxation rounds as one declarative plan; the oracle's
     // recursive CTE computes the TRUE minimum, so the gate row also
@@ -1257,6 +1275,31 @@ object Queries {
     * very Scala double the Spark plan uses (`1.0 - 0.85` is NOT 0.15
     * in IEEE arithmetic — see Graph.pageRank's scaladoc), so ranks are
     * bit-identical across engines at every round. */
+  /** DuckDB twin of [[graft.rel.Graph.labelPropagation]] at 2 rounds:
+    * the same symmetrized self-loop-free bigram edges, the same
+    * weighted (wt DESC, label ASC) adoption per round, unrolled as
+    * CTEs. All-integer state — exact at every round. */
+  private val labelPropOracle: String = {
+    val rounds = (1 to 2).map { r =>
+      s""",
+         |l$r AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (PARTITION BY node
+         |    ORDER BY wt DESC, label ASC) AS rn
+         |  FROM (SELECT s.a AS node, l.label AS label, sum(s.w) AS wt
+         |    FROM sym s JOIN l${r - 1} l ON l.node = s.b
+         |    GROUP BY s.a, l.label) g) WHERE rn = 1)""".stripMargin
+    }.mkString
+    s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+       |p0 AS (SELECT unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+       |e AS (SELECT ts[i+1] AS src, ts[i+2] AS dst, count(*) AS w FROM p0 GROUP BY 1, 2),
+       |u AS (SELECT src AS a, dst AS b, w FROM e WHERE src <> dst
+       |  UNION ALL SELECT dst AS a, src AS b, w FROM e WHERE src <> dst),
+       |sym AS (SELECT a, b, sum(w) AS w FROM u GROUP BY a, b),
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)$rounds
+       |SELECT label, count(*) AS size, min(node) AS min_node
+       |FROM l2 GROUP BY label ORDER BY label""".stripMargin
+  }
+
   private val pageRankOracle: String = {
     val damping = 0.85
     def dec(x: String) =
@@ -2033,6 +2076,7 @@ object Queries {
     "q140_pq_knn" -> pqKnnOracle,
     "q164_ivfpq_knn" -> ivfpqKnnOracle,
     "q124_pagerank" -> pageRankOracle,
+    "q177_label_propagation" -> labelPropOracle,
     // True shortest paths by recursive CTE (UNION dedups the state
     // space to nodes × depths) — certifies the fixed 6 rounds covered
     // the diameter.

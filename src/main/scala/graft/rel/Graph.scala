@@ -1,6 +1,7 @@
 package graft.rel
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over an edge DataFrame — the workload class
@@ -101,6 +102,50 @@ object Graph {
     * Output: (node, deg, tri, clustering) — clustering =
     * 2·tri / (deg·(deg−1)), 0 for deg &lt; 2; one IEEE division on
     * exact integers, bit-identical across engines. */
+  /** Synchronous weighted label propagation (Raghavan et al., Phys.
+    * Rev. E 2007) — community detection in `iters` fixed rounds, each
+    * declared work the same shuffle-on-key shape as [[pageRank]]: every
+    * node adopts the label carrying the highest incident edge-weight
+    * sum among its neighbors' CURRENT labels (ties → smallest label —
+    * a deterministic total order, where the textbook breaks ties
+    * randomly). Edges are symmetrized and self-loops dropped;
+    * a node whose only edges are self-loops has no neighbors and is
+    * not part of the propagation graph. All state is (string, integer)
+    * — no floats anywhere, so every round's data-dependent adoption is
+    * exactly reproducible cross-engine.
+    *
+    * Scale: per round one equi-join keyed by neighbor + one hash-agg on
+    * (node, label) + one per-node argmax window over the REDUCED
+    * (node, label, weight) table; shuffle O(edges) — the Pregel LPA
+    * superstep. `localCheckpoint` between rounds bounds plan depth
+    * (the q47/q174 discipline). Output: one row per surviving label —
+    * (label, size, min_node). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"),
+        col("weight").as("w"))
+      .where(col("a") =!= col("b"))
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val byNode = Window.partitionBy("node")
+      .orderBy(col("wt").desc, col("label").asc)
+    for (r <- 1 to iters) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(sum(col("w")).as("wt"))
+        .withColumn("rn", row_number().over(byNode))
+        .where(col("rn") === 1)
+        .select("node", "label")
+      if (r < iters) labels = labels.localCheckpoint()
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"))
+      .orderBy("label")
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

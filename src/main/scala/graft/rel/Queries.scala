@@ -1011,6 +1011,38 @@ object Queries {
       .limit(20)
   }
 
+  // Tukey boxplot outlier fences + winsorization (Tukey, EDA 1977):
+  // per event type, the [q25 − 1.5·IQR, q75 + 1.5·IQR] fence over
+  // exact integer cents, outlier counts on each side, and the
+  // winsorized (fence-clamped) mean. Exactness chain: percentile
+  // interpolation at 0.25/0.75 lands on binary-exact quarter weights
+  // over integers (q51's discipline), the IQR fence arithmetic stays
+  // on exact eighths, so the clamp COMPARISONS are exact and the
+  // clamped values flow through the DECIMAL dsum route — only the
+  // final mean divides. One grouped sort-agg for the quantiles
+  // (partial-agg'd percentile), one broadcast of the 5-row fence
+  // table back onto the scan.
+  def outlierFence(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val fences = e.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.25)").as("q25"),
+        expr("percentile(cents, 0.75)").as("q75"))
+      .withColumn("lo", col("q25") - (col("q75") - col("q25")) * 1.5)
+      .withColumn("hi", col("q75") + (col("q75") - col("q25")) * 1.5)
+    e.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents").cast("double") < col("lo"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("cents").cast("double") > col("hi"), 1L).otherwise(0L))
+          .as("n_high"),
+        max(col("lo")).as("fence_lo"), max(col("hi")).as("fence_hi"),
+        round(dsum(least(greatest(col("cents").cast("double"), col("lo")),
+          col("hi"))) / count(lit(1)), 6).as("winsor_mean"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1095,6 +1127,7 @@ object Queries {
     "q170_cusum" -> (cusum _),
     "q171_zscore_anomaly" -> (zscoreAnomaly _),
     "q172_path_trigrams" -> (pathTrigrams _),
+    "q178_outlier_fence" -> (outlierFence _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -2868,6 +2901,23 @@ object Queries {
         |  sum(CASE WHEN s_t > h THEN 1 ELSE 0 END) AS n_alarms,
         |  coalesce(min(CASE WHEN s_t > h THEN day END), -1) AS first_alarm_day
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same quarter-weight quantile interpolation (q51's), same eighth-
+    // exact fence arithmetic, same clamp through the DECIMAL route.
+    "q178_outlier_fence" ->
+      s"""WITH e AS (SELECT event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |q AS (SELECT event_type, quantile_cont(cents, 0.25) AS q25,
+         |  quantile_cont(cents, 0.75) AS q75 FROM e GROUP BY event_type),
+         |f AS (SELECT event_type,
+         |  q25 - (q75 - q25) * 1.5 AS lo, q75 + (q75 - q25) * 1.5 AS hi FROM q)
+         |SELECT e.event_type, count(*) AS n,
+         |  sum(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 ELSE 0 END) AS n_low,
+         |  sum(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 ELSE 0 END) AS n_high,
+         |  max(lo) AS fence_lo, max(hi) AS fence_hi,
+         |  round(${dsumSql("least(greatest(CAST(cents AS DOUBLE), lo), hi)")}
+         |    / count(*), 6) AS winsor_mean
+         |FROM e JOIN f ON e.event_type = f.event_type
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // Same gap rule, same session-bounded leads, same total order.
     "q172_path_trigrams" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
