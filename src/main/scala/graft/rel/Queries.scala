@@ -1043,6 +1043,102 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // GSP-style length-2 sequential pattern support (Srikant–Agrawal,
+  // EDBT 1996): for every ORDERED event-type pair (a → b), the number
+  // of sessions where a's earliest occurrence strictly precedes b's —
+  // subsequence support, NOT adjacency (q172 counts contiguous paths;
+  // q127 checks one known funnel; this measures every candidate
+  // ordering). Sessions reduce to ≤|types| rows each (per-session-type
+  // min over the session window), so the pair expansion is a
+  // session-keyed self-join of a tiny-per-key table — O(types²) per
+  // session, never O(events²). Support ratios are single divisions of
+  // exact counts, round(6).
+  def seqPairs(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gapUs = 1800L * 1000000L
+    val sess = events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id", "event_type")
+      .agg(min(col("us")).as("first_us"))
+    val nSess = sess.select("user_id", "sess_id").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val l = sess.select(col("user_id"), col("sess_id"),
+      col("event_type").as("ta"), col("first_us").as("ua"))
+    val r = sess.select(col("user_id"), col("sess_id"),
+      col("event_type").as("tb"), col("first_us").as("ub"))
+    l.join(r, Seq("user_id", "sess_id"))
+      .where(col("ta") =!= col("tb") && col("ua") < col("ub"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_support"))
+      .crossJoin(broadcast(nSess))
+      .select(col("ta"), col("tb"), col("n_support"),
+        round(col("n_support").cast("double")
+          / col("n_sessions").cast("double"), 6).as("support"))
+      .orderBy("ta", "tb")
+  }
+
+  // Score-calibration reliability bins: does "value predicts purchase"
+  // (q166's AUC setup) hold PROPORTIONALLY? Scores bucket into a fixed
+  // 10-cell grid (stable edges — the q115 discipline: comparable
+  // across runs, no data-dependent pre-pass) and each bin reports its
+  // empirical positive rate next to its mean score. One hash-agg; the
+  // two ratios divide exact integer counts / DECIMAL-route sums.
+  def calibrationBins(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", least(floor(col("value") / 50.0).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        round(dsum(col("value")) / count(lit(1)), 6).as("mean_score"),
+        round(sum(col("pos")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("frac_pos"))
+      .orderBy("bin")
+
+  // Population Stability Index between the month's two halves (the
+  // standard production drift score credit-risk monitoring runs;
+  // complements q107's ratio checks with the aggregate index):
+  // PSI = Σ_bins (p₂ − p₁)·ln(p₂/p₁) over the same fixed 10-cell value
+  // grid, Laplace-smoothed ((cnt+1)/(n+B)) so empty bins stay finite
+  // and exact-rational. Per-bin terms are single IEEE expressions; the
+  // cross-bin sum rides the DECIMAL dsum route, so accumulation order
+  // cannot skew the float result. Output: the 10 bins plus a TOTAL row
+  // (bin = −1). Day 19738 = 2024-01-16 (epoch-day arithmetic, q128's
+  // discipline — calendar-free).
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val binned = events(s, dir)
+      .select(
+        when(expr("unix_micros(ts) DIV 86400000000") < 19738L, 1L)
+          .otherwise(2L).as("snap"),
+        least(floor(col("value") / 50.0).cast("long"), lit(9L)).as("bin"))
+      .groupBy("snap", "bin").agg(count(lit(1)).as("cnt"))
+    val tot = binned.agg(
+      sum(when(col("snap") === 1L, col("cnt"))).as("t1"),
+      sum(when(col("snap") === 2L, col("cnt"))).as("t2"))
+    val grid = binned.groupBy("bin")
+      .agg(sum(when(col("snap") === 1L, col("cnt"))).as("n1"),
+        sum(when(col("snap") === 2L, col("cnt"))).as("n2"))
+      .select(col("bin"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p1", (col("n1") + 1L).cast("double") / (col("t1") + 10L).cast("double"))
+      .withColumn("p2", (col("n2") + 1L).cast("double") / (col("t2") + 10L).cast("double"))
+      .withColumn("term", (col("p2") - col("p1")) * log(col("p2") / col("p1")))
+    val bins = grid.select(col("bin"), col("n1"), col("n2"),
+      round(col("term"), 6).as("term"))
+    val total = grid.agg(sum(col("n1")).as("n1"), sum(col("n2")).as("n2"),
+        round(dsum(col("term")), 6).as("term"))
+      .select(lit(-1L).as("bin"), col("n1"), col("n2"), col("term"))
+    bins.unionByName(total).orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1128,6 +1224,9 @@ object Queries {
     "q171_zscore_anomaly" -> (zscoreAnomaly _),
     "q172_path_trigrams" -> (pathTrigrams _),
     "q178_outlier_fence" -> (outlierFence _),
+    "q179_seq_pairs" -> (seqPairs _),
+    "q180_calibration" -> (calibrationBins _),
+    "q181_psi" -> (psiDrift _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -2901,6 +3000,64 @@ object Queries {
         |  sum(CASE WHEN s_t > h THEN 1 ELSE 0 END) AS n_alarms,
         |  coalesce(min(CASE WHEN s_t > h THEN day END), -1) AS first_alarm_day
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same gap sessions, same per-session-type minima, same strict
+    // ordering rule.
+    "q179_seq_pairs" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN lag(us, 1) OVER w IS NULL
+        |    OR us - lag(us, 1) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |g AS (SELECT user_id, event_type, us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f),
+        |sess AS (SELECT user_id, sess_id, event_type, min(us) AS first_us
+        |  FROM g GROUP BY user_id, sess_id, event_type),
+        |ns AS (SELECT count(*) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, sess_id FROM sess)),
+        |p AS (SELECT l.event_type AS ta, r.event_type AS tb,
+        |  count(*) AS n_support
+        |  FROM sess l JOIN sess r
+        |    ON l.user_id = r.user_id AND l.sess_id = r.sess_id
+        |    AND l.event_type <> r.event_type AND l.first_us < r.first_us
+        |  GROUP BY l.event_type, r.event_type)
+        |SELECT ta, tb, n_support,
+        |  round(CAST(n_support AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE), 6)
+        |    AS support
+        |FROM p CROSS JOIN ns ORDER BY ta, tb""".stripMargin,
+    // Same fixed grid, same exact count/DECIMAL-sum ratios.
+    "q180_calibration" ->
+      s"""WITH e AS (SELECT value,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         |  least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin FROM events)
+         |SELECT bin, count(*) AS n, sum(pos) AS n_pos,
+         |  round(${dsumSql("value")} / count(*), 6) AS mean_score,
+         |  round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS frac_pos
+         |FROM e GROUP BY bin ORDER BY bin""".stripMargin,
+    // Same Laplace smoothing, same per-bin IEEE term, same DECIMAL
+    // cross-bin sum.
+    "q181_psi" ->
+      s"""WITH b AS (SELECT
+         |  CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 1 ELSE 2 END AS snap,
+         |  least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin FROM events),
+         |c AS (SELECT snap, bin, count(*) AS cnt FROM b GROUP BY snap, bin),
+         |tot AS (SELECT sum(CASE WHEN snap = 1 THEN cnt END) AS t1,
+         |  sum(CASE WHEN snap = 2 THEN cnt END) AS t2 FROM c),
+         |g AS (SELECT bin,
+         |  coalesce(sum(CASE WHEN snap = 1 THEN cnt END), 0) AS n1,
+         |  coalesce(sum(CASE WHEN snap = 2 THEN cnt END), 0) AS n2
+         |  FROM c GROUP BY bin),
+         |t AS (SELECT bin, n1, n2,
+         |  CAST(n1 + 1 AS DOUBLE) / CAST(t1 + 10 AS DOUBLE) AS p1,
+         |  CAST(n2 + 1 AS DOUBLE) / CAST(t2 + 10 AS DOUBLE) AS p2
+         |  FROM g CROSS JOIN tot),
+         |u AS (SELECT bin, n1, n2, (p2 - p1) * ln(p2 / p1) AS term FROM t)
+         |SELECT bin, n1, n2, round(term, 6) AS term FROM u
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT) AS bin, sum(n1) AS n1, sum(n2) AS n2,
+         |  round(${dsumSql("term")}, 6) AS term FROM u
+         |ORDER BY bin""".stripMargin,
     // Same quarter-weight quantile interpolation (q51's), same eighth-
     // exact fence arithmetic, same clamp through the DECIMAL route.
     "q178_outlier_fence" ->
