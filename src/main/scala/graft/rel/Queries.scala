@@ -1139,6 +1139,124 @@ object Queries {
     bins.unionByName(total).orderBy("bin")
   }
 
+  // Time-weighted average value per event type (the TWAP every
+  // irregular-sample telemetry/market pipeline runs): each observation
+  // holds until the next one of the SAME type; the final observation
+  // holds until the global horizon (max event time across the table),
+  // so every type integrates over the same interval. Durations are
+  // exact µs longs; value·dur is one IEEE product per row summed
+  // through the DECIMAL dsum route (order-proof), the final division a
+  // single IEEE op. One window per type + one hash-agg; at 100 TB the
+  // per-type ordering range-partitions by (type, day) with boundary
+  // carry exactly like the q134 EWMA discipline.
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val horizon = Window.partitionBy()
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_us",
+        coalesce(lead(col("us"), 1).over(byType), max(col("us")).over(horizon)))
+      .withColumn("dur", col("next_us") - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("dur")).as("total_us"),
+        round(dsum(col("value") * col("dur").cast("double"))
+          / sum(col("dur")).cast("double"), 6).as("twap"))
+      .orderBy("event_type")
+  }
+
+  // Last-touch marketing attribution: each purchase's value is credited
+  // to the user's most recent NON-purchase event within a 7-day
+  // lookback ('direct' when none qualifies). One per-user window scan
+  // (running last-non-purchase via last(_, ignoreNulls) over ROWS
+  // UNBOUNDED PRECEDING..1 PRECEDING — no self-join, no per-purchase
+  // re-scan) + one small hash-agg on the credited channel. Revenue
+  // sums ride the DECIMAL dsum route.
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookbackUs = 7L * 86400L * 1000000L
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("us"), col("event_type"))), ignoreNulls = true)
+          .over(byUser))
+      .where(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch").isNull || col("us") - col("touch.us") > lookbackUs,
+          lit("direct")).otherwise(col("touch.event_type")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(dsum(col("value")), 6).as("revenue"))
+      .orderBy("channel")
+  }
+
+  // k-anonymity audit (Sweeney, IJUFKS 2002): treat (nation, market
+  // segment, account-balance thousand-bucket) as the quasi-identifier
+  // and report, per (nation, segment), how many QI equivalence classes
+  // fall below k=5 and how many customers sit in them — the rows a
+  // release would have to generalize or suppress. Two stacked integer
+  // hash-aggs (QI class counts, then per-(nation, segment) rollup);
+  // the balance bucket floors an IEEE division both engines compute
+  // identically.
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / 1000.0).cast("long").as("bal_kb"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_kb")
+      .agg(count(lit(1)).as("cls_n"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("cls_n") < 5L, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("cls_n") < 5L, col("cls_n")).otherwise(0L)).as("n_exposed"),
+        min(col("cls_n")).as("min_class"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  // Split conformal prediction intervals (Vovk et al., "Algorithmic
+  // Learning in a Random World", 2005; the distribution-free coverage
+  // guarantee production scorers ship): calibration half (even
+  // user_id) fits the trivial per-type mean predictor and takes
+  // qhat = the ⌈(n+1)(1−α)⌉-th smallest |residual| (α=0.1, an exact
+  // order statistic — tie-insensitive: the k-th smallest VALUE is
+  // well-defined whatever the tie order); the disjoint test half then
+  // reports empirical coverage of mean±qhat, which the theorem lower-
+  // bounds by 1−α in expectation. Residuals are IEEE-identical across
+  // engines (value − an identically-computed mean), so the order
+  // statistic and every coverage comparison are bit-deterministic.
+  // Plan: two scans (calib stats+quantile, test coverage), per-type
+  // frames broadcast back — no driver scalars.
+  def conformal(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      col("value"))
+    val calib = ev.where(pmod(col("user_id"), lit(2L)) === 0L)
+    val mu = calib.groupBy("event_type")
+      .agg((dsum(col("value")) / count(lit(1))).as("mu"),
+        count(lit(1)).as("n_calib"))
+    val res = calib.join(broadcast(mu), "event_type")
+      .select(col("event_type"), abs(col("value") - col("mu")).as("r"))
+    val byR = Window.partitionBy("event_type").orderBy(col("r").asc)
+    val qhat = res
+      .withColumn("rn", row_number().over(byR))
+      .join(broadcast(mu), "event_type")
+      .where(col("rn") ===
+        ceil((col("n_calib") + 1L).cast("double") * 0.9).cast("long"))
+      .select(col("event_type"), col("r").as("qhat"))
+    val test = ev.where(pmod(col("user_id"), lit(2L)) === 1L)
+    test.join(broadcast(mu), "event_type").join(broadcast(qhat), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_test"),
+        round(max(col("qhat")), 6).as("qhat"),
+        round(sum(when(abs(col("value") - col("mu")) <= col("qhat"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("coverage"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1227,6 +1345,10 @@ object Queries {
     "q179_seq_pairs" -> (seqPairs _),
     "q180_calibration" -> (calibrationBins _),
     "q181_psi" -> (psiDrift _),
+    "q182_twap" -> (twap _),
+    "q183_attribution" -> (lastTouchAttribution _),
+    "q184_k_anonymity" -> (kAnonymity _),
+    "q185_conformal" -> (conformal _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3058,6 +3180,71 @@ object Queries {
          |SELECT CAST(-1 AS BIGINT) AS bin, sum(n1) AS n1, sum(n2) AS n2,
          |  round(${dsumSql("term")}, 6) AS term FROM u
          |ORDER BY bin""".stripMargin,
+    // Same hold-until-next semantics, same global horizon, same
+    // DECIMAL-route weighted sum.
+    "q182_twap" ->
+      s"""WITH e AS (SELECT event_id, event_type, value, epoch_us(ts) AS us
+         |  FROM events),
+         |w AS (SELECT event_type, value, us,
+         |  coalesce(lead(us, 1) OVER (PARTITION BY event_type
+         |      ORDER BY us ASC, event_id ASC),
+         |    max(us) OVER ()) AS next_us FROM e)
+         |SELECT event_type, count(*) AS n, sum(next_us - us) AS total_us,
+         |  round(${dsumSql("value * CAST(next_us - us AS DOUBLE)")}
+         |    / CAST(sum(next_us - us) AS DOUBLE), 6) AS twap
+         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same running last-non-purchase window, same 7-day cutoff, same
+    // DECIMAL-route revenue.
+    "q183_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |  epoch_us(ts) AS us FROM events),
+         |w AS (SELECT user_id, event_type, value, us,
+         |  last_value(CASE WHEN event_type <> 'purchase'
+         |      THEN struct_pack(tus := us, tet := event_type) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM e),
+         |p AS (SELECT CASE WHEN touch IS NULL OR us - touch.tus > 604800000000
+         |    THEN 'direct' ELSE touch.tet END AS channel, value
+         |  FROM w WHERE event_type = 'purchase')
+         |SELECT channel, count(*) AS n_purchases,
+         |  round(${dsumSql("value")}, 6) AS revenue
+         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
+    // Same quasi-identifier grid, same k=5 threshold, integer counts
+    // throughout.
+    "q184_k_anonymity" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_kb,
+        |  count(*) AS cls_n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, count(*) AS n_classes,
+        |  sum(CASE WHEN cls_n < 5 THEN 1 ELSE 0 END) AS n_violating,
+        |  sum(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS n_exposed,
+        |  min(cls_n) AS min_class
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same calibration split, same order-statistic qhat, same coverage
+    // comparisons on IEEE-identical residuals.
+    "q185_conformal" ->
+      s"""WITH e AS (SELECT user_id, event_type, value FROM events),
+         |c AS (SELECT event_type, value FROM e WHERE user_id % 2 = 0),
+         |mu AS (SELECT event_type, ${dsumSql("value")} / count(*) AS mu,
+         |  count(*) AS n_calib FROM c GROUP BY event_type),
+         |r AS (SELECT c.event_type, abs(c.value - mu.mu) AS r
+         |  FROM c JOIN mu USING (event_type)),
+         |rk AS (SELECT event_type, r,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY r ASC) AS rn
+         |  FROM r),
+         |q AS (SELECT rk.event_type, rk.r AS qhat
+         |  FROM rk JOIN mu USING (event_type)
+         |  WHERE rn = CAST(ceil(CAST(n_calib + 1 AS DOUBLE) * 0.9) AS BIGINT))
+         |SELECT t.event_type, max(mu.n_calib) AS n_calib, count(*) AS n_test,
+         |  round(max(q.qhat), 6) AS qhat,
+         |  round(CAST(sum(CASE WHEN abs(t.value - mu.mu) <= q.qhat
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS coverage
+         |FROM (SELECT event_type, value FROM e WHERE user_id % 2 = 1) t
+         |JOIN mu USING (event_type) JOIN q USING (event_type)
+         |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin,
     // Same quarter-weight quantile interpolation (q51's), same eighth-
     // exact fence arithmetic, same clamp through the DECIMAL route.
     "q178_outlier_fence" ->
