@@ -1257,6 +1257,139 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+  // follow-up to q184's k-anonymity): a QI class can be k-anonymous
+  // yet leak the sensitive attribute if every member shares one value.
+  // QI = (nation, market segment); sensitive = account-balance
+  // thousand-bucket. Per class: size, distinct sensitive values l,
+  // and whether it meets l>=3 — the generalization worklist a privacy
+  // release runs after the k-audit. One hash-agg with an exact
+  // count(distinct) (two-phase partial agg under the hood); integer
+  // arithmetic end to end.
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / 1000.0).cast("long").as("bal_kb"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_kb")).as("l"),
+        (countDistinct(col("bal_kb")) >= 3L).as("diverse"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  // First-significant-digit distribution vs Benford's law (Benford
+  // 1938; Nigrini's fraud-audit staple) over order totals. The digit
+  // is extracted EXACTLY: price → integer cents via round(price·100)
+  // (synthetic totals are 2-decimal, q178's pattern) → first character
+  // of the integer's decimal rendering — no log10 on data, so no libm
+  // variance can leak in. Expected Benford mass log10(1+1/d) enters as the same
+  // 12-digit literal in both engines. Per-digit chi-square terms
+  // n·(p_obs−p_exp)²/p_exp are single-expression IEEE; the TOTAL row's
+  // statistic crosses digits through the DECIMAL dsum route. One
+  // integer hash-agg over the scan, 9+1 output rows — the 100 TB plan
+  // is scan-shaped with a 9-row reduce.
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    val benfordP = Seq( // round(log10(1 + 1/d), 12), d = 1..9
+      1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+      4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+      7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+    val expected = benfordP
+      .map { case (d, p) => struct(lit(d.toLong).as("digit"), lit(p).as("p_exp")) }
+    val digits = tbl(s, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("grand"))
+    val perDigit = digits
+      .join(s.range(1).select(explode(array(expected: _*)).as("e"))
+        .select(col("e.digit"), col("e.p_exp").as("p_raw")),
+        Seq("digit"), "right")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double")
+          / col("grand").cast("double"), 6).as("p_obs"),
+        col("p_raw"),
+        (coalesce(col("n"), lit(0L)).cast("double")
+          - col("grand").cast("double") * col("p_raw")).as("dev"),
+        col("grand"))
+      .withColumn("term", col("dev") * col("dev")
+        / (col("grand").cast("double") * col("p_raw")))
+    perDigit.select(col("digit"), col("n"), col("p_obs"),
+        round(col("p_raw"), 6).as("p_exp"), round(col("term"), 6).as("chi2"))
+      .unionByName(perDigit.groupBy()
+        .agg(max(col("grand")).as("n"), round(dsum(col("term")), 6).as("chi2"))
+        .select(lit(-1L).as("digit"), col("n"),
+          lit(null).cast("double").as("p_obs"),
+          lit(null).cast("double").as("p_exp"), col("chi2")))
+      .orderBy("digit")
+  }
+
+  // Pearson chi-square test of independence (Pearson 1900) on the
+  // event_type × day-of-week contingency table — "is traffic mix
+  // stable across the week", the first question behind any seasonality
+  // claim (q197). Observed counts are one integer hash-agg; expected
+  // E = row_total·col_total/grand and the (O−E)²/E terms are window
+  // math over the ≤|types|·7-row table (tiny at any data scale — the
+  // heavy lifting is the first agg, which partial-aggregates
+  // map-side). Per-type rows sum their 7 IEEE terms through DECIMAL
+  // dsum; the TOTAL row carries the full statistic and the dof.
+  def chiSquareIndependence(s: SparkSession, dir: String): DataFrame = {
+    val o = events(s, dir)
+      .select(col("event_type"),
+        pmod(expr("unix_micros(ts) div 86400000000"), lit(7L)).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val withE = o
+      .withColumn("row_t", sum(col("o")).over(Window.partitionBy("event_type")))
+      .withColumn("col_t", sum(col("o")).over(Window.partitionBy("dow")))
+      .withColumn("grand", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("e", col("row_t").cast("double") * col("col_t").cast("double")
+        / col("grand").cast("double"))
+      .withColumn("term", (col("o").cast("double") - col("e"))
+        * (col("o").cast("double") - col("e")) / col("e"))
+    val perType = withE.groupBy("event_type")
+      .agg(sum(col("o")).as("n"), round(dsum(col("term")), 6).as("chi2"))
+    val total = withE.groupBy()
+      .agg(sum(col("o")).as("n"), round(dsum(col("term")), 6).as("chi2"),
+        ((countDistinct(col("event_type")) - 1L)
+          * (countDistinct(col("dow")) - 1L)).as("dof"))
+      .select(lit("TOTAL").as("event_type"), col("n"), col("chi2"), col("dof"))
+    perType.withColumn("dof", lit(null).cast("long"))
+      .unionByName(total).orderBy("event_type")
+  }
+
+  // Two-sample Kolmogorov–Smirnov statistic (Smirnov 1939) per event
+  // type between the even- and odd-user halves — the classic
+  // distribution-drift test complementing q181's binned PSI: KS is
+  // binning-free, sensitive anywhere on the CDF. Exact, not
+  // approximated: collapse to distinct values with per-sample counts
+  // (one hash-agg), one ordered window per type for the two integer
+  // ECDF numerators, sup|F1−F2| as a max over IEEE quotients of
+  // integers — every comparison bit-deterministic in both engines. At
+  // 100 TB the distinct-value table is the compressed intermediate;
+  // the window range-partitions by (type, value range) like q134.
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val pts = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        pmod(col("user_id"), lit(2L)).as("grp"))
+      .groupBy("event_type", "value")
+      .agg(sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("b"))
+    val byType = Window.partitionBy("event_type")
+    val cum = byType.orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("ca", sum(col("a")).over(cum))
+      .withColumn("cb", sum(col("b")).over(cum))
+      .withColumn("na", sum(col("a")).over(byType))
+      .withColumn("nb", sum(col("b")).over(byType))
+      .withColumn("d", abs(col("ca").cast("double") / col("na").cast("double")
+        - col("cb").cast("double") / col("nb").cast("double")))
+      .groupBy("event_type")
+      .agg(max(col("na")).as("n1"), max(col("nb")).as("n2"),
+        count(lit(1)).as("n_points"), round(max(col("d")), 6).as("ks"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1349,6 +1482,10 @@ object Queries {
     "q183_attribution" -> (lastTouchAttribution _),
     "q184_k_anonymity" -> (kAnonymity _),
     "q185_conformal" -> (conformal _),
+    "q186_l_diversity" -> (lDiversity _),
+    "q187_benford" -> (benford _),
+    "q188_chisq" -> (chiSquareIndependence _),
+    "q189_ks_test" -> (ksTest _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3245,6 +3382,87 @@ object Queries {
          |FROM (SELECT event_type, value FROM e WHERE user_id % 2 = 1) t
          |JOIN mu USING (event_type) JOIN q USING (event_type)
          |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin,
+    // Same QI grid, same l>=3 threshold; exact count(distinct).
+    "q186_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0)
+        |    AS BIGINT)) AS l,
+        |  count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0)
+        |    AS BIGINT)) >= 3 AS diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same exact cents-string digit extraction, same 12-digit Benford
+    // literals, same per-digit IEEE terms, DECIMAL route for the TOTAL.
+    "q187_benford" ->
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+         |ex AS (SELECT * FROM (VALUES (1, 0.301029995664),
+         |  (2, 0.176091259056), (3, 0.124938736608), (4, 0.096910013008),
+         |  (5, 0.079181246048), (6, 0.066946789631), (7, 0.057991946978),
+         |  (8, 0.051152522447), (9, 0.045757490561)) AS t(digit, p_exp)),
+         |g AS (SELECT sum(n) AS grand FROM c),
+         |p AS (SELECT CAST(ex.digit AS BIGINT) AS digit,
+         |  coalesce(c.n, 0) AS n, ex.p_exp,
+         |  CAST(coalesce(c.n, 0) AS DOUBLE)
+         |    - CAST(grand AS DOUBLE) * ex.p_exp AS dev, grand
+         |  FROM ex LEFT JOIN c ON ex.digit = c.digit CROSS JOIN g)
+         |SELECT digit, n,
+         |  round(CAST(n AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS p_obs,
+         |  round(p_exp, 6) AS p_exp,
+         |  round(dev * dev / (CAST(grand AS DOUBLE) * p_exp), 6) AS chi2
+         |FROM p
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), max(grand), NULL, NULL,
+         |  round(${dsumSql("dev * dev / (CAST(grand AS DOUBLE) * p_exp)")}, 6)
+         |FROM p
+         |ORDER BY digit""".stripMargin,
+    // Same contingency grid, same window-derived expectations, same
+    // IEEE term shape, DECIMAL route across cells.
+    "q188_chisq" ->
+      s"""WITH o AS (SELECT event_type,
+         |  (epoch_us(ts) // 86400000000) % 7 AS dow, count(*) AS o
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, dow, o,
+         |  sum(o) OVER (PARTITION BY event_type) AS row_t,
+         |  sum(o) OVER (PARTITION BY dow) AS col_t,
+         |  sum(o) OVER () AS grand FROM o),
+         |t AS (SELECT event_type, dow, o,
+         |  (CAST(o AS DOUBLE) - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+         |      / CAST(grand AS DOUBLE))
+         |    * (CAST(o AS DOUBLE) - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+         |      / CAST(grand AS DOUBLE))
+         |    / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+         |      / CAST(grand AS DOUBLE)) AS term FROM w)
+         |SELECT event_type, sum(o) AS n, round(${dsumSql("term")}, 6) AS chi2,
+         |  CAST(NULL AS BIGINT) AS dof
+         |FROM t GROUP BY event_type
+         |UNION ALL
+         |SELECT 'TOTAL', sum(o), round(${dsumSql("term")}, 6),
+         |  (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+         |FROM t
+         |ORDER BY event_type""".stripMargin,
+    // Same distinct-value collapse, same integer ECDF numerators, same
+    // sup over IEEE quotients.
+    "q189_ks_test" ->
+      """WITH e AS (SELECT event_type, value, user_id % 2 AS grp
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT event_type, value,
+        |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a,
+        |  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS b
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |  sum(a) OVER (PARTITION BY event_type ORDER BY value ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |  sum(b) OVER (PARTITION BY event_type ORDER BY value ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |  sum(a) OVER (PARTITION BY event_type) AS na,
+        |  sum(b) OVER (PARTITION BY event_type) AS nb
+        |  FROM p)
+        |SELECT event_type, max(na) AS n1, max(nb) AS n2,
+        |  count(*) AS n_points,
+        |  round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same quarter-weight quantile interpolation (q51's), same eighth-
     // exact fence arithmetic, same clamp through the DECIMAL route.
     "q178_outlier_fence" ->
