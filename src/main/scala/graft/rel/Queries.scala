@@ -1390,6 +1390,189 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Mann–Whitney U rank-sum test (Mann & Whitney 1947) per event type
+  // between the even/odd-user halves — the rank-based location-shift
+  // companion to q189's KS (KS sees any CDF gap; U targets stochastic
+  // dominance, robust to outliers where q150's t-test is not). Exact
+  // tie handling: collapse to distinct values (one hash-agg), average
+  // ranks from integer prior-counts, R₁ as a DECIMAL dsum of exact
+  // half-integers, and the tie-corrected normal approximation
+  // z = (U₁−μ)/σ with σ from integer tie sums — every float op a
+  // fixed-order expression on integers, bit-identical across engines.
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val pts = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        pmod(col("user_id"), lit(2L)).as("grp"))
+      .groupBy("event_type", "value")
+      .agg(sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val prior = Window.partitionBy("event_type").orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = pts
+      .withColumn("before", coalesce(sum(col("t")).over(prior), lit(0L)))
+      .withColumn("avgrank",
+        col("before").cast("double") + (col("t").cast("double") + 1.0) / 2.0)
+    ranked.groupBy("event_type")
+      .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+        dsum(col("a").cast("double") * col("avgrank")).as("r1"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("r1"), 6).as("r1"),
+        round(col("r1") - col("n1").cast("double")
+          * (col("n1").cast("double") + 1.0) / 2.0, 6).as("u1"),
+        round(((col("r1") - col("n1").cast("double")
+            * (col("n1").cast("double") + 1.0) / 2.0)
+          - col("n1").cast("double") * col("n2").cast("double") / 2.0)
+          / sqrt(col("n1").cast("double") * col("n2").cast("double") / 12.0
+            * (((col("n1") + col("n2")).cast("double") + 1.0)
+              - col("ties").cast("double")
+                / ((col("n1") + col("n2")).cast("double")
+                  * ((col("n1") + col("n2")).cast("double") - 1.0)))), 6)
+          .as("z"))
+      .orderBy("event_type")
+  }
+
+  // Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) over
+  // user lifetimes (first→last event, day grain), right-censored for
+  // users still active within 2 days of the corpus horizon — the
+  // churn-analysis curve every retention team reads next to q128's
+  // cohort grid. The per-user reduce is the only heavy stage; the
+  // grouped life table is ≤ span-in-days rows, so the global ordered
+  // window is trivially small at any corpus scale. S(t) accumulates as
+  // exp(Σ ln((n−d)/n)) with the ln terms summed through the DECIMAL
+  // window route (exact, order-proof; ln/exp bit-parity has q154/q181
+  // precedent); an all-remaining-die step (factor 0) is flagged and
+  // pinned to exactly 0 rather than sent through ln.
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val life = events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .withColumn("h", max(col("last_us")).over(Window.partitionBy()))
+      .select(expr("(last_us - first_us) div 86400000000").as("lifetime_day"),
+        (col("h") - col("last_us") < 2L * 86400000000L).as("censored"))
+    val table = life.groupBy("lifetime_day")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val ordered = Window.orderBy(col("lifetime_day").asc)
+    val prior = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(Window.partitionBy())
+          - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("lnterm",
+        when(col("d") > 0L && col("n_risk") > col("d"),
+          log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("dead",
+        max(when(col("n_risk") === col("d"), 1L).otherwise(0L)).over(upTo))
+      .withColumn("surv",
+        when(col("dead") === 1L, lit(0.0)).otherwise(
+          round(exp(sum(col("lnterm").cast("decimal(38,12)")).over(upTo)
+            .cast("double")), 6)))
+      .select(col("lifetime_day"), col("n_risk"), col("d"), col("c"), col("surv"))
+      .orderBy("lifetime_day")
+  }
+
+  // RFM segmentation (Hughes 1994 — the marketing-ops workhorse):
+  // per-customer recency (days since last order vs the corpus max),
+  // frequency, monetary (DECIMAL-route sum, so the quintile ORDERING
+  // key is bit-identical across engines); ntile(5) per axis with a
+  // custkey tiebreak (total order ⇒ deterministic tile edges), then
+  // one hash-agg per (r,f,m) cell with DECIMAL-route mean spend. The
+  // per-customer reduce partial-aggregates map-side; the three global
+  // ntile sorts run over the customer-grain table (1 row/customer —
+  // at 100 TB of ORDERS that is the small table; a range-partitioned
+  // sort, not a single-reducer bottleneck).
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = tbl(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max(expr("unix_timestamp(o_orderdate) div 86400")).as("last_day"),
+        count(lit(1)).as("freq"),
+        dsum(col("o_totalprice")).as("mon"))
+      .withColumn("rec_days",
+        max(col("last_day")).over(Window.partitionBy()) - col("last_day"))
+    val seg = per
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("rec_days").asc, col("o_custkey").asc)).cast("long"))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("o_custkey").asc)).cast("long"))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("mon").desc, col("o_custkey").asc)).cast("long"))
+    seg.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        round(dsum(col("mon")) / count(lit(1)).cast("double"), 6)
+          .as("avg_monetary"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  // Day-of-week seasonal index per event type — the multiplicative
+  // seasonality profile (idx > 1 ⇒ that weekday over-indexes for the
+  // type) that turns q188's "is the mix non-uniform?" verdict into
+  // per-cell magnitudes. idx = (n_td/days_dow)/(n_t/days_total): every
+  // input an exact integer count (cell counts, distinct active days
+  // per weekday), every division a fixed-order IEEE op. Two integer
+  // hash-aggs (cells, distinct days) + windows over the tiny cell
+  // table; calendar-free epoch-day arithmetic (q128's discipline).
+  def seasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val dowDays = e.select(col("day"), col("dow")).distinct()
+      .groupBy("dow").agg(count(lit(1)).as("days_dow"))
+      .withColumn("days_total", sum(col("days_dow")).over(Window.partitionBy()))
+    e.groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      .withColumn("n_type",
+        sum(col("n")).over(Window.partitionBy("event_type")))
+      .join(broadcast(dowDays), Seq("dow"))
+      .select(col("event_type"), col("dow"), col("n"),
+        round(col("n").cast("double") / col("days_dow").cast("double"), 6)
+          .as("daily_avg"),
+        round((col("n").cast("double") / col("days_dow").cast("double"))
+          / (col("n_type").cast("double") / col("days_total").cast("double")), 6)
+          .as("idx"))
+      .orderBy("event_type", "dow")
+  }
+
+  // Sample autocorrelation of the daily event-count series at lags
+  // 1..7 (Box–Jenkins ACF — the "is there weekly structure?" probe
+  // feeding q193): gap-filled day spine (q129's sequence-explode
+  // pattern, so missing days count 0 instead of silently shrinking
+  // lags), shared overall mean from exact integer sums, lag pairs by
+  // equi-joining the spine to itself on day+lag (daily table is tiny
+  // after the first agg at any scale), numerator and denominator both
+  // through DECIMAL dsum. acf = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)².
+  def acfDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = bounds
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("x"))
+    val stats = spine.agg(
+      (sum(col("x")).cast("double") / count(lit(1)).cast("double")).as("mean"))
+    val dev = spine.crossJoin(broadcast(stats))
+      .select(col("day"), (col("x").cast("double") - col("mean")).as("dev"))
+    val den = dev.agg(dsum(col("dev") * col("dev")).as("den"))
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    dev.crossJoin(broadcast(lags))
+      .join(dev.select(col("day").as("day2"), col("dev").as("dev2")),
+        col("day2") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum(col("dev") * col("dev2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num") / col("den"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1486,6 +1669,11 @@ object Queries {
     "q187_benford" -> (benford _),
     "q188_chisq" -> (chiSquareIndependence _),
     "q189_ks_test" -> (ksTest _),
+    "q190_mann_whitney" -> (mannWhitney _),
+    "q191_kaplan_meier" -> (kaplanMeier _),
+    "q192_rfm" -> (rfmSegments _),
+    "q193_seasonal_index" -> (seasonalIndex _),
+    "q194_acf" -> (acfDaily _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3463,6 +3651,120 @@ object Queries {
         |  round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
         |    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same distinct-value collapse, same integer average ranks, same
+    // fixed-order tie-corrected z arithmetic; R1 via the DECIMAL route.
+    "q190_mann_whitney" ->
+      s"""WITH e AS (SELECT event_type, value, user_id % 2 AS grp
+         |  FROM events WHERE value IS NOT NULL),
+         |p AS (SELECT event_type, value,
+         |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a,
+         |  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS b
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT event_type, a, b, a + b AS t,
+         |  coalesce(sum(a + b) OVER (PARTITION BY event_type
+         |    ORDER BY value ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM p),
+         |g AS (SELECT event_type, sum(a) AS n1, sum(b) AS n2,
+         |  ${dsumSql("CAST(a AS DOUBLE) * (CAST(before AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0)")} AS r1,
+         |  sum(t * t * t - t) AS ties FROM r GROUP BY 1)
+         |SELECT event_type, n1, n2, round(r1, 6) AS r1,
+         |  round(r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 6)
+         |    AS u1,
+         |  round(((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+         |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+         |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+         |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+         |        - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+         |          * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 6) AS z
+         |FROM g ORDER BY event_type""".stripMargin,
+    // Same day-grain lifetimes + 2-day censor rule, same life-table
+    // windows; ln terms summed through the DECIMAL window route.
+    "q191_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+        |  max(epoch_us(ts)) AS l FROM events GROUP BY 1),
+        |v AS (SELECT (l - f) // 86400000000 AS lifetime_day,
+        |  (max(l) OVER () - l) < 172800000000 AS censored FROM u),
+        |t AS (SELECT lifetime_day,
+        |  sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+        |  sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+        |  FROM v GROUP BY 1),
+        |w AS (SELECT lifetime_day, d, c,
+        |  sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+        |    ORDER BY lifetime_day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM t),
+        |x AS (SELECT lifetime_day, d, c, n_risk,
+        |  CASE WHEN d > 0 AND n_risk > d
+        |    THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |    ELSE 0.0 END AS lnterm,
+        |  max(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER (
+        |    ORDER BY lifetime_day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM w)
+        |SELECT lifetime_day, n_risk, d, c,
+        |  CASE WHEN dead = 1 THEN 0.0 ELSE
+        |    round(exp(CAST(CAST(sum(CAST(CAST(lnterm AS VARCHAR)
+        |      AS DECIMAL(38,12))) OVER (ORDER BY lifetime_day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS VARCHAR) AS DOUBLE)), 6) END AS surv
+        |FROM x ORDER BY lifetime_day""".stripMargin,
+    // Same per-customer reduce, same deterministic ntile tiebreaks,
+    // same DECIMAL-route monetary key and cell means.
+    "q192_rfm" ->
+      s"""WITH per AS (SELECT o_custkey,
+         |  max(CAST(epoch(o_orderdate) AS BIGINT) // 86400) AS last_day,
+         |  count(*) AS freq, ${dsumSql("o_totalprice")} AS mon
+         |  FROM orders GROUP BY 1),
+         |r AS (SELECT o_custkey, freq, mon,
+         |  max(last_day) OVER () - last_day AS rec_days FROM per),
+         |q AS (SELECT mon,
+         |  ntile(5) OVER (ORDER BY rec_days ASC, o_custkey ASC) AS r_q,
+         |  ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_q,
+         |  ntile(5) OVER (ORDER BY mon DESC, o_custkey ASC) AS m_q FROM r)
+         |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+         |  round(${dsumSql("mon")} / CAST(count(*) AS DOUBLE), 6)
+         |    AS avg_monetary
+         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Same integer cell/active-day counts, same fixed-order ratio
+    // arithmetic.
+    "q193_seasonal_index" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |e2 AS (SELECT event_type, day, day % 7 AS dow FROM e),
+        |dd AS (SELECT dow, count(*) AS days_dow FROM
+        |  (SELECT DISTINCT day, day % 7 AS dow FROM e) GROUP BY 1),
+        |dt AS (SELECT sum(days_dow) AS days_total FROM dd),
+        |c AS (SELECT event_type, dow, count(*) AS n FROM e2 GROUP BY 1, 2),
+        |ct AS (SELECT event_type, dow, n,
+        |  sum(n) OVER (PARTITION BY event_type) AS n_type FROM c)
+        |SELECT event_type, dow, n,
+        |  round(CAST(n AS DOUBLE) / CAST(days_dow AS DOUBLE), 6) AS daily_avg,
+        |  round((CAST(n AS DOUBLE) / CAST(days_dow AS DOUBLE))
+        |    / (CAST(n_type AS DOUBLE) / CAST(days_total AS DOUBLE)), 6) AS idx
+        |FROM ct JOIN dd USING (dow) CROSS JOIN dt
+        |ORDER BY event_type, dow""".stripMargin,
+    // Same gap-filled spine, same shared mean, same lag equi-join;
+    // numerator and denominator through the DECIMAL route.
+    "q194_acf" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |b AS (SELECT s.day, coalesce(d.n, 0) AS x FROM
+         |  (SELECT unnest(generate_series((SELECT min(day) FROM d),
+         |    (SELECT max(day) FROM d))) AS day) s
+         |  LEFT JOIN d USING (day)),
+         |m AS (SELECT CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |  AS mean FROM b),
+         |v AS (SELECT day, CAST(x AS DOUBLE) - mean AS dev
+         |  FROM b CROSS JOIN m),
+         |den AS (SELECT ${dsumSql("dev * dev")} AS den FROM v),
+         |l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+         |num AS (SELECT l.lag, count(*) AS n_pairs,
+         |  ${dsumSql("a.dev * b2.dev")} AS num
+         |  FROM v a CROSS JOIN l JOIN v b2 ON b2.day = a.day + l.lag
+         |  GROUP BY l.lag)
+         |SELECT lag, n_pairs, round(num / den, 6) AS acf
+         |FROM num CROSS JOIN den ORDER BY lag""".stripMargin,
     // Same quarter-weight quantile interpolation (q51's), same eighth-
     // exact fence arithmetic, same clamp through the DECIMAL route.
     "q178_outlier_fence" ->
