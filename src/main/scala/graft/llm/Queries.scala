@@ -600,6 +600,24 @@ object Queries {
         .select(col("p.src").as("src"), col("p.dst").as("dst"))
       graft.rel.Graph.triangles(prs).orderBy("node")
     }),
+    // Degree assortativity of the same bigram graph — hub-to-hub vs
+    // hub-to-leaf mixing in one Pearson scalar from exact integer
+    // moment sums (see rel.Graph.assortativity).
+    "q195_assortativity" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      graft.rel.Graph.assortativity(prs)
+    }),
+    // E16 training-loop closure: hard-negative mining — per query the
+    // top-k most-similar DIFFERENT-label vectors (see
+    // Sim.hardNegatives; q21's broadcast shape + label inequality).
+    "q196_hard_negatives" -> ((s, dir) =>
+      Sim.hardNegatives(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
     // Fixed-size per-stratum sample: EXACTLY min(k, |group|) rows per
     // language by (content hash, id) rank — the eval-set constructor
     // q112's fraction-threshold rule can't express (see
@@ -2095,6 +2113,29 @@ object Queries {
         |FROM d GROUP BY node ORDER BY node""".stripMargin,
     // Orientation-free triangle enumeration (a<b<c lexicographic
     // 3-way join) — must equal the degree-ordered count node by node.
+    // Same dedup'd undirected edge set, same integer moment sums, same
+    // fixed-order Pearson close.
+    "q195_assortativity" ->
+      """WITH tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+        |bg AS (SELECT DISTINCT least(ts[i], ts[i+1]) AS a, greatest(ts[i], ts[i+1]) AS b
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tk)
+        |  WHERE ts[i] <> ts[i+1]),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM bg UNION ALL SELECT b AS node FROM bg)
+        |  GROUP BY node),
+        |de AS (SELECT a, b FROM bg UNION ALL SELECT b AS a, a AS b FROM bg),
+        |j AS (SELECT da.deg AS ja, db.deg AS jb FROM de
+        |  JOIN deg da ON da.node = de.a JOIN deg db ON db.node = de.b),
+        |g AS (SELECT count(*) AS m, sum(ja) AS sj, sum(ja * jb) AS sjk,
+        |  sum(ja * ja) AS sj2 FROM j)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes, m // 2 AS m_edges,
+        |  round((CAST(sjk AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
+        |      * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE)))
+        |  / (CAST(sj2 AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
+        |      * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))), 6) AS r
+        |FROM g""".stripMargin,
     "q137_triangles" ->
       """WITH tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
         |bg AS (SELECT DISTINCT least(ts[i], ts[i+1]) AS a, greatest(ts[i], ts[i+1]) AS b
@@ -2297,6 +2338,23 @@ object Queries {
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
     "q21_cosine_knn" -> cosineKnnOracle,
+    // q21's oracle with the label inequality in the candidate filter
+    // and the label columns carried through.
+    "q196_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, norm AS qnorm
+         |  FROM n WHERE vec_id < 10),
+         |j AS (SELECT qid, qlabel, n.vec_id, n.label,
+         |  ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
+         |    / (n.norm * q.qnorm) AS sim
+         |  FROM n, q WHERE n.label <> q.qlabel),
+         |r AS (SELECT qid, qlabel, vec_id, label, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
+         |SELECT qid, qlabel, CAST(rnk AS BIGINT) AS rnk, vec_id, label, sim FROM r
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q23_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,

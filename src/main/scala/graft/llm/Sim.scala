@@ -49,6 +49,35 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the
+    * "hard negatives matter" recipe of Robinson et al., ICLR 2021 and
+    * every dense-retrieval pipeline since DPR): for each query vector,
+    * the top-`k` most-similar corpus vectors whose LABEL differs —
+    * maximally confusing negatives, exactly what a triplet/InfoNCE
+    * batch builder samples from. Identical shape to [[cosineKnn]]
+    * (broadcast query side, corpus streamed once, per-query top-k via
+    * rank window over the candidate set) plus the label inequality
+    * pushed into the join filter — at 100 TB this stays one broadcast
+    * pass, and the label filter prunes BEFORE the rank window so the
+    * state per query is k rows. Same sequential-fold cosine as q21 —
+    * bit-identical across engines, so sims and ranks value-oracle. */
+  def hardNegatives(emb: DataFrame, nQuery: Int, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val q = v.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .where(col("qid") < nQuery)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    v.crossJoin(broadcast(q))
+      .where(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "qlabel", "rnk", "vec_id", "label", "sim")
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k re-ranking (Carbonell
     * & Goldstein, SIGIR 1998): from each query's exact top-`pool`
     * relevance candidates, greedily pick `k` results maximizing

@@ -1573,6 +1573,68 @@ object Queries {
       .orderBy("lag")
   }
 
+  // One-way ANOVA F-test across event types (Fisher 1925) — the
+  // k-group generalization of q150's two-sample t: is mean value
+  // homogeneous across types? Per-group n, Σx, Σx² ride the DECIMAL
+  // dsum route (exact, order-proof); the cross-group reductions (grand
+  // mean, SSB = Σnᵍ(meanᵍ−gm)², SSW = Σ(Σx²ᵍ−nᵍmeanᵍ²)) dsum the
+  // per-group IEEE terms over the k-row table. One scan + one hash-agg
+  // + a k-row reduce — the canonical 100 TB shape for a global test.
+  def anovaF(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .where(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+        dsum(col("value") * col("value")).as("s2"))
+      .withColumn("mean_g", col("s1") / col("n").cast("double"))
+    val tot = g.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+      dsum(col("s1")).as("ts1"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("gm", col("ts1") / col("nn").cast("double"))
+      .groupBy()
+      .agg(max(col("k")).as("k"), max(col("nn")).as("n"),
+        dsum(col("n").cast("double") * (col("mean_g") - col("gm"))
+          * (col("mean_g") - col("gm"))).as("ssb"),
+        dsum(col("s2") - col("n").cast("double") * col("mean_g")
+          * col("mean_g")).as("ssw"))
+      .select(col("k"), col("n"), round(col("ssb"), 6).as("ssb"),
+        round(col("ssw"), 6).as("ssw"),
+        round((col("ssb") / (col("k").cast("double") - 1.0))
+          / (col("ssw") / (col("n").cast("double")
+            - col("k").cast("double"))), 6).as("f"))
+  }
+
+  // Pareto / ABC inventory classification (the 80/15/5 revenue-share
+  // cut every supply-chain report runs): parts ranked by revenue
+  // (DECIMAL-route per-part sums, so the ORDERING key is bit-identical
+  // across engines), cumulative share via an exact DECIMAL window sum
+  // (order-proof — a plain float cumsum would diverge between Spark's
+  // incremental and DuckDB's segment-tree window evaluation), class A
+  // ≤ 80%, B ≤ 95%, C above. The global revenue sort is a
+  // range-partitioned sort on the part-grain table (tiny vs lineitem);
+  // the per-part agg partial-aggregates map-side.
+  def paretoAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev"))
+    val ordered = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shared = rev
+      .withColumn("total",
+        sum(col("rev").cast("decimal(38,12)")).over(Window.partitionBy())
+          .cast("double"))
+      .withColumn("cum",
+        sum(col("rev").cast("decimal(38,12)")).over(ordered).cast("double"))
+      .withColumn("share", col("cum") / col("total"))
+      .withColumn("cls", when(col("share") <= 0.80, "A")
+        .when(col("share") <= 0.95, "B").otherwise("C"))
+    shared.groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), round(dsum(col("rev")), 6).as("revenue"),
+        round(dsum(col("rev")) / max(col("total")), 6).as("rev_share"))
+      .orderBy("cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1674,6 +1736,8 @@ object Queries {
     "q192_rfm" -> (rfmSegments _),
     "q193_seasonal_index" -> (seasonalIndex _),
     "q194_acf" -> (acfDaily _),
+    "q197_anova" -> (anovaF _),
+    "q198_pareto_abc" -> (paretoAbc _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3765,6 +3829,47 @@ object Queries {
          |  GROUP BY l.lag)
          |SELECT lag, n_pairs, round(num / den, 6) AS acf
          |FROM num CROSS JOIN den ORDER BY lag""".stripMargin,
+    // Same per-group DECIMAL moments, same k-row cross-group reduce,
+    // same fixed-order F arithmetic.
+    "q197_anova" ->
+      s"""WITH g AS (SELECT event_type, count(*) AS n,
+         |  ${dsumSql("value")} AS s1, ${dsumSql("value * value")} AS s2
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |g2 AS (SELECT *, s1 / CAST(n AS DOUBLE) AS mean_g FROM g),
+         |t AS (SELECT sum(n) AS nn, count(*) AS k, ${dsumSql("s1")} AS ts1
+         |  FROM g2),
+         |j AS (SELECT g2.*, ts1 / CAST(nn AS DOUBLE) AS gm, nn, k
+         |  FROM g2 CROSS JOIN t),
+         |a AS (SELECT max(k) AS k, max(nn) AS n,
+         |  ${dsumSql("CAST(n AS DOUBLE) * (mean_g - gm) * (mean_g - gm)")}
+         |    AS ssb,
+         |  ${dsumSql("s2 - CAST(n AS DOUBLE) * mean_g * mean_g")} AS ssw
+         |  FROM j)
+         |SELECT k, n, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+         |  round((ssb / (CAST(k AS DOUBLE) - 1.0))
+         |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f
+         |FROM a""".stripMargin,
+    // Same DECIMAL-route ranking key, same exact DECIMAL window cumsum
+    // (VARCHAR round-trips on this side), same 80/95 cuts.
+    "q198_pareto_abc" ->
+      s"""WITH rev AS (SELECT l_partkey,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |w AS (SELECT l_partkey, rev,
+         |  CAST(CAST(sum(CAST(CAST(rev AS VARCHAR) AS DECIMAL(38,12)))
+         |    OVER () AS VARCHAR) AS DOUBLE) AS total,
+         |  CAST(CAST(sum(CAST(CAST(rev AS VARCHAR) AS DECIMAL(38,12)))
+         |    OVER (ORDER BY rev DESC, l_partkey ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS VARCHAR) AS DOUBLE) AS cum
+         |  FROM rev),
+         |c AS (SELECT CASE WHEN cum / total <= 0.80 THEN 'A'
+         |    WHEN cum / total <= 0.95 THEN 'B' ELSE 'C' END AS cls,
+         |  rev, total FROM w)
+         |SELECT cls, count(*) AS n_parts, round(${dsumSql("rev")}, 6)
+         |    AS revenue,
+         |  round(${dsumSql("rev")} / max(total), 6) AS rev_share
+         |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
     // Same quarter-weight quantile interpolation (q51's), same eighth-
     // exact fence arithmetic, same clamp through the DECIMAL route.
     "q178_outlier_fence" ->
