@@ -19,7 +19,7 @@ import graft.text.{CoOccur, Tokenize}
 object SparkEntry {
 
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    rel.Queries.normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region/nation — exercises scan, broadcast joins, agg, sort. */

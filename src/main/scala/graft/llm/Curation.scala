@@ -265,6 +265,64 @@ object Curation {
     merges.reduce(_.unionByName(_)).orderBy("round")
   }
 
+  /** BPE ENCODE with the merges [[bpeTrain]] learns — tokenizer
+    * application as a corpus-level report: train `rounds` merges on the
+    * word-frequency vocabulary (the identical plan as bpeTrain; zero
+    * driver actions — each round's winning pair joins back in as a
+    * 1-row broadcast), apply them to every DISTINCT word, then join the
+    * per-word token length back onto the corpus. Per language: docs,
+    * whitespace words, BPE tokens, characters, and chars-per-token —
+    * the compression ratio a tokenizer change shifts. Encoding rides
+    * the VOCABULARY (O(vocab × word len) per round), never the corpus;
+    * the corpus is touched twice (vocab build, final join) and the
+    * word→length join is a plain equi-join AQE can split. The merge
+    * fold is the exact greedy left-to-right semantics ([a,a,a]→[aa,a]),
+    * so the data-dependent token counts value-oracle. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                langCol: String, rounds: Int): DataFrame = {
+    val words = docs
+      .select(col(idCol), col(langCol),
+        explode(split(col(textCol), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+    var vocab = words
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val pairsOfSyms =
+      "CASE WHEN size(syms) > 1 THEN transform(sequence(1, size(syms) - 1), " +
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) " +
+        "ELSE cast(array() AS array<struct<a: string, b: string>>) END"
+    val mergeFold =
+      "aggregate(syms, cast(array() AS array<string>), (acc, x) -> " +
+        "CASE WHEN try_element_at(acc, -1) = ma AND x = mb " +
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb))) " +
+        "ELSE concat(acc, array(x)) END)"
+    (1 to rounds).foreach { r =>
+      val best = vocab
+        .select(col("cnt"), explode(expr(pairsOfSyms)).as("p"))
+        .groupBy(col("p.a").as("ma"), col("p.b").as("mb"))
+        .agg(sum(col("cnt")).as("wcnt"))
+        .orderBy(col("wcnt").desc, col("ma").asc, col("mb").asc)
+        .limit(1)
+      vocab = vocab.crossJoin(broadcast(best.select("ma", "mb")))
+        .withColumn("syms", expr(mergeFold))
+        .drop("ma", "mb")
+      if (r < rounds) vocab = vocab.localCheckpoint()
+    }
+    val wordLen = vocab.select(col("w"),
+      size(col("syms")).cast("long").as("ntok"), length(col("w")).as("nch"))
+    words.join(wordLen, "w")
+      .groupBy(col(langCol).as("lang"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("n_bpe_tokens"),
+        sum(col("nch").cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double")
+          / col("n_bpe_tokens").cast("double"), 6))
+      .orderBy("lang")
+  }
+
   def chunk(docs: DataFrame, idCol: String, textCol: String,
             window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,

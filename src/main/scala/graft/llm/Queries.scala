@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Queries {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.rel.Queries.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Embedding dimensionality of the driver's `embeddings` table (all
     * SFs ship 64-float vectors). A constant rather than a `.head()` probe:
@@ -643,6 +643,26 @@ object Queries {
     // greedy fold, so merge choices AND weights value-oracle.
     "q174_bpe_train" -> ((s, dir) =>
       Curation.bpeTrain(tbl(s, dir, "documents"), "text", rounds = 4)),
+    // BPE ENCODE with q174's merges: tokenizer application as a
+    // per-language compression report — encoding rides the vocabulary,
+    // the corpus is touched twice, and the greedy fold's data-dependent
+    // token counts value-oracle (same fold replay as q174's oracle,
+    // carried down to word level and joined back per language).
+    "q206_bpe_encode" -> ((s, dir) =>
+      Curation.bpeEncode(tbl(s, dir, "documents"), "doc_id", "text",
+        "lang", rounds = 4)),
+    // Centroid-based silhouette over the q35/q46 coarse quantizer:
+    // cluster-separation report from ONE broadcast centroid pass +
+    // one rank window — own/next distances from positions 1 and 2 of
+    // the same ranking (the O(n·k) silhouette; the textbook O(n²)
+    // form is unreachable at scale).
+    "q204_silhouette" -> ((s, dir) =>
+      Sim.silhouette(tbl(s, dir, "embeddings"), nlist = 16)),
+    // Zipf rank-frequency fit over the top-1000 vocabulary: corpus →
+    // (token, count) hash-agg → TakeOrderedAndProject(1000) → 1000-row
+    // rank window + OLS reduce through the DECIMAL dsum route.
+    "q205_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(tbl(s, dir, "documents"), topK = 1000)),
     // MMR diversified top-k rerank: greedy λ-tradeoff between query
     // relevance and redundancy vs the already-picked set, unrolled as
     // 5 declarative rounds over the checkpointed top-20 pool; the
@@ -1649,6 +1669,97 @@ object Queries {
        |SELECT cid, rnk, tok, tf, df, score FROM r
        |WHERE rnk <= 3 ORDER BY cid, rnk""".stripMargin
 
+  /** DuckDB twin of [[Sim.silhouette]]: the same v/n/c CTEs as the IVF
+    * assignment, one csim ranking per vector, a/b from positions 1 and
+    * 2, means through the DECIMAL VARCHAR-round-trip route. The bare
+    * 1.0 literals are CAST to DOUBLE (DuckDB parses them as DECIMAL —
+    * the q176 gotcha). */
+  private val silhouetteOracle: String = {
+    def dmean(e: String) =
+      s"CAST(CAST(SUM(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)"
+    s"""WITH ${ivfAssignCte(16)},
+       |rk AS (SELECT vec_id, cid, csim,
+       |  row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid ASC) AS r
+       |  FROM (SELECT n.vec_id, c.cid,
+       |    ${dotSql("n.v", "c.cv")} / (n.norm * c.cn) AS csim
+       |    FROM n CROSS JOIN c)),
+       |o AS (SELECT vec_id, cid, CAST(1.0 AS DOUBLE) - csim AS a
+       |  FROM rk WHERE r = 1),
+       |x AS (SELECT vec_id, CAST(1.0 AS DOUBLE) - csim AS b
+       |  FROM rk WHERE r = 2),
+       |j AS (SELECT o.cid, a, b,
+       |  CASE WHEN greatest(a, b) > 0
+       |    THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+       |  FROM o JOIN x USING (vec_id))
+       |SELECT cid, count(*) AS n, round(${dmean("a")}, 6) AS mean_a,
+       |  round(${dmean("b")}, 6) AS mean_b,
+       |  round(${dmean("s")}, 6) AS mean_sil
+       |FROM j GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextAnalysis.zipfSlope]]: same top-K total order,
+    * same ln on exact integers, same DECIMAL-route OLS reductions, same
+    * fixed-order closing arithmetic. */
+  private val zipfOracle: String = {
+    def ds(e: String) =
+      s"CAST(CAST(SUM(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    s"""WITH tf AS (SELECT tok, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> '' GROUP BY tok
+       |  ORDER BY cnt DESC, tok ASC LIMIT 1000),
+       |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)
+       |    AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM tf),
+       |a AS (SELECT count(*) AS k, ${ds("x")} AS sx, ${ds("y")} AS sy,
+       |  ${ds("x * y")} AS sxy, ${ds("x * x")} AS sxx, ${ds("y * y")} AS syy
+       |  FROM xy)
+       |SELECT k,
+       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+       |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+       |    AS intercept,
+       |  round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+       |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+       |FROM a""".stripMargin
+  }
+
+  /** DuckDB twin of [[Curation.bpeEncode]]: q174's merge-replay CTE
+    * chain with the word identity carried through every round, the
+    * final symbol counts joined back onto the per-language word
+    * stream. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      val fold = s"""list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+         |    (acc, x) -> CASE WHEN acc[-1] = b.ma AND x[1] = b.mb
+         |      THEN list_append(array_slice(acc, 1, len(acc) - 1), b.ma || b.mb)
+         |      ELSE list_concat(acc, x) END)""".stripMargin
+      s""",
+         |p$r AS (SELECT string_split(pr, ' ')[1] AS ma,
+         |  string_split(pr, ' ')[2] AS mb, sum(cnt) AS wcnt
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |    i -> syms[i] || ' ' || syms[i + 1])) AS pr FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT ma, mb FROM p$r
+         |  ORDER BY wcnt DESC, ma ASC, mb ASC LIMIT 1),
+         |w$r AS (SELECT w, cnt, $fold AS syms FROM $prev CROSS JOIN b$r b)""".stripMargin
+    }.mkString
+    s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |w0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM wc)$steps,
+       |wl AS (SELECT w, len(syms) AS ntok, length(w) AS nch FROM w$rounds),
+       |words AS (SELECT doc_id, lang, w FROM (
+       |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) WHERE w <> '')
+       |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+       |  sum(ntok) AS n_bpe_tokens, sum(nch) AS n_chars,
+       |  round(CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE), 6)
+       |    AS chars_per_token
+       |FROM words JOIN wl USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB twin of [[Sim.kmeansRefine]] at any iteration count: the
     * iterated Lloyd chain unrolled as CTEs. Per iteration — per-(cid,
     * dim) means through the same DECIMAL(38,12) VARCHAR-round-trip
@@ -2158,6 +2269,9 @@ object Queries {
     "q46_cluster_dedup" -> clusterDedupOracle,
     "q173_cluster_labels" -> clusterLabelsOracle,
     "q174_bpe_train" -> bpeOracle(4),
+    "q204_silhouette" -> silhouetteOracle,
+    "q205_zipf_slope" -> zipfOracle,
+    "q206_bpe_encode" -> bpeEncodeOracle(4),
     "q175_mmr_diversify" -> mmrOracle(10, 20, 5, 0.7),
     "q176_rrf_fusion" -> rrfOracle(10, 20, 10, 60),
     "q39_shard_pack" ->

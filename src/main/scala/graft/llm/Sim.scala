@@ -862,6 +862,49 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** Centroid-based silhouette (the scalable simplification of
+    * Rousseeuw 1987: a = cosine distance to the OWN centroid, b =
+    * distance to the nearest OTHER centroid — the O(n·k) form; the
+    * textbook per-point-pairwise a/b is O(n²) and unreachable at
+    * 100 TB): per cluster, size and mean a/b/silhouette. One broadcast
+    * crossJoin of the nlist-row centroid table over the corpus — the
+    * exact [[ivfAssign]] shape — then one rank window per vector and
+    * one hash-agg; own/next distances come from positions 1 and 2 of
+    * the SAME ranking, so no second corpus pass. Per-row a/b/s are
+    * fixed-order IEEE on the sequential-fold cosine (bit-identical
+    * across engines); cross-row means ride the DECIMAL dsum route.
+    * With argmax assignment a ≤ b always, so s ∈ [0, 1] here — the
+    * magnitude measures cluster separation. */
+  def silhouette(emb: DataFrame, nlist: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val cents = ivfCentroids(v, nlist)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val ranked = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("v"), col("cv"), col("norm"), col("cn")).as("csim"))
+      .withColumn("r", row_number().over(w))
+    val own = ranked.where(col("r") === 1)
+      .select(col("vec_id"), col("cid"), col("csim").as("own_sim"))
+    val next = ranked.where(col("r") === 2)
+      .select(col("vec_id"), col("csim").as("next_sim"))
+    val dsum = graft.rel.Queries.dsum _
+    own.join(next, "vec_id")
+      .withColumn("a", lit(1.0) - col("own_sim"))
+      .withColumn("b", lit(1.0) - col("next_sim"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        round(dsum(col("a")) / count(lit(1)), 6).as("mean_a"),
+        round(dsum(col("b")) / count(lit(1)), 6).as("mean_b"),
+        round(dsum(col("s")) / count(lit(1)), 6).as("mean_sil"))
+      .orderBy("cid")
+  }
+
   def annKnn(emb: DataFrame, nQuery: Int, k: Int,
              nTables: Int = 16, bandPlanes: Int = 4,
              dim: Int = 64): DataFrame = {

@@ -526,6 +526,44 @@ object TextAnalysis {
       .where(col("nt") === terms.size)
       .select(col("doc_id"), col("score"))
 
+  /** Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
+    * top-K vocabulary — the corpus-health scalar every data-curation
+    * report carries (natural text slopes ≈ −1; a slope far off flags
+    * boilerplate floods or synthetic junk). The corpus reduces to
+    * (token, count) in one hash-agg, the top-K survives via
+    * TakeOrderedAndProject (count DESC, token ASC — total order), and
+    * the rank window + OLS reduction run on K rows only. ln on exact
+    * integers is bit-identical across engines (the q181/q191
+    * precedent); the ΣX/ΣY/ΣXY/ΣX² reductions ride the DECIMAL dsum
+    * route so accumulation order cannot split them. */
+  def zipfSlope(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    val dsum = graft.rel.Queries.dsum _
+    val top = docs
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topK)
+    val xy = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("k"), dsum(col("x")).as("sx"),
+        dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+      .select(col("k"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("k"), 6).as("intercept"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          * (col("k") * col("sxy") - col("sx") * col("sy"))
+          / ((col("k") * col("sxx") - col("sx") * col("sx"))
+            * (col("k") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -23,13 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** The driver fixtures have shipped two parquet temporal encodings
+    * across rounds: TIMESTAMP(NANOS) (no native Spark 4 type — read as
+    * nanosecond longs via the legacy conf) and plain µs
+    * timestamps WITHOUT isAdjustedToUTC, which Spark 4 reads as
+    * TIMESTAMP_NTZ. Normalize every temporal column to the session-zone
+    * TimestampType once, at the read boundary: every session here pins
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast preserves the
+    * microsecond value exactly — the same value DuckDB's epoch_us sees —
+    * and downstream unix_micros/window/watermark logic stays
+    * encoding-agnostic. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => d
+      }
+    }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 has no native
-    * type for — read it as nanosecond longs and truncate to a microsecond
-    * TimestampType (the same ns→µs truncation DuckDB applies; the
-    * generated data is µs-grained so no precision is lost). */
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** events.parquet: TIMESTAMP(NANOS) rounds read it as nanosecond longs
+    * and truncate to a microsecond TimestampType (the same ns→µs
+    * truncation DuckDB applies; the generated data is µs-grained so no
+    * precision is lost); µs-NTZ rounds are handled by [[normalizeTs]]
+    * inside [[tbl]]. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = tbl(s, dir, "events")
@@ -1635,6 +1655,215 @@ object Queries {
       .orderBy("cls")
   }
 
+  // Decile gains / lift table (the model-eval companion to q166's AUC
+  // and q180's calibration): rows ranked by score into 10 equal-count
+  // deciles, each reporting positive rate, cumulative capture and lift.
+  // DISTRIBUTED ntile: the raw stream first reduces to one row per
+  // DISTINCT (score, label) with a count, global rank offsets come from
+  // the q166/q39 two-phase prefix sum (fixed score cells + a tiny
+  // cell-offset table — no global window over data), and each reduced
+  // group is split across the decile boundaries it straddles by pure
+  // interval arithmetic. The split is EXACT, not approximate: rows tied
+  // on (score, label) are interchangeable, so per-decile (n, n_pos) is
+  // independent of how a total-order sort would break those ties — which
+  // is also why the oracle's plain ntile(10) window (ORDER BY score
+  // DESC, pos ASC) certifies this decomposition. All counts integer;
+  // the three ratios are single divisions of exact int64 products.
+  def decileLift(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy("score", "pos").agg(count(lit(1)).as("cnt"))
+      .withColumn("cell", floor(col("score") / 50.0).cast("long"))
+    val inCell = Window.partitionBy("cell")
+      .orderBy(col("score").desc, col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellTotals = g.groupBy("cell").agg(sum(col("cnt")).as("cell_cnt"))
+      .withColumn("cell_offset",
+        coalesce(sum(col("cell_cnt")).over(
+          Window.orderBy(col("cell").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cell", "cell_offset")
+    val tot = g.agg(sum(col("cnt")).as("nn"),
+      sum(col("pos") * col("cnt")).as("tot_pos"))
+    // ntile semantics: with nn = 10q + r, deciles 1..r get q+1 rows.
+    val decs = s.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(tot))
+      .withColumn("q", expr("nn DIV 10"))
+      .withColumn("r", col("nn") % 10L)
+      .withColumn("d_start",
+        (col("decile") - 1L) * col("q") + least(col("decile") - 1L, col("r")))
+      .withColumn("d_end", col("d_start") + col("q")
+        + when(col("decile") <= col("r"), 1L).otherwise(0L))
+      .select("decile", "d_start", "d_end", "nn", "tot_pos")
+    g.withColumn("off_in", coalesce(sum(col("cnt")).over(inCell), lit(0L)))
+      .join(broadcast(cellTotals), "cell")
+      .withColumn("start", col("cell_offset") + col("off_in"))
+      .join(broadcast(decs),
+        col("start") < col("d_end") && col("start") + col("cnt") > col("d_start"))
+      .withColumn("take",
+        least(col("start") + col("cnt"), col("d_end"))
+          - greatest(col("start"), col("d_start")))
+      .groupBy("decile")
+      .agg(sum(col("take")).as("n"),
+        sum(when(col("pos") === 1L, col("take")).otherwise(0L)).as("n_pos"),
+        max(col("nn")).as("nn"), max(col("tot_pos")).as("tot_pos"))
+      .withColumn("cum_pos",
+        sum(col("n_pos")).over(Window.orderBy(col("decile").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("cum_pos").cast("double") / col("tot_pos").cast("double"), 6)
+          .as("cum_capture"),
+        round((col("n_pos") * col("nn")).cast("double")
+          / (col("n") * col("tot_pos")).cast("double"), 6).as("lift"))
+      .orderBy("decile")
+  }
+
+  // MAD-based robust outlier screen (Hampel's rule): per event type the
+  // median, the median absolute deviation, and the rows flagged by
+  // |x − med| > 3·1.4826·MAD — the robust twin of q171's moment z-score
+  // (one wild day shifts a mean fence; it cannot move a median fence).
+  // Everything up to the report is EXACT integer algebra: cents are
+  // int64, the interpolated median is a half-integer so 4·|x − med| is
+  // again int64 (adev4), 8·MAD likewise (mad8), and the flag compares
+  // 20000·adev4 > 44478·mad8 — the 1.4826 consistency constant as an
+  // exact rational, no float comparison anywhere. Only the reported
+  // max |z| rounds a float, in one fixed order on identical integers.
+  // Two grouped percentile sort-aggs + one broadcast join back — the
+  // q178 shape.
+  def madRobust(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev4",
+        (abs(col("cents").cast("double") - col("med")) * 4.0).cast("long"))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(adev4, 0.5)") * 2.0).cast("long").as("mad8"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        (max(col("mad8")).cast("double") / 8.0).as("mad"),
+        sum(when(lit(20000L) * col("adev4") > lit(44478L) * col("mad8"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        when(max(col("mad8")) > 0L,
+          round((lit(2.0) * max(col("adev4")).cast("double"))
+            / (lit(1.4826) * max(col("mad8")).cast("double")), 6))
+          .otherwise(lit(0.0)).as("max_z"))
+      .orderBy("event_type")
+  }
+
+  // Theil–Sen robust trend estimator (Theil 1950 / Sen 1968): per event
+  // type, the median of all pairwise slopes of the daily-count series —
+  // the slope q149's OLS would report if outlier days couldn't drag it.
+  // The raw stream reduces to O(types × days) in one hash-agg FIRST;
+  // the pair expansion is a self-join of that tiny table (≤ days²/2
+  // pairs per type, bounded by the corpus horizon, never O(events²)).
+  // Slopes are CAST(dy AS DOUBLE)/dx on exact integers — bit-identical
+  // across engines — and the median is a manual order statistic (pick
+  // rows ⌈m/2⌉ and ⌊m/2⌋+1 under the total order (slope, dy, dx), then
+  // average) rather than an engine-specific interpolating aggregate, so
+  // the tie handling is pinned, not inherited.
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val l = daily.select(col("event_type"), col("day").as("d1"),
+      col("x").as("x1"))
+    val r = daily.select(col("event_type"), col("day").as("d2"),
+      col("x").as("x2"))
+    val pairs = l.join(r, Seq("event_type"))
+      .where(col("d2") > col("d1"))
+      .withColumn("dy", col("x2") - col("x1"))
+      .withColumn("dx", col("d2") - col("d1"))
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val cnt = pairs.groupBy("event_type").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope").asc, col("dy").asc, col("dx").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .join(broadcast(cnt), "event_type")
+      .where(col("rn") === expr("(m + 1) DIV 2")
+        || col("rn") === expr("m DIV 2 + 1"))
+      .groupBy("event_type")
+      .agg(max(col("m")).as("n_pairs"), min(col("slope")).as("lo"),
+        max(col("slope")).as("hi"))
+      .select(col("event_type"), col("n_pairs"),
+        round((col("lo") + col("hi")) / 2.0, 6).as("ts_slope"))
+      .orderBy("event_type")
+  }
+
+  // Herfindahl–Hirschman concentration index per nation (the antitrust
+  // screen; complements q155's Gini — Gini measures inequality of the
+  // distribution, HHI measures how few hands hold it): supplier revenue
+  // shares squared and summed. Per-supplier revenue rides the DECIMAL
+  // dsum route (exact, order-proof), nation totals are a 25-row
+  // broadcast, shares and their squares are fixed-order IEEE on
+  // identical doubles, and the cross-supplier Σshare² goes back through
+  // dsum so accumulation order cannot split the engines. One lineitem
+  // hash-agg + two broadcast joins — nothing here outgrows a 1000-
+  // executor shuffle.
+  def hhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev"))
+    val sup = tbl(s, dir, "supplier").select(col("s_suppkey"),
+      col("s_nationkey"))
+    val nat = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val j = rev
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("rev"))
+    val tot = j.groupBy("nation")
+      .agg(dsum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
+    j.join(broadcast(tot), "nation")
+      .withColumn("share", col("rev") / col("tot"))
+      .groupBy("nation")
+      .agg(max(col("n_suppliers")).as("n_suppliers"),
+        round(dsum(col("share") * col("share")), 6).as("hhi"),
+        round(max(col("share")), 6).as("top_share"))
+      .orderBy("nation")
+  }
+
+  // Day-over-day active-user overlap: for every adjacent day pair, the
+  // DAU of each side, the returning-user intersection, Jaccard overlap
+  // and next-day retention — the operational cousin of q128's cohort
+  // matrix (that tracks cohorts forward for weeks; this tracks the
+  // whole population one step). The stream collapses to DISTINCT
+  // (day, user) once — one shuffle keyed (day, user_id) — and the
+  // intersection is a self-equi-join on exactly that key with one side
+  // shifted a day, so the exchange is reused, not repeated. Counts are
+  // exact integers; Jaccard and retention are single divisions.
+  def dauOverlap(s: SparkSession, dir: String): DataFrame = {
+    val du = events(s, dir)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+        col("user_id"))
+      .distinct()
+    val nxt = du.withColumn("day", col("day") - 1L)
+    val both = du.join(nxt.select(col("day"), col("user_id")),
+        Seq("day", "user_id"))
+      .groupBy("day").agg(count(lit(1)).as("n_both"))
+    val daily = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    daily
+      .join(daily.select((col("day") - 1L).as("day"),
+        col("dau").as("dau_next")), Seq("day"))
+      .join(both, Seq("day"), "left")
+      .na.fill(0L, Seq("n_both"))
+      .select(col("day"), col("dau"), col("dau_next"), col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("dau") + col("dau_next") - col("n_both")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_both").cast("double") / col("dau").cast("double"), 6)
+          .as("retention"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1738,6 +1967,11 @@ object Queries {
     "q194_acf" -> (acfDaily _),
     "q197_anova" -> (anovaF _),
     "q198_pareto_abc" -> (paretoAbc _),
+    "q199_decile_lift" -> (decileLift _),
+    "q200_mad_robust" -> (madRobust _),
+    "q201_theil_sen" -> (theilSen _),
+    "q202_hhi" -> (hhi _),
+    "q203_dau_overlap" -> (dauOverlap _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -2687,6 +2921,109 @@ object Queries {
        |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Plain global ntile(10) window under the total order (score DESC,
+    // pos ASC): rows tied on both keys are interchangeable, so the
+    // per-decile aggregates certify the engine's two-phase distributed
+    // decomposition regardless of how either engine breaks those ties.
+    "q199_decile_lift" ->
+      """WITH e AS (SELECT value AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT *, ntile(10) OVER (ORDER BY score DESC, pos ASC)
+        |  AS decile FROM e),
+        |g AS (SELECT decile, count(*) AS n, sum(pos) AS n_pos
+        |  FROM t GROUP BY 1),
+        |tt AS (SELECT sum(n) AS nn, sum(n_pos) AS tot_pos FROM g),
+        |c AS (SELECT decile, n, n_pos,
+        |  sum(n_pos) OVER (ORDER BY decile ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |  FROM g)
+        |SELECT decile, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+        |    AS cum_capture,
+        |  round(CAST(n_pos * nn AS DOUBLE) / CAST(n * tot_pos AS DOUBLE), 6)
+        |    AS lift
+        |FROM c CROSS JOIN tt ORDER BY decile""".stripMargin,
+    // Same exact-integer route: half-integer median → int64 adev4/mad8,
+    // the Hampel flag as the rational 20000·adev4 > 44478·mad8, and the
+    // single fixed-order float only in the reported max |z|.
+    "q200_mad_robust" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, cents, med,
+        |  CAST(abs(CAST(cents AS DOUBLE) - med) * 4 AS BIGINT) AS adev4
+        |  FROM e JOIN m USING (event_type)),
+        |m2 AS (SELECT event_type,
+        |  CAST(quantile_cont(adev4, 0.5) * 2 AS BIGINT) AS mad8
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, max(med) AS med,
+        |  CAST(max(mad8) AS DOUBLE) / 8.0 AS mad,
+        |  sum(CASE WHEN 20000 * adev4 > 44478 * mad8 THEN 1 ELSE 0 END)
+        |    AS n_outliers,
+        |  CASE WHEN max(mad8) > 0
+        |    THEN round((2.0 * CAST(max(adev4) AS DOUBLE))
+        |      / (1.4826 * CAST(max(mad8) AS DOUBLE)), 6)
+        |    ELSE 0.0 END AS max_z
+        |FROM d JOIN m2 USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // Same daily reduction, same CAST(dy AS DOUBLE)/dx slopes on exact
+    // integers, same manual ⌈m/2⌉/⌊m/2⌋+1 order statistic under the
+    // pinned total order (slope, dy, dx).
+    "q201_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT l.event_type, r.x - l.x AS dy, r.day - l.day AS dx,
+        |  CAST(r.x - l.x AS DOUBLE) / CAST(r.day - l.day AS DOUBLE) AS slope
+        |  FROM daily l JOIN daily r ON l.event_type = r.event_type
+        |    AND r.day > l.day),
+        |c AS (SELECT event_type, count(*) AS m FROM p GROUP BY 1),
+        |r AS (SELECT p.*, m, row_number() OVER (PARTITION BY p.event_type
+        |    ORDER BY slope ASC, dy ASC, dx ASC) AS rn
+        |  FROM p JOIN c ON p.event_type = c.event_type)
+        |SELECT event_type, max(m) AS n_pairs,
+        |  round((min(slope) + max(slope)) / 2.0, 6) AS ts_slope
+        |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same DECIMAL-route revenues and Σshare² so accumulation order
+    // cannot split the engines.
+    "q202_hhi" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |j AS (SELECT n_name AS nation, rev FROM rev
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey),
+         |t AS (SELECT nation, ${dsumSql("rev")} AS tot, count(*) AS n_suppliers
+         |  FROM j GROUP BY 1)
+         |SELECT j.nation, max(n_suppliers) AS n_suppliers,
+         |  round(${dsumSql("(rev / tot) * (rev / tot)")}, 6) AS hhi,
+         |  round(max(rev / tot), 6) AS top_share
+         |FROM j JOIN t ON j.nation = t.nation
+         |GROUP BY j.nation ORDER BY j.nation""".stripMargin,
+    // Same distinct (day,user) collapse, same shifted self-join, same
+    // single divisions of exact integers.
+    "q203_dau_overlap" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |  user_id FROM events),
+        |daily AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |b AS (SELECT a.day, count(*) AS n_both FROM du a
+        |  JOIN du n ON n.user_id = a.user_id AND n.day = a.day + 1
+        |  GROUP BY a.day)
+        |SELECT d.day, d.dau, nx.dau AS dau_next,
+        |  coalesce(n_both, 0) AS n_both,
+        |  round(CAST(coalesce(n_both, 0) AS DOUBLE)
+        |    / CAST(d.dau + nx.dau - coalesce(n_both, 0) AS DOUBLE), 6)
+        |    AS jaccard,
+        |  round(CAST(coalesce(n_both, 0) AS DOUBLE) / CAST(d.dau AS DOUBLE), 6)
+        |    AS retention
+        |FROM daily d JOIN daily nx ON nx.day = d.day + 1
+        |LEFT JOIN b ON b.day = d.day
+        |ORDER BY d.day""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -25,7 +25,7 @@ object Tables {
     if (dir == lastDir.get(spark)) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach { n =>
-      val df = spark.read.parquet(s"$dir/$n.parquet")
+      val df = Queries.normalizeTs(spark.read.parquet(s"$dir/$n.parquet"))
       val fixed =
         if (n == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))

@@ -65,11 +65,10 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("bandJoin agrees with a brute-force theta join on real events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("us", col("ts")) // nanos-as-long is fine: pure arithmetic
+    val e = Queries.events(spark, sf0001)
+      .withColumn("us", expr("unix_micros(ts)"))
       .select("user_id", "us", "event_id")
-    val w = 600L * 1000000000L
+    val w = 600L * 1000000L
     val banded = Temporal.bandJoin(e, "user_id", "us", "event_id", w)
       .select("a_event_id", "b_event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -100,14 +99,14 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("intervalJoin agrees with a brute-force theta join on real events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val iv = spark.read.parquet(s"$sf0001/events.parquet")
-      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"),
-        col("ts").as("ns"))
+    val iv = Queries.events(spark, sf0001)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("unix_micros(ts)").as("us"))
       .groupBy("user_id", "day")
-      .agg(min(col("ns")).as("s"), max(col("ns")).as("e"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
     val got = Temporal.intervalJoin(iv, Seq("day"), "user_id", "s", "e",
-        6L * 3600L * 1000000000L)
+        6L * 3600L * 1000000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     val a = iv.select(col("day"), col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1"))
