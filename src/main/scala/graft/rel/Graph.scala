@@ -252,4 +252,36 @@ object Graph {
         round(when(col("den") =!= lit(0.0), col("num") / col("den")), 6)
           .as("r"))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik distributed form): `rounds` synchronous rounds
+    * of "drop every node with degree < k, restrict edges to
+    * survivors". With rounds ≥ the peel depth the survivor set IS the
+    * exact k-core — the caller pins a round count probed past the
+    * fixpoint at gate scale, and the oracle unrolls the SAME rounds, so
+    * an undershot depth fails the gate hash (the [[bfs]] contract).
+    *
+    * Scale: each round is one degree hash-agg + two node-keyed
+    * semi-joins — shuffle O(edges), the Pregel peel superstep; a
+    * per-round localCheckpoint keeps the plan linear in depth (the
+    * q47/q65 discipline). Output: surviving (node, deg) — degrees
+    * WITHIN the core, all exact integers. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    for (r <- 1 to rounds) {
+      val keep = degrees(und).where(col("deg") >= k).select("node")
+      und = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+      if (r < rounds) und = und.localCheckpoint()
+    }
+    degrees(und).where(col("deg") >= k)
+      .select(col("node"), col("deg")).orderBy("node")
+  }
 }

@@ -1864,6 +1864,154 @@ object Queries {
       .orderBy("day")
   }
 
+  // Item-to-item co-occurrence cosine (the Amazon "customers who
+  // bought" recommender primitive; Linden et al., IEEE IC 2003): for
+  // part pairs sharing ≥ minSup baskets, cosine = cooc/√(nₐ·n_b) —
+  // q167's lift reads association strength, cosine reads it normalized
+  // by popularity so head items don't dominate. Same capped-basket
+  // self-join as q167 (O(basket²) behind the explicit cap, AQE-
+  // splittable); item counts join back as plain equi-joins (item-grain,
+  // NOT broadcast — at 100 TB the item table outgrows a broadcast).
+  // Counts exact int64; the integer product nₐ·n_b stays < 2⁵³ so
+  // √/division are fixed-order IEEE on identical values; top-K via
+  // TakeOrderedAndProject under the pinned total order (cosine DESC,
+  // a, b).
+  def itemCooccur(s: SparkSession, dir: String, minSup: Long = 3L,
+                  maxBasket: Int = 64, topK: Int = 50): DataFrame = {
+    val items = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val bounded = items
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("ok")))
+      .where(col("bsize") <= maxBasket)
+      .select("ok", "pk")
+    val itemCnt = bounded.groupBy("pk").agg(count(lit(1)).as("n"))
+    val l = bounded.select(col("ok"), col("pk").as("a"))
+    val r = bounded.select(col("ok"), col("pk").as("b"))
+    l.join(r, Seq("ok"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+      .where(col("cooc") >= minSup)
+      .join(itemCnt.select(col("pk").as("a"), col("n").as("na")), "a")
+      .join(itemCnt.select(col("pk").as("b"), col("n").as("nb")), "b")
+      .withColumn("cosine", col("cooc").cast("double")
+        / sqrt((col("na") * col("nb")).cast("double")))
+      .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+      .select(col("a"), col("b"), col("cooc"), col("na"), col("nb"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  // Weekly-cohort LTV curve (the revenue companion to q128's retention
+  // matrix): users cohorted by first-event epoch-week, purchase revenue
+  // accumulated per cohort over age-in-weeks, divided by cohort size.
+  // Cohort assignment is one user-keyed min-agg; the curve lives on the
+  // tiny (cohort × age) table, where the cumulative sum rides the exact
+  // DECIMAL window route (order-proof, q198's discipline). Ages with no
+  // purchases don't emit rows — the cumulative picks up at the next
+  // observed age (documented; a gap-filled spine is q129's pattern).
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val wk = 7L * 86400000000L
+    val e = events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $wk").as("week"),
+        col("event_type"), col("value"))
+    val first = e.groupBy("user_id").agg(min(col("week")).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy("cohort").orderBy(col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.where(col("event_type") === "purchase" && col("value").isNotNull)
+      .join(first, "user_id")
+      .withColumn("age", col("week") - col("cohort"))
+      .groupBy("cohort", "age")
+      .agg(dsum(col("value")).as("revenue"))
+      .withColumn("cum",
+        sum(col("revenue").cast("decimal(38,12)")).over(w).cast("double"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("age"), col("n_users"),
+        round(col("revenue"), 6).as("revenue"),
+        round(col("cum"), 6).as("cum_revenue"),
+        round(col("cum") / col("n_users").cast("double"), 6).as("ltv"))
+      .orderBy("cohort", "age")
+  }
+
+  // Exact weighted median (lower form: smallest x with 2·cumweight(x) ≥
+  // total) of price cents weighted by quantity, per return flag — the
+  // order statistic q51's unweighted quantiles can't express. The raw
+  // stream reduces to one row per DISTINCT (flag, cents) with an int64
+  // weight, then the global prefix sum is the q166/q199 TWO-PHASE form
+  // (fixed cents cells + a broadcast cell-offset table — parallel
+  // in-cell windows, never one sort partition per flag: distinct prices
+  // per flag approach row count at 100 TB). The median pick compares
+  // exact integers; the only division is the final cents→currency
+  // scaling, fixed-order on an exact integer.
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("wt"))
+    // localCheckpoint: g feeds three consumers (in-cell windows, the
+    // cell-offset table, per-flag totals) — without it each broadcast
+    // branch re-scans lineitem and re-runs the reduction (measured 3.9 s
+    // → 2.0 s at sf0.1). The checkpointed table is the DISTINCT
+    // (flag, cents) reduction — tiny relative to the scan.
+    val g = e.groupBy("flag", "cents").agg(sum(col("wt")).as("w"))
+      .withColumn("cell", expr("cents DIV 100000"))
+      .localCheckpoint()
+    val tot = g.groupBy("flag").agg(sum(col("w")).as("total"))
+    val inCell = Window.partitionBy("flag", "cell")
+      .orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellTotals = g.groupBy("flag", "cell").agg(sum(col("w")).as("cw"))
+      .withColumn("cell_offset",
+        coalesce(sum(col("cw")).over(Window.partitionBy("flag")
+          .orderBy(col("cell").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("flag", "cell", "cell_offset")
+    g.withColumn("cum_in", sum(col("w")).over(inCell))
+      .join(broadcast(cellTotals), Seq("flag", "cell"))
+      .withColumn("cum", col("cell_offset") + col("cum_in"))
+      .join(broadcast(tot), "flag")
+      .where(lit(2L) * col("cum") >= col("total"))
+      .groupBy("flag")
+      .agg(min(col("cents")).as("med_cents"), max(col("total")).as("total_weight"))
+      .select(col("flag"), col("total_weight"),
+        (col("med_cents").cast("double") / 100.0).as("wmedian"))
+      .orderBy("flag")
+  }
+
+  // 3-core of the co-purchase graph (parts as nodes, an edge when two
+  // parts share ≥ 2 baskets): the dense sub-network a merchandiser or
+  // fraud screen looks at after q167/q207 score individual pairs.
+  // Edge build reuses the capped-basket self-join; the peel is
+  // [[Graph.kcore]]'s fixed-round Pregel form with the round count
+  // probed PAST the fixpoint at gate scale (the bfs/q177 contract: the
+  // oracle unrolls the same rounds, so an undershot depth fails the
+  // hash). Probed depths: sf0.01 reaches its fixpoint at round 10
+  // (1880 nodes → 935 core members); sf0.1's sparser catalog has an
+  // EMPTY 3-core (all peeled by round 2) — the peel cost there is two
+  // cheap rounds plus eight no-ops. All-integer state — every peel
+  // decision value-oracles; the oracle's round CTEs are MATERIALIZED
+  // (a 10-deep plain CTE chain re-inlines each reference —
+  // exponential re-evaluation in DuckDB).
+  def copurchaseKcore(s: SparkSession, dir: String, k: Int = 3,
+                      rounds: Int = 10, minCooc: Long = 2L,
+                      maxBasket: Int = 64): DataFrame = {
+    val items = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val bounded = items
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("ok")))
+      .where(col("bsize") <= maxBasket)
+      .select("ok", "pk")
+    val edges = bounded.select(col("ok"), col("pk").as("a"))
+      .join(bounded.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+      .where(col("cooc") >= minCooc)
+      .select(col("a").as("src"), col("b").as("dst"))
+    Graph.kcore(edges, k, rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -1972,6 +2120,10 @@ object Queries {
     "q201_theil_sen" -> (theilSen _),
     "q202_hhi" -> (hhi _),
     "q203_dau_overlap" -> (dauOverlap _),
+    "q207_item_cooccur" -> ((s, dir) => itemCooccur(s, dir)),
+    "q208_cohort_ltv" -> (cohortLtv _),
+    "q209_weighted_median" -> (weightedMedian _),
+    "q210_kcore" -> ((s, dir) => copurchaseKcore(s, dir)),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -2920,7 +3072,97 @@ object Queries {
        |  ${dsumSql("value")} AS sum_value
        |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 
+  /** DuckDB twin of [[copurchaseKcore]]: the peel rounds unrolled as
+    * MATERIALIZED CTEs so each is evaluated once. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s""",
+         |d$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT node FROM k$r)
+         |  AND b IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |bounded AS (SELECT ok, pk FROM (SELECT ok, pk,
+       |    count(*) OVER (PARTITION BY ok) AS bsize FROM items)
+       |  WHERE bsize <= 64),
+       |e0 AS MATERIALIZED (SELECT a, b FROM (SELECT l.pk AS a, r.pk AS b,
+       |    count(*) AS cooc
+       |    FROM bounded l JOIN bounded r ON l.ok = r.ok AND l.pk < r.pk
+       |    GROUP BY 1, 2) WHERE cooc >= 2)$steps,
+       |df AS (SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |  GROUP BY 1)
+       |SELECT node, deg FROM df WHERE deg >= $k ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // Same capped baskets, same exact counts, same fixed-order cosine,
+    // same pinned total order for the top-K.
+    "q207_item_cooccur" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |bounded AS (SELECT ok, pk FROM (SELECT ok, pk,
+        |    count(*) OVER (PARTITION BY ok) AS bsize FROM items)
+        |  WHERE bsize <= 64),
+        |pc AS (SELECT pk, count(*) AS n FROM bounded GROUP BY 1),
+        |pr AS (SELECT l.pk AS a, r.pk AS b, count(*) AS cooc
+        |  FROM bounded l JOIN bounded r ON l.ok = r.ok AND l.pk < r.pk
+        |  GROUP BY 1, 2),
+        |f AS (SELECT a, b, cooc, na.n AS na, nb.n AS nb,
+        |  CAST(cooc AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cosine
+        |  FROM pr JOIN pc na ON pr.a = na.pk JOIN pc nb ON pr.b = nb.pk
+        |  WHERE cooc >= 3)
+        |SELECT a, b, cooc, na, nb, round(cosine, 6) AS cosine FROM f
+        |ORDER BY cosine DESC, a ASC, b ASC LIMIT 50""".stripMargin,
+    // Same epoch-week cohorts, same DECIMAL window cumsum route.
+    "q208_cohort_ltv" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+         |  event_type, value FROM events),
+         |f AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY 1),
+         |sz AS (SELECT cohort, count(*) AS n_users FROM f GROUP BY 1),
+         |r AS (SELECT f.cohort, e.week - f.cohort AS age,
+         |  ${dsumSql("value")} AS revenue
+         |  FROM e JOIN f USING (user_id)
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |c AS (SELECT cohort, age, revenue,
+         |  CAST(CAST(sum(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(38,12)))
+         |    OVER (PARTITION BY cohort ORDER BY age ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS VARCHAR) AS DOUBLE) AS cum FROM r)
+         |SELECT c.cohort, age, n_users, round(revenue, 6) AS revenue,
+         |  round(cum, 6) AS cum_revenue,
+         |  round(cum / CAST(n_users AS DOUBLE), 6) AS ltv
+         |FROM c JOIN sz ON c.cohort = sz.cohort
+         |ORDER BY c.cohort, age""".stripMargin,
+    // ONE plain per-flag prefix-sum window — certifies the engine's
+    // two-phase cell decomposition; the median pick compares exact
+    // integers on both sides.
+    "q209_weighted_median" ->
+      """WITH e AS (SELECT l_returnflag AS flag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |g AS (SELECT flag, cents, sum(wt) AS w FROM e GROUP BY 1, 2),
+        |t AS (SELECT flag, sum(w) AS total FROM g GROUP BY 1),
+        |c AS (SELECT flag, cents,
+        |  sum(w) OVER (PARTITION BY flag ORDER BY cents ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g)
+        |SELECT c.flag, max(total) AS total_weight,
+        |  CAST(min(cents) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS wmedian
+        |FROM c JOIN t ON c.flag = t.flag WHERE 2 * cum >= total
+        |GROUP BY c.flag ORDER BY c.flag""".stripMargin,
+    // Same edge build, the same peel rounds unrolled as MATERIALIZED
+    // CTEs (each round references its predecessor three times — plain
+    // CTEs would re-inline exponentially at depth 10) — every
+    // data-dependent drop decision is exact integer algebra, so an
+    // undershot round count fails the hash.
+    "q210_kcore" -> kcoreOracle(k = 3, rounds = 10),
     // Plain global ntile(10) window under the total order (score DESC,
     // pos ASC): rows tied on both keys are interchangeable, so the
     // per-decile aggregates certify the engine's two-phase distributed
