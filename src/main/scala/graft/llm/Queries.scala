@@ -769,6 +769,12 @@ object Queries {
     "q24_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(tbl(s, dir, "documents"))),
     // E17: language-ID heuristic
     "q25_lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
+    // q25's hard classifier EVALUATED against the labeled lang column:
+    // one confusion-matrix cell per (label, prediction) with per-label
+    // recall — the classifier-eval companion to q166/q180's ranking
+    // evals. One corpus scan, one tiny hash-agg.
+    "q211_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(tbl(s, dir, "documents"))),
     // E17: per-language top terms
     "q26_lang_top_terms" -> ((s, dir) => TextAnalysis.langTopTerms(tbl(s, dir, "documents"), 5)),
     // E17: TF-IDF
@@ -2272,6 +2278,26 @@ object Queries {
     "q204_silhouette" -> silhouetteOracle,
     "q205_zipf_slope" -> zipfOracle,
     "q206_bpe_encode" -> bpeEncodeOracle(4),
+    // q25's prediction CTE joined back to the label; counts exact,
+    // recall a single division.
+    "q211_langid_confusion" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(ts, t -> list_contains(['the','and','of','to','in'], t))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(ts, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(ts, t -> list_contains(['el','la','de','los','que'], t))) AS BIGINT) AS s_es
+        |  FROM q),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang
+        |  FROM s),
+        |g AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS recall
+        |FROM g ORDER BY lang, pred_lang""".stripMargin,
     "q175_mmr_diversify" -> mmrOracle(10, 20, 5, 0.7),
     "q176_rrf_fusion" -> rrfOracle(10, 20, 10, 60),
     "q39_shard_pack" ->

@@ -526,6 +526,28 @@ object TextAnalysis {
       .where(col("nt") === terms.size)
       .select(col("doc_id"), col("score"))
 
+  /** Lang-ID confusion matrix: [[langId]]'s stopword-count prediction
+    * evaluated against the labeled `lang` column — the eval every
+    * classifier in the curation pipeline needs next to its scores
+    * (q166/q180 grade rankings; this grades a hard classifier). One
+    * matrix cell per (label, prediction) with per-label recall; counts
+    * exact int64, recall a single division. The prediction recomputes
+    * langId's plan inline (same stopword filters), the label joins by
+    * doc_id — one corpus scan, one tiny hash-agg, a label-grain window
+    * for the row totals. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val pred = langId(docs).select(col("doc_id"), col("pred_lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("label_total",
+        sum(col("n")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("label_total").cast("double"), 6)
+          .as("recall"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
     * top-K vocabulary — the corpus-health scalar every data-curation
     * report carries (natural text slopes ≈ −1; a slope far off flags

@@ -2012,6 +2012,74 @@ object Queries {
     Graph.kcore(edges, k, rounds)
   }
 
+  // Maximum drawdown of the daily value volume per event type (the
+  // finance peak-to-trough statistic applied to demand monitoring: how
+  // far below its best day has each stream fallen, and when): running
+  // peak via a causal window max, drawdown = peak − level, argmax
+  // drawdown with the earliest-day tiebreak pinned through one
+  // max(struct) — no float anywhere, revenue lives in exact integer
+  // micro-units (the q170 discipline). The raw stream reduces to
+  // O(types × days) in one hash-agg first; windows run per type over
+  // that tiny series.
+  def drawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("rev"))
+    val peakW = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("rev")).over(peakW))
+      .withColumn("dd", col("peak") - col("rev"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        (max(col("peak")).cast("double") / 1e6).as("peak_rev"),
+        // deepest drawdown; ties resolved to the EARLIEST day: maximize
+        // (dd, -day) — day ≤ 2^31 so the negation stays exact
+        max(struct(col("dd"), (-col("day")).as("nday"))).as("m"))
+      .select(col("event_type"), col("n_days"), col("peak_rev"),
+        (col("m.dd").cast("double") / 1e6).as("max_drawdown"),
+        (-col("m.nday")).as("dd_day"))
+      .orderBy("event_type")
+  }
+
+  // View→purchase conversion latency percentiles per market segment:
+  // each purchase matched to the user's MOST RECENT prior view via one
+  // running last() window (q183's shape — no per-purchase re-scan, no
+  // self-join), latency floored to whole seconds (exact integers), then
+  // p50/p75 per segment through the same interpolated-percentile route
+  // q51/q178 pinned cross-engine — DYADIC fractions only: with ½/¼
+  // weights the interpolation is binary-exact on both engines, whereas
+  // a 0.9 quantile's inexact fraction meets two different (equally
+  // valid) interpolation formulas and can split the last ulp.
+  // Purchases with no prior view keep their row (NULL latency ignored
+  // by the percentile, counted in n_unmatched). One user-keyed window
+  // shuffle + one customer broadcast + one grouped percentile sort-agg.
+  def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val matched = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("view_us",
+        last(when(col("event_type") === "view", col("us")),
+          ignoreNulls = true).over(byUser))
+      .where(col("event_type") === "purchase")
+      .withColumn("lag_sec", expr("(us - view_us) DIV 1000000"))
+    matched
+      .join(broadcast(tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("view_us").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        expr("percentile(lag_sec, 0.5)").as("p50_sec"),
+        expr("percentile(lag_sec, 0.75)").as("p75_sec"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2124,6 +2192,8 @@ object Queries {
     "q208_cohort_ltv" -> (cohortLtv _),
     "q209_weighted_median" -> (weightedMedian _),
     "q210_kcore" -> ((s, dir) => copurchaseKcore(s, dir)),
+    "q212_drawdown" -> (drawdown _),
+    "q213_time_to_convert" -> (timeToConvert _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3102,6 +3172,48 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same integer micro-unit daily series; the argmax-with-tiebreak is
+    // a row_number pick under the explicit (dd DESC, day ASC) order —
+    // the SQL spelling of the engine's max(struct(dd, -day)).
+    "q212_drawdown" ->
+      """WITH daily AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS day,
+        |  sum(CAST(round(value * 1000000) AS BIGINT)) AS rev
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, rev,
+        |  max(rev) OVER (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |d AS (SELECT event_type, day, peak - rev AS dd, peak,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY peak - rev DESC, day ASC) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n_days,
+        |  max(peak) OVER (PARTITION BY event_type) AS max_peak
+        |  FROM w)
+        |SELECT event_type, n_days,
+        |  CAST(max_peak AS DOUBLE) / 1e6 AS peak_rev,
+        |  CAST(dd AS DOUBLE) / 1e6 AS max_drawdown, day AS dd_day
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // Same running last-view window, same floored integer seconds, same
+    // dyadic-fraction percentiles.
+    "q213_time_to_convert" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |m AS (SELECT user_id, us,
+        |  max(CASE WHEN event_type = 'view' THEN us END) OVER (
+        |    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_us,
+        |  event_type FROM e),
+        |p AS (SELECT user_id, us, view_us,
+        |  CAST((us - view_us) // 1000000 AS BIGINT) AS lag_sec
+        |  FROM m WHERE event_type = 'purchase')
+        |SELECT c_mktsegment AS segment, count(*) AS n_purchases,
+        |  sum(CASE WHEN view_us IS NULL THEN 1 ELSE 0 END) AS n_unmatched,
+        |  quantile_cont(lag_sec, 0.5) AS p50_sec,
+        |  quantile_cont(lag_sec, 0.75) AS p75_sec
+        |FROM p JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same capped baskets, same exact counts, same fixed-order cosine,
     // same pinned total order for the top-K.
     "q207_item_cooccur" ->
