@@ -2080,6 +2080,81 @@ object Queries {
       .orderBy("segment")
   }
 
+  // U-shaped (position-based 40/20/40) multi-touch attribution — the
+  // multi-touch counterpart to q183's last-touch: every purchase
+  // credits ALL its prior-7-day touches, 40% to the first, 40% to the
+  // last, 20% split across the middles (degenerate cases pinned: one
+  // touch → 1.0, two → 0.5/0.5); untouched purchases surface as a
+  // 'direct' row, so total credit ≡ purchase count. The touch↔purchase
+  // pairing is the q43 time-cell equi-join (purchases probe their own
+  // and the previous 7-day cell — never a nested-loop theta join), the
+  // position rank is one purchase-keyed window under the total order
+  // (tus, tid), and per-row credits are fixed-order IEEE (0.2/(n−2) on
+  // exact integers) summed through the DECIMAL dsum route.
+  def positionAttribution(s: SparkSession, dir: String): DataFrame = {
+    val lookback = 7L * 86400L * 1000000L
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("us").as("pus"), coalesce(col("value"), lit(0.0)).as("rev"))
+    val touches = e.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("us").as("tus"), col("event_type").as("channel"))
+    val probe = purchases.withColumn("cell",
+      explode(array(expr(s"pus DIV ${lookback}L"),
+        expr(s"pus DIV ${lookback}L - 1"))))
+    val build = touches.withColumn("cell", expr(s"tus DIV ${lookback}L"))
+    val pairs = probe.join(build, Seq("user_id", "cell"))
+      .where(col("tus") < col("pus") && col("pus") - col("tus") <= lookback)
+      .select(col("pid"), col("rev"), col("tid"), col("tus"), col("channel"))
+    val ranked = pairs
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pid")))
+      .withColumn("rk", row_number().over(Window.partitionBy("pid")
+        .orderBy(col("tus").asc, col("tid").asc)))
+      .withColumn("credit",
+        when(col("n") === 1L, lit(1.0))
+          .when(col("n") === 2L, lit(0.5))
+          .when(col("rk") === 1 || col("rk") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2L).cast("double")))
+    val attributed = ranked.groupBy("channel")
+      .agg(count(lit(1)).as("n_touchpoints"),
+        round(dsum(col("credit")), 6).as("credit"),
+        round(dsum(col("credit") * col("rev")), 6).as("weighted_revenue"))
+    val direct = purchases
+      .join(pairs.select("pid").distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_touchpoints"),
+        round(dsum(lit(1.0)), 6).as("credit"),
+        round(dsum(col("rev")), 6).as("weighted_revenue"))
+      .select(lit("direct").as("channel"), col("n_touchpoints"),
+        col("credit"), col("weighted_revenue"))
+    attributed.unionByName(direct).orderBy("channel")
+  }
+
+  // Join-key skew audit over the fact table's three foreign keys — the
+  // diagnostic a distributed engine runs BEFORE choosing a join
+  // strategy (q52's salting and AQE's skew-join split both key off
+  // exactly this statistic): per key column, row count, distinct keys,
+  // the heaviest key and its frequency, and the skew factor
+  // max_freq/mean_freq. One generator scan (stack → 3× rows), one
+  // (col, key) hash-agg, argmax via max(struct) with the smallest-key
+  // tiebreak; skew = (max_freq·n_distinct)/n_rows — exact int64
+  // product (< 2⁵³) over one fixed-order division.
+  def skewAudit(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .selectExpr("stack(3, 'l_orderkey', l_orderkey, 'l_partkey', " +
+        "l_partkey, 'l_suppkey', l_suppkey) AS (col_name, key)")
+      .groupBy("col_name", "key").agg(count(lit(1)).as("f"))
+      .groupBy("col_name")
+      .agg(sum(col("f")).as("n_rows"), count(lit(1)).as("n_distinct"),
+        max(struct(col("f"), (-col("key")).as("nk"))).as("m"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("m.f").as("max_freq"), (-col("m.nk")).as("top_key"),
+        round((col("m.f") * col("n_distinct")).cast("double")
+          / col("n_rows").cast("double"), 6).as("skew"))
+      .orderBy("col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2194,6 +2269,8 @@ object Queries {
     "q210_kcore" -> ((s, dir) => copurchaseKcore(s, dir)),
     "q212_drawdown" -> (drawdown _),
     "q213_time_to_convert" -> (timeToConvert _),
+    "q214_position_attribution" -> (positionAttribution _),
+    "q215_skew_audit" -> (skewAudit _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3172,6 +3249,59 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same band pairing (spelled as a plain theta join — DuckDB's
+    // optimizer handles gate-scale; the ENGINE's cell equi-join is what
+    // the plan assertions protect), same total order, same credit CASE,
+    // same DECIMAL-route sums, direct row via NOT EXISTS.
+    "q214_position_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |  epoch_us(ts) AS us FROM events),
+         |p AS (SELECT user_id, event_id AS pid, us AS pus,
+         |  coalesce(value, 0.0) AS rev FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS tid, us AS tus,
+         |  event_type AS channel FROM e WHERE event_type <> 'purchase'),
+         |pr AS (SELECT pid, rev, tid, tus, channel FROM p JOIN t
+         |  ON p.user_id = t.user_id AND tus < pus
+         |  AND pus - tus <= 604800000000),
+         |rk AS (SELECT pid, rev, channel,
+         |  count(*) OVER (PARTITION BY pid) AS n,
+         |  row_number() OVER (PARTITION BY pid
+         |    ORDER BY tus ASC, tid ASC) AS rk FROM pr),
+         |cr AS (SELECT channel, rev,
+         |  CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+         |       WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+         |       WHEN rk = 1 OR rk = n THEN CAST(0.4 AS DOUBLE)
+         |       ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END AS credit
+         |  FROM rk),
+         |att AS (SELECT channel, count(*) AS n_touchpoints,
+         |  round(${dsumSql("credit")}, 6) AS credit,
+         |  round(${dsumSql("credit * rev")}, 6) AS weighted_revenue
+         |  FROM cr GROUP BY channel),
+         |d AS (SELECT 'direct' AS channel, count(*) AS n_touchpoints,
+         |  round(${dsumSql("CAST(1.0 AS DOUBLE)")}, 6) AS credit,
+         |  round(${dsumSql("rev")}, 6) AS weighted_revenue
+         |  FROM p WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.pid = p.pid))
+         |SELECT * FROM att UNION ALL SELECT * FROM d
+         |ORDER BY channel""".stripMargin,
+    // Same stacked key stream, same argmax-with-smallest-key tiebreak
+    // (spelled as a row_number pick), same exact skew arithmetic.
+    "q215_skew_audit" ->
+      """WITH k AS (
+        |  SELECT 'l_orderkey' AS col_name, l_orderkey AS key FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |f AS (SELECT col_name, key, count(*) AS f FROM k GROUP BY 1, 2),
+        |a AS (SELECT col_name, f AS max_freq, key AS top_key,
+        |  sum(f) OVER (PARTITION BY col_name) AS n_rows,
+        |  count(*) OVER (PARTITION BY col_name) AS n_distinct,
+        |  row_number() OVER (PARTITION BY col_name
+        |    ORDER BY f DESC, key ASC) AS rn FROM f)
+        |SELECT col_name, n_rows, n_distinct, max_freq, top_key,
+        |  round(CAST(max_freq * n_distinct AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 6) AS skew
+        |FROM a WHERE rn = 1 ORDER BY col_name""".stripMargin,
     // Same integer micro-unit daily series; the argmax-with-tiebreak is
     // a row_number pick under the explicit (dd DESC, day ASC) order —
     // the SQL spelling of the engine's max(struct(dd, -day)).

@@ -136,4 +136,91 @@ class RelSpec extends SparkSpec {
     val got = Queries.skyline(spark, sf0001).collect().map(_.getLong(0)).toSet
     assert(got == brute, s"got $got vs brute $brute")
   }
+
+  test("q201 Theil-Sen equals the plain-Scala median of pairwise slopes") {
+    val daily = Queries.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = daily.map { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1))
+        .sorted
+      val m = slopes.length
+      t -> ((slopes((m - 1) / 2) + slopes(m / 2)) / 2.0)
+    }
+    val got = Queries.theilSen(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    expect.foreach { case (t, s) =>
+      assert(math.abs(got(t) - s) < 1e-6, s"$t: ${got(t)} vs brute $s")
+    }
+  }
+
+  test("q199 decile lift equals a plain global ntile over the rows") {
+    // Brute-force: materialize every (score, pos) row, sort by the
+    // same total order, chop into ntile(10) buckets by the textbook
+    // rule, and aggregate — the distributed interval-split must match.
+    val rows = Queries.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("value"),
+        (col("event_type") === "purchase").cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (s, p) => (-s, p) }
+    val n = rows.length
+    val (q, r) = (n / 10, n % 10)
+    val sizes = (1 to 10).map(d => q + (if (d <= r) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val expect = (1 to 10).map { d =>
+      val slice = rows.slice(offsets(d - 1), offsets(d))
+      (d.toLong, slice.length.toLong, slice.map(_._2).sum)
+    }
+    val got = Queries.decileLift(spark, sf0001).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+    assert(got.toSeq == expect, s"got ${got.toSeq} vs brute $expect")
+  }
+
+  test("q209 weighted median equals the plain-Scala order statistic") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = li.groupBy(_._1).map { case (f, rs) =>
+      val sorted = rs.map(x => (x._2, x._3)).sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; 2 * cum >= total }.get._1
+      f -> (total, med / 100.0)
+    }
+    val got = Queries.weightedMedian(spark, sf0001).collect()
+      .map(r2 => r2.getString(0) -> ((r2.getLong(1), r2.getDouble(2)))).toMap
+    assert(got == expect, s"got $got vs brute $expect")
+  }
+
+  test("q212 drawdown equals the plain-Scala running-peak fold") {
+    val daily = Queries.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = daily.map { case (t, rows) =>
+      var peak = Long.MinValue
+      var best = (Long.MinValue, Long.MaxValue) // (dd, day), earliest day wins
+      rows.sortBy(_._2).foreach { case (_, day, rev) =>
+        peak = math.max(peak, rev)
+        val dd = peak - rev
+        if (dd > best._1) best = (dd, day)
+      }
+      t -> ((best._1 / 1e6, best._2))
+    }
+    val got = Queries.drawdown(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expect, s"got $got vs brute $expect")
+  }
 }
