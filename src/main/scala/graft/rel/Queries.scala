@@ -2155,6 +2155,33 @@ object Queries {
           / col("n_rows").cast("double"), 6).as("skew"))
       .orderBy("col_name")
 
+  // QQ comparison table at the eighths — the MAGNITUDE companion to
+  // q189's KS verdict (KS says the halves differ; this says by how
+  // much, where in the distribution): even- vs odd-user halves per
+  // event type, both quantile curves evaluated at the 9 dyadic eighths
+  // {0, ⅛, …, 1} in ONE grouped sort-agg (two filtered percentile
+  // arrays side by side — nulls ignored, so one pass), then zipped and
+  // exploded. Dyadic fractions ⇒ the interpolation is binary-exact on
+  // integer cents (the q213 rule), so curves AND diffs are exact on
+  // both engines.
+  def qqEighths(s: SparkSession, dir: String): DataFrame = {
+    val qs = (0 to 8).map(i => s"${i / 8.0}D").mkString("array(", ", ", ")")
+    events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("user_id") % 2 === 0).as("even"))
+      .groupBy("event_type")
+      .agg(expr(s"percentile(CASE WHEN even THEN cents END, $qs)").as("qe"),
+        expr(s"percentile(CASE WHEN NOT even THEN cents END, $qs)").as("qo"))
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("qe"), col("qo"))))
+      .select(col("event_type"), col("pos").cast("long").as("eighth"),
+        (col("col.qe") / 100.0).as("q_even"),
+        (col("col.qo") / 100.0).as("q_odd"),
+        round(col("col.qo") / 100.0 - col("col.qe") / 100.0, 6).as("diff"))
+      .orderBy("event_type", "eighth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2271,6 +2298,7 @@ object Queries {
     "q213_time_to_convert" -> (timeToConvert _),
     "q214_position_attribution" -> (positionAttribution _),
     "q215_skew_audit" -> (skewAudit _),
+    "q217_qq_eighths" -> (qqEighths _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3249,6 +3277,26 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same halves, same dyadic grid, same filtered one-pass quantiles;
+    // a list-index cross join replaces posexplode.
+    "q217_qq_eighths" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  user_id % 2 = 0 AS even
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type,
+        |  quantile_cont(CASE WHEN even THEN cents END,
+        |    [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qe,
+        |  quantile_cont(CASE WHEN NOT even THEN cents END,
+        |    [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qo
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(i AS BIGINT) AS eighth,
+        |  qe[i + 1] / CAST(100.0 AS DOUBLE) AS q_even,
+        |  qo[i + 1] / CAST(100.0 AS DOUBLE) AS q_odd,
+        |  round(qo[i + 1] / CAST(100.0 AS DOUBLE)
+        |    - qe[i + 1] / CAST(100.0 AS DOUBLE), 6) AS diff
+        |FROM g CROSS JOIN range(9) r(i)
+        |ORDER BY event_type, eighth""".stripMargin,
     // Same band pairing (spelled as a plain theta join — DuckDB's
     // optimizer handles gate-scale; the ENGINE's cell equi-join is what
     // the plan assertions protect), same total order, same credit CASE,
