@@ -700,6 +700,35 @@ object Queries {
       Dedup.prefixFilterJoin(tbl(s, dir, "documents"), "doc_id", "text",
         k = 3, tauNum = 1, tauDen = 2)
         .orderBy("d1", "d2")),
+    // Dedup threshold-sensitivity sweep — the tuning report run BEFORE
+    // committing to a near-dup threshold: q132's lossless pair set
+    // (exact Jaccard ≥ 0.5, full corpus) evaluated at five candidate
+    // thresholds in one pass (explode + filter; the expensive pair
+    // join runs ONCE, localCheckpoint'd, and the sweep rides the tiny
+    // pair table). Threshold comparisons are exact: both engines'
+    // correctly-rounded divisions land on identical doubles, and the
+    // oracle CASTs its grid literals to DOUBLE (the q176 DECIMAL
+    // gotcha). Zero-pair thresholds keep their row (left join from the
+    // grid, zero-filled).
+    "q218_dedup_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val pairs = Dedup.prefixFilterJoin(tbl(s, dir, "documents"),
+        "doc_id", "text", k = 3, tauNum = 1, tauDen = 2).localCheckpoint()
+      val e = pairs
+        .withColumn("threshold", explode(array(ths.map(lit): _*)))
+        .where(col("jaccard") >= col("threshold"))
+      val np = e.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nd = e.select(col("threshold"),
+          explode(array(col("d1"), col("d2"))).as("doc"))
+        .distinct()
+        .groupBy("threshold").agg(count(lit(1)).as("n_docs_touched"))
+      ths.toDF("threshold")
+        .join(np, Seq("threshold"), "left")
+        .join(nd, Seq("threshold"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_docs_touched"))
+        .orderBy("threshold")
+    }),
     // E16: exact cosine top-k (brute force baseline)
     "q21_cosine_knn" -> ((s, dir) =>
       Sim.cosineKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
@@ -1978,6 +2007,34 @@ object Queries {
     // The conjunctive query recomputed straight from the corpus — the
     // persisted index round trip must change nothing.
     "q139_posting_index" -> postingProbeOracle,
+    // q132's brute-force pair CTE (the prefix join is lossless, so the
+    // all-pairs join IS the truth) swept over the same DOUBLE-cast
+    // threshold grid.
+    "q218_dedup_sweep" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+        |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |th AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+        |  CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)])
+        |  AS threshold),
+        |e AS (SELECT threshold, d1, d2 FROM p CROSS JOIN th
+        |  WHERE jaccard >= threshold),
+        |np AS (SELECT threshold, count(*) AS n_pairs FROM e GROUP BY 1),
+        |nd AS (SELECT threshold, count(*) AS n_docs_touched FROM (
+        |    SELECT DISTINCT threshold, doc FROM (
+        |      SELECT threshold, unnest([d1, d2]) AS doc FROM e)) GROUP BY 1)
+        |SELECT th.threshold, coalesce(n_pairs, 0) AS n_pairs,
+        |  coalesce(n_docs_touched, 0) AS n_docs_touched
+        |FROM th LEFT JOIN np ON np.threshold = th.threshold
+        |LEFT JOIN nd ON nd.threshold = th.threshold
+        |ORDER BY th.threshold""".stripMargin,
     // ONE truth with q139: the streaming-maintained index must answer
     // the probe exactly as the batch-built one.
     "q216_stream_index" -> postingProbeOracle,

@@ -2182,6 +2182,90 @@ object Queries {
       .orderBy("event_type", "eighth")
   }
 
+  // CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 — the
+  // production trick that shrinks experiment confidence intervals for
+  // free): per user, pre-period spend x (first 15 days) and post-period
+  // spend y; θ = cov(x,y)/var(x) fitted on the POOLED population, the
+  // adjusted metric is y − θ(x − x̄). The variance reduction has the
+  // closed form corr²(x,y) (var(y−θx) = var(y) − cov²/var(x)), so ONE
+  // pass of DECIMAL-route moments (n, Σx, Σy, Σx², Σxy, Σy²) yields θ,
+  // the reduction AND the per-arm adjusted means — no second scan.
+  // Per-user sums are exact (dsum); every downstream float is a fixed-
+  // order expression on those identical doubles, round(6) at the edge.
+  // Arms are the q150 even/odd-user split.
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .where(col("value").isNotNull && col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
+    val cut = e.agg((min(col("day")) + 15L).as("cut"))
+    val perUser = e.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(dsum(when(col("day") < col("cut"), col("value"))).as("x0"),
+        dsum(when(col("day") >= col("cut"), col("value"))).as("y0"))
+      .select(col("user_id"), coalesce(col("x0"), lit(0.0)).as("x"),
+        coalesce(col("y0"), lit(0.0)).as("y"))
+      .withColumn("arm", col("user_id") % 2L)
+    val pooled = perUser.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+        dsum(col("y")).as("sy"), dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("y") * col("y")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("xbar", col("sx") / col("nd"))
+      .withColumn("ybar", col("sy") / col("nd"))
+      .withColumn("varx", col("sxx") / col("nd") - col("xbar") * col("xbar"))
+      .withColumn("vary", col("syy") / col("nd") - col("ybar") * col("ybar"))
+      .withColumn("cov", col("sxy") / col("nd") - col("xbar") * col("ybar"))
+      .withColumn("theta", col("cov") / col("varx"))
+      .select("xbar", "theta", "cov", "varx", "vary")
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), dsum(col("x")).as("gx"),
+        dsum(col("y")).as("gy"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"),
+        round(col("gy") / col("n_users").cast("double"), 6).as("mean_post"),
+        round(col("gy") / col("n_users").cast("double")
+          - col("theta") * (col("gx") / col("n_users").cast("double")
+            - col("xbar")), 6).as("mean_adjusted"),
+        round(col("theta"), 6).as("theta"),
+        round(col("cov") * col("cov") / (col("varx") * col("vary")), 6)
+          .as("var_reduction"))
+      .orderBy("arm")
+  }
+
+  // DYNAMIC partition overwrite — the lakehouse correction-batch
+  // semantic (Spark's partitionOverwriteMode=dynamic): a day-
+  // partitioned events copy receives an overwrite batch containing
+  // ONLY the last day (its values doubled); dynamic mode must replace
+  // exactly that partition and leave every other day's files untouched
+  // — static mode would wipe the table down to one day, double-writing
+  // would double the last day's rows. The read-back daily aggregate is
+  // value-oracled against the original table with the same correction
+  // applied as a CASE — so both failure modes turn the row red. At
+  // 100 TB this is the nightly restatement pattern: write cost is
+  // O(corrected partition), never O(table).
+  def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("dynpart_events")
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+    e.write.mode("overwrite").partitionBy("day").parquet(out)
+    val lastDay = e.agg(max(col("day")).as("last_day"))
+    val correction = e.crossJoin(broadcast(lastDay))
+      .where(col("day") === col("last_day"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value") * 2.0).as("value"), col("day"))
+    correction.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
+    s.read.parquet(out)
+      // partition-column type inference reads `day=N` directories as
+      // INT; pin BIGINT so the dumped schema matches the oracle's
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 6).as("sum_value"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2299,6 +2383,8 @@ object Queries {
     "q214_position_attribution" -> (positionAttribution _),
     "q215_skew_audit" -> (skewAudit _),
     "q217_qq_eighths" -> (qqEighths _),
+    "q219_cuped" -> (cuped _),
+    "q220_dynamic_overwrite" -> (dynamicOverwrite _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3277,6 +3363,51 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same pre/post split, same DECIMAL-route moments, same fixed-order
+    // closing arithmetic (θ, corr², adjusted means).
+    "q219_cuped" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |  value FROM events
+         |  WHERE value IS NOT NULL AND event_type = 'purchase'),
+         |c AS (SELECT min(day) + 15 AS cut FROM e),
+         |pu AS (SELECT user_id,
+         |  coalesce(${dsumSql("CASE WHEN day < cut THEN value END")},
+         |    CAST(0.0 AS DOUBLE)) AS x,
+         |  coalesce(${dsumSql("CASE WHEN day >= cut THEN value END")},
+         |    CAST(0.0 AS DOUBLE)) AS y
+         |  FROM e CROSS JOIN c GROUP BY user_id),
+         |pl AS (SELECT count(*) AS n, ${dsumSql("x")} AS sx,
+         |  ${dsumSql("y")} AS sy, ${dsumSql("x * x")} AS sxx,
+         |  ${dsumSql("x * y")} AS sxy, ${dsumSql("y * y")} AS syy FROM pu),
+         |p2 AS (SELECT sx / CAST(n AS DOUBLE) AS xbar,
+         |  sy / CAST(n AS DOUBLE) AS ybar,
+         |  sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS varx,
+         |  syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS vary,
+         |  sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cov
+         |  FROM pl),
+         |p3 AS (SELECT xbar, varx, vary, cov, cov / varx AS theta FROM p2),
+         |g AS (SELECT user_id % 2 AS arm, count(*) AS n_users,
+         |  ${dsumSql("x")} AS gx, ${dsumSql("y")} AS gy FROM pu GROUP BY 1)
+         |SELECT arm, n_users,
+         |  round(gy / CAST(n_users AS DOUBLE), 6) AS mean_post,
+         |  round(gy / CAST(n_users AS DOUBLE)
+         |    - theta * (gx / CAST(n_users AS DOUBLE) - xbar), 6)
+         |    AS mean_adjusted,
+         |  round(theta, 6) AS theta,
+         |  round(cov * cov / (varx * vary), 6) AS var_reduction
+         |FROM g CROSS JOIN p3 ORDER BY arm""".stripMargin,
+    // The corrected table recomputed as a CASE over the original —
+    // partition wipe (missing days) or double-write (doubled counts)
+    // both diverge.
+    "q220_dynamic_overwrite" ->
+      s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, value
+         |  FROM events),
+         |m AS (SELECT max(day) AS last_day FROM e)
+         |SELECT day, count(*) AS n,
+         |  round(${dsumSql(
+             "CASE WHEN day = last_day THEN value * CAST(2.0 AS DOUBLE) ELSE value END")}, 6)
+         |    AS sum_value
+         |FROM e CROSS JOIN m GROUP BY day ORDER BY day""".stripMargin,
     // Same halves, same dyadic grid, same filtered one-pass quantiles;
     // a list-index cross join replaces posexplode.
     "q217_qq_eighths" ->
