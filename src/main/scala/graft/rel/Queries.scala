@@ -167,6 +167,32 @@ object Queries {
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
+  // SQL-frontend flagship: the TPC-H Q5 shape (local-supplier volume —
+  // six-table star join, region filter, one-year date window) issued as
+  // PLAIN SQL through the registered views. Catalyst plans the dims as
+  // broadcasts and pushes the region/date filters into the scans, the
+  // same physical shape the DataFrame twin (q3) gets — the point of the
+  // row is that a reference user's SQL runs verbatim. Revenue rides the
+  // DECIMAL route; the descending float order gets the n_name tiebreak
+  // the TPC-H text leaves implicit.
+  def tpchQ5(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+
   // E6: exact distinct aggregation.
   def distinctAgg(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders")
@@ -2385,6 +2411,7 @@ object Queries {
     "q217_qq_eighths" -> (qqEighths _),
     "q219_cuped" -> (cuped _),
     "q220_dynamic_overwrite" -> (dynamicOverwrite _),
+    "q221_tpch_q5" -> (tpchQ5 _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3363,6 +3390,23 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // The same six-table star join; DuckDB's TIMESTAMP literals and the
+    // VARCHAR-round-trip DECIMAL sum mirror the Spark SQL text.
+    "q221_tpch_q5" ->
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")}
+         |    AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
     // Same pre/post split, same DECIMAL-route moments, same fixed-order
     // closing arithmetic (θ, corr², adjusted means).
     "q219_cuped" ->
