@@ -710,6 +710,56 @@ object Queries {
     // oracle CASTs its grid literals to DOUBLE (the q176 DECIMAL
     // gotcha). Zero-pair thresholds keep their row (left join from the
     // grid, zero-filled).
+    // Cross-SOURCE duplication matrix — where the near-dups actually
+    // come from (intra-source boilerplate vs cross-source replication
+    // steer different fixes: a crawler dedup vs a source blocklist):
+    // q132's lossless pair set joined back to each side's source tag,
+    // one cell per unordered source pair with the pair count and the
+    // mean Jaccard (DECIMAL route). The pair join runs once; the two
+    // source lookups are doc-grain equi-joins.
+    "q222_crosssource_dups" -> ((s, dir) => {
+      val src = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+      Dedup.prefixFilterJoin(tbl(s, dir, "documents"), "doc_id", "text",
+          k = 3, tauNum = 1, tauDen = 2)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .select(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"), col("jaccard"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(graft.rel.Queries.dsum(col("jaccard")) / count(lit(1)), 6)
+            .as("mean_jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+    // Embedding drift between corpus halves — the ML-ops check run
+    // before trusting a refreshed embedding table: per label, the
+    // cosine between the even-half and odd-half mean vectors (exact
+    // DECIMAL per-dimension means — bit-identical in any accumulation
+    // order — then one fixed-order sequential-fold cosine on the two
+    // 64-dim centroids). Drift below 1 flags a half-dependent shift.
+    // One corpus scan, one (label, half, dim) hash-agg, a label-grain
+    // reduce.
+    "q223_embedding_drift" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          (col("vec_id") % 2L === 0L).as("even"),
+          posexplode(Sim.asDouble(col("embedding"))).as(Seq("dim", "x")))
+      val cents = e.groupBy("label", "even", "dim")
+        .agg((graft.rel.Queries.dsum(col("x")) / count(lit(1))).as("c"))
+        .groupBy("label", "even")
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("c"))))
+          .as("m"))
+        .select(col("label"), col("even"),
+          expr(s"transform(sequence(0, ${EmbeddingDim - 1}), " +
+            "i -> element_at(m, i))").as("v"))
+      val ev = cents.where(col("even")).select(col("label"), col("v").as("va"))
+      val od = cents.where(!col("even")).select(col("label"), col("v").as("vb"))
+      ev.join(od, "label")
+        .select(col("label"),
+          round(Sim.cosine(col("va"), col("vb"), Sim.norm(col("va")),
+            Sim.norm(col("vb"))), 6).as("half_cosine"))
+        .orderBy("label")
+    }),
     "q218_dedup_sweep" -> ((s, dir) => {
       import s.implicits._
       val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
@@ -2007,6 +2057,27 @@ object Queries {
     // The conjunctive query recomputed straight from the corpus — the
     // persisted index round trip must change nothing.
     "q139_posting_index" -> postingProbeOracle,
+    // q132's brute pair CTE + source lookups; mean Jaccard through the
+    // DECIMAL route.
+    "q222_crosssource_dups" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+        |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |sc AS (SELECT doc_id, source FROM documents)
+        |SELECT least(a.source, b.source) AS source_a,
+        |  greatest(a.source, b.source) AS source_b,
+        |  count(*) AS n_pairs,
+        |  round(CAST(CAST(SUM(CAST(CAST(jaccard AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+        |    / count(*), 6) AS mean_jaccard
+        |FROM p JOIN sc a ON p.d1 = a.doc_id JOIN sc b ON p.d2 = b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q132's brute-force pair CTE (the prefix join is lossless, so the
     // all-pairs join IS the truth) swept over the same DOUBLE-cast
     // threshold grid.
@@ -2374,6 +2445,27 @@ object Queries {
     "q173_cluster_labels" -> clusterLabelsOracle,
     "q174_bpe_train" -> bpeOracle(4),
     "q204_silhouette" -> silhouetteOracle,
+    // Same per-(label, half, dim) DECIMAL means, same dim-ordered
+    // reassembly, same sequential-fold cosine.
+    "q223_embedding_drift" -> {
+      val dmean =
+        "CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)"
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT label, vec_id % 2 = 0 AS even, unnest(v) AS x,
+         |  unnest(range(len(v))) AS dim FROM v),
+         |m AS (SELECT label, even, dim, $dmean AS c FROM e GROUP BY 1, 2, 3),
+         |k AS (SELECT label, even, list(c ORDER BY dim) AS vv
+         |  FROM m GROUP BY 1, 2),
+         |a AS (SELECT label, vv AS va FROM k WHERE even),
+         |b AS (SELECT label, vv AS vb FROM k WHERE NOT even)
+         |SELECT label,
+         |  round(${dotSql("va", "vb")}
+         |    / (sqrt(${foldSum.format("list_transform(va, x -> x * x)")})
+         |      * sqrt(${foldSum.format("list_transform(vb, x -> x * x)")})), 6)
+         |    AS half_cosine
+         |FROM a JOIN b USING (label) ORDER BY label""".stripMargin
+    },
     "q205_zipf_slope" -> zipfOracle,
     "q206_bpe_encode" -> bpeEncodeOracle(4),
     // q25's prediction CTE joined back to the label; counts exact,
