@@ -473,6 +473,30 @@ class RecallSpec extends SparkSpec {
     val recall = (cand & bf).size.toDouble / bf.size
     assert(bf.nonEmpty && recall >= 0.8, s"recall=$recall over ${bf.size} pairs")
   }
+
+  test("MinHash LSH recall vs the lossless prefix-filter join at J >= 0.5") {
+    // The exact set is q132's machinery (prefix filtering loses
+    // nothing); the LSH set is q18's banded MinHash at its declared
+    // parameters, restricted to the same threshold. Verified LSH pairs
+    // must be a subset of the exact set (no false positives survive
+    // the exact verify), and the measured recall is the honest number
+    // the q18 scaladoc's banding math promises (r=4 rows x b=16 bands
+    // -> P(candidate) = 1-(1-J^4)^16; at J=0.5 that is ~0.65 PER PAIR,
+    // rising steeply with J — so the floor here is deliberately 0.5,
+    // not a marketing number).
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.prefixFilterJoin(corpus, "doc_id", "text",
+        k = 3, tauNum = 1, tauDen = 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        k = 3, nBuckets = 64, bandSize = 4, threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty,
+      "verified LSH pairs must be a subset of the exact >= 0.5 set")
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    assert(exact.nonEmpty && recall >= 0.5,
+      s"recall=$recall over ${exact.size} exact pairs")
+  }
 }
 
 class PackSpec extends SparkSpec {
@@ -754,4 +778,5 @@ class MultimodalSpec extends SparkSpec {
       "height" -> "int", "n_frames" -> "int", "feature" -> "array<float>"))
     assert(df.count() == 500)
   }
+
 }
