@@ -193,6 +193,33 @@ object Queries {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin)
 
+  // NOT IN under three-valued logic — the semantics trap every SQL
+  // engine must honor and Spark plans as a dedicated physical operator
+  // (null-aware anti join): `x NOT IN (subquery)` is FALSE-or-UNKNOWN
+  // for EVERY x the moment the subquery produces one NULL, so the
+  // with-null branch must return zero rows — an engine that silently
+  // treats NOT IN as an anti join on non-null keys returns thousands.
+  // Both branches run the same probe; the clean branch has the NULL
+  // filtered out, the poisoned branch injects exactly one. Counts and
+  // DECIMAL-route sums pin the row sets.
+  def notInNulls(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT 'clean' AS branch, count(*) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)) AS sum_price
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'poisoned', count(*),
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE))
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT CASE WHEN c_custkey % 1000 = 7 THEN NULL ELSE c_custkey END
+        |   FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY branch""".stripMargin)
+
   // E6: exact distinct aggregation.
   def distinctAgg(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders")
@@ -2412,6 +2439,7 @@ object Queries {
     "q219_cuped" -> (cuped _),
     "q220_dynamic_overwrite" -> (dynamicOverwrite _),
     "q221_tpch_q5" -> (tpchQ5 _),
+    "q224_not_in_nulls" -> (notInNulls _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3390,6 +3418,23 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Identical three-valued-logic probe; the poisoned branch must be
+    // (0, 0.0) on both engines.
+    "q224_not_in_nulls" ->
+      s"""SELECT 'clean' AS branch, count(*) AS n_orders,
+         |  COALESCE(${dsumSql("o_totalprice")}, CAST(0.0 AS DOUBLE))
+         |    AS sum_price
+         |FROM orders
+         |WHERE o_custkey NOT IN
+         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         |UNION ALL
+         |SELECT 'poisoned', count(*),
+         |  COALESCE(${dsumSql("o_totalprice")}, CAST(0.0 AS DOUBLE))
+         |FROM orders
+         |WHERE o_custkey NOT IN
+         |  (SELECT CASE WHEN c_custkey % 1000 = 7 THEN NULL ELSE c_custkey END
+         |   FROM customer WHERE c_mktsegment = 'BUILDING')
+         |ORDER BY branch""".stripMargin,
     // The same six-table star join; DuckDB's TIMESTAMP literals and the
     // VARCHAR-round-trip DECIMAL sum mirror the Spark SQL text.
     "q221_tpch_q5" ->
