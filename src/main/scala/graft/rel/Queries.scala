@@ -289,6 +289,38 @@ object Queries {
       .orderBy("op", "custkey")
   }
 
+  // E10 completed with BAG semantics: INTERSECT ALL / EXCEPT ALL keep
+  // multiplicities (a customer with 3 F-orders and 2 O-orders appears
+  // min(3,2)=2 times in the intersection, 3−2=1 time in the
+  // difference) — q11 covers only the DISTINCT forms, and the two
+  // families differ on every repeat customer. The declared result
+  // re-groups the multiset per (op, custkey) so the exact multiplicity
+  // of every key is hash-pinned. Same hash-agg shapes as q11 at scale.
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    def keys(status: String) =
+      orders.filter(col("o_orderstatus") === status).select("o_custkey")
+    keys("F").intersectAll(keys("O")).withColumn("op", lit("f_bag_and_o"))
+      .unionAll(keys("F").exceptAll(keys("O")).withColumn("op", lit("f_bag_not_o")))
+      .groupBy(col("op"), col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy("op", "custkey")
+  }
+
+  // LISTAGG / string_agg surface — the report-facing string
+  // aggregation every BI layer asks for, made deterministic the only
+  // portable way: aggregate to a SET, sort, then join (an ORDER BY
+  // inside the aggregate is engine syntax; a sorted array is one
+  // semantics). Tiny result; the collect_set rides a plain hash-agg.
+  def listAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+        .as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
   // E11: scalar function surface — date parts, string ops, math (only
   // IEEE-exact fns: abs/sqrt; no libm-divergent ln/exp in oracle outputs).
   def scalarFuncs(s: SparkSession, dir: String): DataFrame =
@@ -2440,6 +2472,8 @@ object Queries {
     "q220_dynamic_overwrite" -> (dynamicOverwrite _),
     "q221_tpch_q5" -> (tpchQ5 _),
     "q224_not_in_nulls" -> (notInNulls _),
+    "q225_setops_all" -> (setOpsAll _),
+    "q226_listagg" -> (listAgg _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3418,6 +3452,28 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Bag-semantics twins: DuckDB's INTERSECT ALL / EXCEPT ALL keep the
+    // same multiplicities.
+    "q225_setops_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |bag AS (
+        |  SELECT 'f_bag_and_o' AS op, o_custkey FROM
+        |    (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o)
+        |  UNION ALL
+        |  SELECT 'f_bag_not_o', o_custkey FROM
+        |    (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o))
+        |SELECT op, o_custkey AS custkey, count(*) AS multiplicity
+        |FROM bag GROUP BY 1, 2 ORDER BY op, custkey""".stripMargin,
+    // string_agg over the DISTINCT sorted set — one semantics, two
+    // syntaxes.
+    "q226_listagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ','
+        |    ORDER BY o_orderpriority) AS priorities,
+        |  count(DISTINCT o_orderpriority) AS n_priorities,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Identical three-valued-logic probe; the poisoned branch must be
     // (0, 0.0) on both engines.
     "q224_not_in_nulls" ->
