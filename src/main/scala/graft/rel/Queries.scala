@@ -2351,6 +2351,34 @@ object Queries {
       .orderBy("day")
   }
 
+  // Exponential time-decay popularity (the recency-weighted ranking
+  // every storefront and feed uses; half-life ≈ 21 days at λ = 1/30):
+  // per part, Σ exp(−age_days/30) over its order lines, top-20. Ages
+  // are exact integer days (epoch-day arithmetic on the already-µs-
+  // normalized timestamps); each weight is one exp() on age/30.0 —
+  // identical IEEE inputs, the q181/q191 cross-engine ln/exp precedent
+  // — and the per-part sum rides the DECIMAL dsum route so
+  // accumulation order cannot split the engines. One lineitem-orders
+  // equi-join (AQE-splittable), one part-keyed hash-agg,
+  // TakeOrderedAndProject(20) under (score DESC, partkey).
+  def decayPopularity(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("oday"))
+    val horizon = o.agg(max(col("oday")).as("hday"))
+    tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(horizon))
+      .select(col("l_partkey"),
+        exp((col("oday") - col("hday")).cast("double") / 30.0).as("w"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("w")).as("score0"))
+      .orderBy(col("score0").desc, col("l_partkey").asc)
+      .limit(20)
+      .select(col("l_partkey"), col("n_lines"),
+        round(col("score0"), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2474,6 +2502,7 @@ object Queries {
     "q224_not_in_nulls" -> (notInNulls _),
     "q225_setops_all" -> (setOpsAll _),
     "q226_listagg" -> (listAgg _),
+    "q227_decay_popularity" -> (decayPopularity _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3452,6 +3481,19 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same exact ages, same exp() on identical inputs, same DECIMAL
+    // route, same pinned total order for the top-20.
+    "q227_decay_popularity" ->
+      s"""WITH o AS (SELECT o_orderkey,
+         |  epoch_us(o_orderdate) // 86400000000 AS oday FROM orders),
+         |h AS (SELECT max(oday) AS hday FROM o),
+         |w AS (SELECT l_partkey,
+         |  exp(CAST(oday - hday AS DOUBLE) / CAST(30.0 AS DOUBLE)) AS w
+         |  FROM lineitem JOIN o ON l_orderkey = o_orderkey CROSS JOIN h),
+         |g AS (SELECT l_partkey, count(*) AS n_lines,
+         |  ${dsumSql("w")} AS score0 FROM w GROUP BY 1)
+         |SELECT l_partkey, n_lines, round(score0, 6) AS score
+         |FROM g ORDER BY score0 DESC, l_partkey ASC LIMIT 20""".stripMargin,
     // Bag-semantics twins: DuckDB's INTERSECT ALL / EXCEPT ALL keep the
     // same multiplicities.
     "q225_setops_all" ->
