@@ -84,4 +84,39 @@ class GraphSpec extends SparkSpec {
     assert(got == expect)
     assert(expect.values.exists(_._2 > 0), "graph has no triangles — vacuous")
   }
+
+  test("kcore equals the plain-Scala peel run to convergence (real co-purchase graph)") {
+    import org.apache.spark.sql.functions._
+    // the q210 edge build at sf0.001 (probed: fixpoint at round 1,
+    // well inside the engine's 10 pinned rounds)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val bounded = li
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+      .where(col("bsize") <= 64).select("ok", "pk")
+    val edges = bounded.select(col("ok"), col("pk").as("a"))
+      .join(bounded.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+      .where(col("cooc") >= 2L)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val got = Graph.kcore(edges, k = 3, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-Scala peel until nothing changes
+    var und = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = und.filter(p => keep(p._1) && keep(p._2))
+      changed = next != und
+      und = next
+    }
+    val expect = und.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got == expect, s"engine=${got.size} brute=${expect.size}")
+    assert(got.nonEmpty && got.values.forall(_ >= 3L))
+  }
 }
