@@ -267,6 +267,27 @@ object SparkEntry {
     // loss, duplication, OR an unexpected late-drop turns the row red.
     // (The 1-row bounds collect is source-prep control flow, not part
     // of the streaming plan.)
+    // MATERIALIZED-VIEW maintenance: complete-mode per-type aggregate
+    // whose every micro-batch overwrites the sink with the full state
+    // (the live-dashboard idiom — replay-idempotent by construction,
+    // state O(types) with no watermark). The oracle is the plain batch
+    // aggregate over all events: a lost batch, a stale snapshot left
+    // behind, or double-counted state all diverge.
+    "q229_stream_matview" -> ((s, dir) => {
+      val src = Scratch.dir("stream_matview_src")
+      val out = Scratch.dir("stream_matview")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      sources.StreamIngest.matviewParquet(s, src, ev.schema, out,
+          out + "_ckpt",
+          df => df.groupBy("event_type").agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(38,12)")).as("dec_sum")))
+        .select(col("event_type"), col("n"),
+          round(col("dec_sum").cast("double"), 6).as("sum_value"))
+        .orderBy("event_type")
+    }),
     "q87_stream_window" -> ((s, dir) => {
       val src = Scratch.dir("stream_window_src")
       val out = Scratch.dir("stream_window")
@@ -699,6 +720,12 @@ object SparkEntry {
     // the other (ADVICE r7).
     "q101_stream_resume" -> streamWindowOracle,
     "q87_stream_window" -> streamWindowOracle,
+    // The matview's final snapshot must equal the plain batch aggregate
+    // (same DECIMAL route as q125's sum).
+    "q229_stream_matview" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // The final CDC state recomputed from the original events: per
     // user, the event count and the latest event by (ts, event_id) —
     // the same total order as the stream's max(struct(us, event_id,

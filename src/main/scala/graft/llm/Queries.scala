@@ -782,6 +782,14 @@ object Queries {
     "q21_cosine_knn" -> ((s, dir) =>
       Sim.cosineKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
+    // E16 production shape: FILTERED kNN — top-k cosine restricted by
+    // a label predicate and a cross-modal lang predicate BEFORE the
+    // rank window (pre-filter semantics: k survivors guaranteed, scan
+    // pruned ahead of the cosine).
+    "q228_filtered_knn" -> ((s, dir) =>
+      Sim.filteredKnn(tbl(s, dir, "embeddings"), tbl(s, dir, "documents"),
+        nQuery = 10, k = 5, langs = Seq("en", "de"), labelMod = 2L)
+        .orderBy("qid", "rnk")),
     // E16: exact cosine top-k via the native codegen CosineSim expression
     "q32_cosine_knn_native" -> ((s, dir) =>
       Sim.cosineKnnNative(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
@@ -1332,6 +1340,28 @@ object Queries {
 
   private def dotSql(a: String, b: String): String =
     foldSum.format(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
+
+  /** DuckDB twin of [[Sim.filteredKnn]] at (nQuery=10, k=5,
+    * langs=en/de, labelMod=2): q21's oracle with the label and
+    * cross-modal lang predicates applied to the corpus side before the
+    * ranking. */
+  private val filteredKnnOracle =
+    s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v,
+       |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+       |keep AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'de')),
+       |c AS (SELECT n.* FROM n JOIN keep ON n.vec_id = keep.doc_id
+       |  WHERE label % 2 = 0),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+       |j AS (SELECT qid, c.vec_id, c.label,
+       |  ${foldSum.format("list_transform(list_zip(c.v, q.qv), p -> p[1] * p[2])")}
+       |    / (c.norm * q.qnorm) AS sim
+       |  FROM c, q WHERE c.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, label, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, label, sim FROM r
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** Shared banded-LSH CTE: every embedding exploded to its per-table
     * sign-bucket ids, computed in DuckDB from the *identical* hyperplane
@@ -2691,6 +2721,7 @@ object Queries {
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
     "q21_cosine_knn" -> cosineKnnOracle,
+    "q228_filtered_knn" -> filteredKnnOracle,
     // q21's oracle with the label inequality in the candidate filter
     // and the label columns carried through.
     "q196_hard_negatives" ->

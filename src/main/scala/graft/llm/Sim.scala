@@ -49,6 +49,39 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** FILTERED vector search — the production kNN shape (every vector
+    * store exposes it: "top-k similar WHERE metadata matches"): exact
+    * cosine top-k restricted to corpus vectors passing a label
+    * predicate AND a cross-modal document predicate (lang, via the
+    * doc_id = vec_id identity). PRE-filter semantics: the predicates
+    * cut the corpus BEFORE the rank window, so k survivors are
+    * guaranteed (post-filtering a top-k can return fewer) and the scan
+    * + semi-join prune ahead of the expensive cosine — at 100 TB the
+    * filter is what makes exact search affordable at all. Same
+    * broadcast-query/stream-corpus shape as [[cosineKnn]]; the lang
+    * restriction is a doc-keyed LEFT SEMI join the planner can push
+    * ahead of the crossJoin. */
+  def filteredKnn(emb: DataFrame, docs: DataFrame, nQuery: Int, k: Int,
+                  langs: Seq[String], labelMod: Long): DataFrame = {
+    val keep = docs.where(col("lang").isin(langs: _*))
+      .select(col("doc_id").as("vec_id"))
+    val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val corpus = v.where(col("label") % labelMod === 0L)
+      .join(keep, Seq("vec_id"), "left_semi")
+    val q = v.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("norm").as("qnorm")).where(col("qid") < nQuery)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "label", "sim")
+  }
+
   /** Hard-negative mining for contrastive/embedding training (the
     * "hard negatives matter" recipe of Robinson et al., ICLR 2021 and
     * every dense-retrieval pipeline since DPR): for each query vector,

@@ -386,4 +386,37 @@ object StreamIngest {
     q.awaitTermination()
     spark.read.parquet(out)
   }
+
+  /** Continuously-refreshed MATERIALIZED VIEW: a complete-mode global
+    * aggregation whose every micro-batch OVERWRITES the sink with the
+    * full current state (the live-dashboard maintenance pattern — the
+    * third foreachBatch idiom next to append-transform ingest and
+    * keyed CDC merge). Complete mode needs no watermark and its state
+    * is O(groups), not O(events) — for a low-cardinality group key
+    * this is the cheapest streaming aggregate there is; the overwrite
+    * makes replay idempotent by construction (a re-run of the last
+    * batch rewrites the same state — exactly-once for free, no manual
+    * batch-id fencing needed). The caller reads the sink after the
+    * drain; mid-stream the sink is always SOME complete consistent
+    * snapshot. */
+  def matviewParquet(spark: SparkSession, in: String, schema: StructType,
+                     out: String, ckpt: String,
+                     agg: DataFrame => DataFrame,
+                     filesPerTrigger: Int = 2): DataFrame = withStatePartitions(spark, 8) {
+    rm(spark, out); rm(spark, ckpt)
+    val q = agg(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger.toString)
+          .parquet(in))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
 }
