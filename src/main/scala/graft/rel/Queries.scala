@@ -2379,6 +2379,125 @@ object Queries {
         round(col("score0"), 6).as("score"))
   }
 
+  // Spearman rank correlation of the daily value series against time,
+  // per event type — the MONOTONIC-trend test (robust where q148's
+  // Pearson measures only linear association; the rank companion to
+  // q201's Theil–Sen slope). Scale discipline: the event stream reduces
+  // to O(types × days) rows in one hash-agg BEFORE any window touches
+  // it, so the per-type rank windows run over a tiny table. Ranks are
+  // exact: day ranks are distinct integers (row_number), value ranks
+  // use the average-rank convention rank() + (ties−1)/2 — half-integers
+  // — and the daily values they order are DECIMAL-route doubles, so
+  // both engines rank identical inputs identically. The five moment
+  // sums go through [[dsum]] (rank products are quarter-integers —
+  // exact in DECIMAL(38,12)), and the closing Pearson-on-ranks formula
+  // is one fixed-order IEEE expression; zero-variance groups report
+  // NULL explicitly on both engines (q195's convention).
+  def spearmanTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(dsum(col("value")).as("y"))
+    val byDay = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val byY = Window.partitionBy("event_type").orderBy(col("y").asc)
+    val tiesY = Window.partitionBy("event_type", "y")
+    val ranked = daily
+      .withColumn("rx", row_number().over(byDay).cast("double"))
+      .withColumn("ry", rank().over(byY).cast("double")
+        + (count(lit(1)).over(tiesY).cast("double") - lit(1.0)) / lit(2.0))
+    val m = ranked.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col("rx")).as("sx"), dsum(col("ry")).as("sy"),
+      dsum(col("rx") * col("rx")).as("sxx"),
+      dsum(col("ry") * col("ry")).as("syy"),
+      dsum(col("rx") * col("ry")).as("sxy"))
+    m.select(col("event_type"), col("n").cast("long").as("n_days"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0.0 &&
+             col("n") * col("syy") - col("sy") * col("sy") > 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+               * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("rho"))
+      .orderBy("event_type")
+  }
+
+  // Spark 4 VARIANT surface: the semi-structured column type that
+  // replaces string-JSON at scale (binary-encoded, shredding-ready —
+  // a variant_get path read touches only the requested field instead
+  // of re-parsing the whole document per row, the 100 TB reason the
+  // type exists). The query builds a NESTED document around the
+  // events.props payload, parses it to VARIANT once, and extracts a
+  // typed value through a multi-level path; per-type counts/extremes
+  // are exact integers. The oracle reads the same path with DuckDB's
+  // JSON extraction — the VARIANT round trip must be invisible.
+  def variantJson(s: SparkSession, dir: String): DataFrame = {
+    val v = parse_json(concat(lit("{\"u\":"), col("user_id"),
+      lit(",\"inner\":"), col("props"), lit("}")))
+    events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        variant_get(v, "$.inner.k", "bigint").as("k"),
+        variant_get(v, "$.u", "bigint").as("u"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("u") === col("user_id"), 1L).otherwise(0L)).as("n_u_ok"))
+      .orderBy("event_type")
+  }
+
+  // Spark 4 string collations: group case-divergent keys under the
+  // UTF8_LCASE collation — the engine-level answer to the lower()-
+  // everywhere idiom (a collated column keeps its original bytes,
+  // compares case-insensitively, and at scale lets the optimizer push
+  // collation-aware equality into joins/aggs instead of wrapping every
+  // reference in lower()). Case variants are injected deterministically
+  // (event_id MOD 3 → UPPER / Initcap / raw), the group key is
+  // re-exposed as lower() — the collated groupBy's representative pick
+  // is first-seen and must NOT be dumped — and the variant census
+  // (n_forms, min_form) proves the three spellings really collapsed.
+  def collatedGroup(s: SparkSession, dir: String): DataFrame = {
+    val et2 = when(col("event_id") % 3 === 0, upper(col("event_type")))
+      .when(col("event_id") % 3 === 1, initcap(col("event_type")))
+      .otherwise(col("event_type"))
+    events(s, dir)
+      .select(et2.as("et"))
+      .groupBy(collate(col("et"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(collate(col("et"), "UTF8_BINARY")).as("n_forms"),
+        min(collate(col("et"), "UTF8_BINARY")).as("min_form"))
+      .select(lower(col("k")).as("event_type"), col("n"), col("n_forms"),
+        col("min_form"))
+      .orderBy("event_type")
+  }
+
+  // Spark 4 SQL UDFs (CREATE FUNCTION ... RETURNS ... RETURN expr):
+  // the declarative scalar-function surface — the body is SQL, so the
+  // analyzer INLINES it into the plan and the result is codegen'd
+  // exactly like the hand-written expression (no serialization wall,
+  // unlike a JVM closure UDF; at 100 TB the difference is whole-stage
+  // codegen vs a per-row function call). One UDF composes another
+  // (charge calls disc_price) to exercise nested resolution; the
+  // aggregate takes the dsum DECIMAL route inside the SQL text, and
+  // the oracle inlines the same bodies by hand.
+  def sqlUdf(s: SparkSession, dir: String): DataFrame = {
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(" +
+      "p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1.0d - d)")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(" +
+      "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE " +
+      "RETURN graft_disc_price(p, d) * (1.0d + t)")
+    Tables.sql(s, dir,
+      """SELECT l_returnflag,
+        |  count(*) AS n_lines,
+        |  round(CAST(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS disc_revenue,
+        |  round(CAST(sum(CAST(graft_charge(l_extendedprice, l_discount, l_tax)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS charge_revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2503,6 +2622,10 @@ object Queries {
     "q225_setops_all" -> (setOpsAll _),
     "q226_listagg" -> (listAgg _),
     "q227_decay_popularity" -> (decayPopularity _),
+    "q230_spearman" -> (spearmanTrend _),
+    "q236_variant_json" -> (variantJson _),
+    "q237_collated_group" -> (collatedGroup _),
+    "q238_sql_udf" -> (sqlUdf _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3481,6 +3604,57 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same daily DECIMAL-route reduction, same integer/half-integer
+    // ranks (average-rank ties), same dsum moment route, same
+    // fixed-order closing formula.
+    "q230_spearman" ->
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |  ${dsumSql("value")} AS y FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type,
+         |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS DOUBLE) AS rx,
+         |  CAST(rank() OVER (PARTITION BY event_type ORDER BY y ASC) AS DOUBLE)
+         |    + (CAST(count(*) OVER (PARTITION BY event_type, y) AS DOUBLE) - 1.0) / 2.0 AS ry
+         |  FROM daily),
+         |m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |  ${dsumSql("rx")} AS sx, ${dsumSql("ry")} AS sy,
+         |  ${dsumSql("rx * rx")} AS sxx, ${dsumSql("ry * ry")} AS syy,
+         |  ${dsumSql("rx * ry")} AS sxy FROM r GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+         |    THEN round((n * sxy - sx * sy)
+         |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         |  END AS rho
+         |FROM m ORDER BY event_type""".stripMargin,
+    // The VARIANT path read must equal plain JSON extraction of the
+    // same nested document; all outputs exact integers.
+    "q236_variant_json" ->
+      """WITH x AS (SELECT event_type, user_id,
+        |  CAST(('{"u":' || user_id || ',"inner":' || props || '}')
+        |    ->> '$.inner.k' AS BIGINT) AS k,
+        |  CAST(('{"u":' || user_id || ',"inner":' || props || '}')
+        |    ->> '$.u' AS BIGINT) AS u
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k,
+        |  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  sum(CASE WHEN u = user_id THEN 1 ELSE 0 END) AS n_u_ok
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Collation-insensitive grouping ≡ grouping on lower(); the variant
+    // census (n_forms, min_form) pins that the three injected spellings
+    // really collapsed into one group.
+    "q237_collated_group" ->
+      """WITH x AS (SELECT CASE event_id % 3
+        |    WHEN 0 THEN upper(event_type)
+        |    WHEN 1 THEN upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
+        |    ELSE event_type END AS et FROM events)
+        |SELECT lower(et) AS event_type, count(*) AS n,
+        |  count(DISTINCT et) AS n_forms, min(et) AS min_form
+        |FROM x GROUP BY lower(et) ORDER BY event_type""".stripMargin,
+    // The SQL-UDF bodies inlined by hand; same DECIMAL route.
+    "q238_sql_udf" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS disc_revenue,
+         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}, 6) AS charge_revenue
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Same exact ages, same exp() on identical inputs, same DECIMAL
     // route, same pinned total order for the top-20.
     "q227_decay_popularity" ->
