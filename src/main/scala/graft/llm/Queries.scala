@@ -554,6 +554,70 @@ object Queries {
       graft.rel.Graph.pageRank(edges, iters = 3, damping = 0.85)
         .orderBy("node")
     }),
+    // HITS hubs & authorities over the directed weighted bigram graph,
+    // 2 mutual-reinforcement rounds as one declarative plan — the
+    // second eigen-centrality family next to q124's PageRank (a node
+    // can be a strong HUB without being an authority; PageRank cannot
+    // separate the two roles). L1 normalization per round keeps every
+    // score on the dsum DECIMAL route — bit-identical cross-engine at
+    // every round (see rel.Graph.hits).
+    "q233_hits" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val edges = prs.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      graft.rel.Graph.hits(edges, iters = 2).orderBy("node")
+    }),
+    // Link prediction over the ≥2-basket co-purchase graph (q210's
+    // edge set): common-neighbor / Jaccard / Adamic–Adar proximity for
+    // non-adjacent pairs, top-30 by Adamic–Adar — the "customers who
+    // bought X might want Y" edge-recommendation primitive. Candidate
+    // pairs enumerate at the shared middle with an 8-degree hub cap
+    // (fires at gate scale: sf0.01 has middles of degree up to 13;
+    // mirrored in the oracle so the capped semantics are gate-checked).
+    "q234_link_prediction" -> ((s, dir) => {
+      val items = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val bounded = items
+        .withColumn("bsize",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+        .where(col("bsize") <= 64)
+        .select("ok", "pk")
+      val edges = bounded.select(col("ok"), col("pk").as("a"))
+        .join(bounded.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+        .where(col("cooc") >= 2L)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.rel.Graph.linkPrediction(edges, maxMiddleDeg = 8, topK = 30)
+    }),
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    // PageRank over the UNDIRECTED window-2 token co-occurrence graph
+    // — the unsupervised keyword scorer, and a different graph shape
+    // from q124's directed bigrams (window-2 symmetrized, so rank
+    // flows both ways and adjacent-only hubs deflate). Composition:
+    // the same rel.Graph.pageRank, fed the symmetrized doubling of
+    // the co-occurrence edge set; top-20 keywords by rank.
+    "q235_textrank" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "flatten(transform(ts, (t, i) -> filter(array(" +
+            "struct(t AS src, try_element_at(ts, i + 2) AS dst), " +
+            "struct(t AS src, try_element_at(ts, i + 3) AS dst)), " +
+            "p -> p.dst IS NOT NULL)))")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .where(col("src") =!= col("dst"))
+      val sym = prs.unionAll(
+        prs.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      graft.rel.Graph.pageRank(sym, iters = 3, damping = 0.85)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+    }),
     // Community detection: 2 synchronous weighted label-propagation
     // rounds over the (undirected) bigram graph — deterministic
     // min-label tiebreak, all-integer state, zero driver actions per
@@ -1512,6 +1576,106 @@ object Queries {
       "\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
   }
 
+  /** DuckDB twin of q233 ([[graft.rel.Graph.hits]] at 2 rounds): same
+    * directed bigram edges, same L1-normalized mutual reinforcement,
+    * every per-node sum and both per-round totals on the DECIMAL
+    * route — scores bit-identical at every round. */
+  private val hitsOracle: String = {
+    def dec(x: String) =
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    val head =
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |p0 AS (SELECT unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+        |e AS (SELECT ts[i+1] AS src, ts[i+2] AS dst, count(*) AS w FROM p0 GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)""".stripMargin
+    val rounds = (1 to 2).map { r =>
+      s"""ar$r AS (SELECT e.dst AS node, ${dec("e.w * h.h")} AS ar
+         |  FROM e JOIN h${r - 1} h ON h.node = e.src GROUP BY e.dst),
+         |at$r AS (SELECT ${dec("ar")} AS tot FROM ar$r),
+         |a$r AS (SELECT nodes.node,
+         |  coalesce(ar$r.ar / at$r.tot, CAST(0.0 AS DOUBLE)) AS a
+         |  FROM nodes LEFT JOIN ar$r ON ar$r.node = nodes.node CROSS JOIN at$r),
+         |hr$r AS (SELECT e.src AS node, ${dec("e.w * a.a")} AS hr
+         |  FROM e JOIN a$r a ON a.node = e.dst GROUP BY e.src),
+         |ht$r AS (SELECT ${dec("hr")} AS tot FROM hr$r),
+         |h$r AS (SELECT nodes.node,
+         |  coalesce(hr$r.hr / ht$r.tot, CAST(0.0 AS DOUBLE)) AS h
+         |  FROM nodes LEFT JOIN hr$r ON hr$r.node = nodes.node CROSS JOIN ht$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      """
+        |SELECT nodes.node, round(a2.a, 6) AS auth, round(h2.h, 6) AS hub
+        |FROM nodes JOIN a2 ON a2.node = nodes.node
+        |JOIN h2 ON h2.node = nodes.node ORDER BY nodes.node""".stripMargin
+  }
+
+  /** DuckDB twin of q234 ([[graft.rel.Graph.linkPrediction]] over the
+    * q210 co-purchase edge set, middle cap 8, top-30): same capped
+    * wedge enumeration, same anti-join on existing edges, exact
+    * integer cn/deg, Adamic–Adar terms on the dsum route. */
+  private val linkPredOracle: String = {
+    def dec(x: String) =
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |bounded AS (SELECT ok, pk FROM
+       |  (SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS bs FROM items) WHERE bs <= 64),
+       |e0 AS (SELECT a.pk AS a, b.pk AS b, count(*) AS c FROM bounded a
+       |  JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+       |und AS (SELECT a, b FROM e0 WHERE c >= 2),
+       |deg AS (SELECT node, count(*) AS deg FROM
+       |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+       |incid AS (SELECT x.z, x.n, d.deg AS dz FROM
+       |  (SELECT a AS z, b AS n FROM und UNION ALL SELECT b AS z, a AS n FROM und) x
+       |  JOIN deg d ON d.node = x.z WHERE d.deg <= 8),
+       |pairs AS (SELECT i1.z, i1.dz, i1.n AS u, i2.n AS w FROM incid i1
+       |  JOIN incid i2 ON i1.z = i2.z AND i1.n < i2.n),
+       |nonadj AS (SELECT p.u, p.w, p.dz FROM pairs p
+       |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.u AND und.b = p.w)),
+       |sc AS (SELECT u, w, count(*) AS cn,
+       |  ${dec("1.0 / ln(CAST(dz AS DOUBLE))")} AS aa0 FROM nonadj GROUP BY u, w)
+       |SELECT sc.u, sc.w, sc.cn, round(aa0, 6) AS adamic_adar,
+       |  round(CAST(cn AS DOUBLE) / CAST(du.deg + dw.deg - cn AS DOUBLE), 6) AS jaccard
+       |FROM sc JOIN deg du ON du.node = sc.u JOIN deg dw ON dw.node = sc.w
+       |ORDER BY adamic_adar DESC, sc.u ASC, sc.w ASC LIMIT 30""".stripMargin
+  }
+
+  /** DuckDB twin of q235: TextRank = the q124 PageRank rounds over the
+    * SYMMETRIZED window-2 co-occurrence graph; identical teleport
+    * constant interpolation and DECIMAL-route round sums, top-20 by
+    * rounded rank. */
+  private val textRankOracle: String = {
+    val damping = 0.85
+    def dec(x: String) =
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    val head =
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |p0 AS (SELECT unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+        |pr AS (SELECT ts[i+1] AS src, ts[i+2] AS dst FROM p0 WHERE ts[i+2] IS NOT NULL
+        |  UNION ALL SELECT ts[i+1] AS src, ts[i+3] AS dst FROM p0 WHERE ts[i+3] IS NOT NULL),
+        |u AS (SELECT src, dst FROM pr WHERE src <> dst
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pr WHERE src <> dst),
+        |e AS (SELECT src, dst, count(*) AS w FROM u GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nc)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS node, ${dec("r.rank * e.w / ow.outw")} AS s
+         |  FROM e JOIN $prev r ON r.node = e.src JOIN ow ON ow.src = e.src GROUP BY e.dst),
+         |d$i AS (SELECT coalesce(${dec("r.rank")}, CAST(0.0 AS DOUBLE)) AS dmass
+         |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM ow)),
+         |r$i AS (SELECT nodes.node,
+         |  CAST(${1.0 - damping} AS DOUBLE) / nc.n + CAST($damping AS DOUBLE)
+         |    * (coalesce(s$i.s, CAST(0.0 AS DOUBLE)) + d$i.dmass / nc.n) AS rank
+         |  FROM nodes LEFT JOIN s$i ON s$i.node = nodes.node CROSS JOIN d$i CROSS JOIN nc)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      "\nSELECT node, round(rank, 6) AS rank FROM r3 " +
+      "ORDER BY round(rank, 6) DESC, node ASC LIMIT 20"
+  }
+
   private val sq8KnnOracle = {
     val isumSql = "list_reduce(list_prepend(CAST(0 AS BIGINT), %s), (a, b) -> a + b)"
     val idot = isumSql.format(
@@ -2433,6 +2597,9 @@ object Queries {
     "q140_pq_knn" -> pqKnnOracle,
     "q164_ivfpq_knn" -> ivfpqKnnOracle,
     "q124_pagerank" -> pageRankOracle,
+    "q233_hits" -> hitsOracle,
+    "q234_link_prediction" -> linkPredOracle,
+    "q235_textrank" -> textRankOracle,
     "q177_label_propagation" -> labelPropOracle,
     // True shortest paths by recursive CTE (UNION dedups the state
     // space to nodes × depths) — certifies the fixed 6 rounds covered

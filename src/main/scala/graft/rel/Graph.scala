@@ -253,6 +253,101 @@ object Graph {
           .as("r"))
   }
 
+  /** HITS hubs &amp; authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * weighted edge set, `iters` fixed mutual-reinforcement rounds as
+    * ONE declarative plan (the [[pageRank]] discipline — zero driver
+    * actions): a(j) = Σ_{i→j} w·h(i), h(i) = Σ_{i→j} w·a(j), each
+    * vector L1-normalized per round. L1 replaces the textbook's L2
+    * normalization deliberately: the scores' RANKING is identical
+    * under any positive rescaling, and an L1 total runs through
+    * [[Queries.dsum]] — order-independent DECIMAL accumulation — so
+    * every round's scores are bit-identical cross-engine, where an L2
+    * sqrt over a float sum-of-squares would not be order-safe.
+    *
+    * Scale: per round two edge equi-joins + two hash-aggs (shuffle
+    * O(edges), keyed by dst then src) and two 1-row total broadcasts —
+    * never a driver scalar. Output: (node, auth, hub) for every node,
+    * zeros where a side never reinforces. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"hits needs iters >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var hubs = nodes.withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("weight") * col("h")).as("t"))
+        .groupBy("node").agg(Queries.dsum(col("t")).as("ar"))
+      val aTot = aRaw.agg(Queries.dsum(col("ar")).as("tot"))
+      auths = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          coalesce(col("ar") / col("tot"), lit(0.0)).as("a"))
+      val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), (col("weight") * col("a")).as("t"))
+        .groupBy("node").agg(Queries.dsum(col("t")).as("hr"))
+      val hTot = hRaw.agg(Queries.dsum(col("hr")).as("tot"))
+      hubs = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          coalesce(col("hr") / col("tot"), lit(0.0)).as("h"))
+    }
+    nodes.join(auths, Seq("node"), "left").join(hubs, Seq("node"), "left")
+      .select(col("node"), round(col("a"), 6).as("auth"),
+        round(col("h"), 6).as("hub"))
+  }
+
+  /** Link prediction over an UNDIRECTED graph: for every non-adjacent
+    * node pair sharing ≥ 1 neighbor, the three classic proximity
+    * scores — common-neighbor count, Jaccard of neighborhoods, and
+    * Adamic–Adar Σ 1/ln(deg(z)) (Adamic &amp; Adar, Social Networks
+    * 2003; survey: Liben-Nowell &amp; Kleinberg, CIKM 2003). The top-K
+    * pairs by Adamic–Adar are the "missing edges" a recommender would
+    * propose.
+    *
+    * Scale: candidate pairs are enumerated AT the shared middle z
+    * (self-join of z's incident edges), so the work is Σ_z deg(z)² —
+    * quadratic in the hub degrees, which is why `maxMiddleDeg` drops
+    * super-hub middles BEFORE the expansion (the LSH maxBucket
+    * discipline; a stop-word middle connects everything to everything
+    * and predicts nothing — standard practice, and the cap is mirrored
+    * in the oracle so it is gate-checked, not hidden). Existing edges
+    * leave via one anti-join; every aggregate is an exact integer or a
+    * [[Queries.dsum]]-routed float, so scores AND the top-K cut are
+    * bit-identical cross-engine. */
+  def linkPrediction(edges: DataFrame, maxMiddleDeg: Int, topK: Int): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val incid = und.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("z"), col("a").as("n")))
+      .join(deg.select(col("node").as("z"), col("deg").as("dz"))
+        .where(col("dz") <= maxMiddleDeg), "z")
+    val pairs = incid.select(col("z"), col("dz"), col("n").as("u"))
+      .join(incid.select(col("z"), col("n").as("w")), "z")
+      .where(col("u") < col("w"))
+    val scored = pairs
+      .join(und.select(col("a").as("u"), col("b").as("w")),
+        Seq("u", "w"), "left_anti")
+      .groupBy("u", "w")
+      .agg(count(lit(1)).as("cn"),
+        Queries.dsum(lit(1.0) / log(col("dz").cast("double"))).as("aa0"))
+    scored
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .select(col("u"), col("w"), col("cn"),
+        round(col("aa0"), 6).as("adamic_adar"),
+        round(col("cn").cast("double")
+          / (col("du") + col("dw") - col("cn")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("adamic_adar").desc, col("u").asc, col("w").asc)
+      .limit(topK)
+  }
+
   /** k-core decomposition by iterative peeling (Seidman 1983; the
     * Batagelj–Zaveršnik distributed form): `rounds` synchronous rounds
     * of "drop every node with degree < k, restrict edges to

@@ -119,4 +119,65 @@ class GraphSpec extends SparkSpec {
     assert(got == expect, s"engine=${got.size} brute=${expect.size}")
     assert(got.nonEmpty && got.values.forall(_ >= 3L))
   }
+
+  test("hits: hand fixture (2 rounds, L1-normalized)") {
+    // a→b, a→c, d→b: a is the stronger hub, b the stronger authority.
+    // Hand-computed: round 2 auths (b,c) = (5/8, 3/8); hubs (a,d) =
+    // (8/13, 5/13).
+    val e = edgesOf(Seq(("a", "b", 1L), ("a", "c", 1L), ("d", "b", 1L)))
+    val r = Graph.hits(e, iters = 2)
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    def ~=(x: Double, y: Double) = math.abs(x - y) < 1e-6
+    assert(~=(r("b")._1, 5.0 / 8) && ~=(r("c")._1, 3.0 / 8), r.toString)
+    assert(~=(r("a")._2, 8.0 / 13) && ~=(r("d")._2, 5.0 / 13), r.toString)
+    assert(~=(r("a")._1, 0.0) && ~=(r("b")._2, 0.0), r.toString)
+    // both vectors L1-normalize to 1
+    assert(~=(r.values.map(_._1).sum, 1.0) && ~=(r.values.map(_._2).sum, 1.0))
+  }
+
+  test("linkPrediction equals a plain-Scala recompute (real co-purchase graph)") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val bounded = li
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+      .where(col("bsize") <= 64).select("ok", "pk")
+    val edges = bounded.select(col("ok"), col("pk").as("a"))
+      .join(bounded.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+      .where(col("cooc") >= 2L)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val got = Graph.linkPrediction(edges, maxMiddleDeg = 8, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // plain-Scala mirror: capped middles, non-adjacent pairs, same scores
+    val und = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deg = und.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    val nbrs = und.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (z, xs) => z -> xs.map(_._2).toSet }
+    val cand = scala.collection.mutable.Map
+      .empty[(Long, Long), List[Long]].withDefaultValue(Nil)
+    for ((z, ns) <- nbrs if deg(z) <= 8; u <- ns; w <- ns if u < w
+         if !und((u, w)))
+      cand((u, w)) = z :: cand((u, w))
+    val expect = cand.map { case ((u, w), zs) =>
+      val aa = BigDecimal(zs.map(z => BigDecimal(1.0 / math.log(deg(z).toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      val jac = zs.size.toDouble / (deg(u) + deg(w) - zs.size).toDouble
+      (u, w) -> ((zs.size.toLong,
+        aa.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val top = expect.toSeq.sortBy { case ((u, w), (_, aa, _)) => (-aa, u, w) }
+      .take(30).toMap
+    assert(got == top, s"engine=${got.size} brute=${top.size}\n" +
+      s"onlyEngine=${got.toSet -- top.toSet}\nonlyBrute=${top.toSet -- got.toSet}")
+    // sf0.001's sparse graph tops out at cn=1; the gate row (sf0.01)
+    // carries cn=2 pairs, so the multi-neighbor sum path is value-
+    // checked there — here we pin the full capped/anti-joined scoring.
+    assert(got.nonEmpty, "vacuous: no candidate pairs")
+  }
 }
