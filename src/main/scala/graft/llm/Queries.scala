@@ -28,6 +28,10 @@ object Queries {
     * corpus vocabulary, shared between the Spark plan and the oracle. */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window", "vector")
 
+  /** q232's grid radius — ONE Scala constant feeds the declaration and
+    * the oracle so the two engines share the cell size bit-for-bit. */
+  private val GridR = 0.02
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E15: MinHash+LSH near-dup (banded candidates, exact-Jaccard
     // verify). Fully DuckDB-oracled since round 4: every hash in the
@@ -846,6 +850,22 @@ object Queries {
     "q21_cosine_knn" -> ((s, dir) =>
       Sim.cosineKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
+    // Retrieval-quality eval: P@5 / MRR@10 / NDCG@5 of the exact
+    // cosine ranking under label-match relevance — the ranking-eval
+    // companion to q166's AUC and q180's calibration (see
+    // Sim.retrievalMetrics for the ln-discount and shared-literal
+    // ideal-DCG parity analysis).
+    "q231_ndcg" -> ((s, dir) =>
+      Sim.retrievalMetrics(tbl(s, dir, "embeddings"),
+        nQuery = 10, k = 5, mrrK = 10)),
+    // 2-D radius self-join via grid cells over the first two embedding
+    // dims — the spatial-join shape (q43/q136's covering-cell
+    // discipline applied to points): equi-join on cell keys, 3×3
+    // neighborhood probe, exact-distance verify, 4096-point cell cap
+    // ahead of the quadratic step.
+    "q232_grid_radius_join" -> ((s, dir) =>
+      Sim.gridRadiusJoin(tbl(s, dir, "embeddings"), r = GridR,
+        maxCell = 4096)),
     // E16 production shape: FILTERED kNN — top-k cosine restricted by
     // a label predicate and a cross-modal lang predicate BEFORE the
     // rank window (pre-filter semantics: k survivors guaranteed, scan
@@ -2891,6 +2911,63 @@ object Queries {
     "q228_filtered_knn" -> filteredKnnOracle,
     // q21's oracle with the label inequality in the candidate filter
     // and the label columns carried through.
+    // Same candidate set, same ln-discount DCG on the DECIMAL route,
+    // same Scala-precomputed ideal-DCG literals (see Sim.retrievalMetrics).
+    "q231_ndcg" -> {
+      def dec(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+      val l = Sim.idcgLiterals(5)
+      val idcgCase = "CASE least(5, rt.n_rel) WHEN 0 THEN CAST(0.0 AS DOUBLE) " +
+        (1 to 5).map(i => s"WHEN $i THEN CAST(${l(i)} AS DOUBLE)").mkString(" ") +
+        " END"
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, norm AS qnorm
+         |  FROM n WHERE vec_id < 10),
+         |j AS (SELECT qid, n.vec_id,
+         |  CASE WHEN n.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+         |  ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
+         |    / (n.norm * q.qnorm) AS sim
+         |  FROM n, q WHERE n.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid
+         |  ORDER BY sim DESC, vec_id ASC) AS rnk FROM j),
+         |rt AS (SELECT qid, sum(rel) AS n_rel FROM j GROUP BY qid),
+         |ag AS (SELECT qid,
+         |  sum(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS hits_k,
+         |  min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+         |  ${dec("CASE WHEN rnk <= 5 THEN CAST(rel AS DOUBLE) / ln(CAST(rnk + 1 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END")} AS dcg
+         |  FROM r WHERE rnk <= 10 GROUP BY qid)
+         |SELECT rt.qid, rt.n_rel,
+         |  round(CAST(hits_k AS DOUBLE) / CAST(5.0 AS DOUBLE), 6) AS p_at_k,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE),
+         |    CAST(0.0 AS DOUBLE)), 6) AS mrr,
+         |  round(CASE WHEN $idcgCase > CAST(0.0 AS DOUBLE)
+         |    THEN dcg / ($idcgCase) ELSE CAST(0.0 AS DOUBLE) END, 6) AS ndcg
+         |FROM rt JOIN ag ON ag.qid = rt.qid ORDER BY rt.qid""".stripMargin
+    },
+    // Same cell keys (identical double division + floor), same 3×3
+    // probe, same cap, same fixed-order distance math.
+    "q232_grid_radius_join" ->
+      s"""WITH p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         |  CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+         |c AS (SELECT vec_id, x, y,
+         |  CAST(floor(x / CAST($GridR AS DOUBLE)) AS BIGINT) AS cx,
+         |  CAST(floor(y / CAST($GridR AS DOUBLE)) AS BIGINT) AS cy FROM p),
+         |keep AS (SELECT cx, cy FROM
+         |  (SELECT cx, cy, count(*) AS n FROM c GROUP BY 1, 2) WHERE n <= 4096),
+         |b AS (SELECT c.vec_id, c.x, c.y, c.cx, c.cy FROM c
+         |  JOIN keep ON keep.cx = c.cx AND keep.cy = c.cy),
+         |pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         |  FROM c a
+         |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx) dxs
+         |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) dys
+         |  JOIN b ON b.cx = a.cx + dxs.dx AND b.cy = a.cy + dys.dy
+         |    AND a.vec_id < b.vec_id)
+         |SELECT ida AS a, idb AS b, round(sqrt(d2), 6) AS dist FROM pr
+         |WHERE d2 <= CAST(${GridR * GridR} AS DOUBLE) ORDER BY a, b""".stripMargin,
     "q196_hard_negatives" ->
       s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
          |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -82,6 +82,111 @@ object Sim {
       .select("qid", "rnk", "vec_id", "label", "sim")
   }
 
+  /** Retrieval-quality metrics — Precision@k, MRR@`mrrK`, NDCG@k
+    * (Järvelin &amp; Kekäläinen, TOIS 2002) — for the label-match
+    * relevance model over the exact cosine ranking: the eval harness
+    * that grades what [[cosineKnn]]/[[annKnn]]/the q106 index retrieve
+    * (q166's AUC grades a CLASSIFIER's scores; this grades a RANKER's
+    * cut-offs). One broadcast-query pass computes candidates; the rank
+    * window runs per query; the total-relevant count (for the ideal
+    * DCG) aggregates the SAME candidate set before the top-k filter,
+    * so the corpus still streams once.
+    *
+    * Float parity: discount terms use ln (the log-2 constant cancels
+    * in the DCG/IDCG ratio) on exact integer ranks — cross-engine-
+    * identical IEEE (q205's precedent) — summed through
+    * [[graft.rel.Queries.dsum]]; the ideal DCG for m = min(k, R)
+    * relevant items is one of k+1 SCALA-PRECOMPUTED literals
+    * interpolated into both engines' plans (the bm25 constant
+    * discipline), so even the ideal curve is shared bit-for-bit. */
+  def retrievalMetrics(emb: DataFrame, nQuery: Int, k: Int, mrrK: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val q = v.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .where(col("qid") < nQuery)
+    val cand = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val ranked = cand.withColumn("rnk", row_number().over(w).cast("long"))
+    val rTot = cand.groupBy("qid").agg(sum(col("rel")).as("n_rel"))
+    val agg = ranked.where(col("rnk") <= mrrK)
+      .groupBy("qid").agg(
+        sum(when(col("rnk") <= k, col("rel")).otherwise(0L)).as("hits_k"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"),
+        graft.rel.Queries.dsum(
+          when(col("rnk") <= k,
+            col("rel").cast("double") / log(col("rnk").cast("double") + 1.0))
+            .otherwise(lit(0.0))).as("dcg"))
+    val idcgLit = idcgLiterals(k)
+    val m = least(lit(k.toLong), col("n_rel"))
+    val idcg = (1 to k).foldLeft(when(m === 0L, 0.0)) { (c, i) =>
+      c.when(m === i.toLong, lit(idcgLit(i)))
+    }
+    rTot.join(agg, Seq("qid"))
+      .select(col("qid"), col("n_rel"),
+        round(col("hits_k").cast("double") / lit(k.toDouble), 6).as("p_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)), 6)
+          .as("mrr"),
+        round(when(idcg > 0.0, col("dcg") / idcg).otherwise(lit(0.0)), 6)
+          .as("ndcg"))
+      .orderBy("qid")
+  }
+
+  /** Ideal-DCG literals shared by [[retrievalMetrics]] and its oracle:
+    * index m holds Σ_{i=1..m} 1/ln(i+1), computed once in Scala. */
+  def idcgLiterals(k: Int): IndexedSeq[Double] =
+    (0 to k).map(m => (1 to m).map(i => 1.0 / math.log(i + 1.0)).sum)
+
+  /** 2-D RADIUS self-join via grid cells — the spatial/geo join shape
+    * (find all point pairs within distance `r`), run over the first
+    * two embedding dimensions as coordinates. The classic fixed-grid
+    * method: bucket every point into an r-sized cell, probe the 3×3
+    * cell neighborhood (any pair within r is at most one cell apart on
+    * each axis), verify the exact distance. Each point owns exactly
+    * ONE cell on the build side, so a surviving pair is emitted exactly
+    * once — no distinct pass (the q136 covering-cell discipline).
+    *
+    * Scale: candidate generation is an EQUI-join keyed by cell (shuffle
+    * O(points), never the O(n²) theta join); per-cell work is bounded
+    * by `maxCell` — oversized cells are dropped from the build side
+    * before the quadratic step (the LSH maxBucket discipline, mirrored
+    * in the oracle so the capped semantics are what the gate checks).
+    * Distance math is fixed-order IEEE on float-exact doubles — pairs
+    * AND distances value-oracle. */
+  def gridRadiusJoin(emb: DataFrame, r: Double, maxCell: Int): DataFrame = {
+    val p = emb.select(col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val c = p
+      .withColumn("cx", floor(col("x") / lit(r)).cast("long"))
+      .withColumn("cy", floor(col("y") / lit(r)).cast("long"))
+    val keep = c.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxCell).select("cx", "cy")
+    val build = c.join(keep, Seq("cx", "cy"), "left_semi")
+      .select(col("vec_id").as("idb"), col("x").as("bx"), col("y").as("by"),
+        col("cx").as("bcx"), col("cy").as("bcy"))
+    val probes = c.select(col("vec_id").as("ida"), col("x").as("ax"),
+        col("y").as("ay"), col("cx"), col("cy"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> struct(dx, dy))))")).as("o"))
+      .select(col("ida"), col("ax"), col("ay"),
+        (col("cx") + col("o.dx")).as("bcx"), (col("cy") + col("o.dy")).as("bcy"))
+    probes.join(build, Seq("bcx", "bcy"))
+      .where(col("ida") < col("idb"))
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx"))
+          + (col("ay") - col("by")) * (col("ay") - col("by")))
+      .where(col("d2") <= lit(r * r))
+      .select(col("ida").as("a"), col("idb").as("b"),
+        round(sqrt(col("d2")), 6).as("dist"))
+      .orderBy("a", "b")
+  }
+
   /** Hard-negative mining for contrastive/embedding training (the
     * "hard negatives matter" recipe of Robinson et al., ICLR 2021 and
     * every dense-retrieval pipeline since DPR): for each query vector,
