@@ -494,6 +494,67 @@ object SparkEntry {
           s, src, ev.schema, out, out + "_ckpt")
         .orderBy("user_id", "sess_start_us")
     }),
+    // The NATIVE session_window operator as a REAL streaming drain —
+    // closes the last E13 execution gap (q16 pins the batch-window
+    // truth, q55 the session_window PLAN in batch mode, q90 the
+    // custom-state API; this runs session_window itself through
+    // micro-batches, watermark-driven append emission, and the
+    // exactly-once sink). Same source layout + sentinel contract as
+    // q90; sentinel sessions never close and the read-back filter
+    // drops anything past the real horizon (q144's rule — filter on
+    // the BATCH side, never between the stateful operator and the
+    // sink). All four session rows pin to ONE oracle truth.
+    "q239_stream_session_native" -> ((s, dir) => {
+      val src = Scratch.dir("stream_session_src")
+      val out = Scratch.dir("stream_session")
+      val ev = rel.Queries.events(s, dir).select(col("user_id"), col("ts"))
+      val (_, hi) = writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      ev.select(col("user_id")).distinct()
+        .withColumn("ts", timestamp_seconds(lit(hi + 10860L)))
+        .write.mode("append").parquet(src)
+      sources.StreamIngest.sessionWindowParquet(
+          s, src, ev.schema, out, out + "_ckpt")
+        .where(col("sess_start_us") < lit(hi + 10860L) * 1000000L)
+        .orderBy("user_id", "sess_start_us")
+    }),
+    // The q87 stateful drain on the ROCKSDB state store — the
+    // disk-backed backend production runs once keyed state outgrows
+    // the heap. Same plan, same checkpoint discipline, same oracle as
+    // q87: the gate row pins that swapping the state BACKEND is
+    // semantically invisible (config, not code).
+    "q240_rocksdb_state" -> ((s, dir) => {
+      val src = Scratch.dir("rocksdb_state_src")
+      val out = Scratch.dir("rocksdb_state")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      sources.StreamIngest.windowedAggParquetRocksDb(
+          s, src, ev.schema, out, out + "_ckpt")
+        .select(col("win_start"), col("n"),
+          col("dec_sum").cast("double").as("sum_value"))
+        .orderBy("win_start")
+    }),
+    // The Spark 4 transformWithState API at the gate: the gap
+    // sessionizer on StatefulProcessor + named ListState + explicit
+    // event-time timers (arbitrary stateful processing v2 — the
+    // successor to q90's flatMapGroupsWithState), under the RocksDB
+    // provider it requires. Same sentinel/no-data-batch flush
+    // mechanics as q90, and the SAME oracle — so the v1 API, the v2
+    // API, the native operator (q239), and the batch plan (q16) are
+    // all pinned to one session truth.
+    "q241_tws_sessionize" -> ((s, dir) => {
+      val src = Scratch.dir("tws_session_src")
+      val out = Scratch.dir("tws_session")
+      val ev = rel.Queries.events(s, dir).select(col("user_id"), col("ts"))
+      val (_, hi) = writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      ev.select(col("user_id")).distinct()
+        .withColumn("ts", timestamp_seconds(lit(hi + 10860L)))
+        .write.mode("append").parquet(src)
+      sources.StreamIngest.twsSessionizeParquet(
+          s, src, ev.schema, out, out + "_ckpt")
+        .where(col("sess_start_us") < lit(hi + 10860L) * 1000000L)
+        .orderBy("user_id", "sess_start_us")
+    }),
   )
 
   /** Lay `ev` (must carry an event-time `ts`) out under `src` as the
@@ -581,6 +642,27 @@ object SparkEntry {
       |FROM w CROSS JOIN mx
       |WHERE (win_start + 3600) * 1000 <= mxus // 1000 - 3600000
       |GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  /** The gap-session truth (q16's boundary semantics reduced to the
+    * streaming operators' emitted columns), shared verbatim by
+    * q90/q239/q241. */
+  private val sessionTruthOracle: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM y)
+      |SELECT user_id, min(us) AS sess_start_us, max(us) AS sess_end_us,
+      |  count(*) AS n_events
+      |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin
 
   private val textOracles: Map[String, String] = Map(
     "wordcount_alpha" -> wcOracle(Tokenize.AlphaRe),
@@ -681,26 +763,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  true AS roundtrip_ok
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
-    // q16's session boundaries reduced to the custom-state operator's
-    // emitted columns — one truth for q16 (batch window), q55
-    // (session_window), and q90 (flatMapGroupsWithState).
-    "q90_custom_state_sessions" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS us,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
-        |  FROM events),
-        |y AS (
-        |  SELECT user_id, event_id, us,
-        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM x),
-        |z AS (
-        |  SELECT user_id, us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM y)
-        |SELECT user_id, min(us) AS sess_start_us, max(us) AS sess_end_us,
-        |  count(*) AS n_events
-        |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
+    // q16's session boundaries reduced to the emitted columns — ONE
+    // truth (one shared val, the q87/q101 binding discipline) for q90
+    // (flatMapGroupsWithState), q239 (native session_window streaming
+    // drain), and q241 (transformWithState): the three streaming
+    // session APIs and the batch plan may not disagree.
+    "q90_custom_state_sessions" -> sessionTruthOracle,
+    "q239_stream_session_native" -> sessionTruthOracle,
+    "q241_tws_sessionize" -> sessionTruthOracle,
+    // The state-backend swap must be invisible: q240 shares q87's
+    // oracle string.
+    "q240_rocksdb_state" -> streamWindowOracle,
     // One survivor per distinct text; lang and id-mod are copy-invariant.
     // Aggregating ALL documents rows equals the survivor set only
     // because the corpus has no exact-duplicate texts — the q102

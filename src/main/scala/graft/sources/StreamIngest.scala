@@ -99,6 +99,93 @@ object StreamIngest {
     spark.read.parquet(out)
   }
 
+  /** Run `body` with the streaming state-store provider temporarily
+    * set to `provider`, restoring the session value after. The provider
+    * is read at query start and baked into the checkpoint, so the
+    * override must wrap the whole drain. */
+  private def withStateProvider[T](spark: SparkSession, provider: String)(
+      body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** RocksDB state-store provider class name (shipped in the Spark 4
+    * distribution): the disk-backed state backend production stateful
+    * streaming runs — state volume is bounded by local disk + an
+    * in-memory working set instead of the executor heap, the property
+    * that matters once keyed state outgrows memory at 100 TB. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** The q87 stateful drain with the state store swapped to RocksDB —
+    * same plan, same checkpoint discipline, same oracle; only the
+    * state BACKEND differs, and the gate row pins that the swap is
+    * semantically invisible (the contract that lets a deployment
+    * change backends by config, not code). */
+  def windowedAggParquetRocksDb(spark: SparkSession, in: String,
+                                schema: StructType, out: String,
+                                ckpt: String): DataFrame =
+    withStateProvider(spark, RocksDbProvider) {
+      windowedAggParquet(spark, in, schema, out, ckpt)
+    }
+
+  /** The NATIVE session-window operator executed as a real streaming
+    * drain (q55 gate-checks the same plan in batch mode; q90 the
+    * custom-state reimplementation): session_window grouping with a
+    * watermark, append mode — a session is emitted once the watermark
+    * passes its close — through the checkpointed exactly-once sink.
+    * Source-layout + sentinel contract identical to
+    * [[sessionizeParquet]]: the caller appends a far-future sentinel
+    * event per user as the LAST file so the final watermark closes
+    * every real session; the sentinel sessions themselves never close
+    * and are discarded with the state (filter them on the batch
+    * read-back — q144's rule). */
+  def sessionWindowParquet(spark: SparkSession, in: String,
+                           schema: StructType, out: String,
+                           ckpt: String): DataFrame = withStatePartitions(spark, 8) {
+    rm(spark, out); rm(spark, ckpt)
+    val sess = graft.streaming.Sessions.sessionAgg(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(in))
+    val q = sess.writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** The Spark 4 `transformWithState` sessionizer at the gate
+    * ([[graft.streaming.Sessions.TwsSessionizer]]): same drain shape
+    * and sentinel contract as [[sessionizeParquet]], run under the
+    * RocksDB state store (a transformWithState requirement — the v2
+    * state API is implemented against RocksDB's column families). */
+  def twsSessionizeParquet(spark: SparkSession, in: String,
+                           schema: StructType, out: String,
+                           ckpt: String): DataFrame =
+    withStateProvider(spark, RocksDbProvider) {
+      withStatePartitions(spark, 8) {
+        rm(spark, out); rm(spark, ckpt)
+        val sessions = graft.streaming.Sessions.sessionizeTws(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "2").parquet(in))
+          .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
+        val q = sessions.writeStream.format("parquet")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination()
+        spark.read.parquet(out)
+      }
+    }
+
   /** The FULLY-custom-state path at the gate: drain a (user_id, ts)
     * file-source stream through
     * [[graft.streaming.Sessions.sessionizeWithState]] (gap sessionizer

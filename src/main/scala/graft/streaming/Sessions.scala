@@ -98,21 +98,28 @@ object Sessions {
     * watermark passes its end + gap — the point it can no longer grow —
     * via `GroupState.setTimeoutTimestamp`. State per key is O(open
     * sessions within the watermark horizon), evicted on emission. */
+  /** The ≥gap merge shared by [[sessionizeWithState]] and
+    * [[TwsSessionizer]]: fold event times into the open-session list,
+    * coalescing any session/event pair closer than `gapUs`. */
+  private[streaming] def mergeSessions(gapUs: Long)(
+      sessions: List[OpenSession], evs: Seq[Long]): List[OpenSession] = {
+    val all = (sessions ++ evs.map(u => OpenSession(u, u, 1L)))
+      .sortBy(s => (s.startUs, s.endUs))
+    all.foldLeft(List.empty[OpenSession]) {
+      case (acc @ (cur :: rest), s) if s.startUs - cur.endUs < gapUs =>
+        OpenSession(cur.startUs, math.max(cur.endUs, s.endUs), cur.n + s.n) :: rest
+      case (acc, s) => s :: acc
+    }.reverse
+  }
+
   def sessionizeWithState(events: DataFrame,
                           gapUs: Long = 1800L * 1000000L,
                           late: String = "1 hour")
       : Dataset[(Long, Long, Long, Long)] = {
     import events.sparkSession.implicits._
 
-    def merge(sessions: List[OpenSession], evs: Seq[Long]): List[OpenSession] = {
-      val all = (sessions ++ evs.map(u => OpenSession(u, u, 1L)))
-        .sortBy(s => (s.startUs, s.endUs))
-      all.foldLeft(List.empty[OpenSession]) {
-        case (acc @ (cur :: rest), s) if s.startUs - cur.endUs < gapUs =>
-          OpenSession(cur.startUs, math.max(cur.endUs, s.endUs), cur.n + s.n) :: rest
-        case (acc, s) => s :: acc
-      }.reverse
-    }
+    def merge(sessions: List[OpenSession], evs: Seq[Long]): List[OpenSession] =
+      mergeSessions(gapUs)(sessions, evs)
 
     events
       .withWatermark("ts", late)
@@ -141,6 +148,90 @@ object Sessions {
           fin.sortBy(_.startUs).iterator
             .map(s => (user, s.startUs, s.endUs, s.n))
       }
+  }
+
+  /** The gap sessionizer on the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed state variables + explicit event-time
+    * timers) — arbitrary stateful processing v2, the successor to
+    * [[sessionizeWithState]]'s flatMapGroupsWithState: state is a NAMED
+    * ListState variable instead of one opaque blob (RocksDB-backed, so
+    * per-key state no longer has to fit a single value write), and
+    * timers are first-class (many per key, listable, deletable) instead
+    * of the single setTimeoutTimestamp slot. Semantics intentionally
+    * IDENTICAL to [[sessionizeWithState]] (same [[mergeSessions]] fold,
+    * same emit-when-watermark-passes-end+gap rule), so both engines and
+    * all three session plans (q16 batch, q55 session_window, q90
+    * fMGWS) pin to one truth.
+    *
+    * Mechanics: input rows merge into the ListState; sessions already
+    * closable emit immediately; otherwise ONE timer is kept at the
+    * earliest close point (existing timers deleted first — the v2 API
+    * makes the reconcile explicit where GroupState silently replaced
+    * it). [[handleExpiredTimer]] re-checks the list against the current
+    * watermark, emits what closed, and re-arms for the remainder.
+    * State per key is O(open sessions); requires the RocksDB state
+    * store provider (a transformWithState constraint — see
+    * [[graft.sources.StreamIngest.twsSessionizeParquet]]). */
+  class TwsSessionizer(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var open: ListState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def emitAndRearm(key: Long, sessions: List[OpenSession],
+        wmUs: Long): Iterator[(Long, Long, Long, Long)] = {
+      val (fin, still) = sessions.partition(_.endUs + gapUs <= wmUs)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (still.isEmpty) open.clear()
+      else {
+        open.put(still.toArray)
+        val nextCloseMs = (still.map(_.endUs).min + gapUs) / 1000L
+        getHandle.registerTimer(math.max(nextCloseMs, wmUs / 1000L + 1L))
+      }
+      fin.sortBy(_.startUs).iterator
+        .map(s => (key, s.startUs, s.endUs, s.n))
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val merged = mergeSessions(gapUs)(
+        if (open.exists()) open.get().toList else Nil,
+        rows.map(_._3).toSeq.sorted)
+      emitAndRearm(key, merged, wmUs)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      emitAndRearm(key,
+        if (open.exists()) open.get().toList else Nil, wmUs)
+    }
+  }
+
+  /** [[TwsSessionizer]] wired to a watermarked event frame — the same
+    * input contract as [[sessionizeWithState]]. */
+  def sessionizeTws(events: DataFrame,
+                    gapUs: Long = 1800L * 1000000L,
+                    late: String = "1 hour")
+      : Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", late)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TwsSessionizer(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** Running per-user event count + value total — the custom-keyed-state
