@@ -534,6 +534,54 @@ object SparkEntry {
           col("dec_sum").cast("double").as("sum_value"))
         .orderBy("win_start")
     }),
+    // XML source/sink round trip (Spark 4 folds spark-xml into the
+    // distribution — the last built-in interchange format next to
+    // q50's JSON-lines, q57's CSV, q62's ORC): documents → rowTag
+    // elements → schema-pinned read-back → per-lang aggregate.
+    // Lossless (XML escaping round-trips the text exactly; the corpus
+    // has no surrounding-whitespace edge), so the oracle aggregates
+    // the original parquet — escaping, schema drift, or row loss in
+    // either direction turns the row red.
+    "q243_xml_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = Scratch.dir("xml_docs")
+      tbl(s, dir, "documents").select("doc_id", "lang", "text")
+        .write.mode("overwrite").format("xml").option("rowTag", "doc")
+        .save(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      s.read.format("xml").option("rowTag", "doc").schema(schema).load(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+    // The Spark 4 STATE-STORE READER: after a q87-shape drain, the
+    // checkpoint's keyed state is read back as a DataFrame (format
+    // "statestore") — the operational surface for inspecting,
+    // auditing, or migrating live streaming state without replaying
+    // the stream. Append mode evicts a window from state when it
+    // emits, so the retained state is exactly the OPEN tail — the
+    // complement of q87's emitted set under the same final watermark
+    // — and the oracle recomputes that complement from the original
+    // events: a window emitted-but-not-evicted, evicted-but-never-
+    // emitted, or a corrupted buffer all turn the row red.
+    "q244_state_reader" -> ((s, dir) => {
+      val src = Scratch.dir("state_reader_src")
+      val out = Scratch.dir("state_reader")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      sources.StreamIngest.windowedAggParquet(
+        s, src, ev.schema, out, out + "_ckpt")
+      s.read.format("statestore").load(out + "_ckpt")
+        .select(unix_timestamp(col("key.window.start")).as("win_start"),
+          col("value.count").as("n"),
+          col("value.sum").cast("double").as("sum_value"))
+        .orderBy("win_start")
+    }),
     // The Spark 4 transformWithState API at the gate: the gap
     // sessionizer on StatefulProcessor + named ListState + explicit
     // event-time timers (arbitrary stateful processing v2 — the
@@ -774,6 +822,24 @@ object SparkEntry {
     // The state-backend swap must be invisible: q240 shares q87's
     // oracle string.
     "q240_rocksdb_state" -> streamWindowOracle,
+    // XML round trip is lossless ⇒ aggregate the original table.
+    "q243_xml_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // The OPEN-window tail: q87's window set with the cutoff predicate
+    // NEGATED (windows the final watermark did NOT close are exactly
+    // what append-mode state retains).
+    "q244_state_reader" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT max(us) AS mxus FROM e),
+        |w AS (SELECT (us // 3600000000) * 3600 AS win_start, value FROM e)
+        |SELECT win_start, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM w CROSS JOIN mx
+        |WHERE (win_start + 3600) * 1000 > mxus // 1000 - 3600000
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
     // One survivor per distinct text; lang and id-mod are copy-invariant.
     // Aggregating ALL documents rows equals the survivor set only
     // because the corpus has no exact-duplicate texts — the q102

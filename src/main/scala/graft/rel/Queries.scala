@@ -2498,6 +2498,153 @@ object Queries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  // Window-function breadth, part 2 (q49 covers dense_rank/ntile/lead/
+  // lag/first_value/running-max): percent_rank, cume_dist, nth_value —
+  // the relative-position family. All three are exact integer-ratio or
+  // row-pick semantics over the pinned (o_totalprice DESC, o_orderkey)
+  // total order, so every value is a single IEEE division of exact
+  // counts (or an integer) — bit-identical cross-engine. Customers
+  // with a single order are excluded (percent_rank's n−1 denominator
+  // degenerates; the filter drops whole partitions, so surviving
+  // windows are unchanged).
+  def windowExtras(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders").where(col("o_custkey") < 50)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.withColumn("n", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .where(col("n") >= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_best"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // LATERAL correlated subquery join (SQL:1999; Spark 4 supports the
+  // full form including correlated ORDER BY + LIMIT): per-nation top-2
+  // customers by account balance, expressed as the lateral "for each
+  // row, run this subquery" shape — the SQL-frontend twin of q8's
+  // rank-window top-N. Catalyst decorrelates the lateral into a
+  // ranked join (no per-row re-execution — the q89 contract); the
+  // oracle runs the identical LATERAL text in DuckDB.
+  def lateralTopPerGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+
+  // Spark 4 SQL pipe syntax (|>): the linear query-flow dialect —
+  // each stage consumes the previous one top-to-bottom, the shape
+  // query generators and interactive exploration produce. The pipe
+  // text compiles to the SAME Catalyst plan as its nested-SQL twin
+  // (pushdown/pruning/partial agg all apply unchanged), which is
+  // exactly what the gate row pins: the oracle is the traditional
+  // form of the same query (Q1's pricing-summary shape, dsum route).
+  def sqlPipe(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """FROM lineitem
+        ||> WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        ||> EXTEND l_extendedprice * (1.0d - l_discount) AS disc
+        ||> AGGREGATE count(*) AS n_lines,
+        |     round(CAST(sum(CAST(disc AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  // Difference-in-differences readout (the quasi-experimental
+  // companion to q150's A/B z-test and q219's CUPED): treatment arm =
+  // odd user ids, pre/post = epoch-day halves of the observed range
+  // (calendar-free, q128's discipline; the midpoint is a 1-row
+  // broadcast aggregate, never a driver scalar). The 2×2 cell means
+  // come from ONE partial-aggregated scan via the dsum route; DiD =
+  // (post−pre)_treat − (post−pre)_control in one fixed-order
+  // expression per event type.
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      (col("user_id") % 2).as("treat"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
+    val mid = ev.agg(
+      expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .withColumn("post", (col("day") >= col("mid")).cast("int"))
+      .groupBy("event_type", "treat", "post")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+      .withColumn("m", col("sv") / col("n").cast("double"))
+    cells.groupBy("event_type")
+      .agg(
+        sum(col("n")).as("n_events"),
+        max(when(col("treat") === 0 && col("post") === 0, col("m"))).as("m00"),
+        max(when(col("treat") === 0 && col("post") === 1, col("m"))).as("m01"),
+        max(when(col("treat") === 1 && col("post") === 0, col("m"))).as("m10"),
+        max(when(col("treat") === 1 && col("post") === 1, col("m"))).as("m11"))
+      .select(col("event_type"), col("n_events"),
+        round(col("m00"), 6).as("ctl_pre"), round(col("m01"), 6).as("ctl_post"),
+        round(col("m10"), 6).as("trt_pre"), round(col("m11"), 6).as("trt_post"),
+        round((col("m11") - col("m10")) - (col("m01") - col("m00")), 6).as("did"))
+      .orderBy("event_type")
+  }
+
+  /** Poisson(1) inverse-CDF thresholds shared by [[bootstrapCi]] and
+    * its oracle: cdf(k) = e⁻¹·Σ_{j≤k} 1/j!, computed once in Scala and
+    * interpolated into both engines' CASE chains. */
+  val PoissonCdf: IndexedSeq[Double] = {
+    val einv = math.exp(-1.0)
+    (0 to 4).scanLeft(0.0) { (acc, k) =>
+      acc + einv / (1 to k).product.toDouble
+    }.tail.toIndexedSeq // cdf(0)..cdf(4); weights ≥ 5 capped
+  }
+
+  // Deterministic Poisson bootstrap CI for the per-type mean value
+  // (the production resampling scheme — Poisson(1) weights approximate
+  // multinomial resampling and need NO global coordination: each row
+  // draws its B weights independently, so one scan fans out to B
+  // replicate partial-aggregates and the shuffle is O(types × B),
+  // never O(rows); Chamandy et al., "Estimating Uncertainty for
+  // Massive Data Streams", Google 2012). Determinism: the uniform
+  // driving each draw is the portable FNV hash of (event_id, b)
+  // reduced to a dyadic 2⁻²⁴ grid — same weights under any
+  // partitioning, retry, or engine (the q112/q142 contract); the
+  // Poisson inverse-CDF thresholds are Scala literals shared with the
+  // oracle ([[PoissonCdf]]), weights capped at 5 (P ≈ 0.37%,
+  // mirrored). The CI is the EXACT (2nd, 31st) order statistic of the
+  // 32 replicate means — no interpolation (q51's dyadic discipline
+  // taken to its integer limit), ties pinned by (mean, b).
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val b = 32
+    val ev = events(s, dir).select(col("event_type"), col("event_id"), col("value"))
+    val u = (graft.functions.HashExprs.fnv1a32(
+      "concat(cast(event_id as string), ':', cast(b as string))") % 16777216L)
+      .cast("double") / lit(16777216.0)
+    val wExpr = PoissonCdf.zipWithIndex.foldRight(lit(5)) { case ((c, k), e) =>
+      when(u < lit(c), lit(k)).otherwise(e)
+    }
+    val reps = ev
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", wExpr)
+      .groupBy("event_type", "b")
+      .agg(dsum(col("w").cast("double") * col("value")).as("ws"),
+        sum(col("w")).as("wn"))
+      .withColumn("mean_b", col("ws") / col("wn").cast("double"))
+    val w2 = Window.partitionBy("event_type")
+      .orderBy(col("mean_b").asc, col("b").asc)
+    val ci = reps.withColumn("rn", row_number().over(w2))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === 2, col("mean_b"))).as("lo"),
+        max(when(col("rn") === b - 1, col("mean_b"))).as("hi"))
+    val base = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+    base.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        round(col("sv") / col("n").cast("double"), 6).as("mean"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2626,6 +2773,11 @@ object Queries {
     "q236_variant_json" -> (variantJson _),
     "q237_collated_group" -> (collatedGroup _),
     "q238_sql_udf" -> (sqlUdf _),
+    "q242_window_extras" -> (windowExtras _),
+    "q245_lateral_join" -> (lateralTopPerGroup _),
+    "q246_sql_pipe" -> (sqlPipe _),
+    "q247_diff_in_diff" -> (diffInDiff _),
+    "q248_bootstrap_ci" -> (bootstrapCi _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3649,6 +3801,95 @@ object Queries {
         |SELECT lower(et) AS event_type, count(*) AS n,
         |  count(DISTINCT et) AS n_forms, min(et) AS min_form
         |FROM x GROUP BY lower(et) ORDER BY event_type""".stripMargin,
+    // Same pinned order, same integer-ratio definitions, same explicit
+    // full-partition frame for nth_value.
+    "q242_window_extras" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey < 50),
+        |n AS (SELECT o_custkey FROM o GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT o.o_custkey, o.o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  nth_value(o.o_orderkey, 2) OVER
+        |    (PARTITION BY o.o_custkey
+        |     ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_best
+        |FROM o JOIN n ON n.o_custkey = o.o_custkey
+        |WINDOW w AS (PARTITION BY o.o_custkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+        |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin,
+    // The identical LATERAL text — DuckDB runs the same correlated
+    // ORDER BY + LIMIT subquery per nation row.
+    "q245_lateral_join" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
+    // The pipe query's traditional-SQL twin (same filter, same dsum
+    // route, same output columns).
+    "q246_sql_pipe" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue
+         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Same 1-row midpoint, same 2x2 cells via the dsum route, same
+    // fixed-order DiD expression.
+    "q247_diff_in_diff" ->
+      s"""WITH ev AS (SELECT event_type, user_id % 2 AS treat,
+         |  epoch_us(ts) // 86400000000 AS day, value FROM events),
+         |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+         |cells AS (SELECT event_type, treat,
+         |  CASE WHEN day >= mid THEN 1 ELSE 0 END AS post,
+         |  count(*) AS n, ${dsumSql("value")} AS sv
+         |  FROM ev CROSS JOIN m GROUP BY 1, 2, 3),
+         |mm AS (SELECT event_type, treat, post, n,
+         |  sv / CAST(n AS DOUBLE) AS m FROM cells),
+         |p AS (SELECT event_type, sum(n) AS n_events,
+         |  max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m00,
+         |  max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m01,
+         |  max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m10,
+         |  max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m11
+         |  FROM mm GROUP BY 1)
+         |SELECT event_type, n_events,
+         |  round(m00, 6) AS ctl_pre, round(m01, 6) AS ctl_post,
+         |  round(m10, 6) AS trt_pre, round(m11, 6) AS trt_post,
+         |  round((m11 - m10) - (m01 - m00), 6) AS did
+         |FROM p ORDER BY event_type""".stripMargin,
+    // Same portable-FNV uniforms, same shared Poisson thresholds, same
+    // dsum replicate means, same exact (2, 31) order statistics.
+    "q248_bootstrap_ci" -> {
+      val wCase = "CASE " + PoissonCdf.zipWithIndex.map { case (c, k) =>
+        s"WHEN u < CAST($c AS DOUBLE) THEN $k"
+      }.mkString(" ") + " ELSE 5 END"
+      s"""WITH ev AS (SELECT event_type, event_id, value FROM events),
+         |x AS (SELECT event_type, event_id, value, unnest(range(32)) AS b FROM ev),
+         |uu AS (SELECT event_type, value, b,
+         |  CAST(${graft.llm.Queries.fnvSql(
+              "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+         |    % 16777216 AS DOUBLE) / CAST(16777216.0 AS DOUBLE) AS u FROM x),
+         |ww AS (SELECT event_type, value, b, $wCase AS w FROM uu),
+         |reps AS (SELECT event_type, b,
+         |  ${dsumSql("CAST(w AS DOUBLE) * value")} AS ws, sum(w) AS wn
+         |  FROM ww GROUP BY 1, 2),
+         |mb AS (SELECT event_type, b, ws / CAST(wn AS DOUBLE) AS mean_b FROM reps),
+         |rk AS (SELECT event_type, mean_b, row_number() OVER (
+         |  PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS rn FROM mb),
+         |ci AS (SELECT event_type,
+         |  max(CASE WHEN rn = 2 THEN mean_b END) AS lo,
+         |  max(CASE WHEN rn = 31 THEN mean_b END) AS hi
+         |  FROM rk GROUP BY 1),
+         |base AS (SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sv
+         |  FROM ev GROUP BY 1)
+         |SELECT base.event_type, base.n,
+         |  round(sv / CAST(n AS DOUBLE), 6) AS mean,
+         |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |FROM base JOIN ci ON ci.event_type = base.event_type
+         |ORDER BY base.event_type""".stripMargin
+    },
     // The SQL-UDF bodies inlined by hand; same DECIMAL route.
     "q238_sql_udf" ->
       s"""SELECT l_returnflag, count(*) AS n_lines,
