@@ -866,6 +866,16 @@ object Queries {
     "q232_grid_radius_join" -> ((s, dir) =>
       Sim.gridRadiusJoin(tbl(s, dir, "embeddings"), r = GridR,
         maxCell = 4096)),
+    // Grid-density clustering (cell-granular DBSCAN): core cells ≥ 3
+    // points, clusters = 8-connected components of core cells via the
+    // q65 min-label fixpoint — density clustering with NO pairwise
+    // distance step (see Sim.gridDensityClusters). Probed: sf0.01
+    // yields 17 clusters (largest 8 cells), sf0.1 a 264-cell giant
+    // component — the data-dependent fixpoint loop handles both, where
+    // a fixed-round unroll could not.
+    "q250_grid_density" -> ((s, dir) =>
+      Sim.gridDensityClusters(tbl(s, dir, "embeddings"), r = GridR,
+        minPts = 3L)),
     // E16 production shape: FILTERED kNN — top-k cosine restricted by
     // a label predicate and a cross-modal lang predicate BEFORE the
     // rank window (pre-filter semantics: k survivors guaranteed, scan
@@ -2968,6 +2978,30 @@ object Queries {
          |    AND a.vec_id < b.vec_id)
          |SELECT ida AS a, idb AS b, round(sqrt(d2), 6) AS dist FROM pr
          |WHERE d2 <= CAST(${GridR * GridR} AS DOUBLE) ORDER BY a, b""".stripMargin,
+    // Same cells, same core rule, same packed lexicographic cell ids;
+    // components via the recursive-CTE min-label closure (q65's
+    // pattern), so the cluster partition must agree exactly.
+    "q250_grid_density" ->
+      s"""WITH RECURSIVE p AS (SELECT CAST(embedding[1] AS DOUBLE) AS x,
+         |  CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+         |cells AS (SELECT CAST(floor(x / CAST($GridR AS DOUBLE)) AS BIGINT) AS cx,
+         |  CAST(floor(y / CAST($GridR AS DOUBLE)) AS BIGINT) AS cy,
+         |  count(*) AS n FROM p GROUP BY 1, 2),
+         |core AS (SELECT cx, cy, n,
+         |  cx * 4294967296 + cy + 2147483648 AS cid FROM cells WHERE n >= 3),
+         |e AS (SELECT a.cid AS nn, b.cid AS mm FROM core a JOIN core b
+         |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.cid <> b.cid),
+         |r AS (SELECT cid AS nn, cid AS reach FROM core
+         |  UNION
+         |  SELECT e.nn, r.reach FROM e JOIN r ON e.mm = r.nn),
+         |comp AS (SELECT nn, min(reach) AS component FROM r GROUP BY nn),
+         |j AS (SELECT core.n, comp.component FROM core
+         |  JOIN comp ON comp.nn = core.cid),
+         |g AS (SELECT component, count(*) AS n_cells,
+         |  CAST(sum(n) AS BIGINT) AS n_points FROM j GROUP BY 1)
+         |SELECT c2.cx AS rep_cx, c2.cy AS rep_cy, g.n_cells, g.n_points
+         |FROM g JOIN core c2 ON c2.cid = g.component
+         |ORDER BY rep_cx, rep_cy""".stripMargin,
     "q196_hard_negatives" ->
       s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
          |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -187,6 +187,60 @@ object Sim {
       .orderBy("a", "b")
   }
 
+  /** Grid-density clustering — the cell-granular form of DBSCAN
+    * (Ester et al., KDD 1996; grid variant: DENCLUE/STING family) over
+    * 2-D points: a cell of side `r` is CORE when it holds ≥ `minPts`
+    * points, and clusters are the 8-connected components of core
+    * cells. This is the density-clustering shape that scales — the
+    * point-level DBSCAN ε-graph needs a radius join per point
+    * ([[gridRadiusJoin]] exists for that), while the grid form
+    * reduces the corpus to O(occupied cells) in ONE hash-agg and runs
+    * the component search on cells, typically orders of magnitude
+    * smaller than points.
+    *
+    * Composition: cell adjacency = the [[gridRadiusJoin]] 3×3 probe on
+    * the core-cell table; components = the q65 min-label fixpoint
+    * ([[Dedup.connectedComponents]] — driver O(1) per round, shuffle
+    * O(cell edges)); isolated core cells keep their own label. The
+    * core table is localCheckpoint'd — it feeds the probe side, build
+    * side, AND the final aggregate (the q209 multi-consumer rule).
+    * Cell ids pack (cx, cy) into one long — lexicographic, so the
+    * min-label component id IS the cluster's (cx, cy)-minimal cell.
+    * All state is integer counts; the output is exact. */
+  def gridDensityClusters(emb: DataFrame, r: Double, minPts: Long): DataFrame = {
+    val p = emb.select(
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val cells = p
+      .withColumn("cx", floor(col("x") / lit(r)).cast("long"))
+      .withColumn("cy", floor(col("y") / lit(r)).cast("long"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val core = cells.where(col("n") >= minPts)
+      .withColumn("cid",
+        col("cx") * lit(4294967296L) + col("cy") + lit(2147483648L))
+      .localCheckpoint()
+    val probes = core.select(col("cid").as("d1"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> struct(dx, dy))))")).as("o"),
+        col("cx"), col("cy"))
+      .select(col("d1"), (col("cx") + col("o.dx")).as("bcx"),
+        (col("cy") + col("o.dy")).as("bcy"))
+    val build = core.select(col("cid").as("d2"), col("cx").as("bcx"),
+      col("cy").as("bcy"))
+    val pairs = probes.join(build, Seq("bcx", "bcy"))
+      .where(col("d1") < col("d2")).select("d1", "d2")
+    val labeled = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "cid")
+    core.join(labeled, Seq("cid"), "left")
+      .withColumn("component", coalesce(col("component"), col("cid")))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"),
+        min(struct(col("cx"), col("cy"))).as("mc"))
+      .select(col("mc.cx").as("rep_cx"), col("mc.cy").as("rep_cy"),
+        col("n_cells"), col("n_points"))
+      .orderBy("rep_cx", "rep_cy")
+  }
+
   /** Hard-negative mining for contrastive/embedding training (the
     * "hard negatives matter" recipe of Robinson et al., ICLR 2021 and
     * every dense-retrieval pipeline since DPR): for each query vector,

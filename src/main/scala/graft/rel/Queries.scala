@@ -2645,6 +2645,24 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Spark 4 parameterized SQL: named parameter markers (:param) bound
+  // at execution plus the IDENTIFIER() clause turning a PARAMETER into
+  // a table reference — the injection-safe template surface a query
+  // service exposes (values never concatenated into SQL text; the
+  // identifier is resolved through the parser's identifier rules, not
+  // string splicing). The bound plan must equal the literal twin —
+  // which is exactly what the oracle checks.
+  def paramSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0d - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+        |FROM IDENTIFIER(:tbl) WHERE l_quantity >= :minq
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Map("tbl" -> "lineitem", "minq" -> Int.box(30)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2778,6 +2796,7 @@ object Queries {
     "q246_sql_pipe" -> (sqlPipe _),
     "q247_diff_in_diff" -> (diffInDiff _),
     "q248_bootstrap_ci" -> (bootstrapCi _),
+    "q249_param_sql" -> (paramSql _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3890,6 +3909,12 @@ object Queries {
          |FROM base JOIN ci ON ci.event_type = base.event_type
          |ORDER BY base.event_type""".stripMargin
     },
+    // The parameterized template with its bindings inlined as literals.
+    "q249_param_sql" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue
+         |FROM lineitem WHERE l_quantity >= 30
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The SQL-UDF bodies inlined by hand; same DECIMAL route.
     "q238_sql_udf" ->
       s"""SELECT l_returnflag, count(*) AS n_lines,

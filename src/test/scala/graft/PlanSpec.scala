@@ -315,4 +315,43 @@ class PlanSpec extends SparkSpec {
            !df.queryExecution.analyzed.toString.contains("SPARK_PARTITION_ID"),
       "bucket id must not be derived from physical partition ids")
   }
+
+  test("q232 grid radius join is an equi-join on cell keys, never a nested loop") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val p = finalPlan(llm.Sim.gridRadiusJoin(emb, 0.02, 4096))
+        .split("== Initial Plan ==").head
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"), p.take(1500))
+      // candidate generation is a keyed join on the cell columns (AQE
+      // collapses exchange printouts, so assert the join node itself)
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[bcx".r.findFirstIn(p).isDefined,
+        p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q234 link prediction: wedge + anti joins stay equi-joins") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val bounded = li.withColumn("bsize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+        .where(col("bsize") <= 64).select("ok", "pk")
+      val edges = bounded.select(col("ok"), col("pk").as("a"))
+        .join(bounded.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+        .where(col("cooc") >= 2L)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val p = finalPlan(rel.Graph.linkPrediction(edges, 8, 30))
+        .split("== Initial Plan ==").head
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"), p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
