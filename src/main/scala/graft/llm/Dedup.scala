@@ -644,4 +644,54 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
   }
+
+  /** WEIGHTED set-similarity self-join: tf-idf-weighted shingle cosine
+    * — the importance-weighted complement of [[prefixFilterJoin]]'s
+    * unweighted Jaccard (two docs sharing one RARE shingle score
+    * higher than two sharing a boilerplate one; the standard
+    * similarity model of near-dup mining at the weighted end —
+    * Broder's shingling with idf weights). Capped-vocabulary
+    * semantics: shingles with document frequency &gt; `dfCap` leave
+    * the vector space entirely (stop-shingle removal — both the
+    * numerator and the norms see the reduced space, so the cosine is
+    * EXACT in that space, not an approximation of the uncapped one),
+    * which is also what bounds the join: candidate pairs enumerate at
+    * shared shingles, Σ_sh df² work, df ≤ dfCap each.
+    *
+    * Scale: one shingle hash-agg for df, the weighted-posting table
+    * built ONCE and localCheckpoint'd (it feeds both join sides and
+    * the norms — the q209 multi-consumer rule), one shingle-keyed
+    * equi-join, one (d1, d2) hash-agg. idf = ln(N/df) on exact
+    * integers; dot and squared-norm sums ride [[graft.rel.Queries.dsum]];
+    * the top-K cut orders on dsum-exact cosines — bit-identical
+    * cross-engine. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, dfCap: Long = 20L,
+                       topK: Int = 20): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(nativeShingles(docs, textCol, k)).as("sh"))
+    val dfTbl = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+    val n = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val w = sh.join(dfTbl, "sh").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("sh"),
+        log(col("nd") / col("df").cast("double")).as("idf"))
+      .localCheckpoint()
+    val norms = w.groupBy("doc_id")
+      .agg(graft.rel.Queries.dsum(col("idf") * col("idf")).as("s2"))
+      .select(col("doc_id"), sqrt(col("s2")).as("nrm"))
+    val dots = w.select(col("sh"), col("doc_id").as("d1"), col("idf"))
+      .join(w.select(col("sh"), col("doc_id").as("d2"),
+        col("idf").as("idf2")), "sh")
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(graft.rel.Queries.dsum(col("idf") * col("idf2")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("doc_id").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("d1").asc, col("d2").asc)
+      .limit(topK)
+  }
 }

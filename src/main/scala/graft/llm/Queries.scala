@@ -640,6 +640,23 @@ object Queries {
       val edges = prs.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
       graft.rel.Graph.labelPropagation(edges, iters = 2)
     }),
+    // Modularity of the q177 partition (Newman-Girvan Q): the EVAL of
+    // community detection — q177 reports communities, this grades how
+    // much better-than-random their internal edge mass is (the
+    // q231/q166 eval-family discipline applied to graphs). Exact
+    // integer aggregates off one edge-labeling join; per-community
+    // terms fixed-order IEEE, TOTAL row via dsum.
+    "q251_modularity" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val edges = prs.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      graft.rel.Graph.modularity(edges,
+        graft.rel.Graph.labelPropagationNodes(edges, iters = 2))
+    }),
     // Single-source BFS distances over the (undirected) bigram graph,
     // 6 fixed relaxation rounds as one declarative plan; the oracle's
     // recursive CTE computes the TRUE minimum, so the gate row also
@@ -866,6 +883,14 @@ object Queries {
     "q232_grid_radius_join" -> ((s, dir) =>
       Sim.gridRadiusJoin(tbl(s, dir, "embeddings"), r = GridR,
         maxCell = 4096)),
+    // WEIGHTED set-similarity join: tf-idf shingle cosine, top-20
+    // pairs — the importance-weighted complement of q132's unweighted
+    // Jaccard (rare shared shingles count more than boilerplate);
+    // capped-vocabulary semantics (df ≤ 20 — fires at bench scale
+    // where max df is 25) bound the pair work at Σ df² (see
+    // Dedup.tfidfCosinePairs).
+    "q252_tfidf_cosine" -> ((s, dir) =>
+      Dedup.tfidfCosinePairs(tbl(s, dir, "documents"), "doc_id", "text")),
     // Grid-density clustering (cell-granular DBSCAN): core cells ≥ 3
     // points, clusters = 8-connected components of core cells via the
     // q65 min-label fixpoint — density clustering with NO pairwise
@@ -1558,8 +1583,10 @@ object Queries {
     * the same symmetrized self-loop-free bigram edges, the same
     * weighted (wt DESC, label ASC) adoption per round, unrolled as
     * CTEs. All-integer state — exact at every round. */
-  private val labelPropOracle: String = {
-    val rounds = (1 to 2).map { r =>
+  /** The LPA CTE chain (bigram edges → sym → l0…l`iters`) shared by
+    * [[labelPropOracle]] and [[modularityOracle]]. */
+  private def lpaCteBody(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
       s""",
          |l$r AS (SELECT node, label FROM (
          |  SELECT node, label, row_number() OVER (PARTITION BY node
@@ -1574,9 +1601,42 @@ object Queries {
        |u AS (SELECT src AS a, dst AS b, w FROM e WHERE src <> dst
        |  UNION ALL SELECT dst AS a, src AS b, w FROM e WHERE src <> dst),
        |sym AS (SELECT a, b, sum(w) AS w FROM u GROUP BY a, b),
-       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)$rounds
-       |SELECT label, count(*) AS size, min(node) AS min_node
-       |FROM l2 GROUP BY label ORDER BY label""".stripMargin
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)$rounds""".stripMargin
+  }
+
+  private val labelPropOracle: String =
+    lpaCteBody(2) +
+      """
+        |SELECT label, count(*) AS size, min(node) AS min_node
+        |FROM l2 GROUP BY label ORDER BY label""".stripMargin
+
+  /** DuckDB twin of q251 ([[graft.rel.Graph.modularity]] over the q177
+    * partition): same symmetrized edges, same l2 labels, same exact
+    * integer w_in/strength aggregates, same fixed-order per-community
+    * terms, TOTAL row through the DECIMAL route. */
+  private val modularityOracle: String = {
+    def dec(x: String) =
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    lpaCteBody(2) +
+      s""",
+         |el AS (SELECT s.a, s.w, la.label AS lab_a, lb.label AS lab_b
+         |  FROM sym s JOIN l2 la ON la.node = s.a JOIN l2 lb ON lb.node = s.b),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w2 FROM el),
+         |per AS (SELECT lab_a AS label, count(DISTINCT a) AS n_nodes,
+         |  CAST(sum(CASE WHEN lab_a = lab_b THEN w ELSE 0 END) AS BIGINT) AS w_in2,
+         |  CAST(sum(w) AS BIGINT) AS strength FROM el GROUP BY 1),
+         |pq AS (SELECT label, n_nodes, w_in2, strength,
+         |  CAST(w_in2 AS DOUBLE) / CAST(w2 AS DOUBLE)
+         |    - (CAST(strength AS DOUBLE) / CAST(w2 AS DOUBLE))
+         |      * (CAST(strength AS DOUBLE) / CAST(w2 AS DOUBLE)) AS q_term
+         |  FROM per CROSS JOIN tot)
+         |SELECT * FROM (
+         |  SELECT label, n_nodes, w_in2, strength, round(q_term, 6) AS q_term FROM pq
+         |  UNION ALL
+         |  SELECT '__TOTAL__', CAST(sum(n_nodes) AS BIGINT),
+         |    CAST(sum(w_in2) AS BIGINT), CAST(sum(strength) AS BIGINT),
+         |    round(${dec("q_term")}, 6) FROM pq)
+         |ORDER BY label""".stripMargin
   }
 
   private val pageRankOracle: String = {
@@ -2630,6 +2690,32 @@ object Queries {
     "q233_hits" -> hitsOracle,
     "q234_link_prediction" -> linkPredOracle,
     "q235_textrank" -> textRankOracle,
+    "q251_modularity" -> modularityOracle,
+    // Same distinct shingles, same df cap, same ln(N/df) weights on
+    // exact integers, dot and norms on the dsum route.
+    "q252_tfidf_cosine" -> {
+      def dec(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |s0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(greatest(len(ts) - 2, 0)),
+         |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS sh FROM t),
+         |dfq AS (SELECT sh, count(*) AS df FROM s0 GROUP BY 1
+         |  HAVING count(*) <= 20),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |w AS (SELECT doc_id, s0.sh, ln(nd / CAST(df AS DOUBLE)) AS idf
+         |  FROM s0 JOIN dfq ON dfq.sh = s0.sh CROSS JOIN nn),
+         |norms AS (SELECT doc_id, sqrt(${dec("idf * idf")}) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  ${dec("a.idf * b.idf")} AS dot
+         |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+         |FROM dots JOIN norms n1 ON n1.doc_id = dots.d1
+         |JOIN norms n2 ON n2.doc_id = dots.d2
+         |ORDER BY cosine DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin
+    },
     "q177_label_propagation" -> labelPropOracle,
     // True shortest paths by recursive CTE (UNION dedups the state
     // space to nodes × depths) — certifies the fixed 6 rounds covered

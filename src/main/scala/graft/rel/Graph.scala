@@ -120,13 +120,29 @@ object Graph {
     * superstep. `localCheckpoint` between rounds bounds plan depth
     * (the q47/q174 discipline). Output: one row per surviving label —
     * (label, size, min_node). */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame =
+    labelPropagationNodes(edges, iters)
+      .groupBy("label")
+      .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"))
+      .orderBy("label")
+
+  /** The symmetrized, self-loop-free, weight-summed doubling of an
+    * edge set — the adjacency form [[labelPropagationNodes]] and
+    * [[modularity]] share (each undirected edge appears in BOTH
+    * directions, so per-`a` aggregates see full neighborhoods). */
+  def symmetrize(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"),
         col("weight").as("w"))
       .where(col("a") =!= col("b"))
-    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b"),
-        col("w")))
+    und.unionAll(und.select(col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
+  }
+
+  /** [[labelPropagation]]'s per-node label frame (node, label) — split
+    * out so downstream analytics (q251's modularity) can consume the
+    * partition itself, not only its census. */
+  def labelPropagationNodes(edges: DataFrame, iters: Int): DataFrame = {
+    val sym = symmetrize(edges)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     val byNode = Window.partitionBy("node")
@@ -141,8 +157,47 @@ object Graph {
         .select("node", "label")
       if (r < iters) labels = labels.localCheckpoint()
     }
-    labels.groupBy("label")
-      .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"))
+    labels
+  }
+
+  /** Newman modularity of a node partition (Newman &amp; Girvan, PRE
+    * 2004): Q = Σ_c [ w_in(c)/2m − (s(c)/2m)² ] over the directed
+    * doubling — w_in(c) counts intra-community directed edge weight,
+    * s(c) the community's total strength, 2m the doubled total. The
+    * EVAL of community detection: q177 reports the partition, this
+    * grades it (the q231/q166 eval-family discipline). All aggregates
+    * are exact integers off one edge-labeling join; per-community
+    * terms are fixed-order IEEE and the TOTAL row sums them through
+    * [[Queries.dsum]]. Shuffle O(edges) — two label equi-joins + one
+    * hash-agg. Output: per-community rows + a '__TOTAL__' row whose
+    * `q_term` is Q itself. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val sym = symmetrize(edges)
+    val el = sym
+      .join(labels.select(col("node").as("a"), col("label").as("lab_a")), "a")
+      .join(labels.select(col("node").as("b"), col("label").as("lab_b")), "b")
+    val tot = el.agg(sum(col("w")).as("w2"))
+    val per = el.groupBy(col("lab_a").as("label"))
+      .agg(countDistinct(col("a")).as("n_nodes"),
+        sum(when(col("lab_a") === col("lab_b"), col("w")).otherwise(0L))
+          .as("w_in2"),
+        sum(col("w")).as("strength"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q_term",
+        col("w_in2").cast("double") / col("w2").cast("double")
+          - (col("strength").cast("double") / col("w2").cast("double"))
+            * (col("strength").cast("double") / col("w2").cast("double")))
+    val total = per.agg(
+      lit("__TOTAL__").as("label"),
+      sum(col("n_nodes")).as("n_nodes"),
+      sum(col("w_in2")).as("w_in2"),
+      sum(col("strength")).as("strength"),
+      Queries.dsum(col("q_term")).as("q_term"))
+    per.select(col("label"), col("n_nodes"), col("w_in2"), col("strength"),
+        col("q_term"))
+      .unionAll(total)
+      .select(col("label"), col("n_nodes"), col("w_in2"), col("strength"),
+        round(col("q_term"), 6).as("q_term"))
       .orderBy("label")
   }
 

@@ -2663,6 +2663,32 @@ object Queries {
       Map("tbl" -> "lineitem", "minq" -> Int.box(30)))
   }
 
+  // Fano factor / index of dispersion per event type (var/mean of the
+  // daily count series over observed days): the burstiness scalar —
+  // ≈1 for a Poisson-like arrival process, >1 bursty/clumped, <1
+  // regular — the quick screen before q170's CUSUM or q171's z-scores
+  // are worth running. Stream reduces to O(types × days) first; the
+  // sample variance comes from exact int64 moments, so the only
+  // floats are two fixed-order divisions.
+  def fanoFactor(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .where(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"),
+        round(col("sx").cast("double") / col("n_days").cast("double"), 6)
+          .as("mean_daily"),
+        round(((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / (col("n_days") * (col("n_days") - 1)).cast("double"))
+          / (col("sx").cast("double") / col("n_days").cast("double")), 6)
+          .as("fano"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2797,6 +2823,7 @@ object Queries {
     "q247_diff_in_diff" -> (diffInDiff _),
     "q248_bootstrap_ci" -> (bootstrapCi _),
     "q249_param_sql" -> (paramSql _),
+    "q253_fano" -> (fanoFactor _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3909,6 +3936,19 @@ object Queries {
          |FROM base JOIN ci ON ci.event_type = base.event_type
          |ORDER BY base.event_type""".stripMargin
     },
+    // Same exact integer moments, same two fixed-order divisions.
+    "q253_fano" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT event_type, n_days,
+        |  round(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+        |  round((CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |      / CAST(n_days * (n_days - 1) AS DOUBLE))
+        |    / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS fano
+        |FROM m ORDER BY event_type""".stripMargin,
     // The parameterized template with its bindings inlined as literals.
     "q249_param_sql" ->
       s"""SELECT l_returnflag, count(*) AS n_lines,
