@@ -582,6 +582,47 @@ object SparkEntry {
           col("value.sum").cast("double").as("sum_value"))
         .orderBy("win_start")
     }),
+    // STREAMING OBSERVABILITY at the gate: the engine's own late-data
+    // accounting (numRowsDroppedByWatermark, summed over the drain's
+    // progress reports) turned into a gate-checked VALUE. The source
+    // is q87's time-ordered layout plus one deliberately-LATE file
+    // appended last — clones (ids +10⁷) of the first hour-window's
+    // events, arriving when the watermark is hours past them. The
+    // late rows target a window that already emitted, so the sink is
+    // exactly q87's set and the dropped count is exactly the clone
+    // count — the oracle recomputes both relationally: a late row
+    // leaking into state, a duplicate emission, or missing/phantom
+    // drop accounting all turn the row red. (The metric itself is
+    // driver-side progress data — that IS the observability surface
+    // under test; the windows still come from the sink.)
+    "q254_late_data_metrics" -> ((s, dir) => {
+      val src = Scratch.dir("late_metrics_src")
+      val out = Scratch.dir("late_metrics")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      val lateTail = ev
+        .crossJoin(broadcast(ev.agg(min(unix_micros(col("ts"))).as("mn"))))
+        .where(expr("unix_micros(ts) DIV 3600000000 = mn DIV 3600000000"))
+        .select((col("event_id") + 10000000L).as("event_id"),
+          col("user_id"), col("ts"), col("value"))
+      lateTail.coalesce(1).write.mode("append").parquet(src)
+      val (sink, nInput) = sources.StreamIngest
+        .windowedAggParquetWithLateMetrics(s, src, ev.schema, out, out + "_ckpt")
+      // Row-balance identity across THREE observability surfaces: the
+      // progress metrics (rows read), the sink (rows emitted in closed
+      // windows), and the state-store reader (rows retained in open
+      // windows). input − emitted − retained = rows the watermark
+      // dropped — exact wherever the engine places the late filter.
+      val state = s.read.format("statestore").load(out + "_ckpt")
+        .agg(coalesce(sum(col("value.count")), lit(0L)).as("n_state_rows"))
+      sink.agg(count(lit(1)).as("n_windows"), sum(col("n")).as("total_rows"))
+        .crossJoin(broadcast(state))
+        .select(lit(nInput).as("n_input"), col("n_windows"),
+          col("total_rows"), col("n_state_rows"),
+          (lit(nInput) - col("total_rows") - col("n_state_rows"))
+            .as("n_late_dropped"))
+    }),
     // The Spark 4 transformWithState API at the gate: the gap
     // sessionizer on StatefulProcessor + named ListState + explicit
     // event-time timers (arbitrary stateful processing v2 — the
@@ -822,6 +863,24 @@ object SparkEntry {
     // The state-backend swap must be invisible: q240 shares q87's
     // oracle string.
     "q240_rocksdb_state" -> streamWindowOracle,
+    // Emitted windows = q87's closed set (the late clones change
+    // nothing); input = events + clones; retained = the open tail;
+    // dropped = the first hour-window's event count.
+    "q254_late_data_metrics" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        |mx AS (SELECT max(us) AS mxus, min(us) AS mnus FROM e),
+        |late AS (SELECT count(*) AS n_late FROM e CROSS JOIN mx
+        |  WHERE us // 3600000000 = mnus // 3600000000),
+        |w AS (SELECT (us // 3600000000) * 3600 AS win_start FROM e),
+        |emitted AS (SELECT win_start, count(*) AS n FROM w CROSS JOIN mx
+        |  WHERE (win_start + 3600) * 1000 <= mxus // 1000 - 3600000
+        |  GROUP BY win_start)
+        |SELECT (SELECT count(*) FROM e) + (SELECT n_late FROM late) AS n_input,
+        |  (SELECT count(*) FROM emitted) AS n_windows,
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM emitted) AS total_rows,
+        |  (SELECT count(*) FROM e)
+        |    - (SELECT CAST(sum(n) AS BIGINT) FROM emitted) AS n_state_rows,
+        |  (SELECT n_late FROM late) AS n_late_dropped""".stripMargin,
     // XML round trip is lossless ⇒ aggregate the original table.
     "q243_xml_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

@@ -2689,6 +2689,31 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Sketches × grouping sets: mergeable HLL distincts over a CUBE —
+  // the dashboard cube (every (type, day) slice plus both margins and
+  // the grand total) served by ONE pass with O(cells × sketch) state,
+  // the composition a 100 TB rollup actually runs (q81 proved
+  // mergeability, q6/q31 the grouping lattice; this is their product).
+  // The estimate can't cross engines, so it gates as an oracle-checked
+  // bound against the in-plan EXACT distinct (q30/q81's pattern):
+  // lgK=12 ⇒ ~1.6% std error, and small cells sit in the sketch's
+  // exact sparse regime, so the 5%-or-±1 bound is decisive. Cube
+  // nulls coalesce to sentinels for the null-free dump (q66's rule).
+  def cubeSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"), col("user_id"))
+    ev.cube("event_type", "day")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("exact_distinct"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("day"), lit(-1L)).as("day"),
+        col("n_rows"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct"))
+          <= greatest(lit(1L), expr("exact_distinct * 5 DIV 100"))).as("est_ok"))
+      .orderBy("etype", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2824,6 +2849,7 @@ object Queries {
     "q248_bootstrap_ci" -> (bootstrapCi _),
     "q249_param_sql" -> (paramSql _),
     "q253_fano" -> (fanoFactor _),
+    "q255_cube_sketch" -> (cubeSketch _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3936,6 +3962,16 @@ object Queries {
          |FROM base JOIN ci ON ci.event_type = base.event_type
          |ORDER BY base.event_type""".stripMargin
     },
+    // Exact distincts per cube cell; the sketch estimate gates as the
+    // Spark-side bound boolean (q30/q81's pattern).
+    "q255_cube_sketch" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  user_id FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS etype, coalesce(day, -1) AS day,
+        |  count(*) AS n_rows, count(DISTINCT user_id) AS exact_distinct,
+        |  true AS est_ok
+        |FROM ev GROUP BY CUBE(event_type, day)
+        |ORDER BY etype, day""".stripMargin,
     // Same exact integer moments, same two fixed-order divisions.
     "q253_fano" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -186,6 +186,48 @@ object StreamIngest {
       }
     }
 
+  /** The q87 stateful drain instrumented for OBSERVABILITY: returns
+    * the streaming engine's own late-data accounting alongside the
+    * sink. `numRowsDroppedByWatermark` (summed over the drain's
+    * micro-batch progress reports) counts rows the watermark excluded
+    * from the stateful operator — the metric a production pipeline
+    * alerts on, here made a gate-checkable VALUE: with a
+    * deterministic source layout (time-ordered slices + one
+    * deliberately-late file appended last) the watermark sequence is
+    * deterministic, so the dropped count is exactly the late file's
+    * row count and the sink is untouched by it (the late rows target
+    * windows that already closed). Returns (sink rows, dropped). */
+  def windowedAggParquetWithLateMetrics(
+      spark: SparkSession, in: String, schema: StructType, out: String,
+      ckpt: String): (DataFrame, Long) = withStatePartitions(spark, 8) {
+    import org.apache.spark.sql.functions._
+    rm(spark, out); rm(spark, ckpt)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(in)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,12)")).as("dec_sum"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("n"), col("dec_sum"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    // Total source rows the engine READ, per its own progress
+    // accounting. (numRowsDroppedByWatermark is NOT usable as the late
+    // count here: the watermark predicate is pushed into the scan, so
+    // most late rows are filtered before the stateful operator ever
+    // sees them and the per-operator counter undercounts — measured 1
+    // of 21 at the gate. The balance identity input − emitted −
+    // retained is exact regardless of where the filter runs.)
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    (spark.read.parquet(out), inputRows)
+  }
+
   /** The FULLY-custom-state path at the gate: drain a (user_id, ts)
     * file-source stream through
     * [[graft.streaming.Sessions.sessionizeWithState]] (gap sessionizer
