@@ -16,7 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * path is equivalence-tested against it in the test suite via
   * MemoryStream.
   */
-object Sessions {
+object Sessions extends Serializable {
+  // Serializable because the fMGWS lambda in [[sessionizeWithState]]
+  // calls [[mergeSessions]] — a method on this object — and therefore
+  // captures the module reference into the task closure (a lambda
+  // inside the object captures `this`; a method body in a separate
+  // class, like TwsSessionizer's, does not).
 
   /** E12 streaming form: tumbling event-time window with a watermark
     * bounding state (late data beyond `late` is dropped). */
