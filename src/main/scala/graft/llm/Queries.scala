@@ -2091,6 +2091,12 @@ object Queries {
       java.nio.file.Files.createDirectories(marker.getParent)
       java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
     }
+    // The session's FileStatusCache may hold a listing of the store
+    // path from BEFORE a rewrite (its own, or a sibling process's in a
+    // dev loop) — a stale listing fails the scan with FileNotFound on
+    // the overwritten part files. Drop any cached listing before the
+    // read; O(1) driver metadata, never data work.
+    s.catalog.refreshByPath(out)
     s.read.parquet(out)
   }
 

@@ -275,6 +275,47 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L, 6L), s"kept=$kept")
   }
 
+  test("transformWithState sessionizer emits exactly the fMGWS/batch sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB provider; set it for this
+    // query's start and restore after (the conf is read at query start).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      graft.sources.StreamIngest.RocksDbProvider)
+    try {
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      val streamDf = mem.toDF().toDF("event_id", "user_id", "us", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val q = Sessions.sessionizeTws(streamDf)
+        .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      mem.addData((99L, 99L, base + 20 * gapUs, 0.0))
+      q.processAllAvailable()
+      mem.addData((100L, 99L, base + 40 * gapUs, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 99L).toSet
+      // identical expected set to the fMGWS test — the v2 API may not
+      // diverge from the v1 API or the oracle-checked batch boundaries
+      val expected = Set(
+        (1L, base, base + gapUs - 1, 2L),
+        (1L, base + 3 * gapUs, base + 3 * gapUs, 1L),
+        (2L, base, base, 1L),
+        (2L, base + 2 * gapUs, base + 2 * gapUs, 1L))
+      assert(got == expected, got.toString)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming word count runs incrementally over a text stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
