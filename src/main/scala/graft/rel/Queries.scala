@@ -2714,6 +2714,75 @@ object Queries {
       .orderBy("etype", "day")
   }
 
+  // Join-strategy HINTS through the SQL frontend: MERGE on the
+  // fact-fact pair (forcing sort-merge where the planner might pick
+  // shuffle-hash) and BROADCAST on the dimension — the production
+  // steering surface when statistics mislead the optimizer at 100 TB
+  // (a mis-estimated build side OOMs; the hint is the escape hatch).
+  // Hints may never change RESULTS — exactly what the oracle pins;
+  // PlanSpec pins that they changed the PLAN.
+  def joinHints(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT /*+ MERGE(l), BROADCAST(c) */ c.c_mktsegment,
+        |  count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0d - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+
+  // The batch Observation API: named metrics piggyback on the SAME
+  // single pass that computes the query (no second scan — at 100 TB
+  // the difference between "free telemetry" and doubling the read).
+  // The declared result is the per-type aggregate PLUS a '__OBSERVED__'
+  // row carrying the observed global metrics; the oracle recomputes
+  // both from the table, so a metric diverging from the data it rode
+  // along with turns the row red. The parquet write is the action that
+  // populates the observation (the q56 sink-roundtrip pattern).
+  def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val out = graft.Scratch.dir("observe_agg")
+    events(s, dir)
+      .select(col("event_type"), col("value"))
+      .observe(obs, count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+      .write.mode("overwrite").parquet(out)
+    val m = obs.get
+    val observed = s.range(1).select(
+      lit("__OBSERVED__").as("event_type"),
+      lit(m("n").asInstanceOf[Long]).as("n"),
+      lit(m("sv").asInstanceOf[Double]).as("sv"))
+    s.read.parquet(out).unionByName(observed)
+      .select(col("event_type"), col("n"), round(col("sv"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // Modern aggregate-function breadth (the E11 family's Spark 3.4+/4
+  // additions): exact median, deterministic mode, count_if,
+  // bool_and/bool_or — all over exact integers so every value is
+  // bit-determined (median of an even count is the average of two
+  // int64 micro-units — an exact .5 half; mode's deterministic=true
+  // flag pins the LOWEST of tied values, mirrored in the oracle by an
+  // explicit (count DESC, value ASC) argmax because DuckDB's mode
+  // breaks ties arbitrarily).
+  def aggFamily(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      round(col("value") * 1000000).cast("long").as("vu"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (median(col("vu")) / 1e6).as("median_value"),
+        expr("mode(k, true)").as("mode_k"),
+        count_if(col("vu") > 50000000L).as("n_over_50"),
+        bool_and(col("vu") >= 0L).as("all_nonneg"),
+        bool_or(col("k") === 99L).as("any_k99"))
+      .select(col("event_type"), col("n"),
+        round(col("median_value"), 6).as("median_value"), col("mode_k"),
+        col("n_over_50"), col("all_nonneg"), col("any_k99"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2850,6 +2919,9 @@ object Queries {
     "q249_param_sql" -> (paramSql _),
     "q253_fano" -> (fanoFactor _),
     "q255_cube_sketch" -> (cubeSketch _),
+    "q256_join_hints" -> (joinHints _),
+    "q257_observe_metrics" -> (observeMetrics _),
+    "q258_agg_family" -> (aggFamily _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -3962,6 +4034,42 @@ object Queries {
          |FROM base JOIN ci ON ci.event_type = base.event_type
          |ORDER BY base.event_type""".stripMargin
     },
+    // Hints must not change results: the plain three-way join.
+    "q256_join_hints" ->
+      s"""SELECT c.c_mktsegment, count(*) AS n_lines,
+         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // Per-type rows recomputed directly; the observed row is the same
+    // aggregates at the global grain.
+    "q257_observe_metrics" ->
+      s"""WITH t AS (SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sv
+         |  FROM events GROUP BY 1),
+         |g AS (SELECT CAST('__OBSERVED__' AS VARCHAR) AS event_type,
+         |  count(*) AS n, ${dsumSql("value")} AS sv FROM events)
+         |SELECT event_type, n, round(sv, 6) AS sum_value FROM t
+         |UNION ALL SELECT event_type, n, round(sv, 6) FROM g
+         |ORDER BY event_type""".stripMargin,
+    // Exact integer micro-units: median halves exact, mode tie broken
+    // explicitly by (count DESC, k ASC) — Spark's deterministic=true
+    // contract — count_if/bool_and/bool_or as portable CASE/aggregates.
+    "q258_agg_family" ->
+      """WITH ev AS (SELECT event_type,
+        |  CAST(round(value * 1000000) AS BIGINT) AS vu,
+        |  CAST(props ->> '$.k' AS BIGINT) AS k FROM events),
+        |md AS (SELECT event_type, k, count(*) AS c FROM ev GROUP BY 1, 2),
+        |mo AS (SELECT event_type, k AS mode_k FROM
+        |  (SELECT event_type, k, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY c DESC, k ASC) AS rn FROM md) WHERE rn = 1)
+        |SELECT ev.event_type, count(*) AS n,
+        |  round(median(vu) / 1e6, 6) AS median_value,
+        |  min(mo.mode_k) AS mode_k,
+        |  sum(CASE WHEN vu > 50000000 THEN 1 ELSE 0 END) AS n_over_50,
+        |  bool_and(vu >= 0) AS all_nonneg,
+        |  bool_or(k = 99) AS any_k99
+        |FROM ev JOIN mo ON mo.event_type = ev.event_type
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
     // Exact distincts per cube cell; the sketch estimate gates as the
     // Spark-side bound boolean (q30/q81's pattern).
     "q255_cube_sketch" ->

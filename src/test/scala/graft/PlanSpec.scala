@@ -332,6 +332,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q256 join hints steer the physical strategy (MERGE honored, BROADCAST honored)") {
+    val p = finalPlan(rel.Queries.joinHints(spark, sf0001))
+      .split("== Initial Plan ==").head
+    // the hinted fact-fact join must be sort-merge even though the
+    // sf0.001 sides are broadcastable; the dimension must broadcast
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q234 link prediction: wedge + anti joins stay equi-joins") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
