@@ -2783,6 +2783,103 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Spark 4 SQL session VARIABLES (DECLARE / SET VAR) + EXECUTE
+  // IMMEDIATE: the scripting state surface — a variable computed FROM
+  // DATA by one statement parameterizes the next, and EXECUTE
+  // IMMEDIATE runs dynamically-assembled SQL with the variable bound
+  // (the stored-procedure idiom without a procedure). The pipeline:
+  // set the threshold to the 90th-percentile order price, then count
+  // and total the orders above it per priority. The oracle inlines the
+  // same two-step computation as a CTE.
+  def sqlVariables(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql("DECLARE OR REPLACE VARIABLE graft_thresh DOUBLE")
+    s.sql("""SET VAR graft_thresh =
+            |  (SELECT percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+            |   FROM orders)""".stripMargin)
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT o_orderpriority, count(*) AS n_orders,
+        |   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |     AS total_price
+        | FROM orders WHERE o_totalprice > ?
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority'
+        |USING graft_thresh""".stripMargin)
+  }
+
+  // Forecast BACKTEST: the naive-seasonal predictor (ŷ_d = y_{d−7})
+  // scored on the final week of the daily series — MAE / MAPE / bias
+  // per type. The evaluation harness every forecasting pipeline needs
+  // BEFORE any model sophistication (naive-seasonal is the standard
+  // baseline a real model must beat). Daily reduction first (O(types ×
+  // days)), the lag via one 7-row window, errors in exact integer
+  // counts — only the two final ratios are floats.
+  def backtest(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val horizon = daily.agg(max(col("day")).as("maxd"))
+    daily
+      .withColumn("yhat", lag(col("y"), 7).over(w))
+      .crossJoin(broadcast(horizon))
+      .where(col("yhat").isNotNull && col("day") > col("maxd") - 7)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y") - col("yhat"))).as("sae"),
+        sum(col("y") - col("yhat")).as("sbias"),
+        dsum(abs(col("y") - col("yhat")).cast("double")
+          / col("y").cast("double")).as("sape"))
+      .select(col("event_type"), col("n_scored"),
+        round(col("sae").cast("double") / col("n_scored").cast("double"), 6)
+          .as("mae"),
+        round(col("sape") / col("n_scored").cast("double"), 6).as("mape"),
+        round(col("sbias").cast("double") / col("n_scored").cast("double"), 6)
+          .as("bias"))
+      .orderBy("event_type")
+  }
+
+  // Rolling 14-day Pearson correlation between two event types' daily
+  // count series (view vs click co-movement) — the pairwise-comovement
+  // monitor. The q148 exact-moment discipline inside a window: both
+  // series are exact integer counts, the five moment sums run over a
+  // 14-row ROWS frame (int64-exact — no float ever enters a window
+  // sum, the q170 rule), and the closed form is one fixed-order
+  // expression per day. Day spine gap-filled with zeros (q129's
+  // pattern) so both series align on the same days.
+  def rollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .where(col("event_type").isin("view", "click"))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val a = spine.join(
+      daily.where(col("event_type") === "view").select(col("day"), col("y").as("x")),
+      Seq("day"), "left").na.fill(0L, Seq("x"))
+    val b = daily.where(col("event_type") === "click")
+      .select(col("day"), col("y").as("z"))
+    val j = a.join(b, Seq("day"), "left").na.fill(0L, Seq("z"))
+    val w = Window.orderBy(col("day").asc).rowsBetween(-13, 0)
+    j.withColumn("m", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sz", sum(col("z")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("szz", sum(col("z") * col("z")).over(w))
+      .withColumn("sxz", sum(col("x") * col("z")).over(w))
+      .where(col("m") === 14)
+      .select(col("day"),
+        when(col("m") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("m") * col("szz") - col("sz") * col("sz") > 0,
+          round((col("m") * col("sxz") - col("sx") * col("sz")).cast("double")
+            / (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+               * sqrt((col("m") * col("szz") - col("sz") * col("sz")).cast("double"))), 6))
+          .as("corr14"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -2922,6 +3019,9 @@ object Queries {
     "q256_join_hints" -> (joinHints _),
     "q257_observe_metrics" -> (observeMetrics _),
     "q258_agg_family" -> (aggFamily _),
+    "q259_sql_variables" -> (sqlVariables _),
+    "q260_backtest" -> (backtest _),
+    "q261_rolling_corr" -> (rollingCorr _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -4034,6 +4134,59 @@ object Queries {
          |FROM base JOIN ci ON ci.event_type = base.event_type
          |ORDER BY base.event_type""".stripMargin
     },
+    // The two-step variable pipeline inlined as a CTE; 0.75 is dyadic
+    // so both engines' percentile interpolations are binary-exact
+    // (q51's rule).
+    "q259_sql_variables" ->
+      s"""WITH th AS (SELECT quantile_cont(o_totalprice, 0.75) AS t FROM orders)
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |  round(${dsumSql("o_totalprice")}, 6) AS total_price
+         |FROM orders CROSS JOIN th WHERE o_totalprice > t
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Same observed-day series, same 7-back lag, same final-week
+    // filter, exact integer errors, dsum for the MAPE terms.
+    "q260_backtest" ->
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS y FROM events GROUP BY 1, 2),
+         |lagged AS (SELECT event_type, day, y,
+         |  lag(y, 7) OVER (PARTITION BY event_type ORDER BY day ASC) AS yhat
+         |  FROM daily),
+         |h AS (SELECT max(day) AS maxd FROM daily),
+         |sc AS (SELECT event_type, y, yhat FROM lagged CROSS JOIN h
+         |  WHERE yhat IS NOT NULL AND day > maxd - 7)
+         |SELECT event_type, count(*) AS n_scored,
+         |  round(CAST(sum(abs(y - yhat)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae,
+         |  round(${dsumSql("CAST(abs(y - yhat) AS DOUBLE) / CAST(y AS DOUBLE)")}
+         |    / CAST(count(*) AS DOUBLE), 6) AS mape,
+         |  round(CAST(sum(y - yhat) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS bias
+         |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same zero-filled spine, same int64 window moments, same closed
+    // form; degenerate windows NULL on both engines.
+    "q261_rolling_corr" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS y FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT unnest(range((SELECT min(day) FROM daily),
+        |  (SELECT max(day) FROM daily) + 1)) AS day),
+        |a AS (SELECT sp.day, coalesce(v.y, 0) AS x FROM sp
+        |  LEFT JOIN (SELECT day, y FROM daily WHERE event_type = 'view') v
+        |  ON v.day = sp.day),
+        |j AS (SELECT a.day, a.x, coalesce(c.y, 0) AS z FROM a
+        |  LEFT JOIN (SELECT day, y FROM daily WHERE event_type = 'click') c
+        |  ON c.day = a.day),
+        |w AS (SELECT day,
+        |  count(*) OVER fr AS m,
+        |  sum(x) OVER fr AS sx, sum(z) OVER fr AS sz,
+        |  sum(x * x) OVER fr AS sxx, sum(z * z) OVER fr AS szz,
+        |  sum(x * z) OVER fr AS sxz
+        |  FROM j WINDOW fr AS (ORDER BY day ASC ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day,
+        |  CASE WHEN m * sxx - sx * sx > 0 AND m * szz - sz * sz > 0
+        |    THEN round(CAST(m * sxz - sx * sz AS DOUBLE)
+        |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(m * szz - sz * sz AS DOUBLE))), 6)
+        |  END AS corr14
+        |FROM w WHERE m = 14 ORDER BY day""".stripMargin,
     // Hints must not change results: the plain three-way join.
     "q256_join_hints" ->
       s"""SELECT c.c_mktsegment, count(*) AS n_lines,
