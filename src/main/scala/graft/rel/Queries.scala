@@ -2880,6 +2880,101 @@ object Queries {
       .orderBy("day")
   }
 
+  // FEATURE-STORE assembly: the wide per-user feature table every
+  // training pipeline materializes — activity, monetization, recency,
+  // tenure, and the deterministic split assignment, all in ONE
+  // partial-aggregated pass (at 100 TB the feature build IS a single
+  // user-keyed hash-agg; each feature is a conditional aggregate, not
+  // a separate scan). The split rides the portable content hash
+  // (q69/q112's reproducibility contract: a user never migrates splits
+  // under retries, repartitioning, or corpus growth).
+  def featureStore(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
+    val horizon = ev.agg(max(col("day")).as("h"))
+    val split = pmod(graft.functions.HashExprs.fnv1a32(
+      "concat(cast(user_id as string), ':feat')"), lit(10L))
+    ev.crossJoin(broadcast(horizon))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        countDistinct(col("day")).as("active_days"),
+        (max(col("h")) - max(col("day"))).as("recency_days"),
+        (max(col("day")) - min(col("day"))).as("tenure_days"),
+        round(dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))), 6).as("spend"))
+      .withColumn("split",
+        when(split < 8L, "train").when(split === 8L, "val").otherwise("test"))
+      .orderBy("user_id")
+  }
+
+  // Partition RETENTION sweep: the storage-lifecycle job that keeps a
+  // day-partitioned table at its policy horizon by DELETING expired
+  // partition directories — metadata-only, O(expired partitions),
+  // never a rewrite of surviving data (the whole point of partitioning
+  // by the retention key). The read-back must equal the policy filter
+  // over the original table: an expired row surviving, or a live
+  // partition swept, turns the row red. (The 1-row horizon collect and
+  // the directory deletes are the retention job's driver-side control
+  // flow, exactly like a production sweeper's listing pass.)
+  def retentionSweep(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("retention_events")
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+    e.write.mode("overwrite").partitionBy("day").parquet(out)
+    val cutoff = e.agg(max(col("day"))).collect().head.getLong(0) - 13L
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("day=") && name.drop(4).toLong < cutoff)
+        fs.delete(st.getPath, true)
+    }
+    s.catalog.refreshByPath(out)
+    s.read.parquet(out)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 6).as("sum_value"))
+      .orderBy("day")
+  }
+
+  // Targeted ERASURE (the GDPR/right-to-be-forgotten batch): remove
+  // one user's rows by dynamically overwriting ONLY the partitions
+  // that contain them — cost O(affected partitions), never O(table)
+  // (q220's correction-batch machinery pointed at the governance
+  // problem q184/q186 audit). The target is data-derived (min
+  // user_id — guaranteed non-vacuous); the read-back must equal the
+  // anti-filtered original, and the per-day target-row count column
+  // proves the erasure landed partition by partition.
+  def erasure(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("erasure_events")
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+    e.write.mode("overwrite").partitionBy("day").parquet(out)
+    val target = e.agg(min(col("user_id")).as("t"))
+    val affected = e.crossJoin(broadcast(target))
+      .where(col("user_id") === col("t")).select("day").distinct()
+    e.crossJoin(broadcast(target))
+      .join(affected, Seq("day"), "left_semi")
+      .where(col("user_id") =!= col("t"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("day"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
+    s.catalog.refreshByPath(out)
+    s.read.parquet(out).crossJoin(broadcast(target))
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("user_id") === col("t"), 1L).otherwise(0L))
+          .as("n_target_rows"),
+        round(dsum(col("value")), 6).as("sum_value"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -3022,6 +3117,9 @@ object Queries {
     "q259_sql_variables" -> (sqlVariables _),
     "q260_backtest" -> (backtest _),
     "q261_rolling_corr" -> (rollingCorr _),
+    "q262_feature_store" -> (featureStore _),
+    "q263_retention_sweep" -> (retentionSweep _),
+    "q264_erasure" -> (erasure _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -4134,6 +4232,44 @@ object Queries {
          |FROM base JOIN ci ON ci.event_type = base.event_type
          |ORDER BY base.event_type""".stripMargin
     },
+    // Same one-pass conditional aggregates; same portable-FNV split.
+    "q262_feature_store" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |  epoch_us(ts) // 86400000000 AS day, value FROM events),
+         |h AS (SELECT max(day) AS h FROM ev),
+         |f AS (SELECT user_id, count(*) AS n_events,
+         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+         |  count(DISTINCT day) AS active_days,
+         |  max(h.h) - max(day) AS recency_days,
+         |  max(day) - min(day) AS tenure_days,
+         |  round(${dsumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}, 6) AS spend
+         |  FROM ev CROSS JOIN h GROUP BY user_id)
+         |SELECT user_id, n_events, n_purchases, active_days, recency_days,
+         |  tenure_days, spend,
+         |  CASE WHEN ${graft.llm.Queries.fnvSql(
+              "CAST(user_id AS VARCHAR) || ':feat'")} % 10 < 8 THEN 'train'
+         |       WHEN ${graft.llm.Queries.fnvSql(
+              "CAST(user_id AS VARCHAR) || ':feat'")} % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM f ORDER BY user_id""".stripMargin,
+    // The policy filter over the original table: last 14 observed days.
+    "q263_retention_sweep" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
+         |h AS (SELECT max(day) - 13 AS cutoff FROM ev)
+         |SELECT day, count(*) AS n, round(${dsumSql("value")}, 6) AS sum_value
+         |FROM ev CROSS JOIN h WHERE day >= cutoff
+         |GROUP BY day ORDER BY day""".stripMargin,
+    // The anti-filtered original; the target-count column must be all
+    // zeros.
+    "q264_erasure" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |  value FROM events),
+         |t AS (SELECT min(user_id) AS t FROM ev)
+         |SELECT day, count(*) AS n,
+         |  CAST(0 AS BIGINT) AS n_target_rows,
+         |  round(${dsumSql("value")}, 6) AS sum_value
+         |FROM ev CROSS JOIN t WHERE user_id <> t.t
+         |GROUP BY day ORDER BY day""".stripMargin,
     // The two-step variable pipeline inlined as a CTE; 0.75 is dyadic
     // so both engines' percentile interpolations are binary-exact
     // (q51's rule).
