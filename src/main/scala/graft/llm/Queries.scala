@@ -883,6 +883,12 @@ object Queries {
     "q232_grid_radius_join" -> ((s, dir) =>
       Sim.gridRadiusJoin(tbl(s, dir, "embeddings"), r = GridR,
         maxCell = 4096)),
+    // Per-dimension embedding standardization + outlier census — the
+    // z-score feature-scaling pass before scale-sensitive models (see
+    // Sim.standardize for the one-agg/broadcast-back shape and the
+    // E[x²]−E[x]² dsum-route parity argument).
+    "q265_standardize" -> ((s, dir) =>
+      Sim.standardize(tbl(s, dir, "embeddings"))),
     // WEIGHTED set-similarity join: tf-idf shingle cosine, top-20
     // pairs — the importance-weighted complement of q132's unweighted
     // Jaccard (rare shared shingles count more than boilerplate);
@@ -2697,6 +2703,27 @@ object Queries {
     "q234_link_prediction" -> linkPredOracle,
     "q235_textrank" -> textRankOracle,
     "q251_modularity" -> modularityOracle,
+    // Same dim explosion, same dsum moments, same fixed-order
+    // variance/z expressions.
+    "q265_standardize" -> {
+      def dec(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH d AS (SELECT vec_id, CAST(j AS BIGINT) - 1 AS j, CAST(x AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, unnest(embedding) AS x,
+         |        generate_subscripts(embedding, 1) AS j FROM embeddings)),
+         |st AS (SELECT j, count(*) AS n, ${dec("x")} AS sx, ${dec("x * x")} AS sxx
+         |  FROM d GROUP BY j),
+         |ms AS (SELECT j, n, sx / CAST(n AS DOUBLE) AS mean,
+         |  sqrt(sxx / CAST(n AS DOUBLE)
+         |    - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))) AS std
+         |  FROM st),
+         |z AS (SELECT d.j, ms.n, ms.mean, ms.std,
+         |  abs(d.x - ms.mean) / ms.std AS az FROM d JOIN ms ON ms.j = d.j)
+         |SELECT j, max(n) AS n, round(max(mean), 6) AS mean,
+         |  round(max(std), 6) AS std, round(max(az), 6) AS max_abs_z,
+         |  CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out3
+         |FROM z GROUP BY j ORDER BY j""".stripMargin
+    },
     // Same distinct shingles, same df cap, same ln(N/df) weights on
     // exact integers, dot and norms on the dsum route.
     "q252_tfidf_cosine" -> {

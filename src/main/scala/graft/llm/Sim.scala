@@ -241,6 +241,41 @@ object Sim {
       .orderBy("rep_cx", "rep_cy")
   }
 
+  /** Per-dimension embedding STANDARDIZATION report — the feature-
+    * scaling pass (z-score) every training pipeline runs before models
+    * that care about scale, plus the per-dimension outlier census that
+    * decides whether clipping is needed. One posexplode + one
+    * dimension-keyed hash-agg for the moments (n/Σx/Σx² on the
+    * [[graft.rel.Queries.dsum]] route — order-proof), stats broadcast
+    * back onto the exploded dims for the z pass; the corpus streams
+    * twice, shuffles O(dims). Variance via E[x²]−E[x]² on dsum-exact
+    * doubles is one fixed-order expression, so means, stds, max |z|
+    * and the |z|&gt;3 census all value-oracle bit-for-bit. */
+  def standardize(emb: DataFrame): DataFrame = {
+    val dims = emb.select(col("vec_id"),
+        posexplode(asDouble(col("embedding"))).as(Seq("j", "x")))
+    val stats = dims.groupBy("j")
+      .agg(count(lit(1)).as("n"),
+        graft.rel.Queries.dsum(col("x")).as("sx"),
+        graft.rel.Queries.dsum(col("x") * col("x")).as("sxx"))
+      .select(col("j"), col("n"),
+        (col("sx") / col("n").cast("double")).as("mean"),
+        sqrt(col("sxx") / col("n").cast("double")
+          - (col("sx") / col("n").cast("double"))
+            * (col("sx") / col("n").cast("double"))).as("std"))
+    dims.join(broadcast(stats), "j")
+      .select(col("j"), col("n"), col("mean"), col("std"),
+        (abs(col("x") - col("mean")) / col("std")).as("az"))
+      .groupBy("j")
+      .agg(max(col("n")).as("n"), max(col("mean")).as("mean0"),
+        max(col("std")).as("std0"), max(col("az")).as("maxaz"),
+        sum(when(col("az") > 3.0, 1L).otherwise(0L)).as("n_out3"))
+      .select(col("j"), col("n"), round(col("mean0"), 6).as("mean"),
+        round(col("std0"), 6).as("std"), round(col("maxaz"), 6).as("max_abs_z"),
+        col("n_out3"))
+      .orderBy("j")
+  }
+
   /** Hard-negative mining for contrastive/embedding training (the
     * "hard negatives matter" recipe of Robinson et al., ICLR 2021 and
     * every dense-retrieval pipeline since DPR): for each query vector,

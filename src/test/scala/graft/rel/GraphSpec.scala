@@ -120,6 +120,24 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.forall(_ >= 3L))
   }
 
+  test("modularity: hand fixture — two triangles joined by one bridge") {
+    // Triangles {a,b,c} and {d,e,f} bridged by c-d, unit weights, with
+    // the natural partition. Doubled total 2m = 14; per community:
+    // w_in2 = 6, strength = 7 ⇒ q_c = 6/14 − (7/14)² = 0.178571..., Q
+    // = 2·q_c = 0.357143 — the textbook value for this graph.
+    val e = edgesOf(Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
+      ("d", "e", 1L), ("e", "f", 1L), ("d", "f", 1L), ("c", "d", 1L)))
+    val labels = spark.createDataFrame(Seq(
+      ("a", "x"), ("b", "x"), ("c", "x"),
+      ("d", "y"), ("e", "y"), ("f", "y"))).toDF("node", "label")
+    val got = Graph.modularity(e, labels).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("x") == ((3L, 6L, 7L, 0.178571)), got.toString)
+    assert(got("y") == ((3L, 6L, 7L, 0.178571)), got.toString)
+    assert(got("__TOTAL__") == ((6L, 12L, 14L, 0.357143)), got.toString)
+  }
+
   test("hits: hand fixture (2 rounds, L1-normalized)") {
     // a→b, a→c, d→b: a is the stronger hub, b the stronger authority.
     // Hand-computed: round 2 auths (b,c) = (5/8, 3/8); hubs (a,d) =
