@@ -2975,6 +2975,131 @@ object Queries {
       .orderBy("day")
   }
 
+  // Spark 4 RECURSIVE CTE through the SQL frontend: engine-managed
+  // iterative fixpoint as ONE statement — the declarative twin of the
+  // hand-unrolled fixed-round graph plans (q145 BFS, q210 k-core). The
+  // walk enumeration is over the q210 co-purchase graph (parts sharing
+  // ≥2 baskets, both directions), seeded at the smallest part key, with
+  // an explicit level bound (lvl < 3) so both engines execute exactly
+  // the same three expansion rounds regardless of their fixpoint
+  // machinery; dist = min level is BFS distance, n_walks the exact walk
+  // count. Each round is a shuffle-on-key equi-join against the frontier
+  // (UnionLoop re-executes the step plan distributed — no driver loop),
+  // and the level bound caps work at O(frontier × avg-degree) per
+  // round — the same 100 TB posture as the unrolled plans. Every value
+  // is an exact integer.
+  def recursiveCte(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """WITH RECURSIVE
+        |i0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ep AS (SELECT a.pk AS a, b.pk AS b FROM i0 a JOIN i0 b
+        |  ON a.ok = b.ok AND a.pk < b.pk GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b AS dst FROM ep
+        |  UNION ALL SELECT b AS src, a AS dst FROM ep),
+        |walks(node, lvl) AS (
+        |  SELECT (SELECT min(src) FROM e) AS node, 0 AS lvl
+        |  UNION ALL
+        |  SELECT e.dst AS node, w.lvl + 1 AS lvl
+        |  FROM walks w JOIN e ON e.src = w.node WHERE w.lvl < 3)
+        |SELECT node, min(lvl) AS dist, count(*) AS n_walks
+        |FROM walks GROUP BY node ORDER BY node""".stripMargin)
+
+  // Apache DataSketches THETA sketches (Spark 4 built-ins): the sketch
+  // family that supports set INTERSECTION and DIFFERENCE, not just
+  // union — q81's HLL can merge but can never answer "users who did
+  // BOTH view AND click" from per-segment state; theta can, which at
+  // 100 TB means per-partition sketches materialized once and every
+  // overlap question answered from O(sketch) state without rescanning.
+  // Estimates can't cross engines, so the gate follows q255's pattern:
+  // exact in-plan distincts ride along and the declared columns are the
+  // exact values plus 5%-or-±1 bound booleans (default lgK=12 keeps the
+  // gate-scale cardinalities in the sketch's exact regime, so the
+  // bounds are decisive, not generous).
+  def thetaSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy("event_type")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("nd"))
+    val pairs = sk.select(col("event_type").as("et1"), col("sk").as("sk1"),
+        col("nd").as("nd1"))
+      .join(sk.select(col("event_type").as("et2"), col("sk").as("sk2"),
+        col("nd").as("nd2")), col("et1") < col("et2"))
+    // Exact pairwise overlap from per-user type sets (q203's pattern).
+    val perUser = ev.distinct()
+    val exact = perUser.select(col("user_id"), col("event_type").as("et1"))
+      .join(perUser.select(col("user_id"), col("event_type").as("et2")),
+        Seq("user_id"))
+      .where(col("et1") < col("et2"))
+      .groupBy("et1", "et2").agg(count(lit(1)).as("exact_inter"))
+    def ok(est: Column, exact: Column): Column =
+      abs(est - exact) <= greatest(lit(1L), exact * 5 / 100)
+    pairs.join(exact, Seq("et1", "et2"), "left")
+      .select(col("et1"), col("et2"), col("nd1"), col("nd2"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        (col("nd1") + col("nd2") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"),
+        ok(expr("theta_sketch_estimate(theta_intersection(sk1, sk2))"),
+          coalesce(col("exact_inter"), lit(0L))).as("inter_ok"),
+        ok(expr("theta_sketch_estimate(theta_union(sk1, sk2))"),
+          col("nd1") + col("nd2") - coalesce(col("exact_inter"), lit(0L)))
+          .as("union_ok"),
+        ok(expr("theta_sketch_estimate(theta_difference(sk1, sk2))"),
+          col("nd1") - coalesce(col("exact_inter"), lit(0L))).as("diff_ok"))
+      .orderBy("et1", "et2")
+  }
+
+  // Kendall rank correlation (tau-b) between every pair of event types'
+  // daily count series — the outlier-robust companion to q261's rolling
+  // Pearson and q230's Spearman: tau counts pairwise order agreements,
+  // so a single anomalous day moves it by O(1/n), not O(outlier).
+  // Stream reduces to the O(types × days) daily matrix first (gap-free
+  // via the q129 day spine, zeros filled); the day-pair enumeration is
+  // O(days²) per type pair — bounded by the calendar, independent of
+  // row count, the right trade at 100 TB. Concordant/discordant/tie
+  // counts are exact int64; tau-b's closing sqrt is one fixed-order
+  // IEEE expression on exact integers.
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(mnd, mxd)")).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val m = series.select(col("event_type").as("et1"), col("day"),
+        col("y").as("x"))
+      .join(series.select(col("event_type").as("et2"), col("day"),
+        col("y").as("yy")), Seq("day"))
+      .where(col("et1") < col("et2"))
+    val dp = m.select(col("et1"), col("et2"), col("day").as("d1"),
+        col("x").as("x1"), col("yy").as("y1"))
+      .join(m.select(col("et1"), col("et2"), col("day").as("d2"),
+        col("x").as("x2"), col("yy").as("y2")), Seq("et1", "et2"))
+      .where(col("d1") < col("d2"))
+    dp.groupBy("et1", "et2")
+      .agg(count(lit(1)).as("n0"),
+        sum(when((col("x1") - col("x2")) * (col("y1") - col("y2")) > 0, 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("x1") - col("x2")) * (col("y1") - col("y2")) < 0, 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("ties_y"))
+      // A series tied on EVERY pair (constant) has zero rank variance —
+      // tau undefined; drop the pair on both sides rather than emit NaN.
+      .where(col("n0") > col("ties_x") && col("n0") > col("ties_y"))
+      .select(col("et1"), col("et2"), col("n0"), col("concordant"),
+        col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt(((col("n0") - col("ties_x"))
+              * (col("n0") - col("ties_y"))).cast("double")), 6)
+          .as("tau_b"))
+      .orderBy("et1", "et2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -3120,6 +3245,9 @@ object Queries {
     "q262_feature_store" -> (featureStore _),
     "q263_retention_sweep" -> (retentionSweep _),
     "q264_erasure" -> (erasure _),
+    "q266_recursive_cte" -> (recursiveCte _),
+    "q267_theta_sketch" -> (thetaSketch _),
+    "q273_kendall_tau" -> (kendallTau _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -4098,6 +4226,71 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // The IDENTICAL recursive text — DuckDB runs the same three bounded
+    // expansion rounds; every value is an exact integer.
+    "q266_recursive_cte" ->
+      """WITH RECURSIVE
+        |i0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ep AS (SELECT a.pk AS a, b.pk AS b FROM i0 a JOIN i0 b
+        |  ON a.ok = b.ok AND a.pk < b.pk GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b AS dst FROM ep
+        |  UNION ALL SELECT b AS src, a AS dst FROM ep),
+        |walks(node, lvl) AS (
+        |  SELECT (SELECT min(src) FROM e) AS node, 0 AS lvl
+        |  UNION ALL
+        |  SELECT e.dst AS node, w.lvl + 1 AS lvl
+        |  FROM walks w JOIN e ON e.src = w.node WHERE w.lvl < 3)
+        |SELECT node, min(lvl) AS dist, count(*) AS n_walks
+        |FROM walks GROUP BY node ORDER BY node""".stripMargin,
+    // Exact distincts and pairwise overlaps recomputed from the rows;
+    // the sketch-estimate bounds gate as literal TRUE (q255's pattern —
+    // a sketch outside its documented error turns the row red).
+    "q267_theta_sketch" ->
+      """WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+        |nd AS (SELECT event_type, count(*) AS nd FROM ev GROUP BY 1),
+        |ov AS (SELECT a.event_type AS et1, b.event_type AS et2,
+        |    count(*) AS exact_inter
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT n1.event_type AS et1, n2.event_type AS et2,
+        |  n1.nd AS nd1, n2.nd AS nd2,
+        |  coalesce(ov.exact_inter, 0) AS exact_inter,
+        |  n1.nd + n2.nd - coalesce(ov.exact_inter, 0) AS exact_union,
+        |  true AS inter_ok, true AS union_ok, true AS diff_ok
+        |FROM nd n1 JOIN nd n2 ON n1.event_type < n2.event_type
+        |LEFT JOIN ov ON ov.et1 = n1.event_type AND ov.et2 = n2.event_type
+        |ORDER BY et1, et2""".stripMargin,
+    // Same daily matrix (zero-filled spine), same exact pair counts,
+    // same single fixed-order tau-b expression on exact integers.
+    "q273_kendall_tau" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS mnd, max(day) AS mxd FROM daily),
+        |spine AS (SELECT et.event_type, gs.day
+        |  FROM (SELECT DISTINCT event_type FROM daily) et
+        |  CROSS JOIN (SELECT unnest(generate_series(mnd, mxd)) AS day FROM b) gs),
+        |series AS (SELECT s.event_type, s.day, coalesce(d.y, 0) AS y
+        |  FROM spine s LEFT JOIN daily d
+        |  ON d.event_type = s.event_type AND d.day = s.day),
+        |m AS (SELECT a.event_type AS et1, b.event_type AS et2, a.day,
+        |    a.y AS x, b.y AS yy
+        |  FROM series a JOIN series b ON a.day = b.day
+        |    AND a.event_type < b.event_type),
+        |dp AS (SELECT p.et1, p.et2, p.x AS x1, p.yy AS y1, q.x AS x2, q.yy AS y2
+        |  FROM m p JOIN m q ON p.et1 = q.et1 AND p.et2 = q.et2 AND p.day < q.day),
+        |agg AS (SELECT et1, et2, count(*) AS n0,
+        |  CAST(sum(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS concordant,
+        |  CAST(sum(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS discordant,
+        |  CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+        |  CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+        |  FROM dp GROUP BY 1, 2)
+        |SELECT et1, et2, n0, concordant, discordant,
+        |  round(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)), 6) AS tau_b
+        |FROM agg WHERE n0 > ties_x AND n0 > ties_y
+        |ORDER BY et1, et2""".stripMargin,
     // Same daily DECIMAL-route reduction, same integer/half-integer
     // ranks (average-rank ties), same dsum moment route, same
     // fixed-order closing formula.
