@@ -3100,6 +3100,90 @@ object Queries {
       .orderBy("et1", "et2")
   }
 
+  // Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE): procedural control
+  // flow around full distributed statements — the stored-procedure
+  // surface q259's variables hinted at, now with a genuine loop whose
+  // trip count is part of the contract. The script runs two rounds of
+  // 2-sigma clipping on the event values (each round recomputes
+  // mean/stddev over the surviving rows, then tightens the bounds) —
+  // the classic robust-mean idiom a telemetry pipeline applies before
+  // alerting. Each round is ONE distributed scan (multi-variable SET
+  // fuses both moments); the loop state is two scalars on the driver —
+  // exactly the work a 1000-executor cluster would do, orchestrated by
+  // the engine rather than an external driver program. Float parity:
+  // values are exact micro-unit int64s, moments exact (DECIMAL(38,0)
+  // for the square sum — sum(vu²) overflows int64 at gate scale), and
+  // mu/sig/bounds are fixed-order IEEE expressions on those exact
+  // integers; the oracle unrolls the two iterations as CTEs with the
+  // DuckDB-side VARCHAR decimal→double route.
+  def sqlScript(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """BEGIN
+        |  DECLARE it INT DEFAULT 0;
+        |  DECLARE lo DOUBLE DEFAULT -1e308;
+        |  DECLARE hi DOUBLE DEFAULT 1e308;
+        |  DECLARE mu DOUBLE; DECLARE sig DOUBLE;
+        |  WHILE it < 2 DO
+        |    SET (mu, sig) = (SELECT CAST(sum(vu) AS DOUBLE) / count(*),
+        |        sqrt(CAST(count(*) * sum(CAST(vu AS DECIMAL(38,0)) * vu)
+        |            - CAST(sum(vu) AS DECIMAL(38,0)) * sum(vu) AS DOUBLE)
+        |          / (CAST(count(*) AS DOUBLE) * (count(*) - 1)))
+        |      FROM (SELECT CAST(round(value * 1000000) AS BIGINT) AS vu
+        |            FROM events)
+        |      WHERE CAST(vu AS DOUBLE) >= lo AND CAST(vu AS DOUBLE) <= hi);
+        |    SET lo = mu - 2.0D * sig;
+        |    SET hi = mu + 2.0D * sig;
+        |    SET it = it + 1;
+        |  END WHILE;
+        |  SELECT count(*) AS n_kept,
+        |    round(CAST(sum(vu) AS DOUBLE) / count(*) / 1e6, 6) AS clipped_mean,
+        |    round(lo / 1e6, 6) AS lo_value, round(hi / 1e6, 6) AS hi_value
+        |  FROM (SELECT CAST(round(value * 1000000) AS BIGINT) AS vu FROM events)
+        |  WHERE CAST(vu AS DOUBLE) >= lo AND CAST(vu AS DOUBLE) <= hi;
+        |END""".stripMargin)
+
+  // Holt double exponential smoothing (level + trend) per event type
+  // over the zero-filled daily count series — the first forecasting
+  // model past q260's naive-seasonal baseline and the state producer a
+  // q260-style backtest would score. The stream reduces to the
+  // O(types × days) daily matrix first; the inherently sequential
+  // recurrence then folds over ONE ordered array per type (bounded by
+  // the calendar, not the row count — at 100 TB the fold input is still
+  // ~10³ doubles per type). α=1/2 and β=1/4 are exact binary fractions
+  // and both engines execute the identical operation order (the trend
+  // update recomputes the new level expression verbatim), so every
+  // intermediate is bit-identical IEEE — no decimal route needed. Init:
+  // level=y₀, trend=0 (documented choice; any init is part of the
+  // contract). The oracle replays the recurrence as a recursive CTE.
+  def holtWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(mnd, mxd)")).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    series.groupBy("event_type")
+      .agg(expr("transform(array_sort(collect_list(struct(day, y))), " +
+        "p -> CAST(p.y AS DOUBLE))").as("ys"))
+      .select(col("event_type"), size(col("ys")).as("n_days"),
+        expr("""aggregate(slice(ys, 2, size(ys) - 1),
+          |  named_struct('lvl', element_at(ys, 1), 'tr', 0D),
+          |  (acc, y) -> named_struct(
+          |    'lvl', 0.5D * y + 0.5D * (acc.lvl + acc.tr),
+          |    'tr', 0.25D * ((0.5D * y + 0.5D * (acc.lvl + acc.tr)) - acc.lvl)
+          |      + 0.75D * acc.tr))""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.lvl"), 6).as("level"),
+        round(col("st.tr"), 6).as("trend"),
+        round(col("st.lvl") + col("st.tr"), 6).as("forecast_next"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -3247,6 +3331,8 @@ object Queries {
     "q264_erasure" -> (erasure _),
     "q266_recursive_cte" -> (recursiveCte _),
     "q267_theta_sketch" -> (thetaSketch _),
+    "q268_sql_script" -> (sqlScript _),
+    "q272_holt_winters" -> (holtWinters _),
     "q273_kendall_tau" -> (kendallTau _),
   )
 
@@ -4260,6 +4346,64 @@ object Queries {
         |FROM nd n1 JOIN nd n2 ON n1.event_type < n2.event_type
         |LEFT JOIN ov ON ov.et1 = n1.event_type AND ov.et2 = n2.event_type
         |ORDER BY et1, et2""".stripMargin,
+    // The two clipping iterations unrolled as CTEs: identical exact
+    // integer moments (HUGEINT square sums — DuckDB's native exact
+    // int128), identical fixed-order float expressions; the only
+    // >2⁵³ integer (the variance numerator) crosses to double via the
+    // VARCHAR route.
+    "q268_sql_script" ->
+      """WITH base AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vu
+        |  FROM events),
+        |m1 AS (SELECT CAST(sum(vu) AS DOUBLE) / count(*) AS mu,
+        |  sqrt(CAST(CAST(count(*) * sum(CAST(vu AS HUGEINT) * vu)
+        |      - CAST(sum(vu) AS HUGEINT) * sum(vu) AS VARCHAR) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) AS sig FROM base),
+        |b1 AS (SELECT mu - 2.0 * sig AS lo, mu + 2.0 * sig AS hi FROM m1),
+        |f1 AS (SELECT vu FROM base CROSS JOIN b1
+        |  WHERE CAST(vu AS DOUBLE) >= lo AND CAST(vu AS DOUBLE) <= hi),
+        |m2 AS (SELECT CAST(sum(vu) AS DOUBLE) / count(*) AS mu,
+        |  sqrt(CAST(CAST(count(*) * sum(CAST(vu AS HUGEINT) * vu)
+        |      - CAST(sum(vu) AS HUGEINT) * sum(vu) AS VARCHAR) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) AS sig FROM f1),
+        |b2 AS (SELECT mu - 2.0 * sig AS lo, mu + 2.0 * sig AS hi FROM m2),
+        |f2 AS (SELECT vu FROM base CROSS JOIN b2
+        |  WHERE CAST(vu AS DOUBLE) >= lo AND CAST(vu AS DOUBLE) <= hi)
+        |SELECT count(*) AS n_kept,
+        |  round(CAST(sum(vu) AS DOUBLE) / count(*) / 1e6, 6) AS clipped_mean,
+        |  round(lo / 1e6, 6) AS lo_value, round(hi / 1e6, 6) AS hi_value
+        |FROM f2 CROSS JOIN b2 GROUP BY lo, hi""".stripMargin,
+    // The recurrence replayed as a recursive CTE over the idx-ordered
+    // series — identical operation order (the trend row recomputes the
+    // new-level expression verbatim), so every intermediate is
+    // bit-identical IEEE without any decimal route.
+    "q272_holt_winters" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS mnd, max(day) AS mxd FROM daily),
+        |spine AS (SELECT et.event_type, gs.day
+        |  FROM (SELECT DISTINCT event_type FROM daily) et
+        |  CROSS JOIN (SELECT unnest(generate_series(mnd, mxd)) AS day FROM b) gs),
+        |series AS (SELECT s.event_type, s.day, coalesce(d.y, 0) AS y
+        |  FROM spine s LEFT JOIN daily d
+        |  ON d.event_type = s.event_type AND d.day = s.day),
+        |s2 AS (SELECT event_type,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+        |  CAST(y AS DOUBLE) AS y FROM series),
+        |n AS (SELECT event_type, count(*) AS n_days FROM s2 GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, 1 AS idx, y AS lvl, CAST(0 AS DOUBLE) AS tr
+        |  FROM s2 WHERE idx = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.idx + 1,
+        |    0.5 * s2.y + 0.5 * (r.lvl + r.tr),
+        |    0.25 * ((0.5 * s2.y + 0.5 * (r.lvl + r.tr)) - r.lvl) + 0.75 * r.tr
+        |  FROM r JOIN s2 ON s2.event_type = r.event_type AND s2.idx = r.idx + 1)
+        |SELECT r.event_type, CAST(n.n_days AS INT) AS n_days,
+        |  round(r.lvl, 6) AS level, round(r.tr, 6) AS trend,
+        |  round(r.lvl + r.tr, 6) AS forecast_next
+        |FROM r JOIN n ON n.event_type = r.event_type AND r.idx = n.n_days
+        |ORDER BY r.event_type""".stripMargin,
     // Same daily matrix (zero-filled spine), same exact pair counts,
     // same single fixed-order tau-b expression on exact integers.
     "q273_kendall_tau" ->
