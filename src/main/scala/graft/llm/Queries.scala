@@ -558,6 +558,27 @@ object Queries {
       graft.rel.Graph.pageRank(edges, iters = 3, damping = 0.85)
         .orderBy("node")
     }),
+    // Personalized PageRank over the same bigram graph: teleport mass
+    // pinned to the long-token seed set (length ≥ 8), so rank measures
+    // proximity to the seeds — the seed-expansion primitive behind
+    // "find documents like these" relevance propagation (see
+    // rel.Graph.personalizedPageRank; same fixed-iteration plan shape
+    // and dsum float discipline as q124).
+    "q270_personalized_pagerank" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val prs = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val edges = prs.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.where(length(col("node")) >= 8)
+      graft.rel.Graph.personalizedPageRank(edges, seeds,
+          iters = 3, damping = 0.85)
+        .orderBy("node")
+    }),
     // HITS hubs & authorities over the directed weighted bigram graph,
     // 2 mutual-reinforcement rounds as one declarative plan — the
     // second eigen-centrality family next to q124's PageRank (a node
@@ -1672,6 +1693,45 @@ object Queries {
       "\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
   }
 
+  /** DuckDB twin of q270 ([[graft.rel.Graph.personalizedPageRank]] on
+    * the bigram graph, long-token seeds, 3 rounds): same restart
+    * vector (1/|S| on seeds, 0 elsewhere), same dangling-mass teleport
+    * to the seeds, every per-node sum on the DECIMAL route. The
+    * (1−damping) literal is interpolated from the same Scala double
+    * the plan uses, so both engines multiply by the identical
+    * constant. */
+  private val pprOracle: String = {
+    val damping = 0.85
+    def dec(x: String) =
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    val head =
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |p0 AS (SELECT unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+        |e AS (SELECT ts[i+1] AS src, ts[i+2] AS dst, count(*) AS w FROM p0 GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node FROM nodes WHERE length(node) >= 8),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+        |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+        |rst AS (SELECT nodes.node,
+        |  CASE WHEN seeds.node IS NOT NULL THEN CAST(1 AS DOUBLE) / ns.ns
+        |    ELSE CAST(0 AS DOUBLE) END AS restart
+        |  FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node CROSS JOIN ns),
+        |r0 AS (SELECT node, restart AS rank FROM rst)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS node, ${dec("r.rank * e.w / ow.outw")} AS s
+         |  FROM e JOIN $prev r ON r.node = e.src JOIN ow ON ow.src = e.src GROUP BY e.dst),
+         |d$i AS (SELECT coalesce(${dec("r.rank")}, CAST(0.0 AS DOUBLE)) AS dmass
+         |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM ow)),
+         |r$i AS (SELECT rst.node,
+         |  CAST(${1.0 - damping} AS DOUBLE) * rst.restart + CAST($damping AS DOUBLE)
+         |    * (coalesce(s$i.s, CAST(0.0 AS DOUBLE)) + d$i.dmass * rst.restart) AS rank
+         |  FROM rst LEFT JOIN s$i ON s$i.node = rst.node CROSS JOIN d$i)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      "\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
+  }
+
   /** DuckDB twin of q233 ([[graft.rel.Graph.hits]] at 2 rounds): same
     * directed bigram edges, same L1-normalized mutual reinforcement,
     * every per-node sum and both per-round totals on the DECIMAL
@@ -2699,6 +2759,7 @@ object Queries {
     "q140_pq_knn" -> pqKnnOracle,
     "q164_ivfpq_knn" -> ivfpqKnnOracle,
     "q124_pagerank" -> pageRankOracle,
+    "q270_personalized_pagerank" -> pprOracle,
     "q233_hits" -> hitsOracle,
     "q234_link_prediction" -> linkPredOracle,
     "q235_textrank" -> textRankOracle,

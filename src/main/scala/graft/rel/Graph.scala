@@ -266,6 +266,52 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport vector
+    * concentrated on a seed set instead of uniform — rank mass measures
+    * proximity TO THE SEEDS, the primitive behind "related items" and
+    * seed-expansion labeling (Haveliwala, WWW 2002). restart_i = 1/|S|
+    * on seeds, 0 elsewhere; each round
+    * rank' = (1−d)·restart + d·(inbound + danglingMass·restart), so
+    * dangling mass also teleports to the seeds and total mass stays 1.
+    * Same fixed-iteration single-plan shape, same shuffle-on-key
+    * O(edges) rounds, same dsum DECIMAL route for every per-node sum —
+    * bit-identical cross-engine at every round. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val sd = seeds.select(col("node")).distinct()
+    val ns = sd.agg(count(lit(1)).cast("double").as("ns"))
+    val restart = nodes
+      .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"),
+        when(col("is_seed"), lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("restart"))
+    val outw = e.groupBy("src").agg(sum(col("weight")).as("outw"))
+    var ranks = restart.select(col("node"), col("restart").as("rank"))
+    for (_ <- 1 to iters) {
+      val sums = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          (col("rank") * col("weight") / col("outw")).as("term"))
+        .groupBy("node").agg(Queries.dsum(col("term")).as("s"))
+      val dang = ranks
+        .join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(Queries.dsum(col("rank")), lit(0.0)).as("dmass"))
+      ranks = restart.join(sums, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(1.0 - damping) * col("restart")
+            + lit(damping)
+              * (coalesce(col("s"), lit(0.0)) + col("dmass") * col("restart")))
+            .as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Degree assortativity coefficient (Newman, PRL 2002): the Pearson
     * correlation of endpoint degrees over the directed doubling of the
     * undirected edge set — r &gt; 0 means hubs attach to hubs

@@ -3184,6 +3184,58 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // In-plan model training: logistic regression by batch gradient
+  // descent, three unrolled full-batch steps — the distributed-ML
+  // primitive underneath every quality-classifier filter (q88/q104
+  // SCORE with fixed weights; this TRAINS them). Each step is one scan:
+  // the gradient is a pair of sums over rows (map-side partial agg),
+  // the weight update a driver-free 1-row broadcast into the next
+  // step's per-row sigmoid — the q47-kmeans composition applied to a
+  // differentiable model, O(scan × steps) with no driver loop over
+  // data. Label: event is a click; feature: standardized micro-unit
+  // value (exact integer moments, q268's route). Float parity: per-row
+  // exp/ln are libm-identical inputs (standardization is fixed-order
+  // IEEE on exact integers); gradient sums ride dsum's DECIMAL(38,12)
+  // quantization, which absorbs any last-ulp libm divergence (≤1e-12
+  // absolute per sum — invisible at the rounded output, and the
+  // logistic map does not amplify it across three steps). The oracle
+  // unrolls the same three steps as CTEs.
+  def logisticGd(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      expr("CAST(round(value * 1000000) AS BIGINT)").as("vu"),
+      when(col("event_type") === "click", lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val st = ev.agg(count(lit(1)).as("n"), sum(col("vu")).as("sx"),
+        sum(col("vu").cast("decimal(38,0)") * col("vu")).as("sxx"))
+      .select(col("n"), col("n").cast("double").as("nd"),
+        (col("sx").cast("double") / col("n")).as("mu"),
+        sqrt((col("n") * col("sxx") - col("sx").cast("decimal(38,0)") * col("sx"))
+          .cast("double")
+          / (col("n").cast("double") * (col("n") - lit(1)))).as("sd"))
+    val base = ev.crossJoin(broadcast(st))
+      .select(((col("vu").cast("double") - col("mu")) / col("sd")).as("x"),
+        col("y"), col("nd"))
+    def p: Column = lit(1.0) / (lit(1.0) + exp(-(col("w0") + col("w1") * col("x"))))
+    var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"))
+    for (_ <- 1 to 3) {
+      val g = base.crossJoin(broadcast(w))
+        .agg(dsum(p - col("y")).as("g0s"),
+          dsum((p - col("y")) * col("x")).as("g1s"),
+          first(col("w0")).as("w0"), first(col("w1")).as("w1"),
+          first(col("nd")).as("nd"))
+      w = g.select((col("w0") - lit(0.5) * (col("g0s") / col("nd"))).as("w0"),
+        (col("w1") - lit(0.5) * (col("g1s") / col("nd"))).as("w1"))
+    }
+    base.crossJoin(broadcast(w))
+      .agg(count(lit(1)).as("n"),
+        dsum(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)))
+          .as("lsum"),
+        first(col("w0")).as("w0"), first(col("w1")).as("w1"),
+        first(col("nd")).as("nd"))
+      .select(col("n"), round(col("w0"), 6).as("w0"),
+        round(col("w1"), 6).as("w1"),
+        round(col("lsum") / col("nd"), 6).as("log_loss"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -3332,6 +3384,7 @@ object Queries {
     "q266_recursive_cte" -> (recursiveCte _),
     "q267_theta_sketch" -> (thetaSketch _),
     "q268_sql_script" -> (sqlScript _),
+    "q269_logistic_gd" -> (logisticGd _),
     "q272_holt_winters" -> (holtWinters _),
     "q273_kendall_tau" -> (kendallTau _),
   )
@@ -4372,6 +4425,43 @@ object Queries {
         |  round(CAST(sum(vu) AS DOUBLE) / count(*) / 1e6, 6) AS clipped_mean,
         |  round(lo / 1e6, 6) AS lo_value, round(hi / 1e6, 6) AS hi_value
         |FROM f2 CROSS JOIN b2 GROUP BY lo, hi""".stripMargin,
+    // The three gradient steps unrolled as CTEs: identical exact-moment
+    // standardization (HUGEINT square sum, VARCHAR crossing), identical
+    // per-row sigmoid text, every gradient sum on the dsum route, the
+    // same fixed-order weight updates.
+    "q269_logistic_gd" -> {
+      val p = "CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(w0 + w1 * x)))"
+      val grad = (g: String, w: String) =>
+        s"""$g AS (SELECT ${dsumSql("p - y")} AS g0s, ${dsumSql("(p - y) * x")} AS g1s,
+           |  min(w0) AS w0, min(w1) AS w1, min(nd) AS nd
+           |  FROM (SELECT $p AS p, x, y, w0, w1, nd FROM base CROSS JOIN $w))""".stripMargin
+      val step = (wNew: String, g: String) =>
+        s"""$wNew AS (SELECT w0 - 0.5 * (g0s / nd) AS w0,
+           |  w1 - 0.5 * (g1s / nd) AS w1 FROM $g)""".stripMargin
+      s"""WITH ev AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vu,
+         |  CASE WHEN event_type = 'click' THEN CAST(1 AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS y FROM events),
+         |st AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+         |  CAST(sum(vu) AS DOUBLE) / count(*) AS mu,
+         |  sqrt(CAST(CAST(count(*) * sum(CAST(vu AS HUGEINT) * vu)
+         |      - CAST(sum(vu) AS HUGEINT) * sum(vu) AS VARCHAR) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) AS sd FROM ev),
+         |base AS (SELECT (CAST(vu AS DOUBLE) - mu) / sd AS x, y, nd
+         |  FROM ev CROSS JOIN st),
+         |wa AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1),
+         |${grad("ga", "wa")},
+         |${step("wb", "ga")},
+         |${grad("gb", "wb")},
+         |${step("wc", "gb")},
+         |${grad("gc", "wc")},
+         |${step("wd", "gc")},
+         |fl AS (SELECT ${dsumSql("-(y * ln(p) + (CAST(1 AS DOUBLE) - y) * ln(CAST(1 AS DOUBLE) - p))")} AS lsum,
+         |  min(w0) AS w0, min(w1) AS w1, min(nd) AS nd
+         |  FROM (SELECT $p AS p, x, y, w0, w1, nd FROM base CROSS JOIN wd))
+         |SELECT st.n AS n, round(fl.w0, 6) AS w0, round(fl.w1, 6) AS w1,
+         |  round(fl.lsum / fl.nd, 6) AS log_loss
+         |FROM fl CROSS JOIN st""".stripMargin
+    },
     // The recurrence replayed as a recursive CTE over the idx-ordered
     // series — identical operation order (the trend row recomputes the
     // new-level expression verbatim), so every intermediate is
