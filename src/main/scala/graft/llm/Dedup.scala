@@ -694,4 +694,59 @@ object Dedup {
       .orderBy(col("cosine").desc, col("d1").asc, col("d2").asc)
       .limit(topK)
   }
+
+  /** Substring-level duplication coverage (the signal behind
+    * ExactSubstr dedup, Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", at token granularity): for every
+    * k-token window, is that exact window repeated in ANOTHER document?
+    * A position is "duplicated" if any window covering its start is; a
+    * document's coverage is the size of the union of the [i, i+k)
+    * intervals of its cross-document-repeated windows. Doc-level
+    * near-dup (q18) misses a boilerplate paragraph pasted into
+    * thousands of otherwise-distinct pages — this is the operator that
+    * finds it, and the per-language roll-up is the curation dashboard
+    * row that decides whether substring dedup is worth running.
+    *
+    * Scale: window enumeration is one generator pass (O(tokens) rows);
+    * the repeated-window test is a hash-agg on the window key
+    * (production would fnv-hash the k-gram string — the string key here
+    * keeps the oracle exact); the interval union is one per-doc window
+    * over only the duplicated positions. Shuffles are O(tokens) on the
+    * gram key and O(dup positions) on doc_id — no pairwise expansion
+    * anywhere, which is exactly why ExactSubstr variants scale where
+    * all-pairs suffix comparison cannot. */
+  def substringDupCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      expr("filter(split(text, ' '), x -> x <> '')").as("ts"))
+    val g = t.where(size(col("ts")) >= k)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"transform(sequence(0, size(ts) - $k), " +
+          s"i -> struct(i AS i, array_join(slice(ts, i + 1, $k), ' ') AS gram))"))
+        .as("p"))
+      .select(col("doc_id"), col("lang"), col("p.i").as("i"),
+        col("p.gram").as("gram"))
+    val dup = g.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 2).select("gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val cov = g.join(dup, "gram")
+      .withColumn("nxt", lead(col("i"), 1).over(w))
+      .select(col("doc_id"), col("lang"),
+        least(lit(k), coalesce(col("nxt") - col("i"), lit(k))).as("covered"))
+      .groupBy("doc_id", "lang").agg(sum(col("covered")).as("covered"))
+    t.select(col("doc_id"), col("lang"), size(col("ts")).as("len"))
+      .join(cov, Seq("doc_id", "lang"), "left")
+      .withColumn("cv", coalesce(col("covered"), lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cv") > 0, 1L).otherwise(0L)).as("n_docs_dup"),
+        sum(col("len")).as("total_tokens"),
+        sum(col("cv")).as("dup_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_docs_dup"),
+        col("total_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("dup_fraction"))
+      .orderBy("lang")
+  }
 }

@@ -579,6 +579,12 @@ object Queries {
           iters = 3, damping = 0.85)
         .orderBy("node")
     }),
+    // E15 substring-level dedup signal: per-language coverage of
+    // 8-token windows repeated across documents (see
+    // Dedup.substringDupCoverage — interval-union coverage, no
+    // pairwise expansion).
+    "q271_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDupCoverage(tbl(s, dir, "documents"), k = 8)),
     // HITS hubs & authorities over the directed weighted bigram graph,
     // 2 mutual-reinforcement rounds as one declarative plan — the
     // second eigen-centrality family next to q124's PageRank (a node
@@ -2760,6 +2766,33 @@ object Queries {
     "q164_ivfpq_knn" -> ivfpqKnnOracle,
     "q124_pagerank" -> pageRankOracle,
     "q270_personalized_pagerank" -> pprOracle,
+    // Same window enumeration (DuckDB's 1-based inclusive list slice ≡
+    // Spark's slice(ts, i+1, k)), same ≥2-distinct-docs test on the
+    // exact gram string, same interval-union via lead(), exact integer
+    // sums; one final division.
+    "q271_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |g AS (SELECT doc_id, lang, i, array_to_string(ts[i+1:i+8], ' ') AS gram
+        |  FROM (SELECT doc_id, lang, ts, unnest(range(len(ts) - 7)) AS i
+        |        FROM t WHERE len(ts) >= 8)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |pos AS (SELECT g.doc_id, g.lang, g.i FROM g JOIN d USING (gram)),
+        |cov0 AS (SELECT doc_id, lang,
+        |  least(8, coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 8))
+        |    AS covered FROM pos),
+        |cov AS (SELECT doc_id, lang, sum(covered) AS covered
+        |  FROM cov0 GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, lang, len(ts) AS len FROM t)
+        |SELECT l.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(c.covered, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_dup,
+        |  CAST(sum(l.len) AS BIGINT) AS total_tokens,
+        |  CAST(sum(coalesce(c.covered, 0)) AS BIGINT) AS dup_tokens,
+        |  round(CAST(sum(coalesce(c.covered, 0)) AS DOUBLE)
+        |    / CAST(sum(l.len) AS DOUBLE), 6) AS dup_fraction
+        |FROM lens l LEFT JOIN cov c ON c.doc_id = l.doc_id
+        |GROUP BY l.lang ORDER BY l.lang""".stripMargin,
     "q233_hits" -> hitsOracle,
     "q234_link_prediction" -> linkPredOracle,
     "q235_textrank" -> textRankOracle,
