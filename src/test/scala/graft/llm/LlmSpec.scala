@@ -779,4 +779,24 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count() == 500)
   }
 
+  test("substringDupCoverage: hand fixture incl. overlapping-window union") {
+    import spark.implicits._
+    // en: d1/d2 share exactly one 8-token window ⇒ 8 covered each.
+    // fr: d3/d4 share a 9-token span ⇒ two overlapping windows whose
+    // interval UNION is 9, not 16 — the merge step under test.
+    // de: d5 unique ⇒ zero coverage.
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h x y"),
+      (2L, "en", "z a b c d e f g h w"),
+      (3L, "fr", "p q r s t u v w k m"),
+      (4L, "fr", "n p q r s t u v w k"),
+      (5L, "de", "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0"))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.substringDupCoverage(docs, k = 8).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("en") == ((2L, 2L, 20L, 16L, 0.8)), got.toString)
+    assert(got("fr") == ((2L, 2L, 20L, 18L, 0.9)), got.toString)
+    assert(got("de") == ((1L, 0L, 10L, 0L, 0.0)), got.toString)
+  }
 }

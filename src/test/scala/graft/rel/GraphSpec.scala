@@ -198,4 +198,44 @@ class GraphSpec extends SparkSpec {
     // checked there — here we pin the full capped/anti-joined scoring.
     assert(got.nonEmpty, "vacuous: no candidate pairs")
   }
+
+  test("personalizedPageRank: hand fixture — seeded teleport, 1 round") {
+    // a→b seeded at {a}: restart = (1, 0). Round 1: b's inbound is
+    // rank0(a)·1/1 = 1, dangling mass = rank0(b) = 0, so
+    // r1(a) = 0.15·1 + 0.85·(0 + 0·1) = 0.15 and
+    // r1(b) = 0.15·0 + 0.85·(1 + 0·0) = 0.85.
+    val e = edgesOf(Seq(("a", "b", 1L)))
+    val seeds = spark.createDataFrame(Seq(Tuple1("a"))).toDF("node")
+    val r = Graph.personalizedPageRank(e, seeds, iters = 1, damping = 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.15) < 1e-9, r.toString)
+    assert(math.abs(r("b") - 0.85) < 1e-9, r.toString)
+  }
+
+  test("personalizedPageRank with ALL nodes as seeds equals pageRank") {
+    // Uniform restart (1/n everywhere) + dangling-to-seeds (dmass/n)
+    // is exactly the standard formulation — the two operators must
+    // coincide, including on a graph with dangling nodes.
+    val e = edgesOf(Seq(("a", "b", 2L), ("b", "c", 1L), ("a", "c", 3L)))
+    val nodes = spark.createDataFrame(
+      Seq(Tuple1("a"), Tuple1("b"), Tuple1("c"))).toDF("node")
+    val ppr = Graph.personalizedPageRank(e, nodes, iters = 3, damping = 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val pr = Graph.pageRank(e, iters = 3, damping = 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(ppr == pr, s"$ppr vs $pr")
+  }
+
+  test("personalizedPageRank conserves mass and favors the seed side") {
+    // Two 2-cycles bridged one-way: {a,b} ↔ and {c,d} ↔ with b→c.
+    // Seeded at {a}: total mass stays 1 and the seed component holds
+    // strictly more rank than the far component.
+    val e = edgesOf(Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "d", 1L), ("d", "c", 1L)))
+    val seeds = spark.createDataFrame(Seq(Tuple1("a"))).toDF("node")
+    val r = Graph.personalizedPageRank(e, seeds, iters = 4, damping = 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-3, r.toString)
+    assert(r("a") + r("b") > r("c") + r("d"), r.toString)
+  }
 }

@@ -223,4 +223,130 @@ class RelSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
     assert(got == expect, s"got $got vs brute $expect")
   }
+
+  // Shared plain-Scala rebuild of the zero-filled daily count matrix
+  // (global day bounds — the q272/q273 spine).
+  private def dailySeries(): Map[String, Array[Long]] = {
+    val daily = Queries.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mnd = daily.map(_._2).min
+    val mxd = daily.map(_._2).max
+    daily.groupBy(_._1).map { case (t, rows) =>
+      val m = rows.map(r => r._2 -> r._3).toMap
+      t -> (mnd to mxd).map(d => m.getOrElse(d, 0L)).toArray
+    }
+  }
+
+  test("q272 Holt smoothing equals the sequential plain-Scala fold") {
+    val expect = dailySeries().map { case (t, ys) =>
+      var lvl = ys.head.toDouble; var tr = 0.0
+      for (y <- ys.tail) {
+        val nl = 0.5 * y + 0.5 * (lvl + tr)
+        tr = 0.25 * (nl - lvl) + 0.75 * tr
+        lvl = nl
+      }
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> ((ys.length, r6(lvl), r6(tr), r6(lvl + tr)))
+    }
+    val got = Queries.holtWinters(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expect, s"got $got vs fold $expect")
+  }
+
+  test("q273 Kendall tau-b equals the plain-Scala pairwise count") {
+    val series = dailySeries()
+    val expect = (for {
+      (t1, xs) <- series.toSeq; (t2, ys) <- series.toSeq if t1 < t2
+    } yield {
+      val n = xs.length
+      var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var n0 = 0L
+      for (i <- 0 until n; j <- i + 1 until n) {
+        n0 += 1
+        val s = (xs(i) - xs(j)) * (ys(i) - ys(j))
+        if (s > 0) c += 1 else if (s < 0) d += 1
+        if (xs(i) == xs(j)) tx += 1
+        if (ys(i) == ys(j)) ty += 1
+      }
+      val tau = (c - d).toDouble / math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t1, t2) -> ((n0, c, d, r6(tau)))
+    }).toMap
+    val got = Queries.kendallTau(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == expect, s"got $got vs brute $expect")
+  }
+
+  test("q268 sigma-clip script equals the plain-Scala two-round clip") {
+    val vus = Queries.events(spark, sf0001)
+      .select(round(col("value") * 1000000).cast("long").as("vu"))
+      .collect().map(_.getLong(0))
+    var lo = -1e308; var hi = 1e308
+    for (_ <- 1 to 2) {
+      val kept = vus.filter(v => v.toDouble >= lo && v.toDouble <= hi)
+      val n = kept.length
+      val sx = kept.map(BigInt(_)).sum
+      val sxx = kept.map(v => BigInt(v) * BigInt(v)).sum
+      val mu = sx.toDouble / n
+      val sig = math.sqrt((BigInt(n) * sxx - sx * sx).toDouble / (n.toDouble * (n - 1)))
+      lo = mu - 2.0 * sig; hi = mu + 2.0 * sig
+    }
+    val kept = vus.filter(v => v.toDouble >= lo && v.toDouble <= hi)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Queries.sqlScript(spark, sf0001).collect().head
+    assert(got.getLong(0) == kept.length.toLong, got.toString)
+    assert(got.getDouble(1) ==
+      r6(kept.map(BigInt(_)).sum.toDouble / kept.length / 1e6), got.toString)
+    assert(got.getDouble(2) == r6(lo / 1e6) && got.getDouble(3) == r6(hi / 1e6),
+      got.toString)
+  }
+
+  test("q269 logistic training beats the w=0 model and fits the sign") {
+    // At w=(0,0) every p=0.5 and the log-loss is ln 2; three gradient
+    // steps on a separable-ish label must strictly improve it. n must
+    // equal the full row count (no silent filtering).
+    val got = Queries.logisticGd(spark, sf0001).collect().head
+    val n = Queries.events(spark, sf0001).count()
+    assert(got.getLong(0) == n, got.toString)
+    assert(got.getDouble(3) < math.log(2.0), s"no improvement: $got")
+    // click is a minority class: the trained intercept must be negative
+    assert(got.getDouble(1) < 0.0, s"intercept sign: $got")
+  }
+
+  test("q266 recursive CTE equals the plain-Scala bounded walk count") {
+    val items = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ep = items.groupBy(_._1).values.flatMap { basket =>
+      val pks = basket.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length)
+        yield (pks(i), pks(j))
+    }.groupBy(identity).iterator // iterator: Map.collect over tuples would re-key
+      .collect { case (p, occ) if occ.size >= 2 => p }.toSeq
+    val adj = (ep ++ ep.map(_.swap)).groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2) }
+    val seed = adj.keys.min
+    // walk-count DP over levels 0..3 plus min-level distance
+    var frontier = Map(seed -> 1L)
+    val walks = scala.collection.mutable.Map(seed -> 1L)
+    val dist = scala.collection.mutable.Map(seed -> 0)
+    for (lvl <- 1 to 3) {
+      val next = scala.collection.mutable.Map[Long, Long]()
+      for ((u, w) <- frontier; v <- adj.getOrElse(u, Nil))
+        next(v) = next.getOrElse(v, 0L) + w
+      for ((v, w) <- next) {
+        walks(v) = walks.getOrElse(v, 0L) + w
+        if (!dist.contains(v)) dist(v) = lvl
+      }
+      frontier = next.toMap
+    }
+    val expect = walks.keys.map(k => k -> ((dist(k), walks(k)))).toMap
+    val got = Queries.recursiveCte(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == expect, s"engine=${got.size} brute=${expect.size}")
+  }
 }
