@@ -284,12 +284,16 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val sd = seeds.select(col("node")).distinct()
     val ns = sd.agg(count(lit(1)).cast("double").as("ns"))
+    // The restart vector appears twice per round (rank base + teleport
+    // term); checkpoint it once so the nodes-distinct + seed join does
+    // not re-execute 2×iters times (the q266 staging move).
     val restart = nodes
       .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .crossJoin(broadcast(ns))
       .select(col("node"),
         when(col("is_seed"), lit(1.0) / col("ns"))
           .otherwise(lit(0.0)).as("restart"))
+      .localCheckpoint()
     val outw = e.groupBy("src").agg(sum(col("weight")).as("outw"))
     var ranks = restart.select(col("node"), col("restart").as("rank"))
     for (_ <- 1 to iters) {
