@@ -585,6 +585,32 @@ object Queries {
     // pairwise expansion).
     "q271_substring_dedup" -> ((s, dir) =>
       Dedup.substringDupCoverage(tbl(s, dir, "documents"), k = 8)),
+    // Near-dup cluster SIZE DISTRIBUTION — the curation dashboard row
+    // that decides dedup policy: a long tail of pairs is survivable,
+    // one giant boilerplate cluster means the corpus needs template
+    // stripping before dedup (a cluster of size s deletes s−1 docs
+    // under keep-one). Composes q18's candidates → q65's components →
+    // a two-level count; singletons (docs in no pair) enter as the
+    // size-1 row so the histogram partitions the WHOLE corpus. All
+    // exact integers.
+    "q276_dup_cluster_sizes" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1))
+      val hist = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          col("n_docs"))
+      val tot = docs.agg(count(lit(1)).as("td"))
+      val inComp = comp.agg(count(lit(1)).as("dc"))
+      val singletons = tot.crossJoin(inComp)
+        .select(lit(1L).as("cluster_size"),
+          (col("td") - col("dc")).as("n_clusters"),
+          (col("td") - col("dc")).as("n_docs"))
+      hist.unionAll(singletons).orderBy("cluster_size")
+    }),
     // HITS hubs & authorities over the directed weighted bigram graph,
     // 2 mutual-reinforcement rounds as one declarative plan — the
     // second eigen-centrality family next to q124's PageRank (a node
@@ -2313,6 +2339,19 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> minhashOracle,
     "q65_dedup_components" -> componentsOracle,
+    // q65's closure wrapped in a two-level count; the size-1 row is
+    // corpus total minus docs holding any component label.
+    "q276_dup_cluster_sizes" ->
+      s"""WITH comp AS (SELECT * FROM ($componentsOracle) c0),
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+         |hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs FROM sizes GROUP BY 1),
+         |tot AS (SELECT count(*) AS td FROM documents),
+         |ncomp AS (SELECT count(*) AS dc FROM comp)
+         |SELECT cluster_size, n_clusters, n_docs FROM hist
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), td - dc, td - dc FROM tot CROSS JOIN ncomp
+         |ORDER BY cluster_size""".stripMargin,
     // q65's oracle verbatim: incremental ≡ from-scratch, one truth.
     "q141_incremental_cc" -> componentsOracle,
     // q65's closure + q97's window: survivor per near-dup cluster.

@@ -3248,6 +3248,96 @@ object Queries {
         round(col("lsum") / col("nd"), 6).as("log_loss"))
   }
 
+  // Kruskal–Wallis H (rank ANOVA): does the value distribution differ
+  // across ALL event types at once — the k-group completion of q190's
+  // two-sample Mann–Whitney and the rank-robust twin of q197's ANOVA.
+  // Pooled average ranks come from the q199 two-phase prefix sum
+  // (within-cell window + tiny cell-offset table — no global
+  // single-partition pass at any scale); values are exact micro-unit
+  // int64s, every rank is an exact integer-plus-half on the double
+  // grid, rank sums ride dsum, and the tie-corrected H is one
+  // fixed-order closing expression. Output: one row (N, groups, H,
+  // tie-corrected H).
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val pts = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vu"))
+    val cells = pts.groupBy("vu", "event_type").agg(count(lit(1)).as("c"))
+    val vals = cells.groupBy("vu").agg(sum(col("c")).as("t"))
+      .withColumn("cell", expr("vu DIV 50000000"))
+    val inCell = Window.partitionBy("cell").orderBy(col("vu").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellTotals = vals.groupBy("cell").agg(sum(col("t")).as("cell_cnt"))
+      .withColumn("cell_offset",
+        coalesce(sum(col("cell_cnt")).over(
+          Window.orderBy(col("cell").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cell", "cell_offset")
+    val ranked = vals
+      .withColumn("off_in", coalesce(sum(col("t")).over(inCell), lit(0L)))
+      .join(broadcast(cellTotals), "cell")
+      .select(col("vu"), col("t"),
+        ((col("cell_offset") + col("off_in")).cast("double")
+          + (col("t").cast("double") + 1.0) / 2.0).as("avgrank"))
+    val perGroup = cells.join(ranked, "vu")
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("ng"),
+        dsum(col("c").cast("double") * col("avgrank")).as("sr"))
+    val ties = ranked.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    perGroup
+      .agg(sum(col("ng")).as("n"), count(lit(1)).as("n_groups"),
+        dsum(col("sr") * col("sr") / col("ng").cast("double")).as("s2"))
+      .crossJoin(broadcast(ties))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("h",
+        lit(12.0) / (col("nd") * (col("nd") + 1.0)) * col("s2")
+          - lit(3.0) * (col("nd") + 1.0))
+      .select(col("n"), col("n_groups"), round(col("h"), 6).as("h"),
+        round(col("h") / (lit(1.0) - col("tie3").cast("double")
+          / (col("n") * col("n") * col("n") - col("n")).cast("double")), 6)
+          .as("h_corrected"))
+  }
+
+  // Modern-SQL ergonomics surface: an inline VALUES dimension (the
+  // lookup nobody should need a parquet file for), GROUP BY ALL
+  // (grouping keys inferred = every non-aggregate output), ORDER BY ALL
+  // (total order over the full output row — the determinism this
+  // repo's gate demands, as a one-keyword contract). Identical text
+  // runs on DuckDB. The tiny VALUES side broadcasts; the fact scan
+  // aggregates in one pass.
+  def modernSql(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT t.tier, o.o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |    AS total_price
+        |FROM orders o JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+         |    ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+         |    ('5-LOW', 'cold')) AS t(prio, tier)
+         |  ON o.o_orderpriority = t.prio
+         |GROUP BY ALL ORDER BY ALL""".stripMargin)
+
+  // DISTRIBUTE BY / SORT BY through the SQL frontend: the explicit
+  // clustering surface (Hive's legacy spelling of repartition +
+  // sortWithinPartitions). The point at 100 TB: a downstream aggregate
+  // on the SAME key rides the explicit exchange instead of adding its
+  // own — output partitioning is a contract the planner honors
+  // (PlanSpec pins exactly one hash exchange in this plan). Clustering
+  // can never change RESULTS: the oracle computes the same per-order
+  // profile with no clustering clause at all.
+  def distributeBy(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT count(*) AS n_orders, max(n_lines) AS max_lines,
+        |  CAST(sum(n_lines) AS BIGINT) AS total_lines,
+        |  CAST(max(qty) AS BIGINT) AS max_order_qty
+        |FROM (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |    sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+        |  FROM (SELECT * FROM lineitem DISTRIBUTE BY l_orderkey
+        |        SORT BY l_orderkey)
+        |  GROUP BY l_orderkey)""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -3397,6 +3487,9 @@ object Queries {
     "q267_theta_sketch" -> (thetaSketch _),
     "q268_sql_script" -> (sqlScript _),
     "q269_logistic_gd" -> (logisticGd _),
+    "q274_kruskal_wallis" -> (kruskalWallis _),
+    "q275_modern_sql" -> (modernSql _),
+    "q277_distribute_by" -> (distributeBy _),
     "q272_holt_winters" -> (holtWinters _),
     "q273_kendall_tau" -> (kendallTau _),
   )
@@ -4474,6 +4567,54 @@ object Queries {
          |  round(fl.lsum / fl.nd, 6) AS log_loss
          |FROM fl CROSS JOIN st""".stripMargin
     },
+    // The identical modern-SQL text (VALUES dimension, GROUP BY ALL,
+    // ORDER BY ALL) with the revenue sum on the DuckDB VARCHAR route.
+    "q275_modern_sql" ->
+      s"""SELECT t.tier, o.o_orderpriority, count(*) AS n_orders,
+         |  round(${dsumSql("o_totalprice")}, 6) AS total_price
+         |FROM orders o JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+         |    ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+         |    ('5-LOW', 'cold')) AS t(prio, tier)
+         |  ON o.o_orderpriority = t.prio
+         |GROUP BY ALL ORDER BY ALL""".stripMargin,
+    // The same per-order profile with NO clustering clause — physical
+    // distribution must be invisible in the values.
+    "q277_distribute_by" ->
+      """SELECT count(*) AS n_orders, max(n_lines) AS max_lines,
+        |  CAST(sum(n_lines) AS BIGINT) AS total_lines,
+        |  CAST(max(qty) AS BIGINT) AS max_order_qty
+        |FROM (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |    sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+        |  FROM lineitem GROUP BY l_orderkey)""".stripMargin,
+    // Same pooled average ranks (exact prefix-sum integers — the
+    // oracle's one global window equals the engine's two-phase cell
+    // decomposition exactly), same dsum rank sums, same fixed-order
+    // tie-corrected closing formula.
+    "q274_kruskal_wallis" ->
+      s"""WITH pts AS (SELECT event_type,
+         |  CAST(round(value * 1000000) AS BIGINT) AS vu
+         |  FROM events WHERE value IS NOT NULL),
+         |cells AS (SELECT vu, event_type, count(*) AS c FROM pts GROUP BY 1, 2),
+         |vals AS (SELECT vu, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+         |ranked AS (SELECT vu, t,
+         |  CAST(coalesce(sum(t) OVER (ORDER BY vu ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+         |    + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS avgrank FROM vals),
+         |pg AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS ng,
+         |  ${dsumSql("CAST(c AS DOUBLE) * avgrank")} AS sr
+         |  FROM cells JOIN ranked USING (vu) GROUP BY 1),
+         |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM ranked),
+         |ag AS (SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS n_groups,
+         |  ${dsumSql("sr * sr / CAST(ng AS DOUBLE)")} AS s2 FROM pg),
+         |hh AS (SELECT n, n_groups,
+         |  12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s2
+         |    - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h, tie3
+         |  FROM ag CROSS JOIN ties)
+         |SELECT n, n_groups, round(h, 6) AS h,
+         |  round(h / (1.0 - CAST(tie3 AS DOUBLE)
+         |    / CAST(n * n * n - n AS DOUBLE)), 6) AS h_corrected
+         |FROM hh""".stripMargin,
     // The recurrence replayed as a recursive CTE over the idx-ordered
     // series — identical operation order (the trend row recomputes the
     // new-level expression verbatim), so every intermediate is

@@ -363,4 +363,15 @@ class PlanSpec extends SparkSpec {
              !p.contains("CartesianProduct"), p.take(1500))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("q277 per-order aggregate rides the DISTRIBUTE BY exchange") {
+    // The explicit DISTRIBUTE BY l_orderkey is the ONLY hash exchange:
+    // the l_orderkey group-by must reuse the declared clustering, not
+    // add its own shuffle (the output-partitioning contract this
+    // operator exists to demonstrate).
+    val p = finalPlan(rel.Queries.distributeBy(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1,
+      p.take(1500))
+  }
 }
