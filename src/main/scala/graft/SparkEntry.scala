@@ -644,6 +644,29 @@ object SparkEntry {
         .where(col("sess_start_us") < lit(hi + 10860L) * 1000000L)
         .orderBy("user_id", "sess_start_us")
     }),
+    // transformWithState MAP state at the gate: per-type user profiles
+    // accumulated as a RocksDB-backed sub-map (point updates only — the
+    // state shape that survives a hot group key at 100 TB, where
+    // fMGWS's whole-blob state cannot), flushed exactly once by per-key
+    // timers when the sentinel drives the watermark past the fixed
+    // flush point. Sentinels carry user_id = −1 and are never
+    // accumulated; the oracle is the plain batch group-by, so a lost
+    // update, a double flush, or a sentinel leaking into the counts
+    // all turn the row red. Value sums are exact micro-unit int64s.
+    "q278_stream_map_state" -> ((s, dir) => {
+      val src = Scratch.dir("tws_profiles_src")
+      val out = Scratch.dir("tws_profiles")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"), col("value"))
+      val (_, hi) = writeTimeSlices(ev, src, 6, 0 until 6, clean = true)
+      ev.select(col("event_type")).distinct()
+        .select(col("event_type"), lit(-1L).as("user_id"),
+          timestamp_seconds(lit(hi + 10860L)).as("ts"), lit(0.0).as("value"))
+        .write.mode("append").parquet(src)
+      sources.StreamIngest.userProfilesParquet(
+          s, src, ev.schema, out, out + "_ckpt", (hi + 7200L) * 1000L)
+        .orderBy("event_type", "user_id")
+    }),
   )
 
   /** Lay `ev` (must carry an event-time `ts`) out under `src` as the
@@ -860,6 +883,12 @@ object SparkEntry {
     "q90_custom_state_sessions" -> sessionTruthOracle,
     "q239_stream_session_native" -> sessionTruthOracle,
     "q241_tws_sessionize" -> sessionTruthOracle,
+    // The drained MapState dump must equal the plain batch group-by —
+    // count AND exact micro-unit value sum, per (type, user).
+    "q278_stream_map_state" ->
+      """SELECT event_type, user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_vu
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The state-backend swap must be invisible: q240 shares q87's
     // oracle string.
     "q240_rocksdb_state" -> streamWindowOracle,

@@ -186,6 +186,32 @@ object StreamIngest {
       }
     }
 
+  /** The MapState profile accumulator at the gate
+    * ([[graft.streaming.Sessions.TwsUserProfiles]]): same drain shape
+    * and RocksDB requirement as [[twsSessionizeParquet]]; the caller's
+    * sentinel file pushes the watermark past `flushMs`, the per-key
+    * flush timers fire in the trailing no-data batch, and the whole
+    * map state dumps exactly once into the checkpointed sink. */
+  def userProfilesParquet(spark: SparkSession, in: String,
+                          schema: StructType, out: String,
+                          ckpt: String, flushMs: Long): DataFrame =
+    withStateProvider(spark, RocksDbProvider) {
+      withStatePartitions(spark, 8) {
+        rm(spark, out); rm(spark, ckpt)
+        val profiles = graft.streaming.Sessions.userProfilesTws(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "2").parquet(in), flushMs)
+          .toDF("event_type", "user_id", "n_events", "sum_vu")
+        val q = profiles.writeStream.format("parquet")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination()
+        spark.read.parquet(out)
+      }
+    }
+
   /** The q87 stateful drain instrumented for OBSERVABILITY: returns
     * the streaming engine's own late-data accounting alongside the
     * sink. `numRowsDroppedByWatermark` (summed over the drain's

@@ -222,6 +222,82 @@ object Sessions extends Serializable {
     }
   }
 
+  /** Per-user accumulator held in [[TwsUserProfiles]]'s MapState. */
+  case class UserAcc(n: Long, vu: Long)
+
+  /** Per-event-type user profile accumulation on `transformWithState`
+    * MAP state — the state-variable kind [[TwsSessionizer]]'s ListState
+    * does not exercise: state is a keyed sub-map (user → (count,
+    * value-sum)) with point lookups and point updates, RocksDB-backed,
+    * so ONE hot group key (an event type) can hold millions of user
+    * entries without ever materializing them as a single value — the
+    * blob-state failure mode flatMapGroupsWithState hits at 100 TB
+    * (its whole per-key state must round-trip every batch; MapState
+    * touches only the entries a batch updates).
+    *
+    * Emission: nothing streams out until the fixed flush point —
+    * handleInputRows only folds rows into the map and keeps ONE timer
+    * armed at `flushMs`; when the watermark (driven past it by the
+    * caller's sentinel file) expires the timer, the whole map dumps as
+    * (type, user, n, value-sum-µ) rows and clears. Value sums are exact
+    * micro-unit int64s. Sentinel rows carry user_id = −1 and are never
+    * accumulated — they exist to advance the watermark and arm timers. */
+  class TwsUserProfiles(flushMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, java.sql.Timestamp),
+        (String, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
+      OutputMode, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var users: MapState[Long, UserAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      users = getHandle.getMapState[Long, UserAcc]("users",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[UserAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      rows.foreach { r =>
+        if (r._2 >= 0L) {
+          val prev =
+            if (users.containsKey(r._2)) users.getValue(r._2)
+            else UserAcc(0L, 0L)
+          users.updateValue(r._2, UserAcc(prev.n + 1L, prev.vu + r._3))
+        }
+      }
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(flushMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long, Long, Long)] = {
+      val out = users.iterator()
+        .map { case (u, acc) => (key, u, acc.n, acc.vu) }.toList
+      users.clear()
+      out.iterator
+    }
+  }
+
+  /** [[TwsUserProfiles]] wired to a watermarked event frame. */
+  def userProfilesTws(events: DataFrame, flushMs: Long,
+                      late: String = "1 hour")
+      : Dataset[(String, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", late)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vu"), col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TwsUserProfiles(flushMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** [[TwsSessionizer]] wired to a watermarked event frame — the same
     * input contract as [[sessionizeWithState]]. */
   def sessionizeTws(events: DataFrame,
