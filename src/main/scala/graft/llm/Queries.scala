@@ -593,6 +593,12 @@ object Queries {
     // a two-level count; singletons (docs in no pair) enter as the
     // size-1 row so the histogram partitions the WHOLE corpus. All
     // exact integers.
+    // E16 spectral primitive: top principal component of the embedding
+    // cloud by in-plan power iteration (see Sim.pcaPower — two
+    // matrix-vector products per round as dim-/vec-keyed shuffles, no
+    // covariance matrix, dsum-stable loadings).
+    "q279_pca_power" -> ((s, dir) =>
+      Sim.pcaPower(tbl(s, dir, "embeddings"), iters = 2)),
     "q276_dup_cluster_sizes" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val comp = Dedup.connectedComponents(
@@ -1725,6 +1731,37 @@ object Queries {
       "\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
   }
 
+  /** DuckDB twin of q279 ([[Sim.pcaPower]] at 2 rounds): same zipped
+    * unnest (0-based dims ≡ posexplode), same dsum-routed centering,
+    * matrix-vector products, norms, and fixed-order divisions — the
+    * loadings are bit-identical at every round. */
+  private val pcaOracle: String = {
+    def dec(x: String) =
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    val head =
+      s"""WITH x0 AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+         |  CAST(unnest(embedding) AS DOUBLE) AS xv FROM embeddings),
+         |m AS (SELECT dim, ${dec("xv")} / CAST(count(*) AS DOUBLE) AS m
+         |  FROM x0 GROUP BY 1),
+         |xc AS (SELECT vec_id, x0.dim, xv - m AS xc
+         |  FROM x0 JOIN m ON m.dim = x0.dim),
+         |v0 AS (SELECT dim, CASE WHEN dim = 0 THEN CAST(1 AS DOUBLE)
+         |  ELSE CAST(0 AS DOUBLE) END AS v FROM m)""".stripMargin
+    val rounds = (1 to 2).map { i =>
+      s"""d$i AS (SELECT vec_id, ${dec("xc * v")} AS dot
+         |  FROM xc JOIN v${i - 1} USING (dim) GROUP BY 1),
+         |w$i AS (SELECT dim, ${dec("xc * dot")} AS w
+         |  FROM xc JOIN d$i USING (vec_id) GROUP BY 1),
+         |n$i AS (SELECT sqrt(${dec("w * w")}) AS nrm FROM w$i),
+         |v$i AS (SELECT dim, w / nrm AS v FROM w$i CROSS JOIN n$i)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      """
+        |SELECT v2.dim, round(v2.v, 6) AS loading,
+        |  round(n2.nrm, 6) AS eigen_estimate
+        |FROM v2 CROSS JOIN n2 ORDER BY v2.dim""".stripMargin
+  }
+
   /** DuckDB twin of q270 ([[graft.rel.Graph.personalizedPageRank]] on
     * the bigram graph, long-token seeds, 3 rounds): same restart
     * vector (1/|S| on seeds, 0 elsewhere), same dangling-mass teleport
@@ -2805,6 +2842,7 @@ object Queries {
     "q164_ivfpq_knn" -> ivfpqKnnOracle,
     "q124_pagerank" -> pageRankOracle,
     "q270_personalized_pagerank" -> pprOracle,
+    "q279_pca_power" -> pcaOracle,
     // Same window enumeration (DuckDB's 1-based inclusive list slice ≡
     // Spark's slice(ts, i+1, k)), same ≥2-distinct-docs test on the
     // exact gram string, same interval-union via lead(), exact integer

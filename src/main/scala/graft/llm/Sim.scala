@@ -1148,4 +1148,48 @@ object Sim {
       .where(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "sim")
   }
+
+  /** Top principal component of the embedding cloud by POWER ITERATION,
+    * entirely in-plan — the dimensionality-reduction primitive under
+    * PCA whitening, spectral outlier screens, and the projection step
+    * of 2-D corpus maps. Each round is two matrix-vector products
+    * expressed as shuffles: dot_i = xc_i·v (explode + dim-keyed join +
+    * per-row reduce) and w = Σ_i xc_i·dot_i (vec-keyed join + per-dim
+    * reduce) — O(n·d) rows per round, no d×d covariance ever
+    * materialized (at 100 TB you can afford O(n·d) passes; you cannot
+    * afford collecting S). Mean-centering and every reduction ride the
+    * dsum DECIMAL route; the start vector is e₀ and the trailing
+    * normalization fixes scale and sign deterministically, so loadings
+    * are bit-stable cross-engine. The centered explode is checkpointed
+    * once (the q266 staging move) — the loop re-reads it, not the
+    * source. `eigen_estimate` is ‖S·v‖ from the final round (the
+    * unnormalized-scatter Rayleigh estimate). */
+  def pcaPower(emb: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"pcaPower needs iters >= 1, got $iters")
+    val dsum = graft.rel.Queries.dsum _
+    val x0 = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xv")))
+      .select(col("vec_id"), col("dim"), col("xv").cast("double").as("xv"))
+    val m = x0.groupBy("dim")
+      .agg((dsum(col("xv")) / count(lit(1)).cast("double")).as("m"))
+    val xc = x0.join(m, "dim")
+      .select(col("vec_id"), col("dim"), (col("xv") - col("m")).as("xc"))
+      .localCheckpoint()
+    var v = m.select(col("dim"),
+      when(col("dim") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+    var nrm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val dot = xc.join(v, "dim").groupBy("vec_id")
+        .agg(dsum(col("xc") * col("v")).as("dot"))
+      val w = xc.join(dot, "vec_id").groupBy("dim")
+        .agg(dsum(col("xc") * col("dot")).as("w"))
+      nrm = w.agg(sqrt(dsum(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("dim"), (col("w") / col("nrm")).as("v"))
+    }
+    v.crossJoin(broadcast(nrm))
+      .select(col("dim"), round(col("v"), 6).as("loading"),
+        round(col("nrm"), 6).as("eigen_estimate"))
+      .orderBy("dim")
+  }
 }

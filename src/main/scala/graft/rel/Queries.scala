@@ -193,6 +193,51 @@ object Queries {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin)
 
+  // TPC-H Q3 (shipping-priority), shaped to the fixture star schema
+  // (o_orderpriority stands in for the spec's o_shippriority — the
+  // fixture doesn't carry it): segment-filtered customer × orders ×
+  // lineitem, unshipped-as-of-cutoff revenue per order, top 10. The
+  // classic selective-dimension star join: both date filters push into
+  // the scans, the customer side broadcasts, and the top-10 plans as
+  // TakeOrderedAndProject.
+  def tpchQ3(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin)
+
+  // TPC-H Q10 (returned-item reporting), shaped to the fixture schema
+  // (c_mktsegment stands in for the spec's address/phone/comment
+  // columns): one quarter of orders, only RETURNED line items, revenue
+  // lost per customer, top 20 — the churn-investigation star join.
+  // l_returnflag = 'R' prunes the fact scan; nation broadcasts.
+  def tpchQ10(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS revenue,
+        |  round(c_acctbal, 6) AS c_acctbal, n_name, c_mktsegment
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+
   // NOT IN under three-valued logic — the semantics trap every SQL
   // engine must honor and Spark plans as a dedicated physical operator
   // (null-aware anti join): `x NOT IN (subquery)` is FALSE-or-UNKNOWN
@@ -3490,6 +3535,8 @@ object Queries {
     "q274_kruskal_wallis" -> (kruskalWallis _),
     "q275_modern_sql" -> (modernSql _),
     "q277_distribute_by" -> (distributeBy _),
+    "q280_tpch_q3" -> (tpchQ3 _),
+    "q281_tpch_q10" -> (tpchQ10 _),
     "q272_holt_winters" -> (holtWinters _),
     "q273_kendall_tau" -> (kendallTau _),
   )
@@ -4567,6 +4614,36 @@ object Queries {
          |  round(fl.lsum / fl.nd, 6) AS log_loss
          |FROM fl CROSS JOIN st""".stripMargin
     },
+    // The same star join; DuckDB TIMESTAMP literals, VARCHAR-routed
+    // revenue, identical tiebroken top-10.
+    "q280_tpch_q3" ->
+      s"""SELECT l_orderkey,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+    // The same returned-item star join, identical tiebroken top-20.
+    "q281_tpch_q10" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  round(c_acctbal, 6) AS c_acctbal, n_name, c_mktsegment
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
     // The identical modern-SQL text (VALUES dimension, GROUP BY ALL,
     // ORDER BY ALL) with the revenue sum on the DuckDB VARCHAR route.
     "q275_modern_sql" ->
