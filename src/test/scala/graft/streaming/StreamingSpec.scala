@@ -316,6 +316,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MapState profile accumulator: accumulate across batches, flush once on the timer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, graft.sources.StreamIngest.RocksDbProvider)
+    try {
+      val mem = MemoryStream[(String, Long, Long, Double)]
+      val streamDf = mem.toDF().toDF("event_type", "user_id", "us", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .drop("us")
+      val flushMs = (base + 10 * gapUs) / 1000L
+      val q = Sessions.userProfilesTws(streamDf, flushMs)
+        .toDF("event_type", "user_id", "n_events", "sum_vu")
+        .writeStream.format("memory").queryName("profiles_out")
+        .outputMode("append").start()
+      // two input batches touching the same (type, user) cells — the
+      // map must accumulate across batches, not per batch
+      mem.addData(("view", 1L, base, 1.5), ("view", 2L, base + 1, 2.0))
+      q.processAllAvailable()
+      mem.addData(("view", 1L, base + 2, 0.25), ("click", 1L, base + 3, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("profiles_out").count() == 0L,
+        "nothing may emit before the flush timer")
+      // sentinel (user −1) drives the watermark past flushMs; its own
+      // rows must not be accumulated
+      mem.addData(("view", -1L, base + 20 * gapUs, 0.0))
+      q.processAllAvailable()
+      // second sentinel batch: timers registered before the watermark
+      // advanced fire in the NEXT micro-batch (same two-step flush the
+      // file-source drains get from the trailing no-data batch)
+      mem.addData(("view", -1L, base + 40 * gapUs, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("profiles_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == Map(
+        ("view", 1L) -> ((2L, 1750000L)),
+        ("view", 2L) -> ((1L, 2000000L)),
+        ("click", 1L) -> ((1L, 4000000L))), got.toString)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming word count runs incrementally over a text stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
