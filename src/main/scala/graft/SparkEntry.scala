@@ -667,6 +667,32 @@ object SparkEntry {
           s, src, ev.schema, out, out + "_ckpt", (hi + 7200L) * 1000L)
         .orderBy("event_type", "user_id")
     }),
+    // q278 across a STOP/RESTART boundary — the v2-state recovery
+    // contract (q101 proved it for built-in window state; this proves
+    // it for RocksDB-backed MapState + timers): run 1 drains half the
+    // slices and stops with every accumulator held ONLY in the
+    // checkpoint (the flush point is far in the future, so nothing has
+    // been emitted); run 2 restarts from that checkpoint with the
+    // remaining slices + sentinel and flushes. Users straddling the
+    // boundary must produce a single accumulator equal to the batch
+    // truth — same oracle as q278, bound to one shared string.
+    "q282_stream_state_resume" -> ((s, dir) => {
+      val src = Scratch.dir("tws_profiles_resume_src")
+      val out = Scratch.dir("tws_profiles_resume")
+      val ev = rel.Queries.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"), col("value"))
+      val (_, hi) = writeTimeSlices(ev, src, 6, 0 until 3, clean = true)
+      sources.StreamIngest.userProfilesParquet(
+        s, src, ev.schema, out, out + "_ckpt", (hi + 7200L) * 1000L)
+      writeTimeSlices(ev, src, 6, 3 until 6, clean = false)
+      ev.select(col("event_type")).distinct()
+        .select(col("event_type"), lit(-1L).as("user_id"),
+          timestamp_seconds(lit(hi + 10860L)).as("ts"), lit(0.0).as("value"))
+        .write.mode("append").parquet(src)
+      sources.StreamIngest.userProfilesParquetResume(
+          s, src, ev.schema, out, out + "_ckpt", (hi + 7200L) * 1000L)
+        .orderBy("event_type", "user_id")
+    }),
   )
 
   /** Lay `ev` (must carry an event-time `ts`) out under `src` as the
@@ -758,6 +784,14 @@ object SparkEntry {
   /** The gap-session truth (q16's boundary semantics reduced to the
     * streaming operators' emitted columns), shared verbatim by
     * q90/q239/q241. */
+  /** Batch truth for the MapState profile drains (q278 single-run,
+    * q282 stop/restart): per-(type, user) count and exact micro-unit
+    * value sum. */
+  private val profilesOracle: String =
+    """SELECT event_type, user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_vu
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val sessionTruthOracle: String =
     """WITH x AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -884,11 +918,11 @@ object SparkEntry {
     "q239_stream_session_native" -> sessionTruthOracle,
     "q241_tws_sessionize" -> sessionTruthOracle,
     // The drained MapState dump must equal the plain batch group-by —
-    // count AND exact micro-unit value sum, per (type, user).
-    "q278_stream_map_state" ->
-      """SELECT event_type, user_id, count(*) AS n_events,
-        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_vu
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // count AND exact micro-unit value sum, per (type, user). One
+    // shared string for the single-run (q278) and stop/restart (q282)
+    // drains: both must land on the identical truth by construction.
+    "q278_stream_map_state" -> profilesOracle,
+    "q282_stream_state_resume" -> profilesOracle,
     // The state-backend swap must be invisible: q240 shares q87's
     // oracle string.
     "q240_rocksdb_state" -> streamWindowOracle,

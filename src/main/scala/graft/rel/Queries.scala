@@ -2024,12 +2024,19 @@ object Queries {
       .where(col("cooc") >= minSup)
       .join(itemCnt.select(col("pk").as("a"), col("n").as("na")), "a")
       .join(itemCnt.select(col("pk").as("b"), col("n").as("nb")), "b")
-      .withColumn("cosine", col("cooc").cast("double")
-        / sqrt((col("na") * col("nb")).cast("double")))
+      // Order by the ROUNDED cosine (with the (a,b) tiebreak), not the
+      // raw double: DuckDB's ORDER BY binds the output alias (the
+      // rounded value), so ordering by the unrounded double here let
+      // the top-K cutoff diverge wherever two pairs share 6 decimals
+      // but differ below them — which sf0.001's tie-dense tail hits
+      // (rows 29+ flipped) while sf0.01 happened not to. The rounded
+      // grid + unique (a,b) is a total order at every scale.
+      .withColumn("cosine", round(col("cooc").cast("double")
+        / sqrt((col("na") * col("nb")).cast("double")), 6))
       .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
       .limit(topK)
       .select(col("a"), col("b"), col("cooc"), col("na"), col("nb"),
-        round(col("cosine"), 6).as("cosine"))
+        col("cosine"))
   }
 
   // Weekly-cohort LTV curve (the revenue companion to q128's retention
@@ -5293,10 +5300,11 @@ object Queries {
         |  FROM bounded l JOIN bounded r ON l.ok = r.ok AND l.pk < r.pk
         |  GROUP BY 1, 2),
         |f AS (SELECT a, b, cooc, na.n AS na, nb.n AS nb,
-        |  CAST(cooc AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cosine
+        |  round(CAST(cooc AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6)
+        |    AS cosine
         |  FROM pr JOIN pc na ON pr.a = na.pk JOIN pc nb ON pr.b = nb.pk
         |  WHERE cooc >= 3)
-        |SELECT a, b, cooc, na, nb, round(cosine, 6) AS cosine FROM f
+        |SELECT a, b, cooc, na, nb, cosine FROM f
         |ORDER BY cosine DESC, a ASC, b ASC LIMIT 50""".stripMargin,
     // Same epoch-week cohorts, same DECIMAL window cumsum route.
     "q208_cohort_ltv" ->

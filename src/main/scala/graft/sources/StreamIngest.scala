@@ -194,10 +194,26 @@ object StreamIngest {
     * map state dumps exactly once into the checkpointed sink. */
   def userProfilesParquet(spark: SparkSession, in: String,
                           schema: StructType, out: String,
-                          ckpt: String, flushMs: Long): DataFrame =
+                          ckpt: String, flushMs: Long): DataFrame = {
+    rm(spark, out); rm(spark, ckpt)
+    userProfilesParquetResume(spark, in, schema, out, ckpt, flushMs)
+  }
+
+  /** [[userProfilesParquet]] WITHOUT the wipe — start (or RESTART) the
+    * MapState drain against an existing checkpoint. The v2 analogue of
+    * [[windowedAggParquetResume]]: a restarted run recovers the
+    * RocksDB-backed MapState (every per-user accumulator written by the
+    * previous run), its registered timers, and the file-source log from
+    * the checkpoint, then folds only the new files in. q282 exercises
+    * the boundary: users whose events straddle the two runs must flush
+    * a SINGLE accumulator equal to the batch truth — a lost map entry,
+    * a replayed file, or a timer dropped in recovery all turn the gate
+    * row red. */
+  def userProfilesParquetResume(spark: SparkSession, in: String,
+                                schema: StructType, out: String,
+                                ckpt: String, flushMs: Long): DataFrame =
     withStateProvider(spark, RocksDbProvider) {
       withStatePartitions(spark, 8) {
-        rm(spark, out); rm(spark, ckpt)
         val profiles = graft.streaming.Sessions.userProfilesTws(
             spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "2").parquet(in), flushMs)
