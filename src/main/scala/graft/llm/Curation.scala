@@ -85,6 +85,41 @@ object Curation {
       .select(col(idCol), col(groupCol))
   }
 
+  /** Temperature-scaled mixture WEIGHTS per source (the sampling-recipe
+    * planner behind q112's executor): raw token shares p_s are flattened
+    * to w_s ∝ p_s^α (α = 1/2 here — sqrt flattening, the standard
+    * multilingual/multi-source rebalance from mBERT/XLM-R through the
+    * Pile and Llama recipes), then each source's EFFECTIVE EPOCHS under
+    * a full-budget pass is ŵ_s·T / tokens_s — the number a curator
+    * reads to spot a small source about to be memorized (epochs ≫ 1).
+    * One hash-agg to O(sources) rows; the heavy input is the token
+    * count, which reuses the whitespace tokenizer contract (q23). Float
+    * discipline: shares and sqrt are fixed-order IEEE on exact int64
+    * token counts; the α-weight normalizer sums O(sources) terms
+    * through dsum. */
+  def mixtureTemperature(docs: DataFrame, sourceCol: String,
+                         textCol: String): DataFrame = {
+    val per = docs
+      .select(col(sourceCol).as("source"),
+        size(expr(s"filter(split($textCol, ' '), x -> x <> '')"))
+          .cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tt"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("raw_share",
+        col("n_tokens").cast("double") / col("tt").cast("double"))
+      .withColumn("wraw", sqrt(col("raw_share")))
+    val z = shared.agg(graft.rel.Queries.dsum(col("wraw")).as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("raw_share"), 6).as("raw_share"),
+        round(col("wraw") / col("z"), 6).as("weight"),
+        round((col("wraw") / col("z")) * col("tt").cast("double")
+          / col("n_tokens").cast("double"), 6).as("eff_epochs"))
+      .orderBy("source")
+  }
+
   /** Fixed-size per-stratum sample: the `k` rows of each group with
     * the smallest (content hash, id) — eval/holdout-set construction
     * where every group must contribute EXACTLY min(k, |group|) rows

@@ -593,6 +593,11 @@ object Queries {
     // a two-level count; singletons (docs in no pair) enter as the
     // size-1 row so the histogram partitions the WHOLE corpus. All
     // exact integers.
+    // Mixture-temperature planning: α=1/2 flattened per-source sampling
+    // weights + effective epochs (see Curation.mixtureTemperature — the
+    // recipe q112's deterministic sampler would then execute).
+    "q283_mixture_temperature" -> ((s, dir) =>
+      Curation.mixtureTemperature(tbl(s, dir, "documents"), "source", "text")),
     // E16 spectral primitive: top principal component of the embedding
     // cloud by in-plan power iteration (see Sim.pcaPower — two
     // matrix-vector products per round as dim-/vec-keyed shuffles, no
@@ -2843,6 +2848,25 @@ object Queries {
     "q124_pagerank" -> pageRankOracle,
     "q270_personalized_pagerank" -> pprOracle,
     "q279_pca_power" -> pcaOracle,
+    // Same exact token counts, same fixed-order shares/sqrt, the α-
+    // normalizer on the dsum route.
+    "q283_mixture_temperature" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+        |sh AS (SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS raw_share,
+        |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)) AS wraw, tt
+        |  FROM per CROSS JOIN tot),
+        |z AS (SELECT CAST(CAST(SUM(CAST(CAST(wraw AS VARCHAR) AS DECIMAL(38,12)))
+        |  AS VARCHAR) AS DOUBLE) AS z FROM sh)
+        |SELECT source, n_docs, n_tokens, round(raw_share, 6) AS raw_share,
+        |  round(wraw / z, 6) AS weight,
+        |  round((wraw / z) * CAST(tt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS eff_epochs
+        |FROM sh CROSS JOIN z ORDER BY source""".stripMargin,
     // Same window enumeration (DuckDB's 1-based inclusive list slice ≡
     // Spark's slice(ts, i+1, k)), same ≥2-distinct-docs test on the
     // exact gram string, same interval-union via lead(), exact integer

@@ -3390,6 +3390,96 @@ object Queries {
         |        SORT BY l_orderkey)
         |  GROUP BY l_orderkey)""".stripMargin)
 
+  // LOCF (last observation carried forward) — the gap-fill idiom q129's
+  // zero-fill cannot express: per user, the most recent purchase value
+  // propagates across missing days via last(..., ignoreNulls) over an
+  // unbounded-preceding frame (DuckDB: last_value(x IGNORE NULLS)) —
+  // the feature-engineering standard for slowly-changing observations
+  // (price in effect, last known balance). Day grain collapses first
+  // (latest purchase per (user, day), pinned by (ts, event_id)); the
+  // declared result is the per-user fill census with exact micro-unit
+  // checksums, so a wrong carry anywhere changes a sum. The per-user
+  // window is calendar-bounded.
+  def locf(s: SparkSession, dir: String): DataFrame = {
+    val p = events(s, dir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vu"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val daily = p.groupBy("user_id", "day")
+      .agg(max(struct(col("us"), col("event_id"), col("vu"))).as("m"))
+      .select(col("user_id"), col("day"), col("m.vu").as("vu"))
+    val bounds = daily.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+    val spine = daily.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr("sequence(mnd, mxd)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("vu"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("vu").isNotNull, 1L).otherwise(0L)).as("n_obs"),
+        sum(when(col("filled").isNotNull && col("vu").isNull, 1L)
+          .otherwise(0L)).as("n_filled"),
+        coalesce(sum(col("filled")), lit(0L)).as("sum_filled_vu"))
+      .orderBy("user_id")
+  }
+
+  // Offline changepoint localization by one round of binary
+  // segmentation (the batch companion to q170's online CUSUM): for each
+  // event type, the split day maximizing the SSE reduction between the
+  // one-segment and two-segment fits of the daily count series. All
+  // candidate splits are scored in ONE pass — running (k, Σy, Σy²)
+  // prefix moments via a window, totals joined back, each split's cost
+  // a fixed-order expression on exact int64 moments. The argmax rides
+  // the ROUNDED drop with the day tiebreak (the q207 rule: never rank
+  // on a raw double the oracle ranks by alias). O(types × days) rows
+  // end to end.
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(mnd, mxd)")).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = series
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+    val tot = series.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("ty"),
+        sum(col("y") * col("y")).as("tyy"))
+    def sse(n: Column, sy: Column, syy: Column): Column =
+      syy.cast("double") - sy.cast("double") * sy.cast("double") / n.cast("double")
+    val costs = pre.join(tot, "event_type")
+      .where(col("k") < col("n"))
+      .withColumn("sse_drop", round(
+        sse(col("n"), col("ty"), col("tyy"))
+          - (sse(col("k"), col("sy"), col("syy"))
+            + sse(col("n") - col("k"), col("ty") - col("sy"),
+              col("tyy") - col("syy"))), 6))
+    val rw = Window.partitionBy("event_type")
+      .orderBy(col("sse_drop").desc, col("day").asc)
+    costs.withColumn("rn", row_number().over(rw)).where(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("k").as("n_left"), (col("n") - col("k")).as("n_right"),
+        round(col("sy").cast("double") / col("k").cast("double"), 6)
+          .as("mean_left"),
+        round((col("ty") - col("sy")).cast("double")
+          / (col("n") - col("k")).cast("double"), 6).as("mean_right"),
+        col("sse_drop"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
@@ -3544,6 +3634,8 @@ object Queries {
     "q277_distribute_by" -> (distributeBy _),
     "q280_tpch_q3" -> (tpchQ3 _),
     "q281_tpch_q10" -> (tpchQ10 _),
+    "q284_locf" -> (locf _),
+    "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
     "q273_kendall_tau" -> (kendallTau _),
   )
@@ -4621,6 +4713,72 @@ object Queries {
          |  round(fl.lsum / fl.nd, 6) AS log_loss
          |FROM fl CROSS JOIN st""".stripMargin
     },
+    // Same day-collapse (rn=1 by (us, event_id) DESC ≡ the engine's
+    // max-struct pick), same spine, IGNORE NULLS carry, exact checksums.
+    "q284_locf" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vu,
+        |    epoch_us(ts) AS us, event_id
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |daily AS (SELECT user_id, day, vu FROM (
+        |  SELECT user_id, day, vu, row_number() OVER (
+        |    PARTITION BY user_id, day ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM p) WHERE rn = 1),
+        |b AS (SELECT min(day) AS mnd, max(day) AS mxd FROM daily),
+        |spine AS (SELECT u.user_id, gs.day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u
+        |  CROSS JOIN (SELECT unnest(generate_series(mnd, mxd)) AS day FROM b) gs),
+        |j AS (SELECT s.user_id, s.day, d.vu,
+        |  last_value(d.vu IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled
+        |  FROM spine s LEFT JOIN daily d
+        |  ON d.user_id = s.user_id AND d.day = s.day)
+        |SELECT user_id, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN vu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_obs,
+        |  CAST(sum(CASE WHEN filled IS NOT NULL AND vu IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_filled,
+        |  CAST(coalesce(sum(filled), 0) AS BIGINT) AS sum_filled_vu
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same zero-filled series, same exact prefix moments, same
+    // fixed-order SSE expressions, argmax on the rounded drop with the
+    // day tiebreak.
+    "q285_changepoint" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS mnd, max(day) AS mxd FROM daily),
+        |spine AS (SELECT et.event_type, gs.day
+        |  FROM (SELECT DISTINCT event_type FROM daily) et
+        |  CROSS JOIN (SELECT unnest(generate_series(mnd, mxd)) AS day FROM b) gs),
+        |series AS (SELECT s.event_type, s.day, coalesce(d.y, 0) AS y
+        |  FROM spine s LEFT JOIN daily d
+        |  ON d.event_type = s.event_type AND d.day = s.day),
+        |pre AS (SELECT event_type, day,
+        |  count(*) OVER w AS k, CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |  CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        |  FROM series WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS ty,
+        |  CAST(sum(y * y) AS BIGINT) AS tyy FROM series GROUP BY 1),
+        |costs AS (SELECT pre.event_type, day, k, sy, n, ty,
+        |  round((CAST(tyy AS DOUBLE) - CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |        / CAST(k AS DOUBLE))
+        |      + (CAST(tyy - syy AS DOUBLE)
+        |        - CAST(ty - sy AS DOUBLE) * CAST(ty - sy AS DOUBLE)
+        |          / CAST(n - k AS DOUBLE))), 6) AS sse_drop
+        |  FROM pre JOIN tot ON tot.event_type = pre.event_type
+        |  WHERE k < n),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY sse_drop DESC, day ASC) AS rn FROM costs)
+        |SELECT event_type, day AS split_day, k AS n_left, n - k AS n_right,
+        |  round(CAST(sy AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_left,
+        |  round(CAST(ty - sy AS DOUBLE) / CAST(n - k AS DOUBLE), 6)
+        |    AS mean_right,
+        |  sse_drop
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // The same star join; DuckDB TIMESTAMP literals, VARCHAR-routed
     // revenue, identical tiebroken top-10.
     "q280_tpch_q3" ->
