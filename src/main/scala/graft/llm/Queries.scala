@@ -1266,6 +1266,10 @@ object Queries {
     // fastText-style linear classifier filter: σ(w·x + b) over cheap
     // per-doc features with literal weights (production swaps in a
     // broadcast weight table; the plan is unchanged)
+    // In-plan multinomial naive Bayes: train on even doc_ids, score
+    // odd, confusion matrix out (see TextAnalysis.naiveBayes scaladoc)
+    "q291_naive_bayes" -> ((s, dir) =>
+      TextAnalysis.naiveBayes(tbl(s, dir, "documents"))),
     "q88_linear_score" -> ((s, dir) =>
       TextAnalysis.linearScore(tbl(s, dir, "documents"))),
     // PII/URL scrub. The synthetic corpus carries no PII (verified:
@@ -2438,6 +2442,44 @@ object Queries {
          |FROM documents
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dups)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Naive Bayes twin: identical split / smoothing / DECIMAL(38,12)
+    // lattice for every ln() term; argmax over the rounded score with
+    // the class-name tiebreak (the top-K rule).
+    "q291_naive_bayes" ->
+      """WITH tok AS (SELECT doc_id, lang, t AS tok FROM
+        |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  WHERE t <> ''),
+        |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |test AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+        |pri AS (SELECT lang AS cls, count(*) AS n_cls FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_train FROM documents WHERE doc_id % 2 = 0),
+        |tc AS (SELECT lang AS cls, tok, count(*) AS cnt FROM train GROUP BY 1, 2),
+        |ct AS (SELECT cls, sum(cnt) AS tot FROM tc GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM train),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |grid AS (SELECT ct.cls, vocab.tok,
+        |    CAST(CAST(ln((COALESCE(tc.cnt, 0) + 1.0) / (ct.tot + vs.v)) AS VARCHAR)
+        |      AS DECIMAL(38,12)) AS logp
+        |  FROM vocab CROSS JOIN ct
+        |  LEFT JOIN tc ON tc.cls = ct.cls AND tc.tok = vocab.tok
+        |  CROSS JOIN vs),
+        |pl AS (SELECT cls,
+        |    CAST(CAST(ln(CAST(n_cls AS DOUBLE) / n_train) AS VARCHAR)
+        |      AS DECIMAL(38,12)) AS pdec
+        |  FROM pri CROSS JOIN nt),
+        |sc AS (SELECT test.doc_id, test.lang, grid.cls, SUM(grid.logp) AS sdec
+        |  FROM test JOIN grid ON test.tok = grid.tok
+        |  GROUP BY test.doc_id, test.lang, grid.cls),
+        |sc2 AS (SELECT doc_id, lang, sc.cls,
+        |    round(CAST(CAST((sdec + pdec) AS VARCHAR) AS DOUBLE), 6) AS score
+        |  FROM sc JOIN pl ON sc.cls = pl.cls),
+        |win AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc2)
+        |SELECT lang, cls AS pred, count(*) AS n_docs,
+        |  round(CAST(CAST(SUM(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,12)))
+        |    AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_score
+        |FROM win WHERE rn = 1 GROUP BY lang, cls ORDER BY lang, pred""".stripMargin,
     // Same features, same weight literals, same evaluation order;
     // round(6) absorbs libm exp drift.
     "q88_linear_score" ->

@@ -586,6 +586,77 @@ object TextAnalysis {
             * (col("k") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** In-plan multinomial naive Bayes language classifier (Laplace
+    * smoothing) — the classic counts-only text classifier, trained and
+    * scored entirely as one declarative plan (the supervised sibling of
+    * [[unigramLogProb]]'s LM and `linearScore`'s fixed-weight filter;
+    * production curation pipelines train exactly this shape for cheap
+    * doc-level routing, cf. Joulin et al., "Bag of Tricks for Efficient
+    * Text Classification", EACL 2017 — fastText's count base).
+    *
+    * Train on even doc_ids, score odd ones (disjoint halves, no
+    * leakage): per-class token counts + class totals + vocab size give
+    * the smoothed conditionals ln((cnt+1)/(tot+V)); doc score per class
+    * = Σ token conditionals + ln prior; prediction = argmax. Output is
+    * the confusion matrix (true lang × predicted) with the exact-route
+    * mean winning score.
+    *
+    * Cross-engine float discipline: every ln() is truncated to
+    * DECIMAL(38,12) before accumulation (the q58 route), the prior
+    * joins the same DECIMAL lattice, and the argmax orders by the
+    * ROUNDED score with the class name as tiebreak — the verify-skill
+    * top-K rule.
+    *
+    * Scale: two hash-aggs over the train token stream (token×class
+    * counts, class totals — map-side partial); the conditional grid is
+    * O(V·C) rows, equi-joined to the test token stream on `tok` (AQE
+    * splits hot tokens); priors and V broadcast as 1-row/C-row sides;
+    * the argmax is a C-row window per doc. Nothing is driver-side;
+    * tokens unseen in training are dropped by the inner join (the
+    * standard closed-vocabulary convention), which the oracle mirrors. */
+  def naiveBayes(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(toks(col("text"))).as("tok"))
+    val train = tok.where(pmod(col("doc_id"), lit(2L)) === 0L)
+    val test = tok.where(pmod(col("doc_id"), lit(2L)) === 1L)
+    // Priors from the documents table itself (not the token stream —
+    // a token-free doc still counts toward its class).
+    val trainDocs = docs.where(pmod(col("doc_id"), lit(2L)) === 0L)
+    val priors = trainDocs.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_cls"))
+    val nTrain = trainDocs.agg(count(lit(1)).as("n_train"))
+    val tc = train.groupBy(col("lang").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTot = tc.groupBy("cls").agg(sum(col("cnt")).as("tot"))
+    val vocab = train.select("tok").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    // Dense V×C conditional grid: every class scores every vocab token.
+    val grid = vocab.crossJoin(broadcast(classTot))
+      .join(tc, Seq("cls", "tok"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("cls"), col("tok"),
+        log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0)
+          / (col("tot") + col("v")).cast("double"))
+          .cast("decimal(38,12)").as("logp"))
+    val scored = test.join(grid, Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum(col("logp")).as("sumlogp"))
+      .join(broadcast(priors), Seq("cls"))
+      .crossJoin(broadcast(nTrain))
+      .select(col("doc_id"), col("lang"), col("cls"),
+        round((col("sumlogp")
+          + log(col("n_cls").cast("double") / col("n_train").cast("double"))
+            .cast("decimal(38,12)")).cast("double"), 6).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("lang"), col("cls").as("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(graft.rel.Queries.dsum(col("score")) / count(lit(1)), 6)
+          .as("avg_score"))
+      .orderBy("lang", "pred")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -238,6 +238,124 @@ object Queries {
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin)
 
+  // TPC-H Q2 (minimum-cost supplier), shaped to the fixture schema: the
+  // partsupp association is derived from shipment history (DISTINCT
+  // l_partkey, l_suppkey — the fixture has no partsupp table) and
+  // s_acctbal stands in for ps_supplycost. The point of the row is the
+  // CORRELATED SCALAR AGGREGATE over a multi-table join: for each PROMO
+  // part, only the EUROPE supplier(s) at the per-part minimum survive.
+  // Catalyst decorrelates the subquery into an aggregate-then-join on
+  // l_partkey; region/nation broadcast on both sides; the top-100 plans
+  // as TakeOrderedAndProject. acctbal carries 2 decimals, so round(.,6)
+  // is lossless and the DESC order (with n_name/s_name/p_partkey
+  // tiebreaks) is a total order on both engines.
+  def tpchQ2(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_type = 'PROMO' AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  AND s_acctbal = (SELECT min(s_acctbal)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+
+  // TPC-H Q17 (small-quantity-order revenue): lines of one brand+type
+  // whose quantity is below 20% of that part's own average — the
+  // correlated-aggregate-as-filter shape (Catalyst decorrelates to a
+  // per-part avg aggregate joined back to the fact). The threshold is
+  // engineered for cross-engine bit-parity: exact DECIMAL(38,12) sum
+  // cast to double, then 0.2*sum/count in identical IEEE order, so the
+  // `<` boundary admits the same rows on both engines. Single-row
+  // output; n_lines pins the surviving row set, not just the sum.
+  def tpchQ17(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT count(*) AS n_lines,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) / 7.0, 6)
+        |    AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        |  AND l_quantity < (SELECT
+        |      0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+
+  // TPC-H Q18 (large-volume customers): orders whose total quantity
+  // exceeds a threshold, re-joined to their customer — the IN-subquery-
+  // with-HAVING shape (planned as an aggregate + left-semi join feeding
+  // the star join). The HAVING compares an exact DECIMAL sum to an
+  // integer literal, so the qualifying order set is bit-deterministic;
+  // totalprice carries 2 decimals so round(.,6) is lossless and the
+  // DESC/orderkey order is total.
+  def tpchQ18(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 6) AS o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,12))) > 180)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+
+  // TPC-H Q21 (suppliers who kept orders waiting), shaped to the
+  // fixture (no commit/receipt dates: a line is "late" when it shipped
+  // more than 90 days after the order date). The EXISTS + NOT EXISTS
+  // pair with a non-equality correlated conjunct (l2.l_suppkey <>
+  // l1.l_suppkey) is the classic decorrelation stress test — Spark
+  // plans them as left-semi and null-tolerant left-anti joins on
+  // l_orderkey with the <> as a join residual. The `ll` CTE (fact-fact
+  // lineitem⋈orders lateness flags) is referenced three times and
+  // inlined into each; at 100 TB a production run materializes it once
+  // (the q266 staging rule) — here the three probes ARE the operator
+  // under test. Counts only, so no float discipline needed.
+  def tpchQ21(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """WITH ll AS (SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN ll l1 ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.late AND n_name IN ('NATION_3', 'NATION_7')
+        |  AND EXISTS (SELECT 1 FROM ll l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ll l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+
+  // TPC-H Q22 (global sales opportunity), shaped to the fixture:
+  // c_mktsegment stands in for the phone-prefix country bucket, and
+  // "never placed an order" becomes "no order since 2000-01-01" (every
+  // synthetic customer has SOME order). Combines an uncorrelated scalar
+  // aggregate (the above-average-balance threshold — one broadcast
+  // scalar both engines compute to the same double via the DECIMAL
+  // route) with a correlated NOT EXISTS anti join carrying a pushed
+  // date predicate. Three output rows, each pinning count + exact sum.
+  def tpchQ22(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT c_mktsegment AS segment, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+        |  AND c_acctbal > (SELECT
+        |      CAST(SUM(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0.0
+        |      AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+
   // NOT IN under three-valued logic — the semantics trap every SQL
   // engine must honor and Spark plans as a dedicated physical operator
   // (null-aware anti join): `x NOT IN (subquery)` is FALSE-or-UNKNOWN
@@ -3634,6 +3752,11 @@ object Queries {
     "q277_distribute_by" -> (distributeBy _),
     "q280_tpch_q3" -> (tpchQ3 _),
     "q281_tpch_q10" -> (tpchQ10 _),
+    "q286_tpch_q2" -> (tpchQ2 _),
+    "q287_tpch_q17" -> (tpchQ17 _),
+    "q288_tpch_q18" -> (tpchQ18 _),
+    "q289_tpch_q21" -> (tpchQ21 _),
+    "q290_tpch_q22" -> (tpchQ22 _),
     "q284_locf" -> (locf _),
     "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
@@ -4809,6 +4932,77 @@ object Queries {
          |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+    // Q2: identical text — min() of stored doubles is exact, so the
+    // correlated equality admits the same suppliers on both engines.
+    "q286_tpch_q2" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_type = 'PROMO' AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  AND s_acctbal = (SELECT min(s_acctbal)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q17: both the output sum and the correlated threshold ride the
+    // VARCHAR-routed DECIMAL path so the < boundary is bit-identical.
+    "q287_tpch_q17" ->
+      s"""SELECT count(*) AS n_lines,
+         |  round(${dsumSql("l_extendedprice")} / 7.0, 6) AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+         |  AND l_quantity < (SELECT 0.2 * ${dsumSql("l2.l_quantity")} / count(*)
+         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // Q18: the HAVING threshold compares an exact DECIMAL sum on both
+    // engines (no VARCHAR crossing needed for the comparison — DuckDB's
+    // double→DECIMAL cast drift only matters when the decimal is cast
+    // BACK to double; here quantities are small integers-in-doubles and
+    // the VARCHAR route keeps the habit anyway).
+    "q288_tpch_q18" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  round(o_totalprice, 6) AS o_totalprice,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey
+         |  HAVING SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,12))) > 180)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
+    // Q21: identical text — counts only, date arithmetic is exact.
+    "q289_tpch_q21" ->
+      """WITH ll AS (SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN ll l1 ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.late AND n_name IN ('NATION_3', 'NATION_7')
+        |  AND EXISTS (SELECT 1 FROM ll l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ll l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    // Q22: scalar threshold and output sums on the VARCHAR route.
+    "q290_tpch_q22" ->
+      s"""SELECT c_mktsegment AS segment, count(*) AS numcust,
+         |  ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+         |  AND c_acctbal > (SELECT ${dsumSql("c_acctbal")} / count(*)
+         |    FROM customer WHERE c_acctbal > 0.0
+         |      AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     // The identical modern-SQL text (VALUES dimension, GROUP BY ALL,
     // ORDER BY ALL) with the revenue sum on the DuckDB VARCHAR route.
     "q275_modern_sql" ->

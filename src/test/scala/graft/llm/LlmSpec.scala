@@ -606,6 +606,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(0L -> "en", 1L -> "de", 2L -> "es"))
   }
 
+  test("naiveBayes matches a plain-Scala recompute on a hand fixture") {
+    // train (even ids): class x emits mostly 'a', class y mostly 'b'
+    val fix = Seq(
+      (0L, "a a b", "x"), (2L, "a a a", "x"), (4L, "b b a", "y"),
+      (6L, "b b b", "y"),
+      // test (odd ids)
+      (1L, "a a", "x"), (3L, "b b", "y"), (5L, "a b", "x"),
+      (7L, "b a b", "x"))
+      .toDF("doc_id", "text", "lang")
+    // plain-Scala recompute with the operator's own float discipline:
+    // each ln truncated to 12 dp before summation, output rounded to 6
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val train = Map("x" -> Seq("a", "a", "b", "a", "a", "a"),
+      "y" -> Seq("b", "b", "a", "b", "b", "b"))
+    val vocab = Seq("a", "b")
+    val priors = Map("x" -> 2, "y" -> 2) // train docs per class
+    def score(tokens: Seq[String], cls: String): Double = {
+      val cnt = train(cls).groupBy(identity).view.mapValues(_.size).toMap
+      val tot = train(cls).size
+      val s = tokens.filter(vocab.contains).map { t =>
+        d12(math.log((cnt.getOrElse(t, 0) + 1.0) / (tot + vocab.size)))
+      }.sum + d12(math.log(priors(cls).toDouble / 4.0))
+      (s.setScale(6, BigDecimal.RoundingMode.HALF_UP)).toDouble
+    }
+    val tests = Map(1L -> Seq("a", "a"), 3L -> Seq("b", "b"),
+      5L -> Seq("a", "b"), 7L -> Seq("b", "a", "b"))
+    val expectPred = tests.map { case (id, ts) =>
+      id -> Seq("x", "y").map(c => (c, score(ts, c)))
+        .sortBy { case (c, sc) => (-sc, c) }.head._1
+    }
+    // doc1 -> x, doc3 -> y, doc7 -> y by construction
+    assert(expectPred(1L) == "x" && expectPred(3L) == "y"
+      && expectPred(7L) == "y")
+    val trueLang = Map(1L -> "x", 3L -> "y", 5L -> "x", 7L -> "x")
+    val expectConfusion = expectPred.toSeq
+      .map { case (id, p) => (trueLang(id), p) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TextAnalysis.naiveBayes(fix).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expectConfusion, s"engine=$got brute=$expectConfusion")
+  }
+
+  test("naiveBayes confusion rows cover every scored test doc") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = TextAnalysis.naiveBayes(corpus).collect()
+    val scored = out.map(_.getLong(2)).sum
+    val odd = corpus.where(pmod(col("doc_id"), lit(2L)) === 1L).count()
+    // every odd doc with at least one train-vocab token gets exactly
+    // one prediction; the synthetic corpus' 31-token vocab means all do
+    assert(scored == odd, s"$scored scored vs $odd odd docs")
+    val langs = corpus.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(out.map(_.getString(1)).toSet.subsetOf(langs))
+  }
+
   test("fingerprint is stable and order-sensitive") {
     val a = TextAnalysis.fingerprint(Seq((0L, "a b c")).toDF("doc_id", "text"))
       .collect().head.getLong(1)

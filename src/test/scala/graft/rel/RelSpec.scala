@@ -349,4 +349,123 @@ class RelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(got == expect, s"engine=${got.size} brute=${expect.size}")
   }
+
+  test("q289 TPC-H Q21 equals the plain-Scala waiting-supplier count") {
+    // fixture timestamps are µs-NTZ: rows carry LocalDateTime
+    def ms(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> ms(r, 1)).toMap
+    val lines = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), ms(r, 2)))
+    val late = lines.map { case (ok, sk, ship) =>
+      (ok, sk, ship > orders(ok) + 90L * 86400000L)
+    }
+    val byOrder = late.groupBy(_._1)
+    val suppNation = {
+      val nat = spark.read.parquet(s"$sf0001/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      spark.read.parquet(s"$sf0001/supplier.parquet")
+        .select("s_suppkey", "s_name", "s_nationkey").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), nat(r.getInt(2))))).toMap
+    }
+    val expect = late.filter { case (ok, sk, isLate) =>
+      val (_, nName) = suppNation(sk)
+      isLate && Set("NATION_3", "NATION_7").contains(nName) && {
+        val others = byOrder(ok).filter(_._2 != sk)
+        others.nonEmpty && !others.exists(_._3)
+      }
+    }.groupBy(t => suppNation(t._2)._1).view.mapValues(_.length.toLong).toMap
+    val got = Queries.tpchQ21(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"engine=$got brute=$expect")
+  }
+
+  test("q287 TPC-H Q17 equals the plain-Scala small-quantity revenue") {
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .where(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val lines = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val byPart = lines.groupBy(_._1)
+    val survivors = lines.filter { case (pk, qty, _) =>
+      parts.contains(pk) && {
+        val g = byPart(pk)
+        // same arithmetic route: exact decimal sum -> double, *0.2, /n
+        val thr = 0.2 * g.map(t => BigDecimal(t._2)).sum.toDouble / g.length
+        qty < thr
+      }
+    }
+    val row = Queries.tpchQ17(spark, sf0001).collect().head
+    assert(row.getLong(0) == survivors.length.toLong,
+      s"n_lines ${row.getLong(0)} vs ${survivors.length}")
+    if (survivors.isEmpty) assert(row.isNullAt(1)) // sf0.001 may select none
+    else {
+      val expectAvg = survivors.map(t => BigDecimal(t._3)).sum.toDouble / 7.0
+      assert(math.abs(row.getDouble(1) - expectAvg) < 1e-5,
+        s"avg_yearly ${row.getDouble(1)} vs $expectAvg")
+    }
+  }
+
+  test("q286 TPC-H Q2: every row sits at its part's EUROPE minimum") {
+    val rows = Queries.tpchQ2(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // recompute each part's min EUROPE acctbal independently
+    val nat = spark.read.parquet(s"$sf0001/nation.parquet").collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val eur = spark.read.parquet(s"$sf0001/region.parquet").collect()
+      .collectFirst { case r if r.getString(1) == "EUROPE" => r.getInt(0) }.get
+    val supp = spark.read.parquet(s"$sf0001/supplier.parquet").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), nat(r.getInt(2))))).toMap
+    val ps = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minByPart = ps.groupBy(_._1).view.mapValues { links =>
+      val bals = links.map(_._2).filter(sk => supp(sk)._2 == eur)
+        .map(sk => supp(sk)._1)
+      if (bals.isEmpty) Double.NaN else bals.min
+    }.toMap
+    rows.foreach { r =>
+      val pk = r.getLong(3)
+      assert(r.getDouble(0) == minByPart(pk),
+        s"part $pk: ${r.getDouble(0)} vs min ${minByPart(pk)}")
+    }
+  }
+
+  test("q288 TPC-H Q18 and q290 TPC-H Q22 invariants") {
+    val q18 = Queries.tpchQ18(spark, sf0001).collect()
+    assert(q18.nonEmpty)
+    q18.foreach(r => assert(r.getDouble(5) > 180.0, r.toString))
+    // sum_qty recomputed per order from the raw fact
+    val qtyByOrder = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => BigDecimal(r.getDouble(1))).sum.toDouble).toMap
+    q18.foreach(r => assert(r.getDouble(5) == qtyByOrder(r.getLong(2)), r.toString))
+
+    val q22 = Queries.tpchQ22(spark, sf0001).collect()
+    assert(q22.nonEmpty)
+    // every counted customer is above the segment-pool average and
+    // placed no order on/after 2000-01-01
+    val cutoff = java.time.LocalDateTime.parse("2000-01-01T00:00:00")
+    val recent = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey", "o_orderdate").collect()
+      .filter(r => !r.getAs[java.time.LocalDateTime](1).isBefore(cutoff))
+      .map(_.getLong(0)).toSet
+    val segs = Set("BUILDING", "AUTOMOBILE", "MACHINERY")
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .filter(t => segs.contains(t._3))
+    val pool = cust.filter(_._2 > 0.0)
+    val avg = pool.map(t => BigDecimal(t._2)).sum.toDouble / pool.length
+    val expect = cust.filter(t => t._2 > avg && !recent.contains(t._1))
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(q22.map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+  }
 }
