@@ -1270,6 +1270,13 @@ object Queries {
     // odd, confusion matrix out (see TextAnalysis.naiveBayes scaladoc)
     "q291_naive_bayes" -> ((s, dir) =>
       TextAnalysis.naiveBayes(tbl(s, dir, "documents"))),
+    // CART depth-1 split search as one declarative plan (see
+    // TextAnalysis.decisionStump scaladoc)
+    "q292_decision_stump" -> ((s, dir) =>
+      TextAnalysis.decisionStump(tbl(s, dir, "documents"))),
+    // MOSS winnowing fingerprint selection (see TextAnalysis.winnow)
+    "q293_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnow(tbl(s, dir, "documents"), k = 3, w = 4)),
     "q88_linear_score" -> ((s, dir) =>
       TextAnalysis.linearScore(tbl(s, dir, "documents"))),
     // PII/URL scrub. The synthetic corpus carries no PII (verified:
@@ -2480,6 +2487,57 @@ object Queries {
         |  round(CAST(CAST(SUM(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,12)))
         |    AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_score
         |FROM win WHERE rn = 1 GROUP BY lang, cls ORDER BY lang, pred""".stripMargin,
+    // Stump twin: identical prefix-sum candidate sweep, identical
+    // double expression tree from exact integer counts, argmin on the
+    // rounded impurity with the threshold tiebreak.
+    "q292_decision_stump" ->
+      """WITH pts AS (SELECT n_chars AS x,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |b AS (SELECT x, count(*) AS n, sum(y) AS p FROM pts GROUP BY x),
+        |c AS (SELECT x,
+        |    sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln,
+        |    sum(p) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+        |  FROM b),
+        |tt AS (SELECT count(*) AS nn, sum(y) AS pp FROM pts),
+        |cand AS (SELECT * FROM c CROSS JOIN tt WHERE ln < nn),
+        |sc AS (SELECT x AS threshold,
+        |    CAST(ln AS DOUBLE) AS lnd, CAST(lp AS DOUBLE) AS lpd,
+        |    CAST(nn - ln AS DOUBLE) AS rnd, CAST(pp - lp AS DOUBLE) AS rpd,
+        |    CAST(nn AS DOUBLE) AS nnd, CAST(pp AS DOUBLE) AS ppd,
+        |    CAST(ln AS BIGINT) AS left_n, CAST(lp AS BIGINT) AS left_pos,
+        |    CAST(nn - ln AS BIGINT) AS right_n, CAST(pp - lp AS BIGINT) AS right_pos
+        |  FROM cand),
+        |g AS (SELECT threshold, left_n, left_pos, right_n, right_pos,
+        |    (lnd / nnd) * (1.0 - (lpd / lnd) * (lpd / lnd)
+        |      - ((lnd - lpd) / lnd) * ((lnd - lpd) / lnd))
+        |    + (rnd / nnd) * (1.0 - (rpd / rnd) * (rpd / rnd)
+        |      - ((rnd - rpd) / rnd) * ((rnd - rpd) / rnd)) AS wg,
+        |    1.0 - (ppd / nnd) * (ppd / nnd)
+        |      - ((nnd - ppd) / nnd) * ((nnd - ppd) / nnd) AS parent
+        |  FROM sc)
+        |SELECT threshold, round(wg, 6) AS gini, round(parent - wg, 6) AS gain,
+        |  left_n, left_pos, right_n, right_pos
+        |FROM g ORDER BY gini ASC, threshold ASC LIMIT 1""".stripMargin,
+    // Winnowing twin: same FNV k-gram hashes, same window containment
+    // explode, same rightmost-min row_number, same dedupe — integer
+    // arithmetic end to end.
+    "q293_winnowing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+         |g AS (SELECT doc_id, len(ts) - 2 AS nk, ts FROM t WHERE len(ts) >= 3),
+         |kgp AS (SELECT doc_id, nk, ts, unnest(range(nk)) AS j FROM g),
+         |kg AS (SELECT doc_id, nk, j,
+         |    ${fnvSql("array_to_string(ts[j+1:j+3], ' ')")} AS h FROM kgp),
+         |win AS (SELECT doc_id, nk, j, h,
+         |    unnest(range(greatest(0, j - 3), least(j, greatest(0, nk - 4)) + 1)) AS i
+         |  FROM kg),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id, i ORDER BY h ASC, j DESC) AS rn FROM win),
+         |sel AS (SELECT DISTINCT doc_id, nk, j, h FROM r WHERE rn = 1)
+         |SELECT doc_id, CAST(max(nk) AS BIGINT) AS n_kgrams,
+         |  count(*) AS n_fps, min(h) AS min_fp,
+         |  round(CAST(count(*) AS DOUBLE) / max(nk), 6) AS density
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same features, same weight literals, same evaluation order;
     // round(6) absorbs libm exp drift.
     "q88_linear_score" ->

@@ -657,6 +657,110 @@ object TextAnalysis {
       .orderBy("lang", "pred")
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): hash every k-token k-gram, slide a
+    * window of `w` consecutive hashes, keep the RIGHTMOST minimum of
+    * each window, and dedupe the selected (position, hash) pairs. The
+    * guarantee that makes it the plagiarism/near-dup standard: any
+    * shared substring of ≥ w+k−1 tokens yields at least one shared
+    * fingerprint, while only ~2/(w+1) of the k-grams are kept.
+    *
+    * Layout: per (doc, k-gram position j, FNV hash h), each j is
+    * exploded into the ≤ w windows containing it (windows start at
+    * i ∈ [0, max(0, nk−w)]; a short doc gets the single window that
+    * covers everything), the per-window rightmost-min is a
+    * row_number over (h asc, j desc), and survivors dedupe on j.
+    * Everything is integer/hash arithmetic — bit-portable, no float
+    * discipline needed.
+    *
+    * Scale: k-gram hashing is a per-row codegen'd transform (no
+    * self-join); the ≤ w× window explode is bounded fanout; the one
+    * shuffle keys on (doc_id, window) — fingerprint selection is
+    * embarrassingly parallel per document, exactly why winnowing is
+    * the 100 TB fingerprinter. Output: (doc_id, n_kgrams, n_fps,
+    * density). */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val seed = graft.functions.Fnv1a32.Seed
+    val kg = docs
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"), (size(col("ts")) - lit(k - 1)).as("nk"),
+        posexplode(expr(
+          s"transform(sequence(1, size(ts) - ${k - 1}), " +
+            s"p -> fnv1a32(concat_ws(' ', slice(ts, p, $k)), ${seed}L))")))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "h")
+    // windows containing position j: i in [max(0, j-w+1), min(j, nk-w)]
+    val lastStart = greatest(lit(0), col("nk") - lit(w))
+    val windows = kg.select(col("doc_id"), col("nk"), col("j"), col("h"),
+      explode(sequence(
+        greatest(lit(0), col("j") - lit(w - 1)),
+        least(col("j"), lastStart))).as("i"))
+    val sel = windows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "i")
+          .orderBy(col("h").asc, col("j").desc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("nk"), col("j"), col("h")).distinct()
+    sel.groupBy("doc_id")
+      .agg(max(col("nk")).cast("long").as("n_kgrams"),
+        count(lit(1)).as("n_fps"),
+        min(col("h")).as("min_fp"))
+      .withColumn("density",
+        round(col("n_fps").cast("double") / col("n_kgrams"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** One-round decision-stump induction (the CART split search, depth
+    * 1): over labelled points (x = n_chars, y = doc is English), find
+    * the threshold minimizing weighted Gini impurity — the inner loop
+    * of every tree/GBDT trainer, run as ONE declarative plan instead
+    * of a driver-side sweep.
+    *
+    * The search is a cumulative-count trick: group points by distinct
+    * x (candidate thresholds), running (count, positives) prefix sums
+    * over the sorted distinct values give each split's left/right
+    * class totals in one pass, and the Gini of every candidate is
+    * plain arithmetic on those exact integers. Argmin orders by the
+    * ROUNDED impurity with the threshold as tiebreak.
+    *
+    * Scale: one hash-agg to distinct values (map-side partial), one
+    * sort over DISTINCT x (≪ rows — production pre-bins continuous
+    * features exactly like this), totals broadcast; nothing driver-
+    * side. All doubles derive from exact longs through an identical
+    * expression tree on both engines. */
+  def decisionStump(docs: DataFrame): DataFrame = {
+    val pts = docs.select(col("n_chars").as("x"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val byX = pts.groupBy("x")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val cw = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byX.select(col("x"),
+      sum(col("n")).over(cw).as("ln"), sum(col("p")).over(cw).as("lp"))
+    val tot = pts.agg(count(lit(1)).as("nn"), sum(col("y")).as("pp"))
+    val cand = cum.crossJoin(broadcast(tot)).where(col("ln") < col("nn"))
+    val lnd = col("ln").cast("double"); val lpd = col("lp").cast("double")
+    val rnd = (col("nn") - col("ln")).cast("double")
+    val rpd = (col("pp") - col("lp")).cast("double")
+    val nnd = col("nn").cast("double"); val ppd = col("pp").cast("double")
+    val gl = lit(1.0) - (lpd / lnd) * (lpd / lnd) -
+      ((lnd - lpd) / lnd) * ((lnd - lpd) / lnd)
+    val gr = lit(1.0) - (rpd / rnd) * (rpd / rnd) -
+      ((rnd - rpd) / rnd) * ((rnd - rpd) / rnd)
+    val wg = (lnd / nnd) * gl + (rnd / nnd) * gr
+    val parent = lit(1.0) - (ppd / nnd) * (ppd / nnd) -
+      ((nnd - ppd) / nnd) * ((nnd - ppd) / nnd)
+    cand.select(col("x").as("threshold"),
+      round(wg, 6).as("gini"), round(parent - wg, 6).as("gain"),
+      col("ln").as("left_n"), col("lp").as("left_pos"),
+      (col("nn") - col("ln")).as("right_n"),
+      (col("pp") - col("lp")).as("right_pos"))
+      .orderBy(col("gini").asc, col("threshold").asc)
+      .limit(1)
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -1484,6 +1484,120 @@ object Queries {
         min(col("cls_n")).as("min_class"))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  // t-closeness audit (Li, Li, Venkatasubramanian, ICDE 2007) — the
+  // distributional upgrade of q184's k-anonymity and q186's
+  // l-diversity: a quasi-identifier class leaks even when diverse if
+  // its sensitive-attribute DISTRIBUTION diverges from the global one.
+  // For the ordered sensitive attribute (acctbal in 1k bands, clamped
+  // to [-1, 9] — 11 buckets), the distance is the ordered-EMD:
+  // mean |prefix-sum of (class share − global share)|. Each share is a
+  // double ratio of exact longs (identical division both engines); the
+  // 11-step prefix sum runs in fixed bucket order under a window; the
+  // final |·| accumulation rides the DECIMAL route so hash-agg order
+  // can't perturb it. Violation = rounded EMD > 0.15.
+  //
+  // Scale: two hash-aggs (class×bucket, global bucket), an 11-row
+  // broadcast for the global distribution, and one (class, bucket)
+  // dense grid via cross join of the distinct classes with the literal
+  // bucket range — no per-row state, no driver loop.
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer").select(
+      col("c_nationkey"), col("c_mktsegment"),
+      greatest(least(floor(col("c_acctbal") / 1000.0).cast("long"),
+        lit(9L)), lit(-1L)).as("bkt"))
+    val global = c.groupBy("bkt").agg(count(lit(1)).as("gn"))
+    val gtot = c.agg(count(lit(1)).as("gt"))
+    val cls = c.groupBy("c_nationkey", "c_mktsegment", "bkt")
+      .agg(count(lit(1)).as("cn"))
+    val clsTot = c.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("ct"))
+    val buckets = s.range(-1, 10).select(col("id").as("bkt"))
+    val grid = clsTot.crossJoin(buckets)
+      .join(cls, Seq("c_nationkey", "c_mktsegment", "bkt"), "left")
+      .join(broadcast(global), Seq("bkt"), "left")
+      .crossJoin(broadcast(gtot))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bkt"),
+        col("ct"),
+        (coalesce(col("cn"), lit(0L)).cast("double") / col("ct")
+          - coalesce(col("gn"), lit(0L)).cast("double") / col("gt"))
+          .as("d"))
+    val cw = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // prefix sum on the DECIMAL lattice: window-sum association is
+    // engine-specific for doubles (DuckDB uses segment trees)
+    grid.withColumn("cum", sum(col("d").cast("decimal(38,12)")).over(cw))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(max(col("ct")).as("n"),
+        round(dsum(abs(col("cum"))) / 10.0, 6).as("emd"))
+      .withColumn("violates", col("emd") > 0.15)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  // Mixture sequential probability ratio test (Johari, Koomen, Pekelis,
+  // Walsh, "Peeking at A/B Tests", KDD 2017 — the always-valid p-value
+  // production experimentation platforms ship so analysts can stop
+  // early without inflating false positives). Per event_type
+  // "experiment": arms by user parity, events in (ts, event_id) order;
+  // at each step the mixture likelihood ratio against H0: δ=0 with a
+  // normal prior τ on the effect is
+  //   log Λ_n = ½·ln(V_n/(V_n+τ)) + δ̂_n²·τ / (2·V_n·(V_n+τ)),
+  // V_n = σ²(1/n_T + 1/n_C), and the always-valid p is the running
+  // min of 1/Λ (capped at 1). σ² is the global exact-moment variance
+  // (DECIMAL sums); running arm counts/sums are window prefix sums on
+  // the DECIMAL lattice, so every double input is bit-identical across
+  // engines and round(.,6) absorbs only libm ln/exp drift. Emitted at
+  // every 200th event per experiment (plus the last), so the output is
+  // the monitoring curve, not 10k rows.
+  //
+  // Scale: one sort-shuffle keyed by event_type (the per-experiment
+  // window), one broadcast of per-experiment moments — the shape of
+  // any always-on experiment monitor; checkpoint thinning bounds the
+  // sink, not the state.
+  def msprt(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("event_id"),
+      col("ts"), col("user_id"), col("value"))
+    val mom = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+      dsum(col("value") * col("value")).as("s2"))
+      .select(col("event_type"),
+        ((col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1).cast("double")).as("var"))
+    val isT = when(pmod(col("user_id"), lit(2L)) === 0L, 1L).otherwise(0L)
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("ts", "event_id")))
+      .withColumn("nt", sum(isT).over(w))
+      .withColumn("nc", sum(lit(1L) - isT).over(w))
+      .withColumn("st", sum(when(pmod(col("user_id"), lit(2L)) === 0L,
+        col("value")).otherwise(lit(0.0)).cast("decimal(38,12)")).over(w))
+      .withColumn("sc", sum(when(pmod(col("user_id"), lit(2L)) =!= 0L,
+        col("value")).otherwise(lit(0.0)).cast("decimal(38,12)")).over(w))
+    val total = Window.partitionBy("event_type")
+    val cp = run.withColumn("last", max(col("rn")).over(total))
+      .where((col("rn") % 200 === 0 || col("rn") === col("last"))
+        && col("nt") > 0 && col("nc") > 0)
+      .join(broadcast(mom), Seq("event_type"))
+    val ntd = col("nt").cast("double"); val ncd = col("nc").cast("double")
+    val delta = col("st").cast("double") / ntd -
+      col("sc").cast("double") / ncd
+    val vn = col("var") * (lit(1.0) / ntd + lit(1.0) / ncd)
+    val tau = col("var")
+    val loglam = lit(0.5) * log(vn / (vn + tau)) +
+      delta * delta * tau / (lit(2.0) * vn * (vn + tau))
+    cp.withColumn("loglam", loglam)
+      .withColumn("runmax", max(col("loglam")).over(
+        Window.partitionBy("event_type").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), col("rn").cast("long").as("n_seen"),
+        col("nt"), col("nc"), round(delta, 6).as("delta"),
+        round(col("loglam"), 6).as("log_lambda"),
+        round(least(lit(1.0), exp(-col("runmax"))), 6).as("p_always_valid"))
+      .orderBy("event_type", "n_seen")
+  }
+
   // Split conformal prediction intervals (Vovk et al., "Algorithmic
   // Learning in a Random World", 2005; the distribution-free coverage
   // guarantee production scorers ship): calibration half (even
@@ -3757,6 +3871,8 @@ object Queries {
     "q288_tpch_q18" -> (tpchQ18 _),
     "q289_tpch_q21" -> (tpchQ21 _),
     "q290_tpch_q22" -> (tpchQ22 _),
+    "q294_t_closeness" -> (tCloseness _),
+    "q295_msprt" -> (msprt _),
     "q284_locf" -> (locf _),
     "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
@@ -4932,6 +5048,88 @@ object Queries {
          |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+    // t-closeness twin: identical clamped banding, identical dense
+    // grid, prefix sums and the |·| accumulation on the DECIMAL
+    // lattice (window-sum association is engine-specific for doubles).
+    "q294_t_closeness" ->
+      s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+         |    greatest(least(CAST(floor(c_acctbal / 1000.0) AS BIGINT), 9), -1) AS bkt
+         |  FROM customer),
+         |gdist AS (SELECT bkt, count(*) AS gn FROM c GROUP BY bkt),
+         |gt AS (SELECT count(*) AS gtot FROM c),
+         |cls AS (SELECT c_nationkey, c_mktsegment, bkt, count(*) AS cn
+         |  FROM c GROUP BY 1, 2, 3),
+         |ctt AS (SELECT c_nationkey, c_mktsegment, count(*) AS ct
+         |  FROM c GROUP BY 1, 2),
+         |bk AS (SELECT unnest(range(-1, 10)) AS bkt),
+         |grid AS (SELECT ctt.c_nationkey, ctt.c_mktsegment, bk.bkt, ctt.ct,
+         |    CAST(COALESCE(cls.cn, 0) AS DOUBLE) / ctt.ct
+         |      - CAST(COALESCE(gdist.gn, 0) AS DOUBLE) / gt.gtot AS d
+         |  FROM ctt CROSS JOIN bk
+         |  LEFT JOIN cls ON cls.c_nationkey = ctt.c_nationkey
+         |    AND cls.c_mktsegment = ctt.c_mktsegment AND cls.bkt = bk.bkt
+         |  LEFT JOIN gdist ON gdist.bkt = bk.bkt
+         |  CROSS JOIN gt),
+         |cum AS (SELECT c_nationkey, c_mktsegment, ct,
+         |    SUM(CAST(CAST(d AS VARCHAR) AS DECIMAL(38,12))) OVER
+         |      (PARTITION BY c_nationkey, c_mktsegment ORDER BY bkt
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+         |  FROM grid),
+         |agg AS (SELECT c_nationkey, c_mktsegment, max(ct) AS n,
+         |    round(${dsumSql("ABS(cs)")} / 10.0, 6) AS emd
+         |  FROM cum GROUP BY 1, 2)
+         |SELECT c_nationkey, c_mktsegment, n, emd, emd > 0.15 AS violates
+         |FROM agg ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // mSPRT twin: identical arm prefix sums on the DECIMAL lattice
+    // (VARCHAR-crossed back to double), identical exact-moment
+    // variance, identical checkpoint thinning; round(6) absorbs
+    // libm ln/exp drift.
+    "q295_msprt" ->
+      s"""WITH ev AS (SELECT event_type, event_id, ts, user_id,
+         |    CAST(value AS DOUBLE) AS value FROM events),
+         |mom AS (SELECT event_type,
+         |    (${dsumSql("value * value")} - ${dsumSql("value")} * ${dsumSql("value")} / count(*))
+         |      / CAST(count(*) - 1 AS DOUBLE) AS var
+         |  FROM ev GROUP BY event_type),
+         |run AS (SELECT event_type, event_id, ts, user_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY event_type ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt,
+         |    SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) OVER
+         |      (PARTITION BY event_type ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc,
+         |    SUM(CAST(CAST(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END
+         |      AS VARCHAR) AS DECIMAL(38,12))) OVER
+         |      (PARTITION BY event_type ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+         |    SUM(CAST(CAST(CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END
+         |      AS VARCHAR) AS DECIMAL(38,12))) OVER
+         |      (PARTITION BY event_type ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc
+         |  FROM ev),
+         |cp AS (SELECT r.*, m.var,
+         |    max(rn) OVER (PARTITION BY r.event_type) AS last
+         |  FROM run r JOIN mom m ON r.event_type = m.event_type),
+         |st2 AS (SELECT event_type, rn, nt, nc,
+         |    CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(nt AS DOUBLE)
+         |      - CAST(CAST(sc AS VARCHAR) AS DOUBLE) / CAST(nc AS DOUBLE) AS delta,
+         |    var * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)) AS vn,
+         |    var AS tau
+         |  FROM cp WHERE (rn % 200 = 0 OR rn = last) AND nt > 0 AND nc > 0),
+         |lam AS (SELECT event_type, rn, nt, nc, delta,
+         |    0.5 * ln(vn / (vn + tau))
+         |      + delta * delta * tau / (2.0 * vn * (vn + tau)) AS loglam
+         |  FROM st2),
+         |mx AS (SELECT *, max(loglam) OVER
+         |    (PARTITION BY event_type ORDER BY rn
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+         |  FROM lam)
+         |SELECT event_type, rn AS n_seen, CAST(nt AS BIGINT) AS nt,
+         |  CAST(nc AS BIGINT) AS nc, round(delta, 6) AS delta,
+         |  round(loglam, 6) AS log_lambda,
+         |  round(least(1.0, exp(-runmax)), 6) AS p_always_valid
+         |FROM mx ORDER BY event_type, n_seen""".stripMargin,
     // Q2: identical text — min() of stored doubles is exact, so the
     // correlated equality admits the same suppliers on both engines.
     "q286_tpch_q2" ->

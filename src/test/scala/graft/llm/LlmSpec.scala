@@ -662,6 +662,81 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSet.subsetOf(langs))
   }
 
+  test("decisionStump finds the perfectly-separating threshold") {
+    val fix = Seq(
+      (0L, 1L, "en"), (1L, 2L, "en"), (2L, 10L, "de"), (3L, 11L, "de"))
+      .toDF("doc_id", "n_chars", "lang")
+    val r = TextAnalysis.decisionStump(fix).collect().head
+    assert(r.getLong(0) == 2L, s"threshold ${r.getLong(0)}") // x <= 2 left
+    assert(r.getDouble(1) == 0.0, s"gini ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.5, s"gain ${r.getDouble(2)}") // parent gini
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L) // left: n=2, pos=2
+    assert(r.getLong(5) == 2L && r.getLong(6) == 0L) // right: n=2, pos=0
+  }
+
+  test("decisionStump partitions the corpus: left + right = all docs") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val r = TextAnalysis.decisionStump(corpus).collect().head
+    assert(r.getLong(3) + r.getLong(5) == corpus.count())
+    val pos = corpus.where(col("lang") === "en").count()
+    assert(r.getLong(4) + r.getLong(6) == pos)
+    assert(r.getDouble(2) >= 0.0) // a best split never increases impurity
+  }
+
+  test("winnow matches the plain-Scala rightmost-min selection") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = "a b c d e f g h"
+    val fix = Seq((0L, text)).toDF("doc_id", "text")
+    val toksA = text.split(" ")
+    val k = 3; val w = 4
+    val hashes = (0 to toksA.length - k).map { j =>
+      graft.functions.Fnv1a32.compute(
+        UTF8String.fromString(toksA.slice(j, j + k).mkString(" ")),
+        graft.functions.Fnv1a32.Seed)
+    }
+    val nk = hashes.length // 6
+    val starts = 0 to math.max(0, nk - w)
+    val sel = starts.map { i =>
+      val win = (i until math.min(i + w, nk)).map(j => (j, hashes(j)))
+      // rightmost minimum: min hash, max position on ties
+      win.minBy { case (j, h) => (h, -j) }
+    }.distinct
+    val got = TextAnalysis.winnow(fix, k, w).collect().head
+    assert(got.getLong(1) == nk.toLong, s"n_kgrams ${got.getLong(1)}")
+    assert(got.getLong(2) == sel.length.toLong,
+      s"n_fps ${got.getLong(2)} vs ${sel.length}")
+    assert(got.getLong(3) == sel.map(_._2).min, "min_fp")
+  }
+
+  test("winnow guarantee: shared run of >= w+k-1 tokens shares a fingerprint") {
+    // two docs sharing a 6-token run (w+k-1 = 6) amid distinct noise
+    val shared = "p q r s t u"
+    val fix = Seq((0L, s"n1 n2 n3 $shared m1 m2"),
+      (1L, s"z1 $shared z2 z3 z4")).toDF("doc_id", "text")
+    // recompute the full selected-(pos,hash) sets per doc
+    import org.apache.spark.unsafe.types.UTF8String
+    def sel(text: String): Set[(Int, Long)] = {
+      val ts = text.split(" "); val k = 3; val w = 4
+      val hs = (0 to ts.length - k).map(j =>
+        graft.functions.Fnv1a32.compute(
+          UTF8String.fromString(ts.slice(j, j + k).mkString(" ")),
+          graft.functions.Fnv1a32.Seed))
+      (0 to math.max(0, hs.length - w)).map { i =>
+        (i until math.min(i + w, hs.length)).map(j => (j, hs(j)))
+          .minBy { case (j, h) => (h, -j) }
+      }.toSet
+    }
+    val s0 = sel(s"n1 n2 n3 $shared m1 m2")
+    val s1 = sel(s"z1 $shared z2 z3 z4")
+    // the winnowing guarantee: a shared hash survives in both docs
+    assert(s0.map(_._2).intersect(s1.map(_._2)).nonEmpty)
+    // and the engine selects exactly these (pos, hash) counts
+    val got = TextAnalysis.winnow(fix, 3, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> s0.size.toLong, 1L -> s1.size.toLong),
+      s"engine=$got brute=(${s0.size}, ${s1.size})")
+  }
+
   test("fingerprint is stable and order-sensitive") {
     val a = TextAnalysis.fingerprint(Seq((0L, "a b c")).toDF("doc_id", "text"))
       .collect().head.getLong(1)

@@ -437,6 +437,74 @@ class RelSpec extends SparkSpec {
     }
   }
 
+  test("q294 t-closeness equals the plain-Scala ordered EMD") {
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def bkt(b: Double): Long =
+      math.max(-1L, math.min(9L, math.floor(b / 1000.0).toLong))
+    val buckets = (-1L to 9L).toSeq
+    val gTot = cust.length
+    val gCnt = cust.groupBy(t => bkt(t._3)).view.mapValues(_.length).toMap
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val expect = cust.groupBy(t => (t._1, t._2)).map { case (key, rows) =>
+      val ct = rows.length
+      val cc = rows.groupBy(t => bkt(t._3)).view.mapValues(_.length).toMap
+      // same lattice: per-bucket share diff truncated to 12 dp,
+      // exact prefix sums, |.| accumulated exactly, /10, round 6
+      var cum = BigDecimal(0)
+      var acc = BigDecimal(0)
+      buckets.foreach { b =>
+        val dd = cc.getOrElse(b, 0).toDouble / ct -
+          gCnt.getOrElse(b, 0).toDouble / gTot
+        cum += d12(dd)
+        acc += d12(cum.abs.toDouble)
+      }
+      key -> (acc.toDouble / 10.0)
+    }
+    val got = Queries.tCloseness(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, emd) =>
+      assert(math.abs(emd - expect(k)) < 1e-6, s"$k: $emd vs ${expect(k)}")
+    }
+  }
+
+  test("q295 mSPRT final checkpoint equals the plain-Scala fold") {
+    def ms(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_type", "event_id", "ts", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), ms(r, 2), r.getLong(3),
+        r.getDouble(4)))
+    val rows = Queries.msprt(spark, sf0001).collect()
+    // p is a probability; the curve is emitted per event_type
+    rows.foreach { r =>
+      val p = r.getDouble(6)
+      assert(p > 0.0 && p <= 1.0, r.toString)
+    }
+    assert(rows.map(_.getString(0)).toSet == ev.map(_._1).toSet)
+    // final checkpoint of each type: arm counts and delta vs the fold
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    ev.groupBy(_._1).foreach { case (tpe, es) =>
+      val ordered = es.sortBy(t => (t._3, t._2))
+      val t = ordered.filter(_._4 % 2 == 0)
+      val c = ordered.filter(_._4 % 2 != 0)
+      val st = t.map(e => d12(e._5)).sum
+      val sc = c.map(e => d12(e._5)).sum
+      val delta = st.toDouble / t.length - sc.toDouble / c.length
+      val last = rows.filter(_.getString(0) == tpe).maxBy(_.getLong(1))
+      assert(last.getLong(1) == ordered.length.toLong)
+      assert(last.getLong(2) == t.length.toLong, s"$tpe nt")
+      assert(last.getLong(3) == c.length.toLong, s"$tpe nc")
+      assert(math.abs(last.getDouble(4) - delta) < 1e-5,
+        s"$tpe delta ${last.getDouble(4)} vs $delta")
+    }
+  }
+
   test("q288 TPC-H Q18 and q290 TPC-H Q22 invariants") {
     val q18 = Queries.tpchQ18(spark, sf0001).collect()
     assert(q18.nonEmpty)
