@@ -645,6 +645,48 @@ object Dedup {
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
   }
 
+  /** Shingle-CONTAINMENT self-join — the asymmetric-duplication signal
+    * Jaccard misses: a short document wholly embedded in a long one
+    * (quote farms, aggregation pages, prompt+completion pairs) has
+    * containment |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard ≈ |A|/|B|
+    * can be arbitrarily small. Lee et al. ("Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022) dedupe on exactly
+    * this superset/subset axis alongside the symmetric one.
+    *
+    * Capped-vocabulary semantics, the [[tfidfCosinePairs]] contract:
+    * shingles with df &gt; `dfCap` leave the space entirely (both the
+    * intersection and the per-doc sizes see the reduced space, so the
+    * score is EXACT there), which also bounds the self-join at
+    * Σ_sh df² with df ≤ dfCap. The threshold compares the ROUNDED
+    * score (the top-K rule), so the survivor set is cross-engine
+    * stable at the boundary.
+    *
+    * Scale: one shingle hash-agg for df, the capped posting table
+    * built once and localCheckpoint'd (it feeds both join sides and
+    * the sizes), one shingle-keyed equi-join (AQE splits hot
+    * shingles), one (d1, d2) hash-agg — no all-pairs path exists. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, dfCap: Long = 20L,
+                       threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(nativeShingles(docs, textCol, k)).as("sh"))
+    val dfTbl = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+    val posting = sh.join(dfTbl.select("sh"), "sh").localCheckpoint()
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    posting.select(col("sh"), col("doc_id").as("d1"))
+      .join(posting.select(col("sh"), col("doc_id").as("d2")), "sh")
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("n1"), col("n2")), 6))
+      .where(col("containment") >= threshold)
+      .select("d1", "d2", "shared", "n1", "n2", "containment")
+      .orderBy("d1", "d2")
+  }
+
   /** WEIGHTED set-similarity self-join: tf-idf-weighted shingle cosine
     * — the importance-weighted complement of [[prefixFilterJoin]]'s
     * unweighted Jaccard (two docs sharing one RARE shingle score

@@ -1277,6 +1277,15 @@ object Queries {
     // MOSS winnowing fingerprint selection (see TextAnalysis.winnow)
     "q293_winnowing" -> ((s, dir) =>
       TextAnalysis.winnow(tbl(s, dir, "documents"), k = 3, w = 4)),
+    // Asymmetric superset/subset near-dup: shingle containment in the
+    // df-capped space (see Dedup.containmentPairs scaladoc)
+    "q299_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, dfCap = 20L, threshold = 0.5)),
+    // Heaps'-law vocabulary growth curve + fitted exponent (see
+    // TextAnalysis.heapsLaw scaladoc)
+    "q300_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(tbl(s, dir, "documents"), every = 50)),
     "q88_linear_score" -> ((s, dir) =>
       TextAnalysis.linearScore(tbl(s, dir, "documents"))),
     // PII/URL scrub. The synthetic corpus carries no PII (verified:
@@ -2487,6 +2496,63 @@ object Queries {
         |  round(CAST(CAST(SUM(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,12)))
         |    AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_score
         |FROM win WHERE rn = 1 GROUP BY lang, cls ORDER BY lang, pred""".stripMargin,
+    // Containment twin: same distinct shingles, same df cap, same
+    // reduced-space sizes, threshold on the rounded score.
+    "q299_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(ts) - 2, 0)),
+        |    i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+        |dfx AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 20),
+        |p AS (SELECT e.doc_id, e.sh FROM e JOIN dfx ON e.sh = dfx.sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, shared, s1.n AS n1, s2.n AS n2,
+        |  round(CAST(shared AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+        |FROM pr JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+        |WHERE round(CAST(shared AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    // Heaps twin: same first-occurrence prefix sums (exact longs),
+    // same checkpoint thinning, ln-moments on the q205 fit route.
+    "q300_heaps_law" -> {
+      def ds(e: String) =
+        s"CAST(CAST(SUM(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH tok AS (SELECT doc_id, t AS tok FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+         |  WHERE t <> ''),
+         |nt AS (SELECT doc_id, count(*) AS nv FROM
+         |    (SELECT tok, min(doc_id) AS doc_id FROM tok GROUP BY tok) f
+         |  GROUP BY doc_id),
+         |pd AS (SELECT d.doc_id,
+         |    CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS ntk,
+         |    COALESCE(nt.nv, 0) AS nv
+         |  FROM documents d LEFT JOIN nt ON d.doc_id = nt.doc_id),
+         |cum AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY doc_id) AS rank,
+         |    SUM(ntk) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         |    SUM(nv) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab,
+         |    count(*) OVER () AS last
+         |  FROM pd),
+         |cp AS (SELECT CAST(rank AS BIGINT) AS ckpt,
+         |    CAST(cum_tokens AS BIGINT) AS cum_tokens, CAST(vocab AS BIGINT) AS vocab
+         |  FROM cum WHERE (rank % 50 = 0 OR rank = last)
+         |    AND cum_tokens > 0 AND vocab > 0),
+         |xy AS (SELECT ckpt, cum_tokens, vocab,
+         |    ln(CAST(cum_tokens AS DOUBLE)) AS x,
+         |    ln(CAST(vocab AS DOUBLE)) AS y FROM cp),
+         |a AS (SELECT count(*) AS k, ${ds("x")} AS sx, ${ds("y")} AS sy,
+         |  ${ds("x * y")} AS sxy, ${ds("x * x")} AS sxx FROM xy)
+         |SELECT ckpt, cum_tokens, vocab,
+         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
+         |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         |    AS ln_k
+         |FROM xy CROSS JOIN a ORDER BY ckpt""".stripMargin
+    },
     // Stump twin: identical prefix-sum candidate sweep, identical
     // double expression tree from exact integer counts, argmin on the
     // rounded impurity with the threshold tiebreak.

@@ -586,6 +586,65 @@ object TextAnalysis {
             * (col("k") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** Heaps'-law vocabulary-growth curve and exponent (Heaps 1978;
+    * V(n) = K·n^β): stream the corpus in doc_id order, checkpoint the
+    * running (token count, distinct-vocabulary size) every `every`
+    * docs, and fit ln V = ln K + β·ln n by OLS over the checkpoints.
+    * The curve is the standard corpus-health diagnostic — a crawl
+    * whose β drifts up is accumulating junk tokens (boilerplate IDs,
+    * mojibake); one whose β collapses is duplicating itself.
+    *
+    * The cumulative-distinct trick: a token's contribution to the
+    * vocabulary happens exactly once, at min(doc_id) containing it —
+    * so running vocab is a prefix sum of per-doc NEW-token counts, one
+    * hash-agg plus one window, never a running set. Checkpoint
+    * counters are exact longs; only the final ln-moments ride the
+    * DECIMAL lattice (the q205 zipf-fit route).
+    *
+    * Scale: the first-occurrence agg and the per-doc join are
+    * map-side-partial hash-aggs / equi-joins; the single global-order
+    * window runs over one row PER DOC (not per token), and the fit is
+    * a broadcast 1-row combine. A 100 TB run checkpoints per shard and
+    * merges monotone curves. */
+  def heapsLaw(docs: DataFrame, every: Int = 50): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val newTok = tok.groupBy("tok").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nv"))
+    val perDoc = docs.select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("ntk"))
+      .join(newTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ntk"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+    val ord = Window.orderBy("doc_id")
+    val cw = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perDoc
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_tokens", sum(col("ntk")).over(cw))
+      .withColumn("vocab", sum(col("nv")).over(cw))
+      .withColumn("last", max(col("rank")).over(
+        Window.partitionBy()))
+    val cp = cum
+      .where((col("rank") % every === 0 || col("rank") === col("last"))
+        && col("cum_tokens") > 0 && col("vocab") > 0)
+      .select(col("rank").cast("long").as("ckpt"),
+        col("cum_tokens"), col("vocab"))
+    val dsum = graft.rel.Queries.dsum _
+    val xy = cp.select(col("ckpt"), col("cum_tokens"), col("vocab"),
+      log(col("cum_tokens").cast("double")).as("x"),
+      log(col("vocab").cast("double")).as("y"))
+    val fit = xy.agg(count(lit(1)).as("k"), dsum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"))
+    xy.crossJoin(broadcast(fit))
+      .select(col("ckpt"), col("cum_tokens"), col("vocab"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("beta"),
+        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("k"), 6).as("ln_k"))
+      .orderBy("ckpt")
+  }
+
   /** In-plan multinomial naive Bayes language classifier (Laplace
     * smoothing) — the classic counts-only text classifier, trained and
     * scored entirely as one declarative plan (the supervised sibling of

@@ -356,6 +356,58 @@ object Queries {
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
 
+  // TPC-H Q12 (shipping-mode priority audit), shaped to the fixture:
+  // l_returnflag stands in for l_shipmode and the receipt-date window
+  // becomes a ship-date year. The point is the conditional two-way
+  // aggregation (SUM of CASE) over a fact-fact equi-join — one scan,
+  // map-side partial aggs, counts only (no float discipline).
+  def tpchQ12(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // TPC-H Q14 (promotion effect): share of one month's revenue earned
+  // by PROMO-type parts — the conditional-numerator / total-denominator
+  // ratio every marketing dashboard runs. Both sums ride the DECIMAL
+  // route and divide once at the end (identical IEEE order), so the
+  // percentage is bit-deterministic; n_lines pins the joined row set.
+  def tpchQ14(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT count(*) AS n_lines,
+        |  round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(38,12))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)
+
+  // TPC-H Q19 (discounted revenue, disjunctive predicates): three
+  // brand×size×quantity bands OR-ed together — the classic test that
+  // the optimizer pushes a disjunction of conjunctions into the scans
+  // (each leg prunes on part columns) instead of materializing the
+  // full join. Count + DECIMAL-route revenue pin the selected rows.
+  def tpchQ19(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+
   // NOT IN under three-valued logic — the semantics trap every SQL
   // engine must honor and Spark plans as a dedicated physical operator
   // (null-aware anti join): `x NOT IN (subquery)` is FALSE-or-UNKNOWN
@@ -3873,6 +3925,9 @@ object Queries {
     "q290_tpch_q22" -> (tpchQ22 _),
     "q294_t_closeness" -> (tCloseness _),
     "q295_msprt" -> (msprt _),
+    "q296_tpch_q12" -> (tpchQ12 _),
+    "q297_tpch_q14" -> (tpchQ14 _),
+    "q298_tpch_q19" -> (tpchQ19 _),
     "q284_locf" -> (locf _),
     "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
@@ -5130,6 +5185,38 @@ object Queries {
          |  round(loglam, 6) AS log_lambda,
          |  round(least(1.0, exp(-runmax)), 6) AS p_always_valid
          |FROM mx ORDER BY event_type, n_seen""".stripMargin,
+    // Q12: identical text; conditional counts cast out of HUGEINT.
+    "q296_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Q14: numerator and denominator each on the VARCHAR route, one
+    // final division in identical IEEE order.
+    "q297_tpch_q14" ->
+      s"""SELECT count(*) AS n_lines,
+         |  round(100.0 * ${dsumSql(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    / ${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    // Q19: identical disjunction; revenue on the VARCHAR route.
+    "q298_tpch_q19" ->
+      s"""SELECT count(*) AS n_lines,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     // Q2: identical text — min() of stored doubles is exact, so the
     // correlated equality admits the same suppliers on both engines.
     "q286_tpch_q2" ->

@@ -737,6 +737,79 @@ class TextAnalysisSpec extends SparkSpec {
       s"engine=$got brute=(${s0.size}, ${s1.size})")
   }
 
+  test("containmentPairs scores a fully-embedded doc at 1.0") {
+    val fix = Seq(
+      (0L, "a b c d e"),            // 3 shingles, all inside doc 1
+      (1L, "x y a b c d e z"),      // 6 shingles
+      (2L, "p q r s t u v"))        // unrelated
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.containmentPairs(fix, "doc_id", "text",
+      k = 3, dfCap = 20L, threshold = 0.5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 6L)
+    assert(r.getDouble(5) == 1.0, s"containment ${r.getDouble(5)}")
+    // the symmetric score would NOT have flagged this pair at 0.5:
+    // jaccard = 3 / (3 + 6 - 3) = 0.5 exactly at the boundary, while
+    // containment saturates — the asymmetric axis is the signal
+    assert(3.0 / 6.0 < r.getDouble(5))
+  }
+
+  test("containmentPairs respects the df cap (reduced space)") {
+    // shingle "a b c" appears in 3 docs; cap 2 removes it everywhere
+    val fix = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.containmentPairs(fix, "doc_id", "text",
+      k = 3, dfCap = 2L, threshold = 0.0).collect()
+    assert(got.isEmpty, got.mkString(","))
+  }
+
+  test("heapsLaw curve equals the plain-Scala streaming recompute") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    var seen = Set.empty[String]
+    var cumTok = 0L
+    val curve = docs.zipWithIndex.map { case ((_, text), i) =>
+      val ts = text.split(" ", -1).filter(_.nonEmpty)
+      cumTok += ts.length
+      seen ++= ts
+      (i + 1L, cumTok, seen.size.toLong)
+    }
+    val n = docs.length
+    val expect = curve.filter { case (rk, _, _) => rk % 50 == 0 || rk == n }
+      .map { case (rk, ct, v) => rk -> ((ct, v)) }.toMap
+    val got = TextAnalysis.heapsLaw(corpus, every = 50).collect()
+    assert(got.map(_.getLong(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (ct, v) = expect(r.getLong(0))
+      assert(r.getLong(1) == ct && r.getLong(2) == v, r.toString)
+    }
+    // β is constant across rows and sits in [0, 1]; the synthetic
+    // corpus's 31-token vocabulary saturates inside the first
+    // checkpoint, so its curve is flat (β = 0) — a real crawl fits a
+    // positive exponent, which the hand-fixture test below pins
+    val betas = got.map(_.getDouble(3)).distinct
+    assert(betas.length == 1 && betas.head >= 0.0 && betas.head <= 1.0,
+      betas.mkString(","))
+  }
+
+  test("heapsLaw fits beta = 1 on a corpus of all-new tokens") {
+    // every doc introduces exactly 2 never-seen tokens: V(n) = n, so
+    // the log-log fit is exactly slope 1, intercept 0
+    val fix = (1L to 200L)
+      .map(i => (i, s"w${2 * i} w${2 * i + 1}"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heapsLaw(fix, every = 50).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), r.toString) // tokens == vocab
+      assert(r.getDouble(3) == 1.0, s"beta ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(4)) < 1e-6, s"ln_k ${r.getDouble(4)}")
+    }
+  }
+
   test("fingerprint is stable and order-sensitive") {
     val a = TextAnalysis.fingerprint(Seq((0L, "a b c")).toDF("doc_id", "text"))
       .collect().head.getLong(1)

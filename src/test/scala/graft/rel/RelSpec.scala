@@ -437,6 +437,45 @@ class RelSpec extends SparkSpec {
     }
   }
 
+  test("q296/q298 TPC-H Q12 and Q19 equal plain-Scala recomputes") {
+    def ms(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val prio = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lo = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val hi = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val lines = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag", "l_shipdate", "l_partkey",
+        "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getString(1), ms(r, 2), r.getLong(3),
+        r.getDouble(4)))
+    val hiPrio = Set("1-URGENT", "2-HIGH")
+    val expect12 = lines.filter(l => l._3 >= lo && l._3 < hi)
+      .groupBy(_._2).view.mapValues { ls =>
+        val h = ls.count(l => hiPrio.contains(prio(l._1))).toLong
+        (h, ls.length - h)
+      }.toMap
+    val got12 = Queries.tpchQ12(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got12 == expect12, s"$got12 vs $expect12")
+
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val expect19 = lines.count { l =>
+      val (brand, size) = parts(l._4)
+      (brand == "Brand#12" && size >= 1 && size <= 15 && l._5 >= 1 && l._5 <= 11) ||
+      (brand == "Brand#23" && size >= 1 && size <= 25 && l._5 >= 10 && l._5 <= 20) ||
+      (brand == "Brand#3" && size >= 1 && size <= 35 && l._5 >= 20 && l._5 <= 30)
+    }.toLong
+    val got19 = Queries.tpchQ19(spark, sf0001).collect().head
+    assert(got19.getLong(0) == expect19, s"${got19.getLong(0)} vs $expect19")
+  }
+
   test("q294 t-closeness equals the plain-Scala ordered EMD") {
     val cust = spark.read.parquet(s"$sf0001/customer.parquet")
       .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
