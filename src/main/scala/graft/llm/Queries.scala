@@ -1286,6 +1286,17 @@ object Queries {
     // TextAnalysis.heapsLaw scaladoc)
     "q300_heaps_law" -> ((s, dir) =>
       TextAnalysis.heapsLaw(tbl(s, dir, "documents"), every = 50)),
+    // Exact neighborhood function over the directed bigram token graph
+    // — HyperBall's exact regime (see Graph.neighborhoodFunction)
+    "q301_neighborhood" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val edges = base.select(explode(expr(
+          "filter(transform(ts, (t, i) -> struct(t AS src, try_element_at(ts, i + 2) AS dst)), " +
+            "p -> p.dst IS NOT NULL)")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      graft.rel.Graph.neighborhoodFunction(edges, iters = 3)
+    }),
     "q88_linear_score" -> ((s, dir) =>
       TextAnalysis.linearScore(tbl(s, dir, "documents"))),
     // PII/URL scrub. The synthetic corpus carries no PII (verified:
@@ -2496,6 +2507,31 @@ object Queries {
         |  round(CAST(CAST(SUM(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,12)))
         |    AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_score
         |FROM win WHERE rn = 1 GROUP BY lang, cls ORDER BY lang, pred""".stripMargin,
+    // Neighborhood twin: the same directed bigram edge set, the
+    // reachability recursion unrolled to the same 3 rounds — all
+    // integer counts.
+    "q301_neighborhood" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |p0 AS (SELECT unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+        |e AS (SELECT DISTINCT ts[i+1] AS src, ts[i+2] AS dst FROM p0
+        |  WHERE ts[i+1] <> ts[i+2]),
+        |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT n AS u, n AS v FROM nodes),
+        |r1 AS (SELECT u, v FROM r0 UNION
+        |  SELECT r0.u, e.dst AS v FROM r0 JOIN e ON r0.v = e.src),
+        |r2 AS (SELECT u, v FROM r1 UNION
+        |  SELECT r1.u, e.dst AS v FROM r1 JOIN e ON r1.v = e.src),
+        |r3 AS (SELECT u, v FROM r2 UNION
+        |  SELECT r2.u, e.dst AS v FROM r2 JOIN e ON r2.v = e.src),
+        |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+        |curve AS (
+        |  SELECT 0 AS h, count(*) AS n_pairs FROM r0 UNION ALL
+        |  SELECT 1, count(*) FROM r1 UNION ALL
+        |  SELECT 2, count(*) FROM r2 UNION ALL
+        |  SELECT 3, count(*) FROM r3)
+        |SELECT CAST(h AS BIGINT) AS h, n_pairs, n_nodes,
+        |  round(CAST(n_pairs AS DOUBLE) / n_nodes, 6) AS avg_ball
+        |FROM curve CROSS JOIN nn ORDER BY h""".stripMargin,
     // Containment twin: same distinct shingles, same df cap, same
     // reduced-space sizes, threshold on the rounded score.
     "q299_containment" ->

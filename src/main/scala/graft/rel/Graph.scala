@@ -484,4 +484,48 @@ object Graph {
     degrees(und).where(col("deg") >= k)
       .select(col("node"), col("deg")).orderBy("node")
   }
+
+  /** Exact neighborhood function N(h) = #{(u,v) : dist(u,v) ≤ h} over a
+    * DIRECTED edge set, h = 0..`iters` — the distance-distribution
+    * census behind effective-diameter and spid estimates (Palmer et
+    * al., "ANF", KDD 2002). Per round the reachability pair set joins
+    * the edge list and re-distincts; each round's cardinality is one
+    * curve point.
+    *
+    * This is the EXACT regime of HyperBall (Boldi & Vigna, "In-Core
+    * Computation of Geometric Centralities with HyperBall", 2013): at
+    * 100 TB the per-node reachable SET becomes a per-node HLL register
+    * vector and the same join-and-merge recursion unions counters
+    * instead of rows — identical dataflow (one equi-join + one
+    * node-keyed agg per round), O(nodes·log log n) state instead of
+    * O(pairs). The gate pins the exact values; the sketch swap changes
+    * the agg payload, not the plan. Per-round localCheckpoint keeps
+    * the plan linear in rounds (the q47/q65 discipline); the per-round
+    * count is the one driver action, the same tiny fixpoint probe
+    * connectedComponents performs. Output: (h, n_pairs, n_nodes,
+    * avg_ball). */
+  def neighborhoodFunction(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("n"))
+      .unionAll(e.select(col("dst").as("n"))).distinct()
+    val nNodes = nodes.count()
+    var reach = nodes.select(col("n").as("u"), col("n").as("v"))
+      .localCheckpoint()
+    val curve = scala.collection.mutable.Buffer((0, reach.count()))
+    for (h <- 1 to iters) {
+      reach = reach
+        .unionAll(reach.join(e, reach("v") === e("src"))
+          .select(reach("u"), e("dst").as("v")))
+        .distinct().localCheckpoint()
+      curve += ((h, reach.count()))
+    }
+    curve.toSeq.toDF("h", "n_pairs")
+      .select(col("h").cast("long").as("h"), col("n_pairs"),
+        lit(nNodes).as("n_nodes"),
+        round(col("n_pairs").cast("double") / nNodes, 6).as("avg_ball"))
+      .orderBy("h")
+  }
 }

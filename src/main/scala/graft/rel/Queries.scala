@@ -1650,6 +1650,72 @@ object Queries {
       .orderBy("event_type", "n_seen")
   }
 
+  // In-plan EM for a 2-component 1-D Gaussian mixture over event
+  // values (Dempster, Laird, Rubin 1977) — the unsupervised member of
+  // the in-plan fitting family (q269 logistic GD, q149 OLS, q279 PCA,
+  // q291 naive Bayes, q292 stump): 3 unrolled EM rounds, each one
+  // E-step (per-row responsibilities from the current 1-row parameter
+  // frame, broadcast) and one M-step (responsibility-weighted moments
+  // via hash-agg). Deterministic quartile-anchored init; variances via
+  // the moment form so every round is two scans' worth of arithmetic
+  // on the DECIMAL lattice. The 1e-300 floor keeps a doubly-underflown
+  // responsibility at 0/denominator instead of NaN — identically on
+  // both engines. round(.,6) absorbs per-row libm exp drift (the
+  // truncation-to-12dp lattice bounds its accumulation ≪ 1e-6).
+  //
+  // Scale: per round one broadcast of 7 scalars + one partial-agged
+  // scan — the EM shape MLlib runs; rounds are a fixed unrolled
+  // pipeline, no driver loop over data.
+  def gmmEm(s: SparkSession, dir: String): DataFrame =
+    gmmEmOn(events(s, dir).select(col("value").as("x")))
+
+  /** [[gmmEm]] over an explicit 1-column (`x`) frame — the testable core. */
+  def gmmEmOn(xs: DataFrame): DataFrame = {
+    val base = xs.agg(
+      count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"),
+      dsum(col("x")).as("sx"), dsum(col("x") * col("x")).as("sxx"))
+    var params = base.select(
+      col("n"),
+      (col("mn") + (col("mx") - col("mn")) / 4.0).as("mu1"),
+      (col("mn") + (col("mx") - col("mn")) * 3.0 / 4.0).as("mu2"),
+      ((col("sxx") - col("sx") * col("sx") / col("n"))
+        / (col("n") - 1).cast("double")).as("s1"),
+      ((col("sxx") - col("sx") * col("sx") / col("n"))
+        / (col("n") - 1).cast("double")).as("s2"),
+      lit(0.5).as("w1"), lit(0.5).as("w2"))
+    for (_ <- 1 to 3) {
+      val n1 = col("w1") / sqrt(col("s1")) *
+        exp(-((col("x") - col("mu1")) * (col("x") - col("mu1")))
+          / (lit(2.0) * col("s1")))
+      val n2 = col("w2") / sqrt(col("s2")) *
+        exp(-((col("x") - col("mu2")) * (col("x") - col("mu2")))
+          / (lit(2.0) * col("s2")))
+      val e = xs.crossJoin(broadcast(params))
+        .select(col("x"), col("n"),
+          (n2 / (n1 + n2 + lit(1e-300))).as("r2"))
+      val m = e.agg(max(col("n")).as("n"),
+        dsum(lit(1.0) - col("r2")).as("bw1"), dsum(col("r2")).as("bw2"),
+        dsum((lit(1.0) - col("r2")) * col("x")).as("sx1"),
+        dsum(col("r2") * col("x")).as("sx2"),
+        dsum((lit(1.0) - col("r2")) * col("x") * col("x")).as("sq1"),
+        dsum(col("r2") * col("x") * col("x")).as("sq2"))
+      params = m.select(col("n"),
+        (col("sx1") / col("bw1")).as("mu1"),
+        (col("sx2") / col("bw2")).as("mu2"),
+        (col("sq1") / col("bw1")
+          - (col("sx1") / col("bw1")) * (col("sx1") / col("bw1"))).as("s1"),
+        (col("sq2") / col("bw2")
+          - (col("sx2") / col("bw2")) * (col("sx2") / col("bw2"))).as("s2"),
+        (col("bw1") / col("n").cast("double")).as("w1"),
+        (col("bw2") / col("n").cast("double")).as("w2"))
+    }
+    params.select(col("n"),
+      round(col("w1"), 6).as("w1"), round(col("mu1"), 6).as("mu1"),
+      round(col("s1"), 6).as("s1"),
+      round(col("w2"), 6).as("w2"), round(col("mu2"), 6).as("mu2"),
+      round(col("s2"), 6).as("s2"))
+  }
+
   // Split conformal prediction intervals (Vovk et al., "Algorithmic
   // Learning in a Random World", 2005; the distribution-free coverage
   // guarantee production scorers ship): calibration half (even
@@ -3928,6 +3994,7 @@ object Queries {
     "q296_tpch_q12" -> (tpchQ12 _),
     "q297_tpch_q14" -> (tpchQ14 _),
     "q298_tpch_q19" -> (tpchQ19 _),
+    "q302_gmm_em" -> (gmmEm _),
     "q284_locf" -> (locf _),
     "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
@@ -5185,6 +5252,44 @@ object Queries {
          |  round(loglam, 6) AS log_lambda,
          |  round(least(1.0, exp(-runmax)), 6) AS p_always_valid
          |FROM mx ORDER BY event_type, n_seen""".stripMargin,
+    // GMM-EM twin: identical init, the 3 EM rounds unrolled as CTE
+    // pairs with the same E-step expression tree and the same
+    // DECIMAL-lattice M-step moments.
+    "q302_gmm_em" -> {
+      def ds(e: String) =
+        s"CAST(CAST(SUM(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+      val rounds = (1 to 3).map { i =>
+        val p = s"p${i - 1}"
+        s"""e$i AS (SELECT xs.x, p.n,
+           |    (p.w2 / sqrt(p.s2) * exp(-((xs.x - p.mu2) * (xs.x - p.mu2)) / (2.0 * p.s2)))
+           |    / (p.w1 / sqrt(p.s1) * exp(-((xs.x - p.mu1) * (xs.x - p.mu1)) / (2.0 * p.s1))
+           |      + p.w2 / sqrt(p.s2) * exp(-((xs.x - p.mu2) * (xs.x - p.mu2)) / (2.0 * p.s2))
+           |      + 1e-300) AS r2
+           |  FROM xs CROSS JOIN $p p),
+           |m$i AS (SELECT max(n) AS n, ${ds("1.0 - r2")} AS bw1, ${ds("r2")} AS bw2,
+           |    ${ds("(1.0 - r2) * x")} AS sx1, ${ds("r2 * x")} AS sx2,
+           |    ${ds("(1.0 - r2) * x * x")} AS sq1, ${ds("r2 * x * x")} AS sq2
+           |  FROM e$i),
+           |p$i AS (SELECT n, sx1 / bw1 AS mu1, sx2 / bw2 AS mu2,
+           |    sq1 / bw1 - (sx1 / bw1) * (sx1 / bw1) AS s1,
+           |    sq2 / bw2 - (sx2 / bw2) * (sx2 / bw2) AS s2,
+           |    bw1 / CAST(n AS DOUBLE) AS w1, bw2 / CAST(n AS DOUBLE) AS w2
+           |  FROM m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH xs AS (SELECT CAST(value AS DOUBLE) AS x FROM events),
+         |b AS (SELECT count(*) AS n, min(x) AS mn, max(x) AS mx,
+         |  ${ds("x")} AS sx, ${ds("x * x")} AS sxx FROM xs),
+         |p0 AS (SELECT n, mn + (mx - mn) / 4.0 AS mu1,
+         |    mn + (mx - mn) * 3.0 / 4.0 AS mu2,
+         |    (sxx - sx * sx / n) / CAST(n - 1 AS DOUBLE) AS s1,
+         |    (sxx - sx * sx / n) / CAST(n - 1 AS DOUBLE) AS s2,
+         |    0.5 AS w1, 0.5 AS w2 FROM b),
+         |$rounds
+         |SELECT CAST(n AS BIGINT) AS n, round(w1, 6) AS w1,
+         |  round(mu1, 6) AS mu1, round(s1, 6) AS s1, round(w2, 6) AS w2,
+         |  round(mu2, 6) AS mu2, round(s2, 6) AS s2
+         |FROM p3""".stripMargin
+    },
     // Q12: identical text; conditional counts cast out of HUGEINT.
     "q296_tpch_q12" ->
       """SELECT l_returnflag,

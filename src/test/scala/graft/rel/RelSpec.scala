@@ -437,6 +437,46 @@ class RelSpec extends SparkSpec {
     }
   }
 
+  test("q301 neighborhood function on a hand path graph") {
+    import spark.implicits._
+    // a -> b -> c -> d: balls grow one hop per round
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = Graph.neighborhoodFunction(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 4L, 1L -> 7L, 2L -> 9L, 3L -> 10L), got.toString)
+  }
+
+  test("q301 curve is monotone and bounded by n^2 on the corpus graph") {
+    val rows = SparkEntry.queries("q301_neighborhood")(spark, sf0001).collect()
+    val pairs = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b })
+    val n = rows.head.getLong(2)
+    assert(pairs.head == n && pairs.last <= n * n)
+  }
+
+  test("q302 GMM EM separates two point masses on a hand fixture") {
+    import spark.implicits._
+    val xs = (Seq.fill(50)(0.0) ++ Seq.fill(50)(100.0)
+      ++ Seq(1.0, 99.0)).toDF("x")
+    val r = Queries.gmmEmOn(xs).collect().head
+    val (w1, mu1, s1) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val (w2, mu2, s2) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(w1 + w2 - 1.0) < 1e-6)
+    // init anchors the means at 25/75; three EM rounds must pull each
+    // strictly toward its point mass (full convergence takes more
+    // rounds — EM's rate here is set by the wide moment-matched init)
+    assert(mu1 < 20.0 && mu2 > 80.0, s"means $mu1 / $mu2")
+    assert(math.abs(w1 - 0.5) < 0.05 && math.abs(w2 - 0.5) < 0.05)
+    assert(s1 >= 0.0 && s2 >= 0.0)
+  }
+
+  test("q302 GMM EM on the corpus: proper mixture, components ordered") {
+    val r = Queries.gmmEm(spark, sf0001).collect().head
+    assert(math.abs(r.getDouble(1) + r.getDouble(4) - 1.0) < 1e-6)
+    assert(r.getDouble(2) < r.getDouble(5)) // init anchoring keeps mu1 < mu2
+    assert(r.getDouble(1) > 0.0 && r.getDouble(4) > 0.0)
+  }
+
   test("q296/q298 TPC-H Q12 and Q19 equal plain-Scala recomputes") {
     def ms(r: org.apache.spark.sql.Row, i: Int): Long =
       r.getAs[java.time.LocalDateTime](i)
