@@ -364,6 +364,46 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q299 containment self-join is shingle-keyed, never nested-loop") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val p = finalPlan(llm.Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 3, dfCap = 20L, threshold = 0.5))
+        .split("== Initial Plan ==").head
+      // the d1 < d2 predicate must stay a residual on the sh equi-join
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"), p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q291 naive Bayes broadcasts the model sides; score join is equi") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = finalPlan(llm.TextAnalysis.naiveBayes(docs))
+      .split("== Initial Plan ==").head
+    // priors, vocab size and train-doc count are broadcast scalars /
+    // C-row frames; the V×C grid joins the token stream on `tok` —
+    // nothing may plan as a nested loop over the corpus
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      // the 1-row cross joins (vsize, nTrain) legitimately plan as
+      // BNLJ — what must NOT: a BNLJ with a non-single-row side.
+      // Pin instead: the tok-keyed join is hash-based.
+      p.contains("HashJoin"), p.take(1500))
+    assert(p.contains("HashJoin"), "score join must be hash-keyed")
+  }
+
+  test("q286 TPC-H Q2 decorrelates: min-aggregate join, no per-row subquery") {
+    val p = finalPlan(rel.Queries.tpchQ2(spark, sf0001))
+      .split("== Initial Plan ==").head
+    // the correlated scalar subquery must become an aggregate-then-join
+    // on l_partkey (visible as a min(s_acctbal) partial agg), never a
+    // re-executed per-row plan (which would appear as Subquery nodes)
+    assert(p.toLowerCase.contains("min(s_acctbal"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q277 per-order aggregate rides the DISTRIBUTE BY exchange") {
     // The explicit DISTRIBUTE BY l_orderkey is the ONLY hash exchange:
     // the l_orderkey group-by must reuse the declared clustering, not
