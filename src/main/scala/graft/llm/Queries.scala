@@ -1277,6 +1277,35 @@ object Queries {
     // MOSS winnowing fingerprint selection (see TextAnalysis.winnow)
     "q293_winnowing" -> ((s, dir) =>
       TextAnalysis.winnow(tbl(s, dir, "documents"), k = 3, w = 4)),
+    // NORMALIZATION-KEYED exact dedup — the curation stage between
+    // byte-exact (q17) and fuzzy (q18/q86): case-fold, strip
+    // punctuation, collapse whitespace, then hash-group on the
+    // canonical key (the "url-style text canonicalization" every crawl
+    // pipeline runs before content-defined dedup). The synthetic
+    // corpus is already canonical, so the declared query UNIONS a
+    // decorated copy of every even doc (uppercased, punctuation-
+    // injected, re-id'd at +10M) — byte-exact dedup sees nothing,
+    // normalized dedup must collapse every copy onto its original.
+    // Survivor = min doc_id per key (the q17 rule). Scale: one
+    // per-row codegen'd normalization + one hash-agg — identical
+    // dataflow to q17, the key function is the operator.
+    "q303_normalized_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "lang", "text")
+      val noisy = docs.where(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          concat(lit("  "), upper(col("text")), lit("!!!  ")).as("text"))
+      val all = docs.unionAll(noisy)
+      val keyed = all.withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")))
+      val groups = keyed.groupBy("norm")
+        .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n_copies"))
+      keyed.join(groups, keyed("doc_id") === groups("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_copies") - 1L).as("n_dups_removed"))
+        .orderBy("lang")
+    }),
     // Asymmetric superset/subset near-dup: shingle containment in the
     // df-capped space (see Dedup.containmentPairs scaladoc)
     "q299_containment" -> ((s, dir) =>
@@ -2507,6 +2536,25 @@ object Queries {
         |  round(CAST(CAST(SUM(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,12)))
         |    AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_score
         |FROM win WHERE rn = 1 GROUP BY lang, cls ORDER BY lang, pred""".stripMargin,
+    // Normalized-dedup twin: same decorated union, same two-stage
+    // regex canonicalization, same min-id survivor rule. DuckDB
+    // regexp_replace needs the 'g' flag for replace-all (the q45
+    // lesson).
+    "q303_normalized_dedup" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, '  ' || upper(text) || '!!!  '
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |keyed AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM base),
+        |groups AS (SELECT norm, min(doc_id) AS keep, count(*) AS n_copies
+        |  FROM keyed GROUP BY norm)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_copies - 1) AS BIGINT) AS n_dups_removed
+        |FROM keyed JOIN groups ON keyed.doc_id = groups.keep
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Neighborhood twin: the same directed bigram edge set, the
     // reachability recursion unrolled to the same 3 rounds — all
     // integer counts.

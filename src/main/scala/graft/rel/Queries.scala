@@ -1716,6 +1716,38 @@ object Queries {
       round(col("s2"), 6).as("s2"))
   }
 
+  // Partition-level dataset manifest — the reproducibility primitive a
+  // 100 TB pipeline publishes with every snapshot (the content-hash
+  // half of a Delta/Iceberg-style manifest, computed from the ROWS so
+  // replication and migration can be audited end-to-end): per logical
+  // partition, row count, an ORDERLESS content fingerprint (exact sum
+  // of per-row FNV-1a hashes over a canonical integer rendering — any
+  // lost/duplicated/corrupted row changes the sum; orderless because a
+  // distributed rewrite legitimately permutes rows), and the key
+  // bounds. Floats enter the canonical string as integer micro-units,
+  // so the rendering is byte-identical across engines; hash sums stay
+  // < 2^53 (600k rows × 2^32) and ride exact BIGINTs.
+  //
+  // Scale: one codegen'd per-row projection + one hash-agg (map-side
+  // partial) — the same cost as a count(*), which is why manifests can
+  // run on every publish.
+  def datasetManifest(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val seed = graft.functions.Fnv1a32.Seed
+    tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        expr("concat_ws('|', CAST(l_orderkey AS STRING), " +
+          "CAST(l_linenumber AS STRING), " +
+          "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS STRING))").as("c"))
+      .select(col("l_returnflag"), col("l_orderkey"),
+        expr(s"fnv1a32(c, ${seed}L)").as("h"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("content_hash"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy("l_returnflag")
+  }
+
   // Split conformal prediction intervals (Vovk et al., "Algorithmic
   // Learning in a Random World", 2005; the distribution-free coverage
   // guarantee production scorers ship): calibration half (even
@@ -3995,6 +4027,7 @@ object Queries {
     "q297_tpch_q14" -> (tpchQ14 _),
     "q298_tpch_q19" -> (tpchQ19 _),
     "q302_gmm_em" -> (gmmEm _),
+    "q304_dataset_manifest" -> (datasetManifest _),
     "q284_locf" -> (locf _),
     "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
@@ -5252,6 +5285,19 @@ object Queries {
          |  round(loglam, 6) AS log_lambda,
          |  round(least(1.0, exp(-runmax)), 6) AS p_always_valid
          |FROM mx ORDER BY event_type, n_seen""".stripMargin,
+    // Manifest twin: identical canonical rendering, same FNV fold,
+    // exact BIGINT hash sums.
+    "q304_dataset_manifest" ->
+      s"""WITH canon AS (SELECT l_returnflag, l_orderkey,
+         |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+         |      || '|' || CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR) AS c
+         |  FROM lineitem),
+         |h AS (SELECT l_returnflag, l_orderkey,
+         |    ${graft.llm.Queries.fnvSql("c")} AS h FROM canon)
+         |SELECT l_returnflag, count(*) AS n_rows,
+         |  CAST(sum(h) AS BIGINT) AS content_hash,
+         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+         |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // GMM-EM twin: identical init, the 3 EM rounds unrolled as CTE
     // pairs with the same E-step expression tree and the same
     // DECIMAL-lattice M-step moments.

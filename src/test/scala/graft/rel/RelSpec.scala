@@ -477,6 +477,38 @@ class RelSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0 && r.getDouble(4) > 0.0)
   }
 
+  test("q303 normalized dedup collapses every decorated copy") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nEven = docs.where(col("doc_id") % 2 === 0).count()
+    val total = docs.count()
+    val rows = SparkEntry.queries("q303_normalized_dedup")(spark, sf0001)
+      .collect()
+    // the corpus is already canonical (lowercase, no punctuation) with
+    // no exact dups, so survivors = originals and removed = the copies
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getLong(2)).sum == nEven)
+  }
+
+  test("q304 manifest equals the plain-Scala orderless hash fold") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lines = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val expect = lines.groupBy(_._1).view.mapValues { rs =>
+      val hsum = rs.map { case (_, ok, ln, q) =>
+        val canon = s"$ok|$ln|${math.round(q * 100)}"
+        graft.functions.Fnv1a32.compute(
+          UTF8String.fromString(canon), graft.functions.Fnv1a32.Seed)
+      }.sum
+      (rs.length.toLong, hsum, rs.map(_._2).min, rs.map(_._2).max)
+    }.toMap
+    val got = Queries.datasetManifest(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"engine=$got")
+  }
+
   test("q296/q298 TPC-H Q12 and Q19 equal plain-Scala recomputes") {
     def ms(r: org.apache.spark.sql.Row, i: Int): Long =
       r.getAs[java.time.LocalDateTime](i)
