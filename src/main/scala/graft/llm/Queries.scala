@@ -1270,6 +1270,11 @@ object Queries {
     // odd, confusion matrix out (see TextAnalysis.naiveBayes scaladoc)
     "q291_naive_bayes" -> ((s, dir) =>
       TextAnalysis.naiveBayes(tbl(s, dir, "documents"))),
+    // Cohen's kappa between the stopword-vote heuristic (q25) and the
+    // trained naive Bayes (q291) on the shared test half (see
+    // TextAnalysis.cohensKappa scaladoc)
+    "q309_cohens_kappa" -> ((s, dir) =>
+      TextAnalysis.cohensKappa(tbl(s, dir, "documents"))),
     // CART depth-1 split search as one declarative plan (see
     // TextAnalysis.decisionStump scaladoc)
     "q292_decision_stump" -> ((s, dir) =>
@@ -2637,6 +2642,67 @@ object Queries {
          |    AS ln_k
          |FROM xy CROSS JOIN a ORDER BY ckpt""".stripMargin
     },
+    // Kappa twin: q291's per-doc prediction CTEs + q211's heuristic
+    // prediction CTE, joined on doc_id; exact counts, two closing
+    // divisions recomputed inline (never from rounded po/pe).
+    "q309_cohens_kappa" ->
+      """WITH tok AS (SELECT doc_id, lang, t AS tok FROM
+        |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  WHERE t <> ''),
+        |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |test AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+        |pri AS (SELECT lang AS cls, count(*) AS n_cls FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_train FROM documents WHERE doc_id % 2 = 0),
+        |tc AS (SELECT lang AS cls, tok, count(*) AS cnt FROM train GROUP BY 1, 2),
+        |ctot AS (SELECT cls, sum(cnt) AS tot FROM tc GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM train),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |grid AS (SELECT ctot.cls, vocab.tok,
+        |    CAST(CAST(ln((COALESCE(tc.cnt, 0) + 1.0) / (ctot.tot + vs.v)) AS VARCHAR)
+        |      AS DECIMAL(38,12)) AS logp
+        |  FROM vocab CROSS JOIN ctot
+        |  LEFT JOIN tc ON tc.cls = ctot.cls AND tc.tok = vocab.tok
+        |  CROSS JOIN vs),
+        |pl AS (SELECT cls,
+        |    CAST(CAST(ln(CAST(n_cls AS DOUBLE) / n_train) AS VARCHAR)
+        |      AS DECIMAL(38,12)) AS pdec
+        |  FROM pri CROSS JOIN nt),
+        |sc AS (SELECT test.doc_id, test.lang, grid.cls, SUM(grid.logp) AS sdec
+        |  FROM test JOIN grid ON test.tok = grid.tok
+        |  GROUP BY test.doc_id, test.lang, grid.cls),
+        |sc2 AS (SELECT doc_id, lang, sc.cls,
+        |    round(CAST(CAST((sdec + pdec) AS VARCHAR) AS DOUBLE), 6) AS score
+        |  FROM sc JOIN pl ON sc.cls = pl.cls),
+        |win AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc2),
+        |nb AS (SELECT doc_id, cls AS p_nb FROM win WHERE rn = 1),
+        |hq AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |hs AS (SELECT doc_id,
+        |  CAST(len(list_filter(ts, t -> list_contains(['the','and','of','to','in'], t))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(ts, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(ts, t -> list_contains(['el','la','de','los','que'], t))) AS BIGINT) AS s_es
+        |  FROM hq),
+        |li AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS p_li
+        |  FROM hs),
+        |j AS (SELECT nb.doc_id, p_nb, p_li FROM nb JOIN li ON nb.doc_id = li.doc_id),
+        |tot AS (SELECT count(*) AS n,
+        |    CAST(SUM(CASE WHEN p_nb = p_li THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM j),
+        |rt AS (SELECT p_nb AS cls, count(*) AS rt FROM j GROUP BY 1),
+        |ctt AS (SELECT p_li AS cls, count(*) AS ct FROM j GROUP BY 1),
+        |chance AS (SELECT CAST(SUM(COALESCE(rt.rt, 0) * COALESCE(ctt.ct, 0)) AS BIGINT) AS sprod
+        |  FROM rt FULL OUTER JOIN ctt ON rt.cls = ctt.cls)
+        |SELECT n, agree,
+        |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+        |  round(CAST(sprod AS DOUBLE) / (n * n), 6) AS pe,
+        |  round((CAST(agree AS DOUBLE) / n - CAST(sprod AS DOUBLE) / (n * n))
+        |    / (1.0 - CAST(sprod AS DOUBLE) / (n * n)), 6) AS kappa
+        |FROM tot CROSS JOIN chance""".stripMargin,
     // Stump twin: identical prefix-sum candidate sweep, identical
     // double expression tree from exact integer counts, argmin on the
     // rounded impurity with the threshold tiebreak.

@@ -673,7 +673,19 @@ object TextAnalysis {
     * the argmax is a C-row window per doc. Nothing is driver-side;
     * tokens unseen in training are dropped by the inner join (the
     * standard closed-vocabulary convention), which the oracle mirrors. */
-  def naiveBayes(docs: DataFrame): DataFrame = {
+  def naiveBayes(docs: DataFrame): DataFrame =
+    naiveBayesPred(docs)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(graft.rel.Queries.dsum(col("score")) / count(lit(1)), 6)
+          .as("avg_score"))
+      .orderBy("lang", "pred")
+
+  /** [[naiveBayes]]'s per-document prediction stage: (doc_id, lang,
+    * pred, score) for every scored test doc — exposed so downstream
+    * agreement/calibration operators (q309) can consume the raw
+    * predictions instead of the confusion rollup. */
+  def naiveBayesPred(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(toks(col("text"))).as("tok"))
     val train = tok.where(pmod(col("doc_id"), lit(2L)) === 0L)
@@ -709,11 +721,42 @@ object TextAnalysis {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("cls").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .groupBy(col("lang"), col("cls").as("pred"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(graft.rel.Queries.dsum(col("score")) / count(lit(1)), 6)
-          .as("avg_score"))
-      .orderBy("lang", "pred")
+      .select(col("doc_id"), col("lang"), col("cls").as("pred"),
+        col("score"))
+  }
+
+  /** Cohen's κ agreement (Cohen 1960) between the library's two
+    * language classifiers on the shared test half: the stopword-vote
+    * heuristic ([[langId]]) vs the trained naive Bayes
+    * ([[naiveBayesPred]]) — the inter-annotator metric every labeling
+    * pipeline reports before trusting auto-labels. κ = (p_o − p_e) /
+    * (1 − p_e) with chance agreement p_e from the marginal products;
+    * all counts exact, two closing divisions. Scale: two classifier
+    * plans joined on doc_id plus two C-row marginal aggs. */
+  def cohensKappa(docs: DataFrame): DataFrame = {
+    val nb = naiveBayesPred(docs).select(col("doc_id"),
+      col("pred").as("p_nb"))
+    val li = langId(docs)
+      .where(pmod(col("doc_id"), lit(2L)) === 1L)
+      .select(col("doc_id"), col("pred_lang").as("p_li"))
+    val j = nb.join(li, "doc_id")
+    val tot = j.agg(count(lit(1)).as("n"),
+      sum(when(col("p_nb") === col("p_li"), 1L).otherwise(0L)).as("agree"))
+    val rt = j.groupBy(col("p_nb").as("cls")).agg(count(lit(1)).as("rt"))
+    val ct = j.groupBy(col("p_li").as("cls")).agg(count(lit(1)).as("ct"))
+    val chance = rt.join(ct, Seq("cls"), "full_outer")
+      .select((coalesce(col("rt"), lit(0L))
+        * coalesce(col("ct"), lit(0L))).as("prod"))
+      .agg(sum(col("prod")).as("sprod"))
+    tot.crossJoin(chance)
+      .select(col("n"), col("agree"),
+        round(col("agree").cast("double") / col("n"), 6).as("po"),
+        round(col("sprod").cast("double") / (col("n") * col("n")), 6)
+          .as("pe"),
+        round((col("agree").cast("double") / col("n")
+          - col("sprod").cast("double") / (col("n") * col("n")))
+          / (lit(1.0) - col("sprod").cast("double")
+            / (col("n") * col("n"))), 6).as("kappa"))
   }
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,

@@ -408,6 +408,67 @@ object Queries {
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
 
+  // TPC-H Q4 (order-priority checking): orders of one quarter with at
+  // least one line shipped after the order date — EXISTS planned as a
+  // left-semi join; counts only.
+  def tpchQ4(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg —
+  // every predicate pushes into the parquet scan, no join at all. The
+  // discount band compares stored doubles exactly; revenue rides the
+  // DECIMAL route.
+  def tpchQ6(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+
+  // TPC-H Q16 (parts/supplier relationship): distinct-supplier counts
+  // per brand/type/size bucket with a NOT-IN exclusion list — the
+  // count(DISTINCT) + null-aware-anti-join composition. The supplier
+  // link is derived from shipment history (no partsupp in the fixture).
+  def tpchQ16(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%07%')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 50""".stripMargin)
+
+  // TPC-H Q20 (potential promotion), shaped to the fixture: suppliers
+  // who moved more than 100 units of some PROMO part — the nested-IN-
+  // with-grouped-HAVING shape (ps_availqty is stood in by shipped
+  // volume). Inner aggregate on the exact DECIMAL route; the outer IN
+  // plans as a left-semi join.
+  def tpchQ20(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,12))) > 100)
+        |ORDER BY s_name""".stripMargin)
+
   // NOT IN under three-valued logic — the semantics trap every SQL
   // engine must honor and Spark plans as a dedicated physical operator
   // (null-aware anti join): `x NOT IN (subquery)` is FALSE-or-UNKNOWN
@@ -4028,6 +4089,10 @@ object Queries {
     "q298_tpch_q19" -> (tpchQ19 _),
     "q302_gmm_em" -> (gmmEm _),
     "q304_dataset_manifest" -> (datasetManifest _),
+    "q305_tpch_q4" -> (tpchQ4 _),
+    "q306_tpch_q6" -> (tpchQ6 _),
+    "q307_tpch_q16" -> (tpchQ16 _),
+    "q308_tpch_q20" -> (tpchQ20 _),
     "q284_locf" -> (locf _),
     "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
@@ -5285,6 +5350,47 @@ object Queries {
          |  round(loglam, 6) AS log_lambda,
          |  round(least(1.0, exp(-runmax)), 6) AS p_always_valid
          |FROM mx ORDER BY event_type, n_seen""".stripMargin,
+    // Q4: identical text (EXISTS → semi join on both engines).
+    "q305_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Q6: revenue on the VARCHAR route; predicates identical.
+    "q306_tpch_q6" ->
+      s"""SELECT count(*) AS n_lines,
+         |  ${dsumSql("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    // Q16: identical text; DISTINCT count cast out of HUGEINT.
+    "q307_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%07%')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 50""".stripMargin,
+    // Q20: identical text; the HAVING threshold compares exact DECIMAL
+    // sums to an integer.
+    "q308_tpch_q20" ->
+      """SELECT s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,12))) > 100)
+        |ORDER BY s_name""".stripMargin,
     // Manifest twin: identical canonical rendering, same FNV fold,
     // exact BIGINT hash sums.
     "q304_dataset_manifest" ->

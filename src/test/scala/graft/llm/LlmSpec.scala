@@ -810,6 +810,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("cohensKappa assembles the formula from the two prediction sets") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nb = TextAnalysis.naiveBayesPred(corpus)
+      .select("doc_id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = TextAnalysis.langId(corpus)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shared = nb.keySet.intersect(li.keySet.filter(_ % 2 == 1))
+    val n = shared.size
+    val agree = shared.count(d => nb(d) == li(d))
+    val classes = (nb.values ++ li.values).toSet
+    val sprod = classes.toSeq.map { c =>
+      shared.count(d => nb(d) == c).toLong * shared.count(d => li(d) == c)
+    }.sum
+    val po = agree.toDouble / n
+    val pe = sprod.toDouble / (n.toLong * n)
+    val kappa = (po - pe) / (1.0 - pe)
+    val got = TextAnalysis.cohensKappa(corpus).collect().head
+    assert(got.getLong(0) == n.toLong && got.getLong(1) == agree.toLong)
+    assert(math.abs(got.getDouble(4) - kappa) < 1e-5,
+      s"kappa ${got.getDouble(4)} vs $kappa")
+    assert(got.getDouble(4) >= -1.0 && got.getDouble(4) <= 1.0)
+  }
+
   test("fingerprint is stable and order-sensitive") {
     val a = TextAnalysis.fingerprint(Seq((0L, "a b c")).toDF("doc_id", "text"))
       .collect().head.getLong(1)

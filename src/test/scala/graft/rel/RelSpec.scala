@@ -477,6 +477,69 @@ class RelSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0 && r.getDouble(4) > 0.0)
   }
 
+  test("q305/q306 TPC-H Q4 and Q6 equal plain-Scala recomputes") {
+    def ms(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    def t(s: String): Long = java.time.LocalDateTime.parse(s)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), ms(r, 1), r.getString(2)))
+    val lines = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate", "l_discount", "l_quantity",
+        "l_extendedprice").collect()
+      .map(r => (r.getLong(0), ms(r, 1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val shipByOrder = lines.groupBy(_._1)
+    val expect4 = orders
+      .filter(o => o._2 >= t("1997-01-01T00:00:00")
+        && o._2 < t("1997-04-01T00:00:00")
+        && shipByOrder.getOrElse(o._1, Array.empty[(Long, Long, Double, Double, Double)]).exists(_._2 > o._2))
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val got4 = Queries.tpchQ4(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got4 == expect4, s"$got4 vs $expect4")
+
+    val sel6 = lines.filter(l => l._2 >= t("1997-01-01T00:00:00")
+      && l._2 < t("1998-01-01T00:00:00")
+      && l._3 >= 0.05 && l._3 <= 0.07 && l._4 < 24.0)
+    val got6 = Queries.tpchQ6(spark, sf0001).collect().head
+    assert(got6.getLong(0) == sel6.length.toLong)
+    if (sel6.nonEmpty) {
+      val rev = sel6.map(l => BigDecimal(l._5 * l._3)).sum.toDouble
+      assert(math.abs(got6.getDouble(1) - rev) < 1e-4,
+        s"${got6.getDouble(1)} vs $rev")
+    }
+  }
+
+  test("q307/q308 TPC-H Q16 and Q20 invariants") {
+    val suppName = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q16 = Queries.tpchQ16(spark, sf0001).collect()
+    assert(q16.nonEmpty)
+    q16.foreach { r =>
+      assert(r.getString(0) != "Brand#1" && !r.getString(1).startsWith("PROMO"))
+      assert(Set(1, 5, 9, 15, 20, 25, 30, 35).contains(r.getInt(2)))
+      assert(r.getLong(3) >= 1L)
+    }
+    val q20 = Queries.tpchQ20(spark, sf0001).collect()
+    assert(q20.nonEmpty)
+    // every returned supplier really moved > 100 units of a PROMO part
+    val promoParts = spark.read.parquet(s"$sf0001/part.parquet")
+      .where(col("p_type") === "PROMO").select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val vol = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_suppkey", "l_partkey", "l_quantity").collect()
+      .filter(r => promoParts.contains(r.getLong(1)))
+      .groupBy(r => (r.getLong(0), r.getLong(1))).view
+      .mapValues(_.map(r => BigDecimal(r.getDouble(2))).sum).toMap
+    val qualifying = vol.filter(_._2 > 100).keys.map(_._1).toSet
+      .map(suppName)
+    assert(q20.map(_.getString(0)).toSet == qualifying)
+  }
+
   test("q303 normalized dedup collapses every decorated copy") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val nEven = docs.where(col("doc_id") % 2 === 0).count()
