@@ -469,6 +469,124 @@ object Queries {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,12))) > 100)
         |ORDER BY s_name""".stripMargin)
 
+  // TPC-H Q7 (volume shipping): bidirectional nation-pair trade by
+  // ship year — the double-nation-dim star join with a disjunctive
+  // pair predicate; revenue on the DECIMAL route, year() exact.
+  def tpchQ7(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(38,12))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+        |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |      AND TIMESTAMP '1997-12-31 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  // TPC-H Q8 (national market share): one nation's share of regional
+  // revenue per order year — the conditional-numerator ratio over an
+  // 8-table star join; numerator and denominator each DECIMAL-routed,
+  // one final division in identical IEEE order.
+  def tpchQ8(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT o_year,
+        |  round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5'
+        |      THEN volume ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |    AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    n1.n_name AS supp_nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    AND s_nationkey = n1.n_nationkey AND p_type = 'STANDARD') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)
+
+  // TPC-H Q9 (product-type profit), shaped to the fixture: the spec's
+  // ps_supplycost is stood in by 10% of p_retailprice (documented unit
+  // cost proxy — the fixture has no partsupp), so profit =
+  // revenue − 0.1·retail·quantity; grouped by supplier nation × order
+  // year over name-filtered parts.
+  def tpchQ9(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT nation, o_year,
+        |  CAST(SUM(CAST(amount AS DECIMAL(38,12))) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_lines
+        |FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount)
+        |      - p_retailprice * 0.1 * l_quantity AS amount
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin)
+
+  // TPC-H Q11 (important stock), shaped to the fixture: per-part
+  // shipped value from two nations' suppliers, kept where the part
+  // exceeds a fraction of the group total — the HAVING-against-scalar-
+  // subquery shape (the threshold broadcast once). Both sides of the
+  // `>` ride the DECIMAL route, so the cut is bit-deterministic; the
+  // output value is rounded with a partkey tiebreak.
+  def tpchQ11(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """WITH pv AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_4')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, round(value, 6) AS value
+        |FROM pv
+        |WHERE value > (SELECT 0.001 * CAST(SUM(CAST(value
+        |  AS DECIMAL(38,12))) AS DOUBLE) FROM pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+
+  // TPC-H Q13 (customer order-count distribution): the count-of-counts
+  // histogram over a LEFT OUTER join whose ON clause carries an extra
+  // filter (customers with zero qualifying orders land in the 0
+  // bucket, which an inner join would lose) — counts only.
+  def tpchQ13(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  // TPC-H Q15 (top supplier): the revenue-view + max-scalar-subquery
+  // shape — the view aggregates once, the max broadcasts, and equality
+  // on the identical DECIMAL-routed doubles selects the same winner(s)
+  // on both engines.
+  def tpchQ15(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+
   // NOT IN under three-valued logic — the semantics trap every SQL
   // engine must honor and Spark plans as a dedicated physical operator
   // (null-aware anti join): `x NOT IN (subquery)` is FALSE-or-UNKNOWN
@@ -4093,6 +4211,12 @@ object Queries {
     "q306_tpch_q6" -> (tpchQ6 _),
     "q307_tpch_q16" -> (tpchQ16 _),
     "q308_tpch_q20" -> (tpchQ20 _),
+    "q310_tpch_q7" -> (tpchQ7 _),
+    "q311_tpch_q8" -> (tpchQ8 _),
+    "q312_tpch_q9" -> (tpchQ9 _),
+    "q313_tpch_q11" -> (tpchQ11 _),
+    "q314_tpch_q13" -> (tpchQ13 _),
+    "q315_tpch_q15" -> (tpchQ15 _),
     "q284_locf" -> (locf _),
     "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
@@ -5350,6 +5474,89 @@ object Queries {
          |  round(loglam, 6) AS log_lambda,
          |  round(least(1.0, exp(-runmax)), 6) AS p_always_valid
          |FROM mx ORDER BY event_type, n_seen""".stripMargin,
+    // Q7: identical text; year() cast to INT (DuckDB returns BIGINT),
+    // revenue on the VARCHAR route.
+    "q310_tpch_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  ${dsumSql("volume")} AS revenue, count(*) AS n_lines
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS INT) AS l_year,
+         |    l_extendedprice * (1.0 - l_discount) AS volume
+         |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+         |    AND c_nationkey = n2.n_nationkey
+         |    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+         |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12'))
+         |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+         |      AND TIMESTAMP '1997-12-31 00:00:00') shipping
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // Q8: both ratio legs on the VARCHAR route, divided once.
+    "q311_tpch_q8" ->
+      s"""SELECT o_year,
+         |  round(${dsumSql("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END")}
+         |    / ${dsumSql("volume")}, 6) AS mkt_share,
+         |  count(*) AS n_lines
+         |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    l_extendedprice * (1.0 - l_discount) AS volume,
+         |    n1.n_name AS supp_nation
+         |  FROM part, supplier, lineitem, orders, customer,
+         |    nation n1, nation n2, region
+         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND c_nationkey = n2.n_nationkey
+         |    AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |    AND s_nationkey = n1.n_nationkey AND p_type = 'STANDARD') all_nations
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Q9: identical cost proxy, profit on the VARCHAR route.
+    "q312_tpch_q9" ->
+      s"""SELECT nation, o_year, ${dsumSql("amount")} AS sum_profit,
+         |  count(*) AS n_lines
+         |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |    l_extendedprice * (1.0 - l_discount)
+         |      - p_retailprice * 0.1 * l_quantity AS amount
+         |  FROM part, supplier, lineitem, orders, nation
+         |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+         |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+         |    AND p_name LIKE '%red%') profit
+         |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin,
+    // Q11: per-part values and the group total both VARCHAR-routed so
+    // the fraction cut admits the same parts.
+    "q313_tpch_q11" ->
+      s"""WITH pv AS (SELECT l_partkey,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS value
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_3', 'NATION_4')
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey, round(value, 6) AS value
+         |FROM pv
+         |WHERE value > (SELECT 0.001 * ${dsumSql("value")} FROM pv)
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+    // Q13: identical text; counts cast out of HUGEINT.
+    "q314_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15: the view's revenue and its max both VARCHAR-routed; the
+    // equality then binds the same winner(s).
+    "q315_tpch_q15" ->
+      s"""WITH revenue AS (SELECT l_suppkey AS supplier_no,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
     // Q4: identical text (EXISTS → semi join on both engines).
     "q305_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count

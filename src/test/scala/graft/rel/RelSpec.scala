@@ -540,6 +540,54 @@ class RelSpec extends SparkSpec {
     assert(q20.map(_.getString(0)).toSet == qualifying)
   }
 
+  test("q310-q315 TPC-H Q7/Q8/Q11/Q13/Q15 invariants and recomputes") {
+    // Q7: only the two declared nation orientations appear
+    val q7 = Queries.tpchQ7(spark, sf0001).collect()
+    assert(q7.nonEmpty)
+    assert(q7.map(r => (r.getString(0), r.getString(1))).toSet.subsetOf(
+      Set(("NATION_12", "NATION_11"), ("NATION_11", "NATION_12"))))
+    // Q8: a market share is a proper fraction
+    val q8 = Queries.tpchQ8(spark, sf0001).collect()
+    assert(q8.nonEmpty)
+    q8.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    // Q11: every surviving part really exceeds the threshold
+    val q11 = Queries.tpchQ11(spark, sf0001).collect()
+    assert(q11.nonEmpty)
+    // recompute the full per-part value table independently
+    val nat = spark.read.parquet(s"$sf0001/nation.parquet").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val okSupp = spark.read.parquet(s"$sf0001/supplier.parquet").collect()
+      .filter(r => Set("NATION_3", "NATION_4").contains(nat(r.getInt(2))))
+      .map(_.getLong(0)).toSet
+    val vals = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect()
+      .filter(r => okSupp.contains(r.getLong(1)))
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => BigDecimal(r.getDouble(2) * (1.0 - r.getDouble(3)))).sum)
+      .toMap
+    val thr = 0.001 * vals.values.sum.toDouble
+    val expect11 = vals.filter(_._2.toDouble > thr).keySet
+    assert(q11.map(_.getLong(0)).toSet == expect11)
+    // Q13: count-of-counts recompute
+    val nonUrgent = spark.read.parquet(s"$sf0001/orders.parquet")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custs = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expect13 = custs.map(c => nonUrgent.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got13 = Queries.tpchQ13(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got13 == expect13, s"$got13 vs $expect13")
+    // Q15: the winner's revenue is the max over all suppliers
+    val q15 = Queries.tpchQ15(spark, sf0001).collect()
+    assert(q15.nonEmpty)
+    val revs = q15.map(_.getDouble(2))
+    assert(revs.forall(_ == revs.max))
+  }
+
   test("q303 normalized dedup collapses every decorated copy") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val nEven = docs.where(col("doc_id") % 2 === 0).count()
