@@ -645,6 +645,73 @@ object Dedup {
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
   }
 
+  /** MinHash estimator-accuracy audit: for every LSH candidate pair,
+    * the one-permutation signature ESTIMATE of Jaccard next to the
+    * EXACT shingle Jaccard, with the absolute error — the measurement
+    * a production dedup pipeline publishes before trusting the sketch
+    * at a new (k, nBuckets, bandSize) operating point (the honest-
+    * measurement companion to RecallSpec's recall numbers; Broder
+    * 1997's estimator, Li & König 2012's one-permutation variant).
+    *
+    * Estimator: matching bucket-mins over the buckets occupied by
+    * EITHER doc. Mutually-empty bins carry no information — docs with
+    * fewer shingles than buckets leave most bins empty, and dividing
+    * by nBuckets would floor every estimate near 0 (identical 4-
+    * shingle docs would "estimate" 4/64): the union-occupancy
+    * denominator is the OPH equivalent of densification.
+    *
+    * Scale: the signature table is the SAME bucket-min frame the
+    * candidate join already builds (shingled once, localCheckpoint'd);
+    * the match count is a 3-key equi-join (d, bucket, mh) — O(pairs ×
+    * nBuckets) rows, never corpus-wide; the exact leg touches only
+    * candidate pairs (the q18 verify contract). */
+  def minhashAccuracy(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
+                      maxBucket: Int = 1000): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("doc_id"),
+        nativeShingles(docs, textCol, k).as("sh"))
+      .where(size(col("sh")) > 0).localCheckpoint()
+    val cands = minhashCandidatesFromShingles(sh, nBuckets, bandSize, maxBucket)
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), graft.functions.HashExprs.fnv1a32("s").as("h"))
+    val bm = hashed
+      .groupBy(col("doc_id"), pmod(col("h"), lit(nBuckets)).as("bucket"))
+      .agg(min(col("h")).as("mh"))
+    val matches = cands
+      .join(bm.select(col("doc_id").as("d1"), col("bucket"), col("mh")),
+        Seq("d1"))
+      .join(bm.select(col("doc_id").as("d2"), col("bucket"), col("mh")),
+        Seq("d2", "bucket", "mh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("cnt"))
+    // buckets occupied by BOTH docs (any value) and per-doc occupancy —
+    // union occupancy = nb1 + nb2 − both
+    val occBoth = cands
+      .join(bm.select(col("doc_id").as("d1"), col("bucket")), Seq("d1"))
+      .join(bm.select(col("doc_id").as("d2"), col("bucket")),
+        Seq("d2", "bucket"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("ob"))
+    val nb = bm.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val ex = cands
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("double").as("total"))
+    val est = col("cnt").cast("double") /
+      (col("nb1") + col("nb2") - col("ob")).cast("double")
+    val jac = col("inter") / (col("total") - col("inter"))
+    matches.join(occBoth, Seq("d1", "d2"))
+      .join(nb.select(col("doc_id").as("d1"), col("nb").as("nb1")), Seq("d1"))
+      .join(nb.select(col("doc_id").as("d2"), col("nb").as("nb2")), Seq("d2"))
+      .join(ex, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("cnt").as("matches"),
+        round(est, 6).as("est_jaccard"),
+        round(jac, 6).as("exact_jaccard"),
+        round(abs(est - jac), 6).as("abs_err"))
+      .orderBy("d1", "d2")
+  }
+
   /** Shingle-CONTAINMENT self-join — the asymmetric-duplication signal
     * Jaccard misses: a short document wholly embedded in a long one
     * (quote farms, aggregation pages, prompt+completion pairs) has

@@ -1311,6 +1311,11 @@ object Queries {
           sum(col("n_copies") - 1L).as("n_dups_removed"))
         .orderBy("lang")
     }),
+    // MinHash estimator-accuracy audit: one-permutation estimate vs
+    // exact Jaccard per candidate pair (see Dedup.minhashAccuracy)
+    "q316_minhash_accuracy" -> ((s, dir) =>
+      Dedup.minhashAccuracy(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, nBuckets = 64, bandSize = 4, maxBucket = 1000)),
     // Asymmetric superset/subset near-dup: shingle containment in the
     // df-capped space (see Dedup.containmentPairs scaladoc)
     "q299_containment" -> ((s, dir) =>
@@ -1403,6 +1408,55 @@ object Queries {
        |  FROM c JOIN f fa ON fa.doc_id = c.d1 JOIN f fb ON fb.doc_id = c.d2)
        |SELECT d1, d2, inter / (total - inter) AS jaccard FROM j
        |WHERE inter / (total - inter) >= 0.1 ORDER BY d1, d2""".stripMargin
+
+  /** DuckDB twin of [[Dedup.minhashAccuracy]]: the q18 CTE chain up to
+    * the candidate set, plus the 3-key bucket-min match count and the
+    * unthresholded exact-Jaccard leg. */
+  private val minhashAccuracyOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+       |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+       |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |hx AS (SELECT doc_id, ${fnvSql("s")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM f) u),
+       |bm AS (SELECT doc_id, h % 64 AS bucket, min(h) AS mh
+       |  FROM hx GROUP BY doc_id, bucket),
+       |sg AS (SELECT doc_id, bucket // 4 AS band,
+       |    string_agg(bucket || ':' || mh, '|' ORDER BY bucket) AS sig
+       |  FROM bm GROUP BY doc_id, band),
+       |bk AS (SELECT doc_id, band, ${fnvSql("sig")} AS bkey FROM sg),
+       |sz AS (SELECT band, bkey FROM bk GROUP BY band, bkey
+       |  HAVING count(*) > 1 AND count(*) <= 1000),
+       |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bk a
+       |  JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN sz ON sz.band = a.band AND sz.bkey = a.bkey),
+       |m AS (SELECT c.d1, c.d2, count(*) AS cnt FROM c
+       |  JOIN bm b1 ON b1.doc_id = c.d1
+       |  JOIN bm b2 ON b2.doc_id = c.d2
+       |    AND b2.bucket = b1.bucket AND b2.mh = b1.mh
+       |  GROUP BY c.d1, c.d2),
+       |ob AS (SELECT c.d1, c.d2, count(*) AS ob FROM c
+       |  JOIN bm b1 ON b1.doc_id = c.d1
+       |  JOIN bm b2 ON b2.doc_id = c.d2 AND b2.bucket = b1.bucket
+       |  GROUP BY c.d1, c.d2),
+       |nbc AS (SELECT doc_id, count(*) AS nb FROM bm GROUP BY doc_id),
+       |j AS (SELECT d1, d2,
+       |    CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) AS inter,
+       |    CAST(len(fa.sh) + len(fb.sh) AS DOUBLE) AS total
+       |  FROM c JOIN f fa ON fa.doc_id = c.d1 JOIN f fb ON fb.doc_id = c.d2)
+       |SELECT m.d1, m.d2, CAST(cnt AS BIGINT) AS matches,
+       |  round(CAST(cnt AS DOUBLE) / CAST(n1.nb + n2.nb - ob.ob AS DOUBLE), 6)
+       |    AS est_jaccard,
+       |  round(inter / (total - inter), 6) AS exact_jaccard,
+       |  round(abs(CAST(cnt AS DOUBLE) / CAST(n1.nb + n2.nb - ob.ob AS DOUBLE)
+       |    - inter / (total - inter)), 6) AS abs_err
+       |FROM m
+       |JOIN ob ON ob.d1 = m.d1 AND ob.d2 = m.d2
+       |JOIN nbc n1 ON n1.doc_id = m.d1
+       |JOIN nbc n2 ON n2.doc_id = m.d2
+       |JOIN j ON j.d1 = m.d1 AND j.d2 = m.d2
+       |ORDER BY m.d1, m.d2""".stripMargin
 
   /** DuckDB twin of [[Dedup.connectedComponents]] over the q18 pair set:
     * the recursive CTE transitive-closes the same edges, so min(reach)
@@ -2445,6 +2499,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> minhashOracle,
+    "q316_minhash_accuracy" -> minhashAccuracyOracle,
     "q65_dedup_components" -> componentsOracle,
     // q65's closure wrapped in a two-level count; the size-1 row is
     // corpus total minus docs holding any component label.

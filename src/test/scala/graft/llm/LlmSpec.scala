@@ -737,6 +737,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"engine=$got brute=(${s0.size}, ${s1.size})")
   }
 
+  test("minhashAccuracy: identical docs estimate 1.0; candidates share a band") {
+    val fix = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // identical
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.minhashAccuracy(fix, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4, maxBucket = 1000).collect()
+    val pair = got.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(pair.isDefined, got.mkString(","))
+    assert(pair.get.getDouble(3) == 1.0 && pair.get.getDouble(4) == 1.0)
+    assert(pair.get.getDouble(5) == 0.0)
+
+    // corpus: every candidate pair shares at least one full band of
+    // matching bucket-mins, so the estimate is bounded below
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rows = graft.llm.Dedup.minhashAccuracy(corpus, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4, maxBucket = 1000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // a shared band signature covers the band's OCCUPIED buckets —
+      // sparse docs may agree on as little as one bucket-min
+      assert(r.getLong(2) >= 1L, r.toString)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("containmentPairs scores a fully-embedded doc at 1.0") {
     val fix = Seq(
       (0L, "a b c d e"),            // 3 shingles, all inside doc 1
