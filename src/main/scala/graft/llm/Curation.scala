@@ -181,7 +181,7 @@ object Curation {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col(groupCol), col("rnk"), col(idCol), col(wCol),
-        round(col("skey"), 6).as("skey"))
+        graft.rel.Queries.femit(col("skey")).as("skey"))
   }
 
   /** Corpus-INTERNAL repeated-n-gram report — the memorization/
@@ -353,8 +353,8 @@ object Curation {
         sum(col("ntok")).as("n_bpe_tokens"),
         sum(col("nch").cast("long")).as("n_chars"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double")
-          / col("n_bpe_tokens").cast("double"), 6))
+        graft.rel.Queries.femit(col("n_chars").cast("double")
+          / col("n_bpe_tokens").cast("double")))
       .orderBy("lang")
   }
 

@@ -2287,7 +2287,7 @@ object Queries {
          |      ELSE list_concat(acc, x) END)""".stripMargin
       s""",
          |p$r AS (SELECT string_split(pr, ' ')[1] AS ma,
-         |  string_split(pr, ' ')[2] AS mb, sum(cnt) AS wcnt
+         |  string_split(pr, ' ')[2] AS mb, CAST(sum(cnt) AS BIGINT) AS wcnt
          |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
          |    i -> syms[i] || ' ' || syms[i + 1])) AS pr FROM $prev)
          |  GROUP BY 1, 2),
@@ -2457,8 +2457,10 @@ object Queries {
        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
        |    FROM documents) WHERE w <> '')
        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
-       |  sum(ntok) AS n_bpe_tokens, sum(nch) AS n_chars,
-       |  round(CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE), 6)
+       |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(nch) AS BIGINT) AS n_chars,
+       |  ${graft.rel.Queries.femitSql(
+            "CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE)")}
        |    AS chars_per_token
        |FROM words JOIN wl USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
@@ -3040,7 +3042,7 @@ object Queries {
          |  row_number() OVER (PARTITION BY event_type
          |    ORDER BY skey DESC, event_id) AS rnk FROM kx)
          |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value,
-         |  round(skey, 6) AS skey
+         |  ${graft.rel.Queries.femitSql("skey")} AS skey
          |FROM r WHERE rnk <= 10 ORDER BY event_type, rnk""".stripMargin,
     // Same 3-gram shingles, same FNV gram hash (collisions merge
     // identically in both engines), same ≥2-distinct-docs rule.
@@ -3628,18 +3630,20 @@ object Queries {
          |  FROM n, q WHERE n.vec_id <> q.qid),
          |r AS (SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid
          |  ORDER BY sim DESC, vec_id ASC) AS rnk FROM j),
-         |rt AS (SELECT qid, sum(rel) AS n_rel FROM j GROUP BY qid),
+         |rt AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel
+         |  FROM j GROUP BY qid),
          |ag AS (SELECT qid,
          |  sum(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS hits_k,
          |  min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
          |  ${dec("CASE WHEN rnk <= 5 THEN CAST(rel AS DOUBLE) / ln(CAST(rnk + 1 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END")} AS dcg
          |  FROM r WHERE rnk <= 10 GROUP BY qid)
          |SELECT rt.qid, rt.n_rel,
-         |  round(CAST(hits_k AS DOUBLE) / CAST(5.0 AS DOUBLE), 6) AS p_at_k,
-         |  round(coalesce(CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE),
-         |    CAST(0.0 AS DOUBLE)), 6) AS mrr,
-         |  round(CASE WHEN $idcgCase > CAST(0.0 AS DOUBLE)
-         |    THEN dcg / ($idcgCase) ELSE CAST(0.0 AS DOUBLE) END, 6) AS ndcg
+         |  ${graft.rel.Queries.femitSql(
+              "CAST(hits_k AS DOUBLE) / CAST(5.0 AS DOUBLE)")} AS p_at_k,
+         |  ${graft.rel.Queries.femitSql(
+              "coalesce(CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE), CAST(0.0 AS DOUBLE))")} AS mrr,
+         |  ${graft.rel.Queries.femitSql(
+              s"CASE WHEN $idcgCase > CAST(0.0 AS DOUBLE) THEN dcg / ($idcgCase) ELSE CAST(0.0 AS DOUBLE) END")} AS ndcg
          |FROM rt JOIN ag ON ag.qid = rt.qid ORDER BY rt.qid""".stripMargin
     },
     // Same cell keys (identical double division + floor), same 3×3

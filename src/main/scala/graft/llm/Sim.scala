@@ -129,10 +129,13 @@ object Sim {
     }
     rTot.join(agg, Seq("qid"))
       .select(col("qid"), col("n_rel"),
-        round(col("hits_k").cast("double") / lit(k.toDouble), 6).as("p_at_k"),
-        round(coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)), 6)
+        graft.rel.Queries.femit(
+          col("hits_k").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        graft.rel.Queries.femit(
+          coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)))
           .as("mrr"),
-        round(when(idcg > 0.0, col("dcg") / idcg).otherwise(lit(0.0)), 6)
+        graft.rel.Queries.femit(
+          when(idcg > 0.0, col("dcg") / idcg).otherwise(lit(0.0)))
           .as("ndcg"))
       .orderBy("qid")
   }

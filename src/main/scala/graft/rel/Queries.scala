@@ -73,6 +73,35 @@ object Queries {
     "CAST(CAST(SUM(CAST(CAST(%s AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
   private def dsumSql(e: String) = DSUM.format(e)
 
+  /** Hash-portable float EMISSION (the final value of every double output
+    * column): round to 6 decimals using ONLY IEEE ops both engines execute
+    * bit-identically — `floor(x*1e6 + 0.5)/1e6` — with passthrough for
+    * |x| ≥ 1e9 (where 6-decimal rounding is sub-ULP anyway, and where the
+    * ×1e6 would overflow Spark's ANSI floor→long), NaN forced to NULL, and
+    * a trailing `+ 0.0` collapsing IEEE -0.0 to +0.0.
+    *
+    * Why not `round(x, 6)`: Spark rounds the SHORTEST-DECIMAL-REPR half-up
+    * (BigDecimal.valueOf) while DuckDB rounds the BINARY value with a
+    * version-dependent half-mode — they diverge at 7th-decimal half
+    * boundaries (common for medians/averages of low-decimal data) and on
+    * `-0.0` for tiny negatives. Verified bit-exact against the oracle twin
+    * [[femitSql]] over 1.1M adversarial doubles (half boundaries, tiny
+    * negatives, 24 orders of magnitude). Pair with [[femitSql]] ALWAYS —
+    * adopting one side alone re-introduces the divergence. */
+  def femit(c: Column): Column = {
+    val d = c.cast("double")
+    val snapped = floor(d * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    when(isnan(d), lit(null).cast("double"))
+      .otherwise(when(abs(d) < lit(1e9), snapped).otherwise(d) + lit(0.0))
+  }
+
+  /** Oracle twin of [[femit]] — same IEEE ops, same NaN/-0.0 handling. */
+  def femitSql(e: String): String =
+    s"((CASE WHEN isnan(CAST(($e) AS DOUBLE)) THEN NULL " +
+      s"WHEN abs(CAST(($e) AS DOUBLE)) < 1e9 " +
+      s"THEN floor(CAST(($e) AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+      s"ELSE CAST(($e) AS DOUBLE) END) + 0.0)"
+
   // E4: TPC-H Q1-shaped multi-aggregate group-by with pushed-down scan filter.
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
@@ -1267,9 +1296,9 @@ object Queries {
         sum(col("cnt") - col("poscnt")).as("n_neg"),
         dsum(col("poscnt").cast("double") * col("avg_rank")).as("rpos"))
       .select(col("n_pos"), col("n_neg"),
-        round((col("rpos")
+        femit((col("rpos")
           - col("n_pos").cast("double") * (col("n_pos") + 1L).cast("double") / 2.0)
-          / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"))
   }
 
@@ -1466,8 +1495,8 @@ object Queries {
       .withColumn("anom", col("num") * col("num") > lit(9L) * col("den2"))
       .withColumn("z6",
         when(col("den2") > 0L,
-          round(abs(col("num")).cast("double")
-            / sqrt(col("den2").cast("double")), 6)).otherwise(lit(0.0)))
+          femit(abs(col("num")).cast("double")
+            / sqrt(col("den2").cast("double")))).otherwise(lit(0.0)))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_scored"),
         sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"),
@@ -1537,8 +1566,8 @@ object Queries {
         sum(when(col("cents").cast("double") > col("hi"), 1L).otherwise(0L))
           .as("n_high"),
         max(col("lo")).as("fence_lo"), max(col("hi")).as("fence_hi"),
-        round(dsum(least(greatest(col("cents").cast("double"), col("lo")),
-          col("hi"))) / count(lit(1)), 6).as("winsor_mean"))
+        femit(dsum(least(greatest(col("cents").cast("double"), col("lo")),
+          col("hi"))) / count(lit(1))).as("winsor_mean"))
       .orderBy("event_type")
   }
 
@@ -1596,8 +1625,8 @@ object Queries {
       .withColumn("bin", least(floor(col("value") / 50.0).cast("long"), lit(9L)))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
-        round(dsum(col("value")) / count(lit(1)), 6).as("mean_score"),
-        round(sum(col("pos")).cast("double") / count(lit(1)).cast("double"), 6)
+        femit(dsum(col("value")) / count(lit(1))).as("mean_score"),
+        femit(sum(col("pos")).cast("double") / count(lit(1)).cast("double"))
           .as("frac_pos"))
       .orderBy("bin")
 
@@ -1631,9 +1660,9 @@ object Queries {
       .withColumn("p2", (col("n2") + 1L).cast("double") / (col("t2") + 10L).cast("double"))
       .withColumn("term", (col("p2") - col("p1")) * log(col("p2") / col("p1")))
     val bins = grid.select(col("bin"), col("n1"), col("n2"),
-      round(col("term"), 6).as("term"))
+      femit(col("term")).as("term"))
     val total = grid.agg(sum(col("n1")).as("n1"), sum(col("n2")).as("n2"),
-        round(dsum(col("term")), 6).as("term"))
+        femit(dsum(col("term"))).as("term"))
       .select(lit(-1L).as("bin"), col("n1"), col("n2"), col("term"))
     bins.unionByName(total).orderBy("bin")
   }
@@ -1660,8 +1689,8 @@ object Queries {
       .withColumn("dur", col("next_us") - col("us"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("dur")).as("total_us"),
-        round(dsum(col("value") * col("dur").cast("double"))
-          / sum(col("dur")).cast("double"), 6).as("twap"))
+        femit(dsum(col("value") * col("dur").cast("double"))
+          / sum(col("dur")).cast("double")).as("twap"))
       .orderBy("event_type")
   }
 
@@ -2016,8 +2045,8 @@ object Queries {
         Seq("digit"), "right")
       .crossJoin(broadcast(total))
       .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
-        round(coalesce(col("n"), lit(0L)).cast("double")
-          / col("grand").cast("double"), 6).as("p_obs"),
+        femit(coalesce(col("n"), lit(0L)).cast("double")
+          / col("grand").cast("double")).as("p_obs"),
         col("p_raw"),
         (coalesce(col("n"), lit(0L)).cast("double")
           - col("grand").cast("double") * col("p_raw")).as("dev"),
@@ -2025,9 +2054,9 @@ object Queries {
       .withColumn("term", col("dev") * col("dev")
         / (col("grand").cast("double") * col("p_raw")))
     perDigit.select(col("digit"), col("n"), col("p_obs"),
-        round(col("p_raw"), 6).as("p_exp"), round(col("term"), 6).as("chi2"))
+        femit(col("p_raw")).as("p_exp"), femit(col("term")).as("chi2"))
       .unionByName(perDigit.groupBy()
-        .agg(max(col("grand")).as("n"), round(dsum(col("term")), 6).as("chi2"))
+        .agg(max(col("grand")).as("n"), femit(dsum(col("term"))).as("chi2"))
         .select(lit(-1L).as("digit"), col("n"),
           lit(null).cast("double").as("p_obs"),
           lit(null).cast("double").as("p_exp"), col("chi2")))
@@ -2057,9 +2086,9 @@ object Queries {
       .withColumn("term", (col("o").cast("double") - col("e"))
         * (col("o").cast("double") - col("e")) / col("e"))
     val perType = withE.groupBy("event_type")
-      .agg(sum(col("o")).as("n"), round(dsum(col("term")), 6).as("chi2"))
+      .agg(sum(col("o")).as("n"), femit(dsum(col("term"))).as("chi2"))
     val total = withE.groupBy()
-      .agg(sum(col("o")).as("n"), round(dsum(col("term")), 6).as("chi2"),
+      .agg(sum(col("o")).as("n"), femit(dsum(col("term"))).as("chi2"),
         ((countDistinct(col("event_type")) - 1L)
           * (countDistinct(col("dow")) - 1L)).as("dof"))
       .select(lit("TOTAL").as("event_type"), col("n"), col("chi2"), col("dof"))
@@ -2097,7 +2126,7 @@ object Queries {
         - col("cb").cast("double") / col("nb").cast("double")))
       .groupBy("event_type")
       .agg(max(col("na")).as("n1"), max(col("nb")).as("n2"),
-        count(lit(1)).as("n_points"), round(max(col("d")), 6).as("ks"))
+        count(lit(1)).as("n_points"), femit(max(col("d"))).as("ks"))
       .orderBy("event_type")
   }
 
@@ -2130,17 +2159,17 @@ object Queries {
         dsum(col("a").cast("double") * col("avgrank")).as("r1"),
         sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
       .select(col("event_type"), col("n1"), col("n2"),
-        round(col("r1"), 6).as("r1"),
-        round(col("r1") - col("n1").cast("double")
-          * (col("n1").cast("double") + 1.0) / 2.0, 6).as("u1"),
-        round(((col("r1") - col("n1").cast("double")
+        femit(col("r1")).as("r1"),
+        femit(col("r1") - col("n1").cast("double")
+          * (col("n1").cast("double") + 1.0) / 2.0).as("u1"),
+        femit(((col("r1") - col("n1").cast("double")
             * (col("n1").cast("double") + 1.0) / 2.0)
           - col("n1").cast("double") * col("n2").cast("double") / 2.0)
           / sqrt(col("n1").cast("double") * col("n2").cast("double") / 12.0
             * (((col("n1") + col("n2")).cast("double") + 1.0)
               - col("ties").cast("double")
                 / ((col("n1") + col("n2")).cast("double")
-                  * ((col("n1") + col("n2")).cast("double") - 1.0)))), 6)
+                  * ((col("n1") + col("n2")).cast("double") - 1.0)))))
           .as("z"))
       .orderBy("event_type")
   }
@@ -2182,8 +2211,8 @@ object Queries {
         max(when(col("n_risk") === col("d"), 1L).otherwise(0L)).over(upTo))
       .withColumn("surv",
         when(col("dead") === 1L, lit(0.0)).otherwise(
-          round(exp(sum(col("lnterm").cast("decimal(38,12)")).over(upTo)
-            .cast("double")), 6)))
+          femit(exp(sum(col("lnterm").cast("decimal(38,12)")).over(upTo)
+            .cast("double")))))
       .select(col("lifetime_day"), col("n_risk"), col("d"), col("c"), col("surv"))
       .orderBy("lifetime_day")
   }
@@ -2308,11 +2337,11 @@ object Queries {
           * (col("mean_g") - col("gm"))).as("ssb"),
         dsum(col("s2") - col("n").cast("double") * col("mean_g")
           * col("mean_g")).as("ssw"))
-      .select(col("k"), col("n"), round(col("ssb"), 6).as("ssb"),
-        round(col("ssw"), 6).as("ssw"),
-        round((col("ssb") / (col("k").cast("double") - 1.0))
+      .select(col("k"), col("n"), femit(col("ssb")).as("ssb"),
+        femit(col("ssw")).as("ssw"),
+        femit((col("ssb") / (col("k").cast("double") - 1.0))
           / (col("ssw") / (col("n").cast("double")
-            - col("k").cast("double"))), 6).as("f"))
+            - col("k").cast("double")))).as("f"))
   }
 
   // Pareto / ABC inventory classification (the 80/15/5 revenue-share
@@ -2404,12 +2433,12 @@ object Queries {
         sum(col("n_pos")).over(Window.orderBy(col("decile").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("decile"), col("n"), col("n_pos"),
-        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+        femit(col("n_pos").cast("double") / col("n").cast("double"))
           .as("pos_rate"),
-        round(col("cum_pos").cast("double") / col("tot_pos").cast("double"), 6)
+        femit(col("cum_pos").cast("double") / col("tot_pos").cast("double"))
           .as("cum_capture"),
-        round((col("n_pos") * col("nn")).cast("double")
-          / (col("n") * col("tot_pos")).cast("double"), 6).as("lift"))
+        femit((col("n_pos") * col("nn")).cast("double")
+          / (col("n") * col("tot_pos")).cast("double")).as("lift"))
       .orderBy("decile")
   }
 
@@ -2443,8 +2472,8 @@ object Queries {
         sum(when(lit(20000L) * col("adev4") > lit(44478L) * col("mad8"), 1L)
           .otherwise(0L)).as("n_outliers"),
         when(max(col("mad8")) > 0L,
-          round((lit(2.0) * max(col("adev4")).cast("double"))
-            / (lit(1.4826) * max(col("mad8")).cast("double")), 6))
+          femit((lit(2.0) * max(col("adev4")).cast("double"))
+            / (lit(1.4826) * max(col("mad8")).cast("double"))))
           .otherwise(lit(0.0)).as("max_z"))
       .orderBy("event_type")
   }
@@ -2849,8 +2878,8 @@ object Queries {
         max(struct(col("f"), (-col("key")).as("nk"))).as("m"))
       .select(col("col_name"), col("n_rows"), col("n_distinct"),
         col("m.f").as("max_freq"), (-col("m.nk")).as("top_key"),
-        round((col("m.f") * col("n_distinct")).cast("double")
-          / col("n_rows").cast("double"), 6).as("skew"))
+        femit((col("m.f") * col("n_distinct")).cast("double")
+          / col("n_rows").cast("double")).as("skew"))
       .orderBy("col_name")
 
   // QQ comparison table at the eighths — the MAGNITUDE companion to
@@ -3195,9 +3224,9 @@ object Queries {
         max(when(col("treat") === 1 && col("post") === 0, col("m"))).as("m10"),
         max(when(col("treat") === 1 && col("post") === 1, col("m"))).as("m11"))
       .select(col("event_type"), col("n_events"),
-        round(col("m00"), 6).as("ctl_pre"), round(col("m01"), 6).as("ctl_post"),
-        round(col("m10"), 6).as("trt_pre"), round(col("m11"), 6).as("trt_post"),
-        round((col("m11") - col("m10")) - (col("m01") - col("m00")), 6).as("did"))
+        femit(col("m00")).as("ctl_pre"), femit(col("m01")).as("ctl_post"),
+        femit(col("m10")).as("trt_pre"), femit(col("m11")).as("trt_post"),
+        femit((col("m11") - col("m10")) - (col("m01") - col("m00"))).as("did"))
       .orderBy("event_type")
   }
 
@@ -3391,7 +3420,7 @@ object Queries {
         bool_and(col("vu") >= 0L).as("all_nonneg"),
         bool_or(col("k") === 99L).as("any_k99"))
       .select(col("event_type"), col("n"),
-        round(col("median_value"), 6).as("median_value"), col("mode_k"),
+        femit(col("median_value")).as("median_value"), col("mode_k"),
         col("n_over_50"), col("all_nonneg"), col("any_k99"))
       .orderBy("event_type")
   }
@@ -3516,8 +3545,8 @@ object Queries {
         countDistinct(col("day")).as("active_days"),
         (max(col("h")) - max(col("day"))).as("recency_days"),
         (max(col("day")) - min(col("day"))).as("tenure_days"),
-        round(dsum(when(col("event_type") === "purchase", col("value"))
-          .otherwise(lit(0.0))), 6).as("spend"))
+        femit(dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))).as("spend"))
       .withColumn("split",
         when(split < 8L, "train").when(split === 8L, "val").otherwise("test"))
       .orderBy("user_id")
@@ -5894,8 +5923,8 @@ object Queries {
         |    ->> '$.u' AS BIGINT) AS u
         |  FROM events)
         |SELECT event_type, count(*) AS n, count(k) AS n_k,
-        |  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
-        |  sum(CASE WHEN u = user_id THEN 1 ELSE 0 END) AS n_u_ok
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN u = user_id THEN 1 ELSE 0 END) AS BIGINT) AS n_u_ok
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Collation-insensitive grouping ≡ grouping on lower(); the variant
     // census (n_forms, min_form) pins that the three injected spellings
@@ -5955,16 +5984,16 @@ object Queries {
          |  FROM ev CROSS JOIN m GROUP BY 1, 2, 3),
          |mm AS (SELECT event_type, treat, post, n,
          |  sv / CAST(n AS DOUBLE) AS m FROM cells),
-         |p AS (SELECT event_type, sum(n) AS n_events,
+         |p AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
          |  max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m00,
          |  max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m01,
          |  max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m10,
          |  max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m11
          |  FROM mm GROUP BY 1)
          |SELECT event_type, n_events,
-         |  round(m00, 6) AS ctl_pre, round(m01, 6) AS ctl_post,
-         |  round(m10, 6) AS trt_pre, round(m11, 6) AS trt_post,
-         |  round((m11 - m10) - (m01 - m00), 6) AS did
+         |  ${femitSql("m00")} AS ctl_pre, ${femitSql("m01")} AS ctl_post,
+         |  ${femitSql("m10")} AS trt_pre, ${femitSql("m11")} AS trt_post,
+         |  ${femitSql("(m11 - m10) - (m01 - m00)")} AS did
          |FROM p ORDER BY event_type""".stripMargin,
     // Same portable-FNV uniforms, same shared Poisson thresholds, same
     // dsum replicate means, same exact (2, 31) order statistics.
@@ -6003,11 +6032,13 @@ object Queries {
          |  epoch_us(ts) // 86400000000 AS day, value FROM events),
          |h AS (SELECT max(day) AS h FROM ev),
          |f AS (SELECT user_id, count(*) AS n_events,
-         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_purchases,
          |  count(DISTINCT day) AS active_days,
          |  max(h.h) - max(day) AS recency_days,
          |  max(day) - min(day) AS tenure_days,
-         |  round(${dsumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}, 6) AS spend
+         |  ${femitSql(dsumSql(
+              "CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END"))} AS spend
          |  FROM ev CROSS JOIN h GROUP BY user_id)
          |SELECT user_id, n_events, n_purchases, active_days, recency_days,
          |  tenure_days, spend,
@@ -6109,17 +6140,18 @@ object Queries {
     // explicitly by (count DESC, k ASC) — Spark's deterministic=true
     // contract — count_if/bool_and/bool_or as portable CASE/aggregates.
     "q258_agg_family" ->
-      """WITH ev AS (SELECT event_type,
+      s"""WITH ev AS (SELECT event_type,
         |  CAST(round(value * 1000000) AS BIGINT) AS vu,
-        |  CAST(props ->> '$.k' AS BIGINT) AS k FROM events),
+        |  CAST(props ->> '$$.k' AS BIGINT) AS k FROM events),
         |md AS (SELECT event_type, k, count(*) AS c FROM ev GROUP BY 1, 2),
         |mo AS (SELECT event_type, k AS mode_k FROM
         |  (SELECT event_type, k, row_number() OVER (PARTITION BY event_type
         |    ORDER BY c DESC, k ASC) AS rn FROM md) WHERE rn = 1)
         |SELECT ev.event_type, count(*) AS n,
-        |  round(median(vu) / 1e6, 6) AS median_value,
+        |  ${femitSql("median(vu) / 1e6")} AS median_value,
         |  min(mo.mode_k) AS mode_k,
-        |  sum(CASE WHEN vu > 50000000 THEN 1 ELSE 0 END) AS n_over_50,
+        |  CAST(sum(CASE WHEN vu > 50000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over_50,
         |  bool_and(vu >= 0) AS all_nonneg,
         |  bool_or(k = 99) AS any_k99
         |FROM ev JOIN mo ON mo.event_type = ev.event_type
@@ -6330,7 +6362,7 @@ object Queries {
     // Same stacked key stream, same argmax-with-smallest-key tiebreak
     // (spelled as a row_number pick), same exact skew arithmetic.
     "q215_skew_audit" ->
-      """WITH k AS (
+      s"""WITH k AS (
         |  SELECT 'l_orderkey' AS col_name, l_orderkey AS key FROM lineitem
         |  UNION ALL
         |  SELECT 'l_partkey', l_partkey FROM lineitem
@@ -6338,13 +6370,13 @@ object Queries {
         |  SELECT 'l_suppkey', l_suppkey FROM lineitem),
         |f AS (SELECT col_name, key, count(*) AS f FROM k GROUP BY 1, 2),
         |a AS (SELECT col_name, f AS max_freq, key AS top_key,
-        |  sum(f) OVER (PARTITION BY col_name) AS n_rows,
+        |  CAST(sum(f) OVER (PARTITION BY col_name) AS BIGINT) AS n_rows,
         |  count(*) OVER (PARTITION BY col_name) AS n_distinct,
         |  row_number() OVER (PARTITION BY col_name
         |    ORDER BY f DESC, key ASC) AS rn FROM f)
         |SELECT col_name, n_rows, n_distinct, max_freq, top_key,
-        |  round(CAST(max_freq * n_distinct AS DOUBLE)
-        |    / CAST(n_rows AS DOUBLE), 6) AS skew
+        |  ${femitSql("""CAST(max_freq * n_distinct AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE)""")} AS skew
         |FROM a WHERE rn = 1 ORDER BY col_name""".stripMargin,
     // Same integer micro-unit daily series; the argmax-with-tiebreak is
     // a row_number pick under the explicit (dd DESC, day ASC) order —
@@ -6383,7 +6415,8 @@ object Queries {
         |  CAST((us - view_us) // 1000000 AS BIGINT) AS lag_sec
         |  FROM m WHERE event_type = 'purchase')
         |SELECT c_mktsegment AS segment, count(*) AS n_purchases,
-        |  sum(CASE WHEN view_us IS NULL THEN 1 ELSE 0 END) AS n_unmatched,
+        |  CAST(sum(CASE WHEN view_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched,
         |  quantile_cont(lag_sec, 0.5) AS p50_sec,
         |  quantile_cont(lag_sec, 0.75) AS p75_sec
         |FROM p JOIN customer ON user_id = c_custkey
@@ -6440,7 +6473,7 @@ object Queries {
         |c AS (SELECT flag, cents,
         |  sum(w) OVER (PARTITION BY flag ORDER BY cents ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g)
-        |SELECT c.flag, max(total) AS total_weight,
+        |SELECT c.flag, CAST(max(total) AS BIGINT) AS total_weight,
         |  CAST(min(cents) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS wmedian
         |FROM c JOIN t ON c.flag = t.flag WHERE 2 * cum >= total
         |GROUP BY c.flag ORDER BY c.flag""".stripMargin,
@@ -6455,30 +6488,32 @@ object Queries {
     // per-decile aggregates certify the engine's two-phase distributed
     // decomposition regardless of how either engine breaks those ties.
     "q199_decile_lift" ->
-      """WITH e AS (SELECT value AS score,
+      s"""WITH e AS (SELECT value AS score,
         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
         |  FROM events WHERE value IS NOT NULL),
         |t AS (SELECT *, ntile(10) OVER (ORDER BY score DESC, pos ASC)
         |  AS decile FROM e),
-        |g AS (SELECT decile, count(*) AS n, sum(pos) AS n_pos
+        |g AS (SELECT decile, count(*) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos
         |  FROM t GROUP BY 1),
-        |tt AS (SELECT sum(n) AS nn, sum(n_pos) AS tot_pos FROM g),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM g),
         |c AS (SELECT decile, n, n_pos,
-        |  sum(n_pos) OVER (ORDER BY decile ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |  CAST(sum(n_pos) OVER (ORDER BY decile ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
         |  FROM g)
         |SELECT decile, n, n_pos,
-        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
-        |  round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+        |  ${femitSql("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS pos_rate,
+        |  ${femitSql("CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)")}
         |    AS cum_capture,
-        |  round(CAST(n_pos * nn AS DOUBLE) / CAST(n * tot_pos AS DOUBLE), 6)
+        |  ${femitSql("CAST(n_pos * nn AS DOUBLE) / CAST(n * tot_pos AS DOUBLE)")}
         |    AS lift
         |FROM c CROSS JOIN tt ORDER BY decile""".stripMargin,
     // Same exact-integer route: half-integer median → int64 adev4/mad8,
     // the Hampel flag as the rational 20000·adev4 > 44478·mad8, and the
     // single fixed-order float only in the reported max |z|.
     "q200_mad_robust" ->
-      """WITH e AS (SELECT event_type,
+      s"""WITH e AS (SELECT event_type,
         |  CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
         |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
@@ -6491,11 +6526,11 @@ object Queries {
         |  FROM d GROUP BY 1)
         |SELECT d.event_type, count(*) AS n, max(med) AS med,
         |  CAST(max(mad8) AS DOUBLE) / 8.0 AS mad,
-        |  sum(CASE WHEN 20000 * adev4 > 44478 * mad8 THEN 1 ELSE 0 END)
-        |    AS n_outliers,
+        |  CAST(sum(CASE WHEN 20000 * adev4 > 44478 * mad8 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
         |  CASE WHEN max(mad8) > 0
-        |    THEN round((2.0 * CAST(max(adev4) AS DOUBLE))
-        |      / (1.4826 * CAST(max(mad8) AS DOUBLE)), 6)
+        |    THEN ${femitSql("""(2.0 * CAST(max(adev4) AS DOUBLE))
+        |      / (1.4826 * CAST(max(mad8) AS DOUBLE))""")}
         |    ELSE 0.0 END AS max_z
         |FROM d JOIN m2 USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
@@ -7307,12 +7342,13 @@ object Queries {
          |  coalesce(sum(cnt) OVER (ORDER BY score ASC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM g),
-         |a AS (SELECT sum(poscnt) AS n_pos, sum(cnt - poscnt) AS n_neg,
+         |a AS (SELECT CAST(sum(poscnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(cnt - poscnt) AS BIGINT) AS n_neg,
          |  ${dsumSql("CAST(poscnt AS DOUBLE) * (CAST(cum_before AS DOUBLE) + CAST(cnt + 1 AS DOUBLE) / 2.0)")} AS rpos
          |  FROM r)
          |SELECT n_pos, n_neg,
-         |  round((rpos - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
-         |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+         |  ${femitSql("(rpos - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)" +
+                       " / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")} AS auc
          |FROM a""".stripMargin,
     // Same support/confidence/lift definitions on the same bounded
     // baskets; divisions in the same fixed order.
@@ -7350,9 +7386,9 @@ object Queries {
         |  THEN 1 ELSE 0 END AS new_island,
         |  event_id FROM iv),
         |g AS (SELECT user_id, start_us, end_us,
-        |  sum(new_island) OVER (PARTITION BY user_id
+        |  CAST(sum(new_island) OVER (PARTITION BY user_id
         |    ORDER BY start_us ASC, end_us ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f)
         |SELECT user_id, island, min(start_us) AS island_start_us,
         |  max(end_us) AS island_end_us, count(*) AS n_events
         |FROM g GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
@@ -7372,9 +7408,10 @@ object Queries {
         |s AS (SELECT event_type, day, n_days, k, h,
         |  cum - least(0, min(cum) OVER (PARTITION BY event_type ORDER BY day ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_t FROM c)
-        |SELECT event_type, max(n_days) AS n_days, max(k) AS k, max(h) AS h,
-        |  max(s_t) AS max_s,
-        |  sum(CASE WHEN s_t > h THEN 1 ELSE 0 END) AS n_alarms,
+        |SELECT event_type, max(n_days) AS n_days, CAST(max(k) AS BIGINT) AS k,
+        |  CAST(max(h) AS BIGINT) AS h,
+        |  CAST(max(s_t) AS BIGINT) AS max_s,
+        |  CAST(sum(CASE WHEN s_t > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
         |  coalesce(min(CASE WHEN s_t > h THEN day END), -1) AS first_alarm_day
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same gap sessions, same per-session-type minima, same strict
@@ -7407,9 +7444,9 @@ object Queries {
       s"""WITH e AS (SELECT value,
          |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
          |  least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin FROM events)
-         |SELECT bin, count(*) AS n, sum(pos) AS n_pos,
-         |  round(${dsumSql("value")} / count(*), 6) AS mean_score,
-         |  round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  ${femitSql(dsumSql("value") + " / count(*)")} AS mean_score,
+         |  ${femitSql("CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
          |    AS frac_pos
          |FROM e GROUP BY bin ORDER BY bin""".stripMargin,
     // Same Laplace smoothing, same per-bin IEEE term, same DECIMAL
@@ -7422,18 +7459,19 @@ object Queries {
          |tot AS (SELECT sum(CASE WHEN snap = 1 THEN cnt END) AS t1,
          |  sum(CASE WHEN snap = 2 THEN cnt END) AS t2 FROM c),
          |g AS (SELECT bin,
-         |  coalesce(sum(CASE WHEN snap = 1 THEN cnt END), 0) AS n1,
-         |  coalesce(sum(CASE WHEN snap = 2 THEN cnt END), 0) AS n2
+         |  CAST(coalesce(sum(CASE WHEN snap = 1 THEN cnt END), 0) AS BIGINT) AS n1,
+         |  CAST(coalesce(sum(CASE WHEN snap = 2 THEN cnt END), 0) AS BIGINT) AS n2
          |  FROM c GROUP BY bin),
          |t AS (SELECT bin, n1, n2,
          |  CAST(n1 + 1 AS DOUBLE) / CAST(t1 + 10 AS DOUBLE) AS p1,
          |  CAST(n2 + 1 AS DOUBLE) / CAST(t2 + 10 AS DOUBLE) AS p2
          |  FROM g CROSS JOIN tot),
          |u AS (SELECT bin, n1, n2, (p2 - p1) * ln(p2 / p1) AS term FROM t)
-         |SELECT bin, n1, n2, round(term, 6) AS term FROM u
+         |SELECT bin, n1, n2, ${femitSql("term")} AS term FROM u
          |UNION ALL
-         |SELECT CAST(-1 AS BIGINT) AS bin, sum(n1) AS n1, sum(n2) AS n2,
-         |  round(${dsumSql("term")}, 6) AS term FROM u
+         |SELECT CAST(-1 AS BIGINT) AS bin, CAST(sum(n1) AS BIGINT) AS n1,
+         |  CAST(sum(n2) AS BIGINT) AS n2,
+         |  ${femitSql(dsumSql("term"))} AS term FROM u
          |ORDER BY bin""".stripMargin,
     // Same hold-until-next semantics, same global horizon, same
     // DECIMAL-route weighted sum.
@@ -7444,9 +7482,10 @@ object Queries {
          |  coalesce(lead(us, 1) OVER (PARTITION BY event_type
          |      ORDER BY us ASC, event_id ASC),
          |    max(us) OVER ()) AS next_us FROM e)
-         |SELECT event_type, count(*) AS n, sum(next_us - us) AS total_us,
-         |  round(${dsumSql("value * CAST(next_us - us AS DOUBLE)")}
-         |    / CAST(sum(next_us - us) AS DOUBLE), 6) AS twap
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(next_us - us) AS BIGINT) AS total_us,
+         |  ${femitSql(dsumSql("value * CAST(next_us - us AS DOUBLE)") +
+                      " / CAST(sum(next_us - us) AS DOUBLE)")} AS twap
          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same running last-non-purchase window, same 7-day cutoff, same
     // DECIMAL-route revenue.
@@ -7473,8 +7512,8 @@ object Queries {
         |  count(*) AS cls_n
         |  FROM customer GROUP BY 1, 2, 3)
         |SELECT c_nationkey, c_mktsegment, count(*) AS n_classes,
-        |  sum(CASE WHEN cls_n < 5 THEN 1 ELSE 0 END) AS n_violating,
-        |  sum(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS n_exposed,
+        |  CAST(sum(CASE WHEN cls_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(sum(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS BIGINT) AS n_exposed,
         |  min(cls_n) AS min_class
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same calibration split, same order-statistic qhat, same coverage
@@ -7518,20 +7557,20 @@ object Queries {
          |  (2, 0.176091259056), (3, 0.124938736608), (4, 0.096910013008),
          |  (5, 0.079181246048), (6, 0.066946789631), (7, 0.057991946978),
          |  (8, 0.051152522447), (9, 0.045757490561)) AS t(digit, p_exp)),
-         |g AS (SELECT sum(n) AS grand FROM c),
+         |g AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM c),
          |p AS (SELECT CAST(ex.digit AS BIGINT) AS digit,
-         |  coalesce(c.n, 0) AS n, ex.p_exp,
+         |  coalesce(c.n, 0) AS n, CAST(ex.p_exp AS DOUBLE) AS p_exp,
          |  CAST(coalesce(c.n, 0) AS DOUBLE)
-         |    - CAST(grand AS DOUBLE) * ex.p_exp AS dev, grand
+         |    - CAST(grand AS DOUBLE) * CAST(ex.p_exp AS DOUBLE) AS dev, grand
          |  FROM ex LEFT JOIN c ON ex.digit = c.digit CROSS JOIN g)
          |SELECT digit, n,
-         |  round(CAST(n AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS p_obs,
-         |  round(p_exp, 6) AS p_exp,
-         |  round(dev * dev / (CAST(grand AS DOUBLE) * p_exp), 6) AS chi2
+         |  ${femitSql("CAST(n AS DOUBLE) / CAST(grand AS DOUBLE)")} AS p_obs,
+         |  ${femitSql("p_exp")} AS p_exp,
+         |  ${femitSql("dev * dev / (CAST(grand AS DOUBLE) * p_exp)")} AS chi2
          |FROM p
          |UNION ALL
          |SELECT CAST(-1 AS BIGINT), max(grand), NULL, NULL,
-         |  round(${dsumSql("dev * dev / (CAST(grand AS DOUBLE) * p_exp)")}, 6)
+         |  ${femitSql(dsumSql("dev * dev / (CAST(grand AS DOUBLE) * p_exp)"))}
          |FROM p
          |ORDER BY digit""".stripMargin,
     // Same contingency grid, same window-derived expectations, same
@@ -7551,18 +7590,19 @@ object Queries {
          |      / CAST(grand AS DOUBLE))
          |    / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
          |      / CAST(grand AS DOUBLE)) AS term FROM w)
-         |SELECT event_type, sum(o) AS n, round(${dsumSql("term")}, 6) AS chi2,
+         |SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+         |  ${femitSql(dsumSql("term"))} AS chi2,
          |  CAST(NULL AS BIGINT) AS dof
          |FROM t GROUP BY event_type
          |UNION ALL
-         |SELECT 'TOTAL', sum(o), round(${dsumSql("term")}, 6),
+         |SELECT 'TOTAL', CAST(sum(o) AS BIGINT), ${femitSql(dsumSql("term"))},
          |  (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
          |FROM t
          |ORDER BY event_type""".stripMargin,
     // Same distinct-value collapse, same integer ECDF numerators, same
     // sup over IEEE quotients.
     "q189_ks_test" ->
-      """WITH e AS (SELECT event_type, value, user_id % 2 AS grp
+      s"""WITH e AS (SELECT event_type, value, user_id % 2 AS grp
         |  FROM events WHERE value IS NOT NULL),
         |p AS (SELECT event_type, value,
         |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a,
@@ -7576,10 +7616,11 @@ object Queries {
         |  sum(a) OVER (PARTITION BY event_type) AS na,
         |  sum(b) OVER (PARTITION BY event_type) AS nb
         |  FROM p)
-        |SELECT event_type, max(na) AS n1, max(nb) AS n2,
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n1,
+        |  CAST(max(nb) AS BIGINT) AS n2,
         |  count(*) AS n_points,
-        |  round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
-        |    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks
+        |  ${femitSql("""max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))""")} AS ks
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same distinct-value collapse, same integer average ranks, same
     // fixed-order tie-corrected z arithmetic; R1 via the DECIMAL route.
@@ -7595,34 +7636,35 @@ object Queries {
          |    ORDER BY value ASC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
          |  FROM p),
-         |g AS (SELECT event_type, sum(a) AS n1, sum(b) AS n2,
+         |g AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS n1,
+         |  CAST(sum(b) AS BIGINT) AS n2,
          |  ${dsumSql("CAST(a AS DOUBLE) * (CAST(before AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0)")} AS r1,
-         |  sum(t * t * t - t) AS ties FROM r GROUP BY 1)
-         |SELECT event_type, n1, n2, round(r1, 6) AS r1,
-         |  round(r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 6)
+         |  CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM r GROUP BY 1)
+         |SELECT event_type, n1, n2, ${femitSql("r1")} AS r1,
+         |  ${femitSql("r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0")}
          |    AS u1,
-         |  round(((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+         |  ${femitSql("""((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
          |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
          |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
          |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
          |        - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
-         |          * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 6) AS z
+         |          * (CAST(n1 + n2 AS DOUBLE) - 1.0))))""")} AS z
          |FROM g ORDER BY event_type""".stripMargin,
     // Same day-grain lifetimes + 2-day censor rule, same life-table
     // windows; ln terms summed through the DECIMAL window route.
     "q191_kaplan_meier" ->
-      """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+      s"""WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
         |  max(epoch_us(ts)) AS l FROM events GROUP BY 1),
         |v AS (SELECT (l - f) // 86400000000 AS lifetime_day,
         |  (max(l) OVER () - l) < 172800000000 AS censored FROM u),
         |t AS (SELECT lifetime_day,
-        |  sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
-        |  sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+        |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
         |  FROM v GROUP BY 1),
         |w AS (SELECT lifetime_day, d, c,
-        |  sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+        |  CAST(sum(d + c) OVER () - coalesce(sum(d + c) OVER (
         |    ORDER BY lifetime_day ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
         |  FROM t),
         |x AS (SELECT lifetime_day, d, c, n_risk,
         |  CASE WHEN d > 0 AND n_risk > d
@@ -7634,10 +7676,10 @@ object Queries {
         |  FROM w)
         |SELECT lifetime_day, n_risk, d, c,
         |  CASE WHEN dead = 1 THEN 0.0 ELSE
-        |    round(exp(CAST(CAST(sum(CAST(CAST(lnterm AS VARCHAR)
+        |    ${femitSql("""exp(CAST(CAST(sum(CAST(CAST(lnterm AS VARCHAR)
         |      AS DECIMAL(38,12))) OVER (ORDER BY lifetime_day ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS VARCHAR) AS DOUBLE)), 6) END AS surv
+        |      AS VARCHAR) AS DOUBLE))""")} END AS surv
         |FROM x ORDER BY lifetime_day""".stripMargin,
     // Same per-customer reduce, same deterministic ntile tiebreaks,
     // same DECIMAL-route monetary key and cell means.
@@ -7702,7 +7744,8 @@ object Queries {
          |  ${dsumSql("value")} AS s1, ${dsumSql("value * value")} AS s2
          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
          |g2 AS (SELECT *, s1 / CAST(n AS DOUBLE) AS mean_g FROM g),
-         |t AS (SELECT sum(n) AS nn, count(*) AS k, ${dsumSql("s1")} AS ts1
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k,
+         |  ${dsumSql("s1")} AS ts1
          |  FROM g2),
          |j AS (SELECT g2.*, ts1 / CAST(nn AS DOUBLE) AS gm, nn, k
          |  FROM g2 CROSS JOIN t),
@@ -7711,9 +7754,9 @@ object Queries {
          |    AS ssb,
          |  ${dsumSql("s2 - CAST(n AS DOUBLE) * mean_g * mean_g")} AS ssw
          |  FROM j)
-         |SELECT k, n, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
-         |  round((ssb / (CAST(k AS DOUBLE) - 1.0))
-         |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f
+         |SELECT k, n, ${femitSql("ssb")} AS ssb, ${femitSql("ssw")} AS ssw,
+         |  ${femitSql("""(ssb / (CAST(k AS DOUBLE) - 1.0))
+         |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))""")} AS f
          |FROM a""".stripMargin,
     // Same DECIMAL-route ranking key, same exact DECIMAL window cumsum
     // (VARCHAR round-trips on this side), same 80/95 cuts.
@@ -7746,11 +7789,13 @@ object Queries {
          |f AS (SELECT event_type,
          |  q25 - (q75 - q25) * 1.5 AS lo, q75 + (q75 - q25) * 1.5 AS hi FROM q)
          |SELECT e.event_type, count(*) AS n,
-         |  sum(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 ELSE 0 END) AS n_low,
-         |  sum(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 ELSE 0 END) AS n_high,
+         |  CAST(sum(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_low,
+         |  CAST(sum(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_high,
          |  max(lo) AS fence_lo, max(hi) AS fence_hi,
-         |  round(${dsumSql("least(greatest(CAST(cents AS DOUBLE), lo), hi)")}
-         |    / count(*), 6) AS winsor_mean
+         |  ${femitSql(dsumSql("least(greatest(CAST(cents AS DOUBLE), lo), hi)") +
+                      " / count(*)")} AS winsor_mean
          |FROM e JOIN f ON e.event_type = f.event_type
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // Same gap rule, same session-bounded leads, same total order.
@@ -7774,7 +7819,7 @@ object Queries {
     // Same integer flag algebra; the only float is the same fixed-order
     // rounded |z|.
     "q171_zscore_anomaly" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  count(*) AS x FROM events GROUP BY 1, 2),
         |w AS (SELECT event_type, day, x,
         |  sum(x) OVER tr AS s1, sum(x * x) OVER tr AS s2, count(*) OVER tr AS m
@@ -7783,9 +7828,10 @@ object Queries {
         |sc AS (SELECT event_type, 7 * x - s1 AS num, 7 * s2 - s1 * s1 AS den2
         |  FROM w WHERE m = 7)
         |SELECT event_type, count(*) AS n_scored,
-        |  sum(CASE WHEN num * num > 9 * den2 THEN 1 ELSE 0 END) AS n_anomalies,
+        |  CAST(sum(CASE WHEN num * num > 9 * den2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies,
         |  max(CASE WHEN den2 > 0
-        |    THEN round(abs(num) / sqrt(CAST(den2 AS DOUBLE)), 6)
+        |    THEN ${femitSql("abs(num) / sqrt(CAST(den2 AS DOUBLE))")}
         |    ELSE 0.0 END) AS max_z
         |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q168_skyline" ->
