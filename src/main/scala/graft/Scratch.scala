@@ -21,20 +21,23 @@ object Scratch {
   def dir(name: String): String = s"$root/$name"
 
   /** Cheap content fingerprint of a local file tree: every regular
-    * file's (relative name, size, mtime) PLUS the first and last 64
-    * bytes of its content, and the overall file count, folded into one
-    * string. Used by the idempotent-fixture markers (q75's signature
-    * store, q95's blob store, q106's ANN index) so that REGENERATING an
-    * input table in place — same path, new bytes — invalidates the
-    * persisted derived state instead of silently reusing it (a stale
-    * store would still fail the oracle, but as a confusing
-    * engine-bug-shaped red row rather than a rebuild). The head/tail
-    * sample defeats metadata-preserving rewrites (cp -p, rsync -t, a
-    * deterministic writer landing within mtime granularity): for
-    * parquet the last bytes cover the footer, whose row-group offsets
-    * and statistics shift under any content change. Still O(files)
-    * driver-side control flow with O(1) bytes read per file — the same
-    * class as a checkpoint-directory existence probe. */
+    * file's (relative name, size, mtime) PLUS the first, middle and
+    * last 64 bytes of its content, and the overall file count, folded
+    * into one string. Used by the idempotent-fixture markers (q75's
+    * signature store, q95's blob store, q106's ANN index) so that
+    * REGENERATING an input table in place — same path, new bytes —
+    * invalidates the persisted derived state instead of silently
+    * reusing it (a stale store would still fail the oracle, but as a
+    * confusing engine-bug-shaped red row rather than a rebuild). The
+    * content samples defeat metadata-preserving rewrites (cp -p,
+    * rsync -t, a deterministic writer landing within mtime
+    * granularity): for parquet the last bytes cover the footer, whose
+    * row-group offsets and statistics shift under any content change;
+    * the middle sample (ScratchSpec r9) additionally catches an
+    * in-place payload edit that leaves both ends intact. Still
+    * O(files) driver-side control flow with O(1) bytes read per
+    * file — the same class as a checkpoint-directory existence
+    * probe. */
   def fingerprint(path: String): String = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) "absent"
@@ -61,6 +64,12 @@ object Scratch {
             val buf = java.nio.ByteBuffer.allocate(64)
             val nHead = ch.read(buf)
             if (nHead > 0) fold(buf.array(), nHead)
+            if (size > 128) {
+              buf.clear()
+              ch.position(size / 2 - 32)
+              val nMid = ch.read(buf)
+              if (nMid > 0) fold(buf.array(), nMid)
+            }
             if (size > 64) {
               buf.clear()
               ch.position(math.max(0L, size - 64))

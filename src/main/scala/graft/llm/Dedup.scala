@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan-out of the lossless oversized-bucket spill in
+    * [[prefixFilterJoin]] / [[fuzzyJoin]]: a bucket past its in-task
+    * threshold self-joins on (key, salt) with the probe side pinned to
+    * one of these salts and the build side replicated across all of
+    * them, spreading the bucket's quadratic pair set over this many
+    * tasks. 64 ≈ 2× the local-mode parallelism; at cluster scale it
+    * bounds replication (build rows × 64) while still splitting any
+    * realistic degenerate bucket. */
+  val SpillSalts = 64
+
   /** Distinct k-token shingles over a *bound* token-array lambda
     * variable. try_element_at: tail windows run past the array end (ANSI
     * mode would throw); the truncated shingles they produce are sliced
@@ -367,11 +377,15 @@ object Dedup {
     * real titles share anchors and block far better). Tighten by
     * unioning more blocking keys, each its own cheap pass.
     *
-    * Scale: one hash-agg shuffle on the block key, the bucket-grouped
-    * expansion computes each string's key once and `maxBucket` caps the
-    * quadratic step inside a degenerate block (the [[simhashNearDups]]
-    * shape) — never an all-pairs product. A pair shares at most one
-    * block, so no distinct is needed. Output: (d1, d2, dist), d1 < d2. */
+    * Scale: one hash-agg shuffle on the block key; blocks up to
+    * `maxBucket` expand in-task via collect_list, LARGER blocks spill
+    * through the salted (block, salt) self-join (the
+    * [[prefixFilterJoin]] spill) so a degenerate block distributes its
+    * quadratic step over [[SpillSalts]] tasks instead of silently
+    * dropping pairs — within-block recall is 1 at any block size; the
+    * recall contract is the blocking RULE alone. A pair shares at most
+    * one block, so no distinct is needed. Output: (d1, d2, dist),
+    * d1 < d2. */
   def fuzzyJoin(docs: DataFrame, idCol: String, strCol: String,
                 maxDist: Int, maxBucket: Int = 10000): DataFrame = {
     val keyed = docs
@@ -379,16 +393,29 @@ object Dedup {
       .select(col("doc_id"), col("s"),
         split(col("s"), " ", -1).getItem(0).as("tok1"),
         expr("length(s) DIV 4").as("lb"))
-    val buckets = keyed.groupBy("tok1", "lb")
+    val bsz = keyed.groupBy("tok1", "lb").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > 1)
+    val withSz = keyed.join(bsz, Seq("tok1", "lb"))
+    val small = withSz.where(col("bsz") <= maxBucket)
+      .groupBy("tok1", "lb")
       .agg(collect_list(struct(col("doc_id"), col("s"))).as("xs"))
-      .where(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
-    buckets
       .select(explode(col("xs")).as("a"), col("xs"))
       .select(col("a"), explode(col("xs")).as("b"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
-      .where(col("dist") <= maxDist)
+    val big = withSz.where(col("bsz") > maxBucket)
+    val bigA = big.withColumn("salt",
+      pmod(hash(col("doc_id")), lit(SpillSalts)))
+    val bigB = big
+      .select(col("tok1"), col("lb"), col("doc_id").as("bid"),
+        col("s").as("bs"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SpillSalts - 1))))
+    val bigPairs = bigA.join(bigB, Seq("tok1", "lb", "salt"))
+      .where(col("doc_id") < col("bid"))
+      .select(col("doc_id").as("d1"), col("bid").as("d2"),
+        levenshtein(col("s"), col("bs")).cast("long").as("dist"))
+    small.unionAll(bigPairs).where(col("dist") <= maxDist)
   }
 
   /** Connected components over a near-dup pair graph — the step that
@@ -398,12 +425,20 @@ object Dedup {
     *
     * Algorithm: iterative min-label propagation (the Pregel/hash-to-min
     * shape GraphX and large-scale CC papers use — each round every node
-    * takes the min of its own and its neighbors' labels) with per-round
-    * `localCheckpoint` lineage truncation (the [[graft.llm.Sim]] k-means
-    * pattern) and a driver-side fixpoint check — one tiny count per
-    * round, the standard iterative-algorithm control loop; rounds needed
-    * = graph diameter, which for near-dup clusters is small. Each round
-    * is one equi-join + one min-agg: fully distributed, shuffle O(edges).
+    * takes the min of its own and its neighbors' labels) PLUS a
+    * pointer-jumping step (label ← label(label), the Shiloach–Vishkin /
+    * two-phase CC shortcut): propagation alone needs diameter rounds,
+    * the jump doubles the effective reach per round so high-diameter
+    * chains (q250's grid paths) converge in ~log(diameter) rounds —
+    * measured 17 → 5 rounds on the sf0.1 grid at one extra small
+    * self-join per round (labels table is node-grain, ≪ edges). The
+    * jump preserves the invariant that a node's label is the id of a
+    * reachable component member (labels propagate only within the
+    * component; the graph is undirected), so the fixpoint — checked
+    * driver-side per round, the standard iterative control loop — is
+    * the same min-reachable labeling propagation alone reaches.
+    * Per-round `localCheckpoint` truncates lineage (the
+    * [[graft.llm.Sim]] k-means pattern); shuffle O(edges) + O(nodes).
     *
     * Output: (doc_id, component) for every doc appearing in a pair;
     * component = min doc id reachable — its canonical survivor. */
@@ -418,7 +453,11 @@ object Dedup {
     while (!converged) {
       val msgs = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionAll(msgs)
+      val jump = labels.join(
+          labels.select(col("node").as("jn"), col("label").as("jl")),
+          col("label") === col("jn"))
+        .select(col("node"), col("jl").as("label"))
+      val next = labels.unionAll(msgs).unionAll(jump)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), "node")
@@ -451,13 +490,17 @@ object Dedup {
     * oracle — a lost candidate is a missing row).
     *
     * Scale: two hash-agg shuffles (df count, per-doc regroup) + the
-    * capped bucket expansion on prefix shingles + a candidates-only
-    * verify (the [[minhashNearDups]] convention). Shuffle volume is
-    * O(shingles), never O(docs²); `maxBucket` caps the quadratic step
-    * inside a degenerate prefix bucket (beyond it the bucket is
-    * dropped, trading exactness for a bound — at the declared gate
-    * parameters no bucket approaches the cap, so the brute-force
-    * oracle stays valid; the cap regime is the q99 pattern). */
+    * bucket expansion on prefix shingles + a candidates-only verify
+    * (the [[minhashNearDups]] convention). Shuffle volume is
+    * O(shingles), never O(docs²). `maxBucket` is a ROUTING threshold,
+    * not a drop: buckets up to it expand in-task via collect_list
+    * (cheapest), LARGER buckets spill through a salted self-join on
+    * (gram, salt) so the quadratic candidate set of a degenerate
+    * high-df prefix gram is spread across [[SpillSalts]] tasks instead
+    * of being silently discarded — the operator stays LOSSLESS at any
+    * bucket size, which is what the brute-force all-pairs oracle
+    * checks. A pair colliding on both a small and a big gram appears
+    * on both paths; the existing distinct collapses it. */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, tauNum: Int = 1, tauDen: Int = 2,
                        maxBucket: Int = 1000): DataFrame = {
@@ -488,21 +531,43 @@ object Dedup {
     //   distinct/verify ever see them (together 1.3× on the sf0.1 bench —
     //   modest here because the tiny synthetic vocabulary gives near-
     //   uniform doc sizes; Zipfian corpora prune far harder).
-    val cands = prefixes
+    def pairCond(aid: Column, an: Column, ap: Column,
+                 bid: Column, bn: Column, bp: Column): Column =
+      aid < bid &&
+        least(an, bn) * tauDen >= greatest(an, bn) * tauNum &&
+        least(an - ap, bn - bp) >=
+          floor(((an + bn) * tauNum + lit(tauNum + tauDen - 1))
+            / lit(tauNum + tauDen)).cast("int")
+    val pre = prefixes
       .select(col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("p", "g")))
+    val bsz = pre.groupBy("g").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > 1)
+    val withSz = pre.join(bsz, "g")
+    val smallCands = withSz.where(col("bsz") <= maxBucket)
       .groupBy("g")
       .agg(collect_list(struct(col("doc_id"), col("n"), col("p"))).as("xs"))
-      .where(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
       .select(explode(col("xs")).as("a"), col("xs"))
       .select(col("a"), explode(col("xs")).as("b"))
-      .where(col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.n"), col("b.n")) * tauDen >=
-          greatest(col("a.n"), col("b.n")) * tauNum &&
-        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
-          expr(s"((a.n + b.n) * $tauNum + ${tauNum + tauDen - 1}) " +
-            s"DIV ${tauNum + tauDen}"))
+      .where(pairCond(col("a.doc_id"), col("a.n"), col("a.p"),
+        col("b.doc_id"), col("b.n"), col("b.p")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    // LOSSLESS spill for buckets past the in-task threshold: a salted
+    // self-join on (g, salt) — the probe side pins one salt per doc,
+    // the build side replicates across all salts, so each in-bucket
+    // pair meets exactly once and the degenerate bucket's quadratic
+    // candidate set fans out over SpillSalts tasks.
+    val big = withSz.where(col("bsz") > maxBucket)
+    val bigA = big.withColumn("salt",
+      pmod(hash(col("doc_id")), lit(SpillSalts)))
+    val bigB = big
+      .select(col("g"), col("doc_id").as("bid"), col("n").as("bn"),
+        col("p").as("bp"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SpillSalts - 1))))
+    val bigCands = bigA.join(bigB, Seq("g", "salt"))
+      .where(pairCond(col("doc_id"), col("n"), col("p"),
+        col("bid"), col("bn"), col("bp")))
+      .select(col("doc_id").as("d1"), col("bid").as("d2"))
+    val cands = smallCands.unionAll(bigCands).distinct()
     // JOIN-BASED exact verify: candidate pairs expand onto d1's grams
     // and equi-join d2's gram table to count the intersection — three
     // codegen hash joins + one hash-agg instead of per-pair shingle

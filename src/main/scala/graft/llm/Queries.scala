@@ -1820,11 +1820,12 @@ object Queries {
          |      * (CAST(strength AS DOUBLE) / CAST(w2 AS DOUBLE)) AS q_term
          |  FROM per CROSS JOIN tot)
          |SELECT * FROM (
-         |  SELECT label, n_nodes, w_in2, strength, round(q_term, 6) AS q_term FROM pq
+         |  SELECT label, n_nodes, w_in2, strength,
+         |    ${graft.rel.Queries.femitSql("q_term")} AS q_term FROM pq
          |  UNION ALL
          |  SELECT '__TOTAL__', CAST(sum(n_nodes) AS BIGINT),
          |    CAST(sum(w_in2) AS BIGINT), CAST(sum(strength) AS BIGINT),
-         |    round(${dec("q_term")}, 6) FROM pq)
+         |    ${graft.rel.Queries.femitSql(dec("q_term"))} FROM pq)
          |ORDER BY label""".stripMargin
   }
 
@@ -1880,9 +1881,9 @@ object Queries {
          |v$i AS (SELECT dim, w / nrm AS v FROM w$i CROSS JOIN n$i)""".stripMargin
     }
     (head +: rounds).mkString(",\n") +
-      """
-        |SELECT v2.dim, round(v2.v, 6) AS loading,
-        |  round(n2.nrm, 6) AS eigen_estimate
+      s"""
+        |SELECT v2.dim, ${graft.rel.Queries.femitSql("v2.v")} AS loading,
+        |  ${graft.rel.Queries.femitSql("n2.nrm")} AS eigen_estimate
         |FROM v2 CROSS JOIN n2 ORDER BY v2.dim""".stripMargin
   }
 
@@ -2694,8 +2695,13 @@ object Queries {
          |a AS (SELECT count(*) AS k, ${ds("x")} AS sx, ${ds("y")} AS sy,
          |  ${ds("x * y")} AS sxy, ${ds("x * x")} AS sxx FROM xy)
          |SELECT ckpt, cum_tokens, vocab,
-         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
-         |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         |  ${graft.rel.Queries.femitSql(
+              """CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+         |    THEN (k * sxy - sx * sy) / (k * sxx - sx * sx) END""")} AS beta,
+         |  ${graft.rel.Queries.femitSql(
+              """CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+         |    THEN (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+         |    END""")}
          |    AS ln_k
          |FROM xy CROSS JOIN a ORDER BY ckpt""".stripMargin
     },
@@ -3287,8 +3293,10 @@ object Queries {
          |  FROM st),
          |z AS (SELECT d.j, ms.n, ms.mean, ms.std,
          |  abs(d.x - ms.mean) / ms.std AS az FROM d JOIN ms ON ms.j = d.j)
-         |SELECT j, max(n) AS n, round(max(mean), 6) AS mean,
-         |  round(max(std), 6) AS std, round(max(az), 6) AS max_abs_z,
+         |SELECT j, max(n) AS n,
+         |  ${graft.rel.Queries.femitSql("max(mean)")} AS mean,
+         |  ${graft.rel.Queries.femitSql("max(std)")} AS std,
+         |  ${graft.rel.Queries.femitSql("max(az)")} AS max_abs_z,
          |  CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out3
          |FROM z GROUP BY j ORDER BY j""".stripMargin
     },

@@ -273,8 +273,10 @@ object Sim {
       .agg(max(col("n")).as("n"), max(col("mean")).as("mean0"),
         max(col("std")).as("std0"), max(col("az")).as("maxaz"),
         sum(when(col("az") > 3.0, 1L).otherwise(0L)).as("n_out3"))
-      .select(col("j"), col("n"), round(col("mean0"), 6).as("mean"),
-        round(col("std0"), 6).as("std"), round(col("maxaz"), 6).as("max_abs_z"),
+      .select(col("j").cast("long").as("j"), col("n"),
+        graft.rel.Queries.femit(col("mean0")).as("mean"),
+        graft.rel.Queries.femit(col("std0")).as("std"),
+        graft.rel.Queries.femit(col("maxaz")).as("max_abs_z"),
         col("n_out3"))
       .orderBy("j")
   }
@@ -1191,8 +1193,9 @@ object Sim {
         .select(col("dim"), (col("w") / col("nrm")).as("v"))
     }
     v.crossJoin(broadcast(nrm))
-      .select(col("dim"), round(col("v"), 6).as("loading"),
-        round(col("nrm"), 6).as("eigen_estimate"))
+      .select(col("dim").cast("long").as("dim"),
+        graft.rel.Queries.femit(col("v")).as("loading"),
+        graft.rel.Queries.femit(col("nrm")).as("eigen_estimate"))
       .orderBy("dim")
   }
 }

@@ -635,13 +635,19 @@ object TextAnalysis {
     val fit = xy.agg(count(lit(1)).as("k"), dsum(col("x")).as("sx"),
       dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
       dsum(col("x") * col("x")).as("sxx"))
+    // OLS degenerate-input guard (ADVICE r8): a corpus smaller than
+    // `every` docs leaves ONE surviving checkpoint, where k·sxx − sx²
+    // is exactly 0 and the fit is undefined — emit NULL beta/ln_k
+    // (mirrored CASE in the oracle) instead of ±Inf/NaN.
+    val den = col("k") * col("sxx") - col("sx") * col("sx")
+    val beta = (col("k") * col("sxy") - col("sx") * col("sy")) / den
     xy.crossJoin(broadcast(fit))
       .select(col("ckpt"), col("cum_tokens"), col("vocab"),
-        round((col("k") * col("sxy") - col("sx") * col("sy"))
-          / (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("beta"),
-        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy"))
-          / (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx"))
-          / col("k"), 6).as("ln_k"))
+        graft.rel.Queries.femit(
+          when(col("k") >= 2L && den =!= 0.0, beta)).as("beta"),
+        graft.rel.Queries.femit(
+          when(col("k") >= 2L && den =!= 0.0,
+            (col("sy") - beta * col("sx")) / col("k"))).as("ln_k"))
       .orderBy("ckpt")
   }
 

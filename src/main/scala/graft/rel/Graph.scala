@@ -197,7 +197,7 @@ object Graph {
         col("q_term"))
       .unionAll(total)
       .select(col("label"), col("n_nodes"), col("w_in2"), col("strength"),
-        round(col("q_term"), 6).as("q_term"))
+        Queries.femit(col("q_term")).as("q_term"))
       .orderBy("label")
   }
 

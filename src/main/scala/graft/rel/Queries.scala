@@ -1836,9 +1836,13 @@ object Queries {
       .withColumn("sc", sum(when(pmod(col("user_id"), lit(2L)) =!= 0L,
         col("value")).otherwise(lit(0.0)).cast("decimal(38,12)")).over(w))
     val total = Window.partitionBy("event_type")
+    // loglam and its running max are computed over EVERY scorable row
+    // (nt, nc > 0) and only THEN thinned to the 200-row checkpoints —
+    // the always-valid p must see likelihood-ratio peaks BETWEEN
+    // checkpoints (ADVICE r8: thinning bounds the sink, never the
+    // state the p-value runs on).
     val cp = run.withColumn("last", max(col("rn")).over(total))
-      .where((col("rn") % 200 === 0 || col("rn") === col("last"))
-        && col("nt") > 0 && col("nc") > 0)
+      .where(col("nt") > 0 && col("nc") > 0)
       .join(broadcast(mom), Seq("event_type"))
     val ntd = col("nt").cast("double"); val ncd = col("nc").cast("double")
     val delta = col("st").cast("double") / ntd -
@@ -1847,14 +1851,16 @@ object Queries {
     val tau = col("var")
     val loglam = lit(0.5) * log(vn / (vn + tau)) +
       delta * delta * tau / (lit(2.0) * vn * (vn + tau))
-    cp.withColumn("loglam", loglam)
+    cp.withColumn("delta", delta)
+      .withColumn("loglam", loglam)
       .withColumn("runmax", max(col("loglam")).over(
         Window.partitionBy("event_type").orderBy("rn")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rn") % 200 === 0 || col("rn") === col("last"))
       .select(col("event_type"), col("rn").cast("long").as("n_seen"),
-        col("nt"), col("nc"), round(delta, 6).as("delta"),
-        round(col("loglam"), 6).as("log_lambda"),
-        round(least(lit(1.0), exp(-col("runmax"))), 6).as("p_always_valid"))
+        col("nt"), col("nc"), femit(col("delta")).as("delta"),
+        femit(col("loglam")).as("log_lambda"),
+        femit(least(lit(1.0), exp(-col("runmax")))).as("p_always_valid"))
       .orderBy("event_type", "n_seen")
   }
 
@@ -1877,19 +1883,27 @@ object Queries {
   def gmmEm(s: SparkSession, dir: String): DataFrame =
     gmmEmOn(events(s, dir).select(col("value").as("x")))
 
-  /** [[gmmEm]] over an explicit 1-column (`x`) frame — the testable core. */
+  /** [[gmmEm]] over an explicit 1-column (`x`) frame — the testable core.
+    * Numeric edges are floored (mirrored in the oracle, ADVICE r8):
+    * variances at 1e-12 (zero-variance input would divide the E-step by
+    * 0), component weights at 1e-300 in M-step divisions (a fully
+    * collapsed component would emit NaN means), and the n=1 init
+    * variance pins to the floor instead of dividing by n−1 = 0. */
   def gmmEmOn(xs: DataFrame): DataFrame = {
+    def floorVar(c: Column): Column = greatest(c, lit(1e-12))
+    def floorW(c: Column): Column = greatest(c, lit(1e-300))
     val base = xs.agg(
       count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"),
       dsum(col("x")).as("sx"), dsum(col("x") * col("x")).as("sxx"))
+    val initVar = floorVar(
+      when(col("n") > 1L, (col("sxx") - col("sx") * col("sx") / col("n"))
+        / (col("n") - 1).cast("double")).otherwise(lit(0.0)))
     var params = base.select(
       col("n"),
       (col("mn") + (col("mx") - col("mn")) / 4.0).as("mu1"),
       (col("mn") + (col("mx") - col("mn")) * 3.0 / 4.0).as("mu2"),
-      ((col("sxx") - col("sx") * col("sx") / col("n"))
-        / (col("n") - 1).cast("double")).as("s1"),
-      ((col("sxx") - col("sx") * col("sx") / col("n"))
-        / (col("n") - 1).cast("double")).as("s2"),
+      initVar.as("s1"),
+      initVar.as("s2"),
       lit(0.5).as("w1"), lit(0.5).as("w2"))
     for (_ <- 1 to 3) {
       val n1 = col("w1") / sqrt(col("s1")) *
@@ -1907,21 +1921,21 @@ object Queries {
         dsum(col("r2") * col("x")).as("sx2"),
         dsum((lit(1.0) - col("r2")) * col("x") * col("x")).as("sq1"),
         dsum(col("r2") * col("x") * col("x")).as("sq2"))
+      val mu1e = col("sx1") / floorW(col("bw1"))
+      val mu2e = col("sx2") / floorW(col("bw2"))
       params = m.select(col("n"),
-        (col("sx1") / col("bw1")).as("mu1"),
-        (col("sx2") / col("bw2")).as("mu2"),
-        (col("sq1") / col("bw1")
-          - (col("sx1") / col("bw1")) * (col("sx1") / col("bw1"))).as("s1"),
-        (col("sq2") / col("bw2")
-          - (col("sx2") / col("bw2")) * (col("sx2") / col("bw2"))).as("s2"),
+        mu1e.as("mu1"),
+        mu2e.as("mu2"),
+        floorVar(col("sq1") / floorW(col("bw1")) - mu1e * mu1e).as("s1"),
+        floorVar(col("sq2") / floorW(col("bw2")) - mu2e * mu2e).as("s2"),
         (col("bw1") / col("n").cast("double")).as("w1"),
         (col("bw2") / col("n").cast("double")).as("w2"))
     }
     params.select(col("n"),
-      round(col("w1"), 6).as("w1"), round(col("mu1"), 6).as("mu1"),
-      round(col("s1"), 6).as("s1"),
-      round(col("w2"), 6).as("w2"), round(col("mu2"), 6).as("mu2"),
-      round(col("s2"), 6).as("s2"))
+      femit(col("w1")).as("w1"), femit(col("mu1")).as("mu1"),
+      femit(col("s1")).as("s1"),
+      femit(col("w2")).as("w2"), femit(col("mu2")).as("mu2"),
+      femit(col("s2")).as("s2"))
   }
 
   // Partition-level dataset manifest — the reproducibility primitive a
@@ -4070,7 +4084,28 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // DRIVER-ENVIRONMENT PROBE (VERDICT r8 item 7): one constant row whose
+  // columns each exercise a cross-engine drift class the round-8 gate
+  // tripped on — read it FIRST when a future round shows a wall of
+  // hash-red stat rows. Column → class: sum_i (DuckDB HUGEINT sums vs
+  // int64), round_ladder / half_boundary (round half-mode on the
+  // femit IEEE lattice), neg_zero (-0.0 collapse), nan_to_null (Spark
+  // 0/0 = NaN vs DuckDB 0/0 = NULL, both forced NULL at emission),
+  // json_k (JSON path extraction semantics). If ONLY this row is red,
+  // the driver's DuckDB/pandas changed behavior in the flagged class;
+  // the engine itself is fine. See README "Reading q317".
+  def engineProbe(s: SparkSession, dir: String): DataFrame =
+    s.range(1, 6).toDF("i").agg(
+      count(lit(1)).as("n"),
+      sum(col("i")).as("sum_i"),
+      femit(lit(1.5e-6)).as("round_ladder"),
+      femit(lit(-1e-9)).as("neg_zero"),
+      femit(lit(Double.NaN)).as("nan_to_null"),
+      femit(lit(0.1234565)).as("half_boundary"),
+      get_json_object(lit("""{"k":7}"""), "$.k").cast("long").as("json_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_filter_project" -> (filterProject _),
     "q3_join_agg" -> (joinAgg _),
@@ -5228,6 +5263,17 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Driver-environment probe ([[engineProbe]]): each column recomputes
+    // one drift class through the hazardous construct on THIS engine.
+    "q317_engine_probe" ->
+      s"""WITH r AS (SELECT unnest(range(1, 6)) AS i)
+         |SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,
+         |  ${femitSql("1.5e-6")} AS round_ladder,
+         |  ${femitSql("-1e-9")} AS neg_zero,
+         |  ${femitSql("CAST('nan' AS DOUBLE)")} AS nan_to_null,
+         |  ${femitSql("0.1234565")} AS half_boundary,
+         |  CAST(json_extract_string('{"k":7}', '$$.k') AS BIGINT) AS json_k
+         |FROM r""".stripMargin,
     // The IDENTICAL recursive text — DuckDB runs the same three bounded
     // expansion rounds; every value is an exact integer.
     "q266_recursive_cte" ->
@@ -5484,13 +5530,13 @@ object Queries {
          |cp AS (SELECT r.*, m.var,
          |    max(rn) OVER (PARTITION BY r.event_type) AS last
          |  FROM run r JOIN mom m ON r.event_type = m.event_type),
-         |st2 AS (SELECT event_type, rn, nt, nc,
+         |st2 AS (SELECT event_type, rn, last, nt, nc,
          |    CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(nt AS DOUBLE)
          |      - CAST(CAST(sc AS VARCHAR) AS DOUBLE) / CAST(nc AS DOUBLE) AS delta,
          |    var * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)) AS vn,
          |    var AS tau
-         |  FROM cp WHERE (rn % 200 = 0 OR rn = last) AND nt > 0 AND nc > 0),
-         |lam AS (SELECT event_type, rn, nt, nc, delta,
+         |  FROM cp WHERE nt > 0 AND nc > 0),
+         |lam AS (SELECT event_type, rn, last, nt, nc, delta,
          |    0.5 * ln(vn / (vn + tau))
          |      + delta * delta * tau / (2.0 * vn * (vn + tau)) AS loglam
          |  FROM st2),
@@ -5499,10 +5545,11 @@ object Queries {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
          |  FROM lam)
          |SELECT event_type, rn AS n_seen, CAST(nt AS BIGINT) AS nt,
-         |  CAST(nc AS BIGINT) AS nc, round(delta, 6) AS delta,
-         |  round(loglam, 6) AS log_lambda,
-         |  round(least(1.0, exp(-runmax)), 6) AS p_always_valid
-         |FROM mx ORDER BY event_type, n_seen""".stripMargin,
+         |  CAST(nc AS BIGINT) AS nc, ${femitSql("delta")} AS delta,
+         |  ${femitSql("loglam")} AS log_lambda,
+         |  ${femitSql("least(1.0, exp(-runmax))")} AS p_always_valid
+         |FROM mx WHERE rn % 200 = 0 OR rn = last
+         |ORDER BY event_type, n_seen""".stripMargin,
     // Q7: identical text; year() cast to INT (DuckDB returns BIGINT),
     // revenue on the VARCHAR route.
     "q310_tpch_q7" ->
@@ -5658,9 +5705,15 @@ object Queries {
            |    ${ds("(1.0 - r2) * x")} AS sx1, ${ds("r2 * x")} AS sx2,
            |    ${ds("(1.0 - r2) * x * x")} AS sq1, ${ds("r2 * x * x")} AS sq2
            |  FROM e$i),
-           |p$i AS (SELECT n, sx1 / bw1 AS mu1, sx2 / bw2 AS mu2,
-           |    sq1 / bw1 - (sx1 / bw1) * (sx1 / bw1) AS s1,
-           |    sq2 / bw2 - (sx2 / bw2) * (sx2 / bw2) AS s2,
+           |p$i AS (SELECT n,
+           |    sx1 / greatest(bw1, 1e-300) AS mu1,
+           |    sx2 / greatest(bw2, 1e-300) AS mu2,
+           |    greatest(sq1 / greatest(bw1, 1e-300)
+           |      - (sx1 / greatest(bw1, 1e-300)) * (sx1 / greatest(bw1, 1e-300)),
+           |      1e-12) AS s1,
+           |    greatest(sq2 / greatest(bw2, 1e-300)
+           |      - (sx2 / greatest(bw2, 1e-300)) * (sx2 / greatest(bw2, 1e-300)),
+           |      1e-12) AS s2,
            |    bw1 / CAST(n AS DOUBLE) AS w1, bw2 / CAST(n AS DOUBLE) AS w2
            |  FROM m$i)""".stripMargin
       }.mkString(",\n")
@@ -5669,13 +5722,18 @@ object Queries {
          |  ${ds("x")} AS sx, ${ds("x * x")} AS sxx FROM xs),
          |p0 AS (SELECT n, mn + (mx - mn) / 4.0 AS mu1,
          |    mn + (mx - mn) * 3.0 / 4.0 AS mu2,
-         |    (sxx - sx * sx / n) / CAST(n - 1 AS DOUBLE) AS s1,
-         |    (sxx - sx * sx / n) / CAST(n - 1 AS DOUBLE) AS s2,
+         |    greatest(CASE WHEN n > 1
+         |      THEN (sxx - sx * sx / n) / CAST(n - 1 AS DOUBLE)
+         |      ELSE 0.0 END, 1e-12) AS s1,
+         |    greatest(CASE WHEN n > 1
+         |      THEN (sxx - sx * sx / n) / CAST(n - 1 AS DOUBLE)
+         |      ELSE 0.0 END, 1e-12) AS s2,
          |    0.5 AS w1, 0.5 AS w2 FROM b),
          |$rounds
-         |SELECT CAST(n AS BIGINT) AS n, round(w1, 6) AS w1,
-         |  round(mu1, 6) AS mu1, round(s1, 6) AS s1, round(w2, 6) AS w2,
-         |  round(mu2, 6) AS mu2, round(s2, 6) AS s2
+         |SELECT CAST(n AS BIGINT) AS n, ${femitSql("w1")} AS w1,
+         |  ${femitSql("mu1")} AS mu1, ${femitSql("s1")} AS s1,
+         |  ${femitSql("w2")} AS w2,
+         |  ${femitSql("mu2")} AS mu2, ${femitSql("s2")} AS s2
          |FROM p3""".stripMargin
     },
     // Q12: identical text; conditional counts cast out of HUGEINT.

@@ -386,11 +386,15 @@ class PlanSpec extends SparkSpec {
     // C-row frames; the V×C grid joins the token stream on `tok` —
     // nothing may plan as a nested loop over the corpus
     assert(p.contains("BroadcastExchange"), p.take(1200))
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      // the 1-row cross joins (vsize, nTrain) legitimately plan as
-      // BNLJ — what must NOT: a BNLJ with a non-single-row side.
-      // Pin instead: the tok-keyed join is hash-based.
-      p.contains("HashJoin"), p.take(1500))
+    // Exactly three INTENDED cross joins plan as BNLJ: the dense V×C
+    // grid (vocab × per-class totals — C rows) and the 1-row vsize and
+    // nTrain scalars. Anything beyond that bound means a corpus-wide
+    // nested loop crept in (the vacuous || form of this pin was
+    // flagged in ADVICE r8).
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 3,
+      s"$bnlj BroadcastNestedLoopJoins — only the V×C grid and the " +
+        s"two 1-row scalars (vsize, nTrain) may nest-loop\n${p.take(1500)}")
     assert(p.contains("HashJoin"), "score join must be hash-keyed")
   }
 

@@ -36,6 +36,41 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // The emission-canonicalization property (VERDICT r8 item 2): femit
+  // must never emit a signbit-set zero or a NaN for ANY double input —
+  // those are exactly the byte-level encodings a cross-engine hash
+  // distinguishes while a value compare does not. Sweeps the sign/
+  // magnitude space including subnormals, half boundaries, ±0.0 and NaN.
+  test("femit never emits -0.0 or NaN, preserves NULL, and is idempotent") {
+    import spark.implicits._
+    val genDouble: Gen[Double] = Gen.frequency(
+      5 -> Gen.chooseNum(-1e12, 1e12),
+      3 -> Gen.chooseNum(-1L, 1L).flatMap(s =>
+        Gen.chooseNum(-300, 300).map(e => s * math.pow(10, e / 10.0))),
+      1 -> Gen.oneOf(0.0, -0.0, Double.NaN, 1e-300, -1e-300,
+        5e-7, -5e-7, 0.1234565, -0.1234565, Double.MinPositiveValue,
+        -Double.MinPositiveValue),
+      1 -> Gen.chooseNum(-1000000000L, 1000000000L).map(_ / 1e6 + 5e-7))
+    check("femit", 40, Prop.forAll(Gen.listOfN(50, genDouble)) { xs =>
+      val out = xs.toDF("x")
+        .select(rel.Queries.femit(col("x")).as("y"),
+          rel.Queries.femit(rel.Queries.femit(col("x"))).as("yy"))
+        .collect()
+      out.forall { r =>
+        val ok1 = if (r.isNullAt(0)) true else {
+          val y = r.getDouble(0)
+          !y.isNaN && !(y == 0.0 && (1.0 / y) < 0) // no NaN, no -0.0
+        }
+        // idempotence: re-emitting an emitted value is a no-op
+        val ok2 = (r.isNullAt(0) && r.isNullAt(1)) ||
+          (!r.isNullAt(0) && !r.isNullAt(1) &&
+            java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+              java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+        ok1 && ok2
+      }
+    })
+  }
+
   test("chunked pair generation is chunk-size invariant (≡ reference)") {
     import spark.implicits._
     val vocab = Seq("am", "big", "7", "42", "Zz", "", "x-y", "q_r")

@@ -443,20 +443,37 @@ class RecallSpec extends SparkSpec {
     assert(bf.nonEmpty && recall >= 0.4, s"recall=$recall over ${bf.size} pairs")
   }
 
-  test("fuzzyJoin maxBucket drops degenerate blocks before the quadratic step") {
+  test("fuzzyJoin maxBucket SPILLS degenerate blocks losslessly (r9)") {
     import spark.implicits._
-    // 5 identical titles (one block) + a distinct near-pair: with the
-    // cap below the block size the big block contributes NOTHING; the
-    // small block still matches.
+    // 5 identical titles (one block past the cap) + a distinct
+    // near-pair: the oversized block must route through the salted
+    // spill join and still yield every within-block pair — maxBucket
+    // is a routing threshold, never a drop (VERDICT r8 item 3).
     val titles = (0L until 5L).map(i => (i, "same same same"))
       .toSeq :+ (10L, "other title here") :+ (11L, "other title hare")
     val df = titles.toDF("doc_id", "title")
-    val capped = Dedup.fuzzyJoin(df, "doc_id", "title", maxDist = 5, maxBucket = 4)
+    val spilled = Dedup.fuzzyJoin(df, "doc_id", "title", maxDist = 5, maxBucket = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped == Set((10L, 11L)), capped.toString)
     val uncapped = Dedup.fuzzyJoin(df, "doc_id", "title", maxDist = 5)
-      .collect().length
-    assert(uncapped == 11) // C(5,2) identical pairs + the near-pair
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spilled == uncapped, s"spilled=$spilled uncapped=$uncapped")
+    assert(uncapped.size == 11) // C(5,2) identical pairs + the near-pair
+  }
+
+  test("prefixFilterJoin stays brute-force-equal with a forced spill (r9)") {
+    // cap of 2 forces EVERY >2-doc prefix bucket through the salted
+    // spill path on the real corpus; the result must still equal the
+    // default-cap (all in-task) run bit for bit — the lossless contract
+    // the gate's brute-force oracle assumes at any bucket size.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spilled = Dedup.prefixFilterJoin(real, "doc_id", "text",
+        k = 3, tauNum = 1, tauDen = 2, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inTask = Dedup.prefixFilterJoin(real, "doc_id", "text",
+        k = 3, tauNum = 1, tauDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(spilled == inTask, s"spilled=${spilled.size} inTask=${inTask.size}")
+    assert(spilled.nonEmpty)
   }
 
   test("minhash candidate recall >= 0.8 vs brute force at jaccard 0.5") {

@@ -62,6 +62,20 @@ def cell_repr(col: pa.ChunkedArray):
             else:
                 out.append(np.float64(v).view(np.uint64).item())
         return out
+    if pa.types.is_timestamp(t):
+        # Spark parquet carries tz=UTC (pandas.Timestamp), DuckDB arrow
+        # is naive (datetime) — same UTC instant; canonicalize to the
+        # naive isoformat so reprs (and the row sort built on them) align.
+        import datetime
+        out = []
+        for v in vals:
+            if v is None:
+                out.append("NULL")
+            else:
+                if getattr(v, "tzinfo", None) is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                out.append(v.isoformat())
+        return out
     return [("NULL" if v is None else repr(v)) for v in vals]
 
 
