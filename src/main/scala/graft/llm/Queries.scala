@@ -18,6 +18,10 @@ object Queries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.rel.Queries.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
 
+  /** Local alias of the hash-portable float-emission oracle twin —
+    * see [[graft.rel.Queries.femitSql]]. */
+  private def femitSql(e: String): String = graft.rel.Queries.femitSql(e)
+
   /** Embedding dimensionality of the driver's `embeddings` table (all
     * SFs ship 64-float vectors). A constant rather than a `.head()` probe:
     * plan construction must never run a Spark job. Pinned by a spec test
@@ -905,8 +909,9 @@ object Queries {
       val od = cents.where(!col("even")).select(col("label"), col("v").as("vb"))
       ev.join(od, "label")
         .select(col("label"),
-          round(Sim.cosine(col("va"), col("vb"), Sim.norm(col("va")),
-            Sim.norm(col("vb"))), 6).as("half_cosine"))
+          graft.rel.Queries.femit(
+            Sim.cosine(col("va"), col("vb"), Sim.norm(col("va")),
+              Sim.norm(col("vb")))).as("half_cosine"))
         .orderBy("label")
     }),
     "q218_dedup_sweep" -> ((s, dir) => {
@@ -1954,10 +1959,10 @@ object Queries {
          |  FROM nodes LEFT JOIN hr$r ON hr$r.node = nodes.node CROSS JOIN ht$r)""".stripMargin
     }
     (head +: rounds).mkString(",\n") +
-      """
-        |SELECT nodes.node, round(a2.a, 6) AS auth, round(h2.h, 6) AS hub
-        |FROM nodes JOIN a2 ON a2.node = nodes.node
-        |JOIN h2 ON h2.node = nodes.node ORDER BY nodes.node""".stripMargin
+      s"""
+         |SELECT nodes.node, ${femitSql("a2.a")} AS auth, ${femitSql("h2.h")} AS hub
+         |FROM nodes JOIN a2 ON a2.node = nodes.node
+         |JOIN h2 ON h2.node = nodes.node ORDER BY nodes.node""".stripMargin
   }
 
   /** DuckDB twin of q234 ([[graft.rel.Graph.linkPrediction]] over the
@@ -2419,11 +2424,10 @@ object Queries {
        |  ${ds("x * y")} AS sxy, ${ds("x * x")} AS sxx, ${ds("y * y")} AS syy
        |  FROM xy)
        |SELECT k,
-       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
-       |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+       |  ${femitSql("(k * sxy - sx * sy) / (k * sxx - sx * sx)")} AS slope,
+       |  ${femitSql("(sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k")}
        |    AS intercept,
-       |  round((k * sxy - sx * sy) * (k * sxy - sx * sy)
-       |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+       |  ${femitSql("(k * sxy - sx * sy) * (k * sxy - sx * sy) / ((k * sxx - sx * sx) * (k * syy - sy * sy))")} AS r2
        |FROM a""".stripMargin
   }
 
@@ -2565,7 +2569,7 @@ object Queries {
     // lattice for every ln() term; argmax over the rounded score with
     // the class-name tiebreak (the top-K rule).
     "q291_naive_bayes" ->
-      """WITH tok AS (SELECT doc_id, lang, t AS tok FROM
+      s"""WITH tok AS (SELECT doc_id, lang, t AS tok FROM
         |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents) u
         |  WHERE t <> ''),
         |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
@@ -2591,13 +2595,12 @@ object Queries {
         |  FROM test JOIN grid ON test.tok = grid.tok
         |  GROUP BY test.doc_id, test.lang, grid.cls),
         |sc2 AS (SELECT doc_id, lang, sc.cls,
-        |    round(CAST(CAST((sdec + pdec) AS VARCHAR) AS DOUBLE), 6) AS score
+        |    ${femitSql("CAST(CAST((sdec + pdec) AS VARCHAR) AS DOUBLE)")} AS score
         |  FROM sc JOIN pl ON sc.cls = pl.cls),
         |win AS (SELECT *, row_number() OVER
         |    (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc2)
         |SELECT lang, cls AS pred, count(*) AS n_docs,
-        |  round(CAST(CAST(SUM(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,12)))
-        |    AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_score
+        |  ${femitSql("CAST(CAST(SUM(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)")} AS avg_score
         |FROM win WHERE rn = 1 GROUP BY lang, cls ORDER BY lang, pred""".stripMargin,
     // Normalized-dedup twin: same decorated union, same two-stage
     // regex canonicalization, same min-id survivor rule. DuckDB
@@ -2709,7 +2712,7 @@ object Queries {
     // prediction CTE, joined on doc_id; exact counts, two closing
     // divisions recomputed inline (never from rounded po/pe).
     "q309_cohens_kappa" ->
-      """WITH tok AS (SELECT doc_id, lang, t AS tok FROM
+      s"""WITH tok AS (SELECT doc_id, lang, t AS tok FROM
         |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents) u
         |  WHERE t <> ''),
         |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
@@ -2735,7 +2738,7 @@ object Queries {
         |  FROM test JOIN grid ON test.tok = grid.tok
         |  GROUP BY test.doc_id, test.lang, grid.cls),
         |sc2 AS (SELECT doc_id, lang, sc.cls,
-        |    round(CAST(CAST((sdec + pdec) AS VARCHAR) AS DOUBLE), 6) AS score
+        |    ${femitSql("CAST(CAST((sdec + pdec) AS VARCHAR) AS DOUBLE)")} AS score
         |  FROM sc JOIN pl ON sc.cls = pl.cls),
         |win AS (SELECT *, row_number() OVER
         |    (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc2),
@@ -2876,12 +2879,12 @@ object Queries {
          |r AS (SELECT w2, CAST(sum(n11) AS BIGINT) AS ndot2 FROM cnt GROUP BY w2),
          |t AS (SELECT CAST(sum(n11) AS BIGINT) AS nn FROM cnt)
          |SELECT cnt.w1, cnt.w2, n11, n1dot, ndot2,
-         |  round(ln(CAST(n11 * nn AS DOUBLE)) - ln(CAST(n1dot * ndot2 AS DOUBLE)), 6) AS pmi,
-         |  round(2.0 * (${xlx("n11")} + ${xlx("(n1dot - n11)")} + ${xlx("(ndot2 - n11)")}
+         |  ${femitSql("ln(CAST(n11 * nn AS DOUBLE)) - ln(CAST(n1dot * ndot2 AS DOUBLE))")} AS pmi,
+         |  ${femitSql(s"""2.0 * (${xlx("n11")} + ${xlx("(n1dot - n11)")} + ${xlx("(ndot2 - n11)")}
          |    + ${xlx("(nn - n1dot - ndot2 + n11)")}
          |    - ${xlx("n1dot")} - ${xlx("(nn - n1dot)")}
          |    - ${xlx("ndot2")} - ${xlx("(nn - ndot2)")}
-         |    + ${xlx("nn")}), 6) AS llr
+         |    + ${xlx("nn")})""")} AS llr
          |FROM cnt JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
          |WHERE n11 >= 5
          |ORDER BY cnt.w1, cnt.w2""".stripMargin
@@ -3080,17 +3083,16 @@ object Queries {
     // q58's shape with bigram/left-context counts; add-one smoothing
     // with the same V; identical ln + DECIMAL route + round(6).
     "q120_bigram_logprob" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
-        |p0 AS (SELECT doc_id, unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
-        |p AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2 FROM p0),
-        |bi AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY w1, w2),
-        |lf AS (SELECT w1, count(*) AS cu FROM p GROUP BY w1),
-        |vc AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ts) AS tok FROM t) x)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(CAST(SUM(CAST(CAST(ln(CAST(cb + 1 AS DOUBLE) / (cu + v)) AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-        |    / count(*), 6) AS avg_logp
-        |FROM p JOIN bi USING (w1, w2) JOIN lf USING (w1) CROSS JOIN vc
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+         |p0 AS (SELECT doc_id, unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+         |p AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2 FROM p0),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY w1, w2),
+         |lf AS (SELECT w1, count(*) AS cu FROM p GROUP BY w1),
+         |vc AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ts) AS tok FROM t) x)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  ${femitSql("CAST(CAST(SUM(CAST(CAST(ln(CAST(cb + 1 AS DOUBLE) / (cu + v)) AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)")} AS avg_logp
+         |FROM p JOIN bi USING (w1, w2) JOIN lf USING (w1) CROSS JOIN vc
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The identical (hash, id) rank per language, k=20.
     "q121_stratum_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
@@ -3347,7 +3349,7 @@ object Queries {
     // Same dedup'd undirected edge set, same integer moment sums, same
     // fixed-order Pearson close.
     "q195_assortativity" ->
-      """WITH tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+      s"""WITH tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
         |bg AS (SELECT DISTINCT least(ts[i], ts[i+1]) AS a, greatest(ts[i], ts[i+1]) AS b
         |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tk)
         |  WHERE ts[i] <> ts[i+1]),
@@ -3358,15 +3360,17 @@ object Queries {
         |j AS (SELECT da.deg AS ja, db.deg AS jb FROM de
         |  JOIN deg da ON da.node = de.a JOIN deg db ON db.node = de.b),
         |g AS (SELECT count(*) AS m, sum(ja) AS sj, sum(ja * jb) AS sjk,
-        |  sum(ja * ja) AS sj2 FROM j)
+        |  sum(ja * ja) AS sj2 FROM j),
+        |nd AS (SELECT m,
+        |  CAST(sjk AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
+        |      * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE)) AS num,
+        |  CAST(sj2 AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
+        |      * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE)) AS den FROM g)
         |SELECT (SELECT count(*) FROM deg) AS n_nodes, m // 2 AS m_edges,
-        |  round((CAST(sjk AS DOUBLE) / CAST(m AS DOUBLE)
-        |    - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
-        |      * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE)))
-        |  / (CAST(sj2 AS DOUBLE) / CAST(m AS DOUBLE)
-        |    - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
-        |      * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))), 6) AS r
-        |FROM g""".stripMargin,
+        |  ${femitSql("CASE WHEN den <> 0.0 THEN num / den END")} AS r
+        |FROM nd""".stripMargin,
     "q137_triangles" ->
       """WITH tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
         |bg AS (SELECT DISTINCT least(ts[i], ts[i+1]) AS a, greatest(ts[i], ts[i+1]) AS b
@@ -3405,9 +3409,9 @@ object Queries {
          |a AS (SELECT label, vv AS va FROM k WHERE even),
          |b AS (SELECT label, vv AS vb FROM k WHERE NOT even)
          |SELECT label,
-         |  round(${dotSql("va", "vb")}
+         |  ${femitSql(s"""${dotSql("va", "vb")}
          |    / (sqrt(${foldSum.format("list_transform(va, x -> x * x)")})
-         |      * sqrt(${foldSum.format("list_transform(vb, x -> x * x)")})), 6)
+         |      * sqrt(${foldSum.format("list_transform(vb, x -> x * x)")}))""")}
          |    AS half_cosine
          |FROM a JOIN b USING (label) ORDER BY label""".stripMargin
     },
@@ -3536,16 +3540,15 @@ object Queries {
          |  ${fnvSql("(text || ':' || CAST(frame_idx AS VARCHAR))")} AS frame_sig
          |FROM u ORDER BY doc_id, frame_idx""".stripMargin,
     "q58_unigram_logprob" ->
-      """WITH tok AS (SELECT doc_id, t AS tok FROM
-        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
-        |  WHERE t <> ''),
-        |f AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
-        |tot AS (SELECT sum(cnt) AS total FROM f)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(CAST(SUM(CAST(CAST(ln(CAST(cnt AS DOUBLE) / total) AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-        |    / count(*), 6) AS avg_logp
-        |FROM tok JOIN f USING (tok) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH tok AS (SELECT doc_id, t AS tok FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+         |  WHERE t <> ''),
+         |f AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT sum(cnt) AS total FROM f)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  ${femitSql("CAST(CAST(SUM(CAST(CAST(ln(CAST(cnt AS DOUBLE) / total) AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)")} AS avg_logp
+         |FROM tok JOIN f USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q44_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),

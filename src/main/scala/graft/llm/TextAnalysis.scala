@@ -80,7 +80,8 @@ object TextAnalysis {
         log(col("cnt").cast("double") / col("total").cast("double")).as("logp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(graft.rel.Queries.dsum(col("logp")) / count(lit(1)), 6).as("avg_logp"))
+        graft.rel.Queries.femit(
+          graft.rel.Queries.dsum(col("logp")) / count(lit(1))).as("avg_logp"))
       .orderBy("doc_id")
   }
 
@@ -115,8 +116,8 @@ object TextAnalysis {
           (col("cu") + col("v")).cast("double")).as("logp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(graft.rel.Queries.dsum(col("logp")) / count(lit(1)), 6)
-          .as("avg_logp"))
+        graft.rel.Queries.femit(
+          graft.rel.Queries.dsum(col("logp")) / count(lit(1))).as("avg_logp"))
       .orderBy("doc_id")
   }
 
@@ -461,12 +462,13 @@ object TextAnalysis {
     cnt.join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
       .where(col("n11") >= minCount)
       .select(col("w1"), col("w2"), col("n11"), col("n1dot"), col("ndot2"),
-        round(log((col("n11") * col("nn")).cast("double"))
-          - log((col("n1dot") * col("ndot2")).cast("double")), 6).as("pmi"),
-        round(lit(2.0) * (xlx(col("n11")) + xlx(k12) + xlx(k21) + xlx(k22)
+        graft.rel.Queries.femit(log((col("n11") * col("nn")).cast("double"))
+          - log((col("n1dot") * col("ndot2")).cast("double"))).as("pmi"),
+        graft.rel.Queries.femit(
+          lit(2.0) * (xlx(col("n11")) + xlx(k12) + xlx(k21) + xlx(k22)
           - xlx(col("n1dot")) - xlx(col("nn") - col("n1dot"))
           - xlx(col("ndot2")) - xlx(col("nn") - col("ndot2"))
-          + xlx(col("nn"))), 6).as("llr"))
+          + xlx(col("nn")))).as("llr"))
   }
 
   /** Out-of-vocabulary rate against a corpus-derived top-V vocabulary —
@@ -575,15 +577,16 @@ object TextAnalysis {
         dsum(col("x") * col("x")).as("sxx"),
         dsum(col("y") * col("y")).as("syy"))
       .select(col("k"),
-        round((col("k") * col("sxy") - col("sx") * col("sy"))
-          / (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy"))
+        graft.rel.Queries.femit((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        graft.rel.Queries.femit(
+          (col("sy") - (col("k") * col("sxy") - col("sx") * col("sy"))
           / (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx"))
-          / col("k"), 6).as("intercept"),
-        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          / col("k")).as("intercept"),
+        graft.rel.Queries.femit((col("k") * col("sxy") - col("sx") * col("sy"))
           * (col("k") * col("sxy") - col("sx") * col("sy"))
           / ((col("k") * col("sxx") - col("sx") * col("sx"))
-            * (col("k") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+            * (col("k") * col("syy") - col("sy") * col("sy")))).as("r2"))
   }
 
   /** Heaps'-law vocabulary-growth curve and exponent (Heaps 1978;
@@ -683,7 +686,8 @@ object TextAnalysis {
     naiveBayesPred(docs)
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n_docs"),
-        round(graft.rel.Queries.dsum(col("score")) / count(lit(1)), 6)
+        graft.rel.Queries.femit(
+          graft.rel.Queries.dsum(col("score")) / count(lit(1)))
           .as("avg_score"))
       .orderBy("lang", "pred")
 
@@ -721,9 +725,9 @@ object TextAnalysis {
       .join(broadcast(priors), Seq("cls"))
       .crossJoin(broadcast(nTrain))
       .select(col("doc_id"), col("lang"), col("cls"),
-        round((col("sumlogp")
+        graft.rel.Queries.femit((col("sumlogp")
           + log(col("n_cls").cast("double") / col("n_train").cast("double"))
-            .cast("decimal(38,12)")).cast("double"), 6).as("score"))
+            .cast("decimal(38,12)")).cast("double")).as("score"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("cls").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)

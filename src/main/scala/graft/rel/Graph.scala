@@ -354,7 +354,7 @@ object Graph {
         - (col("sj").cast("double") / col("md"))
           * (col("sj").cast("double") / col("md")))
       .select(col("n_nodes"), expr("m div 2").as("m_edges"),
-        round(when(col("den") =!= lit(0.0), col("num") / col("den")), 6)
+        Queries.femit(when(col("den") =!= lit(0.0), col("num") / col("den")))
           .as("r"))
   }
 
@@ -399,8 +399,8 @@ object Graph {
           coalesce(col("hr") / col("tot"), lit(0.0)).as("h"))
     }
     nodes.join(auths, Seq("node"), "left").join(hubs, Seq("node"), "left")
-      .select(col("node"), round(col("a"), 6).as("auth"),
-        round(col("h"), 6).as("hub"))
+      .select(col("node"), Queries.femit(col("a")).as("auth"),
+        Queries.femit(col("h")).as("hub"))
   }
 
   /** Link prediction over an UNDIRECTED graph: for every non-adjacent

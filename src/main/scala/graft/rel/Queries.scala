@@ -102,6 +102,18 @@ object Queries {
       s"THEN floor(CAST(($e) AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
       s"ELSE CAST(($e) AS DOUBLE) END) + 0.0)"
 
+  /** Spark-SQL-text twin of [[femit]] for queries that go through the
+    * SQL frontend (`spark.sql` / SQL scripting) rather than the Column
+    * API. Spark parses bare decimal literals as DECIMAL and its
+    * `floor(double)` returns BIGINT, hence the `D` suffixes and the
+    * explicit DOUBLE cast; the ops themselves are the identical IEEE
+    * lattice femit/femitSql execute. */
+  def femitSparkSql(e: String): String =
+    s"((CASE WHEN isnan(CAST(($e) AS DOUBLE)) THEN NULL " +
+      s"WHEN abs(CAST(($e) AS DOUBLE)) < 1e9D " +
+      s"THEN CAST(floor(CAST(($e) AS DOUBLE) * 1e6D + 0.5D) AS DOUBLE) / 1e6D " +
+      s"ELSE CAST(($e) AS DOUBLE) END) + 0.0D)"
+
   // E4: TPC-H Q1-shaped multi-aggregate group-by with pushed-down scan filter.
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
@@ -2323,7 +2335,7 @@ object Queries {
         dsum(col("dev") * col("dev2")).as("num"))
       .crossJoin(broadcast(den))
       .select(col("lag"), col("n_pairs"),
-        round(col("num") / col("den"), 6).as("acf"))
+        femit(col("num") / col("den")).as("acf"))
       .orderBy("lag")
   }
 
@@ -2528,7 +2540,7 @@ object Queries {
       .agg(max(col("m")).as("n_pairs"), min(col("slope")).as("lo"),
         max(col("slope")).as("hi"))
       .select(col("event_type"), col("n_pairs"),
-        round((col("lo") + col("hi")) / 2.0, 6).as("ts_slope"))
+        femit((col("lo") + col("hi")) / 2.0).as("ts_slope"))
       .orderBy("event_type")
   }
 
@@ -2919,7 +2931,7 @@ object Queries {
       .select(col("event_type"), col("pos").cast("long").as("eighth"),
         (col("col.qe") / 100.0).as("q_even"),
         (col("col.qo") / 100.0).as("q_odd"),
-        round(col("col.qo") / 100.0 - col("col.qe") / 100.0, 6).as("diff"))
+        femit(col("col.qo") / 100.0 - col("col.qe") / 100.0).as("diff"))
       .orderBy("event_type", "eighth")
   }
 
@@ -2964,12 +2976,12 @@ object Queries {
         dsum(col("y")).as("gy"))
       .crossJoin(broadcast(pooled))
       .select(col("arm"), col("n_users"),
-        round(col("gy") / col("n_users").cast("double"), 6).as("mean_post"),
-        round(col("gy") / col("n_users").cast("double")
+        femit(col("gy") / col("n_users").cast("double")).as("mean_post"),
+        femit(col("gy") / col("n_users").cast("double")
           - col("theta") * (col("gx") / col("n_users").cast("double")
-            - col("xbar")), 6).as("mean_adjusted"),
-        round(col("theta"), 6).as("theta"),
-        round(col("cov") * col("cov") / (col("varx") * col("vary")), 6)
+            - col("xbar"))).as("mean_adjusted"),
+        femit(col("theta")).as("theta"),
+        femit(col("cov") * col("cov") / (col("varx") * col("vary")))
           .as("var_reduction"))
       .orderBy("arm")
   }
@@ -3071,9 +3083,9 @@ object Queries {
     m.select(col("event_type"), col("n").cast("long").as("n_days"),
         when(col("n") * col("sxx") - col("sx") * col("sx") > 0.0 &&
              col("n") * col("syy") - col("sy") * col("sy") > 0.0,
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
+          femit((col("n") * col("sxy") - col("sx") * col("sy"))
             / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
-               * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+               * sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
           .as("rho"))
       .orderBy("event_type")
   }
@@ -3488,10 +3500,10 @@ object Queries {
         dsum(abs(col("y") - col("yhat")).cast("double")
           / col("y").cast("double")).as("sape"))
       .select(col("event_type"), col("n_scored"),
-        round(col("sae").cast("double") / col("n_scored").cast("double"), 6)
+        femit(col("sae").cast("double") / col("n_scored").cast("double"))
           .as("mae"),
-        round(col("sape") / col("n_scored").cast("double"), 6).as("mape"),
-        round(col("sbias").cast("double") / col("n_scored").cast("double"), 6)
+        femit(col("sape") / col("n_scored").cast("double")).as("mape"),
+        femit(col("sbias").cast("double") / col("n_scored").cast("double"))
           .as("bias"))
       .orderBy("event_type")
   }
@@ -3529,9 +3541,9 @@ object Queries {
       .select(col("day"),
         when(col("m") * col("sxx") - col("sx") * col("sx") > 0 &&
              col("m") * col("szz") - col("sz") * col("sz") > 0,
-          round((col("m") * col("sxz") - col("sx") * col("sz")).cast("double")
+          femit((col("m") * col("sxz") - col("sx") * col("sz")).cast("double")
             / (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
-               * sqrt((col("m") * col("szz") - col("sz") * col("sz")).cast("double"))), 6))
+               * sqrt((col("m") * col("szz") - col("sz") * col("sz")).cast("double")))))
           .as("corr14"))
       .orderBy("day")
   }
@@ -3761,9 +3773,9 @@ object Queries {
       .where(col("n0") > col("ties_x") && col("n0") > col("ties_y"))
       .select(col("et1"), col("et2"), col("n0"), col("concordant"),
         col("discordant"),
-        round((col("concordant") - col("discordant")).cast("double")
+        femit((col("concordant") - col("discordant")).cast("double")
           / sqrt(((col("n0") - col("ties_x"))
-              * (col("n0") - col("ties_y"))).cast("double")), 6)
+              * (col("n0") - col("ties_y"))).cast("double")))
           .as("tau_b"))
       .orderBy("et1", "et2")
   }
@@ -3786,7 +3798,7 @@ object Queries {
   // DuckDB-side VARCHAR decimal→double route.
   def sqlScript(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """BEGIN
+      s"""BEGIN
         |  DECLARE it INT DEFAULT 0;
         |  DECLARE lo DOUBLE DEFAULT -1e308;
         |  DECLARE hi DOUBLE DEFAULT 1e308;
@@ -3804,8 +3816,9 @@ object Queries {
         |    SET it = it + 1;
         |  END WHILE;
         |  SELECT count(*) AS n_kept,
-        |    round(CAST(sum(vu) AS DOUBLE) / count(*) / 1e6, 6) AS clipped_mean,
-        |    round(lo / 1e6, 6) AS lo_value, round(hi / 1e6, 6) AS hi_value
+        |    ${femitSparkSql("CAST(sum(vu) AS DOUBLE) / count(*) / 1e6D")} AS clipped_mean,
+        |    ${femitSparkSql("lo / 1e6D")} AS lo_value,
+        |    ${femitSparkSql("hi / 1e6D")} AS hi_value
         |  FROM (SELECT CAST(round(value * 1000000) AS BIGINT) AS vu FROM events)
         |  WHERE CAST(vu AS DOUBLE) >= lo AND CAST(vu AS DOUBLE) <= hi;
         |END""".stripMargin)
@@ -3846,9 +3859,9 @@ object Queries {
           |    'tr', 0.25D * ((0.5D * y + 0.5D * (acc.lvl + acc.tr)) - acc.lvl)
           |      + 0.75D * acc.tr))""".stripMargin).as("st"))
       .select(col("event_type"), col("n_days"),
-        round(col("st.lvl"), 6).as("level"),
-        round(col("st.tr"), 6).as("trend"),
-        round(col("st.lvl") + col("st.tr"), 6).as("forecast_next"))
+        femit(col("st.lvl")).as("level"),
+        femit(col("st.tr")).as("trend"),
+        femit(col("st.lvl") + col("st.tr")).as("forecast_next"))
       .orderBy("event_type")
   }
 
@@ -3899,9 +3912,9 @@ object Queries {
           .as("lsum"),
         first(col("w0")).as("w0"), first(col("w1")).as("w1"),
         first(col("nd")).as("nd"))
-      .select(col("n"), round(col("w0"), 6).as("w0"),
-        round(col("w1"), 6).as("w1"),
-        round(col("lsum") / col("nd"), 6).as("log_loss"))
+      .select(col("n"), femit(col("w0")).as("w0"),
+        femit(col("w1")).as("w1"),
+        femit(col("lsum") / col("nd")).as("log_loss"))
   }
 
   // Kruskal–Wallis H (rank ANOVA): does the value distribution differ
@@ -4756,9 +4769,9 @@ object Queries {
         dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"),
         dsum(col("y") * col("y")).as("syy"))
       .select(col("event_type"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy"))
+        femit((col("n") * col("sxy") - col("sx") * col("sy"))
           / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
-            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
           .as("corr_xy"))
       .orderBy("event_type")
   }
@@ -4777,11 +4790,11 @@ object Queries {
       .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
         dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"))
       .select(col("event_type"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+        femit((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        femit((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
           / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
-          / col("n"), 6).as("intercept"))
+          / col("n")).as("intercept"))
       .orderBy("event_type")
   }
 
@@ -4807,9 +4820,9 @@ object Queries {
       .select(col("n").as("n_b"), col("mean").as("mean_b"), col("variance").as("var_b"))
     a.crossJoin(b)
       .select(col("n_a"), col("n_b"),
-        round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
-        round((col("mean_a") - col("mean_b"))
-          / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+        femit(col("mean_a")).as("mean_a"), femit(col("mean_b")).as("mean_b"),
+        femit((col("mean_a") - col("mean_b"))
+          / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
           .as("z"),
         (abs((col("mean_a") - col("mean_b"))
           / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
@@ -5314,7 +5327,7 @@ object Queries {
     // >2⁵³ integer (the variance numerator) crosses to double via the
     // VARCHAR route.
     "q268_sql_script" ->
-      """WITH base AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vu
+      s"""WITH base AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vu
         |  FROM events),
         |m1 AS (SELECT CAST(sum(vu) AS DOUBLE) / count(*) AS mu,
         |  sqrt(CAST(CAST(count(*) * sum(CAST(vu AS HUGEINT) * vu)
@@ -5331,8 +5344,9 @@ object Queries {
         |f2 AS (SELECT vu FROM base CROSS JOIN b2
         |  WHERE CAST(vu AS DOUBLE) >= lo AND CAST(vu AS DOUBLE) <= hi)
         |SELECT count(*) AS n_kept,
-        |  round(CAST(sum(vu) AS DOUBLE) / count(*) / 1e6, 6) AS clipped_mean,
-        |  round(lo / 1e6, 6) AS lo_value, round(hi / 1e6, 6) AS hi_value
+        |  ${femitSql("CAST(sum(vu) AS DOUBLE) / count(*) / 1e6")} AS clipped_mean,
+        |  ${femitSql("lo / 1e6")} AS lo_value,
+        |  ${femitSql("hi / 1e6")} AS hi_value
         |FROM f2 CROSS JOIN b2 GROUP BY lo, hi""".stripMargin,
     // The three gradient steps unrolled as CTEs: identical exact-moment
     // standardization (HUGEINT square sum, VARCHAR crossing), identical
@@ -5367,8 +5381,8 @@ object Queries {
          |fl AS (SELECT ${dsumSql("-(y * ln(p) + (CAST(1 AS DOUBLE) - y) * ln(CAST(1 AS DOUBLE) - p))")} AS lsum,
          |  min(w0) AS w0, min(w1) AS w1, min(nd) AS nd
          |  FROM (SELECT $p AS p, x, y, w0, w1, nd FROM base CROSS JOIN wd))
-         |SELECT st.n AS n, round(fl.w0, 6) AS w0, round(fl.w1, 6) AS w1,
-         |  round(fl.lsum / fl.nd, 6) AS log_loss
+         |SELECT st.n AS n, ${femitSql("fl.w0")} AS w0, ${femitSql("fl.w1")} AS w1,
+         |  ${femitSql("fl.lsum / fl.nd")} AS log_loss
          |FROM fl CROSS JOIN st""".stripMargin
     },
     // Same day-collapse (rn=1 by (us, event_id) DESC ≡ the engine's
@@ -5892,7 +5906,7 @@ object Queries {
     // new-level expression verbatim), so every intermediate is
     // bit-identical IEEE without any decimal route.
     "q272_holt_winters" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  count(*) AS y FROM events GROUP BY 1, 2),
         |b AS (SELECT min(day) AS mnd, max(day) AS mxd FROM daily),
@@ -5915,14 +5929,14 @@ object Queries {
         |    0.25 * ((0.5 * s2.y + 0.5 * (r.lvl + r.tr)) - r.lvl) + 0.75 * r.tr
         |  FROM r JOIN s2 ON s2.event_type = r.event_type AND s2.idx = r.idx + 1)
         |SELECT r.event_type, CAST(n.n_days AS INT) AS n_days,
-        |  round(r.lvl, 6) AS level, round(r.tr, 6) AS trend,
-        |  round(r.lvl + r.tr, 6) AS forecast_next
+        |  ${femitSql("r.lvl")} AS level, ${femitSql("r.tr")} AS trend,
+        |  ${femitSql("r.lvl + r.tr")} AS forecast_next
         |FROM r JOIN n ON n.event_type = r.event_type AND r.idx = n.n_days
         |ORDER BY r.event_type""".stripMargin,
     // Same daily matrix (zero-filled spine), same exact pair counts,
     // same single fixed-order tau-b expression on exact integers.
     "q273_kendall_tau" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  count(*) AS y FROM events GROUP BY 1, 2),
         |b AS (SELECT min(day) AS mnd, max(day) AS mxd FROM daily),
         |spine AS (SELECT et.event_type, gs.day
@@ -5946,8 +5960,7 @@ object Queries {
         |  CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
         |  FROM dp GROUP BY 1, 2)
         |SELECT et1, et2, n0, concordant, discordant,
-        |  round(CAST(concordant - discordant AS DOUBLE)
-        |    / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)), 6) AS tau_b
+        |  ${femitSql("CAST(concordant - discordant AS DOUBLE) / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE))")} AS tau_b
         |FROM agg WHERE n0 > ties_x AND n0 > ties_y
         |ORDER BY et1, et2""".stripMargin,
     // Same daily DECIMAL-route reduction, same integer/half-integer
@@ -5967,8 +5980,7 @@ object Queries {
          |  ${dsumSql("rx * ry")} AS sxy FROM r GROUP BY 1)
          |SELECT event_type, CAST(n AS BIGINT) AS n_days,
          |  CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
-         |    THEN round((n * sxy - sx * sy)
-         |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         |    THEN ${femitSql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")}
          |  END AS rho
          |FROM m ORDER BY event_type""".stripMargin,
     // The VARIANT path read must equal plain JSON extraction of the
@@ -6145,38 +6157,36 @@ object Queries {
          |sc AS (SELECT event_type, y, yhat FROM lagged CROSS JOIN h
          |  WHERE yhat IS NOT NULL AND day > maxd - 7)
          |SELECT event_type, count(*) AS n_scored,
-         |  round(CAST(sum(abs(y - yhat)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae,
-         |  round(${dsumSql("CAST(abs(y - yhat) AS DOUBLE) / CAST(y AS DOUBLE)")}
-         |    / CAST(count(*) AS DOUBLE), 6) AS mape,
-         |  round(CAST(sum(y - yhat) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS bias
+         |  ${femitSql("CAST(sum(abs(y - yhat)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mae,
+         |  ${femitSql(dsumSql("CAST(abs(y - yhat) AS DOUBLE) / CAST(y AS DOUBLE)") +
+               " / CAST(count(*) AS DOUBLE)")} AS mape,
+         |  ${femitSql("CAST(sum(y - yhat) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS bias
          |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same zero-filled spine, same int64 window moments, same closed
     // form; degenerate windows NULL on both engines.
     "q261_rolling_corr" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |  count(*) AS y FROM events WHERE event_type IN ('view', 'click')
-        |  GROUP BY 1, 2),
-        |sp AS (SELECT unnest(range((SELECT min(day) FROM daily),
-        |  (SELECT max(day) FROM daily) + 1)) AS day),
-        |a AS (SELECT sp.day, coalesce(v.y, 0) AS x FROM sp
-        |  LEFT JOIN (SELECT day, y FROM daily WHERE event_type = 'view') v
-        |  ON v.day = sp.day),
-        |j AS (SELECT a.day, a.x, coalesce(c.y, 0) AS z FROM a
-        |  LEFT JOIN (SELECT day, y FROM daily WHERE event_type = 'click') c
-        |  ON c.day = a.day),
-        |w AS (SELECT day,
-        |  count(*) OVER fr AS m,
-        |  sum(x) OVER fr AS sx, sum(z) OVER fr AS sz,
-        |  sum(x * x) OVER fr AS sxx, sum(z * z) OVER fr AS szz,
-        |  sum(x * z) OVER fr AS sxz
-        |  FROM j WINDOW fr AS (ORDER BY day ASC ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        |SELECT day,
-        |  CASE WHEN m * sxx - sx * sx > 0 AND m * szz - sz * sz > 0
-        |    THEN round(CAST(m * sxz - sx * sz AS DOUBLE)
-        |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
-        |         * sqrt(CAST(m * szz - sz * sz AS DOUBLE))), 6)
-        |  END AS corr14
-        |FROM w WHERE m = 14 ORDER BY day""".stripMargin,
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS y FROM events WHERE event_type IN ('view', 'click')
+         |  GROUP BY 1, 2),
+         |sp AS (SELECT unnest(range((SELECT min(day) FROM daily),
+         |  (SELECT max(day) FROM daily) + 1)) AS day),
+         |a AS (SELECT sp.day, coalesce(v.y, 0) AS x FROM sp
+         |  LEFT JOIN (SELECT day, y FROM daily WHERE event_type = 'view') v
+         |  ON v.day = sp.day),
+         |j AS (SELECT a.day, a.x, coalesce(c.y, 0) AS z FROM a
+         |  LEFT JOIN (SELECT day, y FROM daily WHERE event_type = 'click') c
+         |  ON c.day = a.day),
+         |w AS (SELECT day,
+         |  count(*) OVER fr AS m,
+         |  sum(x) OVER fr AS sx, sum(z) OVER fr AS sz,
+         |  sum(x * x) OVER fr AS sxx, sum(z * z) OVER fr AS szz,
+         |  sum(x * z) OVER fr AS sxz
+         |  FROM j WINDOW fr AS (ORDER BY day ASC ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT day,
+         |  CASE WHEN m * sxx - sx * sx > 0 AND m * szz - sz * sz > 0
+         |    THEN ${femitSql("CAST(m * sxz - sx * sz AS DOUBLE) / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(m * szz - sz * sz AS DOUBLE)))")}
+         |  END AS corr14
+         |FROM w WHERE m = 14 ORDER BY day""".stripMargin,
     // Hints must not change results: the plain three-way join.
     "q256_join_hints" ->
       s"""SELECT c.c_mktsegment, count(*) AS n_lines,
@@ -6344,12 +6354,11 @@ object Queries {
          |g AS (SELECT user_id % 2 AS arm, count(*) AS n_users,
          |  ${dsumSql("x")} AS gx, ${dsumSql("y")} AS gy FROM pu GROUP BY 1)
          |SELECT arm, n_users,
-         |  round(gy / CAST(n_users AS DOUBLE), 6) AS mean_post,
-         |  round(gy / CAST(n_users AS DOUBLE)
-         |    - theta * (gx / CAST(n_users AS DOUBLE) - xbar), 6)
+         |  ${femitSql("gy / CAST(n_users AS DOUBLE)")} AS mean_post,
+         |  ${femitSql("gy / CAST(n_users AS DOUBLE) - theta * (gx / CAST(n_users AS DOUBLE) - xbar)")}
          |    AS mean_adjusted,
-         |  round(theta, 6) AS theta,
-         |  round(cov * cov / (varx * vary), 6) AS var_reduction
+         |  ${femitSql("theta")} AS theta,
+         |  ${femitSql("cov * cov / (varx * vary)")} AS var_reduction
          |FROM g CROSS JOIN p3 ORDER BY arm""".stripMargin,
     // The corrected table recomputed as a CASE over the original —
     // partition wipe (missing days) or double-write (doubled counts)
@@ -6366,23 +6375,22 @@ object Queries {
     // Same halves, same dyadic grid, same filtered one-pass quantiles;
     // a list-index cross join replaces posexplode.
     "q217_qq_eighths" ->
-      """WITH e AS (SELECT event_type,
-        |  CAST(round(value * 100) AS BIGINT) AS cents,
-        |  user_id % 2 = 0 AS even
-        |  FROM events WHERE value IS NOT NULL),
-        |g AS (SELECT event_type,
-        |  quantile_cont(CASE WHEN even THEN cents END,
-        |    [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qe,
-        |  quantile_cont(CASE WHEN NOT even THEN cents END,
-        |    [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qo
-        |  FROM e GROUP BY 1)
-        |SELECT event_type, CAST(i AS BIGINT) AS eighth,
-        |  qe[i + 1] / CAST(100.0 AS DOUBLE) AS q_even,
-        |  qo[i + 1] / CAST(100.0 AS DOUBLE) AS q_odd,
-        |  round(qo[i + 1] / CAST(100.0 AS DOUBLE)
-        |    - qe[i + 1] / CAST(100.0 AS DOUBLE), 6) AS diff
-        |FROM g CROSS JOIN range(9) r(i)
-        |ORDER BY event_type, eighth""".stripMargin,
+      s"""WITH e AS (SELECT event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS cents,
+         |  user_id % 2 = 0 AS even
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT event_type,
+         |  quantile_cont(CASE WHEN even THEN cents END,
+         |    [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qe,
+         |  quantile_cont(CASE WHEN NOT even THEN cents END,
+         |    [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qo
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, CAST(i AS BIGINT) AS eighth,
+         |  qe[i + 1] / CAST(100.0 AS DOUBLE) AS q_even,
+         |  qo[i + 1] / CAST(100.0 AS DOUBLE) AS q_odd,
+         |  ${femitSql("qo[i + 1] / CAST(100.0 AS DOUBLE) - qe[i + 1] / CAST(100.0 AS DOUBLE)")} AS diff
+         |FROM g CROSS JOIN range(9) r(i)
+         |ORDER BY event_type, eighth""".stripMargin,
     // Same band pairing (spelled as a plain theta join — DuckDB's
     // optimizer handles gate-scale; the ENGINE's cell equi-join is what
     // the plan assertions protect), same total order, same credit CASE,
@@ -6596,21 +6604,21 @@ object Queries {
     // integers, same manual ⌈m/2⌉/⌊m/2⌋+1 order statistic under the
     // pinned total order (slope, dy, dx).
     "q201_theil_sen" ->
-      """WITH daily AS (SELECT event_type,
-        |  epoch_us(ts) // 86400000000 AS day, count(*) AS x
-        |  FROM events GROUP BY 1, 2),
-        |p AS (SELECT l.event_type, r.x - l.x AS dy, r.day - l.day AS dx,
-        |  CAST(r.x - l.x AS DOUBLE) / CAST(r.day - l.day AS DOUBLE) AS slope
-        |  FROM daily l JOIN daily r ON l.event_type = r.event_type
-        |    AND r.day > l.day),
-        |c AS (SELECT event_type, count(*) AS m FROM p GROUP BY 1),
-        |r AS (SELECT p.*, m, row_number() OVER (PARTITION BY p.event_type
-        |    ORDER BY slope ASC, dy ASC, dx ASC) AS rn
-        |  FROM p JOIN c ON p.event_type = c.event_type)
-        |SELECT event_type, max(m) AS n_pairs,
-        |  round((min(slope) + max(slope)) / 2.0, 6) AS ts_slope
-        |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      s"""WITH daily AS (SELECT event_type,
+         |  epoch_us(ts) // 86400000000 AS day, count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT l.event_type, r.x - l.x AS dy, r.day - l.day AS dx,
+         |  CAST(r.x - l.x AS DOUBLE) / CAST(r.day - l.day AS DOUBLE) AS slope
+         |  FROM daily l JOIN daily r ON l.event_type = r.event_type
+         |    AND r.day > l.day),
+         |c AS (SELECT event_type, count(*) AS m FROM p GROUP BY 1),
+         |r AS (SELECT p.*, m, row_number() OVER (PARTITION BY p.event_type
+         |    ORDER BY slope ASC, dy ASC, dx ASC) AS rn
+         |  FROM p JOIN c ON p.event_type = c.event_type)
+         |SELECT event_type, max(m) AS n_pairs,
+         |  ${femitSql("(min(slope) + max(slope)) / 2.0")} AS ts_slope
+         |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same DECIMAL-route revenues and Σshare² so accumulation order
     // cannot split the engines.
     "q202_hhi" ->
@@ -7106,8 +7114,7 @@ object Queries {
          |  ${dsumSql("x * x")} AS sxx, ${dsumSql("y * y")} AS syy
          |  FROM e GROUP BY event_type)
          |SELECT event_type, n,
-         |  round((n * sxy - sx * sy)
-         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_xy
+         |  ${femitSql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")} AS corr_xy
          |FROM m ORDER BY event_type""".stripMargin,
     // Same day-rescaled x (µs² would overflow the DECIMAL), same
     // normal-equation closed form in one fixed order.
@@ -7119,26 +7126,26 @@ object Queries {
          |  ${dsumSql("y")} AS sy, ${dsumSql("x * y")} AS sxy, ${dsumSql("x * x")} AS sxx
          |  FROM e GROUP BY event_type)
          |SELECT event_type, n,
-         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+         |  ${femitSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+         |  ${femitSql("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")} AS intercept
          |FROM m ORDER BY event_type""".stripMargin,
     // Same moments, same Welch z, same 1.96 critical literal.
     "q150_ab_test" ->
-      """WITH e AS (SELECT event_type, value FROM events
-        |  WHERE event_type IN ('purchase', 'click')),
-        |m AS (SELECT event_type, count(*) AS n,
-        |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
-        |  CAST(CAST(SUM(CAST(CAST(value * value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
-        |  FROM e GROUP BY event_type),
-        |s AS (SELECT event_type, n, sx / n AS mean,
-        |  (sxx - sx * sx / n) / (n - 1) AS variance FROM m),
-        |a AS (SELECT n AS n_a, mean AS mean_a, variance AS var_a FROM s WHERE event_type = 'purchase'),
-        |b AS (SELECT n AS n_b, mean AS mean_b, variance AS var_b FROM s WHERE event_type = 'click')
-        |SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-        |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS z,
-        |  abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b))
-        |    > 1.959963984540054 AS significant
-        |FROM a CROSS JOIN b""".stripMargin,
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE event_type IN ('purchase', 'click')),
+         |m AS (SELECT event_type, count(*) AS n,
+         |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+         |  CAST(CAST(SUM(CAST(CAST(value * value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
+         |  FROM e GROUP BY event_type),
+         |s AS (SELECT event_type, n, sx / n AS mean,
+         |  (sxx - sx * sx / n) / (n - 1) AS variance FROM m),
+         |a AS (SELECT n AS n_a, mean AS mean_a, variance AS var_a FROM s WHERE event_type = 'purchase'),
+         |b AS (SELECT n AS n_b, mean AS mean_b, variance AS var_b FROM s WHERE event_type = 'click')
+         |SELECT n_a, n_b, ${femitSql("mean_a")} AS mean_a, ${femitSql("mean_b")} AS mean_b,
+         |  ${femitSql("(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)")} AS z,
+         |  abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b))
+         |    > 1.959963984540054 AS significant
+         |FROM a CROSS JOIN b""".stripMargin,
     // Identical daily agg, identical lag chain: coefficients are
     // interpolated from the same ewmaCoef constants (all dyadic ⇒
     // decimal literals parse exactly), the term sum is the same
@@ -7793,7 +7800,7 @@ object Queries {
          |  ${dsumSql("a.dev * b2.dev")} AS num
          |  FROM v a CROSS JOIN l JOIN v b2 ON b2.day = a.day + l.lag
          |  GROUP BY l.lag)
-         |SELECT lag, n_pairs, round(num / den, 6) AS acf
+         |SELECT lag, n_pairs, ${femitSql("num / den")} AS acf
          |FROM num CROSS JOIN den ORDER BY lag""".stripMargin,
     // Same per-group DECIMAL moments, same k-row cross-group reduce,
     // same fixed-order F arithmetic.
