@@ -285,7 +285,7 @@ object SparkEntry {
           df => df.groupBy("event_type").agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(38,12)")).as("dec_sum")))
         .select(col("event_type"), col("n"),
-          round(col("dec_sum").cast("double"), 6).as("sum_value"))
+          graft.rel.Queries.femit(col("dec_sum").cast("double")).as("sum_value"))
         .orderBy("event_type")
     }),
     "q87_stream_window" -> ((s, dir) => {
@@ -478,7 +478,7 @@ object SparkEntry {
         df => df.join(broadcast(dim), Seq("user_id")))
       enriched.groupBy("segment", "event_type")
         .agg(count(lit(1)).as("n"),
-          round(rel.Queries.dsum(col("value")), 6).as("sum_value"))
+          graft.rel.Queries.femit(rel.Queries.dsum(col("value"))).as("sum_value"))
         .orderBy("segment", "event_type")
     }),
     "q90_custom_state_sessions" -> ((s, dir) => {
@@ -984,8 +984,8 @@ object SparkEntry {
     // The matview's final snapshot must equal the plain batch aggregate
     // (same DECIMAL route as q125's sum).
     "q229_stream_matview" ->
-      """SELECT event_type, count(*) AS n,
-        |  round(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS sum_value
+      s"""SELECT event_type, count(*) AS n,
+        |  ${graft.rel.Queries.femitSql("CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)")} AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // The final CDC state recomputed from the original events: per
     // user, the event count and the latest event by (ts, event_id) —
@@ -1003,8 +1003,8 @@ object SparkEntry {
     // The plain batch join + aggregate the drained stream-static sink
     // must reproduce exactly (same DECIMAL route as q87's sum).
     "q125_stream_static_join" ->
-      """SELECT c_mktsegment AS segment, event_type, count(*) AS n,
-        |  round(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS sum_value
+      s"""SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+        |  ${graft.rel.Queries.femitSql("CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)")} AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The plain batch band join: the streaming inner join must emit

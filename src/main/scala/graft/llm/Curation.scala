@@ -113,10 +113,10 @@ object Curation {
     val z = shared.agg(graft.rel.Queries.dsum(col("wraw")).as("z"))
     shared.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("raw_share"), 6).as("raw_share"),
-        round(col("wraw") / col("z"), 6).as("weight"),
-        round((col("wraw") / col("z")) * col("tt").cast("double")
-          / col("n_tokens").cast("double"), 6).as("eff_epochs"))
+        graft.rel.Queries.femit(col("raw_share")).as("raw_share"),
+        graft.rel.Queries.femit(col("wraw") / col("z")).as("weight"),
+        graft.rel.Queries.femit((col("wraw") / col("z")) * col("tt").cast("double")
+          / col("n_tokens").cast("double")).as("eff_epochs"))
       .orderBy("source")
   }
 

@@ -771,9 +771,9 @@ object Dedup {
       .join(nb.select(col("doc_id").as("d2"), col("nb").as("nb2")), Seq("d2"))
       .join(ex, Seq("d1", "d2"))
       .select(col("d1"), col("d2"), col("cnt").as("matches"),
-        round(est, 6).as("est_jaccard"),
-        round(jac, 6).as("exact_jaccard"),
-        round(abs(est - jac), 6).as("abs_err"))
+        graft.rel.Queries.femit(est).as("est_jaccard"),
+        graft.rel.Queries.femit(jac).as("exact_jaccard"),
+        graft.rel.Queries.femit(abs(est - jac)).as("abs_err"))
       .orderBy("d1", "d2")
   }
 
@@ -813,7 +813,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("containment",
-        round(col("shared").cast("double") / least(col("n1"), col("n2")), 6))
+        graft.rel.Queries.femit(col("shared").cast("double") / least(col("n1"), col("n2"))))
       .where(col("containment") >= threshold)
       .select("d1", "d2", "shared", "n1", "n2", "containment")
       .orderBy("d1", "d2")
@@ -864,7 +864,7 @@ object Dedup {
       .join(norms.select(col("doc_id").as("d1"), col("nrm").as("n1")), "d1")
       .join(norms.select(col("doc_id").as("d2"), col("nrm").as("n2")), "d2")
       .select(col("d1"), col("d2"),
-        round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+        graft.rel.Queries.femit(col("dot") / (col("n1") * col("n2"))).as("cosine"))
       .orderBy(col("cosine").desc, col("d1").asc, col("d2").asc)
       .limit(topK)
   }
@@ -919,8 +919,8 @@ object Dedup {
         sum(col("cv")).as("dup_tokens"))
       .select(col("lang"), col("n_docs"), col("n_docs_dup"),
         col("total_tokens"), col("dup_tokens"),
-        round(col("dup_tokens").cast("double")
-          / col("total_tokens").cast("double"), 6).as("dup_fraction"))
+        graft.rel.Queries.femit(col("dup_tokens").cast("double")
+          / col("total_tokens").cast("double")).as("dup_fraction"))
       .orderBy("lang")
   }
 }

@@ -480,8 +480,8 @@ object Queries {
             .as("est_distinct"),
           col("exact_distinct"))
         .withColumn("rel_err",
-          round(abs(col("est_distinct") - col("exact_distinct"))
-            / col("exact_distinct"), 6))
+          graft.rel.Queries.femit(abs(col("est_distinct") - col("exact_distinct"))
+            / col("exact_distinct")))
         .orderBy("event_type")
     }),
     // KMV SET ALGEBRA — the property that makes bottom-k sketches an
@@ -535,8 +535,8 @@ object Queries {
           (col("nd1") + col("nd2")
             - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
           when(coalesce(col("exact_inter"), lit(0L)) > 0,
-            round(abs(col("inter_est") - col("exact_inter"))
-              / col("exact_inter"), 6)).as("rel_err_inter"))
+            graft.rel.Queries.femit(abs(col("inter_est") - col("exact_inter"))
+              / col("exact_inter"))).as("rel_err_inter"))
         .orderBy("et1", "et2")
     }),
     // E17: bigram-LM average log-prob with add-one smoothing — the
@@ -880,7 +880,7 @@ object Queries {
           greatest(col("s1"), col("s2")).as("source_b"), col("jaccard"))
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_pairs"),
-          round(graft.rel.Queries.dsum(col("jaccard")) / count(lit(1)), 6)
+          graft.rel.Queries.femit(graft.rel.Queries.dsum(col("jaccard")) / count(lit(1)))
             .as("mean_jaccard"))
         .orderBy("source_a", "source_b")
     }),
@@ -1451,11 +1451,11 @@ object Queries {
        |    CAST(len(fa.sh) + len(fb.sh) AS DOUBLE) AS total
        |  FROM c JOIN f fa ON fa.doc_id = c.d1 JOIN f fb ON fb.doc_id = c.d2)
        |SELECT m.d1, m.d2, CAST(cnt AS BIGINT) AS matches,
-       |  round(CAST(cnt AS DOUBLE) / CAST(n1.nb + n2.nb - ob.ob AS DOUBLE), 6)
+       |  ${femitSql("CAST(cnt AS DOUBLE) / CAST(n1.nb + n2.nb - ob.ob AS DOUBLE)")}
        |    AS est_jaccard,
-       |  round(inter / (total - inter), 6) AS exact_jaccard,
-       |  round(abs(CAST(cnt AS DOUBLE) / CAST(n1.nb + n2.nb - ob.ob AS DOUBLE)
-       |    - inter / (total - inter)), 6) AS abs_err
+       |  ${femitSql("inter / (total - inter)")} AS exact_jaccard,
+       |  ${femitSql(s"""abs(CAST(cnt AS DOUBLE) / CAST(n1.nb + n2.nb - ob.ob AS DOUBLE)
+       |    - inter / (total - inter))""")} AS abs_err
        |FROM m
        |JOIN ob ON ob.d1 = m.d1 AND ob.d2 = m.d2
        |JOIN nbc n1 ON n1.doc_id = m.d1
@@ -1531,9 +1531,9 @@ object Queries {
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
        |bm AS (SELECT f.doc_id, f.tok, f.tf, g.df,
-       |  round(ln((st.n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0)
+       |  ${femitSql(s"""ln((st.n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0)
        |    * (f.tf * ${k1 + 1})
-       |    / (f.tf + $k1 * (${1 - b} + $b * CAST(d.dl AS DOUBLE) * st.n_docs / st.sum_dl)), 6) AS bm25
+       |    / (f.tf + $k1 * (${1 - b} + $b * CAST(d.dl AS DOUBLE) * st.n_docs / st.sum_dl))""")} AS bm25
        |FROM tf f JOIN dl d USING (doc_id) JOIN dft g USING (tok) CROSS JOIN st)""".stripMargin
 
   private def bm25Oracle(k1: Double, b: Double): String =
@@ -1579,11 +1579,11 @@ object Queries {
   private val weightedScoreOracle: String = {
     val wRows = TextAnalysis.LinearWeights
       .map { case (f, w) => s"('$f', $w)" }.mkString(", ")
-    """WITH w(feature, weight) AS (VALUES %s),
+    s"""WITH w(feature, weight) AS (VALUES %s),
       |t AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
       |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-      |  CAST(len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$'))) AS DOUBLE) / len(ts) AS alpha_ratio,
+      |  CAST(len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$$'))) AS DOUBLE) / len(ts) AS alpha_ratio,
       |  CAST(len(list_filter(ts, t -> list_contains(['the','of','and','to','in','a','is','for','on','with'], t))) AS DOUBLE) / len(ts) AS stop_ratio
       |  FROM t),
       |lf AS (SELECT doc_id, 'alpha_ratio' AS feature, alpha_ratio AS x FROM f
@@ -1593,8 +1593,8 @@ object Queries {
       |z AS (SELECT doc_id,
       |  CAST(CAST(SUM(CAST(CAST(x * weight AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS z
       |  FROM lf JOIN w USING (feature) GROUP BY doc_id)
-      |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
-      |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+      |SELECT doc_id, ${femitSql("1.0 / (1.0 + exp(-z))")} AS score,
+      |  ${femitSql("1.0 / (1.0 + exp(-z))")} >= 0.5 AS keep
       |FROM z ORDER BY doc_id""".stripMargin.format(wRows)
   }
 
@@ -1858,7 +1858,7 @@ object Queries {
          |  FROM nodes LEFT JOIN s$i ON s$i.node = nodes.node CROSS JOIN d$i CROSS JOIN nc)""".stripMargin
     }
     (head +: rounds).mkString(",\n") +
-      "\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
+      s"\nSELECT node, ${femitSql("rank")} AS rank FROM r3 ORDER BY node"
   }
 
   /** DuckDB twin of q279 ([[Sim.pcaPower]] at 2 rounds): same zipped
@@ -1928,7 +1928,7 @@ object Queries {
          |  FROM rst LEFT JOIN s$i ON s$i.node = rst.node CROSS JOIN d$i)""".stripMargin
     }
     (head +: rounds).mkString(",\n") +
-      "\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
+      s"\nSELECT node, ${femitSql("rank")} AS rank FROM r3 ORDER BY node"
   }
 
   /** DuckDB twin of q233 ([[graft.rel.Graph.hits]] at 2 rounds): same
@@ -1989,8 +1989,8 @@ object Queries {
        |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.u AND und.b = p.w)),
        |sc AS (SELECT u, w, count(*) AS cn,
        |  ${dec("1.0 / ln(CAST(dz AS DOUBLE))")} AS aa0 FROM nonadj GROUP BY u, w)
-       |SELECT sc.u, sc.w, sc.cn, round(aa0, 6) AS adamic_adar,
-       |  round(CAST(cn AS DOUBLE) / CAST(du.deg + dw.deg - cn AS DOUBLE), 6) AS jaccard
+       |SELECT sc.u, sc.w, sc.cn, ${femitSql("aa0")} AS adamic_adar,
+       |  ${femitSql("CAST(cn AS DOUBLE) / CAST(du.deg + dw.deg - cn AS DOUBLE)")} AS jaccard
        |FROM sc JOIN deg du ON du.node = sc.u JOIN deg dw ON dw.node = sc.w
        |ORDER BY adamic_adar DESC, sc.u ASC, sc.w ASC LIMIT 30""".stripMargin
   }
@@ -2027,8 +2027,8 @@ object Queries {
          |  FROM nodes LEFT JOIN s$i ON s$i.node = nodes.node CROSS JOIN d$i CROSS JOIN nc)""".stripMargin
     }
     (head +: rounds).mkString(",\n") +
-      "\nSELECT node, round(rank, 6) AS rank FROM r3 " +
-      "ORDER BY round(rank, 6) DESC, node ASC LIMIT 20"
+      s"\nSELECT node, ${femitSql("rank")} AS rank FROM r3 " +
+      s"ORDER BY ${femitSql("rank")} DESC, node ASC LIMIT 20"
   }
 
   private val sq8KnnOracle = {
@@ -2206,7 +2206,7 @@ object Queries {
          |  UNION ALL SELECT qid, vec_id FROM p$r)""".stripMargin
     }.mkString
     val out = (1 to k).map(r =>
-      s"SELECT qid, CAST($r AS BIGINT) AS rnk, vec_id, round(score, 6) AS score FROM p$r")
+      s"SELECT qid, CAST($r AS BIGINT) AS rnk, vec_id, ${femitSql("score")} AS score FROM p$r")
       .mkString("\n|  UNION ALL ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v,
@@ -2269,7 +2269,7 @@ object Queries {
        |    + coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + t.r_txt), 0.0) AS rrf
        |  FROM cosr c FULL JOIN txtr t
        |    ON c.qid = t.qid AND c.doc_id = t.doc_id)
-       |SELECT qid, rnk, doc_id, round(rrf, 6) AS rrf FROM (
+       |SELECT qid, rnk, doc_id, ${femitSql("rrf")} AS rrf FROM (
        |  SELECT qid, doc_id, rrf, CAST(row_number() OVER (PARTITION BY qid
        |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rnk FROM f)
        |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
@@ -2327,7 +2327,7 @@ object Queries {
        |  (SELECT DISTINCT cid, tok FROM tok) GROUP BY tok),
        |nc AS (SELECT count(DISTINCT cid) AS n_clusters FROM asg),
        |sc AS (SELECT tf.cid, tf.tok, tf.tf, dfp.df,
-       |  round(tf.tf * ln(CAST(nc.n_clusters AS DOUBLE) / dfp.df), 6) AS score
+       |  ${femitSql("tf.tf * ln(CAST(nc.n_clusters AS DOUBLE) / dfp.df)")} AS score
        |  FROM tf JOIN dfp USING (tok) CROSS JOIN nc),
        |r AS (SELECT cid, tok, tf, df, score,
        |  CAST(row_number() OVER (PARTITION BY cid
@@ -2402,9 +2402,9 @@ object Queries {
        |  CASE WHEN greatest(a, b) > 0
        |    THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
        |  FROM o JOIN x USING (vec_id))
-       |SELECT cid, count(*) AS n, round(${dmean("a")}, 6) AS mean_a,
-       |  round(${dmean("b")}, 6) AS mean_b,
-       |  round(${dmean("s")}, 6) AS mean_sil
+       |SELECT cid, count(*) AS n, ${femitSql(s"""${dmean("a")}""")} AS mean_a,
+       |  ${femitSql(s"""${dmean("b")}""")} AS mean_b,
+       |  ${femitSql(s"""${dmean("s")}""")} AS mean_sil
        |FROM j GROUP BY cid ORDER BY cid""".stripMargin
   }
 
@@ -2625,7 +2625,7 @@ object Queries {
     // reachability recursion unrolled to the same 3 rounds — all
     // integer counts.
     "q301_neighborhood" ->
-      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+      s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
         |p0 AS (SELECT unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
         |e AS (SELECT DISTINCT ts[i+1] AS src, ts[i+2] AS dst FROM p0
         |  WHERE ts[i+1] <> ts[i+2]),
@@ -2644,12 +2644,12 @@ object Queries {
         |  SELECT 2, count(*) FROM r2 UNION ALL
         |  SELECT 3, count(*) FROM r3)
         |SELECT CAST(h AS BIGINT) AS h, n_pairs, n_nodes,
-        |  round(CAST(n_pairs AS DOUBLE) / n_nodes, 6) AS avg_ball
+        |  ${femitSql("CAST(n_pairs AS DOUBLE) / n_nodes")} AS avg_ball
         |FROM curve CROSS JOIN nn ORDER BY h""".stripMargin,
     // Containment twin: same distinct shingles, same df cap, same
     // reduced-space sizes, threshold on the rounded score.
     "q299_containment" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(
         |    range(greatest(len(ts) - 2, 0)),
         |    i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
@@ -2661,9 +2661,9 @@ object Queries {
         |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT d1, d2, shared, s1.n AS n1, s2.n AS n2,
-        |  round(CAST(shared AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+        |  ${femitSql("CAST(shared AS DOUBLE) / least(s1.n, s2.n)")} AS containment
         |FROM pr JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
-        |WHERE round(CAST(shared AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.5
+        |WHERE ${femitSql("CAST(shared AS DOUBLE) / least(s1.n, s2.n)")} >= 0.5
         |ORDER BY d1, d2""".stripMargin,
     // Heaps twin: same first-occurrence prefix sums (exact longs),
     // same checkpoint thinning, ln-moments on the q205 fit route.
@@ -2764,16 +2764,16 @@ object Queries {
         |chance AS (SELECT CAST(SUM(COALESCE(rt.rt, 0) * COALESCE(ctt.ct, 0)) AS BIGINT) AS sprod
         |  FROM rt FULL OUTER JOIN ctt ON rt.cls = ctt.cls)
         |SELECT n, agree,
-        |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
-        |  round(CAST(sprod AS DOUBLE) / (n * n), 6) AS pe,
-        |  round((CAST(agree AS DOUBLE) / n - CAST(sprod AS DOUBLE) / (n * n))
-        |    / (1.0 - CAST(sprod AS DOUBLE) / (n * n)), 6) AS kappa
+        |  ${femitSql("CAST(agree AS DOUBLE) / n")} AS po,
+        |  ${femitSql("CAST(sprod AS DOUBLE) / (n * n)")} AS pe,
+        |  ${femitSql(s"""(CAST(agree AS DOUBLE) / n - CAST(sprod AS DOUBLE) / (n * n))
+        |    / (1.0 - CAST(sprod AS DOUBLE) / (n * n))""")} AS kappa
         |FROM tot CROSS JOIN chance""".stripMargin,
     // Stump twin: identical prefix-sum candidate sweep, identical
     // double expression tree from exact integer counts, argmin on the
     // rounded impurity with the threshold tiebreak.
     "q292_decision_stump" ->
-      """WITH pts AS (SELECT n_chars AS x,
+      s"""WITH pts AS (SELECT n_chars AS x,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
         |b AS (SELECT x, count(*) AS n, sum(y) AS p FROM pts GROUP BY x),
         |c AS (SELECT x,
@@ -2797,7 +2797,7 @@ object Queries {
         |    1.0 - (ppd / nnd) * (ppd / nnd)
         |      - ((nnd - ppd) / nnd) * ((nnd - ppd) / nnd) AS parent
         |  FROM sc)
-        |SELECT threshold, round(wg, 6) AS gini, round(parent - wg, 6) AS gain,
+        |SELECT threshold, ${femitSql("wg")} AS gini, ${femitSql("parent - wg")} AS gain,
         |  left_n, left_pos, right_n, right_pos
         |FROM g ORDER BY gini ASC, threshold ASC LIMIT 1""".stripMargin,
     // Winnowing twin: same FNV k-gram hashes, same window containment
@@ -2818,23 +2818,23 @@ object Queries {
          |sel AS (SELECT DISTINCT doc_id, nk, j, h FROM r WHERE rn = 1)
          |SELECT doc_id, CAST(max(nk) AS BIGINT) AS n_kgrams,
          |  count(*) AS n_fps, min(h) AS min_fp,
-         |  round(CAST(count(*) AS DOUBLE) / max(nk), 6) AS density
+         |  ${femitSql("CAST(count(*) AS DOUBLE) / max(nk)")} AS density
          |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same features, same weight literals, same evaluation order;
     // round(6) absorbs libm exp drift.
     "q88_linear_score" ->
-      """WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
         |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$'))) AS DOUBLE) / len(ts) AS alpha_ratio,
+        |  CAST(len(list_filter(ts, t -> regexp_full_match(t, '^[a-z-_]+$$'))) AS DOUBLE) / len(ts) AS alpha_ratio,
         |  CAST(len(list_filter(ts, t -> list_contains(['the','of','and','to','in','a','is','for','on','with'], t))) AS DOUBLE) / len(ts) AS stop_ratio
         |  FROM t),
         |z AS (SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
         |  3.0 * alpha_ratio - 2.0 * stop_ratio
         |    + 0.01 * least(CAST(n_tokens AS DOUBLE), 100.0) - 2.0 AS z FROM f)
         |SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
-        |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
-        |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+        |  ${femitSql("1.0 / (1.0 + exp(-z))")} AS score,
+        |  ${femitSql("1.0 / (1.0 + exp(-z))")} >= 0.5 AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
     // Same blocking, same capped expansion, same edit distance.
     "q86_fuzzy_join" ->
@@ -2908,7 +2908,7 @@ object Queries {
     // q132's brute pair CTE + source lookups; mean Jaccard through the
     // DECIMAL route.
     "q222_crosssource_dups" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
         |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
         |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
@@ -2922,8 +2922,8 @@ object Queries {
         |SELECT least(a.source, b.source) AS source_a,
         |  greatest(a.source, b.source) AS source_b,
         |  count(*) AS n_pairs,
-        |  round(CAST(CAST(SUM(CAST(CAST(jaccard AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-        |    / count(*), 6) AS mean_jaccard
+        |  ${femitSql(s"""CAST(CAST(SUM(CAST(CAST(jaccard AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+        |    / count(*)""")} AS mean_jaccard
         |FROM p JOIN sc a ON p.d1 = a.doc_id JOIN sc b ON p.d2 = b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q132's brute-force pair CTE (the prefix join is lossless, so the
@@ -3170,9 +3170,9 @@ object Queries {
          |  CASE WHEN nd < 32 THEN CAST(n_kept AS DOUBLE)
          |       ELSE 31.0 * 4294967296.0 / kth_hash END AS est_distinct,
          |  exact_distinct,
-         |  round(abs(CASE WHEN nd < 32 THEN CAST(n_kept AS DOUBLE)
+         |  ${femitSql(s"""abs(CASE WHEN nd < 32 THEN CAST(n_kept AS DOUBLE)
          |                 ELSE 31.0 * 4294967296.0 / kth_hash END
-         |            - exact_distinct) / exact_distinct, 6) AS rel_err
+         |            - exact_distinct) / exact_distinct""")} AS rel_err
          |FROM kept JOIN ex USING (event_type)
          |ORDER BY event_type""".stripMargin,
     // The same kept sets (rank over distinct portable hashes), the
@@ -3206,7 +3206,7 @@ object Queries {
          |  coalesce(ex.exact_inter, 0) AS exact_inter,
          |  n1.nd + n2.nd - coalesce(ex.exact_inter, 0) AS exact_union,
          |  CASE WHEN coalesce(ex.exact_inter, 0) > 0 THEN
-         |    round(abs(inter_est - ex.exact_inter) / ex.exact_inter, 6)
+         |    ${femitSql("abs(inter_est - ex.exact_inter) / ex.exact_inter")}
          |  END AS rel_err_inter
          |FROM e3 LEFT JOIN ex ON ex.et1 = e3.et1 AND ex.et2 = e3.et2
          |JOIN nd n1 ON n1.event_type = e3.et1
@@ -3232,7 +3232,7 @@ object Queries {
     // Same exact token counts, same fixed-order shares/sqrt, the α-
     // normalizer on the dsum route.
     "q283_mixture_temperature" ->
-      """WITH per AS (SELECT source, count(*) AS n_docs,
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
         |    AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1),
@@ -3243,9 +3243,9 @@ object Queries {
         |  FROM per CROSS JOIN tot),
         |z AS (SELECT CAST(CAST(SUM(CAST(CAST(wraw AS VARCHAR) AS DECIMAL(38,12)))
         |  AS VARCHAR) AS DOUBLE) AS z FROM sh)
-        |SELECT source, n_docs, n_tokens, round(raw_share, 6) AS raw_share,
-        |  round(wraw / z, 6) AS weight,
-        |  round((wraw / z) * CAST(tt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |SELECT source, n_docs, n_tokens, ${femitSql("raw_share")} AS raw_share,
+        |  ${femitSql("wraw / z")} AS weight,
+        |  ${femitSql("(wraw / z) * CAST(tt AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
         |    AS eff_epochs
         |FROM sh CROSS JOIN z ORDER BY source""".stripMargin,
     // Same window enumeration (DuckDB's 1-based inclusive list slice ≡
@@ -3253,7 +3253,7 @@ object Queries {
     // exact gram string, same interval-union via lead(), exact integer
     // sums; one final division.
     "q271_substring_dedup" ->
-      """WITH t AS (SELECT doc_id, lang,
+      s"""WITH t AS (SELECT doc_id, lang,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
         |g AS (SELECT doc_id, lang, i, array_to_string(ts[i+1:i+8], ' ') AS gram
         |  FROM (SELECT doc_id, lang, ts, unnest(range(len(ts) - 7)) AS i
@@ -3271,8 +3271,8 @@ object Queries {
         |    AS n_docs_dup,
         |  CAST(sum(l.len) AS BIGINT) AS total_tokens,
         |  CAST(sum(coalesce(c.covered, 0)) AS BIGINT) AS dup_tokens,
-        |  round(CAST(sum(coalesce(c.covered, 0)) AS DOUBLE)
-        |    / CAST(sum(l.len) AS DOUBLE), 6) AS dup_fraction
+        |  ${femitSql(s"""CAST(sum(coalesce(c.covered, 0)) AS DOUBLE)
+        |    / CAST(sum(l.len) AS DOUBLE)""")} AS dup_fraction
         |FROM lens l LEFT JOIN cov c ON c.doc_id = l.doc_id
         |GROUP BY l.lang ORDER BY l.lang""".stripMargin,
     "q233_hits" -> hitsOracle,
@@ -3322,7 +3322,7 @@ object Queries {
          |  ${dec("a.idf * b.idf")} AS dot
          |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+         |SELECT d1, d2, ${femitSql("dot / (n1.nrm * n2.nrm)")} AS cosine
          |FROM dots JOIN norms n1 ON n1.doc_id = dots.d1
          |JOIN norms n2 ON n2.doc_id = dots.d2
          |ORDER BY cosine DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin
@@ -3420,7 +3420,7 @@ object Queries {
     // q25's prediction CTE joined back to the label; counts exact,
     // recall a single division.
     "q211_langid_confusion" ->
-      """WITH q AS (SELECT doc_id, lang,
+      s"""WITH q AS (SELECT doc_id, lang,
         |  list_filter(string_split(text, ' '), t -> t <> '') AS ts
         |  FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -3434,8 +3434,8 @@ object Queries {
         |  FROM s),
         |g AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
         |SELECT lang, pred_lang, n,
-        |  round(CAST(n AS DOUBLE)
-        |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS recall
+        |  ${femitSql(s"""CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)""")} AS recall
         |FROM g ORDER BY lang, pred_lang""".stripMargin,
     "q175_mmr_diversify" -> mmrOracle(10, 20, 5, 0.7),
     "q176_rrf_fusion" -> rrfOracle(10, 20, 10, 60),
@@ -3676,7 +3676,7 @@ object Queries {
          |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) dys
          |  JOIN b ON b.cx = a.cx + dxs.dx AND b.cy = a.cy + dys.dy
          |    AND a.vec_id < b.vec_id)
-         |SELECT ida AS a, idb AS b, round(sqrt(d2), 6) AS dist FROM pr
+         |SELECT ida AS a, idb AS b, ${femitSql("sqrt(d2)")} AS dist FROM pr
          |WHERE d2 <= CAST(${GridR * GridR} AS DOUBLE) ORDER BY a, b""".stripMargin,
     // Same cells, same core rule, same packed lexicographic cell ids;
     // components via the recursive-CTE min-label closure (q65's
@@ -3758,13 +3758,13 @@ object Queries {
         |SELECT lang, tok, cnt, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
         |ORDER BY lang, rn""".stripMargin,
     "q27_tfidf" ->
-      """WITH tok AS (SELECT lang, tok FROM
+      s"""WITH tok AS (SELECT lang, tok FROM
         |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''),
         |tf AS (SELECT lang, tok, count(*) AS tf FROM tok GROUP BY lang, tok),
         |df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT lang, tok FROM tok) GROUP BY tok),
         |n AS (SELECT count(DISTINCT lang) AS n_langs FROM documents)
         |SELECT lang, tf.tok AS tok, tf, df,
-        |  round(tf * ln(CAST(n_langs AS DOUBLE) / df), 6) AS tfidf
+        |  ${femitSql("tf * ln(CAST(n_langs AS DOUBLE) / df)")} AS tfidf
         |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
         |ORDER BY lang, tok""".stripMargin,
     "q28_fingerprint" ->

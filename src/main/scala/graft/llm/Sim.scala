@@ -186,7 +186,7 @@ object Sim {
           + (col("ay") - col("by")) * (col("ay") - col("by")))
       .where(col("d2") <= lit(r * r))
       .select(col("ida").as("a"), col("idb").as("b"),
-        round(sqrt(col("d2")), 6).as("dist"))
+        graft.rel.Queries.femit(sqrt(col("d2"))).as("dist"))
       .orderBy("a", "b")
   }
 
@@ -380,7 +380,7 @@ object Sim {
     }
     picks.reduce(_.union(_))
       .select(col("qid"), col("rnk"), col("vec_id"),
-        round(col("score"), 6).as("score"))
+        graft.rel.Queries.femit(col("score")).as("score"))
       .orderBy("qid", "rnk")
   }
 
@@ -425,7 +425,7 @@ object Sim {
           + coalesce(lit(1.0) / (lit(rrfK) + col("r_txt")), lit(0.0)))
       .withColumn("rnk", row_number().over(fuseW).cast("long"))
       .where(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .select(col("qid"), col("rnk"), col("doc_id"), graft.rel.Queries.femit(col("rrf")).as("rrf"))
       .orderBy("qid", "rnk")
   }
 
@@ -1131,9 +1131,9 @@ object Sim {
           .otherwise(lit(0.0)))
       .groupBy("cid")
       .agg(count(lit(1)).as("n"),
-        round(dsum(col("a")) / count(lit(1)), 6).as("mean_a"),
-        round(dsum(col("b")) / count(lit(1)), 6).as("mean_b"),
-        round(dsum(col("s")) / count(lit(1)), 6).as("mean_sil"))
+        graft.rel.Queries.femit(dsum(col("a")) / count(lit(1))).as("mean_a"),
+        graft.rel.Queries.femit(dsum(col("b")) / count(lit(1))).as("mean_b"),
+        graft.rel.Queries.femit(dsum(col("s")) / count(lit(1))).as("mean_sil"))
       .orderBy("cid")
   }
 

@@ -201,7 +201,7 @@ object TextAnalysis {
     val w = Window.partitionBy("cid").orderBy(col("score").desc, col("tok").asc)
     tf.join(dfp, "tok").crossJoin(broadcast(n))
       .withColumn("score",
-        round(col("tf") * log(col("n_clusters").cast("double") / col("df")), 6))
+        graft.rel.Queries.femit(col("tf") * log(col("n_clusters").cast("double") / col("df"))))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= topK)
       .select("cid", "rnk", "tok", "tf", "df", "score")
@@ -217,7 +217,7 @@ object TextAnalysis {
     val n = docs.select(countDistinct(col("lang")).as("n_langs"))
     tf.join(dft, "tok").crossJoin(broadcast(n))
       .select(col("lang"), col("tok"), col("tf"), col("df"),
-        round(col("tf") * log(col("n_langs").cast("double") / col("df")), 6).as("tfidf"))
+        graft.rel.Queries.femit(col("tf") * log(col("n_langs").cast("double") / col("df"))).as("tfidf"))
       .orderBy("lang", "tok")
   }
 
@@ -338,7 +338,7 @@ object TextAnalysis {
       .withColumn("z",
         lit(3.0) * col("alpha_ratio") - lit(2.0) * col("stop_ratio")
           + lit(0.01) * least(col("n_tokens").cast("double"), lit(100.0)) - lit(2.0))
-      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .withColumn("score", graft.rel.Queries.femit(lit(1.0) / (lit(1.0) + exp(-col("z")))))
       .drop("z")
       .withColumn("keep", col("score") >= 0.5)
       .orderBy("doc_id")
@@ -372,7 +372,7 @@ object TextAnalysis {
     feats.join(broadcast(weights), "feature")
       .groupBy("doc_id")
       .agg(graft.rel.Queries.dsum(col("x") * col("weight")).as("z"))
-      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .withColumn("score", graft.rel.Queries.femit(lit(1.0) / (lit(1.0) + exp(-col("z")))))
       .drop("z")
       .withColumn("keep", col("score") >= 0.5)
       .orderBy("doc_id")
@@ -545,7 +545,7 @@ object TextAnalysis {
       .withColumn("label_total",
         sum(col("n")).over(Window.partitionBy("lang")))
       .select(col("lang"), col("pred_lang"), col("n"),
-        round(col("n").cast("double") / col("label_total").cast("double"), 6)
+        graft.rel.Queries.femit(col("n").cast("double") / col("label_total").cast("double"))
           .as("recall"))
       .orderBy("lang", "pred_lang")
   }
@@ -760,13 +760,13 @@ object TextAnalysis {
       .agg(sum(col("prod")).as("sprod"))
     tot.crossJoin(chance)
       .select(col("n"), col("agree"),
-        round(col("agree").cast("double") / col("n"), 6).as("po"),
-        round(col("sprod").cast("double") / (col("n") * col("n")), 6)
+        graft.rel.Queries.femit(col("agree").cast("double") / col("n")).as("po"),
+        graft.rel.Queries.femit(col("sprod").cast("double") / (col("n") * col("n")))
           .as("pe"),
-        round((col("agree").cast("double") / col("n")
+        graft.rel.Queries.femit((col("agree").cast("double") / col("n")
           - col("sprod").cast("double") / (col("n") * col("n")))
           / (lit(1.0) - col("sprod").cast("double")
-            / (col("n") * col("n"))), 6).as("kappa"))
+            / (col("n") * col("n")))).as("kappa"))
   }
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
@@ -820,7 +820,7 @@ object TextAnalysis {
         count(lit(1)).as("n_fps"),
         min(col("h")).as("min_fp"))
       .withColumn("density",
-        round(col("n_fps").cast("double") / col("n_kgrams"), 6))
+        graft.rel.Queries.femit(col("n_fps").cast("double") / col("n_kgrams")))
       .orderBy("doc_id")
   }
 
@@ -865,7 +865,7 @@ object TextAnalysis {
     val parent = lit(1.0) - (ppd / nnd) * (ppd / nnd) -
       ((nnd - ppd) / nnd) * ((nnd - ppd) / nnd)
     cand.select(col("x").as("threshold"),
-      round(wg, 6).as("gini"), round(parent - wg, 6).as("gain"),
+      graft.rel.Queries.femit(wg).as("gini"), graft.rel.Queries.femit(parent - wg).as("gain"),
       col("ln").as("left_n"), col("lp").as("left_pos"),
       (col("nn") - col("ln")).as("right_n"),
       (col("pp") - col("lp")).as("right_pos"))

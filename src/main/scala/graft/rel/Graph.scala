@@ -263,7 +263,7 @@ object Graph {
               * (coalesce(col("s"), lit(0.0)) + col("dmass") / col("n")))
             .as("rank"))
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    ranks.select(col("node"), Queries.femit(col("rank")).as("rank"))
   }
 
   /** Personalized PageRank: [[pageRank]] with the teleport vector
@@ -313,7 +313,7 @@ object Graph {
               * (coalesce(col("s"), lit(0.0)) + col("dmass") * col("restart")))
             .as("rank"))
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    ranks.select(col("node"), Queries.femit(col("rank")).as("rank"))
   }
 
   /** Degree assortativity coefficient (Newman, PRL 2002): the Pearson
@@ -445,9 +445,9 @@ object Graph {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
       .select(col("u"), col("w"), col("cn"),
-        round(col("aa0"), 6).as("adamic_adar"),
-        round(col("cn").cast("double")
-          / (col("du") + col("dw") - col("cn")).cast("double"), 6)
+        Queries.femit(col("aa0")).as("adamic_adar"),
+        Queries.femit(col("cn").cast("double")
+          / (col("du") + col("dw") - col("cn")).cast("double"))
           .as("jaccard"))
       .orderBy(col("adamic_adar").desc, col("u").asc, col("w").asc)
       .limit(topK)
@@ -525,7 +525,7 @@ object Graph {
     curve.toSeq.toDF("h", "n_pairs")
       .select(col("h").cast("long").as("h"), col("n_pairs"),
         lit(nNodes).as("n_nodes"),
-        round(col("n_pairs").cast("double") / nNodes, 6).as("avg_ball"))
+        Queries.femit(col("n_pairs").cast("double") / nNodes).as("avg_ball"))
       .orderBy("h")
   }
 }

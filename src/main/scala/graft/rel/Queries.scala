@@ -264,10 +264,10 @@ object Queries {
   // l_returnflag = 'R' prunes the fact scan; nation broadcasts.
   def tpchQ10(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """SELECT c_custkey, c_name,
+      s"""SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
         |    AS DECIMAL(38,12))) AS DOUBLE) AS revenue,
-        |  round(c_acctbal, 6) AS c_acctbal, n_name, c_mktsegment
+        |  ${femitSql("c_acctbal")} AS c_acctbal, n_name, c_mktsegment
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -292,8 +292,8 @@ object Queries {
   // tiebreaks) is a total order on both engines.
   def tpchQ2(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-        |SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT ${femitSql("s_acctbal")} AS s_acctbal, s_name, n_name, p_partkey, p_brand
         |FROM part, ps, supplier, nation, region
         |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
         |  AND p_type = 'PROMO' AND s_nationkey = n_nationkey
@@ -316,8 +316,8 @@ object Queries {
   // output; n_lines pins the surviving row set, not just the sum.
   def tpchQ17(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """SELECT count(*) AS n_lines,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) / 7.0, 6)
+      s"""SELECT count(*) AS n_lines,
+        |  ${femitSql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) / 7.0")}
         |    AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
@@ -334,8 +334,8 @@ object Queries {
   // DESC/orderkey order is total.
   def tpchQ18(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-        |  round(o_totalprice, 6) AS o_totalprice,
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  ${femitSql("o_totalprice")} AS o_totalprice,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_qty
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -421,12 +421,12 @@ object Queries {
   // percentage is bit-deterministic; n_lines pins the joined row set.
   def tpchQ14(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """SELECT count(*) AS n_lines,
-        |  round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      s"""SELECT count(*) AS n_lines,
+        |  ${femitSql(s"""100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
         |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
         |      AS DECIMAL(38,12))) AS DOUBLE)
         |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS promo_revenue
+        |      AS DECIMAL(38,12))) AS DOUBLE)""")} AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)
@@ -538,10 +538,10 @@ object Queries {
   // one final division in identical IEEE order.
   def tpchQ8(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """SELECT o_year,
-        |  round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5'
+      s"""SELECT o_year,
+        |  ${femitSql(s"""CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5'
         |      THEN volume ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
-        |    / CAST(SUM(CAST(volume AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(38,12))) AS DOUBLE)""")}
         |    AS mkt_share,
         |  count(*) AS n_lines
         |FROM (SELECT year(o_orderdate) AS o_year,
@@ -583,7 +583,7 @@ object Queries {
   // output value is rounded with a partkey tiebreak.
   def tpchQ11(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """WITH pv AS (SELECT l_partkey,
+      s"""WITH pv AS (SELECT l_partkey,
         |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
         |      AS DECIMAL(38,12))) AS DOUBLE) AS value
         |  FROM lineitem
@@ -591,7 +591,7 @@ object Queries {
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name IN ('NATION_3', 'NATION_4')
         |  GROUP BY l_partkey)
-        |SELECT l_partkey, round(value, 6) AS value
+        |SELECT l_partkey, ${femitSql("value")} AS value
         |FROM pv
         |WHERE value > (SELECT 0.001 * CAST(SUM(CAST(value
         |  AS DECIMAL(38,12))) AS DOUBLE) FROM pv)
@@ -616,14 +616,14 @@ object Queries {
   // on both engines.
   def tpchQ15(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+      s"""WITH revenue AS (SELECT l_suppkey AS supplier_no,
         |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
         |      AS DECIMAL(38,12))) AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+        |SELECT s_suppkey, s_name, ${femitSql("total_revenue")} AS total_revenue
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin)
@@ -934,7 +934,7 @@ object Queries {
       .agg(graft.functions.TypedAggs.valueStatsCol)
       .toDF("user_id", "stats")
       .select(col("user_id"), col("stats.n").as("n"),
-        round(col("stats.sum").cast("double"), 6).as("sum_value"),
+        femit(col("stats.sum").cast("double")).as("sum_value"),
         col("stats.min").as("min_value"), col("stats.max").as("max_value"))
       .orderBy("user_id")
   }
@@ -966,7 +966,7 @@ object Queries {
       .withColumn("rn", row_number().over(newestFirst))
       .where(col("rn") === 1)
       .select(col("user_id"), col("n_events"), col("us").as("last_us"),
-        col("last_type"), round(col("value"), 6).as("last_value"), col("last_k"))
+        col("last_type"), femit(col("value")).as("last_value"), col("last_k"))
       .orderBy("user_id")
   }
 
@@ -1352,10 +1352,10 @@ object Queries {
         .withColumnRenamed("item_cnt", "cnt_b"), "b")
       .crossJoin(broadcast(nBaskets))
       .select(col("a"), col("b"), col("pair_cnt"),
-        round(col("pair_cnt").cast("double") / col("cnt_a").cast("double"), 6)
+        femit(col("pair_cnt").cast("double") / col("cnt_a").cast("double"))
           .as("confidence"),
-        round(col("pair_cnt").cast("double") * col("n_baskets").cast("double")
-          / (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 6)
+        femit(col("pair_cnt").cast("double") * col("n_baskets").cast("double")
+          / (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
           .as("lift"))
       .orderBy(col("lift").desc, col("confidence").desc,
         col("a").asc, col("b").asc)
@@ -1619,8 +1619,8 @@ object Queries {
       .groupBy("ta", "tb").agg(count(lit(1)).as("n_support"))
       .crossJoin(broadcast(nSess))
       .select(col("ta"), col("tb"), col("n_support"),
-        round(col("n_support").cast("double")
-          / col("n_sessions").cast("double"), 6).as("support"))
+        femit(col("n_support").cast("double")
+          / col("n_sessions").cast("double")).as("support"))
       .orderBy("ta", "tb")
   }
 
@@ -1731,7 +1731,7 @@ object Queries {
           lit("direct")).otherwise(col("touch.event_type")))
       .groupBy("channel")
       .agg(count(lit(1)).as("n_purchases"),
-        round(dsum(col("value")), 6).as("revenue"))
+        femit(dsum(col("value"))).as("revenue"))
       .orderBy("channel")
   }
 
@@ -1801,7 +1801,7 @@ object Queries {
     grid.withColumn("cum", sum(col("d").cast("decimal(38,12)")).over(cw))
       .groupBy("c_nationkey", "c_mktsegment")
       .agg(max(col("ct")).as("n"),
-        round(dsum(abs(col("cum"))) / 10.0, 6).as("emd"))
+        femit(dsum(abs(col("cum"))) / 10.0).as("emd"))
       .withColumn("violates", col("emd") > 0.15)
       .orderBy("c_nationkey", "c_mktsegment")
   }
@@ -2016,9 +2016,9 @@ object Queries {
       .groupBy("event_type")
       .agg(max(col("n_calib")).as("n_calib"),
         count(lit(1)).as("n_test"),
-        round(max(col("qhat")), 6).as("qhat"),
-        round(sum(when(abs(col("value") - col("mu")) <= col("qhat"), 1L)
-            .otherwise(0L)).cast("double") / count(lit(1)).cast("double"), 6)
+        femit(max(col("qhat"))).as("qhat"),
+        femit(sum(when(abs(col("value") - col("mu")) <= col("qhat"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)).cast("double"))
           .as("coverage"))
       .orderBy("event_type")
   }
@@ -2270,7 +2270,7 @@ object Queries {
         Window.orderBy(col("mon").desc, col("o_custkey").asc)).cast("long"))
     seg.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"),
-        round(dsum(col("mon")) / count(lit(1)).cast("double"), 6)
+        femit(dsum(col("mon")) / count(lit(1)).cast("double"))
           .as("avg_monetary"))
       .orderBy("r_q", "f_q", "m_q")
   }
@@ -2296,10 +2296,10 @@ object Queries {
         sum(col("n")).over(Window.partitionBy("event_type")))
       .join(broadcast(dowDays), Seq("dow"))
       .select(col("event_type"), col("dow"), col("n"),
-        round(col("n").cast("double") / col("days_dow").cast("double"), 6)
+        femit(col("n").cast("double") / col("days_dow").cast("double"))
           .as("daily_avg"),
-        round((col("n").cast("double") / col("days_dow").cast("double"))
-          / (col("n_type").cast("double") / col("days_total").cast("double")), 6)
+        femit((col("n").cast("double") / col("days_dow").cast("double"))
+          / (col("n_type").cast("double") / col("days_total").cast("double")))
           .as("idx"))
       .orderBy("event_type", "dow")
   }
@@ -2396,8 +2396,8 @@ object Queries {
       .withColumn("cls", when(col("share") <= 0.80, "A")
         .when(col("share") <= 0.95, "B").otherwise("C"))
     shared.groupBy("cls")
-      .agg(count(lit(1)).as("n_parts"), round(dsum(col("rev")), 6).as("revenue"),
-        round(dsum(col("rev")) / max(col("total")), 6).as("rev_share"))
+      .agg(count(lit(1)).as("n_parts"), femit(dsum(col("rev"))).as("revenue"),
+        femit(dsum(col("rev")) / max(col("total"))).as("rev_share"))
       .orderBy("cls")
   }
 
@@ -2572,8 +2572,8 @@ object Queries {
       .withColumn("share", col("rev") / col("tot"))
       .groupBy("nation")
       .agg(max(col("n_suppliers")).as("n_suppliers"),
-        round(dsum(col("share") * col("share")), 6).as("hhi"),
-        round(max(col("share")), 6).as("top_share"))
+        femit(dsum(col("share") * col("share"))).as("hhi"),
+        femit(max(col("share"))).as("top_share"))
       .orderBy("nation")
   }
 
@@ -2602,10 +2602,10 @@ object Queries {
       .join(both, Seq("day"), "left")
       .na.fill(0L, Seq("n_both"))
       .select(col("day"), col("dau"), col("dau_next"), col("n_both"),
-        round(col("n_both").cast("double")
-          / (col("dau") + col("dau_next") - col("n_both")).cast("double"), 6)
+        femit(col("n_both").cast("double")
+          / (col("dau") + col("dau_next") - col("n_both")).cast("double"))
           .as("jaccard"),
-        round(col("n_both").cast("double") / col("dau").cast("double"), 6)
+        femit(col("n_both").cast("double") / col("dau").cast("double"))
           .as("retention"))
       .orderBy("day")
   }
@@ -2647,8 +2647,8 @@ object Queries {
       // but differ below them — which sf0.001's tie-dense tail hits
       // (rows 29+ flipped) while sf0.01 happened not to. The rounded
       // grid + unique (a,b) is a total order at every scale.
-      .withColumn("cosine", round(col("cooc").cast("double")
-        / sqrt((col("na") * col("nb")).cast("double")), 6))
+      .withColumn("cosine", femit(col("cooc").cast("double")
+        / sqrt((col("na") * col("nb")).cast("double"))))
       .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
       .limit(topK)
       .select(col("a"), col("b"), col("cooc"), col("na"), col("nb"),
@@ -2681,9 +2681,9 @@ object Queries {
         sum(col("revenue").cast("decimal(38,12)")).over(w).cast("double"))
       .join(broadcast(sizes), "cohort")
       .select(col("cohort"), col("age"), col("n_users"),
-        round(col("revenue"), 6).as("revenue"),
-        round(col("cum"), 6).as("cum_revenue"),
-        round(col("cum") / col("n_users").cast("double"), 6).as("ltv"))
+        femit(col("revenue")).as("revenue"),
+        femit(col("cum")).as("cum_revenue"),
+        femit(col("cum") / col("n_users").cast("double")).as("ltv"))
       .orderBy("cohort", "age")
   }
 
@@ -2873,13 +2873,13 @@ object Queries {
           .otherwise(lit(0.2) / (col("n") - 2L).cast("double")))
     val attributed = ranked.groupBy("channel")
       .agg(count(lit(1)).as("n_touchpoints"),
-        round(dsum(col("credit")), 6).as("credit"),
-        round(dsum(col("credit") * col("rev")), 6).as("weighted_revenue"))
+        femit(dsum(col("credit"))).as("credit"),
+        femit(dsum(col("credit") * col("rev"))).as("weighted_revenue"))
     val direct = purchases
       .join(pairs.select("pid").distinct(), Seq("pid"), "left_anti")
       .agg(count(lit(1)).as("n_touchpoints"),
-        round(dsum(lit(1.0)), 6).as("credit"),
-        round(dsum(col("rev")), 6).as("weighted_revenue"))
+        femit(dsum(lit(1.0))).as("credit"),
+        femit(dsum(col("rev"))).as("weighted_revenue"))
       .select(lit("direct").as("channel"), col("n_touchpoints"),
         col("credit"), col("weighted_revenue"))
     attributed.unionByName(direct).orderBy("channel")
@@ -3015,7 +3015,7 @@ object Queries {
       // partition-column type inference reads `day=N` directories as
       // INT; pin BIGINT so the dumped schema matches the oracle's
       .groupBy(col("day").cast("long").as("day"))
-      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n"), femit(dsum(col("value"))).as("sum_value"))
       .orderBy("day")
   }
 
@@ -3044,7 +3044,7 @@ object Queries {
       .orderBy(col("score0").desc, col("l_partkey").asc)
       .limit(20)
       .select(col("l_partkey"), col("n_lines"),
-        round(col("score0"), 6).as("score"))
+        femit(col("score0")).as("score"))
   }
 
   // Spearman rank correlation of the daily value series against time,
@@ -3157,12 +3157,12 @@ object Queries {
       "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE " +
       "RETURN graft_disc_price(p, d) * (1.0d + t)")
     Tables.sql(s, dir,
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |  count(*) AS n_lines,
-        |  round(CAST(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
-        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS disc_revenue,
-        |  round(CAST(sum(CAST(graft_charge(l_extendedprice, l_discount, l_tax)
-        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS charge_revenue
+        |  ${femitSql(s"""CAST(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE)""")} AS disc_revenue,
+        |  ${femitSql(s"""CAST(sum(CAST(graft_charge(l_extendedprice, l_discount, l_tax)
+        |    AS DECIMAL(38,12))) AS DOUBLE)""")} AS charge_revenue
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
@@ -3184,8 +3184,8 @@ object Queries {
     o.withColumn("n", count(lit(1)).over(Window.partitionBy("o_custkey")))
       .where(col("n") >= 2)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        femit(percent_rank().over(w)).as("pct_rank"),
+        femit(cume_dist().over(w)).as("cume"),
         nth_value(col("o_orderkey"), 2).over(full).as("second_best"))
       .orderBy("o_custkey", "o_orderkey")
   }
@@ -3215,11 +3215,11 @@ object Queries {
   // form of the same query (Q1's pricing-summary shape, dsum route).
   def sqlPipe(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """FROM lineitem
+      s"""FROM lineitem
         ||> WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         ||> EXTEND l_extendedprice * (1.0d - l_discount) AS disc
         ||> AGGREGATE count(*) AS n_lines,
-        |     round(CAST(sum(CAST(disc AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+        |     ${femitSql("CAST(sum(CAST(disc AS DECIMAL(38,12))) AS DOUBLE)")} AS revenue
         |   GROUP BY l_returnflag, l_linestatus
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
@@ -3308,8 +3308,8 @@ object Queries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
     base.join(ci, Seq("event_type"))
       .select(col("event_type"), col("n"),
-        round(col("sv") / col("n").cast("double"), 6).as("mean"),
-        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+        femit(col("sv") / col("n").cast("double")).as("mean"),
+        femit(col("lo")).as("ci_lo"), femit(col("hi")).as("ci_hi"))
       .orderBy("event_type")
   }
 
@@ -3323,9 +3323,9 @@ object Queries {
   def paramSql(s: SparkSession, dir: String): DataFrame = {
     Tables.register(s, dir)
     s.sql(
-      """SELECT l_returnflag, count(*) AS n_lines,
-        |  round(CAST(sum(CAST(l_extendedprice * (1.0d - l_discount)
-        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+        |  ${femitSql(s"""CAST(sum(CAST(l_extendedprice * (1.0d - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE)""")} AS revenue
         |FROM IDENTIFIER(:tbl) WHERE l_quantity >= :minq
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       Map("tbl" -> "lineitem", "minq" -> Int.box(30)))
@@ -3348,11 +3348,11 @@ object Queries {
         sum(col("x") * col("x")).as("sxx"))
       .where(col("n_days") >= 2)
       .select(col("event_type"), col("n_days"),
-        round(col("sx").cast("double") / col("n_days").cast("double"), 6)
+        femit(col("sx").cast("double") / col("n_days").cast("double"))
           .as("mean_daily"),
-        round(((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+        femit(((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
             / (col("n_days") * (col("n_days") - 1)).cast("double"))
-          / (col("sx").cast("double") / col("n_days").cast("double")), 6)
+          / (col("sx").cast("double") / col("n_days").cast("double")))
           .as("fano"))
       .orderBy("event_type")
   }
@@ -3391,10 +3391,10 @@ object Queries {
   // PlanSpec pins that they changed the PLAN.
   def joinHints(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """SELECT /*+ MERGE(l), BROADCAST(c) */ c.c_mktsegment,
+      s"""SELECT /*+ MERGE(l), BROADCAST(c) */ c.c_mktsegment,
         |  count(*) AS n_lines,
-        |  round(CAST(sum(CAST(l_extendedprice * (1.0d - l_discount)
-        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+        |  ${femitSql(s"""CAST(sum(CAST(l_extendedprice * (1.0d - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE)""")} AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
@@ -3422,7 +3422,7 @@ object Queries {
       lit(m("n").asInstanceOf[Long]).as("n"),
       lit(m("sv").asInstanceOf[Double]).as("sv"))
     s.read.parquet(out).unionByName(observed)
-      .select(col("event_type"), col("n"), round(col("sv"), 6).as("sum_value"))
+      .select(col("event_type"), col("n"), femit(col("sv")).as("sum_value"))
       .orderBy("event_type")
   }
 
@@ -3466,9 +3466,9 @@ object Queries {
             |  (SELECT percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice)
             |   FROM orders)""".stripMargin)
     s.sql(
-      """EXECUTE IMMEDIATE
+      s"""EXECUTE IMMEDIATE
         |'SELECT o_orderpriority, count(*) AS n_orders,
-        |   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |   ${femitSql("CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE)")}
         |     AS total_price
         | FROM orders WHERE o_totalprice > ?
         | GROUP BY o_orderpriority ORDER BY o_orderpriority'
@@ -3604,7 +3604,7 @@ object Queries {
     s.catalog.refreshByPath(out)
     s.read.parquet(out)
       .groupBy(col("day").cast("long").as("day"))
-      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n"), femit(dsum(col("value"))).as("sum_value"))
       .orderBy("day")
   }
 
@@ -3639,7 +3639,7 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         sum(when(col("user_id") === col("t"), 1L).otherwise(0L))
           .as("n_target_rows"),
-        round(dsum(col("value")), 6).as("sum_value"))
+        femit(dsum(col("value"))).as("sum_value"))
       .orderBy("day")
   }
 
@@ -3963,9 +3963,9 @@ object Queries {
       .withColumn("h",
         lit(12.0) / (col("nd") * (col("nd") + 1.0)) * col("s2")
           - lit(3.0) * (col("nd") + 1.0))
-      .select(col("n"), col("n_groups"), round(col("h"), 6).as("h"),
-        round(col("h") / (lit(1.0) - col("tie3").cast("double")
-          / (col("n") * col("n") * col("n") - col("n")).cast("double")), 6)
+      .select(col("n"), col("n_groups"), femit(col("h")).as("h"),
+        femit(col("h") / (lit(1.0) - col("tie3").cast("double")
+          / (col("n") * col("n") * col("n") - col("n")).cast("double")))
           .as("h_corrected"))
   }
 
@@ -3978,8 +3978,8 @@ object Queries {
   // aggregates in one pass.
   def modernSql(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir,
-      """SELECT t.tier, o.o_orderpriority, count(*) AS n_orders,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE), 6)
+      s"""SELECT t.tier, o.o_orderpriority, count(*) AS n_orders,
+        |  ${femitSql("CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE)")}
         |    AS total_price
         |FROM orders o JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
          |    ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
@@ -4079,20 +4079,20 @@ object Queries {
       syy.cast("double") - sy.cast("double") * sy.cast("double") / n.cast("double")
     val costs = pre.join(tot, "event_type")
       .where(col("k") < col("n"))
-      .withColumn("sse_drop", round(
+      .withColumn("sse_drop", femit(
         sse(col("n"), col("ty"), col("tyy"))
           - (sse(col("k"), col("sy"), col("syy"))
             + sse(col("n") - col("k"), col("ty") - col("sy"),
-              col("tyy") - col("syy"))), 6))
+              col("tyy") - col("syy")))))
     val rw = Window.partitionBy("event_type")
       .orderBy(col("sse_drop").desc, col("day").asc)
     costs.withColumn("rn", row_number().over(rw)).where(col("rn") === 1)
       .select(col("event_type"), col("day").as("split_day"),
         col("k").as("n_left"), (col("n") - col("k")).as("n_right"),
-        round(col("sy").cast("double") / col("k").cast("double"), 6)
+        femit(col("sy").cast("double") / col("k").cast("double"))
           .as("mean_left"),
-        round((col("ty") - col("sy")).cast("double")
-          / (col("n") - col("k")).cast("double"), 6).as("mean_right"),
+        femit((col("ty") - col("sy")).cast("double")
+          / (col("n") - col("k")).cast("double")).as("mean_right"),
         col("sse_drop"))
       .orderBy("event_type")
   }
@@ -4589,9 +4589,9 @@ object Queries {
       .join(delta, Seq("user_id"), "full_outer")
       .select(col("user_id"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
-        round((coalesce(col("vsum"), lit(0).cast("decimal(38,12)"))
+        femit((coalesce(col("vsum"), lit(0).cast("decimal(38,12)"))
           + coalesce(col("d_vsum"), lit(0).cast("decimal(38,12)")))
-          .cast("double"), 6).as("sum_value"),
+          .cast("double")).as("sum_value"),
         least(coalesce(col("first_us"), col("d_first")),
           coalesce(col("d_first"), col("first_us"))).as("first_us"),
         greatest(coalesce(col("last_us"), col("d_last")),
@@ -4624,8 +4624,8 @@ object Queries {
     val base = ev.agg(countDistinct(col("user_id")).as("n_users"))
     val s1 = t1.agg(count(lit(1)).as("n_viewed"))
     val s2 = t2.agg(count(lit(1)).as("n_clicked"),
-      round(sum(col("t2") - col("t1")).cast("double") / count(lit(1))
-        / lit(1000000.0), 6).as("avg_view_click_sec"))
+      femit(sum(col("t2") - col("t1")).cast("double") / count(lit(1))
+        / lit(1000000.0)).as("avg_view_click_sec"))
     val s3 = t3.agg(count(lit(1)).as("n_purchased"))
     base.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
       .crossJoin(broadcast(s3))
@@ -4666,7 +4666,7 @@ object Queries {
       .select(col("user_id"),
         expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
     val daily = ev.groupBy("user_id", "day")
-      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 6).as("day_sum"))
+      .agg(count(lit(1)).as("n"), femit(dsum(col("value"))).as("day_sum"))
     val grid = ev.groupBy("user_id")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -4704,7 +4704,7 @@ object Queries {
       .select(col("user_id"),
         expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
       .groupBy("user_id", "day")
-      .agg(round(dsum(col("value")), 6).as("day_sum"))
+      .agg(femit(dsum(col("value"))).as("day_sum"))
     val w = Window.partitionBy("user_id").orderBy("day")
     val lagged = daily.select(
       (Seq(col("user_id"), col("day"), col("day_sum"),
@@ -5139,8 +5139,8 @@ object Queries {
       .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
         dsum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
       .select(col("user_id"), col("n"), col("n_types"),
-        round(log(col("n").cast("double"))
-          - col("sclc") / col("n").cast("double"), 6).as("entropy"))
+        femit(log(col("n").cast("double"))
+          - col("sclc") / col("n").cast("double")).as("entropy"))
       .orderBy("user_id")
   }
 
@@ -5161,8 +5161,8 @@ object Queries {
         dsum(col("x")).as("sx"),
         dsum((lit(2L) * col("i")).cast("double") * col("x")).as("s2ix"))
       .select(col("event_type"), col("n_users"),
-        round((col("s2ix") - (col("n_users") + 1L).cast("double") * col("sx"))
-          / (col("n_users").cast("double") * col("sx")), 6).as("gini"))
+        femit((col("s2ix") - (col("n_users") + 1L).cast("double") * col("sx"))
+          / (col("n_users").cast("double") * col("sx"))).as("gini"))
       .orderBy("event_type")
   }
 
@@ -5417,7 +5417,7 @@ object Queries {
     // fixed-order SSE expressions, argmax on the rounded drop with the
     // day tiebreak.
     "q285_changepoint" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  count(*) AS y FROM events GROUP BY 1, 2),
         |b AS (SELECT min(day) AS mnd, max(day) AS mxd FROM daily),
         |spine AS (SELECT et.event_type, gs.day
@@ -5434,20 +5434,20 @@ object Queries {
         |tot AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS ty,
         |  CAST(sum(y * y) AS BIGINT) AS tyy FROM series GROUP BY 1),
         |costs AS (SELECT pre.event_type, day, k, sy, n, ty,
-        |  round((CAST(tyy AS DOUBLE) - CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE)
+        |  ${femitSql(s"""(CAST(tyy AS DOUBLE) - CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE)
         |      / CAST(n AS DOUBLE))
         |    - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
         |        / CAST(k AS DOUBLE))
         |      + (CAST(tyy - syy AS DOUBLE)
         |        - CAST(ty - sy AS DOUBLE) * CAST(ty - sy AS DOUBLE)
-        |          / CAST(n - k AS DOUBLE))), 6) AS sse_drop
+        |          / CAST(n - k AS DOUBLE)))""")} AS sse_drop
         |  FROM pre JOIN tot ON tot.event_type = pre.event_type
         |  WHERE k < n),
         |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
         |  ORDER BY sse_drop DESC, day ASC) AS rn FROM costs)
         |SELECT event_type, day AS split_day, k AS n_left, n - k AS n_right,
-        |  round(CAST(sy AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_left,
-        |  round(CAST(ty - sy AS DOUBLE) / CAST(n - k AS DOUBLE), 6)
+        |  ${femitSql("CAST(sy AS DOUBLE) / CAST(k AS DOUBLE)")} AS mean_left,
+        |  ${femitSql("CAST(ty - sy AS DOUBLE) / CAST(n - k AS DOUBLE)")}
         |    AS mean_right,
         |  sse_drop
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
@@ -5470,7 +5470,7 @@ object Queries {
     "q281_tpch_q10" ->
       s"""SELECT c_custkey, c_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
-         |  round(c_acctbal, 6) AS c_acctbal, n_name, c_mktsegment
+         |  ${femitSql("c_acctbal")} AS c_acctbal, n_name, c_mktsegment
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON l_orderkey = o_orderkey
@@ -5509,7 +5509,7 @@ object Queries {
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
          |  FROM grid),
          |agg AS (SELECT c_nationkey, c_mktsegment, max(ct) AS n,
-         |    round(${dsumSql("ABS(cs)")} / 10.0, 6) AS emd
+         |    ${femitSql(s"""${dsumSql("ABS(cs)")} / 10.0""")} AS emd
          |  FROM cum GROUP BY 1, 2)
          |SELECT c_nationkey, c_mktsegment, n, emd, emd > 0.15 AS violates
          |FROM agg ORDER BY c_nationkey, c_mktsegment""".stripMargin,
@@ -5585,8 +5585,8 @@ object Queries {
     // Q8: both ratio legs on the VARCHAR route, divided once.
     "q311_tpch_q8" ->
       s"""SELECT o_year,
-         |  round(${dsumSql("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END")}
-         |    / ${dsumSql("volume")}, 6) AS mkt_share,
+         |  ${femitSql(s"""${dsumSql("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END")}
+         |    / ${dsumSql("volume")}""")} AS mkt_share,
          |  count(*) AS n_lines
          |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          |    l_extendedprice * (1.0 - l_discount) AS volume,
@@ -5621,7 +5621,7 @@ object Queries {
          |  JOIN nation ON s_nationkey = n_nationkey
          |  WHERE n_name IN ('NATION_3', 'NATION_4')
          |  GROUP BY l_partkey)
-         |SELECT l_partkey, round(value, 6) AS value
+         |SELECT l_partkey, ${femitSql("value")} AS value
          |FROM pv
          |WHERE value > (SELECT 0.001 * ${dsumSql("value")} FROM pv)
          |ORDER BY value DESC, l_partkey""".stripMargin,
@@ -5643,7 +5643,7 @@ object Queries {
          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
          |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
          |  GROUP BY l_suppkey)
-         |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+         |SELECT s_suppkey, s_name, ${femitSql("total_revenue")} AS total_revenue
          |FROM supplier JOIN revenue ON s_suppkey = supplier_no
          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
          |ORDER BY s_suppkey""".stripMargin,
@@ -5765,9 +5765,9 @@ object Queries {
     // final division in identical IEEE order.
     "q297_tpch_q14" ->
       s"""SELECT count(*) AS n_lines,
-         |  round(100.0 * ${dsumSql(
+         |  ${femitSql(s"""100.0 * ${dsumSql(
         "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
-         |    / ${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS promo_revenue
+         |    / ${dsumSql("l_extendedprice * (1.0 - l_discount)")}""")} AS promo_revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
@@ -5785,8 +5785,8 @@ object Queries {
     // Q2: identical text — min() of stored doubles is exact, so the
     // correlated equality admits the same suppliers on both engines.
     "q286_tpch_q2" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-        |SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT ${femitSql("s_acctbal")} AS s_acctbal, s_name, n_name, p_partkey, p_brand
         |FROM part, ps, supplier, nation, region
         |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
         |  AND p_type = 'PROMO' AND s_nationkey = n_nationkey
@@ -5802,7 +5802,7 @@ object Queries {
     // VARCHAR-routed DECIMAL path so the < boundary is bit-identical.
     "q287_tpch_q17" ->
       s"""SELECT count(*) AS n_lines,
-         |  round(${dsumSql("l_extendedprice")} / 7.0, 6) AS avg_yearly
+         |  ${femitSql(s"""${dsumSql("l_extendedprice")} / 7.0""")} AS avg_yearly
          |FROM lineitem JOIN part ON p_partkey = l_partkey
          |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
          |  AND l_quantity < (SELECT 0.2 * ${dsumSql("l2.l_quantity")} / count(*)
@@ -5814,7 +5814,7 @@ object Queries {
     // the VARCHAR route keeps the habit anyway).
     "q288_tpch_q18" ->
       s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-         |  round(o_totalprice, 6) AS o_totalprice,
+         |  ${femitSql("o_totalprice")} AS o_totalprice,
          |  ${dsumSql("l_quantity")} AS sum_qty
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
@@ -5857,7 +5857,7 @@ object Queries {
     // ORDER BY ALL) with the revenue sum on the DuckDB VARCHAR route.
     "q275_modern_sql" ->
       s"""SELECT t.tier, o.o_orderpriority, count(*) AS n_orders,
-         |  round(${dsumSql("o_totalprice")}, 6) AS total_price
+         |  ${femitSql(s"""${dsumSql("o_totalprice")}""")} AS total_price
          |FROM orders o JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
          |    ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
          |    ('5-LOW', 'cold')) AS t(prio, tier)
@@ -5897,9 +5897,9 @@ object Queries {
          |  12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s2
          |    - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h, tie3
          |  FROM ag CROSS JOIN ties)
-         |SELECT n, n_groups, round(h, 6) AS h,
-         |  round(h / (1.0 - CAST(tie3 AS DOUBLE)
-         |    / CAST(n * n * n - n AS DOUBLE)), 6) AS h_corrected
+         |SELECT n, n_groups, ${femitSql("h")} AS h,
+         |  ${femitSql(s"""h / (1.0 - CAST(tie3 AS DOUBLE)
+         |    / CAST(n * n * n - n AS DOUBLE))""")} AS h_corrected
          |FROM hh""".stripMargin,
     // The recurrence replayed as a recursive CTE over the idx-ordered
     // series — identical operation order (the trend row recomputes the
@@ -6010,12 +6010,12 @@ object Queries {
     // Same pinned order, same integer-ratio definitions, same explicit
     // full-partition frame for nth_value.
     "q242_window_extras" ->
-      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      s"""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |  WHERE o_custkey < 50),
         |n AS (SELECT o_custkey FROM o GROUP BY 1 HAVING count(*) >= 2)
         |SELECT o.o_custkey, o.o_orderkey,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume,
+        |  ${femitSql("percent_rank() OVER w")} AS pct_rank,
+        |  ${femitSql("cume_dist() OVER w")} AS cume,
         |  nth_value(o.o_orderkey, 2) OVER
         |    (PARTITION BY o.o_custkey
         |     ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
@@ -6038,7 +6038,7 @@ object Queries {
     // route, same output columns).
     "q246_sql_pipe" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
-         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue
+         |  ${femitSql(s"""${dsumSql("l_extendedprice * (1.0 - l_discount)")}""")} AS revenue
          |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -6091,8 +6091,8 @@ object Queries {
          |base AS (SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sv
          |  FROM ev GROUP BY 1)
          |SELECT base.event_type, base.n,
-         |  round(sv / CAST(n AS DOUBLE), 6) AS mean,
-         |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |  ${femitSql("sv / CAST(n AS DOUBLE)")} AS mean,
+         |  ${femitSql("lo")} AS ci_lo, ${femitSql("hi")} AS ci_hi
          |FROM base JOIN ci ON ci.event_type = base.event_type
          |ORDER BY base.event_type""".stripMargin
     },
@@ -6122,7 +6122,7 @@ object Queries {
     "q263_retention_sweep" ->
       s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
          |h AS (SELECT max(day) - 13 AS cutoff FROM ev)
-         |SELECT day, count(*) AS n, round(${dsumSql("value")}, 6) AS sum_value
+         |SELECT day, count(*) AS n, ${femitSql(s"""${dsumSql("value")}""")} AS sum_value
          |FROM ev CROSS JOIN h WHERE day >= cutoff
          |GROUP BY day ORDER BY day""".stripMargin,
     // The anti-filtered original; the target-count column must be all
@@ -6133,7 +6133,7 @@ object Queries {
          |t AS (SELECT min(user_id) AS t FROM ev)
          |SELECT day, count(*) AS n,
          |  CAST(0 AS BIGINT) AS n_target_rows,
-         |  round(${dsumSql("value")}, 6) AS sum_value
+         |  ${femitSql(s"""${dsumSql("value")}""")} AS sum_value
          |FROM ev CROSS JOIN t WHERE user_id <> t.t
          |GROUP BY day ORDER BY day""".stripMargin,
     // The two-step variable pipeline inlined as a CTE; 0.75 is dyadic
@@ -6142,7 +6142,7 @@ object Queries {
     "q259_sql_variables" ->
       s"""WITH th AS (SELECT quantile_cont(o_totalprice, 0.75) AS t FROM orders)
          |SELECT o_orderpriority, count(*) AS n_orders,
-         |  round(${dsumSql("o_totalprice")}, 6) AS total_price
+         |  ${femitSql(s"""${dsumSql("o_totalprice")}""")} AS total_price
          |FROM orders CROSS JOIN th WHERE o_totalprice > t
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Same observed-day series, same 7-back lag, same final-week
@@ -6190,7 +6190,7 @@ object Queries {
     // Hints must not change results: the plain three-way join.
     "q256_join_hints" ->
       s"""SELECT c.c_mktsegment, count(*) AS n_lines,
-         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue
+         |  ${femitSql(s"""${dsumSql("l_extendedprice * (1.0 - l_discount)")}""")} AS revenue
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |JOIN customer c ON o.o_custkey = c.c_custkey
          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
@@ -6201,8 +6201,8 @@ object Queries {
          |  FROM events GROUP BY 1),
          |g AS (SELECT CAST('__OBSERVED__' AS VARCHAR) AS event_type,
          |  count(*) AS n, ${dsumSql("value")} AS sv FROM events)
-         |SELECT event_type, n, round(sv, 6) AS sum_value FROM t
-         |UNION ALL SELECT event_type, n, round(sv, 6) FROM g
+         |SELECT event_type, n, ${femitSql("sv")} AS sum_value FROM t
+         |UNION ALL SELECT event_type, n, ${femitSql("sv")} FROM g
          |ORDER BY event_type""".stripMargin,
     // Exact integer micro-units: median halves exact, mode tie broken
     // explicitly by (count DESC, k ASC) — Spark's deterministic=true
@@ -6236,28 +6236,28 @@ object Queries {
         |ORDER BY etype, day""".stripMargin,
     // Same exact integer moments, same two fixed-order divisions.
     "q253_fano" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  count(*) AS x FROM events GROUP BY 1, 2),
         |m AS (SELECT event_type, count(*) AS n_days,
         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
         |  FROM daily GROUP BY 1 HAVING count(*) >= 2)
         |SELECT event_type, n_days,
-        |  round(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily,
-        |  round((CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |  ${femitSql("CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)")} AS mean_daily,
+        |  ${femitSql(s"""(CAST(n_days * sxx - sx * sx AS DOUBLE)
         |      / CAST(n_days * (n_days - 1) AS DOUBLE))
-        |    / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS fano
+        |    / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))""")} AS fano
         |FROM m ORDER BY event_type""".stripMargin,
     // The parameterized template with its bindings inlined as literals.
     "q249_param_sql" ->
       s"""SELECT l_returnflag, count(*) AS n_lines,
-         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue
+         |  ${femitSql(s"""${dsumSql("l_extendedprice * (1.0 - l_discount)")}""")} AS revenue
          |FROM lineitem WHERE l_quantity >= 30
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The SQL-UDF bodies inlined by hand; same DECIMAL route.
     "q238_sql_udf" ->
       s"""SELECT l_returnflag, count(*) AS n_lines,
-         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS disc_revenue,
-         |  round(${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}, 6) AS charge_revenue
+         |  ${femitSql(s"""${dsumSql("l_extendedprice * (1.0 - l_discount)")}""")} AS disc_revenue,
+         |  ${femitSql(s"""${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}""")} AS charge_revenue
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Same exact ages, same exp() on identical inputs, same DECIMAL
     // route, same pinned total order for the top-20.
@@ -6270,7 +6270,7 @@ object Queries {
          |  FROM lineitem JOIN o ON l_orderkey = o_orderkey CROSS JOIN h),
          |g AS (SELECT l_partkey, count(*) AS n_lines,
          |  ${dsumSql("w")} AS score0 FROM w GROUP BY 1)
-         |SELECT l_partkey, n_lines, round(score0, 6) AS score
+         |SELECT l_partkey, n_lines, ${femitSql("score0")} AS score
          |FROM g ORDER BY score0 DESC, l_partkey ASC LIMIT 20""".stripMargin,
     // Bag-semantics twins: DuckDB's INTERSECT ALL / EXCEPT ALL keep the
     // same multiplicities.
@@ -6368,8 +6368,8 @@ object Queries {
          |  FROM events),
          |m AS (SELECT max(day) AS last_day FROM e)
          |SELECT day, count(*) AS n,
-         |  round(${dsumSql(
-             "CASE WHEN day = last_day THEN value * CAST(2.0 AS DOUBLE) ELSE value END")}, 6)
+         |  ${femitSql(s"""${dsumSql(
+             "CASE WHEN day = last_day THEN value * CAST(2.0 AS DOUBLE) ELSE value END")}""")}
          |    AS sum_value
          |FROM e CROSS JOIN m GROUP BY day ORDER BY day""".stripMargin,
     // Same halves, same dyadic grid, same filtered one-pass quantiles;
@@ -6416,12 +6416,12 @@ object Queries {
          |       ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END AS credit
          |  FROM rk),
          |att AS (SELECT channel, count(*) AS n_touchpoints,
-         |  round(${dsumSql("credit")}, 6) AS credit,
-         |  round(${dsumSql("credit * rev")}, 6) AS weighted_revenue
+         |  ${femitSql(s"""${dsumSql("credit")}""")} AS credit,
+         |  ${femitSql(s"""${dsumSql("credit * rev")}""")} AS weighted_revenue
          |  FROM cr GROUP BY channel),
          |d AS (SELECT 'direct' AS channel, count(*) AS n_touchpoints,
-         |  round(${dsumSql("CAST(1.0 AS DOUBLE)")}, 6) AS credit,
-         |  round(${dsumSql("rev")}, 6) AS weighted_revenue
+         |  ${femitSql(s"""${dsumSql("CAST(1.0 AS DOUBLE)")}""")} AS credit,
+         |  ${femitSql(s"""${dsumSql("rev")}""")} AS weighted_revenue
          |  FROM p WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.pid = p.pid))
          |SELECT * FROM att UNION ALL SELECT * FROM d
          |ORDER BY channel""".stripMargin,
@@ -6490,7 +6490,7 @@ object Queries {
     // Same capped baskets, same exact counts, same fixed-order cosine,
     // same pinned total order for the top-K.
     "q207_item_cooccur" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
         |bounded AS (SELECT ok, pk FROM (SELECT ok, pk,
         |    count(*) OVER (PARTITION BY ok) AS bsize FROM items)
@@ -6500,7 +6500,7 @@ object Queries {
         |  FROM bounded l JOIN bounded r ON l.ok = r.ok AND l.pk < r.pk
         |  GROUP BY 1, 2),
         |f AS (SELECT a, b, cooc, na.n AS na, nb.n AS nb,
-        |  round(CAST(cooc AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6)
+        |  ${femitSql("CAST(cooc AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE))")}
         |    AS cosine
         |  FROM pr JOIN pc na ON pr.a = na.pk JOIN pc nb ON pr.b = nb.pk
         |  WHERE cooc >= 3)
@@ -6522,9 +6522,9 @@ object Queries {
          |    OVER (PARTITION BY cohort ORDER BY age ASC
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS VARCHAR) AS DOUBLE) AS cum FROM r)
-         |SELECT c.cohort, age, n_users, round(revenue, 6) AS revenue,
-         |  round(cum, 6) AS cum_revenue,
-         |  round(cum / CAST(n_users AS DOUBLE), 6) AS ltv
+         |SELECT c.cohort, age, n_users, ${femitSql("revenue")} AS revenue,
+         |  ${femitSql("cum")} AS cum_revenue,
+         |  ${femitSql("cum / CAST(n_users AS DOUBLE)")} AS ltv
          |FROM c JOIN sz ON c.cohort = sz.cohort
          |ORDER BY c.cohort, age""".stripMargin,
     // ONE plain per-flag prefix-sum window — certifies the engine's
@@ -6631,14 +6631,14 @@ object Queries {
          |t AS (SELECT nation, ${dsumSql("rev")} AS tot, count(*) AS n_suppliers
          |  FROM j GROUP BY 1)
          |SELECT j.nation, max(n_suppliers) AS n_suppliers,
-         |  round(${dsumSql("(rev / tot) * (rev / tot)")}, 6) AS hhi,
-         |  round(max(rev / tot), 6) AS top_share
+         |  ${femitSql(s"""${dsumSql("(rev / tot) * (rev / tot)")}""")} AS hhi,
+         |  ${femitSql("max(rev / tot)")} AS top_share
          |FROM j JOIN t ON j.nation = t.nation
          |GROUP BY j.nation ORDER BY j.nation""".stripMargin,
     // Same distinct (day,user) collapse, same shifted self-join, same
     // single divisions of exact integers.
     "q203_dau_overlap" ->
-      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+      s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |  user_id FROM events),
         |daily AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
         |b AS (SELECT a.day, count(*) AS n_both FROM du a
@@ -6646,10 +6646,10 @@ object Queries {
         |  GROUP BY a.day)
         |SELECT d.day, d.dau, nx.dau AS dau_next,
         |  coalesce(n_both, 0) AS n_both,
-        |  round(CAST(coalesce(n_both, 0) AS DOUBLE)
-        |    / CAST(d.dau + nx.dau - coalesce(n_both, 0) AS DOUBLE), 6)
+        |  ${femitSql(s"""CAST(coalesce(n_both, 0) AS DOUBLE)
+        |    / CAST(d.dau + nx.dau - coalesce(n_both, 0) AS DOUBLE)""")}
         |    AS jaccard,
-        |  round(CAST(coalesce(n_both, 0) AS DOUBLE) / CAST(d.dau AS DOUBLE), 6)
+        |  ${femitSql("CAST(coalesce(n_both, 0) AS DOUBLE) / CAST(d.dau AS DOUBLE)")}
         |    AS retention
         |FROM daily d JOIN daily nx ON nx.day = d.day + 1
         |LEFT JOIN b ON b.day = d.day
@@ -6970,7 +6970,7 @@ object Queries {
     // tolerance to hide behind.
     "q131_incremental_agg" ->
       s"""SELECT user_id, count(*) AS n,
-         |  round(${dsumSql("value")}, 6) AS sum_value,
+         |  ${femitSql(s"""${dsumSql("value")}""")} AS sum_value,
          |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The rank-filter window twin of the bounded-heap aggregate — the
@@ -6985,7 +6985,7 @@ object Queries {
     // The identical stage chain; lag average via the same exact integer
     // µs sum and the same division order.
     "q127_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
         |t2 AS (SELECT e.user_id, min(e.us) AS t2, min(t1.t1) AS t1
         |  FROM e JOIN t1 ON e.user_id = t1.user_id AND e.us > t1.t1
@@ -6997,7 +6997,7 @@ object Queries {
         |  (SELECT count(*) FROM t1) AS n_viewed,
         |  (SELECT count(*) FROM t2) AS n_clicked,
         |  (SELECT count(*) FROM t3) AS n_purchased,
-        |  (SELECT round(CAST(sum(t2 - t1) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |  (SELECT ${femitSql("CAST(sum(t2 - t1) AS DOUBLE) / count(*) / 1000000.0")}
         |   FROM t2) AS avg_view_click_sec""".stripMargin,
     // The same integer week arithmetic (µs DIV day DIV 7).
     "q128_cohort_retention" ->
@@ -7012,7 +7012,7 @@ object Queries {
     "q129_gap_fill" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events),
          |daily AS (SELECT user_id, day, count(*) AS n,
-         |  round(${dsumSql("value")}, 6) AS day_sum FROM e GROUP BY 1, 2),
+         |  ${femitSql(s"""${dsumSql("value")}""")} AS day_sum FROM e GROUP BY 1, 2),
          |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
          |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
          |SELECT g.user_id, g.day, coalesce(d.n, 0) AS n,
@@ -7043,14 +7043,14 @@ object Queries {
     // The dsum route per group — the typed Aggregator must land on
     // the identical bits.
     "q160_typed_agg" ->
-      s"""SELECT user_id, count(*) AS n, round(${dsumSql("value")}, 6) AS sum_value,
+      s"""SELECT user_id, count(*) AS n, ${femitSql(s"""${dsumSql("value")}""")} AS sum_value,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The same per-column IGNORE NULLS last over the same total order;
     // the newest row carries the record (value rounds like everywhere).
     "q159_golden_record" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value,
+        |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events),
         |w AS (SELECT user_id, event_id, us, event_type, value,
         |  last_value(k IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k,
@@ -7060,7 +7060,7 @@ object Queries {
         |  row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
         |  FROM e)
         |SELECT user_id, n_events, us AS last_us, last_type,
-        |  round(value, 6) AS last_value, last_k
+        |  ${femitSql("value")} AS last_value, last_k
         |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // q16's gap machinery + the session-start window + the same
     // integer cap-cell split.
@@ -7158,7 +7158,7 @@ object Queries {
       val lags = (1 until EwmaHorizon)
         .map(j => s"lag(day_sum, $j) OVER w AS l$j").mkString(", ")
       s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events),
-         |daily AS (SELECT user_id, day, round(${dsumSql("value")}, 6) AS day_sum
+         |daily AS (SELECT user_id, day, ${femitSql(s"""${dsumSql("value")}""")} AS day_sum
          |  FROM e GROUP BY 1, 2),
          |l AS (SELECT user_id, day, day_sum, row_number() OVER w AS rn, $lags
          |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day))
@@ -7353,7 +7353,7 @@ object Queries {
          |  ${dsumSql("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")} AS sclc
          |  FROM c GROUP BY user_id)
          |SELECT user_id, n, n_types,
-         |  round(ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE), 6) AS entropy
+         |  ${femitSql("ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE)")} AS entropy
          |FROM a ORDER BY user_id""".stripMargin,
     // Same ascending (x, user) rank and the same two DECIMAL sums.
     "q155_gini" ->
@@ -7364,8 +7364,8 @@ object Queries {
          |a AS (SELECT event_type, count(*) AS n_users, ${dsumSql("x")} AS sx,
          |  ${dsumSql("CAST(2 * i AS DOUBLE) * x")} AS s2ix FROM r GROUP BY event_type)
          |SELECT event_type, n_users,
-         |  round((s2ix - CAST(n_users + 1 AS DOUBLE) * sx)
-         |    / (CAST(n_users AS DOUBLE) * sx), 6) AS gini
+         |  ${femitSql(s"""(s2ix - CAST(n_users + 1 AS DOUBLE) * sx)
+         |    / (CAST(n_users AS DOUBLE) * sx)""")} AS gini
          |FROM a ORDER BY event_type""".stripMargin,
     // Exact weekly distinct + the true bound booleans (q81's pattern):
     // the rollup's estimate must land within 5% of this.
@@ -7418,7 +7418,7 @@ object Queries {
     // Same support/confidence/lift definitions on the same bounded
     // baskets; divisions in the same fixed order.
     "q167_assoc_rules" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |bounded AS (SELECT ok, pk FROM (
         |  SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS bsize FROM items)
         |  WHERE bsize <= 64),
@@ -7428,9 +7428,9 @@ object Queries {
         |  FROM bounded l JOIN bounded r ON l.ok = r.ok AND l.pk <> r.pk
         |  GROUP BY l.pk, r.pk HAVING count(*) >= 3)
         |SELECT a, b, pair_cnt,
-        |  round(CAST(pair_cnt AS DOUBLE) / CAST(ca.item_cnt AS DOUBLE), 6) AS confidence,
-        |  round(CAST(pair_cnt AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
-        |    / (CAST(ca.item_cnt AS DOUBLE) * CAST(cb.item_cnt AS DOUBLE)), 6) AS lift
+        |  ${femitSql("CAST(pair_cnt AS DOUBLE) / CAST(ca.item_cnt AS DOUBLE)")} AS confidence,
+        |  ${femitSql(s"""CAST(pair_cnt AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+        |    / (CAST(ca.item_cnt AS DOUBLE) * CAST(cb.item_cnt AS DOUBLE))""")} AS lift
         |FROM pc JOIN ic ca ON pc.a = ca.pk JOIN ic cb ON pc.b = cb.pk CROSS JOIN nb
         |ORDER BY lift DESC, confidence DESC, a ASC, b ASC LIMIT 50""".stripMargin,
     // The orthogonal skyline formulation: dominance as a NOT EXISTS
@@ -7482,7 +7482,7 @@ object Queries {
     // Same gap sessions, same per-session-type minima, same strict
     // ordering rule.
     "q179_seq_pairs" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
         |f AS (SELECT user_id, event_id, event_type, us,
         |  CASE WHEN lag(us, 1) OVER w IS NULL
         |    OR us - lag(us, 1) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
@@ -7501,7 +7501,7 @@ object Queries {
         |    AND l.event_type <> r.event_type AND l.first_us < r.first_us
         |  GROUP BY l.event_type, r.event_type)
         |SELECT ta, tb, n_support,
-        |  round(CAST(n_support AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE), 6)
+        |  ${femitSql("CAST(n_support AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE)")}
         |    AS support
         |FROM p CROSS JOIN ns ORDER BY ta, tb""".stripMargin,
     // Same fixed grid, same exact count/DECIMAL-sum ratios.
@@ -7567,7 +7567,7 @@ object Queries {
          |    THEN 'direct' ELSE touch.tet END AS channel, value
          |  FROM w WHERE event_type = 'purchase')
          |SELECT channel, count(*) AS n_purchases,
-         |  round(${dsumSql("value")}, 6) AS revenue
+         |  ${femitSql(s"""${dsumSql("value")}""")} AS revenue
          |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
     // Same quasi-identifier grid, same k=5 threshold, integer counts
     // throughout.
@@ -7597,9 +7597,9 @@ object Queries {
          |  FROM rk JOIN mu USING (event_type)
          |  WHERE rn = CAST(ceil(CAST(n_calib + 1 AS DOUBLE) * 0.9) AS BIGINT))
          |SELECT t.event_type, max(mu.n_calib) AS n_calib, count(*) AS n_test,
-         |  round(max(q.qhat), 6) AS qhat,
-         |  round(CAST(sum(CASE WHEN abs(t.value - mu.mu) <= q.qhat
-         |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |  ${femitSql("max(q.qhat)")} AS qhat,
+         |  ${femitSql(s"""CAST(sum(CASE WHEN abs(t.value - mu.mu) <= q.qhat
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)""")}
          |    AS coverage
          |FROM (SELECT event_type, value FROM e WHERE user_id % 2 = 1) t
          |JOIN mu USING (event_type) JOIN q USING (event_type)
@@ -7760,13 +7760,13 @@ object Queries {
          |  ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_q,
          |  ntile(5) OVER (ORDER BY mon DESC, o_custkey ASC) AS m_q FROM r)
          |SELECT r_q, f_q, m_q, count(*) AS n_customers,
-         |  round(${dsumSql("mon")} / CAST(count(*) AS DOUBLE), 6)
+         |  ${femitSql(s"""${dsumSql("mon")} / CAST(count(*) AS DOUBLE)""")}
          |    AS avg_monetary
          |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // Same integer cell/active-day counts, same fixed-order ratio
     // arithmetic.
     "q193_seasonal_index" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
         |  FROM events),
         |e2 AS (SELECT event_type, day, day % 7 AS dow FROM e),
         |dd AS (SELECT dow, count(*) AS days_dow FROM
@@ -7776,9 +7776,9 @@ object Queries {
         |ct AS (SELECT event_type, dow, n,
         |  sum(n) OVER (PARTITION BY event_type) AS n_type FROM c)
         |SELECT event_type, dow, n,
-        |  round(CAST(n AS DOUBLE) / CAST(days_dow AS DOUBLE), 6) AS daily_avg,
-        |  round((CAST(n AS DOUBLE) / CAST(days_dow AS DOUBLE))
-        |    / (CAST(n_type AS DOUBLE) / CAST(days_total AS DOUBLE)), 6) AS idx
+        |  ${femitSql("CAST(n AS DOUBLE) / CAST(days_dow AS DOUBLE)")} AS daily_avg,
+        |  ${femitSql(s"""(CAST(n AS DOUBLE) / CAST(days_dow AS DOUBLE))
+        |    / (CAST(n_type AS DOUBLE) / CAST(days_total AS DOUBLE))""")} AS idx
         |FROM ct JOIN dd USING (dow) CROSS JOIN dt
         |ORDER BY event_type, dow""".stripMargin,
     // Same gap-filled spine, same shared mean, same lag equi-join;
@@ -7840,9 +7840,9 @@ object Queries {
          |c AS (SELECT CASE WHEN cum / total <= 0.80 THEN 'A'
          |    WHEN cum / total <= 0.95 THEN 'B' ELSE 'C' END AS cls,
          |  rev, total FROM w)
-         |SELECT cls, count(*) AS n_parts, round(${dsumSql("rev")}, 6)
+         |SELECT cls, count(*) AS n_parts, ${femitSql(s"""${dsumSql("rev")}""")}
          |    AS revenue,
-         |  round(${dsumSql("rev")} / max(total), 6) AS rev_share
+         |  ${femitSql(s"""${dsumSql("rev")} / max(total)""")} AS rev_share
          |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
     // Same quarter-weight quantile interpolation (q51's), same eighth-
     // exact fence arithmetic, same clamp through the DECIMAL route.
