@@ -3156,14 +3156,24 @@ object Queries {
     s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(" +
       "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE " +
       "RETURN graft_disc_price(p, d) * (1.0d + t)")
+    // The femit lattice references its argument four times; applied
+    // directly to the UDF-bearing aggregates, UDF inlining mints fresh
+    // expression ids per textual copy, defeating Catalyst's aggregate
+    // dedup (8 decimal sums instead of 2 — a measured 2.3× on the
+    // bench). Aggregating in an inner query and emitting from its
+    // single-instance output columns restores one sum per measure.
     Tables.sql(s, dir,
-      s"""SELECT l_returnflag,
-        |  count(*) AS n_lines,
-        |  ${femitSql(s"""CAST(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
-        |    AS DECIMAL(38,12))) AS DOUBLE)""")} AS disc_revenue,
-        |  ${femitSql(s"""CAST(sum(CAST(graft_charge(l_extendedprice, l_discount, l_tax)
-        |    AS DECIMAL(38,12))) AS DOUBLE)""")} AS charge_revenue
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      s"""SELECT l_returnflag, n_lines,
+        |  ${femitSql("disc0")} AS disc_revenue,
+        |  ${femitSql("charge0")} AS charge_revenue
+        |FROM (SELECT l_returnflag,
+        |    count(*) AS n_lines,
+        |    CAST(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS disc0,
+        |    CAST(sum(CAST(graft_charge(l_extendedprice, l_discount, l_tax)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS charge0
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin)
   }
 
   // Window-function breadth, part 2 (q49 covers dense_rank/ntile/lead/
