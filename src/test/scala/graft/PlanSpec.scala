@@ -418,4 +418,28 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1,
       p.take(1500))
   }
+
+  test("prefixFilterJoin spill path: salted bucket join stays hash-keyed (r9)") {
+    // The lossless oversized-bucket spill routes big prefix buckets
+    // through a (gram, salt) self-join. At scale that join MUST plan
+    // as a keyed hash/merge join — a nested loop over a degenerate
+    // bucket would reintroduce exactly the quadratic blowup the salting
+    // exists to spread — and the probe side must pin ONE salt per doc
+    // (pmod) while only the build side replicates across SpillSalts.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val p = finalPlan(llm.Dedup.prefixFilterJoin(
+          docs, "doc_id", "text", k = 3, tauNum = 1, tauDen = 2,
+          maxBucket = 2)) // force every >2-doc bucket through the spill
+        .split("== Initial Plan ==").head
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"), p.take(1500))
+      // the spill join keys on (g, salt): visible as a join whose key
+      // list contains the salt expression's column
+      assert("(SortMergeJoin|ShuffledHashJoin).*salt".r.findFirstIn(p).isDefined,
+        p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
