@@ -1642,6 +1642,50 @@ object Queries {
           .as("frac_pos"))
       .orderBy("bin")
 
+  // Isotonic calibration of q180's reliability curve — PAVA (pool
+  // adjacent violators; Barlow–Bartholomew–Bremner–Brunk 1972), the
+  // standard monotone score→probability map production rankers ship
+  // (Platt's logistic twin assumes a shape; isotonic doesn't). Rather
+  // than the sequential stack algorithm, the fit uses the minimax
+  // closed form iso(i) = max_{j≤i} min_{k≥i} avg(pos, bins j..k)
+  // (Robertson–Wright–Dykstra), which is pure relational algebra:
+  // segment averages from one grid self-join, then a min- and a
+  // max-aggregate. ALL the heavy lifting is the single corpus scan
+  // into the fixed 10-cell grid (the q115/q180 discipline); every
+  // subsequent join touches only the ≤10-row bin table, so the O(B³)
+  // segment enumeration is 1000 rows of driver-free in-plan work
+  // bounded by the GRID, not the data — at 100 TB the plan shape is
+  // unchanged. Non-equi joins on the bounded bin table plan as tiny
+  // BNLJs by construction (the q291 1-row-scalar precedent). Segment
+  // averages divide exact integer sums, so min/max pick identical
+  // IEEE values on both engines; emission rides femit.
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val bins = events(s, dir)
+      .select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .withColumn("b", least(floor(col("value") / 50.0).cast("long"), lit(9L)))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+    val seg = bins.select(col("b").as("j"))
+      .join(bins.select(col("b").as("k")), col("j") <= col("k"))
+      .join(bins.select(col("b").as("m"), col("n"), col("npos")),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy("j", "k")
+      .agg((sum(col("npos")).cast("double") / sum(col("n")).cast("double"))
+        .as("avg_jk"))
+    val iso = bins.select(col("b").as("i"))
+      .join(seg, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min(col("avg_jk")).as("mn"))
+      .groupBy("i").agg(max(col("mn")).as("iso"))
+    bins.join(iso, col("b") === col("i"))
+      .select(col("b").as("bin"), col("n"),
+        col("npos").as("n_pos"),
+        femit(col("npos").cast("double") / col("n").cast("double"))
+          .as("rate_raw"),
+        femit(col("iso")).as("rate_iso"))
+      .orderBy("bin")
+  }
+
   // Population Stability Index between the month's two halves (the
   // standard production drift score credit-risk monitoring runs;
   // complements q107's ratio checks with the aggregate index):
@@ -4215,6 +4259,7 @@ object Queries {
     "q178_outlier_fence" -> (outlierFence _),
     "q179_seq_pairs" -> (seqPairs _),
     "q180_calibration" -> (calibrationBins _),
+    "q318_isotonic" -> (isotonicCalibration _),
     "q181_psi" -> (psiDrift _),
     "q182_twap" -> (twap _),
     "q183_attribution" -> (lastTouchAttribution _),
@@ -7524,6 +7569,31 @@ object Queries {
          |  ${femitSql("CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
          |    AS frac_pos
          |FROM e GROUP BY bin ORDER BY bin""".stripMargin,
+    // The identical minimax isotonic fit: segment averages from the
+    // same grid self-join on exact integer sums, min-then-max over
+    // identical IEEE divisions, femit at the edge.
+    "q318_isotonic" ->
+      s"""WITH e AS (SELECT
+         |  least(CAST(floor(value / 50.0) AS BIGINT), 9) AS b,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |  FROM events),
+         |bins AS (SELECT b, count(*) AS n, CAST(sum(pos) AS BIGINT) AS npos
+         |  FROM e GROUP BY b),
+         |seg AS (SELECT j.b AS j, k.b AS k,
+         |    CAST(sum(m.npos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS avg_jk
+         |  FROM bins j JOIN bins k ON j.b <= k.b
+         |  JOIN bins m ON m.b >= j.b AND m.b <= k.b
+         |  GROUP BY 1, 2),
+         |mj AS (SELECT i.b AS i, seg.j, min(avg_jk) AS mn
+         |  FROM bins i JOIN seg ON seg.j <= i.b AND seg.k >= i.b
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT i, max(mn) AS iso FROM mj GROUP BY i)
+         |SELECT bins.b AS bin, bins.n AS n, bins.npos AS n_pos,
+         |  ${femitSql("CAST(bins.npos AS DOUBLE) / CAST(bins.n AS DOUBLE)")}
+         |    AS rate_raw,
+         |  ${femitSql("iso.iso")} AS rate_iso
+         |FROM bins JOIN iso ON iso.i = bins.b
+         |ORDER BY bin""".stripMargin,
     // Same Laplace smoothing, same per-bin IEEE term, same DECIMAL
     // cross-bin sum.
     "q181_psi" ->

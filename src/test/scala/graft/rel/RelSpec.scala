@@ -758,4 +758,28 @@ class RelSpec extends SparkSpec {
       .groupBy(_._3).view.mapValues(_.length.toLong).toMap
     assert(q22.map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
   }
+
+  test("q318 isotonic fit is monotone, order-preserving, and mean-preserving") {
+    val rows = Queries.isotonicCalibration(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val bins = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4)))
+    // monotone non-decreasing in bin order (the defining constraint)
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5 + 1e-12, s"$a -> $b"); case _ => }
+    // PAVA preserves the weighted total: sum(n * iso) == sum(n_pos)
+    // (block averages replace block members, so mass is conserved) --
+    // compare through BigDecimal on the pre-femit identity within the
+    // 1e-6 emission granularity times the bin count
+    val fitted = bins.map(t => t._2.toDouble * t._5).sum
+    val raw = bins.map(_._3).sum.toDouble
+    assert(math.abs(fitted - raw) <= 1e-6 * bins.map(_._2).sum,
+      s"fitted=$fitted raw=$raw")
+    // a bin whose raw rate already respects both neighbors is unchanged
+    // (PAVA only pools violators): check max |iso - raw| is bounded by
+    // the largest raw inversion, i.e. the fit is the identity when the
+    // raw curve is already monotone
+    if (bins.sliding(2).forall { case Array(a, b) => a._4 <= b._4; case _ => true })
+      bins.foreach(t => assert(math.abs(t._4 - t._5) < 1e-12))
+  }
 }
