@@ -1936,6 +1936,62 @@ object Queries {
   // Scale: per round one broadcast of 7 scalars + one partial-agged
   // scan — the EM shape MLlib runs; rounds are a fixed unrolled
   // pipeline, no driver loop over data.
+  // Benjamini–Hochberg FDR step-up (Benjamini & Hochberg, JRSS-B 1995)
+  // over the per-metric always-valid p-values [[msprt]] leaves at its
+  // final checkpoint — the multiple-comparisons control an
+  // experimentation platform applies across its metric suite before
+  // declaring winners (one test per metric; α = 0.05). The ranking and
+  // the step-up minimum are grid-bounded self-join algebra on the
+  // m-row p-value table (m = #event types): rnk by the (p, event_type)
+  // total order, q(i) = min_{j≥i} p(j)·m/j capped at 1, reject iff
+  // rnk ≤ max{ j : p(j) ≤ α·j/m } — no global window, no driver loop,
+  // and the m² join is bounded by the metric count, not the data.
+  // Every comparison multiplies doubles cast identically on both
+  // engines (a bare DuckDB `rnk * 0.05` would route through DECIMAL
+  // and shift the boundary by an ulp); p is q295's femit-snapped
+  // output, so both engines rank identical bit patterns.
+  def bhFdr(s: SparkSession, dir: String): DataFrame = {
+    // single-pass final-checkpoint extraction: a lexicographic struct
+    // max keyed by n_seen (unique per type) — a groupBy-max-then-join
+    // would execute the whole mSPRT pipeline twice (measured 2×).
+    bhFdrOn(msprt(s, dir).groupBy("event_type")
+      .agg(max(struct(col("n_seen"), col("p_always_valid"))).as("f"))
+      .select(col("event_type"), col("f.p_always_valid").as("p")))
+  }
+
+  /** [[bhFdr]] over an explicit (`event_type`, `p`) frame — the
+    * testable core (the [[gmmEmOn]] convention), so specs can feed
+    * p-vectors that actually cross the α·j/m boundary. The m-row
+    * input fans out into four subplans (count, rank self-join,
+    * step-up, threshold scan); `localCheckpoint` materializes the
+    * tiny p table once so the upstream pipeline — a full mSPRT run
+    * when called from [[bhFdr]] — executes once, not four times. */
+  def bhFdrOn(fin0: DataFrame): DataFrame = {
+    val fin = fin0.localCheckpoint()
+    val mC = fin.agg(count(lit(1)).as("m"))
+    val ranked = fin.join(
+        fin.select(col("event_type").as("et2"), col("p").as("p2")),
+        col("p2") < col("p") ||
+          (col("p2") === col("p") && col("et2") <= col("event_type")))
+      .groupBy("event_type", "p").agg(count(lit(1)).as("rnk"))
+    val stepped = ranked.join(
+        ranked.select(col("rnk").as("rnk2"), col("p").as("p2")),
+        col("rnk2") >= col("rnk"))
+      .crossJoin(broadcast(mC))
+      .groupBy(col("event_type"), col("p"), col("rnk"))
+      .agg(min(least(col("p2") * col("m").cast("double")
+        / col("rnk2").cast("double"), lit(1.0))).as("q"))
+    val kRow = ranked.crossJoin(broadcast(mC))
+      .where(col("p") * col("m").cast("double")
+        <= col("rnk").cast("double") * lit(0.05))
+      .agg(max(col("rnk")).as("k"))
+    stepped.crossJoin(broadcast(kRow))
+      .select(col("event_type"), femit(col("p")).as("p"), col("rnk"),
+        femit(col("q")).as("q_value"),
+        (col("rnk") <= coalesce(col("k"), lit(0L))).as("reject"))
+      .orderBy("rnk", "event_type")
+  }
+
   def gmmEm(s: SparkSession, dir: String): DataFrame =
     gmmEmOn(events(s, dir).select(col("value").as("x")))
 
@@ -4334,6 +4390,7 @@ object Queries {
     "q290_tpch_q22" -> (tpchQ22 _),
     "q294_t_closeness" -> (tCloseness _),
     "q295_msprt" -> (msprt _),
+    "q319_bh_fdr" -> (bhFdr _),
     "q296_tpch_q12" -> (tpchQ12 _),
     "q297_tpch_q14" -> (tpchQ14 _),
     "q298_tpch_q19" -> (tpchQ19 _),
@@ -5330,6 +5387,56 @@ object Queries {
        |SELECT node, deg FROM df WHERE deg >= $k ORDER BY node""".stripMargin
   }
 
+  /** [[msprt]]'s DuckDB twin — bound to a val so q319's BH step-up
+    * can reuse the identical p-value pipeline as its base CTE. */
+  private val msprtOracle: String =
+    s"""WITH ev AS (SELECT event_type, event_id, ts, user_id,
+       |    CAST(value AS DOUBLE) AS value FROM events),
+       |mom AS (SELECT event_type,
+       |    (${dsumSql("value * value")} - ${dsumSql("value")} * ${dsumSql("value")} / count(*))
+       |      / CAST(count(*) - 1 AS DOUBLE) AS var
+       |  FROM ev GROUP BY event_type),
+       |run AS (SELECT event_type, event_id, ts, user_id, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+       |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY event_type ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt,
+       |    SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) OVER
+       |      (PARTITION BY event_type ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc,
+       |    SUM(CAST(CAST(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END
+       |      AS VARCHAR) AS DECIMAL(38,12))) OVER
+       |      (PARTITION BY event_type ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+       |    SUM(CAST(CAST(CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END
+       |      AS VARCHAR) AS DECIMAL(38,12))) OVER
+       |      (PARTITION BY event_type ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc
+       |  FROM ev),
+       |cp AS (SELECT r.*, m.var,
+       |    max(rn) OVER (PARTITION BY r.event_type) AS last
+       |  FROM run r JOIN mom m ON r.event_type = m.event_type),
+       |st2 AS (SELECT event_type, rn, last, nt, nc,
+       |    CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(nt AS DOUBLE)
+       |      - CAST(CAST(sc AS VARCHAR) AS DOUBLE) / CAST(nc AS DOUBLE) AS delta,
+       |    var * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)) AS vn,
+       |    var AS tau
+       |  FROM cp WHERE nt > 0 AND nc > 0),
+       |lam AS (SELECT event_type, rn, last, nt, nc, delta,
+       |    0.5 * ln(vn / (vn + tau))
+       |      + delta * delta * tau / (2.0 * vn * (vn + tau)) AS loglam
+       |  FROM st2),
+       |mx AS (SELECT *, max(loglam) OVER
+       |    (PARTITION BY event_type ORDER BY rn
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+       |  FROM lam)
+       |SELECT event_type, rn AS n_seen, CAST(nt AS BIGINT) AS nt,
+       |  CAST(nc AS BIGINT) AS nc, ${femitSql("delta")} AS delta,
+       |  ${femitSql("loglam")} AS log_lambda,
+       |  ${femitSql("least(1.0, exp(-runmax))")} AS p_always_valid
+       |FROM mx WHERE rn % 200 = 0 OR rn = last
+       |ORDER BY event_type, n_seen""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Driver-environment probe ([[engineProbe]]): each column recomputes
     // one drift class through the hazardous construct on THIS engine.
@@ -5572,53 +5679,34 @@ object Queries {
     // (VARCHAR-crossed back to double), identical exact-moment
     // variance, identical checkpoint thinning; round(6) absorbs
     // libm ln/exp drift.
-    "q295_msprt" ->
-      s"""WITH ev AS (SELECT event_type, event_id, ts, user_id,
-         |    CAST(value AS DOUBLE) AS value FROM events),
-         |mom AS (SELECT event_type,
-         |    (${dsumSql("value * value")} - ${dsumSql("value")} * ${dsumSql("value")} / count(*))
-         |      / CAST(count(*) - 1 AS DOUBLE) AS var
-         |  FROM ev GROUP BY event_type),
-         |run AS (SELECT event_type, event_id, ts, user_id, value,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
-         |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) OVER
-         |      (PARTITION BY event_type ORDER BY ts, event_id
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt,
-         |    SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) OVER
-         |      (PARTITION BY event_type ORDER BY ts, event_id
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc,
-         |    SUM(CAST(CAST(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END
-         |      AS VARCHAR) AS DECIMAL(38,12))) OVER
-         |      (PARTITION BY event_type ORDER BY ts, event_id
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
-         |    SUM(CAST(CAST(CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END
-         |      AS VARCHAR) AS DECIMAL(38,12))) OVER
-         |      (PARTITION BY event_type ORDER BY ts, event_id
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc
-         |  FROM ev),
-         |cp AS (SELECT r.*, m.var,
-         |    max(rn) OVER (PARTITION BY r.event_type) AS last
-         |  FROM run r JOIN mom m ON r.event_type = m.event_type),
-         |st2 AS (SELECT event_type, rn, last, nt, nc,
-         |    CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(nt AS DOUBLE)
-         |      - CAST(CAST(sc AS VARCHAR) AS DOUBLE) / CAST(nc AS DOUBLE) AS delta,
-         |    var * (1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)) AS vn,
-         |    var AS tau
-         |  FROM cp WHERE nt > 0 AND nc > 0),
-         |lam AS (SELECT event_type, rn, last, nt, nc, delta,
-         |    0.5 * ln(vn / (vn + tau))
-         |      + delta * delta * tau / (2.0 * vn * (vn + tau)) AS loglam
-         |  FROM st2),
-         |mx AS (SELECT *, max(loglam) OVER
-         |    (PARTITION BY event_type ORDER BY rn
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
-         |  FROM lam)
-         |SELECT event_type, rn AS n_seen, CAST(nt AS BIGINT) AS nt,
-         |  CAST(nc AS BIGINT) AS nc, ${femitSql("delta")} AS delta,
-         |  ${femitSql("loglam")} AS log_lambda,
-         |  ${femitSql("least(1.0, exp(-runmax))")} AS p_always_valid
-         |FROM mx WHERE rn % 200 = 0 OR rn = last
-         |ORDER BY event_type, n_seen""".stripMargin,
+    "q295_msprt" -> msprtOracle,
+    // BH step-up on q295's final-checkpoint p-values: the identical
+    // pipeline as the base CTE, then the same m²-bounded rank/step-up
+    // algebra; all boundary arithmetic forced through DOUBLE casts
+    // (bare `rnk * 0.05` would route through DECIMAL and shift the
+    // reject threshold by an ulp vs Spark's double multiply).
+    "q319_bh_fdr" ->
+      s"""WITH base AS ($msprtOracle),
+         |fin AS (SELECT b.event_type, b.p_always_valid AS p FROM base b
+         |  JOIN (SELECT event_type, max(n_seen) AS n_seen FROM base
+         |        GROUP BY 1) f
+         |  ON f.event_type = b.event_type AND f.n_seen = b.n_seen),
+         |mc AS (SELECT count(*) AS m FROM fin),
+         |rk AS (SELECT a.event_type, a.p, count(*) AS rnk
+         |  FROM fin a JOIN fin b2 ON b2.p < a.p
+         |    OR (b2.p = a.p AND b2.event_type <= a.event_type)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT r.event_type, r.p, r.rnk,
+         |    min(least(r2.p * CAST(m AS DOUBLE) / CAST(r2.rnk AS DOUBLE),
+         |      CAST(1.0 AS DOUBLE))) AS q
+         |  FROM rk r JOIN rk r2 ON r2.rnk >= r.rnk CROSS JOIN mc
+         |  GROUP BY 1, 2, 3),
+         |kk AS (SELECT max(rnk) AS k FROM rk CROSS JOIN mc
+         |  WHERE p * CAST(m AS DOUBLE) <= CAST(rnk AS DOUBLE) * CAST(0.05 AS DOUBLE))
+         |SELECT event_type, ${femitSql("p")} AS p, rnk,
+         |  ${femitSql("q")} AS q_value,
+         |  rnk <= coalesce(k, 0) AS reject
+         |FROM st CROSS JOIN kk ORDER BY rnk, event_type""".stripMargin,
     // Q7: identical text; year() cast to INT (DuckDB returns BIGINT),
     // revenue on the VARCHAR route.
     "q310_tpch_q7" ->

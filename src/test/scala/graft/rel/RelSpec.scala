@@ -782,4 +782,24 @@ class RelSpec extends SparkSpec {
     if (bins.sliding(2).forall { case Array(a, b) => a._4 <= b._4; case _ => true })
       bins.foreach(t => assert(math.abs(t._4 - t._5) < 1e-12))
   }
+
+  test("q319 BH step-up: known p-vector yields the textbook reject set") {
+    import spark.implicits._
+    // classic example: m=5, alpha=0.05 -> thresholds i/m*alpha =
+    // .01 .02 .03 .04 .05; p = (.005, .015, .035, .04, .2):
+    // p(1)<=.01 yes, p(2)<=.02 yes, p(3)<=.03 no, p(4)<=.04 yes -> k=4
+    val fin = Seq(("a", 0.005), ("b", 0.015), ("c", 0.035),
+      ("d", 0.04), ("e", 0.2)).toDF("event_type", "p")
+    val out = Queries.bhFdrOn(fin).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.map(_._1).toSeq == Seq("a", "b", "c", "d", "e"))
+    assert(out.count(_._4) == 4 && !out.last._4, out.mkString(","))
+    // q-values are the running min from the tail: q(i) = min_{j>=i} p_j*m/j
+    val qs = out.map(_._3)
+    qs.sliding(2).foreach { case Array(x, y) => assert(x <= y + 1e-12); case _ => }
+    assert(math.abs(qs(0) - 0.025) < 1e-9) // min(.025,.0375,.0583,.05,.2)
+    assert(math.abs(qs(4) - 0.2) < 1e-9)
+    // every rejected p is <= its q-value ceiling under BH
+    out.filter(_._4).foreach(t => assert(t._3 <= 0.05 + 1e-12, t.toString))
+  }
 }
