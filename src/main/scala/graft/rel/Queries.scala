@@ -1936,6 +1936,44 @@ object Queries {
   // Scale: per round one broadcast of 7 scalars + one partial-agged
   // scan — the EM shape MLlib runs; rounds are a fixed unrolled
   // pipeline, no driver loop over data.
+  // Minimum detectable effect at 80% power / 5% two-sided α — the
+  // PLANNING counterpart of q150's Welch z (an experimentation
+  // platform shows MDE next to every running metric so owners know
+  // what their current sample can resolve): per event type over the
+  // q219 user-parity arms, MDE = (z_{.975} + z_{.80})·√(s²_t/n_t +
+  // s²_c/n_c), relative MDE against the control mean. One partial-
+  // agged scan into six exact moments per type; every downstream float
+  // is a fixed-order IEEE expression on those identical doubles. The
+  // two normal quantiles are fixed shared literals (the q150
+  // 1.959963984540054 convention — a hand-typed "1.96"/"0.84" pair
+  // would silently diverge between engines). Degenerate arms
+  // (n ≤ 1) and a zero control mean emit NULL, mirrored in the oracle.
+  def mde(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"), (col("user_id") % 2L === 0L).as("t"),
+        col("value"))
+    val m = e.groupBy("event_type").agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+      dsum(when(col("t"), col("value"))).as("st"),
+      dsum(when(!col("t"), col("value"))).as("sc"),
+      dsum(when(col("t"), col("value") * col("value"))).as("stt"),
+      dsum(when(!col("t"), col("value") * col("value"))).as("scc"))
+    val ntd = col("nt").cast("double"); val ncd = col("nc").cast("double")
+    val vart = (col("stt") - col("st") * col("st") / ntd) / (ntd - 1.0)
+    val varc = (col("scc") - col("sc") * col("sc") / ncd) / (ncd - 1.0)
+    val se = sqrt(vart / ntd + varc / ncd)
+    val mdeC = lit(1.959963984540054 + 0.8416212335729143) * se
+    val meanC = col("sc") / ncd
+    m.select(col("event_type"), col("nt"), col("nc"),
+        femit(when(col("nt") > 1L, vart)).as("var_t"),
+        femit(when(col("nc") > 1L, varc)).as("var_c"),
+        femit(when(col("nt") > 1L && col("nc") > 1L, mdeC)).as("mde_abs"),
+        femit(when(col("nt") > 1L && col("nc") > 1L && meanC =!= 0.0,
+          mdeC / meanC)).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
   // Benjamini–Hochberg FDR step-up (Benjamini & Hochberg, JRSS-B 1995)
   // over the per-metric always-valid p-values [[msprt]] leaves at its
   // final checkpoint — the multiple-comparisons control an
@@ -4391,6 +4429,7 @@ object Queries {
     "q294_t_closeness" -> (tCloseness _),
     "q295_msprt" -> (msprt _),
     "q319_bh_fdr" -> (bhFdr _),
+    "q320_mde" -> (mde _),
     "q296_tpch_q12" -> (tpchQ12 _),
     "q297_tpch_q14" -> (tpchQ14 _),
     "q298_tpch_q19" -> (tpchQ19 _),
@@ -5680,6 +5719,33 @@ object Queries {
     // variance, identical checkpoint thinning; round(6) absorbs
     // libm ln/exp drift.
     "q295_msprt" -> msprtOracle,
+    // MDE twin: the same six exact moments (dsum CASE route), the same
+    // fixed-order IEEE closed form, the same shared quantile literals.
+    "q320_mde" ->
+      s"""WITH e AS (SELECT event_type, user_id % 2 = 0 AS t, value
+         |  FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT event_type,
+         |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |  CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |  ${dsumSql("CASE WHEN t THEN value END")} AS st,
+         |  ${dsumSql("CASE WHEN NOT t THEN value END")} AS sc,
+         |  ${dsumSql("CASE WHEN t THEN value * value END")} AS stt,
+         |  ${dsumSql("CASE WHEN NOT t THEN value * value END")} AS scc
+         |  FROM e GROUP BY event_type),
+         |v AS (SELECT event_type, nt, nc,
+         |  (stt - st * st / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0) AS vart,
+         |  (scc - sc * sc / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0) AS varc,
+         |  sc / CAST(nc AS DOUBLE) AS meanc FROM m),
+         |d AS (SELECT event_type, nt, nc, vart, varc, meanc,
+         |  (1.959963984540054 + 0.8416212335729143)
+         |    * sqrt(vart / CAST(nt AS DOUBLE) + varc / CAST(nc AS DOUBLE)) AS mdea
+         |  FROM v)
+         |SELECT event_type, nt, nc,
+         |  ${femitSql("CASE WHEN nt > 1 THEN vart END")} AS var_t,
+         |  ${femitSql("CASE WHEN nc > 1 THEN varc END")} AS var_c,
+         |  ${femitSql("CASE WHEN nt > 1 AND nc > 1 THEN mdea END")} AS mde_abs,
+         |  ${femitSql("CASE WHEN nt > 1 AND nc > 1 AND meanc <> 0.0 THEN mdea / meanc END")} AS mde_rel
+         |FROM d ORDER BY event_type""".stripMargin,
     // BH step-up on q295's final-checkpoint p-values: the identical
     // pipeline as the base CTE, then the same m²-bounded rank/step-up
     // algebra; all boundary arithmetic forced through DOUBLE casts
