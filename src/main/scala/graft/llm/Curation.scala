@@ -376,4 +376,88 @@ object Curation {
         array_join(slice(col("ts"), col("chunk_idx") * stride + 1, lit(window)),
           " ").as("chunk"))
   }
+
+  /** Differentially-private release of per-(lang, source) document
+    * counts (Dwork et al. 2006 Laplace mechanism, sensitivity 1): each
+    * count is published as n + Lap(1/ε) for each ε in `epsilons`. The
+    * noise draw is DERANDOMIZED the way every sampler in this repo is
+    * (q40/q112's hash-uniform convention): u = (fnv1a32(key)%2²⁰+0.5)/2²⁰
+    * ∈ (0,1), noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — the exact inverse
+    * Laplace CDF, so the released values are reproducible AND
+    * oracle-checkable while keeping the mechanism's exact shape (a
+    * production run swaps the keyed hash for a seeded CSPRNG; the plan
+    * is unchanged). u can never be exactly ½ (numerator is a
+    * half-integer, denominator a power of two), so sign/ln never see
+    * their singular points.
+    *
+    * Scale: one hash-agg to the group table, then a broadcast cross
+    * join against the |ε|-row ladder — per-row codegen'd arithmetic,
+    * no further shuffle. */
+  def dpCounts(docs: DataFrame,
+               epsilons: Seq[(Int, Double)] = Seq((1, 0.1), (2, 1.0))): DataFrame = {
+    import graft.rel.Queries.femit
+    val s = docs.sparkSession
+    graft.functions.HashExprs.register(s)
+    val eps = s.createDataFrame(epsilons).toDF("eps_id", "eps")
+    val g = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val keyed = g.crossJoin(broadcast(eps))
+      .withColumn("dpkey",
+        concat_ws("|", col("lang"), col("source"), col("eps_id")))
+      .withColumn("u",
+        (pmod(graft.functions.HashExprs.fnv1a32("dpkey"), lit(1048576L))
+          .cast("double") + lit(0.5)) / lit(1048576.0))
+    val noise = (lit(-1.0) / col("eps")) * signum(col("u") - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5)))
+    keyed.select(col("lang"), col("source"), col("eps_id"), col("n"),
+        femit(col("n") + noise).as("noisy_count"),
+        femit(abs(noise)).as("abs_noise"))
+      .orderBy("lang", "source", "eps_id")
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-like its hashed-unigram profile is,
+    * log w(d) = Σ_b c_d(b)·(ln p̂_t(b) − ln p̂_s(b)), where b ranges
+    * over `nBuckets` hashed token buckets, p̂ are add-1-smoothed bucket
+    * unigram models of the target (lang = `targetLang`) vs source (the
+    * rest), and c_d are the document's bucket counts. Emits the top
+    * `topK` docs by weight — the resampling front-runner set. Ranked by
+    * the ROUNDED weight + doc_id (the q207 cross-engine tiebreak rule).
+    *
+    * Scale: the bucket LM table is `nBuckets` rows — broadcast; the
+    * corpus streams once into a (doc, bucket) hash-agg (map-side
+    * partial over ~nBuckets distinct keys per partition), joins the
+    * broadcast, and reduces per doc. Weight sums accumulate on the
+    * exact DECIMAL lattice; ln drift is sub-quantum there. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  nBuckets: Int = 256, topK: Int = 20): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("b", pmod(graft.functions.HashExprs.fnv1a32("tok"),
+        lit(nBuckets.toLong)))
+    val isT = col("lang") === targetLang
+    val lm = tok.groupBy("b").agg(
+        sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        sum(when(!isT, 1L).otherwise(0L)).as("cs"))
+    val tot = lm.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+    val delta = lm.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("ct") + lit(1.0)) / (col("tt") + lit(nBuckets.toDouble))) -
+        log((col("cs") + lit(1.0)) / (col("ts") + lit(nBuckets.toDouble))))
+        .as("dlt"))
+    val perDocBucket = tok.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c"))
+    val scored = perDocBucket.join(broadcast(delta), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(femit(dsum(col("c") * col("dlt"))).as("log_weight"))
+    scored.orderBy(col("log_weight").desc, col("doc_id").asc)
+      .limit(topK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("log_weight").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("lang"), col("log_weight"))
+      .orderBy("rnk")
+  }
 }

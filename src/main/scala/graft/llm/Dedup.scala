@@ -923,4 +923,68 @@ object Dedup {
           / col("total_tokens").cast("double")).as("dup_fraction"))
       .orderBy("lang")
   }
+
+  /** LSH (bands, rows) parameter planner: before committing a 100 TB
+    * corpus to one MinHash configuration, score every factorization
+    * b·r = `nSig` against THIS corpus's empirical pair-similarity
+    * distribution. The S-curve P(candidate | j) = 1 − (1 − jʳ)ᵇ is
+    * integrated against a 20-cell histogram of exact 3-shingle Jaccard
+    * over a bounded calibration sample (all pairs with both ids <
+    * `maxId` — the q20/q33 capped-pair convention): false-positive mass
+    * = Σ_{j<τ} w(j)·P, false-negative mass = Σ_{j≥τ} w(j)·(1−P), τ =
+    * `tau`. Output ranks configurations by total error (rounded-value
+    * order + bands tiebreak, the q207 rule) — the planning step q316's
+    * accuracy audit validates after the fact.
+    *
+    * Scale: the calibration sample is fixed-size (maxId² pairs) by
+    * design — a planner must be cheap relative to the job it plans; the
+    * histogram and the 8-row parameter grid are driver-free broadcast
+    * algebra. pow() is libm on both engines; every pow output feeds the
+    * DECIMAL-lattice mass sums where sub-1e-12 drift is quantized away,
+    * then femit. */
+  def lshPlan(docs: DataFrame, nSig: Int = 128, tau: Double = 0.5,
+              maxId: Long = 200L): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val s = docs.sparkSession
+    graft.functions.TextExprs.register(s)
+    val sh = docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.shingles("text", 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(size(array_intersect(col("a.sh"), col("b.sh")))
+        .cast("double").as("inter"),
+        size(col("a.sh")).as("n1"), size(col("b.sh")).as("n2"))
+      .select((col("inter") /
+        (col("n1") + col("n2") - col("inter"))).as("j"))
+    // 20-cell histogram on [0,1); j = 1.0 folds into the top cell
+    val hist = pairs
+      .select(least(floor(col("j") * 20.0), lit(19.0)).cast("long").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("w"))
+    val total = hist.agg(sum(col("w")).as("tw"))
+    val k = (math.log(nSig.toDouble) / math.log(2.0)).round.toInt
+    require(1 << k == nSig, s"nSig must be a power of two, got $nSig")
+    val grid = s.createDataFrame(
+        (0 to k).map(i => ((1L << (k - i)), (1L << i))))
+      .toDF("bands", "rows_per_band")
+    val mid = (col("cell").cast("double") + lit(0.5)) / lit(20.0)
+    val pCand = lit(1.0) - pow(lit(1.0) -
+      pow(mid, col("rows_per_band").cast("double")), col("bands").cast("double"))
+    val mass = hist.crossJoin(broadcast(grid)).crossJoin(broadcast(total))
+      .select(col("bands"), col("rows_per_band"),
+        (col("w").cast("double") / col("tw")).as("wf"),
+        when(mid < tau, pCand).otherwise(lit(0.0)).as("fpTerm"),
+        when(mid >= tau, lit(1.0) - pCand).otherwise(lit(0.0)).as("fnTerm"))
+      .groupBy("bands", "rows_per_band")
+      .agg(dsum(col("wf") * col("fpTerm")).as("fp"),
+        dsum(col("wf") * col("fnTerm")).as("fn"))
+    val ranked = mass.select(col("bands"), col("rows_per_band"),
+        femit(col("fp")).as("fp_mass"), femit(col("fn")).as("fn_mass"),
+        femit(col("fp") + col("fn")).as("total_err"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("total_err").asc, col("bands").desc)).cast("long"))
+    ranked.orderBy("rnk")
+  }
 }

@@ -22,6 +22,12 @@ object Queries {
     * see [[graft.rel.Queries.femitSql]]. */
   private def femitSql(e: String): String = graft.rel.Queries.femitSql(e)
 
+  /** Exact decimal-lattice sum, oracle side — the
+    * [[graft.rel.Queries.dsum]] VARCHAR-route twin (see its scaladoc
+    * for why both casts must round-trip through VARCHAR). */
+  private def dsumSql(e: String): String =
+    s"CAST(CAST(SUM(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+
   /** Embedding dimensionality of the driver's `embeddings` table (all
     * SFs ship 64-float vectors). A constant rather than a `.head()` probe:
     * plan construction must never run a Spark job. Pinned by a spec test
@@ -1371,6 +1377,30 @@ object Queries {
         countDistinct(col("l_partkey")).as("exact_parts"),
         (abs(approx - exact) / exact < 0.05).as("approx_ok"))
     }),
+    // Tokenizer-planning fertility survey under the GPT-2-style
+    // pretokenizer (see TextAnalysis.pretokenFertility scaladoc)
+    "q321_pretokenize" -> ((s, dir) =>
+      TextAnalysis.pretokenFertility(tbl(s, dir, "documents"))),
+    // SemDeDup cluster-then-compare semantic pruning (see Sim.semDedup)
+    "q322_semdedup" -> ((s, dir) =>
+      Sim.semDedup(tbl(s, dir, "embeddings"), nlist = 16, tau = 0.30)),
+    // LSH (bands, rows) planner against the corpus's empirical pair-
+    // Jaccard histogram (see Dedup.lshPlan scaladoc)
+    "q323_lsh_planner" -> ((s, dir) =>
+      Dedup.lshPlan(tbl(s, dir, "documents"), nSig = 128, tau = 0.5,
+        maxId = 200L)),
+    // Laplace-mechanism DP count release, derandomized hash-noise
+    // (see Curation.dpCounts scaladoc)
+    "q324_dp_counts" -> ((s, dir) =>
+      Curation.dpCounts(tbl(s, dir, "documents"))),
+    // DSIR importance weights toward the target-language unigram
+    // profile (see Curation.dsirWeights scaladoc)
+    "q325_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(tbl(s, dir, "documents"))),
+    // Beta-binomial empirical-Bayes shrinkage of per-source quality
+    // rates (see TextAnalysis.betaBinomialQuality scaladoc)
+    "q327_beta_binomial" -> ((s, dir) =>
+      TextAnalysis.betaBinomialQuality(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -3778,5 +3808,145 @@ object Queries {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
         |  CAST(length(text) AS BIGINT) AS char_len, lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same RE2∩Java pretokenizer regex, same non-empty whitespace
+    // words, ratios femit'd.
+    "q321_pretokenize" ->
+      s"""WITH d AS (SELECT lang,
+         |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS np,
+         |  length(text) AS nc,
+         |  len(list_filter(string_split(text, ' '), t -> t <> '')) AS nw
+         |  FROM documents),
+         |g AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(np) AS BIGINT) AS n_pretokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nw) AS BIGINT) AS n_words FROM d GROUP BY lang)
+         |SELECT lang, n_docs, n_pretokens, n_chars, n_words,
+         |  ${femitSql("CAST(n_chars AS DOUBLE) / n_pretokens")} AS chars_per_pretoken,
+         |  ${femitSql("CAST(n_pretokens AS DOUBLE) / n_words")} AS pretokens_per_word
+         |FROM g ORDER BY lang""".stripMargin,
+    // Same first-16 centroids, same argmax-cosine assignment (kept
+    // WITH its csim), same within-cluster pair predicate and
+    // keep-low-centroid-sim drop rule; every cosine is the shared
+    // sequential fold, so the inequalities bind identical doubles.
+    "q322_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, v, norm, cid, csim FROM (
+         |    SELECT n.vec_id, n.v, n.norm, c.cid,
+         |      ${dotSql("n.v", "c.cv")} / (n.norm * c.cn) AS csim,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dotSql("n.v", "c.cv")} / (n.norm * c.cn) DESC, c.cid ASC) AS r
+         |    FROM n CROSS JOIN c) WHERE r = 1),
+         |drp AS (SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+         |  ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  AND ${dotSql("a.v", "b.v")} / (a.norm * b.norm) >= 0.30
+         |  AND (a.csim > b.csim OR (a.csim = b.csim AND a.vec_id > b.vec_id)))
+         |SELECT cid, count(*) AS n_members,
+         |  CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+         |  min(CASE WHEN d.vec_id IS NULL THEN asg.vec_id END) AS min_kept_id
+         |FROM asg LEFT JOIN drp d ON asg.vec_id = d.vec_id
+         |GROUP BY cid ORDER BY cid""".stripMargin,
+    // Same capped calibration pairs, same 20-cell histogram, same
+    // S-curve algebra; masses on the decimal lattice, rank by the
+    // rounded total + bands.
+    "q323_lsh_planner" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE doc_id < 200),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+         |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+         |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         |p AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id),
+         |h AS (SELECT CAST(least(floor(j * 20.0), 19.0) AS BIGINT) AS cell,
+         |  count(*) AS w FROM p GROUP BY 1),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM h),
+         |grid AS (SELECT * FROM (VALUES (128, 1), (64, 2), (32, 4), (16, 8),
+         |  (8, 16), (4, 32), (2, 64), (1, 128)) g(bands, rows_per_band)),
+         |m AS (SELECT bands, rows_per_band,
+         |    CAST(w AS DOUBLE) / tw AS wf,
+         |    (CAST(cell AS DOUBLE) + 0.5) / 20.0 AS mid,
+         |    1.0 - pow(1.0 - pow((CAST(cell AS DOUBLE) + 0.5) / 20.0,
+         |      CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)) AS pc
+         |  FROM h CROSS JOIN grid CROSS JOIN tw),
+         |mass AS (SELECT bands, rows_per_band,
+         |    ${dsumSql("wf * (CASE WHEN mid < 0.5 THEN pc ELSE 0.0 END)")} AS fp,
+         |    ${dsumSql("wf * (CASE WHEN mid >= 0.5 THEN 1.0 - pc ELSE 0.0 END)")} AS fn_
+         |  FROM m GROUP BY 1, 2),
+         |r AS (SELECT CAST(bands AS BIGINT) AS bands,
+         |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         |  ${femitSql("fp")} AS fp_mass, ${femitSql("fn_")} AS fn_mass,
+         |  ${femitSql("fp + fn_")} AS total_err FROM mass)
+         |SELECT bands, rows_per_band, fp_mass, fn_mass, total_err,
+         |  CAST(row_number() OVER (ORDER BY total_err ASC, bands DESC) AS BIGINT) AS rnk
+         |FROM r ORDER BY rnk""".stripMargin,
+    // Same keyed FNV-uniform, same inverse Laplace CDF, same ε ladder.
+    "q324_dp_counts" ->
+      s"""WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+         |e AS (SELECT eps_id, CAST(eps AS DOUBLE) AS eps
+         |  FROM (VALUES (1, 0.1), (2, 1.0)) t(eps_id, eps)),
+         |k AS (SELECT lang, source, eps_id, eps, n,
+         |  lang || '|' || source || '|' || CAST(eps_id AS VARCHAR) AS dpkey
+         |  FROM g CROSS JOIN e),
+         |u AS (SELECT lang, source, eps_id, eps, n,
+         |  (CAST(${fnvSql("dpkey")} % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+         |  FROM k),
+         |z AS (SELECT lang, source, eps_id, n,
+         |  (CAST(-1.0 AS DOUBLE) / eps) * sign(u - 0.5)
+         |    * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+         |  FROM u)
+         |SELECT lang, source, eps_id, n,
+         |  ${femitSql("n + noise")} AS noisy_count,
+         |  ${femitSql("abs(noise)")} AS abs_noise
+         |FROM z ORDER BY lang, source, eps_id""".stripMargin,
+    // Same hashed buckets, same add-1 bucket LMs, same decimal-lattice
+    // weight sum; top-20 by the rounded weight + doc_id.
+    "q325_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang, tok FROM
+         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |   FROM documents) u0 WHERE tok <> ''),
+         |tb AS (SELECT doc_id, lang, ${fnvSql("tok")} % 256 AS b FROM tok),
+         |lm AS (SELECT b,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |  CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+         |  FROM tb GROUP BY b),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+         |  CAST(sum(cs) AS BIGINT) AS ts FROM lm),
+         |d AS (SELECT b,
+         |  ln(CAST(ct + 1.0 AS DOUBLE) / CAST(tt + 256.0 AS DOUBLE))
+         |    - ln(CAST(cs + 1.0 AS DOUBLE) / CAST(ts + 256.0 AS DOUBLE)) AS dlt
+         |  FROM lm CROSS JOIN tt),
+         |pdb AS (SELECT doc_id, lang, b, count(*) AS c FROM tb GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id, lang,
+         |  ${femitSql(dsumSql("c * dlt"))} AS log_weight
+         |  FROM pdb JOIN d USING (b) GROUP BY doc_id, lang)
+         |SELECT CAST(row_number() OVER
+         |    (ORDER BY log_weight DESC, doc_id ASC) AS BIGINT) AS rnk,
+         |  doc_id, lang, log_weight
+         |FROM sc ORDER BY log_weight DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // Same group table, same decimal-lattice moments, same MoM algebra
+    // in the same evaluation order, same degeneracy guard.
+    "q327_beta_binomial" ->
+      s"""WITH g AS (SELECT lang, source, count(*) AS n,
+         |  CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM documents GROUP BY 1, 2),
+         |gr AS (SELECT lang, source, n, k, CAST(k AS DOUBLE) / n AS p FROM g),
+         |mom AS (SELECT count(*) AS ng, ${dsumSql("p")} AS sp,
+         |  ${dsumSql("p * p")} AS spp FROM gr),
+         |mv AS (SELECT ng, sp / ng AS m,
+         |  (spp - sp * sp / ng) / (ng - 1.0) AS v FROM mom),
+         |j AS (SELECT gr.*, mv.ng, mv.m, mv.v,
+         |  mv.ng > 1 AND mv.v > 0.0 AND mv.v < mv.m * (1.0 - mv.m) AS ok,
+         |  mv.m * (1.0 - mv.m) / mv.v - 1.0 AS common
+         |  FROM gr CROSS JOIN mv)
+         |SELECT lang, source, n, k,
+         |  ${femitSql("p")} AS raw_rate,
+         |  ${femitSql("CASE WHEN ok THEN (k + m * common) / (n + m * common + (1.0 - m) * common) END")} AS shrunk_rate,
+         |  ${femitSql("CASE WHEN ok THEN m * common END")} AS alpha,
+         |  ${femitSql("CASE WHEN ok THEN (1.0 - m) * common END")} AS beta
+         |FROM j ORDER BY lang, source""".stripMargin,
   )
 }

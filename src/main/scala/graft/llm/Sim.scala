@@ -1198,4 +1198,53 @@ object Sim {
         graft.rel.Queries.femit(col("nrm")).as("eigen_estimate"))
       .orderBy("dim")
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup pruning that makes
+    * all-pairs cosine tractable by FIRST clustering, THEN comparing
+    * only within clusters. A member is dropped when some same-cluster
+    * member is cosine-≥ `tau` similar AND sits strictly closer to the
+    * centroid (ties broken by lower vec_id) — i.e. each duplicate group
+    * keeps its member farthest from the centroid, the paper's
+    * keep-low-centroid-sim rule (outliers carry more marginal
+    * information than prototypical members). Emits the per-cluster
+    * audit: members, drops, survivor floor.
+    *
+    * Scale: the quadratic term is Σ|cluster|², not N² — production
+    * sizes nlist ∝ √N (the paper's k ≈ 50k for 5B embeddings keeps
+    * clusters ~10⁵, each a single-executor join partition); assignment
+    * itself is one broadcast pass (nlist centroid rows), and the
+    * within-cluster self-join is an equi-join ON cid, so Spark
+    * shuffle-partitions clusters independently. The centroid-sim
+    * comparison reuses the assignment pass's cosine — no recompute.
+    * Cross-engine: every cosine is the sequential [[fsum]] fold both
+    * engines execute identically, so the strict inequalities (pair sim
+    * ≥ tau, centroid-sim ordering) bind identical bit patterns. */
+  def semDedup(emb: DataFrame, nlist: Int = 16, tau: Double = 0.30): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val cents = ivfCentroids(v, nlist)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val asg = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"),
+        cosine(col("v"), col("cv"), col("norm"), col("cn")).as("csim"))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1).drop("r")
+    val a = asg.select(col("cid"), col("vec_id").as("ai"), col("v").as("av"),
+      col("norm").as("an"), col("csim").as("ac"))
+    val b = asg.select(col("cid"), col("vec_id").as("bi"), col("v").as("bv"),
+      col("norm").as("bn"), col("csim").as("bc"))
+    val dropped = a.join(b, "cid")
+      .where(col("ai") =!= col("bi") &&
+        cosine(col("av"), col("bv"), col("an"), col("bn")) >= tau &&
+        (col("ac") > col("bc") ||
+          (col("ac") === col("bc") && col("ai") > col("bi"))))
+      .select(col("ai").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+        min(when(col("dropped").isNull, col("vec_id"))).as("min_kept_id"))
+      .orderBy("cid")
+  }
 }

@@ -885,4 +885,81 @@ object TextAnalysis {
         (acc, c) => (acc * lit(1000003L) + c) % lit(2147483647L)).as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** Per-language tokenizer-fertility report under a GPT-2-style
+    * pretokenizer (space-prefixed letter runs | digit runs | symbol
+    * runs — the regex is the RE2∩Java-regex subset of GPT-2's pattern,
+    * lookahead-free so both engines split identically). This is the
+    * corpus survey a tokenizer-training run does FIRST: how many
+    * pretokens a candidate vocabulary must cover per language, and the
+    * upper bound on compression (chars/pretoken — BPE merges only ever
+    * coarsen pretokens, never cross them). Complements q23 (per-doc
+    * counts) with the per-language planning aggregate.
+    *
+    * Scale: one narrow codegen'd projection per document (regex runs
+    * per-row, no shuffle) into a |langs|-row hash-agg with map-side
+    * partials. No UDF, no driver loop. */
+  def pretokenFertility(docs: DataFrame): DataFrame = {
+    val pretoks = expr(
+      "regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+', 0)")
+    val perDoc = docs.select(col("lang"),
+      size(pretoks).cast("long").as("np"),
+      length(col("text")).cast("long").as("nc"),
+      size(toks(col("text"))).cast("long").as("nw"))
+    val f = graft.rel.Queries.femit _
+    perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("np")).as("n_pretokens"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_words"))
+      .select(col("lang"), col("n_docs"), col("n_pretokens"),
+        col("n_chars"), col("n_words"),
+        f(col("n_chars").cast("double") / col("n_pretokens"))
+          .as("chars_per_pretoken"),
+        f(col("n_pretokens").cast("double") / col("n_words"))
+          .as("pretokens_per_word"))
+      .orderBy("lang")
+  }
+
+  /** Empirical-Bayes shrinkage of per-(lang, source) quality rates via
+    * a beta-binomial method-of-moments fit (Morris 1983 parametric EB):
+    * each group's raw rate k/n (k = docs with ≥ `minChars` chars) is
+    * shrunk toward the corpus prior Beta(α̂, β̂) as (k+α̂)/(n+α̂+β̂).
+    * This is how a curation pipeline scores SMALL sources honestly — a
+    * 3-doc source with 3 hits shouldn't outrank a 200-doc source at
+    * 0.9 — and the same machinery prices per-domain dedup/toxicity
+    * rates. MoM: with m = mean(rate), v = var(rate) across groups,
+    * α̂+β̂ = m(1−m)/v − 1 (guarded: v = 0 or v ≥ m(1−m) emits NULL —
+    * no overdispersion signal to fit, the [[gmmEmOn]] edge-guard
+    * convention).
+    *
+    * Scale: one hash-agg to the group table (|langs|·|sources| rows),
+    * one 1-row moment aggregate broadcast back — the group table never
+    * re-shuffles. Rates and moments accumulate on the exact DECIMAL
+    * lattice so both engines fit identical α̂, β̂. */
+  def betaBinomialQuality(docs: DataFrame, minChars: Long = 200L): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val g = docs.groupBy("lang", "source").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("n_chars") >= minChars, 1L).otherwise(0L)).as("k"))
+    val gr = g.withColumn("p", col("k").cast("double") / col("n"))
+    val mom = gr.agg(count(lit(1)).as("ng"),
+        dsum(col("p")).as("sp"), dsum(col("p") * col("p")).as("spp"))
+      .select(col("ng"), (col("sp") / col("ng")).as("m"),
+        ((col("spp") - col("sp") * col("sp") / col("ng"))
+          / (col("ng") - lit(1.0))).as("v"))
+    val joined = gr.crossJoin(broadcast(mom))
+    val ok = col("ng") > 1L && col("v") > 0.0 &&
+      col("v") < col("m") * (lit(1.0) - col("m"))
+    val common = col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)
+    val alpha = col("m") * common
+    val beta = (lit(1.0) - col("m")) * common
+    joined.select(col("lang"), col("source"), col("n"), col("k"),
+        femit(col("p")).as("raw_rate"),
+        femit(when(ok, (col("k") + alpha) / (col("n") + alpha + beta)))
+          .as("shrunk_rate"),
+        femit(when(ok, alpha)).as("alpha"),
+        femit(when(ok, beta)).as("beta"))
+      .orderBy("lang", "source")
+  }
 }

@@ -1974,6 +1974,55 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Page–Hinkley drift detector (Page 1954; the streaming-ML standard
+  // for mean-shift detection, cf. Gama et al. 2014 survey §3.1) over
+  // each metric's event-time value series: with running mean x̄_i,
+  // U_i = Σ_{k≤i}(x_k − x̄_k − δ) and PH_i = U_i − min_{k≤i} U_k, an
+  // alarm fires when PH exceeds λ. Kept entirely on the DECIMAL
+  // lattice: the value prefix sum (hence x̄), the deviation prefix sum
+  // U, and its running min are all exact DECIMAL(38,12) window
+  // aggregates, so the min/compare bind identical values on both
+  // engines; only the final PH and mean go through femit. The alarm
+  // compares the ROUNDED PH against λ (the q207 boundary rule).
+  // Emitted at every 200th row per metric (plus each metric's first
+  // alarm row) — the mSPRT thinning convention: checkpoints bound the
+  // sink, the detector state runs on every row.
+  //
+  // Scale: one sort-shuffle keyed by event_type; all four window
+  // aggregates share that single sort (one WindowExec pass), no
+  // broadcast, no driver loop.
+  def pageHinkley(s: SparkSession, dir: String,
+                  delta: Double = 5.0, lambda: Double = 1000.0): DataFrame = {
+    val ev = events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+    val ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = ev
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("ps", sum(col("value").cast("decimal(38,12)")).over(w))
+    val mean = col("ps").cast("double") / col("rn")
+    val stepped = base
+      .withColumn("run_mean", mean)
+      .withColumn("dev", (col("value") - mean - lit(delta)))
+      .withColumn("u", sum(col("dev").cast("decimal(38,12)")).over(w))
+      .withColumn("umin", min(col("u")).over(w))
+    val ph = (col("u") - col("umin")).cast("double")
+    val total = Window.partitionBy("event_type")
+    val scored = stepped
+      .withColumn("ph", femit(ph))
+      .withColumn("alarm", col("ph") > lit(lambda))
+      .withColumn("first_alarm",
+        min(when(col("alarm"), col("rn"))).over(total))
+      .withColumn("last", max(col("rn")).over(total))
+    scored.where(col("rn") % 200 === 0 || col("rn") === col("last") ||
+        col("rn") === col("first_alarm"))
+      .select(col("event_type"), col("rn").cast("long").as("n_seen"),
+        femit(col("run_mean")).as("run_mean"), col("ph"), col("alarm"),
+        coalesce(col("rn") === col("first_alarm"), lit(false))
+          .as("is_first_alarm"))
+      .orderBy("event_type", "n_seen")
+  }
+
   // Benjamini–Hochberg FDR step-up (Benjamini & Hochberg, JRSS-B 1995)
   // over the per-metric always-valid p-values [[msprt]] leaves at its
   // final checkpoint — the multiple-comparisons control an
@@ -4430,6 +4479,7 @@ object Queries {
     "q295_msprt" -> (msprt _),
     "q319_bh_fdr" -> (bhFdr _),
     "q320_mde" -> (mde _),
+    "q326_page_hinkley" -> ((s, dir) => pageHinkley(s, dir)),
     "q296_tpch_q12" -> (tpchQ12 _),
     "q297_tpch_q14" -> (tpchQ14 _),
     "q298_tpch_q19" -> (tpchQ19 _),
@@ -5746,6 +5796,41 @@ object Queries {
          |  ${femitSql("CASE WHEN nt > 1 AND nc > 1 THEN mdea END")} AS mde_abs,
          |  ${femitSql("CASE WHEN nt > 1 AND nc > 1 AND meanc <> 0.0 THEN mdea / meanc END")} AS mde_rel
          |FROM d ORDER BY event_type""".stripMargin,
+    // Page–Hinkley twin: the same decimal-lattice prefix sums (value,
+    // deviation) and exact decimal running min; the PH statistic and
+    // the running mean cross to double on the VARCHAR route, the alarm
+    // compares the femit'd PH — every comparison binds identical bits.
+    "q326_page_hinkley" ->
+      s"""WITH e AS (SELECT event_type, event_id, ts, value FROM events
+         |  WHERE value IS NOT NULL),
+         |b AS (SELECT event_type, event_id, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         |  SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) OVER
+         |    (PARTITION BY event_type ORDER BY ts, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+         |  FROM e),
+         |s1 AS (SELECT *,
+         |  CAST(CAST(ps AS VARCHAR) AS DOUBLE) / rn AS run_mean_raw,
+         |  value - CAST(CAST(ps AS VARCHAR) AS DOUBLE) / rn
+         |    - CAST(5.0 AS DOUBLE) AS dev FROM b),
+         |s2 AS (SELECT *,
+         |  SUM(CAST(CAST(dev AS VARCHAR) AS DECIMAL(38,12))) OVER
+         |    (PARTITION BY event_type ORDER BY ts, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u FROM s1),
+         |s3 AS (SELECT *,
+         |  min(u) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS umin FROM s2),
+         |s4 AS (SELECT event_type, rn, run_mean_raw,
+         |  ${femitSql("CAST(CAST(u - umin AS VARCHAR) AS DOUBLE)")} AS ph FROM s3),
+         |s5 AS (SELECT *, ph > CAST(1000.0 AS DOUBLE) AS alarm FROM s4),
+         |s6 AS (SELECT *,
+         |  min(CASE WHEN alarm THEN rn END) OVER (PARTITION BY event_type) AS first_alarm,
+         |  max(rn) OVER (PARTITION BY event_type) AS lastrn FROM s5)
+         |SELECT event_type, CAST(rn AS BIGINT) AS n_seen,
+         |  ${femitSql("run_mean_raw")} AS run_mean, ph, alarm,
+         |  coalesce(rn = first_alarm, false) AS is_first_alarm
+         |FROM s6 WHERE rn % 200 = 0 OR rn = lastrn OR rn = first_alarm
+         |ORDER BY event_type, n_seen""".stripMargin,
     // BH step-up on q295's final-checkpoint p-values: the identical
     // pipeline as the base CTE, then the same m²-bounded rank/step-up
     // algebra; all boundary arithmetic forced through DOUBLE casts
