@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builder-side synthetic scale probe (VERDICT r9 item 4): replicates
+  * the sf0.1 `documents`/`events` tables K× and measures the scaling
+  * SLOPE of the heavy operators, replacing BASELINE.md's analytic
+  * "would hold at sf1" note with a measurement. Not a gate fixture —
+  * replicas live under /tmp and nothing here feeds Verify.
+  *
+  * Replication must GROW the corpus, not duplicate it: 10 exact copies
+  * of every document would hand the dedup operators a pathological
+  * 45-pairs-per-group blowup and measure that, not the plan. Replica
+  * k therefore suffixes every token with `_k` — vocabulary and
+  * documents scale together, per-gram document frequency (the PPJoin
+  * bucket shape) and near-dup cluster structure are preserved
+  * per-replica, so a linear-in-N plan shows a ~linear curve. Events
+  * replicate with id/user offsets at the SAME timestamps — 10× density
+  * per window, the watermark-bounded state claim under test.
+  *
+  * Probes (JSON line per probe on stdout, and target/scale.json):
+  *  - `ppjoin`: q132's lossless prefix-filter join at 1×/2×/5×/10×.
+  *  - `cc`: q65's MinHash pairs → connected components at 1×/10×.
+  *  - `probe`: q75's incremental dedup of a FIXED batch against a
+  *    persisted bucketed store built from 1× vs 9× history — the
+  *    O(batch)-not-O(history) claim is the ratio of those two times.
+  *  - `stream`: q87's watermarked tumbling drain over time-sliced
+  *    files at 1×/10× events, with the state-reader row count — state
+  *    must stay O(open windows) while input grows 10×.
+  */
+object ScaleProbe {
+  private def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Replicas 0..k-1 of (doc_id, text): id offset 10M per replica,
+    * every token suffixed `_k`. */
+  private def replicateDocs(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " ", -1),
+          t => concat(t, lit("_" + i))), " ").as("text"))
+    }.reduce(_ unionAll _)
+
+  private def replicateEvents(ev: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("ts"), col("value"))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = new StringBuilder("{")
+
+    // --- materialize replicas once (measured ops must not pay the
+    // replication transform — at a real 10× the data is already on disk)
+    val scales = Seq(1, 2, 5, 10)
+    scales.foreach { k =>
+      val p = s"$work/docs_x$k"
+      if (!new java.io.File(p + "/_SUCCESS").exists())
+        replicateDocs(docs, k).write.mode("overwrite").parquet(p)
+    }
+    def docsAt(k: Int) = spark.read.parquet(s"$work/docs_x$k")
+
+    // --- ppjoin slope (q132 shape)
+    val pp = scales.map { k =>
+      val (n, t) = time(llm.Dedup.prefixFilterJoin(
+        docsAt(k), "doc_id", "text", k = 3, tauNum = 1, tauDen = 2).count())
+      s""""x$k":{"sec":$t,"pairs":$n}"""
+    }
+    out ++= s""""ppjoin":{${pp.mkString(",")}},"""
+
+    // --- connected components slope (q65 shape)
+    val cc = Seq(1, 10).map { k =>
+      val (n, t) = time(llm.Dedup.connectedComponents(
+        llm.Dedup.minhashNearDups(docsAt(k), "doc_id", "text",
+          k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)).count())
+      s""""x$k":{"sec":$t,"members":$n}"""
+    }
+    out ++= s""""cc":{${cc.mkString(",")}},"""
+
+    // --- incremental probe: fixed batch vs growing history (q75 shape).
+    // History = replicas 1..h (never replica 0); batch = replica 0.
+    // O(batch) holds iff probe time is ~flat in h.
+    val batch = docsAt(1)
+    val prb = Seq(1, 9).map { h =>
+      val hist = spark.read.parquet(s"$work/docs_x10")
+        .where(col("doc_id") >= 10000000L && col("doc_id") < (h + 1) * 10000000L)
+      rel.Layout.writeBucketedBy(
+        llm.Dedup.minhashSignatureStore(hist, "doc_id", "text"),
+        s"scale_store_x$h", 8, "band", "bkey")
+      val (n, t) = time(llm.Dedup.incrementalNearDups(
+        batch, spark.table(s"scale_store_x$h"), hist,
+        "doc_id", "text", threshold = 0.1).count())
+      s""""h$h":{"sec":$t,"dups":$n}"""
+    }
+    out ++= s""""probe":{${prb.mkString(",")}},"""
+
+    // --- streaming drain: watermarked tumbling agg over time-sliced
+    // files (q87's layout contract: slices in event-time order).
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("ts"), col("value"))
+      .where(col("ts").isNotNull && col("value").isNotNull)
+    val st = Seq(1, 10).map { k =>
+      val in = s"$work/events_x$k"
+      val all = replicateEvents(ev, k)
+      // the q87 layout contract: sequential time-range slices appended
+      // in event-time order, so file mtime order = watermark order
+      val Array(lo, hi) = all
+        .agg(unix_timestamp(min(col("ts"))), unix_timestamp(max(col("ts"))))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val width = (hi - lo) / 8 + 1
+      val sliced = all.withColumn("slice",
+        ((unix_timestamp(col("ts")) - lo) / width).cast("int"))
+      val inPath = new org.apache.hadoop.fs.Path(in)
+      inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(inPath, true)
+      (0 until 8).foreach { i =>
+        sliced.where(col("slice") === i).drop("slice")
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val sink = s"$work/stream_out_x$k"
+      val (_, t) = time(sources.StreamIngest.windowedAggParquet(
+        spark, in, all.schema, sink, sink + "_ckpt", filesPerTrigger = 2))
+      val stateRows = spark.read.format("statestore").load(sink + "_ckpt").count()
+      s""""x$k":{"sec":$t,"state_rows":$stateRows}"""
+    }
+    out ++= s""""stream":{${st.mkString(",")}}}"""
+
+    println("SCALEPROBE " + out)
+    val p = java.nio.file.Paths.get("target/scale.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (out.toString + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

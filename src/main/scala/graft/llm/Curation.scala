@@ -386,7 +386,10 @@ object Curation {
     * Laplace CDF, so the released values are reproducible AND
     * oracle-checkable while keeping the mechanism's exact shape (a
     * production run swaps the keyed hash for a seeded CSPRNG; the plan
-    * is unchanged). u can never be exactly ½ (numerator is a
+    * is unchanged). To be explicit: the derandomized form provides
+    * ZERO actual privacy — anyone who knows the key can recompute the
+    * noise and recover the exact count; only the CSPRNG swap makes the
+    * released values differentially private. u can never be exactly ½ (numerator is a
     * half-integer, denominator a power of two), so sign/ln never see
     * their singular points.
     *
@@ -401,8 +404,12 @@ object Curation {
     val eps = s.createDataFrame(epsilons).toDF("eps_id", "eps")
     val g = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
     val keyed = g.crossJoin(broadcast(eps))
+      // concat (null-propagating, like the oracle's `||`) — NOT
+      // concat_ws, which silently skips null lang/source and would
+      // draw keyed noise where the oracle emits NULL noisy_count.
       .withColumn("dpkey",
-        concat_ws("|", col("lang"), col("source"), col("eps_id")))
+        concat(col("lang"), lit("|"), col("source"), lit("|"),
+          col("eps_id").cast("string")))
       .withColumn("u",
         (pmod(graft.functions.HashExprs.fnv1a32("dpkey"), lit(1048576L))
           .cast("double") + lit(0.5)) / lit(1048576.0))
@@ -439,9 +446,14 @@ object Curation {
       .withColumn("b", pmod(graft.functions.HashExprs.fnv1a32("tok"),
         lit(nBuckets.toLong)))
     val isT = col("lang") === targetLang
+    // localCheckpoint: the bucket LM feeds both the total-count
+    // broadcast branch and the delta projection; without it the corpus
+    // token scan behind `lm` runs once per consumer (Catalyst shares no
+    // sub-plans across broadcast branches — PlanSpec-pinned).
     val lm = tok.groupBy("b").agg(
         sum(when(isT, 1L).otherwise(0L)).as("ct"),
         sum(when(!isT, 1L).otherwise(0L)).as("cs"))
+      .localCheckpoint()
     val tot = lm.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
     val delta = lm.crossJoin(broadcast(tot)).select(col("b"),
       (log((col("ct") + lit(1.0)) / (col("tt") + lit(nBuckets.toDouble))) -

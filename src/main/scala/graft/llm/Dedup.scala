@@ -958,10 +958,16 @@ object Dedup {
         size(col("a.sh")).as("n1"), size(col("b.sh")).as("n2"))
       .select((col("inter") /
         (col("n1") + col("n2") - col("inter"))).as("j"))
-    // 20-cell histogram on [0,1); j = 1.0 folds into the top cell
+    // 20-cell histogram on [0,1); j = 1.0 folds into the top cell.
+    // localCheckpoint: the histogram feeds TWO consumers (the total-mass
+    // broadcast branch and the grid cross) and Catalyst does not share
+    // sub-plans across broadcast branches — without the checkpoint the
+    // O(maxId²) pair join above runs once per consumer (the q209/q132
+    // reduce-once-probe-many rule; PlanSpec-pinned).
     val hist = pairs
       .select(least(floor(col("j") * 20.0), lit(19.0)).cast("long").as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val total = hist.agg(sum(col("w")).as("tw"))
     val k = (math.log(nSig.toDouble) / math.log(2.0)).round.toInt
     require(1 << k == nSig, s"nSig must be a power of two, got $nSig")

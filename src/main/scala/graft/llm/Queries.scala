@@ -308,12 +308,13 @@ object Queries {
     // 0.35: the synthetic embeddings correlate only weakly with text
     // similarity (text-dup pairs measure cosine ≈0.07–0.28), and the
     // consensus's precision comes from the conjunction, not from either
-    // single threshold.
+    // single threshold. Both pair pipelines ride fingerprint-stamped
+    // materializations (the q218/q222 pattern) — the consensus join is
+    // a report over proven pair stores, not a reason to re-run two
+    // similarity joins per pass (VERDICT r9 item 3).
     "q94_consensus_dedup" -> ((s, dir) => {
-      val text = Dedup.minhashNearDups(tbl(s, dir, "documents"),
-        "doc_id", "text", k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)
-      val embed = Sim.cosineNearDupsLsh(tbl(s, dir, "embeddings"),
-        threshold = 0.2, nTables = 16, bandPlanes = 4, dim = EmbeddingDim)
+      val text = minhashPairStore(s, dir)
+      val embed = embedLshPairStore(s, dir)
         .select(col("v1").as("d1"), col("v2").as("d2"), col("sim"))
       text.join(embed, Seq("d1", "d2"))
         .select(col("d1"), col("d2"), col("jaccard"), col("sim"))
@@ -614,11 +615,12 @@ object Queries {
     // covariance matrix, dsum-stable loadings).
     "q279_pca_power" -> ((s, dir) =>
       Sim.pcaPower(tbl(s, dir, "embeddings"), iters = 2)),
+    // Rides the stamped MinHash pair store (same params as q18/q65) —
+    // the histogram is a report over the pair table, not a reason to
+    // re-run the MinHash join per pass.
     "q276_dup_cluster_sizes" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val comp = Dedup.connectedComponents(
-        Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1))
+      val comp = Dedup.connectedComponents(minhashPairStore(s, dir))
       val hist = comp.groupBy("component").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"),
           sum(col("sz")).as("n_docs"))
@@ -1013,23 +1015,24 @@ object Queries {
     // E16 capstone: IVF-PQ — the coarse-pruning × residual-compression
     // COMPOSITION (FAISS IndexIVFPQ design): nprobe=4 of 16 lists per
     // query, vectors stored as 8 PQ codes of their residual, ADC
-    // estimate dot(q,c) + Σ LUT, exact rerank of the top-20. Every
+    // estimate dot(q,c) + Σ LUT, exact rerank of the top-40. Every
     // stage a fixed-order fold ⇒ the whole pipeline value-oracles
-    // (see Sim.ivfpqKnn). Recall honestly measured: 0.46 vs exact
-    // top-5 at sf0.01 (RecallSpec floor 0.3) — two approximations
-    // compound; production tunes nprobe and trains real codebooks.
+    // (see Sim.ivfpqKnn). Residual codebooks take one exact-DECIMAL
+    // Lloyd pass (Sim.refineSubCodebook; was 0.46 recall unrefined,
+    // LlmSpec floor now 0.7); the oracle replays the identical
+    // iteration so the row stays hash-green.
     "q164_ivfpq_knn" -> ((s, dir) =>
       Sim.ivfpqKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
     // E16: PRODUCT-QUANTIZATION kNN (8 subspaces × 16 centroids, ADC
-    // lookup-table scan, exact rerank of the top-20) — the third
+    // lookup-table scan, exact rerank of the top-40) — the third
     // compression axis after q108's precision and q122's dimensions.
     // Codes, LUTs, and estimates are fixed-order folds on identical
     // inputs, so the whole pipeline value-oracles (see Sim.pqKnn).
-    // Recall honestly measured: 0.52 vs exact top-5 at sf0.01 (floor
-    // pinned in RecallSpec) — the price of the deterministic
-    // unrefined 16-entry codebooks; a Lloyd pass (q47's pattern)
-    // lifts it without changing the dataflow.
+    // Codebooks take one exact-DECIMAL Lloyd refinement pass
+    // (Sim.refineSubCodebook — was 0.52 recall unrefined, LlmSpec
+    // floor now 0.7); the oracle replays the identical iteration so
+    // the row stays hash-green.
     "q140_pq_knn" -> ((s, dir) =>
       Sim.pqKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
         .orderBy("qid", "rnk")),
@@ -1401,6 +1404,14 @@ object Queries {
     // rates (see TextAnalysis.betaBinomialQuality scaladoc)
     "q327_beta_binomial" -> ((s, dir) =>
       TextAnalysis.betaBinomialQuality(tbl(s, dir, "documents"))),
+    // Prototype-based pruning: drop the most prototypical frac of each
+    // embedding cluster, keep the hard tail (see Sim.prototypePrune)
+    "q328_prototype_prune" -> ((s, dir) =>
+      Sim.prototypePrune(tbl(s, dir, "embeddings"))),
+    // Mergeable KMV distinct-token sketch per source + the merged
+    // corpus sketch, estimate next to exact (see TextAnalysis.kmvSketch)
+    "q329_kmv_sketch" -> ((s, dir) =>
+      TextAnalysis.kmvSketch(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -2090,9 +2101,41 @@ object Queries {
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Lloyd-refinement CTE chain for a PQ sub-codebook — the DuckDB
+    * twin of [[Sim]]'s refineSubCodebook: `lloyd` iterations of
+    * argmin-L2 assignment over `src` (a (vec_id, j, `subCol`) CTE)
+    * against the current `cbr{i-1}` (j, cid, cv) table, then
+    * per-(j, cid, coordinate) means through the DECIMAL(38,12)
+    * VARCHAR-round-trip route (the kmeansRefineOracle convention) and
+    * a coalesce that keeps memberless entries at their previous value
+    * (the table must stay dense for the `j*ksub + cid + 1` LUT index).
+    * The caller provides `cbr0` and reads `cbr$lloyd`. Each refined
+    * table is MATERIALIZED — DuckDB re-inlines plain CTEs per
+    * reference and the chain is iterative (the q210 lesson). */
+  private def pqRefineCtes(src: String, subCol: String, dsub: Int,
+                           lloyd: Int): String = {
+    val dmean = "CAST(CAST(SUM(CAST(CAST(sub[ci + 1] AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)"
+    (1 to lloyd).map { i =>
+      val l2 = foldSum.format(
+        s"list_transform(list_zip(s.$subCol, cb.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))")
+      s""",
+         |ra${i}0 AS (SELECT s.vec_id, s.j, cb.cid, s.$subCol AS sub, $l2 AS dist
+         |  FROM $src s JOIN cbr${i - 1} cb ON cb.j = s.j),
+         |ra$i AS (SELECT vec_id, j, cid, sub FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY dist ASC, cid ASC) AS r FROM ra${i}0) WHERE r = 1),
+         |rm$i AS (SELECT j, cid, ci, $dmean AS c
+         |  FROM ra$i, (SELECT unnest(range($dsub)) AS ci) GROUP BY j, cid, ci),
+         |rk$i AS (SELECT j, cid, list(c ORDER BY ci) AS cv FROM rm$i GROUP BY j, cid),
+         |cbr$i AS MATERIALIZED (SELECT cb.j, cb.cid, coalesce(k.cv, cb.cv) AS cv
+         |  FROM cbr${i - 1} cb LEFT JOIN rk$i k ON k.j = cb.j AND k.cid = cb.cid)""".stripMargin
+    }.mkString
+  }
+
   /** DuckDB twin of [[Sim.pqKnn]] at the q140 parameters (dim 64, m=8
-    * subspaces of 8, ksub=16 codebooks from the first 16 vectors, ADC
-    * top-20, exact rerank to top-5): the same flat sub-vector
+    * subspaces of 8, ksub=16 codebooks initialized from the first 16
+    * vectors then Lloyd-refined one pass via [[pqRefineCtes]], ADC
+    * top-40, exact rerank to top-5): the same flat sub-vector
     * explosion, the same argmin-L2 encode with (dist, cid) ties, and
     * every float reduction an identical fixed-order fold — coordinate
     * order inside sub-vectors, j-ascending `list(... ORDER BY j)` for
@@ -2107,9 +2150,11 @@ object Queries {
        |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM v),
        |subs AS (SELECT vec_id, norm, j, v[j*8+1 : j*8+8] AS sub
        |  FROM n, (SELECT unnest(range(8)) AS j)),
-       |cb AS (SELECT j, CAST(vec_id AS INT) AS cid, sub AS cv,
-       |  ${foldSum.format("list_transform(sub, x -> x * x)")} AS ccn
-       |  FROM subs WHERE vec_id < 16),
+       |cbr0 AS (SELECT j, CAST(vec_id AS INT) AS cid, sub AS cv
+       |  FROM subs WHERE vec_id < 16)${pqRefineCtes("subs", "sub", 8, 1)},
+       |cb AS MATERIALIZED (SELECT j, cid, cv,
+       |  ${foldSum.format("list_transform(cv, x -> x * x)")} AS ccn
+       |  FROM cbr1),
        |e0 AS (SELECT s.vec_id, s.j, cb.cid, cb.ccn, $l2 AS dist
        |  FROM subs s JOIN cb ON cb.j = s.j),
        |codes AS (SELECT vec_id, j, cid, ccn FROM (
@@ -2131,7 +2176,7 @@ object Queries {
        |  WHERE ed.vec_id <> ed.qid),
        |c AS (SELECT qid, vec_id FROM (
        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-       |    ORDER BY est DESC, vec_id ASC) AS r FROM est) WHERE r <= 20),
+       |    ORDER BY est DESC, vec_id ASC) AS r FROM est) WHERE r <= 40),
        |j AS (SELECT c.qid, c.vec_id,
        |  ${dotSql("nb.v", "nq.v")} / (nb.norm * nq.norm) AS sim
        |  FROM c JOIN n nb ON nb.vec_id = c.vec_id JOIN n nq ON nq.vec_id = c.qid),
@@ -2142,7 +2187,8 @@ object Queries {
   }
 
   /** DuckDB twin of [[Sim.ivfpqKnn]] at the q164 parameters (nlist=16,
-    * nprobe=4, m=8, ksub=16, rerank=20, k=5): the shared IVF assign
+    * nprobe=4, m=8, ksub=16, one Lloyd refinement pass, rerank=40,
+    * k=5): the shared IVF assign
     * CTE, residual sub-vectors against the assigned centroid, global
     * residual codebooks from the first 16 vectors, argmin-L2 encode,
     * probed-list restriction, and the ADC estimate dot(q,c) + Σ LUT
@@ -2153,12 +2199,13 @@ object Queries {
     val qdot = foldSum.format(
       "list_transform(list_zip(qs.qsub, cb.pcv), p -> p[1] * p[2])")
     s"""WITH ${ivfAssignCte(16)},
-       |rs AS (SELECT asg.vec_id, asg.cid, j,
+       |rs AS MATERIALIZED (SELECT asg.vec_id, asg.cid, j,
        |  list_transform(list_zip(asg.v[j*8+1 : j*8+8], c.cv[j*8+1 : j*8+8]),
        |    p -> p[1] - p[2]) AS rsub
        |  FROM asg JOIN c USING (cid), (SELECT unnest(range(8)) AS j)),
-       |cb AS (SELECT j, CAST(vec_id AS INT) AS pcid, rsub AS pcv
-       |  FROM rs WHERE vec_id < 16),
+       |cbr0 AS (SELECT j, CAST(vec_id AS INT) AS cid, rsub AS cv
+       |  FROM rs WHERE vec_id < 16)${pqRefineCtes("rs", "rsub", 8, 1)},
+       |cb AS MATERIALIZED (SELECT j, cid AS pcid, cv AS pcv FROM cbr1),
        |e0 AS (SELECT rs.vec_id, rs.cid, rs.j, cb.pcid, $l2 AS dist
        |  FROM rs JOIN cb ON cb.j = rs.j),
        |codes AS (SELECT vec_id, cid, j, pcid FROM (
@@ -2187,7 +2234,7 @@ object Queries {
        |est AS (SELECT qid, vec_id, qcdot + rd AS est FROM ed),
        |cand AS (SELECT qid, vec_id FROM (
        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-       |    ORDER BY est DESC, vec_id ASC) AS r FROM est) WHERE r <= 20),
+       |    ORDER BY est DESC, vec_id ASC) AS r FROM est) WHERE r <= 40),
        |j2 AS (SELECT cand.qid, cand.vec_id,
        |  ${dotSql("nb.v", "nq.v")} / (nb.norm * nq.norm) AS sim
        |  FROM cand JOIN n nb ON nb.vec_id = cand.vec_id
@@ -2372,6 +2419,45 @@ object Queries {
     * content fingerprint (the q75/q100 idempotent-fixture pattern): a
     * regenerated fixture invalidates the store; q132 itself stays the
     * from-scratch declaration. */
+  /** Generic fingerprint-stamped parquet materialization (the
+    * [[exactPairStore]] pattern, factored): build `mk` once per fixture
+    * generation of `table`, rewrite only when the content fingerprint
+    * changes, read back from parquet. Consumers share the dominating
+    * similarity-join cost instead of re-running it per declared query
+    * (VERDICT r9 item 3 — q94 ran both pair pipelines per pass). */
+  private[graft] def stampedStore(s: SparkSession, dir: String, name: String,
+                                  table: String)(mk: => DataFrame): DataFrame = {
+    val out = graft.Scratch.dir(name)
+    val marker = java.nio.file.Paths.get(graft.Scratch.dir(name + "_marker"))
+    val stamp = dir + "\n" + graft.Scratch.fingerprint(s"$dir/$table.parquet")
+    val fresh_? = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
+    if (!fresh_?) {
+      mk.write.mode("overwrite").parquet(out)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    s.catalog.refreshByPath(out)
+    s.read.parquet(out)
+  }
+
+  /** q18's MinHash near-dup pair table (k=3, 64 buckets, band 4,
+    * τ=0.1), materialized once per fixture and reused by q94's
+    * consensus join and q276's cluster histogram — q18/q65 stay the
+    * from-scratch declarations. */
+  private def minhashPairStore(s: SparkSession, dir: String): DataFrame =
+    stampedStore(s, dir, "minhash_pair_store", "documents")(
+      Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1))
+
+  /** q94's embedding sign-LSH near-dup pair table (τ=0.2 — see the q94
+    * threshold note), materialized once per fixture; q36 (τ=0.35) stays
+    * the from-scratch declaration. */
+  private def embedLshPairStore(s: SparkSession, dir: String): DataFrame =
+    stampedStore(s, dir, "embed_lsh_pair_store", "embeddings")(
+      Sim.cosineNearDupsLsh(tbl(s, dir, "embeddings"), threshold = 0.2,
+        nTables = 16, bandPlanes = 4, dim = EmbeddingDim))
+
   private def exactPairStore(s: SparkSession, dir: String): DataFrame = {
     val out = graft.Scratch.dir("exact_pair_store")
     val marker = java.nio.file.Paths.get(
@@ -2866,14 +2952,16 @@ object Queries {
         |  ${femitSql("1.0 / (1.0 + exp(-z))")} AS score,
         |  ${femitSql("1.0 / (1.0 + exp(-z))")} >= 0.5 AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
-    // Same blocking, same capped expansion, same edit distance.
+    // Same blocking, same edit distance. Lossless like the engine:
+    // fuzzyJoin spills oversized blocks through the salted join rather
+    // than dropping them, so the oracle keeps every >1 block uncapped.
     "q86_fuzzy_join" ->
       """WITH t AS (SELECT doc_id,
         |  array_to_string((string_split(text, ' '))[1:5], ' ') AS title FROM documents),
         |b AS (SELECT doc_id, title, string_split(title, ' ')[1] AS tok1,
         |  length(title) // 4 AS lb FROM t),
         |sz AS (SELECT tok1, lb FROM b GROUP BY tok1, lb
-        |  HAVING count(*) > 1 AND count(*) <= 10000)
+        |  HAVING count(*) > 1)
         |SELECT a.doc_id AS d1, c.doc_id AS d2,
         |  CAST(levenshtein(a.title, c.title) AS BIGINT) AS dist
         |FROM b a JOIN b c ON a.tok1 = c.tok1 AND a.lb = c.lb AND a.doc_id < c.doc_id
@@ -3948,5 +4036,56 @@ object Queries {
          |  ${femitSql("CASE WHEN ok THEN m * common END")} AS alpha,
          |  ${femitSql("CASE WHEN ok THEN (1.0 - m) * common END")} AS beta
          |FROM j ORDER BY lang, source""".stripMargin,
+    // Same assignment fold, same per-cluster prototypicality ranking,
+    // same dyadic ceil(n*0.25) cut through DOUBLE on both engines.
+    "q328_prototype_prune" ->
+      s"""WITH ${ivfAssignCte(16)},
+         |a00 AS (SELECT n.vec_id, c.cid,
+         |  ${dotSql("n.v", "c.cv")} / (n.norm * c.cn) AS csim
+         |  FROM n CROSS JOIN c),
+         |a0 AS (SELECT vec_id, cid, csim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cid ASC) AS r FROM a00) WHERE r = 1),
+         |rk AS (SELECT vec_id, cid, csim,
+         |  row_number() OVER (PARTITION BY cid
+         |    ORDER BY csim DESC, vec_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY cid) AS n_c FROM a0),
+         |p AS (SELECT *, rn <= ceil(CAST(n_c AS DOUBLE) * CAST(0.25 AS DOUBLE)) AS pruned
+         |  FROM rk)
+         |SELECT cid, count(*) AS n_members,
+         |  CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |  ${femitSql("min(CASE WHEN pruned THEN csim END)")} AS cut_sim,
+         |  min(CASE WHEN NOT pruned
+         |    AND rn = ceil(CAST(n_c AS DOUBLE) * CAST(0.25 AS DOUBLE)) + 1
+         |    THEN vec_id END) AS top_survivor_id
+         |FROM p GROUP BY cid ORDER BY cid""".stripMargin,
+    // Same FNV hash lattice, same per-source bottom-64, same
+    // union-merge, same (k-1)*2^32/h_k estimator.
+    "q329_kmv_sketch" ->
+      s"""WITH tk AS (SELECT DISTINCT source, s AS tok FROM
+         |  (SELECT source, unnest(list_distinct(list_transform(
+         |    range(greatest(len(ts) - 2, 0)),
+         |    i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS s
+         |  FROM (SELECT source, string_split(text, ' ') AS ts FROM documents) t0) u0),
+         |dh AS (SELECT DISTINCT source, ${fnvSql("tok")} AS h FROM tk),
+         |kept AS (SELECT source, h, rn FROM (
+         |  SELECT source, h, row_number() OVER (PARTITION BY source
+         |    ORDER BY h ASC) AS rn FROM dh) WHERE rn <= 64),
+         |ex AS (SELECT source, count(*) AS n_exact FROM dh GROUP BY source),
+         |per AS (SELECT kept.source, max(CASE WHEN rn = 64 THEN h END) AS hk,
+         |  count(*) AS n_kept FROM kept GROUP BY source),
+         |mk AS (SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+         |  FROM (SELECT DISTINCT h FROM kept) u1),
+         |mg AS (SELECT max(CASE WHEN rn = 64 THEN h END) AS hk,
+         |  count(*) AS n_kept FROM mk WHERE rn <= 64),
+         |ge AS (SELECT count(DISTINCT h) AS n_exact FROM dh),
+         |u AS (SELECT per.source, per.hk, per.n_kept, ex.n_exact
+         |    FROM per JOIN ex USING (source)
+         |  UNION ALL
+         |  SELECT '__merged', mg.hk, mg.n_kept, ge.n_exact
+         |    FROM mg CROSS JOIN ge)
+         |SELECT source, hk, n_kept, n_exact,
+         |  ${femitSql("CAST(63.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE) / CAST(hk AS DOUBLE)")} AS est_distinct
+         |FROM u ORDER BY source""".stripMargin,
   )
 }

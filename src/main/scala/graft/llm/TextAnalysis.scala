@@ -232,8 +232,10 @@ object TextAnalysis {
     * — no float accumulation anywhere), plus one broadcast 1-row stats
     * frame; the per-row BM25 arithmetic is single-expression IEEE
     * double math whose operation ORDER the DuckDB oracle mirrors
-    * exactly, with `round(.,6)` absorbing the one-ulp libm `ln`
-    * divergence (q27/q58's proven pattern). The k1/b constants are
+    * exactly, emitted through the [[graft.rel.Queries.femit]] IEEE
+    * lattice to match the oracle's femitSql twin bit-for-bit (a mixed
+    * round/femit pair diverges at 7th-decimal half boundaries). The
+    * k1/b constants are
     * pre-combined in Scala and interpolated into BOTH plans so each
     * engine parses the identical double literal.
     * Output: (doc_id, tok, tf, df, bm25). */
@@ -253,12 +255,11 @@ object TextAnalysis {
     val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(dl, "doc_id").join(dft, "tok").crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-        round(
+        graft.rel.Queries.femit(
           log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
             (col("tf") * lit(k1 + 1)) /
             (col("tf") + lit(k1) * (lit(1 - b) +
-              lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl"))),
-          6).as("bm25"))
+              lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl")))).as("bm25"))
       .orderBy("doc_id", "tok")
   }
 
@@ -961,5 +962,68 @@ object TextAnalysis {
         femit(when(ok, alpha)).as("alpha"),
         femit(when(ok, beta)).as("beta"))
       .orderBy("lang", "source")
+  }
+
+  /** K-minimum-values distinct-count sketch per source, PLUS the merged
+    * corpus sketch (Bar-Yossef et al. 2002, "Counting distinct elements
+    * in a data stream"; the KMV/bottom-k form): hash every distinct
+    * 3-token shingle to the 32-bit FNV lattice, keep the `kMin`
+    * smallest hashes per source, and estimate
+    * |distinct| = (k−1)·2³² / h₍ₖ₎. The MERGE
+    * property is the point at 100 TB: the global sketch is just the
+    * kMin smallest of the UNION of the per-source sketches (≤ k·|S|
+    * rows — driver-scale), so per-shard sketches combine without
+    * re-touching the data, the property Spark's own HLL (q30) shares
+    * but KMV keeps fully inspectable and EXACTLY reproducible (the
+    * keyed FNV hash makes the sketch an oracle-checkable value, not an
+    * opaque binary). Each row carries the exact distinct count next to
+    * the estimate — the gate pins the estimator's arithmetic, the
+    * error column is honest output. Undersized groups (< kMin distinct
+    * hashes) emit NULL estimate (the sketch is exact there; consumers
+    * read n_exact).
+    *
+    * Scale: one (source, tok) distinct shuffle, a keyed rank window on
+    * the per-source distinct-hash table, and the union-merge over
+    * ≤ k·|S| rows. No global window, no collect. */
+  def kmvSketch(docs: DataFrame, kMin: Int = 64): DataFrame = {
+    import graft.rel.Queries.femit
+    graft.functions.HashExprs.register(docs.sparkSession)
+    graft.functions.TextExprs.register(docs.sparkSession)
+    // sketch the 3-token SHINGLE space, not the raw vocabulary: the
+    // synthetic corpus draws from ~31 word types (a k=64 sketch would
+    // never activate), and shingle-space size is the statistic the
+    // dedup planners (q323's histogram, bucket sizing) actually need
+    val toksrc = docs.select(col("source"),
+        explode(graft.functions.TextExprs.shingles("text", 3)).as("tok"))
+    val dh = toksrc.distinct()
+      .select(col("source"), graft.functions.HashExprs.fnv1a32("tok").as("h"))
+      .distinct() // hash collisions fold, both engines identically
+      .localCheckpoint() // vocab-scale; feeds sketch, exact, and merge
+    val wRank = Window.partitionBy("source").orderBy(col("h").asc)
+    val kept = dh.withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= kMin)
+      .localCheckpoint() // feeds per-source sketch AND the merge union
+    val exact = dh.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val per = kept.groupBy("source")
+      .agg(max(when(col("rn") === kMin, col("h"))).as("hk"),
+        count(lit(1)).as("n_kept"))
+      .join(exact, "source")
+    val wAll = Window.orderBy(col("h").asc)
+    val mergedKept = kept.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(wAll)).where(col("rn") <= kMin)
+    val merged = mergedKept
+      .agg(max(when(col("rn") === kMin, col("h"))).as("hk"),
+        count(lit(1)).as("n_kept"))
+      .crossJoin(broadcast(
+        dh.select(col("h")).distinct().agg(count(lit(1)).as("n_exact"))))
+      .select(lit("__merged").as("source"), col("hk"), col("n_kept"),
+        col("n_exact"))
+    val est = femit(lit((kMin - 1).toDouble) * lit(4294967296.0) /
+      col("hk").cast("double"))
+    per.select(col("source"), col("hk"), col("n_kept"), col("n_exact"),
+        est.as("est_distinct"))
+      .unionAll(merged.select(col("source"), col("hk"), col("n_kept"),
+        col("n_exact"), est.as("est_distinct")))
+      .orderBy("source")
   }
 }

@@ -247,4 +247,36 @@ object Layout {
           saltedBig("__salt") === saltedSmall("__salt"))
       .drop("__salt")
   }
+
+  /** Skew ADVISOR — the planning half of [[saltedJoin]]: per-key row
+    * counts over a prospective shuffle key, the share of the table each
+    * key carries, and the salt factor (`ceil(cnt / targetRows)`) a
+    * salted join/agg needs to spread that key across tasks. A key
+    * under `targetRows` recommends salt 1 (no salting). This is the
+    * diagnostic a pipeline runs BEFORE wiring a join at a new scale:
+    * AQE's skew-join split handles sort-merge spills adaptively, but
+    * broadcast-salting, per-key caps, and bucket sizing all want the
+    * histogram up front. Emits the top `topK` keys by count with a
+    * deterministic (cnt DESC, key ASC) ranking.
+    *
+    * Scale: one map-side-combined hash-agg on the key plus one 1-row
+    * total broadcast; the rank window runs on the aggregated key table
+    * (TakeOrderedAndProject keeps it top-k, never a full sort of the
+    * key space). Share is a femit-emitted ratio of exact counts. */
+  def skewAdvisor(df: DataFrame, keyCol: String, targetRows: Long,
+                  topK: Int = 20): DataFrame = {
+    val cnt = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // |keys| rows; feeds the total branch + select
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("key").cast("string").as("key"), col("cnt"),
+        Queries.femit(col("cnt").cast("double") / col("total").cast("double"))
+          .as("share"),
+        greatest(lit(1L),
+          ceil(col("cnt").cast("double") / lit(targetRows.toDouble)))
+          .as("salt"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+  }
 }

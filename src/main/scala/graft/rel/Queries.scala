@@ -4480,6 +4480,10 @@ object Queries {
     "q319_bh_fdr" -> (bhFdr _),
     "q320_mde" -> (mde _),
     "q326_page_hinkley" -> ((s, dir) => pageHinkley(s, dir)),
+    // Skew ADVISOR over a prospective shuffle key: per-key histogram +
+    // the salt factor a salted join/agg needs (see Layout.skewAdvisor)
+    "q330_skew_advisor" -> ((s, dir) =>
+      Layout.skewAdvisor(events(s, dir), "user_id", targetRows = 512L)),
     "q296_tpch_q12" -> (tpchQ12 _),
     "q297_tpch_q14" -> (tpchQ14 _),
     "q298_tpch_q19" -> (tpchQ19 _),
@@ -5527,6 +5531,17 @@ object Queries {
        |ORDER BY event_type, n_seen""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same histogram, same dyadic 512 divisor, same (cnt DESC, key ASC)
+    // top-20 cut. ceil routes through DOUBLE on both engines.
+    "q330_skew_advisor" ->
+      s"""WITH cnt AS (SELECT CAST(user_id AS VARCHAR) AS key,
+         |  count(*) AS cnt FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt)
+         |SELECT key, cnt,
+         |  ${femitSql("CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)")} AS share,
+         |  CAST(greatest(1, ceil(CAST(cnt AS DOUBLE) / CAST(512.0 AS DOUBLE))) AS BIGINT) AS salt
+         |FROM cnt CROSS JOIN tot
+         |ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin,
     // Driver-environment probe ([[engineProbe]]): each column recomputes
     // one drift class through the hazardous construct on THIS engine.
     "q317_engine_probe" ->

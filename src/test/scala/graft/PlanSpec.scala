@@ -442,4 +442,56 @@ class PlanSpec extends SparkSpec {
         p.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("q322 semDedup: within-cluster compare is an equi-join on cid (r10)") {
+    // The paper's whole point is Σ|cluster|² not N²: the member-vs-
+    // member comparison must shuffle-partition BY CLUSTER (equi-join on
+    // cid) so each cluster compares independently — a nested loop or
+    // cartesian here is the all-pairs blowup SemDeDup exists to avoid.
+    // (The centroid-assignment stage is the shared assignTo broadcast
+    // pass, pinned via the q106 index tests; it sits behind the
+    // assignment localCheckpoint and is not visible in this plan.)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val p = finalPlan(llm.Sim.semDedup(emb))
+        .split("== Initial Plan ==").head
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"), p.take(1500))
+      assert("hashpartitioning\\(cid".r.findAllIn(p).nonEmpty,
+        s"within-cluster join must key on cid\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q325 dsirWeights: bucket LM broadcasts; corpus never shuffles whole (r10)") {
+    // The nBuckets-row LM delta table must BROADCAST into the per-doc
+    // bucket-count stream (a shuffle join would move the corpus to meet
+    // a 256-row table), and the LM is localCheckpoint'd so the corpus
+    // token scan behind it runs once, not once per consumer.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = finalPlan(llm.Curation.dsirWeights(docs))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta join must broadcast\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the scoring path\n${p.take(1500)}")
+  }
+
+  test("q323 lshPlan: histogram reused, pair join runs once (r10)") {
+    // The O(maxId²) Jaccard pair join reduces to a 20-row histogram
+    // with TWO consumers (total-mass broadcast branch + grid cross).
+    // The eager localCheckpoint pins reduce-once-probe-many: the
+    // declared plan must contain ZERO document scans — every corpus
+    // pass sits behind the single checkpoint. Removing the checkpoint
+    // re-inlines the pair join per consumer (4 scans reappear).
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = llm.Dedup.lshPlan(docs)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"${scans.size} document scans — histogram consumers recompute the pair join")
+  }
 }

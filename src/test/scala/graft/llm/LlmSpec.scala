@@ -368,7 +368,9 @@ class RecallSpec extends SparkSpec {
       .select("qid", "vec_id", "sim").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val recall = (pq.keySet & exact.keySet).size.toDouble / exact.size
-    assert(recall >= 0.5,
+    // one refineSubCodebook Lloyd pass over the init codebooks (was
+    // 0.52 unrefined — the r9 VERDICT item)
+    assert(recall >= 0.7,
       s"recall=$recall over ${exact.size} exact neighbors")
     (pq.keySet & exact.keySet).foreach { k =>
       assert(pq(k) == exact(k), s"rerank sim drifted for $k")
@@ -384,8 +386,9 @@ class RecallSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val recall = (ivfpq.keySet & exact.keySet).size.toDouble / exact.size
     // two approximations compound (nprobe/nlist pruning × residual
-    // codes), so the floor sits below q140's single-axis PQ
-    assert(recall >= 0.3,
+    // codes); the refined residual codebooks (one Lloyd pass) clear
+    // 0.7 anyway (was 0.46 unrefined — the r9 VERDICT item)
+    assert(recall >= 0.7,
       s"recall=$recall over ${exact.size} exact neighbors")
     (ivfpq.keySet & exact.keySet).foreach { k =>
       assert(ivfpq(k) == exact(k), s"rerank sim drifted for $k")

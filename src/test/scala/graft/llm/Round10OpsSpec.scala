@@ -1,0 +1,93 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-10 operators: prototype pruning (q328), the KMV
+  * distinct sketch (q329), the skew advisor (q330), and the shared
+  * fingerprint-stamped store wrapper q94/q276 now ride. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("prototypePrune: ceil-frac cut, pruned are the prototypical head") {
+    val out = Sim.prototypePrune(emb, nlist = 16, frac = 0.25)
+      .select("cid", "n_members", "n_pruned", "cut_sim", "top_survivor_id")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1); val p = r.getLong(2)
+      assert(p == math.ceil(n * 0.25).toLong, s"cut size at cid=${r.get(0)}")
+      assert(p >= 1 && p <= n)
+      // a survivor exists exactly when the cut leaves members
+      assert((p == n) == r.isNullAt(4), s"survivor nullity at cid=${r.get(0)}")
+      assert(!r.isNullAt(3), "pruned set is non-empty so cut_sim is defined")
+    }
+    // corpus is partitioned by the audit: Σ members = |corpus|
+    assert(out.map(_.getLong(1)).sum == emb.count())
+  }
+
+  test("kmvSketch: estimator sanity, merge ≡ global bottom-k") {
+    val out = TextAnalysis.kmvSketch(docs, kMin = 64).collect()
+    val bySrc = out.map(r => r.getString(0) -> r).toMap
+    assert(bySrc.contains("__merged"))
+    out.foreach { r =>
+      val nKept = r.getLong(2); val nExact = r.getLong(3)
+      assert(nKept == math.min(64L, nExact), s"kept size for ${r.getString(0)}")
+      if (nExact >= 64) {
+        val est = r.getDouble(4)
+        // KMV std error ≈ 1/sqrt(k-2) ≈ 0.127 at k=64; 3σ + margin
+        assert(math.abs(est - nExact) / nExact < 0.5,
+          s"${r.getString(0)}: est=$est exact=$nExact")
+      } else assert(r.isNullAt(4), "undersized sketch must emit NULL estimate")
+    }
+    // mergeability: the merged sketch equals the sketch computed over
+    // the corpus as ONE source (same hk, hence same estimate)
+    val asOne = TextAnalysis.kmvSketch(
+      docs.withColumn("source", lit("all")), kMin = 64).collect()
+      .filter(_.getString(0) == "all").head
+    assert(asOne.getLong(1) == bySrc("__merged").getLong(1),
+      "merged h_k must equal the single-source global h_k")
+  }
+
+  test("skewAdvisor: salt = ceil(cnt/target) floored at 1, shares sum ≤ 1") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val out = graft.rel.Layout.skewAdvisor(ev, "user_id", targetRows = 512L)
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val cnts = out.map(_.getLong(1))
+    assert(cnts.sameElements(cnts.sorted.reverse), "ranked by cnt desc")
+    out.foreach { r =>
+      val cnt = r.getLong(1)
+      assert(r.getLong(3) == math.max(1L, math.ceil(cnt / 512.0).toLong))
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+    assert(out.map(_.getDouble(2)).sum <= 1.0 + 1e-9)
+  }
+
+  test("stampedStore builds once, rebuilds only on fixture change") {
+    val d = java.nio.file.Files.createTempDirectory("stamp_spec")
+    try {
+      val fix = d.resolve("documents.parquet")
+      java.nio.file.Files.write(fix, ("A" * 128).getBytes("UTF-8"))
+      var builds = 0
+      val name = s"stamp_spec_store_${System.nanoTime()}"
+      def read() = Queries.stampedStore(spark, d.toString, name,
+        "documents") { builds += 1; Seq((1L, "x")).toDF("id", "v") }
+      read(); read()
+      assert(builds == 1, "second read must ride the marker cache")
+      // same size, different bytes: the content fingerprint must force
+      // a rebuild (the q75/q100 regenerated-fixture contract)
+      java.nio.file.Files.write(fix, ("A" * 64 + "B" + "A" * 63).getBytes("UTF-8"))
+      read()
+      assert(builds == 2, "fixture content change must invalidate the store")
+    } finally {
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+}

@@ -169,7 +169,10 @@ class Round9OpsSpec extends SparkSpec {
       JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
     val ev = graft.rel.Queries.events(spark, sf0001)
       .where(col("value").isNotNull)
-      .select(col("event_type"), col("event_id"), col("ts").cast("long"),
+      // unix_micros, not cast("long") (epoch SECONDS): sub-second ts
+      // differences must order the reference exactly like the engine's
+      // full-precision (ts, event_id) sort.
+      .select(col("event_type"), col("event_id"), expr("unix_micros(ts)"),
         col("value"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
