@@ -77,10 +77,15 @@ object ScaleProbe {
     }
     def docsAt(k: Int) = spark.read.parquet(s"$work/docs_x$k")
 
-    // --- ppjoin slope (q132 shape)
+    // --- ppjoin slope (q132 shape). Untimed x1 warmup first: the
+    // first Spark query in a fresh JVM pays JIT/codegen compilation
+    // that would contaminate the smallest scale's entry.
+    llm.Dedup.prefixFilterJoin(docsAt(1), "doc_id", "text",
+      k = 3, tauNum = 1, tauDen = 2).count()
     val pp = scales.map { k =>
       val (n, t) = time(llm.Dedup.prefixFilterJoin(
         docsAt(k), "doc_id", "text", k = 3, tauNum = 1, tauDen = 2).count())
+      println(s"SCALEPROBE ppjoin x$k: $t s, $n pairs")
       s""""x$k":{"sec":$t,"pairs":$n}"""
     }
     out ++= s""""ppjoin":{${pp.mkString(",")}},"""
@@ -90,6 +95,7 @@ object ScaleProbe {
       val (n, t) = time(llm.Dedup.connectedComponents(
         llm.Dedup.minhashNearDups(docsAt(k), "doc_id", "text",
           k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)).count())
+      println(s"SCALEPROBE cc x$k: $t s, $n members")
       s""""x$k":{"sec":$t,"members":$n}"""
     }
     out ++= s""""cc":{${cc.mkString(",")}},"""
@@ -107,16 +113,21 @@ object ScaleProbe {
       val (n, t) = time(llm.Dedup.incrementalNearDups(
         batch, spark.table(s"scale_store_x$h"), hist,
         "doc_id", "text", threshold = 0.1).count())
+      println(s"SCALEPROBE probe h$h: $t s, $n dups")
       s""""h$h":{"sec":$t,"dups":$n}"""
     }
     out ++= s""""probe":{${prb.mkString(",")}},"""
 
     // --- streaming drain: watermarked tumbling agg over time-sliced
     // files (q87's layout contract: slices in event-time order).
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // rel.Queries.events, NOT a raw parquet read: the fixture ships
+    // µs-NTZ timestamps and watermarks reject TIMESTAMP_NTZ.
+    val ev = rel.Queries.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("value"))
       .where(col("ts").isNotNull && col("value").isNotNull)
-    val st = Seq(1, 10).map { k =>
+    // 1× listed twice: the first drain warms the streaming machinery
+    // (sink/ckpt codepaths), the second is the measured 1× entry.
+    val st = Seq(1, 1, 10).map { k =>
       val in = s"$work/events_x$k"
       val all = replicateEvents(ev, k)
       // the q87 layout contract: sequential time-range slices appended
@@ -138,9 +149,11 @@ object ScaleProbe {
       val (_, t) = time(sources.StreamIngest.windowedAggParquet(
         spark, in, all.schema, sink, sink + "_ckpt", filesPerTrigger = 2))
       val stateRows = spark.read.format("statestore").load(sink + "_ckpt").count()
+      println(s"SCALEPROBE stream x$k: $t s, $stateRows state rows")
       s""""x$k":{"sec":$t,"state_rows":$stateRows}"""
     }
-    out ++= s""""stream":{${st.mkString(",")}}}"""
+    // drop the warmup drain's entry (duplicate x1 key)
+    out ++= s""""stream":{${st.drop(1).mkString(",")}}}"""
 
     println("SCALEPROBE " + out)
     val p = java.nio.file.Paths.get("target/scale.json")

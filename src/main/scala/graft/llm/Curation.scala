@@ -472,4 +472,93 @@ object Curation {
       .select(col("rnk"), col("doc_id"), col("lang"), col("log_weight"))
       .orderBy("rnk")
   }
+  /** Data-constrained token-budget allocation by WATER-FILLING
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models" — the allocation problem; Boyd &amp; Vandenberghe §5.5's
+    * classic closed form): given a token budget `budget` and a per-
+    * source repetition cap of `maxEpochs` epochs, find the level λ
+    * with Σ_s min(cap_s, λ) = budget and allocate alloc_s =
+    * min(cap_s, λ) — small sources saturate at their cap, large ones
+    * split the remainder evenly. Solved CLOSED-FORM as relational
+    * algebra, no iteration: sort sources by capacity, prefix-sum, the
+    * level is (budget − P_{i−1})/(n−i+1) at the FIRST i where that
+    * value fits under cap_i (exact-integer prefix sums; the one
+    * division per candidate is the only float op, identical on both
+    * engines). If the budget exceeds total capacity every source
+    * saturates and λ is NULL (leftover budget is the consumer's
+    * signal to relax maxEpochs).
+    *
+    * Scale: one corpus token-count scan (map-side combined), then all
+    * algebra runs on the |sources|-row table (checkpointed — it feeds
+    * the rank chain and the level scalar). Output per source:
+    * (source, n_tokens, cap, alloc, saturated, epochs_eff, lambda). */
+  def tokenAllocate(docs: DataFrame, budget: Long,
+                    maxEpochs: Int = 4): DataFrame = {
+    import graft.rel.Queries.femit
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs.select(col("source"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * lit(maxEpochs.toLong))
+    val w = Window.orderBy(col("cap").asc, col("source").asc)
+    val ord = tc.withColumn("i", row_number().over(w))
+      .withColumn("pfx", coalesce(sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("level",
+        (lit(budget) - col("pfx")).cast("double") /
+          (col("n_src") - col("i") + lit(1)).cast("double"))
+      .localCheckpoint() // |sources| rows; feeds select + level scalar
+    val fits = col("level") <= col("cap").cast("double")
+    val sel = ord.agg(min(when(fits, col("i"))).as("sel_i"))
+    val lam = sel.join(ord, sel("sel_i") === ord("i"), "left")
+      .select(col("sel_i"), col("level").as("lambda"))
+    val saturated = col("sel_i").isNull || col("i") < col("sel_i")
+    ord.crossJoin(broadcast(lam))
+      .select(col("source"), col("n_tokens"), col("cap"),
+        femit(when(saturated, col("cap").cast("double"))
+          .otherwise(col("lambda"))).as("alloc"),
+        saturated.as("saturated"),
+        femit(when(saturated, lit(maxEpochs.toDouble))
+          .otherwise(col("lambda") / col("n_tokens").cast("double")))
+          .as("epochs_eff"),
+        femit(col("lambda")).as("lambda"))
+      .orderBy("source")
+  }
+  /** Group-DRO style per-group reweighting (Sagawa et al. 2020,
+    * "Distributionally Robust Neural Networks for Group Shift" — the
+    * exponentiated-gradient group weights, computed one-shot over a
+    * static quality proxy instead of inside a training loop): per
+    * language, loss_g = 1 − mean(alpha_ratio) (the quality-failure
+    * proxy), w_g ∝ exp(η·loss_g), normalized. The sampler upweights
+    * the WORST groups — the distributional-robustness counterpart of
+    * [[mixtureTemperature]]'s popularity flattening (temperature reads
+    * token counts, DRO reads quality). `upweight` = w_g·|G| is the
+    * ratio vs uniform a curator reads directly.
+    *
+    * Scale: one corpus scan into a |groups|-row table; everything
+    * after is broadcast algebra. Float discipline: per-doc ratios are
+    * single IEEE divisions, group means ride dsum, exp's one-ulp libm
+    * divergence is absorbed by femit (the ln/sigmoid precedent). */
+  def groupDroWeights(docs: DataFrame, eta: Double = 1.0): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val perDoc = docs.select(col("lang"),
+      (size(expr("filter(split(text, ' '), t -> t rlike '^[a-z-_]+$')"))
+        .cast("double") /
+        size(split(col("text"), " ", -1)).cast("double")).as("alpha_ratio"))
+    val g = perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (lit(1.0) - dsum(col("alpha_ratio")) / count(lit(1)).cast("double"))
+          .as("loss"))
+      .withColumn("wraw", exp(lit(eta) * col("loss")))
+      .localCheckpoint() // |groups| rows; feeds normalizer + select
+    val z = g.agg(dsum(col("wraw")).as("z"), count(lit(1)).as("n_groups"))
+    g.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), femit(col("loss")).as("loss"),
+        femit(col("wraw") / col("z")).as("weight"),
+        femit(col("wraw") / col("z") * col("n_groups").cast("double"))
+          .as("upweight"))
+      .orderBy("lang")
+  }
 }

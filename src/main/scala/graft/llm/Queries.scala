@@ -1412,6 +1412,34 @@ object Queries {
     // corpus sketch, estimate next to exact (see TextAnalysis.kmvSketch)
     "q329_kmv_sketch" -> ((s, dir) =>
       TextAnalysis.kmvSketch(tbl(s, dir, "documents"))),
+    // Water-filling token-budget allocation under a per-source epoch
+    // cap, closed-form relational algebra (see Curation.tokenAllocate).
+    // budget=100k: binds below total capacity at sf0.01 (mixed
+    // saturated/level regime) and exceeds it at sf0.001 (all-saturated,
+    // NULL lambda) — both branches gate-checked across the two sweeps.
+    "q331_token_allocate" -> ((s, dir) =>
+      Curation.tokenAllocate(tbl(s, dir, "documents"), budget = 100000L)),
+    // Group-DRO exponentiated reweighting toward the worst-quality
+    // language groups (see Curation.groupDroWeights)
+    "q332_group_dro" -> ((s, dir) =>
+      Curation.groupDroWeights(tbl(s, dir, "documents"))),
+    // KMV sketch-STORE merge lifecycle (the q100 move applied to
+    // sketches): the history generation's bottom-64 rows are persisted
+    // state (stamped store); the batch generation is sketched per pass
+    // and merged WITHOUT rescanning history — cost O(batch) + O(k·|S|).
+    // The oracle recomputes the whole-corpus sketch from scratch: the
+    // KMV merge theorem (bottom-k of a union = bottom-k of the union
+    // of bottom-ks) makes store-merge ≡ from-scratch, so a lost or
+    // duplicated store row fails the gate.
+    "q333_kmv_merge" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val hist = stampedStore(s, dir, "kmv_hist_store", "documents")(
+        TextAnalysis.kmvRows(docs.where(col("doc_id") % 2 === 0)))
+      val batch = TextAnalysis.kmvRows(docs.where(col("doc_id") % 2 === 1))
+      TextAnalysis.kmvEstimate(
+        TextAnalysis.kmvCombine(hist.unionAll(batch)))
+        .orderBy("source")
+    }),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4087,5 +4115,62 @@ object Queries {
          |SELECT source, hk, n_kept, n_exact,
          |  ${femitSql("CAST(63.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE) / CAST(hk AS DOUBLE)")} AS est_distinct
          |FROM u ORDER BY source""".stripMargin,
+    // Same sorted-prefix-sum water-filling closed form, exact-integer
+    // prefix sums, the single level division through DOUBLE.
+    "q331_token_allocate" ->
+      s"""WITH tc AS (SELECT source, count(*) AS n_tokens FROM
+         |  (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents) u0
+         |  WHERE t <> '' GROUP BY source),
+         |cap0 AS (SELECT source, n_tokens, n_tokens * 4 AS cap FROM tc),
+         |ord AS (SELECT source, n_tokens, cap,
+         |  row_number() OVER (ORDER BY cap ASC, source ASC) AS i,
+         |  coalesce(sum(cap) OVER (ORDER BY cap ASC, source ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+         |  count(*) OVER () AS n_src FROM cap0),
+         |lv AS (SELECT *, CAST(100000 - pfx AS DOUBLE)
+         |  / CAST(n_src - i + 1 AS DOUBLE) AS level FROM ord),
+         |sel AS (SELECT min(CASE WHEN level <= CAST(cap AS DOUBLE) THEN i END) AS sel_i FROM lv),
+         |lam AS (SELECT sel.sel_i, lv.level AS lambda
+         |  FROM sel LEFT JOIN lv ON lv.i = sel.sel_i)
+         |SELECT source, n_tokens, cap,
+         |  ${femitSql("CASE WHEN sel_i IS NULL OR i < sel_i THEN CAST(cap AS DOUBLE) ELSE lambda END")} AS alloc,
+         |  (sel_i IS NULL OR i < sel_i) AS saturated,
+         |  ${femitSql("CASE WHEN sel_i IS NULL OR i < sel_i THEN CAST(4.0 AS DOUBLE) ELSE lambda / CAST(n_tokens AS DOUBLE) END")} AS epochs_eff,
+         |  ${femitSql("lambda")} AS lambda
+         |FROM lv CROSS JOIN lam ORDER BY source""".stripMargin,
+    // Same alpha-ratio proxy, same dsum group means, exp's one-ulp
+    // libm divergence absorbed by femit (the ln/sigmoid precedent).
+    "q332_group_dro" ->
+      s"""WITH pd AS (SELECT lang,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> regexp_full_match(t, '^[a-z-_]+${"$"}'))) AS DOUBLE)
+         |  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS alpha_ratio
+         |  FROM documents),
+         |g AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(1.0 AS DOUBLE) - ${dsumSql("alpha_ratio")} / CAST(count(*) AS DOUBLE) AS loss
+         |  FROM pd GROUP BY lang),
+         |g2 AS (SELECT *, exp(CAST(1.0 AS DOUBLE) * loss) AS wraw FROM g),
+         |z AS (SELECT ${dsumSql("wraw")} AS z, count(*) AS n_groups FROM g2)
+         |SELECT lang, n_docs, ${femitSql("loss")} AS loss,
+         |  ${femitSql("wraw / z")} AS weight,
+         |  ${femitSql("wraw / z * CAST(n_groups AS DOUBLE)")} AS upweight
+         |FROM g2 CROSS JOIN z ORDER BY lang""".stripMargin,
+    // The whole-corpus per-source sketch recomputed from scratch: by
+    // the KMV merge theorem this must equal the engine's
+    // persisted-store + batch merge exactly.
+    "q333_kmv_merge" ->
+      s"""WITH tk AS (SELECT DISTINCT source, s AS tok FROM
+         |  (SELECT source, unnest(list_distinct(list_transform(
+         |    range(greatest(len(ts) - 2, 0)),
+         |    i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS s
+         |  FROM (SELECT source, string_split(text, ' ') AS ts FROM documents) t0) u0),
+         |dh AS (SELECT DISTINCT source, ${fnvSql("tok")} AS h FROM tk),
+         |kept AS (SELECT source, h, rn FROM (
+         |  SELECT source, h, row_number() OVER (PARTITION BY source
+         |    ORDER BY h ASC) AS rn FROM dh) WHERE rn <= 64)
+         |SELECT source, max(CASE WHEN rn = 64 THEN h END) AS hk,
+         |  count(*) AS n_kept,
+         |  ${femitSql("CAST(63.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE) / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)")} AS est_distinct
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
   )
 }

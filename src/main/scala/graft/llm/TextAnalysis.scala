@@ -985,19 +985,56 @@ object TextAnalysis {
     * Scale: one (source, tok) distinct shuffle, a keyed rank window on
     * the per-source distinct-hash table, and the union-merge over
     * ≤ k·|S| rows. No global window, no collect. */
-  def kmvSketch(docs: DataFrame, kMin: Int = 64): DataFrame = {
-    import graft.rel.Queries.femit
+  /** The distinct (source, shingle-hash) table behind [[kmvSketch]] —
+    * sketch the 3-token SHINGLE space, not the raw vocabulary: the
+    * synthetic corpus draws from ~31 word types (a k=64 sketch would
+    * never activate), and shingle-space size is the statistic the
+    * dedup planners (q323's histogram, bucket sizing) actually need. */
+  private def kmvHashes(docs: DataFrame): DataFrame = {
     graft.functions.HashExprs.register(docs.sparkSession)
     graft.functions.TextExprs.register(docs.sparkSession)
-    // sketch the 3-token SHINGLE space, not the raw vocabulary: the
-    // synthetic corpus draws from ~31 word types (a k=64 sketch would
-    // never activate), and shingle-space size is the statistic the
-    // dedup planners (q323's histogram, bucket sizing) actually need
-    val toksrc = docs.select(col("source"),
+    docs.select(col("source"),
         explode(graft.functions.TextExprs.shingles("text", 3)).as("tok"))
-    val dh = toksrc.distinct()
+      .distinct()
       .select(col("source"), graft.functions.HashExprs.fnv1a32("tok").as("h"))
       .distinct() // hash collisions fold, both engines identically
+  }
+
+  /** Per-source bottom-`kMin` sketch ROWS (source, h, rn) — the
+    * persistable representation a sketch STORE keeps per shard (see
+    * the q333 merge lifecycle). */
+  def kmvRows(docs: DataFrame, kMin: Int = 64): DataFrame = {
+    val wRank = Window.partitionBy("source").orderBy(col("h").asc)
+    kmvHashes(docs).withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= kMin)
+  }
+
+  /** Re-rank a union of sketch-row tables back into one bottom-`kMin`
+    * sketch per source — KMV's merge: dedup hashes, keep the smallest
+    * k. Input only needs (source, h). */
+  def kmvCombine(rows: DataFrame, kMin: Int = 64): DataFrame = {
+    val wRank = Window.partitionBy("source").orderBy(col("h").asc)
+    rows.select(col("source"), col("h")).distinct()
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= kMin)
+  }
+
+  /** The (k−1)·2³²/h₍ₖ₎ KMV estimate over sketch rows: per source,
+    * (source, hk, n_kept, est_distinct); NULL estimate when the sketch
+    * holds fewer than kMin hashes (exact regime). */
+  def kmvEstimate(rows: DataFrame, kMin: Int = 64): DataFrame = {
+    import graft.rel.Queries.femit
+    rows.groupBy("source")
+      .agg(max(when(col("rn") === kMin, col("h"))).as("hk"),
+        count(lit(1)).as("n_kept"))
+      .select(col("source"), col("hk"), col("n_kept"),
+        femit(lit((kMin - 1).toDouble) * lit(4294967296.0) /
+          col("hk").cast("double")).as("est_distinct"))
+  }
+
+  def kmvSketch(docs: DataFrame, kMin: Int = 64): DataFrame = {
+    import graft.rel.Queries.femit
+    val dh = kmvHashes(docs)
       .localCheckpoint() // vocab-scale; feeds sketch, exact, and merge
     val wRank = Window.partitionBy("source").orderBy(col("h").asc)
     val kept = dh.withColumn("rn", row_number().over(wRank))

@@ -69,6 +69,49 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).sum <= 1.0 + 1e-9)
   }
 
+  test("tokenAllocate: budget conserved when binding, saturation when not") {
+    val out = Curation.tokenAllocate(docs, budget = 20000L, maxEpochs = 4)
+      .collect()
+    val totalCap = out.map(_.getLong(2)).sum
+    if (totalCap > 20000L) {
+      // level regime: allocations water-fill to exactly the budget
+      assert(math.abs(out.map(_.getDouble(3)).sum - 20000.0) < 1e-3 * out.length,
+        "sum(alloc) must equal the budget (within emission quanta)")
+      val lambda = out.filter(!_.getBoolean(4)).map(_.getDouble(3))
+      assert(lambda.distinct.length == 1, "unsaturated sources share one level")
+      out.filter(_.getBoolean(4)).foreach(r =>
+        assert(r.getLong(2).toDouble <= lambda.head + 1e-6,
+          "saturated caps sit below the level"))
+    }
+    // over-budget: everything saturates, lambda NULL
+    val all = Curation.tokenAllocate(docs, budget = Long.MaxValue / 4).collect()
+    assert(all.forall(_.getBoolean(4)) && all.forall(_.isNullAt(6)))
+    all.foreach(r => assert(r.getDouble(3) == r.getLong(2).toDouble))
+  }
+
+  test("groupDroWeights: normalized, monotone in loss") {
+    val out = Curation.groupDroWeights(docs).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-5, "weights sum to 1")
+    out.sortBy(_._1).sliding(2).foreach {
+      case Array((l1, w1), (l2, w2)) =>
+        assert(l1 == l2 || w1 <= w2 + 1e-9, "higher loss ⇒ higher weight")
+      case _ =>
+    }
+  }
+
+  test("kmv store-merge equals the from-scratch whole-corpus sketch") {
+    val hist = TextAnalysis.kmvRows(docs.where(col("doc_id") % 2 === 0))
+    val batch = TextAnalysis.kmvRows(docs.where(col("doc_id") % 2 === 1))
+    val merged = TextAnalysis.kmvEstimate(
+        TextAnalysis.kmvCombine(hist.unionAll(batch)))
+      .orderBy("source").collect().toSeq
+    val scratch = TextAnalysis.kmvEstimate(TextAnalysis.kmvRows(docs))
+      .orderBy("source").collect().toSeq
+    assert(merged == scratch, "KMV merge theorem: bottom-k of union of " +
+      "bottom-ks must equal bottom-k of the union")
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
