@@ -1004,6 +1004,11 @@ object Sim {
       posexplode(expr(
         s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $dsub + 1, $dsub))"))
         .as(Seq("j", "sub")))
+      // localCheckpoint: the sub-vector explode feeds FOUR consumers
+      // (codebook init, Lloyd assignment, encode, query LUT) — without
+      // it each re-explodes the corpus (q140 measured 2.1x its vector
+      // entry when the Lloyd pass landed; the checkpoint claws it back)
+      .localCheckpoint()
     val cb0 = subs.where(col("vec_id") < ksub)
       .select(col("j"), col("vec_id").cast("int").as("cid"), col("sub").as("cv"))
     val cb = refineSubCodebook(
@@ -1096,6 +1101,10 @@ object Sim {
            |  zip_with(slice(v, j * $dsub + 1, $dsub),
            |           slice(cv, j * $dsub + 1, $dsub), (x, y) -> x - y))"""
           .stripMargin)).as(Seq("j", "rsub")))
+      // localCheckpoint: same four-consumer fan-out as pqKnn's subs —
+      // the residual explode (assign + centroid join included) must
+      // not re-run per consumer
+      .localCheckpoint()
     val cb0 = rsubs.where(col("vec_id") < ksub)
       .select(col("j"), col("vec_id").cast("int").as("cid"), col("rsub").as("cv"))
     val cb = refineSubCodebook(
