@@ -1440,6 +1440,17 @@ object Queries {
         TextAnalysis.kmvCombine(hist.unionAll(batch)))
         .orderBy("source")
     }),
+    // Binary-quantization kNN: sign-bit codes packed into two 32-bit
+    // words, Hamming candidate scan, exact rerank — the 32x-compression
+    // extreme of the ANN toolbox (see Sim.binaryKnn)
+    "q334_binary_knn" -> ((s, dir) =>
+      Sim.binaryKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
+    // Johnson-Lindenstrauss sign projection 64->16 + the per-pair
+    // distortion audit the JL lemma bounds (see Sim.randomProjection)
+    "q335_random_projection" -> ((s, dir) =>
+      Sim.randomProjection(tbl(s, dir, "embeddings"))
+        .orderBy("v1", "v2")),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4172,5 +4183,75 @@ object Queries {
          |  count(*) AS n_kept,
          |  ${femitSql("CAST(63.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE) / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)")} AS est_distinct
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // Same centered thresholds (per-dimension means on the DECIMAL
+    // VARCHAR-round-trip route), same sign-bit packing (disjoint
+    // powers of two summed in two 32-bit halves — no 1<<63 anywhere),
+    // same integer Hamming popcount, same (ham, vec_id) candidate
+    // order, and the q108 exact-rerank tail — candidate set included,
+    // the whole pipeline is exact integer + fixed-order IEEE math on
+    // both engines.
+    "q334_binary_knn" -> {
+      def packSql(off: Int): String =
+        s"CAST(list_sum(list_transform(range(32), i -> CASE WHEN " +
+          s"v[i + ${off + 1}] > mu[i + ${off + 1}] " +
+          s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |mu AS (SELECT list(m ORDER BY i) AS mu FROM (
+         |  SELECT i, ${dsumSql("v[i + 1]")} / count(*) AS m
+         |  FROM v, range(64) AS t(i) GROUP BY i)),
+         |c AS (SELECT vec_id, ${packSql(0)} AS c0, ${packSql(32)} AS c1
+         |  FROM v CROSS JOIN mu),
+         |q AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1 FROM c WHERE vec_id < 10),
+         |h AS (SELECT qid, c.vec_id,
+         |  CAST(bit_count(xor(c0, q0)) + bit_count(xor(c1, q1)) AS BIGINT) AS ham
+         |  FROM c, q WHERE c.vec_id <> q.qid),
+         |cand AS (SELECT qid, vec_id, ham FROM (
+         |  SELECT qid, vec_id, ham, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ham ASC, vec_id ASC) AS r FROM h) WHERE r <= 64),
+         |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM v),
+         |j AS (SELECT cand.qid, cand.vec_id, cand.ham,
+         |    ${dotSql("nb.v", "nq.v")} / (nb.norm * nq.norm) AS sim
+         |  FROM cand JOIN n nb ON nb.vec_id = cand.vec_id
+         |  JOIN n nq ON nq.vec_id = cand.qid),
+         |r AS (SELECT qid, vec_id, ham, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM j)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, ham, sim FROM r
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
+    // Same fnv-parity sign matrix, same ascending-i sequential fold
+    // (engine: aggregate over sequence; twin: list_reduce over
+    // list(term ORDER BY i)), same femit emission on both distances
+    // and the ratio.
+    "q335_random_projection" -> {
+      // di/dj, NOT i/j: fnvSql's internal fold lambda binds `i`, and a
+      // column named i inside its argument expression would be
+      // CAPTURED by that lambda (hashing the char-position index
+      // instead of the dimension — a silent wrong-matrix bug caught by
+      // the gate).
+      val sgnSql = fnvSql("CAST(di AS VARCHAR) || ':' || CAST(dj AS VARCHAR)")
+      def sqSql(a: String, b: String): String = foldSum.format(
+        s"list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2]))")
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 30),
+         |sm AS (SELECT dj AS j, di AS i, CASE WHEN $sgnSql % 1048576 < 524288
+         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sv
+         |  FROM range(64) AS t(di), range(16) AS u(dj)),
+         |px AS (SELECT vec_id, j,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(sv * v[i + 1] ORDER BY i)), (a, b) -> a + b)
+         |    * (CAST(1.0 AS DOUBLE) / sqrt(CAST(16 AS DOUBLE))) AS pj
+         |  FROM v0, sm GROUP BY vec_id, j),
+         |p AS (SELECT vec_id, list(pj ORDER BY j) AS p FROM px GROUP BY vec_id),
+         |pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${sqSql("av.v", "bv.v")} AS d2, ${sqSql("a.p", "b.p")} AS p2
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |  JOIN v0 av ON av.vec_id = a.vec_id
+         |  JOIN v0 bv ON bv.vec_id = b.vec_id)
+         |SELECT v1, v2, ${femitSql("d2")} AS dist2, ${femitSql("p2")} AS proj_dist2,
+         |  ${femitSql("p2 / nullif(d2, 0.0)")} AS ratio
+         |FROM pr ORDER BY v1, v2""".stripMargin
+    },
   )
 }

@@ -907,6 +907,149 @@ object Sim {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** Binary-quantized (sign-bit) kNN with a Hamming-distance candidate
+    * scan and exact rerank — the EXTREME point of the compression axis
+    * after [[sq8Knn]]'s int8: each 64-dim vector collapses to its sign
+    * bitmap, packed into two 32-bit words (c0 = dims 0–31, c1 = dims
+    * 32–63; bit i set iff v_i exceeds the per-dimension corpus mean —
+    * see the centering note in the body), a 32× reduction from float32
+    * and 64× from the double form. Pass 1 ranks candidates by Hamming
+    * distance popcount(c0⊕q0) + popcount(c1⊕q1) — for unit-ish random
+    * vectors E[ham] = d·θ/π where θ is the angle, so the Hamming order
+    * approximates the cosine order (Charikar 2002, the same sign-LSH
+    * hyperplane bound behind [[cosineNearDupsLsh]]) — and pass 2
+    * reranks the top-`rerank` per query at full precision. This is the
+    * binary-quantization design modern vector stores ship for
+    * billion-vector scans (popcount over packed words is the cheapest
+    * distance computable). The default rerank budget is 64 — 12.8× k,
+    * deliberately wider than sq8's 4× (a 1-bit code is the coarsest
+    * quantizer in the toolbox; the rerank pass is where its recall is
+    * bought back, RecallSpec floor 0.7).
+    *
+    * Determinism: the sign bits, the packing (disjoint bit positions —
+    * integer addition of distinct powers of two never carries), and
+    * the Hamming popcount are exact integer math in BOTH engines; the
+    * candidate set is ordered (ham ASC, vec_id ASC) so pass 1 is
+    * cross-engine bit-reproducible, and the exact tail is the q108
+    * rerank. The WHOLE pipeline value-oracles. Bits are packed in two
+    * 32-bit halves, not one 64-bit word, so no engine ever evaluates
+    * `1 &lt;&lt; 63` (the sign-bit overflow DuckDB's BIGINT shift and
+    * Spark's `shiftleft` disagree on in error behavior).
+    *
+    * Scale: the resident index is 2 longs + 1 norm per vector — the
+    * corpus streams once against a broadcast query-code table with NO
+    * shuffle before the per-query top-k windows; pass 2 touches only
+    * nQuery·rerank rows via broadcast joins. Recall vs the exact
+    * baseline is floor-pinned in RecallSpec. */
+  def binaryKnn(emb: DataFrame, nQuery: Int, k: Int,
+                rerank: Int = 64): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // CENTERED thresholds: bit i is v_i > mu_i, not v_i > 0 — real
+    // embedding dimensions carry nonzero means, and a biased dimension
+    // thresholded at zero wastes its bit (always-set). Centering at
+    // the per-dimension corpus mean restores ~1 bit of entropy per
+    // dimension (the standard binary-quantization centering step).
+    // The mean runs on the exact-DECIMAL dsum route so the thresholds
+    // — and hence the codes — are cross-engine bit-identical.
+    val mu = v.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((graft.rel.Queries.dsum(col("x")) / count(lit(1))).as("m"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("p"))
+      .select(transform(col("p"), e => e.getField("m")).as("mu"))
+    def pack(off: Int): Column = expr(
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(v, i + ${off + 1}) > element_at(mu, i + ${off + 1}), " +
+        s"shiftleft(1L, i), 0L))")
+    val codes = v.crossJoin(broadcast(mu))
+      .select(col("vec_id"), pack(0).as("c0"), pack(32).as("c1"))
+      .localCheckpoint()
+    val q = codes.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("c0").as("q0"), col("c1").as("q1"))
+    val wHam = Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = codes.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("c0").bitwiseXOR(col("q0"))) +
+          bit_count(col("c1").bitwiseXOR(col("q1")))).cast("long").as("ham"))
+      .withColumn("r", row_number().over(wHam))
+      .where(col("r") <= rerank)
+      .select(col("qid"), col("vec_id"), col("ham"))
+    val full = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val qFull = full.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"), col("norm").as("qn2"))
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    full.join(broadcast(cand), "vec_id")
+      .join(broadcast(qFull), "qid")
+      .select(col("qid"), col("vec_id"), col("ham"),
+        cosine(col("v"), col("qv2"), col("norm"), col("qn2")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "ham", "sim")
+  }
+
+  /** Johnson–Lindenstrauss random projection with a distortion audit:
+    * every 64-dim vector is projected to `dOut` dims through a ±1 sign
+    * matrix scaled by 1/√dOut (Achlioptas 2003, "Database-friendly
+    * random projections" — the sparse/sign family that needs no
+    * Gaussian draws), and for every pair among `maxId` audit vectors
+    * the output reports ‖a−b‖², ‖Pa−Pb‖², and their ratio — the
+    * quantity the JL lemma bounds (E[ratio] = 1; concentration tightens
+    * with dOut). Dimensionality reduction is the cheap front-end of
+    * every embedding pipeline here (cluster/LSH/dedup on 16 dims costs
+    * ¼ of 64), and the audit is how a pipeline decides whether dOut
+    * was enough.
+    *
+    * Determinism: the sign s(i,j) derandomizes through a well-mixed
+    * bit of fnv1a32(i||':'||j) — the repo's sampler convention — so
+    * the matrix is a pure function of (i, j) shared by the oracle; the
+    * projection folds i in ascending order (sequential IEEE fold, the
+    * [[fsum]] rule; the oracle folds a `list(... ORDER BY i)` the same
+    * way), and distances/ratios emit through the femit lattice.
+    *
+    * Scale: the sign matrix is ONE broadcast row (dOut·64 doubles
+    * computed once); the projection is a per-row map — no shuffle at
+    * any size. The O(maxId²) pair audit is the deliberately-bounded
+    * diagnostic tail, not the data path. */
+  def randomProjection(emb: DataFrame, dOut: Int = 16,
+                       maxId: Long = 30): DataFrame = {
+    import graft.rel.Queries.femit
+    val s = emb.sparkSession
+    graft.functions.HashExprs.register(s)
+    val seed = graft.functions.Fnv1a32.Seed
+    // sign = whether bit 19 of the hash falls low — NOT parity: the
+    // low bit of FNV-1a is the XOR of the input characters' low bits
+    // (multiplying by an odd prime preserves parity), so a %2 sign
+    // matrix has perfectly anti-correlated columns and is useless as a
+    // JL projection. The %1048576 threshold is the repo's sampler
+    // convention and reads well-mixed bits.
+    val sgn = s.range(1).select(expr(
+      s"transform(sequence(0, ${dOut * 64 - 1}), t -> " +
+        s"IF(fnv1a32(concat(cast(t % 64 AS STRING), ':', " +
+        s"cast(t DIV 64 AS STRING)), ${seed}L) % 1048576 < 524288, " +
+        s"CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))").as("sgn"))
+    val scale = s"CAST(1.0 AS DOUBLE) / sqrt(CAST($dOut AS DOUBLE))"
+    val v = emb.where(col("vec_id") < maxId)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(sgn))
+      .select(col("vec_id"), col("v"), expr(
+        s"transform(sequence(0, ${dOut - 1}), j -> " +
+          s"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, i) -> " +
+          s"acc + element_at(sgn, j * 64 + i + 1) * element_at(v, i + 1), " +
+          s"acc -> acc * $scale))").as("p"))
+    val a = v.select(col("vec_id").as("v1"), col("v").as("va"), col("p").as("pa"))
+    val b = v.select(col("vec_id").as("v2"), col("v").as("vb"), col("p").as("pb"))
+    def sq(x: Column, y: Column): Column =
+      fsum(zip_with(x, y, (u, w) => (u - w) * (u - w)))
+    a.crossJoin(b).where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        sq(col("va"), col("vb")).as("d2"), sq(col("pa"), col("pb")).as("p2"))
+      .select(col("v1"), col("v2"), femit(col("d2")).as("dist2"),
+        femit(col("p2")).as("proj_dist2"),
+        femit(col("p2") / nullif(col("d2"), lit(0.0))).as("ratio"))
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

@@ -112,6 +112,30 @@ class Round10OpsSpec extends SparkSpec {
       "bottom-ks must equal bottom-k of the union")
   }
 
+  test("binaryKnn: codes pack 64 centered sign bits into two 32-bit words") {
+    // every packed word must fit in 32 unsigned bits (no 1<<63
+    // anywhere), and ham must be symmetric and zero on self
+    val codes = Sim.binaryKnn(emb, nQuery = 3, k = 5)
+      .select("qid", "vec_id", "ham").collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val h = r.getLong(2)
+      assert(h >= 0 && h <= 64, s"hamming out of range: $h")
+    }
+  }
+
+  test("randomProjection: JL ratios are unbiased-ish and strictly positive") {
+    val rows = Sim.randomProjection(emb).select("dist2", "proj_dist2", "ratio")
+      .collect()
+    assert(rows.length == 435, "30 audit vectors -> 435 pairs")
+    val ratios = rows.map(_.getDouble(2))
+    ratios.foreach(r => assert(r > 0.0, "squared distances are positive"))
+    val mean = ratios.sum / ratios.length
+    // E[ratio] = 1 for a +-1/sqrt(dOut) sign matrix; with dOut=16 and
+    // 435 (correlated) pairs the sample mean concentrates loosely
+    assert(mean > 0.6 && mean < 1.4, s"mean distortion ratio $mean")
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
