@@ -418,6 +418,77 @@ object Dedup {
     small.unionAll(bigPairs).where(col("dist") <= maxDist)
   }
 
+  /** Fellegi–Sunter probabilistic record linkage over the blocked
+    * fuzzy-join pairs (Fellegi &amp; Sunter, "A Theory for Record
+    * Linkage", JASA 1969 — the model behind every production ER
+    * system): each candidate pair carries an agreement vector over
+    * three fields (title token-set Jaccard &gt; 0.5, lang equality,
+    * source equality), per-field m = P(agree | match) and
+    * u = P(agree | non-match) are estimated from the candidate set
+    * itself with a tight edit-distance proxy (dist ≤ 2) standing in
+    * for the latent match class (the 1-step moment estimate; full FS
+    * runs EM over the same counts), and each pair scores the
+    * log-likelihood ratio Σₖ ln(mₖ/uₖ) if field k agrees else
+    * ln((1−mₖ)/(1−uₖ)) — positive evidence FOR a match, negative
+    * against. Laplace smoothing ((c+1)/(n+2)) keeps every probability
+    * strictly inside (0,1) so no ln(0) appears even when a proxy
+    * class is empty at small scale.
+    *
+    * Determinism: all inputs to the score are exact integer counts
+    * cast to double through fixed-order IEEE arithmetic; ln is the
+    * libm parity class (the q120/q143 precedent) and the score emits
+    * through the femit lattice. Jaccard guards its denominator with
+    * greatest(·,1) — a NaN would compare differently across engines
+    * (DuckDB orders NaN high, Spark returns false).
+    *
+    * Scale: pair generation is [[fuzzyJoin]] (lossless salted-spill
+    * blocking); the attribute joins are id-equi; the m/u table is ONE
+    * broadcast row. Cost is the pair join everything in this family
+    * already pays — the scoring adds a map. */
+  def fellegiSunter(docs: DataFrame, maxDist: Int = 10,
+                    proxyDist: Int = 2): DataFrame = {
+    import graft.rel.Queries.femit
+    val titled = docs.select(col("doc_id"), col("lang"), col("source"),
+      concat_ws(" ", slice(split(col("text"), " ", -1), 1, 5)).as("title"))
+    val pairs = fuzzyJoin(titled.select(col("doc_id"), col("title")),
+      "doc_id", "title", maxDist)
+    val attrs = titled.select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(split(col("title"), " ", -1)).as("toks"))
+    val cmp = pairs
+      .join(attrs.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("source").as("s1"), col("toks").as("t1")), "d1")
+      .join(attrs.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("source").as("s2"), col("toks").as("t2")), "d2")
+      .select(col("d1"), col("d2"), col("dist"),
+        (size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          greatest(size(array_union(col("t1"), col("t2"))), lit(1))
+            .cast("double") > 0.5).cast("long").as("agr_tok"),
+        (col("l1") === col("l2")).cast("long").as("agr_lang"),
+        (col("s1") === col("s2")).cast("long").as("agr_src"),
+        (col("dist") <= proxyDist).cast("long").as("m_proxy"))
+      .localCheckpoint() // feeds the stats aggregate AND the score map
+    val stats = cmp.agg(
+      sum(col("m_proxy")).as("nm"),
+      (count(lit(1)) - sum(col("m_proxy"))).as("nu"),
+      sum(col("agr_tok") * col("m_proxy")).as("am_tok"),
+      sum(col("agr_lang") * col("m_proxy")).as("am_lang"),
+      sum(col("agr_src") * col("m_proxy")).as("am_src"),
+      sum(col("agr_tok") * (lit(1) - col("m_proxy"))).as("au_tok"),
+      sum(col("agr_lang") * (lit(1) - col("m_proxy"))).as("au_lang"),
+      sum(col("agr_src") * (lit(1) - col("m_proxy"))).as("au_src"))
+    def m(k: String): Column =
+      (col(s"am_$k").cast("double") + lit(1.0)) / (col("nm").cast("double") + lit(2.0))
+    def u(k: String): Column =
+      (col(s"au_$k").cast("double") + lit(1.0)) / (col("nu").cast("double") + lit(2.0))
+    def w(k: String): Column =
+      when(col(s"agr_$k") === 1, log(m(k) / u(k)))
+        .otherwise(log((lit(1.0) - m(k)) / (lit(1.0) - u(k))))
+    cmp.crossJoin(broadcast(stats))
+      .select(col("d1"), col("d2"), col("dist"),
+        col("agr_tok"), col("agr_lang"), col("agr_src"),
+        femit(w("tok") + w("lang") + w("src")).as("score"))
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise matches into dedup GROUPS (keep the minimum doc id
     * per component, drop the rest): pairs are not transitive-closed, so

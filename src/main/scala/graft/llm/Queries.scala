@@ -1451,6 +1451,11 @@ object Queries {
     "q335_random_projection" -> ((s, dir) =>
       Sim.randomProjection(tbl(s, dir, "embeddings"))
         .orderBy("v1", "v2")),
+    // Fellegi-Sunter log-likelihood-ratio record-linkage scores over
+    // the q86 blocked pairs (see Dedup.fellegiSunter)
+    "q336_fellegi_sunter" -> ((s, dir) =>
+      Dedup.fellegiSunter(tbl(s, dir, "documents"))
+        .orderBy("d1", "d2")),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4252,6 +4257,54 @@ object Queries {
          |SELECT v1, v2, ${femitSql("d2")} AS dist2, ${femitSql("p2")} AS proj_dist2,
          |  ${femitSql("p2 / nullif(d2, 0.0)")} AS ratio
          |FROM pr ORDER BY v1, v2""".stripMargin
+    },
+    // Same q86 lossless blocking, same agreement vector (Jaccard>0.5
+    // with the greatest(.,1) NaN guard, lang/source equality), same
+    // Laplace-smoothed moment estimates from the dist<=2 proxy class,
+    // the identical fixed-order ln-ratio sum; ln is the libm parity
+    // class and the score ships femit.
+    "q336_fellegi_sunter" -> {
+      def mS(k: String) =
+        s"((CAST(am_$k AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(nm AS DOUBLE) + CAST(2.0 AS DOUBLE)))"
+      def uS(k: String) =
+        s"((CAST(au_$k AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(nu AS DOUBLE) + CAST(2.0 AS DOUBLE)))"
+      def wS(k: String) =
+        s"(CASE WHEN agr_$k = 1 THEN ln(${mS(k)} / ${uS(k)}) " +
+          s"ELSE ln((CAST(1.0 AS DOUBLE) - ${mS(k)}) / (CAST(1.0 AS DOUBLE) - ${uS(k)})) END)"
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |  array_to_string((string_split(text, ' '))[1:5], ' ') AS title FROM documents),
+         |b AS (SELECT doc_id, title, string_split(title, ' ')[1] AS tok1,
+         |  length(title) // 4 AS lb FROM t),
+         |sz AS (SELECT tok1, lb FROM b GROUP BY tok1, lb
+         |  HAVING count(*) > 1),
+         |pr AS (SELECT a.doc_id AS d1, c.doc_id AS d2,
+         |  CAST(levenshtein(a.title, c.title) AS BIGINT) AS dist
+         |  FROM b a JOIN b c ON a.tok1 = c.tok1 AND a.lb = c.lb AND a.doc_id < c.doc_id
+         |  JOIN sz ON sz.tok1 = a.tok1 AND sz.lb = a.lb
+         |  WHERE levenshtein(a.title, c.title) <= 10),
+         |at AS (SELECT doc_id, lang, source,
+         |  list_distinct(string_split(title, ' ')) AS toks FROM t),
+         |cmp AS (SELECT d1, d2, dist,
+         |  CASE WHEN CAST(len(list_intersect(a1.toks, a2.toks)) AS DOUBLE)
+         |    / CAST(greatest(len(list_distinct(list_concat(a1.toks, a2.toks))), 1) AS DOUBLE)
+         |    > 0.5 THEN 1 ELSE 0 END AS agr_tok,
+         |  CASE WHEN a1.lang = a2.lang THEN 1 ELSE 0 END AS agr_lang,
+         |  CASE WHEN a1.source = a2.source THEN 1 ELSE 0 END AS agr_src,
+         |  CASE WHEN dist <= 2 THEN 1 ELSE 0 END AS m_proxy
+         |  FROM pr JOIN at a1 ON a1.doc_id = d1 JOIN at a2 ON a2.doc_id = d2),
+         |st AS (SELECT CAST(SUM(m_proxy) AS BIGINT) AS nm,
+         |  CAST(count(*) - SUM(m_proxy) AS BIGINT) AS nu,
+         |  CAST(SUM(agr_tok * m_proxy) AS BIGINT) AS am_tok,
+         |  CAST(SUM(agr_lang * m_proxy) AS BIGINT) AS am_lang,
+         |  CAST(SUM(agr_src * m_proxy) AS BIGINT) AS am_src,
+         |  CAST(SUM(agr_tok * (1 - m_proxy)) AS BIGINT) AS au_tok,
+         |  CAST(SUM(agr_lang * (1 - m_proxy)) AS BIGINT) AS au_lang,
+         |  CAST(SUM(agr_src * (1 - m_proxy)) AS BIGINT) AS au_src FROM cmp)
+         |SELECT d1, d2, dist, CAST(agr_tok AS BIGINT) AS agr_tok,
+         |  CAST(agr_lang AS BIGINT) AS agr_lang,
+         |  CAST(agr_src AS BIGINT) AS agr_src,
+         |  ${femitSql(s"${wS("tok")} + ${wS("lang")} + ${wS("src")}")} AS score
+         |FROM cmp CROSS JOIN st ORDER BY d1, d2""".stripMargin
     },
   )
 }

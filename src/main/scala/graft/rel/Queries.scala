@@ -4484,6 +4484,9 @@ object Queries {
     // the salt factor a salted join/agg needs (see Layout.skewAdvisor)
     "q330_skew_advisor" -> ((s, dir) =>
       Layout.skewAdvisor(events(s, dir), "user_id", targetRows = 512L)),
+    // K-fold cross-validated ridge: hash folds, complement-moment
+    // train fits, out-of-fold MSE (see cvRidge)
+    "q337_cv_ridge" -> ((s, dir) => cvRidge(s, dir)),
     "q296_tpch_q12" -> (tpchQ12 _),
     "q297_tpch_q14" -> (tpchQ14 _),
     "q298_tpch_q19" -> (tpchQ19 _),
@@ -5001,6 +5004,65 @@ object Queries {
           / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
           / col("n")).as("intercept"))
       .orderBy("event_type")
+  }
+
+  // K-fold cross-validated ridge regression — the model-EVALUATION
+  // harness on top of q149's closed-form fit: folds assign by
+  // fnv1a32(event_id||':cv') % k (the repo's deterministic-sampler
+  // convention — re-runs and different partitionings see identical
+  // folds, and a row's fold never migrates when the corpus grows),
+  // each fold's TRAIN moments are the DECIMAL-exact sum of the other
+  // k−1 folds' partial moments (group once by fold, combine k
+  // complement rows — one corpus scan for all k fits, not k scans;
+  // the decimal adds are order-free so the combine is exact), the
+  // ridge solve is the 2×2 closed form with λ on the slope cell only
+  // (the standard don't-penalize-the-intercept convention), and each
+  // fold's out-of-fold MSE comes from one residual scan against its
+  // broadcast (b0, b1). x rescales µs→days before the moments (the
+  // q149 DECIMAL-overflow note). Scale: two corpus scans + a k-row
+  // combine, independent of k.
+  def cvRidge(s: SparkSession, dir: String, k: Int = 5,
+              lambda: Double = 1.0): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val e = events(s, dir).select(
+      pmod(graft.functions.HashExprs.fnv1a32(
+        "concat(cast(event_id AS STRING), ':cv')"), lit(k.toLong))
+        .cast("long").as("fold"),
+      ((expr("unix_micros(ts)") - lit(1704067200000000L)).cast("double")
+        / lit(86400000000.0)).as("x"),
+      col("value").as("y"))
+    def dpart(c: Column): Column = sum(c.cast("decimal(38,12)"))
+    val pf = e.groupBy("fold").agg(count(lit(1)).as("n"),
+      dpart(col("x")).as("sx"), dpart(col("y")).as("sy"),
+      dpart(col("x") * col("y")).as("sxy"),
+      dpart(col("x") * col("x")).as("sxx"))
+      .localCheckpoint() // feeds the k complement combines AND n_test
+    val train = pf.select(col("fold").as("f")).distinct()
+      .join(pf, col("fold") =!= col("f"))
+      .groupBy("f")
+      .agg(sum(col("n")).as("n_train"),
+        sum(col("sx")).cast("double").as("sx"),
+        sum(col("sy")).cast("double").as("sy"),
+        sum(col("sxy")).cast("double").as("sxy"),
+        sum(col("sxx")).cast("double").as("sxx"))
+    val fit = train.select(col("f"), col("n_train"),
+      ((col("n_train") * col("sxy") - col("sx") * col("sy"))
+        / (col("n_train") * (col("sxx") + lit(lambda))
+          - col("sx") * col("sx"))).as("b1"),
+      col("sx"), col("sy"))
+      .select(col("f"), col("n_train"), col("b1"),
+        ((col("sy") - col("b1") * col("sx")) / col("n_train")).as("b0"))
+    val eval = e.join(broadcast(fit), col("fold") === col("f"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        dsum((col("y") - (col("b0") + col("b1") * col("x")))
+          * (col("y") - (col("b0") + col("b1") * col("x")))).as("ssr"),
+        first(col("n_train")).as("n_train"),
+        first(col("b0")).as("b0"), first(col("b1")).as("b1"))
+    eval.select(col("fold"), col("n_train"), col("n_test"),
+      femit(col("b1")).as("slope"), femit(col("b0")).as("intercept"),
+      femit(col("ssr") / col("n_test")).as("mse"))
+      .orderBy("fold")
   }
 
   // Two-sample z-test (Welch) between the purchase and click value
@@ -5542,6 +5604,42 @@ object Queries {
          |  CAST(greatest(1, ceil(CAST(cnt AS DOUBLE) / CAST(512.0 AS DOUBLE))) AS BIGINT) AS salt
          |FROM cnt CROSS JOIN tot
          |ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin,
+    // Same fnv fold assignment, same two-stage DECIMAL moment route
+    // (inner per-fold decimal sums kept AS DECIMAL, outer complement
+    // combine exact, VARCHAR round-trip only at the final cast), same
+    // 2x2 ridge closed form with lambda on the slope cell, same
+    // residual dsum.
+    "q337_cv_ridge" ->
+      s"""WITH e AS (SELECT
+         |  ${graft.llm.Queries.fnvSql("CAST(event_id AS VARCHAR) || ':cv'")} % 5 AS fold,
+         |  CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 86400000000.0 AS x,
+         |  value AS y FROM events),
+         |pf AS (SELECT fold, count(*) AS n,
+         |  SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS sx,
+         |  SUM(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,12))) AS sy,
+         |  SUM(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,12))) AS sxy,
+         |  SUM(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,12))) AS sxx
+         |  FROM e GROUP BY fold),
+         |tr AS (SELECT a.fold AS f, CAST(SUM(b.n) AS BIGINT) AS n_train,
+         |  CAST(CAST(SUM(b.sx) AS VARCHAR) AS DOUBLE) AS sx,
+         |  CAST(CAST(SUM(b.sy) AS VARCHAR) AS DOUBLE) AS sy,
+         |  CAST(CAST(SUM(b.sxy) AS VARCHAR) AS DOUBLE) AS sxy,
+         |  CAST(CAST(SUM(b.sxx) AS VARCHAR) AS DOUBLE) AS sxx
+         |  FROM pf a JOIN pf b ON a.fold <> b.fold GROUP BY a.fold),
+         |f1 AS (SELECT f, n_train, sx, sy,
+         |  (n_train * sxy - sx * sy)
+         |    / (n_train * (sxx + CAST(1.0 AS DOUBLE)) - sx * sx) AS b1
+         |  FROM tr),
+         |fit AS (SELECT f, n_train, b1, (sy - b1 * sx) / n_train AS b0 FROM f1),
+         |ev AS (SELECT e.fold, count(*) AS n_test,
+         |  ${dsumSql("(y - (b0 + b1 * x)) * (y - (b0 + b1 * x))")} AS ssr,
+         |  any_value(n_train) AS n_train,
+         |  any_value(b0) AS b0, any_value(b1) AS b1
+         |  FROM e JOIN fit ON e.fold = fit.f GROUP BY e.fold)
+         |SELECT fold, n_train, CAST(n_test AS BIGINT) AS n_test,
+         |  ${femitSql("b1")} AS slope, ${femitSql("b0")} AS intercept,
+         |  ${femitSql("ssr / n_test")} AS mse
+         |FROM ev ORDER BY fold""".stripMargin,
     // Driver-environment probe ([[engineProbe]]): each column recomputes
     // one drift class through the hazardous construct on THIS engine.
     "q317_engine_probe" ->

@@ -136,6 +136,45 @@ class Round10OpsSpec extends SparkSpec {
     assert(mean > 0.6 && mean < 1.4, s"mean distortion ratio $mean")
   }
 
+  test("fellegiSunter: scores reproduce from the output's own counts") {
+    val rows = Dedup.fellegiSunter(docs)
+      .select("d1", "d2", "dist", "agr_tok", "agr_lang", "agr_src", "score")
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6)))
+    assert(rows.nonEmpty)
+    // the output carries everything the model needs: recompute m/u
+    // from (agr bits, dist<=2 proxy) and check every emitted score
+    val nm = rows.count(_._1 <= 2).toDouble
+    val nu = rows.length - nm
+    def mu(sel: ((Long, Long, Long, Long, Double)) => Long)
+    : (Double, Double) = {
+      val am = rows.filter(_._1 <= 2).map(sel).sum.toDouble
+      val au = rows.filter(_._1 > 2).map(sel).sum.toDouble
+      ((am + 1.0) / (nm + 2.0), (au + 1.0) / (nu + 2.0))
+    }
+    val fields: Seq[(((Long, Long, Long, Long, Double)) => Long,
+      ((Long, Long, Long, Long, Double)) => Long)] =
+      Seq((_._2, _._2), (_._3, _._3), (_._4, _._4))
+    def femitD(x: Double): Double =
+      if (x.isNaN) Double.NaN
+      else if (math.abs(x) >= 1e9) x
+      else math.floor(x * 1e6 + 0.5) / 1e6 + 0.0
+    rows.foreach { r =>
+      val expected = fields.map { case (sel, _) =>
+        val (m, u) = mu(sel)
+        if (sel(r) == 1) math.log(m / u) else math.log((1.0 - m) / (1.0 - u))
+      }.sum
+      assert(r._5 == femitD(expected), s"score drift on pair $r")
+    }
+    // sanity: the proxy-matched class out-scores the rest on average
+    val sm = rows.filter(_._1 <= 2).map(_._5)
+    val su = rows.filter(_._1 > 2).map(_._5)
+    if (sm.nonEmpty && su.nonEmpty)
+      assert(sm.sum / sm.length > su.sum / su.length,
+        "match class must carry more positive evidence")
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {

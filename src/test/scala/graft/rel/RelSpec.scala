@@ -802,4 +802,22 @@ class RelSpec extends SparkSpec {
     // every rejected p is <= its q-value ceiling under BH
     out.filter(_._4).foreach(t => assert(t._3 <= 0.05 + 1e-12, t.toString))
   }
+
+  test("cvRidge: folds partition the corpus; ridge shrinks each fold's slope") {
+    val out = Queries.cvRidge(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 5, "five folds")
+    val total = Queries.events(spark, sf0001).count()
+    out.foreach { case (_, nTrain, nTest, _) =>
+      assert(nTrain + nTest == total, "train + test must cover the corpus")
+    }
+    assert(out.map(_._3).sum == total, "folds are a partition")
+    // lambda > 0 strictly widens the 2x2 denominator, so each fold's
+    // ridge slope is strictly smaller in magnitude than its OLS twin
+    val ols = Queries.cvRidge(spark, sf0001, lambda = 0.0).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    out.foreach { case (f, _, _, b1) =>
+      assert(math.abs(b1) <= math.abs(ols(f)) + 1e-12, s"shrinkage at fold $f")
+    }
+  }
 }
