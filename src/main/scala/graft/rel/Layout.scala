@@ -279,4 +279,70 @@ object Layout {
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(topK)
   }
+
+  /** Join-size estimation via correlated bottom-k sampling — the
+    * planning companion to [[skewAdvisor]]: before committing a
+    * full-corpus shuffle, estimate |A ⋈ B| on a key from two tiny
+    * mergeable sketches (Vengerov et al., "Join Size Estimation
+    * Subject to Filter Conditions", VLDB 2015 — the correlated/
+    * coordinated sampling family; same hash ⇒ the two sides sample
+    * the SAME keys, which is what makes intersection estimable at
+    * all). Each side keeps its distinct keys' fnv hashes with
+    * multiplicities; τ = min of the two k-th-smallest hashes (a side
+    * with fewer than k keys contributes τ = 2³² — fully sampled);
+    * every key with h &lt; τ is sampled on BOTH sides with probability
+    * p = τ/2³², so Σ c_A·c_B over sampled common keys, divided by p,
+    * estimates the true join size Σ c_A·c_B. The output carries the
+    * estimate NEXT TO the exact size (the kmvSketch audit convention)
+    * — at production scale only the sketch side runs.
+    *
+    * Determinism: hashes, thresholds, the sampled key set, and the
+    * sampled mass are exact integer math; the only double op is the
+    * final division, emitted through femit. An empty sampled
+    * intersection emits NULL (sum over zero rows), identically on
+    * both engines.
+    *
+    * Scale: each sketch is one map-side-combined distinct-key
+    * aggregate + a top-k (k rows out); τ is a 1-row broadcast; the
+    * estimate touches ≤ 2k rows. The exact audit column is the only
+    * full-key join — drop it and nothing above |keys| ever moves. */
+  def joinSizeEstimate(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String,
+                       k: Int = 64): DataFrame = {
+    val s = left.sparkSession
+    graft.functions.HashExprs.register(s)
+    val full = lit(4294967296L)
+    def side(df: DataFrame, key: String, cn: String): DataFrame =
+      df.groupBy(col(key).cast("string").as("key"))
+        .agg(count(lit(1)).as(cn))
+        .select(col("key"), col(cn),
+          graft.functions.HashExprs.fnv1a32("key").as("h"))
+        .localCheckpoint() // feeds tau, the sample, and the exact audit
+    val a = side(left, leftKey, "ca")
+    val b = side(right, rightKey, "cb")
+    def tau(x: DataFrame, name: String): DataFrame =
+      x.select(col("h")).orderBy(col("h").asc).limit(k)
+        .agg(count(lit(1)).as("nk"), max(col("h")).as("hk"))
+        .select(when(col("nk") < k, full).otherwise(col("hk")).as(name))
+    val t = tau(a, "tau_a").crossJoin(tau(b, "tau_b"))
+      .select(col("tau_a"), col("tau_b"),
+        least(col("tau_a"), col("tau_b")).as("tau"))
+    val sampled = a.crossJoin(broadcast(t)).where(col("h") < col("tau"))
+      .join(b, "key")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("sm"),
+        count(lit(1)).as("n_common_sampled"),
+        first(col("tau")).as("tau"))
+    val exact = a.join(b, "key")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+        .as("exact_join_size"))
+    val na = a.agg(count(lit(1)).as("n_keys_a"))
+    val nb = b.agg(count(lit(1)).as("n_keys_b"))
+    sampled.crossJoin(exact).crossJoin(na).crossJoin(nb)
+      .select(col("n_keys_a"), col("n_keys_b"), col("tau"),
+        col("n_common_sampled"),
+        Queries.femit(col("sm").cast("double")
+          / (col("tau").cast("double") / lit(4294967296.0)))
+          .as("est_join_size"),
+        col("exact_join_size"))
+  }
 }

@@ -4487,6 +4487,15 @@ object Queries {
     // K-fold cross-validated ridge: hash folds, complement-moment
     // train fits, out-of-fold MSE (see cvRidge)
     "q337_cv_ridge" -> ((s, dir) => cvRidge(s, dir)),
+    // AR(2) Yule-Walker fit + 1-step forecast over the daily count
+    // series per event type (see arForecast)
+    "q338_ar_forecast" -> ((s, dir) => arForecast(s, dir)),
+    // Correlated bottom-k join-size estimate (events x orders on
+    // user_id = o_custkey), estimate next to exact audit
+    // (see Layout.joinSizeEstimate)
+    "q339_join_size_estimate" -> ((s, dir) =>
+      Layout.joinSizeEstimate(events(s, dir), "user_id",
+        tbl(s, dir, "orders"), "o_custkey")),
     "q296_tpch_q12" -> (tpchQ12 _),
     "q297_tpch_q14" -> (tpchQ14 _),
     "q298_tpch_q19" -> (tpchQ19 _),
@@ -5065,6 +5074,55 @@ object Queries {
       .orderBy("fold")
   }
 
+  // AR(2) autoregressive fit + 1-step forecast per event type via the
+  // Yule–Walker equations (Box–Jenkins; the closed 2×2 solve —
+  // φ₁ = c₁(c₀−c₂)/(c₀²−c₁²), φ₂ = (c₀c₂−c₁²)/(c₀²−c₁²)) over the
+  // DAILY count series: autocovariances c₀..c₂ from the centered
+  // series on the exact-DECIMAL dsum route (biased /n estimator — the
+  // one that keeps YW coefficients stationary), forecast
+  // ŷ_{T+1} = μ + φ₁(y_T−μ) + φ₂(y_{T−1}−μ). Lags are previous
+  // OBSERVATIONS (calendar gaps collapse — documented; the synthetic
+  // series is contiguous). Complements q272 Holt–Winters (trend/
+  // seasonality smoothing) with the stochastic-process fit.
+  // Degenerate series (c₀²=c₁², <3 days) emit NULL through nullif on
+  // both engines. Scale: one day-grain aggregate (map-side combined),
+  // windows over the tiny per-type day series, a 2-row-per-type tail.
+  def arForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val mu = daily.groupBy("event_type")
+      .agg((dsum(col("y")) / count(lit(1))).as("mu"),
+        count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val z = daily.join(broadcast(mu), "event_type")
+      .select(col("event_type"), col("day"), col("n_days"),
+        (col("y") - col("mu")).as("z"), col("mu"))
+      .withColumn("z1", lag(col("z"), 1).over(w))
+      .withColumn("z2", lag(col("z"), 2).over(w))
+      .withColumn("rn_desc",
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("day").desc)))
+    val cov = z.groupBy("event_type")
+      .agg(first(col("n_days")).as("n_days"), first(col("mu")).as("mu"),
+        (dsum(col("z") * col("z")) / first(col("n_days"))).as("c0"),
+        (dsum(col("z") * col("z1")) / first(col("n_days"))).as("c1"),
+        (dsum(col("z") * col("z2")) / first(col("n_days"))).as("c2"),
+        max(when(col("rn_desc") === 1, col("z"))).as("zt"),
+        max(when(col("rn_desc") === 2, col("z"))).as("zt1"))
+    val den = col("c0") * col("c0") - col("c1") * col("c1")
+    val phi1 = col("c1") * (col("c0") - col("c2")) / nullif(den, lit(0.0))
+    val phi2 = (col("c0") * col("c2") - col("c1") * col("c1")) /
+      nullif(den, lit(0.0))
+    cov.where(col("n_days") >= 3)
+      .select(col("event_type"), col("n_days"),
+        femit(col("mu")).as("mu"),
+        femit(phi1).as("phi1"), femit(phi2).as("phi2"),
+        femit(col("mu") + phi1 * col("zt") + phi2 * col("zt1"))
+          .as("forecast"))
+      .orderBy("event_type")
+  }
+
   // Two-sample z-test (Welch) between the purchase and click value
   // distributions — the A/B-test decision from the same exact-moment
   // route: means and variances from DECIMAL sums, one closed-form z,
@@ -5640,6 +5698,65 @@ object Queries {
          |  ${femitSql("b1")} AS slope, ${femitSql("b0")} AS intercept,
          |  ${femitSql("ssr / n_test")} AS mse
          |FROM ev ORDER BY fold""".stripMargin,
+    // Same daily aggregate, same centered-series windows (lag over
+    // day ASC, previous-OBSERVATION semantics), same /n biased
+    // autocovariances on the dsum route, same YW closed form with the
+    // nullif degenerate guard.
+    "q338_ar_forecast" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |  CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+         |mu AS (SELECT event_type, ${dsumSql("y")} / count(*) AS mu,
+         |  count(*) AS n_days FROM daily GROUP BY 1),
+         |z AS (SELECT d.event_type, day, n_days, mu, y - mu AS z,
+         |  lag(y - mu, 1) OVER (PARTITION BY d.event_type ORDER BY day ASC) AS z1,
+         |  lag(y - mu, 2) OVER (PARTITION BY d.event_type ORDER BY day ASC) AS z2,
+         |  row_number() OVER (PARTITION BY d.event_type ORDER BY day DESC) AS rn_desc
+         |  FROM daily d JOIN mu USING (event_type)),
+         |cov AS (SELECT event_type, any_value(n_days) AS n_days,
+         |  any_value(mu) AS mu,
+         |  ${dsumSql("z * z")} / any_value(n_days) AS c0,
+         |  ${dsumSql("z * z1")} / any_value(n_days) AS c1,
+         |  ${dsumSql("z * z2")} / any_value(n_days) AS c2,
+         |  max(CASE WHEN rn_desc = 1 THEN z END) AS zt,
+         |  max(CASE WHEN rn_desc = 2 THEN z END) AS zt1
+         |  FROM z GROUP BY event_type),
+         |ph AS (SELECT *,
+         |  c1 * (c0 - c2) / nullif(c0 * c0 - c1 * c1, 0.0) AS phi1,
+         |  (c0 * c2 - c1 * c1) / nullif(c0 * c0 - c1 * c1, 0.0) AS phi2
+         |  FROM cov WHERE n_days >= 3)
+         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+         |  ${femitSql("mu")} AS mu, ${femitSql("phi1")} AS phi1,
+         |  ${femitSql("phi2")} AS phi2,
+         |  ${femitSql("mu + phi1 * zt + phi2 * zt1")} AS forecast
+         |FROM ph ORDER BY event_type""".stripMargin,
+    // Same per-side distinct-key count+hash sketches, same bottom-64
+    // thresholds with the <k full-sample branch, same strict h<tau
+    // sample, same single femit division; integer everywhere else.
+    "q339_join_size_estimate" ->
+      s"""WITH a AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS ca,
+         |  ${graft.llm.Queries.fnvSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events GROUP BY 1),
+         |b AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cb,
+         |  ${graft.llm.Queries.fnvSql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders GROUP BY 1),
+         |ta AS (SELECT CASE WHEN count(*) < 64 THEN 4294967296
+         |  ELSE max(h) END AS tau_a FROM (SELECT h FROM a ORDER BY h LIMIT 64)),
+         |tb AS (SELECT CASE WHEN count(*) < 64 THEN 4294967296
+         |  ELSE max(h) END AS tau_b FROM (SELECT h FROM b ORDER BY h LIMIT 64)),
+         |t AS (SELECT least(tau_a, tau_b) AS tau FROM ta CROSS JOIN tb),
+         |sm AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS sm,
+         |  count(*) AS n_common_sampled, any_value(tau) AS tau
+         |  FROM a JOIN b USING (key) CROSS JOIN t WHERE a.h < tau),
+         |ex AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+         |  AS exact_join_size FROM a JOIN b USING (key)),
+         |na AS (SELECT count(*) AS n_keys_a FROM a),
+         |nb AS (SELECT count(*) AS n_keys_b FROM b)
+         |SELECT n_keys_a, n_keys_b, CAST(tau AS BIGINT) AS tau,
+         |  n_common_sampled,
+         |  ${femitSql(
+        "CAST(sm AS DOUBLE) / (CAST(tau AS DOUBLE) / CAST(4294967296.0 AS DOUBLE))")}
+         |  AS est_join_size, exact_join_size
+         |FROM sm CROSS JOIN ex CROSS JOIN na CROSS JOIN nb""".stripMargin,
     // Driver-environment probe ([[engineProbe]]): each column recomputes
     // one drift class through the hazardous construct on THIS engine.
     "q317_engine_probe" ->

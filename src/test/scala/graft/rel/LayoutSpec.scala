@@ -207,4 +207,29 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(salted == plain)
   }
+
+  test("joinSizeEstimate: fully-sampled sides give the exact join size") {
+    import spark.implicits._
+    // both sides under k=64 distinct keys -> tau = 2^32, p = 1, and
+    // the estimate must EQUAL sum(ca*cb) = the exact join size
+    val l = Seq(1L, 1L, 2L, 2L, 2L, 3L, 7L).toDF("k")
+    val r = Seq(2L, 2L, 3L, 3L, 3L, 4L).toDF("k")
+    val row = Layout.joinSizeEstimate(l, "k", r, "k").collect()(0)
+    val exact = row.getLong(5)
+    assert(exact == 2L * 3 + 1L * 3, "sum of multiplicity products")
+    assert(row.getLong(2) == 4294967296L, "tau must be the full range")
+    assert(row.getDouble(4) == exact.toDouble, "p=1 estimate is exact")
+  }
+
+  test("joinSizeEstimate: sampled estimate lands near the true size") {
+    val ev = Queries.events(spark, "/root/testdata/sf0.01")
+    val ord = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val row = Layout.joinSizeEstimate(ev, "user_id", ord, "o_custkey")
+      .collect()(0)
+    val exact = row.getLong(5).toDouble
+    val est = row.getDouble(4)
+    assert(exact > 0)
+    assert(est > exact / 3 && est < exact * 3,
+      s"estimate $est too far from exact $exact")
+  }
 }

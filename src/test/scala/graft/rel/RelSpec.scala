@@ -820,4 +820,41 @@ class RelSpec extends SparkSpec {
       assert(math.abs(b1) <= math.abs(ols(f)) + 1e-12, s"shrinkage at fold $f")
     }
   }
+
+  test("arForecast matches a plain-Scala decimal-lattice reference") {
+    import org.apache.spark.sql.functions._
+    val daily = Queries.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.sortBy(_._2).map(_._3).toVector
+      }
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def femitD(x: Double): Double =
+      if (math.abs(x) >= 1e9) x else math.floor(x * 1e6 + 0.5) / 1e6 + 0.0
+    val got = Queries.arForecast(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    daily.filter(_._2.length >= 3).foreach { case (t, ys) =>
+      val n = ys.length
+      val mu = dsum(ys) / n
+      val z = ys.map(_ - mu)
+      val c0 = dsum(z.map(x => x * x)) / n
+      val c1 = dsum(z.zip(z.drop(1)).map { case (a, b) => b * a }) / n
+      val c2 = dsum(z.zip(z.drop(2)).map { case (a, b) => b * a }) / n
+      val den = c0 * c0 - c1 * c1
+      if (den != 0.0) {
+        val phi1 = c1 * (c0 - c2) / den
+        val phi2 = (c0 * c2 - c1 * c1) / den
+        val fc = mu + phi1 * z.last + phi2 * z(n - 2)
+        val (g1, g2, gf) = got(t)
+        assert(g1 == femitD(phi1) && g2 == femitD(phi2) && gf == femitD(fc),
+          s"YW drift for $t: got ($g1,$g2,$gf) want " +
+            s"(${femitD(phi1)},${femitD(phi2)},${femitD(fc)})")
+      }
+    }
+  }
 }
