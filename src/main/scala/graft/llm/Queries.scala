@@ -1456,6 +1456,15 @@ object Queries {
     "q336_fellegi_sunter" -> ((s, dir) =>
       Dedup.fellegiSunter(tbl(s, dir, "documents"))
         .orderBy("d1", "d2")),
+    // Two-round AdaBoost over weighted decision stumps — in-plan
+    // ensemble training (see TextAnalysis.adaBoost)
+    "q340_ada_boost" -> ((s, dir) =>
+      TextAnalysis.adaBoost(tbl(s, dir, "documents"))),
+    // Greedy facility-location selection of 3 exemplars from a
+    // 50-candidate pool over the whole corpus
+    // (see Sim.facilityLocationSelect)
+    "q341_submodular_select" -> ((s, dir) =>
+      Sim.facilityLocationSelect(tbl(s, dir, "embeddings"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4305,6 +4314,129 @@ object Queries {
          |  CAST(agr_src AS BIGINT) AS agr_src,
          |  ${femitSql(s"${wS("tok")} + ${wS("lang")} + ${wS("src")}")} AS score
          |FROM cmp CROSS JOIN st ORDER BY d1, d2""".stripMargin
+    },
+    // Same uniform-then-exponential weights, same distinct-x decimal
+    // prefix sweep (window sums stay DECIMAL, VARCHAR round-trip at
+    // the cast — the q294 rule), same rounded-error argmin with
+    // (thr, pol) tiebreaks, same clamped alpha, same score>0 decision.
+    "q340_ada_boost" -> {
+      val clamp1 = "least(greatest(er1, 1e-10), CAST(1.0 AS DOUBLE) - 1e-10)"
+      val clamp2 = "least(greatest(er2, 1e-10), CAST(1.0 AS DOUBLE) - 1e-10)"
+      val a1 = s"(CAST(0.5 AS DOUBLE) * ln((CAST(1.0 AS DOUBLE) - $clamp1) / $clamp1))"
+      val a2 = s"(CAST(0.5 AS DOUBLE) * ln((CAST(1.0 AS DOUBLE) - $clamp2) / $clamp2))"
+      def dwin(c: String) =
+        s"CAST(CAST(SUM($c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED " +
+          s"PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)"
+      def dpartW(cond: String) =
+        s"SUM(CAST(CAST(CASE WHEN $cond THEN w ELSE 0.0 END AS VARCHAR) AS DECIMAL(38,12)))"
+      val h1 = "(CASE WHEN x <= thr1 THEN pol1 ELSE -pol1 END)"
+      val h2 = "(CASE WHEN x <= thr2 THEN pol2 ELSE -pol2 END)"
+      s"""WITH pts AS (SELECT CAST(n_chars AS BIGINT) AS x,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+         |p1 AS (SELECT x, y, CAST(1.0 AS DOUBLE) AS w FROM pts),
+         |byx1 AS (SELECT x, ${dpartW("y = 1")} AS wp,
+         |  ${dpartW("y = -1")} AS wn, count(*) AS n FROM p1 GROUP BY x),
+         |cum1 AS (SELECT x, ${dwin("wp")} AS lwp, ${dwin("wn")} AS lwn,
+         |  SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS ln FROM byx1),
+         |tot1 AS (SELECT CAST(CAST(SUM(wp) AS VARCHAR) AS DOUBLE) AS twp,
+         |  CAST(CAST(SUM(wn) AS VARCHAR) AS DOUBLE) AS twn,
+         |  CAST(SUM(n) AS BIGINT) AS nn FROM byx1),
+         |s1 AS (SELECT x AS thr1,
+         |  CAST(CASE WHEN (lwn + (twp - lwp)) <= (lwp + (twn - lwn))
+         |    THEN 1 ELSE -1 END AS BIGINT) AS pol1,
+         |  ${femitSql("(CASE WHEN (lwn + (twp - lwp)) <= (lwp + (twn - lwn)) THEN lwn + (twp - lwp) ELSE lwp + (twn - lwn) END) / (twp + twn)")} AS er1
+         |  FROM cum1 CROSS JOIN tot1 WHERE ln < nn
+         |  ORDER BY er1 ASC, thr1 ASC, pol1 DESC LIMIT 1),
+         |p2 AS (SELECT x, y,
+         |  exp(-$a1 * CAST(y * $h1 AS DOUBLE)) AS w
+         |  FROM pts CROSS JOIN s1),
+         |byx2 AS (SELECT x, ${dpartW("y = 1")} AS wp,
+         |  ${dpartW("y = -1")} AS wn, count(*) AS n FROM p2 GROUP BY x),
+         |cum2 AS (SELECT x, ${dwin("wp")} AS lwp, ${dwin("wn")} AS lwn,
+         |  SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS ln FROM byx2),
+         |tot2 AS (SELECT CAST(CAST(SUM(wp) AS VARCHAR) AS DOUBLE) AS twp,
+         |  CAST(CAST(SUM(wn) AS VARCHAR) AS DOUBLE) AS twn,
+         |  CAST(SUM(n) AS BIGINT) AS nn FROM byx2),
+         |s2 AS (SELECT x AS thr2,
+         |  CAST(CASE WHEN (lwn + (twp - lwp)) <= (lwp + (twn - lwn))
+         |    THEN 1 ELSE -1 END AS BIGINT) AS pol2,
+         |  ${femitSql("(CASE WHEN (lwn + (twp - lwp)) <= (lwp + (twn - lwn)) THEN lwn + (twp - lwp) ELSE lwp + (twn - lwn) END) / (twp + twn)")} AS er2
+         |  FROM cum2 CROSS JOIN tot2 WHERE ln < nn
+         |  ORDER BY er2 ASC, thr2 ASC, pol2 DESC LIMIT 1),
+         |scored AS (SELECT y, $a1 * CAST($h1 AS DOUBLE) AS sc1,
+         |  $a1 * CAST($h1 AS DOUBLE) + $a2 * CAST($h2 AS DOUBLE) AS sc2
+         |  FROM pts CROSS JOIN s1 CROSS JOIN s2),
+         |acc AS (SELECT
+         |  ${dsumSql("CASE WHEN (sc1 > 0.0) = (y = 1) THEN 1.0 ELSE 0.0 END")}
+         |    / CAST(count(*) AS DOUBLE) AS acc1,
+         |  ${dsumSql("CASE WHEN (sc2 > 0.0) = (y = 1) THEN 1.0 ELSE 0.0 END")}
+         |    / CAST(count(*) AS DOUBLE) AS acc2 FROM scored)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, thr1 AS threshold,
+         |    pol1 AS polarity, er1 AS err_rate, ${femitSql(a1)} AS alpha,
+         |    ${femitSql("acc1")} AS ens_acc
+         |  FROM s1 CROSS JOIN acc
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS round, thr2 AS threshold,
+         |    pol2 AS polarity, er2 AS err_rate, ${femitSql(a2)} AS alpha,
+         |    ${femitSql("acc2")} AS ens_acc
+         |  FROM s1 CROSS JOIN s2 CROSS JOIN acc)
+         |ORDER BY round""".stripMargin
+    },
+    // Same exact-cosine sims table, same dsum gains, same
+    // rounded-gain argmax with cid tiebreak (DuckDB ORDER BY binds
+    // the femit'd alias — exactly the engine's ordering), same RAW
+    // coverage folds; 3 greedy rounds unrolled.
+    "q341_submodular_select" -> {
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM vv),
+         |cand AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n
+         |  WHERE vec_id < 50),
+         |sims AS (SELECT n.vec_id AS uid, cid,
+         |  ${dotSql("n.v", "cv")} / (n.norm * cn) AS sim
+         |  FROM n CROSS JOIN cand),
+         |g1 AS (SELECT cid,
+         |  ${dsumSql("greatest(sim - 0.0, 0.0)")} AS gain
+         |  FROM sims GROUP BY cid),
+         |s1 AS (SELECT cid, ${femitSql("gain")} AS gain FROM g1
+         |  ORDER BY gain DESC, cid ASC LIMIT 1),
+         |cov1 AS (SELECT uid, greatest(0.0, coalesce(sim, 0.0)) AS cov
+         |  FROM sims JOIN s1 USING (cid)),
+         |cs1 AS (SELECT ${dsumSql("cov")} AS covsum FROM cov1),
+         |g2 AS (SELECT cid,
+         |  ${dsumSql("greatest(sim - cov, 0.0)")} AS gain
+         |  FROM sims JOIN cov1 USING (uid)
+         |  WHERE cid NOT IN (SELECT cid FROM s1) GROUP BY cid),
+         |s2 AS (SELECT cid, ${femitSql("gain")} AS gain FROM g2
+         |  ORDER BY gain DESC, cid ASC LIMIT 1),
+         |cov2 AS (SELECT uid, greatest(c.cov, coalesce(x.sim, 0.0)) AS cov
+         |  FROM cov1 c JOIN (SELECT uid, sim FROM sims JOIN s2 USING (cid)) x
+         |  USING (uid)),
+         |cs2 AS (SELECT ${dsumSql("cov")} AS covsum FROM cov2),
+         |g3 AS (SELECT cid,
+         |  ${dsumSql("greatest(sim - cov, 0.0)")} AS gain
+         |  FROM sims JOIN cov2 USING (uid)
+         |  WHERE cid NOT IN (SELECT cid FROM s1 UNION ALL SELECT cid FROM s2)
+         |  GROUP BY cid),
+         |s3 AS (SELECT cid, ${femitSql("gain")} AS gain FROM g3
+         |  ORDER BY gain DESC, cid ASC LIMIT 1),
+         |cov3 AS (SELECT uid, greatest(c.cov, coalesce(x.sim, 0.0)) AS cov
+         |  FROM cov2 c JOIN (SELECT uid, sim FROM sims JOIN s3 USING (cid)) x
+         |  USING (uid)),
+         |cs3 AS (SELECT ${dsumSql("cov")} AS covsum FROM cov3)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS rnk, cid AS selected_id, gain,
+         |    ${femitSql("covsum")} AS coverage FROM s1 CROSS JOIN cs1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), cid, gain, ${femitSql("covsum")}
+         |  FROM s2 CROSS JOIN cs2
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), cid, gain, ${femitSql("covsum")}
+         |  FROM s3 CROSS JOIN cs3)
+         |ORDER BY rnk""".stripMargin
     },
   )
 }

@@ -1050,6 +1050,72 @@ object Sim {
         femit(col("p2") / nullif(col("d2"), lit(0.0))).as("ratio"))
   }
 
+  /** Greedy facility-location data selection (submodular coverage
+    * maximization — Nemhauser, Wolsey &amp; Fisher 1978 give the (1−1/e)
+    * guarantee; the coreset-selection design of Kaushal et al.'s
+    * SIMILAR/CRAIG line): pick `k` exemplars from a bounded candidate
+    * pool maximizing Σ_u max_{s∈S} sim(u, s) over the WHOLE corpus —
+    * the "which k documents best represent the collection" question a
+    * training-data curator asks before spending budget. Each greedy
+    * round scores every remaining candidate's marginal gain
+    * Σ_u max(sim(u,c) − cov(u), 0), takes the argmax, and folds the
+    * winner's similarities into the per-point coverage.
+    *
+    * Determinism: similarities are exact cosine folds; gains are exact
+    * dsum; the argmax orders by the ROUNDED gain with the candidate id
+    * as tiebreak (the q207 ranked-by-rounded rule); coverage updates
+    * use the RAW similarities. Already-selected candidates are
+    * anti-joined out (a zero-gain re-pick would otherwise win ties at
+    * saturation).
+    *
+    * Scale: the candidate pool is bounded (`nCand` — the standard
+    * pool restriction that makes greedy submodular selection feasible
+    * at corpus scale); the cand×corpus similarity table materializes
+    * ONCE (localCheckpoint) and each of the k rounds reads it with a
+    * broadcast coverage join — no re-scan of the raw vectors after
+    * round 0; rounds are driver-paced like [[kmeansRefine]]/CC. */
+  def facilityLocationSelect(emb: DataFrame, nCand: Long = 50,
+                             k: Int = 3): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val cand = v.where(col("vec_id") < nCand)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val sims = v.crossJoin(broadcast(cand))
+      .select(col("vec_id").as("uid"), col("cid"),
+        cosine(col("v"), col("cv"), col("norm"), col("cn")).as("sim"))
+      .localCheckpoint()
+    var cov = sims.select(col("uid")).distinct()
+      .select(col("uid"), lit(0.0).as("cov")).localCheckpoint()
+    var selected = cov.sparkSession.emptyDataFrame
+    var out: DataFrame = null
+    for (r <- 1 to k) {
+      val gains0 = sims.join(cov, "uid")
+        .groupBy("cid")
+        .agg(dsum(greatest(col("sim") - col("cov"), lit(0.0))).as("gain"))
+      val gains = if (r == 1) gains0
+        else gains0.join(selected, Seq("cid"), "left_anti")
+      val sel = gains
+        .select(col("cid"), femit(col("gain")).as("gain"))
+        .orderBy(col("gain").desc, col("cid").asc).limit(1)
+        .localCheckpoint()
+      val sSims = sims.join(broadcast(sel.select(col("cid"))), "cid")
+        .select(col("uid"), col("sim"))
+      cov = cov.join(sSims, Seq("uid"), "left")
+        .select(col("uid"),
+          greatest(col("cov"), coalesce(col("sim"), lit(0.0))).as("cov"))
+        .localCheckpoint()
+      val coverage = cov.agg(dsum(col("cov")).as("covsum"))
+      val row = sel.crossJoin(broadcast(coverage))
+        .select(lit(r.toLong).as("rnk"), col("cid").as("selected_id"),
+          col("gain"), femit(col("covsum")).as("coverage"))
+      selected = if (r == 1) sel.select(col("cid")) else
+        selected.unionAll(sel.select(col("cid")))
+      out = if (out == null) row else out.unionAll(row)
+    }
+    out.orderBy("rnk")
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

@@ -874,6 +874,124 @@ object TextAnalysis {
       .limit(1)
   }
 
+  /** Two-round discrete AdaBoost over decision stumps (Freund &amp;
+    * Schapire 1997) — [[decisionStump]]'s single split search promoted
+    * to ENSEMBLE training, still as declarative plans: each round
+    * finds the (threshold, polarity) stump minimizing the WEIGHTED
+    * 0/1 error via the same distinct-x prefix-sum sweep (weights
+    * accumulate on the DECIMAL window lattice — window-sum association
+    * is engine-specific for doubles, the q294 rule), sets
+    * α = ½ln((1−ε)/ε), and reweights w ← exp(−α·y·h(x)) for the next
+    * round (unnormalized — ε is a ratio, normalization cancels). Each
+    * round's row reports the stump, its weighted error, α, and the
+    * cumulative ensemble's training accuracy under the
+    * score&gt;0 → +1 decision rule.
+    *
+    * Determinism: candidate sweep totals are exact decimal sums;
+    * argmin orders by the ROUNDED error rate with (threshold,
+    * polarity) tiebreaks — the q207 ranked-by-rounded rule; exp/ln
+    * are the libm parity class; ε clamps to [1e−10, 1−1e−10] so a
+    * perfect stump cannot produce ±Inf on either engine.
+    *
+    * Scale: per round, one hash-agg to distinct x (map-side partial),
+    * a prefix window over DISTINCT values (≪ rows — the pre-binned
+    * split search every production GBDT uses), a 1-row broadcast stump,
+    * and one reweighting map. Rounds are unrolled (T=2), not a driver
+    * loop over collected data. */
+  def adaBoost(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val pts = docs.select(col("n_chars").cast("long").as("x"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      .localCheckpoint() // feeds both rounds' sweeps + both accuracy maps
+    val cw = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // weighted stump search: 1 row (thr, pol, erate) minimizing the
+    // weighted error of [x <= thr -> pol, else -pol]
+    def stump(w: Column): DataFrame = {
+      val p = pts.withColumn("w", w)
+      val byX = p.groupBy("x").agg(
+        sum(when(col("y") === 1, col("w")).otherwise(lit(0.0))
+          .cast("decimal(38,12)")).as("wp"),
+        sum(when(col("y") === -1, col("w")).otherwise(lit(0.0))
+          .cast("decimal(38,12)")).as("wn"),
+        count(lit(1)).as("n"))
+      val cum = byX.select(col("x"),
+        sum(col("wp")).over(cw).cast("double").as("lwp"),
+        sum(col("wn")).over(cw).cast("double").as("lwn"),
+        sum(col("n")).over(cw).as("ln"))
+      val tot = byX.agg(sum(col("wp")).cast("double").as("twp"),
+        sum(col("wn")).cast("double").as("twn"), sum(col("n")).as("nn"))
+      val cand = cum.crossJoin(broadcast(tot)).where(col("ln") < col("nn"))
+      val epos = col("lwn") + (col("twp") - col("lwp"))
+      val eneg = col("lwp") + (col("twn") - col("lwn"))
+      val tw = col("twp") + col("twn")
+      cand.select(col("x").as("thr"),
+        when(epos <= eneg, lit(1L)).otherwise(lit(-1L)).as("pol"),
+        femit(when(epos <= eneg, epos).otherwise(eneg) / tw).as("erate"))
+        .orderBy(col("erate").asc, col("thr").asc, col("pol").desc)
+        .limit(1)
+    }
+    def alpha(erate: Column): Column = {
+      val r = least(greatest(erate, lit(1e-10)), lit(1.0 - 1e-10))
+      lit(0.5) * log((lit(1.0) - r) / r)
+    }
+    def h(thr: Column, pol: Column): Column =
+      when(col("x") <= thr, pol).otherwise(-pol)
+    // round 1: uniform weights
+    val s1 = stump(lit(1.0))
+      .select(col("thr").as("thr1"), col("pol").as("pol1"),
+        col("erate").as("er1"))
+    // round 2: w = exp(-alpha1 * y * h1(x))
+    val w2 = { // pts crossJoin s1 carries thr1/pol1 into the lambda
+      val a1 = alpha(col("er1"))
+      exp(-a1 * (col("y") * h(col("thr1"), col("pol1"))).cast("double"))
+    }
+    val pts1 = pts.crossJoin(broadcast(s1))
+    val s2 = {
+      val p = pts1.withColumn("w", w2)
+      val byX = p.groupBy("x").agg(
+        sum(when(col("y") === 1, col("w")).otherwise(lit(0.0))
+          .cast("decimal(38,12)")).as("wp"),
+        sum(when(col("y") === -1, col("w")).otherwise(lit(0.0))
+          .cast("decimal(38,12)")).as("wn"),
+        count(lit(1)).as("n"))
+      val cum = byX.select(col("x"),
+        sum(col("wp")).over(cw).cast("double").as("lwp"),
+        sum(col("wn")).over(cw).cast("double").as("lwn"),
+        sum(col("n")).over(cw).as("ln"))
+      val tot = byX.agg(sum(col("wp")).cast("double").as("twp"),
+        sum(col("wn")).cast("double").as("twn"), sum(col("n")).as("nn"))
+      val cand = cum.crossJoin(broadcast(tot)).where(col("ln") < col("nn"))
+      val epos = col("lwn") + (col("twp") - col("lwp"))
+      val eneg = col("lwp") + (col("twn") - col("lwn"))
+      val tw = col("twp") + col("twn")
+      cand.select(col("x").as("thr2"),
+        when(epos <= eneg, lit(1L)).otherwise(lit(-1L)).as("pol2"),
+        femit(when(epos <= eneg, epos).otherwise(eneg) / tw).as("er2"))
+        .orderBy(col("er2").asc, col("thr2").asc, col("pol2").desc)
+        .limit(1)
+    }
+    // cumulative ensemble accuracy after each round (score>0 -> +1)
+    val both = pts.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+    val a1 = alpha(col("er1")); val a2 = alpha(col("er2"))
+    val sc1 = a1 * h(col("thr1"), col("pol1")).cast("double")
+    val sc2 = sc1 + a2 * h(col("thr2"), col("pol2")).cast("double")
+    def accOf(score: Column): Column =
+      dsum(when((score > 0.0) === (col("y") === 1), 1.0).otherwise(0.0))
+        .cast("double") / count(lit(1)).cast("double")
+    val acc = both.agg(accOf(sc1).as("acc1"), accOf(sc2).as("acc2"),
+      first(col("thr1")).as("thr1"), first(col("pol1")).as("pol1"),
+      first(col("er1")).as("er1"), first(col("thr2")).as("thr2"),
+      first(col("pol2")).as("pol2"), first(col("er2")).as("er2"))
+    val r1 = acc.select(lit(1L).as("round"), col("thr1").as("threshold"),
+      col("pol1").as("polarity"), col("er1").as("err_rate"),
+      femit(alpha(col("er1"))).as("alpha"), femit(col("acc1")).as("ens_acc"))
+    val r2 = acc.select(lit(2L).as("round"), col("thr2").as("threshold"),
+      col("pol2").as("polarity"), col("er2").as("err_rate"),
+      femit(alpha(col("er2"))).as("alpha"), femit(col("acc2")).as("ens_acc"))
+    r1.unionAll(r2).orderBy("round")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -175,6 +175,50 @@ class Round10OpsSpec extends SparkSpec {
         "match class must carry more positive evidence")
   }
 
+  test("adaBoost: reweighting makes round-1's stump exactly uninformative") {
+    val out = TextAnalysis.adaBoost(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.length == 2)
+    val (_, thr1, pol1, er1, alpha1, _) = out(0)
+    assert(er1 < 0.5 && alpha1 > 0.0, "a useful stump has er<0.5, alpha>0")
+    // the AdaBoost invariant: under w2 = exp(-a1*y*h1), h1's weighted
+    // error is EXACTLY 1/2 — recompute it from the raw points
+    val pts = docs.select(col("n_chars").cast("long"),
+      when(col("lang") === "en", 1L).otherwise(-1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r = math.min(math.max(er1, 1e-10), 1.0 - 1e-10)
+    val a1 = 0.5 * math.log((1.0 - r) / r)
+    val wErr = pts.map { case (x, y) =>
+      val h = if (x <= thr1) pol1 else -pol1
+      val w = math.exp(-a1 * (y * h).toDouble)
+      (w, if (h != y) w else 0.0)
+    }
+    val err = wErr.map(_._2).sum / wErr.map(_._1).sum
+    assert(math.abs(err - 0.5) < 1e-6,
+      s"h1 must be uninformative under w2, got $err")
+    // round 2 must pick a DIFFERENT effective stump (thr, pol)
+    val (_, thr2, pol2, _, _, _) = out(1)
+    assert((thr2, pol2) != (thr1, pol1), "round 2 re-picks h1 only if useless")
+  }
+
+  test("facilityLocationSelect: diminishing gains, monotone coverage, distinct picks") {
+    val out = Sim.facilityLocationSelect(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 3)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // submodularity: marginal gains are non-increasing round over round
+    assert(out(0)._3 >= out(1)._3 && out(1)._3 >= out(2)._3,
+      s"gains must diminish: ${out.map(_._3).mkString(",")}")
+    // coverage Σ_u max sim is monotone non-decreasing and grows by
+    // exactly the (unrounded) gain — check the rounded relation loosely
+    assert(out(0)._4 <= out(1)._4 + 1e-6 && out(1)._4 <= out(2)._4 + 1e-6)
+    assert(math.abs(out(1)._4 - out(0)._4 - out(1)._3) < 1e-4,
+      "round-2 coverage delta must equal round-2 gain")
+    // the anti-join: three distinct exemplars
+    assert(out.map(_._2).distinct.length == 3)
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
