@@ -561,4 +561,52 @@ object Curation {
           .as("upweight"))
       .orderBy("lang")
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary — a test doc with a near-dup twin
+    * in train is eval contamination the doc-id split ([[Pack.assignSplit]])
+    * cannot see (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 measure exactly this leak).
+    * The split unit is therefore the near-dup GROUP: connected
+    * components of the MinHash/LSH pair graph (the q65 pipeline
+    * verbatim), singletons keyed by their own id. Every doc hashes on
+    * its GROUP key through the identical Knuth bucket arithmetic, so a
+    * whole component lands in one split atomically, and the straddle
+    * audit — near-dup pairs whose endpoints disagree on split — is
+    * zero BY CONSTRUCTION, emitted so a pipeline can gate on it.
+    *
+    * Output: one row per split — (split, n_docs, n_groups, n_dup_docs,
+    * straddle_pairs) where n_groups counts distinct split units,
+    * n_dup_docs the docs living in a multi-doc component, and
+    * straddle_pairs the global audit (same value every row).
+    *
+    * Scale: the pair graph + CC is the cost the dedup family already
+    * pays (shuffle O(edges)); the group-key attach is one left join of
+    * the corpus against the (small — dup docs only) component table;
+    * the audit joins the pair list against the 2-column assignment
+    * twice. No new all-pairs work anywhere. */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)
+      .select("d1", "d2").localCheckpoint() // feeds CC AND the audit
+    val comp = Dedup.connectedComponents(pairs)
+    val assign = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("component"),
+        coalesce(col("component"), col("doc_id")).as("grp"))
+      .withColumn("split", Pack.splitOf(col("grp")))
+      .localCheckpoint() // feeds the census AND both audit probes
+    val straddle = pairs
+      .join(assign.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(assign.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .where(col("s1") =!= col("s2"))
+      .agg(count(lit(1)).as("straddle_pairs"))
+    assign.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .crossJoin(broadcast(straddle))
+      .orderBy("split")
+  }
 }

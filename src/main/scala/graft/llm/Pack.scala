@@ -127,17 +127,24 @@ object Pack {
     * eval-set contamination impossible across pipeline re-runs.
     * Output: docs + `split` column. */
   def assignSplit(docs: DataFrame, trainPct: Int = 80,
-                  valPct: Int = 10): DataFrame = {
+                  valPct: Int = 10): DataFrame =
+    docs.withColumn("split", splitOf(col("doc_id"), trainPct, valPct))
+
+  /** The split-assignment column [[assignSplit]] applies to `doc_id`,
+    * exposed on an arbitrary non-negative BIGINT key so group-level
+    * splitters (q343's near-dup-component split) reuse the identical
+    * overflow-safe Knuth bucket arithmetic. */
+  def splitOf(key: Column, trainPct: Int = 80,
+              valPct: Int = 10): Column = {
     require(trainPct + valPct < 100, "test split must be non-empty")
     val A = 2654435761L
-    val d32 = pmod(col("doc_id"), lit(4294967296L))
+    val d32 = pmod(key, lit(4294967296L))
     val lo = d32.bitwiseAND(lit(65535L))
     val hi = shiftright(d32, 16)
     val h32 = pmod(lo * A + pmod(hi * A, lit(65536L)) * 65536L, lit(4294967296L))
-    docs.withColumn("split",
-      when(pmod(h32, lit(100L)) < trainPct, "train")
-        .when(pmod(h32, lit(100L)) < trainPct + valPct, "val")
-        .otherwise("test"))
+    when(pmod(h32, lit(100L)) < trainPct, "train")
+      .when(pmod(h32, lit(100L)) < trainPct + valPct, "val")
+      .otherwise("test")
   }
 
   /** Deterministic stratified sampling: per-stratum (language) keep

@@ -1465,6 +1465,14 @@ object Queries {
     // (see Sim.facilityLocationSelect)
     "q341_submodular_select" -> ((s, dir) =>
       Sim.facilityLocationSelect(tbl(s, dir, "embeddings"))),
+    // Mutual-information feature ranking against the lang='en' label
+    // (see TextAnalysis.miFeatureRank)
+    "q342_mi_rank" -> ((s, dir) =>
+      TextAnalysis.miFeatureRank(tbl(s, dir, "documents"))),
+    // Near-dup-component-atomic train/val/test split with the
+    // straddle audit (see Curation.leakageSafeSplit)
+    "q343_leakage_split" -> ((s, dir) =>
+      Curation.leakageSafeSplit(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4437,6 +4445,67 @@ object Queries {
          |  SELECT CAST(3 AS BIGINT), cid, gain, ${femitSql("covsum")}
          |  FROM s3 CROSS JOIN cs3)
          |ORDER BY rnk""".stripMargin
+    },
+    // Same 4-feature fan-out, same exact contingency counts, same
+    // fixed-order per-cell term (ln is the libm parity class), same
+    // dsum per-feature fold, rank by the ROUNDED mi (DuckDB ORDER BY
+    // binds the femit'd alias — exactly the engine's ordering).
+    "q342_mi_rank" ->
+      s"""WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |  coalesce(source, '__null__') AS f_source,
+         |  CAST(n_chars // 200 AS VARCHAR) AS f_len,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) // 50
+         |    AS VARCHAR) AS f_tok,
+         |  CASE WHEN regexp_matches(text, '[0-9]') THEN 'y' ELSE 'n' END
+         |    AS f_digit
+         |  FROM documents),
+         |lv AS (
+         |  SELECT y, 'source' AS feature, f_source AS level FROM f
+         |  UNION ALL SELECT y, 'len_bucket', f_len FROM f
+         |  UNION ALL SELECT y, 'tok_bucket', f_tok FROM f
+         |  UNION ALL SELECT y, 'has_digit', f_digit FROM f),
+         |cells AS (SELECT feature, level, y, count(*) AS c
+         |  FROM lv GROUP BY 1, 2, 3),
+         |flm AS (SELECT feature, level, CAST(sum(c) AS BIGINT) AS cl
+         |  FROM cells GROUP BY 1, 2),
+         |ym AS (SELECT y, count(*) AS cy FROM f GROUP BY 1),
+         |n AS (SELECT count(*) AS nn FROM f),
+         |term AS (SELECT feature, level,
+         |  (CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |    ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)) /
+         |        (CAST(cl AS DOUBLE) * CAST(cy AS DOUBLE))) AS term
+         |  FROM cells JOIN flm USING (feature, level)
+         |  JOIN ym USING (y) CROSS JOIN n),
+         |mi AS (SELECT feature, count(DISTINCT level) AS n_levels,
+         |  ${femitSql(dsumSql("term"))} AS mi FROM term GROUP BY feature)
+         |SELECT row_number() OVER (ORDER BY mi DESC, feature ASC) AS "rank",
+         |  feature, n_levels, mi FROM mi ORDER BY "rank"""".stripMargin,
+    // Same q65 component closure, same coalesce-to-own-id group key,
+    // same 16-bit-split Knuth bucket on the GROUP key, same
+    // straddle-pair audit join.
+    "q343_leakage_split" -> {
+      val b = "((grp % 4294967296) % 65536 * 2654435761" +
+        " + ((grp % 4294967296) // 65536 * 2654435761) % 65536 * 65536)" +
+        " % 4294967296 % 100"
+      s"""WITH comp AS (SELECT * FROM ($componentsOracle) c0),
+         |p AS (SELECT d1, d2 FROM ($minhashOracle) mh),
+         |a AS (SELECT d.doc_id, c.component,
+         |  coalesce(c.component, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |s AS (SELECT doc_id, component, grp,
+         |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val'
+         |    ELSE 'test' END AS split FROM a),
+         |st AS (SELECT count(*) AS straddle_pairs FROM p
+         |  JOIN s s1 ON s1.doc_id = p.d1
+         |  JOIN s s2 ON s2.doc_id = p.d2
+         |  WHERE s1.split <> s2.split)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT grp) AS n_groups,
+         |  CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  straddle_pairs
+         |FROM s CROSS JOIN st
+         |GROUP BY split, straddle_pairs ORDER BY split""".stripMargin
     },
   )
 }

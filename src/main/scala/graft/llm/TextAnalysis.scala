@@ -992,6 +992,60 @@ object TextAnalysis {
     r1.unionAll(r2).orderBy("round")
   }
 
+  /** Mutual-information feature ranking (the filter-method feature
+    * selection step before training a quality/language classifier —
+    * Battiti's MIFS line, IEEE TNN 1994): for each candidate feature,
+    * I(X;Y) = Σ_{x,y} p(x,y)·ln(p(x,y)/(p(x)p(y))) against the binary
+    * label y = [lang = 'en'], from EXACT contingency counts. Features
+    * are the curation standbys: source, length bucket (n_chars DIV
+    * 200), token-count bucket (DIV 50), has-digit flag.
+    *
+    * Determinism: every probability is a ratio of exact BIGINT counts;
+    * each cell's term is one fixed-order IEEE expression (ln is the
+    * libm parity class); per-feature sums ride the DECIMAL dsum
+    * lattice; ranking orders by the ROUNDED MI with the feature name
+    * as tiebreak (the q207 rule). A cell with c ≥ 1 has a strictly
+    * positive log argument, so no NaN path exists.
+    *
+    * Scale: ONE corpus scan fans out to 4 (feature, level) rows per
+    * doc via stack (no join, no shuffle before aggregation); the
+    * contingency table is a map-side-combined hash-agg on (feature,
+    * level, y) — thousands of cells regardless of corpus size; the
+    * label marginal and N broadcast. */
+  def miFeatureRank(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val f = docs.select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      coalesce(col("source"), lit("__null__")).as("f_source"),
+      expr("CAST(n_chars DIV 200 AS STRING)").as("f_len"),
+      expr("CAST(size(filter(split(text, ' '), t -> t <> '')) DIV 50 AS STRING)")
+        .as("f_tok"),
+      when(col("text").rlike("[0-9]"), "y").otherwise("n").as("f_digit"))
+    val lv = f.selectExpr("y",
+      "stack(4, 'source', f_source, 'len_bucket', f_len, " +
+        "'tok_bucket', f_tok, 'has_digit', f_digit) AS (feature, level)")
+    val cells = lv.groupBy("feature", "level", "y")
+      .agg(count(lit(1)).as("c"))
+    val flm = cells.groupBy("feature", "level").agg(sum(col("c")).as("cl"))
+    val ym = f.groupBy("y").agg(count(lit(1)).as("cy"))
+    val n = f.agg(count(lit(1)).as("nn"))
+    val term = cells.join(flm, Seq("feature", "level"))
+      .join(broadcast(ym), "y").crossJoin(broadcast(n))
+      .select(col("feature"), col("level"),
+        ((col("c").cast("double") / col("nn").cast("double")) *
+          log((col("c").cast("double") * col("nn").cast("double")) /
+            (col("cl").cast("double") * col("cy").cast("double"))))
+          .as("term"))
+    val mi = term.groupBy("feature")
+      .agg(countDistinct(col("level")).as("n_levels"),
+        dsum(col("term")).as("mi0"))
+      .select(col("feature"), col("n_levels"), femit(col("mi0")).as("mi"))
+    val byMi = Window.orderBy(col("mi").desc, col("feature").asc)
+    mi.withColumn("rank", row_number().over(byMi).cast("long"))
+      .select("rank", "feature", "n_levels", "mi")
+      .orderBy("rank")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -219,6 +219,52 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length == 3)
   }
 
+  test("miFeatureRank: MI non-negative, bounded by H(y), constant feature = 0") {
+    val out = TextAnalysis.miFeatureRank(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 4)
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L), "rank is 1..4")
+    out.foreach { case (_, f, nl, mi) =>
+      assert(mi >= 0.0, s"MI($f) must be non-negative")
+      assert(nl >= 1)
+      if (nl == 1) assert(mi == 0.0, s"constant feature $f carries zero MI")
+    }
+    // information-theoretic ceiling: MI(X;Y) <= H(Y)
+    val n = docs.count().toDouble
+    val nEn = docs.where(col("lang") === "en").count().toDouble
+    val hY = -Seq(nEn / n, 1.0 - nEn / n).filter(_ > 0)
+      .map(p => p * math.log(p)).sum
+    out.foreach { case (_, f, _, mi) =>
+      assert(mi <= hY + 1e-9, s"MI($f)=$mi must not exceed H(y)=$hY")
+    }
+    // ranks follow the rounded MI descending
+    val sorted = out.sortBy(_._1).map(_._4)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("leakageSafeSplit: components atomic, audit zero, census conserves") {
+    val out = Curation.leakageSafeSplit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    out.foreach { case (_, _, _, _, sp) =>
+      assert(sp == 0L, "near-dup pairs must never straddle splits")
+    }
+    assert(out.map(_._2).sum == docs.count(), "every doc lands in one split")
+    // independent atomicity check: recompute components and assert each
+    // lands wholly inside one split of the doc-level re-derivation
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1)
+    val comp = Dedup.connectedComponents(pairs)
+    assert(out.map(_._4).sum == comp.count(), "n_dup_docs = docs in components")
+    val perComp = comp
+      .withColumn("split", Pack.splitOf(col("component")))
+      .groupBy("component")
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count()
+    assert(perComp == 0L, "a component maps to exactly one split")
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
