@@ -1473,6 +1473,15 @@ object Queries {
     // straddle audit (see Curation.leakageSafeSplit)
     "q343_leakage_split" -> ((s, dir) =>
       Curation.leakageSafeSplit(tbl(s, dir, "documents"))),
+    // External clustering eval vs gold labels: pairwise P/R/F1, Rand,
+    // ARI, purity from contingency sufficient statistics
+    // (see Sim.clusterEval)
+    "q344_cluster_eval" -> ((s, dir) =>
+      Sim.clusterEval(tbl(s, dir, "embeddings"))),
+    // CCNet-style perplexity filter census over the in-corpus bigram
+    // LM (see TextAnalysis.perplexityFilter)
+    "q345_perplexity_filter" -> ((s, dir) =>
+      TextAnalysis.perplexityFilter(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4506,6 +4515,77 @@ object Queries {
          |  straddle_pairs
          |FROM s CROSS JOIN st
          |GROUP BY split, straddle_pairs ORDER BY split""".stripMargin
+    },
+    // Same IVF assignment CTE as q35/q204, same exact pair-count
+    // sufficient statistics (even products, // 2 stays BIGINT), same
+    // fixed-order IEEE metric expressions with nullif degenerate
+    // guards; ARI's expected-index product runs in DOUBLE on both.
+    "q344_cluster_eval" -> {
+      val prec = "CAST(tp AS DOUBLE) / nullif(CAST(same_c AS DOUBLE), CAST(0.0 AS DOUBLE))"
+      val rec = "CAST(tp AS DOUBLE) / nullif(CAST(same_l AS DOUBLE), CAST(0.0 AS DOUBLE))"
+      val f1 = "(CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)) / nullif(CAST(same_c AS DOUBLE) + CAST(same_l AS DOUBLE), CAST(0.0 AS DOUBLE))"
+      val rand = "CAST(allp - same_c - same_l + tp + tp AS DOUBLE) / CAST(allp AS DOUBLE)"
+      val expIdx = "CAST(same_c AS DOUBLE) * CAST(same_l AS DOUBLE) / CAST(allp AS DOUBLE)"
+      val ari = s"(CAST(tp AS DOUBLE) - $expIdx) / nullif((CAST(same_c AS DOUBLE) + CAST(same_l AS DOUBLE)) / CAST(2.0 AS DOUBLE) - $expIdx, CAST(0.0 AS DOUBLE))"
+      s"""WITH ${ivfAssignCte(16)},
+         |g AS (SELECT a.vec_id, a.cid, e.label
+         |  FROM asg a JOIN embeddings e USING (vec_id)),
+         |cells AS (SELECT cid, label, count(*) AS c FROM g GROUP BY 1, 2),
+         |byc AS (SELECT cid, CAST(sum(c) AS BIGINT) AS nc, max(c) AS mx
+         |  FROM cells GROUP BY cid),
+         |byl AS (SELECT label, CAST(sum(c) AS BIGINT) AS nl
+         |  FROM cells GROUP BY label),
+         |tpc AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS tp FROM cells),
+         |scc AS (SELECT CAST(sum(nc * (nc - 1) // 2) AS BIGINT) AS same_c,
+         |  CAST(sum(mx) AS BIGINT) AS pure, count(*) AS n_clusters FROM byc),
+         |slc AS (SELECT CAST(sum(nl * (nl - 1) // 2) AS BIGINT) AS same_l,
+         |  count(*) AS n_labels FROM byl),
+         |nnc AS (SELECT count(*) AS n FROM g),
+         |f AS (SELECT n, n_clusters, n_labels, tp, same_c, same_l, pure,
+         |  n * (n - 1) // 2 AS allp
+         |  FROM tpc CROSS JOIN scc CROSS JOIN slc CROSS JOIN nnc)
+         |SELECT n, n_clusters, n_labels, tp,
+         |  same_c AS same_cluster, same_l AS same_label,
+         |  ${femitSql(prec)} AS pair_precision,
+         |  ${femitSql(rec)} AS pair_recall,
+         |  ${femitSql(f1)} AS pair_f1,
+         |  ${femitSql(rand)} AS rand_index,
+         |  ${femitSql(ari)} AS ari,
+         |  ${femitSql("CAST(pure AS DOUBLE) / CAST(n AS DOUBLE)")} AS purity
+         |FROM f""".stripMargin
+    },
+    // Same q120 bigram-LM CTE chain, same UNROUNDED per-doc avg on the
+    // DECIMAL route, same exp/ln libm-parity scoring, same dsum-ratio
+    // corpus threshold (bit-deterministic comparison), min over the
+    // constant threshold column on both sides.
+    "q345_perplexity_filter" -> {
+      val dAvg = "CAST(CAST(SUM(CAST(CAST(ln(CAST(cb + 1 AS DOUBLE) / (cu + v)) AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)"
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+         |p0 AS (SELECT doc_id, unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM t),
+         |p AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2 FROM p0),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY w1, w2),
+         |lf AS (SELECT w1, count(*) AS cu FROM p GROUP BY w1),
+         |vc AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ts) AS tok FROM t) x),
+         |pd AS (SELECT doc_id, $dAvg AS avg_logp
+         |  FROM p JOIN bi USING (w1, w2) JOIN lf USING (w1) CROSS JOIN vc
+         |  GROUP BY doc_id),
+         |pl AS (SELECT pd.doc_id, exp(-avg_logp) AS ppl, d.lang
+         |  FROM pd JOIN documents d USING (doc_id)),
+         |thr AS (SELECT ${dsumSql("ppl")} / count(*) AS mean_ppl FROM pl),
+         |cen AS (SELECT lang, count(*) AS n_scored,
+         |  CAST(sum(CASE WHEN ppl <= mean_ppl THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep,
+         |  ${femitSql(s"${dsumSql("ppl")} / count(*)")} AS lang_mean_ppl,
+         |  ${femitSql("min(ppl)")} AS min_ppl,
+         |  ${femitSql("max(ppl)")} AS max_ppl,
+         |  ${femitSql("min(mean_ppl)")} AS corpus_mean_ppl
+         |  FROM pl CROSS JOIN thr GROUP BY lang),
+         |un AS (SELECT lang, count(*) AS n_unscored FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM pd) GROUP BY lang)
+         |SELECT lang, n_scored,
+         |  coalesce(n_unscored, CAST(0 AS BIGINT)) AS n_unscored,
+         |  n_keep, lang_mean_ppl, min_ppl, max_ppl, corpus_mean_ppl
+         |FROM cen LEFT JOIN un USING (lang) ORDER BY lang""".stripMargin
     },
   )
 }

@@ -1116,6 +1116,61 @@ object Sim {
     out.orderBy("rnk")
   }
 
+  /** External clustering evaluation against gold labels (the eval the
+    * internal silhouette q204 cannot give): pairwise
+    * precision/recall/F1 (Banerjee et al.'s pair-counting family),
+    * Rand index, Adjusted Rand (Hubert &amp; Arabie 1985), and purity of
+    * the IVF coarse-quantizer clustering vs the `label` column — all
+    * from the (cluster, label) contingency table's SUFFICIENT
+    * STATISTICS, never materialized pairs: same-cluster pairs
+    * Σ n_c(n_c−1)/2, same-label pairs Σ n_l(n_l−1)/2, true-positive
+    * pairs Σ_cell c(c−1)/2.
+    *
+    * Determinism: every pair count is exact BIGINT arithmetic (DIV 2
+    * on an even product); each metric is ONE fixed-order IEEE
+    * expression over those integers (ARI's expected-index product runs
+    * in DOUBLE — at corpus scale same_c·same_l overflows BIGINT);
+    * degenerate denominators (all-singleton clusterings) emit NULL via
+    * nullif on both engines.
+    *
+    * Scale: the contingency table is |clusters|×|labels| cells after
+    * one map-side-combined hash-agg — everything downstream runs on
+    * cells, not rows. One broadcast assignment pass (ivfAssign) is the
+    * only corpus-sized work. */
+  def clusterEval(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    import graft.rel.Queries.femit
+    val g = ivfAssign(emb, nlist).select("vec_id", "cid")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val cells = g.groupBy("cid", "label").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |clusters|x|labels| rows; feeds 3 aggregates
+    val byc = cells.groupBy("cid")
+      .agg(sum(col("c")).as("nc"), max(col("c")).as("mx"))
+    val byl = cells.groupBy("label").agg(sum(col("c")).as("nl"))
+    val tp = cells.agg(sum(expr("c * (c - 1) DIV 2")).as("tp"))
+    val sc = byc.agg(sum(expr("nc * (nc - 1) DIV 2")).as("same_c"),
+      sum(col("mx")).as("pure"), count(lit(1)).as("n_clusters"))
+    val sl = byl.agg(sum(expr("nl * (nl - 1) DIV 2")).as("same_l"),
+      count(lit(1)).as("n_labels"))
+    val nn = g.agg(count(lit(1)).as("n"))
+    val d = (c: String) => col(c).cast("double")
+    val expIdx = d("same_c") * d("same_l") / d("allp")
+    tp.crossJoin(broadcast(sc)).crossJoin(broadcast(sl))
+      .crossJoin(broadcast(nn))
+      .withColumn("allp", expr("n * (n - 1) DIV 2"))
+      .select(col("n"), col("n_clusters"), col("n_labels"), col("tp"),
+        col("same_c").as("same_cluster"), col("same_l").as("same_label"),
+        femit(d("tp") / nullif(d("same_c"), lit(0.0))).as("pair_precision"),
+        femit(d("tp") / nullif(d("same_l"), lit(0.0))).as("pair_recall"),
+        femit((lit(2.0) * d("tp")) /
+          nullif(d("same_c") + d("same_l"), lit(0.0))).as("pair_f1"),
+        femit((col("allp") - col("same_c") - col("same_l") + col("tp") +
+          col("tp")).cast("double") / d("allp")).as("rand_index"),
+        femit((d("tp") - expIdx) /
+          nullif((d("same_c") + d("same_l")) / lit(2.0) - expIdx, lit(0.0)))
+          .as("ari"),
+        femit(d("pure") / d("n")).as("purity"))
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

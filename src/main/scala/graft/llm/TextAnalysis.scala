@@ -992,6 +992,67 @@ object TextAnalysis {
     r1.unionAll(r2).orderBy("round")
   }
 
+  /** CCNet-style perplexity filtering census (Wenzek et al., LREC 2020
+    * filter low-quality web text by LM perplexity): score every doc
+    * with the in-corpus add-one bigram LM ([[bigramLogProb]]'s exact
+    * pipeline, UNROUNDED per-doc average), ppl = exp(−avg_logp), and
+    * report per language how the corpus-mean-ppl threshold would cut:
+    * docs scored, docs unscoreable (&lt; 2 tokens — no bigram evidence),
+    * docs kept (ppl ≤ corpus mean), per-language mean/min/max ppl, and
+    * the threshold itself.
+    *
+    * Determinism: per-doc avg_logp is DECIMAL-dsum / exact count;
+    * exp/ln are the libm parity class; the corpus-mean threshold is a
+    * dsum ratio, so the keep comparison is bit-deterministic on both
+    * engines; min/max of bit-identical doubles are safe; every emitted
+    * float rides femit.
+    *
+    * Scale: the LM is two map-side-combined hash-aggs the q120 family
+    * already pays; per-doc scores localCheckpoint once and feed the
+    * threshold + census + unscored probe; the threshold is ONE
+    * broadcast row. */
+  def perplexityFilter(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val base = docs.select(col("doc_id"), toks(col("text")).as("ts"))
+    val prs = base.select(col("doc_id"), explode(expr(
+        "filter(transform(ts, (t, i) -> struct(t AS w1, try_element_at(ts, i + 2) AS w2)), " +
+          "p -> p.w2 IS NOT NULL)")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = prs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val left = prs.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = base.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val perDoc = prs.join(bi, Seq("w1", "w2")).join(left, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("cb") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")).as("logp"))
+      .groupBy("doc_id")
+      .agg((dsum(col("logp")) / count(lit(1))).as("avg_logp"))
+      .select(col("doc_id"), exp(-col("avg_logp")).as("ppl"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint() // feeds the threshold, the census, the anti-join
+    val thr = perDoc.agg((dsum(col("ppl")) / count(lit(1))).as("mean_ppl"))
+    val census = perDoc.crossJoin(broadcast(thr))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("ppl") <= col("mean_ppl"), 1L).otherwise(0L))
+          .as("n_keep"),
+        femit(dsum(col("ppl")) / count(lit(1))).as("lang_mean_ppl"),
+        femit(min(col("ppl"))).as("min_ppl"),
+        femit(max(col("ppl"))).as("max_ppl"),
+        femit(min(col("mean_ppl"))).as("corpus_mean_ppl"))
+    val unscored = docs.select(col("doc_id"), col("lang"))
+      .join(perDoc.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_unscored"))
+    census.join(unscored, Seq("lang"), "left")
+      .select(col("lang"), col("n_scored"),
+        coalesce(col("n_unscored"), lit(0L)).as("n_unscored"),
+        col("n_keep"), col("lang_mean_ppl"), col("min_ppl"),
+        col("max_ppl"), col("corpus_mean_ppl"))
+      .orderBy("lang")
+  }
+
   /** Mutual-information feature ranking (the filter-method feature
     * selection step before training a quality/language classifier —
     * Battiti's MIFS line, IEEE TNN 1994): for each candidate feature,

@@ -265,6 +265,53 @@ class Round10OpsSpec extends SparkSpec {
     assert(perComp == 0L, "a component maps to exactly one split")
   }
 
+  test("clusterEval: pair stats match brute force, metric formulas reproduce") {
+    val r = Sim.clusterEval(emb).collect().head
+    val asg = Sim.ivfAssign(emb, nlist = 16).select("vec_id", "cid")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .collect().map(x => (x.getLong(1), x.getInt(2)))
+    // brute-force pair counting over the collected assignment
+    var tp = 0L; var sameC = 0L; var sameL = 0L
+    for (i <- asg.indices; j <- (i + 1) until asg.length) {
+      val c = asg(i)._1 == asg(j)._1; val l = asg(i)._2 == asg(j)._2
+      if (c) sameC += 1; if (l) sameL += 1; if (c && l) tp += 1
+    }
+    assert(r.getAs[Long]("tp") == tp)
+    assert(r.getAs[Long]("same_cluster") == sameC)
+    assert(r.getAs[Long]("same_label") == sameL)
+    assert(r.getAs[Long]("n") == asg.length.toLong)
+    val allp = asg.length.toLong * (asg.length - 1) / 2
+    assert(math.abs(r.getAs[Double]("pair_precision") - tp.toDouble / sameC) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rand_index") -
+      (allp - sameC - sameL + 2 * tp).toDouble / allp) < 1e-6)
+    val purity = r.getAs[Double]("purity")
+    assert(purity >= 1.0 / r.getAs[Long]("n_labels") - 1e-9 && purity <= 1.0)
+  }
+
+  test("perplexityFilter: unscored = short docs, census conserves, bounds hold") {
+    val out = TextAnalysis.perplexityFilter(docs).collect()
+    val shortByLang = docs
+      .where(size(expr("filter(split(text, ' '), t -> t <> '')")) < 2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cms = out.map(_.getAs[Double]("corpus_mean_ppl")).distinct
+    assert(cms.length == 1, "the corpus threshold is one shared value")
+    out.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getAs[Long]("n_unscored") == shortByLang.getOrElse(lang, 0L),
+        s"unscored($lang) must be exactly the <2-token docs")
+      assert(r.getAs[Long]("n_scored") + r.getAs[Long]("n_unscored") ==
+        allByLang(lang), s"census conserves for $lang")
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_scored"))
+      val (mn, mean, mx) = (r.getAs[Double]("min_ppl"),
+        r.getAs[Double]("lang_mean_ppl"), r.getAs[Double]("max_ppl"))
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9, s"ppl bounds for $lang")
+      assert(mn > 1.0, "add-one-smoothed bigram ppl exceeds 1")
+    }
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
