@@ -4314,6 +4314,105 @@ object Queries {
       femit(lit(0.1234565)).as("half_boundary"),
       get_json_object(lit("""{"k":7}"""), "$.k").cast("long").as("json_k"))
 
+  /** Derandomized Poisson bootstrap CI for the per-type mean of
+    * `value` (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google TR 2012 — the one-pass bootstrap that
+    * scales: replicate b resamples row i with weight
+    * w ~ Poisson(1), never materializing resamples). The Poisson draw
+    * is DERANDOMIZED: u = fnv1a32(event_id:b:boot)/2³² inverted
+    * through the exact Poisson(1) CDF ladder (cumulative literals
+    * e⁻¹·Σ1/k!, identical text on both engines, capped at 6 where the
+    * tail mass is 8e-5) — reproducible on any engine, cluster, or
+    * retry, and oracle-checkable. Each replicate's mean is the ratio
+    * estimator Σw·v / Σw; the 95% CI takes order statistics 2 and
+    * B−1 of the B=40 replicate means (exact order stats of
+    * bit-deterministic doubles — both engines sort identical bits,
+    * with the replicate id as tiebreak).
+    *
+    * Scale: ONE pass over events expanded ×B inside codegen (narrow —
+    * no shuffle grows with B); the aggregate reduces to |types|·B
+    * cells map-side; the CI order-statistic window runs on B rows per type. The
+    * derandomized draw means no RNG state coordination across 1000
+    * executors — the property that makes the Poisson bootstrap THE
+    * production bootstrap. */
+  def poissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val B = 40
+    val ev = events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val u = graft.functions.HashExprs.fnv1a32(
+      "concat(cast(event_id as string), ':', cast(b as string), ':boot')")
+      .cast("double") / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val means = ev
+      .select(col("event_type"), col("event_id"), col("value"),
+        explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .withColumn("w", w)
+      .groupBy("event_type", "b")
+      .agg((dsum(col("w").cast("double") * col("value")) /
+        nullif(sum(col("w")).cast("double"), lit(0.0))).as("mb"))
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("mb").asc, col("b").asc)
+    val ci = means.withColumn("r", row_number().over(byType))
+      .groupBy("event_type")
+      .agg(min(when(col("r") === 2, col("mb"))).as("lo"),
+        min(when(col("r") === B - 1, col("mb"))).as("hi"))
+    val pt = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (dsum(col("value")) / count(lit(1))).as("mean0"))
+    pt.join(ci, "event_type")
+      .select(col("event_type"), col("n_events"),
+        lit(B.toLong).as("n_replicates"),
+        femit(col("mean0")).as("point_mean"),
+        femit(col("lo")).as("ci_lo"), femit(col("hi")).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  /** Functional-dependency audit (the DEPENDENCY slice of data
+    * profiling — Papenbrock et al., VLDB 2015's FD-discovery problem
+    * restricted to a declared candidate set, which is how production
+    * profilers run it): for each candidate lhs→rhs, exact counts of
+    * distinct lhs values, distinct (lhs, rhs) pairs, and lhs values
+    * carrying &gt;1 distinct rhs (the violating keys). `holds` = no
+    * violating key. NULLs group as values (the SQL-profiler
+    * convention; both engines agree under GROUP BY).
+    *
+    * Scale: each candidate is one 2-column pruned scan into a
+    * (lhs, rhs)-distinct map-side aggregate, then a per-lhs count —
+    * shuffle bounded by distinct pairs, never rows. Candidates run as
+    * a union of independent aggregates (a profiler batches per
+    * column-pair; no cross-candidate state exists). */
+  def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val ev = events(s, dir)
+    def audit(df: DataFrame, fd: String, lhs: String,
+              rhs: String): DataFrame = {
+      val perLhs = df.select(col(lhs).as("l"), col(rhs).as("r"))
+        .distinct()
+        .groupBy("l").agg(count(lit(1)).as("nr"))
+      perLhs.agg(
+        lit(fd).as("fd"),
+        count(lit(1)).as("n_lhs"),
+        sum(col("nr")).as("n_pairs"),
+        sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating_lhs"))
+        .select(col("fd"), col("n_lhs"), col("n_pairs"),
+          col("n_violating_lhs"),
+          when(col("n_violating_lhs") === 0, 1L).otherwise(0L).as("holds"))
+    }
+    audit(docs, "doc_id->lang", "doc_id", "lang")
+      .unionAll(audit(docs, "lang->source", "lang", "source"))
+      .unionAll(audit(docs, "source->lang", "source", "lang"))
+      .unionAll(audit(ev, "event_id->event_type", "event_id", "event_type"))
+      .unionAll(audit(ev, "user_id->event_type", "user_id", "event_type"))
+      .orderBy("fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -4515,6 +4614,8 @@ object Queries {
     "q285_changepoint" -> (changepoint _),
     "q272_holt_winters" -> (holtWinters _),
     "q273_kendall_tau" -> (kendallTau _),
+    "q346_poisson_bootstrap" -> (poissonBootstrap _),
+    "q347_fd_audit" -> (fdAudit _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -8457,5 +8558,67 @@ object Queries {
         |  WHERE q.cents <= p.cents AND q.sz >= p.sz
         |    AND (q.cents < p.cents OR q.sz > p.sz))
         |ORDER BY cents ASC, p_partkey ASC""".stripMargin,
+    // Same fnv-derandomized Poisson(1) inverse-CDF ladder (identical
+    // cumulative literals), same Σw·v/Σw ratio per replicate on the
+    // DECIMAL route, same order statistics 2 and B-1 with the
+    // replicate id tiebreak.
+    "q346_poisson_bootstrap" -> {
+      val u = s"CAST(${graft.llm.Queries.fnvSql(
+        "(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':boot')")} AS DOUBLE) / 4294967296.0"
+      s"""WITH ev AS (SELECT event_type, event_id, value FROM events
+         |  WHERE value IS NOT NULL),
+         |rep AS (SELECT event_type, event_id, value,
+         |  unnest(range(40)) AS b FROM ev),
+         |wt AS (SELECT event_type, b, value,
+         |  CASE WHEN u < 0.36787944117144233 THEN 0
+         |    WHEN u < 0.7357588823428847 THEN 1
+         |    WHEN u < 0.9196986029286058 THEN 2
+         |    WHEN u < 0.9810118431238462 THEN 3
+         |    WHEN u < 0.9963401531726563 THEN 4
+         |    WHEN u < 0.9994058151824183 THEN 5
+         |    ELSE 6 END AS w
+         |  FROM (SELECT event_type, event_id, value, b, $u AS u FROM rep) x),
+         |mb AS (SELECT event_type, b,
+         |  ${dsumSql("CAST(w AS DOUBLE) * value")} /
+         |    nullif(CAST(sum(w) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS mb
+         |  FROM wt GROUP BY event_type, b),
+         |rk AS (SELECT event_type, mb, row_number() OVER (
+         |  PARTITION BY event_type ORDER BY mb ASC, b ASC) AS r FROM mb),
+         |ci AS (SELECT event_type,
+         |  min(CASE WHEN r = 2 THEN mb END) AS lo,
+         |  min(CASE WHEN r = 39 THEN mb END) AS hi
+         |  FROM rk GROUP BY event_type),
+         |pt AS (SELECT event_type, count(*) AS n_events,
+         |  ${dsumSql("value")} / count(*) AS mean0 FROM ev GROUP BY event_type)
+         |SELECT pt.event_type, n_events, CAST(40 AS BIGINT) AS n_replicates,
+         |  ${femitSql("mean0")} AS point_mean,
+         |  ${femitSql("lo")} AS ci_lo, ${femitSql("hi")} AS ci_hi
+         |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin
+    },
+    // Same per-candidate (lhs, rhs)-distinct aggregate, same exact
+    // counts; NULL lhs/rhs group as values under GROUP BY on both.
+    "q347_fd_audit" -> {
+      def a(tab: String, fd: String, lhs: String, rhs: String) =
+        s"""SELECT '$fd' AS fd, count(*) AS n_lhs,
+           |  CAST(sum(nr) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_lhs,
+           |  CAST(CASE WHEN sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS holds
+           |FROM (SELECT l, count(*) AS nr FROM
+           |  (SELECT DISTINCT $lhs AS l, $rhs AS r FROM $tab) d
+           |  GROUP BY l) g""".stripMargin
+      s"""SELECT * FROM (
+         |${a("documents", "doc_id->lang", "doc_id", "lang")}
+         |UNION ALL
+         |${a("documents", "lang->source", "lang", "source")}
+         |UNION ALL
+         |${a("documents", "source->lang", "source", "lang")}
+         |UNION ALL
+         |${a("events", "event_id->event_type", "event_id", "event_type")}
+         |UNION ALL
+         |${a("events", "user_id->event_type", "user_id", "event_type")}
+         |) u ORDER BY fd""".stripMargin
+    },
   )
 }

@@ -857,4 +857,58 @@ class RelSpec extends SparkSpec {
       }
     }
   }
+
+  test("poissonBootstrap: CI brackets point mean; weight ladder is Poisson(1)") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.poissonBootstrap(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (pm, lo, hi) = (r.getAs[Double]("point_mean"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi, s"CI order for ${r.getString(0)}")
+      assert(lo <= pm && pm <= hi,
+        s"point mean outside 95% CI for ${r.getString(0)} ($lo, $pm, $hi)")
+      assert(r.getAs[Long]("n_replicates") == 40L)
+    }
+    // pin the derandomized draw's marginal: over events x replicates,
+    // mean(w) ~ 1 and P(w = 0) ~ e^-1 (the Poisson(1) signature)
+    graft.functions.HashExprs.register(spark)
+    val u = graft.functions.HashExprs.fnv1a32(
+      "concat(cast(event_id as string), ':', cast(b as string), ':boot')")
+      .cast("double") / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L).when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L).when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L).otherwise(6L)
+    val stats = Queries.events(spark, sf0001)
+      .select(col("event_id"), explode(expr("sequence(0, 39)")).as("b"))
+      .select(w.as("w"))
+      .agg(avg(col("w")).as("mw"),
+        avg(when(col("w") === 0, 1.0).otherwise(0.0)).as("p0"))
+      .collect().head
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.02,
+      s"E[w] must be ~1, got ${stats.getDouble(0)}")
+    assert(math.abs(stats.getDouble(1) - math.exp(-1.0)) < 0.01,
+      s"P(w=0) must be ~e^-1, got ${stats.getDouble(1)}")
+  }
+
+  test("fdAudit: counts match a brute-force recomputation, holds is coherent") {
+    val out = Queries.fdAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out.size == 5)
+    out.values.foreach { case (nl, np, nv, holds) =>
+      assert(np >= nl, "pairs at least one per lhs value")
+      assert((nv == 0) == (holds == 1L), "holds <-> zero violating keys")
+    }
+    // brute-force one violated and one held candidate
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.distinct.groupBy(_._1)
+    val (nl, np, nv, _) = out("lang->source")
+    assert(nl == byLang.size && np == docs.distinct.length &&
+      nv == byLang.count(_._2.length > 1))
+    assert(out("doc_id->lang") == ((500L, 500L, 0L, 1L)))
+  }
 }
