@@ -1482,6 +1482,14 @@ object Queries {
     // LM (see TextAnalysis.perplexityFilter)
     "q345_perplexity_filter" -> ((s, dir) =>
       TextAnalysis.perplexityFilter(tbl(s, dir, "documents"))),
+    // kNN label transfer: held-out probes adopt the majority label of
+    // their 5 nearest labeled vectors (see Sim.knnClassify)
+    "q348_knn_classify" -> ((s, dir) =>
+      Sim.knnClassify(tbl(s, dir, "embeddings"))),
+    // Rank-biased overlap between the df and cf token rankings
+    // (see TextAnalysis.rboRankings)
+    "q349_rbo" -> ((s, dir) =>
+      TextAnalysis.rboRankings(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4587,5 +4595,63 @@ object Queries {
          |  n_keep, lang_mean_ppl, min_ppl, max_ppl, corpus_mean_ppl
          |FROM cen LEFT JOIN un USING (lang) ORDER BY lang""".stripMargin
     },
+    // Same bounded probe pool (%5 held out, qid < 250), same exact
+    // cosine folds ranked raw with the vec_id tiebreak (the q32
+    // precedent), same (votes DESC, label ASC) majority total order.
+    "q348_knn_classify" -> {
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  CAST(label AS BIGINT) AS label FROM embeddings),
+         |n AS (SELECT vec_id, v, label, sqrt($normSql) AS norm FROM vv),
+         |pr AS (SELECT vec_id AS qid, v AS qv, norm AS qn, label AS gold
+         |  FROM n WHERE vec_id % 5 = 0 AND vec_id < 250),
+         |st AS (SELECT vec_id, v, label, norm FROM n WHERE vec_id % 5 <> 0),
+         |sims AS (SELECT qid, gold, st.vec_id, st.label,
+         |  ${dotSql("st.v", "qv")} / (st.norm * qn) AS sim
+         |  FROM st CROSS JOIN pr),
+         |rk AS (SELECT qid, gold, vec_id, label, sim, row_number() OVER (
+         |  PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM sims),
+         |votes AS (SELECT qid, gold, label, count(*) AS votes,
+         |  max(sim) AS best_sim FROM rk WHERE rnk <= 5 GROUP BY 1, 2, 3),
+         |sel AS (SELECT qid, gold, label, votes, best_sim,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY votes DESC, label ASC) AS vr FROM votes)
+         |SELECT qid, gold, label AS pred, votes,
+         |  ${femitSql("best_sim")} AS top_sim
+         |FROM sel WHERE vr = 1 ORDER BY qid""".stripMargin
+    },
+    // Same exact-integer rankings with token tiebreaks, same joined
+    // top-k prefix intersections, same exp(ln(p)·(d−1)) weights, and
+    // the (1-p) factor as an explicit DOUBLE subtraction — DuckDB's
+    // bare 1.0 - 0.9 runs in DECIMAL and yields a different double.
+    "q349_rbo" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |  FROM documents),
+         |dfr AS (SELECT t, row_number() OVER (ORDER BY m DESC, t ASC) AS ra
+         |  FROM (SELECT t, count(DISTINCT doc_id) AS m FROM tok GROUP BY t
+         |    ORDER BY m DESC, t ASC LIMIT 20) a),
+         |cfr AS (SELECT t, row_number() OVER (ORDER BY m DESC, t ASC) AS rb
+         |  FROM (SELECT t, count(*) AS m FROM tok GROUP BY t
+         |    ORDER BY m DESC, t ASC LIMIT 20) b),
+         |bo AS (SELECT ra, rb FROM dfr JOIN cfr USING (t)),
+         |dd AS (SELECT unnest(range(1, 21)) AS d),
+         |pd AS (SELECT d, CAST(sum(CASE WHEN ra <= d AND rb <= d
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+         |  FROM dd CROSS JOIN bo GROUP BY d),
+         |pe AS (SELECT d AS depth, overlap,
+         |  CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE) AS agree0,
+         |  exp(ln(0.9) * CAST(d - 1 AS DOUBLE)) AS w0 FROM pd)
+         |SELECT * FROM (
+         |  SELECT depth, overlap, ${femitSql("agree0")} AS agreement,
+         |    ${femitSql("w0")} AS weight,
+         |    ${femitSql("agree0 * w0")} AS contrib,
+         |    CAST(NULL AS DOUBLE) AS rbo FROM pe
+         |  UNION ALL
+         |  SELECT CAST(0 AS BIGINT), max(overlap), CAST(NULL AS DOUBLE),
+         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |    ${femitSql(s"(CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * ${dsumSql("agree0 * w0")}")}
+         |  FROM pe)
+         |ORDER BY depth""".stripMargin,
   )
 }

@@ -1171,6 +1171,54 @@ object Sim {
         femit(d("pure") / d("n")).as("purity"))
   }
 
+  /** kNN label transfer (semi-supervised classification at curation
+    * time — Zhu &amp; Ghahramani's label-propagation base case, and how a
+    * labeled seed set stamps weak labels onto an unlabeled corpus
+    * before training a cheap classifier): every probe (held-out
+    * `vec_id % 5 = 0`, bounded pool `qid &lt; maxProbe` — the q32
+    * bounded-probe convention) takes its `k` nearest LABELED vectors
+    * by exact cosine and adopts the majority label (ties → smaller
+    * label; vote-count then label is a deterministic total order).
+    * Emits (qid, gold, pred, votes, top_sim) so accuracy and the
+    * confusion structure read directly off the output.
+    *
+    * Determinism: similarities are exact fixed-order folds (identical
+    * bits cross-engine, the q32 precedent), ranked raw with the vector
+    * id tiebreak; votes are exact integers; top_sim rides femit.
+    *
+    * Scale: the probe batch broadcasts; the labeled store streams
+    * ONCE (no shuffle grows with corpus size). Full-corpus labeling
+    * swaps the brute-force scan for the IVF candidate path (q35) with
+    * the same vote tail. */
+  def knnClassify(emb: DataFrame, k: Int = 5,
+                  maxProbe: Long = 250): DataFrame = {
+    import graft.rel.Queries.femit
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("norm", norm(col("v")))
+    val probes = v.where(pmod(col("vec_id"), lit(5L)) === 0 &&
+        col("vec_id") < maxProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qn"), col("label").as("gold"))
+    val store = v.where(pmod(col("vec_id"), lit(5L)) =!= 0)
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val neigh = store.crossJoin(broadcast(probes))
+      .select(col("qid"), col("gold"), col("vec_id"), col("label"),
+        cosine(col("v"), col("qv"), col("norm"), col("qn")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= k)
+    val wVote = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("label").asc)
+    neigh.groupBy("qid", "gold", "label")
+      .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+      .withColumn("vr", row_number().over(wVote))
+      .where(col("vr") === 1)
+      .select(col("qid"), col("gold"), col("label").as("pred"),
+        col("votes"), femit(col("best_sim")).as("top_sim"))
+      .orderBy("qid")
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

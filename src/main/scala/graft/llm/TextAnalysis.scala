@@ -1107,6 +1107,71 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Rank-biased overlap between two token rankings (Webber, Moffat
+    * &amp; Zobel, TOIS 2010 — the top-weighted rank-similarity metric IR
+    * evaluation uses where Kendall's τ (q273) weights all depths
+    * equally): ranking A orders tokens by DOCUMENT frequency, ranking
+    * B by COLLECTION frequency (the classic df-vs-cf diagnostic — they
+    * diverge exactly where burstiness lives). For each depth d ≤ k,
+    * the prefix agreement A_d = |A_1:d ∩ B_1:d| / d enters with
+    * geometric weight p^(d−1); the emitted per-depth rows carry
+    * overlap, agreement, weight, and contribution, and the TOTAL row's
+    * `rbo` is the truncated lower bound (1−p)·Σ A_d·p^(d−1) (RBO_min
+    * without the extrapolation tail — documented choice, deterministic).
+    *
+    * Determinism: both rankings order by exact integer counts with the
+    * token as tiebreak; prefix intersections are exact integers over
+    * the joined top-k lists; p^(d−1) is exp(ln(p)·(d−1)) on both
+    * engines (exp/ln libm parity, and d=1 gives exactly 1.0);
+    * contributions sum through dsum.
+    *
+    * Scale: two map-side-combined token aggregates (the shuffles the
+    * term-frequency family already pays), two top-k TakeOrdered heads,
+    * then all RBO algebra runs on ≤ k² joined rows. */
+  def rboRankings(docs: DataFrame, k: Int = 20,
+                  p: Double = 0.9): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val dfRank = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("m"))
+      .orderBy(col("m").desc, col("t").asc).limit(k)
+      .select(col("t"), row_number().over(
+        Window.orderBy(col("m").desc, col("t").asc)).as("ra"))
+    val cfRank = tok.groupBy("t").agg(count(lit(1)).as("m"))
+      .orderBy(col("m").desc, col("t").asc).limit(k)
+      .select(col("t"), row_number().over(
+        Window.orderBy(col("m").desc, col("t").asc)).as("rb"))
+    val both = dfRank.join(cfRank, "t")
+      .select(col("ra"), col("rb")).localCheckpoint() // ≤ k rows
+    val depths = docs.sparkSession.range(1, k + 1).toDF("d")
+    val w = exp(log(lit(p)) * (col("d") - 1).cast("double"))
+    val perDepth = depths.crossJoin(broadcast(both))
+      .groupBy("d")
+      .agg(sum(when(col("ra") <= col("d") && col("rb") <= col("d"), 1L)
+        .otherwise(0L)).as("overlap"))
+      .select(col("d").as("depth"), col("overlap"),
+        (col("overlap").cast("double") / col("d").cast("double"))
+          .as("agree0"),
+        w.as("w0"))
+      .localCheckpoint() // k rows; feeds the rows AND the total
+    val rows = perDepth.select(col("depth"), col("overlap"),
+      femit(col("agree0")).as("agreement"), femit(col("w0")).as("weight"),
+      femit(col("agree0") * col("w0")).as("contrib"),
+      lit(null).cast("double").as("rbo"))
+    val total = perDepth.agg(
+      dsum(col("agree0") * col("w0")).as("s"),
+      max(col("overlap")).as("overlap")) // prefix overlap is monotone: max = |A∩B| at depth k
+      .select(lit(0L).as("depth"), col("overlap"),
+        lit(null).cast("double").as("agreement"),
+        lit(null).cast("double").as("weight"),
+        lit(null).cast("double").as("contrib"),
+        // (1-p) as an IN-PLAN double subtraction: DuckDB's bare
+        // 1.0 - 0.9 runs in DECIMAL and yields exactly 0.1, a
+        // different double than IEEE 1.0-0.9 — both sides must
+        // subtract in DOUBLE (the q319 boundary-arithmetic gotcha)
+        femit((lit(1.0) - lit(p)) * col("s")).as("rbo"))
+    rows.unionAll(total).orderBy("depth")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -312,6 +312,67 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("knnClassify: predictions match a plain-Scala brute-force vote") {
+    val out = Sim.knnClassify(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val all = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2).toLong))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val store = all.filter(_._1 % 5 != 0)
+    val probes = all.filter(x => x._1 % 5 == 0 && x._1 < 250)
+    assert(out.size == probes.length)
+    probes.foreach { case (qid, qv, gold) =>
+      val qn = nrm(qv)
+      val top = store
+        .map { case (id, v, l) => (id, l, dot(v, qv) / (nrm(v) * qn)) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(5)
+      val (predL, votes) = top.groupBy(_._2).view.mapValues(_.length)
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      val (g, p, v) = out(qid)
+      assert(g == gold && p == predL && v == votes.toLong,
+        s"vote drift at qid=$qid: got ($g,$p,$v) want ($gold,$predL,$votes)")
+    }
+  }
+
+  test("rboRankings: monotone prefix overlap, geometric weights, total coheres") {
+    val rows = TextAnalysis.rboRankings(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.length == 21)
+    val total = rows.head; val depths = rows.tail
+    assert(total._1 == 0L && !total._6.isNaN)
+    // prefix overlap is monotone and bounded by depth
+    depths.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, "overlap monotone")
+    }
+    depths.foreach { case (d, ov, ag, w, _, _) =>
+      assert(ov <= d)
+      assert(math.abs(ag - ov.toDouble / d) < 1e-6)
+      assert(w <= 1.0 + 1e-9)
+    }
+    // geometric weight ladder: w(d+1)/w(d) = p
+    depths.sliding(2).foreach { case Array(a, b) =>
+      // weights ship femit-rounded to 6 decimals, so the ratio carries
+      // up to ~1e-5 of rounding noise at the small-weight tail
+      assert(math.abs(b._4 / a._4 - 0.9) < 1e-4, "weight ratio must be p")
+    }
+    // the total row reproduces from the per-depth contributions
+    val s = depths.map(_._5).sum
+    assert(math.abs(total._6 - 0.1 * s) < 1e-4,
+      s"rbo ${total._6} vs recomputed ${0.1 * s}")
+    assert(total._2 == depths.map(_._2).max, "total overlap = |A∩B| at k")
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
