@@ -1490,6 +1490,10 @@ object Queries {
     // (see TextAnalysis.rboRankings)
     "q349_rbo" -> ((s, dir) =>
       TextAnalysis.rboRankings(tbl(s, dir, "documents"))),
+    // Jelinek-Mercer lambda sweep with held-out perplexity
+    // (see TextAnalysis.jmInterpolation)
+    "q351_jm_interp" -> ((s, dir) =>
+      TextAnalysis.jmInterpolation(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4653,5 +4657,41 @@ object Queries {
          |    ${femitSql(s"(CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * ${dsumSql("agree0 * w0")}")}
          |  FROM pe)
          |ORDER BY depth""".stripMargin,
+    // Same %5 train/held-out split, same ML-bigram/add-one-unigram
+    // ratios from exact counts, same fixed-order lambda mixture with
+    // DOUBLE subtraction (the q349 DECIMAL-literal trap), same dsum
+    // average and exp/ln parity, rank by the ROUNDED perplexity.
+    "q351_jm_interp" -> {
+      val mix = "ln(lam * p_bi + (CAST(1.0 AS DOUBLE) - lam) * p_uni)"
+      s"""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+         |tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+         |ho AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+         |tp AS (SELECT ts[i+1] AS w1, ts[i+2] AS w2 FROM
+         |  (SELECT doc_id, unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM tr) x),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM tp GROUP BY 1, 2),
+         |lf AS (SELECT w1, count(*) AS cu FROM tp GROUP BY 1),
+         |uni AS (SELECT w2, count(*) AS cw FROM
+         |  (SELECT unnest(ts) AS w2 FROM tr) y GROUP BY w2),
+         |tot AS (SELECT count(*) AS tt, count(DISTINCT t) AS v FROM
+         |  (SELECT unnest(ts) AS t FROM tr) z),
+         |hp AS (SELECT ts[i+1] AS w1, ts[i+2] AS w2 FROM
+         |  (SELECT doc_id, unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM ho) x),
+         |sc AS (SELECT
+         |  CASE WHEN cu IS NULL THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(coalesce(cb, 0) AS DOUBLE) / CAST(cu AS DOUBLE) END AS p_bi,
+         |  CAST(coalesce(cw, 0) + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE) AS p_uni
+         |  FROM hp LEFT JOIN bi USING (w1, w2) LEFT JOIN lf USING (w1)
+         |  LEFT JOIN uni USING (w2) CROSS JOIN tot),
+         |lams AS (SELECT CAST(d AS DOUBLE) / 10.0 AS lam FROM
+         |  (SELECT unnest(range(1, 10)) AS d) l),
+         |pl AS (SELECT lam AS lambda, count(*) AS n_bigrams,
+         |  ${dsumSql(mix)} / count(*) AS avg0
+         |  FROM sc CROSS JOIN lams GROUP BY lam),
+         |pe AS (SELECT lambda, n_bigrams, ${femitSql("avg0")} AS avg_logp,
+         |  ${femitSql("exp(-avg0)")} AS held_out_ppl FROM pl)
+         |SELECT lambda, n_bigrams, avg_logp, held_out_ppl,
+         |  row_number() OVER (ORDER BY held_out_ppl ASC, lambda ASC) AS "rank"
+         |FROM pe ORDER BY lambda""".stripMargin
+    },
   )
 }

@@ -1172,6 +1172,75 @@ object TextAnalysis {
     rows.unionAll(total).orderBy("depth")
   }
 
+  /** Jelinek–Mercer interpolation sweep with held-out perplexity
+    * (Jelinek &amp; Mercer 1980; the λ grid search Chen &amp; Goodman's
+    * smoothing study runs): train bigram ML + add-one unigram models
+    * on the `vec_id % 5 ≠ 0`-style train split (docs `doc_id % 5 ≠ 0`),
+    * score every held-out bigram with
+    * p_λ = λ·p_bi + (1−λ)·p_uni for λ ∈ {0.1 … 0.9}, and report each
+    * λ's held-out perplexity with the argmin rank — in-plan
+    * hyperparameter selection (the q337 cross-validation discipline
+    * applied to LM smoothing). p_bi = c(w1,w2)/c(w1·) is 0 for unseen
+    * contexts/bigrams; p_uni = (c(w2)+1)/(T+V) is add-one over the
+    * TRAIN vocab, so OOV held-out tokens score (0+1)/(T+V) and the
+    * mixture stays strictly positive for λ &lt; 1.
+    *
+    * Determinism: all probabilities are ratios of exact BIGINT counts
+    * in one fixed order; λ = d/10 is the same IEEE division on both
+    * engines, as is 1−λ (DuckDB's bare decimal literals would run the
+    * subtraction in DECIMAL — both sides subtract in DOUBLE); ln/exp
+    * are the libm parity class; per-λ sums ride dsum; rank orders by
+    * the ROUNDED perplexity with λ as tiebreak (the q207 rule).
+    *
+    * Scale: train counts are the two hash-aggs the LM family pays;
+    * the held-out pair table joins them once (skew-splittable
+    * equi-joins) and the ×9 λ fan-out happens on the already-joined
+    * row inside codegen — the aggregate is 9 cells. */
+  def jmInterpolation(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val base = docs.select(col("doc_id"), toks(col("text")).as("ts"))
+    def pairsOf(d: DataFrame) = d.select(col("doc_id"), explode(expr(
+        "filter(transform(ts, (t, i) -> struct(t AS w1, try_element_at(ts, i + 2) AS w2)), " +
+          "p -> p.w2 IS NOT NULL)")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = base.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val heldOut = base.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val tp = pairsOf(train)
+    val bi = tp.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val lf = tp.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val uni = train.select(explode(col("ts")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("cw"))
+    val tot = train.select(explode(col("ts")).as("t"))
+      .agg(count(lit(1)).as("tt"), countDistinct(col("t")).as("v"))
+    val scored = pairsOf(heldOut)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(lf, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        when(col("cu").isNull, lit(0.0))
+          .otherwise(coalesce(col("cb"), lit(0L)).cast("double") /
+            col("cu").cast("double")).as("p_bi"),
+        ((coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          (col("tt") + col("v")).cast("double")).as("p_uni"))
+    val lams = docs.sparkSession.range(1, 10).toDF("d")
+      .select((col("d").cast("double") / lit(10.0)).as("lam"))
+    val perLam = scored.crossJoin(broadcast(lams))
+      .select(col("lam"),
+        log(col("lam") * col("p_bi") +
+          (lit(1.0) - col("lam")) * col("p_uni")).as("logp"))
+      .groupBy("lam")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (dsum(col("logp")) / count(lit(1))).as("avg0"))
+      .select(col("lam").as("lambda"), col("n_bigrams"),
+        femit(col("avg0")).as("avg_logp"),
+        femit(exp(-col("avg0"))).as("held_out_ppl"))
+    val byPpl = Window.orderBy(col("held_out_ppl").asc, col("lambda").asc)
+    perLam.withColumn("rank", row_number().over(byPpl).cast("long"))
+      .select("lambda", "n_bigrams", "avg_logp", "held_out_ppl", "rank")
+      .orderBy("lambda")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

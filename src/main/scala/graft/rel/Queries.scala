@@ -4413,6 +4413,49 @@ object Queries {
       .orderBy("fd")
   }
 
+  /** Off-policy evaluation of logged interaction data: inverse
+    * propensity scoring (Horvitz–Thompson 1952 as applied to logged
+    * bandits — Li et al., WSDM 2011) and its self-normalized variant
+    * (Swaminathan &amp; Joachims, NeurIPS 2015), evaluating each
+    * "always play action a" target policy against the log. The
+    * logging propensity p(a | user) is the user's empirical action
+    * share, so the importance weight for a matching event is
+    * n_user / n_{user,a} — exact integer counts, one IEEE division.
+    * Emits per target action: matched events, the IPS estimate
+    * (Σw·r / N — unbiased, high variance), SNIPS (Σw·r / Σw — biased,
+    * low variance; the one production uses), and the direct on-policy
+    * mean of matching rewards for reference.
+    *
+    * Determinism: weights are ratios of exact BIGINT counts; both
+    * estimator sums ride the dsum lattice; every float output is
+    * femit'd. Events with NULL reward are excluded from the log
+    * (both engines, same predicate).
+    *
+    * Scale: one (user, action) count aggregate + one broadcast-sized
+    * per-user total join back onto the log — the per-event weight is
+    * a map; each estimator is one map-side-combined aggregate keyed
+    * by the 5 target actions. No all-pairs anywhere. */
+  def snipsOffPolicy(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).where(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val ua = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_ua"))
+    val u = ua.groupBy("user_id").agg(sum(col("n_ua")).as("n_u"))
+    val n = ev.agg(count(lit(1)).as("n_log"))
+    val w = ev.join(ua, Seq("user_id", "event_type")).join(u, "user_id")
+      .select(col("event_type"), col("value"),
+        (col("n_u").cast("double") / col("n_ua").cast("double")).as("w"))
+    w.crossJoin(broadcast(n))
+      .groupBy(col("event_type").as("target"))
+      .agg(count(lit(1)).as("n_match"),
+        femit(dsum(col("w") * col("value")) /
+          min(col("n_log")).cast("double")).as("ips"),
+        femit(dsum(col("w") * col("value")) / dsum(col("w"))).as("snips"),
+        femit(dsum(col("value")) / count(lit(1)).cast("double"))
+          .as("direct_mean"))
+      .orderBy("target")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -4616,6 +4659,7 @@ object Queries {
     "q273_kendall_tau" -> (kendallTau _),
     "q346_poisson_bootstrap" -> (poissonBootstrap _),
     "q347_fd_audit" -> (fdAudit _),
+    "q350_snips" -> (snipsOffPolicy _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -8620,5 +8664,25 @@ object Queries {
          |${a("events", "user_id->event_type", "user_id", "event_type")}
          |) u ORDER BY fd""".stripMargin
     },
+    // Same empirical per-user propensities from exact counts, same
+    // n_u/n_ua weight division, same dsum estimator sums; IPS divides
+    // by the full log size, SNIPS self-normalizes.
+    "q350_snips" ->
+      s"""WITH ev AS (SELECT user_id, event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |ua AS (SELECT user_id, event_type, count(*) AS n_ua
+         |  FROM ev GROUP BY 1, 2),
+         |u AS (SELECT user_id, CAST(sum(n_ua) AS BIGINT) AS n_u
+         |  FROM ua GROUP BY user_id),
+         |nl AS (SELECT count(*) AS n_log FROM ev),
+         |w AS (SELECT ev.event_type, ev.value,
+         |  CAST(n_u AS DOUBLE) / CAST(n_ua AS DOUBLE) AS w
+         |  FROM ev JOIN ua USING (user_id, event_type)
+         |  JOIN u USING (user_id))
+         |SELECT event_type AS target, count(*) AS n_match,
+         |  ${femitSql(s"${dsumSql("w * value")} / CAST(min(n_log) AS DOUBLE)")} AS ips,
+         |  ${femitSql(s"${dsumSql("w * value")} / ${dsumSql("w")}")} AS snips,
+         |  ${femitSql(s"${dsumSql("value")} / CAST(count(*) AS DOUBLE)")} AS direct_mean
+         |FROM w CROSS JOIN nl GROUP BY event_type ORDER BY target""".stripMargin,
   )
 }

@@ -373,6 +373,26 @@ class Round10OpsSpec extends SparkSpec {
     assert(total._2 == depths.map(_._2).max, "total overlap = |A∩B| at k")
   }
 
+  test("jmInterpolation: rank tracks rounded ppl, mixture stays proper") {
+    val out = TextAnalysis.jmInterpolation(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.length == 9)
+    assert(out.map(_._1).toSeq == (1 to 9).map(_ / 10.0))
+    assert(out.map(_._2).distinct.length == 1,
+      "every lambda scores the same held-out bigrams")
+    assert(out.map(_._5).sorted.toSeq == (1L to 9L))
+    out.foreach { case (_, _, avg, ppl, _) =>
+      assert(avg < 0.0 && ppl > 1.0)
+      // ppl = exp(-avg) up to femit rounding on both sides
+      assert(math.abs(ppl - math.exp(-avg)) / ppl < 1e-4)
+    }
+    // the argmin rank points at the minimal rounded perplexity
+    val best = out.minBy(r => (r._4, r._1))
+    assert(best._5 == 1L, s"rank-1 lambda must minimize ppl, got $best")
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {

@@ -892,6 +892,33 @@ class RelSpec extends SparkSpec {
       s"P(w=0) must be ~e^-1, got ${stats.getDouble(1)}")
   }
 
+  test("snipsOffPolicy: estimators match a plain-Scala recompute") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.snipsOffPolicy(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val log = Queries.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val nUa = log.groupBy(e => (e._1, e._2)).view.mapValues(_.length).toMap
+    val nU = log.groupBy(_._1).view.mapValues(_.length).toMap
+    val n = log.length
+    out.foreach { case (target, (nm, ips, snips, direct)) =>
+      val m = log.filter(_._2 == target)
+      assert(nm == m.length.toLong)
+      val w = m.map { case (u, a, _) => nU(u).toDouble / nUa((u, a)) }
+      val wv = m.zip(w).map { case ((_, _, v), wi) => wi * v }
+      assert(math.abs(ips - wv.sum / n) < 1e-4, s"ips drift for $target")
+      assert(math.abs(snips - wv.sum / w.sum) < 1e-4, s"snips drift for $target")
+      assert(math.abs(direct - m.map(_._3).sum / m.length) < 1e-4)
+      // when every user logs every action, Σw telescopes to N and
+      // IPS must equal SNIPS exactly (the estimator-identity check)
+      if (nU.keySet.forall(u => nUa.contains((u, target))))
+        assert(ips == snips, s"telescoping identity for $target")
+    }
+  }
+
   test("fdAudit: counts match a brute-force recomputation, holds is coherent") {
     val out = Queries.fdAudit(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
