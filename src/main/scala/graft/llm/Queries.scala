@@ -1494,6 +1494,14 @@ object Queries {
     // (see TextAnalysis.jmInterpolation)
     "q351_jm_interp" -> ((s, dir) =>
       TextAnalysis.jmInterpolation(tbl(s, dir, "documents"))),
+    // RBF-kernel MMD two-sample test between the even/odd embedding
+    // halves (see Sim.mmdDrift)
+    "q352_mmd_drift" -> ((s, dir) =>
+      Sim.mmdDrift(tbl(s, dir, "embeddings"))),
+    // RAKE keyphrase extraction over stopword-delimited candidate
+    // phrases (see TextAnalysis.rakeKeyphrases)
+    "q353_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4692,6 +4700,63 @@ object Queries {
          |SELECT lambda, n_bigrams, avg_logp, held_out_ppl,
          |  row_number() OVER (ORDER BY held_out_ppl ASC, lambda ASC) AS "rank"
          |FROM pe ORDER BY lambda""".stripMargin
+    },
+    // Same even/odd bounded samples, same ||a-b||^2 from the shared
+    // folds, same exp(-gamma d2) with the exact binary literal
+    // -0.015625, same dsum pair means, diagonal included (biased
+    // V-statistic, the engine's documented choice).
+    "q352_mmd_drift" -> {
+      val sqSql = foldSum.format("list_transform(v, x -> x * x)")
+      def km(a: String, b: String) =
+        s"""SELECT ${dsumSql("k")} / CAST(count(*) AS DOUBLE) AS m,
+           |  count(*) AS np FROM (
+           |  SELECT exp(-0.015625 * (a.sq + b.sq -
+           |    2.0 * ${dotSql("a.v", "b.v")})) AS k
+           |  FROM $a a CROSS JOIN $b b) kk""".stripMargin
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 400),
+         |n AS (SELECT vec_id, v, $sqSql AS sq FROM vv),
+         |x AS (SELECT vec_id, v, sq FROM n WHERE vec_id % 2 = 0),
+         |y AS (SELECT vec_id, v, sq FROM n WHERE vec_id % 2 = 1),
+         |xx AS (${km("x", "x")}),
+         |yy AS (${km("y", "y")}),
+         |xy AS (${km("x", "y")})
+         |SELECT xx.np AS n_xx, yy.np AS n_yy, xy.np AS n_xy,
+         |  ${femitSql("xx.m")} AS mean_kxx, ${femitSql("yy.m")} AS mean_kyy,
+         |  ${femitSql("xy.m")} AS mean_kxy,
+         |  ${femitSql("xx.m + yy.m - 2.0 * xy.m")} AS mmd2
+         |FROM xx CROSS JOIN yy CROSS JOIN xy""".stripMargin
+    },
+    // Same stop list, same prefix-count run delimiting, same
+    // position-ordered phrase reassembly (string_agg ORDER BY pos ==
+    // the sorted-struct collect), same exact deg/freq integers, same
+    // dsum phrase scores, top-20 by the ROUNDED score + phrase.
+    "q353_rake" -> {
+      val stops = "'the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'"
+      s"""WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+         |tok AS (SELECT doc_id, i AS pos, ts[i+1] AS t FROM
+         |  (SELECT doc_id, unnest(range(len(ts))) AS i, ts FROM t0) x),
+         |rn AS (SELECT doc_id, pos, t,
+         |  CASE WHEN t IN ($stops) THEN 1 ELSE 0 END AS st,
+         |  SUM(CASE WHEN t IN ($stops) THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM tok),
+         |mem AS (SELECT doc_id, run, pos, t FROM rn WHERE st = 0),
+         |ph AS (SELECT doc_id, run,
+         |  string_agg(t, ' ' ORDER BY pos) AS phrase,
+         |  count(*) AS len FROM mem GROUP BY doc_id, run),
+         |wst AS (SELECT t, count(*) AS wfreq,
+         |  CAST(sum(len) AS BIGINT) AS deg
+         |  FROM mem JOIN ph USING (doc_id, run) GROUP BY t),
+         |occ AS (SELECT doc_id, run,
+         |  ${dsumSql("CAST(deg AS DOUBLE) / CAST(wfreq AS DOUBLE)")} AS sc
+         |  FROM mem JOIN wst USING (t) GROUP BY doc_id, run),
+         |agg AS (SELECT phrase, min(len) AS n_words, count(*) AS freq,
+         |  ${femitSql("min(sc)")} AS score
+         |  FROM ph JOIN occ USING (doc_id, run) GROUP BY phrase)
+         |SELECT phrase, CAST(n_words AS BIGINT) AS n_words, freq, score
+         |FROM agg ORDER BY score DESC, phrase ASC LIMIT 20""".stripMargin
     },
   )
 }

@@ -1219,6 +1219,61 @@ object Sim {
       .orderBy("qid")
   }
 
+  /** Kernel two-sample embedding-drift test: squared Maximum Mean
+    * Discrepancy (Gretton et al., JMLR 2012) between two bounded
+    * vector samples with the RBF kernel k(a,b) = exp(−γ‖a−b‖²) — the
+    * EMBEDDING-level complement of the scalar drift monitors (q181
+    * PSI, q170 CUSUM): "did the representation distribution shift
+    * between two partitions" is the question a pipeline asks before
+    * trusting an index or classifier trained on the old slice. The
+    * biased V-statistic MMD² = mean k(x,x') + mean k(y,y') −
+    * 2·mean k(x,y) over ALL ordered pairs (diagonal included —
+    * documented estimator choice; deterministic, and the bias term
+    * 1/n·(1−mean k) cancels in comparisons at fixed n). Samples are
+    * the even/odd `vec_id &lt; 2·nSample` halves — the q33 bounded-pair
+    * convention.
+    *
+    * Determinism: ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b from the shared
+    * fixed-order folds; exp is the libm parity class; the three pair
+    * means ride dsum; γ = 1/64 (a fixed literal, not the engine-
+    * dependent median heuristic).
+    *
+    * Scale: both samples are bounded (the estimator's cost is n² by
+    * definition — production keeps n at a few thousand per slice and
+    * broadcasts one side, which is exactly this plan's shape). */
+  def mmdDrift(emb: DataFrame, nSample: Long = 200,
+               gamma: Double = 1.0 / 64): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val v = emb.where(col("vec_id") < 2 * nSample)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sq", fsum(transform(col("v"), x => x * x)))
+    val x = v.where(pmod(col("vec_id"), lit(2L)) === 0)
+      .select(col("vec_id").as("xid"), col("v").as("xv"), col("sq").as("xsq"))
+    val y = v.where(pmod(col("vec_id"), lit(2L)) === 1)
+      .select(col("vec_id").as("yid"), col("v").as("yv"), col("sq").as("ysq"))
+    def kmean(a: DataFrame, b: DataFrame, av: String, bv: String,
+              asq: String, bsq: String): DataFrame = {
+      val d2 = col(asq) + col(bsq) - lit(2.0) * dot(col(av), col(bv))
+      a.crossJoin(broadcast(b))
+        .select(exp(lit(-gamma) * d2).as("k"))
+        .agg((dsum(col("k")) / count(lit(1)).cast("double")).as("m"),
+          count(lit(1)).as("np"))
+    }
+    val xx = kmean(x, x.select(col("xid").as("yid"), col("xv").as("yv"),
+      col("xsq").as("ysq")), "xv", "yv", "xsq", "ysq")
+      .select(col("m").as("mxx"), col("np").as("n_xx"))
+    val yy = kmean(y, y.select(col("yid").as("xid"), col("yv").as("xv"),
+      col("ysq").as("xsq")), "yv", "xv", "ysq", "xsq")
+      .select(col("m").as("myy"), col("np").as("n_yy"))
+    val xy = kmean(x, y, "xv", "yv", "xsq", "ysq")
+      .select(col("m").as("mxy"), col("np").as("n_xy"))
+    xx.crossJoin(broadcast(yy)).crossJoin(broadcast(xy))
+      .select(col("n_xx"), col("n_yy"), col("n_xy"),
+        femit(col("mxx")).as("mean_kxx"), femit(col("myy")).as("mean_kyy"),
+        femit(col("mxy")).as("mean_kxy"),
+        femit(col("mxx") + col("myy") - lit(2.0) * col("mxy")).as("mmd2"))
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

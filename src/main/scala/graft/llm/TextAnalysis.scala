@@ -1241,6 +1241,62 @@ object TextAnalysis {
       .orderBy("lambda")
   }
 
+  /** RAKE keyphrase extraction (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents", 2010): candidate phrases
+    * are maximal stopword-free token runs (a fixed 10-word stop list —
+    * RAKE's delimiter set is a parameter, not learned); each word
+    * scores deg/freq where freq counts its occurrences inside
+    * candidates and deg sums the lengths of the candidates containing
+    * it; a phrase scores the sum of its words' scores; the corpus
+    * keyphrases are the top-k distinct phrase texts by ROUNDED score
+    * with the phrase as tiebreak (the q207 rule).
+    *
+    * Determinism: runs are delimited by an exact prefix count of
+    * stopword flags (integer window); phrase text reassembles members
+    * in position order via the sorted-struct collect (the q39
+    * pattern — collect_list alone is order-nondeterministic);
+    * deg/freq are exact integers; per-phrase word-score sums ride
+    * dsum (order-free), and every occurrence of a phrase text scores
+    * identically so min() selects deterministically.
+    *
+    * Scale: one token scan with a per-document prefix window, then
+    * hash-aggs on (doc, run) and token — the same shuffles the
+    * term-frequency family pays; the top-k is a TakeOrdered head. */
+  def rakeKeyphrases(docs: DataFrame, k: Int = 20): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val stops = Seq("the", "of", "and", "a", "to", "in", "is", "on",
+      "for", "with")
+    val tok = docs.select(col("doc_id"),
+      posexplode(toks(col("text"))).as(Seq("pos", "t")))
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mem = tok
+      .withColumn("st", when(col("t").isin(stops: _*), 1L).otherwise(0L))
+      .withColumn("run", sum(col("st")).over(wRun))
+      .where(col("st") === 0)
+      .select("doc_id", "run", "pos", "t")
+      .localCheckpoint() // feeds the phrase, word-stat, and score aggs
+    val ph = mem.groupBy("doc_id", "run")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        _.getField("t")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .localCheckpoint() // feeds word degrees AND the final join
+    val wst = mem.join(ph, Seq("doc_id", "run")).groupBy("t")
+      .agg(count(lit(1)).as("wfreq"), sum(col("len")).as("deg"))
+    val occ = mem.join(wst, "t")
+      .groupBy("doc_id", "run")
+      .agg(dsum(col("deg").cast("double") / col("wfreq").cast("double"))
+        .as("sc"))
+    ph.join(occ, Seq("doc_id", "run"))
+      .groupBy("phrase")
+      .agg(min(col("len")).as("n_words"), count(lit(1)).as("freq"),
+        femit(min(col("sc"))).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+      .select("phrase", "n_words", "freq", "score")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

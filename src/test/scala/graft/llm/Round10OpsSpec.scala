@@ -393,6 +393,55 @@ class Round10OpsSpec extends SparkSpec {
     assert(best._5 == 1L, s"rank-1 lambda must minimize ppl, got $best")
   }
 
+  test("mmdDrift: kernel means match brute force; V-statistic is non-negative") {
+    val r = Sim.mmdDrift(emb).collect().head
+    val all = emb.where(col("vec_id") < 400)
+      .select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toArray))
+    val xs = all.filter(_._1 % 2 == 0).map(_._2)
+    val ys = all.filter(_._1 % 2 == 1).map(_._2)
+    def sq(a: Array[Double]) = { var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }; s }
+    def dt(a: Array[Double], b: Array[Double]) = { var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s }
+    def km(as: Array[Array[Double]], bs: Array[Array[Double]]) = {
+      val ks = for (a <- as; b <- bs)
+        yield math.exp(-0.015625 * (sq(a) + sq(b) - 2.0 * dt(a, b)))
+      ks.sum / ks.length
+    }
+    assert(r.getAs[Long]("n_xx") == xs.length.toLong * xs.length)
+    assert(math.abs(r.getAs[Double]("mean_kxx") - km(xs, xs)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_kyy") - km(ys, ys)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_kxy") - km(xs, ys)) < 1e-5)
+    // the biased estimator is a squared RKHS norm: never negative
+    assert(r.getAs[Double]("mmd2") >= -1e-9)
+    Seq("mean_kxx", "mean_kyy", "mean_kxy").foreach { c =>
+      val m = r.getAs[Double](c); assert(m > 0.0 && m <= 1.0)
+    }
+  }
+
+  test("rakeKeyphrases: phrases are stopword-free, score >= phrase length") {
+    val stops = Set("the", "of", "and", "a", "to", "in", "is", "on",
+      "for", "with")
+    val out = TextAnalysis.rakeKeyphrases(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 20)
+    out.foreach { case (phrase, nWords, freq, score) =>
+      val words = phrase.split(" ")
+      assert(words.length == nWords, s"n_words mismatch for '$phrase'")
+      assert(words.forall(w => !stops.contains(w)),
+        s"stopword leaked into '$phrase'")
+      assert(freq >= 1L)
+      // each member word scores deg/freq >= its own phrase length share
+      // >= 1, so the phrase score is at least its word count
+      assert(score >= nWords.toDouble - 1e-6,
+        s"score $score below length $nWords for '$phrase'")
+    }
+    // the ranking is by rounded score descending
+    val scores = out.map(_._4)
+    scores.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
