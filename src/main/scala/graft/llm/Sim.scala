@@ -1151,7 +1151,9 @@ object Sim {
       sum(col("mx")).as("pure"), count(lit(1)).as("n_clusters"))
     val sl = byl.agg(sum(expr("nl * (nl - 1) DIV 2")).as("same_l"),
       count(lit(1)).as("n_labels"))
-    val nn = g.agg(count(lit(1)).as("n"))
+    // n from the checkpointed cells (Σc) — NOT from g, which would
+    // re-run the whole assignment pipeline for one count
+    val nn = cells.agg(sum(col("c")).as("n"))
     val d = (c: String) => col(c).cast("double")
     val expIdx = d("same_c") * d("same_l") / d("allp")
     tp.crossJoin(broadcast(sc)).crossJoin(broadcast(sl))

@@ -494,4 +494,45 @@ class PlanSpec extends SparkSpec {
     assert(scans.isEmpty,
       s"${scans.size} document scans — histogram consumers recompute the pair join")
   }
+
+  test("q344 clusterEval: all metrics run on checkpointed cells, zero re-scans (r10)") {
+    // Everything after the (cluster, label) contingency checkpoint is
+    // cell algebra: a lingering embedding scan means some consumer
+    // (tp/byc/byl/n) re-runs the broadcast assignment pipeline.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val df = llm.Sim.clusterEval(emb)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"${scans.size} embedding scans — a metric consumer bypasses the cells checkpoint")
+  }
+
+  test("q341 facilityLocation: greedy rounds never re-scan raw vectors (r10)") {
+    // The cand x corpus similarity table materializes once; each round
+    // reads it plus broadcast coverage. A parquet scan in the final
+    // plan means a round re-derived sims from the embeddings.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val df = llm.Sim.facilityLocationSelect(emb)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"${scans.size} embedding scans — a greedy round bypassed the sims checkpoint")
+  }
+
+  test("q348/q352 bounded-sample kernels broadcast the small side (r10)") {
+    // Both ops are one-pass streams against a broadcast bounded batch;
+    // a SortMergeJoin or CartesianProduct means the corpus shuffled to
+    // meet a ~200-row table.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Seq(llm.Sim.knnClassify(emb), llm.Sim.mmdDrift(emb)).foreach { df =>
+      val p = finalPlan(df).split("== Initial Plan ==").head
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        p.take(1500))
+      assert(p.contains("Broadcast"), s"expected a broadcast pass\n${p.take(1500)}")
+    }
+  }
 }
