@@ -1502,6 +1502,14 @@ object Queries {
     // phrases (see TextAnalysis.rakeKeyphrases)
     "q353_rake" -> ((s, dir) =>
       TextAnalysis.rakeKeyphrases(tbl(s, dir, "documents"))),
+    // kth-NN cosine-distance outliers over the bounded sample
+    // (see Sim.knnOutliers)
+    "q354_knn_outlier" -> ((s, dir) =>
+      Sim.knnOutliers(tbl(s, dir, "embeddings"))),
+    // InfoNCE contrastive loss per label with nearest-same-label
+    // positives (see Sim.infoNce)
+    "q355_infonce" -> ((s, dir) =>
+      Sim.infoNce(tbl(s, dir, "embeddings"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4757,6 +4765,53 @@ object Queries {
          |  FROM ph JOIN occ USING (doc_id, run) GROUP BY phrase)
          |SELECT phrase, CAST(n_words AS BIGINT) AS n_words, freq, score
          |FROM agg ORDER BY score DESC, phrase ASC LIMIT 20""".stripMargin
+    },
+    // Same bounded sample, same raw-sim rank with id tiebreaks, the
+    // k-th row's distance through the explicit DOUBLE subtraction,
+    // top-20 by the ROUNDED distance (DuckDB binds the femit alias).
+    "q354_knn_outlier" -> {
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 400),
+         |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM vv),
+         |b AS (SELECT vec_id AS oid, v AS ov, norm AS os FROM n),
+         |sims AS (SELECT n.vec_id, oid,
+         |  ${dotSql("n.v", "ov")} / (n.norm * os) AS sim
+         |  FROM n CROSS JOIN b WHERE n.vec_id <> oid),
+         |rk AS (SELECT vec_id, oid, sim, row_number() OVER (
+         |  PARTITION BY vec_id ORDER BY sim DESC, oid ASC) AS rnk FROM sims)
+         |SELECT vec_id, oid AS kth_neighbor,
+         |  ${femitSql("CAST(1.0 AS DOUBLE) - sim")} AS knn_dist
+         |FROM rk WHERE rnk = 5
+         |ORDER BY knn_dist DESC, vec_id ASC LIMIT 20""".stripMargin
+    },
+    // Same bounded anchors, same tau=0.25 exact-binary temperature,
+    // same nearest-same-label positive argmax, same max-stabilized
+    // log-sum-exp on the dsum lattice.
+    "q355_infonce" -> {
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  CAST(label AS BIGINT) AS label FROM embeddings WHERE vec_id < 200),
+         |n AS (SELECT vec_id, v, label, sqrt($normSql) AS norm FROM vv),
+         |a AS (SELECT vec_id AS aid, v AS av, norm AS an, label AS alabel
+         |  FROM n),
+         |sims AS (SELECT aid, alabel, n.vec_id, n.label,
+         |  (${dotSql("n.v", "av")} / (n.norm * an)) / 0.25 AS s
+         |  FROM n CROSS JOIN a WHERE n.vec_id <> aid),
+         |pos AS (SELECT aid, s AS spos FROM (
+         |  SELECT aid, s, row_number() OVER (PARTITION BY aid
+         |    ORDER BY s DESC, vec_id ASC) AS pr
+         |  FROM sims WHERE label = alabel) p WHERE pr = 1),
+         |mx AS (SELECT aid, max(s) AS m FROM sims GROUP BY aid),
+         |lse AS (SELECT aid, alabel, min(m) AS m,
+         |  ${dsumSql("exp(s - m)")} AS z
+         |  FROM sims JOIN mx USING (aid) GROUP BY aid, alabel),
+         |pa AS (SELECT aid, alabel, m + ln(z) - spos AS loss,
+         |  spos * 0.25 AS pos_sim FROM lse JOIN pos USING (aid))
+         |SELECT alabel AS label, count(*) AS n_anchors,
+         |  ${femitSql(s"${dsumSql("loss")} / CAST(count(*) AS DOUBLE)")} AS mean_loss,
+         |  ${femitSql(s"${dsumSql("pos_sim")} / CAST(count(*) AS DOUBLE)")} AS mean_pos_sim
+         |FROM pa GROUP BY alabel ORDER BY label""".stripMargin
     },
   )
 }

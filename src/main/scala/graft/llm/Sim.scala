@@ -1276,6 +1276,101 @@ object Sim {
         femit(col("mxx") + col("myy") - lit(2.0) * col("mxy")).as("mmd2"))
   }
 
+  /** kth-nearest-neighbor distance outliers (Ramaswamy, Rastogi &amp;
+    * Shim, SIGMOD 2000 — the density-based anomaly scorer for
+    * embedding space, next to the VALUE-space monitors q171 z-score /
+    * q178 fences): a point's outlier score is its cosine distance
+    * (1 − sim) to its k-th nearest neighbor — isolated points sit far
+    * even from their k-th neighbor, cluster members don't. Emits the
+    * top-`nOut` outliers by ROUNDED score with the id tiebreak.
+    *
+    * Determinism: exact cosine folds, rank by raw bit-identical sims
+    * with id tiebreaks (the q32 precedent), femit'd emission ranked by
+    * the rounded value.
+    *
+    * Scale: the sample is bounded (the q33/q352 convention) and one
+    * side broadcasts; at corpus scale the k-th-NN distance comes from
+    * the IVF candidate path (q35) with the same tail — the scorer is
+    * the operator here, not the scan. */
+  def knnOutliers(emb: DataFrame, k: Int = 5, nSample: Long = 400,
+                  nOut: Int = 20): DataFrame = {
+    import graft.rel.Queries.femit
+    val v = emb.where(col("vec_id") < nSample)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val b = v.select(col("vec_id").as("oid"), col("v").as("ov"),
+      col("norm").as("on"))
+    val wRank = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("oid").asc)
+    v.crossJoin(broadcast(b))
+      .where(col("vec_id") =!= col("oid"))
+      .select(col("vec_id"), col("oid"),
+        cosine(col("v"), col("ov"), col("norm"), col("on")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") === k)
+      .select(col("vec_id"), col("oid").as("kth_neighbor"),
+        femit(lit(1.0) - col("sim")).as("knn_dist"))
+      .orderBy(col("knn_dist").desc, col("vec_id").asc)
+      .limit(nOut)
+  }
+
+  /** InfoNCE contrastive loss over a bounded labeled sample (Oord,
+    * Li &amp; Vinyals 2018; the SimCLR/NT-Xent monitoring metric an
+    * embedding-training pipeline tracks): each anchor's positive is
+    * its nearest SAME-LABEL vector, negatives are every other sample
+    * member, and loss = −ln(exp(s⁺/τ) / Σ_j exp(s_j/τ)) with cosine
+    * similarities and a fixed temperature. Reported per label (mean
+    * loss, mean positive sim) — the label-alignment counterpart of
+    * q344's clustering eval, as the LOSS an embedding trainer would
+    * see.
+    *
+    * Determinism: the log-sum-exp stabilizes by subtracting the
+    * per-anchor max (max over bit-identical doubles), Σexp rides
+    * dsum, exp/ln are the libm parity class, τ = 0.25 is an exact
+    * binary literal, and the positive argmax breaks ties by id.
+    *
+    * Scale: bounded anchors × bounded sample with the small side
+    * broadcast (the q352 posture); the per-anchor reduction is one
+    * hash-agg. */
+  def infoNce(emb: DataFrame, nSample: Long = 200,
+              tau: Double = 0.25): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val v = emb.where(col("vec_id") < nSample)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("norm", norm(col("v")))
+    val a = v.select(col("vec_id").as("aid"), col("v").as("av"),
+      col("norm").as("an"), col("label").as("alabel"))
+    val sims = v.crossJoin(broadcast(a))
+      .where(col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
+        (cosine(col("v"), col("av"), col("norm"), col("an")) / lit(tau))
+          .as("s"))
+      .localCheckpoint() // feeds the positive argmax AND the lse
+    val wPos = Window.partitionBy("aid")
+      .orderBy(col("s").desc, col("vec_id").asc)
+    val pos = sims.where(col("label") === col("alabel"))
+      .withColumn("pr", row_number().over(wPos))
+      .where(col("pr") === 1)
+      .select(col("aid"), col("s").as("spos"))
+    val mx = sims.groupBy("aid").agg(max(col("s")).as("m"))
+    val lse = sims.join(broadcast(mx), "aid")
+      .groupBy("aid", "alabel")
+      .agg(min(col("m")).as("m"), // constant per anchor
+        dsum(exp(col("s") - col("m"))).as("z"))
+    val perAnchor = lse.join(pos, "aid")
+      .select(col("aid"), col("alabel"),
+        (col("m") + log(col("z")) - col("spos")).as("loss"),
+        (col("spos") * lit(tau)).as("pos_sim"))
+    perAnchor.groupBy(col("alabel").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        femit(dsum(col("loss")) / count(lit(1)).cast("double"))
+          .as("mean_loss"),
+        femit(dsum(col("pos_sim")) / count(lit(1)).cast("double"))
+          .as("mean_pos_sim"))
+      .orderBy("label")
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

@@ -442,6 +442,46 @@ class Round10OpsSpec extends SparkSpec {
     scores.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
   }
 
+  test("knnOutliers: top row matches brute force; scores descend, bounded") {
+    val out = Sim.knnOutliers(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 20)
+    out.sliding(2).foreach { case Array(a, b) => assert(a._3 >= b._3) }
+    out.foreach { case (_, _, d) => assert(d >= 0.0 && d <= 2.0) }
+    // brute-force the winner's 5th-NN distance
+    val all = emb.where(col("vec_id") < 400)
+      .select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toArray))
+    def dt(a: Array[Double], b: Array[Double]) = { var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s }
+    val (wid, wnb, wd) = out.head
+    val wv = all.find(_._1 == wid).get._2
+    val sims = all.filter(_._1 != wid).map { case (id, v) =>
+      (id, dt(v, wv) / (math.sqrt(dt(v, v)) * math.sqrt(dt(wv, wv))))
+    }.sortBy { case (id, s) => (-s, id) }
+    val (kid, ksim) = sims(4)
+    assert(kid == wnb, s"5th neighbor drift: $kid vs $wnb")
+    assert(math.abs(wd - (1.0 - ksim)) < 1e-5)
+  }
+
+  test("infoNce: losses are non-negative, anchors conserve, pos_sim bounded") {
+    val out = Sim.infoNce(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, loss, posSim) =>
+      assert(n >= 1L)
+      // lse >= spos always (z >= exp(spos - m)) so the loss is >= 0
+      assert(loss >= -1e-9, s"InfoNCE loss must be non-negative, got $loss")
+      // loss can't exceed ln(N-1) + (max-pos) gap; sanity: below ln(199)+8/tau
+      assert(loss < math.log(199.0) + 8.0 / 0.25)
+      assert(posSim <= 1.0 + 1e-9 && posSim >= -1.0 - 1e-9)
+    }
+    // every anchor with a same-label peer is scored exactly once; at
+    // 200 samples x 10 labels every anchor has peers
+    assert(out.map(_._2).sum ==
+      emb.where(col("vec_id") < 200).count())
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
