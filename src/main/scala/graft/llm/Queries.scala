@@ -1510,6 +1510,18 @@ object Queries {
     // positives (see Sim.infoNce)
     "q355_infonce" -> ((s, dir) =>
       Sim.infoNce(tbl(s, dir, "embeddings"))),
+    // Retrieval eval vs label relevance: MRR@10, recall@10, P@1
+    // (see Sim.retrievalEval)
+    "q356_retrieval_eval" -> ((s, dir) =>
+      Sim.retrievalEval(tbl(s, dir, "embeddings"))),
+    // Vocabulary coverage / OOV curve at fixed vocab budgets
+    // (see TextAnalysis.vocabCoverage)
+    "q357_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(tbl(s, dir, "documents"))),
+    // Per-source token-distribution KL from the corpus over the shared
+    // top-M support (see TextAnalysis.sourceKl)
+    "q358_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceKl(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4813,5 +4825,84 @@ object Queries {
          |  ${femitSql(s"${dsumSql("pos_sim")} / CAST(count(*) AS DOUBLE)")} AS mean_pos_sim
          |FROM pa GROUP BY alabel ORDER BY label""".stripMargin
     },
+    // Same bounded probes, same raw-sim top-10 with id tiebreaks,
+    // same first-hit / hit-count / rank-1 reductions, same
+    // peers-excluding-self relevance totals and n_rel>0 guard.
+    "q356_retrieval_eval" -> {
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  CAST(label AS BIGINT) AS label FROM embeddings WHERE vec_id < 200),
+         |n AS (SELECT vec_id, v, label, sqrt($normSql) AS norm FROM vv),
+         |a AS (SELECT vec_id AS aid, v AS av, norm AS an, label AS alabel
+         |  FROM n),
+         |rk AS (SELECT aid, alabel, vec_id, label, row_number() OVER (
+         |  PARTITION BY aid ORDER BY sim DESC, vec_id ASC) AS rnk FROM (
+         |  SELECT aid, alabel, n.vec_id, n.label,
+         |    ${dotSql("n.v", "av")} / (n.norm * an) AS sim
+         |  FROM n CROSS JOIN a WHERE n.vec_id <> aid) s),
+         |top AS (SELECT * FROM rk WHERE rnk <= 10),
+         |rel AS (SELECT label AS alabel, count(*) - 1 AS n_rel
+         |  FROM n GROUP BY label),
+         |pp AS (SELECT aid, alabel,
+         |  min(CASE WHEN label = alabel THEN rnk END) AS fr,
+         |  CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits,
+         |  CAST(sum(CASE WHEN label = alabel AND rnk = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS p1
+         |  FROM top GROUP BY aid, alabel)
+         |SELECT alabel AS label, count(*) AS n_probes,
+         |  ${femitSql(s"${dsumSql("CASE WHEN fr IS NOT NULL THEN CAST(1.0 AS DOUBLE) / CAST(fr AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} / CAST(count(*) AS DOUBLE)")} AS mrr,
+         |  ${femitSql(s"${dsumSql("CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} / CAST(count(*) AS DOUBLE)")} AS recall_at_k,
+         |  ${femitSql("CAST(sum(p1) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS precision_at_1
+         |FROM pp JOIN rel USING (alabel)
+         |GROUP BY alabel ORDER BY label""".stripMargin
+    },
+    // Same exact ranking with token tiebreaks, same integer window
+    // cum-mass (integer windows are association-safe), same cut-point
+    // probes with the beyond-vocab coalesce.
+    "q357_vocab_coverage" ->
+      s"""WITH tf AS (SELECT t, count(*) AS cnt FROM (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |  FROM documents) z GROUP BY t),
+         |rk AS (SELECT t, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, t ASC) AS rnk,
+         |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum FROM tf),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |  count(*) AS n_vocab FROM tf),
+         |cuts AS (SELECT CAST(unnest([5, 10, 15, 20, 25]) AS BIGINT)
+         |  AS vocab_size),
+         |ac AS (SELECT vocab_size, cum FROM cuts
+         |  LEFT JOIN rk ON rnk = vocab_size)
+         |SELECT vocab_size,
+         |  CAST(coalesce(cum, total) AS BIGINT) AS covered, total, n_vocab,
+         |  ${femitSql("CAST(coalesce(cum, total) AS DOUBLE) / CAST(total AS DOUBLE)")} AS coverage,
+         |  ${femitSql("CAST(total - coalesce(cum, total) AS DOUBLE) / CAST(total AS DOUBLE)")} AS oov_rate
+         |FROM ac CROSS JOIN tot ORDER BY vocab_size""".stripMargin,
+    // Same top-M support with token tiebreaks, both distributions
+    // add-one re-normalized over the SAME support (KL >= 0 by Gibbs),
+    // same fixed-order term with ln parity, dsum per source.
+    "q358_source_kl" ->
+      s"""WITH tok AS (SELECT source,
+         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |  FROM documents),
+         |topm AS (SELECT t, count(*) AS gc FROM tok GROUP BY t
+         |  ORDER BY gc DESC, t ASC LIMIT 25),
+         |gsup AS (SELECT CAST(sum(gc) AS BIGINT) AS gsup,
+         |  count(*) AS msup FROM topm),
+         |st AS (SELECT source, t, count(*) AS sc FROM tok
+         |  WHERE t IN (SELECT t FROM topm) GROUP BY source, t),
+         |ssup AS (SELECT source, CAST(sum(sc) AS BIGINT) AS ssup
+         |  FROM st GROUP BY source),
+         |cells AS (SELECT source, ssup,
+         |  CAST(coalesce(sc, 0) + 1 AS DOUBLE) /
+         |    CAST(ssup + msup AS DOUBLE) AS ps,
+         |  CAST(gc + 1 AS DOUBLE) / CAST(gsup + msup AS DOUBLE) AS pg
+         |  FROM (SELECT * FROM ssup CROSS JOIN topm) sup
+         |  LEFT JOIN st USING (source, t) CROSS JOIN gsup)
+         |SELECT source, min(ssup) AS n_tokens,
+         |  ${femitSql(dsumSql("ps * ln(ps / pg)"))} AS kl
+         |FROM cells GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1371,6 +1371,64 @@ object Sim {
       .orderBy("label")
   }
 
+  /** Retrieval evaluation against label relevance: MRR@k, recall@k,
+    * and precision@1 (the TREC-style metric triple; Craswell's MRR
+    * definition) of exact-cosine retrieval over the bounded sample,
+    * where a hit is a SAME-LABEL vector — the retrieval-metric
+    * complement of q344 (clustering view) and q355 (loss view) on the
+    * same embedding-vs-label question. Per label: mean reciprocal
+    * rank of the first hit within the top-k (0 when none), mean
+    * share of the label's other members recovered in the top-k, and
+    * the share of probes whose rank-1 neighbor is a hit.
+    *
+    * Determinism: ranks come from raw bit-identical sims with id
+    * tiebreaks (q32 precedent); all metrics are ratios of exact
+    * integers or 1/rank sums on the dsum lattice.
+    *
+    * Scale: bounded probes broadcast against the bounded sample (the
+    * q352 posture); at corpus scale the candidate scan swaps to the
+    * IVF path with the same metric tail. */
+  def retrievalEval(emb: DataFrame, k: Int = 10,
+                    nSample: Long = 200): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val v = emb.where(col("vec_id") < nSample)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("norm", norm(col("v")))
+    val a = v.select(col("vec_id").as("aid"), col("v").as("av"),
+      col("norm").as("an"), col("label").as("alabel"))
+    val wRank = Window.partitionBy("aid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val top = v.crossJoin(broadcast(a))
+      .where(col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
+        cosine(col("v"), col("av"), col("norm"), col("an")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= k)
+    val relTotal = v.groupBy("label")
+      .agg((count(lit(1)) - 1).as("n_rel")) // peers excluding self
+    val perProbe = top
+      .groupBy("aid", "alabel")
+      .agg(min(when(col("label") === col("alabel"), col("rnk"))).as("fr"),
+        sum(when(col("label") === col("alabel"), 1L).otherwise(0L))
+          .as("hits"),
+        sum(when(col("label") === col("alabel") && col("rnk") === 1, 1L)
+          .otherwise(0L)).as("p1"))
+    perProbe
+      .join(relTotal.withColumnRenamed("label", "alabel"), "alabel")
+      .groupBy(col("alabel").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        femit(dsum(when(col("fr").isNotNull,
+          lit(1.0) / col("fr").cast("double")).otherwise(lit(0.0))) /
+          count(lit(1)).cast("double")).as("mrr"),
+        femit(dsum(when(col("n_rel") > 0, col("hits").cast("double") /
+          col("n_rel").cast("double")).otherwise(lit(0.0))) /
+          count(lit(1)).cast("double")).as("recall_at_k"),
+        femit(sum(col("p1")).cast("double") /
+          count(lit(1)).cast("double")).as("precision_at_1"))
+      .orderBy("label")
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

@@ -1297,6 +1297,96 @@ object TextAnalysis {
       .select("phrase", "n_words", "freq", "score")
   }
 
+  /** Vocabulary coverage curve: what share of the corpus token MASS a
+    * frequency-truncated vocabulary of size V covers, at standard cut
+    * points — the question a tokenizer designer asks before fixing a
+    * vocab budget (the coverage criterion in SentencePiece-style vocab
+    * sizing; complements q205's Zipf slope and q300's Heaps curve,
+    * which describe the same distribution's shape rather than its
+    * budget arithmetic). For each cut V: covered token occurrences,
+    * coverage share, and the OOV rate a V-size vocab would induce.
+    *
+    * Determinism: the frequency ranking is exact integers with the
+    * token tiebreak; cumulative mass is an integer window sum;
+    * coverage is one IEEE division per cut.
+    *
+    * Scale: one token hash-agg (the term-frequency shuffle), one
+    * rank window over the DISTINCT-token table (≪ corpus), and the
+    * cut probe joins |cuts| rows. */
+  def vocabCoverage(docs: DataFrame,
+                    cuts: Seq[Int] = Seq(5, 10, 15, 20, 25)): DataFrame = {
+    import graft.rel.Queries.femit
+    val tf = docs.select(explode(toks(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.orderBy(col("cnt").desc, col("t").asc)
+    val ranked = tf
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("cum", sum(col("cnt")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // distinct tokens; feeds totals AND every cut
+    val tot = ranked.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_vocab"))
+    val cutDf = docs.sparkSession.createDataFrame(
+      cuts.map(c => Tuple1(c.toLong))).toDF("vocab_size")
+    val atCut = cutDf.join(ranked, col("rnk") === col("vocab_size"), "left")
+      .select(col("vocab_size"), col("cum"))
+    atCut.crossJoin(broadcast(tot))
+      .select(col("vocab_size"),
+        coalesce(col("cum"), col("total")).as("covered"),
+        col("total"), col("n_vocab"),
+        femit(coalesce(col("cum"), col("total")).cast("double") /
+          col("total").cast("double")).as("coverage"),
+        femit((col("total") - coalesce(col("cum"), col("total")))
+          .cast("double") / col("total").cast("double")).as("oov_rate"))
+      .orderBy("vocab_size")
+  }
+
+  /** Per-source token-distribution divergence from the corpus: add-one
+    * smoothed KL(source ‖ corpus) over the top-M corpus vocabulary —
+    * the mixture diagnostic that flags WHICH slice of a blended corpus
+    * is distributionally unusual (the per-subgroup companion of q181's
+    * PSI, which monitors a scalar; Kullback–Leibler 1951). Restricting
+    * to the top-M corpus tokens bounds the support identically on both
+    * sides and keeps the sum over a fixed vocabulary.
+    *
+    * Determinism: all probabilities are add-one ratios of exact
+    * BIGINT counts, re-normalized over the SAME M-cell support on both
+    * sides (each side is a proper distribution, so KL ≥ 0 by Gibbs);
+    * each term is one fixed-order IEEE expression (ln parity);
+    * per-source sums ride dsum.
+    *
+    * Scale: one (source, token) hash-agg, a broadcast top-M
+    * vocabulary, and the cross of |sources| × M cells — corpus-size
+    * work is the one token scan. */
+  def sourceKl(docs: DataFrame, m: Int = 25): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val tok = docs.select(col("source"), explode(toks(col("text"))).as("t"))
+      .localCheckpoint() // feeds the global top-M AND the per-source counts
+    val topM = tok.groupBy("t").agg(count(lit(1)).as("gc"))
+      .orderBy(col("gc").desc, col("t").asc).limit(m)
+      .localCheckpoint() // feeds the support cross, the join, and Σgc
+    // both distributions are RE-NORMALIZED over the shared M-cell
+    // support (Σ over support + M smoothing cells), so each is a
+    // proper distribution and the KL is well-defined
+    val gSup = topM.agg(sum(col("gc")).as("gsup"),
+      count(lit(1)).as("msup"))
+    val st = tok.join(broadcast(topM.select("t")), "t")
+      .groupBy("source", "t").agg(count(lit(1)).as("sc"))
+    val sSup = st.groupBy("source").agg(sum(col("sc")).as("ssup"))
+    val support = sSup.crossJoin(broadcast(topM))
+    val cells = support.join(st, Seq("source", "t"), "left")
+      .crossJoin(broadcast(gSup))
+      .select(col("source"), col("ssup"),
+        ((coalesce(col("sc"), lit(0L)) + 1).cast("double") /
+          (col("ssup") + col("msup")).cast("double")).as("ps"),
+        ((col("gc") + 1).cast("double") /
+          (col("gsup") + col("msup")).cast("double")).as("pg"))
+    cells.groupBy("source")
+      .agg(min(col("ssup")).as("n_tokens"),
+        femit(dsum(col("ps") * log(col("ps") / col("pg")))).as("kl"))
+      .orderBy(col("source"))
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

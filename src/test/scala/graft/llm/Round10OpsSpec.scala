@@ -482,6 +482,52 @@ class Round10OpsSpec extends SparkSpec {
       emb.where(col("vec_id") < 200).count())
   }
 
+  test("retrievalEval: metric bounds, probe conservation, mrr >= p@1") {
+    val out = Sim.retrievalEval(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(_._2).sum == emb.where(col("vec_id") < 200).count())
+    out.foreach { case (l, _, mrr, rec, p1) =>
+      Seq(mrr, rec, p1).foreach(x => assert(x >= 0.0 && x <= 1.0 + 1e-9))
+      // a rank-1 hit contributes RR = 1, any other probe RR >= 0, so
+      // the mean RR dominates the rank-1 hit share
+      assert(mrr >= p1 - 1e-6, s"mrr $mrr < p@1 $p1 for label $l")
+    }
+  }
+
+  test("vocabCoverage: monotone curve, head mass matches brute force") {
+    val out = TextAnalysis.vocabCoverage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(out.length == 5)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._5 <= b._5 + 1e-9, "coverage monotone")
+    }
+    out.foreach { case (_, cov, tot, _, c, o) =>
+      assert(math.abs(c + o - 1.0) < 1e-5, "coverage + oov = 1")
+      assert(cov <= tot)
+    }
+    // brute-force the 5-token head mass
+    val counts = docs
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    assert(out.head._2 == counts.take(5).map(_._2).sum,
+      "head-5 covered mass must match brute force")
+    assert(out.head._3 == counts.map(_._2).sum)
+  }
+
+  test("sourceKl: Gibbs non-negativity, one row per source") {
+    val out = TextAnalysis.sourceKl(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == docs.select("source").distinct().count())
+    out.foreach { case (s, n, kl) =>
+      assert(n > 0L)
+      assert(kl >= -1e-9, s"KL($s) must be non-negative (Gibbs), got $kl")
+    }
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
