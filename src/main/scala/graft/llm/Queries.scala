@@ -1522,6 +1522,14 @@ object Queries {
     // top-M support (see TextAnalysis.sourceKl)
     "q358_source_kl" -> ((s, dir) =>
       TextAnalysis.sourceKl(tbl(s, dir, "documents"))),
+    // k-center greedy coreset: 5 farthest-point centers + covering
+    // radius per round (see Sim.kcenterSelect)
+    "q359_kcenter" -> ((s, dir) =>
+      Sim.kcenterSelect(tbl(s, dir, "embeddings"))),
+    // unigram^0.75 negative-sampling table + derandomized draw audit
+    // (see TextAnalysis.negativeSamplingTable)
+    "q360_negative_sampling" -> ((s, dir) =>
+      TextAnalysis.negativeSamplingTable(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4904,5 +4912,73 @@ object Queries {
          |SELECT source, min(ssup) AS n_tokens,
          |  ${femitSql(dsumSql("ps * ln(ps / pg)"))} AS kl
          |FROM cells GROUP BY source ORDER BY source""".stripMargin,
+    // Same min-id seed, same running min-distance fold on RAW values,
+    // same ROUNDED-distance argmax with id tiebreak, same NOT-IN
+    // exclusion of picked centers; 5 rounds unrolled.
+    "q359_kcenter" -> {
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      def dcos(cv: String, cn: String) =
+        s"CAST(1.0 AS DOUBLE) - ${dotSql("n.v", cv)} / (n.norm * $cn)"
+      def pick(from: String, excl: String) =
+        s"""SELECT vec_id, ${femitSql("mind")} AS d FROM $from
+           |  WHERE vec_id <> 0 $excl
+           |  ORDER BY d DESC, vec_id ASC LIMIT 1""".stripMargin
+      def fold(prev: String, c: String) =
+        s"""SELECT n.vec_id, least(mind, ${dcos(s"$c.cv", s"$c.cn")}) AS mind
+           |  FROM $prev m JOIN n ON n.vec_id = m.vec_id CROSS JOIN $c""".stripMargin
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM vv),
+         |c1 AS (SELECT v AS cv, norm AS cn FROM n WHERE vec_id = 0),
+         |m1 AS (SELECT n.vec_id, ${dcos("c1.cv", "c1.cn")} AS mind
+         |  FROM n CROSS JOIN c1),
+         |s2 AS (${pick("m1", "")}),
+         |c2 AS (SELECT v AS cv, norm AS cn FROM n JOIN s2 USING (vec_id)),
+         |m2 AS (${fold("m1", "c2")}),
+         |s3 AS (${pick("m2", "AND vec_id NOT IN (SELECT vec_id FROM s2)")}),
+         |c3 AS (SELECT v AS cv, norm AS cn FROM n JOIN s3 USING (vec_id)),
+         |m3 AS (${fold("m2", "c3")}),
+         |s4 AS (${pick("m3",
+          "AND vec_id NOT IN (SELECT vec_id FROM s2) AND vec_id NOT IN (SELECT vec_id FROM s3)")}),
+         |c4 AS (SELECT v AS cv, norm AS cn FROM n JOIN s4 USING (vec_id)),
+         |m4 AS (${fold("m3", "c4")}),
+         |s5 AS (${pick("m4",
+          "AND vec_id NOT IN (SELECT vec_id FROM s2) AND vec_id NOT IN (SELECT vec_id FROM s3) AND vec_id NOT IN (SELECT vec_id FROM s4)")})
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS rnk, CAST(0 AS BIGINT) AS center_id,
+         |    CAST(NULL AS DOUBLE) AS radius
+         |  UNION ALL SELECT CAST(2 AS BIGINT), vec_id, d FROM s2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d FROM s3
+         |  UNION ALL SELECT CAST(4 AS BIGINT), vec_id, d FROM s4
+         |  UNION ALL SELECT CAST(5 AS BIGINT), vec_id, d FROM s5)
+         |ORDER BY rnk""".stripMargin
+    },
+    // Same exp(0.75 ln cnt) weight route, same DECIMAL-lattice
+    // cumulative ranges with the VARCHAR round-trips (the dwin
+    // pattern), lo = lag(hi) so ranges tile exactly, same fnv draws.
+    "q360_negative_sampling" -> {
+      val dwin = "CAST(CAST(SUM(CAST(CAST(w AS VARCHAR) AS DECIMAL(38,12)))" +
+        " OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND" +
+        " CURRENT ROW) AS VARCHAR) AS DOUBLE)"
+      val u0 = s"CAST(${fnvSql("(CAST(j AS VARCHAR) || ':neg')")} AS DOUBLE) / 4294967296.0"
+      s"""WITH tf AS (SELECT t, count(*) AS cnt FROM (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |  FROM documents) z GROUP BY t),
+         |cum0 AS (SELECT t, cnt, w, $dwin AS hi FROM (
+         |  SELECT t, cnt, exp(0.75 * ln(CAST(cnt AS DOUBLE))) AS w FROM tf) q),
+         |cum AS (SELECT t, cnt, w, hi,
+         |  lag(hi, 1, CAST(0.0 AS DOUBLE)) OVER (ORDER BY t ASC) AS lo
+         |  FROM cum0),
+         |tot AS (SELECT max(hi) AS wtot FROM cum),
+         |draws AS (SELECT ($u0) * wtot AS u FROM
+         |  (SELECT unnest(range(10000)) AS j) r CROSS JOIN tot),
+         |hit AS (SELECT t, count(*) AS n_draws FROM draws
+         |  JOIN cum ON u >= lo AND u < hi GROUP BY t)
+         |SELECT t, cnt, ${femitSql("w")} AS weight,
+         |  ${femitSql("w / wtot")} AS target_share,
+         |  coalesce(n_draws, CAST(0 AS BIGINT)) AS n_draws,
+         |  ${femitSql("CAST(coalesce(n_draws, 0) AS DOUBLE) / 10000.0")} AS emp_share
+         |FROM cum CROSS JOIN tot LEFT JOIN hit USING (t)
+         |ORDER BY t""".stripMargin
+    },
   )
 }

@@ -1429,6 +1429,64 @@ object Sim {
       .orderBy("label")
   }
 
+  /** k-center greedy coreset (Gonzalez 1985's 2-approximation;
+    * Sener &amp; Savarese ICLR 2018 use exactly this for active-learning
+    * coresets): iteratively pick the point FARTHEST from the current
+    * center set (max-min cosine distance) — the diversity/radius
+    * objective, where [[facilityLocationSelect]] maximizes coverage.
+    * Seeded at the minimum id; each round emits the chosen center and
+    * the covering radius max_u min_c dist(u, c) BEFORE the pick (the
+    * quantity the 2-approximation bounds).
+    *
+    * Determinism: distances are exact cosine folds; the farthest-point
+    * argmax orders by the ROUNDED distance with the id tiebreak (q207
+    * rule); min-distance folds use RAW values.
+    *
+    * Scale: the whole corpus keeps ONE running min-distance column
+    * (localCheckpoint per round, the CC/k-means pacing); each round is
+    * one broadcast of the new center + one map + one argmax — no
+    * pairwise table ever materializes, which is why k-center greedy
+    * runs at corpus scale where facility location needs a candidate
+    * pool. */
+  def kcenterSelect(emb: DataFrame, k: Int = 5): DataFrame = {
+    import graft.rel.Queries.femit
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v"))).localCheckpoint()
+    val seedId = 0L // vec_ids are dense from 0; the minimum id seeds
+    var state = v.crossJoin(broadcast(
+        v.where(col("vec_id") === seedId)
+          .select(col("v").as("cv"), col("norm").as("cn"))))
+      .select(col("vec_id"), col("v"), col("norm"),
+        (lit(1.0) - cosine(col("v"), col("cv"), col("norm"), col("cn")))
+          .as("mind"))
+      .localCheckpoint()
+    var out: DataFrame = state.sparkSession.range(0, 1)
+      .select(lit(1L).as("rnk"), lit(seedId).as("center_id"),
+        lit(null).cast("double").as("radius"))
+    // anti-join out every already-picked center (the q341 discipline:
+    // a saturated corpus would otherwise re-pick on the zero-distance
+    // rounded tie)
+    var selected = state.where(col("vec_id") === seedId).select("vec_id")
+    for (r <- 2 to k) {
+      val far = state.join(selected, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), femit(col("mind")).as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint()
+      selected = selected.unionAll(far.select("vec_id"))
+      val c = state.join(broadcast(far.select("vec_id")), "vec_id")
+        .select(col("v").as("cv"), col("norm").as("cn"))
+      state = state.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("v"), col("norm"),
+          least(col("mind"),
+            lit(1.0) - cosine(col("v"), col("cv"), col("norm"), col("cn")))
+            .as("mind"))
+        .localCheckpoint()
+      out = out.unionAll(far.select(lit(r.toLong).as("rnk"),
+        col("vec_id").as("center_id"), col("d").as("radius")))
+    }
+    out.orderBy("rnk")
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

@@ -1387,6 +1387,56 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** word2vec-style negative-sampling table with a derandomized draw
+    * audit (Mikolov et al., NeurIPS 2013: unigram^0.75 — the
+    * smoothed-unigram noise distribution every embedding trainer
+    * builds): per token, weight = cnt^0.75 (as exp(0.75·ln cnt) —
+    * the exp/ln libm parity route, not engine pow), cumulative
+    * [lo, hi) ranges tiling [0, W) exactly (hi on the DECIMAL window
+    * lattice — float window sums are association-hazardous, the q294
+    * rule; lo = lag(hi) so adjacent ranges share the identical
+    * double), and an audit of 10 000 fnv-derandomized draws mapped
+    * through the table: the emitted empirical share converges on the
+    * target share, making the table's correctness measurable, not
+    * assumed.
+    *
+    * Scale: the table is vocab-sized (the window runs over DISTINCT
+    * tokens); draws fan against the BROADCAST table with a range
+    * predicate — at training scale the same table broadcasts into the
+    * negative-sampling map of every executor. */
+  def negativeSamplingTable(docs: DataFrame, power: Double = 0.75,
+                            nDraws: Int = 10000): DataFrame = {
+    import graft.rel.Queries.femit
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val tf = docs.select(explode(toks(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.orderBy(col("t").asc)
+    val cum = tf
+      .withColumn("w", exp(lit(power) * log(col("cnt").cast("double"))))
+      .withColumn("hi", sum(col("w").cast("decimal(38,12)"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double"))
+      .withColumn("lo", lag(col("hi"), 1, 0.0).over(wOrd))
+      .localCheckpoint() // vocab-sized; feeds the total, the join, the output
+    val tot = cum.agg(max(col("hi")).as("wtot"))
+    val draws = docs.sparkSession.range(0, nDraws).toDF("j")
+      .select((graft.functions.HashExprs.fnv1a32(
+        "concat(cast(j as string), ':neg')").cast("double") /
+        lit(4294967296.0)).as("u0"))
+      .crossJoin(broadcast(tot))
+      .select((col("u0") * col("wtot")).as("u"))
+    val hit = draws.join(broadcast(cum.select("t", "lo", "hi")),
+        col("u") >= col("lo") && col("u") < col("hi"))
+      .groupBy("t").agg(count(lit(1)).as("n_draws"))
+    cum.crossJoin(broadcast(tot)).join(hit, Seq("t"), "left")
+      .select(col("t"), col("cnt"), femit(col("w")).as("weight"),
+        femit(col("w") / col("wtot")).as("target_share"),
+        coalesce(col("n_draws"), lit(0L)).as("n_draws"),
+        femit(coalesce(col("n_draws"), lit(0L)).cast("double") /
+          lit(nDraws.toDouble)).as("emp_share"))
+      .orderBy("t")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

@@ -528,6 +528,45 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("kcenterSelect: radius non-increasing, round-2 pick is the true farthest") {
+    val out = Sim.kcenterSelect(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.length == 5)
+    assert(out.map(_._2).distinct.length == 5, "centers are distinct")
+    val radii = out.tail.map(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-9, "greedy max-min radius must not increase")
+    }
+    // brute-force round 2: the farthest point from the seed (id 0)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toArray))
+    def dt(a: Array[Double], b: Array[Double]) = { var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s }
+    val seed = all.find(_._1 == 0L).get._2
+    val far = all.filter(_._1 != 0L).map { case (id, v) =>
+      (id, 1.0 - dt(v, seed) / (math.sqrt(dt(v, v)) * math.sqrt(dt(seed, seed))))
+    }.map { case (id, d) => (id, math.floor(d * 1e6 + 0.5) / 1e6) }
+      .sortBy { case (id, d) => (-d, id) }.head
+    assert(out(1)._2 == far._1, s"round-2 center drift: ${out(1)._2} vs $far")
+  }
+
+  test("negativeSamplingTable: draws conserve, shares converge, w = cnt^0.75") {
+    val out = TextAnalysis.negativeSamplingTable(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(out.map(_._5).sum == 10000L,
+      "ranges tile [0, W): every draw lands exactly once")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4, "target shares sum to 1")
+    out.foreach { case (t, cnt, w, target, _, emp) =>
+      assert(math.abs(w - math.pow(cnt.toDouble, 0.75)) < 1e-4,
+        s"weight drift for $t")
+      assert(math.abs(emp - target) < 0.01,
+        s"draw audit drift for $t: emp $emp vs target $target")
+    }
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
