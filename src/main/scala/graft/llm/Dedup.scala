@@ -1064,4 +1064,48 @@ object Dedup {
           col("total_err").asc, col("bands").desc)).cast("long"))
     ranked.orderBy("rnk")
   }
+
+  /** Dedup threshold ladder: the planning question BEFORE running an
+    * aggressive dedup — "at each Jaccard threshold, how much corpus
+    * survives keep-one-per-component?" (Lee et al. ACL 2022 sweep this
+    * to choose their operating point). The near-dup pair list computes
+    * ONCE at the loosest threshold (a pair invisible at 0.1 is
+    * invisible at every higher cut) and localCheckpoints; each rung
+    * filters it, transitively closes, and reports pairs, components,
+    * dup docs, the effective corpus size total − (dups − components),
+    * and the retained share.
+    *
+    * Determinism: jaccard values are the q18 exact ratios; threshold
+    * comparisons are bit-deterministic; all census numbers are exact
+    * integers; retained_share is one fixed-order division through
+    * femit.
+    *
+    * Scale: ONE LSH candidate+verify pass (the cost the dedup family
+    * pays) feeds every rung; per rung the CC runs over an
+    * ever-smaller filtered edge set — the ladder adds log-round
+    * label propagation on shrinking graphs, never a second corpus
+    * scan. */
+  def dedupLadder(docs: DataFrame,
+                  thresholds: Seq[Double] = Seq(0.1, 0.95, 0.97, 0.985)): DataFrame = {
+    import graft.rel.Queries.femit
+    val pairs = minhashNearDups(docs, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4, threshold = thresholds.min)
+      .localCheckpoint() // one candidate+verify pass feeds every rung
+    val total = docs.count() // 1-row scalar control flow (q47 precedent)
+    thresholds.map { t =>
+      val p = pairs.where(col("jaccard") >= t)
+      val stats = connectedComponents(p)
+        .agg(count(lit(1)).as("n_dup_docs"),
+          countDistinct(col("component")).as("n_components"))
+      val np = p.agg(count(lit(1)).as("n_pairs"))
+      stats.crossJoin(broadcast(np)).select(
+        lit(t).as("threshold"), col("n_pairs"), col("n_components"),
+        col("n_dup_docs"),
+        (lit(total) - (col("n_dup_docs") - col("n_components")))
+          .as("effective_docs"),
+        femit((lit(total).cast("double") -
+          (col("n_dup_docs") - col("n_components")).cast("double")) /
+          lit(total).cast("double")).as("retained_share"))
+    }.reduce(_ unionAll _).orderBy("threshold")
+  }
 }

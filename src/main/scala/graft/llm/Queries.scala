@@ -1530,6 +1530,14 @@ object Queries {
     // (see TextAnalysis.negativeSamplingTable)
     "q360_negative_sampling" -> ((s, dir) =>
       TextAnalysis.negativeSamplingTable(tbl(s, dir, "documents"))),
+    // Dedup threshold ladder: survivors per Jaccard operating point
+    // (see Dedup.dedupLadder)
+    "q361_dedup_ladder" -> ((s, dir) =>
+      Dedup.dedupLadder(tbl(s, dir, "documents"))),
+    // k-occurrence hubness audit of the embedding space
+    // (see Sim.hubnessAudit)
+    "q362_hubness" -> ((s, dir) =>
+      Sim.hubnessAudit(tbl(s, dir, "embeddings"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -4979,6 +4987,66 @@ object Queries {
          |  ${femitSql("CAST(coalesce(n_draws, 0) AS DOUBLE) / 10000.0")} AS emp_share
          |FROM cum CROSS JOIN tot LEFT JOIN hit USING (t)
          |ORDER BY t""".stripMargin
+    },
+    // Same single pair pass (the q18 twin), per-rung filtered
+    // transitive closures, same exact census arithmetic and
+    // fixed-order retained-share division.
+    "q361_dedup_ladder" -> {
+      def rung(i: Int, t: String) =
+        s"""e$i AS (SELECT d1 AS n, d2 AS m FROM mh WHERE jaccard >= $t
+           |  UNION ALL SELECT d2, d1 FROM mh WHERE jaccard >= $t),
+           |r$i AS (SELECT n, n AS reach FROM (SELECT DISTINCT n FROM e$i) b
+           |  UNION
+           |  SELECT e$i.n, r$i.reach FROM e$i JOIN r$i ON e$i.m = r$i.n),
+           |c$i AS (SELECT n, min(reach) AS comp FROM r$i GROUP BY n),
+           |s$i AS (SELECT CAST($t AS DOUBLE) AS threshold,
+           |  (SELECT count(*) FROM mh WHERE jaccard >= $t) AS n_pairs,
+           |  count(DISTINCT comp) AS n_components,
+           |  count(*) AS n_dup_docs FROM c$i)""".stripMargin
+      s"""WITH RECURSIVE mh AS (SELECT d1, d2, jaccard FROM ($minhashOracle) m0),
+         |${rung(1, "0.1")},
+         |${rung(2, "0.95")},
+         |${rung(3, "0.97")},
+         |${rung(4, "0.985")},
+         |tt AS (SELECT count(*) AS total FROM documents)
+         |SELECT threshold, n_pairs, n_components, n_dup_docs,
+         |  total - (n_dup_docs - n_components) AS effective_docs,
+         |  ${femitSql("(CAST(total AS DOUBLE) - CAST(n_dup_docs - n_components AS DOUBLE)) / CAST(total AS DOUBLE)")} AS retained_share
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4) u
+         |CROSS JOIN tt ORDER BY threshold""".stripMargin
+    },
+    // Same bounded top-k lists with raw-sim id-tiebroken ranks, same
+    // zero-filled k-occurrences, same dsum central moments and the
+    // m3/(m2*sqrt(m2)) skewness text, same argmax hub.
+    "q362_hubness" -> {
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 400),
+         |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM vv),
+         |b AS (SELECT vec_id AS oid, v AS ov, norm AS os FROM n),
+         |rk AS (SELECT vec_id, oid, row_number() OVER (
+         |  PARTITION BY vec_id ORDER BY sim DESC, oid ASC) AS rnk FROM (
+         |  SELECT n.vec_id, oid, ${dotSql("n.v", "ov")} / (n.norm * os) AS sim
+         |  FROM n CROSS JOIN b WHERE n.vec_id <> oid) s),
+         |occ AS (SELECT oid, count(*) AS nk FROM rk WHERE rnk <= 10
+         |  GROUP BY oid),
+         |full0 AS (SELECT n.vec_id AS oid,
+         |  coalesce(nk, CAST(0 AS BIGINT)) AS nk
+         |  FROM n LEFT JOIN occ ON occ.oid = n.vec_id),
+         |mom AS (SELECT count(*) AS n,
+         |  ${dsumSql("(CAST(nk AS DOUBLE) - 10.0) * (CAST(nk AS DOUBLE) - 10.0)")} AS m2s,
+         |  ${dsumSql("(CAST(nk AS DOUBLE) - 10.0) * (CAST(nk AS DOUBLE) - 10.0) * (CAST(nk AS DOUBLE) - 10.0)")} AS m3s,
+         |  max(nk) AS max_nk,
+         |  CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_antihubs FROM full0),
+         |hub AS (SELECT oid AS top_hub_id, nk AS top_hub_nk FROM full0
+         |  ORDER BY nk DESC, oid ASC LIMIT 1)
+         |SELECT n, CAST(10 AS BIGINT) AS k,
+         |  ${femitSql("m2s / CAST(n AS DOUBLE)")} AS var_nk,
+         |  ${femitSql("(m3s / CAST(n AS DOUBLE)) / ((m2s / CAST(n AS DOUBLE)) * sqrt(m2s / CAST(n AS DOUBLE)))")} AS skewness,
+         |  max_nk, n_antihubs, top_hub_id, top_hub_nk
+         |FROM mom CROSS JOIN hub""".stripMargin
     },
   )
 }

@@ -1487,6 +1487,65 @@ object Sim {
     out.orderBy("rnk")
   }
 
+  /** Hubness audit of the embedding space (Radovanović, Nanopoulos &amp;
+    * Ivanović, JMLR 2010): the k-occurrence N_k(x) — how often x
+    * appears in other points' top-k lists — grows pathologically
+    * skewed in high dimensions, and that skew is the canonical
+    * predictor of ANN recall trouble (hubs dominate every candidate
+    * list, antihubs become unreachable). Over the bounded sample:
+    * the N_k distribution's skewness (the hubness statistic), its
+    * max, the antihub count (N_k = 0), and the top hub.
+    *
+    * Determinism: top-k lists rank raw bit-identical sims with id
+    * tiebreaks (q32); N_k values are exact integers; central moments
+    * ride dsum in one fixed order; skewness = m3 / (m2·√m2) — the
+    * same text both engines, no pow.
+    *
+    * Scale: the q354 bounded broadcast pass + two cell aggregates;
+    * at corpus scale N_k comes from inverting the IVF kNN output the
+    * pipeline already materializes. */
+  def hubnessAudit(emb: DataFrame, k: Int = 10,
+                   nSample: Long = 400): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val v = emb.where(col("vec_id") < nSample)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val b = v.select(col("vec_id").as("oid"), col("v").as("ov"),
+      col("norm").as("on"))
+    val wRank = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("oid").asc)
+    val occ = v.crossJoin(broadcast(b))
+      .where(col("vec_id") =!= col("oid"))
+      .select(col("vec_id"), col("oid"),
+        cosine(col("v"), col("ov"), col("norm"), col("on")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= k)
+      .groupBy(col("oid")).agg(count(lit(1)).as("nk"))
+    val full = v.select(col("vec_id").as("oid"))
+      .join(occ, Seq("oid"), "left")
+      .select(col("oid"), coalesce(col("nk"), lit(0L)).as("nk"))
+      .localCheckpoint() // sample-sized; feeds moments AND the argmax
+    val mean = lit(k.toDouble) // Σ N_k = n·k exactly, so the mean is k
+    val mom = full.agg(count(lit(1)).as("n"),
+      dsum((col("nk").cast("double") - mean) *
+        (col("nk").cast("double") - mean)).as("m2s"),
+      dsum((col("nk").cast("double") - mean) *
+        (col("nk").cast("double") - mean) *
+        (col("nk").cast("double") - mean)).as("m3s"),
+      max(col("nk")).as("max_nk"),
+      sum(when(col("nk") === 0, 1L).otherwise(0L)).as("n_antihubs"))
+    val hub = full.orderBy(col("nk").desc, col("oid").asc).limit(1)
+      .select(col("oid").as("top_hub_id"), col("nk").as("top_hub_nk"))
+    mom.crossJoin(broadcast(hub))
+      .select(col("n"), lit(k.toLong).as("k"),
+        femit((col("m2s") / col("n").cast("double"))).as("var_nk"),
+        femit((col("m3s") / col("n").cast("double")) /
+          ((col("m2s") / col("n").cast("double")) *
+            sqrt(col("m2s") / col("n").cast("double")))).as("skewness"),
+        col("max_nk"), col("n_antihubs"),
+        col("top_hub_id"), col("top_hub_nk"))
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

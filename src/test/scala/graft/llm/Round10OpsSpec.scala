@@ -567,6 +567,51 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupLadder: monotone census, effective-size identity") {
+    val out = Dedup.dedupLadder(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(out.length == 4)
+    val total = docs.count()
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, "pairs shrink as the threshold tightens")
+      assert(a._5 <= b._5, "effective size grows as the threshold tightens")
+    }
+    out.foreach { case (_, _, comps, dups, eff, share) =>
+      assert(eff == total - (dups - comps), "effective-size identity")
+      assert(share <= 1.0 + 1e-9 && share > 0.0)
+      assert(comps <= dups, "every component holds >= 1 doc")
+    }
+    // the loosest rung sees exactly the q18 pair set
+    val q18 = Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 3, nBuckets = 64, bandSize = 4, threshold = 0.1).count()
+    assert(out.head._2 == q18)
+  }
+
+  test("hubnessAudit: moments match a brute-force k-occurrence recount") {
+    val r = Sim.hubnessAudit(emb).collect().head
+    val all = emb.where(col("vec_id") < 400)
+      .select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toArray))
+    def dt(a: Array[Double], b: Array[Double]) = { var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s }
+    val norms = all.map { case (id, v) => id -> math.sqrt(dt(v, v)) }.toMap
+    val nk = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    all.foreach { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (id, v) => (id, dt(v, qv) / (norms(id) * norms(qid))) }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+        .foreach { case (id, _) => nk(id) += 1L }
+    }
+    val counts = all.map(x => nk(x._1))
+    assert(counts.sum == 400L * 10)
+    assert(r.getAs[Long]("max_nk") == counts.max)
+    assert(r.getAs[Long]("n_antihubs") == counts.count(_ == 0L).toLong)
+    assert(r.getAs[Long]("top_hub_nk") == counts.max)
+    val m2 = counts.map(c => (c - 10.0) * (c - 10.0)).sum / 400.0
+    assert(math.abs(r.getAs[Double]("var_nk") - m2) < 1e-4)
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
