@@ -1108,4 +1108,38 @@ object Dedup {
           lit(total).cast("double")).as("retained_share"))
     }.reduce(_ unionAll _).orderBy("threshold")
   }
+
+  /** Cross-source duplication matrix: for every ordered source pair
+    * (A, B), the share of A's distinct 3-gram shingles that also occur
+    * in B — the provenance diagnostic that flags mirror/scrape
+    * relationships between slices of a blended corpus BEFORE they leak
+    * across a source-keyed split (the source-level coarsening of q299's
+    * per-document containment; q111 asks the same question against an
+    * eval set). Asymmetric by design: a small mirror is contained in
+    * its large origin, not vice versa.
+    *
+    * Determinism: distinct (shingle, source) incidence is exact; the
+    * containment is one division of exact counts through femit.
+    *
+    * Scale: the self-join is keyed by SHINGLE and each shingle's group
+    * is bounded by |sources| — expansion ≤ |sources|² per shingle,
+    * never corpus². One shingle scan, one distinct, one keyed join. */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.femit
+    val ss = docs.select(col("source"),
+        explode(nativeShingles(docs, "text", 3)).as("g"))
+      .distinct()
+      .localCheckpoint() // feeds the per-source totals AND the pair join
+    val base = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    ss.join(ss.select(col("source").as("src_b"), col("g")), "g")
+      .where(col("source") =!= col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(base.select(col("source").as("src_a"), col("n_sh").as("n_a")),
+        "src_a")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        femit(col("n_shared").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+      .orderBy("src_a", "src_b")
+  }
 }

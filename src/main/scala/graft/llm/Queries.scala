@@ -1538,6 +1538,14 @@ object Queries {
     // (see Sim.hubnessAudit)
     "q362_hubness" -> ((s, dir) =>
       Sim.hubnessAudit(tbl(s, dir, "embeddings"))),
+    // First-occurrence novelty per ingestion-order decile
+    // (see TextAnalysis.noveltyCurve)
+    "q363_novelty_curve" -> ((s, dir) =>
+      TextAnalysis.noveltyCurve(tbl(s, dir, "documents"))),
+    // Cross-source shingle-containment matrix
+    // (see Dedup.sourceOverlapMatrix)
+    "q364_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -5048,5 +5056,43 @@ object Queries {
          |  max_nk, n_antihubs, top_hub_id, top_hub_nk
          |FROM mom CROSS JOIN hub""".stripMargin
     },
+    // Same distinct shingles (the q18 CTE), same exact min-doc_id
+    // first occurrence, same integer decile arithmetic, same dsum
+    // mean of per-doc ratios.
+    "q363_novelty_curve" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+         |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+         |sh AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |fo AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+         |pd AS (SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel
+         |  FROM sh JOIN fo USING (g) GROUP BY doc_id),
+         |mx AS (SELECT max(doc_id) + 1 AS maxid FROM documents),
+         |bk AS (SELECT doc_id * 10 // maxid AS bucket, n_grams, n_novel
+         |  FROM pd CROSS JOIN mx)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+         |  ${femitSql(s"${dsumSql("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)")} / CAST(count(*) AS DOUBLE)")} AS mean_novelty
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Same distinct (shingle, source) incidence, same shingle-keyed
+    // pair join (group size bounded by |sources|), same containment
+    // division.
+    "q364_source_overlap" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT source, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+         |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+         |ss AS (SELECT DISTINCT source, g FROM
+         |  (SELECT source, unnest(sh) AS g FROM s) u),
+         |base AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS n_shared FROM ss a JOIN ss b ON a.g = b.g
+         |  WHERE a.source <> b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, n_sh AS n_a,
+         |  ${femitSql("CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE)")} AS containment
+         |FROM pairs JOIN base ON base.source = pairs.src_a
+         |ORDER BY src_a, src_b""".stripMargin,
   )
 }

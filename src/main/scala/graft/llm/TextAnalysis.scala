@@ -1437,6 +1437,51 @@ object TextAnalysis {
       .orderBy("t")
   }
 
+  /** First-occurrence novelty curve: for each document, the share of
+    * its distinct 3-gram shingles whose FIRST corpus occurrence (by
+    * doc id — the ingestion order) is the document itself, aggregated
+    * per id decile — the "how fast does new data stop being new"
+    * curve a curriculum or crawl scheduler reads (the incremental
+    * counterpart of q44's within-doc repetition and q111's
+    * eval-overlap decontamination; first-occurrence attribution is
+    * how memorization audits assign provenance). Later deciles
+    * necessarily trend less novel as the shingle space saturates.
+    *
+    * Determinism: first occurrence = exact min(doc_id) per shingle;
+    * per-doc novelty is a ratio of exact counts; decile means ride
+    * dsum. The decile is doc_id ventile arithmetic on exact integers
+    * (NTILE would tie-break engine-specifically; a value-based bucket
+    * does not).
+    *
+    * Scale: one shingle explode + a min-aggregate keyed by shingle
+    * (the dedup family's shuffle), joined back shingle-keyed — no
+    * pairwise work; the curve is 10 cells. */
+  def noveltyCurve(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val sh = docs.select(col("doc_id"),
+        explode(graft.functions.TextExprs.shingles("text", 3)).as("g"))
+      .localCheckpoint() // feeds the first-occurrence agg AND the per-doc join
+    val first = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    perDoc
+      .withColumn("bucket",
+        expr(s"doc_id * $nBuckets DIV $maxId").cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_novel")).as("n_novel"),
+        femit(dsum(col("n_novel").cast("double") /
+          col("n_grams").cast("double")) /
+          count(lit(1)).cast("double")).as("mean_novelty"))
+      .orderBy("bucket")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

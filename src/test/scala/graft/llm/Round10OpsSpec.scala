@@ -612,6 +612,41 @@ class Round10OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("var_nk") - m2) < 1e-4)
   }
 
+  test("noveltyCurve: every distinct shingle is novel exactly once") {
+    val out = TextAnalysis.noveltyCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    graft.functions.TextExprs.register(spark)
+    val distinctShingles = docs
+      .select(explode(graft.functions.TextExprs.shingles("text", 3)).as("g"))
+      .distinct().count()
+    assert(out.map(_._4).sum == distinctShingles,
+      "first-occurrence attribution must cover each shingle exactly once")
+    out.foreach { case (_, _, grams, novel, mean) =>
+      assert(novel <= grams)
+      assert(mean >= 0.0 && mean <= 1.0 + 1e-9)
+    }
+    // saturation: the first bucket is the most novel, the last is less
+    // novel than the first (strict monotonicity is data-dependent)
+    assert(out.head._5 >= out.map(_._5).max - 1e-9)
+    assert(out.last._5 < out.head._5)
+  }
+
+  test("sourceOverlapMatrix: full matrix, symmetric shared counts, ratio identity") {
+    val out = Dedup.sourceOverlapMatrix(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val nSrc = docs.select("source").distinct().count()
+    assert(out.size == nSrc * (nSrc - 1), "every ordered pair is present")
+    out.foreach { case ((a, b), (shared, na, c)) =>
+      assert(c >= 0.0 && c <= 1.0 + 1e-9)
+      assert(shared <= na)
+      assert(math.abs(c - shared.toDouble / na) < 1e-5)
+      // the shared count is symmetric; only the denominator differs
+      assert(out((b, a))._1 == shared, s"asymmetric shared count for ($a,$b)")
+    }
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
