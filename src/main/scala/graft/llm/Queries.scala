@@ -1546,6 +1546,14 @@ object Queries {
     // (see Dedup.sourceOverlapMatrix)
     "q364_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlapMatrix(tbl(s, dir, "documents"))),
+    // Hill tail-index of the token-frequency distribution at several k
+    // (see TextAnalysis.hillTailIndex)
+    "q365_hill_tail" -> ((s, dir) =>
+      TextAnalysis.hillTailIndex(tbl(s, dir, "documents"))),
+    // Truncation/padding census per candidate max sequence length
+    // (see TextAnalysis.contextLadder)
+    "q366_context_ladder" -> ((s, dir) =>
+      TextAnalysis.contextLadder(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -5094,5 +5102,50 @@ object Queries {
          |  ${femitSql("CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE)")} AS containment
          |FROM pairs JOIN base ON base.source = pairs.src_a
          |ORDER BY src_a, src_b""".stripMargin,
+    // Same exact frequency ranking with token tiebreaks, same
+    // top-k/x_(k+1) ln ratios on exact integers, dsum fold, one
+    // SELECT per k unioned.
+    "q365_hill_tail" -> {
+      def row(k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  ${femitSql(dsumSql(s"ln(CAST(cnt AS DOUBLE) / CAST((SELECT cnt FROM ranked WHERE rnk = $k + 1) AS DOUBLE))"))} AS log_ratio_sum,
+           |  ${femitSql(s"CAST($k AS DOUBLE) / ${dsumSql(s"ln(CAST(cnt AS DOUBLE) / CAST((SELECT cnt FROM ranked WHERE rnk = $k + 1) AS DOUBLE))")}")} AS hill_alpha
+           |FROM ranked WHERE rnk <= $k""".stripMargin
+      s"""WITH tf AS (SELECT t, count(*) AS cnt FROM (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |  FROM documents) z GROUP BY t),
+         |ranked AS (SELECT t, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, t ASC) AS rnk FROM tf)
+         |SELECT * FROM (
+         |${row(5)}
+         |UNION ALL
+         |${row(10)}
+         |UNION ALL
+         |${row(15)}
+         |UNION ALL
+         |${row(20)})
+         |ORDER BY k""".stripMargin
+    },
+    // Same one-scan per-doc lengths, same exact truncation/padding
+    // census per cut, same fixed-order share divisions.
+    "q366_context_ladder" ->
+      s"""WITH lens AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+         |  x -> x <> '')) AS BIGINT) AS len FROM documents),
+         |cuts AS (SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT)
+         |  AS max_len),
+         |cen AS (SELECT max_len, count(*) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN len > max_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_truncated,
+         |  CAST(sum(CASE WHEN len > max_len THEN len - max_len ELSE 0 END)
+         |    AS BIGINT) AS tokens_lost,
+         |  CAST(sum(CASE WHEN len <= max_len THEN max_len - len ELSE 0 END)
+         |    AS BIGINT) AS padding_tokens
+         |  FROM lens CROSS JOIN cuts GROUP BY max_len)
+         |SELECT max_len, n_docs, total_tokens, n_truncated, tokens_lost,
+         |  padding_tokens,
+         |  ${femitSql("CAST(tokens_lost AS DOUBLE) / CAST(total_tokens AS DOUBLE)")} AS truncation_share,
+         |  ${femitSql("CAST(padding_tokens AS DOUBLE) / CAST(n_docs * max_len AS DOUBLE)")} AS padding_share
+         |FROM cen ORDER BY max_len""".stripMargin,
   )
 }

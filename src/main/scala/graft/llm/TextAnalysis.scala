@@ -1482,6 +1482,82 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Hill tail-index estimator over the token-frequency distribution
+    * (Hill, Annals of Statistics 1975): α̂ = k / Σᵢ ln(x_(i)/x_(k+1))
+    * over the top-k order statistics — the MAXIMUM-LIKELIHOOD tail
+    * exponent, where q205's Zipf slope fits the whole log-log line by
+    * OLS; the two disagree exactly when the tail bends, which is the
+    * diagnostic. Reported at several k (the standard Hill-plot
+    * stability check, collapsed to a table).
+    *
+    * Determinism: order statistics come from the exact integer
+    * frequency ranking with token tiebreaks; each ln ratio is one
+    * fixed-order expression on exact integers; sums ride dsum.
+    *
+    * Scale: one term-frequency shuffle + a rank window over DISTINCT
+    * tokens; each k-row is an aggregate over ≤ k ranked rows. */
+  def hillTailIndex(docs: DataFrame,
+                    ks: Seq[Int] = Seq(5, 10, 15, 20)): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val tf = docs.select(explode(toks(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.orderBy(col("cnt").desc, col("t").asc)
+    val ranked = tf.withColumn("rnk", row_number().over(wRank))
+      .localCheckpoint() // distinct tokens; feeds every k-row
+    ks.map { k =>
+      val xk1 = ranked.where(col("rnk") === k + 1)
+        .select(col("cnt").as("xk1"))
+      ranked.where(col("rnk") <= k)
+        .crossJoin(broadcast(xk1))
+        .agg(lit(k.toLong).as("k"),
+          dsum(log(col("cnt").cast("double") / col("xk1").cast("double")))
+            .as("lsum"))
+        .select(col("k"),
+          femit(col("lsum")).as("log_ratio_sum"),
+          femit(lit(k.toDouble) / col("lsum")).as("hill_alpha"))
+    }.reduce(_ unionAll _).orderBy("k")
+  }
+
+  /** Context-length planning ladder: at each candidate maximum
+    * sequence length L, the token mass LOST to truncation (docs longer
+    * than L) and the padding OVERHEAD of one-doc-per-sequence batching
+    * (L − len for docs that fit) — the table every training run reads
+    * before fixing max_seq_len (the planning-sweep companion of q39's
+    * actual packing, which eliminates the padding this table prices).
+    *
+    * Determinism: token counts and all census numbers are exact
+    * integers; the two shares are fixed-order divisions through femit.
+    *
+    * Scale: ONE corpus scan computes per-doc lengths; the ×|cuts|
+    * fan-out happens on the length row inside codegen and aggregates
+    * to |cuts| cells. */
+  def contextLadder(docs: DataFrame,
+                    cuts: Seq[Int] = Seq(32, 64, 128, 256)): DataFrame = {
+    import graft.rel.Queries.femit
+    val lens = docs.select(
+      size(toks(col("text"))).cast("long").as("len"))
+    val cutDf = docs.sparkSession.createDataFrame(
+      cuts.map(c => Tuple1(c.toLong))).toDF("max_len")
+    lens.crossJoin(broadcast(cutDf))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_tokens"),
+        sum(when(col("len") > col("max_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(when(col("len") > col("max_len"),
+          col("len") - col("max_len")).otherwise(0L)).as("tokens_lost"),
+        sum(when(col("len") <= col("max_len"),
+          col("max_len") - col("len")).otherwise(0L)).as("padding_tokens"))
+      .select(col("max_len"), col("n_docs"), col("total_tokens"),
+        col("n_truncated"), col("tokens_lost"), col("padding_tokens"),
+        femit(col("tokens_lost").cast("double") /
+          col("total_tokens").cast("double")).as("truncation_share"),
+        femit(col("padding_tokens").cast("double") /
+          (col("n_docs") * col("max_len")).cast("double"))
+          .as("padding_share"))
+      .orderBy("max_len")
+  }
+
   /** Rolling-hash document fingerprint: per-token code
     * (ascii(first char)·31 + length), folded left with h = (h·1000003 +
     * code) mod (2^31−1). Stays in positive BIGINT range throughout —

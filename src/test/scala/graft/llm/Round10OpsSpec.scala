@@ -647,6 +647,43 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("hillTailIndex: k=5 matches brute force, positive alpha") {
+    val out = TextAnalysis.hillTailIndex(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length == 4)
+    out.foreach { case (_, ls, a) => assert(ls > 0.0 && a > 0.0) }
+    // log-ratio mass grows with k (each new term is non-negative and
+    // the reference x_(k+1) shrinks)
+    out.sliding(2).foreach { case Array(x, y) => assert(x._2 <= y._2 + 1e-9) }
+    val counts = docs
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.map(_._2)
+    val ls5 = (0 until 5)
+      .map(i => math.log(counts(i).toDouble / counts(5).toDouble)).sum
+    assert(math.abs(out.head._2 - ls5) < 1e-4)
+    assert(math.abs(out.head._3 - 5.0 / ls5) < 1e-2)
+  }
+
+  test("contextLadder: slot conservation, monotone shares") {
+    val out = TextAnalysis.contextLadder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(_._1)
+    assert(out.length == 4)
+    assert(out.map(_._3).distinct.length == 1, "total token mass is cut-free")
+    out.foreach { case (l, n, tot, _, lost, pad, _, _) =>
+      // the batch grid n*L splits exactly into kept tokens + padding
+      assert(n * l == pad + (tot - lost),
+        s"slot conservation fails at max_len=$l")
+    }
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._7 >= b._7 - 1e-9, "truncation share shrinks with max_len")
+      assert(a._8 <= b._8 + 1e-9, "padding share grows with max_len")
+    }
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
