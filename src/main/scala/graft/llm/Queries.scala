@@ -1554,6 +1554,10 @@ object Queries {
     // (see TextAnalysis.contextLadder)
     "q366_context_ladder" -> ((s, dir) =>
       TextAnalysis.contextLadder(tbl(s, dir, "documents"))),
+    // Embedding anisotropy audit: mean pairwise cosine via the
+    // ||sum of units||^2 identity (see Sim.anisotropyAudit)
+    "q367_anisotropy" -> ((s, dir) =>
+      Sim.anisotropyAudit(tbl(s, dir, "embeddings"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -5147,5 +5151,36 @@ object Queries {
          |  ${femitSql("CAST(tokens_lost AS DOUBLE) / CAST(total_tokens AS DOUBLE)")} AS truncation_share,
          |  ${femitSql("CAST(padding_tokens AS DOUBLE) / CAST(n_docs * max_len AS DOUBLE)")} AS padding_share
          |FROM cen ORDER BY max_len""".stripMargin,
+    // Same bounded sample, same unit normalization, same
+    // ||sum of units||^2 - n identity (no pair table on either side),
+    // same per-dim dsum moments and ROUNDED top-variance argmax.
+    "q367_anisotropy" -> {
+      val normSql = foldSum.format("list_transform(v, x -> x * x)")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 400),
+         |n0 AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM vv),
+         |uu AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u, v
+         |  FROM n0),
+         |dims AS (SELECT vec_id, i AS d, u[i+1] AS x, v[i+1] AS raw FROM
+         |  (SELECT vec_id, unnest(range(len(u))) AS i, u, v FROM uu) z),
+         |perdim AS (SELECT d, ${dsumSql("x")} AS su, count(*) AS n,
+         |  ${dsumSql("raw")} AS sr, ${dsumSql("raw * raw")} AS srr
+         |  FROM dims GROUP BY d),
+         |byvar AS (SELECT d, su, n,
+         |  (srr - sr * sr / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS dvar
+         |  FROM perdim),
+         |agg AS (SELECT min(n) AS n, ${dsumSql("su * su")} AS nsq,
+         |  ${dsumSql("dvar")} AS tvar, max(dvar) AS maxvar,
+         |  count(*) AS ndim FROM byvar),
+         |top AS (SELECT d AS top_var_dim, dv AS top_var FROM
+         |  (SELECT d, ${femitSql("dvar")} AS dv FROM byvar) t
+         |  ORDER BY dv DESC, d ASC LIMIT 1)
+         |SELECT n, ndim,
+         |  ${femitSql("(nsq - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))")} AS mean_pairwise_cos,
+         |  ${femitSql("nsq / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")} AS mean_dir_mass,
+         |  ${femitSql("maxvar * CAST(ndim AS DOUBLE) / tvar")} AS var_concentration,
+         |  top_var_dim, top_var
+         |FROM agg CROSS JOIN top""".stripMargin
+    },
   )
 }

@@ -1546,6 +1546,71 @@ object Sim {
         col("top_hub_id"), col("top_hub_nk"))
   }
 
+  /** Embedding anisotropy audit (Ethayarajh, EMNLP 2019: contextual
+    * embeddings are anisotropic — the expected cosine between RANDOM
+    * vectors is far above 0, which squashes retrieval contrast;
+    * Mu &amp; Viswanath's all-but-the-top fixes exactly what this
+    * measures): (a) the mean pairwise cosine over the bounded sample —
+    * the anisotropy statistic itself; (b) the squared norm of the MEAN
+    * UNIT vector — the common-direction mass all-but-the-top removes
+    * (→ 0 under isotropy, → 1 when every vector points one way);
+    * (c) per-dimension variance concentration: max/mean variance ratio
+    * and the top-variance dimension. One row.
+    *
+    * Determinism: the pair mean uses the identity
+    * Σ_{i≠j} cos(i,j) = ‖Σ v̂‖² − n over UNIT vectors — one linear
+    * pass (dsum per dimension), no pair table; norms/ratios are
+    * fixed-order IEEE on dsum moments.
+    *
+    * Scale: everything is one aggregate over the bounded sample —
+    * per-dimension sums via explode(posexplode) into a 64-cell
+    * hash-agg; the identity removes the n² the naive estimator pays. */
+  def anisotropyAudit(emb: DataFrame, nSample: Long = 400): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val v = emb.where(col("vec_id") < nSample)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("norm")).as("u"),
+        col("v"))
+      .localCheckpoint() // feeds the unit-sum AND the raw-moment aggs
+    val dims = v.select(col("vec_id"), posexplode(col("u")).as(Seq("d", "x")),
+        col("v"))
+      .select(col("vec_id"), col("d"), col("x"),
+        element_at(col("v"), col("d") + 1).as("raw"))
+    val perDim = dims.groupBy("d")
+      .agg(dsum(col("x")).as("su"), // Σ unit components per dim
+        count(lit(1)).as("n"),
+        dsum(col("raw")).as("sr"),
+        dsum(col("raw") * col("raw")).as("srr"))
+      .localCheckpoint() // 64 rows; feeds the identity AND the var census
+    val byVar = perDim
+      .select(col("d"), col("su"), col("n"),
+        ((col("srr") - col("sr") * col("sr") / col("n").cast("double")) /
+          col("n").cast("double")).as("dvar"))
+      .localCheckpoint()
+    val agg = byVar.agg(
+      min(col("n")).as("n"),
+      dsum(col("su") * col("su")).as("nsq"), // ||Σ û||²
+      dsum(col("dvar")).as("tvar"),
+      max(col("dvar")).as("maxvar"),
+      count(lit(1)).as("ndim"))
+    val top = byVar.select(col("d").cast("long").as("d"),
+        femit(col("dvar")).as("dv"))
+      .orderBy(col("dv").desc, col("d").asc).limit(1)
+      .select(col("d").as("top_var_dim"), col("dv").as("top_var"))
+    agg.crossJoin(broadcast(top))
+      .select(col("n"), col("ndim"),
+        femit((col("nsq") - col("n").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double")))
+          .as("mean_pairwise_cos"),
+        femit(col("nsq") / (col("n").cast("double") *
+          col("n").cast("double"))).as("mean_dir_mass"),
+        femit(col("maxvar") * col("ndim").cast("double") / col("tvar"))
+          .as("var_concentration"),
+        col("top_var_dim"), col("top_var"))
+  }
+
   /** Approximate kNN via multi-table banded sign-LSH: exact cosine
     * ranking restricted to candidates colliding with the query in ≥1
     * of nTables bucket tables (see [[cosineNearDupsLsh]] for the recall

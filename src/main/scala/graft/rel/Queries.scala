@@ -4456,6 +4456,57 @@ object Queries {
       .orderBy("target")
   }
 
+  /** Tukey HSD post-hoc pairwise comparison (Tukey 1949, the
+    * Tukey–Kramer unequal-n form): q197's ANOVA says SOME event-type
+    * means differ; this says WHICH pairs — every pairwise |mean
+    * difference| against the studentized-range criterion
+    * q·SE, SE = √(MSE/2 · (1/nᵢ + 1/nⱼ)) with the pooled within-group
+    * MSE, at the α=0.05, k=5, df=∞ critical value 3.858 (a shared
+    * literal — the studentized-range quantile has no closed form and
+    * production keeps the same lookup).
+    *
+    * Determinism: group moments are exact dsum sums; the 5-row
+    * within-mass fold rides dsum again (even 5 doubles are
+    * association-hazardous); every pair statistic is one fixed-order
+    * IEEE expression; the flag is an exact comparison against the
+    * shared literal.
+    *
+    * Scale: one map-side-combined moment aggregate; everything after
+    * runs on k rows and k² pairs. */
+  def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val g = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"),
+        dsum(col("value") * col("value")).as("svv"))
+      .localCheckpoint() // k rows; feeds the MSE fold AND the pair cross
+    val mse = g.agg(
+      (dsum(col("svv") - col("sv") * col("sv") / col("n").cast("double")) /
+        (sum(col("n")) - count(lit(1))).cast("double")).as("mse"))
+    val a = g.select(col("event_type").as("type_a"), col("n").as("na"),
+      (col("sv") / col("n").cast("double")).as("ma"))
+    val b = g.select(col("event_type").as("type_b"), col("n").as("nb"),
+      (col("sv") / col("n").cast("double")).as("mb"))
+    val crit = 3.858 // studentized range q(0.05, k=5, df=inf)
+    a.crossJoin(b).where(col("type_a") < col("type_b"))
+      .crossJoin(broadcast(mse))
+      .select(col("type_a"), col("type_b"),
+        femit(abs(col("ma") - col("mb"))).as("mean_diff"),
+        femit(sqrt((col("mse") / lit(2.0)) *
+          (lit(1.0) / col("na").cast("double") +
+            lit(1.0) / col("nb").cast("double")))).as("se"),
+        femit(abs(col("ma") - col("mb")) /
+          sqrt((col("mse") / lit(2.0)) *
+            (lit(1.0) / col("na").cast("double") +
+              lit(1.0) / col("nb").cast("double")))).as("q_stat"),
+        when(abs(col("ma") - col("mb")) /
+          sqrt((col("mse") / lit(2.0)) *
+            (lit(1.0) / col("na").cast("double") +
+              lit(1.0) / col("nb").cast("double"))) > crit, 1L)
+          .otherwise(0L).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -4660,6 +4711,7 @@ object Queries {
     "q346_poisson_bootstrap" -> (poissonBootstrap _),
     "q347_fd_audit" -> (fdAudit _),
     "q350_snips" -> (snipsOffPolicy _),
+    "q368_tukey_hsd" -> (tukeyHsd _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -8684,5 +8736,29 @@ object Queries {
          |  ${femitSql(s"${dsumSql("w * value")} / ${dsumSql("w")}")} AS snips,
          |  ${femitSql(s"${dsumSql("value")} / CAST(count(*) AS DOUBLE)")} AS direct_mean
          |FROM w CROSS JOIN nl GROUP BY event_type ORDER BY target""".stripMargin,
+    // Same exact dsum group moments, same 5-row dsum within-mass fold,
+    // same Tukey-Kramer SE text with DOUBLE literals, same shared
+    // 3.858 critical value.
+    "q368_tukey_hsd" -> {
+      val se = "sqrt((mse / CAST(2.0 AS DOUBLE)) * (CAST(1.0 AS DOUBLE) / CAST(na AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(nb AS DOUBLE)))"
+      s"""WITH ev AS (SELECT event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |g AS (SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sv,
+         |  ${dsumSql("value * value")} AS svv FROM ev GROUP BY event_type),
+         |ms AS (SELECT ${dsumSql("svv - sv * sv / CAST(n AS DOUBLE)")} /
+         |  CAST(CAST(sum(n) AS BIGINT) - count(*) AS DOUBLE) AS mse FROM g),
+         |a AS (SELECT event_type AS type_a, n AS na,
+         |  sv / CAST(n AS DOUBLE) AS ma FROM g),
+         |b AS (SELECT event_type AS type_b, n AS nb,
+         |  sv / CAST(n AS DOUBLE) AS mb FROM g)
+         |SELECT type_a, type_b,
+         |  ${femitSql("abs(ma - mb)")} AS mean_diff,
+         |  ${femitSql(se)} AS se,
+         |  ${femitSql(s"abs(ma - mb) / $se")} AS q_stat,
+         |  CAST(CASE WHEN abs(ma - mb) / $se > 3.858 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS significant
+         |FROM a CROSS JOIN b CROSS JOIN ms WHERE type_a < type_b
+         |ORDER BY type_a, type_b""".stripMargin
+    },
   )
 }

@@ -684,6 +684,40 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("anisotropyAudit: identity matches the direct pair mean") {
+    val r = Sim.anisotropyAudit(emb).collect().head
+    val all = emb.where(col("vec_id") < 400)
+      .select("vec_id", "embedding").collect()
+      .map(x => x.getSeq[Float](1).map(_.toDouble).toArray)
+    def dt(a: Array[Double], b: Array[Double]) = { var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s }
+    val us = all.map { v => val n = math.sqrt(dt(v, v)); v.map(_ / n) }
+    var s = 0.0; var np = 0L
+    for (i <- us.indices; j <- us.indices if i != j) {
+      s += dt(us(i), us(j)); np += 1
+    }
+    assert(math.abs(r.getAs[Double]("mean_pairwise_cos") - s / np) < 1e-4,
+      "the ||sum of units||^2 identity must equal the direct pair mean")
+    assert(r.getAs[Double]("mean_dir_mass") >= 0.0 &&
+      r.getAs[Double]("mean_dir_mass") <= 1.0)
+    assert(r.getAs[Double]("var_concentration") >= 1.0 - 1e-9,
+      "max variance can't undercut the mean variance")
+  }
+
+  test("tukeyHsd: full pair set, q = diff/se, flag coheres with the critical value") {
+    val out = graft.rel.Queries.tukeyHsd(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(out.length == 10, "C(5,2) ordered pairs")
+    out.foreach { case (a, b, diff, se, q, sig) =>
+      assert(a < b)
+      assert(se > 0.0)
+      assert(math.abs(q - diff / se) / math.max(q, 1e-9) < 1e-3,
+        s"q identity for ($a,$b)")
+      assert((q > 3.858) == (sig == 1L), s"flag coherence for ($a,$b)")
+    }
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
