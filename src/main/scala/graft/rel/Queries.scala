@@ -4507,6 +4507,96 @@ object Queries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Temporal PSI drift monitor: q181's two-snapshot population
+    * stability index promoted to the WEEKLY series every production
+    * drift dashboard actually plots — PSI(week_w ‖ week_0) over the
+    * same fixed value bins and Laplace smoothing, one row per
+    * non-reference week. The reference stays pinned at week 0 (the
+    * deployment-time snapshot convention), so a slow drift accumulates
+    * instead of hiding in week-over-week deltas.
+    *
+    * Determinism: week indices are exact integer day arithmetic off
+    * the corpus min-day (no timezone or ISO-week engine variance);
+    * bins, smoothing, per-bin terms, and the dsum fold are exactly
+    * q181's.
+    *
+    * Scale: one scan into a (week, bin) hash-agg — cells, not rows,
+    * after that. */
+  def temporalPsi(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).select(
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        least(floor(col("value") / 50.0).cast("long"), lit(9L)).as("bin"))
+      .localCheckpoint() // feeds the min-day anchor AND the census
+    val wk = base.crossJoin(broadcast(base.agg(min(col("day")).as("d0"))))
+      .select(expr("(day - d0) DIV 7").as("week"), col("bin"))
+    val binned = wk.groupBy("week", "bin").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // (weeks x bins) cells; feeds ref + grid + totals
+    val ref = binned.where(col("week") === 0)
+      .select(col("bin"), col("cnt").as("n0"))
+    val t0 = ref.agg(sum(col("n0")).as("t0"))
+    val weeks = binned.where(col("week") > 0)
+      .groupBy("week").agg(sum(col("cnt")).as("tw"))
+    val bins = s.range(0, 10).toDF("bin")
+    val grid = weeks.crossJoin(broadcast(bins))
+      .join(binned, Seq("week", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .crossJoin(broadcast(t0))
+      .select(col("week"), col("tw"),
+        ((coalesce(col("n0"), lit(0L)) + 1L).cast("double") /
+          (col("t0") + 10L).cast("double")).as("p0"),
+        ((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+          (col("tw") + 10L).cast("double")).as("pw"))
+      .withColumn("term",
+        (col("pw") - col("p0")) * log(col("pw") / col("p0")))
+    grid.groupBy("week")
+      .agg(min(col("tw")).as("n_events"),
+        femit(dsum(col("term"))).as("psi"))
+      .orderBy("week")
+  }
+
+  /** Goh–Barabási burstiness (EPL 2008) of per-user inter-event times,
+    * per event type: B = (σ − μ)/(σ + μ) over the gaps between a
+    * user's consecutive events of that type — B → −1 for a periodic
+    * process, 0 for Poisson, → 1 for extreme burstiness; the
+    * behavioral-tempo diagnostic next to q134's EWMA (level) and
+    * q194's ACF (memory).
+    *
+    * Determinism: gaps are exact microsecond-long differences ordered
+    * by (ts, event_id); moments ride dsum; σ, μ, and B are one
+    * fixed-order IEEE chain; degenerate σ+μ=0 emits NULL via nullif.
+    *
+    * Scale: one keyed lag window (partitioned by (type, user) — never
+    * a global window) + a map-side-combined moment aggregate. */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gaps = events(s, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"),
+        ((col("us") - col("prev")).cast("double") / lit(1000000.0))
+          .as("gap"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        (dsum(col("gap")) / count(lit(1)).cast("double")).as("mu"),
+        dsum(col("gap") * col("gap")).as("sgg"),
+        dsum(col("gap")).as("sg"))
+      .select(col("event_type"), col("n_gaps"),
+        femit(col("mu")).as("mean_gap_s"),
+        femit(sqrt((col("sgg") - col("sg") * col("sg") /
+          col("n_gaps").cast("double")) / col("n_gaps").cast("double")))
+          .as("sd_gap_s"),
+        femit((sqrt((col("sgg") - col("sg") * col("sg") /
+          col("n_gaps").cast("double")) / col("n_gaps").cast("double")) -
+          col("mu")) /
+          nullif(sqrt((col("sgg") - col("sg") * col("sg") /
+            col("n_gaps").cast("double")) / col("n_gaps").cast("double")) +
+            col("mu"), lit(0.0))).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -4712,6 +4802,8 @@ object Queries {
     "q347_fd_audit" -> (fdAudit _),
     "q350_snips" -> (snipsOffPolicy _),
     "q368_tukey_hsd" -> (tukeyHsd _),
+    "q369_temporal_psi" -> (temporalPsi _),
+    "q370_burstiness" -> (burstiness _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -8759,6 +8851,52 @@ object Queries {
          |    AS BIGINT) AS significant
          |FROM a CROSS JOIN b CROSS JOIN ms WHERE type_a < type_b
          |ORDER BY type_a, type_b""".stripMargin
+    },
+    // Same exact day/week integer arithmetic off the min day, same
+    // q181 bins + Laplace smoothing, same per-bin term and dsum fold.
+    "q369_temporal_psi" ->
+      s"""WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+         |  FROM events),
+         |d0 AS (SELECT min(day) AS d0 FROM base),
+         |wk AS (SELECT (day - d0) // 7 AS week, bin
+         |  FROM base CROSS JOIN d0),
+         |binned AS (SELECT week, bin, count(*) AS cnt FROM wk
+         |  GROUP BY week, bin),
+         |ref AS (SELECT bin, cnt AS n0 FROM binned WHERE week = 0),
+         |t0 AS (SELECT CAST(sum(n0) AS BIGINT) AS t0 FROM ref),
+         |weeks AS (SELECT week, CAST(sum(cnt) AS BIGINT) AS tw
+         |  FROM binned WHERE week > 0 GROUP BY week),
+         |bins AS (SELECT unnest(range(10)) AS bin),
+         |grid AS (SELECT week, tw,
+         |  CAST(coalesce(n0, 0) + 1 AS DOUBLE) /
+         |    CAST(t0 + 10 AS DOUBLE) AS p0,
+         |  CAST(coalesce(cnt, 0) + 1 AS DOUBLE) /
+         |    CAST(tw + 10 AS DOUBLE) AS pw
+         |  FROM weeks CROSS JOIN bins
+         |  LEFT JOIN binned USING (week, bin)
+         |  LEFT JOIN ref USING (bin) CROSS JOIN t0)
+         |SELECT week, min(tw) AS n_events,
+         |  ${femitSql(dsumSql("(pw - p0) * ln(pw / p0)"))} AS psi
+         |FROM grid GROUP BY week ORDER BY week""".stripMargin,
+    // Same (type, user) keyed lag on exact microseconds with the
+    // event_id tiebreak, same dsum moments and fixed-order B chain.
+    "q370_burstiness" -> {
+      val sd = "sqrt((sgg - sg * sg / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))"
+      s"""WITH g0 AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+         |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev FROM events),
+         |gaps AS (SELECT event_type,
+         |  CAST(us - prev AS DOUBLE) / 1000000.0 AS gap
+         |  FROM g0 WHERE prev IS NOT NULL),
+         |m AS (SELECT event_type, count(*) AS n_gaps,
+         |  ${dsumSql("gap")} / CAST(count(*) AS DOUBLE) AS mu,
+         |  ${dsumSql("gap * gap")} AS sgg, ${dsumSql("gap")} AS sg
+         |  FROM gaps GROUP BY event_type)
+         |SELECT event_type, n_gaps, ${femitSql("mu")} AS mean_gap_s,
+         |  ${femitSql(sd)} AS sd_gap_s,
+         |  ${femitSql(s"($sd - mu) / nullif($sd + mu, CAST(0.0 AS DOUBLE))")} AS burstiness
+         |FROM m ORDER BY event_type""".stripMargin
     },
   )
 }

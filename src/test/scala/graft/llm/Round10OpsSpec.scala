@@ -718,6 +718,41 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("temporalPsi: non-negative divergence, reference week excluded") {
+    val out = graft.rel.Queries.temporalPsi(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 >= 1L), "week 0 is the reference, never a row")
+    out.foreach { case (w, n, psi) =>
+      assert(n > 0L)
+      // every PSI term (pw-p0)ln(pw/p0) is non-negative (same sign)
+      assert(psi >= -1e-9, s"PSI must be non-negative at week $w")
+    }
+    assert(out.map(_._1) sameElements (1L to out.length), "weeks consecutive")
+  }
+
+  test("burstiness: bounded statistic, gap count identity, brute-force replay") {
+    val out = graft.rel.Queries.burstiness(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    val ev = graft.rel.Queries.events(spark, sf0001)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (t, nGaps, mu, sd, b) =>
+      assert(b > -1.0 && b < 1.0, s"burstiness bounded for $t")
+      assert(mu > 0.0 && sd >= 0.0)
+      val byUser = ev.filter(_._1 == t).groupBy(_._2)
+      val gaps = byUser.values.flatMap { rows =>
+        val s = rows.sortBy(r => (r._4, r._3)).map(_._4)
+        s.zip(s.tail).map { case (a, c) => (c - a).toDouble / 1e6 }
+      }.toArray
+      assert(nGaps == gaps.length.toLong, s"gap count for $t")
+      val m = gaps.sum / gaps.length
+      assert(math.abs(mu - m) / m < 1e-6, s"mean gap drift for $t")
+    }
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
