@@ -4597,6 +4597,104 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Trimmed and winsorized means per event type (Tukey's robust
+    * location estimators — the gap between q200's MAD, which is a
+    * SCALE estimator, and the plain mean q1-family aggregates): drop
+    * (trimmed) or clamp (winsorized) the outer 10% of order statistics
+    * on each side. Cut ranks are exact integer arithmetic
+    * (lo = floor(n/10), hi = n − lo; keep ranks in (lo, hi]), with the
+    * (value, event_id) tiebreak making the order total.
+    *
+    * Determinism: one row_number window per type on bit-identical
+    * doubles; boundary values are exact order statistics; means ride
+    * dsum.
+    *
+    * Scale: one keyed rank window (partitioned by type — never
+    * global) + two map-side aggregates. */
+  def trimmedMeans(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = ev.withColumn("r", row_number().over(w))
+      .localCheckpoint() // feeds the counts, boundaries, and both means
+    val n = ranked.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("lo", expr("n DIV 10"))
+      .withColumn("hi", col("n") - col("lo"))
+    val j = ranked.join(broadcast(n), "event_type")
+    val bounds = j.groupBy("event_type")
+      .agg(min(when(col("r") === col("lo") + 1, col("value"))).as("vlo"),
+        min(when(col("r") === col("hi"), col("value"))).as("vhi"))
+    j.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(min(col("n")).as("n"),
+        femit(dsum(col("value")) / count(lit(1)).cast("double"))
+          .as("plain_mean"),
+        femit(dsum(when(col("r") > col("lo") && col("r") <= col("hi"),
+          col("value"))) /
+          sum(when(col("r") > col("lo") && col("r") <= col("hi"), 1L)
+            .otherwise(0L)).cast("double")).as("trimmed_mean"),
+        femit(dsum(greatest(least(col("value"), col("vhi")), col("vlo"))) /
+          count(lit(1)).cast("double")).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
+  /** Two-round iterative proportional fitting (raking — Deming &amp;
+    * Stephan 1940; the survey-statistics balancer a data-mixture
+    * pipeline uses to hit target marginals): reweight the
+    * (source-bucket × lang) document contingency so each lang's
+    * weighted mass approaches the UNIFORM target share while the
+    * source-bucket marginal re-balances in alternation. Two unrolled
+    * IPF rounds (row-fit then column-fit, twice), emitting per-cell
+    * weights and the post-fit marginal gaps — the convergence evidence.
+    *
+    * Determinism: the contingency is exact counts; every fit factor is
+    * one fixed-order division of dsum masses; targets are exact
+    * literals (1/|levels| with the DOUBLE-division text shared by both
+    * engines).
+    *
+    * Scale: everything after the one corpus scan runs on the
+    * |buckets|×|langs| cell table. */
+  def raking(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val cells = docs.select(
+        expr("CAST(substr(source, 4) AS BIGINT) % 4").as("sb"),
+        col("lang"))
+      .groupBy("sb", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("w0", col("c").cast("double"))
+      .localCheckpoint()
+    val nTot = cells.agg(sum(col("c")).as("nn"))
+    // round 1: fit lang marginals to uniform 1/5, then source buckets
+    // to uniform 1/4; round 2 repeats — classic alternating IPF
+    def fitLang(in: DataFrame, wCol: String, out: String): DataFrame = {
+      val m = in.groupBy("lang").agg(dsum(col(wCol)).as("lm"))
+      in.join(broadcast(m), "lang").crossJoin(broadcast(nTot))
+        .withColumn(out, col(wCol) *
+          ((col("nn").cast("double") / lit(5.0)) / col("lm")))
+        .drop("lm", "nn")
+    }
+    def fitSb(in: DataFrame, wCol: String, out: String): DataFrame = {
+      val m = in.groupBy("sb").agg(dsum(col(wCol)).as("sm"))
+      in.join(broadcast(m), "sb").crossJoin(broadcast(nTot))
+        .withColumn(out, col(wCol) *
+          ((col("nn").cast("double") / lit(4.0)) / col("sm")))
+        .drop("sm", "nn")
+    }
+    val fitted = fitSb(fitLang(fitSb(fitLang(cells, "w0", "w1"),
+      "w1", "w2"), "w2", "w3"), "w3", "w4")
+      .localCheckpoint() // cells; feeds the rows AND the gap audit
+    val gap = fitted.groupBy("lang").agg(dsum(col("w4")).as("lmass"))
+      .crossJoin(broadcast(nTot))
+      .agg(max(abs(col("lmass") / col("nn").cast("double") - lit(0.2)))
+        .as("max_lang_gap"))
+    fitted.crossJoin(broadcast(gap)).crossJoin(broadcast(nTot))
+      .select(col("sb"), col("lang"), col("c"),
+        femit(col("w4")).as("weight"),
+        femit(col("w4") / col("c").cast("double")).as("per_doc_factor"),
+        femit(col("max_lang_gap")).as("max_lang_gap"))
+      .orderBy("sb", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -4804,6 +4902,8 @@ object Queries {
     "q368_tukey_hsd" -> (tukeyHsd _),
     "q369_temporal_psi" -> (temporalPsi _),
     "q370_burstiness" -> (burstiness _),
+    "q371_trimmed_mean" -> (trimmedMeans _),
+    "q372_raking" -> (raking _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -8897,6 +8997,61 @@ object Queries {
          |  ${femitSql(sd)} AS sd_gap_s,
          |  ${femitSql(s"($sd - mu) / nullif($sd + mu, CAST(0.0 AS DOUBLE))")} AS burstiness
          |FROM m ORDER BY event_type""".stripMargin
+    },
+    // Same total (value, event_id) order, same integer cut ranks, same
+    // order-statistic boundaries, dsum means; CASE-without-ELSE rows
+    // fall out of SUM as NULLs on both engines.
+    "q371_trimmed_mean" ->
+      s"""WITH ev AS (SELECT event_type, event_id, value FROM events
+         |  WHERE value IS NOT NULL),
+         |rk AS (SELECT event_type, event_id, value, row_number() OVER (
+         |  PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS r
+         |  FROM ev),
+         |nn AS (SELECT event_type, count(*) AS n, count(*) // 10 AS lo,
+         |  count(*) - count(*) // 10 AS hi FROM rk GROUP BY event_type),
+         |j AS (SELECT rk.*, n, lo, hi FROM rk JOIN nn USING (event_type)),
+         |bd AS (SELECT event_type,
+         |  min(CASE WHEN r = lo + 1 THEN value END) AS vlo,
+         |  min(CASE WHEN r = hi THEN value END) AS vhi
+         |  FROM j GROUP BY event_type)
+         |SELECT event_type, min(n) AS n,
+         |  ${femitSql(s"${dsumSql("value")} / CAST(count(*) AS DOUBLE)")} AS plain_mean,
+         |  ${femitSql(s"${dsumSql("CASE WHEN r > lo AND r <= hi THEN value END")} / CAST(CAST(sum(CASE WHEN r > lo AND r <= hi THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)")} AS trimmed_mean,
+         |  ${femitSql(s"${dsumSql("greatest(least(value, vhi), vlo)")} / CAST(count(*) AS DOUBLE)")} AS winsorized_mean
+         |FROM j JOIN bd USING (event_type)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same bucket arithmetic on the source suffix, same exact
+    // contingency, same alternating fit factors from dsum masses with
+    // the shared uniform-target division text, same gap audit.
+    "q372_raking" -> {
+      def fitL(w: String, out: String, prev: String) =
+        s"""$out AS (SELECT sb, lang, c, $w *
+           |  ((CAST(nn AS DOUBLE) / CAST(5.0 AS DOUBLE)) / lm) AS w$out
+           |  FROM (SELECT p.*, lm FROM $prev p JOIN
+           |    (SELECT lang, ${dsumSql(w)} AS lm FROM $prev GROUP BY lang) m
+           |    USING (lang)) q CROSS JOIN nt)""".stripMargin
+      def fitS(w: String, out: String, prev: String) =
+        s"""$out AS (SELECT sb, lang, c, $w *
+           |  ((CAST(nn AS DOUBLE) / CAST(4.0 AS DOUBLE)) / sm) AS w$out
+           |  FROM (SELECT p.*, sm FROM $prev p JOIN
+           |    (SELECT sb, ${dsumSql(w)} AS sm FROM $prev GROUP BY sb) m
+           |    USING (sb)) q CROSS JOIN nt)""".stripMargin
+      s"""WITH cells AS (SELECT CAST(substr(source, 4) AS BIGINT) % 4 AS sb,
+         |  lang, count(*) AS c, CAST(count(*) AS DOUBLE) AS w0
+         |  FROM documents GROUP BY 1, 2),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+         |${fitL("w0", "f1", "cells")},
+         |${fitS("wf1", "f2", "f1")},
+         |${fitL("wf2", "f3", "f2")},
+         |${fitS("wf3", "f4", "f3")},
+         |gap AS (SELECT max(abs(lmass / CAST(nn AS DOUBLE) -
+         |    CAST(0.2 AS DOUBLE))) AS max_lang_gap FROM
+         |  (SELECT lang, ${dsumSql("wf4")} AS lmass FROM f4 GROUP BY lang) g
+         |  CROSS JOIN nt)
+         |SELECT sb, lang, c, ${femitSql("wf4")} AS weight,
+         |  ${femitSql("wf4 / CAST(c AS DOUBLE)")} AS per_doc_factor,
+         |  ${femitSql("max_lang_gap")} AS max_lang_gap
+         |FROM f4 CROSS JOIN gap ORDER BY sb, lang""".stripMargin
     },
   )
 }

@@ -753,6 +753,53 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("trimmedMeans: brute-force replay of cuts and clamps") {
+    val out = graft.rel.Queries.trimmedMeans(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val ev = graft.rel.Queries.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { case (t, (n, plain, trimmed, winsor)) =>
+      val vs = ev.filter(_._1 == t).sortBy(r => (r._3, r._2)).map(_._3)
+      assert(n == vs.length.toLong)
+      val lo = vs.length / 10; val hi = vs.length - lo
+      assert(math.abs(plain - vs.sum / vs.length) < 1e-4)
+      val trim = vs.slice(lo, hi)
+      assert(math.abs(trimmed - trim.sum / trim.length) < 1e-4,
+        s"trimmed drift for $t")
+      val (vlo, vhi) = (vs(lo), vs(hi - 1))
+      val wv = vs.map(v => math.max(math.min(v, vhi), vlo))
+      assert(math.abs(winsor - wv.sum / wv.length) < 1e-4,
+        s"winsorized drift for $t")
+    }
+  }
+
+  test("raking: totals conserve, lang marginals hit the uniform target") {
+    val out = graft.rel.Queries.raking(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val n = out.map(_._3).sum.toDouble
+    // the final fit preserves the grand total (source marginals sum to n)
+    assert(math.abs(out.map(_._4).sum - n) / n < 1e-6,
+      "IPF must conserve total mass")
+    // each lang's weighted mass is within the emitted gap of n/5
+    val gap = out.head._6
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val mass = rows.map(_._4).sum
+      // weights and the gap both ship femit-rounded to 6 decimals, so
+      // the recomputed mass carries up to ~1e-5 of rounding slack
+      assert(math.abs(mass / n - 0.2) <= gap + 1e-5,
+        s"lang $lang mass ${mass / n} exceeds the emitted gap $gap")
+    }
+    out.foreach { case (_, _, c, w, f, _) =>
+      assert(w > 0.0 && f > 0.0)
+      assert(math.abs(f - w / c) < 1e-4)
+    }
+    assert(gap < 0.01, "two IPF rounds converge on this contingency")
+  }
+
   test("stampedStore builds once, rebuilds only on fixture change") {
     val d = java.nio.file.Files.createTempDirectory("stamp_spec")
     try {
