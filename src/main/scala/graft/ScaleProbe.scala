@@ -45,10 +45,17 @@ object ScaleProbe {
           t => concat(t, lit("_" + i))), " ").as("text"))
     }.reduce(_ unionAll _)
 
+  /** Replicas 0..k-1 of events: event_id/user_id offsets per replica
+    * (10⁸ / 10⁶) at the SAME timestamps — 10× density per window with
+    * disjoint per-replica user populations, so keyed join/session
+    * state grows with input (the state-scaling threat under test).
+    * Carries every column the streaming probes key on (ADVICE r10:
+    * the old shape silently dropped user_id). */
   private def replicateEvents(ev: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
-        col("ts"), col("value"))
+        (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("ts"), col("value"), col("event_type"))
     }.reduce(_ unionAll _)
 
   def main(args: Array[String]): Unit = {
@@ -123,7 +130,8 @@ object ScaleProbe {
     // rel.Queries.events, NOT a raw parquet read: the fixture ships
     // µs-NTZ timestamps and watermarks reject TIMESTAMP_NTZ.
     val ev = rel.Queries.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("event_type"))
       .where(col("ts").isNotNull && col("value").isNotNull)
     // 1× listed twice: the first drain warms the streaming machinery
     // (sink/ckpt codepaths), the second is the measured 1× entry.

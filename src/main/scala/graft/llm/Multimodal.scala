@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Opaque media payload with typed metadata — the multimodal column
@@ -110,6 +110,136 @@ object Multimodal {
         graft.functions.HashExprs
           .fnv1a32("concat(text, ':', cast(frame_idx as string))")
           .as("frame_sig"))
+  }
+
+  /** Perceptual coefficient vector for the pHash path (VERDICT r10
+    * item 2): `dim` signed "block energies" per document,
+    * s_j = Σ_tokens (fnv1a32(tok + ":p" + j) mod 1024 − 512).
+    *
+    * ==STUB== A real pipeline gets these from the decoder (DCT block
+    * means of the decoded image, mel-band energies of the audio —
+    * pHash's input). The stub deliberately does NOT reuse
+    * [[featureStub]]'s per-payload hash: an avalanche hash has no
+    * locality, so near-identical payloads would share no signal and a
+    * "near-dup" operator over it degenerates to exact-dup detection
+    * with extra steps. Signed token-level projections model exactly
+    * the property a real decoder provides — the features move a
+    * little when the content moves a little — while staying
+    * fnv-derandomized and DuckDB-recomputable, which is what buys the
+    * q373 gate row a FULL value oracle. A real decoder swaps in at
+    * this one function; everything downstream (median threshold,
+    * banding, verify) is feature-agnostic.
+    *
+    * Scale: one token explode + ONE map-side-combined hash-agg with
+    * `dim` conditional sums (the [[graft.llm.Dedup.simhashAgg]]
+    * formulation — no dim× row explosion; the shuffle carries
+    * doc-grain partial sums only). */
+  def perceptualCoeffs(docs: DataFrame, dim: Int = 64): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val sums = (0 until dim).map { j =>
+      sum(graft.functions.HashExprs.fnv1a32(s"concat(tok, ':p$j')")
+        % 1024L - 512L).as(s"s$j")
+    }
+    docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' ', -1), t -> t != '')")).as("tok"))
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+  }
+
+  /** 64-bit pHash as TWO engine-portable 32-bit words (the q19
+    * two-word convention — a packed 64-bit value overflows DuckDB's
+    * BIGINT when the high bit is set): bit_j = s_j &gt; (per-doc lower
+    * median of the 64 coefficients). The per-IMAGE median threshold is
+    * the defining pHash move (global brightness shifts cancel; here,
+    * document-length effects cancel) — distinct from SimHash's
+    * sign-of-vote rule. The median of 64 exact longs is the 32nd order
+    * statistic: pure integer, bit-identical on any engine. Entirely
+    * per-row after the coefficient agg — no extra shuffle. */
+  def perceptualHash(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim == 64, "two-word packing is fixed at 64 bits")
+    val co = perceptualCoeffs(docs, dim)
+    val arr = array((0 until dim).map(j => col(s"s$j")): _*)
+    val withMed = co.withColumn("med",
+      element_at(array_sort(arr), dim / 2))
+    def word(base: Int): Column = (0 until 32).map { b =>
+      when(col(s"s${base + b}") > col("med"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    withMed.select(col("doc_id"), word(32).as("ph_hi"), word(0).as("ph_lo"))
+  }
+
+  /** Perceptual near-dup pairs over the media feature path — the
+    * multimodal member of the dedup family (text MinHash = q18,
+    * embedding sign-LSH = q36, perceptual = this): a MULTI-INDEX
+    * HAMMING band join (Norouzi, Punjani &amp; Fleet, "Fast Search in
+    * Hamming Space with Multi-Index Hashing", CVPR 2012) over the two
+    * pHash words generates candidates, exact bit_count(xor) verifies
+    * Hamming ≤ maxDist. The 64 bits split into maxDist+1 contiguous
+    * substrings, so by pigeonhole any pair within maxDist agrees
+    * EXACTLY on ≥1 band — the banding is LOSSLESS at every radius
+    * (q54's 4-band rule is the maxDist=3 special case), which is why
+    * the q373 oracle is the BRUTE-FORCE distance join: the gate row
+    * certifies losslessness, not just parity.
+    *
+    * Scale: the MIH cost curve is explicit — a larger radius means
+    * more, shorter bands, i.e. denser buckets (band width 64/(r+1)
+    * bits ⇒ ~N/2^(64/(r+1)) docs per bucket); candidates come from
+    * ONE grouped shuffle on (band, bval) (the q36/prefixFilterJoin
+    * discipline), buckets up to `maxBucket` expand in-task, LARGER
+    * buckets spill through the lossless salted (band, bval, salt)
+    * self-join so a degenerate band value (exact-dup-heavy corpora)
+    * fans its quadratic step over [[graft.llm.Dedup.SpillSalts]]
+    * tasks instead of dropping pairs or OOMing one task. */
+  def perceptualNearDups(docs: DataFrame, maxDist: Int = 3,
+                         maxBucket: Int = 10000): DataFrame = {
+    import graft.llm.Dedup.SpillSalts
+    require(maxDist >= 0 && maxDist < 32, "0 <= maxDist < 32")
+    val nBands = maxDist + 1
+    // band b = bits [64b/m, 64(b+1)/m) rebuilt from the two words —
+    // pure integer shifts/masks, codegen-friendly; for m=4 this is
+    // exactly the historical lo&0xFFFF / lo>>16 / hi&0xFFFF / hi>>16
+    val bands = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      (lo until hi).map { j =>
+        val w = if (j < 32) col("ph_lo") else col("ph_hi")
+        shiftright(w, j % 32).bitwiseAND(lit(1L)) * lit(1L << (j - lo))
+      }.reduce(_ + _)
+    }
+    val sig = perceptualHash(docs)
+    val banded = sig.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+      posexplode(array(bands: _*)).as(Seq("band", "bval")))
+    val bsz = banded.groupBy("band", "bval").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > 1)
+    val withSz = banded.join(bsz, Seq("band", "bval"))
+    def ham(h1: Column, l1: Column, h2: Column, l2: Column): Column =
+      (bit_count(h1.bitwiseXOR(h2)) + bit_count(l1.bitwiseXOR(l2)))
+        .cast("long")
+    val small = withSz.where(col("bsz") <= maxBucket)
+      .groupBy("band", "bval")
+      .agg(collect_list(struct(col("doc_id"), col("ph_hi"), col("ph_lo")))
+        .as("xs"))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        ham(col("a.ph_hi"), col("a.ph_lo"),
+          col("b.ph_hi"), col("b.ph_lo")).as("hamming"))
+    val big = withSz.where(col("bsz") > maxBucket)
+    val bigA = big.withColumn("salt",
+      pmod(hash(col("doc_id")), lit(SpillSalts)))
+    val bigB = big.select(col("band"), col("bval"),
+        col("doc_id").as("bid"), col("ph_hi").as("bhi"),
+        col("ph_lo").as("blo"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SpillSalts - 1))))
+    val bigPairs = bigA.join(bigB, Seq("band", "bval", "salt"))
+      .where(col("doc_id") < col("bid"))
+      .select(col("doc_id").as("d1"), col("bid").as("d2"),
+        ham(col("ph_hi"), col("ph_lo"), col("bhi"), col("blo"))
+          .as("hamming"))
+    small.unionAll(bigPairs)
+      .where(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Oracle-facing metadata projection (no stubbed values — byte/char

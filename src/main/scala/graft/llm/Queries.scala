@@ -1558,6 +1558,41 @@ object Queries {
     // ||sum of units||^2 identity (see Sim.anisotropyAudit)
     "q367_anisotropy" -> ((s, dir) =>
       Sim.anisotropyAudit(tbl(s, dir, "embeddings"))),
+    // Perceptual (pHash-style) near-dup over the multimodal feature
+    // path — the dedup family's third modality (VERDICT r10 item 2).
+    // maxDist=3 makes the 4-band LSH lossless by pigeonhole, so the
+    // oracle is the BRUTE-FORCE Hamming join: the gate row certifies
+    // losslessness, not just parity (see Multimodal.perceptualNearDups)
+    "q373_perceptual_neardup" -> ((s, dir) =>
+      Multimodal.perceptualNearDups(tbl(s, dir, "documents"), maxDist = 3)
+        .orderBy("d1", "d2")),
+    // Tri-modal MAJORITY consensus dedup: pairs flagged by ≥2 of
+    // {text MinHash (q18's store), embedding sign-LSH (q94's store),
+    // perceptual pHash (q373)} — the majority-vote drop set between
+    // q94's strict 2-modality conjunction (highest precision) and any
+    // single detector (highest recall). Pure composition over the
+    // fingerprint-stamped pair stores + the cheap pHash pass; the
+    // full-outer pair-key joins add no new shuffle shape.
+    "q374_consensus_majority" -> ((s, dir) => {
+      val text = minhashPairStore(s, dir)
+        .select(col("d1"), col("d2"), lit(1L).as("by_text"))
+      val embed = embedLshPairStore(s, dir)
+        .select(col("v1").as("d1"), col("v2").as("d2"),
+          lit(1L).as("by_embed"))
+      val phash = Multimodal
+        .perceptualNearDups(tbl(s, dir, "documents"), maxDist = 3)
+        .select(col("d1"), col("d2"), lit(1L).as("by_phash"))
+      text.join(embed, Seq("d1", "d2"), "full")
+        .join(phash, Seq("d1", "d2"), "full")
+        .select(col("d1"), col("d2"),
+          coalesce(col("by_text"), lit(0L)).as("by_text"),
+          coalesce(col("by_embed"), lit(0L)).as("by_embed"),
+          coalesce(col("by_phash"), lit(0L)).as("by_phash"))
+        .withColumn("n_detectors",
+          col("by_text") + col("by_embed") + col("by_phash"))
+        .where(col("n_detectors") >= 2)
+        .orderBy("d1", "d2")
+    }),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -1569,6 +1604,38 @@ object Queries {
     s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
       s"list_transform(range(length($e)), i -> unicode(($e)[i+1:i+1]))), " +
       "(h, c) -> (xor(h, c) * 16777619) % 4294967296)"
+
+  /** DuckDB twin of [[Multimodal.perceptualNearDups]] (maxDist=3) as a
+    * BRUTE-FORCE Hamming join — deliberately not a banding replica:
+    * at maxDist ≤ 3 the 4×16-bit LSH is pigeonhole-lossless, so brute
+    * force IS the expected output and the q373 gate row certifies the
+    * losslessness claim itself. Same token stream, same
+    * fnv(tok:pj) mod 1024 − 512 coefficients, same 32nd-order-statistic
+    * median threshold, same two-word packing. */
+  private val phashPairsOracle: String =
+    s"""WITH ptok AS (SELECT doc_id, t AS tok FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |     FROM documents) u0 WHERE t <> ''),
+       |pco AS (SELECT doc_id, j,
+       |    CAST(sum(${fnvSql("(tok || ':p' || CAST(j AS VARCHAR))")}
+       |      % 1024 - 512) AS BIGINT) AS s
+       |  FROM ptok CROSS JOIN (SELECT unnest(range(64)) AS j) js
+       |  GROUP BY doc_id, j),
+       |pmd AS (SELECT doc_id, list_sort(list(s))[32] AS med
+       |  FROM pco GROUP BY doc_id),
+       |pw AS (SELECT pco.doc_id,
+       |    CAST(sum(CASE WHEN j < 32 AND s > med
+       |      THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS ph_lo,
+       |    CAST(sum(CASE WHEN j >= 32 AND s > med
+       |      THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS ph_hi
+       |  FROM pco JOIN pmd USING (doc_id) GROUP BY pco.doc_id),
+       |pp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(bit_count(xor(a.ph_hi, b.ph_hi))
+       |      + bit_count(xor(a.ph_lo, b.ph_lo)) AS BIGINT) AS hamming
+       |  FROM pw a JOIN pw b ON a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM pp WHERE hamming <= 3""".stripMargin
 
   /** DuckDB twin of [[Dedup.minhashNearDups]] at the q18 parameters
     * (k=3, nBuckets=64, bandSize=4, maxBucket=1000, threshold=0.1):
@@ -5182,5 +5249,33 @@ object Queries {
          |  top_var_dim, top_var
          |FROM agg CROSS JOIN top""".stripMargin
     },
+    // Brute-force Hamming join (see phashPairsOracle scaladoc: at
+    // maxDist=3 brute force IS the lossless-LSH output).
+    "q373_perceptual_neardup" ->
+      s"""SELECT d1, d2, hamming FROM ($phashPairsOracle) q
+         |ORDER BY d1, d2""".stripMargin,
+    // Majority vote over the three modality pair sets; each leg is the
+    // already-green single-detector oracle, composed by pair key.
+    "q374_consensus_majority" ->
+      s"""WITH mh3 AS (SELECT d1, d2 FROM ($minhashOracle) x),
+         |ls3 AS (SELECT v1 AS d1, v2 AS d2 FROM (${lshNearDupOracle(0.2)}) y),
+         |ph3 AS (SELECT d1, d2 FROM ($phashPairsOracle) z),
+         |u3 AS (SELECT d1, d2 FROM mh3 UNION
+         |  SELECT d1, d2 FROM ls3 UNION SELECT d1, d2 FROM ph3),
+         |fl AS (SELECT u3.d1, u3.d2,
+         |  CAST(CASE WHEN mh3.d1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS by_text,
+         |  CAST(CASE WHEN ls3.d1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS by_embed,
+         |  CAST(CASE WHEN ph3.d1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS by_phash
+         |  FROM u3
+         |  LEFT JOIN mh3 ON mh3.d1 = u3.d1 AND mh3.d2 = u3.d2
+         |  LEFT JOIN ls3 ON ls3.d1 = u3.d1 AND ls3.d2 = u3.d2
+         |  LEFT JOIN ph3 ON ph3.d1 = u3.d1 AND ph3.d2 = u3.d2)
+         |SELECT d1, d2, by_text, by_embed, by_phash,
+         |  by_text + by_embed + by_phash AS n_detectors
+         |FROM fl WHERE by_text + by_embed + by_phash >= 2
+         |ORDER BY d1, d2""".stripMargin,
   )
 }

@@ -2430,31 +2430,76 @@ object Queries {
       .orderBy("lifetime_day")
   }
 
+  /** Exact TWO-PHASE global ntile(k) over the customer-grain table
+    * (the q166 range-cell discipline): rows land in range cells of a
+    * MONOTONE (possibly lossy — a double floor is fine, monotonicity
+    * is all that's needed) function of the ordering key, the
+    * within-cell rank is a cell-local row_number (parallel across
+    * cells), cross-cell offsets come from an O(cells) cell-totals
+    * table, and rank→tile is the closed-form ntile arithmetic:
+    * n = k·q + r ⇒ tiles 1..r take q+1 rows, r+1..k take q — exactly
+    * SQL ntile, reproduced bit-for-bit from (rank, n) with pure
+    * integer ops. `asc=false` negates the cell id so cell-ascending
+    * order equals key-descending order; the within-cell sort uses the
+    * EXACT key (the cell function may collapse neighbors). */
+  private def ntile2p(per: DataFrame, key: String, cellOf: Column,
+                      asc: Boolean, k: Int, out: String): DataFrame = {
+    val celled = per.select(col("o_custkey"), col(key))
+      .withColumn("cell",
+        (if (asc) cellOf.cast("long") else -cellOf.cast("long")))
+    val inCell = Window.partitionBy("cell").orderBy(
+      if (asc) col(key).asc else col(key).desc, col("o_custkey").asc)
+    val preCell = Window.orderBy(col("cell").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellTotals = celled.groupBy("cell").agg(count(lit(1)).as("c_n"))
+      .withColumn("off", coalesce(sum(col("c_n")).over(preCell), lit(0L)))
+      .withColumn("n", sum(col("c_n")).over(Window.partitionBy()))
+      .select("cell", "off", "n")
+    celled
+      .withColumn("rn_in", row_number().over(inCell).cast("long"))
+      .join(broadcast(cellTotals), "cell")
+      .withColumn("rn", col("off") + col("rn_in"))
+      .select(col("o_custkey"),
+        expr(s"""CASE WHEN rn <= (n div $k + 1) * (n % $k)
+          THEN (rn - 1) div (n div $k + 1) + 1
+          ELSE n % $k
+            + (rn - 1 - (n % $k) * (n div $k + 1)) div greatest(n div $k, 1)
+            + 1 END""").cast("long").as(out))
+  }
+
   // RFM segmentation (Hughes 1994 — the marketing-ops workhorse):
   // per-customer recency (days since last order vs the corpus max),
   // frequency, monetary (DECIMAL-route sum, so the quintile ORDERING
-  // key is bit-identical across engines); ntile(5) per axis with a
-  // custkey tiebreak (total order ⇒ deterministic tile edges), then
+  // key is bit-identical across engines); exact ntile(5) per axis with
+  // a custkey tiebreak (total order ⇒ deterministic tile edges), then
   // one hash-agg per (r,f,m) cell with DECIMAL-route mean spend. The
-  // per-customer reduce partial-aggregates map-side; the three global
-  // ntile sorts run over the customer-grain table (1 row/customer —
-  // at 100 TB of ORDERS that is the small table; a range-partitioned
-  // sort, not a single-reducer bottleneck).
+  // per-customer reduce partial-aggregates map-side.
+  //
+  // The three quintiles run through [[ntile2p]] — the two-phase
+  // range-cell form (VERDICT r10 item 1: an unpartitioned ntile
+  // window is ONE task holding every customer, not a range-
+  // partitioned sort, which is what the previous comment here wrongly
+  // claimed). The recency anchor (corpus max day) is a 1-row
+  // broadcast combine, not a global window. The oracle keeps the
+  // single-window ntile SQL — the distributed form must reproduce it
+  // exactly. PlanSpec pins the no-customer-grain-global-window shape.
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val per = tbl(s, dir, "orders")
+    val base = tbl(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(max(expr("unix_timestamp(o_orderdate) div 86400")).as("last_day"),
         count(lit(1)).as("freq"),
         dsum(col("o_totalprice")).as("mon"))
-      .withColumn("rec_days",
-        max(col("last_day")).over(Window.partitionBy()) - col("last_day"))
-    val seg = per
-      .withColumn("r_q", ntile(5).over(
-        Window.orderBy(col("rec_days").asc, col("o_custkey").asc)).cast("long"))
-      .withColumn("f_q", ntile(5).over(
-        Window.orderBy(col("freq").desc, col("o_custkey").asc)).cast("long"))
-      .withColumn("m_q", ntile(5).over(
-        Window.orderBy(col("mon").desc, col("o_custkey").asc)).cast("long"))
+      .localCheckpoint() // feeds the anchor + three rank passes + mon
+    val anchor = base.agg(max(col("last_day")).as("max_day"))
+    val per = base.crossJoin(broadcast(anchor))
+      .withColumn("rec_days", col("max_day") - col("last_day"))
+    val seg = per.select("o_custkey", "mon")
+      .join(ntile2p(per, "rec_days", expr("rec_days div 16"),
+        asc = true, 5, "r_q"), "o_custkey")
+      .join(ntile2p(per, "freq", expr("freq div 4"),
+        asc = false, 5, "f_q"), "o_custkey")
+      .join(ntile2p(per, "mon", floor(col("mon").cast("double") / 1e5),
+        asc = false, 5, "m_q"), "o_custkey")
     seg.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"),
         femit(dsum(col("mon")) / count(lit(1)).cast("double"))
@@ -2563,22 +2608,46 @@ object Queries {
   // across engines), cumulative share via an exact DECIMAL window sum
   // (order-proof — a plain float cumsum would diverge between Spark's
   // incremental and DuckDB's segment-tree window evaluation), class A
-  // ≤ 80%, B ≤ 95%, C above. The global revenue sort is a
-  // range-partitioned sort on the part-grain table (tiny vs lineitem);
-  // the per-part agg partial-aggregates map-side.
+  // ≤ 80%, B ≤ 95%, C above. The cumulative revenue is the TWO-PHASE
+  // range-cell prefix sum (q166 discipline, r11 — the previous
+  // comment called the unpartitioned window "a range-partitioned
+  // sort", which it is not: an empty partitionSpec is ONE task
+  // holding every part): parts land in fixed revenue cells (the cell
+  // id is a monotone double floor — monotonicity is all correctness
+  // needs, the EXACT key still orders within cells), within-cell
+  // running DECIMAL sums parallelize across cells, and cross-cell
+  // offsets + the grand total come from the O(cells) cell-totals
+  // table. DECIMAL addition is exact and associative, so the
+  // regrouped off+cum_in equals the oracle's single-window running
+  // sum bit-for-bit (both sides add through decimal(30,12) so the
+  // capped-precision rescale never fires). Per-part agg partial-
+  // aggregates map-side.
   def paretoAbc(s: SparkSession, dir: String): DataFrame = {
     val rev = tbl(s, dir, "lineitem")
       .groupBy("l_partkey")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("rev"))
-    val ordered = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+      .withColumn("cell",
+        -floor(col("rev").cast("double") / 1e4).cast("long"))
+    val inCell = Window.partitionBy("cell")
+      .orderBy(col("rev").desc, col("l_partkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val shared = rev
+    val preCell = Window.orderBy(col("cell").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellTotals = rev.groupBy("cell")
+      .agg(sum(col("rev").cast("decimal(38,12)")).as("c_rev"))
+      .withColumn("off",
+        coalesce(sum(col("c_rev")).over(preCell),
+          lit(0).cast("decimal(38,12)")).cast("decimal(30,12)"))
       .withColumn("total",
-        sum(col("rev").cast("decimal(38,12)")).over(Window.partitionBy())
-          .cast("double"))
-      .withColumn("cum",
-        sum(col("rev").cast("decimal(38,12)")).over(ordered).cast("double"))
+        sum(col("c_rev")).over(Window.partitionBy()).cast("double"))
+      .select("cell", "off", "total")
+    val shared = rev
+      .withColumn("cum_in",
+        sum(col("rev").cast("decimal(38,12)")).over(inCell)
+          .cast("decimal(30,12)"))
+      .join(broadcast(cellTotals), "cell")
+      .withColumn("cum", (col("off") + col("cum_in")).cast("double"))
       .withColumn("share", col("cum") / col("total"))
       .withColumn("cls", when(col("share") <= 0.80, "A")
         .when(col("share") <= 0.95, "B").otherwise("C"))
@@ -4357,8 +4426,13 @@ object Queries {
       .groupBy("event_type", "b")
       .agg((dsum(col("w").cast("double") * col("value")) /
         nullif(sum(col("w")).cast("double"), lit(0.0))).as("mb"))
+    // mb is NULL when a replicate's total weight is 0 (degenerate
+    // tiny group — Σw = 0 across all rows): Spark sorts NULLs FIRST,
+    // DuckDB LAST, so an implicit-NULLS ordering would shift the
+    // r=2/r=39 order statistics cross-engine. asc_nulls_last pins the
+    // Spark side; the oracle says NULLS LAST (ADVICE r10).
     val byType = Window.partitionBy("event_type")
-      .orderBy(col("mb").asc, col("b").asc)
+      .orderBy(col("mb").asc_nulls_last, col("b").asc)
     val ci = means.withColumn("r", row_number().over(byType))
       .groupBy("event_type")
       .agg(min(when(col("r") === 2, col("mb"))).as("lo"),
@@ -4517,15 +4591,22 @@ object Queries {
     *
     * Determinism: week indices are exact integer day arithmetic off
     * the corpus min-day (no timezone or ISO-week engine variance);
-    * bins, smoothing, per-bin terms, and the dsum fold are exactly
-    * q181's.
+    * smoothing, per-bin terms, and the dsum fold follow q181, but the
+    * bin domain here is the CLOSED fixed grid 0–9 (NULLs dropped,
+    * negatives clamped) — unlike q181, which keeps every observed bin
+    * as its own term row — so per-bin mass always equals the totals.
     *
     * Scale: one scan into a (week, bin) hash-agg — cells, not rows,
     * after that. */
   def temporalPsi(s: SparkSession, dir: String): DataFrame = {
-    val base = events(s, dir).select(
+    // NULL values are dropped and negatives clamp into bin 0 (ADVICE
+    // r10): every event that contributes to the weekly totals tw/t0
+    // must land in a bin 0–9, or the smoothed p0/pw stop summing to 1
+    // and that mass silently vanishes from the PSI fold.
+    val base = events(s, dir).where(col("value").isNotNull).select(
         expr("unix_micros(ts) DIV 86400000000").as("day"),
-        least(floor(col("value") / 50.0).cast("long"), lit(9L)).as("bin"))
+        greatest(least(floor(col("value") / 50.0).cast("long"), lit(9L)),
+          lit(0L)).as("bin"))
       .localCheckpoint() // feeds the min-day anchor AND the census
     val wk = base.crossJoin(broadcast(base.agg(min(col("day")).as("d0"))))
       .select(expr("(day - d0) DIV 7").as("week"), col("bin"))
@@ -5476,9 +5557,15 @@ object Queries {
   // Degenerate series (c₀²=c₁², <3 days) emit NULL through nullif on
   // both engines. Scale: one day-grain aggregate (map-side combined),
   // windows over the tiny per-type day series, a 2-row-per-type tail.
+  // Days are epoch-day integers (unix_micros div 86400e6 — q128's
+  // calendar-free discipline), NOT to_date(): to_date applies the
+  // session timezone while DuckDB truncates the naive timestamp, so
+  // calendar bucketing would silently couple parity to the harness
+  // pinning UTC (ADVICE r10).
   def arForecast(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(count(lit(1)).cast("double").as("y"))
     val mu = daily.groupBy("event_type")
       .agg((dsum(col("y")) / count(lit(1))).as("mu"),
@@ -6092,7 +6179,8 @@ object Queries {
     // autocovariances on the dsum route, same YW closed form with the
     // nullif degenerate guard.
     "q338_ar_forecast" ->
-      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      s"""WITH daily AS (SELECT event_type,
+         |  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
          |  CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
          |mu AS (SELECT event_type, ${dsumSql("y")} / count(*) AS mu,
          |  count(*) AS n_days FROM daily GROUP BY 1),
@@ -8871,7 +8959,7 @@ object Queries {
          |    nullif(CAST(sum(w) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS mb
          |  FROM wt GROUP BY event_type, b),
          |rk AS (SELECT event_type, mb, row_number() OVER (
-         |  PARTITION BY event_type ORDER BY mb ASC, b ASC) AS r FROM mb),
+         |  PARTITION BY event_type ORDER BY mb ASC NULLS LAST, b ASC) AS r FROM mb),
          |ci AS (SELECT event_type,
          |  min(CASE WHEN r = 2 THEN mb END) AS lo,
          |  min(CASE WHEN r = 39 THEN mb END) AS hi
@@ -8956,8 +9044,8 @@ object Queries {
     // q181 bins + Laplace smoothing, same per-bin term and dsum fold.
     "q369_temporal_psi" ->
       s"""WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
-         |  least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
-         |  FROM events),
+         |  greatest(least(CAST(floor(value / 50.0) AS BIGINT), 9), 0) AS bin
+         |  FROM events WHERE value IS NOT NULL),
          |d0 AS (SELECT min(day) AS d0 FROM base),
          |wk AS (SELECT (day - d0) // 7 AS week, bin
          |  FROM base CROSS JOIN d0),

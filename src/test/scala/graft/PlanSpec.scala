@@ -523,6 +523,33 @@ class PlanSpec extends SparkSpec {
       s"${scans.size} embedding scans — a greedy round bypassed the sims checkpoint")
   }
 
+  test("q300/q192 prefix windows are two-phase: no single-partition " +
+      "WindowExec over corpus-grain input (r11)") {
+    // VERDICT r10 item 1: the only admissible unpartitioned windows in
+    // either plan run over the O(cells) cell-totals table (its output
+    // carries the `cell` column and nothing at row grain). A global
+    // window whose child still carries doc_id / o_custkey means the
+    // corpus-grain sort regressed to one task.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plans = Seq(
+      "q300" -> llm.TextAnalysis.heapsLaw(docs, every = 50),
+      "q192" -> rel.Queries.rfmSegments(spark, sf0001))
+    plans.foreach { case (name, df) =>
+      val globals = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.nonEmpty, s"$name: expected the cell-totals window")
+      globals.foreach { w =>
+        val out = w.child.output.map(_.name).toSet
+        assert(out.contains("cell"),
+          s"$name: single-partition window over non-cell grain: $out")
+        assert(!out.contains("doc_id") && !out.contains("o_custkey"),
+          s"$name: corpus-grain column under a global window: $out")
+      }
+    }
+  }
+
   test("q348/q352 bounded-sample kernels broadcast the small side (r10)") {
     // Both ops are one-pass streams against a broadcast bounded batch;
     // a SortMergeJoin or CartesianProduct means the corpus shuffled to

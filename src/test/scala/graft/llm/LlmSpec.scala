@@ -320,6 +320,49 @@ class RecallSpec extends SparkSpec {
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
   private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  private def phashBrute(maxDist: Int): Set[(Long, Long)] = {
+    val sig = Multimodal.perceptualHash(docs)
+    val a = sig.select(col("doc_id").as("d1"), col("ph_hi").as("h1"),
+      col("ph_lo").as("l1"))
+    val b = sig.select(col("doc_id").as("d2"), col("ph_hi").as("h2"),
+      col("ph_lo").as("l2"))
+    a.join(b, col("d1") < col("d2"))
+      .where((bit_count(col("h1").bitwiseXOR(col("h2")))
+        + bit_count(col("l1").bitwiseXOR(col("l2")))) <= maxDist)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("perceptualNearDups maxDist=3 equals brute-force Hamming (pigeonhole-lossless)") {
+    val brute = phashBrute(3)
+    val lsh = Multimodal.perceptualNearDups(docs, maxDist = 3)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture has no close perceptual pairs")
+    assert(lsh == brute,
+      s"lossless claim broken: lsh=${lsh.size} brute=${brute.size} " +
+        s"missing=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+  }
+
+  test("perceptualNearDups salted spill (maxBucket=1) stays lossless") {
+    // every >1 bucket takes the salted self-join path; output must not move
+    val spilled = Multimodal.perceptualNearDups(docs, maxDist = 3, maxBucket = 1)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spilled == phashBrute(3), s"spill path lost pairs: ${spilled.size}")
+  }
+
+  test("perceptualNearDups maxDist=8 (9 MIH bands) also equals brute force") {
+    // multi-index hashing: maxDist+1 bands are pigeonhole-lossless at
+    // ANY radius, so recall is exactly 1 here too — not a tuned floor
+    val brute = phashBrute(8)
+    val lsh = Multimodal.perceptualNearDups(docs, maxDist = 8)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && lsh == brute,
+      s"lsh=${lsh.size} brute=${brute.size}")
+  }
+
   test("banded-LSH near-dup recall >= 0.8 vs exact all-pairs at sim 0.35") {
     val exact = Sim.cosineNearDups(emb, maxId = Long.MaxValue, threshold = 0.35)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
