@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   *  - `stream`: q87's watermarked tumbling drain over time-sliced
   *    files at 1×/10× events, with the state-reader row count — state
   *    must stay O(open windows) while input grows 10×.
+  *  - `outerjoin` (r11): q144's stream-stream LEFT OUTER join drain at
+  *    1×/10× — its join state, unlike the tumbling agg's, grows with
+  *    unmatched rows inside the watermark horizon; measures drain time
+  *    and state rows (left+right statestore readers).
+  *  - `annprobe` (r11): q106's persisted-IVF probe against a 1× vs 10×
+  *    index (build untimed — once per generation), plus the 10× exact
+  *    brute-force scan as the unpruned contrast — probe cost must ride
+  *    the cid-bucket pruning, not total index size.
   */
 object ScaleProbe {
   private def time[T](body: => T): (T, Double) = {
@@ -161,7 +169,78 @@ object ScaleProbe {
       s""""x$k":{"sec":$t,"state_rows":$stateRows}"""
     }
     // drop the warmup drain's entry (duplicate x1 key)
-    out ++= s""""stream":{${st.drop(1).mkString(",")}}}"""
+    out ++= s""""stream":{${st.drop(1).mkString(",")}},"""
+
+    // --- stream-stream LEFT OUTER join drain (q144 shape; VERDICT r10
+    // item 3a): join state, unlike the tumbling agg's O(open windows),
+    // grows with UNMATCHED view rows inside the watermark horizon —
+    // and the replicas' disjoint user populations make that growth
+    // linear in input, which is exactly the threat to measure. Slicing
+    // and the three sentinel waves reproduce q144's layout contract;
+    // state rows come from the statestore reader per join side.
+    val so = Seq(1, 1, 10).map { k =>
+      val in = s"$work/events_oj_x$k"
+      val all = replicateEvents(ev, k)
+      val Array(lo, hi) = all
+        .agg(unix_timestamp(min(col("ts"))), unix_timestamp(max(col("ts"))))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val width = (hi - lo) / 6 + 1
+      val sliced = all.withColumn("slice",
+        ((unix_timestamp(col("ts")) - lo) / width).cast("int"))
+      val inPath = new org.apache.hadoop.fs.Path(in)
+      inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(inPath, true)
+      (0 until 6).foreach { i =>
+        sliced.where(col("slice") === i).drop("slice")
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      import spark.implicits._
+      (1 to 3).foreach { wave =>
+        Seq((-wave.toLong, -1L, "view"), (-wave.toLong - 10L, -1L, "click"))
+          .toDF("event_id", "user_id", "event_type")
+          .withColumn("ts", timestamp_seconds(lit(hi + wave * 864000L)))
+          .withColumn("value", lit(0.0))
+          .select("event_id", "user_id", "ts", "value", "event_type")
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val sink = s"$work/oj_out_x$k"
+      val (n, t) = time(sources.StreamIngest.streamOuterJoinParquet(
+        spark, in, all.schema, sink, sink + "_ckpt").count())
+      val stateRows = Seq("left", "right").map(side =>
+        spark.read.format("statestore").option("joinSide", side)
+          .load(sink + "_ckpt").count()).sum
+      println(s"SCALEPROBE outerjoin x$k: $t s, $n rows, $stateRows state rows")
+      s""""x$k":{"sec":$t,"rows":$n,"state_rows":$stateRows}"""
+    }
+    out ++= s""""outerjoin":{${so.drop(1).mkString(",")}},"""
+
+    // --- persisted-ANN probe (q106 shape; VERDICT r10 item 3b): probe
+    // cost must ride the cid-bucket pruning (per query it scans
+    // ~corpus·nprobe/nlist rows of the bucketed lists), not total
+    // index size. Index build at each scale is UNTIMED — built once
+    // per corpus generation, like production. The 10x exact
+    // brute-force scan is timed alongside as the unpruned contrast.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def replicateEmb(k: Int): DataFrame =
+      (0 until k).map { i =>
+        embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionAll _)
+    val ann = Seq(1, 1, 10).map { k =>
+      val at = s"scale_ivf_assign_x$k"; val ct = s"scale_ivf_cent_x$k"
+      val rep = replicateEmb(k).localCheckpoint()
+      if (!spark.catalog.tableExists(at))
+        llm.Sim.ivfIndexWrite(rep, nlist = 16, at, ct, buckets = 8)
+      val (n, t) = time(llm.Sim.ivfKnnFromIndex(
+        rep, nQuery = 10, k = 5, nprobe = 4, at, ct).count())
+      println(s"SCALEPROBE annprobe x$k: $t s, $n rows")
+      s""""x$k":{"sec":$t,"rows":$n}"""
+    }
+    val (_, tExact) = time(
+      llm.Sim.cosineKnn(replicateEmb(10), nQuery = 10, k = 5).count())
+    println(s"SCALEPROBE exactknn x10: $tExact s")
+    out ++= s""""annprobe":{${ann.drop(1).mkString(",")},""" +
+      s""""exact_x10":{"sec":$tExact}}}"""
 
     println("SCALEPROBE " + out)
     val p = java.nio.file.Paths.get("target/scale.json")

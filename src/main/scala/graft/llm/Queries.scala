@@ -4382,7 +4382,7 @@ object Queries {
          |  FROM c, q WHERE c.vec_id <> q.qid),
          |cand AS (SELECT qid, vec_id, ham FROM (
          |  SELECT qid, vec_id, ham, row_number() OVER (PARTITION BY qid
-         |    ORDER BY ham ASC, vec_id ASC) AS r FROM h) WHERE r <= 64),
+         |    ORDER BY ham ASC, vec_id ASC) AS r FROM h) WHERE r <= 128),
          |n AS (SELECT vec_id, v, sqrt($normSql) AS norm FROM v),
          |j AS (SELECT cand.qid, cand.vec_id, cand.ham,
          |    ${dotSql("nb.v", "nq.v")} / (nb.norm * nq.norm) AS sim

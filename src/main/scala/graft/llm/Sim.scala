@@ -921,10 +921,14 @@ object Sim {
     * reranks the top-`rerank` per query at full precision. This is the
     * binary-quantization design modern vector stores ship for
     * billion-vector scans (popcount over packed words is the cheapest
-    * distance computable). The default rerank budget is 64 — 12.8× k,
-    * deliberately wider than sq8's 4× (a 1-bit code is the coarsest
-    * quantizer in the toolbox; the rerank pass is where its recall is
-    * bought back, RecallSpec floor 0.7).
+    * distance computable). The default rerank budget is 128 — 25.6× k,
+    * deliberately the widest in the family (a 1-bit code is the
+    * coarsest quantizer in the toolbox; the rerank pass is where its
+    * recall is bought back — the same measured lever that lifted
+    * PQ/IVF-PQ in r10; r11 doubled it from 64 after the 0.72 recall
+    * sat 0.02 over the old floor, RecallSpec floor now 0.8). Rerank
+    * cost stays nQuery·rerank full-precision rows — invisible next to
+    * the popcount scan at any corpus size.
     *
     * Determinism: the sign bits, the packing (disjoint bit positions —
     * integer addition of distinct powers of two never carries), and
@@ -942,7 +946,7 @@ object Sim {
     * nQuery·rerank rows via broadcast joins. Recall vs the exact
     * baseline is floor-pinned in RecallSpec. */
   def binaryKnn(emb: DataFrame, nQuery: Int, k: Int,
-                rerank: Int = 64): DataFrame = {
+                rerank: Int = 128): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     // CENTERED thresholds: bit i is v_i > mu_i, not v_i > 0 — real
     // embedding dimensions carry nonzero means, and a biased dimension

@@ -403,12 +403,13 @@ class RecallSpec extends SparkSpec {
     }
   }
 
-  test("binaryKnn recall >= 0.7 vs exact top-5; shared sims are exact cosines") {
-    // sign-bit codes keep only the orientation octant — with a 8x
-    // rerank margin (40 candidates for k=5) the Hamming pre-ranking
-    // retains most of the exact top-5 (E[ham] = d*theta/pi, Charikar
-    // 2002); the tail re-scores at full precision so shared pairs
-    // carry bit-identical sims.
+  test("binaryKnn recall >= 0.8 vs exact top-5; shared sims are exact cosines") {
+    // sign-bit codes keep only the orientation octant — with a 25.6x
+    // rerank margin (128 candidates for k=5; doubled in r11 when the
+    // measured 0.72 sat 0.02 over the old 0.7 floor) the Hamming
+    // pre-ranking retains the exact top-5 (E[ham] = d*theta/pi,
+    // Charikar 2002); the tail re-scores at full precision so shared
+    // pairs carry bit-identical sims.
     val exact = Sim.cosineKnn(emb, nQuery = 10, k = 5)
       .select("qid", "vec_id", "sim").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -416,7 +417,8 @@ class RecallSpec extends SparkSpec {
       .select("qid", "vec_id", "sim").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val recall = (bin.keySet & exact.keySet).size.toDouble / exact.size
-    assert(recall >= 0.7, s"recall=$recall over ${exact.size} exact neighbors")
+    info(s"binaryKnn recall=$recall at rerank=128")
+    assert(recall >= 0.8, s"recall=$recall over ${exact.size} exact neighbors")
     (bin.keySet & exact.keySet).foreach { k =>
       assert(bin(k) == exact(k), s"rerank sim drifted for $k")
     }
