@@ -609,4 +609,66 @@ object Curation {
       .crossJoin(broadcast(straddle))
       .orderBy("split")
   }
+
+  /** Quality-filter CASCADE waterfall — the per-stage survival report
+    * every C4/Gopher-style curation pipeline publishes (Raffel et al.
+    * 2020 §2.2's filter list; Rae et al. 2021 table A1): ordered
+    * rules, each document dies at its FIRST failing stage, and the
+    * report shows n_in → n_killed → n_out per stage so a pipeline
+    * owner sees WHICH rule costs how much corpus — the composition
+    * report over the individual signals q24/q25/q17 score one at a
+    * time. Stages (cheap row-local rules first, the corpus-wide dedup
+    * last — production order, since later stages see fewer rows):
+    *   1 too_short (n_tokens &lt; 16)       2 too_long (&gt; 90)
+    *   3 stop_heavy (stop·5 &gt; n_tokens — the ratio compare done in
+    *     exact integer cross-multiplication, no float threshold)
+    *   4 lang_filter (lang ∉ {en, de, es, fr})
+    *   5 exact_dup (doc_id ≠ min doc_id of its text group).
+    *
+    * Determinism: every verdict is integer/string comparison; the one
+    * float column (kill_share) femits a ratio of exact longs.
+    *
+    * Scale: one corpus scan computes stages 1–4 row-locally; stage 5
+    * is the q17 text-keyed hash-agg (min doc_id per text — at 100 TB
+    * the key would be the text's hash, same shape); the waterfall
+    * algebra runs on the 5-row stage table. */
+  def filterCascade(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.femit
+    import org.apache.spark.sql.expressions.Window
+    val stopList = graft.llm.TextAnalysis.Stopwords
+    val base = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr("filter(split(text, ' ', -1), t -> t != '')").as("ts"))
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("ts"), t => t.isin(stopList: _*))).cast("long"))
+      .withColumn("first_id", min(col("doc_id")).over(
+        Window.partitionBy("text")))
+    val died = base.select(
+      when(col("n_tok") < 16, 1L)
+        .when(col("n_tok") > 90, 2L)
+        .when(col("n_stop") * 5L > col("n_tok"), 3L)
+        .when(!col("lang").isin("en", "de", "es", "fr"), 4L)
+        .when(col("doc_id") =!= col("first_id"), 5L)
+        .otherwise(0L).as("died_at"))
+    val kills = died.groupBy("died_at").agg(count(lit(1)).as("k"))
+    val total = died.agg(count(lit(1)).as("n_total"))
+    val names = array(lit("too_short"), lit("too_long"),
+      lit("stop_heavy"), lit("lang_filter"), lit("exact_dup"))
+    val pre = Window.orderBy(col("stage_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.sparkSession.range(1, 6).toDF("stage_idx")
+      .join(kills, col("stage_idx") === col("died_at"), "left")
+      .select(col("stage_idx"), coalesce(col("k"), lit(0L)).as("n_killed"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_killed")).over(pre), lit(0L)))
+      .select(col("stage_idx"),
+        element_at(names, col("stage_idx").cast("int")).as("stage"),
+        col("n_in"), col("n_killed"),
+        (col("n_in") - col("n_killed")).as("n_out"),
+        femit(col("n_killed").cast("double") / col("n_in").cast("double"))
+          .as("kill_share"))
+      .orderBy("stage_idx")
+  }
 }

@@ -1566,6 +1566,20 @@ object Queries {
     "q373_perceptual_neardup" -> ((s, dir) =>
       Multimodal.perceptualNearDups(tbl(s, dir, "documents"), maxDist = 3)
         .orderBy("d1", "d2")),
+    // Interpolated Kneser-Ney bigram LM held-out perplexity (D=0.75,
+    // continuation distribution, q351's 5-fold split)
+    // (see TextAnalysis.knBigram)
+    "q376_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.knBigram(tbl(s, dir, "documents"))),
+    // Multi-vector late-interaction (ColBERT MaxSim) top-k retrieval
+    // over subvector token-vectors (see Sim.maxSimKnn)
+    "q378_maxsim" -> ((s, dir) =>
+      Sim.maxSimKnn(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)
+        .orderBy("qid", "rnk")),
+    // Quality-filter cascade waterfall: per-stage n_in/killed/out
+    // (see Curation.filterCascade)
+    "q379_filter_cascade" -> ((s, dir) =>
+      Curation.filterCascade(tbl(s, dir, "documents"))),
     // Tri-modal MAJORITY consensus dedup: pairs flagged by ≥2 of
     // {text MinHash (q18's store), embedding sign-LSH (q94's store),
     // perceptual pHash (q373)} — the majority-vote drop set between
@@ -5249,6 +5263,107 @@ object Queries {
          |  top_var_dim, top_var
          |FROM agg CROSS JOIN top""".stripMargin
     },
+    // Same 5-fold split and pair CTEs as q351; KN pieces: left/
+    // continuation type counts off the bigram-type table, the add-one
+    // continuation floor, the fixed D=0.75 discount chain in the same
+    // left-assoc IEEE order, dsum fold, femit emission.
+    "q376_kneser_ney" -> {
+      val pc = "CAST(coalesce(n1w2, 0) + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)"
+      s"""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+         |tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+         |ho AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+         |tp AS (SELECT ts[i+1] AS w1, ts[i+2] AS w2 FROM
+         |  (SELECT doc_id, unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM tr) x),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM tp GROUP BY 1, 2),
+         |lf AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+         |  count(*) AS n1w1 FROM bi GROUP BY 1),
+         |cr AS (SELECT w2, count(*) AS n1w2 FROM bi GROUP BY 1),
+         |cs AS (SELECT (SELECT count(*) FROM bi) AS tt,
+         |  (SELECT count(DISTINCT t) FROM
+         |    (SELECT unnest(ts) AS t FROM tr) z) AS v),
+         |hp AS (SELECT ts[i+1] AS w1, ts[i+2] AS w2 FROM
+         |  (SELECT doc_id, unnest(range(greatest(len(ts) - 1, 0))) AS i, ts FROM ho) x),
+         |sc AS (SELECT
+         |  CASE WHEN cu IS NULL THEN $pc
+         |    ELSE greatest(CAST(coalesce(cb, 0) AS DOUBLE) - 0.75, 0.0)
+         |        / CAST(cu AS DOUBLE)
+         |      + 0.75 * CAST(n1w1 AS DOUBLE) / CAST(cu AS DOUBLE) * $pc
+         |    END AS p,
+         |  CASE WHEN cu IS NULL THEN 1 ELSE 0 END AS oovw1,
+         |  CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS unseenbi
+         |  FROM hp LEFT JOIN bi USING (w1, w2) LEFT JOIN lf USING (w1)
+         |  LEFT JOIN cr USING (w2) CROSS JOIN cs),
+         |a AS (SELECT count(*) AS n_bigrams,
+         |  CAST(sum(oovw1) AS BIGINT) AS n_unseen_ctx,
+         |  CAST(sum(unseenbi) AS BIGINT) AS n_unseen_bigrams,
+         |  ${dsumSql("ln(p)")} / count(*) AS avg0 FROM sc)
+         |SELECT n_bigrams, n_unseen_ctx, n_unseen_bigrams,
+         |  ${femitSql("avg0")} AS avg_logp,
+         |  ${femitSql("exp(-avg0)")} AS held_out_ppl
+         |FROM a""".stripMargin
+    },
+    // Same 8x8 subvector slices, same fsum cosine, the per-(query-
+    // token, doc) max and the sum over query tokens both on the
+    // VARCHAR-routed DECIMAL lattice (the dsum discipline applied to
+    // max/sum), ranked by the femit'd score with vec_id tiebreak.
+    "q378_maxsim" -> {
+      val snormSql = s"sqrt(${foldSum.format("list_transform(sv, x -> x * x)")})"
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, s AS i, v[s*8+1 : s*8+8] AS sv FROM vv,
+         |  (SELECT unnest(range(8)) AS s) ss),
+         |nz AS (SELECT * FROM
+         |  (SELECT vec_id, i, sv, $snormSql AS snorm FROM sub) ns
+         |  WHERE snorm > 0.0),
+         |q AS (SELECT vec_id AS qid, i AS qi, sv AS qv, snorm AS qn
+         |  FROM nz WHERE vec_id < 10),
+         |sims AS (SELECT q.qid, q.qi, d.vec_id,
+         |  ${dotSql("d.sv", "q.qv")} / (d.snorm * q.qn) AS s
+         |  FROM nz d, q WHERE d.vec_id <> q.qid),
+         |mx AS (SELECT qid, qi, vec_id,
+         |  max(CAST(CAST(s AS VARCHAR) AS DECIMAL(38,12))) AS ms
+         |  FROM sims GROUP BY qid, qi, vec_id),
+         |sc AS (SELECT qid, vec_id, count(*) AS n_qtok,
+         |  ${femitSql("CAST(CAST(sum(ms) AS VARCHAR) AS DOUBLE)")} AS score
+         |  FROM mx GROUP BY qid, vec_id),
+         |r AS (SELECT qid, vec_id, n_qtok, score, row_number() OVER (
+         |  PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk FROM sc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, n_qtok, score
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
+    // Same ordered first-fail rules (integer cross-multiplied stop
+    // ratio, min-doc_id dup flag), same 5-row waterfall algebra.
+    "q379_filter_cascade" ->
+      s"""WITH base AS (SELECT doc_id, lang, text,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |b2 AS (SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(ts, t -> t IN ('the','of','and','to',
+         |    'in','a','is','for','on','with'))) AS BIGINT) AS n_stop,
+         |  min(doc_id) OVER (PARTITION BY text) AS first_id FROM base),
+         |dd AS (SELECT CASE WHEN n_tok < 16 THEN 1
+         |  WHEN n_tok > 90 THEN 2
+         |  WHEN n_stop * 5 > n_tok THEN 3
+         |  WHEN lang NOT IN ('en','de','es','fr') THEN 4
+         |  WHEN doc_id <> first_id THEN 5 ELSE 0 END AS died_at FROM b2),
+         |k AS (SELECT died_at, count(*) AS kk FROM dd GROUP BY died_at),
+         |tot AS (SELECT count(*) AS n_total FROM dd),
+         |st AS (SELECT unnest(range(1, 6)) AS stage_idx),
+         |w AS (SELECT stage_idx, coalesce(kk, 0) AS n_killed
+         |  FROM st LEFT JOIN k ON stage_idx = died_at),
+         |w2 AS (SELECT stage_idx, n_killed,
+         |  n_total - coalesce(CAST(sum(n_killed) OVER (
+         |    ORDER BY stage_idx ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |    0) AS n_in
+         |  FROM w CROSS JOIN tot)
+         |SELECT stage_idx,
+         |  (['too_short','too_long','stop_heavy','lang_filter',
+         |    'exact_dup'])[CAST(stage_idx AS INTEGER)] AS stage,
+         |  n_in, CAST(n_killed AS BIGINT) AS n_killed,
+         |  n_in - n_killed AS n_out,
+         |  ${femitSql("CAST(n_killed AS DOUBLE) / CAST(n_in AS DOUBLE)")}
+         |    AS kill_share
+         |FROM w2 ORDER BY stage_idx""".stripMargin,
     // Brute-force Hamming join (see phashPairsOracle scaladoc: at
     // maxDist=3 brute force IS the lossless-LSH output).
     "q373_perceptual_neardup" ->

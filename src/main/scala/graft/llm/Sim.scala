@@ -2077,4 +2077,55 @@ object Sim {
           .as("top_survivor_id"))
       .orderBy("cid")
   }
+
+  /** Multi-vector LATE-INTERACTION retrieval (the ColBERT scoring rule
+    * — Khattab &amp; Zaharia, SIGIR 2020): score(q, d) =
+    * Σ_{i∈q} max_{j∈d} cos(qᵢ, dⱼ) over per-token vectors, the
+    * architecture modern retrieval stacks run between single-vector
+    * kNN (q21) and full cross-encoders. The fixture carries one vector
+    * per document, so the "token vectors" here are its `nSub`
+    * contiguous 8-dim subvector slices — a stand-in decomposition
+    * (documented, like the Multimodal decode stub): a real multi-
+    * vector table swaps in at the `sub` relation and every operator
+    * below it (the maxsim group, the sum, the top-k) is unchanged.
+    *
+    * Determinism: every subvector cosine is the exact fsum chain;
+    * max-per-(query-token, doc) and the sum over query tokens ride
+    * DECIMAL(38,12) (window/agg association, the q294 rule); the
+    * top-k orders by the ROUNDED score with vec_id tiebreak (q207).
+    *
+    * Scale: the query side (nQuery·nSub rows) broadcasts; the corpus
+    * explodes ×nSub and streams ONCE through the broadcast join into
+    * a (qid, i, vec_id) max-agg then a (qid, vec_id) sum-agg — two
+    * map-side-partial hash-aggs, shuffle keyed by (qid, vec_id),
+    * never a corpus×corpus pair table; the final window is per-query
+    * top-k. */
+  def maxSimKnn(emb: DataFrame, nQuery: Int, k: Int,
+                nSub: Int = 8): DataFrame = {
+    import graft.rel.Queries.femit
+    val width = 64 / nSub
+    val sub = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${nSub - 1}), s -> slice(v, s * $width + 1, $width))"))
+          .as(Seq("i", "sv")))
+      .withColumn("snorm", norm(col("sv")))
+      .where(col("snorm") > 0.0)
+    val q = sub.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("i").as("qi"),
+        col("sv").as("qv"), col("snorm").as("qn"))
+    val maxed = sub.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qi"), col("vec_id"),
+        cosine(col("sv"), col("qv"), col("snorm"), col("qn")).as("s"))
+      .groupBy("qid", "qi", "vec_id")
+      .agg(max(col("s").cast("decimal(38,12)")).as("ms"))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    maxed.groupBy("qid", "vec_id")
+      .agg(count(lit(1)).as("n_qtok"),
+        femit(sum(col("ms")).cast("double")).as("score"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "n_qtok", "score")
+  }
 }

@@ -1271,6 +1271,79 @@ object TextAnalysis {
       .orderBy("lambda")
   }
 
+  /** Interpolated Kneser–Ney bigram LM, evaluated as held-out
+    * perplexity (Kneser &amp; Ney 1995; the Chen &amp; Goodman 1999
+    * interpolated form with a fixed absolute discount D = 0.75 — the
+    * smoothing every n-gram-era production LM shipped, and the one
+    * q351's Jelinek–Mercer sweep is the baseline for: KN replaces JM's
+    * raw-frequency unigram with the CONTINUATION distribution, fixing
+    * the "Francisco problem" where a word frequent only inside one
+    * bigram steals back-off mass).
+    *
+    * P(w2|w1) = max(c(w1w2)−D, 0)/c(w1)
+    *          + D·N1+(w1·)/c(w1) · Pcont(w2), and for an unseen w1 the
+    * whole mass backs off to Pcont. Pcont(w2) =
+    * (N1+(·w2)+1)/(T+V) — the continuation-type distribution with the
+    * q120 add-one floor (T = distinct train bigram types, V = train
+    * vocab), so an OOV continuation never produces ln(0): the same
+    * pragmatic floor every deployed KN carries.
+    *
+    * Same 5-fold split as q351 (train doc_id%5≠0, held-out %5=0), so
+    * the two rows are directly comparable on the gate.
+    *
+    * Determinism: every count is an exact long; D is the literal 0.75;
+    * each probability is one fixed-order IEEE chain off those longs;
+    * ln is the q58 libm-parity class; the fold rides dsum.
+    *
+    * Scale: three train hash-aggs (bigrams, left contexts, continuation
+    * types — all map-side partial) + one 1-row type/vocab census
+    * broadcast; held-out pairs stream once through three equi-joins.
+    * Nothing grows past the bigram-type table (vocab², sparse). */
+  def knBigram(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val base = docs.select(col("doc_id"), toks(col("text")).as("ts"))
+    def pairsOf(d: DataFrame) = d.select(col("doc_id"), explode(expr(
+        "filter(transform(ts, (t, i) -> struct(t AS w1, try_element_at(ts, i + 2) AS w2)), " +
+          "p -> p.w2 IS NOT NULL)")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = base.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val heldOut = base.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val tp = pairsOf(train)
+    val bi = tp.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // feeds left/right type counts AND the census
+    val left = bi.groupBy("w1")
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1w1"))
+    val contRight = bi.groupBy("w2").agg(count(lit(1)).as("n1w2"))
+    val census = bi.agg(count(lit(1)).as("tt"))
+      .crossJoin(broadcast(train.select(explode(col("ts")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))))
+    val d = lit(discount)
+    val pcont = (coalesce(col("n1w2"), lit(0L)) + 1).cast("double") /
+      (col("tt") + col("v")).cast("double")
+    val p = when(col("cu").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("cb"), lit(0L)).cast("double") - d, lit(0.0))
+          / col("cu").cast("double")
+          + d * col("n1w1").cast("double") / col("cu").cast("double")
+          * pcont)
+    pairsOf(heldOut)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(contRight, Seq("w2"), "left")
+      .crossJoin(broadcast(census))
+      .select(log(p).as("logp"),
+        when(col("cu").isNull, 1L).otherwise(0L).as("oov_w1"),
+        when(col("cb").isNull, 1L).otherwise(0L).as("unseen_bi"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov_w1")).as("n_unseen_ctx"),
+        sum(col("unseen_bi")).as("n_unseen_bigrams"),
+        (dsum(col("logp")) / count(lit(1))).as("avg0"))
+      .select(col("n_bigrams"), col("n_unseen_ctx"),
+        col("n_unseen_bigrams"),
+        femit(col("avg0")).as("avg_logp"),
+        femit(exp(-col("avg0"))).as("held_out_ppl"))
+  }
+
   /** RAKE keyphrase extraction (Rose et al., "Automatic Keyword
     * Extraction from Individual Documents", 2010): candidate phrases
     * are maximal stopword-free token runs (a fixed 10-word stop list —

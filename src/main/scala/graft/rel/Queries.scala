@@ -4776,6 +4776,132 @@ object Queries {
       .orderBy("sb", "lang")
   }
 
+  /** Cross-source QUANTILE NORMALIZATION of a per-doc metric (Bolstad
+    * et al., Bioinformatics 2003 — the alignment move a mixing
+    * pipeline runs to put per-source score distributions on one scale
+    * before comparing thresholds across sources): each document maps
+    * to the POOLED corpus value at its within-source quantile, so
+    * every source's normalized n_chars distribution becomes the
+    * pooled one. Reported as the per-source summary (raw vs
+    * normalized means converge ⇔ the sources' shapes differed only by
+    * a monotone warp).
+    *
+    * Determinism: within-source ranks are total-ordered (metric,
+    * doc_id); the target pooled rank is PURE INTEGER arithmetic —
+    * r = ⌈(2·rs−1)·N / (2·n_s)⌉ computed as
+    * ((2rs−1)N + 2n_s − 1) div (2n_s), never a float quantile
+    * boundary; the pooled lookup is an interval join prev &lt; r ≤ cum
+    * on exact counts. The only floats are the two femit'd means.
+    *
+    * Scale: per-source windows are PARTITIONED (no global row window);
+    * the pooled cumulative table lives at VALUE-DOMAIN grain (distinct
+    * n_chars ≪ rows — the decisionStump bound; a continuous metric
+    * pre-bins exactly like a GBDT histogram), so it broadcasts into a
+    * range join. One scan, two hash-aggs, one broadcast join. */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val bySrc = Window.partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val ranked = d
+      .withColumn("rs", row_number().over(bySrc).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+    val pooledTot = d.agg(count(lit(1)).as("nn"))
+    val pooled = d.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("n_chars").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", col("cum") - col("c"))
+      .select(col("n_chars").as("qv"), col("prev"), col("cum"))
+    ranked.crossJoin(broadcast(pooledTot))
+      .withColumn("rt", expr("((2*rs - 1) * nn + 2*ns - 1) div (2*ns)"))
+      .join(broadcast(pooled), col("rt") > col("prev") && col("rt") <= col("cum"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_raw"),
+        sum(col("qv")).as("sum_qnorm"),
+        min(col("qv")).as("min_qnorm"), max(col("qv")).as("max_qnorm"))
+      .select(col("source"), col("n_docs"),
+        femit(col("sum_raw").cast("double") / col("n_docs").cast("double"))
+          .as("mean_raw"),
+        femit(col("sum_qnorm").cast("double") / col("n_docs").cast("double"))
+          .as("mean_qnorm"),
+        col("min_qnorm"), col("max_qnorm"))
+      .orderBy("source")
+  }
+
+  /** Inverse-propensity-weighted average treatment effect (Horvitz–
+    * Thompson weighting per Rosenbaum &amp; Rubin 1983; the Hájek
+    * normalized form) with the covariate-balance audit that decides
+    * whether the weights worked — the observational-causal companion
+    * to q247's diff-in-diff and q219's CUPED. Unit = user; "treatment"
+    * T = the user's FIRST event (by ts, event_id) is a click (an
+    * exposure proxy — documented, the fixture has no assignment
+    * column); outcome Y = the user's DECIMAL-summed purchase value.
+    *
+    * The propensity e(X) is a FIXED logistic score over the user's
+    * activity covariates (ln n_events, mean event value) — the q88
+    * fixed-weight convention standing in for a fitted model, which
+    * keeps the whole estimator one deterministic closed form. Weights
+    * are clipped to [0.05, 0.95] propensity (the standard positivity
+    * trim). Output: naive mean difference, IPW (Hájek) ATE, and the
+    * balance audit — the covariate gap between arms before vs after
+    * weighting (a working weight set shrinks it).
+    *
+    * Determinism: covariates and sums ride dsum; exp/ln are the libm
+    * parity class; every ratio is a fixed-order chain femit'd at
+    * emission.
+    *
+    * Scale: one keyed window for the first event (partitioned by
+    * user), one user-grain hash-agg, then 1-row scalar combines —
+    * nothing beyond the user-grain shuffle the sessionization family
+    * already pays. */
+  def ipwAte(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val per = events(s, dir)
+      .where(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1 && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("t"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sv"),
+        dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("y"))
+      .withColumn("x1", log(col("n_events").cast("double")))
+      .withColumn("x2", col("sv") / col("n_events").cast("double") / 100.0)
+    val e0 = lit(1.0) / (lit(1.0) +
+      exp(-(lit(-0.2) + lit(0.3) * col("x1") + lit(0.1) * col("x2"))))
+    val scored = per
+      .withColumn("e", least(greatest(e0, lit(0.05)), lit(0.95)))
+      .withColumn("wt",
+        when(col("t") === 1L, lit(1.0) / col("e"))
+          .otherwise(lit(1.0) / (lit(1.0) - col("e"))))
+    scored.agg(
+        count(lit(1)).as("n_users"), sum(col("t")).as("n_treated"),
+        dsum(when(col("t") === 1L, col("y"))).as("sy1"),
+        dsum(when(col("t") === 0L, col("y"))).as("sy0"),
+        dsum(when(col("t") === 1L, col("wt") * col("y"))).as("wy1"),
+        dsum(when(col("t") === 0L, col("wt") * col("y"))).as("wy0"),
+        dsum(when(col("t") === 1L, col("wt"))).as("w1"),
+        dsum(when(col("t") === 0L, col("wt"))).as("w0"),
+        dsum(when(col("t") === 1L, col("x1"))).as("sx1t"),
+        dsum(when(col("t") === 0L, col("x1"))).as("sx1c"),
+        dsum(when(col("t") === 1L, col("wt") * col("x1"))).as("wx1t"),
+        dsum(when(col("t") === 0L, col("wt") * col("x1"))).as("wx1c"))
+      .select(col("n_users"), col("n_treated"),
+        femit(col("sy1") / col("n_treated").cast("double")
+          - col("sy0") / (col("n_users") - col("n_treated")).cast("double"))
+          .as("ate_naive"),
+        femit(col("wy1") / col("w1") - col("wy0") / col("w0")).as("ate_ipw"),
+        femit(col("sx1t") / col("n_treated").cast("double")
+          - col("sx1c") / (col("n_users") - col("n_treated")).cast("double"))
+          .as("x1_gap_raw"),
+        femit(col("wx1t") / col("w1") - col("wx1c") / col("w0"))
+          .as("x1_gap_weighted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -4985,6 +5111,8 @@ object Queries {
     "q370_burstiness" -> (burstiness _),
     "q371_trimmed_mean" -> (trimmedMeans _),
     "q372_raking" -> (raking _),
+    "q375_quantile_norm" -> (quantileNorm _),
+    "q377_ipw_ate" -> (ipwAte _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -9141,5 +9269,79 @@ object Queries {
          |  ${femitSql("max_lang_gap")} AS max_lang_gap
          |FROM f4 CROSS JOIN gap ORDER BY sb, lang""".stripMargin
     },
+    // Same per-source total-order ranks, same pure-integer target-rank
+    // arithmetic (// is DuckDB's integer div twin of Spark's div),
+    // same pooled value-grain interval join.
+    "q375_quantile_norm" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+         |rk AS (SELECT source, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY n_chars ASC, doc_id ASC) AS rs,
+         |  count(*) OVER (PARTITION BY source) AS ns FROM d),
+         |nt AS (SELECT count(*) AS nn FROM d),
+         |pl AS (SELECT n_chars AS qv, count(*) AS c,
+         |  CAST(sum(count(*)) OVER (ORDER BY n_chars ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum FROM d GROUP BY n_chars),
+         |p2 AS (SELECT qv, cum - c AS prev, cum FROM pl),
+         |rt AS (SELECT source, n_chars,
+         |  ((2 * rs - 1) * nn + 2 * ns - 1) // (2 * ns) AS r
+         |  FROM rk CROSS JOIN nt),
+         |j AS (SELECT source, n_chars, qv FROM rt
+         |  JOIN p2 ON rt.r > p2.prev AND rt.r <= p2.cum)
+         |SELECT source, count(*) AS n_docs,
+         |  ${femitSql(
+        "CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |    AS mean_raw,
+         |  ${femitSql(
+        "CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |    AS mean_qnorm,
+         |  min(qv) AS min_qnorm, max(qv) AS max_qnorm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // Same first-event treatment flag, same fixed-logistic propensity
+    // with the [0.05, 0.95] clip, same Hajek ratios and balance gaps;
+    // exp/ln are the libm parity class, sums ride dsum.
+    "q377_ipw_ate" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, event_type, value
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |  ORDER BY ts ASC, event_id ASC) AS rn FROM e),
+         |per AS (SELECT user_id,
+         |  max(CASE WHEN rn = 1 AND event_type = 'click'
+         |    THEN 1 ELSE 0 END) AS t,
+         |  count(*) AS n_events,
+         |  ${dsumSql("value")} AS sv,
+         |  ${dsumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS y
+         |  FROM r GROUP BY user_id),
+         |sc AS (SELECT t, y, ln(CAST(n_events AS DOUBLE)) AS x1,
+         |  sv / CAST(n_events AS DOUBLE) / 100.0 AS x2 FROM per),
+         |s2 AS (SELECT t, y, x1,
+         |  least(greatest(1.0 / (1.0 + exp(-(-0.2 + 0.3 * x1 + 0.1 * x2))),
+         |    0.05), 0.95) AS ee FROM sc),
+         |s3 AS (SELECT t, y, x1, CASE WHEN t = 1 THEN 1.0 / ee
+         |  ELSE 1.0 / (1.0 - ee) END AS wt FROM s2),
+         |a AS (SELECT count(*) AS n_users,
+         |  CAST(sum(t) AS BIGINT) AS n_treated,
+         |  ${dsumSql("CASE WHEN t = 1 THEN y END")} AS sy1,
+         |  ${dsumSql("CASE WHEN t = 0 THEN y END")} AS sy0,
+         |  ${dsumSql("CASE WHEN t = 1 THEN wt * y END")} AS wy1,
+         |  ${dsumSql("CASE WHEN t = 0 THEN wt * y END")} AS wy0,
+         |  ${dsumSql("CASE WHEN t = 1 THEN wt END")} AS w1,
+         |  ${dsumSql("CASE WHEN t = 0 THEN wt END")} AS w0,
+         |  ${dsumSql("CASE WHEN t = 1 THEN x1 END")} AS sx1t,
+         |  ${dsumSql("CASE WHEN t = 0 THEN x1 END")} AS sx1c,
+         |  ${dsumSql("CASE WHEN t = 1 THEN wt * x1 END")} AS wx1t,
+         |  ${dsumSql("CASE WHEN t = 0 THEN wt * x1 END")} AS wx1c
+         |  FROM s3)
+         |SELECT n_users, n_treated,
+         |  ${femitSql(
+        "sy1 / CAST(n_treated AS DOUBLE) - sy0 / CAST(n_users - n_treated AS DOUBLE)")}
+         |    AS ate_naive,
+         |  ${femitSql("wy1 / w1 - wy0 / w0")} AS ate_ipw,
+         |  ${femitSql(
+        "sx1t / CAST(n_treated AS DOUBLE) - sx1c / CAST(n_users - n_treated AS DOUBLE)")}
+         |    AS x1_gap_raw,
+         |  ${femitSql("wx1t / w1 - wx1c / w0")} AS x1_gap_weighted
+         |FROM a""".stripMargin,
   )
 }

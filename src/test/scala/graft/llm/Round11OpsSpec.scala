@@ -1,0 +1,118 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-11 operators: Kneser–Ney bigram LM (q376),
+  * late-interaction MaxSim retrieval (q378), the filter-cascade
+  * waterfall (q379), cross-source quantile normalization (q375), and
+  * the IPW treatment-effect estimator (q377). */
+class Round11OpsSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("knBigram: finite held-out perplexity, KN discount never yields p<=0") {
+    val r = TextAnalysis.knBigram(docs).collect().head
+    val n = r.getAs[Long]("n_bigrams")
+    val ppl = r.getAs[Double]("held_out_ppl")
+    assert(n > 0)
+    // a ln(0) anywhere would surface as NULL/NaN through the femit route
+    assert(!ppl.isNaN && ppl > 1.0 && ppl.isFinite, s"ppl=$ppl")
+    // unseen contexts exist in any real split but must be a minority
+    val oov = r.getAs[Long]("n_unseen_ctx")
+    assert(oov >= 0 && oov < n)
+    // KN's continuation back-off should not be WORSE than the raw
+    // add-one bigram route on the same split by an order of magnitude
+    assert(ppl < 10000, s"ppl=$ppl looks degenerate")
+  }
+
+  test("maxSimKnn equals the brute-force MaxSim ranking (exact operator)") {
+    val got = Sim.maxSimKnn(emb, nQuery = 3, k = 5)
+      .select("qid", "rnk", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: same subvector decomposition computed independently
+    // via collected arrays
+    val vs = emb.select(col("vec_id"),
+        Sim.asDouble(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def subs(v: Array[Double]) =
+      (0 until 8).map(s => v.slice(s * 8, s * 8 + 8))
+        .filter(sv => math.sqrt(sv.map(x => x * x).sum) > 0.0)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    val expect = (0L until 3L).flatMap { qid =>
+      val qsub = subs(vs(qid))
+      val scored = vs.keys.filter(_ != qid)
+        .filter(did => subs(vs(did)).nonEmpty).map { did =>
+        val dsub = subs(vs(did))
+        val score = qsub.map(q => dsub.map(d => cos(q, d)).max).sum
+        (did, math.floor(score * 1e6 + 0.5) / 1e6)
+      }.toSeq.sortBy { case (did, s) => (-s, did) }.take(5)
+      scored.zipWithIndex.map { case ((did, _), i) =>
+        (qid, (i + 1).toLong, did)
+      }
+    }.toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
+
+  test("filterCascade: waterfall identities hold") {
+    val rows = Curation.filterCascade(docs).collect()
+    assert(rows.length == 5)
+    val total = docs.count()
+    // n_in of stage 1 is the corpus; each stage chains n_out -> n_in
+    assert(rows.head.getAs[Long]("n_in") == total)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"),
+        s"chain broken ${a.getAs[String]("stage")} -> ${b.getAs[String]("stage")}")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_killed"))
+    }
+    val killed = rows.map(_.getAs[Long]("n_killed")).sum
+    assert(killed + rows.last.getAs[Long]("n_out") == total)
+    // the fixture exercises at least two distinct kill stages
+    assert(rows.count(_.getAs[Long]("n_killed") > 0) >= 2,
+      rows.map(r => s"${r.getAs[String]("stage")}=${r.getAs[Long]("n_killed")}")
+        .mkString(","))
+  }
+
+  test("quantileNorm: normalized values land inside the pooled range and " +
+      "per-source means converge to the pooled mean") {
+    val out = graft.rel.Queries.quantileNorm(spark, sf0001).collect()
+    assert(out.length > 1)
+    val stats = docs.agg(min(col("n_chars")), max(col("n_chars")),
+      avg(col("n_chars"))).collect().head
+    val (lo, hi, pooledMean) =
+      (stats.getLong(0), stats.getLong(1), stats.getDouble(2))
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_qnorm") >= lo &&
+        r.getAs[Long]("max_qnorm") <= hi)
+      // quantile normalization aligns SHAPES: each source's normalized
+      // mean sits near the pooled mean even when its raw mean doesn't
+      assert(math.abs(r.getAs[Double]("mean_qnorm") - pooledMean)
+        <= math.abs(r.getAs[Double]("mean_raw") - pooledMean) + 15.0,
+        s"source=${r.getString(0)}")
+    }
+  }
+
+  test("ipwAte: weighting shrinks the covariate gap it targets") {
+    val r = graft.rel.Queries.ipwAte(spark, sf0001).collect().head
+    val nUsers = r.getAs[Long]("n_users")
+    val nTreated = r.getAs[Long]("n_treated")
+    assert(nUsers > 0 && nTreated > 0 && nTreated < nUsers)
+    val rawGap = math.abs(r.getAs[Double]("x1_gap_raw"))
+    val wGap = math.abs(r.getAs[Double]("x1_gap_weighted"))
+    // x1 (ln n_events) drives the propensity, so IPW must improve its
+    // balance (the audit this operator exists to report)
+    assert(wGap <= rawGap + 1e-9, s"raw=$rawGap weighted=$wGap")
+    assert(!r.getAs[Double]("ate_ipw").isNaN)
+  }
+}
