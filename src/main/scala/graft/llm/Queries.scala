@@ -1580,6 +1580,10 @@ object Queries {
     // (see Curation.filterCascade)
     "q379_filter_cascade" -> ((s, dir) =>
       Curation.filterCascade(tbl(s, dir, "documents"))),
+    // RM3 pseudo-relevance-feedback expansion + weighted-BM25 rerank
+    // (see TextAnalysis.rm3Expansion)
+    "q380_rm3_expansion" -> ((s, dir) =>
+      TextAnalysis.rm3Expansion(tbl(s, dir, "documents"))),
     // Tri-modal MAJORITY consensus dedup: pairs flagged by ≥2 of
     // {text MinHash (q18's store), embedding sign-LSH (q94's store),
     // perceptual pHash (q373)} — the majority-vote drop set between
@@ -5329,6 +5333,38 @@ object Queries {
          |  PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk FROM sc)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, n_qtok, score
          |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
+    // Same q76 BM25 core, same dsum-ranked feedback set, same RM1
+    // mass chain wd*tf/dl through dsum, expansion selected by the
+    // femit'd weight with tok tiebreak, same 0.25/0.5-normalized
+    // interpolation literals, final rank by the exact dsum score.
+    "q380_rm3_expansion" -> {
+      val dsumBm =
+        "CAST(CAST(SUM(CAST(CAST(bm25 AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+      val dsumWts =
+        "CAST(CAST(SUM(CAST(CAST(wt * bm25 AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH ${bm25CoreCte(1.2, 0.75)},
+         |ini AS (SELECT doc_id, $dsumBm AS s0 FROM bm
+         |  WHERE tok IN ('spark', 'join') GROUP BY doc_id
+         |  ORDER BY s0 DESC, doc_id ASC LIMIT 10),
+         |stot AS (SELECT ${dsumSql("s0")} AS st FROM ini),
+         |fb AS (SELECT doc_id, s0 / st AS wd FROM ini CROSS JOIN stot),
+         |rm1 AS (SELECT tok,
+         |  ${dsumSql("wd * CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)")} AS rm1
+         |  FROM tf JOIN dl USING (doc_id) JOIN fb USING (doc_id)
+         |  WHERE tok NOT IN ('spark', 'join') GROUP BY tok),
+         |sel AS (SELECT tok, rm1, ${femitSql("rm1")} AS rw FROM rm1
+         |  ORDER BY rw DESC, tok ASC LIMIT 5),
+         |rt AS (SELECT ${dsumSql("rm1")} AS rt FROM sel),
+         |wx AS (SELECT tok, 0.5 * rm1 / rt AS wt FROM sel CROSS JOIN rt),
+         |wo(tok, wt) AS (VALUES ('spark', 0.25), ('join', 0.25)),
+         |wts AS (SELECT tok, wt FROM wo UNION ALL SELECT tok, wt FROM wx),
+         |fin AS (SELECT doc_id, count(*) AS n_terms, $dsumWts AS score
+         |  FROM bm JOIN wts USING (tok) GROUP BY doc_id),
+         |rr AS (SELECT doc_id, n_terms, score, row_number() OVER (
+         |  ORDER BY score DESC, doc_id ASC) AS rnk FROM fin)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms, score
+         |FROM rr WHERE rnk <= 10 ORDER BY rnk""".stripMargin
     },
     // Same ordered first-fail rules (integer cross-multiplied stop
     // ratio, min-doc_id dup flag), same 5-row waterfall algebra.

@@ -286,6 +286,84 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko &amp;
+    * Croft SIGIR 2001's relevance model; the RM3 interpolation of
+    * Abdul-Jaleel et al., TREC 2004 — THE classical query-expansion
+    * baseline IR systems still report against): BM25 top-`fbDocs`
+    * for the original query → RM1 term distribution
+    * P(w|R) = Σ_d w_d·tf(w,d)/|d| with w_d the doc's normalized
+    * retrieval score → top-`fbTerms` expansion terms (ranked by
+    * ROUNDED weight with the term tiebreak, the q207 rule; original
+    * terms excluded) → final weighted-BM25 rescoring with weights
+    * λ·uniform(original) ⊕ (1−λ)·RM1 normalized over the SELECTED
+    * terms (keeps the emitted weights a distribution without the
+    * full-vocab partition function; documented deviation from
+    * textbook RM3's vocab-wide normalizer).
+    *
+    * Determinism: doc scores, rm1 masses, and both normalizers ride
+    * dsum; expansion selection is by femit'd weight; the final
+    * ranking is the q79 rule (exact dsum score, doc_id tiebreak).
+    *
+    * Scale: one tf shuffle (dl/df/stats derive from tf — the q76
+    * plan shape, checkpointed here because FOUR consumers read it);
+    * the feedback set is fbDocs rows and the weight table
+    * |q|+fbTerms rows, both broadcast; the final pass is the q79
+    * weighted-sum scan. No new shuffle shape at any corpus size. */
+  def rm3Expansion(docs: DataFrame,
+                   query: Seq[String] = Seq("spark", "join"),
+                   fbDocs: Int = 10, fbTerms: Int = 5,
+                   lambda: Double = 0.5, kTop: Int = 10): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds dl/df/stats + rm1 + both scoring passes
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val k1 = 1.2; val b = 0.75
+    val bm = tf.join(dl, "doc_id").join(dft, "tok").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        femit(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) +
+              lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
+          .as("bm25"))
+      .localCheckpoint() // initial + final scoring passes
+    val init = bm.where(col("tok").isin(query: _*))
+      .groupBy("doc_id").agg(dsum(col("bm25")).as("s0"))
+      .orderBy(col("s0").desc, col("doc_id").asc).limit(fbDocs)
+      .localCheckpoint() // feeds its own normalizer
+    val fb = init.crossJoin(broadcast(init.agg(dsum(col("s0")).as("st"))))
+      .select(col("doc_id"), (col("s0") / col("st")).as("wd"))
+    val rm1 = tf.join(dl, "doc_id").join(broadcast(fb), "doc_id")
+      .where(!col("tok").isin(query: _*))
+      .groupBy("tok")
+      .agg(dsum(col("wd") * col("tf").cast("double") / col("dl").cast("double"))
+        .as("rm1"))
+    val sel = rm1
+      .withColumn("rw", femit(col("rm1")))
+      .orderBy(col("rw").desc, col("tok").asc).limit(fbTerms)
+      .localCheckpoint() // feeds its own normalizer
+    val selTot = sel.agg(dsum(col("rm1")).as("rt"))
+    val wexp = sel.crossJoin(broadcast(selTot))
+      .select(col("tok"), (lit(1.0 - lambda) * col("rm1") / col("rt")).as("wt"))
+    val worig = query.toDF("tok")
+      .select(col("tok"), lit(lambda / query.size).as("wt"))
+    val weights = worig.unionByName(wexp)
+    val wRank = Window.orderBy(col("score").desc, col("doc_id").asc)
+    bm.join(broadcast(weights), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        dsum(col("wt") * col("bm25")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .select("rnk", "doc_id", "n_terms", "score")
+      .orderBy("rnk")
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     * Models" §A1.1 quality-filter flavor): duplicate-token fraction,
     * duplicate-2-gram fraction, and top-token fraction — the standard

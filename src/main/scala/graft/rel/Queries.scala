@@ -2443,12 +2443,13 @@ object Queries {
     * order equals key-descending order; the within-cell sort uses the
     * EXACT key (the cell function may collapse neighbors). */
   private def ntile2p(per: DataFrame, key: String, cellOf: Column,
-                      asc: Boolean, k: Int, out: String): DataFrame = {
-    val celled = per.select(col("o_custkey"), col(key))
+                      asc: Boolean, k: Int, out: String,
+                      tie: String = "o_custkey"): DataFrame = {
+    val celled = per.select(col(tie), col(key))
       .withColumn("cell",
         (if (asc) cellOf.cast("long") else -cellOf.cast("long")))
     val inCell = Window.partitionBy("cell").orderBy(
-      if (asc) col(key).asc else col(key).desc, col("o_custkey").asc)
+      if (asc) col(key).asc else col(key).desc, col(tie).asc)
     val preCell = Window.orderBy(col("cell").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cellTotals = celled.groupBy("cell").agg(count(lit(1)).as("c_n"))
@@ -2459,7 +2460,7 @@ object Queries {
       .withColumn("rn_in", row_number().over(inCell).cast("long"))
       .join(broadcast(cellTotals), "cell")
       .withColumn("rn", col("off") + col("rn_in"))
-      .select(col("o_custkey"),
+      .select(col(tie),
         expr(s"""CASE WHEN rn <= (n div $k + 1) * (n % $k)
           THEN (rn - 1) div (n div $k + 1) + 1
           ELSE n % $k
@@ -4902,6 +4903,156 @@ object Queries {
           .as("x1_gap_weighted"))
   }
 
+  /** Shapley-value conversion attribution (Shapley 1953 applied to
+    * channel attribution per Zhao et al. 2018, "Shapley Value Methods
+    * for Attribution Modeling" — the game-theoretic successor to
+    * q183's last-touch and q214's position rules, and the only one
+    * that is order-free and efficiency-axiomatic): the "players" are
+    * the marketing channels (`channels`, a declared parameter like
+    * q76's term set — the event-type universe minus the conversion
+    * event), a user's coalition is the SET of channels touched before
+    * their first purchase, v(S) = the observed conversion rate of
+    * users whose coalition is EXACTLY S (unobserved coalitions
+    * contribute v = 0 — the standard empirical characteristic
+    * function), and φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪c) − v(S)).
+    *
+    * Determinism: coalitions are exact bitmasks (channel bit =
+    * position in the declared list); v ratios, the factorial weights
+    * (exact small-integer literals), and the φ fold all ride
+    * dsum/femit.
+    *
+    * Scale: one keyed first-purchase window + one user-grain distinct
+    * + one mask hash-agg; EVERYTHING after runs on the 2^k-row
+    * coalition table (k = |channels| ≤ a handful by construction —
+    * attribution over hundreds of channels uses sampled permutations,
+    * a different operator). No driver-side collect: k is a parameter,
+    * not data. */
+  def shapleyAttribution(s: SparkSession, dir: String,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"))
+      : DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 8, "exact Shapley needs a small channel set")
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val seq0 = ev.select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val firstP = seq0.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("prn"))
+    import s.implicits._
+    val chBit = channels.zipWithIndex.toDF("ch", "bit")
+    val touched = seq0.join(firstP, Seq("user_id"), "left")
+      .where(col("event_type").isin(channels: _*) &&
+        (col("prn").isNull || col("rn") < col("prn")))
+      .select(col("user_id"), col("event_type").as("ch")).distinct()
+    val masks = touched.join(broadcast(chBit), "ch")
+      .groupBy("user_id")
+      .agg(sum(expr("cast(shiftleft(1, bit) as bigint)")).as("mask"))
+    val userSet = ev.select("user_id").distinct()
+      .join(masks, Seq("user_id"), "left")
+      .join(firstP.select(col("user_id"), lit(1L).as("conv")),
+        Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+    val vtab = userSet.groupBy("mask")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val wgtRows = (0 until k).map(m =>
+      (m.toLong, fact(m).toDouble * fact(k - 1 - m).toDouble / fact(k)))
+    val wgt = wgtRows.toDF("m", "wgt")
+    val subsets = s.range(0, 1L << k).toDF("smask")
+      .join(vtab, col("smask") === col("mask"), "left")
+      .select(col("smask"),
+        when(col("n").isNull, lit(0.0))
+          .otherwise(col("nc").cast("double") / col("n").cast("double"))
+          .as("v"),
+        coalesce(col("n"), lit(0L)).as("n_obs"))
+      .localCheckpoint() // 2^k rows; joined twice per channel
+    val vS = subsets.select(col("smask"), col("v"))
+    val v2 = subsets.select(col("smask").as("smask2"), col("v").as("v2"))
+    val terms = broadcast(chBit).crossJoin(vS)
+      .where(expr("shiftright(smask, bit) % 2 = 0"))
+      .withColumn("m", expr("cast(bit_count(smask) as bigint)"))
+      .withColumn("smask2", expr("smask + cast(shiftleft(1, bit) as bigint)"))
+      .join(v2, "smask2")
+      .join(broadcast(wgt), "m")
+    val perCh = terms.groupBy("ch")
+      .agg(dsum(col("wgt") * (col("v2") - col("v"))).as("phi"))
+    val touchCounts = touched.groupBy("ch")
+      .agg(count(lit(1)).as("n_users_touched"))
+    perCh.join(touchCounts, Seq("ch"), "left")
+      .select(col("ch"),
+        coalesce(col("n_users_touched"), lit(0L)).as("n_users_touched"),
+        femit(col("phi")).as("shapley"))
+      .orderBy("ch")
+  }
+
+  /** Qini uplift curve by decile (Radcliffe 2007, "Using control
+    * groups to target on predicted lift" — the treatment-effect twin
+    * of q199's outcome-only gains table): users ranked by a FIXED
+    * uplift score (the q88/q377 fixed-weight convention), cut into 10
+    * equal-count deciles via the exact two-phase [[ntile2p]], and per
+    * decile the treated/control conversion split plus the cumulative
+    * Qini mass cum(conv_t − conv_c·n_t/n_c) — the curve whose area
+    * ranks uplift models. Treatment/outcome definitions are exactly
+    * q377's (first-event click proxy, any-purchase conversion), so
+    * the two rows read together.
+    *
+    * Determinism: the ranking key is the raw logistic score (one
+    * fixed IEEE chain — bit-identical, so ordering matches) with the
+    * user_id tiebreak; decile assignment is [[ntile2p]]'s pure
+    * integer arithmetic; ratios femit at emission; zero-control
+    * deciles emit NULL via nullif on both engines.
+    *
+    * Scale: user-grain agg + the two-phase ntile (keyed cell windows
+    * + an O(cells) offset table) + 10-row curve algebra. */
+  def qiniUplift(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val per = events(s, dir)
+      .where(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1 && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("t"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sv"))
+      .withColumn("u",
+        lit(1.0) / (lit(1.0) + exp(-(lit(0.1)
+          + lit(0.2) * log(col("n_events").cast("double"))
+          - lit(0.3) * (col("sv") / col("n_events").cast("double") / 100.0)))))
+      .localCheckpoint() // feeds the rank pass and the decile join
+    val dec = ntile2p(per, "u", floor(col("u") * 50.0),
+      asc = false, 10, "decile", tie = "user_id")
+    val cells = per.join(dec, "user_id")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("n_t"),
+        sum(lit(1L) - col("t")).as("n_c"),
+        sum(col("t") * col("conv")).as("conv_t"),
+        sum((lit(1L) - col("t")) * col("conv")).as("conv_c"))
+    val cum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("inc",
+        col("conv_t").cast("double") - col("conv_c").cast("double")
+          * col("n_t").cast("double")
+          / nullif(col("n_c").cast("double"), lit(0.0)))
+      .withColumn("qini",
+        sum(col("inc").cast("decimal(38,12)")).over(cum).cast("double"))
+      .select(col("decile"), col("n"), col("n_t"), col("n_c"),
+        col("conv_t"), col("conv_c"),
+        femit(col("conv_t").cast("double")
+          / nullif(col("n_t").cast("double"), lit(0.0))
+          - col("conv_c").cast("double")
+          / nullif(col("n_c").cast("double"), lit(0.0))).as("uplift"),
+        femit(col("qini")).as("qini"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -5113,6 +5264,8 @@ object Queries {
     "q372_raking" -> (raking _),
     "q375_quantile_norm" -> (quantileNorm _),
     "q377_ipw_ate" -> (ipwAte _),
+    "q381_shapley_attribution" -> ((s, dir) => shapleyAttribution(s, dir)),
+    "q382_qini_uplift" -> (qiniUplift _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -9343,5 +9496,87 @@ object Queries {
          |    AS x1_gap_raw,
          |  ${femitSql("wx1t / w1 - wx1c / w0")} AS x1_gap_weighted
          |FROM a""".stripMargin,
+    // Same first-purchase coalition masks over the declared 4-channel
+    // universe, same exact-coalition characteristic function with
+    // v=0 for unobserved sets, same factorial weights as the literal
+    // IEEE divisions m!(k-1-m)!/k!.
+    "q381_shapley_attribution" ->
+      s"""WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+         |sq AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |  ORDER BY ts ASC, event_id ASC) AS rn FROM ev),
+         |fp AS (SELECT user_id, min(rn) AS prn FROM sq
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |cb(ch, bit) AS (VALUES ('click', 0), ('error', 1),
+         |  ('signup', 2), ('view', 3)),
+         |tch AS (SELECT DISTINCT user_id, event_type AS ch
+         |  FROM sq LEFT JOIN fp USING (user_id)
+         |  WHERE event_type IN ('click', 'error', 'signup', 'view')
+         |    AND (prn IS NULL OR rn < prn)),
+         |mk AS (SELECT user_id, CAST(sum(1 << bit) AS BIGINT) AS mask
+         |  FROM tch JOIN cb USING (ch) GROUP BY user_id),
+         |us AS (SELECT coalesce(mask, 0) AS mask,
+         |  CASE WHEN prn IS NOT NULL THEN 1 ELSE 0 END AS conv
+         |  FROM (SELECT DISTINCT user_id FROM ev) u
+         |  LEFT JOIN mk USING (user_id) LEFT JOIN fp USING (user_id)),
+         |vt AS (SELECT mask, count(*) AS n,
+         |  CAST(sum(conv) AS BIGINT) AS nc FROM us GROUP BY mask),
+         |vs AS (SELECT smask, CASE WHEN n IS NULL THEN 0.0
+         |  ELSE CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) END AS v
+         |  FROM (SELECT unnest(range(16)) AS smask) sm
+         |  LEFT JOIN vt ON smask = mask),
+         |wg(m, wgt) AS (VALUES (0, 1.0 * 6.0 / 24.0), (1, 1.0 * 2.0 / 24.0),
+         |  (2, 2.0 * 1.0 / 24.0), (3, 6.0 * 1.0 / 24.0)),
+         |tm AS (SELECT ch, wgt * (v2.v - v1.v) AS term
+         |  FROM cb JOIN vs v1 ON (v1.smask >> bit) % 2 = 0
+         |  JOIN vs v2 ON v2.smask = v1.smask + (1 << bit)
+         |  JOIN wg ON m = bit_count(v1.smask)),
+         |ph AS (SELECT ch, ${dsumSql("term")} AS phi FROM tm GROUP BY ch),
+         |tc AS (SELECT ch, count(*) AS n_users_touched FROM tch GROUP BY ch)
+         |SELECT ph.ch, coalesce(n_users_touched, 0) AS n_users_touched,
+         |  ${femitSql("phi")} AS shapley
+         |FROM ph LEFT JOIN tc USING (ch) ORDER BY ch""".stripMargin,
+    // Same per-user T/conv/score chain as q377/q382's engine side,
+    // ntile(10) over (u DESC, user_id) — the single-window oracle the
+    // two-phase ntile2p must reproduce exactly — and the Qini prefix
+    // sum on the VARCHAR-routed DECIMAL window lattice.
+    "q382_qini_uplift" -> {
+      val wsum = "CAST(CAST(sum(CAST(CAST(inc AS VARCHAR) AS DECIMAL(38,12)))" +
+        " OVER (ORDER BY decile ASC ROWS BETWEEN UNBOUNDED PRECEDING AND" +
+        " CURRENT ROW) AS VARCHAR) AS DOUBLE)"
+      s"""WITH e AS (SELECT user_id, event_id, ts, event_type, value
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |  ORDER BY ts ASC, event_id ASC) AS rn FROM e),
+         |per AS (SELECT user_id,
+         |  max(CASE WHEN rn = 1 AND event_type = 'click'
+         |    THEN 1 ELSE 0 END) AS t,
+         |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sv
+         |  FROM r GROUP BY user_id),
+         |sc AS (SELECT user_id, t, conv,
+         |  1.0 / (1.0 + exp(-(0.1 + 0.2 * ln(CAST(n_events AS DOUBLE))
+         |    - 0.3 * (sv / CAST(n_events AS DOUBLE) / 100.0)))) AS u
+         |  FROM per),
+         |dc AS (SELECT t, conv, ntile(10) OVER (
+         |  ORDER BY u DESC, user_id ASC) AS decile FROM sc),
+         |cl AS (SELECT decile, count(*) AS n,
+         |  CAST(sum(t) AS BIGINT) AS n_t,
+         |  CAST(sum(1 - t) AS BIGINT) AS n_c,
+         |  CAST(sum(t * conv) AS BIGINT) AS conv_t,
+         |  CAST(sum((1 - t) * conv) AS BIGINT) AS conv_c
+         |  FROM dc GROUP BY decile),
+         |w2 AS (SELECT *, CAST(conv_t AS DOUBLE) - CAST(conv_c AS DOUBLE)
+         |  * CAST(n_t AS DOUBLE) / nullif(CAST(n_c AS DOUBLE), 0.0) AS inc
+         |  FROM cl),
+         |w3 AS (SELECT *, $wsum AS qini FROM w2)
+         |SELECT CAST(decile AS BIGINT) AS decile, n, n_t, n_c,
+         |  conv_t, conv_c,
+         |  ${femitSql(
+        "CAST(conv_t AS DOUBLE) / nullif(CAST(n_t AS DOUBLE), 0.0) " +
+          "- CAST(conv_c AS DOUBLE) / nullif(CAST(n_c AS DOUBLE), 0.0)")}
+         |    AS uplift,
+         |  ${femitSql("qini")} AS qini
+         |FROM w3 ORDER BY decile""".stripMargin
+    },
   )
 }

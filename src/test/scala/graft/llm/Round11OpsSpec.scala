@@ -103,6 +103,71 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("rm3Expansion: full top-k, scores non-increasing, expansion reaches " +
+      "docs the raw query cannot") {
+    val rm3 = TextAnalysis.rm3Expansion(docs).collect()
+    assert(rm3.length == 10)
+    val scores = rm3.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+    // docs matched only via expansion terms are the operator's point:
+    // every doc must match at least one weighted term, and the weight
+    // table is wider than the raw query
+    assert(rm3.forall(_.getAs[Long]("n_terms") >= 1))
+    val raw = TextAnalysis.bm25TopK(docs, Seq("spark", "join"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = rm3.map(_.getAs[Long]("doc_id")).toSet
+    assert(got != raw, "expansion left the ranking identical — suspicious")
+  }
+
+  test("shapleyAttribution: efficiency axiom sums phi to v(C) - v(empty)") {
+    val out = graft.rel.Queries.shapleyAttribution(spark, sf0001).collect()
+    assert(out.length == 4)
+    val phiSum = out.map(_.getAs[Double]("shapley")).sum
+    // brute-force v at the two endpoint coalitions
+    val ev = graft.rel.Queries.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+    val byUser = ev.groupBy(_.getLong(0))
+    val chans = Set("click", "error", "signup", "view")
+    val sets = byUser.map { case (u, rows) =>
+      val ordered = rows.sortBy(r =>
+        (r.getTimestamp(2).getTime, r.getLong(1)))
+      val pIdx = ordered.indexWhere(_.getString(3) == "purchase")
+      val pre = if (pIdx < 0) ordered else ordered.take(pIdx)
+      val set = pre.map(_.getString(3)).filter(chans).toSet
+      (set, pIdx >= 0)
+    }
+    def v(s: Set[String]): Double = {
+      val exact = sets.filter(_._1 == s)
+      if (exact.isEmpty) 0.0
+      else exact.count(_._2).toDouble / exact.size
+    }
+    val expect = v(chans) - v(Set.empty)
+    // each phi is femit'd (1e-6 grid): allow 4 rounding granules
+    assert(math.abs(phiSum - expect) < 4e-6,
+      s"sum(phi)=$phiSum expected ${expect}")
+  }
+
+  test("qiniUplift: decile partition + cumulative identity") {
+    val rows = graft.rel.Queries.qiniUplift(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val nUsers = graft.rel.Queries.events(spark, sf0001)
+      .where(col("value").isNotNull).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nUsers)
+    // ntile: sizes differ by at most 1, larger first
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1 && sizes.sorted.reverse.sameElements(sizes))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_t") + r.getAs[Long]("n_c") == r.getAs[Long]("n"))
+    }
+    // the last cumulative qini equals the sum of per-decile increments
+    val incs = rows.map { r =>
+      r.getAs[Long]("conv_t").toDouble -
+        r.getAs[Long]("conv_c").toDouble * r.getAs[Long]("n_t") /
+          r.getAs[Long]("n_c").toDouble
+    }
+    assert(math.abs(rows.last.getAs[Double]("qini") - incs.sum) < 1e-5)
+  }
+
   test("ipwAte: weighting shrinks the covariate gap it targets") {
     val r = graft.rel.Queries.ipwAte(spark, sf0001).collect().head
     val nUsers = r.getAs[Long]("n_users")
