@@ -610,6 +610,150 @@ object Curation {
       .orderBy("split")
   }
 
+  /** Leave-one-source-out ABLATION report (the sufficient-statistics
+    * special case of data valuation — Ghorbani &amp; Zou's Data
+    * Shapley asks this with retraining; a curation pipeline first asks
+    * it for metrics that decompose, where the answer is EXACT and
+    * free): for each source, what happens to the corpus mean quality
+    * score (q24's blend) and the language-distribution entropy if that
+    * source is dropped? Both metrics decompose over rows, so every
+    * ablation is algebra on totals — (Q−Q_s)/(N−n_s) and the 5×5
+    * (source × lang) cell grid — with NO second pass over the data:
+    * the whole report costs one scan + two tiny aggs regardless of
+    * source count, which is why this report is the cheap screen run
+    * BEFORE any retraining-based valuation.
+    *
+    * Determinism: quality is q24's per-row IEEE chain; sums ride dsum;
+    * entropy terms −p·ln p are fixed-order with p&gt;0 guards; deltas
+    * femit.
+    *
+    * Scale: one corpus scan → (source, lang)-cell hash-agg; the
+    * ablation algebra runs on |sources|·|langs| cells. */
+  def sourceAblation(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val ts = expr("filter(split(text, ' ', -1), t -> t != '')")
+    val stopList = graft.llm.TextAnalysis.Stopwords
+    val n = size(ts)
+    val alpha = size(filter(ts, t => t.rlike("^[a-z-_]+$")))
+    val stop = size(filter(ts, t => t.isin(stopList: _*)))
+    val q = lit(0.5) * (alpha.cast("double") / n) +
+      lit(0.3) * (lit(1.0) - stop.cast("double") / n) +
+      lit(0.2) * least(n.cast("double") / lit(64.0), lit(1.0))
+    val cells = docs.select(col("source"), col("lang"), q.as("q"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("c_sl"), dsum(col("q")).as("q_sl"))
+      .localCheckpoint() // feeds lang totals, source totals, global
+    val langTot = cells.groupBy("lang").agg(sum(col("c_sl")).as("c_l"))
+    val srcTot = cells.groupBy("source")
+      .agg(sum(col("c_sl")).as("n_s"), dsum(col("q_sl")).as("q_s"))
+    val glob = cells.agg(sum(col("c_sl")).as("nn"), dsum(col("q_sl")).as("qq"))
+    // full source x lang grid (a source may miss a language entirely)
+    val grid = srcTot.select("source", "n_s")
+      .crossJoin(broadcast(langTot))
+      .join(cells.select(col("source"), col("lang"), col("c_sl")),
+        Seq("source", "lang"), "left")
+      .select(col("source"), col("n_s"), col("lang"), col("c_l"),
+        coalesce(col("c_sl"), lit(0L)).as("c_sl"))
+      .crossJoin(broadcast(glob))
+    val pAbl = (col("c_l") - col("c_sl")).cast("double") /
+      (col("nn") - col("n_s")).cast("double")
+    val pGlob = col("c_l").cast("double") / col("nn").cast("double")
+    val ent = grid
+      .select(col("source"), col("n_s"), col("qq"), col("nn"),
+        when(pAbl > 0.0, -pAbl * log(pAbl)).otherwise(lit(0.0)).as("h_abl"),
+        when(pGlob > 0.0, -pGlob * log(pGlob)).otherwise(lit(0.0)).as("h_g"))
+      .groupBy("source")
+      .agg(min(col("n_s")).as("n_docs"), min(col("qq")).as("qq"),
+        min(col("nn")).as("nn"),
+        dsum(col("h_abl")).as("ent_abl"), dsum(col("h_g")).as("ent_glob"))
+    ent.join(srcTot.select(col("source"), col("q_s")), "source")
+      .select(col("source"), col("n_docs"),
+        femit((col("qq") - col("q_s"))
+          / (col("nn") - col("n_docs")).cast("double")
+          - col("qq") / col("nn").cast("double")).as("delta_mean_quality"),
+        femit(col("ent_abl") - col("ent_glob")).as("delta_lang_entropy"))
+      .orderBy("source")
+  }
+
+  /** WordPiece-style GREEDY LONGEST-MATCH segmentation + per-language
+    * fertility report (Wu et al. 2016 §4.1 — the tokenizer family's
+    * other canonical algorithm next to q174/q206's BPE: BPE replays
+    * merge ORDER, WordPiece matches the longest vocab piece at each
+    * position; HF `tokenizers` ships both). Vocab = every single
+    * character (so segmentation is total — no UNK path) plus every
+    * 2–3-char substring occurring in ≥ `minWords` distinct words (the
+    * unigram-vocab selection). The per-word segmentation runs as an
+    * engine-managed RECURSIVE CTE (the q266 UnionLoop discipline):
+    * the longest-match table lm(word, pos → step) is precomputed as
+    * plain relational algebra (the SQL standard bars aggregates in the
+    * recursive member), so the recursion itself is a pure functional-
+    * graph walk pos → pos+step, depth ≤ max word length.
+    *
+    * Determinism: everything is exact substring/count/integer
+    * arithmetic; the two fertility ratios femit at emission.
+    *
+    * Scale: segmentation runs over DISTINCT words (vocab grain, ≪
+    * corpus — the q174 move); the token stream is touched once to
+    * count occurrences per language; each recursion round is a
+    * shuffle-on-key equi-join against the staged lm table
+    * (localCheckpoint'd before the loop — UnionLoop would otherwise
+    * re-derive it every round, the q266 16s→3s lesson). */
+  def wordpieceFertility(docs: DataFrame, minWords: Int = 4): DataFrame = {
+    import graft.rel.Queries.femit
+    val s = docs.sparkSession
+    val tok = docs
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' ', -1), t -> t != '')")).as("w"))
+    val langW = tok.groupBy("lang", "w").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint() // feeds words AND the final per-lang report
+    val words = langW.select("w").distinct().localCheckpoint()
+    // candidate pieces: all substrings len 1..3 of the distinct words
+    val cand = words.select(col("w"),
+        explode(expr(
+          """flatten(transform(sequence(1, length(w)), p ->
+            |  transform(sequence(1, least(3, length(w) - p + 1)), l ->
+            |    struct(p AS pos, substring(w, p, l) AS piece))))""".stripMargin))
+          .as("c"))
+      .select(col("w"), col("c.pos").as("pos"), col("c.piece").as("piece"))
+      .localCheckpoint() // feeds the vocab census AND the lm build
+    val vocab = cand.where(length(col("piece")) > 1)
+      .select(col("piece"), col("w")).distinct()
+      .groupBy("piece").agg(count(lit(1)).as("nw"))
+      .where(col("nw") >= minWords)
+      .select("piece")
+      .unionByName(cand.where(length(col("piece")) === 1)
+        .select("piece").distinct())
+      .distinct()
+    val lm = cand.join(vocab, "piece")
+      .groupBy("w", "pos").agg(max(length(col("piece"))).as("step"))
+      .localCheckpoint() // staged BEFORE the loop (q266 rule)
+    words.createOrReplaceTempView("graft_q383_words")
+    lm.createOrReplaceTempView("graft_q383_lm")
+    val seg = s.sql(
+      """WITH RECURSIVE seg(w, pos, np) AS (
+        |  SELECT w, 1, 0 FROM graft_q383_words
+        |  UNION ALL
+        |  SELECT s.w, s.pos + l.step, s.np + 1
+        |  FROM seg s JOIN graft_q383_lm l ON l.w = s.w AND l.pos = s.pos
+        |  WHERE s.pos <= length(s.w))
+        |SELECT w, np AS n_pieces FROM seg WHERE pos = length(w) + 1""".stripMargin)
+    langW.join(seg, "w")
+      .groupBy("lang")
+      .agg(sum(col("n_occ")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("n_occ") * col("n_pieces")).as("n_pieces"),
+        sum(when(col("n_pieces") === 1, 1L).otherwise(0L))
+          .as("n_unsegmented_types"),
+        sum(col("n_occ") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_pieces"),
+        col("n_unsegmented_types"),
+        femit(col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+          .as("pieces_per_token"),
+        femit(col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
   /** Quality-filter CASCADE waterfall — the per-stage survival report
     * every C4/Gopher-style curation pipeline publishes (Raffel et al.
     * 2020 §2.2's filter list; Rae et al. 2021 table A1): ordered

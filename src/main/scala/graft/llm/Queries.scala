@@ -1584,6 +1584,21 @@ object Queries {
     // (see TextAnalysis.rm3Expansion)
     "q380_rm3_expansion" -> ((s, dir) =>
       TextAnalysis.rm3Expansion(tbl(s, dir, "documents"))),
+    // WordPiece greedy longest-match segmentation via recursive CTE
+    // + per-language fertility (see Curation.wordpieceFertility)
+    "q383_wordpiece_fertility" -> ((s, dir) =>
+      Curation.wordpieceFertility(tbl(s, dir, "documents"))),
+    // Blocking-quality eval: reduction ratio + pairs completeness per
+    // scheme vs brute-force edit-distance truth (see Dedup.blockingEval)
+    "q384_blocking_eval" -> ((s, dir) => {
+      val titled = tbl(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " ", -1), 1, 5)).as("title"))
+      Dedup.blockingEval(titled, "doc_id", "title")
+    }),
+    // Leave-one-source-out ablation of mean quality + lang entropy
+    // (see Curation.sourceAblation)
+    "q385_source_ablation" -> ((s, dir) =>
+      Curation.sourceAblation(tbl(s, dir, "documents"))),
     // Tri-modal MAJORITY consensus dedup: pairs flagged by ≥2 of
     // {text MinHash (q18's store), embedding sign-LSH (q94's store),
     // perceptual pHash (q373)} — the majority-vote drop set between
@@ -5400,6 +5415,131 @@ object Queries {
          |  ${femitSql("CAST(n_killed AS DOUBLE) / CAST(n_in AS DOUBLE)")}
          |    AS kill_share
          |FROM w2 ORDER BY stage_idx""".stripMargin,
+    // Same distinct-word candidate substrings, same >=4-distinct-word
+    // vocab + all single chars, same precomputed longest-match table,
+    // the IDENTICAL recursive walk text, same occurrence-weighted
+    // per-language fertility sums.
+    "q383_wordpiece_fertility" ->
+      s"""WITH RECURSIVE
+         |tok AS (SELECT lang, t AS w FROM (SELECT lang,
+         |    unnest(string_split(text, ' ')) AS t FROM documents) u
+         |  WHERE t <> ''),
+         |lw AS (SELECT lang, w, count(*) AS n_occ FROM tok GROUP BY lang, w),
+         |words AS (SELECT DISTINCT w FROM lw),
+         |pos0 AS (SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM words),
+         |cd0 AS (SELECT w, pos,
+         |  unnest(range(1, least(3, length(w) - pos + 1) + 1)) AS l FROM pos0),
+         |cand AS (SELECT w, pos, substring(w, pos, l) AS piece FROM cd0),
+         |voc AS (SELECT piece FROM (SELECT piece, count(DISTINCT w) AS nw
+         |    FROM cand WHERE length(piece) > 1 GROUP BY piece) x
+         |  WHERE nw >= 4
+         |  UNION SELECT DISTINCT piece FROM cand WHERE length(piece) = 1),
+         |lm AS (SELECT w, pos, max(length(piece)) AS step
+         |  FROM cand JOIN voc USING (piece) GROUP BY w, pos),
+         |seg(w, pos, np) AS (
+         |  SELECT w, 1, 0 FROM words
+         |  UNION ALL
+         |  SELECT s.w, s.pos + l.step, s.np + 1
+         |  FROM seg s JOIN lm l ON l.w = s.w AND l.pos = s.pos
+         |  WHERE s.pos <= length(s.w)),
+         |fin AS (SELECT w, np AS n_pieces FROM seg WHERE pos = length(w) + 1),
+         |ag AS (SELECT lang, CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(sum(n_occ * n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN n_pieces = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unsegmented_types,
+         |  CAST(sum(n_occ * length(w)) AS BIGINT) AS n_chars
+         |  FROM lw JOIN fin USING (w) GROUP BY lang)
+         |SELECT lang, n_tokens, n_types, n_pieces, n_unsegmented_types,
+         |  ${femitSql("CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+         |    AS pieces_per_token,
+         |  ${femitSql("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)")}
+         |    AS chars_per_piece
+         |FROM ag ORDER BY lang""".stripMargin,
+    // Same <1500 audit slice, same q86 title/key shapes, same exact
+    // counts; levenshtein agrees on both engines (q86 precedent).
+    "q384_blocking_eval" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  array_to_string((string_split(text, ' '))[1:5], ' ') AS s
+         |  FROM documents WHERE doc_id < 1500),
+         |tr AS (SELECT a.id AS d1, b.id AS d2 FROM t a JOIN t b
+         |  ON a.id < b.id AND levenshtein(a.s, b.s) <= 10),
+         |cen AS (SELECT (SELECT count(*) FROM t) AS n_records,
+         |  (SELECT count(*) FROM tr) AS n_true_pairs),
+         |k1 AS (SELECT id, string_split(s, ' ')[1] || ':' ||
+         |  CAST(length(s) // 4 AS VARCHAR) AS bk FROM t),
+         |k2 AS (SELECT id, string_split(s, ' ')[-1] || ':' ||
+         |  CAST(length(s) // 4 AS VARCHAR) AS bk FROM t),
+         |c1 AS (SELECT a.id AS d1, b.id AS d2 FROM k1 a JOIN k1 b
+         |  ON a.bk = b.bk AND a.id < b.id),
+         |c2 AS (SELECT a.id AS d1, b.id AS d2 FROM k2 a JOIN k2 b
+         |  ON a.bk = b.bk AND a.id < b.id),
+         |cu AS (SELECT d1, d2 FROM c1 UNION SELECT d1, d2 FROM c2),
+         |u AS (
+         |  SELECT 'first_tok_len4' AS scheme,
+         |    (SELECT count(*) FROM c1) AS n_cand_pairs,
+         |    (SELECT count(*) FROM c1 JOIN tr USING (d1, d2)) AS n_found
+         |  UNION ALL
+         |  SELECT 'last_tok_len4',
+         |    (SELECT count(*) FROM c2),
+         |    (SELECT count(*) FROM c2 JOIN tr USING (d1, d2))
+         |  UNION ALL
+         |  SELECT 'union_first_last',
+         |    (SELECT count(*) FROM cu),
+         |    (SELECT count(*) FROM cu JOIN tr USING (d1, d2)))
+         |SELECT scheme, n_records, n_true_pairs, n_cand_pairs, n_found,
+         |  ${femitSql("1.0 - CAST(n_cand_pairs AS DOUBLE) / " +
+        "(CAST(n_records AS DOUBLE) * CAST(n_records - 1 AS DOUBLE) / 2.0)")}
+         |    AS reduction_ratio,
+         |  ${femitSql("CAST(n_found AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)")}
+         |    AS pair_completeness
+         |FROM u CROSS JOIN cen ORDER BY scheme""".stripMargin,
+    // Same q24 quality chain, same (source x lang) sufficient-
+    // statistics grid, same -p ln p guards and fixed-order deltas.
+    "q385_source_ablation" ->
+      s"""WITH t AS (SELECT source, lang,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |f AS (SELECT source, lang,
+         |  0.5 * (CAST(len(list_filter(ts,
+         |      t -> regexp_full_match(t, '^[a-z-_]+$$'))) AS DOUBLE) / len(ts))
+         |  + 0.3 * (1.0 - CAST(len(list_filter(ts,
+         |      t -> list_contains(['the','of','and','to','in','a','is',
+         |        'for','on','with'], t))) AS DOUBLE) / len(ts))
+         |  + 0.2 * least(CAST(len(ts) AS DOUBLE) / 64.0, 1.0) AS q FROM t),
+         |cells AS (SELECT source, lang, count(*) AS c_sl,
+         |  ${dsumSql("q")} AS q_sl FROM f GROUP BY source, lang),
+         |lt AS (SELECT lang, CAST(sum(c_sl) AS BIGINT) AS c_l
+         |  FROM cells GROUP BY lang),
+         |st2 AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS n_s,
+         |  ${dsumSql("q_sl")} AS q_s FROM cells GROUP BY source),
+         |g AS (SELECT CAST(sum(c_sl) AS BIGINT) AS nn,
+         |  ${dsumSql("q_sl")} AS qq FROM cells),
+         |grid AS (SELECT s2.source, s2.n_s, lt.lang, lt.c_l,
+         |  coalesce(c.c_sl, 0) AS c_sl, g.nn, g.qq
+         |  FROM st2 s2 CROSS JOIN lt
+         |  LEFT JOIN cells c ON c.source = s2.source AND c.lang = lt.lang
+         |  CROSS JOIN g),
+         |e AS (SELECT source, n_s, nn, qq,
+         |  CASE WHEN CAST(c_l - c_sl AS DOUBLE) / CAST(nn - n_s AS DOUBLE) > 0.0
+         |    THEN -(CAST(c_l - c_sl AS DOUBLE) / CAST(nn - n_s AS DOUBLE))
+         |      * ln(CAST(c_l - c_sl AS DOUBLE) / CAST(nn - n_s AS DOUBLE))
+         |    ELSE 0.0 END AS h_abl,
+         |  CASE WHEN CAST(c_l AS DOUBLE) / CAST(nn AS DOUBLE) > 0.0
+         |    THEN -(CAST(c_l AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * ln(CAST(c_l AS DOUBLE) / CAST(nn AS DOUBLE))
+         |    ELSE 0.0 END AS h_g
+         |  FROM grid),
+         |ag AS (SELECT source, min(n_s) AS n_docs, min(qq) AS qq,
+         |  min(nn) AS nn, ${dsumSql("h_abl")} AS ent_abl,
+         |  ${dsumSql("h_g")} AS ent_glob
+         |  FROM e GROUP BY source)
+         |SELECT ag.source, n_docs,
+         |  ${femitSql("(qq - q_s) / CAST(nn - n_docs AS DOUBLE) " +
+        "- qq / CAST(nn AS DOUBLE)")} AS delta_mean_quality,
+         |  ${femitSql("ent_abl - ent_glob")} AS delta_lang_entropy
+         |FROM ag JOIN st2 ON st2.source = ag.source
+         |ORDER BY ag.source""".stripMargin,
     // Brute-force Hamming join (see phashPairsOracle scaladoc: at
     // maxDist=3 brute force IS the lossless-LSH output).
     "q373_perceptual_neardup" ->

@@ -168,6 +168,60 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(rows.last.getAs[Double]("qini") - incs.sum) < 1e-5)
   }
 
+  test("wordpieceFertility: segmentation is total and piece counts bounded") {
+    val rows = Curation.wordpieceFertility(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppt = r.getAs[Double]("pieces_per_token")
+      val cpp = r.getAs[Double]("chars_per_piece")
+      // every word segments fully (single chars are always in vocab):
+      // 1 <= pieces/token and 1 <= chars/piece <= 3 (max piece length)
+      assert(ppt >= 1.0, s"ppt=$ppt")
+      assert(cpp >= 1.0 && cpp <= 3.0, s"cpp=$cpp")
+      assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("blockingEval: metric identities and the union dominance") {
+    val rows = Dedup.blockingEval(
+      docs.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " ", -1), 1, 5)).as("title")),
+      "doc_id", "title").collect()
+      .map(r => r.getAs[String]("scheme") -> r).toMap
+    assert(rows.size == 3)
+    rows.values.foreach { r =>
+      val rr = r.getAs[Double]("reduction_ratio")
+      assert(rr >= 0.0 && rr <= 1.0)
+      assert(r.getAs[Long]("n_found") <=
+        math.min(r.getAs[Long]("n_cand_pairs"), r.getAs[Long]("n_true_pairs")))
+    }
+    val u = rows("union_first_last"); val f = rows("first_tok_len4")
+    val l = rows("last_tok_len4")
+    // the union can only find MORE true pairs than either scheme alone
+    assert(u.getAs[Long]("n_found") >=
+      math.max(f.getAs[Long]("n_found"), l.getAs[Long]("n_found")))
+    assert(u.getAs[Long]("n_cand_pairs") <=
+      f.getAs[Long]("n_cand_pairs") + l.getAs[Long]("n_cand_pairs"))
+  }
+
+  test("sourceAblation: deltas match the brute-force recompute off q24 scores") {
+    val out = Curation.sourceAblation(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val perDoc = TextAnalysis.qualityScore(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "quality").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val n = perDoc.length.toLong
+    val tot = perDoc.map(_._2).sum
+    assert(out.values.map(_.getAs[Long]("n_docs")).sum == n)
+    out.foreach { case (src, row) =>
+      val mine = perDoc.filter(_._1 == src)
+      val exp = (tot - mine.map(_._2).sum) / (n - mine.length) - tot / n
+      assert(math.abs(row.getAs[Double]("delta_mean_quality") - exp) < 2e-6,
+        s"$src: got ${row.getAs[Double]("delta_mean_quality")} expected $exp")
+    }
+  }
+
   test("ipwAte: weighting shrinks the covariate gap it targets") {
     val r = graft.rel.Queries.ipwAte(spark, sf0001).collect().head
     val nUsers = r.getAs[Long]("n_users")
