@@ -5053,6 +5053,76 @@ object Queries {
       .orderBy("decile")
   }
 
+  /** ROC-AUC with a derandomized Poisson-bootstrap confidence interval
+    * — q166's point estimate composed with q346's bootstrap machinery
+    * (Chamandy et al. 2012), answering the question a model report
+    * actually needs: is 0.61 AUC distinguishable from coin-flip at
+    * this sample size? Each of B=40 replicates reweights every event
+    * by the same fnv-inverted Poisson(1) draw as q346 (event-keyed —
+    * replicate b's weight for an event is identical across queries,
+    * the derandomization contract), and the WEIGHTED Mann–Whitney AUC
+    * is exact under integer weights: a tied score group with weighted
+    * counts (W, P) takes average rank W_before + (W+1)/2 — precisely
+    * the value the expanded-row computation would give, so each
+    * replicate's AUC equals q166 run on the resampled multiset.
+    *
+    * Determinism: weights are exact integers off the fnv ladder; rank
+    * prefix sums are integer windows PARTITIONED BY REPLICATE (never a
+    * global window over data — the score table is value-grain, ×B);
+    * the CI takes order statistics 2/B−1 of bit-deterministic doubles
+    * with the replicate id tiebreak (q346's rule).
+    *
+    * Scale: the raw stream reduces once to one row per (score, class)
+    * — everything after is (distinct scores × B) cells; at production
+    * scale distinct scores pre-bin like any monitoring metric. */
+  def aucBootstrap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val B = 40
+    val perScore = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("value").as("score"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
+    val u = graft.functions.HashExprs.fnv1a32(
+      "concat(cast(event_id as string), ':', cast(b as string), ':boot')")
+      .cast("double") / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val cells = perScore.withColumn("w", w)
+      .groupBy("b", "score")
+      .agg(sum(col("w")).as("cnt"), sum(col("w") * col("pos")).as("poscnt"))
+      .where(col("cnt") > 0)
+    val pre = Window.partitionBy("b").orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val reps = cells
+      .withColumn("wb", coalesce(sum(col("cnt")).over(pre), lit(0L)))
+      .withColumn("avg_rank",
+        col("wb").cast("double") + (col("cnt") + 1L).cast("double") / 2.0)
+      .groupBy("b")
+      .agg(sum(col("poscnt")).as("np"), sum(col("cnt") - col("poscnt")).as("nn"),
+        dsum(col("poscnt").cast("double") * col("avg_rank")).as("rpos"))
+      .select(col("b"),
+        ((col("rpos") - col("np").cast("double")
+          * (col("np") + 1L).cast("double") / 2.0)
+          / nullif(col("np").cast("double") * col("nn").cast("double"),
+            lit(0.0))).as("auc_b"))
+    val byAuc = Window.orderBy(col("auc_b").asc_nulls_last, col("b").asc)
+    val ci = reps.withColumn("r", row_number().over(byAuc))
+      .agg(min(when(col("r") === 2, col("auc_b"))).as("lo"),
+        min(when(col("r") === B - 1, col("auc_b"))).as("hi"))
+    rocAuc(s, dir).select(col("n_pos"), col("n_neg"), col("auc"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_pos"), col("n_neg"), lit(B.toLong).as("n_replicates"),
+        col("auc").as("auc_point"),
+        femit(col("lo")).as("ci_lo"), femit(col("hi")).as("ci_hi"),
+        (femit(col("lo")) > 0.5).as("separable_at_95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -5266,6 +5336,7 @@ object Queries {
     "q377_ipw_ate" -> (ipwAte _),
     "q381_shapley_attribution" -> ((s, dir) => shapleyAttribution(s, dir)),
     "q382_qini_uplift" -> (qiniUplift _),
+    "q386_auc_bootstrap" -> (aucBootstrap _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -9496,6 +9567,65 @@ object Queries {
          |    AS x1_gap_raw,
          |  ${femitSql("wx1t / w1 - wx1c / w0")} AS x1_gap_weighted
          |FROM a""".stripMargin,
+    // Same q346 Poisson weight ladder keyed (event_id:b:boot), same
+    // weighted tied-rank identity per replicate (prefix window
+    // PARTITIONED BY b), same 2/39 order statistics with NULLS LAST,
+    // and q166's exact point-estimate chain riding along.
+    "q386_auc_bootstrap" -> {
+      val u = s"CAST(${graft.llm.Queries.fnvSql(
+        "(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':boot')")} AS DOUBLE) / 4294967296.0"
+      s"""WITH rep AS (SELECT value AS score, event_id,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         |  unnest(range(40)) AS b FROM events WHERE value IS NOT NULL),
+         |wt AS (SELECT score, b, pos,
+         |  CASE WHEN u < 0.36787944117144233 THEN 0
+         |    WHEN u < 0.7357588823428847 THEN 1
+         |    WHEN u < 0.9196986029286058 THEN 2
+         |    WHEN u < 0.9810118431238462 THEN 3
+         |    WHEN u < 0.9963401531726563 THEN 4
+         |    WHEN u < 0.9994058151824183 THEN 5
+         |    ELSE 6 END AS w
+         |  FROM (SELECT score, event_id, pos, b, $u AS u FROM rep) x),
+         |cl AS (SELECT b, score, CAST(sum(w) AS BIGINT) AS cnt,
+         |  CAST(sum(w * pos) AS BIGINT) AS poscnt FROM wt
+         |  GROUP BY b, score HAVING sum(w) > 0),
+         |rr AS (SELECT b, score, cnt, poscnt,
+         |  coalesce(CAST(sum(cnt) OVER (PARTITION BY b ORDER BY score ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |    0) AS wb FROM cl),
+         |ab0 AS (SELECT b, CAST(sum(poscnt) AS BIGINT) AS np,
+         |  CAST(sum(cnt - poscnt) AS BIGINT) AS nn,
+         |  ${dsumSql("CAST(poscnt AS DOUBLE) * " +
+        "(CAST(wb AS DOUBLE) + CAST(cnt + 1 AS DOUBLE) / 2.0)")} AS rpos
+         |  FROM rr GROUP BY b),
+         |ab AS (SELECT b,
+         |  (rpos - CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0)
+         |    / nullif(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE), 0.0) AS auc_b
+         |  FROM ab0),
+         |rk AS (SELECT b, auc_b, row_number() OVER (
+         |  ORDER BY auc_b ASC NULLS LAST, b ASC) AS r FROM ab),
+         |ci AS (SELECT min(CASE WHEN r = 2 THEN auc_b END) AS lo,
+         |  min(CASE WHEN r = 39 THEN auc_b END) AS hi FROM rk),
+         |g AS (SELECT value AS score, count(*) AS cnt,
+         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS poscnt
+         |  FROM events GROUP BY value),
+         |r2 AS (SELECT score, cnt, poscnt,
+         |  coalesce(sum(cnt) OVER (ORDER BY score ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS cum_before FROM g),
+         |a2 AS (SELECT CAST(sum(poscnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(cnt - poscnt) AS BIGINT) AS n_neg,
+         |  ${dsumSql("CAST(poscnt AS DOUBLE) * (CAST(cum_before AS DOUBLE)" +
+        " + CAST(cnt + 1 AS DOUBLE) / 2.0)")} AS rpos FROM r2),
+         |pt AS (SELECT n_pos, n_neg,
+         |  ${femitSql("(rpos - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)" +
+        " / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")} AS auc FROM a2)
+         |SELECT n_pos, n_neg, CAST(40 AS BIGINT) AS n_replicates,
+         |  auc AS auc_point, ${femitSql("lo")} AS ci_lo,
+         |  ${femitSql("hi")} AS ci_hi,
+         |  ${femitSql("lo")} > 0.5 AS separable_at_95
+         |FROM pt CROSS JOIN ci""".stripMargin
+    },
     // Same first-purchase coalition masks over the declared 4-channel
     // universe, same exact-coalition characteristic function with
     // v=0 for unobserved sets, same factorial weights as the literal

@@ -550,6 +550,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q373 perceptual candidates are one grouped shuffle, no self-join (r11)") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val p = finalPlan(llm.Multimodal.perceptualNearDups(docs, maxDist = 3))
+        .split("== Initial Plan ==").head
+      // banded signatures shuffle on (band, bval) for the size census +
+      // the bucket expansion — the q36/q54 grouped shape, never a
+      // signature-side SortMergeJoin pair blowup
+      assert(!p.contains("SortMergeJoin") || p.contains("hashpartitioning(band"),
+        p.take(1500))
+      assert("hashpartitioning\\(band".r.findAllIn(p.toLowerCase).size >= 1,
+        p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q378 maxsim broadcasts the query side — corpus streams once, no pair table (r11)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val p = finalPlan(llm.Sim.maxSimKnn(emb, nQuery = 5, k = 5))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query subvectors must broadcast\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus side must not shuffle to meet the 40-row query table\n" + p.take(1200))
+  }
+
   test("q348/q352 bounded-sample kernels broadcast the small side (r10)") {
     // Both ops are one-pass streams against a broadcast bounded batch;
     // a SortMergeJoin or CartesianProduct means the corpus shuffled to

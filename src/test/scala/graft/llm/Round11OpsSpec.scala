@@ -222,6 +222,17 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("aucBootstrap: CI is ordered and brackets the point estimate loosely") {
+    val r = graft.rel.Queries.aucBootstrap(spark, sf0001).collect().head
+    val (pt, lo, hi) = (r.getAs[Double]("auc_point"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo <= hi, s"lo=$lo hi=$hi")
+    // 38/40 of the replicate mass lies between the order statistics;
+    // the point estimate sits inside a slightly padded band
+    assert(pt >= lo - 0.05 && pt <= hi + 0.05, s"pt=$pt not near [$lo, $hi]")
+    assert(r.getAs[Long]("n_replicates") == 40L)
+  }
+
   test("ipwAte: weighting shrinks the covariate gap it targets") {
     val r = graft.rel.Queries.ipwAte(spark, sf0001).collect().head
     val nUsers = r.getAs[Long]("n_users")
