@@ -610,6 +610,52 @@ object Curation {
       .orderBy("split")
   }
 
+  /** Randomized response (Warner, JASA 1965 — the LOCAL-privacy
+    * mechanism every DP survey starts from, and the one a telemetry
+    * pipeline implements first): each user reports their true binary
+    * ("ever purchased") kept with probability p = 0.75 and flipped
+    * with 1−p via a coin, and the analyst debiases the observed rate
+    * through π̂ = (rate_obs − (1−p)) / (2p − 1). The output carries
+    * the true rate, the observed rate, the debiased estimate, and the
+    * absolute debiasing error — the pipeline-correctness audit.
+    *
+    * HONESTY (the q324 dpCounts note applies verbatim): the coin here
+    * is fnv-DERANDOMIZED (u = fnv(user:rr)/2³²) so the gate can check
+    * the mechanism bit-for-bit — which means it provides ZERO actual
+    * privacy (the "noise" is a public function of the user id). This
+    * operator certifies the MECHANISM and the DEBIASING algebra; a
+    * production deployment swaps the coin for a real RNG and loses
+    * nothing but the oracle.
+    *
+    * Scale: one user-grain agg + a 1-row combine. */
+  def randomizedResponse(ev: DataFrame, p: Double = 0.75): DataFrame = {
+    import graft.rel.Queries.femit
+    graft.functions.HashExprs.register(ev.sparkSession)
+    val per = ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("truth"))
+      .withColumn("u", graft.functions.HashExprs
+        .fnv1a32("concat(cast(user_id as string), ':rr')")
+        .cast("double") / lit(4294967296.0))
+      .withColumn("report",
+        when(col("u") < lit(p), col("truth"))
+          .otherwise(lit(1L) - col("truth")))
+    per.agg(count(lit(1)).as("n_users"),
+        sum(col("truth")).as("n_true"),
+        sum(col("report")).as("n_reported"))
+      .select(col("n_users"), col("n_true"), col("n_reported"),
+        femit(col("n_true").cast("double") / col("n_users").cast("double"))
+          .as("pi_true"),
+        femit((col("n_reported").cast("double")
+          / col("n_users").cast("double") - lit(1.0 - p))
+          / lit(2.0 * p - 1.0)).as("pi_hat"),
+        femit(abs((col("n_reported").cast("double")
+          / col("n_users").cast("double") - lit(1.0 - p))
+          / lit(2.0 * p - 1.0)
+          - col("n_true").cast("double") / col("n_users").cast("double")))
+          .as("abs_err"))
+  }
+
   /** Leave-one-source-out ABLATION report (the sufficient-statistics
     * special case of data valuation — Ghorbani &amp; Zou's Data
     * Shapley asks this with retraining; a curation pipeline first asks

@@ -242,6 +242,82 @@ object Multimodal {
       .distinct()
   }
 
+  /** Per-frame content fingerprints with LOCALITY across partially
+    * overlapping media: frame i = the i-th `seg`-token window of the
+    * payload's text twin, fingerprint = fnv of the joined segment.
+    * ==STUB== a real decoder hashes decoded frame CONTENT; two videos
+    * sharing scenes share frame hashes. [[frameSample]]'s q61 stub
+    * (fnv of text:index) has no such locality — fine for the sampling
+    * PLUMBING it gates, useless for dedup, which is the whole reason
+    * this extractor derives the fingerprint from the SEGMENT: texts
+    * that overlap partially share segment fingerprints exactly the
+    * way overlapping videos share frame hashes. A real decoder swaps
+    * in at this one projection. */
+  def frameFingerprints(docs: DataFrame, seg: Int = 4): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' ', -1), t -> t != '')").as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, (size(ts) + ${seg - 1}) div $seg - 1),
+             |  i -> array_join(slice(ts, i * $seg + 1, $seg), ' '))"""
+            .stripMargin)).as("segtxt"))
+      .select(col("doc_id"),
+        graft.functions.HashExprs.fnv1a32("segtxt").as("sig"))
+      .distinct()
+  }
+
+  /** Video near-dup by frame-fingerprint CONTAINMENT — the multimodal
+    * dedup family's sequence-level member (q373 matches one global
+    * perceptual hash; this matches the SET of per-frame fingerprints,
+    * which is how production video dedup actually runs: match sampled
+    * frame hashes through an inverted index, score the overlap):
+    * candidate pairs = videos sharing ≥1 fingerprint (ONE grouped
+    * shuffle on sig — the inverted-index join, never pair
+    * enumeration), score = |shared| / min(|A|, |B|) (containment, so
+    * a clip embedded in a longer video still scores 1), emit pairs at
+    * ≥ tau.
+    *
+    * Scale: the q36 bucket discipline — per-sig buckets ≤ maxBucket
+    * expand in-task, larger ones spill through the lossless salted
+    * self-join ([[graft.llm.Dedup.SpillSalts]]); the per-pair
+    * hash-agg is bounded by shared-frame pairs, not video pairs. */
+  def frameNearDups(docs: DataFrame, seg: Int = 4, tau: Double = 0.5,
+                    maxBucket: Int = 10000): DataFrame = {
+    import graft.llm.Dedup.SpillSalts
+    import graft.rel.Queries.femit
+    val fp = frameFingerprints(docs, seg).localCheckpoint()
+    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val bsz = fp.groupBy("sig").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > 1)
+    val withSz = fp.join(bsz, "sig")
+    val small = withSz.where(col("bsz") <= maxBucket)
+      .groupBy("sig").agg(collect_list(col("doc_id")).as("xs"))
+      .select(explode(col("xs")).as("d1"), col("xs"))
+      .select(col("d1"), explode(col("xs")).as("d2"))
+      .where(col("d1") < col("d2"))
+    val big = withSz.where(col("bsz") > maxBucket)
+    val bigA = big.withColumn("salt",
+      pmod(hash(col("doc_id")), lit(SpillSalts)))
+    val bigB = big.select(col("sig"), col("doc_id").as("d2"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SpillSalts - 1))))
+    val bigPairs = bigA.join(bigB, Seq("sig", "salt"))
+      .where(col("doc_id") < col("d2"))
+      .select(col("doc_id").as("d1"), col("d2"))
+    small.unionAll(bigPairs)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .join(nf.select(col("doc_id").as("d1"), col("nf").as("nfa")), "d1")
+      .join(nf.select(col("doc_id").as("d2"), col("nf").as("nfb")), "d2")
+      .where(col("n_shared").cast("double")
+        / least(col("nfa"), col("nfb")).cast("double") >= tau)
+      .select(col("d1"), col("d2"), col("n_shared"),
+        col("nfa"), col("nfb"),
+        femit(col("n_shared").cast("double")
+          / least(col("nfa"), col("nfb")).cast("double")).as("containment"))
+  }
+
   /** Oracle-facing metadata projection (no stubbed values — byte/char
     * lengths are real and SQL-checkable). */
   def metadata(docs: DataFrame): DataFrame =

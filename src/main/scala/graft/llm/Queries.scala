@@ -1599,6 +1599,15 @@ object Queries {
     // (see Curation.sourceAblation)
     "q385_source_ablation" -> ((s, dir) =>
       Curation.sourceAblation(tbl(s, dir, "documents"))),
+    // Video near-dup by frame-fingerprint containment through the
+    // inverted-index join (see Multimodal.frameNearDups)
+    "q388_frame_neardup" -> ((s, dir) =>
+      Multimodal.frameNearDups(tbl(s, dir, "documents"))
+        .orderBy("d1", "d2")),
+    // Warner randomized response with derandomized coin + debiasing
+    // audit (see Curation.randomizedResponse; q324 honesty note)
+    "q389_randomized_response" -> ((s, dir) =>
+      Curation.randomizedResponse(graft.rel.Queries.events(s, dir))),
     // Tri-modal MAJORITY consensus dedup: pairs flagged by ≥2 of
     // {text MinHash (q18's store), embedding sign-LSH (q94's store),
     // perceptual pHash (q373)} — the majority-vote drop set between
@@ -5540,6 +5549,52 @@ object Queries {
          |  ${femitSql("ent_abl - ent_glob")} AS delta_lang_entropy
          |FROM ag JOIN st2 ON st2.source = ag.source
          |ORDER BY ag.source""".stripMargin,
+    // Same segment fingerprints (4-token windows through fnv), same
+    // inverted-index pair counts, same containment threshold.
+    "q388_frame_neardup" ->
+      s"""WITH t3 AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |sg AS (SELECT doc_id, array_to_string(ts[i*4+1 : i*4+4], ' ')
+         |    AS segtxt
+         |  FROM (SELECT doc_id, ts, unnest(range((len(ts) + 3) // 4)) AS i
+         |    FROM t3 WHERE len(ts) > 0) x),
+         |fp AS (SELECT DISTINCT doc_id, ${fnvSql("segtxt")} AS sig FROM sg),
+         |nf AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |  FROM fp a JOIN fp b ON a.sig = b.sig AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT d1, d2, n_shared, na.nf AS nfa, nb.nf AS nfb
+         |  FROM pr JOIN nf na ON na.doc_id = pr.d1
+         |  JOIN nf nb ON nb.doc_id = pr.d2)
+         |SELECT d1, d2, n_shared, nfa, nfb,
+         |  ${femitSql("CAST(n_shared AS DOUBLE) / CAST(least(nfa, nfb) AS DOUBLE)")}
+         |    AS containment
+         |FROM j
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(least(nfa, nfb) AS DOUBLE) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+    // Same per-user truth flag, same fnv(user:rr) coin at p=0.75, same
+    // debiasing literals 0.25 / 0.5.
+    "q389_randomized_response" -> {
+      val u = s"CAST(${fnvSql("(CAST(user_id AS VARCHAR) || \':rr\')")} AS DOUBLE) / 4294967296.0"
+      s"""WITH per AS (SELECT user_id,
+         |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS truth
+         |  FROM events GROUP BY user_id),
+         |c AS (SELECT truth,
+         |  CASE WHEN $u < 0.75 THEN truth ELSE 1 - truth END AS report
+         |  FROM per),
+         |a AS (SELECT count(*) AS n_users,
+         |  CAST(sum(truth) AS BIGINT) AS n_true,
+         |  CAST(sum(report) AS BIGINT) AS n_reported FROM c)
+         |SELECT n_users, n_true, n_reported,
+         |  ${femitSql("CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE)")}
+         |    AS pi_true,
+         |  ${femitSql("(CAST(n_reported AS DOUBLE) / CAST(n_users AS DOUBLE) - 0.25) / 0.5")}
+         |    AS pi_hat,
+         |  ${femitSql("abs((CAST(n_reported AS DOUBLE) / CAST(n_users AS DOUBLE) - 0.25) / 0.5" +
+        " - CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE))")} AS abs_err
+         |FROM a""".stripMargin
+    },
     // Brute-force Hamming join (see phashPairsOracle scaladoc: at
     // maxDist=3 brute force IS the lossless-LSH output).
     "q373_perceptual_neardup" ->

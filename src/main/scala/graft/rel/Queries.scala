@@ -5123,6 +5123,70 @@ object Queries {
         (femit(col("lo")) > 0.5).as("separable_at_95"))
   }
 
+  /** STL-style decomposition STRENGTH diagnostics for the daily event
+    * series (Cleveland et al. 1990's trend/seasonal/remainder split in
+    * its closed moving-average form; the strength statistics are
+    * Wang, Smith &amp; Hyndman 2006's F_trend = max(0, 1 −
+    * Var(R)/Var(T+R)) and F_seasonal = max(0, 1 − Var(R)/Var(S+R)) —
+    * the two numbers a forecasting pipeline reads before choosing a
+    * model class, complementing q272's Holt–Winters fit and q193's
+    * raw seasonal index): trend = centered 7-day moving average over
+    * the gap-filled day spine (edges with incomplete windows dropped —
+    * the classic convention), seasonal = day-of-week means of the
+    * detrended series re-centered to sum 0, remainder = the rest.
+    *
+    * Determinism: the spine is exact epoch-day integers (q129/q128);
+    * the MA, dow means, recentering, and all three variances ride
+    * dsum; the two F statistics are fixed-order chains femit'd.
+    *
+    * Scale: one day-grain aggregate (map-side combined); every window
+    * after that runs on the bounded day spine (the q194 class — days,
+    * not rows). */
+  def stlStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = bounds
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).cast("double").as("y"))
+    val ma = Window.orderBy(col("day").asc).rowsBetween(-3, 3)
+    val cnt7 = count(lit(1)).over(ma)
+    val detr = spine
+      .withColumn("t",
+        when(cnt7 === 7,
+          sum(col("y").cast("decimal(38,12)")).over(ma).cast("double")
+            / lit(7.0)))
+      .where(col("t").isNotNull)
+      .withColumn("d", col("y") - col("t"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .localCheckpoint() // feeds dow means, recenter, and variances
+    val dowMean = detr.groupBy("dow")
+      .agg((dsum(col("d")) / count(lit(1)).cast("double")).as("s0"))
+    val sBar = dowMean.agg(
+      (dsum(col("s0")) / count(lit(1)).cast("double")).as("sb"))
+    val comp = detr.join(broadcast(dowMean), "dow")
+      .crossJoin(broadcast(sBar))
+      .withColumn("sv", col("s0") - col("sb"))
+      .withColumn("r", col("d") - col("sv"))
+      .localCheckpoint() // three variance aggregates below
+    def varOf(c: Column) = {
+      val n = count(lit(1)).cast("double")
+      (dsum(c * c) - dsum(c) * dsum(c) / n) / n
+    }
+    comp.agg(count(lit(1)).as("n_days"),
+        varOf(col("r")).as("vr"),
+        varOf(col("y") - col("sv")).as("vts"), // deseasonalized = T+R
+        varOf(col("sv") + col("r")).as("vsr"))
+      .select(col("n_days"),
+        femit(greatest(lit(0.0), lit(1.0) - col("vr") / col("vts")))
+          .as("f_trend"),
+        femit(greatest(lit(0.0), lit(1.0) - col("vr") / col("vsr")))
+          .as("f_seasonal"),
+        femit(col("vr")).as("var_remainder"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_engine_probe" -> (engineProbe _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -5337,6 +5401,7 @@ object Queries {
     "q381_shapley_attribution" -> ((s, dir) => shapleyAttribution(s, dir)),
     "q382_qini_uplift" -> (qiniUplift _),
     "q386_auc_bootstrap" -> (aucBootstrap _),
+    "q387_stl_strength" -> (stlStrength _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -9625,6 +9690,43 @@ object Queries {
          |  ${femitSql("hi")} AS ci_hi,
          |  ${femitSql("lo")} > 0.5 AS separable_at_95
          |FROM pt CROSS JOIN ci""".stripMargin
+    },
+    // Same gap-filled spine, same centered decimal 7-day MA with the
+    // incomplete-edge drop, same dow means/recentering, same
+    // three-variance strength chains.
+    "q387_stl_strength" -> {
+      val wsum = "CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,12)))" +
+        " OVER w7 AS VARCHAR) AS DOUBLE)"
+      def varSql(c: String) =
+        s"(${dsumSql(s"($c) * ($c)")} - ${dsumSql(c)} * ${dsumSql(c)}" +
+          " / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)"
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS n FROM events GROUP BY 1),
+         |bd AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+         |sp AS (SELECT day, CAST(coalesce(n, 0) AS DOUBLE) AS y FROM
+         |  (SELECT unnest(range(mn, mx + 1)) AS day FROM bd) s
+         |  LEFT JOIN daily USING (day)),
+         |ma AS (SELECT day, y,
+         |  CASE WHEN count(*) OVER w7 = 7 THEN $wsum / 7.0 END AS t
+         |  FROM sp WINDOW w7 AS (ORDER BY day ASC
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dt AS (SELECT day, y, t, y - t AS d, day % 7 AS dow
+         |  FROM ma WHERE t IS NOT NULL),
+         |dm AS (SELECT dow, ${dsumSql("d")} / CAST(count(*) AS DOUBLE) AS s0
+         |  FROM dt GROUP BY dow),
+         |sb AS (SELECT ${dsumSql("s0")} / CAST(count(*) AS DOUBLE) AS sbar
+         |  FROM dm),
+         |cp AS (SELECT y, d, s0 - sbar AS sv, d - (s0 - sbar) AS r
+         |  FROM dt JOIN dm USING (dow) CROSS JOIN sb),
+         |ag AS (SELECT count(*) AS n_days,
+         |  ${varSql("r")} AS vr,
+         |  ${varSql("y - sv")} AS vts,
+         |  ${varSql("sv + r")} AS vsr FROM cp)
+         |SELECT n_days,
+         |  ${femitSql("greatest(0.0, 1.0 - vr / vts)")} AS f_trend,
+         |  ${femitSql("greatest(0.0, 1.0 - vr / vsr)")} AS f_seasonal,
+         |  ${femitSql("vr")} AS var_remainder
+         |FROM ag""".stripMargin
     },
     // Same first-purchase coalition masks over the declared 4-channel
     // universe, same exact-coalition characteristic function with

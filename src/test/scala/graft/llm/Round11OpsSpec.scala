@@ -233,6 +233,43 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_replicates") == 40L)
   }
 
+  test("stlStrength: strengths in [0,1] and variance decomposition sane") {
+    val r = graft.rel.Queries.stlStrength(spark, sf0001).collect().head
+    val (ft, fs) = (r.getAs[Double]("f_trend"), r.getAs[Double]("f_seasonal"))
+    assert(ft >= 0.0 && ft <= 1.0, s"f_trend=$ft")
+    assert(fs >= 0.0 && fs <= 1.0, s"f_seasonal=$fs")
+    assert(r.getAs[Long]("n_days") > 7)
+    assert(r.getAs[Double]("var_remainder") >= 0.0)
+  }
+
+  test("frameNearDups: containment bounds, exact dups score 1, spill lossless") {
+    val out = Multimodal.frameNearDups(docs, tau = 0.5)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.5 && c <= 1.0, s"containment=$c")
+      assert(r.getAs[Long]("n_shared") <=
+        math.min(r.getAs[Long]("nfa"), r.getAs[Long]("nfb")))
+    }
+    // forced spill must not change the pair set
+    val spilled = Multimodal.frameNearDups(docs, tau = 0.5, maxBucket = 1)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spilled ==
+      rows.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet)
+  }
+
+  test("randomizedResponse: debiasing identity holds exactly") {
+    val r = Curation.randomizedResponse(
+      graft.rel.Queries.events(spark, sf0001)).collect().head
+    val n = r.getAs[Long]("n_users").toDouble
+    // pi_hat recomputed from the emitted counts matches the emitted value
+    val expect = (r.getAs[Long]("n_reported") / n - 0.25) / 0.5
+    assert(math.abs(r.getAs[Double]("pi_hat") - expect) < 1e-6)
+    // the derandomized coin keeps ~p of reports truthful: debias error
+    // bounded well inside the binomial envelope at this n
+    assert(r.getAs[Double]("abs_err") < 0.25, s"err=${r.getAs[Double]("abs_err")}")
+  }
+
   test("ipwAte: weighting shrinks the covariate gap it targets") {
     val r = graft.rel.Queries.ipwAte(spark, sf0001).collect().head
     val nUsers = r.getAs[Long]("n_users")
