@@ -5142,7 +5142,10 @@ object Queries {
     * Scale: one day-grain aggregate (map-side combined); every window
     * after that runs on the bounded day spine (the q194 class — days,
     * not rows). */
-  def stlStrength(s: SparkSession, dir: String): DataFrame = {
+  /** Shared per-day STL components for [[stlStrength]] (q387) and
+    * [[stlAnomalies]] (q391): (day, y, t, d, dow, sv, r) over the
+    * complete-MA-window days. */
+  private def stlComponents(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
       .select(expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy("day").agg(count(lit(1)).as("n"))
@@ -5166,11 +5169,15 @@ object Queries {
       .agg((dsum(col("d")) / count(lit(1)).cast("double")).as("s0"))
     val sBar = dowMean.agg(
       (dsum(col("s0")) / count(lit(1)).cast("double")).as("sb"))
-    val comp = detr.join(broadcast(dowMean), "dow")
+    detr.join(broadcast(dowMean), "dow")
       .crossJoin(broadcast(sBar))
       .withColumn("sv", col("s0") - col("sb"))
       .withColumn("r", col("d") - col("sv"))
-      .localCheckpoint() // three variance aggregates below
+      .localCheckpoint() // variance aggregates / anomaly scan below
+  }
+
+  def stlStrength(s: SparkSession, dir: String): DataFrame = {
+    val comp = stlComponents(s, dir)
     def varOf(c: Column) = {
       val n = count(lit(1)).cast("double")
       (dsum(c * c) - dsum(c) * dsum(c) / n) / n
@@ -5185,6 +5192,128 @@ object Queries {
         femit(greatest(lit(0.0), lit(1.0) - col("vr") / col("vsr")))
           .as("f_seasonal"),
         femit(col("vr")).as("var_remainder"))
+  }
+
+  /** Seasonally-adjusted ANOMALY DAYS off the [[stlComponents]]
+    * remainder (the twist every production monitor applies before
+    * alerting — a raw q171-style z-score fires on every weekend dip;
+    * scoring the STL REMAINDER fires only on days the trend and the
+    * weekly shape cannot explain): z = r/√Var(R), report days at
+    * |z| ≥ 2 with the full decomposition. Same components row set as
+    * q387, so the two rows read together. Reports the TOP-5 days by
+    * |z| (ranked by the ROUNDED score with the day tiebreak — the
+    * q207 rule; a fixed threshold alone can legitimately match zero
+    * days at small horizons, and a monitor always shows its worst
+    * offenders), each flagged `anomalous` at the classic |z| ≥ 2 cut.
+    *
+    * Determinism: Var(R) is the q387 exact-moment chain; z is one
+    * division; top-5 by femit'd |z| + day; floats femit.
+    *
+    * Scale: one variance combine broadcast back onto the bounded day
+    * spine — day grain throughout; the rank window is over the day
+    * spine (bounded, the q194 class). */
+  def stlAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val comp = stlComponents(s, dir)
+    val n = count(lit(1)).cast("double")
+    val vr = comp.agg(
+      ((dsum(col("r") * col("r")) - dsum(col("r")) * dsum(col("r")) / n) / n)
+        .as("vr"))
+    val scored = comp.crossJoin(broadcast(vr))
+      .withColumn("z", col("r") / sqrt(col("vr")))
+      .withColumn("az", femit(abs(col("z"))))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("az").desc, col("day").asc)))
+      .where(col("rk") <= 5)
+      .select(col("rk").cast("long").as("rk"), col("day"),
+        col("y").cast("long").as("n_events"),
+        femit(col("t")).as("trend"), femit(col("sv")).as("seasonal"),
+        femit(col("r")).as("remainder"), femit(col("z")).as("z"),
+        (col("az") >= 2.0).as("anomalous"))
+      .orderBy("rk")
+  }
+
+  /** Leave-last-order-out evaluation of an item-based co-occurrence
+    * recommender (hit-rate@k and mean recall@k — the offline top-N
+    * evaluation protocol of Deshpande &amp; Karypis, TOIS 2004; the
+    * eval loop every recsys pipeline runs before an online test): per
+    * customer the LAST order (by orderdate, orderkey — a keyed window,
+    * rn = 1) is held out as the test basket; the co-occurrence model
+    * trains on the remaining orders (item pairs sharing an order,
+    * q167's bounded-basket + minSup discipline); candidates score by
+    * summed co-counts with the customer's train items, seen items
+    * anti-joined away; top-k by the EXACT integer score with the
+    * partkey tiebreak; a hit = any held-out item in the top-k.
+    *
+    * Determinism: every score is an exact integer sum; ranking ties
+    * break on partkey; the two emitted rates ride femit/dsum.
+    *
+    * Scale: the co table is bounded by q167's basket cap; candidate
+    * generation is user-items ⋈ co (shuffle keyed by item, AQE-
+    * splittable); the per-user top-k is a PARTITIONED window. Eval
+    * universe = customers with ≥ 2 orders. */
+  def recsysEval(s: SparkSession, dir: String, k: Int = 10,
+                 minSup: Long = 2L, maxBasket: Int = 64,
+                 nbrK: Int = 50): DataFrame = {
+    val oi = tbl(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"),
+        col("o_orderdate").as("od"))
+      .withColumn("rn", row_number().over(Window.partitionBy("cust")
+        .orderBy(col("od").desc, col("ok").desc)))
+      .withColumn("n_orders",
+        count(lit(1)).over(Window.partitionBy("cust")))
+      .where(col("n_orders") >= 2)
+      .join(tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct(), "ok")
+      .localCheckpoint() // feeds train, test, and the co model
+    val test = oi.where(col("rn") === 1)
+      .select(col("cust"), col("pk")).distinct()
+    val train = oi.where(col("rn") =!= 1)
+    val baskets = train.select("ok", "pk")
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("ok")))
+      .where(col("bsize") <= maxBasket)
+      .select("ok", "pk")
+    // item NEIGHBORHOOD cap (Deshpande-Karypis's k: keep each item's
+    // top-`nbrK` co-items by count) — the piece that bounds the model
+    // at catalog scale: without it a ubiquitous item's co-list is
+    // O(catalog) and candidate generation explodes (also 7.8s -> 5.3s
+    // at sf0.1). Deterministic: (cnt DESC, b ASC) rank.
+    val co = baskets.select(col("ok"), col("pk").as("a"))
+      .join(baskets.select(col("ok"), col("pk").as("b")), "ok")
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minSup)
+      .withColumn("nr", row_number().over(Window.partitionBy("a")
+        .orderBy(col("cnt").desc, col("b").asc)))
+      .where(col("nr") <= nbrK)
+    val userItems = train.select(col("cust"), col("pk")).distinct()
+      .localCheckpoint() // candidate generation + the seen anti-join
+    val recs = userItems.join(co, col("pk") === col("a"))
+      .groupBy(col("cust"), col("b").as("rec"))
+      .agg(sum(col("cnt")).as("score"))
+      .join(userItems.select(col("cust"), col("pk").as("rec")),
+        Seq("cust", "rec"), "left_anti")
+      .withColumn("rk", row_number().over(Window.partitionBy("cust")
+        .orderBy(col("score").desc, col("rec").asc)))
+      .where(col("rk") <= k)
+    val perUser = test.groupBy("cust").agg(count(lit(1)).as("n_test"))
+      .join(recs.join(test.select(col("cust"), col("pk").as("rec")),
+          Seq("cust", "rec"))
+        .groupBy("cust").agg(count(lit(1)).as("n_hits")),
+        Seq("cust"), "left")
+      .select(col("cust"), col("n_test"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    perUser.agg(count(lit(1)).as("n_users_eval"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_users_hit"),
+        dsum(col("n_hits").cast("double") / col("n_test").cast("double"))
+          .as("sum_recall"))
+      .select(col("n_users_eval"), col("n_users_hit"),
+        lit(k.toLong).as("k"),
+        femit(col("n_users_hit").cast("double")
+          / col("n_users_eval").cast("double")).as("hit_rate"),
+        femit(col("sum_recall") / col("n_users_eval").cast("double"))
+          .as("mean_recall"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5402,6 +5531,8 @@ object Queries {
     "q382_qini_uplift" -> (qiniUplift _),
     "q386_auc_bootstrap" -> (aucBootstrap _),
     "q387_stl_strength" -> (stlStrength _),
+    "q390_recsys_eval" -> ((s, dir) => recsysEval(s, dir)),
+    "q391_stl_anomalies" -> (stlAnomalies _),
   )
 
   // E11 breadth: the try_* ANSI-safe arithmetic family — NULL instead
@@ -9727,6 +9858,93 @@ object Queries {
          |  ${femitSql("greatest(0.0, 1.0 - vr / vsr)")} AS f_seasonal,
          |  ${femitSql("vr")} AS var_remainder
          |FROM ag""".stripMargin
+    },
+    // Same keyed last-order window, same bounded-basket minSup-2 co
+    // table, same integer candidate scores with partkey tiebreaks,
+    // same left-anti seen filter and hit/recall algebra.
+    "q390_recsys_eval" ->
+      s"""WITH oi0 AS (SELECT o_orderkey AS ok, o_custkey AS cust,
+         |  row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+         |  count(*) OVER (PARTITION BY o_custkey) AS n_orders FROM orders),
+         |oi AS (SELECT ok, cust, rn FROM oi0 WHERE n_orders >= 2),
+         |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |j AS (SELECT oi.cust, oi.ok, oi.rn, li.pk FROM oi JOIN li USING (ok)),
+         |test AS (SELECT DISTINCT cust, pk FROM j WHERE rn = 1),
+         |train AS (SELECT cust, ok, pk FROM j WHERE rn <> 1),
+         |bk AS (SELECT ok, pk FROM (SELECT ok, pk,
+         |  count(*) OVER (PARTITION BY ok) AS bsize FROM train) z
+         |  WHERE bsize <= 64),
+         |co0 AS (SELECT a.pk AS a, b.pk AS b, count(*) AS cnt
+         |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |co AS (SELECT a, b, cnt FROM (SELECT a, b, cnt,
+         |  row_number() OVER (PARTITION BY a
+         |    ORDER BY cnt DESC, b ASC) AS nr FROM co0) w
+         |  WHERE nr <= 50),
+         |ui AS (SELECT DISTINCT cust, pk FROM train),
+         |rc0 AS (SELECT ui.cust, co.b AS rec, CAST(sum(cnt) AS BIGINT)
+         |  AS score FROM ui JOIN co ON ui.pk = co.a GROUP BY 1, 2),
+         |rc1 AS (SELECT rc0.cust, rc0.rec, rc0.score FROM rc0
+         |  LEFT JOIN ui ON ui.cust = rc0.cust AND ui.pk = rc0.rec
+         |  WHERE ui.pk IS NULL),
+         |rc AS (SELECT cust, rec FROM (SELECT cust, rec,
+         |  row_number() OVER (PARTITION BY cust
+         |    ORDER BY score DESC, rec ASC) AS rk FROM rc1) y
+         |  WHERE rk <= 10),
+         |hit AS (SELECT rc.cust, count(*) AS n_hits FROM rc
+         |  JOIN test ON test.cust = rc.cust AND test.pk = rc.rec
+         |  GROUP BY rc.cust),
+         |pu AS (SELECT cust, count(*) AS n_test FROM test GROUP BY cust),
+         |pv AS (SELECT pu.cust, pu.n_test, coalesce(h.n_hits, 0) AS n_hits
+         |  FROM pu LEFT JOIN hit h USING (cust)),
+         |a AS (SELECT count(*) AS n_users_eval,
+         |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_users_hit,
+         |  ${dsumSql("CAST(n_hits AS DOUBLE) / CAST(n_test AS DOUBLE)")}
+         |    AS sum_recall FROM pv)
+         |SELECT n_users_eval, n_users_hit, CAST(10 AS BIGINT) AS k,
+         |  ${femitSql("CAST(n_users_hit AS DOUBLE) / CAST(n_users_eval AS DOUBLE)")}
+         |    AS hit_rate,
+         |  ${femitSql("sum_recall / CAST(n_users_eval AS DOUBLE)")}
+         |    AS mean_recall
+         |FROM a""".stripMargin,
+    // q387's exact component chain carried to day grain, the same
+    // variance combine, one z division, the same |z| >= 2 cut.
+    "q391_stl_anomalies" -> {
+      val wsum = "CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,12)))" +
+        " OVER w7 AS VARCHAR) AS DOUBLE)"
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS n FROM events GROUP BY 1),
+         |bd AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+         |sp AS (SELECT day, CAST(coalesce(n, 0) AS DOUBLE) AS y FROM
+         |  (SELECT unnest(range(mn, mx + 1)) AS day FROM bd) s
+         |  LEFT JOIN daily USING (day)),
+         |ma AS (SELECT day, y,
+         |  CASE WHEN count(*) OVER w7 = 7 THEN $wsum / 7.0 END AS t
+         |  FROM sp WINDOW w7 AS (ORDER BY day ASC
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dt AS (SELECT day, y, t, y - t AS d, day % 7 AS dow
+         |  FROM ma WHERE t IS NOT NULL),
+         |dm AS (SELECT dow, ${dsumSql("d")} / CAST(count(*) AS DOUBLE) AS s0
+         |  FROM dt GROUP BY dow),
+         |sb AS (SELECT ${dsumSql("s0")} / CAST(count(*) AS DOUBLE) AS sbar
+         |  FROM dm),
+         |cp AS (SELECT day, y, t, s0 - sbar AS sv, d - (s0 - sbar) AS r
+         |  FROM dt JOIN dm USING (dow) CROSS JOIN sb),
+         |vv AS (SELECT (${dsumSql("r * r")} - ${dsumSql("r")} * ${dsumSql("r")}
+         |  / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS vr
+         |  FROM cp)
+         |sc AS (SELECT day, y, t, sv, r, r / sqrt(vr) AS z,
+         |  ${femitSql("abs(r / sqrt(vr))")} AS az FROM cp CROSS JOIN vv),
+         |rk AS (SELECT *, row_number() OVER (
+         |  ORDER BY az DESC, day ASC) AS rk FROM sc)
+         |SELECT CAST(rk AS BIGINT) AS rk, day, CAST(y AS BIGINT) AS n_events,
+         |  ${femitSql("t")} AS trend, ${femitSql("sv")} AS seasonal,
+         |  ${femitSql("r")} AS remainder, ${femitSql("z")} AS z,
+         |  az >= 2.0 AS anomalous
+         |FROM rk WHERE rk <= 5 ORDER BY rk""".stripMargin
     },
     // Same first-purchase coalition masks over the declared 4-channel
     // universe, same exact-coalition characteristic function with

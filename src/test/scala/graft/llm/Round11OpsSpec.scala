@@ -270,6 +270,35 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("abs_err") < 0.25, s"err=${r.getAs[Double]("abs_err")}")
   }
 
+  test("recsysEval: rates bounded, hits cannot exceed eval users") {
+    val r = graft.rel.Queries.recsysEval(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n_users_eval")
+    val h = r.getAs[Long]("n_users_hit")
+    assert(n > 0 && h >= 0 && h <= n)
+    val hr = r.getAs[Double]("hit_rate")
+    val mr = r.getAs[Double]("mean_recall")
+    assert(hr >= 0.0 && hr <= 1.0 && math.abs(hr - h.toDouble / n) < 1e-6)
+    // recall per user <= 1, so the mean is too; hit-rate dominates
+    // mean recall (a hit user contributes <= 1, a miss user 0)
+    assert(mr >= 0.0 && mr <= hr + 1e-9)
+  }
+
+  test("stlAnomalies: top-5 by |z| descending, flags consistent") {
+    val rows = graft.rel.Queries.stlAnomalies(spark, sf0001).collect()
+    assert(rows.length == 5)
+    val az = rows.map(r => math.abs(r.getAs[Double]("z")))
+    // ranked by ROUNDED |z| — allow equal neighbors at the 1e-6 grid
+    az.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-6) }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("anomalous") ==
+        (math.floor(math.abs(r.getAs[Double]("z")) * 1e6 + 0.5) / 1e6 >= 2.0))
+      // decomposition identity: y = t + s + r at the emitted precision
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("remainder")
+      assert(math.abs(recon - r.getAs[Long]("n_events")) < 1e-4, s"recon=$recon")
+    }
+  }
+
   test("ipwAte: weighting shrinks the covariate gap it targets") {
     val r = graft.rel.Queries.ipwAte(spark, sf0001).collect().head
     val nUsers = r.getAs[Long]("n_users")
