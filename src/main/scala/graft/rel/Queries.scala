@@ -9935,7 +9935,7 @@ object Queries {
          |  FROM dt JOIN dm USING (dow) CROSS JOIN sb),
          |vv AS (SELECT (${dsumSql("r * r")} - ${dsumSql("r")} * ${dsumSql("r")}
          |  / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS vr
-         |  FROM cp)
+         |  FROM cp),
          |sc AS (SELECT day, y, t, sv, r, r / sqrt(vr) AS z,
          |  ${femitSql("abs(r / sqrt(vr))")} AS az FROM cp CROSS JOIN vv),
          |rk AS (SELECT *, row_number() OVER (
