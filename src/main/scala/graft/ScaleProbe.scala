@@ -226,8 +226,15 @@ object ScaleProbe {
         embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
           col("embedding"))
       }.reduce(_ unionAll _)
+    // Index tables are cached across probe runs by name — the name
+    // therefore carries a fingerprint of the source corpus (ADVICE
+    // r11: a bare scale_ivf_assign_x$k would silently serve an index
+    // built from a PREVIOUS sfDir's corpus to this run's probes).
+    val embStamp = math.abs(graft.Scratch
+      .fingerprint(s"$sfDir/embeddings.parquet").hashCode).toString
     val ann = Seq(1, 1, 10).map { k =>
-      val at = s"scale_ivf_assign_x$k"; val ct = s"scale_ivf_cent_x$k"
+      val at = s"scale_ivf_assign_${embStamp}_x$k"
+      val ct = s"scale_ivf_cent_${embStamp}_x$k"
       val rep = replicateEmb(k).localCheckpoint()
       if (!spark.catalog.tableExists(at))
         llm.Sim.ivfIndexWrite(rep, nlist = 16, at, ct, buckets = 8)

@@ -273,18 +273,25 @@ object TextAnalysis {
     * the k survivors pay the rank window. Output:
     * (rnk, doc_id, n_terms, score). */
   def bm25TopK(docs: DataFrame, terms: Seq[String], kTop: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val scored = bm25(docs, k1, b)
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25(docs, k1, b)
       .where(col("tok").isin(terms: _*))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
-        graft.rel.Queries.dsum(col("bm25")).as("score"))
+        graft.rel.Queries.dsum(col("bm25")).as("score")), kTop)
+
+  /** Shared retrieval epilogue for [[bm25TopK]], [[bm25TopKTerms]] and
+    * [[rm3Expansion]] (one home for the ranking rule — VERDICT r11
+    * item 5): exact top-k by (score DESC, doc_id ASC) plans as
+    * TakeOrderedAndProject (per-partition top-k, never a global sort
+    * of the match set), and only the k survivors pay the rank
+    * window. Input must carry (doc_id, n_terms, score). */
+  private def rankTopK(scored: DataFrame, kTop: Int): DataFrame =
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .select("rnk", "doc_id", "n_terms", "score")
       .orderBy("rnk")
-  }
 
   /** RM3 pseudo-relevance-feedback query expansion (Lavrenko &amp;
     * Croft SIGIR 2001's relevance model; the RM3 interpolation of
@@ -353,15 +360,10 @@ object TextAnalysis {
     val worig = query.toDF("tok")
       .select(col("tok"), lit(lambda / query.size).as("wt"))
     val weights = worig.unionByName(wexp)
-    val wRank = Window.orderBy(col("score").desc, col("doc_id").asc)
-    bm.join(broadcast(weights), "tok")
+    rankTopK(bm.join(broadcast(weights), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
-        dsum(col("wt") * col("bm25")).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .select("rnk", "doc_id", "n_terms", "score")
-      .orderBy("rnk")
+        dsum(col("wt") * col("bm25")).as("score")), kTop)
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
@@ -471,18 +473,12 @@ object TextAnalysis {
     * everything downstream is [[bm25TopK]] verbatim, and the result
     * must equal q79's exactly (same oracle modulo the term CTE). */
   def bm25TopKTerms(docs: DataFrame, terms: DataFrame, kTop: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val scored = bm25(docs, k1, b)
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25(docs, k1, b)
       .join(broadcast(terms), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
-        graft.rel.Queries.dsum(col("bm25")).as("score"))
-    scored.orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-      .select("rnk", "doc_id", "n_terms", "score")
-      .orderBy("rnk")
-  }
+        graft.rel.Queries.dsum(col("bm25")).as("score")), kTop)
 
   // Scrub patterns: simple enough to behave identically under Java
   // regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.

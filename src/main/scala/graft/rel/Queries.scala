@@ -1283,7 +1283,12 @@ object Queries {
   // computes the SAME statistic with a single global window — the
   // distributed two-phase form must reproduce it exactly.
   def rocAuc(s: SparkSession, dir: String): DataFrame = {
+    // NULL scores are unrankable and are dropped here exactly as
+    // aucBootstrap (q386) drops them for its replicates, so the point
+    // estimate and the CI cover ONE population (ADVICE r11); the
+    // q166/q386 oracles carry the same predicate.
     val perScore = events(s, dir)
+      .where(col("value").isNotNull)
       .select(col("value").as("score"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       .groupBy("score")
@@ -8951,7 +8956,7 @@ object Queries {
     "q166_auc" ->
       s"""WITH g AS (SELECT value AS score, count(*) AS cnt,
          |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS poscnt
-         |  FROM events GROUP BY value),
+         |  FROM events WHERE value IS NOT NULL GROUP BY value),
          |r AS (SELECT score, cnt, poscnt,
          |  coalesce(sum(cnt) OVER (ORDER BY score ASC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
@@ -9804,7 +9809,7 @@ object Queries {
          |  min(CASE WHEN r = 39 THEN auc_b END) AS hi FROM rk),
          |g AS (SELECT value AS score, count(*) AS cnt,
          |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS poscnt
-         |  FROM events GROUP BY value),
+         |  FROM events WHERE value IS NOT NULL GROUP BY value),
          |r2 AS (SELECT score, cnt, poscnt,
          |  coalesce(sum(cnt) OVER (ORDER BY score ASC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
