@@ -190,15 +190,14 @@ object Multimodal {
     * self-join so a degenerate band value (exact-dup-heavy corpora)
     * fans its quadratic step over [[graft.llm.Dedup.SpillSalts]]
     * tasks instead of dropping pairs or OOMing one task. */
-  def perceptualNearDups(docs: DataFrame, maxDist: Int = 3,
-                         maxBucket: Int = 10000): DataFrame = {
-    import graft.llm.Dedup.SpillSalts
-    require(maxDist >= 0 && maxDist < 32, "0 <= maxDist < 32")
-    val nBands = maxDist + 1
-    // band b = bits [64b/m, 64(b+1)/m) rebuilt from the two words —
-    // pure integer shifts/masks, codegen-friendly; for m=4 this is
-    // exactly the historical lo&0xFFFF / lo>>16 / hi&0xFFFF / hi>>16
-    val bands = (0 until nBands).map { b =>
+  /** MIH band values: band b = bits [64b/m, 64(b+1)/m) rebuilt from
+    * the two pHash words — pure integer shifts/masks, codegen-
+    * friendly; for m=4 this is exactly the historical lo&amp;0xFFFF /
+    * lo&gt;&gt;16 / hi&amp;0xFFFF / hi&gt;&gt;16. Shared by the
+    * from-scratch pair join ([[perceptualNearDups]]), the persisted
+    * store build ([[perceptualSignatureStore]]) and its probe. */
+  private def mihBands(nBands: Int): Seq[Column] =
+    (0 until nBands).map { b =>
       val lo = b * 64 / nBands
       val hi = (b + 1) * 64 / nBands
       (lo until hi).map { j =>
@@ -206,9 +205,20 @@ object Multimodal {
         shiftright(w, j % 32).bitwiseAND(lit(1L)) * lit(1L << (j - lo))
       }.reduce(_ + _)
     }
-    val sig = perceptualHash(docs)
-    val banded = sig.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
-      posexplode(array(bands: _*)).as(Seq("band", "bval")))
+
+  /** Per-document pHash words exploded into the maxDist+1 MIH band
+    * rows: (band, bval, doc_id, ph_hi, ph_lo). Feeds both the store
+    * build and the probe side of the incremental path. */
+  private def bandedHash(docs: DataFrame, nBands: Int): DataFrame =
+    perceptualHash(docs).select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+      posexplode(array(mihBands(nBands): _*)).as(Seq("band", "bval")))
+
+  def perceptualNearDups(docs: DataFrame, maxDist: Int = 3,
+                         maxBucket: Int = 10000): DataFrame = {
+    import graft.llm.Dedup.SpillSalts
+    require(maxDist >= 0 && maxDist < 32, "0 <= maxDist < 32")
+    val nBands = maxDist + 1
+    val banded = bandedHash(docs, nBands)
     val bsz = banded.groupBy("band", "bval").agg(count(lit(1)).as("bsz"))
       .where(col("bsz") > 1)
     val withSz = banded.join(bsz, Seq("band", "bval"))
@@ -238,6 +248,56 @@ object Multimodal {
         ham(col("ph_hi"), col("ph_lo"), col("bhi"), col("blo"))
           .as("hamming"))
     small.unionAll(bigPairs)
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** The persisted half of incremental PERCEPTUAL dedup (VERDICT r11
+    * item 2 — the q75 signature-store pattern applied to the third
+    * modality): each historical document's pHash words exploded into
+    * the maxDist+1 MIH band rows (band, bval, doc_id, ph_hi, ph_lo),
+    * written bucketed by the FULL probe key (band, bval) so the probe
+    * join's store side is exchange-free. Unlike the MinHash store's
+    * collect_list'd id buckets, rows stay doc-grain: the probe's
+    * exact-Hamming verify needs the stored WORDS, and doc-grain rows
+    * mean a degenerate band value streams through the probe join
+    * (candidates are join OUTPUT, never one task's in-memory bucket),
+    * so no cap is needed and the store stays pigeonhole-LOSSLESS —
+    * a media pipeline must never silently skip a black-hole bucket of
+    * near-identical thumbnails. */
+  def perceptualSignatureStore(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, "0 <= maxDist < 32")
+    bandedHash(docs, maxDist + 1)
+      .select(col("band"), col("bval"), col("doc_id"),
+        col("ph_hi"), col("ph_lo"))
+  }
+
+  /** Probe a NEW media batch against a persisted
+    * [[perceptualSignatureStore]] — the production shape of perceptual
+    * dedup (a pipeline never re-hashes its media history per crawl; it
+    * keeps the banded words and probes them): hash + band ONLY the
+    * batch, one equi-join on (band, bval) — with the store bucketed by
+    * exactly that key its side joins exchange-free (PlanSpec-pinned),
+    * shuffle volume O(batch band rows), never O(history) — then the
+    * exact two-word Hamming verify. Lossless at the store's radius by
+    * the MIH pigeonhole, so probe output EQUALS the brute-force
+    * batch×history distance join — which is what the q392 oracle
+    * recomputes end to end.
+    *
+    * Output: (doc_id, dup_of, hamming) — batch docs perceptually
+    * near-duplicating a stored doc; anti-joining the batch on doc_id
+    * gives the keep set. */
+  def perceptualIncrementalNearDups(fresh: DataFrame, store: DataFrame,
+                                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, "0 <= maxDist < 32")
+    bandedHash(fresh, maxDist + 1)
+      .join(store.select(col("band"), col("bval"),
+        col("doc_id").as("dup_of"), col("ph_hi").as("shi"),
+        col("ph_lo").as("slo")), Seq("band", "bval"))
+      .select(col("doc_id"), col("dup_of"),
+        (bit_count(col("ph_hi").bitwiseXOR(col("shi")))
+          + bit_count(col("ph_lo").bitwiseXOR(col("slo"))))
+          .cast("long").as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
   }

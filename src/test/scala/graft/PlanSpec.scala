@@ -175,6 +175,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q392 perceptual probe rides the banded-word store's bucket layout") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val history = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      val fresh = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      rel.Layout.writeBucketedBy(
+        llm.Multimodal.perceptualSignatureStore(history, maxDist = 3),
+        "phash_store_plan", 8, "band", "bval")
+      val probe = llm.Multimodal.perceptualIncrementalNearDups(
+        fresh, spark.table("phash_store_plan"), maxDist = 3)
+      val p = finalPlan(probe).split("== Initial Plan ==").head
+      // The store side must contribute NO exchange: bucketed by exactly
+      // the probe keys (band, bval) its scan feeds the join directly —
+      // probing history stays O(batch), never O(history) (the q75
+      // discipline applied to the perceptual modality).
+      assert(p.contains("Bucketed: true"), p.take(1500))
+      assert(!p.contains("disabled by query planner"), p.take(1500))
+      // exactly one join-key exchange: the batch side's
+      assert("exchange hashpartitioning\\(band".r
+        .findAllIn(p.toLowerCase).size == 1, p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q100 store merge and the next probe both ride the bucket layout") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape

@@ -1,0 +1,56 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-12 operators: the persisted incremental
+  * perceptual-dedup probe (q392) and the sampled-permutation Shapley
+  * estimator (q393). */
+class Round12OpsSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("perceptual incremental probe equals the brute-force batch-vs-history set") {
+    val history = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 === 1)
+    // store round-trips through the bucketed table exactly as q392 does
+    graft.rel.Layout.writeBucketedBy(
+      Multimodal.perceptualSignatureStore(history, maxDist = 3),
+      "phash_store_spec", 8, "band", "bval")
+    val probe = Multimodal.perceptualIncrementalNearDups(
+        fresh, spark.table("phash_store_spec"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // truth: the from-scratch all-pairs join restricted to cross-parity
+    // pairs, re-oriented (doc_id = the odd/new side)
+    val truth = Multimodal.perceptualNearDups(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect {
+        case (d1, d2, h) if d1 % 2 == 1 && d2 % 2 == 0 => (d1, d2, h)
+        case (d1, d2, h) if d1 % 2 == 0 && d2 % 2 == 1 => (d2, d1, h)
+      }.toSet
+    assert(probe == truth,
+      s"probe=${probe.size} truth=${truth.size} " +
+        s"missing=${(truth -- probe).take(3)} extra=${(probe -- truth).take(3)}")
+    assert(truth.nonEmpty, "fixture produced no cross-parity near-dups")
+  }
+
+  test("perceptual store rows carry the words their own bands rebuild") {
+    val store = Multimodal.perceptualSignatureStore(docs, maxDist = 3)
+    // every doc contributes exactly maxDist+1 band rows, and the four
+    // 16-bit band values reassemble the two words bit-for-bit
+    val bad = store
+      .groupBy("doc_id", "ph_hi", "ph_lo")
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("band") < 2,
+          col("bval") * when(col("band") % 2 === 1, 65536L).otherwise(1L))
+          .otherwise(0L)).as("lo_re"),
+        sum(when(col("band") >= 2,
+          col("bval") * when(col("band") % 2 === 1, 65536L).otherwise(1L))
+          .otherwise(0L)).as("hi_re"))
+      .where(col("n_bands") =!= 4 ||
+        col("lo_re") =!= col("ph_lo") || col("hi_re") =!= col("ph_hi"))
+      .count()
+    assert(bad == 0L)
+  }
+}
