@@ -4929,14 +4929,18 @@ object Queries {
     * Scale: one keyed first-purchase window + one user-grain distinct
     * + one mask hash-agg; EVERYTHING after runs on the 2^k-row
     * coalition table (k = |channels| ≤ a handful by construction —
-    * attribution over hundreds of channels uses sampled permutations,
-    * a different operator). No driver-side collect: k is a parameter,
-    * not data. */
-  def shapleyAttribution(s: SparkSession, dir: String,
-      channels: Seq[String] = Seq("click", "error", "signup", "view"))
-      : DataFrame = {
-    val k = channels.size
-    require(k >= 1 && k <= 8, "exact Shapley needs a small channel set")
+    * attribution over hundreds of channels uses [[shapleySampled]],
+    * whose cost is nPerms×k, not 2^k). No driver-side collect: k is a
+    * parameter, not data. */
+  /** Shared empirical-game machinery for [[shapleyAttribution]] and
+    * [[shapleySampled]]: per-user pre-conversion channel coalitions as
+    * exact bitmasks (channel bit = position in the declared list) and
+    * the empirical characteristic-function table vtab(mask, n, nc)
+    * with v(S) = nc/n for observed coalitions, 0 for unobserved.
+    * Returns (touched, vtab). The bit shift is long-based so masks
+    * stay exact for any channel set up to 63. */
+  private def coalitionGame(s: SparkSession, dir: String,
+      channels: Seq[String]): (DataFrame, DataFrame) = {
     val ev = events(s, dir)
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -4953,7 +4957,7 @@ object Queries {
       .select(col("user_id"), col("event_type").as("ch")).distinct()
     val masks = touched.join(broadcast(chBit), "ch")
       .groupBy("user_id")
-      .agg(sum(expr("cast(shiftleft(1, bit) as bigint)")).as("mask"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"))
     val userSet = ev.select("user_id").distinct()
       .join(masks, Seq("user_id"), "left")
       .join(firstP.select(col("user_id"), lit(1L).as("conv")),
@@ -4962,6 +4966,18 @@ object Queries {
         coalesce(col("conv"), lit(0L)).as("conv"))
     val vtab = userSet.groupBy("mask")
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+    (touched, vtab)
+  }
+
+  def shapleyAttribution(s: SparkSession, dir: String,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"))
+      : DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 8,
+      "exact Shapley needs a small channel set — use shapleySampled beyond 8")
+    import s.implicits._
+    val chBit = channels.zipWithIndex.toDF("ch", "bit")
+    val (touched, vtab) = coalitionGame(s, dir, channels)
     def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
     val wgtRows = (0 until k).map(m =>
       (m.toLong, fact(m).toDouble * fact(k - 1 - m).toDouble / fact(k)))
@@ -4990,6 +5006,82 @@ object Queries {
       .select(col("ch"),
         coalesce(col("n_users_touched"), lit(0L)).as("n_users_touched"),
         femit(col("phi")).as("shapley"))
+      .orderBy("ch")
+  }
+
+  /** Sampled-permutation Shapley attribution (Castro, Gómez &amp;
+    * Tejada 2009, "Polynomial calculation of the Shapley value based
+    * on sampling" — the estimator [[shapleyAttribution]]'s own
+    * scaladoc names for large channel sets, where the exact 2^k
+    * coalition sweep is a different operator, VERDICT r11 item 3):
+    * draw `nPerms` channel permutations, credit each channel its
+    * marginal contribution v(pred∪{c}) − v(pred) under each draw
+    * (pred = the channels before c in that permutation), and estimate
+    * φ̂_c as the mean marginal. Per permutation the marginals
+    * telescope to v(all) − v(∅), so the efficiency axiom holds
+    * EXACTLY for the estimate too (spec-pinned), and at any nPerms
+    * the estimator is unbiased; the CI is the q346 order-statistic
+    * convention over the per-draw marginals (ranks nPerms/40 and
+    * nPerms+1−nPerms/40 with the draw-id tiebreak).
+    *
+    * Determinism: draws are fnv-derandomized (the q346 discipline —
+    * permutation p orders channels by fnv1a32('perm:p:ch') with the
+    * channel tiebreak), so the q393 oracle replays the same draws
+    * bit-for-bit; v ratios are single IEEE divisions of exact counts,
+    * the mean rides dsum, everything femits at emission.
+    *
+    * Scale: the game table vtab is ONE user-grain aggregate (same as
+    * exact); everything after runs on the nPerms×k draw table — two
+    * mask equi-joins against vtab and one k-partitioned rank window,
+    * independent of 2^k. This is the operator that makes attribution
+    * over hundreds of channels a bounded plan. */
+  def shapleySampled(s: SparkSession, dir: String,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      nPerms: Int = 200): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val k = channels.size
+    require(k >= 1 && k <= 63, "long masks bound the channel set at 63")
+    require(nPerms >= 40, "CI order statistics need >= 40 draws")
+    import s.implicits._
+    val chBit = channels.zipWithIndex.toDF("ch", "bit")
+    val (_, vtab) = coalitionGame(s, dir, channels)
+    val perms = s.range(0, nPerms.toLong).toDF("p")
+      .crossJoin(broadcast(chBit))
+      .withColumn("key", graft.functions.HashExprs.fnv1a32(
+        "concat('perm:', cast(p as string), ':', ch)"))
+    val byPerm = Window.partitionBy("p")
+      .orderBy(col("key").asc, col("ch").asc)
+    val pre = Window.partitionBy("p").orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val draws = perms
+      .withColumn("pos", row_number().over(byPerm))
+      .withColumn("cbit", expr("shiftleft(cast(1 as bigint), bit)"))
+      .withColumn("smask", coalesce(sum(col("cbit")).over(pre), lit(0L)))
+      .withColumn("smask2", col("smask") + col("cbit"))
+    val v1 = vtab.select(col("mask").as("smask"),
+      (col("nc").cast("double") / col("n").cast("double")).as("v1"))
+    val v2 = vtab.select(col("mask").as("smask2"),
+      (col("nc").cast("double") / col("n").cast("double")).as("v2"))
+    val marg = draws
+      .join(v1, Seq("smask"), "left")
+      .join(v2, Seq("smask2"), "left")
+      .select(col("p"), col("ch"),
+        (coalesce(col("v2"), lit(0.0)) - coalesce(col("v1"), lit(0.0)))
+          .as("m"))
+    // marginals are bit-deterministic doubles (exact-count divisions in
+    // one fixed order), so the raw-value rank with the draw-id tiebreak
+    // matches cross-engine (the q346 rule)
+    val rLo = math.max(2, nPerms / 40)
+    val rHi = nPerms - rLo + 1
+    val byM = Window.partitionBy("ch").orderBy(col("m").asc, col("p").asc)
+    marg.withColumn("r", row_number().over(byM))
+      .groupBy("ch")
+      .agg((dsum(col("m")) / lit(nPerms.toDouble)).as("phi"),
+        min(when(col("r") === rLo, col("m"))).as("lo"),
+        min(when(col("r") === rHi, col("m"))).as("hi"))
+      .select(col("ch"), lit(nPerms.toLong).as("n_perms"),
+        femit(col("phi")).as("shapley"),
+        femit(col("lo")).as("ci_lo"), femit(col("hi")).as("ci_hi"))
       .orderBy("ch")
   }
 
@@ -5533,6 +5625,7 @@ object Queries {
     "q375_quantile_norm" -> (quantileNorm _),
     "q377_ipw_ate" -> (ipwAte _),
     "q381_shapley_attribution" -> ((s, dir) => shapleyAttribution(s, dir)),
+    "q393_shapley_sampled" -> ((s, dir) => shapleySampled(s, dir)),
     "q382_qini_uplift" -> (qiniUplift _),
     "q386_auc_bootstrap" -> (aucBootstrap _),
     "q387_stl_strength" -> (stlStrength _),
@@ -9990,6 +10083,54 @@ object Queries {
          |SELECT ph.ch, coalesce(n_users_touched, 0) AS n_users_touched,
          |  ${femitSql("phi")} AS shapley
          |FROM ph LEFT JOIN tc USING (ch) ORDER BY ch""".stripMargin,
+    // Same empirical game (coalition masks + vt), the SAME 200
+    // fnv-derandomized permutation draws (fnv1a32('perm:p:ch') order
+    // with the channel tiebreak), prefix-mask window, two mask
+    // lookups, dsum mean and the 5/196 order-statistic CI.
+    "q393_shapley_sampled" ->
+      s"""WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+         |sq AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |  ORDER BY ts ASC, event_id ASC) AS rn FROM ev),
+         |fp AS (SELECT user_id, min(rn) AS prn FROM sq
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |cb(ch, bit) AS (VALUES ('click', 0), ('error', 1),
+         |  ('signup', 2), ('view', 3)),
+         |tch AS (SELECT DISTINCT user_id, event_type AS ch
+         |  FROM sq LEFT JOIN fp USING (user_id)
+         |  WHERE event_type IN ('click', 'error', 'signup', 'view')
+         |    AND (prn IS NULL OR rn < prn)),
+         |mk AS (SELECT user_id, CAST(sum(1 << bit) AS BIGINT) AS mask
+         |  FROM tch JOIN cb USING (ch) GROUP BY user_id),
+         |us AS (SELECT coalesce(mask, 0) AS mask,
+         |  CASE WHEN prn IS NOT NULL THEN 1 ELSE 0 END AS conv
+         |  FROM (SELECT DISTINCT user_id FROM ev) u
+         |  LEFT JOIN mk USING (user_id) LEFT JOIN fp USING (user_id)),
+         |vt AS (SELECT mask, count(*) AS n,
+         |  CAST(sum(conv) AS BIGINT) AS nc FROM us GROUP BY mask),
+         |pm AS (SELECT p, ch, bit, ${graft.llm.Queries.fnvSql(
+        "('perm:' || CAST(p AS VARCHAR) || ':' || ch)")} AS key
+         |  FROM (SELECT unnest(range(200)) AS p) ps CROSS JOIN cb),
+         |po AS (SELECT p, ch, bit, row_number() OVER (
+         |  PARTITION BY p ORDER BY key ASC, ch ASC) AS pos FROM pm),
+         |pf AS (SELECT p, ch, bit,
+         |  coalesce(CAST(sum(CAST(1 AS BIGINT) << bit) OVER (
+         |    PARTITION BY p ORDER BY pos ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |    0) AS smask FROM po),
+         |mg AS (SELECT p, ch,
+         |  coalesce(CAST(v2.nc AS DOUBLE) / CAST(v2.n AS DOUBLE), 0.0)
+         |  - coalesce(CAST(v1.nc AS DOUBLE) / CAST(v1.n AS DOUBLE), 0.0) AS m
+         |  FROM pf LEFT JOIN vt v1 ON v1.mask = pf.smask
+         |  LEFT JOIN vt v2 ON v2.mask = pf.smask + (CAST(1 AS BIGINT) << bit)),
+         |rk AS (SELECT ch, p, m, row_number() OVER (
+         |  PARTITION BY ch ORDER BY m ASC, p ASC) AS r FROM mg),
+         |ag AS (SELECT ch, ${dsumSql("m")} AS sm,
+         |  min(CASE WHEN r = 5 THEN m END) AS lo,
+         |  min(CASE WHEN r = 196 THEN m END) AS hi FROM rk GROUP BY ch)
+         |SELECT ch, CAST(200 AS BIGINT) AS n_perms,
+         |  ${femitSql("sm / 200.0")} AS shapley,
+         |  ${femitSql("lo")} AS ci_lo, ${femitSql("hi")} AS ci_hi
+         |FROM ag ORDER BY ch""".stripMargin,
     // Same per-user T/conv/score chain as q377/q382's engine side,
     // ntile(10) over (u DESC, user_id) — the single-window oracle the
     // two-phase ntile2p must reproduce exactly — and the Qini prefix

@@ -35,6 +35,35 @@ class Round12OpsSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture produced no cross-parity near-dups")
   }
 
+  test("shapleySampled converges to the exact q381 phi and keeps efficiency") {
+    val exact = graft.rel.Queries.shapleyAttribution(spark, sf0001)
+      .collect().map(r => r.getAs[String]("ch") -> r.getAs[Double]("shapley"))
+      .toMap
+    val sampled = graft.rel.Queries.shapleySampled(spark, sf0001)
+      .collect()
+    assert(sampled.length == exact.size)
+    var sumHat = 0.0; var sumPhi = 0.0
+    sampled.foreach { r =>
+      val ch = r.getAs[String]("ch")
+      val hat = r.getAs[Double]("shapley")
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi && lo <= hat + 1e-9 || hat <= hi + 1e-9,
+        s"$ch: hat=$hat outside [$lo,$hi]")
+      // FIXTURE-DEPENDENT floor (the recall-floor convention): 200
+      // derandomized draws land within 0.024 of exact phi on this
+      // fixture; 0.05 absorbs regeneration jitter without losing the
+      // convergence signal.
+      assert(math.abs(hat - exact(ch)) <= 0.05,
+        s"$ch: sampled=$hat exact=${exact(ch)}")
+      sumHat += hat; sumPhi += exact(ch)
+    }
+    // per-permutation marginals telescope to v(all) - v(empty), so the
+    // estimator satisfies the efficiency axiom EXACTLY (up to the
+    // 1e-6 emission grid x 4 channels)
+    assert(math.abs(sumHat - sumPhi) <= 1e-4,
+      s"efficiency: sampled=$sumHat exact=$sumPhi")
+  }
+
   test("perceptual store rows carry the words their own bands rebuild") {
     val store = Multimodal.perceptualSignatureStore(docs, maxDist = 3)
     // every doc contributes exactly maxDist+1 band rows, and the four
