@@ -36,6 +36,16 @@ import org.apache.spark.sql.functions._
   *    index (build untimed — once per generation), plus the 10× exact
   *    brute-force scan as the unpruned contrast — probe cost must ride
   *    the cid-bucket pruning, not total index size.
+  *  - `mih` (r12): q373's multi-index-Hamming perceptual pair join at
+  *    1×/10× — bucket density grows with corpus, the salted spill must
+  *    hold the in-bucket quadratic step.
+  *  - `frameidx` (r12): q388's frame-fingerprint inverted-index
+  *    containment join at 1×/10×.
+  *  - `phashprobe` (r12): q392's incremental perceptual probe of a
+  *    FIXED batch against a 1× vs 9× banded-word store — O(batch).
+  *  - `recsys` (r12): q390's evaluation with orders/users replicated
+  *    10× against a FIXED part catalog — the nbrK/maxBasket caps must
+  *    hold candidate volume linear in users.
   */
 object ScaleProbe {
   private def time[T](body: => T): (T, Double) = {
@@ -247,7 +257,82 @@ object ScaleProbe {
       llm.Sim.cosineKnn(replicateEmb(10), nQuery = 10, k = 5).count())
     println(s"SCALEPROBE exactknn x10: $tExact s")
     out ++= s""""annprobe":{${ann.drop(1).mkString(",")},""" +
-      s""""exact_x10":{"sec":$tExact}}}"""
+      s""""exact_x10":{"sec":$tExact}},"""
+
+    // --- MIH perceptual pair join (q373 shape; VERDICT r11 item 1a):
+    // at maxDist=3 the band width is 16 bits, so expected bucket
+    // density is ~N/2^16 per band and the in-bucket pair expansion
+    // grows quadratically with corpus density — the probe measures
+    // whether pairs/time stay controlled and the maxBucket+salted
+    // spill fans degenerate band values instead of ballooning a task.
+    val mih = Seq(1, 10).map { k =>
+      val (n, t) = time(llm.Multimodal
+        .perceptualNearDups(docsAt(k), maxDist = 3).count())
+      println(s"SCALEPROBE mih x$k: $t s, $n pairs")
+      s""""x$k":{"sec":$t,"pairs":$n}"""
+    }
+    out ++= s""""mih":{${mih.mkString(",")}},"""
+
+    // --- frame inverted-index containment join (q388 shape; r11 item
+    // 1b): same question at fingerprint grain — per-sig buckets drive
+    // the pair hash-agg, which must stay bounded by shared-frame
+    // pairs, not video pairs.
+    val fr = Seq(1, 10).map { k =>
+      val (n, t) = time(llm.Multimodal.frameNearDups(docsAt(k)).count())
+      println(s"SCALEPROBE frameidx x$k: $t s, $n pairs")
+      s""""x$k":{"sec":$t,"pairs":$n}"""
+    }
+    out ++= s""""frameidx":{${fr.mkString(",")}},"""
+
+    // --- perceptual incremental probe (q392 shape, new this round):
+    // fixed batch vs 1x/9x history through the bucketed banded-word
+    // store — O(batch) holds iff probe time is ~flat in h (the q75
+    // claim for the third modality). Store build is untimed (once per
+    // generation) and rebuilt per run, so no stale-corpus risk.
+    val php = Seq(1, 9).map { h =>
+      val hist = spark.read.parquet(s"$work/docs_x10")
+        .where(col("doc_id") >= 10000000L && col("doc_id") < (h + 1) * 10000000L)
+      rel.Layout.writeBucketedBy(
+        llm.Multimodal.perceptualSignatureStore(hist, maxDist = 3),
+        s"scale_phash_x$h", 8, "band", "bval")
+      val (n, t) = time(llm.Multimodal.perceptualIncrementalNearDups(
+        batch, spark.table(s"scale_phash_x$h"), maxDist = 3).count())
+      println(s"SCALEPROBE phashprobe h$h: $t s, $n dups")
+      s""""h$h":{"sec":$t,"dups":$n}"""
+    }
+    out ++= s""""phashprobe":{${php.mkString(",")}},"""
+
+    // --- recsys candidate-generation join (q390 shape; r11 item 1c):
+    // users/orders grow 10x against a FIXED part catalog — the
+    // realistic scale axis, and the one that blows up candidate
+    // generation if the nbrK=50 neighborhood and maxBasket=64 caps
+    // fail to hold candidate volume linear in users.
+    val ordBase = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    Seq(1, 10).foreach { k =>
+      val p = s"$work/tpch_x$k"
+      if (!new java.io.File(p + "/orders.parquet/_SUCCESS").exists()) {
+        (0 until k).map { i =>
+          ordBase.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+            (col("o_custkey") + lit(i * 10000000L)).as("o_custkey"),
+            col("o_orderdate"))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$p/orders.parquet")
+        (0 until k).map { i =>
+          liBase.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+            col("l_partkey"))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$p/lineitem.parquet")
+      }
+    }
+    val rc = Seq(1, 10).map { k =>
+      val (_, t) = time(rel.Queries.recsysEval(spark, s"$work/tpch_x$k").collect())
+      println(s"SCALEPROBE recsys x$k: $t s")
+      s""""x$k":{"sec":$t}"""
+    }
+    out ++= s""""recsys":{${rc.mkString(",")}}}"""
 
     println("SCALEPROBE " + out)
     val p = java.nio.file.Paths.get("target/scale.json")

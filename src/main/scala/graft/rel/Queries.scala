@@ -1282,18 +1282,19 @@ object Queries {
   // float division at the end is bit-identical cross-engine. The oracle
   // computes the SAME statistic with a single global window — the
   // distributed two-phase form must reproduce it exactly.
-  def rocAuc(s: SparkSession, dir: String): DataFrame = {
-    // NULL scores are unrankable and are dropped here exactly as
-    // aucBootstrap (q386) drops them for its replicates, so the point
-    // estimate and the CI cover ONE population (ADVICE r11); the
-    // q166/q386 oracles carry the same predicate.
-    val perScore = events(s, dir)
-      .where(col("value").isNotNull)
-      .select(col("value").as("score"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+  /** Two-phase exact Mann–Whitney AUC over (score: double, pos: long)
+    * rows — the distributed rank machinery [[rocAuc]] describes,
+    * factored so [[featureAblation]] can grade ablated scorers with
+    * the identical statistic. `cellOf` maps a score to its monotone
+    * range cell (the q39/q166 discipline: within-cell ranks run
+    * parallel, the only single-partition window is the O(cells)
+    * offset table). Returns ONE row (n_pos, n_neg, auc0) with auc0
+    * the RAW double — callers femit at emission. */
+  private def aucTwoPhase(scores: DataFrame, cellOf: Column): DataFrame = {
+    val perScore = scores
       .groupBy("score")
       .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("poscnt"))
-      .withColumn("cell", floor(col("score") / 50.0).cast("long"))
+      .withColumn("cell", cellOf.cast("long"))
     val inCell = Window.partitionBy("cell").orderBy(col("score").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cellTotals = perScore.groupBy("cell")
@@ -1313,10 +1314,24 @@ object Queries {
         sum(col("cnt") - col("poscnt")).as("n_neg"),
         dsum(col("poscnt").cast("double") * col("avg_rank")).as("rpos"))
       .select(col("n_pos"), col("n_neg"),
-        femit((col("rpos")
+        ((col("rpos")
           - col("n_pos").cast("double") * (col("n_pos") + 1L).cast("double") / 2.0)
-          / (col("n_pos").cast("double") * col("n_neg").cast("double")))
-          .as("auc"))
+          / nullif(col("n_pos").cast("double") * col("n_neg").cast("double"),
+            lit(0.0)))
+          .as("auc0"))
+  }
+
+  def rocAuc(s: SparkSession, dir: String): DataFrame = {
+    // NULL scores are unrankable and are dropped here exactly as
+    // aucBootstrap (q386) drops them for its replicates, so the point
+    // estimate and the CI cover ONE population (ADVICE r11); the
+    // q166/q386 oracles carry the same predicate.
+    val perRow = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    aucTwoPhase(perRow, floor(col("score") / 50.0))
+      .select(col("n_pos"), col("n_neg"), femit(col("auc0")).as("auc"))
   }
 
   // Market-basket association rules over the orders→parts bipartite
@@ -2433,6 +2448,77 @@ object Queries {
             .cast("double")))))
       .select(col("lifetime_day"), col("n_risk"), col("d"), col("c"), col("surv"))
       .orderBy("lifetime_day")
+  }
+
+  /** Two-group log-rank (Mantel–Cox) test — the hypothesis-test
+    * companion to [[kaplanMeier]] (q191 draws the curves; this says
+    * whether they differ: Mantel 1966 / Peto &amp; Peto 1972, THE
+    * standard censored-survival comparison): groups are q377's
+    * first-event-click proxy, lifetimes/censoring are exactly q191's
+    * (last-2-days horizon rule). At each day with ≥1 death the 2×2
+    * table contributes O1 += d1, E1 += d·n1/n and the hypergeometric
+    * variance V += d·(n1/n)·(n0/n)·(n−d)/(n−1); the statistic is
+    * χ² = (O1−E1)²/V (1 df).
+    *
+    * Determinism: every count is an exact long off day-grain suffix
+    * sums; E and V accumulate via dsum over fixed per-day IEEE
+    * chains; single-at-risk days (n = 1) contribute zero variance by
+    * the standard convention; femit at emission.
+    *
+    * Scale: one user-grain aggregate reduces the stream to per-user
+    * (group, day, censored); everything after is day-grain (the q194
+    * class — the unpartitioned prefix windows run over O(days) rows,
+    * never users), with the two 1-row totals broadcast. */
+  def logRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val perUser = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1 && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("g"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val hz = perUser.agg(max(col("last_us")).as("h"))
+    val life = perUser.crossJoin(broadcast(hz))
+      .select(col("g"),
+        expr("(last_us - first_us) div 86400000000").as("day"),
+        (col("h") - col("last_us") < 2L * 86400000000L).as("censored"))
+    val cells = life.groupBy("day")
+      .agg(sum(when(!col("censored") && col("g") === 1L, 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(!col("censored") && col("g") === 0L, 1L).otherwise(0L))
+          .as("d0"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("t1"),
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("t0"))
+    val tot = cells.agg(sum(col("t1")).as("tot1"), sum(col("t0")).as("tot0"))
+    val prior = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = cells.crossJoin(broadcast(tot))
+      .withColumn("n1", col("tot1") - coalesce(sum(col("t1")).over(prior), lit(0L)))
+      .withColumn("n0", col("tot0") - coalesce(sum(col("t0")).over(prior), lit(0L)))
+      .withColumn("dj", col("d1") + col("d0"))
+      .withColumn("nj", col("n1") + col("n0"))
+      .where(col("dj") > 0L)
+    risk.agg(sum(col("d1")).as("o1"), sum(col("d0")).as("o0"),
+        dsum(col("dj").cast("double") * col("n1").cast("double")
+          / col("nj").cast("double")).as("e1"),
+        dsum(when(col("nj") > 1L,
+          col("dj").cast("double")
+            * (col("n1").cast("double") / col("nj").cast("double"))
+            * (col("n0").cast("double") / col("nj").cast("double"))
+            * (col("nj") - col("dj")).cast("double")
+            / (col("nj") - 1L).cast("double"))
+          .otherwise(lit(0.0))).as("v"))
+      .crossJoin(broadcast(tot))
+      .select(col("tot1").as("n_g1"), col("tot0").as("n_g0"),
+        col("o1"), col("o0"),
+        femit(col("e1")).as("e1"), femit(col("v")).as("var_lr"),
+        femit((col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1"))
+          / nullif(col("v"), lit(0.0))).as("chi2"))
   }
 
   /** Exact TWO-PHASE global ntile(k) over the customer-grain table
@@ -4908,30 +4994,142 @@ object Queries {
           .as("x1_gap_weighted"))
   }
 
-  /** Shapley-value conversion attribution (Shapley 1953 applied to
-    * channel attribution per Zhao et al. 2018, "Shapley Value Methods
-    * for Attribution Modeling" — the game-theoretic successor to
-    * q183's last-touch and q214's position rules, and the only one
-    * that is order-free and efficiency-axiomatic): the "players" are
-    * the marketing channels (`channels`, a declared parameter like
-    * q76's term set — the event-type universe minus the conversion
-    * event), a user's coalition is the SET of channels touched before
-    * their first purchase, v(S) = the observed conversion rate of
-    * users whose coalition is EXACTLY S (unobserved coalitions
-    * contribute v = 0 — the standard empirical characteristic
-    * function), and φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪c) − v(S)).
+  /** Mean-ablation feature importance for the q382 logistic user
+    * scorer (the ablation member of the model-eval family — Breiman
+    * 2001's permutation importance asks "how much does the metric
+    * drop when the feature's signal is destroyed"; mean ablation
+    * destroys it by freezing the feature at its population mean,
+    * which keeps the operator derandomized and oracle-exact where a
+    * permutation would need a global row shuffle): per feature, the
+    * scorer is re-evaluated with that covariate replaced by its mean
+    * and the exact Mann–Whitney AUC against the heavy-purchaser label
+    * (purchases ≥ 25% of the user's events — any-purchase is
+    * degenerate on this fixture: every user converts) is recomputed;
+    * importance = AUC(full) − AUC(ablated). The 'none' row is the
+    * unablated scorer, so the output is self-contained.
     *
-    * Determinism: coalitions are exact bitmasks (channel bit =
-    * position in the declared list); v ratios, the factorial weights
-    * (exact small-integer literals), and the φ fold all ride
-    * dsum/femit.
+    * Determinism: the score is q382's fixed IEEE logistic chain (ln —
+    * the q58/q79 libm class); means ride dsum; each AUC is the
+    * two-phase [[aucTwoPhase]] machinery q166 pins; all emissions
+    * femit.
     *
-    * Scale: one keyed first-purchase window + one user-grain distinct
-    * + one mask hash-agg; EVERYTHING after runs on the 2^k-row
-    * coalition table (k = |channels| ≤ a handful by construction —
-    * attribution over hundreds of channels uses [[shapleySampled]],
-    * whose cost is nPerms×k, not 2^k). No driver-side collect: k is a
-    * parameter, not data. */
+    * Scale: ONE user-grain aggregate feeds all variants; per variant
+    * the AUC reduces to distinct-score grain immediately (the q166
+    * shape — cells of the (0,1) score range). Variants are a union of
+    * independent 1-row aggregates. */
+  def featureAblation(s: SparkSession, dir: String): DataFrame = {
+    // label = "heavy purchaser" (purchases ≥ 25% of the user's
+    // events) — exact integer predicate; the naive any-purchase label
+    // is degenerate on this fixture (every user purchases)
+    val per = events(s, dir)
+      .where(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) * 4L >= count(lit(1)), 1L).otherwise(0L)
+          .as("pos"),
+        count(lit(1)).as("n_events"), dsum(col("value")).as("sv"))
+      .withColumn("x1", log(col("n_events").cast("double")))
+      .withColumn("x2", col("sv") / col("n_events").cast("double") / 100.0)
+      .localCheckpoint() // feeds the means row + all three score passes
+    val means = per.agg(
+      (dsum(col("x1")) / count(lit(1)).cast("double")).as("m1"),
+      (dsum(col("x2")) / count(lit(1)).cast("double")).as("m2"))
+    def score(a: Column, b: Column): Column =
+      lit(1.0) / (lit(1.0) +
+        exp(-(lit(0.1) + lit(0.2) * a - lit(0.3) * b)))
+    val variants: Seq[(String, Column, Column)] = Seq(
+      ("none", col("x1"), col("x2")),
+      ("x1", col("m1"), col("x2")),
+      ("x2", col("x1"), col("m2")))
+    val aucs = variants.map { case (name, a, b) =>
+      aucTwoPhase(
+        per.crossJoin(broadcast(means))
+          .select(score(a, b).as("score"), col("pos")),
+        floor(col("score") * 50.0))
+        .select(lit(name).as("feature"), col("n_pos"), col("n_neg"),
+          col("auc0"))
+    }.reduce(_ unionAll _)
+    val full = aucs.where(col("feature") === "none")
+      .select(col("auc0").as("auc_full"))
+    aucs.crossJoin(broadcast(full)) // 3 rows x 1 row
+      .select(col("feature"), col("n_pos"), col("n_neg"),
+        femit(col("auc0")).as("auc"),
+        femit(col("auc_full") - col("auc0")).as("auc_drop"))
+      .orderBy("feature")
+  }
+
+  /** Doubly-robust (AIPW) average treatment effect — the estimator
+    * that completes the causal family (q150 A/B, q219 CUPED, q247
+    * DiD, q377 IPW): augmented inverse-propensity weighting (Robins,
+    * Rotnitzky &amp; Zhao 1994; the "doubly robust" reading per Bang
+    * &amp; Robins 2005) combines q377's fixed logistic propensity
+    * with a stratified outcome model — m_t(s) = the mean outcome of
+    * arm t in coarse-covariate stratum s = min(n_events, 8) — and
+    * stays consistent if EITHER model is right:
+    * ATE_dr = mean[ m1(s) − m0(s) + t(y − m1(s))/e − (1−t)(y − m0(s))/(1−e) ].
+    * A stratum missing an arm falls back to that arm's global mean
+    * (the standard small-cell pooling; documented, exercised by the
+    * spec). ate_reg (the pure outcome-model estimate) rides along so
+    * the report shows all three estimators' spread.
+    *
+    * Determinism: strata are exact integers; arm means are dsum/count;
+    * the per-user augmentation is one fixed IEEE chain over q377's
+    * exact propensity; the final means ride dsum; femit at emission.
+    *
+    * Scale: one user-grain aggregate + one stratum-grain aggregate
+    * (≤ 9 rows, broadcast back) + one 1-row global-arm-mean broadcast
+    * — no new shuffle shape over q377. */
+  def aipwDr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val per = events(s, dir)
+      .where(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1 && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("t"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sv"),
+        dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("y"))
+      .withColumn("x1", log(col("n_events").cast("double")))
+      .withColumn("x2", col("sv") / col("n_events").cast("double") / 100.0)
+      .withColumn("stratum", least(col("n_events"), lit(8L)))
+      .localCheckpoint() // feeds the outcome model + the estimator pass
+    val cell = per.groupBy("stratum")
+      .agg(dsum(when(col("t") === 1L, col("y"))).as("sy1"),
+        sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n1"),
+        dsum(when(col("t") === 0L, col("y"))).as("sy0"),
+        sum(when(col("t") === 0L, 1L).otherwise(0L)).as("n0"))
+      .select(col("stratum"),
+        when(col("n1") > 0L, col("sy1") / col("n1").cast("double")).as("m1"),
+        when(col("n0") > 0L, col("sy0") / col("n0").cast("double")).as("m0"))
+    val glob = per.agg(
+      (dsum(when(col("t") === 1L, col("y"))) /
+        sum(col("t")).cast("double")).as("g1"),
+      (dsum(when(col("t") === 0L, col("y"))) /
+        sum(lit(1L) - col("t")).cast("double")).as("g0"))
+    val e0 = lit(1.0) / (lit(1.0) +
+      exp(-(lit(-0.2) + lit(0.3) * col("x1") + lit(0.1) * col("x2"))))
+    val scored = per
+      .join(broadcast(cell), "stratum")
+      .crossJoin(broadcast(glob))
+      .withColumn("mm1", coalesce(col("m1"), col("g1")))
+      .withColumn("mm0", coalesce(col("m0"), col("g0")))
+      .withColumn("e", least(greatest(e0, lit(0.05)), lit(0.95)))
+      .withColumn("dr",
+        col("mm1") - col("mm0")
+          + col("t").cast("double") * (col("y") - col("mm1")) / col("e")
+          - (lit(1.0) - col("t").cast("double")) * (col("y") - col("mm0"))
+          / (lit(1.0) - col("e")))
+    scored.agg(count(lit(1)).as("n_users"), sum(col("t")).as("n_treated"),
+        dsum(col("mm1") - col("mm0")).as("sreg"),
+        dsum(col("dr")).as("sdr"))
+      .select(col("n_users"), col("n_treated"),
+        femit(col("sreg") / col("n_users").cast("double")).as("ate_reg"),
+        femit(col("sdr") / col("n_users").cast("double")).as("ate_dr"))
+  }
+
   /** Shared empirical-game machinery for [[shapleyAttribution]] and
     * [[shapleySampled]]: per-user pre-conversion channel coalitions as
     * exact bitmasks (channel bit = position in the declared list) and
@@ -4969,6 +5167,30 @@ object Queries {
     (touched, vtab)
   }
 
+  /** Shapley-value conversion attribution (Shapley 1953 applied to
+    * channel attribution per Zhao et al. 2018, "Shapley Value Methods
+    * for Attribution Modeling" — the game-theoretic successor to
+    * q183's last-touch and q214's position rules, and the only one
+    * that is order-free and efficiency-axiomatic): the "players" are
+    * the marketing channels (`channels`, a declared parameter like
+    * q76's term set — the event-type universe minus the conversion
+    * event), a user's coalition is the SET of channels touched before
+    * their first purchase, v(S) = the observed conversion rate of
+    * users whose coalition is EXACTLY S (unobserved coalitions
+    * contribute v = 0 — the standard empirical characteristic
+    * function), and φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪c) − v(S)).
+    *
+    * Determinism: coalitions are exact bitmasks (channel bit =
+    * position in the declared list); v ratios, the factorial weights
+    * (exact small-integer literals), and the φ fold all ride
+    * dsum/femit.
+    *
+    * Scale: one keyed first-purchase window + one user-grain distinct
+    * + one mask hash-agg; EVERYTHING after runs on the 2^k-row
+    * coalition table (k = |channels| ≤ a handful by construction —
+    * attribution over hundreds of channels uses [[shapleySampled]],
+    * whose cost is nPerms×k, not 2^k). No driver-side collect: k is a
+    * parameter, not data. */
   def shapleyAttribution(s: SparkSession, dir: String,
       channels: Seq[String] = Seq("click", "error", "signup", "view"))
       : DataFrame = {
@@ -5626,6 +5848,9 @@ object Queries {
     "q377_ipw_ate" -> (ipwAte _),
     "q381_shapley_attribution" -> ((s, dir) => shapleyAttribution(s, dir)),
     "q393_shapley_sampled" -> ((s, dir) => shapleySampled(s, dir)),
+    "q394_logrank" -> (logRank _),
+    "q395_feature_ablation" -> (featureAblation _),
+    "q396_aipw_dr" -> (aipwDr _),
     "q382_qini_uplift" -> (qiniUplift _),
     "q386_auc_bootstrap" -> (aucBootstrap _),
     "q387_stl_strength" -> (stlStrength _),
@@ -10131,6 +10356,148 @@ object Queries {
          |  ${femitSql("sm / 200.0")} AS shapley,
          |  ${femitSql("lo")} AS ci_lo, ${femitSql("hi")} AS ci_hi
          |FROM ag ORDER BY ch""".stripMargin,
+    // Same q191 lifetime/censoring rules with q377's first-event-click
+    // grouping, same day-grain suffix at-risk counts, same
+    // hypergeometric E/V chains through dsum.
+    "q394_logrank" ->
+      s"""WITH r AS (SELECT user_id, event_id, event_type, ts,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts ASC, event_id ASC) AS rn FROM events),
+         |pu AS (SELECT user_id,
+         |  max(CASE WHEN rn = 1 AND event_type = 'click'
+         |    THEN 1 ELSE 0 END) AS g,
+         |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+         |  FROM r GROUP BY user_id),
+         |hz AS (SELECT max(last_us) AS h FROM pu),
+         |lf AS (SELECT g, (last_us - first_us) // 86400000000 AS day,
+         |  (h - last_us) < 172800000000 AS censored
+         |  FROM pu CROSS JOIN hz),
+         |cl AS (SELECT day,
+         |  CAST(sum(CASE WHEN NOT censored AND g = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS d1,
+         |  CAST(sum(CASE WHEN NOT censored AND g = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS d0,
+         |  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         |  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0
+         |  FROM lf GROUP BY day),
+         |tt AS (SELECT CAST(sum(t1) AS BIGINT) AS tot1,
+         |  CAST(sum(t0) AS BIGINT) AS tot0 FROM cl),
+         |rk AS (SELECT day, d1, d0,
+         |  tot1 - coalesce(CAST(sum(t1) OVER (ORDER BY day ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS BIGINT), 0) AS n1,
+         |  tot0 - coalesce(CAST(sum(t0) OVER (ORDER BY day ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS BIGINT), 0) AS n0
+         |  FROM cl CROSS JOIN tt),
+         |ev2 AS (SELECT d1, d0, n1, n0, d1 + d0 AS dj, n1 + n0 AS nj
+         |  FROM rk WHERE d1 + d0 > 0),
+         |ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         |  CAST(sum(d0) AS BIGINT) AS o0,
+         |  ${dsumSql("CAST(dj AS DOUBLE) * CAST(n1 AS DOUBLE)" +
+        " / CAST(nj AS DOUBLE)")} AS e1,
+         |  ${dsumSql("""CASE WHEN nj > 1 THEN CAST(dj AS DOUBLE)
+           |    * (CAST(n1 AS DOUBLE) / CAST(nj AS DOUBLE))
+           |    * (CAST(n0 AS DOUBLE) / CAST(nj AS DOUBLE))
+           |    * CAST(nj - dj AS DOUBLE) / CAST(nj - 1 AS DOUBLE)
+           |    ELSE 0.0 END""".stripMargin)} AS v
+         |  FROM ev2)
+         |SELECT tot1 AS n_g1, tot0 AS n_g0, o1, o0,
+         |  ${femitSql("e1")} AS e1, ${femitSql("v")} AS var_lr,
+         |  ${femitSql("(CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)" +
+        " / nullif(v, 0.0)")} AS chi2
+         |FROM ag CROSS JOIN tt""".stripMargin,
+    // Same user-grain features and q382 logistic chain, each variant's
+    // AUC through the single-window Mann-Whitney the two-phase engine
+    // form must reproduce, ablation means via dsum.
+    "q395_feature_ablation" ->
+      s"""WITH e AS (SELECT user_id, event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |per AS (SELECT user_id,
+         |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |    THEN 1 ELSE 0 END) * 4 >= count(*) THEN 1 ELSE 0 END AS pos,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sv
+         |  FROM e GROUP BY user_id),
+         |fx AS (SELECT pos, ln(CAST(n_events AS DOUBLE)) AS x1,
+         |  sv / CAST(n_events AS DOUBLE) / 100.0 AS x2 FROM per),
+         |mn AS (SELECT ${dsumSql("x1")} / CAST(count(*) AS DOUBLE) AS m1,
+         |  ${dsumSql("x2")} / CAST(count(*) AS DOUBLE) AS m2 FROM fx),
+         |sc AS (SELECT 'none' AS feature,
+         |    1.0 / (1.0 + exp(-(0.1 + 0.2 * x1 - 0.3 * x2))) AS score, pos
+         |  FROM fx
+         |  UNION ALL SELECT 'x1',
+         |    1.0 / (1.0 + exp(-(0.1 + 0.2 * m1 - 0.3 * x2))), pos
+         |  FROM fx CROSS JOIN mn
+         |  UNION ALL SELECT 'x2',
+         |    1.0 / (1.0 + exp(-(0.1 + 0.2 * x1 - 0.3 * m2))), pos
+         |  FROM fx CROSS JOIN mn),
+         |g AS (SELECT feature, score, count(*) AS cnt,
+         |  CAST(sum(pos) AS BIGINT) AS poscnt FROM sc GROUP BY feature, score),
+         |r2 AS (SELECT feature, score, cnt, poscnt,
+         |  coalesce(sum(cnt) OVER (PARTITION BY feature ORDER BY score ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM g),
+         |a2 AS (SELECT feature, CAST(sum(poscnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(cnt - poscnt) AS BIGINT) AS n_neg,
+         |  ${dsumSql("CAST(poscnt AS DOUBLE) * (CAST(cb AS DOUBLE)" +
+        " + CAST(cnt + 1 AS DOUBLE) / 2.0)")} AS rpos
+         |  FROM r2 GROUP BY feature),
+         |au AS (SELECT feature, n_pos, n_neg,
+         |  (rpos - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+         |    / nullif(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0)
+         |    AS auc0
+         |  FROM a2),
+         |fu AS (SELECT auc0 AS auc_full FROM au WHERE feature = 'none')
+         |SELECT feature, n_pos, n_neg, ${femitSql("auc0")} AS auc,
+         |  ${femitSql("auc_full - auc0")} AS auc_drop
+         |FROM au CROSS JOIN fu ORDER BY feature""".stripMargin,
+    // q377's per-user reduce and propensity verbatim, stratified arm
+    // means with the global-arm-mean fallback, the same AIPW chain.
+    "q396_aipw_dr" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, event_type, value
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |  ORDER BY ts ASC, event_id ASC) AS rn FROM e),
+         |per AS (SELECT user_id,
+         |  max(CASE WHEN rn = 1 AND event_type = 'click'
+         |    THEN 1 ELSE 0 END) AS t,
+         |  count(*) AS n_events,
+         |  ${dsumSql("value")} AS sv,
+         |  ${dsumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS y
+         |  FROM r GROUP BY user_id),
+         |fx AS (SELECT t, y, ln(CAST(n_events AS DOUBLE)) AS x1,
+         |  sv / CAST(n_events AS DOUBLE) / 100.0 AS x2,
+         |  least(n_events, 8) AS stratum FROM per),
+         |cm AS (SELECT stratum,
+         |  CASE WHEN sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) > 0
+         |    THEN ${dsumSql("CASE WHEN t = 1 THEN y END")}
+         |      / CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    END AS m1,
+         |  CASE WHEN sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) > 0
+         |    THEN ${dsumSql("CASE WHEN t = 0 THEN y END")}
+         |      / CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    END AS m0
+         |  FROM fx GROUP BY stratum),
+         |gl AS (SELECT ${dsumSql("CASE WHEN t = 1 THEN y END")}
+         |    / CAST(sum(t) AS DOUBLE) AS g1,
+         |  ${dsumSql("CASE WHEN t = 0 THEN y END")}
+         |    / CAST(sum(1 - t) AS DOUBLE) AS g0 FROM fx),
+         |sc AS (SELECT t, y, coalesce(m1, g1) AS mm1,
+         |  coalesce(m0, g0) AS mm0,
+         |  least(greatest(1.0 / (1.0 + exp(-(-0.2 + 0.3 * x1 + 0.1 * x2))),
+         |    0.05), 0.95) AS ee
+         |  FROM fx JOIN cm USING (stratum) CROSS JOIN gl),
+         |dr AS (SELECT t, mm1, mm0,
+         |  mm1 - mm0 + CAST(t AS DOUBLE) * (y - mm1) / ee
+         |    - (1.0 - CAST(t AS DOUBLE)) * (y - mm0) / (1.0 - ee) AS dr
+         |  FROM sc),
+         |ag AS (SELECT count(*) AS n_users,
+         |  CAST(sum(t) AS BIGINT) AS n_treated,
+         |  ${dsumSql("mm1 - mm0")} AS sreg, ${dsumSql("dr")} AS sdr FROM dr)
+         |SELECT n_users, n_treated,
+         |  ${femitSql("sreg / CAST(n_users AS DOUBLE)")} AS ate_reg,
+         |  ${femitSql("sdr / CAST(n_users AS DOUBLE)")} AS ate_dr
+         |FROM ag""".stripMargin,
     // Same per-user T/conv/score chain as q377/q382's engine side,
     // ntile(10) over (u DESC, user_id) — the single-window oracle the
     // two-phase ntile2p must reproduce exactly — and the Qini prefix

@@ -64,6 +64,50 @@ class Round12OpsSpec extends SparkSpec {
       s"efficiency: sampled=$sumHat exact=$sumPhi")
   }
 
+  test("logRank: counts reconcile and the statistic is a valid chi-square") {
+    val r = graft.rel.Queries.logRank(spark, sf0001).collect().head
+    val (n1, n0) = (r.getAs[Long]("n_g1"), r.getAs[Long]("n_g0"))
+    val (o1, o0) = (r.getAs[Long]("o1"), r.getAs[Long]("o0"))
+    assert(n1 > 0 && n0 > 0)
+    // observed deaths bounded by group sizes; E1 lives between 0 and
+    // total deaths by construction of the hypergeometric mean
+    assert(o1 <= n1 && o0 <= n0)
+    val e1 = r.getAs[Double]("e1")
+    assert(e1 >= 0.0 && e1 <= (o1 + o0).toDouble, s"e1=$e1")
+    // chi2 is NULL only when V = 0 (no between-group variance)
+    if (!r.isNullAt(r.fieldIndex("chi2")))
+      assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("featureAblation: self-drop is zero, every AUC is a probability") {
+    val rows = graft.rel.Queries.featureAblation(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("feature")).toSet == Set("none", "x1", "x2"))
+    rows.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0, s"auc=$auc")
+      assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0,
+        "label degenerate — both classes must exist (fixture guard)")
+      if (r.getAs[String]("feature") == "none")
+        assert(r.getAs[Double]("auc_drop") == 0.0)
+    }
+  }
+
+  test("aipwDr: estimator finite, arms populated, reg/dr read together") {
+    val r = graft.rel.Queries.aipwDr(spark, sf0001).collect().head
+    val nUsers = r.getAs[Long]("n_users")
+    val nTreated = r.getAs[Long]("n_treated")
+    assert(nUsers > 0 && nTreated > 0 && nTreated < nUsers)
+    val reg = r.getAs[Double]("ate_reg")
+    val dr = r.getAs[Double]("ate_dr")
+    assert(!reg.isNaN && !dr.isNaN && reg.isFinite && dr.isFinite)
+    // the augmentation term is mean-zero only if the propensity is
+    // right; with the FIXED propensity the two estimates still must
+    // be the same order of magnitude on this fixture (guard against a
+    // sign/arm swap in the augmentation chain)
+    assert(math.abs(dr - reg) < math.max(10.0, math.abs(reg) * 10),
+      s"reg=$reg dr=$dr")
+  }
+
   test("perceptual store rows carry the words their own bands rebuild") {
     val store = Multimodal.perceptualSignatureStore(docs, maxDist = 3)
     // every doc contributes exactly maxDist+1 band rows, and the four
