@@ -329,6 +329,52 @@ object Multimodal {
       .distinct()
   }
 
+  /** The persisted half of incremental VIDEO dedup (the q392 store
+    * treatment applied to the frame-containment modality): each
+    * historical video's distinct frame fingerprints as doc-grain
+    * inverted-index rows (sig, doc_id, nf) — nf, the per-doc frame
+    * count the containment score needs, rides denormalized on every
+    * row so the probe never joins back to history — written bucketed
+    * by the probe key `sig`, so the probe join's store side is
+    * exchange-free. Lossless by construction: candidates are "shares
+    * ≥1 fingerprint", exactly the inverted-index definition. */
+  def frameSignatureStore(docs: DataFrame, seg: Int = 4): DataFrame = {
+    val fp = frameFingerprints(docs, seg)
+    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    fp.join(nf, "doc_id").select(col("sig"), col("doc_id"), col("nf"))
+  }
+
+  /** Probe a NEW media batch against a persisted
+    * [[frameSignatureStore]] — the production shape of frame-level
+    * video dedup (new uploads match their sampled frame hashes
+    * through the standing inverted index; nobody re-fingerprints the
+    * archive per batch): fingerprint ONLY the batch, one equi-join on
+    * sig (store side exchange-free — PlanSpec-pinned), ONE grouped
+    * shuffle to count shared frames per (batch, history) pair, score
+    * containment |shared| / min(nf_batch, nf_history) ≥ tau. Shuffle
+    * volume is O(batch fingerprints + matched pairs), never
+    * O(history).
+    *
+    * Output: (doc_id, dup_of, n_shared, nfa, nfb, containment) —
+    * q388's row shape with doc_id the batch side. */
+  def frameIncrementalNearDups(fresh: DataFrame, store: DataFrame,
+                               seg: Int = 4, tau: Double = 0.5): DataFrame = {
+    import graft.rel.Queries.femit
+    val fp = frameFingerprints(fresh, seg).localCheckpoint()
+    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("nfa"))
+    fp.join(store.select(col("sig"), col("doc_id").as("dup_of"),
+        col("nf").as("nfb")), "sig")
+      .groupBy("doc_id", "dup_of", "nfb")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nf, "doc_id")
+      .where(col("n_shared").cast("double")
+        / least(col("nfa"), col("nfb")).cast("double") >= tau)
+      .select(col("doc_id"), col("dup_of"), col("n_shared"),
+        col("nfa"), col("nfb"),
+        femit(col("n_shared").cast("double")
+          / least(col("nfa"), col("nfb")).cast("double")).as("containment"))
+  }
+
   /** Video near-dup by frame-fingerprint CONTAINMENT — the multimodal
     * dedup family's sequence-level member (q373 matches one global
     * perceptual hash; this matches the SET of per-frame fingerprints,

@@ -200,6 +200,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q397 frame probe rides the inverted-index store's bucket layout") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val history = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      val fresh = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      rel.Layout.writeBucketedBy(
+        llm.Multimodal.frameSignatureStore(history),
+        "frame_store_plan", 8, "sig")
+      val probe = llm.Multimodal.frameIncrementalNearDups(
+        fresh, spark.table("frame_store_plan"))
+      val p = finalPlan(probe).split("== Initial Plan ==").head
+      assert(p.contains("Bucketed: true"), p.take(1500))
+      assert(!p.contains("disabled by query planner"), p.take(1500))
+      // exactly one sig-key exchange: the batch fingerprints'
+      assert("exchange hashpartitioning\\(sig".r
+        .findAllIn(p.toLowerCase).size == 1, p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q100 store merge and the next probe both ride the bucket layout") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape

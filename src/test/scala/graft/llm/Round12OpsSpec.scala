@@ -108,6 +108,30 @@ class Round12OpsSpec extends SparkSpec {
       s"reg=$reg dr=$dr")
   }
 
+  test("frame incremental probe equals the brute-force batch-vs-history set") {
+    val history = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 === 1)
+    graft.rel.Layout.writeBucketedBy(
+      Multimodal.frameSignatureStore(history),
+      "frame_store_spec", 8, "sig")
+    val probe = Multimodal.frameIncrementalNearDups(
+        fresh, spark.table("frame_store_spec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // truth from the from-scratch all-pairs containment join,
+    // restricted to cross-parity pairs and re-oriented (d1 < d2 there)
+    val truth = Multimodal.frameNearDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect {
+        case (d1, d2, n) if d1 % 2 == 1 && d2 % 2 == 0 => (d1, d2, n)
+        case (d1, d2, n) if d1 % 2 == 0 && d2 % 2 == 1 => (d2, d1, n)
+      }.toSet
+    assert(probe == truth,
+      s"probe=${probe.size} truth=${truth.size} " +
+        s"missing=${(truth -- probe).take(3)} extra=${(probe -- truth).take(3)}")
+    assert(truth.nonEmpty, "fixture produced no cross-parity frame dups")
+  }
+
   test("perceptual store rows carry the words their own bands rebuild") {
     val store = Multimodal.perceptualSignatureStore(docs, maxDist = 3)
     // every doc contributes exactly maxDist+1 band rows, and the four
