@@ -675,6 +675,87 @@ object Curation {
     *
     * Scale: one corpus scan → (source, lang)-cell hash-agg; the
     * ablation algebra runs on |sources|·|langs| cells. */
+  /** Sampled-permutation DATA Shapley source valuation (Ghorbani &amp;
+    * Zou, ICML 2019, "Data Shapley", at source granularity — the
+    * axiomatic upgrade of [[sourceAblation]]'s leave-one-out deltas:
+    * LOO misprices redundant sources because removing either of two
+    * near-identical feeds looks free; Shapley splits the credit):
+    * players are the corpus's sources (k = 20 here, so q381's exact
+    * 2^k sweep is out of reach and the q393 sampled-permutation
+    * estimator is the only scalable form), utility v(S) = the mean
+    * document quality (q385's exact score) over the union of S's
+    * documents, φ̂_s = the mean marginal contribution over `nPerms`
+    * fnv-derandomized permutation draws.
+    *
+    * The marginals need NO 2^k table and no mask join: within one
+    * permutation, prefix utilities are running sums of per-source
+    * sufficient statistics (Σq, n) — one windowed pass computes
+    * v(prefix∪{s}) and v(prefix) together. Per-term DECIMAL(38,12)
+    * casts keep the running float sum association-free cross-engine
+    * (the q294/q295 window-sum rule).
+    *
+    * Determinism: permutation p orders sources by
+    * fnv1a32('dperm:p:source') with the source tiebreak (the q393
+    * discipline — the oracle replays the same draws bit-for-bit);
+    * per-source Σq rides dsum; the CI is the q393 order-statistic
+    * convention (ranks nPerms/40 and nPerms+1−that, draw-id
+    * tiebreak). Per permutation the marginals telescope to
+    * v(all) − v(∅) = the global mean quality, so efficiency holds
+    * EXACTLY for the estimate (spec-pinned against q385's totals).
+    *
+    * Scale: ONE doc-grain aggregate reduces the corpus to k
+    * sufficient-stat rows; everything after is nPerms×k rows. */
+  def dataShapley(docs: DataFrame, nPerms: Int = 200): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    graft.functions.HashExprs.register(s)
+    require(nPerms >= 40, "CI order statistics need >= 40 draws")
+    val ts = expr("filter(split(text, ' ', -1), t -> t != '')")
+    val stopList = graft.llm.TextAnalysis.Stopwords
+    val n = size(ts)
+    val alpha = size(filter(ts, t => t.rlike("^[a-z-_]+$")))
+    val stop = size(filter(ts, t => t.isin(stopList: _*)))
+    val q = lit(0.5) * (alpha.cast("double") / n) +
+      lit(0.3) * (lit(1.0) - stop.cast("double") / n) +
+      lit(0.2) * least(n.cast("double") / lit(64.0), lit(1.0))
+    val src = docs.select(col("source"), q.as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_s"), dsum(col("q")).as("q_s"))
+      .localCheckpoint() // k rows; feeds draws + the n_docs join-back
+    val perms = s.range(0, nPerms.toLong).toDF("p")
+      .crossJoin(broadcast(src))
+      .withColumn("key", graft.functions.HashExprs.fnv1a32(
+        "concat('dperm:', cast(p as string), ':', source)"))
+    val byPerm = Window.partitionBy("p")
+      .orderBy(col("key").asc, col("source").asc)
+    val upTo = Window.partitionBy("p").orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marg = perms
+      .withColumn("pos", row_number().over(byPerm))
+      .withColumn("cn", sum(col("n_s")).over(upTo))
+      .withColumn("cq",
+        sum(col("q_s").cast("decimal(38,12)")).over(upTo).cast("double"))
+      .select(col("p"), col("source"),
+        (col("cq") / col("cn").cast("double")
+          - when(col("cn") === col("n_s"), lit(0.0))
+            .otherwise((col("cq") - col("q_s"))
+              / (col("cn") - col("n_s")).cast("double"))).as("m"))
+    val rLo = math.max(2, nPerms / 40)
+    val rHi = nPerms - rLo + 1
+    val byM = Window.partitionBy("source").orderBy(col("m").asc, col("p").asc)
+    marg.withColumn("r", row_number().over(byM))
+      .groupBy("source")
+      .agg((dsum(col("m")) / lit(nPerms.toDouble)).as("phi"),
+        min(when(col("r") === rLo, col("m"))).as("lo"),
+        min(when(col("r") === rHi, col("m"))).as("hi"))
+      .join(src.select(col("source"), col("n_s").as("n_docs")), "source")
+      .select(col("source"), col("n_docs"), lit(nPerms.toLong).as("n_perms"),
+        femit(col("phi")).as("shapley"),
+        femit(col("lo")).as("ci_lo"), femit(col("hi")).as("ci_hi"))
+      .orderBy("source")
+  }
+
   def sourceAblation(docs: DataFrame): DataFrame = {
     import graft.rel.Queries.{dsum, femit}
     val ts = expr("filter(split(text, ' ', -1), t -> t != '')")

@@ -1724,6 +1724,11 @@ object Queries {
           graft.rel.Queries.femit(col("sim")).as("best_sim"))
         .orderBy("doc_id")
     }),
+    // Data-Shapley source valuation over 20 sources — exact 2^20 is
+    // out of reach, the sampled-permutation estimator is the point
+    // (see Curation.dataShapley; q385's LOO deltas read alongside)
+    "q399_data_shapley" -> ((s, dir) =>
+      Curation.dataShapley(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -5785,5 +5790,48 @@ object Queries {
          |  b AS best_eval_id, ${femitSql("sim")} AS best_sim
          |FROM rk JOIN documents d ON d.doc_id = rk.doc_id
          |WHERE r = 1 ORDER BY rk.doc_id""".stripMargin,
+    // q385's exact per-doc quality reduced to per-source (Σq, n), the
+    // SAME 200 fnv('dperm:p:source') draws, VARCHAR-routed DECIMAL
+    // running sums (the q382 window rule), telescoping marginals,
+    // dsum mean + 5/196 order-statistic CI.
+    "q399_data_shapley" ->
+      s"""WITH t AS (SELECT source,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |f AS (SELECT source,
+         |  0.5 * (CAST(len(list_filter(ts,
+         |      t -> regexp_full_match(t, '^[a-z-_]+$$'))) AS DOUBLE) / len(ts))
+         |  + 0.3 * (1.0 - CAST(len(list_filter(ts,
+         |      t -> list_contains(['the','of','and','to','in','a','is',
+         |        'for','on','with'], t))) AS DOUBLE) / len(ts))
+         |  + 0.2 * least(CAST(len(ts) AS DOUBLE) / 64.0, 1.0) AS q FROM t),
+         |st2 AS (SELECT source, count(*) AS n_s, ${dsumSql("q")} AS q_s
+         |  FROM f GROUP BY source),
+         |pm AS (SELECT p, source, n_s, q_s, ${graft.llm.Queries.fnvSql(
+        "('dperm:' || CAST(p AS VARCHAR) || ':' || source)")} AS key
+         |  FROM (SELECT unnest(range(200)) AS p) ps CROSS JOIN st2),
+         |po AS (SELECT p, source, n_s, q_s, row_number() OVER (
+         |  PARTITION BY p ORDER BY key ASC, source ASC) AS pos FROM pm),
+         |rs AS (SELECT p, source, n_s, q_s,
+         |  CAST(sum(n_s) OVER (PARTITION BY p ORDER BY pos ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cn,
+         |  CAST(CAST(sum(CAST(CAST(q_s AS VARCHAR) AS DECIMAL(38,12)))
+         |    OVER (PARTITION BY p ORDER BY pos ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS VARCHAR) AS DOUBLE) AS cq FROM po),
+         |mg AS (SELECT p, source,
+         |  cq / CAST(cn AS DOUBLE) - CASE WHEN cn = n_s THEN 0.0
+         |    ELSE (cq - q_s) / CAST(cn - n_s AS DOUBLE) END AS m FROM rs),
+         |rk AS (SELECT source, p, m, row_number() OVER (
+         |  PARTITION BY source ORDER BY m ASC, p ASC) AS r FROM mg),
+         |ag AS (SELECT source, ${dsumSql("m")} AS sm,
+         |  min(CASE WHEN r = 5 THEN m END) AS lo,
+         |  min(CASE WHEN r = 196 THEN m END) AS hi FROM rk GROUP BY source)
+         |SELECT ag.source, n_s AS n_docs, CAST(200 AS BIGINT) AS n_perms,
+         |  ${femitSql("sm / 200.0")} AS shapley,
+         |  ${femitSql("lo")} AS ci_lo, ${femitSql("hi")} AS ci_hi
+         |FROM ag JOIN st2 ON st2.source = ag.source
+         |ORDER BY ag.source""".stripMargin,
   )
 }

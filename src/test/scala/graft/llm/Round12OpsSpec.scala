@@ -132,6 +132,33 @@ class Round12OpsSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture produced no cross-parity frame dups")
   }
 
+  test("dataShapley: efficiency telescopes to the global mean quality") {
+    val rows = Curation.dataShapley(docs).collect()
+    assert(rows.length == 20) // one row per source
+    val sumPhi = rows.map(_.getAs[Double]("shapley")).sum
+    // v(all) = the corpus mean of q385's quality score, computed here
+    // with the same expression the operator reduces per source
+    import org.apache.spark.sql.functions._
+    val ts = expr("filter(split(text, ' ', -1), t -> t != '')")
+    val stopList = TextAnalysis.Stopwords
+    val q = lit(0.5) * (size(filter(ts, t => t.rlike("^[a-z-_]+$")))
+        .cast("double") / size(ts)) +
+      lit(0.3) * (lit(1.0) - size(filter(ts, t => t.isin(stopList: _*)))
+        .cast("double") / size(ts)) +
+      lit(0.2) * least(size(ts).cast("double") / lit(64.0), lit(1.0))
+    val vAll = docs.select(q.as("q"))
+      .agg(graft.rel.Queries.dsum(col("q")) / count(lit(1)).cast("double"))
+      .collect().head.getDouble(0)
+    // per permutation the marginals telescope to v(all) - v(empty), so
+    // the SUM of estimates equals v(all) exactly (up to the 1e-6
+    // emission grid x 20 sources)
+    assert(math.abs(sumPhi - vAll) <= 2e-5, s"sumPhi=$sumPhi vAll=$vAll")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi") + 1e-12)
+    }
+  }
+
   test("perceptual store rows carry the words their own bands rebuild") {
     val store = Multimodal.perceptualSignatureStore(docs, maxDist = 3)
     // every doc contributes exactly maxDist+1 band rows, and the four
