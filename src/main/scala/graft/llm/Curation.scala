@@ -756,6 +756,48 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Shapley-priced source reweighting — the executor that closes the
+    * valuation→curation loop ([[dataShapley]] prices the sources;
+    * this turns the prices into a sampling recipe and runs it, the
+    * Ghorbani &amp; Zou §5 "remove low-value data" application as a
+    * deterministic pipeline stage): per-source keep rate ∝ the
+    * CLIPPED Shapley value (negative-value sources drop to rate 0,
+    * the best source keeps everything), executed with q112's
+    * derandomized fnv(doc_id:'swr') coin so the sample is
+    * reproducible row-for-row.
+    *
+    * Determinism: the rate arithmetic starts from the femit'd 1e-6
+    * Shapley grid, so rates are EXACT integers (micro-units ×
+    * denom ÷ max), and every output column is an integer count —
+    * hash-exact by construction.
+    *
+    * Scale: [[dataShapley]]'s doc-grain aggregate + one broadcast of
+    * the k-row rate table + one filtered count over the corpus — the
+    * corpus streams once. */
+  def shapleyReweight(docs: DataFrame, nPerms: Int = 200,
+                      denom: Int = 1000): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.HashExprs.register(s)
+    val shap = dataShapley(docs, nPerms)
+      .select(col("source"), col("n_docs"),
+        floor(greatest(col("shapley"), lit(0.0)) * 1e6 + 0.5)
+          .cast("long").as("micro"))
+    val mx = shap.agg(max(col("micro")).as("mxm"))
+    val wt = shap.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"),
+        expr(s"micro * $denom div nullif(mxm, 0)").as("keep_lt"))
+      .localCheckpoint() // k rows; rate table + output spine
+    val kept = docs.join(broadcast(wt), "source")
+      .where(pmod(graft.functions.HashExprs.fnv1a32(
+        "concat(cast(doc_id as string), ':swr')"), lit(denom.toLong))
+        < col("keep_lt"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    wt.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("keep_lt"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   def sourceAblation(docs: DataFrame): DataFrame = {
     import graft.rel.Queries.{dsum, femit}
     val ts = expr("filter(split(text, ' ', -1), t -> t != '')")

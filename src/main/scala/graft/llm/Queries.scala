@@ -1729,6 +1729,10 @@ object Queries {
     // (see Curation.dataShapley; q385's LOO deltas read alongside)
     "q399_data_shapley" -> ((s, dir) =>
       Curation.dataShapley(tbl(s, dir, "documents"))),
+    // Valuation -> curation closure: q399's prices as executed keep
+    // rates (see Curation.shapleyReweight)
+    "q400_shapley_reweight" -> ((s, dir) =>
+      Curation.shapleyReweight(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -5794,7 +5798,34 @@ object Queries {
     // SAME 200 fnv('dperm:p:source') draws, VARCHAR-routed DECIMAL
     // running sums (the q382 window rule), telescoping marginals,
     // dsum mean + 5/196 order-statistic CI.
-    "q399_data_shapley" ->
+    "q399_data_shapley" -> dataShapleyOracle,
+    // The q399 valuation replayed, micro-grid clipped rates, q112's
+    // fnv(doc_id:swr) coin — every output column an exact integer.
+    "q400_shapley_reweight" ->
+      s"""WITH sh AS (SELECT source, n_docs,
+         |  CAST(floor(greatest(shapley, 0.0) * 1000000 + 0.5) AS BIGINT)
+         |    AS micro
+         |  FROM ($dataShapleyOracle) s0),
+         |mx AS (SELECT max(micro) AS mxm FROM sh),
+         |wt AS (SELECT source, n_docs,
+         |  (micro * 1000) // nullif(mxm, 0) AS keep_lt
+         |  FROM sh CROSS JOIN mx),
+         |kp AS (SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN wt ON wt.source = d.source
+         |  WHERE ${fnvSql("(CAST(doc_id AS VARCHAR) || ':swr')")} % 1000
+         |    < keep_lt
+         |  GROUP BY d.source)
+         |SELECT wt.source, n_docs, CAST(keep_lt AS BIGINT) AS keep_lt,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+         |FROM wt LEFT JOIN kp ON kp.source = wt.source
+         |ORDER BY wt.source""".stripMargin,
+  )
+
+  /** DuckDB twin of [[Curation.dataShapley]] — shared by q399 and
+    * q400's rate-table replay. `lazy` because the oracle map above
+    * references it during object init (a plain val would still be
+    * null there). */
+  private lazy val dataShapleyOracle: String =
       s"""WITH t AS (SELECT source,
          |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
          |  FROM documents),
@@ -5832,6 +5863,5 @@ object Queries {
          |  ${femitSql("sm / 200.0")} AS shapley,
          |  ${femitSql("lo")} AS ci_lo, ${femitSql("hi")} AS ci_hi
          |FROM ag JOIN st2 ON st2.source = ag.source
-         |ORDER BY ag.source""".stripMargin,
-  )
+         |ORDER BY ag.source""".stripMargin
 }
