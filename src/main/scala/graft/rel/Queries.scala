@@ -2469,7 +2469,18 @@ object Queries {
     * (group, day, censored); everything after is day-grain (the q194
     * class — the unpartitioned prefix windows run over O(days) rows,
     * never users), with the two 1-row totals broadcast. */
-  def logRank(s: SparkSession, dir: String): DataFrame = {
+  /** Shared two-group survival risk table for [[logRank]] (q394) and
+    * [[coxPh]] (q401): q191's lifetimes/censoring with q377's
+    * first-event-click grouping, reduced to event-day cells carrying
+    * death counts and suffix at-risk counts per group —
+    * (day, d1, d0, dj, n1, n0, nj, tot1, tot0), event days only
+    * (dj &gt; 0). Day-grain throughout: the unpartitioned prefix
+    * windows run over O(days) rows, never users. Returns
+    * (riskCells, groupTotals) — the 1-row totals ride separately so
+    * callers still emit group sizes when NO death days exist (the
+    * all-censored case: sf0.001's horizon covers every user). */
+  private def survivalRiskCells(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
     val perUser = events(s, dir)
@@ -2502,6 +2513,11 @@ object Queries {
       .withColumn("dj", col("d1") + col("d0"))
       .withColumn("nj", col("n1") + col("n0"))
       .where(col("dj") > 0L)
+    (risk, tot)
+  }
+
+  def logRank(s: SparkSession, dir: String): DataFrame = {
+    val (risk, tot) = survivalRiskCells(s, dir)
     risk.agg(sum(col("d1")).as("o1"), sum(col("d0")).as("o0"),
         dsum(col("dj").cast("double") * col("n1").cast("double")
           / col("nj").cast("double")).as("e1"),
@@ -2519,6 +2535,122 @@ object Queries {
         femit((col("o1").cast("double") - col("e1"))
           * (col("o1").cast("double") - col("e1"))
           / nullif(col("v"), lit(0.0))).as("chi2"))
+  }
+
+  /** Cox proportional-hazards fit for the single binary group
+    * covariate (Cox 1972; Breslow tie handling — the effect-SIZE
+    * companion to [[logRank]]'s yes/no test, whose score test at
+    * β = 0 IS the log-rank statistic): maximize the partial
+    * likelihood by 8 Newton steps on the same day-grain risk table,
+    * U(β) = Σ_j [d1_j − d_j·p_j], I(β) = Σ_j d_j·p_j(1−p_j) with
+    * p_j = n1_j·e^β / (n1_j·e^β + n0_j); report β̂, the hazard ratio
+    * e^β̂, SE = 1/√I(β̂) and the Wald z.
+    *
+    * Determinism: the iteration count is FIXED (8 — far past 1e-12
+    * convergence on any realistic table, and fixed so the oracle
+    * replays the identical float trajectory rather than a
+    * tolerance-dependent one); each step is day-grain dsum chains and
+    * one division; exp is the q58/q79 libm class.
+    *
+    * Scale: the per-step cost is one aggregate over O(event days)
+    * cells — the q194 class; 8 steps = 8 tiny aggregates chained off
+    * one shared risk table. */
+  def coxPh(s: SparkSession, dir: String, steps: Int = 8): DataFrame = {
+    // With zero death days (the all-censored sf0.001 case) every
+    // iteration and the final aggregate are empty on BOTH engines —
+    // the row count is the signal, exactly like the oracle.
+    val (risk0, _) = survivalRiskCells(s, dir)
+    val risk = risk0.localCheckpoint() // 8 consumers
+    val n1d = col("n1").cast("double"); val n0d = col("n0").cast("double")
+    var beta = s.range(1).select(lit(0.0).as("beta"))
+    for (_ <- 1 to steps) {
+      val y = risk.crossJoin(broadcast(beta))
+        .withColumn("pj",
+          n1d * exp(col("beta")) / (n1d * exp(col("beta")) + n0d))
+      // step clamp to ±10: under complete separation the MLE is ±∞
+      // and unclamped Newton marches beta into exp overflow (NaN pj);
+      // the clamp keeps the trajectory finite and IDENTICAL on both
+      // engines, and is inactive whenever a finite MLE exists
+      beta = y.groupBy("beta")
+        .agg(dsum(col("d1").cast("double")
+            - col("dj").cast("double") * col("pj")).as("usum"),
+          dsum(col("dj").cast("double") * col("pj")
+            * (lit(1.0) - col("pj"))).as("isum"))
+        .select(greatest(least(
+          col("beta") + col("usum") / nullif(col("isum"), lit(0.0)),
+          lit(10.0)), lit(-10.0)).as("beta"))
+    }
+    val fin = risk.crossJoin(broadcast(beta))
+      .withColumn("pj",
+        n1d * exp(col("beta")) / (n1d * exp(col("beta")) + n0d))
+      .groupBy("beta")
+      .agg(min(col("tot1")).as("n_g1"), min(col("tot0")).as("n_g0"),
+        sum(col("dj")).as("n_deaths"),
+        dsum(col("dj").cast("double") * col("pj")
+          * (lit(1.0) - col("pj"))).as("isum"))
+    fin.select(col("n_g1"), col("n_g0"), col("n_deaths"),
+      femit(col("beta")).as("beta"),
+      femit(exp(col("beta"))).as("hazard_ratio"),
+      femit(lit(1.0) / sqrt(nullif(col("isum"), lit(0.0)))).as("se"),
+      femit(col("beta") * sqrt(nullif(col("isum"), lit(0.0)))).as("wald_z"))
+  }
+
+  /** Brier score with the Murphy (1973) three-way decomposition —
+    * the forecast-quality companion to q180's reliability diagram
+    * and q166's discrimination-only AUC: for the q382 logistic score
+    * binned to 20 equal-width cells against the q395 heavy-purchaser
+    * label, Brier = mean (p − o)², REL = Σ n_k(p̄_k − ō_k)²/N (how
+    * far the forecast sits from its bin's truth), RES =
+    * Σ n_k(ō_k − ō)²/N (how much the bins separate outcomes), UNC =
+    * ō(1 − ō); the identity Brier = REL − RES + UNC holds exactly
+    * when REL/RES use the binned forecast, so the emitted
+    * brier_binned pins it (spec-checked).
+    *
+    * Determinism: bins are exact integer floors of the score; all
+    * means/sums ride dsum in fixed chains; femit at emission.
+    *
+    * Scale: one user-grain aggregate → one 20-row bin aggregate →
+    * 1-row algebra. */
+  def brierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val per = events(s, dir)
+      .where(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) * 4L >= count(lit(1)), 1L).otherwise(0L)
+          .as("o"),
+        count(lit(1)).as("n_events"), dsum(col("value")).as("sv"))
+      .select(col("o"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(0.1)
+          + lit(0.2) * log(col("n_events").cast("double"))
+          - lit(0.3) * (col("sv") / col("n_events").cast("double")
+            / 100.0))))).as("p"))
+      .withColumn("bin", least(floor(col("p") * 20.0).cast("long"), lit(19L)))
+    val bins = per.groupBy("bin")
+      .agg(count(lit(1)).as("nk"), dsum(col("p")).as("sp"),
+        sum(col("o")).as("so"),
+        dsum((col("p") - col("o").cast("double"))
+          * (col("p") - col("o").cast("double"))).as("sq"))
+      .localCheckpoint() // 20 rows; totals + the decomposition pass
+    val tot = bins.agg(sum(col("nk")).as("n"),
+      sum(col("so")).as("sot"), dsum(col("sq")).as("sqt"))
+    val obar = col("sot").cast("double") / col("n").cast("double")
+    val dec = bins.crossJoin(broadcast(tot))
+      .withColumn("pbar", col("sp") / col("nk").cast("double"))
+      .withColumn("okbar", col("so").cast("double") / col("nk").cast("double"))
+      .groupBy("n", "sot", "sqt")
+      .agg(dsum(col("nk").cast("double")
+          * (col("pbar") - col("okbar")) * (col("pbar") - col("okbar")))
+          .as("rel_n"),
+        dsum(col("nk").cast("double")
+          * (col("okbar") - obar) * (col("okbar") - obar)).as("res_n"))
+    dec.select(col("n").as("n_users"), col("sot").as("n_pos"),
+      femit(col("sqt") / col("n").cast("double")).as("brier"),
+      femit(col("rel_n") / col("n").cast("double")).as("reliability"),
+      femit(col("res_n") / col("n").cast("double")).as("resolution"),
+      femit(obar * (lit(1.0) - obar)).as("uncertainty"),
+      femit(col("rel_n") / col("n").cast("double")
+        - col("res_n") / col("n").cast("double")
+        + obar * (lit(1.0) - obar)).as("brier_binned"))
   }
 
   /** Exact TWO-PHASE global ntile(k) over the customer-grain table
@@ -5851,6 +5983,8 @@ object Queries {
     "q394_logrank" -> (logRank _),
     "q395_feature_ablation" -> (featureAblation _),
     "q396_aipw_dr" -> (aipwDr _),
+    "q401_cox_ph" -> ((s, dir) => coxPh(s, dir)),
+    "q402_brier_decomposition" -> (brierDecomposition _),
     "q382_qini_uplift" -> (qiniUplift _),
     "q386_auc_bootstrap" -> (aucBootstrap _),
     "q387_stl_strength" -> (stlStrength _),
@@ -10498,6 +10632,117 @@ object Queries {
          |  ${femitSql("sreg / CAST(n_users AS DOUBLE)")} AS ate_reg,
          |  ${femitSql("sdr / CAST(n_users AS DOUBLE)")} AS ate_dr
          |FROM ag""".stripMargin,
+    // q394's risk cells, the SAME 8 fixed Newton steps (the oracle
+    // replays the identical float trajectory), Breslow ties.
+    "q401_cox_ph" -> {
+      val survCtes =
+        s"""r AS (SELECT user_id, event_id, event_type, ts,
+           |  row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts ASC, event_id ASC) AS rn FROM events),
+           |pu AS (SELECT user_id,
+           |  max(CASE WHEN rn = 1 AND event_type = 'click'
+           |    THEN 1 ELSE 0 END) AS g,
+           |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+           |  FROM r GROUP BY user_id),
+           |hz AS (SELECT max(last_us) AS h FROM pu),
+           |lf AS (SELECT g, (last_us - first_us) // 86400000000 AS day,
+           |  (h - last_us) < 172800000000 AS censored
+           |  FROM pu CROSS JOIN hz),
+           |cl AS (SELECT day,
+           |  CAST(sum(CASE WHEN NOT censored AND g = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS d1,
+           |  CAST(sum(CASE WHEN NOT censored AND g = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS d0,
+           |  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+           |  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0
+           |  FROM lf GROUP BY day),
+           |tt AS (SELECT CAST(sum(t1) AS BIGINT) AS tot1,
+           |  CAST(sum(t0) AS BIGINT) AS tot0 FROM cl),
+           |rk AS (SELECT day, d1, d0,
+           |  tot1 - coalesce(CAST(sum(t1) OVER (ORDER BY day ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    AS BIGINT), 0) AS n1,
+           |  tot0 - coalesce(CAST(sum(t0) OVER (ORDER BY day ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    AS BIGINT), 0) AS n0
+           |  FROM cl CROSS JOIN tt),
+           |ev2 AS (SELECT d1, d0, n1, n0, d1 + d0 AS dj, n1 + n0 AS nj
+           |  FROM rk WHERE d1 + d0 > 0)""".stripMargin
+      val pj = "CAST(n1 AS DOUBLE) * exp(b.beta)" +
+        " / (CAST(n1 AS DOUBLE) * exp(b.beta) + CAST(n0 AS DOUBLE))"
+      val iters = (1 to 8).map { i =>
+        s"""b$i AS (SELECT greatest(least(beta + usum / nullif(isum, 0.0),
+           |    10.0), -10.0) AS beta FROM (
+           |  SELECT beta,
+           |  ${dsumSql("CAST(d1 AS DOUBLE) - CAST(dj AS DOUBLE) * pj")} AS usum,
+           |  ${dsumSql("CAST(dj AS DOUBLE) * pj * (1.0 - pj)")} AS isum
+           |  FROM (SELECT b.beta AS beta, ev2.d1, ev2.dj,
+           |    $pj AS pj
+           |    FROM ev2 CROSS JOIN b${i - 1} b) y
+           |  GROUP BY beta) z)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $survCtes,
+         |b0 AS (SELECT 0.0 AS beta),
+         |$iters,
+         |fin AS (SELECT beta,
+         |  CAST(sum(dj) AS BIGINT) AS n_deaths,
+         |  ${dsumSql("CAST(dj AS DOUBLE) * pj * (1.0 - pj)")} AS isum
+         |  FROM (SELECT b.beta AS beta, ev2.dj,
+         |    $pj AS pj
+         |    FROM ev2 CROSS JOIN b8 b) y2
+         |  GROUP BY beta)
+         |SELECT tot1 AS n_g1, tot0 AS n_g0, n_deaths,
+         |  ${femitSql("beta")} AS beta,
+         |  ${femitSql("exp(beta)")} AS hazard_ratio,
+         |  ${femitSql("1.0 / sqrt(nullif(isum, 0.0))")} AS se,
+         |  ${femitSql("beta * sqrt(nullif(isum, 0.0))")} AS wald_z
+         |FROM fin CROSS JOIN tt""".stripMargin
+    },
+    // Same heavy-purchaser label and q382 logistic score, 20
+    // equal-width bins, Murphy REL/RES/UNC through dsum chains.
+    "q402_brier_decomposition" ->
+      s"""WITH e AS (SELECT user_id, event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |per AS (SELECT user_id,
+         |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |    THEN 1 ELSE 0 END) * 4 >= count(*) THEN 1 ELSE 0 END AS o,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sv
+         |  FROM e GROUP BY user_id),
+         |sc AS (SELECT o,
+         |  1.0 / (1.0 + exp(-(0.1 + 0.2 * ln(CAST(n_events AS DOUBLE))
+         |    - 0.3 * (sv / CAST(n_events AS DOUBLE) / 100.0)))) AS p
+         |  FROM per),
+         |bn AS (SELECT o, p,
+         |  least(CAST(floor(p * 20.0) AS BIGINT), 19) AS bin FROM sc),
+         |bins AS (SELECT bin, count(*) AS nk, ${dsumSql("p")} AS sp,
+         |  CAST(sum(o) AS BIGINT) AS so,
+         |  ${dsumSql("(p - CAST(o AS DOUBLE)) * (p - CAST(o AS DOUBLE))")}
+         |    AS sq
+         |  FROM bn GROUP BY bin),
+         |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+         |  CAST(sum(so) AS BIGINT) AS sot, ${dsumSql("sq")} AS sqt
+         |  FROM bins),
+         |dec AS (SELECT n, sot, sqt,
+         |  ${dsumSql("""CAST(nk AS DOUBLE)
+           |    * (sp / CAST(nk AS DOUBLE) - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+           |    * (sp / CAST(nk AS DOUBLE) - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))"""
+        .stripMargin)} AS rel_n,
+         |  ${dsumSql("""CAST(nk AS DOUBLE)
+           |    * (CAST(so AS DOUBLE) / CAST(nk AS DOUBLE)
+           |      - CAST(sot AS DOUBLE) / CAST(n AS DOUBLE))
+           |    * (CAST(so AS DOUBLE) / CAST(nk AS DOUBLE)
+           |      - CAST(sot AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin)} AS res_n
+         |  FROM bins CROSS JOIN tot GROUP BY n, sot, sqt)
+         |SELECT n AS n_users, sot AS n_pos,
+         |  ${femitSql("sqt / CAST(n AS DOUBLE)")} AS brier,
+         |  ${femitSql("rel_n / CAST(n AS DOUBLE)")} AS reliability,
+         |  ${femitSql("res_n / CAST(n AS DOUBLE)")} AS resolution,
+         |  ${femitSql("CAST(sot AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " * (1.0 - CAST(sot AS DOUBLE) / CAST(n AS DOUBLE))")} AS uncertainty,
+         |  ${femitSql("rel_n / CAST(n AS DOUBLE) - res_n / CAST(n AS DOUBLE)" +
+        " + CAST(sot AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " * (1.0 - CAST(sot AS DOUBLE) / CAST(n AS DOUBLE))")} AS brier_binned
+         |FROM dec""".stripMargin,
     // Same per-user T/conv/score chain as q377/q382's engine side,
     // ntile(10) over (u DESC, user_id) — the single-window oracle the
     // two-phase ntile2p must reproduce exactly — and the Qini prefix

@@ -159,6 +159,33 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("coxPh: all-censored fixture yields the empty contract; sf0.01-style risk fits") {
+    // sf0.001's horizon covers every user (zero death days), so the
+    // partial likelihood has no terms — the operator and its oracle
+    // both emit zero rows by contract
+    assert(graft.rel.Queries.coxPh(spark, sf0001).count() == 0L)
+  }
+
+  test("brierDecomposition: Murphy identity and probability bounds") {
+    val r = graft.rel.Queries.brierDecomposition(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n_users")
+    val brier = r.getAs[Double]("brier")
+    val rel = r.getAs[Double]("reliability")
+    val res = r.getAs[Double]("resolution")
+    val unc = r.getAs[Double]("uncertainty")
+    val bb = r.getAs[Double]("brier_binned")
+    assert(n > 0)
+    assert(brier >= 0.0 && brier <= 1.0)
+    assert(rel >= 0.0 && res >= 0.0 && unc >= 0.0 && unc <= 0.25 + 1e-12)
+    // the identity holds exactly for the BINNED forecast; the raw
+    // Brier differs only by within-bin forecast variance (tiny at 20
+    // bins over a smooth logistic score)
+    assert(math.abs(bb - (rel - res + unc)) <= 3e-6, s"bb=$bb")
+    assert(math.abs(brier - bb) <= 0.05, s"brier=$brier binned=$bb")
+    // resolution can never exceed uncertainty (variance decomposition)
+    assert(res <= unc + 1e-9)
+  }
+
   test("perceptual store rows carry the words their own bands rebuild") {
     val store = Multimodal.perceptualSignatureStore(docs, maxDist = 3)
     // every doc contributes exactly maxDist+1 band rows, and the four
