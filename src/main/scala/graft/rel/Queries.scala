@@ -73,6 +73,31 @@ object Queries {
     "CAST(CAST(SUM(CAST(CAST(%s AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
   private def dsumSql(e: String) = DSUM.format(e)
 
+  /** Oracle twin of [[causalPanel]] — the shared user-grain causal
+    * CTE chain (q377 conventions) ending in `pe(user_id, t, first_us,
+    * y, x1, x2, e)`; spliced into the q403/q404/q405 oracles so the
+    * three estimators replay one panel. Declared before [[oracles]]
+    * (object-init order). */
+  private val causalPanelCtes: String =
+    s"""ev0 AS (SELECT user_id, event_id, ts, event_type, value
+       |  FROM events WHERE value IS NOT NULL),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |  ORDER BY ts ASC, event_id ASC) AS rn FROM ev0),
+       |per AS (SELECT user_id,
+       |  max(CASE WHEN rn = 1 AND event_type = 'click'
+       |    THEN 1 ELSE 0 END) AS t,
+       |  count(*) AS n_events,
+       |  min(epoch_us(ts)) AS first_us,
+       |  ${dsumSql("value")} AS sv,
+       |  ${dsumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS y
+       |  FROM r GROUP BY user_id),
+       |px AS (SELECT user_id, t, first_us, y,
+       |  ln(CAST(n_events AS DOUBLE)) AS x1,
+       |  sv / CAST(n_events AS DOUBLE) / 100.0 AS x2 FROM per),
+       |pe AS (SELECT *, least(greatest(
+       |  1.0 / (1.0 + exp(-(-0.2 + 0.3 * x1 + 0.1 * x2))), 0.05), 0.95) AS e
+       |  FROM px)""".stripMargin
+
   /** Hash-portable float EMISSION (the final value of every double output
     * column): round to 6 decimals using ONLY IEEE ops both engines execute
     * bit-identically — `floor(x*1e6 + 0.5)/1e6` — with passthrough for
@@ -5262,6 +5287,198 @@ object Queries {
         femit(col("sdr") / col("n_users").cast("double")).as("ate_dr"))
   }
 
+  /** Shared user-grain causal panel for [[psmAtt]], [[waldIv]] and
+    * [[rddSharp]] — q377's exact unit/treatment/outcome/covariate
+    * conventions (unit = user; T = first event is a click; Y =
+    * decimal-summed purchase value; x1 = ln n_events; e = the q88
+    * fixed-logistic propensity clipped to [0.05, 0.95]) plus the
+    * user's first-event epoch-µs for instrument construction. One
+    * keyed window + one user-grain hash-agg, shared so the three
+    * estimators stay comparable with q377/q396 by construction. */
+  private def causalPanel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .where(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1 && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("t"),
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        dsum(col("value")).as("sv"),
+        dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("y"))
+      .withColumn("x1", log(col("n_events").cast("double")))
+      .withColumn("x2", col("sv") / col("n_events").cast("double") / 100.0)
+      .withColumn("e", least(greatest(
+        lit(1.0) / (lit(1.0) +
+          exp(-(lit(-0.2) + lit(0.3) * col("x1") + lit(0.1) * col("x2")))),
+        lit(0.05)), lit(0.95)))
+  }
+
+  /** Propensity-score matching ATT (Rosenbaum &amp; Rubin 1983;
+    * 1-nearest-neighbor WITH replacement under a caliper — the
+    * matching member of the observational-causal family, closing the
+    * q377 IPW / q396 AIPW trio with the estimator practitioners run
+    * first): each treated user is matched to the control whose
+    * propensity is nearest, provided |Δe| ≤ caliper (0.05); treated
+    * users with no in-caliper control drop out (reported via
+    * match_rate). ATT = mean(y_t − y_matched-control); the matched
+    * x1 gap rides along as the balance audit, mirroring q377's.
+    *
+    * Matching is with-replacement, so each treated unit's match is an
+    * independent argmin — order-free and deterministic, where
+    * without-replacement greedy matching would depend on a global
+    * processing order.
+    *
+    * Determinism: the nearest-control argmin ranks on the 1e-6-grid
+    * rounded |Δe| with the control user_id as total tiebreak (the
+    * q207 ranked-float rule); e is the shared libm-parity logistic.
+    *
+    * Scale: NO global sort and no cross join — controls are
+    * replicated into their own 0.05-wide propensity cell and the two
+    * adjacent cells (the caliper equals the cell width, so every
+    * in-caliper pair shares a join cell by construction), and
+    * treated users join on their single cell: a bounded ×3 blocked
+    * equi-join keyed by cell, then a per-treated-user top-1 window at
+    * user grain. Cell population is bounded by the propensity
+    * distribution, not the corpus (AQE skew-split absorbs a heavy
+    * cell); everything downstream is one hash-agg. */
+  def psmAtt(s: SparkSession, dir: String, caliper: Double = 0.05)
+      : DataFrame = {
+    val per = causalPanel(s, dir)
+      .withColumn("cell", floor(col("e") / lit(caliper)).cast("long"))
+      .localCheckpoint() // feeds treated + control + denominator reads
+    val treated = per.where(col("t") === 1L)
+      .select(col("user_id").as("tu"), col("e").as("te"),
+        col("y").as("ty"), col("x1").as("tx1"), col("cell"))
+    val controls = per.where(col("t") === 0L)
+      .select(col("user_id").as("cu"), col("e").as("ce"),
+        col("y").as("cy"), col("x1").as("cx1"), col("cell"))
+      .crossJoin(broadcast(s.range(-1, 2).select(col("id").as("d"))))
+      .withColumn("cell", col("cell") + col("d")).drop("d")
+    val wBest = Window.partitionBy("tu")
+      .orderBy(col("dgrid").asc, col("cu").asc)
+    val matched = treated.join(controls, Seq("cell"))
+      .withColumn("de", abs(col("te") - col("ce")))
+      .where(col("de") <= lit(caliper))
+      .withColumn("dgrid",
+        floor(col("de") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rnk", row_number().over(wBest))
+      .where(col("rnk") === 1)
+    val tot = per.agg(sum(col("t")).as("n_treated"),
+      sum(lit(1L) - col("t")).as("n_controls"))
+    matched.agg(count(lit(1)).as("n_matched"),
+        dsum(col("ty") - col("cy")).as("sdy"),
+        dsum(col("de")).as("sde"),
+        dsum(col("tx1") - col("cx1")).as("sdx1"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_treated"), col("n_controls"), col("n_matched"),
+        femit(col("n_matched").cast("double")
+          / col("n_treated").cast("double")).as("match_rate"),
+        femit(col("sdy") / col("n_matched").cast("double")).as("att"),
+        femit(col("sde") / col("n_matched").cast("double"))
+          .as("mean_abs_de"),
+        femit(col("sdx1") / col("n_matched").cast("double"))
+          .as("x1_gap_matched"))
+  }
+
+  /** Instrumental-variable effect via the Wald estimator (Wald 1940;
+    * = exactly-identified 2SLS, Angrist &amp; Imbens 1994's LATE under
+    * monotonicity — the family member that survives treatment-on-
+    * outcome confounding q377/q396 cannot): instrument Z = "the user's
+    * first event falls in the first half of the observation window"
+    * (an early-cohort encouragement proxy — documented; the fixture
+    * has no randomized instrument column), treatment and outcome as
+    * the shared panel. Reports the first stage E[T|Z=1] − E[T|Z=0]
+    * (the weak-instrument audit), the intent-to-treat reduced form
+    * E[Y|Z=1] − E[Y|Z=0], their Wald ratio, and the naive difference
+    * for contrast.
+    *
+    * Determinism: the window midpoint is the integer-µs comparison
+    * 2·first_us ≤ min+max (no float division); arm sums ride dsum;
+    * the ratio is nullif-guarded and femit'd.
+    *
+    * Scale: the shared user-grain panel, one 1-row min/max broadcast,
+    * one global aggregate — the q377 shape exactly. */
+  def waldIv(s: SparkSession, dir: String): DataFrame = {
+    val per = causalPanel(s, dir)
+    val span = per.agg((min(col("first_us")) + max(col("first_us")))
+      .as("mnmx"))
+    val z = per.crossJoin(broadcast(span))
+      .withColumn("z",
+        when(col("first_us") * 2L <= col("mnmx"), 1L).otherwise(0L))
+    z.agg(count(lit(1)).as("n_users"), sum(col("z")).as("n_z1"),
+        sum(when(col("z") === 1L, col("t"))).as("t1"),
+        sum(when(col("z") === 0L, col("t"))).as("t0"),
+        dsum(when(col("z") === 1L, col("y"))).as("sy1"),
+        dsum(when(col("z") === 0L, col("y"))).as("sy0"),
+        sum(col("t")).as("nt"),
+        dsum(when(col("t") === 1L, col("y"))).as("syt"),
+        dsum(when(col("t") === 0L, col("y"))).as("syc"))
+      .withColumn("fs", col("t1").cast("double") / col("n_z1").cast("double")
+        - col("t0").cast("double")
+        / (col("n_users") - col("n_z1")).cast("double"))
+      .withColumn("itt", col("sy1") / col("n_z1").cast("double")
+        - col("sy0") / (col("n_users") - col("n_z1")).cast("double"))
+      .select(col("n_users"), col("n_z1"),
+        femit(col("fs")).as("first_stage"),
+        femit(col("itt")).as("itt"),
+        femit(col("itt") / nullif(col("fs"), lit(0.0))).as("late_wald"),
+        femit(col("syt") / col("nt").cast("double")
+          - col("syc") / (col("n_users") - col("nt")).cast("double"))
+          .as("ate_naive"))
+  }
+
+  /** Sharp regression-discontinuity effect (Thistlethwaite &amp;
+    * Campbell 1960; local-linear both-sides estimation per Imbens &amp;
+    * Lemieux 2008): running variable x = the panel's x2 (mean event
+    * value on the /100 scale — continuous with support on both sides
+    * of the cutoff at every fixture scale, unlike the integer-lumpy
+    * event count), cutoff c = 0.5 (the "high spender" threshold),
+    * fixed bandwidth h = 0.125 — both exact binary doubles, so the
+    * side predicates carry no literal-parity risk at all. A
+    * separate OLS line y = a + b·(x − c) is fit closed-form on each
+    * side inside the bandwidth (the q149 moment formulas under
+    * conditional dsum), and the effect is the intercept jump
+    * a_right − a_left at the cutoff. Side populations ride along as
+    * the thin-side audit.
+    *
+    * Determinism: one global aggregate of conditional decimal moments;
+    * the OLS closed forms are fixed-order IEEE chains femit'd at
+    * emission.
+    *
+    * Scale: one pass over the shared user-grain panel — a single
+    * hash-agg, no join, no window beyond the panel's own. */
+  def rddSharp(s: SparkSession, dir: String): DataFrame = {
+    val h = 0.125
+    val per = causalPanel(s, dir).withColumn("u", col("x2") - lit(0.5))
+    val inL = col("u") >= lit(-h) && col("u") < lit(0.0)
+    val inR = col("u") >= lit(0.0) && col("u") <= lit(h)
+    def side(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$tag"),
+      dsum(when(p, col("u"))).as(s"su_$tag"),
+      dsum(when(p, col("u") * col("u"))).as(s"suu_$tag"),
+      dsum(when(p, col("y"))).as(s"sy_$tag"),
+      dsum(when(p, col("u") * col("y"))).as(s"suy_$tag"))
+    val aggs = side(inL, "l") ++ side(inR, "r")
+    def fit(tag: String): (Column, Column) = {
+      val n = col(s"n_$tag").cast("double")
+      val b = (n * col(s"suy_$tag") - col(s"su_$tag") * col(s"sy_$tag")) /
+        nullif(n * col(s"suu_$tag") - col(s"su_$tag") * col(s"su_$tag"),
+          lit(0.0))
+      val a = (col(s"sy_$tag") - b * col(s"su_$tag")) / n
+      (a, b)
+    }
+    val base = per.agg(aggs.head, aggs.tail: _*)
+    val (al, bl) = fit("l"); val (ar, br) = fit("r")
+    base.select(col("n_l").as("n_left"), col("n_r").as("n_right"),
+      femit(al).as("intercept_left"), femit(ar).as("intercept_right"),
+      femit(bl).as("slope_left"), femit(br).as("slope_right"),
+      femit(ar - al).as("rdd_effect"))
+  }
+
   /** Shared empirical-game machinery for [[shapleyAttribution]] and
     * [[shapleySampled]]: per-user pre-conversion channel coalitions as
     * exact bitmasks (channel bit = position in the declared list) and
@@ -5983,6 +6200,9 @@ object Queries {
     "q394_logrank" -> (logRank _),
     "q395_feature_ablation" -> (featureAblation _),
     "q396_aipw_dr" -> (aipwDr _),
+    "q403_psm_att" -> ((s, dir) => psmAtt(s, dir)),
+    "q404_wald_iv" -> (waldIv _),
+    "q405_rdd_sharp" -> (rddSharp _),
     "q401_cox_ph" -> ((s, dir) => coxPh(s, dir)),
     "q402_brier_decomposition" -> (brierDecomposition _),
     "q382_qini_uplift" -> (qiniUplift _),
@@ -10632,6 +10852,97 @@ object Queries {
          |  ${femitSql("sreg / CAST(n_users AS DOUBLE)")} AS ate_reg,
          |  ${femitSql("sdr / CAST(n_users AS DOUBLE)")} AS ate_dr
          |FROM ag""".stripMargin,
+    // q377's exact panel (filter → keyed window → user-grain agg →
+    // fixed clipped logistic), then blocked 1-NN-with-replacement
+    // matching: controls replicated into the 3 caliper-wide cells,
+    // argmin on the 1e-6-grid |Δe| with control-id tiebreak.
+    "q403_psm_att" ->
+      s"""WITH $causalPanelCtes,
+         |tr AS (SELECT user_id AS tu, e AS te, y AS ty, x1 AS tx1,
+         |  CAST(floor(e / 0.05) AS BIGINT) AS cell FROM pe WHERE t = 1),
+         |co AS (SELECT user_id AS cu, e AS ce, y AS cy, x1 AS cx1,
+         |  CAST(floor(e / 0.05) AS BIGINT) + d.d AS cell
+         |  FROM pe CROSS JOIN (VALUES (-1), (0), (1)) d(d) WHERE t = 0),
+         |cand AS (SELECT tu, cu, ty, cy, tx1, cx1, abs(te - ce) AS de
+         |  FROM tr JOIN co USING (cell) WHERE abs(te - ce) <= 0.05),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY tu
+         |  ORDER BY CAST(floor(de * 1000000.0 + 0.5) AS BIGINT) ASC,
+         |    cu ASC) AS rnk FROM cand),
+         |m AS (SELECT count(*) AS n_matched,
+         |  ${dsumSql("ty - cy")} AS sdy, ${dsumSql("de")} AS sde,
+         |  ${dsumSql("tx1 - cx1")} AS sdx1 FROM best WHERE rnk = 1),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n_treated,
+         |  CAST(sum(1 - t) AS BIGINT) AS n_controls FROM pe)
+         |SELECT n_treated, n_controls, n_matched,
+         |  ${femitSql("CAST(n_matched AS DOUBLE) / CAST(n_treated AS DOUBLE)")}
+         |    AS match_rate,
+         |  ${femitSql("sdy / CAST(n_matched AS DOUBLE)")} AS att,
+         |  ${femitSql("sde / CAST(n_matched AS DOUBLE)")} AS mean_abs_de,
+         |  ${femitSql("sdx1 / CAST(n_matched AS DOUBLE)")} AS x1_gap_matched
+         |FROM m CROSS JOIN tot""".stripMargin,
+    // Same panel; instrument = integer-µs early-cohort comparison
+    // 2·first_us ≤ min+max; Wald = ITT / first stage.
+    "q404_wald_iv" ->
+      s"""WITH $causalPanelCtes,
+         |sp AS (SELECT min(first_us) + max(first_us) AS mnmx FROM pe),
+         |zz AS (SELECT t, y, CASE WHEN first_us * 2 <= mnmx
+         |  THEN 1 ELSE 0 END AS z FROM pe CROSS JOIN sp),
+         |ag AS (SELECT count(*) AS n_users,
+         |  CAST(sum(z) AS BIGINT) AS n_z1,
+         |  CAST(sum(CASE WHEN z = 1 THEN t END) AS BIGINT) AS t1,
+         |  CAST(sum(CASE WHEN z = 0 THEN t END) AS BIGINT) AS t0,
+         |  ${dsumSql("CASE WHEN z = 1 THEN y END")} AS sy1,
+         |  ${dsumSql("CASE WHEN z = 0 THEN y END")} AS sy0,
+         |  CAST(sum(t) AS BIGINT) AS nt,
+         |  ${dsumSql("CASE WHEN t = 1 THEN y END")} AS syt,
+         |  ${dsumSql("CASE WHEN t = 0 THEN y END")} AS syc FROM zz),
+         |fx AS (SELECT *,
+         |  CAST(t1 AS DOUBLE) / CAST(n_z1 AS DOUBLE)
+         |    - CAST(t0 AS DOUBLE) / CAST(n_users - n_z1 AS DOUBLE) AS fs,
+         |  sy1 / CAST(n_z1 AS DOUBLE)
+         |    - sy0 / CAST(n_users - n_z1 AS DOUBLE) AS itt FROM ag)
+         |SELECT n_users, n_z1,
+         |  ${femitSql("fs")} AS first_stage,
+         |  ${femitSql("itt")} AS itt,
+         |  ${femitSql("itt / nullif(fs, 0.0)")} AS late_wald,
+         |  ${femitSql("syt / CAST(nt AS DOUBLE)" +
+        " - syc / CAST(n_users - nt AS DOUBLE)")} AS ate_naive
+         |FROM fx""".stripMargin,
+    // Same panel; u = x2 − 0.5 (cutoff and bandwidth are exact binary
+    // doubles), closed-form per-side OLS, effect = intercept jump.
+    "q405_rdd_sharp" ->
+      s"""WITH $causalPanelCtes,
+         |ux AS (SELECT y, x2 - 0.5 AS u FROM pe),
+         |ag AS (SELECT
+         |  CAST(sum(CASE WHEN u >= -0.125 AND u < 0.0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_l,
+         |  ${dsumSql("CASE WHEN u >= -0.125 AND u < 0.0 THEN u END")} AS su_l,
+         |  ${dsumSql("CASE WHEN u >= -0.125 AND u < 0.0 THEN u * u END")} AS suu_l,
+         |  ${dsumSql("CASE WHEN u >= -0.125 AND u < 0.0 THEN y END")} AS sy_l,
+         |  ${dsumSql("CASE WHEN u >= -0.125 AND u < 0.0 THEN u * y END")} AS suy_l,
+         |  CAST(sum(CASE WHEN u >= 0.0 AND u <= 0.125 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_r,
+         |  ${dsumSql("CASE WHEN u >= 0.0 AND u <= 0.125 THEN u END")} AS su_r,
+         |  ${dsumSql("CASE WHEN u >= 0.0 AND u <= 0.125 THEN u * u END")} AS suu_r,
+         |  ${dsumSql("CASE WHEN u >= 0.0 AND u <= 0.125 THEN y END")} AS sy_r,
+         |  ${dsumSql("CASE WHEN u >= 0.0 AND u <= 0.125 THEN u * y END")} AS suy_r
+         |  FROM ux),
+         |bs AS (SELECT *,
+         |  (CAST(n_l AS DOUBLE) * suy_l - su_l * sy_l)
+         |    / nullif(CAST(n_l AS DOUBLE) * suu_l - su_l * su_l, 0.0) AS b_l,
+         |  (CAST(n_r AS DOUBLE) * suy_r - su_r * sy_r)
+         |    / nullif(CAST(n_r AS DOUBLE) * suu_r - su_r * su_r, 0.0) AS b_r
+         |  FROM ag),
+         |fin AS (SELECT *,
+         |  (sy_l - b_l * su_l) / CAST(n_l AS DOUBLE) AS a_l,
+         |  (sy_r - b_r * su_r) / CAST(n_r AS DOUBLE) AS a_r FROM bs)
+         |SELECT n_l AS n_left, n_r AS n_right,
+         |  ${femitSql("a_l")} AS intercept_left,
+         |  ${femitSql("a_r")} AS intercept_right,
+         |  ${femitSql("b_l")} AS slope_left,
+         |  ${femitSql("b_r")} AS slope_right,
+         |  ${femitSql("a_r - a_l")} AS rdd_effect
+         |FROM fin""".stripMargin,
     // q394's risk cells, the SAME 8 fixed Newton steps (the oracle
     // replays the identical float trajectory), Breslow ties.
     "q401_cox_ph" -> {

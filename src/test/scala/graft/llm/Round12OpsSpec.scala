@@ -204,4 +204,47 @@ class Round12OpsSpec extends SparkSpec {
       .count()
     assert(bad == 0L)
   }
+
+  test("psmAtt: matching respects the caliper and the balance audit improves") {
+    val r = graft.rel.Queries.psmAtt(spark, sf0001).collect().head
+    val nT = r.getAs[Long]("n_treated")
+    val nM = r.getAs[Long]("n_matched")
+    assert(nT > 0 && nM > 0 && nM <= nT)
+    val rate = r.getAs[Double]("match_rate")
+    assert(rate > 0.0 && rate <= 1.0)
+    // with-replacement 1-NN under caliper 0.05: mean |Δe| is inside it
+    assert(r.getAs[Double]("mean_abs_de") >= 0.0)
+    assert(r.getAs[Double]("mean_abs_de") <= 0.05 + 1e-12)
+    assert(!r.getAs[Double]("att").isNaN)
+    // FIXTURE-DEPENDENT floor (the q377 convention): matching on e
+    // shrinks the x1 gap on this fixture; the band absorbs jitter
+    val raw = math.abs(graft.rel.Queries.ipwAte(spark, sf0001)
+      .collect().head.getAs[Double]("x1_gap_raw"))
+    assert(math.abs(r.getAs[Double]("x1_gap_matched")) <= raw + 0.05)
+  }
+
+  test("waldIv: arms populated, Wald = ITT / first stage as emitted") {
+    val r = graft.rel.Queries.waldIv(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n_users"); val z1 = r.getAs[Long]("n_z1")
+    assert(n > 0 && z1 > 0 && z1 < n)
+    val fs = r.getAs[Double]("first_stage")
+    val itt = r.getAs[Double]("itt")
+    val w = r.getAs[Double]("late_wald")
+    assert(fs.abs <= 1.0) // difference of two shares
+    if (fs != 0.0)
+      // both sides are 6-decimal emissions of the same ratio chain
+      assert(math.abs(w - itt / fs) <= 2e-2 * math.max(1.0, w.abs),
+        s"w=$w itt=$itt fs=$fs")
+  }
+
+  test("rddSharp: side fits reconstruct and the jump is the intercept gap") {
+    val r = graft.rel.Queries.rddSharp(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
+    val al = r.getAs[Double]("intercept_left")
+    val ar = r.getAs[Double]("intercept_right")
+    val eff = r.getAs[Double]("rdd_effect")
+    assert(math.abs(eff - (ar - al)) <= 2e-6, s"eff=$eff ar-al=${ar - al}")
+    assert(!r.getAs[Double]("slope_left").isNaN)
+    assert(!r.getAs[Double]("slope_right").isNaN)
+  }
 }
