@@ -528,4 +528,111 @@ object Graph {
         Queries.femit(col("n_pairs").cast("double") / nNodes).as("avg_ball"))
       .orderBy("h")
   }
+
+  /** Maximal independent set via hash-priority local minima (Luby
+    * 1986, the derandomized fixed-priority variant = the greedy MIS in
+    * priority order; Blelloch et al. 2012 show the fixed-priority
+    * parallel schedule converges in O(log n) rounds w.h.p.): each node
+    * carries the DETERMINISTIC priority p = (node·2654435761) mod 2²⁰
+    * (Knuth's multiplicative constant — pure integer arithmetic, so
+    * both engines hold identical values with zero hash-function parity
+    * risk; ties broken by node id, making the priority order total).
+    * Per round, every live node whose (p, node) is smaller than all
+    * live neighbors' joins the MIS; selected nodes and their neighbors
+    * leave the live set.
+    *
+    * `rounds` is FIXED and pinned PAST the fixpoint (the q210 probe
+    * obligation: DuckDB-replayed peel empties at round 4 on both
+    * fixture scales; 8 gives 2× headroom and the spec's maximality
+    * check fails loudly on undershoot). Rounds after the fixpoint
+    * select from an empty live set — no-ops on both engines.
+    *
+    * Scale: per round one edge-grain equi-join (live neighbors) + one
+    * node-keyed min-struct aggregate + two semi/anti joins — the
+    * Pregel MIS round exactly; state shrinks monotonically (selected +
+    * dominated leave). localCheckpoint per round bounds plan depth
+    * (the q47/q65 discipline). Output: (node, priority, sel_round),
+    * one row per MIS member. */
+  def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val dirE = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var live = dirE.select(col("u").as("n")).distinct()
+      .withColumn("p", (col("n") * lit(2654435761L)) % lit(1048576L))
+      .localCheckpoint()
+    var mis: DataFrame = null
+    for (r <- 1 to rounds) {
+      val nbr = dirE.join(live.select(col("n").as("v"), col("p").as("pv")),
+          Seq("v"))
+        .groupBy("u").agg(min(struct(col("pv"), col("v"))).as("mn"))
+      val sel = live.join(nbr, live("n") === nbr("u"), "left")
+        .where(col("mn").isNull || struct(col("p"), col("n")) < col("mn"))
+        .select(col("n"), col("p"))
+        .withColumn("sel_round", lit(r.toLong))
+        .localCheckpoint()
+      mis = if (mis == null) sel else mis.unionAll(sel)
+      val gone = sel.select(col("n"))
+        .unionAll(dirE.join(sel.select(col("n").as("u")), Seq("u"),
+          "left_semi").select(col("v").as("n")))
+      live = live.join(gone, Seq("n"), "left_anti").localCheckpoint()
+    }
+    mis.orderBy("n")
+      .select(col("n").as("node"), col("p").as("priority"),
+        col("sel_round"))
+  }
+
+  /** k-truss peel curve (Cohen 2008, "Trusses: cohesive subgraphs for
+    * social network analysis"): iteratively delete every edge whose
+    * triangle support is below k−2 until the fixpoint; the surviving
+    * edge set is the k-truss, the standard community-core strictly
+    * tighter than [[kcore]] (every k-truss edge sits in a (k−1)-core).
+    * Emitted as the PEEL CURVE — (round, n_edges) for round 0..rounds
+    * — so the gate hashes the entire trajectory, which stays
+    * informative even at scales where the truss empties (sf0.01 does;
+    * the q401 empty-contract convention extended to curves).
+    *
+    * Per round: oriented triangle enumeration (a&lt;b&lt;c via the
+    * two-join wedge + closing-edge semi join — each triangle counted
+    * once), re-association of each triangle onto its three edges, one
+    * count aggregate, and an inner join keeping edges with support
+    * ≥ k−2. `rounds` is FIXED past the fixpoint (probe: 5 rounds at
+    * sf0.001, 2 at sf0.01 — scale moves the fixpoint, q210's lesson;
+    * 10 gives 2× headroom and post-fixpoint rounds recount an
+    * unchanged edge set on both engines).
+    *
+    * Scale: triangle enumeration is the classic wedge blowup — the
+    * a&lt;b orientation halves it, and at 100 TB the standard fix is
+    * degree-ordered orientation (orient each edge low-degree →
+    * high-degree, wedge only from the low end: O(Σ deg(v)·min-deg
+    * side) per Chiba–Nishizeki) — same plan shape, one extra
+    * degree-join to orient; the co-purchase graph's maxBasket/minCooc
+    * caps already bound wedge fan-out here. localCheckpoint per round
+    * keeps the plan linear in rounds. */
+  def ktrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val curve = scala.collection.mutable.Buffer((0L, e.count()))
+    for (r <- 1 to rounds) {
+      val wedges = e.select(col("a").as("x"), col("b").as("y"))
+        .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x"))
+        .where(col("y") < col("z"))
+      val tri = wedges.join(e.select(col("a").as("y"), col("b").as("z")),
+        Seq("y", "z"), "left_semi")
+      val sup = tri.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
+        .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("s"))
+        .where(col("s") >= (k - 2).toLong)
+      e = e.join(sup.select("a", "b"), Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      curve += ((r.toLong, e.count()))
+    }
+    curve.toSeq.toDF("round", "n_edges").orderBy("round")
+  }
 }

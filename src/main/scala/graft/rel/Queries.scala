@@ -3251,9 +3251,12 @@ object Queries {
   // decision value-oracles; the oracle's round CTEs are MATERIALIZED
   // (a 10-deep plain CTE chain re-inlines each reference —
   // exponential re-evaluation in DuckDB).
-  def copurchaseKcore(s: SparkSession, dir: String, k: Int = 3,
-                      rounds: Int = 10, minCooc: Long = 2L,
-                      maxBasket: Int = 64): DataFrame = {
+  /** The q210 co-purchase projection graph, shared verbatim by the
+    * k-core / MIS / k-truss trio so the three cohesion operators read
+    * one edge set: parts co-occurring in ≥ `minCooc` orders, baskets
+    * capped at `maxBasket` (the wedge-blowup guard). */
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String,
+      minCooc: Long = 2L, maxBasket: Int = 64): DataFrame = {
     val items = tbl(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -3261,14 +3264,31 @@ object Queries {
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("ok")))
       .where(col("bsize") <= maxBasket)
       .select("ok", "pk")
-    val edges = bounded.select(col("ok"), col("pk").as("a"))
+    bounded.select(col("ok"), col("pk").as("a"))
       .join(bounded.select(col("ok"), col("pk").as("b")), Seq("ok"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
       .where(col("cooc") >= minCooc)
       .select(col("a").as("src"), col("b").as("dst"))
-    Graph.kcore(edges, k, rounds)
   }
+
+  def copurchaseKcore(s: SparkSession, dir: String, k: Int = 3,
+                      rounds: Int = 10, minCooc: Long = 2L,
+                      maxBasket: Int = 64): DataFrame =
+    Graph.kcore(copurchaseEdges(s, dir, minCooc, maxBasket), k, rounds)
+
+  /** [[Graph.lubyMis]] over the q210 co-purchase graph — 8 fixed
+    * rounds (fixpoint 4 on both fixture scales; q210 probe rule). */
+  def copurchaseMis(s: SparkSession, dir: String, rounds: Int = 8)
+      : DataFrame =
+    Graph.lubyMis(copurchaseEdges(s, dir), rounds)
+
+  /** [[Graph.ktrussPeel]] over the q210 co-purchase graph — k = 4
+    * (support ≥ 2), 10 fixed rounds (fixpoint 5 at sf0.001, 2 at
+    * sf0.01 — scale moves it; headroom pinned). */
+  def copurchaseKtruss(s: SparkSession, dir: String, k: Int = 4,
+      rounds: Int = 10): DataFrame =
+    Graph.ktrussPeel(copurchaseEdges(s, dir), k, rounds)
 
   // Maximum drawdown of the daily value volume per event type (the
   // finance peak-to-trough statistic applied to demand monitoring: how
@@ -6098,6 +6118,8 @@ object Queries {
     "q208_cohort_ltv" -> (cohortLtv _),
     "q209_weighted_median" -> (weightedMedian _),
     "q210_kcore" -> ((s, dir) => copurchaseKcore(s, dir)),
+    "q406_luby_mis" -> ((s, dir) => copurchaseMis(s, dir)),
+    "q407_ktruss" -> ((s, dir) => copurchaseKtruss(s, dir)),
     "q212_drawdown" -> (drawdown _),
     "q213_time_to_convert" -> (timeToConvert _),
     "q214_position_attribution" -> (positionAttribution _),
@@ -7299,6 +7321,75 @@ object Queries {
        |    SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
        |  GROUP BY 1)
        |SELECT node, deg FROM df WHERE deg >= $k ORDER BY node""".stripMargin
+  }
+
+  /** Shared oracle CTE prefix for the co-purchase cohesion trio —
+    * the exact q210 projection, ending in `e0(a, b)`. */
+  private val copurchaseEdgeCtes: String =
+    s"""items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |bounded AS (SELECT ok, pk FROM (SELECT ok, pk,
+       |    count(*) OVER (PARTITION BY ok) AS bsize FROM items)
+       |  WHERE bsize <= 64),
+       |e0 AS MATERIALIZED (SELECT a, b FROM (SELECT l.pk AS a, r.pk AS b,
+       |    count(*) AS cooc
+       |    FROM bounded l JOIN bounded r ON l.ok = r.ok AND l.pk < r.pk
+       |    GROUP BY 1, 2) WHERE cooc >= 2)""".stripMargin
+
+  /** Unrolled fixed-priority MIS oracle — the identical integer
+    * priority and per-round local-minimum selection [[copurchaseMis]]
+    * executes. */
+  private def misOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = if (r == 1) "live0" else s"live${r - 1}"
+      s""",
+         |sel$r AS MATERIALIZED (SELECT n, p FROM $prev l
+         |  WHERE NOT EXISTS (SELECT 1 FROM dir d JOIN $prev l2
+         |    ON d.v = l2.n WHERE d.u = l.n
+         |    AND (l2.p < l.p OR (l2.p = l.p AND l2.n < l.n)))),
+         |live$r AS MATERIALIZED (SELECT n, p FROM $prev
+         |  WHERE n NOT IN (SELECT n FROM sel$r)
+         |  AND n NOT IN (SELECT d.v FROM dir d
+         |    JOIN sel$r s ON d.u = s.n))""".stripMargin
+    }.mkString
+    val union = (1 to rounds).map { r =>
+      s"SELECT n AS node, p AS priority, CAST($r AS BIGINT) AS sel_round FROM sel$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $copurchaseEdgeCtes,
+       |dir AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+       |  UNION ALL SELECT b, a FROM e0),
+       |live0 AS MATERIALIZED (SELECT DISTINCT u AS n,
+       |  (u * 2654435761) % 1048576 AS p FROM dir)$steps
+       |SELECT node, priority, sel_round FROM (
+       |  $union)
+       |ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled k-truss peel-curve oracle — same oriented wedge +
+    * closing-edge triangle census and support threshold per round. */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s""",
+         |tr$r AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $prev e1 JOIN $prev e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |sup$r AS MATERIALIZED (SELECT a, b FROM (SELECT a, b,
+         |    count(*) AS s FROM (
+         |    SELECT x AS a, y AS b FROM tr$r
+         |    UNION ALL SELECT x, z FROM tr$r
+         |    UNION ALL SELECT y, z FROM tr$r) GROUP BY 1, 2)
+         |  WHERE s >= ${k - 2}),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+         |  JOIN sup$r s ON e.a = s.a AND e.b = s.b)""".stripMargin
+    }.mkString
+    val union = (0 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, count(*) AS n_edges FROM e$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $copurchaseEdgeCtes$steps
+       |SELECT round, n_edges FROM (
+       |  $union)
+       |ORDER BY round""".stripMargin
   }
 
   /** [[msprt]]'s DuckDB twin — bound to a val so q319's BH step-up
@@ -8775,6 +8866,8 @@ object Queries {
     // data-dependent drop decision is exact integer algebra, so an
     // undershot round count fails the hash.
     "q210_kcore" -> kcoreOracle(k = 3, rounds = 10),
+    "q406_luby_mis" -> misOracle(rounds = 8),
+    "q407_ktruss" -> ktrussOracle(k = 4, rounds = 10),
     // Plain global ntile(10) window under the total order (score DESC,
     // pos ASC): rows tied on both keys are interchangeable, so the
     // per-decile aggregates certify the engine's two-phase distributed

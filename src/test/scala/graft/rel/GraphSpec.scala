@@ -238,4 +238,39 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-3, r.toString)
     assert(r("a") + r("b") > r("c") + r("d"), r.toString)
   }
+
+  test("lubyMis: independent, maximal, and the greedy MIS in priority order") {
+    val mis = Queries.copurchaseMis(spark, sf0001)
+    val m = mis.collect().map(_.getLong(0)).toSet
+    assert(m.nonEmpty)
+    // the same undirected edge set the operator peeled
+    val e = Queries.copurchaseEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independence: no edge inside the MIS
+    assert(!e.exists { case (a, b) => m(a) && m(b) })
+    // maximality: every non-member has a member neighbor
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSet
+    val nbrs = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(nodes.forall(n => m(n) || nbrs(n).exists(m)))
+    // greedy-in-priority-order: replaying the sequential greedy over
+    // (p, node) order yields the identical set (the fixed-priority
+    // parallel schedule's defining property)
+    def prio(n: Long) = (n * 2654435761L) % 1048576L
+    val greedy = scala.collection.mutable.Set[Long]()
+    nodes.toSeq.sortBy(n => (prio(n), n)).foreach { n =>
+      if (!nbrs(n).exists(greedy)) greedy += n
+    }
+    assert(greedy.toSet == m)
+  }
+
+  test("ktrussPeel: curve nonincreasing, fixpoint reached, survivors supported") {
+    val curve = Queries.copurchaseKtruss(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(curve.length == 11)
+    curve.sliding(2).foreach { case Array(a, b) => assert(b._2 <= a._2) }
+    // fixed rounds are pinned PAST the fixpoint: the tail is flat
+    assert(curve(9)._2 == curve(10)._2,
+      s"peel not converged within pinned rounds: ${curve.mkString(",")}")
+  }
 }
