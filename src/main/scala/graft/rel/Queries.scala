@@ -2820,6 +2820,187 @@ object Queries {
       .orderBy("lag")
   }
 
+  /** Shared zero-filled daily event-count spine (day = epoch-µs div
+    * 86400e6, x = count, t = 0-based index) for the q408/q409 series
+    * operators — exactly [[acfDaily]]'s series. O(days) grain. */
+  private def dailySpine(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    bounds
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"),
+        col("mn"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), (col("day") - col("mn")).as("t"),
+        coalesce(col("n"), lit(0L)).as("x"))
+  }
+
+  /** Partial autocorrelation function via the Durbin–Levinson
+    * recursion (Durbin 1960; Box &amp; Jenkins ch. 3 — the AR-order
+    * diagnostic companion to q194's ACF and q338's AR forecast):
+    * φ_kk = (ρ_k − Σ_{j&lt;k} φ_{k−1,j} ρ_{k−j}) /
+    * (1 − Σ_{j&lt;k} φ_{k−1,j} ρ_j), φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j},
+    * unrolled to `maxLag` = 6 levels over q194's daily-count ACF
+    * (consumed UNROUNDED — both engines derive ρ from the same
+    * dsum num/den ratios, so the whole recursion replays the
+    * identical IEEE trajectory; femit only at emission).
+    *
+    * Determinism: the level sums fold left-to-right j = 1..k−1 (the
+    * same association the oracle's `+` chains parse to); each level
+    * materializes φ_kk before the φ_kj updates reference it — two
+    * projection stages per level, mirrored as two CTEs per level in
+    * the oracle.
+    *
+    * Scale: the series reduces to O(days) in one hash-agg; the lag
+    * pairing is a 7-way bounded self-join at day grain (q194's
+    * shape); the recursion itself runs on ONE row. */
+  def pacfDaily(s: SparkSession, dir: String, maxLag: Int = 6)
+      : DataFrame = {
+    val spine = dailySpine(s, dir)
+    val stats = spine.agg(
+      (sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean"))
+    val dev = spine.crossJoin(broadcast(stats))
+      .select(col("day"), (col("x").cast("double") - col("mean")).as("dev"))
+    val den = dev.agg(dsum(col("dev") * col("dev")).as("den"))
+    val lags = s.range(1, maxLag + 1).select(col("id").as("lag"))
+    val ac = dev.crossJoin(broadcast(lags))
+      .join(dev.select(col("day").as("day2"), col("dev").as("dev2")),
+        col("day2") === col("day") + col("lag"))
+      .groupBy("lag").agg(dsum(col("dev") * col("dev2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), (col("num") / col("den")).as("r"))
+    var df = ac.groupBy().agg(
+      max(when(col("lag") === 1, col("r"))).as("r1"),
+      (2 to maxLag).map(k =>
+        max(when(col("lag") === k, col("r"))).as(s"r$k")): _*)
+      .withColumn("phi_1_1", col("r1"))
+    for (k <- 2 to maxLag) {
+      val s1 = (1 until k).map(j =>
+        col(s"phi_${k - 1}_$j") * col(s"r${k - j}")).reduce(_ + _)
+      val s2 = (1 until k).map(j =>
+        col(s"phi_${k - 1}_$j") * col(s"r$j")).reduce(_ + _)
+      df = df.withColumn(s"phi_${k}_$k",
+        (col(s"r$k") - s1) / nullif(lit(1.0) - s2, lit(0.0)))
+      for (j <- 1 until k)
+        df = df.withColumn(s"phi_${k}_$j",
+          col(s"phi_${k - 1}_$j")
+            - col(s"phi_${k}_$k") * col(s"phi_${k - 1}_${k - j}"))
+    }
+    val out = (1 to maxLag).map(k =>
+      df.select(lit(k.toLong).as("lag"), femit(col(s"r$k")).as("acf"),
+        femit(col(s"phi_${k}_$k")).as("pacf")))
+    out.reduce(_ unionAll _).orderBy("lag")
+  }
+
+  /** Theta-method forecast (Assimakopoulos &amp; Nikolopoulos 2000 —
+    * the M3-competition winner; Hyndman &amp; Billah 2003 show it is
+    * SES with drift): the daily-count series decomposes into the
+    * θ = 0 line (the OLS trend a + b·t, q149's closed-form moments)
+    * and the θ = 2 series z_t = 2·y_t − (a + b·t); z is smoothed by
+    * SES and the h-step forecast is the equal-weight combination
+    * ½·[(a + b·(T−1+h)) + L_z] for h = 1..7.
+    *
+    * The SES level uses the CLOSED-FORM weighted sum
+    * L = Σ_{t≥1} 2^{−(T−t)} z_t + 2^{−(T−1)} z_0 with the dyadic
+    * α = ½ (the q213/q217 dyadic rule: every weight is an exact
+    * power of two, so both engines hold identical doubles and the
+    * "recursive" smoother is one order-free dsum — no sequential
+    * scan at all).
+    *
+    * Scale: one O(days) hash-agg for the series, one 1-row moment
+    * broadcast, one weighted dsum — no window, no iteration. */
+  def thetaForecast(s: SparkSession, dir: String, horizon: Int = 7)
+      : DataFrame = {
+    val spine = dailySpine(s, dir).localCheckpoint() // moments + SES
+    val mom = spine.agg(count(lit(1)).as("nT"),
+      dsum(col("t").cast("double")).as("st"),
+      dsum(col("t").cast("double") * col("t").cast("double")).as("stt"),
+      dsum(col("x").cast("double")).as("sy"),
+      dsum(col("t").cast("double") * col("x").cast("double")).as("sty"))
+      .withColumn("b",
+        (col("nT").cast("double") * col("sty") - col("st") * col("sy")) /
+          nullif(col("nT").cast("double") * col("stt")
+            - col("st") * col("st"), lit(0.0)))
+      .withColumn("a",
+        (col("sy") - col("b") * col("st")) / col("nT").cast("double"))
+    val lz = spine.crossJoin(broadcast(mom.select("nT", "a", "b")))
+      .withColumn("z",
+        lit(2.0) * col("x").cast("double")
+          - (col("a") + col("b") * col("t").cast("double")))
+      .withColumn("w", when(col("t") === 0L,
+          pow(lit(0.5), col("nT").cast("double") - lit(1.0)))
+        .otherwise(pow(lit(0.5),
+          col("nT").cast("double") - col("t").cast("double"))))
+      .agg(dsum(col("w") * col("z")).as("lz"))
+    val hs = s.range(1, horizon + 1).select(col("id").as("h"))
+    hs.crossJoin(broadcast(mom.select("nT", "a", "b")))
+      .crossJoin(broadcast(lz))
+      .select(col("h"),
+        femit(col("a") + col("b")
+          * (col("nT").cast("double") - lit(1.0) + col("h").cast("double")))
+          .as("trend_line"),
+        femit(col("lz")).as("ses_level"),
+        femit((col("a") + col("b")
+          * (col("nT").cast("double") - lit(1.0) + col("h").cast("double"))
+          + col("lz")) * lit(0.5)).as("forecast"))
+      .orderBy("h")
+  }
+
+  /** Croston's method for intermittent demand (Croston 1972) with the
+    * Syntetos–Boylan approximation correction (SBA 2005): the demand
+    * series is the DAILY COUNT OF LARGE PURCHASES (value &gt; 180 —
+    * intermittent by construction: 5 of 30 days at sf0.001), split
+    * into nonzero demand sizes z_i and inter-arrival gaps g_i; each is
+    * smoothed by the same closed-form dyadic-α SES as [[thetaForecast]]
+    * (α = ½, exact power-of-two weights, order-free dsum), and the
+    * demand-rate forecast is Z/Q with SBA = (1 − α/2)·Z/Q.
+    *
+    * Determinism: occurrence index and gaps come from one window over
+    * the O(nonzero-days) series (bounded grain — day cells, the q194
+    * class, NOT corpus rows); all weights are exact binary doubles.
+    *
+    * Scale: one filtered hash-agg to day grain, one tiny window, two
+    * weighted dsums. */
+  def croston(s: SparkSession, dir: String, threshold: Double = 180.0)
+      : DataFrame = {
+    val nz = events(s, dir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull
+        && col("value") > lit(threshold))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("z"))
+    val wOcc = Window.orderBy(col("day").asc) // O(nonzero days) cells
+    val occ = nz
+      .withColumn("i", row_number().over(wOcc).cast("long"))
+      .withColumn("g", col("day") - lag(col("day"), 1).over(wOcc))
+      .localCheckpoint() // m + two SES reads
+    val m = occ.agg(max(col("i")).as("m"),
+      min(col("day")).as("d0"), max(col("day")).as("dm"))
+    val zses = occ.crossJoin(broadcast(m))
+      .withColumn("w", when(col("i") === 1L,
+          pow(lit(0.5), col("m").cast("double") - lit(1.0)))
+        .otherwise(pow(lit(0.5),
+          col("m").cast("double") - col("i").cast("double") + lit(1.0))))
+      .agg(dsum(col("w") * col("z").cast("double")).as("zl"))
+    // gaps exist for i >= 2; re-index j = i − 1 over m' = m − 1 cells
+    val qses = occ.where(col("i") >= 2L).crossJoin(broadcast(m))
+      .withColumn("j", col("i") - 1L)
+      .withColumn("w", when(col("j") === 1L,
+          pow(lit(0.5), col("m").cast("double") - lit(2.0)))
+        .otherwise(pow(lit(0.5),
+          col("m").cast("double") - col("j").cast("double"))))
+      .agg(dsum(col("w") * col("g").cast("double")).as("ql"))
+    m.crossJoin(broadcast(zses)).crossJoin(broadcast(qses))
+      .select(col("m").as("n_demands"),
+        (col("dm") - col("d0")).as("span_days"),
+        femit(col("zl")).as("z_level"),
+        femit(col("ql")).as("q_level"),
+        femit(col("zl") / nullif(col("ql"), lit(0.0))).as("croston_rate"),
+        femit(col("zl") / nullif(col("ql"), lit(0.0)) * lit(0.75))
+          .as("sba_rate"))
+  }
+
   // One-way ANOVA F-test across event types (Fisher 1925) — the
   // k-group generalization of q150's two-sample t: is mean value
   // homogeneous across types? Per-group n, Σx, Σx² ride the DECIMAL
@@ -6107,6 +6288,9 @@ object Queries {
     "q192_rfm" -> (rfmSegments _),
     "q193_seasonal_index" -> (seasonalIndex _),
     "q194_acf" -> (acfDaily _),
+    "q408_pacf" -> ((s, dir) => pacfDaily(s, dir)),
+    "q409_theta_forecast" -> ((s, dir) => thetaForecast(s, dir)),
+    "q410_croston" -> ((s, dir) => croston(s, dir)),
     "q197_anova" -> (anovaF _),
     "q198_pareto_abc" -> (paretoAbc _),
     "q199_decile_lift" -> (decileLift _),
@@ -7390,6 +7574,52 @@ object Queries {
        |SELECT round, n_edges FROM (
        |  $union)
        |ORDER BY round""".stripMargin
+  }
+
+  /** Unrolled Durbin–Levinson oracle: q194's ACF pipeline kept
+    * UNROUNDED, pivoted wide, then two CTEs per level (φ_kk, then the
+    * φ_kj updates referencing it) — the identical left-associated sum
+    * chains [[pacfDaily]] folds. */
+  private def pacfOracle(maxLag: Int): String = {
+    val rcols = (1 to maxLag).map(k =>
+      s"max(CASE WHEN lag = $k THEN r END) AS r$k").mkString(",\n  ")
+    val levels = new StringBuilder
+    levels ++= ",\nl1 AS (SELECT *, r1 AS phi_1_1 FROM w0)"
+    for (k <- 2 to maxLag) {
+      val s1 = (1 until k).map(j => s"phi_${k - 1}_$j * r${k - j}")
+        .mkString(" + ")
+      val s2 = (1 until k).map(j => s"phi_${k - 1}_$j * r$j")
+        .mkString(" + ")
+      levels ++= s",\nl${k}a AS (SELECT *, (r$k - ($s1))" +
+        s" / nullif(1.0 - ($s2), 0.0) AS phi_${k}_$k FROM l${k - 1})"
+      val upd = (1 until k).map(j =>
+        s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j}" +
+          s" AS phi_${k}_$j").mkString(", ")
+      levels ++= s",\nl$k AS (SELECT *, $upd FROM l${k}a)"
+    }
+    val union = (1 to maxLag).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, ${femitSql(s"r$k")} AS acf," +
+        s" ${femitSql(s"phi_${k}_$k")} AS pacf FROM l$maxLag")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT s.day, coalesce(d.n, 0) AS x FROM
+       |  (SELECT unnest(generate_series((SELECT min(day) FROM d),
+       |    (SELECT max(day) FROM d))) AS day) s
+       |  LEFT JOIN d USING (day)),
+       |m AS (SELECT CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |  AS mean FROM b),
+       |v AS (SELECT day, CAST(x AS DOUBLE) - mean AS dev
+       |  FROM b CROSS JOIN m),
+       |den AS (SELECT ${dsumSql("dev * dev")} AS den FROM v),
+       |l AS (SELECT unnest(generate_series(1, $maxLag)) AS lag),
+       |ac AS (SELECT l.lag, ${dsumSql("a.dev * b2.dev")} / den AS r
+       |  FROM v a CROSS JOIN l JOIN v b2 ON b2.day = a.day + l.lag
+       |  CROSS JOIN den GROUP BY l.lag, den),
+       |w0 AS (SELECT $rcols FROM ac)$levels
+       |SELECT lag, acf, pacf FROM (
+       |  $union)
+       |ORDER BY lag""".stripMargin
   }
 
   /** [[msprt]]'s DuckDB twin — bound to a val so q319's BH step-up
@@ -10146,6 +10376,71 @@ object Queries {
          |  GROUP BY l.lag)
          |SELECT lag, n_pairs, ${femitSql("num / den")} AS acf
          |FROM num CROSS JOIN den ORDER BY lag""".stripMargin,
+    "q408_pacf" -> pacfOracle(maxLag = 6),
+    // Same zero-filled spine, q149 closed-form OLS moments, dyadic
+    // α = ½ SES as one exact power-of-two weighted dsum.
+    "q409_theta_forecast" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS n FROM events GROUP BY 1),
+         |sp AS (SELECT s.day, s.day - (SELECT min(day) FROM d) AS t,
+         |  coalesce(d.n, 0) AS x FROM
+         |  (SELECT unnest(generate_series((SELECT min(day) FROM d),
+         |    (SELECT max(day) FROM d))) AS day) s
+         |  LEFT JOIN d USING (day)),
+         |mom0 AS (SELECT count(*) AS nT,
+         |  ${dsumSql("CAST(t AS DOUBLE)")} AS st,
+         |  ${dsumSql("CAST(t AS DOUBLE) * CAST(t AS DOUBLE)")} AS stt,
+         |  ${dsumSql("CAST(x AS DOUBLE)")} AS sy,
+         |  ${dsumSql("CAST(t AS DOUBLE) * CAST(x AS DOUBLE)")} AS sty
+         |  FROM sp),
+         |mom1 AS (SELECT *, (CAST(nT AS DOUBLE) * sty - st * sy)
+         |  / nullif(CAST(nT AS DOUBLE) * stt - st * st, 0.0) AS b
+         |  FROM mom0),
+         |mom AS (SELECT *, (sy - b * st) / CAST(nT AS DOUBLE) AS a
+         |  FROM mom1),
+         |lz AS (SELECT ${dsumSql("w * z")} AS lz FROM (
+         |  SELECT 2.0 * CAST(x AS DOUBLE)
+         |      - (a + b * CAST(t AS DOUBLE)) AS z,
+         |    CASE WHEN t = 0
+         |      THEN pow(0.5, CAST(nT AS DOUBLE) - 1.0)
+         |      ELSE pow(0.5, CAST(nT AS DOUBLE) - CAST(t AS DOUBLE)) END AS w
+         |  FROM sp CROSS JOIN mom)),
+         |hs AS (SELECT unnest(generate_series(1, 7)) AS h)
+         |SELECT h,
+         |  ${femitSql("a + b * (CAST(nT AS DOUBLE) - 1.0 + CAST(h AS DOUBLE))")}
+         |    AS trend_line,
+         |  ${femitSql("lz")} AS ses_level,
+         |  ${femitSql("(a + b * (CAST(nT AS DOUBLE) - 1.0" +
+        " + CAST(h AS DOUBLE)) + lz) * 0.5")} AS forecast
+         |FROM hs CROSS JOIN mom CROSS JOIN lz ORDER BY h""".stripMargin,
+    // Large-purchase daily demand (value > 180), occurrence-order
+    // window over O(nonzero-days) cells, dyadic SES over sizes and
+    // gaps, Croston rate + SBA correction.
+    "q410_croston" ->
+      s"""WITH nz AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS z FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL
+         |  AND value > 180.0 GROUP BY 1),
+         |occ AS (SELECT day, z,
+         |  CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT) AS i,
+         |  day - lag(day) OVER (ORDER BY day ASC) AS g FROM nz),
+         |mm AS (SELECT max(i) AS m, min(day) AS d0, max(day) AS dm
+         |  FROM occ),
+         |zs AS (SELECT ${dsumSql("w * CAST(z AS DOUBLE)")} AS zl FROM (
+         |  SELECT z, CASE WHEN i = 1
+         |    THEN pow(0.5, CAST(m AS DOUBLE) - 1.0)
+         |    ELSE pow(0.5, CAST(m AS DOUBLE) - CAST(i AS DOUBLE) + 1.0)
+         |    END AS w FROM occ CROSS JOIN mm)),
+         |qs AS (SELECT ${dsumSql("w * CAST(g AS DOUBLE)")} AS ql FROM (
+         |  SELECT g, CASE WHEN i - 1 = 1
+         |    THEN pow(0.5, CAST(m AS DOUBLE) - 2.0)
+         |    ELSE pow(0.5, CAST(m AS DOUBLE) - CAST(i - 1 AS DOUBLE)) END AS w
+         |  FROM occ CROSS JOIN mm WHERE i >= 2))
+         |SELECT m AS n_demands, dm - d0 AS span_days,
+         |  ${femitSql("zl")} AS z_level, ${femitSql("ql")} AS q_level,
+         |  ${femitSql("zl / nullif(ql, 0.0)")} AS croston_rate,
+         |  ${femitSql("zl / nullif(ql, 0.0) * 0.75")} AS sba_rate
+         |FROM mm CROSS JOIN zs CROSS JOIN qs""".stripMargin,
     // Same per-group DECIMAL moments, same k-row cross-group reduce,
     // same fixed-order F arithmetic.
     "q197_anova" ->

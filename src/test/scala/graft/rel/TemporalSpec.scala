@@ -119,4 +119,62 @@ class TemporalSpec extends SparkSpec {
       .toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  test("pacfDaily: lag-1 PACF equals lag-1 ACF and replays a local Durbin-Levinson") {
+    val rows = Queries.pacfDaily(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.length == 6)
+    val (l1, a1, p1) = rows.head
+    assert(l1 == 1L && math.abs(a1 - p1) <= 1e-12)
+    // all pacf in [-1, 1] up to emission rounding
+    rows.foreach { case (_, a, p) =>
+      assert(p.abs <= 1.0 + 1e-6 && a.abs <= 1.0 + 1e-6)
+    }
+    // replay the recursion locally from the emitted (rounded) acf —
+    // the 6-decimal grid keeps the replay within a loose band
+    val rho = rows.map(_._2)
+    val phi = Array.ofDim[Double](7, 7)
+    phi(1)(1) = rho(0)
+    for (k <- 2 to 6) {
+      val s1 = (1 until k).map(j => phi(k - 1)(j) * rho(k - 1 - j)).sum
+      val s2 = (1 until k).map(j => phi(k - 1)(j) * rho(j - 1)).sum
+      phi(k)(k) = (rho(k - 1) - s1) / (1.0 - s2)
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+    }
+    rows.foreach { case (k, _, p) =>
+      assert(math.abs(p - phi(k.toInt)(k.toInt)) <= 1e-3,
+        s"lag $k: $p vs ${phi(k.toInt)(k.toInt)}")
+    }
+  }
+
+  test("thetaForecast: forecast is the exact average of line and SES level") {
+    val rows = Queries.thetaForecast(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length == 7)
+    val ses = rows.map(_._3).distinct
+    assert(ses.length == 1) // level is h-invariant
+    rows.foreach { case (h, tl, lz, f) =>
+      assert(math.abs(f - (tl + lz) * 0.5) <= 2e-6, s"h=$h")
+    }
+    // trend line moves by b per step: second differences vanish
+    val tls = rows.map(_._2)
+    tls.sliding(3).foreach { case Array(x, y, z) =>
+      assert(math.abs((z - y) - (y - x)) <= 5e-6)
+    }
+  }
+
+  test("croston: dyadic SES levels sit inside the observed ranges") {
+    val r = Queries.croston(spark, sf0001).collect().head
+    val m = r.getAs[Long]("n_demands")
+    assert(m >= 2, s"fixture must be intermittent-capable, m=$m")
+    val z = r.getAs[Double]("z_level"); val q = r.getAs[Double]("q_level")
+    assert(z >= 1.0 - 1e-9) // demands are counts >= 1
+    assert(q >= 1.0 - 1e-9) // gaps are >= 1 day
+    assert(q <= r.getAs[Long]("span_days").toDouble + 1e-9)
+    val rate = r.getAs[Double]("croston_rate")
+    assert(math.abs(r.getAs[Double]("sba_rate") - rate * 0.75) <= 2e-6)
+  }
 }
