@@ -952,6 +952,16 @@ object Queries {
     "q231_ndcg" -> ((s, dir) =>
       Sim.retrievalMetrics(tbl(s, dir, "embeddings"),
         nQuery = 10, k = 5, mrrK = 10)),
+    // Cascade-model ranking eval: graded label-distance relevance,
+    // dyadic stop probabilities, one fixed arithmetic chain per query
+    // (see Sim.errAtK).
+    "q412_err" -> ((s, dir) =>
+      Sim.errAtK(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)),
+    // Inter-rater reliability of three deterministic quality
+    // heuristics over documents (see TextAnalysis.krippendorffAlpha —
+    // integer coincidence matrix, two final ratios).
+    "q413_krippendorff" -> ((s, dir) =>
+      TextAnalysis.krippendorffAlpha(tbl(s, dir, "documents"))),
     // 2-D radius self-join via grid cells over the first two embedding
     // dims — the spatial-join shape (q43/q136's covering-cell
     // discipline applied to points): equi-join on cell keys, 3×3
@@ -4143,6 +4153,89 @@ object Queries {
               s"CASE WHEN $idcgCase > CAST(0.0 AS DOUBLE) THEN dcg / ($idcgCase) ELSE CAST(0.0 AS DOUBLE) END")} AS ndcg
          |FROM rt JOIN ag ON ag.qid = rt.qid ORDER BY rt.qid""".stripMargin
     },
+    // q231's candidate/ranking CTEs with graded relevance, the same
+    // dyadic stop probabilities, and the identical left-associated
+    // cascade chain over the rank-pivoted row.
+    "q412_err" -> {
+      val chain = (1 to 5).map { i =>
+        val stop = s"(r$i / $i.0)"
+        if (i == 1) stop
+        else (1 until i).map(j => s"(1.0 - r$j)").mkString(" * ") +
+          s" * $stop"
+      }.mkString("\n         |    + ")
+      val pivots = (1 to 5).map(i =>
+        s"coalesce(max(CASE WHEN rnk = $i THEN rr END), 0.0) AS r$i")
+        .mkString(",\n         |  ")
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm FROM v),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, norm AS qnorm
+         |  FROM n WHERE vec_id < 10),
+         |j AS (SELECT qid, n.vec_id,
+         |  CASE WHEN n.label = q.qlabel THEN 2
+         |    WHEN abs(n.label - q.qlabel) = 1 THEN 1 ELSE 0 END AS g,
+         |  ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
+         |    / (n.norm * q.qnorm) AS sim
+         |  FROM n, q WHERE n.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, g, row_number() OVER (PARTITION BY qid
+         |  ORDER BY sim DESC, vec_id ASC) AS rnk FROM j),
+         |t AS (SELECT qid, g,
+         |  CASE WHEN g = 2 THEN 0.75 WHEN g = 1 THEN 0.25 ELSE 0.0 END AS rr,
+         |  rnk FROM r WHERE rnk <= 5),
+         |p AS (SELECT qid,
+         |  CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_g2,
+         |  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_g1,
+         |  $pivots
+         |  FROM t GROUP BY qid)
+         |SELECT qid, n_g2, n_g1,
+         |  ${graft.rel.Queries.femitSql(s"$chain")} AS err
+         |FROM p ORDER BY qid""".stripMargin
+    },
+    // Same three deterministic raters, integer coincidence matrix
+    // scaled by (m-1), two final ratios.
+    "q413_krippendorff" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |  string_split(text, ' ') AS toks FROM documents),
+         |rated AS (SELECT doc_id,
+         |  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS c1,
+         |  CASE WHEN len(toks) >= 50 THEN 1 ELSE 0 END AS c2,
+         |  CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) >= 0.4375 THEN 1 ELSE 0 END AS c3
+         |  FROM d),
+         |lng AS (SELECT doc_id, c1 AS cat FROM rated
+         |  UNION ALL SELECT doc_id, c2 FROM rated
+         |  UNION ALL SELECT doc_id, c3 FROM rated),
+         |ucc AS (SELECT doc_id, cat, count(*) AS nuc FROM lng
+         |  GROUP BY 1, 2),
+         |coin AS (SELECT a.cat AS c, b.cat AS k2,
+         |  CAST(sum(a.nuc * (b.nuc - CASE WHEN a.cat = b.cat
+         |    THEN 1 ELSE 0 END)) AS BIGINT) AS s
+         |  FROM ucc a JOIN ucc b USING (doc_id) GROUP BY 1, 2),
+         |nu AS (SELECT count(DISTINCT doc_id) AS n_units FROM ucc),
+         |mg AS (SELECT c, CAST(sum(s) AS BIGINT) // 2 AS nc FROM coin
+         |  GROUP BY c),
+         |agr AS (SELECT count(*) AS nua,
+         |  CAST(sum(CASE WHEN c1 = c2 AND c2 = c3 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS unanimous FROM rated),
+         |dd AS (SELECT CAST(sum(s) AS BIGINT) AS sd FROM coin
+         |  WHERE c <> k2),
+         |ee AS (SELECT CAST(sum(a.nc * b.nk) AS BIGINT) AS se FROM mg a
+         |  CROSS JOIN (SELECT c AS km, nc AS nk FROM mg) b
+         |  WHERE a.c <> b.km)
+         |SELECT n_units, 3 * n_units AS n_ratings,
+         |  ${graft.rel.Queries.femitSql("CAST(sd AS DOUBLE) / 2.0" +
+        " / CAST(3 * n_units AS DOUBLE)")} AS d_o,
+         |  ${graft.rel.Queries.femitSql("CAST(se AS DOUBLE)" +
+        " / (CAST(3 * n_units AS DOUBLE) * CAST(3 * n_units - 1 AS DOUBLE))")}
+         |    AS d_e,
+         |  ${graft.rel.Queries.femitSql(
+        "1.0 - (CAST(sd AS DOUBLE) / 2.0 / CAST(3 * n_units AS DOUBLE))" +
+          " / (CAST(se AS DOUBLE) / (CAST(3 * n_units AS DOUBLE)" +
+          " * CAST(3 * n_units - 1 AS DOUBLE)))")} AS alpha,
+         |  ${graft.rel.Queries.femitSql(
+        "CAST(unanimous AS DOUBLE) / CAST(nua AS DOUBLE)")} AS pct_unanimous
+         |FROM dd CROSS JOIN ee CROSS JOIN agr CROSS JOIN nu""".stripMargin,
     // Same cell keys (identical double division + floor), same 3×3
     // probe, same cap, same fixed-order distance math.
     "q232_grid_radius_join" ->

@@ -145,6 +145,65 @@ object Sim {
   def idcgLiterals(k: Int): IndexedSeq[Double] =
     (0 to k).map(m => (1 to m).map(i => 1.0 / math.log(i + 1.0)).sum)
 
+  /** Expected reciprocal rank at `k` (Chapelle et al., CIKM 2009 —
+    * the cascade-model ranking metric [[retrievalMetrics]]'s
+    * position-discount family lacks: a highly relevant hit ABOVE rank
+    * i absorbs the user before they reach i): over the q231 cosine
+    * ranking with GRADED relevance g = 2 (label match) / 1 (labels
+    * adjacent, |label − qlabel| = 1) / 0, stop probability
+    * R_g = (2^g − 1)/4 ∈ {0, ¼, ¾} — all DYADIC, so every cascade
+    * product is an exact binary double (the q213 rule applied to a
+    * probability model) — and
+    * ERR = Σ_i (Π_{j&lt;i}(1 − R_j))·R_i/i.
+    *
+    * Determinism: the top-k grades pivot to one row per query
+    * (rank-i columns via conditional max; absent ranks are grade 0)
+    * and the cascade is ONE fixed left-associated arithmetic chain —
+    * no sequential scan, no pow. Ranking ties break on vec_id like
+    * q231.
+    *
+    * Scale: the candidate step is q231's broadcast-query design
+    * (queries × corpus, corpus-partitioned); everything after the
+    * per-query top-k window is O(queries). */
+  def errAtK(emb: DataFrame, nQuery: Int, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val q = v.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .where(col("qid") < nQuery)
+    val cand = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(col("label") === col("qlabel"), 2L)
+          .when(abs(col("label") - col("qlabel")) === 1L, 1L)
+          .otherwise(0L).as("g"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val top = cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .withColumn("r",
+        when(col("g") === 2L, lit(0.75))
+          .when(col("g") === 1L, lit(0.25)).otherwise(lit(0.0)))
+    val pivotCols =
+      sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n_g1") +:
+        (1 to k).map(i =>
+          coalesce(max(when(col("rnk") === i.toLong, col("r"))), lit(0.0))
+            .as(s"r$i"))
+    val pivoted = top.groupBy("qid").agg(
+      sum(when(col("g") === 2L, 1L).otherwise(0L)).as("n_g2"),
+      pivotCols: _*)
+    val err = (1 to k).map { i =>
+      val stop = col(s"r$i") / lit(i.toDouble)
+      if (i == 1) stop
+      else (1 until i).map(j => lit(1.0) - col(s"r$j"))
+        .reduceLeft(_ * _) * stop
+    }.reduceLeft(_ + _)
+    pivoted.select(col("qid"), col("n_g2"), col("n_g1"),
+      graft.rel.Queries.femit(err).as("err"))
+      .orderBy("qid")
+  }
+
   /** 2-D RADIUS self-join via grid cells — the spatial/geo join shape
     * (find all point pairs within distance `r`), run over the first
     * two embedding dimensions as coordinates. The classic fixed-grid

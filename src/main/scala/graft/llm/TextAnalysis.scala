@@ -1929,4 +1929,72 @@ object TextAnalysis {
         col("n_exact"), est.as("est_distinct")))
       .orderBy("source")
   }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff 1970/2004 —
+    * the inter-rater reliability coefficient that generalizes q309's
+    * two-rater Cohen's kappa to any rater count and corrects chance
+    * agreement from the pooled margin): units are documents, the 3
+    * "raters" are deterministic quality heuristics (length ≥ 300
+    * chars; ≥ 50 whitespace tokens; unique-token ratio ≥ 0.4375 —
+    * the dyadic 7/16), each voting a binary category, standing in for
+    * human annotators on a fixture without any (documented — the q377
+    * fixed-model convention).
+    *
+    * Everything up to the final two ratios is EXACT INTEGER
+    * arithmetic: per-unit category counts n_uc, coincidences scaled
+    * by (m−1) so S_ck = Σ_u n_uc·(n_uk − δ_ck) stays integral,
+    * margins n_c = Σ_k S_ck/(m−1), n = Σ_c n_c = m·N; then
+    * D_o = (Σ_{c≠k} S_ck/(m−1))/n, D_e = Σ_{c≠k} n_c·n_k/(n(n−1)),
+    * α = 1 − D_o/D_e. Observed percent agreement rides along.
+    *
+    * Scale: one doc-grain projection (three boolean heuristics), one
+    * (unit, category)-grain count, one within-unit self-join whose
+    * fan-out is bounded by the CATEGORY count (≤ 2 rows per unit),
+    * then aggregates over the ≤ 4-row coincidence table. */
+  def krippendorffAlpha(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.femit
+    val toks = split(col("text"), " ")
+    val rated = docs.select(col("doc_id"),
+      when(col("n_chars") >= 300L, 1L).otherwise(0L).as("c1"),
+      when(size(toks) >= 50, 1L).otherwise(0L).as("c2"),
+      when(size(array_distinct(toks)).cast("double")
+        / size(toks).cast("double") >= 0.4375, 1L).otherwise(0L).as("c3"))
+    val long = rated.select(col("doc_id"), col("c1").as("cat"))
+      .unionAll(rated.select(col("doc_id"), col("c2").as("cat")))
+      .unionAll(rated.select(col("doc_id"), col("c3").as("cat")))
+    val ucc = long.groupBy("doc_id", "cat")
+      .agg(count(lit(1)).as("nuc"))
+      .localCheckpoint() // self-join + unit census
+    val coin = ucc.select(col("doc_id"), col("cat").as("c"), col("nuc"))
+      .join(ucc.select(col("doc_id"), col("cat").as("k2"),
+        col("nuc").as("nuk")), Seq("doc_id"))
+      .groupBy("c", "k2")
+      .agg(sum(col("nuc") * (col("nuk")
+        - when(col("c") === col("k2"), 1L).otherwise(0L))).as("s"))
+      .localCheckpoint() // margins + disagreement reads
+    val nUnits = ucc.select("doc_id").distinct().count()
+    val margins = coin.groupBy("c").agg(sum(col("s")).as("s_row"))
+      .select(col("c"), expr("s_row div 2").as("nc")) // m − 1 = 2, exact
+    val agree = rated.agg(count(lit(1)).as("nu"),
+      sum(when(col("c1") === col("c2") && col("c2") === col("c3"), 1L)
+        .otherwise(0L)).as("unanimous"))
+    val dO = coin.where(col("c") =!= col("k2")).agg(sum(col("s")).as("sd"))
+    val dE = margins.select(col("c").as("cm"), col("nc"))
+      .crossJoin(margins.select(col("c").as("km"), col("nc").as("nk")))
+      .where(col("cm") =!= col("km"))
+      .agg(sum(col("nc") * col("nk")).as("se"))
+    // nUnits is a 1-row scalar control read (the neighborhoodFunction
+    // precedent), not part of any declared per-row plan
+    val n = 3L * nUnits
+    dO.crossJoin(broadcast(dE)).crossJoin(broadcast(agree))
+      .select(lit(nUnits).as("n_units"), lit(n).as("n_ratings"),
+        femit(col("sd").cast("double") / 2.0 / lit(n.toDouble)).as("d_o"),
+        femit(col("se").cast("double")
+          / (lit(n.toDouble) * lit((n - 1).toDouble))).as("d_e"),
+        femit(lit(1.0) - (col("sd").cast("double") / 2.0 / lit(n.toDouble))
+          / (col("se").cast("double")
+            / (lit(n.toDouble) * lit((n - 1).toDouble)))).as("alpha"),
+        femit(col("unanimous").cast("double") / col("nu").cast("double"))
+          .as("pct_unanimous"))
+  }
 }

@@ -1359,6 +1359,60 @@ object Queries {
       .select(col("n_pos"), col("n_neg"), femit(col("auc0")).as("auc"))
   }
 
+  /** Average precision over the q166 score/label population — the
+    * PR-side companion to [[rocAuc]]'s ROC summary (the metric of
+    * record under class imbalance): AP = Σ_t (R_t − R_{t−1})·P_t over
+    * DISTINCT score thresholds descending (the threshold-step
+    * formulation, which is tie-robust by construction — rows sharing
+    * a score enter together, so no within-tie order exists to
+    * disagree on), plus the interpolated precision at recall ≥ ½
+    * (integer-compared: 2·TP ≥ n_pos — no float recall).
+    *
+    * Scale: the same two-phase rank discipline as [[aucTwoPhase]] —
+    * score-grain reduction first, per-cell windows + an O(cells)
+    * offset table instead of one global sort; the AP fold is an
+    * order-free dsum over score-grain terms. */
+  def averagePrecision(s: SparkSession, dir: String): DataFrame = {
+    val perScore = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("poscnt"))
+      .withColumn("cell", floor(col("score") / 50.0).cast("long"))
+    val inCell = Window.partitionBy("cell").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellTotals = perScore.groupBy("cell")
+      .agg(sum(col("cnt")).as("cell_cnt"), sum(col("poscnt")).as("cell_pos"))
+      .withColumn("cnt_off",
+        coalesce(sum(col("cell_cnt")).over(
+          Window.orderBy(col("cell").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pos_off",
+        coalesce(sum(col("cell_pos")).over(
+          Window.orderBy(col("cell").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cell", "cnt_off", "pos_off")
+    val tot = perScore.agg(sum(col("poscnt")).as("n_pos"),
+      sum(col("cnt") - col("poscnt")).as("n_neg"))
+    perScore
+      .withColumn("cum_cnt", sum(col("cnt")).over(inCell))
+      .withColumn("cum_pos", sum(col("poscnt")).over(inCell))
+      .join(broadcast(cellTotals), "cell")
+      .withColumn("k", col("cnt_off") + col("cum_cnt"))
+      .withColumn("tp", col("pos_off") + col("cum_pos"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        dsum(col("poscnt").cast("double")
+          * (col("tp").cast("double") / col("k").cast("double"))).as("apn"),
+        max(when(col("tp") * 2L >= col("n_pos"),
+          col("tp").cast("double") / col("k").cast("double"))).as("par50"))
+      .select(col("n_pos"), col("n_neg"),
+        femit(col("apn") / col("n_pos").cast("double"))
+          .as("average_precision"),
+        femit(col("par50")).as("prec_at_recall50"))
+  }
+
   // Market-basket association rules over the orders→parts bipartite
   // graph (Agrawal–Srikant, VLDB 1994 measures): baskets are orders,
   // items are distinct partkeys; for every co-occurring ordered pair
@@ -6401,6 +6455,7 @@ object Queries {
     "q372_raking" -> (raking _),
     "q375_quantile_norm" -> (quantileNorm _),
     "q377_ipw_ate" -> (ipwAte _),
+    "q411_average_precision" -> (averagePrecision _),
     "q381_shapley_attribution" -> ((s, dir) => shapleyAttribution(s, dir)),
     "q393_shapley_sampled" -> ((s, dir) => shapleySampled(s, dir)),
     "q394_logrank" -> (logRank _),
@@ -10783,6 +10838,31 @@ object Queries {
          |    AS mean_qnorm,
          |  min(qv) AS min_qnorm, max(qv) AS max_qnorm
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // Threshold-step AP over the q166 population: distinct-score
+    // grain, cumulative TP/K from the top, AP fold as one dsum;
+    // precision@recall>=1/2 via the integer compare 2*TP >= n_pos.
+    "q411_average_precision" ->
+      s"""WITH e AS (SELECT value AS score,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |  FROM events WHERE value IS NOT NULL),
+         |ps AS (SELECT score, count(*) AS cnt,
+         |  CAST(sum(pos) AS BIGINT) AS poscnt FROM e GROUP BY 1),
+         |cum AS (SELECT *,
+         |  CAST(sum(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS k,
+         |  CAST(sum(poscnt) OVER (ORDER BY score DESC) AS BIGINT) AS tp
+         |  FROM ps),
+         |tot AS (SELECT CAST(sum(poscnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(cnt - poscnt) AS BIGINT) AS n_neg FROM ps),
+         |ag AS (SELECT
+         |  ${dsumSql("CAST(poscnt AS DOUBLE)" +
+        " * (CAST(tp AS DOUBLE) / CAST(k AS DOUBLE))")} AS apn,
+         |  max(CASE WHEN tp * 2 >= n_pos
+         |    THEN CAST(tp AS DOUBLE) / CAST(k AS DOUBLE) END) AS par50
+         |  FROM cum CROSS JOIN tot)
+         |SELECT n_pos, n_neg,
+         |  ${femitSql("apn / CAST(n_pos AS DOUBLE)")} AS average_precision,
+         |  ${femitSql("par50")} AS prec_at_recall50
+         |FROM ag CROSS JOIN tot""".stripMargin,
     // Same first-event treatment flag, same fixed-logistic propensity
     // with the [0.05, 0.95] clip, same Hajek ratios and balance gaps;
     // exp/ln are the libm parity class, sums ride dsum.

@@ -237,6 +237,74 @@ class Round12OpsSpec extends SparkSpec {
         s"w=$w itt=$itt fs=$fs")
   }
 
+  test("averagePrecision: threshold-step AP replays locally and bounds hold") {
+    val r = graft.rel.Queries.averagePrecision(spark, sf0001).collect().head
+    val nPos = r.getAs[Long]("n_pos"); val nNeg = r.getAs[Long]("n_neg")
+    assert(nPos > 0 && nNeg > 0)
+    val ap = r.getAs[Double]("average_precision")
+    val p50 = r.getAs[Double]("prec_at_recall50")
+    assert(ap > 0.0 && ap <= 1.0 && p50 > 0.0 && p50 <= 1.0)
+    // local replay of the same threshold-step definition
+    val rows = spark.read.parquet(s"$sf0001/events.parquet")
+      .where(col("value").isNotNull)
+      .select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(x => (x.getDouble(0), x.getLong(1)))
+    val byScore = rows.groupBy(_._1).map { case (s0, g) =>
+      (s0, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(-_._1)
+    var k = 0L; var tp = 0L; var apl = 0.0
+    byScore.foreach { case (_, cnt, pos) =>
+      k += cnt; tp += pos
+      apl += pos.toDouble / nPos * (tp.toDouble / k.toDouble)
+    }
+    assert(math.abs(ap - apl) <= 2e-6, s"ap=$ap local=$apl")
+  }
+
+  test("errAtK: cascade bounds and the perfect-prefix dominance") {
+    val rows = Sim.errAtK(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), 10, 5).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("err")
+      assert(err >= 0.0 && err <= 1.0)
+      // a grade-2 hit at rank 1 alone contributes 0.75
+      if (r.getAs[Long]("n_g2") == 5L) assert(err >= 0.75)
+    }
+  }
+
+  test("krippendorffAlpha: local replay of the coincidence algebra") {
+    val out = TextAnalysis.krippendorffAlpha(docs).collect().head
+    val alpha = out.getAs[Double]("alpha")
+    assert(alpha <= 1.0 + 1e-9)
+    assert(out.getAs[Double]("d_o") >= 0.0 && out.getAs[Double]("d_e") > 0.0)
+    // replay: three raters as in the operator
+    val rated = docs.select(col("doc_id"),
+        when(col("n_chars") >= 300L, 1L).otherwise(0L),
+        when(size(split(col("text"), " ")) >= 50, 1L).otherwise(0L),
+        when(size(array_distinct(split(col("text"), " "))).cast("double")
+          / size(split(col("text"), " ")).cast("double") >= 0.4375, 1L)
+          .otherwise(0L))
+      .collect().map(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nUnits = rated.length; val m = 3
+    val cats = Seq(0L, 1L)
+    val s = for (c <- cats; k2 <- cats) yield {
+      val v = rated.map { u =>
+        val nc = u.count(_ == c).toLong
+        val nk = u.count(_ == k2).toLong
+        nc * (nk - (if (c == k2) 1L else 0L))
+      }.sum
+      ((c, k2), v)
+    }
+    val sMap = s.toMap
+    val n = (m * nUnits).toLong
+    val dO = (sMap((0L, 1L)) + sMap((1L, 0L))).toDouble / (m - 1) / n
+    val nc0 = cats.map(k2 => sMap((0L, k2))).sum / (m - 1)
+    val nc1 = cats.map(k2 => sMap((1L, k2))).sum / (m - 1)
+    val dE = (nc0 * nc1 + nc1 * nc0).toDouble / (n.toDouble * (n - 1).toDouble)
+    val alphaLocal = 1.0 - dO / dE
+    assert(math.abs(alpha - alphaLocal) <= 2e-6, s"$alpha vs $alphaLocal")
+  }
+
   test("rddSharp: side fits reconstruct and the jump is the intercept gap") {
     val r = graft.rel.Queries.rddSharp(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
