@@ -984,4 +984,77 @@ object Curation {
           .as("kill_share"))
       .orderBy("stage_idx")
   }
+
+  /** Spark-SQL text of the Luhn mod-10 checksum over a digit-run
+    * token (ISO/IEC 7812; the checksum that separates card-like
+    * numbers from arbitrary digit runs): reversed-position fold,
+    * doubling even positions with the &gt;9 − 9 reduction — pure
+    * integer arithmetic, shared structurally with the oracle twin. */
+  private val luhnSumSql: String =
+    """aggregate(sequence(1, length(tok)), 0, (acc, i) ->
+      |  acc + (CASE WHEN i % 2 = 1
+      |    THEN ascii(substr(reverse(tok), i, 1)) - 48
+      |    ELSE CASE WHEN (ascii(substr(reverse(tok), i, 1)) - 48) * 2 > 9
+      |      THEN (ascii(substr(reverse(tok), i, 1)) - 48) * 2 - 9
+      |      ELSE (ascii(substr(reverse(tok), i, 1)) - 48) * 2 END END))"""
+      .stripMargin
+
+  /** PII audit over raw whitespace tokens, per source (the redaction
+    * census a curation pipeline runs before release — Subramani et
+    * al. 2023 survey exactly this detector family): anchored-regex
+    * classes for emails and IPv4 literals, digit runs 2–19 long, the
+    * Luhn mod-10 checksum over every digit run (card-like = 13–19
+    * digits AND Luhn-valid, the ISO/IEC 7812 gate), and the redaction
+    * rate (emails + IPv4 + card-like)/tokens.
+    *
+    * Tokens are RAW (no lowercase — emails are case-sensitive left of
+    * the @); the regexes are RE2-compatible character classes so the
+    * Spark (java.util.regex) and DuckDB (RE2) engines agree (the O4
+    * dialect-parity argument). The Luhn fold is exact integer
+    * arithmetic per token — zero float anywhere before the final
+    * rate.
+    *
+    * Runs over TWO surfaces unioned — document text tokens (grouped
+    * by source) and the events `props` JSON values (grouped by event
+    * type): the fixture's documents are digit-free word soup, so the
+    * props surface is what actually exercises the digit-run and Luhn
+    * paths with nonzero counts (the gate then certifies the checksum
+    * itself, not just zeros).
+    *
+    * Scale: one projection with codegen'd regex/fold expressions +
+    * one (surface, group)-grain hash-agg — embarrassingly parallel. */
+  def piiAudit(docs: DataFrame, events: DataFrame): DataFrame = {
+    import graft.rel.Queries.femit
+    val dtok = docs.select(lit("documents.text").as("surface"),
+        col("source").as("grp"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+      .where(col("tok") =!= "")
+    val etok = events.select(lit("events.props").as("surface"),
+        col("event_type").as("grp"),
+        get_json_object(col("props"), "$.k").as("tok"))
+      .where(col("tok").isNotNull && col("tok") =!= "")
+    val cls = dtok.unionAll(etok)
+      .withColumn("is_email", col("tok").rlike(
+        "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"))
+      .withColumn("is_ipv4",
+        col("tok").rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"))
+      .withColumn("is_digit_run", col("tok").rlike("^[0-9]{2,19}$"))
+      .withColumn("luhn_ok",
+        col("is_digit_run") && expr(luhnSumSql) % 10 === 0)
+      .withColumn("is_card", col("luhn_ok") && length(col("tok")) >= 13)
+    cls.groupBy("surface", "grp").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("is_digit_run"), 1L).otherwise(0L)).as("n_digit_runs"),
+        sum(when(col("luhn_ok"), 1L).otherwise(0L)).as("n_luhn_valid"),
+        sum(when(col("is_card"), 1L).otherwise(0L)).as("n_card_like"),
+        sum(when(col("is_email"), 1L).otherwise(0L)).as("n_email"),
+        sum(when(col("is_ipv4"), 1L).otherwise(0L)).as("n_ipv4"))
+      .select(col("surface"), col("grp"), col("n_tokens"),
+        col("n_digit_runs"), col("n_luhn_valid"), col("n_card_like"),
+        col("n_email"), col("n_ipv4"),
+        femit((col("n_email") + col("n_ipv4") + col("n_card_like"))
+          .cast("double") / col("n_tokens").cast("double"))
+          .as("redact_rate"))
+      .orderBy("surface", "grp")
+  }
 }

@@ -1581,6 +1581,20 @@ object Queries {
     // (see TextAnalysis.knBigram)
     "q376_kneser_ney" -> ((s, dir) =>
       TextAnalysis.knBigram(tbl(s, dir, "documents"))),
+    // Good-Turing count-of-counts smoothing: adjusted counts r*,
+    // per-count probability mass, unseen mass N1/N (see
+    // TextAnalysis.goodTuring)
+    "q414_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(tbl(s, dir, "documents"))),
+    // Moving-average TTR lexical diversity, covering-cell band join,
+    // first-sight counting via keyed lag (see TextAnalysis.mattr)
+    "q415_mattr" -> ((s, dir) =>
+      TextAnalysis.mattr(tbl(s, dir, "documents"))),
+    // PII / redaction census over document tokens + events props
+    // values: email + IPv4 regex classes, Luhn-validated card-like
+    // digit runs (see Curation.piiAudit)
+    "q416_pii_audit" -> ((s, dir) =>
+      Curation.piiAudit(tbl(s, dir, "documents"), tbl(s, dir, "events"))),
     // Multi-vector late-interaction (ColBERT MaxSim) top-k retrieval
     // over subvector token-vectors (see Sim.maxSimKnn)
     "q378_maxsim" -> ((s, dir) =>
@@ -5496,6 +5510,111 @@ object Queries {
          |  ${femitSql("maxvar * CAST(ndim AS DOUBLE) / tvar")} AS var_concentration,
          |  top_var_dim, top_var
          |FROM agg CROSS JOIN top""".stripMargin
+    },
+    // Same vocab -> counts-of-counts chain, same r+1 left join, same
+    // fixed-order GT ratio chains.
+    "q414_good_turing" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+         |  x -> x <> '') AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(range(len(ts))) AS pos FROM t),
+         |uni AS (SELECT a.tok AS w1, b.tok AS w2, count(*) AS r
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |  AND b.pos = a.pos + 1 GROUP BY 1, 2),
+         |coc AS (SELECT r, count(*) AS n_r FROM uni GROUP BY 1),
+         |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1
+         |  FROM coc),
+         |j AS (SELECT a.r, a.n_r, b.n_r AS n_r1 FROM coc a
+         |  LEFT JOIN coc b ON b.r = a.r + 1 WHERE a.r <= 10)
+         |SELECT r, n_r, coalesce(n_r1, 0) AS n_r_next,
+         |  ${femitSql("CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)" +
+        " / CAST(n_r AS DOUBLE)")} AS r_star,
+         |  ${femitSql("CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)" +
+        " / CAST(n_r AS DOUBLE) * CAST(n_r AS DOUBLE)" +
+        " / CAST(n_total AS DOUBLE)")} AS p_mass,
+         |  ${femitSql("CAST(n1 AS DOUBLE) / CAST(n_total AS DOUBLE)")}
+         |    AS p_unseen
+         |FROM j CROSS JOIN tot ORDER BY r""".stripMargin,
+    // Same keyed-lag first-sight trick, same covering-cell band join
+    // (pos//32 cells), same dyadic /32 window quotients.
+    "q415_mattr" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+         |  x -> x <> '') AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(range(len(ts))) AS pos FROM t),
+         |t2 AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id,
+         |  tok ORDER BY pos ASC) AS prev FROM tok),
+         |lens AS (SELECT doc_id, count(*) AS len,
+         |  count(DISTINCT tok) AS n_distinct FROM tok GROUP BY 1),
+         |starts AS (SELECT doc_id, unnest(range(0, len - 31)) AS i
+         |  FROM lens WHERE len >= 32),
+         |tc AS (SELECT doc_id, pos, prev,
+         |  unnest([pos // 32 - 1, pos // 32]) AS c FROM t2),
+         |cand AS (SELECT s.doc_id, s.i, tc.prev FROM starts s
+         |  JOIN tc ON tc.doc_id = s.doc_id AND tc.c = s.i // 32
+         |  WHERE tc.pos >= s.i AND tc.pos < s.i + 32),
+         |perwin AS (SELECT doc_id, i, CAST(sum(CASE WHEN prev IS NULL
+         |  OR prev < i THEN 1 ELSE 0 END) AS BIGINT) AS d
+         |  FROM cand GROUP BY 1, 2),
+         |perdoc AS (SELECT doc_id, count(*) AS n_windows,
+         |  ${dsumSql("CAST(d AS DOUBLE) / 32.0")} AS sd
+         |  FROM perwin GROUP BY 1)
+         |SELECT l.doc_id, l.len AS n_tokens,
+         |  coalesce(p.n_windows, 0) AS n_windows,
+         |  ${femitSql("CASE WHEN p.n_windows IS NOT NULL" +
+        " THEN p.sd / CAST(p.n_windows AS DOUBLE)" +
+        " ELSE CAST(l.n_distinct AS DOUBLE) / CAST(l.len AS DOUBLE) END")}
+         |    AS mattr,
+         |  ${femitSql("CAST(l.n_distinct AS DOUBLE) / CAST(l.len AS DOUBLE)")}
+         |    AS ttr
+         |FROM lens l LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin,
+    // Same raw tokens, same anchored RE2-safe classes, same integer
+    // Luhn fold (reversed positions, >9 - 9 doubling).
+    "q416_pii_audit" -> {
+      val luhn = """list_reduce(list_prepend(0,
+        |    list_transform(generate_series(1, length(tok)), i ->
+        |    CASE WHEN i % 2 = 1
+        |      THEN ascii(substr(reverse(tok), i, 1)) - 48
+        |      ELSE CASE WHEN (ascii(substr(reverse(tok), i, 1)) - 48) * 2 > 9
+        |        THEN (ascii(substr(reverse(tok), i, 1)) - 48) * 2 - 9
+        |        ELSE (ascii(substr(reverse(tok), i, 1)) - 48) * 2 END END)),
+        |    (a, b) -> a + b) % 10""".stripMargin
+      s"""WITH tok0 AS (SELECT 'documents.text' AS surface, source AS grp,
+         |  unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tok1 AS (SELECT 'events.props' AS surface, event_type AS grp,
+         |  json_extract_string(props, '$$.k') AS tok FROM events),
+         |tk AS (SELECT surface, grp, tok FROM tok0 WHERE tok <> ''
+         |  UNION ALL SELECT surface, grp, tok FROM tok1
+         |  WHERE tok IS NOT NULL AND tok <> ''),
+         |cls AS (SELECT surface, grp,
+         |  regexp_full_match(tok,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS is_email,
+         |  regexp_full_match(tok,
+         |    '([0-9]{1,3}\\.){3}[0-9]{1,3}') AS is_ipv4,
+         |  regexp_full_match(tok, '[0-9]{2,19}') AS is_digit_run,
+         |  regexp_full_match(tok, '[0-9]{2,19}') AND $luhn = 0 AS luhn_ok,
+         |  regexp_full_match(tok, '[0-9]{2,19}') AND $luhn = 0
+         |    AND length(tok) >= 13 AS is_card
+         |  FROM tk)
+         |SELECT surface, grp, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN is_digit_run THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_digit_runs,
+         |  CAST(sum(CASE WHEN luhn_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_luhn_valid,
+         |  CAST(sum(CASE WHEN is_card THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_card_like,
+         |  CAST(sum(CASE WHEN is_email THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_email,
+         |  CAST(sum(CASE WHEN is_ipv4 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ipv4,
+         |  ${femitSql("CAST(sum(CASE WHEN is_email THEN 1 ELSE 0 END)" +
+        " + sum(CASE WHEN is_ipv4 THEN 1 ELSE 0 END)" +
+        " + sum(CASE WHEN is_card THEN 1 ELSE 0 END) AS DOUBLE)" +
+        " / CAST(count(*) AS DOUBLE)")} AS redact_rate
+         |FROM cls GROUP BY surface, grp
+         |ORDER BY surface, grp""".stripMargin
     },
     // Same 5-fold split and pair CTEs as q351; KN pieces: left/
     // continuation type counts off the bigram-type table, the add-one

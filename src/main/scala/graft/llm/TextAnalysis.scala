@@ -1930,6 +1930,114 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Good–Turing frequency smoothing (Good 1953; the count-of-counts
+    * estimator behind Katz backoff, complementing q376's Kneser–Ney
+    * and q351's Jelinek–Mercer): over the corpus unigram counts,
+    * N_r = #types seen exactly r times, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, the smoothed probability mass
+    * p_mass(r) = r*·N_r/N, and the leave-one-out unseen mass
+    * p0 = N_1/N — the quantity a curation pipeline reads as "how much
+    * of the next shard will be new vocabulary" (the estimator twin of
+    * q300's Heaps-law extrapolation).
+    *
+    * Determinism: everything through N_r is exact integer; the three
+    * ratios are fixed-order IEEE chains femit'd at emission; rows with
+    * no N_{r+1} emit NULL r* (the raw-GT domain edge, left to the
+    * caller exactly as Good 1953 leaves it).
+    *
+    * The species table is the BIGRAM type table (the n-gram grain
+    * Katz backoff actually smooths): this fixture's unigram vocabulary
+    * is tiny and saturated (min count 29 — no low-count tail at all),
+    * while bigrams expose the real N_1..N_4 singleton/doubleton tail
+    * GT exists for.
+    *
+    * Scale: corpus → bigram-type grain in one hash-agg (the in-array
+    * adjacent-pair transform is per-row, the q120 idiom), types →
+    * counts-of-counts grain (≤ max count rows) in a second; the
+    * r/r+1 self-join and totals run on that tiny table. */
+  def goodTuring(docs: DataFrame, maxR: Long = 10L): DataFrame = {
+    import graft.rel.Queries.femit
+    val base = docs.select(toks(col("text")).as("ts"))
+    val uni = base.select(explode(expr(
+        "filter(transform(ts, (t, i) -> struct(t AS w1," +
+          " try_element_at(ts, i + 2) AS w2)), p -> p.w2 IS NOT NULL)"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("r"))
+    val coc = uni.groupBy("r").agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // self-join + totals + p0 read one table
+    val tot = coc.agg(sum(col("r") * col("n_r")).as("n_total"),
+      sum(when(col("r") === 1L, col("n_r"))).as("n1"))
+    coc.where(col("r") <= maxR)
+      .join(coc.select((col("r") - 1L).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r_next"),
+        femit((col("r") + 1L).cast("double") * col("n_r1").cast("double")
+          / col("n_r").cast("double")).as("r_star"),
+        femit((col("r") + 1L).cast("double") * col("n_r1").cast("double")
+          / col("n_r").cast("double") * col("n_r").cast("double")
+          / col("n_total").cast("double")).as("p_mass"),
+        femit(col("n1").cast("double") / col("n_total").cast("double"))
+          .as("p_unseen"))
+      .orderBy("r")
+  }
+
+  /** Moving-average type–token ratio (MATTR, Covington &amp; McFall
+    * 2010 — the window-length-controlled lexical-diversity measure
+    * that removes raw TTR's document-length confound): per document,
+    * the mean over all length-`w` token windows of
+    * (#distinct tokens in window)/w; documents shorter than `w` fall
+    * back to their global TTR (the standard convention).
+    *
+    * Distinct-in-window WITHOUT a per-window set: a token occurrence
+    * at position p is the window's FIRST sight of its type iff its
+    * previous same-type occurrence (one keyed lag) precedes the window
+    * start i — so distinct(i) = Σ_{p∈[i,i+w)} [prev(p) &lt; i], a pure
+    * counting aggregate.
+    *
+    * Scale: the starts×tokens pairing is the q43 covering-cell band
+    * join — both sides keyed by (doc, pos div w), the token side
+    * replicated into the 2 covering cells, never a doc-keyed cross
+    * join; candidate volume is the inherent O(tokens·2) join rows →
+    * O(tokens·w) after the exact range filter (each token belongs to
+    * ≤ w windows). All grains are per-document. */
+  def mattr(docs: DataFrame, w: Int = 32): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val tok = docs.select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+    val wPrev = Window.partitionBy("doc_id", "tok").orderBy(col("pos").asc)
+    val t2 = tok.withColumn("prev", lag(col("pos"), 1).over(wPrev))
+      .withColumn("pc", (col("pos") / w).cast("long"))
+    val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("len"),
+      countDistinct(col("tok")).as("n_distinct"))
+    val starts = lens.where(col("len") >= w.toLong)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("len") - w.toLong)).as("i"))
+      .withColumn("c", (col("i") / w).cast("long"))
+    val cand = t2.select(col("doc_id"), col("pos"), col("prev"),
+        explode(array(col("pc") - 1L, col("pc"))).as("c"))
+      .join(starts, Seq("doc_id", "c"))
+      .where(col("pos") >= col("i") && col("pos") < col("i") + w.toLong)
+    val perWin = cand.groupBy("doc_id", "i")
+      .agg(sum(when(col("prev").isNull || col("prev") < col("i"), 1L)
+        .otherwise(0L)).as("d"))
+    val perDoc = perWin.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        dsum(col("d").cast("double") / lit(w.toDouble)).as("sd"))
+    lens.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        femit(when(col("n_windows").isNotNull,
+            col("sd") / col("n_windows").cast("double"))
+          .otherwise(col("n_distinct").cast("double")
+            / col("len").cast("double"))).as("mattr"),
+        femit(col("n_distinct").cast("double") / col("len").cast("double"))
+          .as("ttr"))
+      .orderBy("doc_id")
+  }
+
   /** Krippendorff's alpha, nominal metric (Krippendorff 1970/2004 —
     * the inter-rater reliability coefficient that generalizes q309's
     * two-rater Cohen's kappa to any rater count and corrects chance

@@ -305,6 +305,73 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(alpha - alphaLocal) <= 2e-6, s"$alpha vs $alphaLocal")
   }
 
+  test("goodTuring: GT identities on the bigram count-of-counts table") {
+    val rows = TextAnalysis.goodTuring(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("r"); val nr = r.getAs[Long]("n_r")
+      assert(cnt >= 1L && nr >= 1L)
+      val p0 = r.getAs[Double]("p_unseen")
+      assert(p0 > 0.0 && p0 < 1.0)
+      if (!r.isNullAt(r.fieldIndex("r_star"))) {
+        val rs = r.getAs[Double]("r_star")
+        val nrn = r.getAs[Long]("n_r_next")
+        // r* = (r+1)·N_{r+1}/N_r at emission precision
+        assert(math.abs(rs - (cnt + 1).toDouble * nrn / nr) <= 2e-6)
+      }
+    }
+  }
+
+  test("mattr: window means bounded by TTR extremes and short docs fall back") {
+    val rows = TextAnalysis.mattr(docs).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mattr"); val t = r.getAs[Double]("ttr")
+      val nw = r.getAs[Long]("n_windows")
+      assert(m > 0.0 && m <= 1.0 && t > 0.0 && t <= 1.0)
+      // a length-32 window cannot be less diverse than the whole doc's
+      // most-repetitive stretch… but it IS bounded below by TTR only
+      // for w >= len; the universal bounds are (1/w, 1]
+      if (nw == 0L) assert(math.abs(m - t) <= 1e-12) // fallback = TTR
+      else assert(m >= 1.0 / 32.0 - 1e-12)
+    }
+    assert(rows.exists(_.getAs[Long]("n_windows") > 0L))
+    assert(rows.exists(_.getAs[Long]("n_windows") == 0L))
+  }
+
+  test("piiAudit: Luhn checksum agrees with the reference vectors") {
+    import spark.implicits._
+    // 79927398713 is the canonical valid Luhn number; +1 invalidates;
+    // 4111111111111111 is the classic 16-digit card test number
+    val probe = Seq(
+      ("s1", "pay 79927398713 now"),
+      ("s2", "pay 79927398714 now"),
+      ("s3", "card 4111111111111111 ok a@b.co 10.0.0.1")
+    ).toDF("source", "text")
+    val ev = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        Seq(("click", """{"k": 42}"""), ("view", """{"k": 7}""")))
+      .toDF("event_type", "props")
+    val out = Curation.piiAudit(probe, ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val s1 = out(("documents.text", "s1"))
+    assert(s1.getAs[Long]("n_luhn_valid") == 1L)
+    assert(s1.getAs[Long]("n_card_like") == 0L) // 11 digits < 13
+    val s2 = out(("documents.text", "s2"))
+    assert(s2.getAs[Long]("n_luhn_valid") == 0L)
+    val s3 = out(("documents.text", "s3"))
+    assert(s3.getAs[Long]("n_card_like") == 1L)
+    assert(s3.getAs[Long]("n_email") == 1L)
+    assert(s3.getAs[Long]("n_ipv4") == 1L)
+    assert(s3.getAs[Double]("redact_rate") > 0.0)
+    // props surface: 42 is Luhn-valid (4·2=8, 8+2=10), 7 is 1 digit
+    val ck = out(("events.props", "click"))
+    assert(ck.getAs[Long]("n_digit_runs") == 1L)
+    assert(ck.getAs[Long]("n_luhn_valid") == 1L)
+    assert(!out.contains(("events.props", "view")) ||
+      out(("events.props", "view")).getAs[Long]("n_digit_runs") == 0L)
+  }
+
   test("rddSharp: side fits reconstruct and the jump is the intercept gap") {
     val r = graft.rel.Queries.rddSharp(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
