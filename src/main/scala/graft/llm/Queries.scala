@@ -957,6 +957,11 @@ object Queries {
     // (see Sim.errAtK).
     "q412_err" -> ((s, dir) =>
       Sim.errAtK(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)),
+    // One NN-descent co-neighbor round over the IVF-seeded kNN graph,
+    // with the recall-vs-exact convergence audit on the bounded
+    // audit slice (see Sim.nnDescent).
+    "q417_nn_descent" -> ((s, dir) =>
+      Sim.nnDescent(tbl(s, dir, "embeddings"))),
     // Inter-rater reliability of three deterministic quality
     // heuristics over documents (see TextAnalysis.krippendorffAlpha —
     // integer coincidence matrix, two final ratios).
@@ -4205,6 +4210,85 @@ object Queries {
          |SELECT qid, n_g2, n_g1,
          |  ${graft.rel.Queries.femitSql(s"$chain")} AS err
          |FROM p ORDER BY qid""".stripMargin
+    },
+    // Same IVF seed (first-16 centroids, TWO nearest cells per node
+    // with low-id ties), same capped co-neighbor expansion, same
+    // max-merge and re-top-k, same bounded exact audit.
+    "q417_nn_descent" -> {
+      def cos(xv: String, yv: String, xn: String, yn: String) =
+        foldSum.format(s"list_transform(list_zip($xv, $yv), p -> p[1] * p[2])") +
+          s" / ($xn * $yn)"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm
+         |  FROM v),
+         |cent AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |as0 AS (SELECT n.vec_id, n.v, n.norm, c.cid,
+         |  ${cos("n.v", "c.cv", "n.norm", "c.cn")} AS csim
+         |  FROM n CROSS JOIN cent c),
+         |as1 AS (SELECT vec_id, cid, row_number() OVER (
+         |  PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r FROM as0),
+         |asg AS (SELECT vec_id, cid FROM as1 WHERE r <= 2),
+         |sc AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+         |  FROM asg a JOIN asg b ON a.cid = b.cid
+         |  AND a.vec_id <> b.vec_id),
+         |sp AS (SELECT c.u, c.w,
+         |  ${cos("nu.v", "nw.v", "nu.norm", "nw.norm")} AS sim
+         |  FROM sc c JOIN n nu ON nu.vec_id = c.u
+         |  JOIN n nw ON nw.vec_id = c.w),
+         |g0r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
+         |  ORDER BY sim DESC, w ASC) AS rnk FROM sp),
+         |g0 AS (SELECT u, w, sim FROM g0r WHERE rnk <= 5),
+         |und AS (SELECT u, w, sim FROM g0
+         |  UNION ALL SELECT w, u, sim FROM g0),
+         |cp0 AS (SELECT u, w, row_number() OVER (PARTITION BY u
+         |  ORDER BY sim DESC, w ASC) AS r FROM und),
+         |capped AS (SELECT u AS m, w AS nbr FROM cp0 WHERE r <= 32),
+         |cand AS (SELECT DISTINCT a.nbr AS u, b.nbr AS w FROM capped a
+         |  JOIN capped b ON a.m = b.m AND a.nbr <> b.nbr),
+         |cs AS (SELECT c.u, c.w,
+         |  ${cos("nu.v", "nw.v", "nu.norm", "nw.norm")} AS sim
+         |  FROM cand c JOIN n nu ON nu.vec_id = c.u
+         |  JOIN n nw ON nw.vec_id = c.w),
+         |mg AS (SELECT u, w, max(sim) AS sim FROM (
+         |  SELECT u, w, sim FROM g0 UNION ALL SELECT u, w, sim FROM cs)
+         |  GROUP BY 1, 2),
+         |g1r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
+         |  ORDER BY sim DESC, w ASC) AS rnk FROM mg),
+         |g1 AS (SELECT u, w, sim FROM g1r WHERE rnk <= 5),
+         |q AS (SELECT vec_id AS u, v AS qv, norm AS qn FROM n
+         |  WHERE vec_id < 50),
+         |ex0 AS (SELECT q.u, n.vec_id AS w,
+         |  ${cos("n.v", "q.qv", "n.norm", "q.qn")} AS sim
+         |  FROM n CROSS JOIN q WHERE n.vec_id <> q.u),
+         |ex1 AS (SELECT u, w, row_number() OVER (PARTITION BY u
+         |  ORDER BY sim DESC, w ASC) AS rnk FROM ex0),
+         |ex AS (SELECT u, w FROM ex1 WHERE rnk <= 5),
+         |h0 AS (SELECT g.u, count(*) AS h FROM g0 g
+         |  JOIN ex ON ex.u = g.u AND ex.w = g.w WHERE g.u < 50
+         |  GROUP BY g.u),
+         |r0 AS (SELECT count(*) AS n_audit,
+         |  ${dsumSql("CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0")} AS sr
+         |  FROM q LEFT JOIN h0 h ON h.u = q.u),
+         |h1 AS (SELECT g.u, count(*) AS h FROM g1 g
+         |  JOIN ex ON ex.u = g.u AND ex.w = g.w WHERE g.u < 50
+         |  GROUP BY g.u),
+         |r1 AS (SELECT count(*) AS n_audit,
+         |  ${dsumSql("CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0")} AS sr
+         |  FROM q LEFT JOIN h1 h ON h.u = q.u)
+         |SELECT stage, n_audit, n_edges, avg_recall FROM (
+         |  SELECT 'seed' AS stage, n_audit,
+         |    (SELECT count(*) FROM g0) AS n_edges,
+         |    ${femitSql("sr / CAST(n_audit AS DOUBLE)")} AS avg_recall
+         |  FROM r0
+         |  UNION ALL
+         |  SELECT 'refined' AS stage, n_audit,
+         |    (SELECT count(*) FROM g1) AS n_edges,
+         |    ${femitSql("sr / CAST(n_audit AS DOUBLE)")} AS avg_recall
+         |  FROM r1)
+         |ORDER BY stage""".stripMargin
     },
     // Same three deterministic raters, integer coincidence matrix
     // scaled by (m-1), two final ratios.

@@ -372,6 +372,24 @@ class Round12OpsSpec extends SparkSpec {
       out(("events.props", "view")).getAs[Long]("n_digit_runs") == 0L)
   }
 
+  test("nnDescent: the co-neighbor round never lowers recall and edges stay k per node") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = emb.count()
+    val rows = Sim.nnDescent(emb).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_edges"), r.getAs[Double]("avg_recall"))).toMap
+    val (seedE, seedR) = rows("seed")
+    val (refE, refR) = rows("refined")
+    // top-k per node: every node has >= k same-cell peers here
+    assert(seedE == 5L * n && refE == 5L * n)
+    assert(seedR > 0.0 && seedR <= 1.0 && refR <= 1.0)
+    // the refined graph keeps every seed edge as a candidate, so
+    // per-node top-k can only improve or hold
+    assert(refR >= seedR - 1e-9, s"seed=$seedR refined=$refR")
+    // FIXTURE-DEPENDENT floor: the round strictly improves here
+    assert(refR > seedR, s"expansion added nothing: $seedR")
+  }
+
   test("rddSharp: side fits reconstruct and the jump is the intercept gap") {
     val r = graft.rel.Queries.rddSharp(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
