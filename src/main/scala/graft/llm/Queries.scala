@@ -962,6 +962,23 @@ object Queries {
     // audit slice (see Sim.nnDescent).
     "q417_nn_descent" -> ((s, dir) =>
       Sim.nnDescent(tbl(s, dir, "embeddings"))),
+    // Team-draft interleaving of the full vs 4-dim-truncated cosine
+    // rankers with a derandomized per-round coin (see
+    // Sim.teamDraftInterleave).
+    "q418_team_draft" -> ((s, dir) =>
+      Sim.teamDraftInterleave(tbl(s, dir, "embeddings"))),
+    // Kendall's W concordance of three document-criterion rankings
+    // with midranks and tie correction (see TextAnalysis.kendallW).
+    "q419_kendall_w" -> ((s, dir) =>
+      TextAnalysis.kendallW(tbl(s, dir, "documents"))),
+    // Exposure-fairness audit of the q231 retrieval surface: label-
+    // group exposure share vs corpus share (see Sim.exposureFairness).
+    "q421_exposure_fairness" -> ((s, dir) =>
+      Sim.exposureFairness(tbl(s, dir, "embeddings"), nQuery = 10, k = 10)),
+    // Rank-biased precision with dyadic persistence p = 1/2 (see
+    // Sim.rbpAtK).
+    "q424_rbp" -> ((s, dir) =>
+      Sim.rbpAtK(tbl(s, dir, "embeddings"), nQuery = 10, k = 10)),
     // Inter-rater reliability of three deterministic quality
     // heuristics over documents (see TextAnalysis.krippendorffAlpha —
     // integer coincidence matrix, two final ratios).
@@ -4290,6 +4307,178 @@ object Queries {
          |  FROM r1)
          |ORDER BY stage""".stripMargin
     },
+    // Same full + 4-dim-truncated rankers, same (qid + round) parity
+    // coin, same generated pick-per-step draft, same click credit.
+    "q418_team_draft" -> {
+      def cosE(xv: String, yv: String, xn: String, yn: String) =
+        foldSum.format(s"list_transform(list_zip($xv, $yv), p -> p[1] * p[2])") +
+          s" / ($xn * $yn)"
+      val steps = (1 to 10).map { i =>
+        val r = (i + 1) / 2
+        val prev = if (i == 1) "base" else s"s${i - 1}"
+        val aCond =
+          if (i % 2 == 1) s"(qid + $r) % 2 = 0" else s"(qid + $r) % 2 <> 0"
+        val (pa, pb) =
+          if (i == 1) ("aa[1]", "ab[1]")
+          else {
+            val prior = (1 until i).map(j => s"p$j").mkString("[", ", ", "]")
+            (s"list_filter(aa, x -> NOT list_contains($prior, x))[1]",
+              s"list_filter(ab, x -> NOT list_contains($prior, x))[1]")
+          }
+        s""",
+           |s$i AS (SELECT *,
+           |  CASE WHEN $aCond THEN 0 ELSE 1 END AS t$i,
+           |  CASE WHEN $aCond THEN $pa ELSE $pb END AS p$i
+           |  FROM $prev)""".stripMargin
+      }.mkString
+      val unions = (1 to 10).map(i =>
+        s"SELECT qid, CAST($i AS BIGINT) AS step, p$i AS vec_id," +
+          s" CAST(t$i AS BIGINT) AS team FROM s10")
+        .mkString("\n  UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm
+         |  FROM v),
+         |nt AS (SELECT vec_id, v, sqrt(${foldSum.format(
+        "list_transform(v, x -> x * x)")}) AS norm FROM
+         |  (SELECT vec_id, CAST(embedding[1:4] AS DOUBLE[]) AS v
+         |   FROM embeddings)),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+         |  norm AS qnorm FROM n WHERE vec_id < 10),
+         |qt AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM nt
+         |  WHERE vec_id < 10),
+         |rel AS (SELECT q.qid, n.vec_id,
+         |  CASE WHEN n.label = q.qlabel THEN 1 ELSE 0 END AS rel
+         |  FROM n, q WHERE n.vec_id <> q.qid),
+         |ja AS (SELECT q.qid, n.vec_id,
+         |  ${cosE("n.v", "q.qv", "n.norm", "q.qnorm")} AS sim
+         |  FROM n, q WHERE n.vec_id <> q.qid),
+         |ra AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |  ORDER BY sim DESC, vec_id ASC) AS rnk FROM ja),
+         |pa AS (SELECT qid, list(vec_id ORDER BY rnk ASC) AS aa FROM ra
+         |  WHERE rnk <= 20 GROUP BY qid),
+         |jb AS (SELECT qt.qid, nt.vec_id,
+         |  ${cosE("nt.v", "qt.qv", "nt.norm", "qt.qnorm")} AS sim
+         |  FROM nt, qt WHERE nt.vec_id <> qt.qid),
+         |rb AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |  ORDER BY sim DESC, vec_id ASC) AS rnk FROM jb),
+         |pb AS (SELECT qid, list(vec_id ORDER BY rnk ASC) AS ab FROM rb
+         |  WHERE rnk <= 20 GROUP BY qid),
+         |base AS (SELECT pa.qid, aa, ab FROM pa JOIN pb USING (qid))$steps,
+         |pk AS ($unions),
+         |ag AS (SELECT pk.qid,
+         |  CAST(sum(CASE WHEN team = 0 THEN coalesce(rel, 0)
+         |    ELSE 0 END) AS BIGINT) AS clicks_a,
+         |  CAST(sum(CASE WHEN team = 1 THEN coalesce(rel, 0)
+         |    ELSE 0 END) AS BIGINT) AS clicks_b
+         |  FROM pk LEFT JOIN rel ON rel.qid = pk.qid
+         |    AND rel.vec_id = pk.vec_id
+         |  GROUP BY pk.qid)
+         |SELECT qid, clicks_a, clicks_b,
+         |  CASE WHEN clicks_a > clicks_b THEN 1
+         |    WHEN clicks_a < clicks_b THEN -1 ELSE 0 END AS pref
+         |FROM ag ORDER BY qid""".stripMargin
+    },
+    // Same three integer criteria (uniqueness ratio quantized to
+    // 1/512), same value-grain midranks, same tie terms.
+    "q419_kendall_w" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |per AS (SELECT doc_id, n_chars AS c1,
+         |  len(ts) AS c2,
+         |  CAST(floor(CAST(len(list_distinct(ts)) AS DOUBLE)
+         |    / CAST(len(ts) AS DOUBLE) * 512.0) AS BIGINT) AS c3 FROM t),
+         |v1 AS (SELECT c1 AS v, count(*) AS t FROM per GROUP BY 1),
+         |r1 AS (SELECT v AS c1, CAST(coalesce(sum(t) OVER (ORDER BY v ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r_c1 FROM v1),
+         |tt1 AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tc1 FROM v1),
+         |v2 AS (SELECT c2 AS v, count(*) AS t FROM per GROUP BY 1),
+         |r2 AS (SELECT v AS c2, CAST(coalesce(sum(t) OVER (ORDER BY v ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r_c2 FROM v2),
+         |tt2 AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tc2 FROM v2),
+         |v3 AS (SELECT c3 AS v, count(*) AS t FROM per GROUP BY 1),
+         |r3 AS (SELECT v AS c3, CAST(coalesce(sum(t) OVER (ORDER BY v ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r_c3 FROM v3),
+         |tt3 AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tc3 FROM v3),
+         |j AS (SELECT per.doc_id, r_c1 + r_c2 + r_c3 AS rsum FROM per
+         |  JOIN r1 USING (c1) JOIN r2 USING (c2) JOIN r3 USING (c3)),
+         |nn AS (SELECT count(*) AS n FROM j),
+         |ss AS (SELECT ${dsumSql("d * d")} AS s FROM (SELECT rsum
+         |  - 3.0 * (CAST(n AS DOUBLE) + 1.0) / 2.0 AS d
+         |  FROM j CROSS JOIN nn))
+         |SELECT n AS n_docs, tc1 + tc2 + tc3 AS tie_sum,
+         |  ${femitSql("s")} AS s_stat,
+         |  ${femitSql("12.0 * s / (9.0 * (CAST(n AS DOUBLE)" +
+        " * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))" +
+        " - 3.0 * CAST(tc1 + tc2 + tc3 AS DOUBLE))")} AS w,
+         |  ${femitSql("3.0 * (CAST(n AS DOUBLE) - 1.0) * (12.0 * s" +
+        " / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
+        " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))" +
+        " - 3.0 * CAST(tc1 + tc2 + tc3 AS DOUBLE)))")} AS chi2
+         |FROM ss CROSS JOIN nn CROSS JOIN tt1 CROSS JOIN tt2
+         |CROSS JOIN tt3""".stripMargin,
+    // Same q231 ranking, same ln-discount exposure, same label-grain
+    // shares and disparity chain.
+    "q421_exposure_fairness" ->
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm
+         |  FROM v),
+         |corp AS (SELECT label, count(*) AS n_corpus FROM n GROUP BY 1),
+         |nt AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS n_total FROM corp),
+         |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n
+         |  WHERE vec_id < 10),
+         |j AS (SELECT q.qid, n.vec_id, n.label,
+         |  ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
+         |    / (n.norm * q.qnorm) AS sim
+         |  FROM n, q WHERE n.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, label, row_number() OVER (
+         |  PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk FROM j),
+         |ex AS (SELECT label,
+         |  ${dsumSql("1.0 / ln(CAST(rnk AS DOUBLE) + 1.0)")} AS exposure
+         |  FROM r WHERE rnk <= 10 GROUP BY label),
+         |et AS (SELECT ${dsumSql("exposure")} AS e_total FROM ex)
+         |SELECT corp.label, n_corpus,
+         |  ${femitSql("CAST(n_corpus AS DOUBLE) / CAST(n_total AS DOUBLE)")}
+         |    AS share_corpus,
+         |  ${femitSql("coalesce(exposure, 0.0)")} AS exposure,
+         |  ${femitSql("coalesce(exposure, 0.0) / e_total")}
+         |    AS share_exposure,
+         |  ${femitSql("(coalesce(exposure, 0.0) / e_total)" +
+        " / (CAST(n_corpus AS DOUBLE) / CAST(n_total AS DOUBLE))")}
+         |    AS disparity
+         |FROM corp LEFT JOIN ex USING (label) CROSS JOIN nt CROSS JOIN et
+         |ORDER BY corp.label""".stripMargin,
+    // Same q231 ranking and binary relevance; exact power-of-two
+    // geometric weights, residual p^k as a shared literal.
+    "q424_rbp" ->
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm
+         |  FROM v),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+         |  norm AS qnorm FROM n WHERE vec_id < 10),
+         |j AS (SELECT q.qid, n.vec_id,
+         |  CASE WHEN n.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+         |  ${foldSum.format("list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])")}
+         |    / (n.norm * q.qnorm) AS sim
+         |  FROM n, q WHERE n.vec_id <> q.qid),
+         |r AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+         |  ORDER BY sim DESC, vec_id ASC) AS rnk FROM j),
+         |p AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+         |  ${dsumSql("CAST(rel AS DOUBLE)" +
+        " * pow(0.5, CAST(rnk AS DOUBLE) - 1.0)")} AS gs
+         |  FROM r WHERE rnk <= 10 GROUP BY qid)
+         |SELECT qid, n_rel_topk, ${femitSql("gs * 0.5")} AS rbp,
+         |  ${femitSql("0.0009765625")} AS residual
+         |FROM p ORDER BY qid""".stripMargin,
     // Same three deterministic raters, integer coincidence matrix
     // scaled by (m-1), two final ratios.
     "q413_krippendorff" ->

@@ -657,6 +657,177 @@ object Sim {
     assignTo(v, ivfCentroids(v, nlist))
   }
 
+  /** Rank-biased precision (Moffat &amp; Zobel, TOIS 2008 — the
+    * user-persistence ranking metric whose weights form an exact
+    * geometric series, and whose RESIDUAL bounds what unjudged tail
+    * items could still contribute): over the q231 cosine ranking with
+    * binary label-match relevance,
+    * RBP = (1−p)·Σ_{i≤k} rel_i·p^{i−1} with the DYADIC persistence
+    * p = ½ — every weight is an exact power of two (the q213 rule),
+    * so the sum is one order-free dsum; residual = p^k exactly.
+    *
+    * Scale: q231's broadcast-query candidate pass + one per-query
+    * top-k window; the metric itself is O(queries). */
+  def rbpAtK(emb: DataFrame, nQuery: Int, k: Int): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val q = v.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .where(col("qid") < nQuery)
+    val cand = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .groupBy("qid")
+      .agg(sum(col("rel")).as("n_rel_topk"),
+        dsum(col("rel").cast("double")
+          * pow(lit(0.5), col("rnk").cast("double") - lit(1.0))).as("gs"))
+      .select(col("qid"), col("n_rel_topk"),
+        femit(col("gs") * lit(0.5)).as("rbp"),
+        femit(lit(math.pow(0.5, k))).as("residual"))
+      .orderBy("qid")
+  }
+
+  /** Exposure fairness of a ranking (Singh &amp; Joachims, KDD 2018's
+    * exposure allocation read over the q231 retrieval surface): the
+    * position-discounted exposure 1/ln(rank+1) (the q231 DCG discount,
+    * kept for oracle parity) that each LABEL GROUP receives across all
+    * query top-k lists, against the group's corpus share — the
+    * disparity ratio &gt; 1 means the ranking over-exposes the group
+    * relative to its prevalence, the audit a retrieval curation
+    * pipeline runs before serving.
+    *
+    * Scale: one broadcast-query candidate pass + per-query top-k
+    * window; exposure reduces to label grain (≤ |labels| rows); corpus
+    * shares are one hash-agg. */
+  def exposureFairness(emb: DataFrame, nQuery: Int, k: Int): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val corp = v.groupBy("label").agg(count(lit(1)).as("n_corpus"))
+    val nTot = corp.agg(sum(col("n_corpus")).as("n_total"))
+    val q = v.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      .where(col("qid") < nQuery)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val top = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+    val expo = top.groupBy("label")
+      .agg(dsum(lit(1.0) / log(col("rnk").cast("double") + lit(1.0)))
+        .as("exposure"))
+    val eTot = expo.agg(dsum(col("exposure")).as("e_total"))
+    corp.join(expo, Seq("label"), "left")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(eTot))
+      .select(col("label"), col("n_corpus"),
+        femit(col("n_corpus").cast("double") / col("n_total").cast("double"))
+          .as("share_corpus"),
+        femit(coalesce(col("exposure"), lit(0.0))).as("exposure"),
+        femit(coalesce(col("exposure"), lit(0.0)) / col("e_total"))
+          .as("share_exposure"),
+        femit((coalesce(col("exposure"), lit(0.0)) / col("e_total"))
+          / (col("n_corpus").cast("double") / col("n_total").cast("double")))
+          .as("disparity"))
+      .orderBy("label")
+  }
+
+  /** Team-draft interleaving (Radlinski, Kurup &amp; Joachims, CIKM
+    * 2008 — the online ranker-comparison protocol: two rankers draft
+    * alternately into one interleaved list, a user's clicks credit
+    * the team that drafted the clicked item, and the per-query win
+    * counts give an unbiased pairwise preference): ranker A = the
+    * full-dimension q231 cosine ranking; ranker B = the 4-dim
+    * truncated (q122 Matryoshka-prefix) ranking — a genuinely
+    * different, cheaper ranker, so the protocol has something to
+    * detect. "Clicks" are label-match relevance (the q231 proxy).
+    *
+    * The draft is DERANDOMIZED: round r's first pick goes to A iff
+    * (qid + r) is even — the per-query, per-round coin the protocol
+    * needs, as integer parity instead of RNG (the fnv-derandomization
+    * convention), replayed identically by the oracle. Each of the
+    * `depth` picks is a closed-form expression — first element of the
+    * drafting team's pool not yet picked — generated as one column
+    * per step (the PACF two-stage-per-level discipline applied to a
+    * draft), with try_element_at guarding pool exhaustion.
+    *
+    * Scale: two broadcast-query ranking passes + per-query top-`poolK`
+    * windows; the draft itself runs on ONE row per query. */
+  def teamDraftInterleave(emb: DataFrame, nQuery: Int = 10,
+      depth: Int = 10, poolK: Int = 20): DataFrame = {
+    import graft.rel.Queries.femit
+    val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val vt = emb.select(col("vec_id"),
+        asDouble(slice(col("embedding"), 1, 4)).as("v"))
+      .withColumn("norm", norm(col("v")))
+    val q = v.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .where(col("qid") < nQuery)
+    val qt = vt.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      .where(col("qid") < nQuery)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val relTab = v.crossJoin(broadcast(q.select("qid", "qlabel")))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"))
+      .localCheckpoint() // click join for all steps
+    def pool(side: DataFrame, queries: DataFrame): DataFrame =
+      side.crossJoin(broadcast(queries))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= poolK)
+        .groupBy("qid")
+        .agg(transform(array_sort(collect_list(struct(col("rnk"),
+          col("vec_id")))), p => p.getField("vec_id")).as("arr"))
+    var base = pool(v, q.select("qid", "qv", "qnorm"))
+      .withColumnRenamed("arr", "aa")
+      .join(pool(vt, qt).withColumnRenamed("arr", "ab"), Seq("qid"))
+    for (i <- 1 to depth) {
+      val r = (i + 1) / 2
+      val firstIsA = (col("qid") + lit(r.toLong)) % 2L === 0L
+      val teamA = if (i % 2 == 1) firstIsA else !firstIsA
+      val prior = if (i == 1) array()
+        else array((1 until i).map(j => col(s"p$j")): _*)
+      def pick(arr: Column) =
+        if (i == 1) try_element_at(arr, lit(1))
+        else try_element_at(
+          filter(arr, x => !array_contains(prior, x)), lit(1))
+      base = base
+        .withColumn(s"t$i", when(teamA, 0L).otherwise(1L))
+        .withColumn(s"p$i",
+          when(teamA, pick(col("aa"))).otherwise(pick(col("ab"))))
+    }
+    val picks = (1 to depth).map(i =>
+      base.select(col("qid"), lit(i.toLong).as("step"),
+        col(s"p$i").as("vec_id"), col(s"t$i").as("team")))
+      .reduce(_ unionAll _)
+    picks.join(relTab, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(when(col("team") === 0L, coalesce(col("rel"), lit(0L)))
+          .otherwise(0L)).as("clicks_a"),
+        sum(when(col("team") === 1L, coalesce(col("rel"), lit(0L)))
+          .otherwise(0L)).as("clicks_b"))
+      .select(col("qid"), col("clicks_a"), col("clicks_b"),
+        when(col("clicks_a") > col("clicks_b"), 1L)
+          .when(col("clicks_a") < col("clicks_b"), -1L)
+          .otherwise(0L).as("pref"))
+      .orderBy("qid")
+  }
+
   /** One NN-descent refinement round over an IVF-seeded kNN graph
     * (Dong, Moses &amp; Li, WWW 2011 — THE way kNN graphs are built at
     * scale: start from any cheap approximate neighborhood, then

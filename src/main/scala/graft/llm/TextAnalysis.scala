@@ -1930,6 +1930,77 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Kendall's coefficient of concordance W (Kendall &amp; Babington
+    * Smith 1939) with the tie correction — the RANKING-agreement
+    * companion to [[krippendorffAlpha]]'s categorical agreement: the
+    * m = 3 "judges" rank every document by length (n_chars), token
+    * count, and the 1/512-quantized uniqueness ratio (quantized so the
+    * third criterion ranks at a BOUNDED value grain at any corpus
+    * size — raw ratios are near-continuous and would make the rank
+    * table corpus-grain; the q375 bounded-grain discipline). W =
+    * 12S / (m²(n³−n) − m·ΣT) with S = Σ(R_i − m(n+1)/2)² and the
+    * standard tie term T_j = Σ(t³−t); χ² = m(n−1)W rides along.
+    *
+    * Ranks are MIDRANKS computed at value grain: cumulative count of
+    * smaller values + (t+1)/2 — exact halves, no sort of the corpus
+    * (one bounded-grain window per criterion, the aucTwoPhase
+    * average-rank trick).
+    *
+    * Scale: three value-grain aggregates + windows over ≤ |distinct
+    * values| cells, three broadcast joins back, one doc-grain
+    * reduce. */
+  def kendallW(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val toksArr = toks(col("text"))
+    val per = docs.select(col("doc_id"),
+        col("n_chars").as("c1"),
+        size(toksArr).cast("long").as("c2"),
+        floor(size(array_distinct(toksArr)).cast("double")
+          / size(toksArr).cast("double") * 512.0).cast("long").as("c3"))
+      .localCheckpoint() // three rank joins + the census
+    def midranks(cName: String): (DataFrame, DataFrame) = {
+      val vg = per.groupBy(col(cName).as("v"))
+        .agg(count(lit(1)).as("t"))
+      val wv = Window.orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = vg
+        .withColumn("below", coalesce(sum(col("t")).over(wv), lit(0L)))
+        .select(col("v").as(cName),
+          (col("below").cast("double")
+            + (col("t").cast("double") + lit(1.0)) / 2.0).as(s"r_$cName"))
+      val ties = vg.agg(sum(col("t") * col("t") * col("t") - col("t"))
+        .as(s"tt_$cName"))
+      (ranked, ties)
+    }
+    val (r1, t1) = midranks("c1")
+    val (r2, t2) = midranks("c2")
+    val (r3, t3) = midranks("c3")
+    val joined = per
+      .join(broadcast(r1), Seq("c1"))
+      .join(broadcast(r2), Seq("c2"))
+      .join(broadcast(r3), Seq("c3"))
+      .withColumn("rsum", col("r_c1") + col("r_c2") + col("r_c3"))
+    val n = joined.agg(count(lit(1)).as("n")).localCheckpoint()
+    val s = joined.crossJoin(broadcast(n))
+      .select((col("rsum")
+        - lit(3.0) * (col("n").cast("double") + lit(1.0)) / 2.0).as("d"))
+      .agg(dsum(col("d") * col("d")).as("s"))
+    s.crossJoin(broadcast(n))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .crossJoin(broadcast(t3))
+      .withColumn("tsum", col("tt_c1") + col("tt_c2") + col("tt_c3"))
+      .withColumn("nd", col("n").cast("double"))
+      .select(col("n").as("n_docs"), col("tsum").as("tie_sum"),
+        femit(col("s")).as("s_stat"),
+        femit(lit(12.0) * col("s")
+          / (lit(9.0) * (col("nd") * col("nd") * col("nd") - col("nd"))
+            - lit(3.0) * col("tsum").cast("double"))).as("w"),
+        femit(lit(3.0) * (col("nd") - lit(1.0))
+          * (lit(12.0) * col("s")
+            / (lit(9.0) * (col("nd") * col("nd") * col("nd") - col("nd"))
+              - lit(3.0) * col("tsum").cast("double")))).as("chi2"))
+  }
+
   /** Good–Turing frequency smoothing (Good 1953; the count-of-counts
     * estimator behind Katz backoff, complementing q376's Kneser–Ney
     * and q351's Jelinek–Mercer): over the corpus unigram counts,

@@ -2874,6 +2874,188 @@ object Queries {
       .orderBy("lag")
   }
 
+  /** Ljung–Box portmanteau statistic (Ljung &amp; Box 1978 — the
+    * joint whiteness test over the first h autocorrelations, the
+    * decision companion to q194's per-lag ACF and q408's PACF):
+    * Q_h = n(n+2)·Σ_{k≤h} ρ_k²/(n−k), emitted CUMULATIVELY per lag so
+    * the gate hashes the whole trajectory. ρ comes from the same
+    * unrounded dsum num/den ratios as q408.
+    *
+    * Determinism: the cumulative Σ is a day...lag-grain (≤ 7 cells)
+    * running window whose float terms ride DECIMAL per-term (the
+    * q294/q295 window-association rule); n(n+2) is exact integer.
+    *
+    * Scale: q194's shape exactly — O(days) reduction, 7-way bounded
+    * lag self-join, then a 7-row window. */
+  def ljungBox(s: SparkSession, dir: String, maxLag: Int = 7)
+      : DataFrame = {
+    val spine = dailySpine(s, dir)
+    val stats = spine.agg(
+      (sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean"), count(lit(1)).as("n"))
+    val dev = spine.crossJoin(broadcast(stats))
+      .select(col("day"), col("n"),
+        (col("x").cast("double") - col("mean")).as("dev"))
+    val den = dev.agg(dsum(col("dev") * col("dev")).as("den"),
+      max(col("n")).as("n"))
+    val lags = s.range(1, maxLag + 1).select(col("id").as("lag"))
+    val ac = dev.crossJoin(broadcast(lags))
+      .join(dev.select(col("day").as("day2"), col("dev").as("dev2")),
+        col("day2") === col("day") + col("lag"))
+      .groupBy("lag").agg(dsum(col("dev") * col("dev2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n"), (col("num") / col("den")).as("r"))
+    val wCum = Window.orderBy(col("lag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ac.withColumn("term",
+        col("r") * col("r") / (col("n") - col("lag")).cast("double"))
+      .withColumn("cum",
+        sum(col("term").cast("decimal(38,12)")).over(wCum).cast("double"))
+      .select(col("lag"), femit(col("r")).as("acf"),
+        femit(col("n").cast("double") * (col("n") + 2L).cast("double")
+          * col("cum")).as("q_stat"))
+      .orderBy("lag")
+  }
+
+  /** Wald–Wolfowitz runs test for randomness (1940) over the daily
+    * event-count series: code each day above/below the series mean,
+    * count sign runs, and compare against the exact run-count moments
+    * E[R] = 2·n₁n₀/n + 1, Var[R] = 2n₁n₀(2n₁n₀ − n)/(n²(n − 1)) —
+    * the nonparametric trend/cluster alarm complementing q170's CUSUM
+    * (which needs a target) and q285's changepoint (which localizes).
+    *
+    * Determinism: signs, run boundaries (one day-grain lag window)
+    * and n₁/n₀/R are exact integers; the z-ratio is one fixed chain.
+    *
+    * Scale: O(days) grain throughout — one hash-agg, one bounded
+    * window, a 1-row reduce. */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val spine = dailySpine(s, dir)
+    val stats = spine.agg(
+      (sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean"))
+    val signed = spine.crossJoin(broadcast(stats))
+      .select(col("day"),
+        when(col("x").cast("double") > col("mean"), 1L).otherwise(0L)
+          .as("sgn"))
+    val wDay = Window.orderBy(col("day").asc) // O(days) cells
+    val runs = signed
+      .withColumn("brk",
+        when(lag(col("sgn"), 1).over(wDay).isNull ||
+          lag(col("sgn"), 1).over(wDay) =!= col("sgn"), 1L).otherwise(0L))
+      .agg(sum(col("brk")).as("r"), sum(col("sgn")).as("n1"),
+        sum(lit(1L) - col("sgn")).as("n0"))
+    runs
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("er",
+        lit(2.0) * col("n1").cast("double") * col("n0").cast("double")
+          / col("n").cast("double") + lit(1.0))
+      .withColumn("vr",
+        lit(2.0) * col("n1").cast("double") * col("n0").cast("double")
+          * (lit(2.0) * col("n1").cast("double") * col("n0").cast("double")
+            - col("n").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double")
+            * (col("n").cast("double") - lit(1.0))))
+      .select(col("n"), col("n1"), col("n0"), col("r").as("n_runs"),
+        femit(col("er")).as("expected_runs"),
+        femit(col("vr")).as("var_runs"),
+        femit((col("r").cast("double") - col("er"))
+          / sqrt(nullif(col("vr"), lit(0.0)))).as("z"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen
+    * 1978) with the Breslow survivor exp(−H) — the hazard-side
+    * companion to q191's Kaplan–Meier product form, sharing its exact
+    * risk table (groups pooled): per death day,
+    * ΔH = d_j/n_j, H(t) = Σ_{day≤t} ΔH.
+    *
+    * Determinism: the cumulative H is a day-grain running window over
+    * float increments, so each term rides DECIMAL(38,12) per the
+    * q294/q295 window-association rule (Spark accumulates
+    * sequentially, DuckDB segment-trees — decimal makes both exact);
+    * exp is the libm parity class.
+    *
+    * Scale: the O(event-days) risk-cell table and one bounded
+    * day-grain window — q191's shape exactly. */
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val (risk, _) = survivalRiskCells(s, dir)
+    val wCum = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk
+      .withColumn("dh",
+        col("dj").cast("double") / col("nj").cast("double"))
+      .withColumn("h",
+        sum(col("dh").cast("decimal(38,12)")).over(wCum).cast("double"))
+      .select(col("day"), col("dj").as("n_deaths"),
+        col("nj").as("n_at_risk"),
+        femit(col("dh")).as("hazard_increment"),
+        femit(col("h")).as("cum_hazard"),
+        femit(exp(-col("h"))).as("breslow_survival"))
+      .orderBy("day")
+  }
+
+  /** Platt scaling (Platt 1999 — the parametric score-calibration map
+    * σ(a·s + b) fit by maximum likelihood, the smooth companion to
+    * q318's isotonic fit and q180's binned reliability): 8 fixed
+    * Newton steps on the two-parameter logistic over the q166
+    * score/label population, each step one score-grain aggregate of
+    * the gradient g = Σ w·(p − y)·[s, 1] and Hessian
+    * H = Σ w·p(1−p)·[s², s; s, 1], solved by the closed-form 2×2
+    * inverse (det-guarded). The coxPh fixed-trajectory discipline:
+    * the oracle replays the identical float path, so convergence
+    * tolerance never enters.
+    *
+    * Scale: rows reduce ONCE to score grain (cnt, poscnt); each
+    * Newton step is an aggregate over O(distinct scores) cells + a
+    * 1-row broadcast — 8 tiny chained aggregates. */
+  def plattScaling(s: SparkSession, dir: String, steps: Int = 8)
+      : DataFrame = {
+    val perScore = events(s, dir)
+      .where(col("value").isNotNull)
+      .select((col("value") / 100.0).as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy("sc")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("poscnt"))
+      .localCheckpoint() // 8 Newton steps + the final NLL pass
+    var ab = s.range(1).select(lit(0.0).as("a"), lit(0.0).as("b"))
+    for (_ <- 1 to steps) {
+      val y = perScore.crossJoin(broadcast(ab))
+        .withColumn("p",
+          lit(1.0) / (lit(1.0) + exp(-(col("a") * col("sc") + col("b")))))
+      val g = y.groupBy("a", "b").agg(
+        dsum((col("cnt").cast("double") * col("p")
+          - col("poscnt").cast("double")) * col("sc")).as("ga"),
+        dsum(col("cnt").cast("double") * col("p")
+          - col("poscnt").cast("double")).as("gb"),
+        dsum(col("cnt").cast("double") * col("p") * (lit(1.0) - col("p"))
+          * col("sc") * col("sc")).as("haa"),
+        dsum(col("cnt").cast("double") * col("p") * (lit(1.0) - col("p"))
+          * col("sc")).as("hab"),
+        dsum(col("cnt").cast("double") * col("p") * (lit(1.0) - col("p")))
+          .as("hbb"))
+      val det = col("haa") * col("hbb") - col("hab") * col("hab")
+      // step clamp to ±20 — the coxPh separation guard
+      ab = g.select(
+        greatest(least(col("a")
+          - (col("hbb") * col("ga") - col("hab") * col("gb"))
+            / nullif(det, lit(0.0)), lit(20.0)), lit(-20.0)).as("a"),
+        greatest(least(col("b")
+          - (col("haa") * col("gb") - col("hab") * col("ga"))
+            / nullif(det, lit(0.0)), lit(20.0)), lit(-20.0)).as("b"))
+    }
+    val fin = perScore.crossJoin(broadcast(ab))
+      .withColumn("p",
+        lit(1.0) / (lit(1.0) + exp(-(col("a") * col("sc") + col("b")))))
+    fin.groupBy("a", "b")
+      .agg(sum(col("cnt")).as("n_rows"), sum(col("poscnt")).as("n_pos"),
+        dsum(col("poscnt").cast("double") * log(col("p"))
+          + (col("cnt") - col("poscnt")).cast("double")
+            * log(lit(1.0) - col("p"))).as("ll"))
+      .select(col("n_rows"), col("n_pos"),
+        femit(col("a")).as("coef_a"), femit(col("b")).as("coef_b"),
+        femit(-col("ll") / col("n_rows").cast("double")).as("avg_nll"))
+  }
+
   /** Shared zero-filled daily event-count spine (day = epoch-µs div
     * 86400e6, x = count, t = 0-based index) for the q408/q409 series
     * operators — exactly [[acfDaily]]'s series. O(days) grain. */
@@ -6345,6 +6527,10 @@ object Queries {
     "q408_pacf" -> ((s, dir) => pacfDaily(s, dir)),
     "q409_theta_forecast" -> ((s, dir) => thetaForecast(s, dir)),
     "q410_croston" -> ((s, dir) => croston(s, dir)),
+    "q420_platt_scaling" -> ((s, dir) => plattScaling(s, dir)),
+    "q422_ljung_box" -> ((s, dir) => ljungBox(s, dir)),
+    "q423_runs_test" -> (runsTest _),
+    "q425_nelson_aalen" -> (nelsonAalen _),
     "q197_anova" -> (anovaF _),
     "q198_pareto_abc" -> (paretoAbc _),
     "q199_decile_lift" -> (decileLift _),
@@ -11411,6 +11597,155 @@ object Queries {
          |  ${femitSql("b_r")} AS slope_right,
          |  ${femitSql("a_r - a_l")} AS rdd_effect
          |FROM fin""".stripMargin,
+    // Same spine/dev/den chain as q194/q408, cumulative Q via the
+    // decimal-per-term window route, n(n+2) exact integer.
+    "q422_ljung_box" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS n FROM events GROUP BY 1),
+         |b AS (SELECT s.day, coalesce(d.n, 0) AS x FROM
+         |  (SELECT unnest(generate_series((SELECT min(day) FROM d),
+         |    (SELECT max(day) FROM d))) AS day) s
+         |  LEFT JOIN d USING (day)),
+         |m AS (SELECT CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |  AS mean, count(*) AS n FROM b),
+         |v AS (SELECT day, CAST(x AS DOUBLE) - mean AS dev, n
+         |  FROM b CROSS JOIN m),
+         |den AS (SELECT ${dsumSql("dev * dev")} AS den,
+         |  max(n) AS n FROM v),
+         |l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+         |ac AS (SELECT l.lag, den.n,
+         |  ${dsumSql("a.dev * b2.dev")} / den.den AS r
+         |  FROM v a CROSS JOIN l JOIN v b2 ON b2.day = a.day + l.lag
+         |  CROSS JOIN den GROUP BY l.lag, den.n, den.den),
+         |t AS (SELECT lag, n, r,
+         |  r * r / CAST(n - lag AS DOUBLE) AS term FROM ac),
+         |c AS (SELECT lag, r, n,
+         |  CAST(CAST(SUM(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,12)))
+         |    OVER (ORDER BY lag ASC ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS cum FROM t)
+         |SELECT lag, ${femitSql("r")} AS acf,
+         |  ${femitSql("CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * cum")}
+         |    AS q_stat
+         |FROM c ORDER BY lag""".stripMargin,
+    // Same above-mean coding, same day-grain lag boundary count, same
+    // exact run-moment chains.
+    "q423_runs_test" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS n FROM events GROUP BY 1),
+         |b AS (SELECT s.day, coalesce(d.n, 0) AS x FROM
+         |  (SELECT unnest(generate_series((SELECT min(day) FROM d),
+         |    (SELECT max(day) FROM d))) AS day) s
+         |  LEFT JOIN d USING (day)),
+         |m AS (SELECT CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |  AS mean FROM b),
+         |sg AS (SELECT day, CASE WHEN CAST(x AS DOUBLE) > mean
+         |  THEN 1 ELSE 0 END AS sgn FROM b CROSS JOIN m),
+         |rn AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY day ASC)
+         |  IS NULL OR lag(sgn) OVER (ORDER BY day ASC) <> sgn
+         |  THEN 1 ELSE 0 END AS brk FROM sg),
+         |ag AS (SELECT CAST(sum(brk) AS BIGINT) AS r,
+         |  CAST(sum(sgn) AS BIGINT) AS n1,
+         |  CAST(sum(1 - sgn) AS BIGINT) AS n0 FROM rn),
+         |f0 AS (SELECT *, n1 + n0 AS n FROM ag),
+         |fx AS (SELECT *,
+         |  2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+         |    / CAST(n AS DOUBLE) + 1.0 AS er,
+         |  2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+         |    * (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+         |      - CAST(n AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |      * (CAST(n AS DOUBLE) - 1.0)) AS vr FROM f0)
+         |SELECT n, n1, n0, r AS n_runs,
+         |  ${femitSql("er")} AS expected_runs,
+         |  ${femitSql("vr")} AS var_runs,
+         |  ${femitSql("(CAST(r AS DOUBLE) - er) / sqrt(nullif(vr, 0.0))")}
+         |    AS z
+         |FROM fx""".stripMargin,
+    // q394's risk cells kept at day grain; cumulative hazard via the
+    // decimal-per-term window route; Breslow survivor exp(-H).
+    "q425_nelson_aalen" -> {
+      val survCtes =
+        s"""r AS (SELECT user_id, event_id, event_type, ts,
+           |  row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts ASC, event_id ASC) AS rn FROM events),
+           |pu AS (SELECT user_id,
+           |  max(CASE WHEN rn = 1 AND event_type = 'click'
+           |    THEN 1 ELSE 0 END) AS g,
+           |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+           |  FROM r GROUP BY user_id),
+           |hz AS (SELECT max(last_us) AS h FROM pu),
+           |lf AS (SELECT g, (last_us - first_us) // 86400000000 AS day,
+           |  (h - last_us) < 172800000000 AS censored
+           |  FROM pu CROSS JOIN hz),
+           |cl AS (SELECT day,
+           |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS dj,
+           |  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+           |  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0
+           |  FROM lf GROUP BY day),
+           |tt AS (SELECT CAST(sum(t1) AS BIGINT) AS tot1,
+           |  CAST(sum(t0) AS BIGINT) AS tot0 FROM cl),
+           |rk AS (SELECT day, dj,
+           |  (tot1 + tot0) - coalesce(CAST(sum(t1 + t0) OVER (
+           |    ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND 1 PRECEDING) AS BIGINT), 0) AS nj
+           |  FROM cl CROSS JOIN tt),
+           |ev3 AS (SELECT day, dj, nj FROM rk WHERE dj > 0)""".stripMargin
+      s"""WITH $survCtes,
+         |na AS (SELECT day, dj, nj,
+         |  CAST(dj AS DOUBLE) / CAST(nj AS DOUBLE) AS dh FROM ev3),
+         |cm AS (SELECT day, dj, nj, dh,
+         |  CAST(CAST(SUM(CAST(CAST(dh AS VARCHAR) AS DECIMAL(38,12)))
+         |    OVER (ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS h FROM na)
+         |SELECT day, dj AS n_deaths, nj AS n_at_risk,
+         |  ${femitSql("dh")} AS hazard_increment,
+         |  ${femitSql("h")} AS cum_hazard,
+         |  ${femitSql("exp(-h)")} AS breslow_survival
+         |FROM cm ORDER BY day""".stripMargin
+    },
+    // Same score-grain reduction and 8 fixed Newton steps on the
+    // 2-parameter logistic (the coxPh fixed-trajectory discipline),
+    // same 2x2 closed-form solve and +-20 clamp.
+    "q420_platt_scaling" -> {
+      val steps = (1 to 8).map { k =>
+        val prev = if (k == 1) "b0" else s"b${k - 1}"
+        s""",
+           |y$k AS (SELECT ps.*, bb.a, bb.b,
+           |  1.0 / (1.0 + exp(-(bb.a * sc + bb.b))) AS p
+           |  FROM ps CROSS JOIN $prev bb),
+           |g$k AS (SELECT a, b,
+           |  ${dsumSql("(CAST(cnt AS DOUBLE) * p - CAST(poscnt AS DOUBLE)) * sc")} AS ga,
+           |  ${dsumSql("CAST(cnt AS DOUBLE) * p - CAST(poscnt AS DOUBLE)")} AS gb,
+           |  ${dsumSql("CAST(cnt AS DOUBLE) * p * (1.0 - p) * sc * sc")} AS haa,
+           |  ${dsumSql("CAST(cnt AS DOUBLE) * p * (1.0 - p) * sc")} AS hab,
+           |  ${dsumSql("CAST(cnt AS DOUBLE) * p * (1.0 - p)")} AS hbb
+           |  FROM y$k GROUP BY a, b),
+           |b$k AS (SELECT
+           |  greatest(least(a - (hbb * ga - hab * gb)
+           |    / nullif(haa * hbb - hab * hab, 0.0), 20.0), -20.0) AS a,
+           |  greatest(least(b - (haa * gb - hab * ga)
+           |    / nullif(haa * hbb - hab * hab, 0.0), 20.0), -20.0) AS b
+           |  FROM g$k)""".stripMargin
+      }.mkString
+      s"""WITH ps AS (SELECT value / 100.0 AS sc, count(*) AS cnt,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS poscnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |b0 AS (SELECT 0.0 AS a, 0.0 AS b)$steps,
+         |fin AS (SELECT ps.*, bb.a, bb.b,
+         |  1.0 / (1.0 + exp(-(bb.a * sc + bb.b))) AS p
+         |  FROM ps CROSS JOIN b8 bb),
+         |ag AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(sum(poscnt) AS BIGINT) AS n_pos,
+         |  ${dsumSql("CAST(poscnt AS DOUBLE) * ln(p)" +
+        " + CAST(cnt - poscnt AS DOUBLE) * ln(1.0 - p)")} AS ll
+         |  FROM fin GROUP BY a, b)
+         |SELECT n_rows, n_pos, ${femitSql("a")} AS coef_a,
+         |  ${femitSql("b")} AS coef_b,
+         |  ${femitSql("-ll / CAST(n_rows AS DOUBLE)")} AS avg_nll
+         |FROM ag""".stripMargin
+    },
     // q394's risk cells, the SAME 8 fixed Newton steps (the oracle
     // replays the identical float trajectory), Breslow ties.
     "q401_cox_ph" -> {

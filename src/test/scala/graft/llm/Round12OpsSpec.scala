@@ -390,6 +390,92 @@ class Round12OpsSpec extends SparkSpec {
     assert(refR > seedR, s"expansion added nothing: $seedR")
   }
 
+  test("teamDraftInterleave: each team drafts half the list, pref is the click sign") {
+    val rows = Sim.teamDraftInterleave(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val ca = r.getAs[Long]("clicks_a"); val cb = r.getAs[Long]("clicks_b")
+      // 10 picks, 5 per team: click credit is bounded by picks
+      assert(ca >= 0L && ca <= 5L && cb >= 0L && cb <= 5L)
+      val pref = r.getAs[Long]("pref")
+      assert(pref == java.lang.Long.signum(ca - cb).toLong)
+    }
+  }
+
+  test("kendallW: W in [0,1] and the chi-square identity") {
+    val r = TextAnalysis.kendallW(docs).collect().head
+    val n = r.getAs[Long]("n_docs"); val w = r.getAs[Double]("w")
+    assert(n > 2)
+    assert(w >= -1e-9 && w <= 1.0 + 1e-9, s"w=$w")
+    val chi2 = r.getAs[Double]("chi2")
+    assert(math.abs(chi2 - 3.0 * (n - 1).toDouble * w)
+      <= 1e-3 * math.max(1.0, chi2.abs))
+  }
+
+  test("plattScaling: the fit beats the uninformed NLL and stays finite") {
+    val r = graft.rel.Queries.plattScaling(spark, sf0001).collect().head
+    val a = r.getAs[Double]("coef_a"); val b = r.getAs[Double]("coef_b")
+    assert(!a.isNaN && !b.isNaN && a.abs <= 20.0 && b.abs <= 20.0)
+    val nll = r.getAs[Double]("avg_nll")
+    // a=b=0 gives exactly ln 2 per row; 8 Newton steps must do better
+    // (FIXTURE floor — true whenever the positive rate is not 1/2)
+    assert(nll > 0.0 && nll < math.log(2.0), s"nll=$nll")
+  }
+
+  test("exposureFairness: both share columns are distributions") {
+    val rows = Sim.exposureFairness(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), 10, 10).collect()
+    assert(rows.nonEmpty)
+    val sc = rows.map(_.getAs[Double]("share_corpus")).sum
+    val se = rows.map(_.getAs[Double]("share_exposure")).sum
+    assert(math.abs(sc - 1.0) <= 1e-4, s"corpus shares sum $sc")
+    assert(math.abs(se - 1.0) <= 1e-4, s"exposure shares sum $se")
+    rows.foreach { r =>
+      val d = r.getAs[Double]("disparity")
+      val ratio = r.getAs[Double]("share_exposure") /
+        r.getAs[Double]("share_corpus")
+      assert(math.abs(d - ratio) <= 1e-3 * math.max(1.0, ratio.abs))
+    }
+  }
+
+  test("ljungBox: Q is nondecreasing and lag-1 ACF matches q194's") {
+    val rows = graft.rel.Queries.ljungBox(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length == 7)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 - 1e-9) }
+    val acf1 = graft.rel.Queries.acfDaily(spark, sf0001).collect()
+      .find(_.getLong(0) == 1L).get.getDouble(2)
+    assert(rows.head._2 == acf1) // both 6-decimal emissions of one ratio
+  }
+
+  test("runsTest: integer census reconciles and z is finite") {
+    val r = graft.rel.Queries.runsTest(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n"); val n1 = r.getAs[Long]("n1")
+    val n0 = r.getAs[Long]("n0"); val runs = r.getAs[Long]("n_runs")
+    assert(n == n1 + n0 && runs >= 1L && runs <= n)
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("rbpAtK: geometric bound and exact residual") {
+    val rows = Sim.rbpAtK(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), 10, 10).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val rbp = r.getAs[Double]("rbp")
+      assert(rbp >= 0.0 && rbp <= 1.0 - math.pow(0.5, 10) + 1e-9)
+      // femit's 6-decimal grid: 0.0009765625 emits as 0.000977
+      assert(r.getAs[Double]("residual") == 9.77e-4)
+    }
+  }
+
+  test("nelsonAalen: all-censored fixture yields the empty contract") {
+    // same zero-death-days contract as coxPh at sf0.001; sf0.01 (the
+    // driver gate) exercises the populated path
+    assert(graft.rel.Queries.nelsonAalen(spark, sf0001).count() == 0L)
+  }
+
   test("rddSharp: side fits reconstruct and the jump is the intercept gap") {
     val r = graft.rel.Queries.rddSharp(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
