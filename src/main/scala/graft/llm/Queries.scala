@@ -1612,6 +1612,10 @@ object Queries {
     // first-sight counting via keyed lag (see TextAnalysis.mattr)
     "q415_mattr" -> ((s, dir) =>
       TextAnalysis.mattr(tbl(s, dir, "documents"))),
+    // Chao1 bias-corrected species richness + Good's coverage off the
+    // q414 bigram frequency spectrum (see TextAnalysis.chao1)
+    "q429_chao1" -> ((s, dir) =>
+      TextAnalysis.chao1(tbl(s, dir, "documents"))),
     // PII / redaction census over document tokens + events props
     // values: email + IPv4 regex classes, Luhn-validated card-like
     // digit runs (see Curation.piiAudit)
@@ -5809,6 +5813,32 @@ object Queries {
          |  ${femitSql("CAST(n1 AS DOUBLE) / CAST(n_total AS DOUBLE)")}
          |    AS p_unseen
          |FROM j CROSS JOIN tot ORDER BY r""".stripMargin,
+    // Same bigram spectrum as q414; Chao1 bias-corrected chain and
+    // Good's coverage as fixed ratios over exact integers.
+    "q429_chao1" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+         |  x -> x <> '') AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(range(len(ts))) AS pos FROM t),
+         |uni AS (SELECT a.tok AS w1, b.tok AS w2, count(*) AS r
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |  AND b.pos = a.pos + 1 GROUP BY 1, 2),
+         |coc AS (SELECT r, count(*) AS n_r FROM uni GROUP BY 1),
+         |ag AS (SELECT CAST(sum(n_r) AS BIGINT) AS v_obs,
+         |  CAST(sum(r * n_r) AS BIGINT) AS n_total,
+         |  coalesce(CAST(sum(CASE WHEN r = 1 THEN n_r END) AS BIGINT), 0)
+         |    AS n1,
+         |  coalesce(CAST(sum(CASE WHEN r = 2 THEN n_r END) AS BIGINT), 0)
+         |    AS n2 FROM coc)
+         |SELECT v_obs, n_total, n1, n2,
+         |  ${femitSql("CAST(v_obs AS DOUBLE) + CAST(n1 AS DOUBLE)" +
+        " * CAST(n1 - 1 AS DOUBLE) / (2.0 * CAST(n2 + 1 AS DOUBLE))")}
+         |    AS chao1,
+         |  ${femitSql("CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)" +
+        " / (2.0 * CAST(n2 + 1 AS DOUBLE))")} AS undetected_est,
+         |  ${femitSql("1.0 - CAST(n1 AS DOUBLE) / CAST(n_total AS DOUBLE)")}
+         |    AS coverage
+         |FROM ag""".stripMargin,
     // Same keyed-lag first-sight trick, same covering-cell band join
     // (pos//32 cells), same dyadic /32 window quotients.
     "q415_mattr" ->

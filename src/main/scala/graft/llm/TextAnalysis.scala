@@ -2026,16 +2026,22 @@ object TextAnalysis {
     * adjacent-pair transform is per-row, the q120 idiom), types →
     * counts-of-counts grain (≤ max count rows) in a second; the
     * r/r+1 self-join and totals run on that tiny table. */
-  def goodTuring(docs: DataFrame, maxR: Long = 10L): DataFrame = {
-    import graft.rel.Queries.femit
+  /** Bigram-type counts-of-counts table (r, n_r) — the species-
+    * frequency spectrum shared by [[goodTuring]] and [[chao1]]. */
+  private def bigramCountOfCounts(docs: DataFrame): DataFrame = {
     val base = docs.select(toks(col("text")).as("ts"))
-    val uni = base.select(explode(expr(
+    base.select(explode(expr(
         "filter(transform(ts, (t, i) -> struct(t AS w1," +
           " try_element_at(ts, i + 2) AS w2)), p -> p.w2 IS NOT NULL)"))
         .as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("r"))
-    val coc = uni.groupBy("r").agg(count(lit(1)).as("n_r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+  }
+
+  def goodTuring(docs: DataFrame, maxR: Long = 10L): DataFrame = {
+    import graft.rel.Queries.femit
+    val coc = bigramCountOfCounts(docs)
       .localCheckpoint() // self-join + totals + p0 read one table
     val tot = coc.agg(sum(col("r") * col("n_r")).as("n_total"),
       sum(when(col("r") === 1L, col("n_r"))).as("n1"))
@@ -2053,6 +2059,40 @@ object TextAnalysis {
         femit(col("n1").cast("double") / col("n_total").cast("double"))
           .as("p_unseen"))
       .orderBy("r")
+  }
+
+  /** Chao1 species-richness estimator (Chao 1984; the bias-corrected
+    * form) with Good's sample coverage — "how many bigram types does
+    * the corpus REALLY have, and what share have we seen": off the
+    * same frequency spectrum as [[goodTuring]],
+    * Chao1 = V + N₁(N₁−1)/(2(N₂+1)) (the +1 form is defined even when
+    * no doubletons exist), coverage Ĉ = 1 − N₁/N, and the
+    * undetected-type count — the vocabulary-side answer to q300's
+    * Heaps-law growth extrapolation (Heaps fits the CURVE, Chao1
+    * bounds the ASYMPTOTE).
+    *
+    * Determinism: V, N₁, N₂, N are exact integers off two hash-aggs;
+    * the estimator is one fixed chain. Scale: corpus → type grain →
+    * spectrum grain (≤ max-count rows), then a 1-row reduce. */
+  def chao1(docs: DataFrame): DataFrame = {
+    import graft.rel.Queries.femit
+    bigramCountOfCounts(docs)
+      .agg(sum(col("n_r")).as("v_obs"),
+        sum(col("r") * col("n_r")).as("n_total"),
+        sum(when(col("r") === 1L, col("n_r"))).as("n1raw"),
+        sum(when(col("r") === 2L, col("n_r"))).as("n2raw"))
+      .select(col("v_obs"), col("n_total"),
+        coalesce(col("n1raw"), lit(0L)).as("n1"),
+        coalesce(col("n2raw"), lit(0L)).as("n2"))
+      .select(col("v_obs"), col("n_total"), col("n1"), col("n2"),
+        femit(col("v_obs").cast("double")
+          + col("n1").cast("double") * (col("n1") - 1L).cast("double")
+          / (lit(2.0) * (col("n2") + 1L).cast("double"))).as("chao1"),
+        femit(col("n1").cast("double") * (col("n1") - 1L).cast("double")
+          / (lit(2.0) * (col("n2") + 1L).cast("double")))
+          .as("undetected_est"),
+        femit(lit(1.0) - col("n1").cast("double")
+          / col("n_total").cast("double")).as("coverage"))
   }
 
   /** Moving-average type–token ratio (MATTR, Covington &amp; McFall

@@ -3056,6 +3056,218 @@ object Queries {
         femit(-col("ll") / col("n_rows").cast("double")).as("avg_nll"))
   }
 
+  /** Value-at-risk and conditional value-at-risk (expected shortfall,
+    * Rockafellar &amp; Uryasev 2000) of the DAILY REVENUE series — the
+    * lower-tail risk census complementing q212's drawdown (depth of
+    * the worst excursion) with "how bad is the average bad day":
+    * VaR_¼ = the DYADIC lower-quartile of daily revenue (α = ¼ per
+    * the q213/q217 rule: the (n−1)/4 interpolation weight is an exact
+    * binary fraction, so both engines hold the identical cut), and
+    * CVaR = the mean revenue over days at or below the cut. Revenue
+    * accumulates in exact integer micro-units (the q212 convention).
+    *
+    * Scale: the corpus reduces to O(days) in one hash-agg; the
+    * order statistics run one bounded day-grain window. */
+  def cvarDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .where(col("value").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("rev"))
+    val wOrd = Window.orderBy(col("rev").asc, col("day").asc)
+    val ranked = daily.withColumn("rn", row_number().over(wOrd).cast("long"))
+      .localCheckpoint() // order statistics + tail read one table
+    val n = ranked.agg(max(col("rn")).as("n"))
+    val cut = ranked.crossJoin(broadcast(n))
+      .withColumn("lo_i", expr("(n - 1) div 4 + 1"))
+      .withColumn("frac", ((col("n") - 1L) % 4L).cast("double") / 4.0)
+      .agg(max(when(col("rn") === col("lo_i"), col("rev"))).as("lo"),
+        max(when(col("rn") === col("lo_i") + 1L, col("rev"))).as("hi"),
+        max(col("frac")).as("frac"), max(col("n")).as("n"))
+      .select(col("n"),
+        (col("lo").cast("double") + col("frac")
+          * (coalesce(col("hi"), col("lo")) - col("lo")).cast("double"))
+          .as("var_u"))
+    ranked.crossJoin(broadcast(cut))
+      .where(col("rev").cast("double") <= col("var_u"))
+      .agg(max(col("n")).as("n_days"), count(lit(1)).as("tail_days"),
+        max(col("var_u")).as("var_u"), dsum(col("rev").cast("double"))
+          .as("tail_sum"))
+      .select(col("n_days"), col("tail_days"),
+        femit(col("var_u") / 1000000.0).as("var_q25"),
+        femit(col("tail_sum") / col("tail_days").cast("double")
+          / 1000000.0).as("cvar_q25"))
+  }
+
+  /** Confusion-matrix threshold sweep (F1, Matthews correlation, and
+    * Youden's J at nine FIXED score thresholds 25..225) — the
+    * decision-layer companion to q166's threshold-free AUC and q411's
+    * AP: what the classifier looks like at each operating point the
+    * caller could actually deploy. Fixed thresholds, not quantiles,
+    * so each row is a pure integer confusion census.
+    *
+    * Determinism: TP/FP/FN/TN are exact integers; F1/MCC/J are fixed
+    * chains with nullif guards (MCC's denominator is the √ of a
+    * product of four margins). Scale: one scan × 9 broadcast
+    * thresholds → one (threshold)-grain hash-agg. */
+  def confusionSweep(s: SparkSession, dir: String): DataFrame = {
+    val rows = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val th = s.range(1, 10).select((col("id") * 25L).as("threshold"))
+    rows.crossJoin(broadcast(th))
+      .groupBy("threshold")
+      .agg(sum(when(col("score") >= col("threshold") && col("y") === 1L,
+          1L).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("threshold") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        femit(lit(2.0) * col("tp").cast("double")
+          / nullif((lit(2L) * col("tp") + col("fp") + col("fn"))
+            .cast("double"), lit(0.0))).as("f1"),
+        femit((col("tp").cast("double") * col("tn").cast("double")
+          - col("fp").cast("double") * col("fn").cast("double"))
+          / nullif(sqrt((col("tp") + col("fp")).cast("double")
+            * (col("tp") + col("fn")).cast("double")
+            * (col("tn") + col("fp")).cast("double")
+            * (col("tn") + col("fn")).cast("double")), lit(0.0)))
+          .as("mcc"),
+        femit(col("tp").cast("double")
+          / nullif((col("tp") + col("fn")).cast("double"), lit(0.0))
+          + col("tn").cast("double")
+          / nullif((col("tn") + col("fp")).cast("double"), lit(0.0))
+          - lit(1.0)).as("youden_j"))
+      .orderBy("threshold")
+  }
+
+  /** Restricted mean survival time (RMST; Royston &amp; Parmar 2013's
+    * recommended model-free effect measure): the area under the
+    * pooled Kaplan–Meier curve up to τ = 14 days, off q394's risk
+    * cells. S steps only at death days: S_k = Π(1 − d_j/n_j)
+    * computed as exp of a decimal-per-term cumulative Σ ln(1−d/n)
+    * (the q294 window rule — a running PRODUCT of floats is a running
+    * sum in log space, and the decimal route makes both engines'
+    * association identical); the area is Σ S·(segment length) with
+    * segments clamped at τ, plus the S = 1 head segment.
+    *
+    * All-censored fixtures (sf0.001) have zero death days and emit
+    * RMST = τ exactly — the q401 empty-contract convention carried
+    * into a non-empty 1-row summary.
+    *
+    * Scale: the O(event-days) risk table, one bounded window, a 1-row
+    * reduce. */
+  def rmst(s: SparkSession, dir: String, tau: Long = 14L): DataFrame = {
+    val (risk, _) = survivalRiskCells(s, dir)
+    val wCum = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy(col("day").asc)
+    val surv = risk
+      .withColumn("lnf",
+        log(lit(1.0) - col("dj").cast("double") / col("nj").cast("double")))
+      .withColumn("ls",
+        sum(col("lnf").cast("decimal(38,12)")).over(wCum).cast("double"))
+      .withColumn("s", exp(col("ls")))
+      .withColumn("nxt", coalesce(lead(col("day"), 1).over(wLead),
+        lit(tau)))
+    val head = surv.agg(min(col("day")).as("d1"),
+      count(lit(1)).as("m"))
+    val area = surv
+      .where(col("day") < tau)
+      .agg(dsum(col("s") * (least(col("nxt"), lit(tau)) - col("day"))
+        .cast("double")).as("tail_area"))
+    area.crossJoin(broadcast(head))
+      .select(lit(tau).as("tau"), coalesce(col("m"), lit(0L))
+          .as("n_death_days"),
+        femit(least(coalesce(col("d1"), lit(tau)), lit(tau))
+          .cast("double") + coalesce(col("tail_area"), lit(0.0)))
+          .as("rmst"))
+  }
+
+  /** Propensity-overlap (positivity) audit for the q377/q396/q403
+    * causal family (Crump et al. 2009's overlap concern as a
+    * histogram statistic): the clipped propensity is binned into its
+    * native 0.05-wide cells, each arm's cell shares are compared, and
+    * the overlap coefficient Σ_cells min(share_t, share_c) — 1 means
+    * identical propensity distributions (perfect overlap), 0 means
+    * the arms never share a cell and NO causal estimator from this
+    * family is identified. Common-support share rides along (the
+    * fraction of users in cells where both arms appear).
+    *
+    * Determinism: cells are the exact floor(e/0.05) integers the PSM
+    * blocking already uses; counts are integers; shares and the min
+    * fold are fixed chains over the ≤ 18-cell table.
+    *
+    * Scale: the shared user-grain panel, one cell-grain hash-agg, one
+    * ≤ 18-row reduce. */
+  def propensityOverlap(s: SparkSession, dir: String): DataFrame = {
+    val per = causalPanel(s, dir)
+      .withColumn("cell", floor(col("e") / lit(0.05)).cast("long"))
+    val cells = per.groupBy("cell")
+      .agg(sum(col("t")).as("ct"), sum(lit(1L) - col("t")).as("cc"))
+      .localCheckpoint() // totals + overlap fold
+    val tot = cells.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("st", col("ct").cast("double") / col("nt").cast("double"))
+      .withColumn("sc", col("cc").cast("double") / col("nc").cast("double"))
+      .agg(max(col("nt")).as("n_treated"), max(col("nc")).as("n_controls"),
+        count(lit(1)).as("n_cells"),
+        sum(when(col("ct") > 0L && col("cc") > 0L, 1L).otherwise(0L))
+          .as("n_common_cells"),
+        dsum(least(col("st"), col("sc"))).as("ovl"),
+        sum(when(col("ct") > 0L && col("cc") > 0L,
+          col("ct") + col("cc")).otherwise(0L)).as("in_support"))
+      .select(col("n_treated"), col("n_controls"), col("n_cells"),
+        col("n_common_cells"),
+        femit(col("ovl")).as("overlap_coef"),
+        femit(col("in_support").cast("double")
+          / (col("n_treated") + col("n_controls")).cast("double"))
+          .as("common_support_share"))
+  }
+
+  /** Entropy rate of the q153 first-order Markov chain (Shannon 1948,
+    * ch. 7: H = −Σ_i π_i Σ_j p_ij ln p_ij — the per-step
+    * unpredictability of the event stream under its own transition
+    * model, the sequence-level companion to q154's marginal entropy):
+    * the stationary distribution π comes from 8 FIXED power-iteration
+    * rounds on the |types|² transition table (the pageRank/coxPh
+    * fixed-trajectory discipline — the oracle replays the identical
+    * float path), started uniform.
+    *
+    * Scale: the transition table is |types|² (25 cells); each power
+    * round is one broadcast join + one |types|-row aggregate. */
+  def entropyRate(s: SparkSession, dir: String, iters: Int = 8)
+      : DataFrame = {
+    val trans = markovTransitions(s, dir)
+      .select(col("from_type"), col("to_type"), col("p"))
+      .localCheckpoint() // 8 power rounds + the final H pass
+    var pi = trans.select(col("from_type").as("st")).distinct()
+      .crossJoin(broadcast(trans.select(col("from_type").as("st2"))
+        .distinct().agg(count(lit(1)).as("k"))))
+      .select(col("st"), (lit(1.0) / col("k").cast("double")).as("pi"))
+    for (_ <- 1 to iters) {
+      pi = trans.join(pi.select(col("st").as("from_type"), col("pi")),
+          Seq("from_type"))
+        .groupBy(col("to_type").as("st"))
+        .agg(dsum(col("pi") * col("p")).as("pi"))
+        .localCheckpoint()
+    }
+    val h = trans.join(pi.select(col("st").as("from_type"), col("pi")),
+        Seq("from_type"))
+      .agg(dsum(col("pi") * (-col("p") * log(col("p")))).as("h"),
+        count(lit(1)).as("n_transitions"))
+    val hMax = pi.agg(count(lit(1)).as("k"))
+    h.crossJoin(broadcast(hMax))
+      .select(col("n_transitions"), col("k").as("n_states"),
+        femit(col("h")).as("entropy_rate"),
+        femit(log(col("k").cast("double"))).as("max_entropy"),
+        femit(col("h") / log(col("k").cast("double")))
+          .as("normalized_rate"))
+  }
+
   /** Shared zero-filled daily event-count spine (day = epoch-µs div
     * 86400e6, x = count, t = 0-based index) for the q408/q409 series
     * operators — exactly [[acfDaily]]'s series. O(days) grain. */
@@ -6531,6 +6743,11 @@ object Queries {
     "q422_ljung_box" -> ((s, dir) => ljungBox(s, dir)),
     "q423_runs_test" -> (runsTest _),
     "q425_nelson_aalen" -> (nelsonAalen _),
+    "q426_cvar" -> (cvarDaily _),
+    "q427_confusion_sweep" -> (confusionSweep _),
+    "q428_rmst" -> ((s, dir) => rmst(s, dir)),
+    "q430_propensity_overlap" -> (propensityOverlap _),
+    "q431_entropy_rate" -> ((s, dir) => entropyRate(s, dir)),
     "q197_anova" -> (anovaF _),
     "q198_pareto_abc" -> (paretoAbc _),
     "q199_decile_lift" -> (decileLift _),
@@ -11745,6 +11962,173 @@ object Queries {
          |  ${femitSql("b")} AS coef_b,
          |  ${femitSql("-ll / CAST(n_rows AS DOUBLE)")} AS avg_nll
          |FROM ag""".stripMargin
+    },
+    // Same micro-unit daily revenue, same (rev, day) order statistics
+    // with the dyadic quarter interpolation, same tail mean.
+    "q426_cvar" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  sum(CAST(round(value * 1000000) AS BIGINT)) AS rev
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |rk AS (SELECT day, rev, CAST(row_number() OVER (
+         |  ORDER BY rev ASC, day ASC) AS BIGINT) AS rn FROM daily),
+         |nn AS (SELECT max(rn) AS n FROM rk),
+         |cut AS (SELECT max(n) AS n,
+         |  max(CASE WHEN rn = (n - 1) // 4 + 1 THEN rev END) AS lo,
+         |  max(CASE WHEN rn = (n - 1) // 4 + 2 THEN rev END) AS hi,
+         |  max(CAST((n - 1) % 4 AS DOUBLE) / 4.0) AS frac
+         |  FROM rk CROSS JOIN nn),
+         |cv AS (SELECT n, CAST(lo AS DOUBLE) + frac
+         |  * CAST(coalesce(hi, lo) - lo AS DOUBLE) AS var_u FROM cut),
+         |tl AS (SELECT max(n) AS n_days, count(*) AS tail_days,
+         |  max(var_u) AS var_u, ${dsumSql("CAST(rev AS DOUBLE)")} AS ts
+         |  FROM rk CROSS JOIN cv WHERE CAST(rev AS DOUBLE) <= var_u)
+         |SELECT n_days, tail_days,
+         |  ${femitSql("var_u / 1000000.0")} AS var_q25,
+         |  ${femitSql("ts / CAST(tail_days AS DOUBLE) / 1000000.0")}
+         |    AS cvar_q25
+         |FROM tl""".stripMargin,
+    // Same fixed thresholds, same integer confusion census, same
+    // F1/MCC/Youden chains with nullif guards.
+    "q427_confusion_sweep" ->
+      s"""WITH e AS (SELECT value AS score,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |th AS (SELECT unnest(generate_series(1, 9)) * 25 AS threshold),
+         |cm AS (SELECT threshold,
+         |  CAST(sum(CASE WHEN score >= threshold AND y = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score >= threshold AND y = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score < threshold AND y = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN score < threshold AND y = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM e CROSS JOIN th GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  ${femitSql("2.0 * CAST(tp AS DOUBLE)" +
+        " / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0)")} AS f1,
+         |  ${femitSql("(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)" +
+        " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))" +
+        " / nullif(sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)" +
+        " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 0.0)")}
+         |    AS mcc,
+         |  ${femitSql("CAST(tp AS DOUBLE)" +
+        " / nullif(CAST(tp + fn AS DOUBLE), 0.0) + CAST(tn AS DOUBLE)" +
+        " / nullif(CAST(tn + fp AS DOUBLE), 0.0) - 1.0")} AS youden_j
+         |FROM cm ORDER BY threshold""".stripMargin,
+    // q425's pooled risk cells; KM product as exp of a decimal-route
+    // cumulative log sum; tau-clamped step segments; RMST = tau on
+    // the all-censored fixture.
+    "q428_rmst" -> {
+      val survCtes =
+        s"""r AS (SELECT user_id, event_id, event_type, ts,
+           |  row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts ASC, event_id ASC) AS rn FROM events),
+           |pu AS (SELECT user_id,
+           |  max(CASE WHEN rn = 1 AND event_type = 'click'
+           |    THEN 1 ELSE 0 END) AS g,
+           |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+           |  FROM r GROUP BY user_id),
+           |hz AS (SELECT max(last_us) AS h FROM pu),
+           |lf AS (SELECT g, (last_us - first_us) // 86400000000 AS day,
+           |  (h - last_us) < 172800000000 AS censored
+           |  FROM pu CROSS JOIN hz),
+           |cl AS (SELECT day,
+           |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS dj,
+           |  CAST(count(*) AS BIGINT) AS tj FROM lf GROUP BY day),
+           |tt AS (SELECT CAST(sum(tj) AS BIGINT) AS tot FROM cl),
+           |rk AS (SELECT day, dj,
+           |  tot - coalesce(CAST(sum(tj) OVER (ORDER BY day ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    AS BIGINT), 0) AS nj
+           |  FROM cl CROSS JOIN tt),
+           |ev3 AS (SELECT day, dj, nj FROM rk WHERE dj > 0)""".stripMargin
+      s"""WITH $survCtes,
+         |sv AS (SELECT day, dj, nj,
+         |  ln(1.0 - CAST(dj AS DOUBLE) / CAST(nj AS DOUBLE)) AS lnf
+         |  FROM ev3),
+         |cm AS (SELECT day,
+         |  exp(CAST(CAST(SUM(CAST(CAST(lnf AS VARCHAR) AS DECIMAL(38,12)))
+         |    OVER (ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS VARCHAR) AS DOUBLE)) AS s,
+         |  coalesce(lead(day) OVER (ORDER BY day ASC), 14) AS nxt
+         |  FROM sv),
+         |hd AS (SELECT min(day) AS d1, count(*) AS m FROM cm),
+         |ar AS (SELECT ${dsumSql(
+        "s * CAST(least(nxt, 14) - day AS DOUBLE)")} AS tail_area
+         |  FROM cm WHERE day < 14)
+         |SELECT CAST(14 AS BIGINT) AS tau,
+         |  coalesce(m, 0) AS n_death_days,
+         |  ${femitSql("CAST(least(coalesce(d1, 14), 14) AS DOUBLE)" +
+        " + coalesce(tail_area, 0.0)")} AS rmst
+         |FROM ar CROSS JOIN hd""".stripMargin
+    },
+    // q403's exact propensity cells per arm; integer censuses, the
+    // min-share overlap fold over <= 18 cells.
+    "q430_propensity_overlap" ->
+      s"""WITH $causalPanelCtes,
+         |cg AS (SELECT CAST(floor(e / 0.05) AS BIGINT) AS cell,
+         |  CAST(sum(t) AS BIGINT) AS ct,
+         |  CAST(sum(1 - t) AS BIGINT) AS cc FROM pe GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |  CAST(sum(cc) AS BIGINT) AS nc FROM cg),
+         |fx AS (SELECT cell, ct, cc, nt, nc,
+         |  CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) AS st,
+         |  CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE) AS sc
+         |  FROM cg CROSS JOIN tot),
+         |ag AS (SELECT max(nt) AS n_treated, max(nc) AS n_controls,
+         |  count(*) AS n_cells,
+         |  CAST(sum(CASE WHEN ct > 0 AND cc > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_common_cells,
+         |  ${dsumSql("least(st, sc)")} AS ovl,
+         |  CAST(sum(CASE WHEN ct > 0 AND cc > 0 THEN ct + cc
+         |    ELSE 0 END) AS BIGINT) AS in_support FROM fx)
+         |SELECT n_treated, n_controls, n_cells, n_common_cells,
+         |  ${femitSql("ovl")} AS overlap_coef,
+         |  ${femitSql("CAST(in_support AS DOUBLE)" +
+        " / CAST(n_treated + n_controls AS DOUBLE)")}
+         |    AS common_support_share
+         |FROM ag""".stripMargin,
+    // q153's transition table, 8 fixed power-iteration rounds from
+    // uniform (the coxPh replayed-trajectory discipline), then the
+    // pi-weighted row-entropy fold.
+    "q431_entropy_rate" -> {
+      val transCtes =
+        s"""pr AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+           |  event_type FROM events),
+           |nx AS (SELECT event_type, lead(event_type) OVER (
+           |  PARTITION BY user_id ORDER BY us, event_id) AS next_type
+           |  FROM pr),
+           |cnt AS (SELECT event_type AS from_type, next_type AS to_type,
+           |  count(*) AS n FROM nx WHERE next_type IS NOT NULL
+           |  GROUP BY 1, 2),
+           |tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+           |  FROM cnt GROUP BY 1),
+           |tr AS (SELECT cnt.from_type, cnt.to_type,
+           |  CAST(n AS DOUBLE) / row_n AS p FROM cnt
+           |  JOIN tt USING (from_type))""".stripMargin
+      val steps = (1 to 8).map { k =>
+        val prev = if (k == 1) "pi0" else s"pi${k - 1}"
+        s""",
+           |pi$k AS (SELECT tr.to_type AS st, ${dsumSql("pp.pi * tr.p")}
+           |  AS pi FROM tr JOIN $prev pp ON pp.st = tr.from_type
+           |  GROUP BY tr.to_type)""".stripMargin
+      }.mkString
+      s"""WITH $transCtes,
+         |ks AS (SELECT count(DISTINCT from_type) AS k FROM tr),
+         |pi0 AS (SELECT from_type AS st,
+         |  1.0 / CAST(k AS DOUBLE) AS pi FROM
+         |  (SELECT DISTINCT from_type FROM tr) CROSS JOIN ks)$steps,
+         |hh AS (SELECT ${dsumSql("pp.pi * (-tr.p * ln(tr.p))")} AS h,
+         |  count(*) AS n_transitions FROM tr
+         |  JOIN pi8 pp ON pp.st = tr.from_type),
+         |kf AS (SELECT count(*) AS k FROM pi8)
+         |SELECT n_transitions, k AS n_states,
+         |  ${femitSql("h")} AS entropy_rate,
+         |  ${femitSql("ln(CAST(k AS DOUBLE))")} AS max_entropy,
+         |  ${femitSql("h / ln(CAST(k AS DOUBLE))")} AS normalized_rate
+         |FROM hh CROSS JOIN kf""".stripMargin
     },
     // q394's risk cells, the SAME 8 fixed Newton steps (the oracle
     // replays the identical float trajectory), Breslow ties.

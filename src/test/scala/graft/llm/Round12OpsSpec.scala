@@ -476,6 +476,73 @@ class Round12OpsSpec extends SparkSpec {
     assert(graft.rel.Queries.nelsonAalen(spark, sf0001).count() == 0L)
   }
 
+  test("cvarDaily: the tail mean sits at or below the quartile cut") {
+    val r = graft.rel.Queries.cvarDaily(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n_days"); val t = r.getAs[Long]("tail_days")
+    assert(n > 0 && t >= 1 && t <= n)
+    val v = r.getAs[Double]("var_q25"); val c = r.getAs[Double]("cvar_q25")
+    assert(c <= v + 1e-6, s"cvar=$c var=$v") // tail mean <= cut
+    // the quarter cut keeps roughly a quarter of days in the tail
+    assert(t <= n / 2 + 1)
+  }
+
+  test("confusionSweep: census reconciles and metrics are bounded") {
+    val rows = graft.rel.Queries.confusionSweep(spark, sf0001).collect()
+    assert(rows.length == 9)
+    val tot = rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fp") +
+      rows.head.getAs[Long]("fn") + rows.head.getAs[Long]("tn")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn") == tot)
+      val f1 = r.getAs[Double]("f1")
+      assert(f1 >= 0.0 && f1 <= 1.0)
+      val mcc = r.getAs[Double]("mcc")
+      assert(mcc >= -1.0 - 1e-9 && mcc <= 1.0 + 1e-9)
+    }
+    // TP is monotone nonincreasing in the threshold
+    val tps = rows.sortBy(_.getAs[Long]("threshold")).map(_.getAs[Long]("tp"))
+    tps.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
+
+  test("rmst: all-censored fixture gives exactly tau") {
+    val r = graft.rel.Queries.rmst(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_death_days") == 0L)
+    assert(r.getAs[Double]("rmst") == 14.0) // S = 1 throughout
+  }
+
+  test("chao1: estimator dominates the observed richness; coverage in (0,1]") {
+    val r = TextAnalysis.chao1(docs).collect().head
+    val v = r.getAs[Long]("v_obs")
+    assert(v > 0)
+    assert(r.getAs[Double]("chao1") >= v.toDouble - 1e-6)
+    val cov = r.getAs[Double]("coverage")
+    assert(cov > 0.0 && cov <= 1.0)
+    assert(r.getAs[Double]("undetected_est") >= 0.0)
+  }
+
+  test("propensityOverlap: overlap and support shares are probabilities") {
+    val r = graft.rel.Queries.propensityOverlap(spark, sf0001)
+      .collect().head
+    assert(r.getAs[Long]("n_treated") > 0 && r.getAs[Long]("n_controls") > 0)
+    assert(r.getAs[Long]("n_common_cells") <= r.getAs[Long]("n_cells"))
+    val o = r.getAs[Double]("overlap_coef")
+    assert(o >= 0.0 && o <= 1.0 + 1e-9)
+    val cs = r.getAs[Double]("common_support_share")
+    assert(cs >= 0.0 && cs <= 1.0 + 1e-9)
+  }
+
+  test("entropyRate: bounded by log k and pi stays a distribution") {
+    val r = graft.rel.Queries.entropyRate(spark, sf0001).collect().head
+    val k = r.getAs[Long]("n_states")
+    assert(k >= 2)
+    val h = r.getAs[Double]("entropy_rate")
+    val hMax = r.getAs[Double]("max_entropy")
+    assert(h >= 0.0 && h <= hMax + 1e-9)
+    assert(math.abs(hMax - math.log(k.toDouble)) <= 2e-6)
+    val nr = r.getAs[Double]("normalized_rate")
+    assert(nr >= 0.0 && nr <= 1.0 + 1e-9)
+  }
+
   test("rddSharp: side fits reconstruct and the jump is the intercept gap") {
     val r = graft.rel.Queries.rddSharp(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
