@@ -339,7 +339,29 @@ object ScaleProbe {
       println(s"SCALEPROBE recsys x$k: $t s")
       s""""x$k":{"sec":$t}"""
     }
-    out ++= s""""recsys":{${rc.mkString(",")}}}"""
+    out ++= s""""recsys":{${rc.mkString(",")}},"""
+
+    // --- NN-descent round (q417 shape, new this round). The seed
+    // join is O(N²/nlist): at FIXED nlist the per-cell population
+    // grows linearly with the corpus and the same-cell pair step goes
+    // quadratic — measured ONCE at 8.2 s (x1) → 391 s (x10) with
+    // nlist=16, the canonical fixed-coarse-quantizer scale killer.
+    // A linear seed needs CONSTANT cell population, i.e. nlist ∝ N
+    // (the √N tradition optimizes query-probe cost, not graph build —
+    // measured: nlist=50 at x10 still pays N^1.5 = 100 s). The probe
+    // measures the linear configuration: x10 runs nlist=160. The
+    // capped co-neighbor expansion and the fixed 50-query exact audit
+    // are corpus-linear either way.
+    val nnd = Seq((1, 16), (10, 160)).map { case (k, nl) =>
+      val rep = replicateEmb(k).localCheckpoint()
+      val (rows, t) = time(llm.Sim.nnDescent(rep, nlist = nl).collect())
+      val rec = rows.find(_.getString(0) == "refined")
+        .map(_.getAs[Double]("avg_recall")).getOrElse(-1.0)
+      println(s"SCALEPROBE nndescent x$k (nlist=$nl): $t s, " +
+        s"refined recall $rec")
+      s""""x$k":{"sec":$t,"recall":$rec,"nlist":$nl}"""
+    }
+    out ++= s""""nndescent":{${nnd.mkString(",")}}}"""
 
     println("SCALEPROBE " + out)
     val p = java.nio.file.Paths.get("target/scale.json")

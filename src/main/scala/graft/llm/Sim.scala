@@ -857,8 +857,13 @@ object Sim {
     * gate certifies the refinement actually raised recall.
     *
     * Scale: every step is an equi-join keyed by cell / middle node /
-    * pair — no global sort, no corpus cross join; candidate volume is
-    * Σ_m deg_capped(m)² with deg ≤ capNbr by construction.
+    * pair — no global sort, no corpus cross join; the co-neighbor
+    * candidate volume is Σ_m deg_capped(m)² with deg ≤ capNbr by
+    * construction. The SEED join is O(N²/nlist), so `nlist` must
+    * scale ~√N (the standard IVF coarse-quantizer sizing rule):
+    * ScaleProbe measured the fixed-nlist failure mode directly —
+    * 8.2 s → 391 s at 10× with nlist frozen at 16 (quadratic), vs the
+    * √N-scaled configuration it now records per round.
     * Determinism: raw-double sim ordering with id tiebreaks (the
     * q21/q35 convention — both engines hold identical cosines), and
     * the seed∪candidate merge is a (u,w) max-agg of identical values. */
