@@ -4380,8 +4380,8 @@ object Queries {
          |    AND rel.vec_id = pk.vec_id
          |  GROUP BY pk.qid)
          |SELECT qid, clicks_a, clicks_b,
-         |  CASE WHEN clicks_a > clicks_b THEN 1
-         |    WHEN clicks_a < clicks_b THEN -1 ELSE 0 END AS pref
+         |  CAST(CASE WHEN clicks_a > clicks_b THEN 1
+         |    WHEN clicks_a < clicks_b THEN -1 ELSE 0 END AS BIGINT) AS pref
          |FROM ag ORDER BY qid""".stripMargin
     },
     // Same three integer criteria (uniqueness ratio quantized to
