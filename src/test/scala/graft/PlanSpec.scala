@@ -634,4 +634,52 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Broadcast"), s"expected a broadcast pass\n${p.take(1500)}")
     }
   }
+
+  test("q403 psm matching is a blocked cell join — no cartesian, no corpus-grain global window (r12)") {
+    // The 1-NN match must ride the cell equi-join; a CartesianProduct
+    // means treated×controls blew up, and an unpartitioned WindowExec
+    // whose child carries user ids means someone sorted the panel
+    // globally (the matching window is PARTITIONED by tu).
+    val df = rel.Queries.psmAtt(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      s"psm must not sort the panel globally: ${globals.size}")
+  }
+
+  test("q411 average precision keeps the two-phase cell discipline (r12)") {
+    // Same contract as q300/q192: any single-partition window must run
+    // over the O(cells) offset table (child output carries `cell`),
+    // never over score-grain rows.
+    val df = rel.Queries.averagePrecision(spark, sf0001)
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "expected the cell-offset window")
+    globals.foreach { w =>
+      val out = w.child.output.map(_.name).toSet
+      assert(out.contains("cell"),
+        s"single-partition window over non-cell grain: $out")
+      assert(!out.contains("score"),
+        s"score-grain rows under a global window: $out")
+    }
+  }
+
+  test("q417 nn-descent is equi-join only: no cartesian, no corpus global sort (r12)") {
+    // Seed = cell equi-join, expansion = middle-node equi-join, audit
+    // = broadcast of the bounded query slice. The only admissible
+    // cartesian is the 1-row scalar combine class; a CartesianProduct
+    // or BroadcastNestedLoopJoin over vectors means a pair blowup.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val df = llm.Sim.nnDescent(emb)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
