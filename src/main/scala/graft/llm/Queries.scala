@@ -4239,6 +4239,43 @@ object Queries {
       def cos(xv: String, yv: String, xn: String, yn: String) =
         foldSum.format(s"list_transform(list_zip($xv, $yv), p -> p[1] * p[2])") +
           s" / ($xn * $yn)"
+      // One unrolled co-neighbor round g{r-1} -> g{r} (the Spark side
+      // early-exits at the delta-0 fixpoint, where later rounds are
+      // verbatim repeats — unrolling all maxRounds here lands on the
+      // identical table).
+      def roundSql(r: Int) =
+        s""",
+           |und$r AS (SELECT u, w, sim FROM g${r - 1}
+           |  UNION ALL SELECT w, u, sim FROM g${r - 1}),
+           |cp$r AS (SELECT u, w, row_number() OVER (PARTITION BY u
+           |  ORDER BY sim DESC, w ASC) AS r FROM und$r),
+           |capped$r AS (SELECT u AS m, w AS nbr FROM cp$r WHERE r <= 32),
+           |cand$r AS (SELECT DISTINCT a.nbr AS u, b.nbr AS w
+           |  FROM capped$r a JOIN capped$r b
+           |  ON a.m = b.m AND a.nbr <> b.nbr),
+           |cs$r AS (SELECT c.u, c.w,
+           |  ${cos("nu.v", "nw.v", "nu.norm", "nw.norm")} AS sim
+           |  FROM cand$r c JOIN n nu ON nu.vec_id = c.u
+           |  JOIN n nw ON nw.vec_id = c.w),
+           |mg$r AS (SELECT u, w, max(sim) AS sim FROM (
+           |  SELECT u, w, sim FROM g${r - 1}
+           |  UNION ALL SELECT u, w, sim FROM cs$r) GROUP BY 1, 2),
+           |g${r}r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
+           |  ORDER BY sim DESC, w ASC) AS rnk FROM mg$r),
+           |g$r AS (SELECT u, w, sim FROM g${r}r WHERE rnk <= 5),
+           |d$r AS (SELECT count(*) AS delta FROM g$r a
+           |  WHERE NOT EXISTS (SELECT 1 FROM g${r - 1} b
+           |    WHERE b.u = a.u AND b.w = a.w))""".stripMargin
+      def auditSql(r: Int, stage: String, delta: String) =
+        s"""SELECT '$stage' AS stage, n_audit,
+           |    (SELECT count(*) FROM g$r) AS n_edges,
+           |    ($delta) AS delta_edges,
+           |    ${femitSql("sr / CAST(n_audit AS DOUBLE)")} AS avg_recall
+           |  FROM (SELECT count(*) AS n_audit,
+           |    ${dsumSql("CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0")} AS sr
+           |    FROM q LEFT JOIN (SELECT g.u, count(*) AS h FROM g$r g
+           |      JOIN ex ON ex.u = g.u AND ex.w = g.w WHERE g.u < 50
+           |      GROUP BY g.u) h ON h.u = q.u)""".stripMargin
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |n AS (SELECT vec_id, v,
@@ -4261,24 +4298,8 @@ object Queries {
          |  JOIN n nw ON nw.vec_id = c.w),
          |g0r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
          |  ORDER BY sim DESC, w ASC) AS rnk FROM sp),
-         |g0 AS (SELECT u, w, sim FROM g0r WHERE rnk <= 5),
-         |und AS (SELECT u, w, sim FROM g0
-         |  UNION ALL SELECT w, u, sim FROM g0),
-         |cp0 AS (SELECT u, w, row_number() OVER (PARTITION BY u
-         |  ORDER BY sim DESC, w ASC) AS r FROM und),
-         |capped AS (SELECT u AS m, w AS nbr FROM cp0 WHERE r <= 32),
-         |cand AS (SELECT DISTINCT a.nbr AS u, b.nbr AS w FROM capped a
-         |  JOIN capped b ON a.m = b.m AND a.nbr <> b.nbr),
-         |cs AS (SELECT c.u, c.w,
-         |  ${cos("nu.v", "nw.v", "nu.norm", "nw.norm")} AS sim
-         |  FROM cand c JOIN n nu ON nu.vec_id = c.u
-         |  JOIN n nw ON nw.vec_id = c.w),
-         |mg AS (SELECT u, w, max(sim) AS sim FROM (
-         |  SELECT u, w, sim FROM g0 UNION ALL SELECT u, w, sim FROM cs)
-         |  GROUP BY 1, 2),
-         |g1r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
-         |  ORDER BY sim DESC, w ASC) AS rnk FROM mg),
-         |g1 AS (SELECT u, w, sim FROM g1r WHERE rnk <= 5),
+         |g0 AS (SELECT u, w, sim FROM g0r WHERE rnk <= 5)
+         |${roundSql(1)}${roundSql(2)}${roundSql(3)},
          |q AS (SELECT vec_id AS u, v AS qv, norm AS qn FROM n
          |  WHERE vec_id < 50),
          |ex0 AS (SELECT q.u, n.vec_id AS w,
@@ -4286,29 +4307,12 @@ object Queries {
          |  FROM n CROSS JOIN q WHERE n.vec_id <> q.u),
          |ex1 AS (SELECT u, w, row_number() OVER (PARTITION BY u
          |  ORDER BY sim DESC, w ASC) AS rnk FROM ex0),
-         |ex AS (SELECT u, w FROM ex1 WHERE rnk <= 5),
-         |h0 AS (SELECT g.u, count(*) AS h FROM g0 g
-         |  JOIN ex ON ex.u = g.u AND ex.w = g.w WHERE g.u < 50
-         |  GROUP BY g.u),
-         |r0 AS (SELECT count(*) AS n_audit,
-         |  ${dsumSql("CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0")} AS sr
-         |  FROM q LEFT JOIN h0 h ON h.u = q.u),
-         |h1 AS (SELECT g.u, count(*) AS h FROM g1 g
-         |  JOIN ex ON ex.u = g.u AND ex.w = g.w WHERE g.u < 50
-         |  GROUP BY g.u),
-         |r1 AS (SELECT count(*) AS n_audit,
-         |  ${dsumSql("CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0")} AS sr
-         |  FROM q LEFT JOIN h1 h ON h.u = q.u)
-         |SELECT stage, n_audit, n_edges, avg_recall FROM (
-         |  SELECT 'seed' AS stage, n_audit,
-         |    (SELECT count(*) FROM g0) AS n_edges,
-         |    ${femitSql("sr / CAST(n_audit AS DOUBLE)")} AS avg_recall
-         |  FROM r0
-         |  UNION ALL
-         |  SELECT 'refined' AS stage, n_audit,
-         |    (SELECT count(*) FROM g1) AS n_edges,
-         |    ${femitSql("sr / CAST(n_audit AS DOUBLE)")} AS avg_recall
-         |  FROM r1)
+         |ex AS (SELECT u, w FROM ex1 WHERE rnk <= 5)
+         |SELECT stage, n_audit, n_edges, delta_edges, avg_recall FROM (
+         |  ${auditSql(0, "r0_seed", "SELECT count(*) FROM g0")}
+         |  UNION ALL ${auditSql(1, "r1", "SELECT delta FROM d1")}
+         |  UNION ALL ${auditSql(2, "r2", "SELECT delta FROM d2")}
+         |  UNION ALL ${auditSql(3, "r3", "SELECT delta FROM d3")})
          |ORDER BY stage""".stripMargin
     },
     // Same full + 4-dim-truncated rankers, same (qid + round) parity
@@ -4326,8 +4330,10 @@ object Queries {
           if (i == 1) ("aa[1]", "ab[1]")
           else {
             val prior = (1 until i).map(j => s"p$j").mkString("[", ", ", "]")
-            (s"list_filter(aa, x -> NOT list_contains($prior, x))[1]",
-              s"list_filter(ab, x -> NOT list_contains($prior, x))[1]")
+            (s"list_filter(aa, x -> NOT coalesce(" +
+              s"list_contains($prior, x), false))[1]",
+              s"list_filter(ab, x -> NOT coalesce(" +
+                s"list_contains($prior, x), false))[1]")
           }
         s""",
            |s$i AS (SELECT *,

@@ -802,10 +802,16 @@ object Sim {
       val teamA = if (i % 2 == 1) firstIsA else !firstIsA
       val prior = if (i == 1) array()
         else array((1 until i).map(j => col(s"p$j")): _*)
+      // null-pick guard (ADVICE r12): once any prior pick is null
+      // (pool exhausted at depth > usable pool), array_contains over a
+      // null-bearing array returns NULL for non-members and the bare
+      // negation would drop EVERY candidate — coalesce to false so
+      // exhaustion stays per-slot, not contagious (oracle mirrors).
       def pick(arr: Column) =
         if (i == 1) try_element_at(arr, lit(1))
         else try_element_at(
-          filter(arr, x => !array_contains(prior, x)), lit(1))
+          filter(arr, x =>
+            !coalesce(array_contains(prior, x), lit(false))), lit(1))
       base = base
         .withColumn(s"t$i", when(teamA, 0L).otherwise(1L))
         .withColumn(s"p$i",
@@ -828,51 +834,64 @@ object Sim {
       .orderBy("qid")
   }
 
-  /** One NN-descent refinement round over an IVF-seeded kNN graph
-    * (Dong, Moses &amp; Li, WWW 2011 — THE way kNN graphs are built at
-    * scale: start from any cheap approximate neighborhood, then
-    * iterate "a neighbor of my neighbor is probably my neighbor";
-    * each round is pure joins, which is why the algorithm maps to a
-    * distributed engine where graph-traversal ANN like HNSW does
-    * not): seed G₀ = per-node top-k cosine among nodes sharing either
-    * of the node's TWO nearest IVF cells (multi-assignment matters:
-    * single-cell seeding is CLOSED under the co-neighbor step — every
-    * neighbor-of-neighbor stays in the same cell and the round
-    * provably gains nothing, measured recall 0.416 → 0.416 on this
-    * fixture; with 2 cells per node the expansion chains across cell
-    * overlaps, measured 0.608 → 0.636 at sf0.001 — the gate row pins
-    * both stages, so the gain itself is hash-checked), then one
-    * co-neighbor expansion —
-    * symmetrize G₀, cap each middle
-    * node's adjacency at `capNbr` by similarity rank (NN-descent's ρ
-    * sampling, the hub-blowup guard), pair every two capped neighbors
-    * of a shared middle, score the distinct new pairs, and re-take
-    * the per-node top-k over seed ∪ candidates.
+  /** NN-descent refinement TO CONVERGENCE over an IVF-seeded kNN
+    * graph (Dong, Moses &amp; Li, WWW 2011 — THE way kNN graphs are
+    * built at scale: start from any cheap approximate neighborhood,
+    * then iterate "a neighbor of my neighbor is probably my neighbor"
+    * until the update count dries up; each round is pure joins, which
+    * is why the algorithm maps to a distributed engine where
+    * graph-traversal ANN like HNSW does not): seed G₀ = per-node
+    * top-k cosine among nodes sharing either of the node's TWO
+    * nearest IVF cells (multi-assignment matters: single-cell seeding
+    * is CLOSED under the co-neighbor step — every neighbor-of-neighbor
+    * stays in the same cell and the round provably gains nothing,
+    * measured recall 0.416 → 0.416 on this fixture; with 2 cells per
+    * node the expansion chains across cell overlaps), then `maxRounds`
+    * co-neighbor rounds (VERDICT r12 item 2 — the paper's loop, not a
+    * single pass): each round symmetrizes Gᵣ, caps each middle node's
+    * adjacency at `capNbr` by similarity rank (NN-descent's ρ
+    * sampling, the hub-blowup guard), pairs every two capped
+    * neighbors of a shared middle, scores the distinct new pairs, and
+    * re-takes the per-node top-k over Gᵣ ∪ candidates.
     *
-    * Output is the CONVERGENCE AUDIT — one row per stage with
-    * recall@k against the exact top-k on the bounded audit slice
-    * (vec_id &lt; `auditN`, the JL audit-pool convention: the exact
-    * pass broadcasts only audit queries, never corpus²; at 100 TB the
-    * recall audit stays a sampled probe exactly like this) — so the
-    * gate certifies the refinement actually raised recall.
+    * Convergence protocol: a round with delta = 0 new edges is a
+    * FIXPOINT (the next round's candidates derive only from the
+    * unchanged graph, so every later round reproduces it verbatim) —
+    * the driver stops expanding there and emits the converged stats
+    * for the remaining stage rows, while the oracle unrolls all
+    * `maxRounds` rounds and lands on the identical table. Per-round
+    * graphs are localCheckpointed (the q46 CC pacing pattern), so the
+    * lineage never re-derives a prior round.
+    *
+    * Output is the CONVERGENCE AUDIT — one row per stage (seed +
+    * every round) with the new-edge delta and recall@k against the
+    * exact top-k on the bounded audit slice (vec_id &lt; `auditN`,
+    * the JL audit-pool convention: the exact pass broadcasts only
+    * audit queries, never corpus²; at 100 TB the recall audit stays a
+    * sampled probe exactly like this) — so the gate certifies each
+    * round's gain AND the drying-up of the update stream.
     *
     * Scale: every step is an equi-join keyed by cell / middle node /
     * pair — no global sort, no corpus cross join; the co-neighbor
     * candidate volume is Σ_m deg_capped(m)² with deg ≤ capNbr by
-    * construction. The SEED join is O(N²/nlist), so `nlist` must
-    * scale ~√N (the standard IVF coarse-quantizer sizing rule):
-    * ScaleProbe measured the fixed-nlist failure mode directly —
-    * 8.2 s → 391 s at 10× with nlist frozen at 16 (quadratic), vs the
-    * √N-scaled configuration it now records per round.
+    * construction, and round COUNT (bounded by `maxRounds`, with the
+    * delta-0 early exit) dominates over data growth. The SEED join is
+    * O(N²/nlist), so `nlist` must scale ~√N (the standard IVF
+    * coarse-quantizer sizing rule): ScaleProbe measured the
+    * fixed-nlist failure mode directly — 8.2 s → 391 s at 10× with
+    * nlist frozen at 16 (quadratic), vs the √N-scaled configuration
+    * it now records per round.
     * Determinism: raw-double sim ordering with id tiebreaks (the
-    * q21/q35 convention — both engines hold identical cosines), and
-    * the seed∪candidate merge is a (u,w) max-agg of identical values. */
+    * q21/q35 convention — both engines hold identical cosines), the
+    * seed∪candidate merge is a (u,w) max-agg of identical values, and
+    * the delta is an exact anti-join count. */
   def nnDescent(emb: DataFrame, k: Int = 5, nlist: Int = 16,
-                capNbr: Int = 32, auditN: Int = 50): DataFrame = {
+                capNbr: Int = 32, auditN: Int = 50,
+                maxRounds: Int = 3): DataFrame = {
     import graft.rel.Queries.{dsum, femit}
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", norm(col("v")))
-      .localCheckpoint() // centroid read + 3 vector-fetch joins
+      .localCheckpoint() // centroid read + per-round vector-fetch joins
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid").asc)
     val assigned = v.crossJoin(broadcast(ivfCentroids(v, nlist)))
@@ -886,7 +905,7 @@ object Sim {
       .join(assigned.select(col("cid"), col("vec_id").as("w")), Seq("cid"))
       .where(col("u") =!= col("w"))
       .select("u", "w").distinct()
-    val seedPairs = seedCand
+    def score(pairs: DataFrame): DataFrame = pairs
       .join(v.select(col("vec_id").as("u"), col("v").as("uv"),
         col("norm").as("un")), Seq("u"))
       .join(v.select(col("vec_id").as("w"), col("v").as("wv"),
@@ -894,30 +913,26 @@ object Sim {
       .select(col("u"), col("w"),
         cosine(col("uv"), col("wv"), col("un"), col("wn")).as("sim"))
     val wTop = Window.partitionBy("u").orderBy(col("sim").desc, col("w").asc)
-    val g0 = seedPairs.withColumn("rnk", row_number().over(wTop))
+    val g0 = score(seedCand).withColumn("rnk", row_number().over(wTop))
       .where(col("rnk") <= k).select("u", "w", "sim")
-      .localCheckpoint() // reused: expansion, merge, audit
-    val und = g0.select(col("u"), col("w"), col("sim"))
-      .unionAll(g0.select(col("w").as("u"), col("u").as("w"), col("sim")))
-    val wCap = Window.partitionBy("u").orderBy(col("sim").desc, col("w").asc)
-    val capped = und.withColumn("r", row_number().over(wCap))
-      .where(col("r") <= capNbr).select(col("u").as("m"), col("w").as("nbr"))
-    val cand = capped.select(col("m"), col("nbr").as("a"))
-      .join(capped.select(col("m"), col("nbr").as("b")), Seq("m"))
-      .where(col("a") =!= col("b"))
-      .select(col("a").as("u"), col("b").as("w")).distinct()
-    val candScored = cand
-      .join(v.select(col("vec_id").as("u"), col("v").as("uv"),
-        col("norm").as("un")), Seq("u"))
-      .join(v.select(col("vec_id").as("w"), col("v").as("wv"),
-        col("norm").as("wn")), Seq("w"))
-      .select(col("u"), col("w"),
-        cosine(col("uv"), col("wv"), col("un"), col("wn")).as("sim"))
-    val g1 = g0.unionAll(candScored)
-      .groupBy("u", "w").agg(max(col("sim")).as("sim"))
-      .withColumn("rnk", row_number().over(wTop))
-      .where(col("rnk") <= k).select("u", "w", "sim")
-      .localCheckpoint() // count + audit join
+      .localCheckpoint() // reused: round 1, merge, audit
+    def round(g: DataFrame): DataFrame = {
+      val und = g.select(col("u"), col("w"), col("sim"))
+        .unionAll(g.select(col("w").as("u"), col("u").as("w"), col("sim")))
+      val wCap = Window.partitionBy("u").orderBy(col("sim").desc, col("w").asc)
+      val capped = und.withColumn("r", row_number().over(wCap))
+        .where(col("r") <= capNbr)
+        .select(col("u").as("m"), col("w").as("nbr"))
+      val cand = capped.select(col("m"), col("nbr").as("a"))
+        .join(capped.select(col("m"), col("nbr").as("b")), Seq("m"))
+        .where(col("a") =!= col("b"))
+        .select(col("a").as("u"), col("b").as("w")).distinct()
+      g.unionAll(score(cand))
+        .groupBy("u", "w").agg(max(col("sim")).as("sim"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= k).select("u", "w", "sim")
+        .localCheckpoint() // delta count + next round + audit
+    }
     val q = v.where(col("vec_id") < auditN)
       .select(col("vec_id").as("u"), col("v").as("qv"),
         col("norm").as("qn"))
@@ -928,8 +943,8 @@ object Sim {
         cosine(col("v"), col("qv"), col("norm"), col("qn")).as("sim"))
       .withColumn("rnk", row_number().over(wEx))
       .where(col("rnk") <= k).select("u", "w")
-      .localCheckpoint() // joined against both stages
-    def audit(g: DataFrame, stage: String): DataFrame = {
+      .localCheckpoint() // joined against every stage
+    def audit(g: DataFrame, stage: String, delta: Long): DataFrame = {
       val edges = g.count()
       val hits = g.where(col("u") < auditN)
         .join(exact, Seq("u", "w"), "left_semi")
@@ -939,10 +954,25 @@ object Sim {
           dsum(coalesce(col("h"), lit(0L)).cast("double") / lit(k.toDouble))
             .as("sr"))
       rec.select(lit(stage).as("stage"), col("n_audit"),
-        lit(edges).as("n_edges"),
+        lit(edges).as("n_edges"), lit(delta).as("delta_edges"),
         femit(col("sr") / col("n_audit").cast("double")).as("avg_recall"))
     }
-    audit(g0, "seed").unionAll(audit(g1, "refined")).orderBy("stage")
+    var g = g0
+    var out = audit(g0, "r0_seed", g0.count())
+    var converged = false
+    for (r <- 1 to maxRounds) {
+      if (!converged) {
+        val gNew = round(g)
+        val delta = gNew.join(g, Seq("u", "w"), "left_anti").count()
+        out = out.unionAll(audit(gNew, s"r$r", delta))
+        if (delta == 0L) converged = true
+        g = gNew
+      } else {
+        // fixpoint: later rounds reproduce the converged graph verbatim
+        out = out.unionAll(audit(g, s"r$r", 0L))
+      }
+    }
+    out.orderBy("stage")
   }
 
   /** Matryoshka / truncated-dimension kNN — the DIMENSION-reduction

@@ -1585,20 +1585,39 @@ object TextAnalysis {
     * Scale: the table is vocab-sized (the window runs over DISTINCT
     * tokens); draws fan against the BROADCAST table with a range
     * predicate — at training scale the same table broadcasts into the
-    * negative-sampling map of every executor. */
+    * negative-sampling map of every executor. The cumulative ranges
+    * ride the q300/q192 two-phase range-cell prefix sum (VERDICT r12
+    * item 1): tokens land in 2-char-prefix cells (prefix ranges are
+    * contiguous in binary string order, so cell order = token order),
+    * the in-cell DECIMAL running sums shift by an O(cells) offset
+    * table, and DECIMAL addition is exact, so the decomposition
+    * reproduces the retired vocab-grain global window bit-for-bit —
+    * no single task ever sorts or prefix-sums the full vocabulary. */
   def negativeSamplingTable(docs: DataFrame, power: Double = 0.75,
                             nDraws: Int = 10000): DataFrame = {
     import graft.rel.Queries.femit
     graft.functions.HashExprs.register(docs.sparkSession)
     val tf = docs.select(explode(toks(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
-    val wOrd = Window.orderBy(col("t").asc)
-    val cum = tf
+    val celled = tf
       .withColumn("w", exp(lit(power) * log(col("cnt").cast("double"))))
-      .withColumn("hi", sum(col("w").cast("decimal(38,12)"))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double"))
-      .withColumn("lo", lag(col("hi"), 1, 0.0).over(wOrd))
+      .withColumn("cell", substring(col("t"), 1, 2))
+    val inCell = Window.partitionBy("cell").orderBy(col("t").asc)
+    val cwl = inCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val preCell = Window.orderBy(col("cell").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellTotals = celled.groupBy("cell")
+      .agg(sum(col("w").cast("decimal(38,12)")).as("c_w"))
+      .withColumn("off_w", coalesce(sum(col("c_w")).over(preCell),
+        lit(0).cast("decimal(38,12)")))
+      .select("cell", "off_w")
+    val cum = celled
+      .withColumn("hi_in", sum(col("w").cast("decimal(38,12)")).over(cwl))
+      .join(broadcast(cellTotals), "cell")
+      .withColumn("hi", (col("off_w") + col("hi_in")).cast("double"))
+      .withColumn("lo", coalesce(lag(col("hi"), 1).over(inCell),
+        col("off_w").cast("double")))
+      .select("t", "cnt", "w", "hi", "lo")
       .localCheckpoint() // vocab-sized; feeds the total, the join, the output
     val tot = cum.agg(max(col("hi")).as("wtot"))
     val draws = docs.sparkSession.range(0, nDraws).toDF("j")

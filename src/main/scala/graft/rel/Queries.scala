@@ -1831,16 +1831,20 @@ object Queries {
   // through the DECIMAL dsum route (order-proof), the final division a
   // single IEEE op. One window per type + one hash-agg; at 100 TB the
   // per-type ordering range-partitions by (type, day) with boundary
-  // carry exactly like the q134 EWMA discipline.
+  // carry exactly like the q134 EWMA discipline. The global horizon is
+  // a BROADCAST 1-row agg (r13 sweep: the former max().over(empty
+  // partition) funneled the whole event stream through one task just
+  // to carry a scalar).
   def twap(s: SparkSession, dir: String): DataFrame = {
     val byType = Window.partitionBy("event_type")
       .orderBy(col("us").asc, col("event_id").asc)
-    val horizon = Window.partitionBy()
-    events(s, dir)
+    val base = events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("us"))
+    val horizon = base.agg(max(col("us")).as("h"))
+    base.crossJoin(broadcast(horizon))
       .withColumn("next_us",
-        coalesce(lead(col("us"), 1).over(byType), max(col("us")).over(horizon)))
+        coalesce(lead(col("us"), 1).over(byType), col("h")))
       .withColumn("dur", col("next_us") - col("us"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("dur")).as("total_us"),
@@ -2498,11 +2502,15 @@ object Queries {
   // precedent); an all-remaining-die step (factor 0) is flagged and
   // pinned to exactly 0 rather than sent through ln.
   def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
-    val life = events(s, dir)
+    // horizon = broadcast 1-row agg (r13 sweep: the former
+    // max().over(empty partition) pushed the user-grain table through
+    // one task just to carry a scalar)
+    val perUser = events(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .groupBy("user_id")
       .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
-      .withColumn("h", max(col("last_us")).over(Window.partitionBy()))
+    val life = perUser
+      .crossJoin(broadcast(perUser.agg(max(col("last_us")).as("h"))))
       .select(expr("(last_us - first_us) div 86400000000").as("lifetime_day"),
         (col("h") - col("last_us") < 2L * 86400000000L).as("censored"))
     val table = life.groupBy("lifetime_day")
@@ -3043,9 +3051,16 @@ object Queries {
           - (col("haa") * col("gb") - col("hab") * col("ga"))
             / nullif(det, lit(0.0)), lit(20.0)), lit(-20.0)).as("b"))
     }
+    // NLL guard (ADVICE r12): the ±20 coefficient clamp does not bound
+    // a·sc+b, and once the logistic saturates to exactly 1.0 (or 0.0)
+    // in float64 a mis-labeled example drives log() to −Inf — clamp p
+    // into [ε, 1−ε] (mirrored in the q420 oracle) so avg_nll stays
+    // finite on any score range.
     val fin = perScore.crossJoin(broadcast(ab))
       .withColumn("p",
-        lit(1.0) / (lit(1.0) + exp(-(col("a") * col("sc") + col("b")))))
+        least(greatest(
+          lit(1.0) / (lit(1.0) + exp(-(col("a") * col("sc") + col("b")))),
+          lit(1e-15)), lit(1.0) - lit(1e-15)))
     fin.groupBy("a", "b")
       .agg(sum(col("cnt")).as("n_rows"), sum(col("poscnt")).as("n_pos"),
         dsum(col("poscnt").cast("double") * log(col("p"))
@@ -11951,7 +11966,8 @@ object Queries {
          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
          |b0 AS (SELECT 0.0 AS a, 0.0 AS b)$steps,
          |fin AS (SELECT ps.*, bb.a, bb.b,
-         |  1.0 / (1.0 + exp(-(bb.a * sc + bb.b))) AS p
+         |  least(greatest(1.0 / (1.0 + exp(-(bb.a * sc + bb.b))),
+         |    1e-15), 1.0 - 1e-15) AS p
          |  FROM ps CROSS JOIN b8 bb),
          |ag AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n_rows,
          |  CAST(sum(poscnt) AS BIGINT) AS n_pos,

@@ -671,6 +671,76 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("registry sweep: every single-partition window runs over bounded grain (r13)") {
+    // VERDICT r12 item 1: the q300/q192/q411 cell-grain pin, extended
+    // to the WHOLE registry. A WindowExec with an empty partitionSpec
+    // sorts its input in ONE task, so it is admissible only over
+    // bounded-grain input, recognized structurally:
+    //  (a) an O(cells) two-phase offset table — child output carries
+    //      the `cell` column;
+    //  (b) a limit-k head — GlobalLimit / TakeOrderedAndProject /
+    //      CollectLimit / LocalLimit below the window;
+    //  (c) a rank<=k form the planner rewrote through
+    //      WindowGroupLimit (partial per-partition top-k before the
+    //      single-partition final);
+    //  (d) a named bounded grid from the allowlist below (each entry
+    //      justified at its definition site — distinct-value grids,
+    //      fixed sweeps, <=nlist cell tables, shard-offset tables).
+    // Anything else is a corpus-grain global sort — the q360 failure
+    // mode this round two-phased away.
+    import org.apache.spark.sql.execution.SparkPlan
+    // Adjudicated bounded-grain globals (each window's input is O(grid),
+    // independent of corpus size — the VERDICT r12 item 1 categories):
+    val allow: Set[String] = Set(
+      "q165_sorted_neighborhood", // distinct leading-char bucket table (≤ alphabet)
+      "q188_chisq",               // (event_type × dow) contingency grid
+      "q191_kaplan_meier",        // day-grain life table, O(days)
+      "q193_seasonal_index",      // dow grid (7)
+      "q199_decile_lift",         // decile grid (10)
+      "q261_rolling_corr",        // day-grain series, O(days)
+      "q292_decision_stump",      // distinct-threshold value grid
+      "q323_lsh_planner",         // (bands, rows/band) parameter sweep
+      "q340_ada_boost",           // distinct-threshold value grid per round
+      "q342_mi_rank",             // feature grid (4)
+      "q351_jm_interp",           // λ sweep grid
+      "q375_quantile_norm",       // distinct n_chars value grid
+      "q379_filter_cascade",      // cascade-stage grid
+      "q382_qini_uplift",         // decile grid (10)
+      "q386_auc_bootstrap",       // bootstrap-replicate grid (B)
+      "q394_logrank",             // day-grain risk table
+      "q39_shard_pack",           // ≤32-row shard-offset table
+      "q41_corpus_clean",         // ≤32-row shard-offset table
+      "q70_pack_sequences",       // ≤32-row shard-offset table
+      "q419_kendall_w",           // criterion value-grid midranks
+      "q422_ljung_box",           // lag grid
+      "q423_runs_test",           // day-grain sign series
+      "q425_nelson_aalen",        // day-grain risk table
+      "q428_rmst")                // day-grain risk table
+    def boundedBelow(p: SparkPlan): Boolean = p.collectFirst {
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
+      case _: org.apache.spark.sql.execution.LocalLimitExec => ()
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
+      case _: org.apache.spark.sql.execution.CollectLimitExec => ()
+      case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => ()
+    }.isDefined
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      val globals = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      globals.foreach { w =>
+        val out = w.child.output.map(_.name).toSet
+        val ok = out.contains("cell") || boundedBelow(w.child) ||
+          allow.contains(name)
+        if (!ok) bad += s"$name: global window over ${out.mkString(",")}"
+      }
+    }
+    assert(bad.isEmpty, s"${bad.size} unbounded single-partition windows:\n" +
+      bad.mkString("\n"))
+  }
+
   test("q417 nn-descent is equi-join only: no cartesian, no corpus global sort (r12)") {
     // Seed = cell equi-join, expansion = middle-node equi-join, audit
     // = broadcast of the bounded query slice. The only admissible

@@ -372,22 +372,31 @@ class Round12OpsSpec extends SparkSpec {
       out(("events.props", "view")).getAs[Long]("n_digit_runs") == 0L)
   }
 
-  test("nnDescent: the co-neighbor round never lowers recall and edges stay k per node") {
+  test("nnDescent: rounds never lower recall, deltas dry up, edges stay k per node") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val n = emb.count()
     val rows = Sim.nnDescent(emb).collect()
       .map(r => r.getString(0) ->
-        (r.getAs[Long]("n_edges"), r.getAs[Double]("avg_recall"))).toMap
-    val (seedE, seedR) = rows("seed")
-    val (refE, refR) = rows("refined")
+        ((r.getAs[Long]("n_edges"), r.getAs[Long]("delta_edges"),
+          r.getAs[Double]("avg_recall")))).toMap
+    val stages = Seq("r0_seed", "r1", "r2", "r3")
+    assert(rows.keySet == stages.toSet)
     // top-k per node: every node has >= k same-cell peers here
-    assert(seedE == 5L * n && refE == 5L * n)
-    assert(seedR > 0.0 && seedR <= 1.0 && refR <= 1.0)
-    // the refined graph keeps every seed edge as a candidate, so
-    // per-node top-k can only improve or hold
-    assert(refR >= seedR - 1e-9, s"seed=$seedR refined=$refR")
-    // FIXTURE-DEPENDENT floor: the round strictly improves here
-    assert(refR > seedR, s"expansion added nothing: $seedR")
+    stages.foreach { s => assert(rows(s)._1 == 5L * n, s) }
+    // each round keeps every prior edge as a candidate, so per-node
+    // top-k recall is monotone nondecreasing round over round
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._3 >= rows(a)._3 - 1e-9, s"$a=${rows(a)._3} $b=${rows(b)._3}")
+    }
+    // FIXTURE-DEPENDENT floors (VERDICT r12 item 2): at least two
+    // EFFECTIVE rounds (nonzero delta), the update stream dries up
+    // monotonically, and convergence lands above the seed
+    assert(rows("r1")._2 > 0L && rows("r2")._2 > 0L,
+      s"deltas: ${stages.map(s => rows(s)._2)}")
+    assert(rows("r1")._2 >= rows("r2")._2 && rows("r2")._2 >= rows("r3")._2,
+      s"update stream must dry up: ${stages.map(s => rows(s)._2)}")
+    assert(rows("r3")._3 >= 0.66, s"converged recall ${rows("r3")._3}")
+    assert(rows("r3")._3 > rows("r0_seed")._3, "refinement added nothing")
   }
 
   test("teamDraftInterleave: each team drafts half the list, pref is the click sign") {
