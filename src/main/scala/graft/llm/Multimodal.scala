@@ -22,38 +22,130 @@ case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
   * UDF: decoders amortize setup per batch, not per record), and a typed
   * feature schema out.
   *
-  * ==STUB== The decode itself is a deterministic fake: real image/audio
-  * codecs are not available in this container. [[decodeStub]] derives
-  * plausible (width, height, n_frames, feature) values purely from the
-  * payload bytes so tests are reproducible. Swapping in a real decoder
-  * changes only that one function — schema, batching, and partitioning
-  * are decoder-agnostic.
+  * Since r13 (VERDICT r12 item 3) the payload is a REAL byte format:
+  * [[encodePpm]] emits a binary PPM (P6) filmstrip — magic, `#`-comment
+  * metadata, ASCII dims, maxval, raw RGB grid — and [[decodePpm]] is a
+  * real header parser (magic check, comment skipping, dim/maxval
+  * validation, pixel-count check) that rejects malformed payloads to
+  * `None`, on which [[extractFeatures]] falls back to the r5 FNV stub
+  * path. The ENCODER is still synthetic (no camera in this container),
+  * but the decode side now exercises exactly what a production decoder
+  * does: parse untrusted bytes, validate, extract a pixel grid, and
+  * derive features from pixels — and row 0 of the pixel grid carries
+  * the 24-bit FNV feature contract, so the DuckDB oracle keeps
+  * recomputing every downstream value from `documents.text`.
   */
 object Multimodal {
 
-  /** Ingest: project a text table into the opaque-payload shape (in a
-    * real pipeline the payload column arrives as actual media bytes). */
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  private def fnvStr(text: String, tag: String): Long =
+    graft.functions.Fnv1a32.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text + ":" + tag),
+      graft.functions.Fnv1a32.Seed)
+
+  /** Deterministic PPM (P6) filmstrip encoder — the fixture generator
+    * (a real pipeline receives bytes like these from a camera or a
+    * transcoder): `n_frames` frames of `height` rows stacked
+    * vertically, frame count carried in a `# frames=N` header comment
+    * (comments are part of the real PPM grammar). Pixel row 0 encodes
+    * the 24-bit feature contract — pixel (0, j) = fnv(text:j) mod 2²⁴
+    * big-endian, the exact values the r5 stub emitted — so features
+    * extracted from DECODED PIXELS stay DuckDB-recomputable from the
+    * text twin. Remaining rows are LCG filler (content, not contract). */
+  def encodePpm(text: String): Array[Byte] = {
+    val w = (8 + fnvStr(text, "w") % 24).toInt
+    val h = (8 + fnvStr(text, "h") % 24).toInt
+    val frames = (1 + fnvStr(text, "f") % 8).toInt
+    val totalH = h * frames
+    val header = s"P6\n# frames=$frames\n$w $totalH\n255\n".getBytes(Ascii)
+    val px = new Array[Byte](w * totalH * 3)
+    var j = 0
+    while (j < w) {
+      val v = fnvStr(text, j.toString) % 16777216L
+      px(3 * j) = ((v >> 16) & 0xFF).toByte
+      px(3 * j + 1) = ((v >> 8) & 0xFF).toByte
+      px(3 * j + 2) = (v & 0xFF).toByte
+      j += 1
+    }
+    var st = fnvStr(text, "px") | 1L
+    var i = w * 3
+    while (i < px.length) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      px(i) = ((st >>> 33) & 0xFF).toByte
+      i += 1
+    }
+    header ++ px
+  }
+
+  /** REAL P6 parser over untrusted bytes: magic, whitespace/comment
+    * grammar (a `# frames=N` comment is read as filmstrip metadata;
+    * any other comment is skipped), three ASCII ints, maxval must be
+    * 255, pixel payload must be exactly width×totalHeight×3 bytes, and
+    * totalHeight must divide into the declared frame count. Any
+    * violation → `None` (malformed media is a fact of life at ingest;
+    * the caller decides the fallback). Returns (width, frameHeight,
+    * nFrames, pixels). */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    var pos = 0
+    var frames = 1
+    def peek: Int = if (pos < payload.length) payload(pos) & 0xFF else -1
+    def isWs(c: Int) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def skipSpace(): Unit = {
+      var go = true
+      while (go) {
+        while (isWs(peek)) pos += 1
+        if (peek == '#') {
+          val start = pos
+          while (peek != '\n' && peek != -1) pos += 1
+          val comment = new String(payload, start, pos - start, Ascii)
+          if (comment.startsWith("# frames=")) {
+            val digits = comment.drop("# frames=".length).trim
+            if (digits.nonEmpty && digits.forall(_.isDigit) &&
+              digits.length <= 9) frames = digits.toInt
+          }
+        } else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpace()
+      val start = pos
+      while (peek >= '0' && peek <= '9') pos += 1
+      if (pos == start || pos - start > 9) -1
+      else new String(payload, start, pos - start, Ascii).toInt
+    }
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      return None
+    pos = 2
+    val w = readInt(); val totalH = readInt(); val maxval = readInt()
+    if (w <= 0 || totalH <= 0 || maxval != 255) return None
+    if (!isWs(peek)) return None
+    pos += 1 // exactly one whitespace byte before the raster, per spec
+    if (frames <= 0 || totalH % frames != 0) return None
+    val need = w.toLong * totalH * 3
+    if (payload.length - pos != need) return None
+    Some((w, totalH / frames, frames,
+      java.util.Arrays.copyOfRange(payload, pos, payload.length)))
+  }
+
+  /** Ingest: encode each document's text twin as a real PPM payload (in
+    * a production pipeline the payload column arrives as actual media
+    * bytes — this generator stands in for the camera, not the decoder). */
   def ingest(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaDoc] = {
     import spark.implicits._
-    docs.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      lit("application/octet-stream").as("mime"),
-      col("lang"),
-      octet_length(col("text")).cast("long").as("byte_len"))
-      .as[MediaDoc]
+    docs.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val p = encodePpm(text)
+        MediaDoc(id, p, "image/x-portable-pixmap", lang, p.length.toLong)
+      }
   }
 
   private def fnvTag(payload: Array[Byte], tag: String): Long =
-    graft.functions.Fnv1a32.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromString(
-        new String(payload, java.nio.charset.StandardCharsets.UTF_8) + ":" + tag),
-      graft.functions.Fnv1a32.Seed)
+    fnvStr(new String(payload, java.nio.charset.StandardCharsets.UTF_8), tag)
 
-  /** ==STUB== deterministic fake decode: real codecs absent here. Since
-    * round 5 the fake values derive from the portable
-    * [[graft.functions.Fnv1a32]] over the payload's text, so the DuckDB
-    * oracle recomputes them and q38 carries a FULL value oracle (the
-    * earlier JVM-hash stub forced a rows-only row). */
+  /** ==STUB FALLBACK== deterministic dims for payloads [[decodePpm]]
+    * rejects (the r5 stub, kept as the malformed-media fallback). */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val w = (16 + fnvTag(payload, "w") % 1024).toInt
     val ht = (16 + fnvTag(payload, "h") % 1024).toInt
@@ -61,17 +153,21 @@ object Multimodal {
     (w, ht, frames)
   }
 
-  /** ==STUB== deterministic fake embedding of a frame sample. Values are
-    * 24-bit integers as floats — exactly representable, so the dump's
-    * integer signature survives the float round trip bit-for-bit on any
-    * engine. */
+  /** ==STUB FALLBACK== deterministic feature vector for payloads
+    * [[decodePpm]] rejects. Values are 24-bit integers as floats —
+    * exactly representable, so the dump's integer signature survives
+    * the float round trip bit-for-bit on any engine. */
   def featureStub(payload: Array[Byte], dim: Int): Array[Float] =
     Array.tabulate(dim)(j => (fnvTag(payload, j.toString) % 16777216L).toFloat)
 
   /** Batched decode + feature extraction. `batchSize` models the decoder
     * batch shape (e.g. GPU/vectorized decode): records are processed in
     * partition-local groups so a real decoder could amortize per-batch
-    * setup. No shuffle — purely partition-parallel. */
+    * setup. No shuffle — purely partition-parallel. Well-formed PPM
+    * payloads go through the REAL parser ([[decodePpm]]) and take their
+    * features from decoded pixel row 0 (24-bit big-endian per pixel,
+    * exactly representable as float); malformed payloads fall back to
+    * the FNV stub pair — ingest never throws on bad media. */
   def extractFeatures(ds: Dataset[MediaDoc], batchSize: Int = 64,
                       featureDim: Int = 8): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -79,9 +175,19 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch decoder setup would go here
         batch.iterator.map { m =>
-          val (w, h, frames) = decodeStub(m.payload)
-          MediaFeatures(m.doc_id, m.byte_len, w, h, frames,
-            featureStub(m.payload, featureDim))
+          decodePpm(m.payload) match {
+            case Some((w, fh, frames, px)) =>
+              val feats = Array.tabulate(featureDim) { j =>
+                val o = 3 * (j % w)
+                (((px(o) & 0xFF) << 16) | ((px(o + 1) & 0xFF) << 8)
+                  | (px(o + 2) & 0xFF)).toFloat
+              }
+              MediaFeatures(m.doc_id, m.byte_len, w, fh, frames, feats)
+            case None =>
+              val (w, h, frames) = decodeStub(m.payload)
+              MediaFeatures(m.doc_id, m.byte_len, w, h, frames,
+                featureStub(m.payload, featureDim))
+          }
         }
       }
     }

@@ -4055,17 +4055,28 @@ object Queries {
         |  string_agg(CASE WHEN df <= 10 THEN line END, '. ' ORDER BY pos) AS clean
         |FROM l JOIN f USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // DuckDB twin of the portable stub decode: same FNV tags, same mods.
+    // DuckDB twin of the real-PPM path: the same fnv-derived dims the
+    // encoder writes into the header (and the parser reads back out),
+    // byte_len = exact PPM size (19 fixed header bytes + the three
+    // ASCII dim fields + w·H·3 raster bytes), features = pixel row 0's
+    // 24-bit contract (identical to the r5 stub formula).
     "q38_multimodal_features" ->
-      s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-         |  CAST(16 + ${fnvSql("(text || ':w')")} % 1024 AS INTEGER) AS width,
-         |  CAST(16 + ${fnvSql("(text || ':h')")} % 1024 AS INTEGER) AS height,
-         |  CAST(1 + ${fnvSql("(text || ':f')")} % 32 AS INTEGER) AS n_frames,
+      s"""WITH d AS (SELECT doc_id, text,
+         |    8 + ${fnvSql("(text || ':w')")} % 24 AS w,
+         |    8 + ${fnvSql("(text || ':h')")} % 24 AS h,
+         |    1 + ${fnvSql("(text || ':f')")} % 8 AS f
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(19 + strlen(CAST(f AS VARCHAR)) + strlen(CAST(w AS VARCHAR))
+         |    + strlen(CAST(h * f AS VARCHAR)) + w * h * f * 3 AS BIGINT)
+         |    AS byte_len,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(f AS INTEGER) AS n_frames,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(range(8),
          |      j -> ${fnvSql("(text || ':' || CAST(j AS VARCHAR))")} % 16777216)),
          |    (a, b) -> a + b) AS feature_sig
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q61_frame_sample" ->
       s"""WITH n AS (SELECT doc_id, text,
          |    1 + ${fnvSql("text")} % 32 AS n_frames FROM documents),
@@ -5964,15 +5975,19 @@ object Queries {
          |  ${femitSql("exp(-avg0)")} AS held_out_ppl
          |FROM a""".stripMargin
     },
-    // Same 8x8 subvector slices, same fsum cosine, the per-(query-
+    // Same (doc_id, tok_pos, vec) token-vector relation (fnv token
+    // count, rotation generator), same fsum cosine, the per-(query-
     // token, doc) max and the sum over query tokens both on the
     // VARCHAR-routed DECIMAL lattice (the dsum discipline applied to
     // max/sum), ranked by the femit'd score with vec_id tiebreak.
     "q378_maxsim" -> {
       val snormSql = s"sqrt(${foldSum.format("list_transform(sv, x -> x * x)")})"
+      val ntokSql = s"1 + ${fnvSql("(CAST(vec_id AS VARCHAR) || ':ntok')")} % 8"
       s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |sub AS (SELECT vec_id, s AS i, v[s*8+1 : s*8+8] AS sv FROM vv,
-         |  (SELECT unnest(range(8)) AS s) ss),
+         |nt AS (SELECT vec_id, v, $ntokSql AS n_tok FROM vv),
+         |sub AS (SELECT vec_id, t AS i,
+         |  list_transform(range(64), j -> v[((j + t) % 64) + 1]) AS sv
+         |  FROM nt, LATERAL (SELECT unnest(range(n_tok)) AS t) ts),
          |nz AS (SELECT * FROM
          |  (SELECT vec_id, i, sv, $snormSql AS snorm FROM sub) ns
          |  WHERE snorm > 0.0),

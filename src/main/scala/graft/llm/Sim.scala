@@ -2455,45 +2455,62 @@ object Sim {
       .orderBy("cid")
   }
 
+  /** Per-token vector RELATION (doc_id=vec_id, tok_pos, tv) — the
+    * multi-vector table a late-interaction retriever actually scores
+    * over (VERDICT r12 item 4: the former 8-dim slice decomposition is
+    * retired). Each document carries a VARIABLE number of full-width
+    * token vectors: n_tok = 1 + fnv(vec_id:ntok) mod maxTok, token t's
+    * vector = the document embedding rotated by t coordinates —
+    * deterministic (the stand-in generator for a real encoder's
+    * per-token outputs, like the Multimodal PPM encoder),
+    * norm-preserving, full 64-dim, and DuckDB-recomputable, which is
+    * what keeps q378 a full value oracle. A real multi-vector encoder
+    * swaps in at this one relation; every consumer is unchanged. */
+  def tokenVectors(emb: DataFrame, maxTok: Int = 8): DataFrame = {
+    graft.functions.HashExprs.register(emb.sparkSession)
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n_tok", lit(1L) + pmod(
+        graft.functions.HashExprs
+          .fnv1a32("concat(cast(vec_id as string), ':ntok')"),
+        lit(maxTok.toLong)))
+      .select(col("vec_id"),
+        posexplode(expr(
+          "transform(sequence(0, int(n_tok) - 1), t -> " +
+            "transform(sequence(0, 63), j -> element_at(v, (j + t) % 64 + 1)))"))
+          .as(Seq("tok_pos", "tv")))
+  }
+
   /** Multi-vector LATE-INTERACTION retrieval (the ColBERT scoring rule
     * — Khattab &amp; Zaharia, SIGIR 2020): score(q, d) =
-    * Σ_{i∈q} max_{j∈d} cos(qᵢ, dⱼ) over per-token vectors, the
-    * architecture modern retrieval stacks run between single-vector
-    * kNN (q21) and full cross-encoders. The fixture carries one vector
-    * per document, so the "token vectors" here are its `nSub`
-    * contiguous 8-dim subvector slices — a stand-in decomposition
-    * (documented, like the Multimodal decode stub): a real multi-
-    * vector table swaps in at the `sub` relation and every operator
-    * below it (the maxsim group, the sum, the top-k) is unchanged.
+    * Σ_{i∈q} max_{j∈d} cos(qᵢ, dⱼ) over the [[tokenVectors]] relation
+    * (doc_id, tok_pos, vec) — the architecture modern retrieval stacks
+    * run between single-vector kNN (q21) and full cross-encoders.
+    * Documents carry variable token counts, so n_qtok varies per query
+    * and the score is a genuine multi-vector aggregate.
     *
-    * Determinism: every subvector cosine is the exact fsum chain;
+    * Determinism: every token cosine is the exact fsum chain;
     * max-per-(query-token, doc) and the sum over query tokens ride
     * DECIMAL(38,12) (window/agg association, the q294 rule); the
     * top-k orders by the ROUNDED score with vec_id tiebreak (q207).
     *
-    * Scale: the query side (nQuery·nSub rows) broadcasts; the corpus
-    * explodes ×nSub and streams ONCE through the broadcast join into
-    * a (qid, i, vec_id) max-agg then a (qid, vec_id) sum-agg — two
-    * map-side-partial hash-aggs, shuffle keyed by (qid, vec_id),
-    * never a corpus×corpus pair table; the final window is per-query
-    * top-k. */
+    * Scale: the query side (nQuery docs × ≤maxTok token rows)
+    * broadcasts; the corpus token table streams ONCE through the
+    * broadcast join into a (qid, qtok, vec_id) max-agg then a
+    * (qid, vec_id) sum-agg — two map-side-partial hash-aggs, shuffle
+    * keyed by (qid, vec_id), never a corpus×corpus pair table; the
+    * final window is per-query top-k. */
   def maxSimKnn(emb: DataFrame, nQuery: Int, k: Int,
-                nSub: Int = 8): DataFrame = {
+                maxTok: Int = 8): DataFrame = {
     import graft.rel.Queries.femit
-    val width = 64 / nSub
-    val sub = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${nSub - 1}), s -> slice(v, s * $width + 1, $width))"))
-          .as(Seq("i", "sv")))
-      .withColumn("snorm", norm(col("sv")))
-      .where(col("snorm") > 0.0)
-    val q = sub.where(col("vec_id") < nQuery)
-      .select(col("vec_id").as("qid"), col("i").as("qi"),
-        col("sv").as("qv"), col("snorm").as("qn"))
-    val maxed = sub.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val tv = tokenVectors(emb, maxTok)
+      .withColumn("tnorm", norm(col("tv")))
+      .where(col("tnorm") > 0.0)
+    val q = tv.where(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("tok_pos").as("qi"),
+        col("tv").as("qv"), col("tnorm").as("qn"))
+    val maxed = tv.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qi"), col("vec_id"),
-        cosine(col("sv"), col("qv"), col("snorm"), col("qn")).as("s"))
+        cosine(col("tv"), col("qv"), col("tnorm"), col("qn")).as("s"))
       .groupBy("qid", "qi", "vec_id")
       .agg(max(col("s").cast("decimal(38,12)")).as("ms"))
     val wRank = Window.partitionBy("qid")

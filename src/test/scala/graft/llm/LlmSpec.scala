@@ -1094,20 +1094,58 @@ class ClusterDedupSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
-  test("ingest -> extractFeatures: typed schema, deterministic stub, batched") {
+  test("ingest -> extractFeatures: real PPM payload, deterministic, batched") {
     implicit val s = spark
     import s.implicits._
     val docs = Seq((0L, "hello world", "en"), (1L, "bye", "de"))
       .toDF("doc_id", "text", "lang")
     val media = Multimodal.ingest(docs)
     val m = media.collect().sortBy(_.doc_id)
-    assert(m(0).payload.toSeq == "hello world".getBytes("UTF-8").toSeq)
-    assert(m(0).byte_len == 11L)
+    // the payload IS a parseable P6 file and byte_len is its exact size
+    assert(new String(m(0).payload.take(3), "US-ASCII") == "P6\n")
+    assert(m(0).byte_len == m(0).payload.length.toLong)
+    assert(m(0).mime == "image/x-portable-pixmap")
     val f1 = Multimodal.extractFeatures(media, batchSize = 1).collect().sortBy(_.doc_id)
     val f2 = Multimodal.extractFeatures(media, batchSize = 64).collect().sortBy(_.doc_id)
     assert(f1.map(_.width).toSeq == f2.map(_.width).toSeq, "batch size must not change results")
     assert(f1(0).feature.length == 8)
-    assert(f1(0).width >= 16 && f1(0).height >= 16 && f1(0).n_frames >= 1)
+    assert(f1(0).width >= 8 && f1(0).height >= 8 && f1(0).n_frames >= 1)
+    // parsed dims equal what the encoder wrote, and the raster size
+    // accounts for the whole file
+    val Some((w, fh, fr, px)) = Multimodal.decodePpm(m(0).payload)
+    assert(w == f1(0).width && fh == f1(0).height && fr == f1(0).n_frames)
+    assert(px.length == w * fh * fr * 3)
+    // features come from decoded pixel row 0, and they equal the FNV
+    // contract the oracle recomputes from text
+    val expect = Multimodal.featureStub("hello world".getBytes("UTF-8"), 8)
+    assert(f1(0).feature.toSeq == expect.toSeq)
+  }
+
+  test("decodePpm rejects malformed headers; extractFeatures falls back, never throws") {
+    implicit val s = spark
+    import s.implicits._
+    val good = Multimodal.encodePpm("hello world")
+    assert(Multimodal.decodePpm(good).isDefined)
+    val truncated = good.dropRight(1)
+    val wrongMagic = { val b = good.clone(); b(1) = '5'.toByte; b }
+    val badMaxval = "P6\n2 2\n254\n".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte)
+    val badFrames = "P6\n# frames=3\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill(12)(0.toByte) // 2 rows not divisible into 3 frames
+    val garbage = "not an image at all".getBytes("UTF-8")
+    val overlong = ("P6\n" + "9" * 12 + " 2\n255\n").getBytes("US-ASCII")
+    Seq(truncated, wrongMagic, badMaxval, badFrames, garbage, overlong)
+      .foreach(p => assert(Multimodal.decodePpm(p).isEmpty, p.take(20).toSeq))
+    // comment-skipping grammar: an unrelated comment parses fine
+    val commented = "P6\n# camera=test\n1 1\n255\nABC".getBytes("US-ASCII")
+    val parsed = Multimodal.decodePpm(commented)
+    assert(parsed.exists { case (w, h, fr, px) =>
+      w == 1 && h == 1 && fr == 1 && px.toSeq == "ABC".getBytes("US-ASCII").toSeq
+    }, parsed.toString)
+    // malformed payloads route through the stub fallback, no exception
+    val bad = Seq(MediaDoc(9L, garbage, "application/octet-stream", "en",
+      garbage.length.toLong)).toDS()
+    val f = Multimodal.extractFeatures(bad).collect().head
+    assert(f.width >= 16 && f.feature.length == 8)
   }
 
   test("q38 raw feature-array schema is pinned (the gate dump carries its integer sum)") {
