@@ -341,7 +341,7 @@ object ScaleProbe {
     }
     out ++= s""""recsys":{${rc.mkString(",")}},"""
 
-    // --- NN-descent round (q417 shape, new this round). The seed
+    // --- NN-descent (q417 shape; r13: the convergence loop). The seed
     // join is O(N²/nlist): at FIXED nlist the per-cell population
     // grows linearly with the corpus and the same-cell pair step goes
     // quadratic — measured ONCE at 8.2 s (x1) → 391 s (x10) with
@@ -349,19 +349,53 @@ object ScaleProbe {
     // A linear seed needs CONSTANT cell population, i.e. nlist ∝ N
     // (the √N tradition optimizes query-probe cost, not graph build —
     // measured: nlist=50 at x10 still pays N^1.5 = 100 s). The probe
-    // measures the linear configuration: x10 runs nlist=160. The
-    // capped co-neighbor expansion and the fixed 50-query exact audit
-    // are corpus-linear either way.
-    val nnd = Seq((1, 16), (10, 160)).map { case (k, nl) =>
+    // measures the linear configuration: x10 runs nlist=160 — at BOTH
+    // maxRounds=1 and maxRounds=3, so the artifact shows ROUND COUNT,
+    // not data volume, dominates cost (VERDICT r12 item 2): each
+    // co-neighbor round is the same capped corpus-linear join, so
+    // sec(r3)/sec(r1) tracks the round ratio while sec(x10)/sec(x1)
+    // stays ~linear under the nlist ladder.
+    val nnd = Seq((1, 16), (10, 160)).flatMap { case (k, nl) =>
       val rep = replicateEmb(k).localCheckpoint()
-      val (rows, t) = time(llm.Sim.nnDescent(rep, nlist = nl).collect())
-      val rec = rows.find(_.getString(0) == "refined")
-        .map(_.getAs[Double]("avg_recall")).getOrElse(-1.0)
-      println(s"SCALEPROBE nndescent x$k (nlist=$nl): $t s, " +
-        s"refined recall $rec")
-      s""""x$k":{"sec":$t,"recall":$rec,"nlist":$nl}"""
+      Seq(1, 3).map { mr =>
+        val (rows, t) = time(
+          llm.Sim.nnDescent(rep, nlist = nl, maxRounds = mr).collect())
+        val last = rows.find(_.getString(0) == s"r$mr").get
+        val rec = last.getAs[Double]("avg_recall")
+        val delta = last.getAs[Long]("delta_edges")
+        println(s"SCALEPROBE nndescent x$k rounds=$mr (nlist=$nl): $t s, " +
+          s"final recall $rec, last-round delta $delta")
+        s""""x${k}_r$mr":{"sec":$t,"recall":$rec,"nlist":$nl,""" +
+          s""""rounds":$mr,"last_delta":$delta}"""
+      }
     }
-    out ++= s""""nndescent":{${nnd.mkString(",")}}}"""
+    out ++= s""""nndescent":{${nnd.mkString(",")}},"""
+
+    // --- negative-sampling table (q360 shape; r13: the two-phase
+    // range-cell prefix sum). The cumulative table is vocab-grain;
+    // replicas suffix tokens so the vocabulary itself grows ~10× —
+    // exactly the axis the retired single-partition window serialized
+    // on. A ~linear slope certifies the cell decomposition.
+    val neg = Seq(1, 10).map { k =>
+      val (n, t) = time(
+        llm.TextAnalysis.negativeSamplingTable(docsAt(k)).count())
+      println(s"SCALEPROBE negsample x$k: $t s, $n vocab rows")
+      s""""x$k":{"sec":$t,"vocab":$n}"""
+    }
+    out ++= s""""negsample":{${neg.mkString(",")}},"""
+
+    // --- MaxSim late interaction (q378 shape; r13: the token-vector
+    // relation). Corpus token rows grow 10× (same query side); the
+    // broadcast-stream plan must scale with corpus tokens, never
+    // corpus × corpus.
+    val ms = Seq(1, 10).map { k =>
+      val rep = replicateEmb(k).localCheckpoint()
+      val (n, t) = time(
+        llm.Sim.maxSimKnn(rep, nQuery = 10, k = 5).count())
+      println(s"SCALEPROBE maxsim x$k: $t s, $n rows")
+      s""""x$k":{"sec":$t,"rows":$n}"""
+    }
+    out ++= s""""maxsim":{${ms.mkString(",")}}}"""
 
     println("SCALEPROBE " + out)
     val p = java.nio.file.Paths.get("target/scale.json")

@@ -848,6 +848,85 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** b-BIT MINWISE HASHING accuracy audit (Li &amp; König, CACM 2011 —
+    * THE storage-compression result for minhash: keep only the lowest
+    * b bits of each bucket-min and a 64-bucket signature drops from
+    * 512 bytes to 8·b bytes, the difference between a signature store
+    * that fits executor memory at 100 TB and one that does not): over
+    * the SAME candidate pairs and the same one-permutation bucket-min
+    * frame as [[minhashAccuracy]], compare the full-width estimator
+    * against the b ∈ {1, 2, 4} truncations with the large-universe
+    * collision correction Ĵ_b = (P̂_b − 2⁻ᵇ) / (1 − 2⁻ᵇ) (the r₁,r₂→0
+    * limit of the paper's C₁/C₂ constants — documented simplification;
+    * accidental low-bit collisions inflate P̂_b and the correction
+    * removes exactly that inflation in expectation). P̂_b counts
+    * equal-low-bits buckets over the union occupancy (the OPH
+    * densification denominator [[minhashAccuracy]] pins).
+    *
+    * Output per candidate pair: exact Jaccard, the full estimate, the
+    * three corrected b-bit estimates, and their absolute errors — the
+    * gate row IS the storage/accuracy tradeoff table.
+    *
+    * Scale: identical plan to [[minhashAccuracy]] (the b-bit columns
+    * are extra conditional sums on the SAME 3-key equi-join — no new
+    * shuffle); the truncation itself is what a production store would
+    * persist. */
+  def bbitMinhash(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, nBuckets: Int = 64, bandSize: Int = 4,
+                  maxBucket: Int = 1000): DataFrame = {
+    import graft.rel.Queries.femit
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("doc_id"),
+        nativeShingles(docs, textCol, k).as("sh"))
+      .where(size(col("sh")) > 0).localCheckpoint()
+    val cands = minhashCandidatesFromShingles(sh, nBuckets, bandSize, maxBucket)
+    val bm = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), graft.functions.HashExprs.fnv1a32("s").as("h"))
+      .groupBy(col("doc_id"), pmod(col("h"), lit(nBuckets)).as("bucket"))
+      .agg(min(col("h")).as("mh"))
+      .localCheckpoint() // both sides of the bucket join + occupancy
+    val both = cands
+      .join(bm.select(col("doc_id").as("d1"), col("bucket"),
+        col("mh").as("mh1")), Seq("d1"))
+      .join(bm.select(col("doc_id").as("d2"), col("bucket"),
+        col("mh").as("mh2")), Seq("d2", "bucket"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("ob"),
+        sum(when(col("mh1") === col("mh2"), 1L).otherwise(0L)).as("mfull"),
+        sum(when(col("mh1") % 2L === col("mh2") % 2L, 1L).otherwise(0L))
+          .as("m1"),
+        sum(when(col("mh1") % 4L === col("mh2") % 4L, 1L).otherwise(0L))
+          .as("m2"),
+        sum(when(col("mh1") % 16L === col("mh2") % 16L, 1L).otherwise(0L))
+          .as("m4"))
+    val nb = bm.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val ex = cands
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("double").as("total"))
+    val uni = (col("nb1") + col("nb2") - col("ob")).cast("double")
+    val jac = col("inter") / (col("total") - col("inter"))
+    def bbit(m: Column, b: Int): Column = {
+      val c = 1.0 / (1L << b)
+      (m.cast("double") / uni - lit(c)) / lit(1.0 - c)
+    }
+    both
+      .join(nb.select(col("doc_id").as("d1"), col("nb").as("nb1")), Seq("d1"))
+      .join(nb.select(col("doc_id").as("d2"), col("nb").as("nb2")), Seq("d2"))
+      .join(ex, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"),
+        femit(jac).as("exact_jaccard"),
+        femit(col("mfull").cast("double") / uni).as("est_full"),
+        femit(bbit(col("m1"), 1)).as("est_b1"),
+        femit(bbit(col("m2"), 2)).as("est_b2"),
+        femit(bbit(col("m4"), 4)).as("est_b4"),
+        femit(abs(col("mfull").cast("double") / uni - jac)).as("err_full"),
+        femit(abs(bbit(col("m4"), 4) - jac)).as("err_b4"))
+      .orderBy("d1", "d2")
+  }
+
   /** Shingle-CONTAINMENT self-join — the asymmetric-duplication signal
     * Jaccard misses: a short document wholly embedded in a long one
     * (quote farms, aggregation pages, prompt+completion pairs) has

@@ -175,4 +175,62 @@ object Pack {
       .where(col("__h") < rate)
       .drop("__h")
   }
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment audit
+    * (Thaler &amp; Ravishankar, ToN 1998 — the consistent-assignment
+    * rule behind cache rings, shard routers, and shuffle services):
+    * every document routes to argmax over shards of
+    * fnv(doc_id : "node" : shard) — a pure per-row computation, no
+    * coordination, no ring metadata — and the DEFINING property is
+    * minimal disruption: removing one shard moves ONLY the documents
+    * that lived on it (each survivor keeps its argmax among the
+    * remaining shards). The audit measures both halves: per-shard
+    * balance before/after dropping shard `dropId`, and the moved-doc
+    * count — which the gate row certifies EQUALS the dropped shard's
+    * former population (anything else means the assignment is not
+    * HRW).
+    *
+    * Output per surviving shard: n_before, n_after, n_gained (docs
+    * inherited from the dropped shard) — plus the dropped shard's row
+    * (n_after = 0, n_gained = 0), so Σ n_gained = dropped population
+    * is readable off the table.
+    *
+    * Determinism: pure integer fnv argmax with shard-id tiebreak
+    * (max over (w, −shard) structs — higher weight wins, ties to the
+    * LOWER id).
+    * Scale: ONE fnv expression over the exploded (doc, shard) rows —
+    * an n-way inline fold of fnv blobs breaks the 64 KB codegen
+    * method limit and drops the stage to interpreted mode (measured;
+    * this shape stays whole-stage) — then one doc-keyed max-agg whose
+    * map-side partial collapses the ×nShards inflation back to one
+    * compact row per doc before the exchange. */
+  def rendezvousShards(docs: DataFrame, nShards: Int = 8,
+                       dropId: Int = 3): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val scored = docs.select(col("doc_id"),
+        explode(sequence(lit(0L), lit(nShards - 1L))).as("s"))
+      .select(col("doc_id"), col("s"),
+        graft.functions.HashExprs.fnv1a32(
+          "concat(cast(doc_id as string), ':node:', cast(s as string))")
+          .as("w"))
+    val routed = scored.groupBy("doc_id")
+      .agg(max(struct(col("w"), (-col("s")).as("ns"))).as("mb"),
+        max(when(col("s") =!= dropId.toLong,
+          struct(col("w"), (-col("s")).as("ns")))).as("ma"))
+      .select(col("doc_id"), (-col("mb.ns")).as("shard_before"),
+        (-col("ma.ns")).as("shard_after"))
+    routed.groupBy(col("shard_before").as("shard"))
+      .agg(count(lit(1)).as("n_before"))
+      .join(routed.groupBy(col("shard_after").as("shard"))
+        .agg(count(lit(1)).as("n_after")), Seq("shard"), "full_outer")
+      .join(routed.where(col("shard_before") === dropId.toLong)
+        .groupBy(col("shard_after").as("shard"))
+        .agg(count(lit(1)).as("n_gained")), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        when(col("shard") === dropId.toLong, lit(0L))
+          .otherwise(coalesce(col("n_gained"), lit(0L))).as("n_gained"))
+      .orderBy("shard")
+  }
 }

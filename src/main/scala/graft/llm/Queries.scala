@@ -1783,6 +1783,35 @@ object Queries {
     // rates (see Curation.shapleyReweight)
     "q400_shapley_reweight" -> ((s, dir) =>
       Curation.shapleyReweight(tbl(s, dir, "documents"))),
+    // Portable Bloom-filter build over en tokens, probed per other
+    // language, with the measured-vs-analytic FPR audit (see
+    // TextAnalysis.bloomFilter)
+    "q432_bloom_filter" -> ((s, dir) =>
+      TextAnalysis.bloomFilter(tbl(s, dir, "documents"))),
+    // b-bit minhash storage/accuracy tradeoff over the q18 candidate
+    // pairs: full vs 1/2/4-bit corrected estimators vs exact Jaccard
+    // (see Dedup.bbitMinhash)
+    "q433_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitMinhash(tbl(s, dir, "documents"), "doc_id", "text")),
+    // Reciprocal-kNN clustering over the converged NN-descent graph:
+    // mutual-edge filter -> connected components -> size census
+    // (see Sim.mutualKnnClusters)
+    "q435_mutual_knn" -> ((s, dir) =>
+      Sim.mutualKnnClusters(tbl(s, dir, "embeddings"))),
+    // Rendezvous-hash shard routing with the minimal-disruption audit:
+    // drop shard 3, certify moved docs = its former population
+    // (see Pack.rendezvousShards)
+    "q437_rendezvous_shards" -> ((s, dir) =>
+      Pack.rendezvousShards(tbl(s, dir, "documents"))),
+    // Lightweight-coreset sample + weighted spherical-scatter audit
+    // against the full corpus on shared IVF centroids
+    // (see Sim.coresetKmeans)
+    "q438_coreset_kmeans" -> ((s, dir) =>
+      Sim.coresetKmeans(tbl(s, dir, "embeddings"))),
+    // MaxScore upper-bound-pruned BM25 top-k with the losslessness
+    // certification columns (see TextAnalysis.maxScoreTopK)
+    "q434_maxscore_topk" -> ((s, dir) =>
+      TextAnalysis.maxScoreTopK(tbl(s, dir, "documents"))),
   )
 
   /** DuckDB twin of [[graft.functions.Fnv1a32]]: the same code-point
@@ -1911,6 +1940,69 @@ object Queries {
        |JOIN nbc n2 ON n2.doc_id = m.d2
        |JOIN j ON j.d1 = m.d1 AND j.d2 = m.d2
        |ORDER BY m.d1, m.d2""".stripMargin
+
+  /** Shared fsum cosine for the NN-descent oracle chain. */
+  private def cosL(xv: String, yv: String, xn: String, yn: String) =
+    foldSum.format(s"list_transform(list_zip($xv, $yv), p -> p[1] * p[2])") +
+      s" / ($xn * $yn)"
+
+  /** DuckDB twin of [[Sim.nnDescentStages]] at the q417 parameters
+    * (k=5, nlist=16, 2-cell multi-assign, capNbr=32, 3 unrolled
+    * rounds): CTEs v, n, cent, asg, g0 and per-round und/capped/cand/
+    * mg/g{r}/d{r} through g3 — shared by the q417 audit and the q435
+    * mutual-kNN census. The Spark side early-exits at the delta-0
+    * fixpoint, where later rounds are verbatim repeats, so the
+    * unrolled chain lands on the identical g3. `lazy`: referenced
+    * during the oracles map's object init. */
+  private lazy val nnGraphCtes: String = {
+    def roundSql(r: Int) =
+      s""",
+         |und$r AS (SELECT u, w, sim FROM g${r - 1}
+         |  UNION ALL SELECT w, u, sim FROM g${r - 1}),
+         |cp$r AS (SELECT u, w, row_number() OVER (PARTITION BY u
+         |  ORDER BY sim DESC, w ASC) AS r FROM und$r),
+         |capped$r AS (SELECT u AS m, w AS nbr FROM cp$r WHERE r <= 32),
+         |cand$r AS (SELECT DISTINCT a.nbr AS u, b.nbr AS w
+         |  FROM capped$r a JOIN capped$r b
+         |  ON a.m = b.m AND a.nbr <> b.nbr),
+         |cs$r AS (SELECT c.u, c.w,
+         |  ${cosL("nu.v", "nw.v", "nu.norm", "nw.norm")} AS sim
+         |  FROM cand$r c JOIN n nu ON nu.vec_id = c.u
+         |  JOIN n nw ON nw.vec_id = c.w),
+         |mg$r AS (SELECT u, w, max(sim) AS sim FROM (
+         |  SELECT u, w, sim FROM g${r - 1}
+         |  UNION ALL SELECT u, w, sim FROM cs$r) GROUP BY 1, 2),
+         |g${r}r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
+         |  ORDER BY sim DESC, w ASC) AS rnk FROM mg$r),
+         |g$r AS (SELECT u, w, sim FROM g${r}r WHERE rnk <= 5),
+         |d$r AS (SELECT count(*) AS delta FROM g$r a
+         |  WHERE NOT EXISTS (SELECT 1 FROM g${r - 1} b
+         |    WHERE b.u = a.u AND b.w = a.w))""".stripMargin
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm
+       |  FROM v),
+       |cent AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n
+       |  ORDER BY vec_id LIMIT 16),
+       |as0 AS (SELECT n.vec_id, n.v, n.norm, c.cid,
+       |  ${cosL("n.v", "c.cv", "n.norm", "c.cn")} AS csim
+       |  FROM n CROSS JOIN cent c),
+       |as1 AS (SELECT vec_id, cid, row_number() OVER (
+       |  PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r FROM as0),
+       |asg AS (SELECT vec_id, cid FROM as1 WHERE r <= 2),
+       |sc AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM asg a JOIN asg b ON a.cid = b.cid
+       |  AND a.vec_id <> b.vec_id),
+       |sp AS (SELECT c.u, c.w,
+       |  ${cosL("nu.v", "nw.v", "nu.norm", "nw.norm")} AS sim
+       |  FROM sc c JOIN n nu ON nu.vec_id = c.u
+       |  JOIN n nw ON nw.vec_id = c.w),
+       |g0r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
+       |  ORDER BY sim DESC, w ASC) AS rnk FROM sp),
+       |g0 AS (SELECT u, w, sim FROM g0r WHERE rnk <= 5)
+       |${roundSql(1)}${roundSql(2)}${roundSql(3)}""".stripMargin
+  }
 
   /** DuckDB twin of [[Dedup.connectedComponents]] over the q18 pair set:
     * the recursive CTE transitive-closes the same edges, so min(reach)
@@ -3041,6 +3133,60 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> minhashOracle,
     "q316_minhash_accuracy" -> minhashAccuracyOracle,
+    // q316's CTE chain with the b-bit conditional counts on the same
+    // 3-key bucket join, and the (P - 2^-b)/(1 - 2^-b) correction.
+    "q433_bbit_minhash" -> {
+      def est(m: String, b: Int): String = {
+        val c = 1.0 / (1L << b)
+        s"(CAST($m AS DOUBLE) / uni - $c) / ${1.0 - c}"
+      }
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ts) - 2, 0)),
+         |  i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS sh FROM t),
+         |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         |hx AS (SELECT doc_id, ${fnvSql("s")} AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM f) u),
+         |bm AS (SELECT doc_id, h % 64 AS bucket, min(h) AS mh
+         |  FROM hx GROUP BY doc_id, bucket),
+         |sg AS (SELECT doc_id, bucket // 4 AS band,
+         |    string_agg(bucket || ':' || mh, '|' ORDER BY bucket) AS sig
+         |  FROM bm GROUP BY doc_id, band),
+         |bk AS (SELECT doc_id, band, ${fnvSql("sig")} AS bkey FROM sg),
+         |sz AS (SELECT band, bkey FROM bk GROUP BY band, bkey
+         |  HAVING count(*) > 1 AND count(*) <= 1000),
+         |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bk a
+         |  JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  JOIN sz ON sz.band = a.band AND sz.bkey = a.bkey),
+         |m AS (SELECT c.d1, c.d2, count(*) AS ob,
+         |    CAST(sum(CASE WHEN b1.mh = b2.mh THEN 1 ELSE 0 END) AS BIGINT) AS mfull,
+         |    CAST(sum(CASE WHEN b1.mh % 2 = b2.mh % 2 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         |    CAST(sum(CASE WHEN b1.mh % 4 = b2.mh % 4 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+         |    CAST(sum(CASE WHEN b1.mh % 16 = b2.mh % 16 THEN 1 ELSE 0 END) AS BIGINT) AS m4
+         |  FROM c
+         |  JOIN bm b1 ON b1.doc_id = c.d1
+         |  JOIN bm b2 ON b2.doc_id = c.d2 AND b2.bucket = b1.bucket
+         |  GROUP BY c.d1, c.d2),
+         |nbc AS (SELECT doc_id, count(*) AS nb FROM bm GROUP BY doc_id),
+         |j AS (SELECT d1, d2,
+         |    CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) AS inter,
+         |    CAST(len(fa.sh) + len(fb.sh) AS DOUBLE) AS total
+         |  FROM c JOIN f fa ON fa.doc_id = c.d1 JOIN f fb ON fb.doc_id = c.d2),
+         |w AS (SELECT m.*, inter / (total - inter) AS jac,
+         |    CAST(n1.nb + n2.nb - m.ob AS DOUBLE) AS uni
+         |  FROM m
+         |  JOIN nbc n1 ON n1.doc_id = m.d1
+         |  JOIN nbc n2 ON n2.doc_id = m.d2
+         |  JOIN j ON j.d1 = m.d1 AND j.d2 = m.d2)
+         |SELECT d1, d2, ${femitSql("jac")} AS exact_jaccard,
+         |  ${femitSql("CAST(mfull AS DOUBLE) / uni")} AS est_full,
+         |  ${femitSql(est("m1", 1))} AS est_b1,
+         |  ${femitSql(est("m2", 2))} AS est_b2,
+         |  ${femitSql(est("m4", 4))} AS est_b4,
+         |  ${femitSql("abs(CAST(mfull AS DOUBLE) / uni - jac)")} AS err_full,
+         |  ${femitSql(s"abs(${est("m4", 4)} - jac)")} AS err_b4
+         |FROM w ORDER BY d1, d2""".stripMargin
+    },
     "q65_dedup_components" -> componentsOracle,
     // q65's closure wrapped in a two-level count; the size-1 row is
     // corpus total minus docs holding any component label.
@@ -4247,36 +4393,6 @@ object Queries {
     // with low-id ties), same capped co-neighbor expansion, same
     // max-merge and re-top-k, same bounded exact audit.
     "q417_nn_descent" -> {
-      def cos(xv: String, yv: String, xn: String, yn: String) =
-        foldSum.format(s"list_transform(list_zip($xv, $yv), p -> p[1] * p[2])") +
-          s" / ($xn * $yn)"
-      // One unrolled co-neighbor round g{r-1} -> g{r} (the Spark side
-      // early-exits at the delta-0 fixpoint, where later rounds are
-      // verbatim repeats — unrolling all maxRounds here lands on the
-      // identical table).
-      def roundSql(r: Int) =
-        s""",
-           |und$r AS (SELECT u, w, sim FROM g${r - 1}
-           |  UNION ALL SELECT w, u, sim FROM g${r - 1}),
-           |cp$r AS (SELECT u, w, row_number() OVER (PARTITION BY u
-           |  ORDER BY sim DESC, w ASC) AS r FROM und$r),
-           |capped$r AS (SELECT u AS m, w AS nbr FROM cp$r WHERE r <= 32),
-           |cand$r AS (SELECT DISTINCT a.nbr AS u, b.nbr AS w
-           |  FROM capped$r a JOIN capped$r b
-           |  ON a.m = b.m AND a.nbr <> b.nbr),
-           |cs$r AS (SELECT c.u, c.w,
-           |  ${cos("nu.v", "nw.v", "nu.norm", "nw.norm")} AS sim
-           |  FROM cand$r c JOIN n nu ON nu.vec_id = c.u
-           |  JOIN n nw ON nw.vec_id = c.w),
-           |mg$r AS (SELECT u, w, max(sim) AS sim FROM (
-           |  SELECT u, w, sim FROM g${r - 1}
-           |  UNION ALL SELECT u, w, sim FROM cs$r) GROUP BY 1, 2),
-           |g${r}r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
-           |  ORDER BY sim DESC, w ASC) AS rnk FROM mg$r),
-           |g$r AS (SELECT u, w, sim FROM g${r}r WHERE rnk <= 5),
-           |d$r AS (SELECT count(*) AS delta FROM g$r a
-           |  WHERE NOT EXISTS (SELECT 1 FROM g${r - 1} b
-           |    WHERE b.u = a.u AND b.w = a.w))""".stripMargin
       def auditSql(r: Int, stage: String, delta: String) =
         s"""SELECT '$stage' AS stage, n_audit,
            |    (SELECT count(*) FROM g$r) AS n_edges,
@@ -4287,34 +4403,11 @@ object Queries {
            |    FROM q LEFT JOIN (SELECT g.u, count(*) AS h FROM g$r g
            |      JOIN ex ON ex.u = g.u AND ex.w = g.w WHERE g.u < 50
            |      GROUP BY g.u) h ON h.u = q.u)""".stripMargin
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, v,
-         |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm
-         |  FROM v),
-         |cent AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n
-         |  ORDER BY vec_id LIMIT 16),
-         |as0 AS (SELECT n.vec_id, n.v, n.norm, c.cid,
-         |  ${cos("n.v", "c.cv", "n.norm", "c.cn")} AS csim
-         |  FROM n CROSS JOIN cent c),
-         |as1 AS (SELECT vec_id, cid, row_number() OVER (
-         |  PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r FROM as0),
-         |asg AS (SELECT vec_id, cid FROM as1 WHERE r <= 2),
-         |sc AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
-         |  FROM asg a JOIN asg b ON a.cid = b.cid
-         |  AND a.vec_id <> b.vec_id),
-         |sp AS (SELECT c.u, c.w,
-         |  ${cos("nu.v", "nw.v", "nu.norm", "nw.norm")} AS sim
-         |  FROM sc c JOIN n nu ON nu.vec_id = c.u
-         |  JOIN n nw ON nw.vec_id = c.w),
-         |g0r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
-         |  ORDER BY sim DESC, w ASC) AS rnk FROM sp),
-         |g0 AS (SELECT u, w, sim FROM g0r WHERE rnk <= 5)
-         |${roundSql(1)}${roundSql(2)}${roundSql(3)},
+      s"""WITH $nnGraphCtes,
          |q AS (SELECT vec_id AS u, v AS qv, norm AS qn FROM n
          |  WHERE vec_id < 50),
          |ex0 AS (SELECT q.u, n.vec_id AS w,
-         |  ${cos("n.v", "q.qv", "n.norm", "q.qn")} AS sim
+         |  ${cosL("n.v", "q.qv", "n.norm", "q.qn")} AS sim
          |  FROM n CROSS JOIN q WHERE n.vec_id <> q.u),
          |ex1 AS (SELECT u, w, row_number() OVER (PARTITION BY u
          |  ORDER BY sim DESC, w ASC) AS rnk FROM ex0),
@@ -4326,6 +4419,34 @@ object Queries {
          |  UNION ALL ${auditSql(3, "r3", "SELECT delta FROM d3")})
          |ORDER BY stage""".stripMargin
     },
+    // The q417 graph chain to its converged g3, reciprocity as an
+    // EXISTS of the reversed edge, recursive-CTE components (the q65
+    // min-reach closure), and the same integer census + isolated row.
+    // `mu`/`e` are MATERIALIZED: a recursive iteration must read the
+    // frozen edge table, not re-run the 3-round graph chain per step.
+    "q435_mutual_knn" ->
+      s"""WITH RECURSIVE $nnGraphCtes,
+         |mu AS MATERIALIZED (SELECT a.u AS d1, a.w AS d2 FROM g3 a
+         |  WHERE a.u < a.w AND EXISTS (SELECT 1 FROM g3 b
+         |    WHERE b.u = a.w AND b.w = a.u)),
+         |ne AS (SELECT count(*) AS n_mutual_edges FROM mu),
+         |e AS MATERIALIZED (SELECT d1 AS nd, d2 AS m FROM mu
+         |  UNION ALL SELECT d2, d1 FROM mu),
+         |r AS (SELECT nd, nd AS reach FROM (SELECT DISTINCT nd FROM e) b
+         |  UNION
+         |  SELECT e.nd, r.reach FROM e JOIN r ON e.m = r.nd),
+         |comp AS (SELECT nd, min(reach) AS component FROM r GROUP BY nd),
+         |szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+         |hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs FROM szs GROUP BY 1),
+         |tot AS (SELECT count(*) AS nt FROM embeddings),
+         |cl AS (SELECT count(*) AS nc FROM comp)
+         |SELECT cluster_size, n_clusters, n_docs, n_mutual_edges FROM (
+         |  SELECT cluster_size, n_clusters, n_docs FROM hist
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), nt - nc, nt - nc
+         |  FROM tot CROSS JOIN cl) h CROSS JOIN ne
+         |ORDER BY cluster_size, n_clusters""".stripMargin,
     // Same full + 4-dim-truncated rankers, same (qid + round) parity
     // coin, same generated pick-per-step draft, same click credit.
     "q418_team_draft" -> {
@@ -6355,6 +6476,170 @@ object Queries {
          |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
          |FROM wt LEFT JOIN kp ON kp.source = wt.source
          |ORDER BY wt.source""".stripMargin,
+    // Same 32768-bit bitmap as 1024 32-bit words (bit_or agg), same 4
+    // fnv positions per token, min-over-positions membership, same
+    // exact anti-join labels and the identical analytic-FPR IEEE chain.
+    "q432_bloom_filter" -> {
+      val m = 32768; val kH = 4
+      val posList = (0 until kH).map(i =>
+        s"${fnvSql(s"(t || ':b$i')")} % $m").mkString(", ")
+      s"""WITH tok AS (SELECT DISTINCT lang, t FROM
+         |  (SELECT lang, unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS t FROM documents) u),
+         |mem AS (SELECT DISTINCT t FROM tok WHERE lang = 'en'),
+         |nm AS (SELECT count(*) AS n FROM mem),
+         |mpos AS (SELECT unnest([$posList]) AS pos FROM mem),
+         |bmp AS (SELECT pos // 32 AS w, bit_or(1::BIGINT << (pos % 32))
+         |  AS word FROM mpos GROUP BY 1),
+         |pr AS (SELECT lang, t,
+         |  (t IN (SELECT t FROM mem)) AS is_member FROM tok
+         |  WHERE lang <> 'en'),
+         |ppos AS (SELECT lang, t, is_member, unnest([$posList]) AS pos
+         |  FROM pr),
+         |hit AS (SELECT lang, t, is_member,
+         |  min((word & (1::BIGINT << (pos % 32))) <> 0) AS bloom_hit
+         |  FROM ppos JOIN bmp ON pos // 32 = bmp.w
+         |  GROUP BY lang, t, is_member)
+         |SELECT lang, count(*) AS n_probes,
+         |  CAST(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nonmembers,
+         |  CAST(sum(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_neg,
+         |  CAST(sum(CASE WHEN NOT is_member AND bloom_hit THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_pos,
+         |  ${femitSql("CAST(sum(CASE WHEN NOT is_member AND bloom_hit" +
+        " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(nullif(sum(CASE WHEN NOT" +
+        " is_member THEN 1 ELSE 0 END), 0) AS DOUBLE)")} AS fpr_measured,
+         |  ${femitSql(s"pow(1.0 - pow(1.0 - ${1.0 / m}," +
+        s" $kH.0 * (SELECT CAST(n AS DOUBLE) FROM nm)), $kH.0)")}
+         |    AS fpr_analytic
+         |FROM hit GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // Same exact-DECIMAL per-dim mean, same d2 zip fold, the identical
+    // 1/2N + d2/(2 sum) importance with the fnv(vec_id:cs) draw, and
+    // both sides assigned to the first-4 centroids by the csim/cid
+    // argmax; all scatters DSUM-routed.
+    "q438_coreset_kmeans" -> {
+      val normE = s"sqrt(${foldSum.format("list_transform(v, x -> x * x)")})"
+      val d2E = foldSum.format(
+        "list_transform(list_zip(v, mu), p -> (p[1] - p[2]) * (p[1] - p[2]))")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |nv AS (SELECT vec_id, v, $normE AS norm FROM vv),
+         |nt AS (SELECT count(*) AS n FROM vv),
+         |mj AS (SELECT j, ${dsumSql("v[j + 1]")} AS sx FROM vv,
+         |  (SELECT unnest(range(64)) AS j) js GROUP BY j),
+         |mu AS (SELECT list(sx / (SELECT CAST(n AS DOUBLE) FROM nt)
+         |  ORDER BY j) AS mu FROM mj),
+         |d2t AS (SELECT vec_id, v, norm, $d2E AS d2
+         |  FROM nv CROSS JOIN mu),
+         |tot AS (SELECT ${dsumSql("d2")} AS td2 FROM d2t),
+         |qt AS (SELECT vec_id, v, norm,
+         |  0.5 / (SELECT CAST(n AS DOUBLE) FROM nt) + 0.5 * d2 / td2 AS q
+         |  FROM d2t CROSS JOIN tot),
+         |pt AS (SELECT vec_id, v, norm, least(1.0, 64.0 * q) AS p,
+         |  CAST(${fnvSql("(CAST(vec_id AS VARCHAR) || ':cs')")} AS DOUBLE)
+         |    / 4294967296.0 AS u
+         |  FROM qt),
+         |cent AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM nv
+         |  ORDER BY vec_id LIMIT 4),
+         |asg AS (SELECT pt.*, c.cid,
+         |  ${cosL("pt.v", "c.cv", "pt.norm", "c.cn")} AS csim,
+         |  row_number() OVER (PARTITION BY pt.vec_id ORDER BY
+         |    ${cosL("pt.v", "c.cv", "pt.norm", "c.cn")} DESC, c.cid ASC)
+         |    AS r
+         |  FROM pt CROSS JOIN cent c),
+         |a1 AS (SELECT * FROM asg WHERE r = 1),
+         |fullc AS (SELECT cid, count(*) AS n_full,
+         |  ${dsumSql("1.0 - csim")} AS score_full FROM a1 GROUP BY cid),
+         |corec AS (SELECT cid, count(*) AS n_core_pts,
+         |  ${dsumSql("1.0 / p")} AS w_core,
+         |  ${dsumSql("(1.0 / p) * (1.0 - csim)")} AS score_core
+         |  FROM a1 WHERE u < p GROUP BY cid)
+         |SELECT f.cid, n_full, ${femitSql("score_full")} AS score_full,
+         |  CAST(coalesce(n_core_pts, 0) AS BIGINT) AS n_core_pts,
+         |  ${femitSql("coalesce(w_core, 0.0)")} AS w_core,
+         |  ${femitSql("coalesce(score_core, 0.0)")} AS score_core,
+         |  ${femitSql("abs(coalesce(score_core, 0.0) - score_full)" +
+        " / nullif(score_full, 0.0)")} AS rel_err
+         |FROM fullc f LEFT JOIN corec c ON c.cid = f.cid
+         |ORDER BY f.cid""".stripMargin
+    },
+    // Same fnv(doc_id:node:shard) weights, argmax with the lowest-id
+    // tiebreak (rank by weight DESC, shard ASC), full-outer census.
+    "q437_rendezvous_shards" -> {
+      def pick(pred: String, alias: String) =
+        s"""(SELECT doc_id, CAST(s AS BIGINT) AS $alias FROM (
+           |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY w DESC, s ASC) AS rn
+           |  FROM (SELECT doc_id, s, ${fnvSql(
+          "(CAST(doc_id AS VARCHAR) || ':node:' || CAST(s AS VARCHAR))")}
+           |    AS w FROM documents
+           |    CROSS JOIN (SELECT unnest(range(8)) AS s) ss
+           |    WHERE $pred) z) rz WHERE rn = 1)""".stripMargin
+      s"""WITH bef AS ${pick("TRUE", "shard_before")},
+         |aft AS ${pick("s <> 3", "shard_after")},
+         |r AS (SELECT bef.doc_id, shard_before, shard_after
+         |  FROM bef JOIN aft USING (doc_id)),
+         |nb AS (SELECT shard_before AS shard, count(*) AS n_before
+         |  FROM r GROUP BY 1),
+         |na AS (SELECT shard_after AS shard, count(*) AS n_after
+         |  FROM r GROUP BY 1),
+         |ng AS (SELECT shard_after AS shard, count(*) AS n_gained
+         |  FROM r WHERE shard_before = 3 GROUP BY 1)
+         |SELECT shard,
+         |  CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+         |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+         |  CAST(CASE WHEN shard = 3 THEN 0
+         |    ELSE coalesce(n_gained, 0) END AS BIGINT) AS n_gained
+         |FROM nb
+         |FULL OUTER JOIN na USING (shard)
+         |FULL OUTER JOIN ng USING (shard)
+         |ORDER BY shard""".stripMargin
+    },
+    // Same q76 contribution table, term-grain max bounds, exact-DECIMAL
+    // bound/score sums (dsum route), the two-phase sufficient-set
+    // protocol (seed top-40 by bound -> theta = 10th seed score ->
+    // rescore every bound >= theta), and the outside-max <= kth
+    // certification.
+    "q434_maxscore_topk" -> {
+      val terms = Seq("dup", "scan", "join", "query")
+        .map(t => s"'$t'").mkString(", ")
+      val dsumUb = dsumSql("ub"); val dsumBm = dsumSql("bm25")
+      s"""WITH ${bm25CoreCte(1.2, 0.75)},
+         |sc AS (SELECT doc_id, tok, bm25 FROM bm WHERE tok IN ($terms)),
+         |ub AS (SELECT tok, max(bm25) AS ub FROM sc GROUP BY tok),
+         |bounds AS (SELECT doc_id, count(*) AS n_terms, $dsumUb AS ubsum
+         |  FROM sc JOIN ub USING (tok) GROUP BY doc_id),
+         |nmt AS (SELECT count(*) AS n_matching FROM bounds),
+         |seed AS (SELECT * FROM bounds
+         |  ORDER BY ubsum DESC, doc_id ASC LIMIT 40),
+         |sscore AS (SELECT doc_id, $dsumBm AS score FROM sc
+         |  WHERE doc_id IN (SELECT doc_id FROM seed) GROUP BY doc_id),
+         |th AS (SELECT CASE WHEN count(*) >= 10 THEN min(score)
+         |  ELSE CAST('-infinity' AS DOUBLE) END AS theta FROM
+         |  (SELECT doc_id, score FROM sscore
+         |   ORDER BY score DESC, doc_id ASC LIMIT 10) s10),
+         |cand AS (SELECT b.* FROM bounds b CROSS JOIN th
+         |  WHERE ubsum >= theta),
+         |ncd AS (SELECT count(*) AS n_candidates FROM cand),
+         |ex AS (SELECT doc_id, $dsumBm AS score FROM sc
+         |  WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id),
+         |topk AS (SELECT c.doc_id, c.n_terms, c.ubsum, e.score,
+         |  row_number() OVER (ORDER BY e.score DESC, c.doc_id ASC) AS rnk
+         |  FROM cand c JOIN ex e USING (doc_id)
+         |  ORDER BY e.score DESC, c.doc_id ASC LIMIT 10),
+         |kth AS (SELECT min(score) AS kv FROM topk),
+         |om AS (SELECT coalesce(max(ubsum), CAST('-infinity' AS DOUBLE))
+         |  AS out_ub FROM bounds
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cand))
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms,
+         |  ${femitSql("score")} AS score, ${femitSql("ubsum")} AS ub,
+         |  (SELECT n_matching FROM nmt) AS n_matching,
+         |  (SELECT n_candidates FROM ncd) AS n_candidates,
+         |  out_ub <= kv AS certified
+         |FROM topk CROSS JOIN kth CROSS JOIN om ORDER BY rnk""".stripMargin
+    },
   )
 
   /** DuckDB twin of [[Curation.dataShapley]] — shared by q399 and

@@ -885,10 +885,15 @@ object Sim {
     * q21/q35 convention — both engines hold identical cosines), the
     * seed∪candidate merge is a (u,w) max-agg of identical values, and
     * the delta is an exact anti-join count. */
-  def nnDescent(emb: DataFrame, k: Int = 5, nlist: Int = 16,
-                capNbr: Int = 32, auditN: Int = 50,
-                maxRounds: Int = 3): DataFrame = {
-    import graft.rel.Queries.{dsum, femit}
+  /** The IVF-seeded graph loop shared by [[nnDescent]] (which audits
+    * every stage) and [[mutualKnnClusters]] (which consumes only the
+    * converged graph): returns the vector frame and the per-stage
+    * (label, graph, newEdgeDelta) list, each graph localCheckpointed,
+    * with the delta-0 fixpoint early exit (later stages repeat the
+    * converged graph verbatim — see [[nnDescent]]). */
+  private def nnDescentStages(emb: DataFrame, k: Int, nlist: Int,
+                              capNbr: Int, maxRounds: Int)
+      : (DataFrame, Seq[(String, DataFrame, Long)]) = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", norm(col("v")))
       .localCheckpoint() // centroid read + per-round vector-fetch joins
@@ -933,6 +938,29 @@ object Sim {
         .where(col("rnk") <= k).select("u", "w", "sim")
         .localCheckpoint() // delta count + next round + audit
     }
+    var g = g0
+    var stages = Vector[(String, DataFrame, Long)](("r0_seed", g0, g0.count()))
+    var converged = false
+    for (r <- 1 to maxRounds) {
+      if (!converged) {
+        val gNew = round(g)
+        val delta = gNew.join(g, Seq("u", "w"), "left_anti").count()
+        stages :+= ((s"r$r", gNew, delta))
+        if (delta == 0L) converged = true
+        g = gNew
+      } else {
+        // fixpoint: later rounds reproduce the converged graph verbatim
+        stages :+= ((s"r$r", g, 0L))
+      }
+    }
+    (v, stages)
+  }
+
+  def nnDescent(emb: DataFrame, k: Int = 5, nlist: Int = 16,
+                capNbr: Int = 32, auditN: Int = 50,
+                maxRounds: Int = 3): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val (v, stages) = nnDescentStages(emb, k, nlist, capNbr, maxRounds)
     val q = v.where(col("vec_id") < auditN)
       .select(col("vec_id").as("u"), col("v").as("qv"),
         col("norm").as("qn"))
@@ -957,22 +985,54 @@ object Sim {
         lit(edges).as("n_edges"), lit(delta).as("delta_edges"),
         femit(col("sr") / col("n_audit").cast("double")).as("avg_recall"))
     }
-    var g = g0
-    var out = audit(g0, "r0_seed", g0.count())
-    var converged = false
-    for (r <- 1 to maxRounds) {
-      if (!converged) {
-        val gNew = round(g)
-        val delta = gNew.join(g, Seq("u", "w"), "left_anti").count()
-        out = out.unionAll(audit(gNew, s"r$r", delta))
-        if (delta == 0L) converged = true
-        g = gNew
-      } else {
-        // fixpoint: later rounds reproduce the converged graph verbatim
-        out = out.unionAll(audit(g, s"r$r", 0L))
-      }
-    }
-    out.orderBy("stage")
+    stages.map { case (label, g, delta) => audit(g, label, delta) }
+      .reduce(_ unionAll _)
+      .orderBy("stage")
+  }
+
+  /** MUTUAL-kNN clustering over the converged NN-descent graph — the
+    * reciprocal-nearest-neighbor pruning step (the core of RNN-DBSCAN,
+    * Bryant &amp; Cios TKDE 2018, and the usual cluster-proposal stage
+    * over an ANN graph: a directed kNN edge is weak evidence, a
+    * RECIPROCATED one is strong): keep edge {u,w} iff u ∈ kNN(w) AND
+    * w ∈ kNN(u), then connected-components over the surviving
+    * undirected graph ([[graft.llm.Dedup.connectedComponents]]'s
+    * min-label + pointer-jumping loop), and emit the cluster census —
+    * per cluster-size histogram row: number of clusters, docs covered
+    * — plus the isolated-node row (corpus minus clustered), the shape
+    * a dedup/topic pipeline reads before deciding what to collapse.
+    *
+    * Determinism: the graph is [[nnDescent]]'s (hash-checked there);
+    * reciprocity is an exact self-join; CC is the exact min-label
+    * fixpoint; the census is integer.
+    *
+    * Scale: reciprocity is one (u,w)-keyed self-join of a k·N-edge
+    * table; CC rounds are the q65 loop (driver-paced, localCheckpoint
+    * per round); the census is O(distinct sizes). */
+  def mutualKnnClusters(emb: DataFrame, k: Int = 5, nlist: Int = 16,
+                        capNbr: Int = 32, maxRounds: Int = 3): DataFrame = {
+    val (v, stages) = nnDescentStages(emb, k, nlist, capNbr, maxRounds)
+    val g = stages.last._2
+    val mutual = g.select("u", "w")
+      .join(g.select(col("w").as("u"), col("u").as("w")), Seq("u", "w"),
+        "left_semi")
+      .where(col("u") < col("w"))
+      .select(col("u").as("d1"), col("w").as("d2"))
+      .localCheckpoint() // CC loop + edge count
+    val nEdges = mutual.count()
+    val comp = graft.llm.Dedup.connectedComponents(mutual)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+    val nTotal = v.count()
+    val hist = sizes.groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
+    val clustered = comp.count()
+    hist.unionAll(
+      emb.sparkSession.range(1).select(lit(1L).as("cluster_size"),
+        lit(nTotal - clustered).as("n_clusters"),
+        lit(nTotal - clustered).as("n_docs")))
+      .withColumn("n_mutual_edges", lit(nEdges))
+      .orderBy("cluster_size", "n_clusters")
   }
 
   /** Matryoshka / truncated-dimension kNN — the DIMENSION-reduction
@@ -2452,6 +2512,83 @@ object Sim {
           .as("cut_sim"),
         min(when(!col("pruned") && col("rn") === ceil(col("n").cast("double") * lit(frac)) + lit(1L), col("vec_id")))
           .as("top_survivor_id"))
+      .orderBy("cid")
+  }
+
+  /** LIGHTWEIGHT-CORESET construction + weighted clustering audit
+    * (Bachem, Lucic &amp; Krause, KDD 2018: sample x with probability
+    * q(x) = ½/N + ½·d²(x,μ)/Σd², weight 1/p — the one-pass,
+    * assumption-free coreset that made coreset clustering practical
+    * at scale; the data-pruning complement of [[prototypePrune]]:
+    * instead of DROPPING easy points it REWEIGHTS a sample so
+    * clustering costs stay unbiased): μ is the exact per-dimension
+    * DECIMAL mean, the importance draw is the fnv(vec_id:cs)
+    * derandomized uniform against p = min(1, m·q), and the audit
+    * assigns BOTH the full corpus and the weighted coreset to the
+    * same IVF centroids and compares per-cluster spherical scatter
+    * Σ(1−cos) vs the weighted estimate — the gate row IS the
+    * estimator-quality table.
+    *
+    * Determinism: μ and all scatters ride dsum; d² is the fsum-order
+    * zip fold; the draw is pure fnv arithmetic; assignment is the
+    * q328 argmax (csim desc, cid asc).
+    *
+    * Scale: one dim-grain mean agg (64 cells), one broadcast-μ d²
+    * pass, one broadcast-centroid assignment of each side, and the
+    * coreset itself is m rows in expectation — the whole point is
+    * that downstream clustering iterates on m, not N. */
+  def coresetKmeans(emb: DataFrame, nlist: Int = 4, m: Int = 64)
+      : DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    graft.functions.HashExprs.register(emb.sparkSession)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+      .localCheckpoint() // mean agg + d2 pass + both assignments
+    val n = v.count()
+    val mu = v.select(posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy("j").agg(dsum(col("x")).as("sx"))
+      .agg(transform(array_sort(collect_list(struct(col("j"),
+        (col("sx") / lit(n.toDouble)).as("m")))),
+        p => p.getField("m")).as("mu"))
+    val withD = v.crossJoin(broadcast(mu))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, mu, (a, b) -> (a - b) * (a - b)), " +
+          "0.0D, (acc, x) -> acc + x)"))
+    val tot = withD.agg(dsum(col("d2")).as("td2"))
+    val qed = withD.crossJoin(broadcast(tot))
+      .withColumn("q",
+        lit(0.5) / lit(n.toDouble) + lit(0.5) * col("d2") / col("td2"))
+      .withColumn("p", least(lit(1.0), lit(m.toDouble) * col("q")))
+      .withColumn("u", graft.functions.HashExprs
+        .fnv1a32("concat(cast(vec_id as string), ':cs')").cast("double")
+        / lit(4294967296.0))
+      .localCheckpoint() // full + coreset assignment passes
+    val cents = ivfCentroids(v, nlist)
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    def assigned(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        cosine(col("v"), col("cv"), col("norm"), col("cn")))
+      .withColumn("r", row_number().over(wA))
+      .where(col("r") === 1)
+    val full = assigned(qed).groupBy("cid")
+      .agg(count(lit(1)).as("n_full"),
+        dsum(lit(1.0) - col("csim")).as("score_full"))
+    val core = assigned(qed.where(col("u") < col("p"))
+        .withColumn("wt", lit(1.0) / col("p")))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_core_pts"),
+        dsum(col("wt")).as("w_core"),
+        dsum(col("wt") * (lit(1.0) - col("csim"))).as("score_core"))
+    full.join(core, Seq("cid"), "left")
+      .select(col("cid"), col("n_full"),
+        femit(col("score_full")).as("score_full"),
+        coalesce(col("n_core_pts"), lit(0L)).as("n_core_pts"),
+        femit(coalesce(col("w_core"), lit(0.0))).as("w_core"),
+        femit(coalesce(col("score_core"), lit(0.0))).as("score_core"),
+        femit(abs(coalesce(col("score_core"), lit(0.0)) - col("score_full"))
+          / nullif(col("score_full"), lit(0.0))).as("rel_err"))
       .orderBy("cid")
   }
 

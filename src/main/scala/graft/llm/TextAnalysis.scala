@@ -2235,4 +2235,159 @@ object TextAnalysis {
         femit(col("unanimous").cast("double") / col("nu").cast("double"))
           .as("pct_unanimous"))
   }
+
+  /** Portable BLOOM FILTER build + probe + false-positive audit
+    * (Bloom, CACM 1970) — the membership sketch every runtime filter,
+    * decontamination blocklist, and seen-URL crawler frontier ships
+    * around as bytes. The engine's own Bloom pruning is q110; this is
+    * the PORTABLE build a pipeline persists and re-probes across jobs:
+    * member set = the distinct tokens of `memberLang` documents,
+    * k = `kHash` fnv positions per token into an `mBits`-bit bitmap
+    * materialized as mBits/32 integer words (32-bit chunks so no
+    * engine's BIGINT shift semantics is ever exercised at bit 63),
+    * built by ONE hash-agg of ORed word masks. Probes = the distinct
+    * tokens of every OTHER language, labeled true/false members by an
+    * exact anti-join, scored against the bitmap. Output per language:
+    * probe counts, measured false-positive rate over true
+    * non-members, and the analytic rate (1 − (1−1/m)^{kn})^k — the
+    * gate certifies the sketch AND the audit identity fp ≤ non-members.
+    *
+    * Determinism: pure integer hashing and bit algebra; the analytic
+    * rate is one fixed IEEE chain through femit.
+    *
+    * Scale: the build is one explode + one mBits/32-row bit_or agg;
+    * the bitmap BROADCASTS to the probe join (exactly how engines ship
+    * runtime filters to scan tasks); probes are one hash-agg per
+    * token. No shuffle grows beyond token cardinality. */
+  def bloomFilter(docs: DataFrame, memberLang: String = "en",
+                  mBits: Int = 32768, kHash: Int = 4): DataFrame = {
+    import graft.rel.Queries.femit
+    graft.functions.HashExprs.register(docs.sparkSession)
+    require(mBits % 32 == 0, "mBits must pack into 32-bit words")
+    val tok = docs.select(col("lang"), explode(toks(col("text"))).as("t"))
+      .distinct()
+      .localCheckpoint() // members, probes, and the exact labels
+    val members = tok.where(col("lang") === memberLang).select("t").distinct()
+    def positions(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        explode(array((0 until kHash).map(i =>
+          pmod(graft.functions.HashExprs.fnv1a32(s"concat(t, ':b$i')"),
+            lit(mBits.toLong))): _*)).as("pos"))
+    val bitmap = positions(members)
+      .select(expr("pos div 32").as("w"),
+        expr("shiftleft(1L, int(pos % 32))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("word"))
+      .localCheckpoint() // broadcast into the probe join
+    val nMember = members.count()
+    val probes = tok.where(col("lang") =!= memberLang)
+      .join(members.withColumnRenamed("t", "t2"),
+        col("t") === col("t2"), "left")
+      .select(col("lang"), col("t"), col("t2").isNotNull.as("is_member"))
+    val hit = positions(probes)
+      .join(broadcast(bitmap), expr("pos div 32") === col("w"))
+      .groupBy("lang", "t", "is_member")
+      .agg(min(expr("word & shiftleft(1L, int(pos % 32)) <> 0"))
+        .as("bloom_hit"))
+    val analytic = pow(lit(1.0) - pow(lit(1.0) - lit(1.0 / mBits),
+      lit(kHash.toDouble) * lit(nMember.toDouble)), lit(kHash.toDouble))
+    hit.groupBy("lang")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(!col("is_member"), 1L).otherwise(0L)).as("n_nonmembers"),
+        sum(when(col("is_member") && !col("bloom_hit"), 1L).otherwise(0L))
+          .as("n_false_neg"),
+        sum(when(!col("is_member") && col("bloom_hit"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .select(col("lang"), col("n_probes"), col("n_nonmembers"),
+        col("n_false_neg"), col("n_false_pos"),
+        // a language whose vocabulary is wholly inside the member set
+        // has no non-members — NULL rate, not a division error
+        femit(col("n_false_pos").cast("double")
+          / nullif(col("n_nonmembers"), lit(0L)).cast("double"))
+          .as("fpr_measured"),
+        femit(analytic).as("fpr_analytic"))
+      .orderBy("lang")
+  }
+
+  /** MaxScore-style UPPER-BOUND-PRUNED BM25 top-k (Turtle &amp; Flood,
+    * IPM 1995; the dynamic-pruning family WAND/MaxScore/BMW that every
+    * production text index runs so a query never fully scores the
+    * whole match set): an index keeps, per term, the maximum BM25
+    * contribution any document achieves (ub_t — precomputed at index
+    * build, modeled here by one term-grain max-agg); at query time a
+    * document's CHEAP upper bound is Σ ub_t over the query terms it
+    * contains (term-presence only — no per-doc score math), and the
+    * pruning runs the two-phase SUFFICIENT-SET protocol: phase 1
+    * exact-scores a seed of the top-`candMult`·k docs by bound and
+    * reads off the k-th seed score θ; phase 2 exact-scores exactly
+    * the docs whose bound ≥ θ — every excluded doc has
+    * score ≤ bound &lt; θ ≤ final k-th score, so the result PROVABLY
+    * equals the unpruned q79 ranking on any input (no lucky-fixture
+    * dependence), and the emitted `certified` column re-checks the
+    * inequality end to end.
+    *
+    * Output: the q79-identical top-k rows (rnk, doc_id, n_terms,
+    * score) plus the audit columns every row carries — ub (the doc's
+    * bound), n_matching (docs with ≥1 term), n_candidates (the
+    * sufficient set actually rescored — n_candidates/n_matching IS
+    * the fraction of postings the pruning saved), and `certified`.
+    *
+    * Determinism: contributions are the femit'd q76 values; bounds
+    * and scores accumulate in exact DECIMAL (dsum); both cuts order
+    * by (bound/score, doc_id).
+    *
+    * Scale: ub is a term-grain agg (index-resident in production);
+    * the bound pass touches postings only (no tf arithmetic); exact
+    * scoring touches the seed + sufficient set instead of the full
+    * match set. Bound coarseness is data-honest: when the query terms
+    * are near-universal the sufficient set approaches the match set,
+    * and the emitted fraction says so. */
+  def maxScoreTopK(docs: DataFrame,
+                   terms: Seq[String] = Seq("dup", "scan", "join", "query"),
+                   kTop: Int = 10, candMult: Int = 4,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.rel.Queries.{dsum, femit}
+    val scored = bm25(docs, k1, b)
+      .where(col("tok").isin(terms: _*))
+      .select("doc_id", "tok", "bm25")
+      .localCheckpoint() // ub agg + bound pass + both exact passes
+    val ub = scored.groupBy("tok").agg(max(col("bm25")).as("ub"))
+    val bounds = scored.join(broadcast(ub), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), dsum(col("ub")).as("ubsum"))
+      .localCheckpoint() // seed cut + sufficient set + outside-max
+    val nMatching = bounds.count()
+    val seed = bounds.orderBy(col("ubsum").desc, col("doc_id").asc)
+      .limit(candMult * kTop)
+    val seedScore = scored
+      .join(seed.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(dsum(col("bm25")).as("score"))
+    // θ = k-th best seed score (if the seed holds < k docs, every
+    // matching doc is already in it and θ degenerates to -inf)
+    val theta = seedScore.orderBy(col("score").desc, col("doc_id").asc)
+      .limit(kTop).agg(
+        when(count(lit(1)) >= kTop, min(col("score")))
+          .otherwise(lit(Double.NegativeInfinity)).as("theta"))
+    val cand = bounds.crossJoin(broadcast(theta))
+      .where(col("ubsum") >= col("theta"))
+      .localCheckpoint() // exact pass + outside anti-join + count
+    val nCand = cand.count()
+    val exact = scored.join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(dsum(col("bm25")).as("score"))
+    val topk = cand.join(exact, "doc_id")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(kTop)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+    val kth = topk.agg(min(col("score")).as("kth"))
+    val outsideMax = bounds.join(cand.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      .agg(coalesce(max(col("ubsum")), lit(Double.NegativeInfinity))
+        .as("out_ub"))
+    topk.crossJoin(broadcast(kth)).crossJoin(broadcast(outsideMax))
+      .select(col("rnk"), col("doc_id"), col("n_terms"),
+        femit(col("score")).as("score"),
+        femit(col("ubsum")).as("ub"),
+        lit(nMatching).as("n_matching"), lit(nCand).as("n_candidates"),
+        (col("out_ub") <= col("kth")).as("certified"))
+      .orderBy("rnk")
+  }
 }

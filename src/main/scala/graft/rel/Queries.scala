@@ -3071,6 +3071,73 @@ object Queries {
         femit(-col("ll") / col("n_rows").cast("double")).as("avg_nll"))
   }
 
+  /** Off-policy (counterfactual) evaluation of a target policy from
+    * logged interaction data — IPS (Horvitz &amp; Thompson 1952 /
+    * inverse-propensity scoring), CLIPPED IPS (Bottou et al., JMLR
+    * 2013's M-capped weights), and SNIPS (Swaminathan &amp; Joachims,
+    * NeurIPS 2015's self-normalized estimator): the offline-eval
+    * arithmetic every recommendation / RLHF-data pipeline runs before
+    * an online test. Logged bandit feedback is modeled from events:
+    * context x = user decile (user_id mod 10), action a = event_type,
+    * reward r = value/100; the logging propensity is the EMPIRICAL
+    * p̂(a|x) = n(x,a)/n(x) (exact integer counts — the standard
+    * estimated-propensity variant), and the target policy π plays the
+    * action with the best GLOBAL mean reward (picked by ROUNDED mean
+    * with the action-name tiebreak, the q207 rule). Estimators:
+    * V_IPS = (1/n) Σ 1{a=π(x)}·r/p̂, V_clip caps 1/p̂ at M=10,
+    * V_SNIPS = Σ 1{·}r/p̂ ÷ Σ 1{·}1/p̂, and the direct-method
+    * V_DM = Σ_x (n_x/n)·mean r(x, π(x)) rides along as the
+    * model-based contrast.
+    *
+    * Determinism: propensities are ratios of exact longs; every float
+    * sum is dsum; the argmax is rounded-value ordered.
+    *
+    * Scale: one (x, a) hash-agg for propensities + the broadcast
+    * 1-row policy pick + one corpus scan through the weighted sums —
+    * no shuffle beyond the (x, a) grid. */
+  def ipsEval(s: SparkSession, dir: String, clipM: Double = 10.0)
+      : DataFrame = {
+    val logged = events(s, dir)
+      .where(col("value").isNotNull)
+      .select((col("user_id") % 10L).as("x"), col("event_type").as("a"),
+        (col("value") / 100.0).as("r"))
+    val prop = logged.groupBy("x", "a").agg(count(lit(1)).as("nxa"),
+        dsum(col("r")).as("sr_xa"))
+      .localCheckpoint() // n(x), the policy pick, and the DM read it
+    val nx = prop.groupBy("x").agg(sum(col("nxa")).as("nx"))
+    val best = prop.groupBy("a")
+      .agg(sum(col("nxa")).as("na"),
+        dsum(col("sr_xa")).as("sa"))
+      .select(col("a"), femit(col("sa") / col("na").cast("double"))
+        .as("mean_r"))
+      .orderBy(col("mean_r").desc, col("a").asc).limit(1)
+      .select(col("a").as("pi_a"), col("mean_r").as("pi_mean"))
+    val w = logged.join(broadcast(best), col("a") === col("pi_a"))
+      .join(broadcast(prop.select("x", "a", "nxa")), Seq("x", "a"))
+      .join(broadcast(nx), "x")
+      .select(col("r"),
+        (col("nx").cast("double") / col("nxa").cast("double")).as("iw"))
+    val n = logged.count()
+    val sums = w.agg(count(lit(1)).as("n_match"),
+      dsum(col("r") * col("iw")).as("s_ips"),
+      dsum(col("r") * least(col("iw"), lit(clipM))).as("s_clip"),
+      dsum(col("iw")).as("s_w"))
+    val dm = prop.join(broadcast(best), col("a") === col("pi_a"))
+      .join(nx, "x")
+      .select((col("nx").cast("double") / lit(n.toDouble)).as("px"),
+        (col("sr_xa") / col("nxa").cast("double")).as("mr"))
+      .agg(dsum(col("px") * col("mr")).as("v_dm"))
+    sums.crossJoin(broadcast(dm)).crossJoin(broadcast(best))
+      .select(lit(n).as("n_logged"), col("n_match"), col("pi_a"),
+        col("pi_mean"),
+        femit(col("s_ips") / lit(n.toDouble)).as("v_ips"),
+        femit(col("s_clip") / lit(n.toDouble)).as("v_ips_clipped"),
+        femit(col("s_ips") / nullif(col("s_w"), lit(0.0))).as("v_snips"),
+        femit(col("v_dm")).as("v_dm"),
+        femit(col("n_match").cast("double") / lit(n.toDouble))
+          .as("match_rate"))
+  }
+
   /** Value-at-risk and conditional value-at-risk (expected shortfall,
     * Rockafellar &amp; Uryasev 2000) of the DAILY REVENUE series — the
     * lower-tail risk census complementing q212's drawdown (depth of
@@ -6763,6 +6830,7 @@ object Queries {
     "q428_rmst" -> ((s, dir) => rmst(s, dir)),
     "q430_propensity_overlap" -> (propensityOverlap _),
     "q431_entropy_rate" -> ((s, dir) => entropyRate(s, dir)),
+    "q436_ips_eval" -> ((s, dir) => ipsEval(s, dir)),
     "q197_anova" -> (anovaF _),
     "q198_pareto_abc" -> (paretoAbc _),
     "q199_decile_lift" -> (decileLift _),
@@ -12146,6 +12214,44 @@ object Queries {
          |  ${femitSql("h / ln(CAST(k AS DOUBLE))")} AS normalized_rate
          |FROM hh CROSS JOIN kf""".stripMargin
     },
+    // Same user-decile contexts, empirical n(x,a)/n(x) propensities
+    // (exact counts), the rounded-mean argmax policy pick, and the
+    // identical dsum-routed IPS / clipped / SNIPS / DM chains.
+    "q436_ips_eval" ->
+      s"""WITH lg AS (SELECT user_id % 10 AS x, event_type AS a,
+         |  value / 100.0 AS r FROM events WHERE value IS NOT NULL),
+         |prop AS (SELECT x, a, count(*) AS nxa, ${dsumSql("r")} AS sr_xa
+         |  FROM lg GROUP BY x, a),
+         |nx AS (SELECT x, CAST(sum(nxa) AS BIGINT) AS nx FROM prop
+         |  GROUP BY x),
+         |nt AS (SELECT count(*) AS n FROM lg),
+         |best AS (SELECT a AS pi_a,
+         |  ${femitSql(s"${dsumSql("sr_xa")} / CAST(sum(nxa) AS DOUBLE)")}
+         |    AS pi_mean
+         |  FROM prop GROUP BY a
+         |  ORDER BY pi_mean DESC, a ASC LIMIT 1),
+         |w AS (SELECT lg.r,
+         |  CAST(nx.nx AS DOUBLE) / CAST(prop.nxa AS DOUBLE) AS iw
+         |  FROM lg JOIN best ON lg.a = best.pi_a
+         |  JOIN prop ON prop.x = lg.x AND prop.a = lg.a
+         |  JOIN nx ON nx.x = lg.x),
+         |sums AS (SELECT count(*) AS n_match,
+         |  ${dsumSql("r * iw")} AS s_ips,
+         |  ${dsumSql("r * least(iw, 10.0)")} AS s_clip,
+         |  ${dsumSql("iw")} AS s_w FROM w),
+         |dm AS (SELECT ${dsumSql(
+        "(CAST(nx.nx AS DOUBLE) / CAST(nt.n AS DOUBLE))" +
+          " * (sr_xa / CAST(nxa AS DOUBLE))")} AS v_dm
+         |  FROM prop JOIN best ON prop.a = best.pi_a
+         |  JOIN nx ON nx.x = prop.x CROSS JOIN nt)
+         |SELECT n AS n_logged, n_match, pi_a, pi_mean,
+         |  ${femitSql("s_ips / CAST(n AS DOUBLE)")} AS v_ips,
+         |  ${femitSql("s_clip / CAST(n AS DOUBLE)")} AS v_ips_clipped,
+         |  ${femitSql("s_ips / nullif(s_w, 0.0)")} AS v_snips,
+         |  ${femitSql("v_dm")} AS v_dm,
+         |  ${femitSql("CAST(n_match AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |    AS match_rate
+         |FROM sums CROSS JOIN dm CROSS JOIN best CROSS JOIN nt""".stripMargin,
     // q394's risk cells, the SAME 8 fixed Newton steps (the oracle
     // replays the identical float trajectory), Breslow ties.
     "q401_cox_ph" -> {

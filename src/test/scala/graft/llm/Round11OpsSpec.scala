@@ -33,13 +33,18 @@ class Round11OpsSpec extends SparkSpec {
     val got = Sim.maxSimKnn(emb, nQuery = 3, k = 5)
       .select("qid", "rnk", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // brute force: same subvector decomposition computed independently
+    // brute force: the same (doc, tok_pos) rotation relation (r13 —
+    // fnv token count, rotate-by-t generator) computed independently
     // via collected arrays
     val vs = emb.select(col("vec_id"),
         Sim.asDouble(col("embedding")).as("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    def subs(v: Array[Double]) =
-      (0 until 8).map(s => v.slice(s * 8, s * 8 + 8))
+    def nTok(id: Long): Int = (1L + graft.functions.Fnv1a32.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$id:ntok"),
+      graft.functions.Fnv1a32.Seed) % 8L).toInt
+    def subs(id: Long, v: Array[Double]) =
+      (0 until nTok(id)).map(t =>
+        Array.tabulate(64)(j => v((j + t) % 64)))
         .filter(sv => math.sqrt(sv.map(x => x * x).sum) > 0.0)
     def cos(a: Array[Double], b: Array[Double]) = {
       val na = math.sqrt(a.map(x => x * x).sum)
@@ -47,10 +52,10 @@ class Round11OpsSpec extends SparkSpec {
       a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
     }
     val expect = (0L until 3L).flatMap { qid =>
-      val qsub = subs(vs(qid))
+      val qsub = subs(qid, vs(qid))
       val scored = vs.keys.filter(_ != qid)
-        .filter(did => subs(vs(did)).nonEmpty).map { did =>
-        val dsub = subs(vs(did))
+        .filter(did => subs(did, vs(did)).nonEmpty).map { did =>
+        val dsub = subs(did, vs(did))
         val score = qsub.map(q => dsub.map(d => cos(q, d)).max).sum
         (did, math.floor(score * 1e6 + 0.5) / 1e6)
       }.toSeq.sortBy { case (did, s) => (-s, did) }.take(5)

@@ -1,0 +1,124 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Property pins for the r13 operator batch (q432–q438) — each test
+  * asserts the DEFINING invariant of its operator, not fixture
+  * values, so a refactor that silently breaks the semantics fails
+  * here even if it still hash-matches some oracle revision. */
+class Round13OpsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("q432 bloom: ZERO false negatives (the Bloom guarantee) and sane rates") {
+    val rows = TextAnalysis.bloomFilter(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_false_neg") == 0L,
+        s"${r.getAs[String]("lang")}: a member missed the filter")
+      assert(r.getAs[Long]("n_false_pos") <= r.getAs[Long]("n_nonmembers"))
+      // femit rounds to 6 decimals — a tiny analytic rate lands on 0.0
+      val fa = r.getAs[Double]("fpr_analytic")
+      assert(fa >= 0.0 && fa < 1.0)
+      if (!r.isNullAt(r.fieldIndex("fpr_measured")))
+        assert(r.getAs[Double]("fpr_measured") <= 1.0)
+    }
+  }
+
+  test("q434 maxscore: pruned top-k EQUALS the unpruned q79 ranking and certifies") {
+    val terms = Seq("dup", "scan", "join", "query")
+    val pruned = TextAnalysis.maxScoreTopK(docs, terms, kTop = 10).collect()
+    assert(pruned.length == 10)
+    pruned.foreach(r => assert(r.getAs[Boolean]("certified"),
+      "outside bound beat the k-th exact score — pruning was lossy"))
+    // the sufficient set must actually prune on this term mix
+    assert(pruned.head.getAs[Long]("n_candidates")
+      < pruned.head.getAs[Long]("n_matching"))
+    // losslessness cross-check against the existing unpruned operator
+    val exact = TextAnalysis.bm25TopK(docs, terms, kTop = 10).collect()
+    assert(pruned.map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSeq ==
+      exact.map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSeq)
+  }
+
+  test("q437 rendezvous: minimal disruption — survivors only GAIN, moved = dropped") {
+    val rows = Pack.rendezvousShards(docs).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[Long]("n_gained")))).toMap
+    val n = docs.count()
+    assert(rows.values.map(_._1).sum == n && rows.values.map(_._2).sum == n)
+    val (dropBefore, dropAfter, _) = rows(3L)
+    assert(dropAfter == 0L)
+    // HRW's defining property: every survivor keeps its population and
+    // only inherits from the dropped shard
+    rows.filter(_._1 != 3L).foreach { case (s, (b, a, g)) =>
+      assert(a == b + g, s"shard $s lost or double-counted docs")
+    }
+    assert(rows.filter(_._1 != 3L).values.map(_._3).sum == dropBefore,
+      "moved docs != dropped shard's former population")
+  }
+
+  test("q435 mutual-knn: census partitions the corpus, clusters are >= 2") {
+    val rows = Sim.mutualKnnClusters(emb).collect()
+    val n = emb.count()
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      val nc = r.getAs[Long]("n_clusters")
+      val nd = r.getAs[Long]("n_docs")
+      assert(nd == sz * nc, s"size $sz: census arithmetic broken")
+      if (sz > 1L) assert(nc >= 0L)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n,
+      "census rows must partition the corpus")
+  }
+
+  test("q433 b-bit: more bits -> closer to the full estimator on average") {
+    val rows = Dedup.bbitMinhash(docs, "doc_id", "text").collect()
+    assert(rows.nonEmpty)
+    def mean(f: org.apache.spark.sql.Row => Double) =
+      rows.map(f).sum / rows.length
+    val d1 = mean(r => math.abs(r.getAs[Double]("est_b1")
+      - r.getAs[Double]("est_full")))
+    val d4 = mean(r => math.abs(r.getAs[Double]("est_b4")
+      - r.getAs[Double]("est_full")))
+    assert(d4 <= d1 + 1e-9, s"4-bit ($d4) should track full better than 1-bit ($d1)")
+    rows.foreach { r =>
+      val j = r.getAs[Double]("exact_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Double]("est_full") >= 0.0
+        && r.getAs[Double]("est_full") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q436 ips: clipping never raises the estimate; snips is a reward mean") {
+    val r = graft.rel.Queries.ipsEval(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_match") > 0L)
+    assert(r.getAs[Long]("n_match") <= r.getAs[Long]("n_logged"))
+    val mr = r.getAs[Double]("match_rate")
+    assert(mr > 0.0 && mr <= 1.0)
+    // rewards are nonnegative, so capping weights can only lower V
+    assert(r.getAs[Double]("v_ips_clipped")
+      <= r.getAs[Double]("v_ips") + 1e-9)
+    // SNIPS is a convex combination of matched rewards
+    assert(r.getAs[Double]("v_snips") >= 0.0)
+    assert(r.getAs[Double]("v_dm") >= 0.0)
+  }
+
+  test("q438 coreset: weights estimate N unbiasedly and the census is consistent") {
+    val rows = Sim.coresetKmeans(emb).collect()
+    val n = emb.count()
+    assert(rows.map(_.getAs[Long]("n_full")).sum == n,
+      "full assignment must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_core_pts") <= r.getAs[Long]("n_full"))
+      assert(r.getAs[Double]("w_core") >= 0.0)
+      assert(r.getAs[Double]("score_full") >= 0.0)
+    }
+    // E[sum of 1/p weights] = N — allow wide sampling slack at m=64
+    val w = rows.map(_.getAs[Double]("w_core")).sum
+    assert(w > 0.3 * n && w < 3.0 * n, s"sum weights $w vs N=$n")
+  }
+}
