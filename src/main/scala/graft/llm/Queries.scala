@@ -1808,6 +1808,10 @@ object Queries {
     // (see Sim.coresetKmeans)
     "q438_coreset_kmeans" -> ((s, dir) =>
       Sim.coresetKmeans(tbl(s, dir, "embeddings"))),
+    // Signed feature hashing with the collision census and the exact
+    // inner-product-preservation audit (see TextAnalysis.featureHashing)
+    "q440_feature_hashing" -> ((s, dir) =>
+      TextAnalysis.featureHashing(tbl(s, dir, "documents"))),
     // MaxScore upper-bound-pruned BM25 top-k with the losslessness
     // certification columns (see TextAnalysis.maxScoreTopK)
     "q434_maxscore_topk" -> ((s, dir) =>
@@ -6564,6 +6568,50 @@ object Queries {
         " / nullif(score_full, 0.0)")} AS rel_err
          |FROM fullc f LEFT JOIN corec c ON c.cid = f.cid
          |ORDER BY f.cid""".stripMargin
+    },
+    // Same fnv bucket/sign hashes, same integer tf/hashed-vector
+    // algebra over the 50-doc probe slice, same bucket census carried
+    // on every row.
+    "q440_feature_hashing" -> {
+      val bkt = s"${fnvSql("(tok || ':fh')")} % 16"
+      val sgn = s"${fnvSql("(tok || ':fs')")} % 2 * 2 - 1"
+      s"""WITH tok AS (SELECT doc_id, t AS tok FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |   FROM documents) u WHERE t <> ''),
+         |census AS (SELECT CAST(sum(load) AS BIGINT) AS n_vocab,
+         |  count(*) AS n_buckets_used,
+         |  CAST(max(load) AS BIGINT) AS max_bucket_load FROM (
+         |  SELECT $bkt AS b, count(*) AS load FROM
+         |    (SELECT DISTINCT tok FROM tok) v GROUP BY 1) l),
+         |tf AS (SELECT doc_id // 2 AS p, doc_id % 2 AS side, tok,
+         |  count(*) AS tf FROM tok WHERE doc_id < 50
+         |  GROUP BY doc_id, tok),
+         |sz AS (SELECT p, side, CAST(sum(tf) AS BIGINT) AS ntok
+         |  FROM tf GROUP BY p, side),
+         |de AS (SELECT a.p, CAST(sum(a.tf * b.tf) AS BIGINT)
+         |    AS dot_exact
+         |  FROM tf a JOIN tf b ON a.p = b.p AND a.tok = b.tok
+         |    AND a.side = 0 AND b.side = 1 GROUP BY a.p),
+         |hv AS (SELECT p, side, $bkt AS b,
+         |  CAST(sum(($sgn) * tf) AS BIGINT) AS h
+         |  FROM tf GROUP BY p, side, 3),
+         |dh AS (SELECT a.p, CAST(sum(a.h * b.h) AS BIGINT)
+         |    AS dot_hashed
+         |  FROM hv a JOIN hv b ON a.p = b.p AND a.b = b.b
+         |    AND a.side = 0 AND b.side = 1 GROUP BY a.p)
+         |SELECT s0.p * 2 AS d1, s0.p * 2 + 1 AS d2,
+         |  s0.ntok AS n1, s1.ntok AS n2,
+         |  CAST(coalesce(dot_exact, 0) AS BIGINT) AS dot_exact,
+         |  CAST(coalesce(dot_hashed, 0) AS BIGINT) AS dot_hashed,
+         |  CAST(abs(coalesce(dot_hashed, 0) - coalesce(dot_exact, 0))
+         |    AS BIGINT) AS abs_err,
+         |  n_vocab, n_buckets_used, max_bucket_load
+         |FROM sz s0 JOIN sz s1 ON s0.p = s1.p
+         |  AND s0.side = 0 AND s1.side = 1
+         |LEFT JOIN de ON de.p = s0.p
+         |LEFT JOIN dh ON dh.p = s0.p
+         |CROSS JOIN census
+         |ORDER BY d1""".stripMargin
     },
     // Same fnv(doc_id:node:shard) weights, argmax with the lowest-id
     // tiebreak (rank by weight DESC, shard ASC), full-outer census.

@@ -2308,6 +2308,73 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** FEATURE HASHING (the hashing trick — Weinberger et al., ICML
+    * 2009: project bag-of-words counts into a FIXED-width vector by
+    * bucket = hash(token), with a second ±1 sign hash making the
+    * hashed inner product an UNBIASED estimator of the exact one —
+    * the construction that lets a text classifier keep constant-width
+    * features while the vocabulary grows without bound, i.e. the only
+    * featurizer that survives 100 TB of text without a vocabulary
+    * sync): per-document signed-hashed vectors at `dBuckets` width,
+    * audited two ways — a global collision census (vocabulary per
+    * bucket, occupancy, max load) and the inner-product-preservation
+    * table over `nPairs` consecutive-id document pairs, exact
+    * ⟨x,y⟩ vs hashed ⟨h(x),h(y)⟩ with the absolute error. Counts and
+    * signs are integers, so every output column is EXACT — the gate
+    * certifies the estimator's arithmetic end to end.
+    *
+    * Scale: the hashed build is one (doc, bucket) hash-agg (the
+    * fixed-width projection itself); the census is bucket-grain; the
+    * pair audit touches the bounded probe slice only. */
+  def featureHashing(docs: DataFrame, dBuckets: Int = 16,
+                     nPairs: Int = 25): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val bucketOf = pmod(graft.functions.HashExprs
+      .fnv1a32("concat(tok, ':fh')"), lit(dBuckets.toLong))
+    val signOf = graft.functions.HashExprs
+      .fnv1a32("concat(tok, ':fs')") % 2L * 2L - 1L
+    val census = tok.select("tok").distinct()
+      .select(bucketOf.as("b"))
+      .groupBy("b").agg(count(lit(1)).as("load"))
+      .agg(sum(col("load")).as("n_vocab"),
+        count(lit(1)).as("n_buckets_used"),
+        max(col("load")).as("max_bucket_load"))
+    val tf = tok.where(col("doc_id") < 2L * nPairs)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("p", expr("doc_id div 2"))
+      .withColumn("side", col("doc_id") % 2L)
+      .localCheckpoint() // sizes + exact dot + hashed vectors
+    val sz = tf.groupBy("p", "side").agg(sum(col("tf")).as("ntok"))
+    val dotExact = tf.where(col("side") === 0L)
+      .select(col("p"), col("tok"), col("tf").as("tf0"))
+      .join(tf.where(col("side") === 1L)
+        .select(col("p"), col("tok"), col("tf").as("tf1")), Seq("p", "tok"))
+      .groupBy("p").agg(sum(col("tf0") * col("tf1")).as("dot_exact"))
+    val hv = tf.withColumn("b", bucketOf)
+      .withColumn("sgn", signOf)
+      .groupBy("p", "side", "b").agg(sum(col("sgn") * col("tf")).as("h"))
+    val dotHashed = hv.where(col("side") === 0L)
+      .select(col("p"), col("b"), col("h").as("h0"))
+      .join(hv.where(col("side") === 1L)
+        .select(col("p"), col("b"), col("h").as("h1")), Seq("p", "b"))
+      .groupBy("p").agg(sum(col("h0") * col("h1")).as("dot_hashed"))
+    sz.where(col("side") === 0L).select(col("p"), col("ntok").as("n1"))
+      .join(sz.where(col("side") === 1L)
+        .select(col("p"), col("ntok").as("n2")), Seq("p"))
+      .join(dotExact, Seq("p"), "left")
+      .join(dotHashed, Seq("p"), "left")
+      .crossJoin(broadcast(census))
+      .select((col("p") * 2L).as("d1"), (col("p") * 2L + 1L).as("d2"),
+        col("n1"), col("n2"),
+        coalesce(col("dot_exact"), lit(0L)).as("dot_exact"),
+        coalesce(col("dot_hashed"), lit(0L)).as("dot_hashed"),
+        abs(coalesce(col("dot_hashed"), lit(0L))
+          - coalesce(col("dot_exact"), lit(0L))).as("abs_err"),
+        col("n_vocab"), col("n_buckets_used"), col("max_bucket_load"))
+      .orderBy("d1")
+  }
+
   /** MaxScore-style UPPER-BOUND-PRUNED BM25 top-k (Turtle &amp; Flood,
     * IPM 1995; the dynamic-pruning family WAND/MaxScore/BMW that every
     * production text index runs so a query never fully scores the

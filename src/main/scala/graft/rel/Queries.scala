@@ -3071,6 +3071,93 @@ object Queries {
         femit(-col("ll") / col("n_rows").cast("double")).as("avg_nll"))
   }
 
+  /** MERGEABLE QUANTILE SUMMARY with a certified rank-error bound —
+    * the deterministic member of the GK/KLL sketch family (Greenwald
+    * &amp; Shanmugasundaram SIGMOD 2001 / Karnin-Lang-Liberty FOCS
+    * 2016; the repo's KMV/CMS/theta rows cover distinct-count and
+    * frequency — this is the missing ORDER-STATISTICS summary every
+    * engine ships for percentile pushdown): each id-range cell keeps
+    * every `step`-th local order statistic (plus its tail) with the
+    * covered-row weight, the per-cell summaries MERGE by value, and a
+    * quantile φ reads off the smallest kept value whose cumulative
+    * weight reaches ⌈φN⌉. Each cell's kept points are ≤ step apart in
+    * local rank, so the merged estimate's TRUE rank deviates from the
+    * target by at most ncells·step — and the operator measures it:
+    * every emitted row carries the estimate's EXACT rank (one
+    * count-≤-v pass over the data) next to the bound, so the gate
+    * certifies the sketch's guarantee, not just its arithmetic.
+    *
+    * Determinism: values are exact micro-unit longs; weights, ranks,
+    * targets (⌈φN⌉ through the shared IEEE multiply) and the min-v
+    * pick are all integer.
+    *
+    * Scale: the in-cell windows are keyed by cell; the merged summary
+    * is N/step rows whose prefix sum rides the q300 two-phase
+    * value-cell pattern (never a corpus-grain global window); the
+    * exact-rank audit is one broadcast join of |φ| values. */
+  def quantileSketch(s: SparkSession, dir: String, step: Int = 64)
+      : DataFrame = {
+    val phis = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val vals = events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_id"), round(col("value") * 1000000)
+        .cast("long").as("v"))
+      .localCheckpoint() // sketch build + the exact-rank audit
+    val n = vals.count()
+    val celled = vals.withColumn("cell", expr("event_id div 4096"))
+    val nCells = celled.select("cell").distinct().count()
+    val wC = Window.partitionBy("cell")
+      .orderBy(col("v").asc, col("event_id").asc)
+    val kept = celled
+      .withColumn("r", row_number().over(wC).cast("long"))
+      .withColumn("cn", count(lit(1))
+        .over(Window.partitionBy("cell")).cast("long"))
+      .where(col("r") % step === 0L || col("r") === col("cn"))
+      .withColumn("wt", when(col("r") % step === 0L, lit(step.toLong))
+        .otherwise(col("cn") % step))
+      .where(col("wt") > 0L) // the tail point is redundant when cn | step
+      .select(col("v"), col("event_id"), col("wt"))
+      .localCheckpoint() // merged summary: N/step rows
+    // two-phase cumulative weight over the merged summary, cells by
+    // value prefix (order-preserving for longs >= 0; micro-unit
+    // revenue is nonnegative on this schema)
+    val vcelled = kept.withColumn("vcell", expr("v div 16777216"))
+    val inCell = Window.partitionBy("vcell")
+      .orderBy(col("v").asc, col("event_id").asc)
+    val cwl = inCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val preCell = Window.orderBy(col("vcell").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellTotals = vcelled.groupBy("vcell")
+      .agg(sum(col("wt")).as("c_w"))
+      .withColumn("off_w", coalesce(sum(col("c_w")).over(preCell), lit(0L)))
+      .select("vcell", "off_w")
+    val cum = vcelled
+      .withColumn("w_in", sum(col("wt")).over(cwl))
+      .join(broadcast(cellTotals), "vcell")
+      .select(col("v"), (col("off_w") + col("w_in")).as("cumw"))
+    val targets = phis.map { p =>
+      s.range(1).select(lit(p).as("phi"),
+        ceil(lit(p) * lit(n.toDouble)).cast("long").as("target_rank"))
+    }.reduce(_ unionAll _)
+    val est = cum.crossJoin(broadcast(targets))
+      .where(col("cumw") >= col("target_rank"))
+      .groupBy("phi", "target_rank").agg(min(col("v")).as("est_v"))
+    val exactRank = est.join(vals.select(col("v").as("xv")),
+        col("xv") <= col("est_v"), "left")
+      .groupBy("phi", "target_rank", "est_v")
+      .agg(count(col("xv")).as("exact_rank"))
+    exactRank
+      .select(col("phi"), lit(n).as("n"), col("target_rank"),
+        col("est_v").as("est_value_micro"), col("exact_rank"),
+        abs(col("exact_rank") - col("target_rank")).as("rank_err"),
+        // exact_rank >= cumw >= target (covered rows sit at or below
+        // their kept point); the overshoot is at most the pick's own
+        // weight (<= step) plus one straddling segment (< step) per
+        // cell — (ncells + 1) * step bounds both sides
+        lit((nCells + 1) * step).as("err_bound"))
+      .orderBy("phi")
+  }
+
   /** Off-policy (counterfactual) evaluation of a target policy from
     * logged interaction data — IPS (Horvitz &amp; Thompson 1952 /
     * inverse-propensity scoring), CLIPPED IPS (Bottou et al., JMLR
@@ -6831,6 +6918,7 @@ object Queries {
     "q430_propensity_overlap" -> (propensityOverlap _),
     "q431_entropy_rate" -> ((s, dir) => entropyRate(s, dir)),
     "q436_ips_eval" -> ((s, dir) => ipsEval(s, dir)),
+    "q439_quantile_sketch" -> ((s, dir) => quantileSketch(s, dir)),
     "q197_anova" -> (anovaF _),
     "q198_pareto_abc" -> (paretoAbc _),
     "q199_decile_lift" -> (decileLift _),
@@ -12252,6 +12340,46 @@ object Queries {
          |  ${femitSql("CAST(n_match AS DOUBLE) / CAST(n AS DOUBLE)")}
          |    AS match_rate
          |FROM sums CROSS JOIN dm CROSS JOIN best CROSS JOIN nt""".stripMargin,
+    // Same 4096-id cells, every-64th-plus-tail kept points with
+    // covered-row weights, merged cumulative by (v, event_id), the
+    // shared ceil(phi*n) targets, min-v pick, exact count-<=-v rank.
+    "q439_quantile_sketch" ->
+      s"""WITH vals AS (SELECT event_id,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |nt AS (SELECT count(*) AS n FROM vals),
+         |nc AS (SELECT count(DISTINCT event_id // 4096) AS ncells
+         |  FROM vals),
+         |rk AS (SELECT v, event_id,
+         |  CAST(row_number() OVER (PARTITION BY event_id // 4096
+         |    ORDER BY v ASC, event_id ASC) AS BIGINT) AS r,
+         |  CAST(count(*) OVER (PARTITION BY event_id // 4096)
+         |    AS BIGINT) AS cn FROM vals),
+         |kpt AS (SELECT v, event_id, CAST(CASE WHEN r % 64 = 0 THEN 64
+         |    ELSE cn % 64 END AS BIGINT) AS wt
+         |  FROM rk WHERE (r % 64 = 0 OR r = cn)
+         |    AND CASE WHEN r % 64 = 0 THEN 64 ELSE cn % 64 END > 0),
+         |cum AS (SELECT v, CAST(sum(wt) OVER (ORDER BY v ASC,
+         |  event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+         |  ROW) AS BIGINT) AS cumw FROM kpt),
+         |tg AS (SELECT phi, CAST(ceil(phi *
+         |    (SELECT CAST(n AS DOUBLE) FROM nt)) AS BIGINT)
+         |    AS target_rank
+         |  FROM (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99]
+         |    AS DOUBLE[])) AS phi) p),
+         |est AS (SELECT phi, target_rank, min(v) AS est_v
+         |  FROM cum CROSS JOIN tg WHERE cumw >= target_rank
+         |  GROUP BY phi, target_rank),
+         |ex AS (SELECT e.phi, e.target_rank, e.est_v,
+         |  count(va.v) AS exact_rank
+         |  FROM est e LEFT JOIN vals va ON va.v <= e.est_v
+         |  GROUP BY 1, 2, 3)
+         |SELECT phi, (SELECT n FROM nt) AS n, target_rank,
+         |  est_v AS est_value_micro, exact_rank,
+         |  abs(exact_rank - target_rank) AS rank_err,
+         |  CAST(((SELECT ncells FROM nc) + 1) * 64 AS BIGINT)
+         |    AS err_bound
+         |FROM ex ORDER BY phi""".stripMargin,
     // q394's risk cells, the SAME 8 fixed Newton steps (the oracle
     // replays the identical float trajectory), Breslow ties.
     "q401_cox_ph" -> {

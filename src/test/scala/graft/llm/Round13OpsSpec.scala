@@ -107,6 +107,36 @@ class Round13OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("v_dm") >= 0.0)
   }
 
+  test("q439 quantile sketch: every estimate honors the certified rank bound") {
+    val rows = graft.rel.Queries.quantileSketch(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      // one-sided by construction: exact rank >= cumw >= target
+      assert(r.getAs[Long]("exact_rank") >= r.getAs[Long]("target_rank"))
+      assert(r.getAs[Long]("rank_err") <= r.getAs[Long]("err_bound"),
+        s"phi=${r.getAs[Double]("phi")}: bound violated")
+    }
+    // estimates are monotone in phi
+    val est = rows.sortBy(_.getAs[Double]("phi"))
+      .map(_.getAs[Long]("est_value_micro"))
+    assert(est.zip(est.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q440 feature hashing: collisions are real at 16 buckets, algebra is exact") {
+    val rows = TextAnalysis.featureHashing(docs).collect()
+    assert(rows.length == 25)
+    val h = rows.head
+    assert(h.getAs[Long]("max_bucket_load") >= 2L,
+      "16 buckets over this vocabulary must collide")
+    assert(h.getAs[Long]("n_buckets_used") <= 16L)
+    assert(h.getAs[Long]("n_vocab") >= h.getAs[Long]("n_buckets_used"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("abs_err") ==
+        math.abs(r.getAs[Long]("dot_hashed") - r.getAs[Long]("dot_exact")))
+      assert(r.getAs[Long]("n1") > 0L && r.getAs[Long]("n2") > 0L)
+    }
+  }
+
   test("q438 coreset: weights estimate N unbiasedly and the census is consistent") {
     val rows = Sim.coresetKmeans(emb).collect()
     val n = emb.count()
