@@ -1959,13 +1959,18 @@ object Queries {
     * unrolled chain lands on the identical g3. `lazy`: referenced
     * during the oracles map's object init. */
   private lazy val nnGraphCtes: String = {
+    // MATERIALIZED throughout: g{r-1} is referenced three times per
+    // round (und/mg/delta) and `n`/`capped` twice — DuckDB otherwise
+    // re-executes the whole prefix per reference (measured 184 s →
+    // ~linear at sf0.01 with the hints).
     def roundSql(r: Int) =
       s""",
          |und$r AS (SELECT u, w, sim FROM g${r - 1}
          |  UNION ALL SELECT w, u, sim FROM g${r - 1}),
          |cp$r AS (SELECT u, w, row_number() OVER (PARTITION BY u
          |  ORDER BY sim DESC, w ASC) AS r FROM und$r),
-         |capped$r AS (SELECT u AS m, w AS nbr FROM cp$r WHERE r <= 32),
+         |capped$r AS MATERIALIZED (SELECT u AS m, w AS nbr FROM cp$r
+         |  WHERE r <= 32),
          |cand$r AS (SELECT DISTINCT a.nbr AS u, b.nbr AS w
          |  FROM capped$r a JOIN capped$r b
          |  ON a.m = b.m AND a.nbr <> b.nbr),
@@ -1978,13 +1983,14 @@ object Queries {
          |  UNION ALL SELECT u, w, sim FROM cs$r) GROUP BY 1, 2),
          |g${r}r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
          |  ORDER BY sim DESC, w ASC) AS rnk FROM mg$r),
-         |g$r AS (SELECT u, w, sim FROM g${r}r WHERE rnk <= 5),
+         |g$r AS MATERIALIZED (SELECT u, w, sim FROM g${r}r
+         |  WHERE rnk <= 5),
          |d$r AS (SELECT count(*) AS delta FROM g$r a
          |  WHERE NOT EXISTS (SELECT 1 FROM g${r - 1} b
          |    WHERE b.u = a.u AND b.w = a.w))""".stripMargin
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |n AS (SELECT vec_id, v,
+       |n AS MATERIALIZED (SELECT vec_id, v,
        |  sqrt(${foldSum.format("list_transform(v, x -> x * x)")}) AS norm
        |  FROM v),
        |cent AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n
@@ -2004,7 +2010,7 @@ object Queries {
        |  JOIN n nw ON nw.vec_id = c.w),
        |g0r AS (SELECT u, w, sim, row_number() OVER (PARTITION BY u
        |  ORDER BY sim DESC, w ASC) AS rnk FROM sp),
-       |g0 AS (SELECT u, w, sim FROM g0r WHERE rnk <= 5)
+       |g0 AS MATERIALIZED (SELECT u, w, sim FROM g0r WHERE rnk <= 5)
        |${roundSql(1)}${roundSql(2)}${roundSql(3)}""".stripMargin
   }
 
