@@ -3121,19 +3121,19 @@ object Queries {
     // two-phase cumulative weight over the merged summary, cells by
     // value prefix (order-preserving for longs >= 0; micro-unit
     // revenue is nonnegative on this schema)
-    val vcelled = kept.withColumn("vcell", expr("v div 16777216"))
-    val inCell = Window.partitionBy("vcell")
+    val vcelled = kept.withColumn("cell", expr("v div 16777216"))
+    val inCell = Window.partitionBy("cell")
       .orderBy(col("v").asc, col("event_id").asc)
     val cwl = inCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val preCell = Window.orderBy(col("vcell").asc)
+    val preCell = Window.orderBy(col("cell").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cellTotals = vcelled.groupBy("vcell")
+    val cellTotals = vcelled.groupBy("cell")
       .agg(sum(col("wt")).as("c_w"))
       .withColumn("off_w", coalesce(sum(col("c_w")).over(preCell), lit(0L)))
-      .select("vcell", "off_w")
+      .select("cell", "off_w")
     val cum = vcelled
       .withColumn("w_in", sum(col("wt")).over(cwl))
-      .join(broadcast(cellTotals), "vcell")
+      .join(broadcast(cellTotals), "cell")
       .select(col("v"), (col("off_w") + col("w_in")).as("cumw"))
     val targets = phis.map { p =>
       s.range(1).select(lit(p).as("phi"),
