@@ -1812,6 +1812,10 @@ object Queries {
     // inner-product-preservation audit (see TextAnalysis.featureHashing)
     "q440_feature_hashing" -> ((s, dir) =>
       TextAnalysis.featureHashing(tbl(s, dir, "documents"))),
+    // SentencePiece-style unigram-LM Viterbi tokenization, DP unrolled
+    // in-plan over per-word lookup maps (see TextAnalysis.unigramTokenize)
+    "q442_unigram_tokenize" -> ((s, dir) =>
+      TextAnalysis.unigramTokenize(tbl(s, dir, "documents"))),
     // MaxScore upper-bound-pruned BM25 top-k with the losslessness
     // certification columns (see TextAnalysis.maxScoreTopK)
     "q434_maxscore_topk" -> ((s, dir) =>
@@ -6574,6 +6578,62 @@ object Queries {
         " / nullif(score_full, 0.0)")} AS rel_err
          |FROM fullc f LEFT JOIN corec c ON c.cid = f.cid
          |ORDER BY f.cid""".stripMargin
+    },
+    // Same word-frequency-weighted substring vocabulary, same
+    // ln(cnt)-ln(tot) piece log-probs, and the IDENTICAL unrolled
+    // Viterbi fold (ascending-j strict-greater CASE nesting = the
+    // Spark reduceLeft, so ties keep the smaller j on both engines).
+    "q442_unigram_tokenize" -> {
+      val maxPiece = 4; val maxLen = 8
+      val spans = (1 to maxLen).flatMap(i =>
+        (math.max(0, i - maxPiece) until i).map(j => (j, i)))
+      def lpCol(j: Int, i: Int) = s"lp_${j}_$i"
+      val lpCols = spans.map { case (j, i) =>
+        s"(SELECT lp FROM lpt WHERE piece = substring(b.t, ${j + 1}, ${i - j}))" +
+          s" AS ${lpCol(j, i)}"
+      }.mkString(",\n         |  ")
+      val layers = (1 to maxLen).map { i =>
+        val js = math.max(0, i - maxPiece) until i
+        val cands = js.map { j =>
+          s"""struct_pack(s := (dp$j).s + ${lpCol(j, i)},
+             |    seg := (dp$j).seg || (CASE WHEN (dp$j).np > 0 THEN ' '
+             |      ELSE '' END) || substring(t, ${j + 1}, ${i - j}),
+             |    np := (dp$j).np + 1) AS c${i}_$j""".stripMargin
+        }.mkString(",\n         |  ")
+        val fold = js.tail.foldLeft(s"c${i}_${js.head}") { (acc, j) =>
+          s"(CASE WHEN (c${i}_$j).s > ($acc).s THEN c${i}_$j ELSE $acc END)"
+        }
+        s""",
+           |e$i AS (SELECT *, $cands FROM d${i - 1}),
+           |d$i AS (SELECT *, CASE WHEN len >= $i THEN $fold END AS dp$i
+           |  FROM e$i)""".stripMargin
+      }.mkString
+      val fin = (1 to maxLen)
+        .map(i => s"CASE WHEN len = $i THEN dp$i END").mkString("coalesce(", ", ", ")")
+      s"""WITH w AS (SELECT t, count(*) AS freq FROM (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS t FROM documents) u
+         |  GROUP BY t HAVING length(t) <= $maxLen),
+         |sp(j, i) AS (VALUES ${spans.map { case (j, i) => s"($j, $i)" }
+        .mkString(", ")}),
+         |pp AS (SELECT t, freq, j, i, substring(t, j + 1, i - j) AS piece
+         |  FROM w CROSS JOIN sp
+         |  WHERE length(substring(t, j + 1, i - j)) = i - j),
+         |vocab AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM pp GROUP BY piece),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM vocab),
+         |lpt AS (SELECT piece, ln(CAST(cnt AS DOUBLE))
+         |  - ln((SELECT CAST(tt AS DOUBLE) FROM tot)) AS lp FROM vocab),
+         |base AS (SELECT b.t, b.freq, length(b.t) AS len,
+         |  $lpCols
+         |  FROM w b),
+         |d0 AS (SELECT *, struct_pack(s := 0.0, seg := '',
+         |  np := CAST(0 AS BIGINT)) AS dp0 FROM base)$layers,
+         |f AS (SELECT t, freq, len, $fin AS fin FROM d$maxLen)
+         |SELECT t AS word, freq, CAST(len AS BIGINT) AS n_chars,
+         |  (fin).np AS n_pieces, (fin).seg AS segmentation,
+         |  ${femitSql("(fin).s")} AS viterbi_logp
+         |FROM f ORDER BY word""".stripMargin
     },
     // Same fnv bucket/sign hashes, same integer tf/hashed-vector
     // algebra over the 50-doc probe slice, same bucket census carried

@@ -2308,6 +2308,88 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** UNIGRAM-LM (SentencePiece-style) VITERBI TOKENIZATION — the
+    * probabilistic-segmentation member of the tokenizer family (Kudo,
+    * ACL 2018: given piece log-probs, a word's tokenization is the
+    * max-likelihood segmentation, found by the Viterbi DP over
+    * character positions; the repo's BPE rows q174/q206 cover the
+    * merge-rule family — this is the other tokenizer production
+    * systems train): the piece vocabulary is every 1..`maxPiece`-char
+    * substring of the corpus words with its occurrence count weighted
+    * by word frequency, p(piece) = cnt/Σcnt, and the DP
+    * dp[i] = max_j (dp[j] + ln p(word[j:i])) unrolls to `maxLen`
+    * positions ENTIRELY IN-PLAN: each word carries its (j,i)→lp
+    * lookup map (one explode + one piece join + map_from_entries —
+    * never a per-word UDF), and each unrolled step is a ≤maxPiece-way
+    * strict-greater fold over (score, segmentation, n_pieces) structs
+    * (ties keep the smaller j — the longer trailing piece — by fold
+    * order). Emits per word: the segmentation, piece count, and the
+    * femit'd Viterbi log-likelihood, so the gate hash-pins the entire
+    * DP trajectory including tie behavior.
+    *
+    * Scale: vocab and word tables are token-grain aggregates (the tf
+    * shuffle family); the DP itself is a per-row expression chain over
+    * the word table — no shuffle, no iteration over the corpus, and
+    * word length is capped (longer words would chunk first, the q113
+    * convention). */
+  def unigramTokenize(docs: DataFrame, maxPiece: Int = 4,
+                      maxLen: Int = 8): DataFrame = {
+    import graft.rel.Queries.femit
+    val words = docs
+      .select(explode(toks(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .where(length(col("t")) <= maxLen)
+      .localCheckpoint() // vocab build + the DP table
+    // (j, i) spans, 0-indexed start / exclusive end, piece = t[j:i)
+    val allSpans = (1 to maxLen).flatMap(i =>
+      (math.max(0, i - maxPiece) until i).map(j => (j, i)))
+    val posPieces = words.select(col("t"), col("freq"),
+        explode(array(allSpans.map { case (j, i) =>
+          struct(lit(j * 100 + i).as("k"),
+            substring(col("t"), j + 1, i - j).as("piece"))
+        }: _*)).as("sp"))
+      .where(length(col("sp.piece")) === col("sp.k") % 100
+        - expr("sp.k div 100")) // span inside the word
+      .select(col("t"), col("freq"), col("sp.k").as("k"),
+        col("sp.piece").as("piece"))
+      .localCheckpoint() // feeds the vocab agg AND the per-word maps
+    val vocab = posPieces.groupBy("piece")
+      .agg(sum(col("freq")).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("tt"))
+    val lpTbl = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (log(col("cnt").cast("double")) - log(col("tt").cast("double")))
+          .as("lp"))
+    val wmap = posPieces.join(broadcast(lpTbl), "piece")
+      .groupBy("t", "freq")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("lp"))))
+        .as("mp"))
+    var df = wmap.withColumn("dp0",
+      struct(lit(0.0).as("s"), lit("").as("seg"), lit(0L).as("np")))
+    for (i <- 1 to maxLen) {
+      val cands = (math.max(0, i - maxPiece) until i).map { j =>
+        val lpx = element_at(col("mp"), lit(j * 100 + i))
+        struct((col(s"dp$j.s") + lpx).as("s"),
+          concat(col(s"dp$j.seg"),
+            when(col(s"dp$j.np") > 0L, lit(" ")).otherwise(lit("")),
+            substring(col("t"), j + 1, i - j)).as("seg"),
+          (col(s"dp$j.np") + 1L).as("np"))
+      }
+      val best = cands.reduceLeft((a, b) =>
+        when(b.getField("s") > a.getField("s"), b).otherwise(a))
+      df = df.withColumn(s"dp$i", when(length(col("t")) >= i, best))
+    }
+    val fin = (1 to maxLen).map(i =>
+      when(length(col("t")) === i, col(s"dp$i"))).reduce(coalesce(_, _))
+    df.withColumn("fin", fin)
+      .select(col("t").as("word"), col("freq"),
+        length(col("t")).cast("long").as("n_chars"),
+        col("fin.np").as("n_pieces"),
+        col("fin.seg").as("segmentation"),
+        femit(col("fin.s")).as("viterbi_logp"))
+      .orderBy("word")
+  }
+
   /** FEATURE HASHING (the hashing trick — Weinberger et al., ICML
     * 2009: project bag-of-words counts into a FIXED-width vector by
     * bucket = hash(token), with a second ±1 sign hash making the

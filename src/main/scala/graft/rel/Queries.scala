@@ -3095,20 +3095,20 @@ object Queries {
     * is N/step rows whose prefix sum rides the q300 two-phase
     * value-cell pattern (never a corpus-grain global window); the
     * exact-rank audit is one broadcast join of |φ| values. */
-  def quantileSketch(s: SparkSession, dir: String, step: Int = 64)
-      : DataFrame = {
-    val phis = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-    val vals = events(s, dir)
+  /** Micro-unit value stream for the q439/q441 sketch family. */
+  private[graft] def sketchVals(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
       .where(col("value").isNotNull)
       .select(col("event_id"), round(col("value") * 1000000)
         .cast("long").as("v"))
-      .localCheckpoint() // sketch build + the exact-rank audit
-    val n = vals.count()
-    val celled = vals.withColumn("cell", expr("event_id div 4096"))
-    val nCells = celled.select("cell").distinct().count()
+
+  /** Every-`step`-th kept order statistic per `cell` with covered-row
+    * weights — the q439/q441 shared summary builder. Input must carry
+    * (v, event_id, cell). */
+  private[graft] def sketchKept(celled: DataFrame, step: Int): DataFrame = {
     val wC = Window.partitionBy("cell")
       .orderBy(col("v").asc, col("event_id").asc)
-    val kept = celled
+    celled
       .withColumn("r", row_number().over(wC).cast("long"))
       .withColumn("cn", count(lit(1))
         .over(Window.partitionBy("cell")).cast("long"))
@@ -3117,10 +3117,16 @@ object Queries {
         .otherwise(col("cn") % step))
       .where(col("wt") > 0L) // the tail point is redundant when cn | step
       .select(col("v"), col("event_id"), col("wt"))
-      .localCheckpoint() // merged summary: N/step rows
-    // two-phase cumulative weight over the merged summary, cells by
-    // value prefix (order-preserving for longs >= 0; micro-unit
-    // revenue is nonnegative on this schema)
+  }
+
+  /** Shared epilogue: two-phase cumulative weight over a kept-point
+    * summary (value-prefix cells — order-preserving for the
+    * nonnegative micro-unit longs), ⌈φN⌉ targets, min-v pick, and the
+    * exact count-≤-v rank audit against `vals`. */
+  private def sketchQuantiles(s: SparkSession, kept: DataFrame,
+                              vals: DataFrame, n: Long, bound: Long)
+      : DataFrame = {
+    val phis = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
     val vcelled = kept.withColumn("cell", expr("v div 16777216"))
     val inCell = Window.partitionBy("cell")
       .orderBy(col("v").asc, col("event_id").asc)
@@ -3142,11 +3148,10 @@ object Queries {
     val est = cum.crossJoin(broadcast(targets))
       .where(col("cumw") >= col("target_rank"))
       .groupBy("phi", "target_rank").agg(min(col("v")).as("est_v"))
-    val exactRank = est.join(vals.select(col("v").as("xv")),
+    est.join(vals.select(col("v").as("xv")),
         col("xv") <= col("est_v"), "left")
       .groupBy("phi", "target_rank", "est_v")
       .agg(count(col("xv")).as("exact_rank"))
-    exactRank
       .select(col("phi"), lit(n).as("n"), col("target_rank"),
         col("est_v").as("est_value_micro"), col("exact_rank"),
         abs(col("exact_rank") - col("target_rank")).as("rank_err"),
@@ -3154,8 +3159,57 @@ object Queries {
         // their kept point); the overshoot is at most the pick's own
         // weight (<= step) plus one straddling segment (< step) per
         // cell — (ncells + 1) * step bounds both sides
-        lit((nCells + 1) * step).as("err_bound"))
+        lit(bound).as("err_bound"))
       .orderBy("phi")
+  }
+
+  def quantileSketch(s: SparkSession, dir: String, step: Int = 64)
+      : DataFrame = {
+    val vals = sketchVals(s, dir)
+      .localCheckpoint() // sketch build + the exact-rank audit
+    val n = vals.count()
+    val celled = vals.withColumn("cell", expr("event_id div 4096"))
+    val nCells = celled.select("cell").distinct().count()
+    val kept = sketchKept(celled, step)
+      .localCheckpoint() // merged summary: N/step rows
+    sketchQuantiles(s, kept, vals, n, (nCells + 1) * step)
+  }
+
+  /** INCREMENTAL maintenance of the [[quantileSketch]] summary — the
+    * q75/q100 store lifecycle applied to order statistics (the reason
+    * mergeable summaries exist at all — Agarwal et al., "Mergeable
+    * Summaries", PODS 2012: a pipeline summarizes each ingest batch
+    * ONCE, persists the kept points, and serves percentiles from the
+    * UNION of batch summaries without ever rescanning history): three
+    * ingest generations (event_id mod 3) each build their own
+    * per-cell summary; the store is their plain union; quantiles come
+    * off the merged store through the shared epilogue, and the bound
+    * column carries the summed per-generation cell counts — merge
+    * adds errors, it never multiplies them. A spec certifies the
+    * merged store EQUALS the one-pass composite-cell summary row for
+    * row (cell-locality makes merge associative), and the gate row
+    * certifies the served quantiles honor the summed bound.
+    *
+    * Scale: each generation's build touches only that generation
+    * (O(batch), never O(history)); the serving pass reads Σ N_g/step
+    * summary rows. */
+  def quantileStoreMerge(s: SparkSession, dir: String, step: Int = 64)
+      : DataFrame = {
+    val vals = sketchVals(s, dir)
+      .localCheckpoint() // three gen builds + the exact-rank audit
+    val n = vals.count()
+    val gens = (0 to 2).map { g =>
+      val gv = vals.where(col("event_id") % 3L === g.toLong)
+        .withColumn("cell", expr(s"event_id div 4096 * 3 + $g"))
+      (sketchKept(gv, step).localCheckpoint(), // the persisted batch summary
+        gv.select("cell").distinct().count())
+    }
+    val store = gens.map(_._1).reduce(_ unionAll _)
+    val nCells = gens.map(_._2).sum
+    val nStoreRows = store.count()
+    sketchQuantiles(s, store, vals, n, (nCells + 1) * step)
+      .withColumn("n_gens", lit(3L))
+      .withColumn("n_store_rows", lit(nStoreRows))
   }
 
   /** Off-policy (counterfactual) evaluation of a target policy from
@@ -6919,6 +6973,7 @@ object Queries {
     "q431_entropy_rate" -> ((s, dir) => entropyRate(s, dir)),
     "q436_ips_eval" -> ((s, dir) => ipsEval(s, dir)),
     "q439_quantile_sketch" -> ((s, dir) => quantileSketch(s, dir)),
+    "q441_quantile_store" -> ((s, dir) => quantileStoreMerge(s, dir)),
     "q197_anova" -> (anovaF _),
     "q198_pareto_abc" -> (paretoAbc _),
     "q199_decile_lift" -> (decileLift _),
@@ -12379,6 +12434,49 @@ object Queries {
          |  abs(exact_rank - target_rank) AS rank_err,
          |  CAST(((SELECT ncells FROM nc) + 1) * 64 AS BIGINT)
          |    AS err_bound
+         |FROM ex ORDER BY phi""".stripMargin,
+    // Per-generation (event_id%3) composite cells, same kept-point
+    // rule, the union-as-store merge, shared epilogue, summed bound.
+    "q441_quantile_store" ->
+      s"""WITH vals AS (SELECT event_id,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |nt AS (SELECT count(*) AS n FROM vals),
+         |gv AS (SELECT v, event_id,
+         |  event_id // 4096 * 3 + event_id % 3 AS cell FROM vals),
+         |nc AS (SELECT count(DISTINCT cell) AS ncells FROM gv),
+         |rk AS (SELECT v, event_id,
+         |  CAST(row_number() OVER (PARTITION BY cell
+         |    ORDER BY v ASC, event_id ASC) AS BIGINT) AS r,
+         |  CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cn
+         |  FROM gv),
+         |kpt AS (SELECT v, event_id, CAST(CASE WHEN r % 64 = 0 THEN 64
+         |    ELSE cn % 64 END AS BIGINT) AS wt
+         |  FROM rk WHERE (r % 64 = 0 OR r = cn)
+         |    AND CASE WHEN r % 64 = 0 THEN 64 ELSE cn % 64 END > 0),
+         |nsr AS (SELECT count(*) AS n_store_rows FROM kpt),
+         |cum AS (SELECT v, CAST(sum(wt) OVER (ORDER BY v ASC,
+         |  event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+         |  ROW) AS BIGINT) AS cumw FROM kpt),
+         |tg AS (SELECT phi, CAST(ceil(phi *
+         |    (SELECT CAST(n AS DOUBLE) FROM nt)) AS BIGINT)
+         |    AS target_rank
+         |  FROM (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99]
+         |    AS DOUBLE[])) AS phi) p),
+         |est AS (SELECT phi, target_rank, min(v) AS est_v
+         |  FROM cum CROSS JOIN tg WHERE cumw >= target_rank
+         |  GROUP BY phi, target_rank),
+         |ex AS (SELECT e.phi, e.target_rank, e.est_v,
+         |  count(va.v) AS exact_rank
+         |  FROM est e LEFT JOIN vals va ON va.v <= e.est_v
+         |  GROUP BY 1, 2, 3)
+         |SELECT phi, (SELECT n FROM nt) AS n, target_rank,
+         |  est_v AS est_value_micro, exact_rank,
+         |  abs(exact_rank - target_rank) AS rank_err,
+         |  CAST(((SELECT ncells FROM nc) + 1) * 64 AS BIGINT)
+         |    AS err_bound,
+         |  CAST(3 AS BIGINT) AS n_gens,
+         |  (SELECT n_store_rows FROM nsr) AS n_store_rows
          |FROM ex ORDER BY phi""".stripMargin,
     // q394's risk cells, the SAME 8 fixed Newton steps (the oracle
     // replays the identical float trajectory), Breslow ties.

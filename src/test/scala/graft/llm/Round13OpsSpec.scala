@@ -122,6 +122,30 @@ class Round13OpsSpec extends SparkSpec {
     assert(est.zip(est.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q441 store merge: union of per-gen summaries == one-pass composite summary") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.rel.Queries.sketchVals(spark, sf0001).localCheckpoint()
+    // one pass over composite (gen, id-cell) cells
+    val onePass = graft.rel.Queries.sketchKept(
+      vals.withColumn("cell",
+        expr("event_id div 4096 * 3 + event_id % 3")), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // per-generation builds, merged by plain union — the store path
+    val merged = (0 to 2).map { g =>
+      graft.rel.Queries.sketchKept(
+        vals.where(col("event_id") % 3L === g.toLong)
+          .withColumn("cell", expr(s"event_id div 4096 * 3 + $g")), 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }.reduce(_ ++ _)
+    assert(merged == onePass,
+      "summary construction must be cell-local (merge associativity)")
+    // and the served quantiles honor the summed bound
+    graft.rel.Queries.quantileStoreMerge(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("rank_err") <= r.getAs[Long]("err_bound"))
+      assert(r.getAs[Long]("exact_rank") >= r.getAs[Long]("target_rank"))
+    }
+  }
+
   test("q440 feature hashing: collisions are real at 16 buckets, algebra is exact") {
     val rows = TextAnalysis.featureHashing(docs).collect()
     assert(rows.length == 25)
@@ -134,6 +158,41 @@ class Round13OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("abs_err") ==
         math.abs(r.getAs[Long]("dot_hashed") - r.getAs[Long]("dot_exact")))
       assert(r.getAs[Long]("n1") > 0L && r.getAs[Long]("n2") > 0L)
+    }
+  }
+
+  test("q442 unigram tokenize: segmentations reconstruct words and are OPTIMAL") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.unigramTokenize(docs).collect()
+    assert(rows.nonEmpty)
+    // independent model rebuild: word freqs -> substring counts -> lp
+    val freqs = docs.select(explode(split(col("text"), " ", -1)).as("t"))
+      .where(col("t") =!= "").groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    freqs.foreach { case (w, f) =>
+      for (i <- 1 to w.length; j <- math.max(0, i - 4) until i)
+        cnt.updateWith(w.substring(j, i))(c => Some(c.getOrElse(0L) + f))
+    }
+    val tot = cnt.values.sum.toDouble
+    def lp(p: String) = math.log(cnt(p).toDouble) - math.log(tot)
+    // brute force: best score over ALL <=4-char-piece segmentations
+    def best(w: String): Double = {
+      def rec(pos: Int, acc: Double): Double =
+        if (pos == w.length) acc
+        else (pos + 1 to math.min(w.length, pos + 4))
+          .map(e => rec(e, acc + lp(w.substring(pos, e)))).max
+      rec(0, 0.0)
+    }
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      val seg = r.getAs[String]("segmentation")
+      val pieces = seg.split(" ")
+      assert(pieces.mkString == w, s"$w: segmentation '$seg' broken")
+      assert(pieces.forall(_.length <= 4))
+      assert(pieces.length.toLong == r.getAs[Long]("n_pieces"))
+      assert(math.abs(r.getAs[Double]("viterbi_logp") - best(w)) < 1e-6,
+        s"$w: DP score ${r.getAs[Double]("viterbi_logp")} != optimum ${best(w)}")
     }
   }
 
