@@ -2360,14 +2360,37 @@ object TextAnalysis {
       .select(col("piece"),
         (log(col("cnt").cast("double")) - log(col("tt").cast("double")))
           .as("lp"))
-    val wmap = posPieces.join(broadcast(lpTbl), "piece")
+    viterbiSegment(posPieces, lpTbl, maxPiece, maxLen)
+      .select(col("t").as("word"), col("freq"),
+        length(col("t")).cast("long").as("n_chars"),
+        col("fin.np").as("n_pieces"),
+        col("fin.seg").as("segmentation"),
+        femit(col("fin.s")).as("viterbi_logp"))
+      .orderBy("word")
+  }
+
+  /** The unrolled Viterbi DP shared by [[unigramTokenize]] and
+    * [[unigramHardEm]]: joins `posPieces` (t, freq, k, piece) against
+    * a piece log-prob table, folds per position with the NULL-SAFE
+    * strict-greater rule (a span whose piece left the vocabulary — the
+    * hard-EM round-2 case — carries a null score and never wins; a
+    * null accumulator yields to the first scorable candidate), and
+    * returns (t, freq, fin(s, seg, np)). */
+  private def viterbiSegment(posPieces: DataFrame, lpTbl: DataFrame,
+                             maxPiece: Int, maxLen: Int): DataFrame = {
+    val wmap = posPieces.join(broadcast(lpTbl), Seq("piece"), "left")
       .groupBy("t", "freq")
-      .agg(map_from_entries(collect_list(struct(col("k"), col("lp"))))
+      .agg(map_from_entries(collect_list(struct(col("k"),
+        coalesce(col("lp"), lit(Double.NaN)))))
         .as("mp"))
     var df = wmap.withColumn("dp0",
       struct(lit(0.0).as("s"), lit("").as("seg"), lit(0L).as("np")))
     for (i <- 1 to maxLen) {
       val cands = (math.max(0, i - maxPiece) until i).map { j =>
+        // an out-of-vocabulary span maps to NaN (collected as a real
+        // map entry so map_from_entries never sees a null clash);
+        // NaN + x = NaN and NaN comparisons are false, so the fold
+        // skips it exactly like SQL NULL — but deterministically
         val lpx = element_at(col("mp"), lit(j * 100 + i))
         struct((col(s"dp$j.s") + lpx).as("s"),
           concat(col(s"dp$j.seg"),
@@ -2376,18 +2399,15 @@ object TextAnalysis {
           (col(s"dp$j.np") + 1L).as("np"))
       }
       val best = cands.reduceLeft((a, b) =>
-        when(b.getField("s") > a.getField("s"), b).otherwise(a))
+        when(isnan(a.getField("s")), b)
+          .when(!isnan(b.getField("s"))
+            && b.getField("s") > a.getField("s"), b)
+          .otherwise(a))
       df = df.withColumn(s"dp$i", when(length(col("t")) >= i, best))
     }
     val fin = (1 to maxLen).map(i =>
       when(length(col("t")) === i, col(s"dp$i"))).reduce(coalesce(_, _))
-    df.withColumn("fin", fin)
-      .select(col("t").as("word"), col("freq"),
-        length(col("t")).cast("long").as("n_chars"),
-        col("fin.np").as("n_pieces"),
-        col("fin.seg").as("segmentation"),
-        femit(col("fin.s")).as("viterbi_logp"))
-      .orderBy("word")
+    df.withColumn("fin", fin).select("t", "freq", "fin")
   }
 
   /** FEATURE HASHING (the hashing trick — Weinberger et al., ICML
