@@ -360,7 +360,7 @@ object ScaleProbe {
       Seq(1, 3).map { mr =>
         val (rows, t) = time(
           llm.Sim.nnDescent(rep, nlist = nl, maxRounds = mr).collect())
-        val last = rows.find(_.getString(0) == s"r$mr").get
+        val last = rows.find(_.getString(0) == f"r$mr%02d").get
         val rec = last.getAs[Double]("avg_recall")
         val delta = last.getAs[Long]("delta_edges")
         println(s"SCALEPROBE nndescent x$k rounds=$mr (nlist=$nl): $t s, " +
@@ -395,7 +395,56 @@ object ScaleProbe {
       println(s"SCALEPROBE maxsim x$k: $t s, $n rows")
       s""""x$k":{"sec":$t,"rows":$n}"""
     }
-    out ++= s""""maxsim":{${ms.mkString(",")}}}"""
+    out ++= s""""maxsim":{${ms.mkString(",")}},"""
+
+    // --- quantile-sketch store lifecycle (q441 shape; r14 / VERDICT
+    // r13 item 7): each generation summarizes only its own batch and
+    // serving reads O(N/step) persisted summary rows, so the whole
+    // build+merge+serve pass must stay ~linear in N.
+    Seq(1, 10).foreach { k =>
+      val p = s"$work/qs_x$k/events.parquet"
+      if (!new java.io.File(p + "/_SUCCESS").exists())
+        replicateEvents(ev, k).write.mode("overwrite").parquet(p)
+    }
+    val qs = Seq(1, 10).map { k =>
+      val (n, t) = time(
+        rel.Queries.quantileStoreMerge(spark, s"$work/qs_x$k").count())
+      println(s"SCALEPROBE quantstore x$k: $t s, $n rows")
+      s""""x$k":{"sec":$t,"rows":$n}"""
+    }
+    out ++= s""""quantstore":{${qs.mkString(",")}},"""
+
+    // --- rendezvous-shard census (q437 shape; r14): HRW hashing is
+    // one exploded fnv per (doc, shard) + a max-agg — the per-doc
+    // fan-out is the constant shard count, so the census is ~linear
+    // in docs.
+    val rv = Seq(1, 10).map { k =>
+      val (n, t) = time(llm.Pack.rendezvousShards(docsAt(k)).count())
+      println(s"SCALEPROBE rendezvous x$k: $t s, $n rows")
+      s""""x$k":{"sec":$t,"rows":$n}"""
+    }
+    out ++= s""""rendezvous":{${rv.mkString(",")}},"""
+
+    // --- nn_graph_store probe (q417/q435 steady state; r14 / VERDICT
+    // r13 item 3): the stage-chain BUILD is once-per-fixture (its
+    // slope is the nndescent probe above); the per-pass cost is the
+    // store PROBE — recall audit + mutual-kNN census off the persisted
+    // stage frame — which must stay cheap relative to the build at
+    // both scales (nlist ladder keeps the build linear).
+    val ng = Seq((1, 16), (10, 160)).map { case (k, nl) =>
+      val rep = replicateEmb(k).localCheckpoint()
+      val storePath = s"$work/nn_graph_x$k"
+      llm.Sim.nnDescentStageFrame(rep, nlist = nl)
+        .write.mode("overwrite").parquet(storePath) // untimed build
+      val store = spark.read.parquet(storePath)
+      val (_, tAudit) = time(llm.Sim.nnDescentAudit(rep, store).collect())
+      val (_, tCensus) = time(
+        llm.Sim.mutualKnnFromStages(rep, store).collect())
+      println(s"SCALEPROBE nngraphprobe x$k (nlist=$nl): " +
+        s"audit $tAudit s, census $tCensus s")
+      s""""x$k":{"audit_sec":$tAudit,"census_sec":$tCensus,"nlist":$nl}"""
+    }
+    out ++= s""""nngraphprobe":{${ng.mkString(",")}}}"""
 
     println("SCALEPROBE " + out)
     val p = java.nio.file.Paths.get("target/scale.json")

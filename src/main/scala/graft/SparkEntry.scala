@@ -181,6 +181,23 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // Avro OCF round trip on the public avro-core API (spark-avro is
+    // not on this classpath — see sources.AvroBlob): one container file
+    // per partition out, record-streamed back, same lossless-oracle
+    // contract as the other interchange rows. Both char and byte sums:
+    // an encoder that mangled UTF-8 would shift bytes but not chars.
+    "q445_avro_roundtrip" -> ((s, dir) => {
+      val out = Scratch.dir("avro_docs")
+      sources.AvroBlob.writeAvro(
+        tbl(s, dir, "documents").select("doc_id", "lang", "text"), out)
+      sources.AvroBlob.readAvro(s, out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          sum(octet_length(col("text"))).cast("long").as("sum_bytes"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
     // A REAL Structured Streaming execution at the gate: the file-source
     // stream drains documents.parquet in bounded micro-batches
     // (maxFilesPerTrigger), a stateless quality projection runs per
@@ -889,6 +906,12 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_quarantined, CAST(12 AS BIGINT) AS sum_valid_ids""".stripMargin,
     "q62_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q445_avro_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for large text corpora: token-shingling,
@@ -1297,5 +1298,189 @@ object Dedup {
             / col("n_true_pairs").cast("double"))
             .as("pair_completeness"))
     }.reduce(_ unionByName _).orderBy("scheme")
+  }
+
+  /** TRUE EXACT-SUBSTRING duplicate spans via prefix-doubling position
+    * naming (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — ExactSubstr; the naming step is
+    * Manber–Myers prefix doubling): a position's name for window 2m is
+    * an INJECTIVE renaming of (name_m(p), name_m(p+m)), so log2(L)
+    * rounds of one equi-join + one keyed aggregate each decide EXACTLY
+    * which L-token windows repeat anywhere in the corpus — no hashing,
+    * no collisions, no false positives at any L (q271's winnowed
+    * windows are the probabilistic cousin; this is the exact member of
+    * the family). Names are min-(doc_id, pos) labels: grouping needs
+    * injectivity, not suffix ORDER, so no global sort ever happens —
+    * the classic suffix-array rank sort is replaced by min-label
+    * aggregation, the CC-loop trick applied to naming.
+    *
+    * Per document: L-window count, duplicated-window count, maximal
+    * duplicated runs (gaps-and-islands over consecutive duplicated
+    * positions — a shared span of S >= L tokens appears as a run of
+    * S-L+1 consecutive duplicated windows, so runs recover EVERY
+    * maximal shared span exactly), the longest shared span in tokens,
+    * and the merged-interval covered-token count (adjacent runs'
+    * coverage can overlap by up to L-2 tokens; a running-max interval
+    * merge keeps the count exact).
+    *
+    * Determinism: naming is min() over exact integers/structs; run
+    * algebra is integer; the only doubles are the femit'd share.
+    *
+    * Scale: each naming round shuffles by (doc_id, pos) for the
+    * neighbor fetch and by the (name, name) pair for renaming — both
+    * corpus-grain equi-joins with map-side partials, never pairwise;
+    * runs/merge ride doc-partitioned windows. log2(L) fixed rounds
+    * (Lee et al. use L=50 → 6 rounds at web scale). */
+  /** The prefix-doubling naming chain shared by [[exactSubstrRuns]] and
+    * [[exactSubstrCut]]: (doc_id, pos, nm) for every position with a
+    * full L-token window, where nm is an injective min-position label
+    * of the window's token content (equal nm ⇔ identical L-gram). */
+  private def exactSubstrNamed(docs: DataFrame, idCol: String,
+                               textCol: String, windowL: Int): DataFrame = {
+    require(windowL >= 2 && (windowL & (windowL - 1)) == 0,
+      "windowL must be a power of two >= 2")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), " ", -1), t => t =!= ""))
+          .as(Seq("pos", "t")))
+      .localCheckpoint() // both sides of the round-1 naming join
+    // name_1: min global position of the token (injective per token)
+    val nm1 = tok.join(
+        tok.groupBy("t").agg(min(struct(col("doc_id"), col("pos"))).as("nm")),
+        "t")
+      .select("doc_id", "pos", "nm")
+    // double m -> 2m: pair with the name m positions ahead (positions
+    // without a full 2m-window drop out via the inner join), rename
+    // pairs to min-position labels
+    def doubleTo(named: DataFrame, m: Int): DataFrame = {
+      val paired = named.join(
+          named.select(col("doc_id"), (col("pos") - m).as("pos"),
+            col("nm").as("nm2")),
+          Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"),
+          struct(col("nm"), col("nm2")).as("pk"))
+      paired.join(
+          paired.groupBy("pk")
+            .agg(min(struct(col("doc_id"), col("pos"))).as("nm")),
+          "pk")
+        .select("doc_id", "pos", "nm")
+        .localCheckpoint() // each round feeds the next twice
+    }
+    var named = nm1
+    var m = 1
+    while (m < windowL) { named = doubleTo(named, m); m *= 2 }
+    named
+  }
+
+  /** Per-doc (n_tokens, n_windows) straight off the text column. */
+  private def exactSubstrCensus(docs: DataFrame, idCol: String,
+                                textCol: String, windowL: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " ", -1), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - lit(windowL - 1L), lit(0L)))
+
+  def exactSubstrRuns(docs: DataFrame, idCol: String, textCol: String,
+                      windowL: Int = 4): DataFrame = {
+    import graft.rel.Queries.femit
+    val named = exactSubstrNamed(docs, idCol, textCol, windowL)
+    // duplicated L-windows: the name occurs at >= 2 positions
+    val dup = named.join(
+        named.groupBy("nm").agg(count(lit(1)).as("occ")), "nm")
+      .where(col("occ") >= 2)
+      .select("doc_id", "pos")
+    // maximal runs of consecutive duplicated windows per doc
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = dup
+      .withColumn("isl", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) + lit(windowL)).as("end")) // exclusive token end
+    // merged-interval coverage (adjacent runs may overlap by <= L-2)
+    val wIv = Window.partitionBy("doc_id").orderBy("start")
+    val merged = runs
+      .withColumn("pmax", max(col("end")).over(
+        wIv.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+        when(col("pmax").isNull || col("start") > col("pmax"), 1L)
+          .otherwise(0L)).over(
+        wIv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+      .groupBy("doc_id").agg(sum(col("e") - col("s")).as("covered_tokens"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("end") - col("start")).as("longest_span_tokens"),
+        sum(col("end") - col("start") - lit(windowL) + 1L)
+          .as("n_dup_windows"))
+    // census straight off the text column: an all-empty doc must still
+    // emit its zero row (the exploded table would drop it)
+    val census = exactSubstrCensus(docs, idCol, textCol, windowL)
+    census.join(perDoc, Seq("doc_id"), "left")
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_span_tokens"), lit(0L))
+          .as("longest_span_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        femit(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          nullif(col("n_tokens"), lit(0L)).cast("double")).as("dup_share"))
+      .orderBy("doc_id")
+  }
+
+  /** The ExactSubstr CUT — the transform Lee et al. actually apply
+    * (remove every duplicated span, keep one canonical occurrence):
+    * an L-window is REDUNDANT iff its content is duplicated AND this
+    * occurrence is not the canonical first (rank 1 by (doc_id, pos)
+    * within the window's name group); a token is cut iff EVERY window
+    * covering it is redundant (so unique context and canonical
+    * occurrences survive intact, and cut regions are exactly the
+    * non-canonical duplicated spans minus their shared borders).
+    * Emits per doc: the cleaned text (survivors reassembled in
+    * original order — the q51 lineDedup regroup), token/cut counts.
+    *
+    * Determinism: canonical pick is the total (doc_id, pos) order;
+    * everything else is integer set algebra.
+    *
+    * Scale: windows fan out ×L to their covered tokens (one explode +
+    * one (doc, token-pos) hash-agg — corpus-linear); the canonical
+    * rank is a window partitioned BY NAME GROUP (bounded by the
+    * window's occurrence count, the dedup family's usual skew, never
+    * a global sort); reassembly is the per-doc regroup. */
+  def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
+                     windowL: Int = 4): DataFrame = {
+    val named = exactSubstrNamed(docs, idCol, textCol, windowL)
+      .localCheckpoint() // occurrence counts + canonical ranks
+    val wNm = Window.partitionBy("nm").orderBy(col("doc_id").asc,
+      col("pos").asc)
+    val redundant = named.join(
+        named.groupBy("nm").agg(count(lit(1)).as("occ")), "nm")
+      .withColumn("rk", row_number().over(wNm))
+      .select(col("doc_id"), col("pos"),
+        (col("occ") >= 2 && col("rk") > 1).as("red"))
+    // token is cut iff ALL covering windows are redundant
+    val covered = redundant.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(windowL - 1)))
+          .as("tp"), col("red"))
+      .groupBy("doc_id", "tp")
+      .agg(min(when(col("red"), 1L).otherwise(0L)).as("cut"))
+      .where(col("cut") === 1L)
+      .select(col("doc_id"), col("tp"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(filter(split(col(textCol), " ", -1), t => t =!= ""))
+        .as(Seq("pos", "t")))
+    tok.join(covered, tok("doc_id") === covered("doc_id")
+        && tok("pos") === covered("tp"), "left")
+      .select(tok("doc_id"), tok("pos"), tok("t"),
+        covered("tp").isNotNull.as("cut"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(!col("cut"), struct(col("pos"), col("t"))))),
+          e => e.getField("t"))).as("clean"))
+      .orderBy("doc_id")
   }
 }

@@ -959,9 +959,11 @@ object Queries {
       Sim.errAtK(tbl(s, dir, "embeddings"), nQuery = 10, k = 5)),
     // One NN-descent co-neighbor round over the IVF-seeded kNN graph,
     // with the recall-vs-exact convergence audit on the bounded
-    // audit slice (see Sim.nnDescent).
+    // audit slice (see Sim.nnDescent). The stage chain itself is the
+    // stamped nn_graph_store build (once per fixture); the declared
+    // query is the store-fed audit (VERDICT r13 item 3).
     "q417_nn_descent" -> ((s, dir) =>
-      Sim.nnDescent(tbl(s, dir, "embeddings"))),
+      Sim.nnDescentAudit(tbl(s, dir, "embeddings"), nnGraphStore(s, dir))),
     // Team-draft interleaving of the full vs 4-dim-truncated cosine
     // rankers with a derandomized per-round coin (see
     // Sim.teamDraftInterleave).
@@ -1795,9 +1797,11 @@ object Queries {
       Dedup.bbitMinhash(tbl(s, dir, "documents"), "doc_id", "text")),
     // Reciprocal-kNN clustering over the converged NN-descent graph:
     // mutual-edge filter -> connected components -> size census
-    // (see Sim.mutualKnnClusters)
+    // (see Sim.mutualKnnClusters; converged graph read back from the
+    // stamped nn_graph_store — VERDICT r13 item 3)
     "q435_mutual_knn" -> ((s, dir) =>
-      Sim.mutualKnnClusters(tbl(s, dir, "embeddings"))),
+      Sim.mutualKnnFromStages(tbl(s, dir, "embeddings"),
+        nnGraphStore(s, dir))),
     // Rendezvous-hash shard routing with the minimal-disruption audit:
     // drop shard 3, certify moved docs = its former population
     // (see Pack.rendezvousShards)
@@ -1816,6 +1820,20 @@ object Queries {
     // in-plan over per-word lookup maps (see TextAnalysis.unigramTokenize)
     "q442_unigram_tokenize" -> ((s, dir) =>
       TextAnalysis.unigramTokenize(tbl(s, dir, "documents"))),
+    // One hard-EM round of unigram-LM tokenizer training: Viterbi
+    // E-step, count M-step, bottom-p multi-char prune with single-char
+    // coverage, re-segment (see TextAnalysis.unigramHardEm)
+    "q443_unigram_hard_em" -> ((s, dir) =>
+      TextAnalysis.unigramHardEm(tbl(s, dir, "documents"))),
+    // Lee et al. ExactSubstr: prefix-doubling position naming decides
+    // exact duplicated L-token windows; per-doc run/coverage census
+    // (see Dedup.exactSubstrRuns)
+    "q444_exact_substr" -> ((s, dir) =>
+      Dedup.exactSubstrRuns(tbl(s, dir, "documents"), "doc_id", "text")),
+    // The ExactSubstr CUT transform: remove every non-canonical
+    // duplicated span, reassemble survivors (see Dedup.exactSubstrCut)
+    "q446_exact_substr_cut" -> ((s, dir) =>
+      Dedup.exactSubstrCut(tbl(s, dir, "documents"), "doc_id", "text")),
     // MaxScore upper-bound-pruned BM25 top-k with the losslessness
     // certification columns (see TextAnalysis.maxScoreTopK)
     "q434_maxscore_topk" -> ((s, dir) =>
@@ -2016,6 +2034,80 @@ object Queries {
        |  ORDER BY sim DESC, w ASC) AS rnk FROM sp),
        |g0 AS MATERIALIZED (SELECT u, w, sim FROM g0r WHERE rnk <= 5)
        |${roundSql(1)}${roundSql(2)}${roundSql(3)}""".stripMargin
+  }
+
+  /** Round-1 CTEs shared by the q442/q443 oracles
+    * (w/sp/pp/vocab/tot/lpt): the frequency-weighted substring
+    * vocabulary of all <=8-char corpus words and its ln-ratio log-prob
+    * table. `vocab`/`lpt` MATERIALIZED: the DP layer's scalar
+    * subqueries reference them once per span column. */
+  private lazy val unigramR1Ctes: String = {
+    val maxPiece = 4; val maxLen = 8
+    val spans = (1 to maxLen).flatMap(i =>
+      (math.max(0, i - maxPiece) until i).map(j => (j, i)))
+    s"""w AS MATERIALIZED (SELECT t, count(*) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split(text, ' '),
+       |    x -> x <> '')) AS t FROM documents) u
+       |  GROUP BY t HAVING length(t) <= $maxLen),
+       |sp(j, i) AS (VALUES ${spans.map { case (j, i) => s"($j, $i)" }
+      .mkString(", ")}),
+       |pp AS (SELECT t, freq, j, i, substring(t, j + 1, i - j) AS piece
+       |  FROM w CROSS JOIN sp
+       |  WHERE length(substring(t, j + 1, i - j)) = i - j),
+       |vocab AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT)
+       |  AS cnt FROM pp GROUP BY piece),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM vocab),
+       |lpt AS MATERIALIZED (SELECT piece, ln(CAST(cnt AS DOUBLE))
+       |  - ln((SELECT CAST(tt AS DOUBLE) FROM tot)) AS lp FROM vocab)"""
+      .stripMargin
+  }
+
+  /** The unrolled Viterbi DP chain shared by the q442/q443 oracles:
+    * emits CTEs base$sfx/d${sfx}0..d$sfx$maxLen/f$sfx computing per
+    * word the (s, seg, np) `fin` struct under log-prob table `lpt`.
+    * The fold carries the NULL-ACCUMULATOR yield (ADVICE r13): an
+    * unscorable head candidate — an OOV piece, the hard-EM round-2
+    * case — yields to the first scorable one, mirroring the Spark
+    * NaN fold exactly (last candidate wins among consecutive
+    * unscorables, a scorable accumulator never yields to an
+    * unscorable challenger). */
+  private def unigramDpCtes(lpt: String, sfx: String,
+                            maxPiece: Int, maxLen: Int): String = {
+    val spans = (1 to maxLen).flatMap(i =>
+      (math.max(0, i - maxPiece) until i).map(j => (j, i)))
+    def lpCol(j: Int, i: Int) = s"lp${sfx}_${j}_$i"
+    val lpCols = spans.map { case (j, i) =>
+      s"(SELECT lp FROM $lpt WHERE piece = substring(b.t, ${j + 1}, ${i - j}))" +
+        s" AS ${lpCol(j, i)}"
+    }.mkString(",\n  ")
+    val layers = (1 to maxLen).map { i =>
+      val js = math.max(0, i - maxPiece) until i
+      val cands = js.map { j =>
+        s"""struct_pack(s := (dp$j).s + ${lpCol(j, i)},
+           |    seg := (dp$j).seg || (CASE WHEN (dp$j).np > 0 THEN ' '
+           |      ELSE '' END) || substring(t, ${j + 1}, ${i - j}),
+           |    np := (dp$j).np + 1) AS c${i}_$j""".stripMargin
+      }.mkString(",\n  ")
+      val fold = js.tail.foldLeft(s"c${i}_${js.head}") { (acc, j) =>
+        s"(CASE WHEN ($acc).s IS NULL THEN c${i}_$j" +
+          s" WHEN (c${i}_$j).s IS NOT NULL AND (c${i}_$j).s > ($acc).s" +
+          s" THEN c${i}_$j ELSE $acc END)"
+      }
+      s""",
+         |e$sfx$i AS (SELECT *, $cands FROM d$sfx${i - 1}),
+         |d$sfx$i AS (SELECT *, CASE WHEN len >= $i THEN $fold END AS dp$i
+         |  FROM e$sfx$i)""".stripMargin
+    }.mkString
+    val fin = (1 to maxLen)
+      .map(i => s"CASE WHEN len = $i THEN dp$i END")
+      .mkString("coalesce(", ", ", ")")
+    s"""base$sfx AS (SELECT b.t, b.freq, length(b.t) AS len,
+       |  $lpCols
+       |  FROM w b),
+       |d${sfx}0 AS (SELECT *, struct_pack(s := 0.0, seg := '',
+       |  np := CAST(0 AS BIGINT)) AS dp0 FROM base$sfx)$layers,
+       |f$sfx AS MATERIALIZED (SELECT t, freq, len, $fin AS fin
+       |  FROM d$sfx$maxLen)""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.connectedComponents]] over the q18 pair set:
@@ -2981,6 +3073,16 @@ object Queries {
   private def phashPairStore(s: SparkSession, dir: String): DataFrame =
     stampedStore(s, dir, "phash_pair_store", "documents")(
       Multimodal.perceptualNearDups(tbl(s, dir, "documents"), maxDist = 3))
+
+  /** q417's NN-descent stage graphs (seed + 3 convergence rounds, each
+    * edge labeled with its stage and the stage's new-edge delta),
+    * materialized once per fixture and probed by the q417 recall audit
+    * and q435's mutual-kNN census (VERDICT r13 item 3: both re-ran the
+    * full stage chain per pass — the chain is the per-fixture BUILD,
+    * the declared queries are its probes, the q94/q218/q222 pattern). */
+  private def nnGraphStore(s: SparkSession, dir: String): DataFrame =
+    stampedStore(s, dir, "nn_graph_store", "embeddings")(
+      Sim.nnDescentStageFrame(tbl(s, dir, "embeddings")))
 
   private def exactPairStore(s: SparkSession, dir: String): DataFrame = {
     val out = graft.Scratch.dir("exact_pair_store")
@@ -4427,10 +4529,10 @@ object Queries {
          |  ORDER BY sim DESC, w ASC) AS rnk FROM ex0),
          |ex AS (SELECT u, w FROM ex1 WHERE rnk <= 5)
          |SELECT stage, n_audit, n_edges, delta_edges, avg_recall FROM (
-         |  ${auditSql(0, "r0_seed", "SELECT count(*) FROM g0")}
-         |  UNION ALL ${auditSql(1, "r1", "SELECT delta FROM d1")}
-         |  UNION ALL ${auditSql(2, "r2", "SELECT delta FROM d2")}
-         |  UNION ALL ${auditSql(3, "r3", "SELECT delta FROM d3")})
+         |  ${auditSql(0, "r00_seed", "SELECT count(*) FROM g0")}
+         |  UNION ALL ${auditSql(1, "r01", "SELECT delta FROM d1")}
+         |  UNION ALL ${auditSql(2, "r02", "SELECT delta FROM d2")}
+         |  UNION ALL ${auditSql(3, "r03", "SELECT delta FROM d3")})
          |ORDER BY stage""".stripMargin
     },
     // The q417 graph chain to its converged g3, reciprocity as an
@@ -6511,8 +6613,9 @@ object Queries {
          |ppos AS (SELECT lang, t, is_member, unnest([$posList]) AS pos
          |  FROM pr),
          |hit AS (SELECT lang, t, is_member,
-         |  min((word & (1::BIGINT << (pos % 32))) <> 0) AS bloom_hit
-         |  FROM ppos JOIN bmp ON pos // 32 = bmp.w
+         |  min((coalesce(word, 0::BIGINT) & (1::BIGINT << (pos % 32))) <> 0)
+         |    AS bloom_hit
+         |  FROM ppos LEFT JOIN bmp ON pos // 32 = bmp.w
          |  GROUP BY lang, t, is_member)
          |SELECT lang, count(*) AS n_probes,
          |  CAST(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
@@ -6582,58 +6685,128 @@ object Queries {
     // Same word-frequency-weighted substring vocabulary, same
     // ln(cnt)-ln(tot) piece log-probs, and the IDENTICAL unrolled
     // Viterbi fold (ascending-j strict-greater CASE nesting = the
-    // Spark reduceLeft, so ties keep the smaller j on both engines).
-    "q442_unigram_tokenize" -> {
-      val maxPiece = 4; val maxLen = 8
-      val spans = (1 to maxLen).flatMap(i =>
-        (math.max(0, i - maxPiece) until i).map(j => (j, i)))
-      def lpCol(j: Int, i: Int) = s"lp_${j}_$i"
-      val lpCols = spans.map { case (j, i) =>
-        s"(SELECT lp FROM lpt WHERE piece = substring(b.t, ${j + 1}, ${i - j}))" +
-          s" AS ${lpCol(j, i)}"
-      }.mkString(",\n         |  ")
-      val layers = (1 to maxLen).map { i =>
-        val js = math.max(0, i - maxPiece) until i
-        val cands = js.map { j =>
-          s"""struct_pack(s := (dp$j).s + ${lpCol(j, i)},
-             |    seg := (dp$j).seg || (CASE WHEN (dp$j).np > 0 THEN ' '
-             |      ELSE '' END) || substring(t, ${j + 1}, ${i - j}),
-             |    np := (dp$j).np + 1) AS c${i}_$j""".stripMargin
-        }.mkString(",\n         |  ")
-        val fold = js.tail.foldLeft(s"c${i}_${js.head}") { (acc, j) =>
-          s"(CASE WHEN (c${i}_$j).s > ($acc).s THEN c${i}_$j ELSE $acc END)"
-        }
-        s""",
-           |e$i AS (SELECT *, $cands FROM d${i - 1}),
-           |d$i AS (SELECT *, CASE WHEN len >= $i THEN $fold END AS dp$i
-           |  FROM e$i)""".stripMargin
-      }.mkString
-      val fin = (1 to maxLen)
-        .map(i => s"CASE WHEN len = $i THEN dp$i END").mkString("coalesce(", ", ", ")")
-      s"""WITH w AS (SELECT t, count(*) AS freq FROM (
-         |  SELECT unnest(list_filter(string_split(text, ' '),
-         |    x -> x <> '')) AS t FROM documents) u
-         |  GROUP BY t HAVING length(t) <= $maxLen),
-         |sp(j, i) AS (VALUES ${spans.map { case (j, i) => s"($j, $i)" }
-        .mkString(", ")}),
-         |pp AS (SELECT t, freq, j, i, substring(t, j + 1, i - j) AS piece
-         |  FROM w CROSS JOIN sp
-         |  WHERE length(substring(t, j + 1, i - j)) = i - j),
-         |vocab AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM pp GROUP BY piece),
-         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM vocab),
-         |lpt AS (SELECT piece, ln(CAST(cnt AS DOUBLE))
-         |  - ln((SELECT CAST(tt AS DOUBLE) FROM tot)) AS lp FROM vocab),
-         |base AS (SELECT b.t, b.freq, length(b.t) AS len,
-         |  $lpCols
-         |  FROM w b),
-         |d0 AS (SELECT *, struct_pack(s := 0.0, seg := '',
-         |  np := CAST(0 AS BIGINT)) AS dp0 FROM base)$layers,
-         |f AS (SELECT t, freq, len, $fin AS fin FROM d$maxLen)
+    // Spark reduceLeft, so ties keep the smaller j on both engines;
+    // NULL-accumulator yield = the Spark NaN yield — see unigramDpCtes).
+    "q442_unigram_tokenize" ->
+      s"""WITH $unigramR1Ctes,
+         |${unigramDpCtes("lpt", "a", 4, 8)}
          |SELECT t AS word, freq, CAST(len AS BIGINT) AS n_chars,
          |  (fin).np AS n_pieces, (fin).seg AS segmentation,
          |  ${femitSql("(fin).s")} AS viterbi_logp
-         |FROM f ORDER BY word""".stripMargin
+         |FROM fa ORDER BY word""".stripMargin,
+    // Round 1 = the q442 chain verbatim; M-step piece counts from the
+    // segmentation strings weighted by freq; single-char coverage with
+    // floor count 1; bottom-20% multi-char prune by (cnt2, piece);
+    // round-2 DP against the re-estimated table — OOV spans are NULL
+    // scores, the NULL-acc fold yields exactly like the Spark NaN fold.
+    "q443_unigram_hard_em" ->
+      s"""WITH $unigramR1Ctes,
+         |${unigramDpCtes("lpt", "a", 4, 8)},
+         |u1 AS (SELECT freq, unnest(string_split((fin).seg, ' ')) AS piece
+         |  FROM fa),
+         |cn2 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt2
+         |  FROM u1 GROUP BY piece),
+         |sing AS (SELECT piece FROM vocab WHERE length(piece) = 1),
+         |est AS (SELECT coalesce(c.piece, s.piece) AS piece,
+         |  coalesce(c.cnt2, 1) AS cnt2
+         |  FROM cn2 c FULL OUTER JOIN sing s ON c.piece = s.piece),
+         |mlt AS (SELECT piece, cnt2 FROM est WHERE length(piece) >= 2),
+         |npr AS (SELECT CAST(floor(count(*) * 0.2) AS BIGINT) AS np
+         |  FROM mlt),
+         |rk AS (SELECT piece, cnt2, row_number() OVER (
+         |  ORDER BY cnt2 ASC, piece ASC) AS r FROM mlt),
+         |kept AS (SELECT piece, cnt2 FROM est WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt2 FROM rk WHERE r > (SELECT np FROM npr)),
+         |tot2 AS (SELECT CAST(sum(cnt2) AS BIGINT) AS tt FROM kept),
+         |lpt2 AS (SELECT piece, ln(CAST(cnt2 AS DOUBLE))
+         |  - ln((SELECT CAST(tt AS DOUBLE) FROM tot2)) AS lp FROM kept),
+         |${unigramDpCtes("lpt2", "b", 4, 8)}
+         |SELECT fa.t AS word, fa.freq,
+         |  (fa.fin).np AS np_r1, (fa.fin).seg AS seg_r1,
+         |  (fb.fin).np AS np_r2, (fb.fin).seg AS seg_r2,
+         |  ((fa.fin).seg <> (fb.fin).seg) AS changed,
+         |  ${femitSql("(fb.fin).s")} AS viterbi_logp_r2,
+         |  (SELECT count(*) FROM vocab) AS n_vocab_r1,
+         |  (SELECT count(*) FROM kept) AS n_vocab_r2
+         |FROM fa JOIN fb ON fa.t = fb.t ORDER BY word""".stripMargin,
+    // Brute-force twin of the prefix-doubling naming: every L-token
+    // window as a string, duplicated iff it occurs >= 2 times anywhere,
+    // then the identical gaps-and-islands run algebra and running-max
+    // interval merge.
+    "q444_exact_substr" -> {
+      val l = 4
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |ps AS (SELECT doc_id, ts,
+         |  unnest(range(greatest(len(ts) - ${l - 1}, 0))) AS p FROM tk),
+         |g AS (SELECT doc_id, p,
+         |  array_to_string(ts[p + 1:p + $l], ' ') AS gram FROM ps),
+         |cnt AS (SELECT gram, count(*) AS occ FROM g GROUP BY gram),
+         |dup AS (SELECT doc_id, p FROM g JOIN cnt USING (gram)
+         |  WHERE occ >= 2),
+         |isl AS (SELECT doc_id, p, p - row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY p) AS isl FROM dup),
+         |runs AS (SELECT doc_id, min(p) AS s, max(p) + $l AS e
+         |  FROM isl GROUP BY doc_id, isl),
+         |mx AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+         |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |  AS pmax FROM runs),
+         |mg AS (SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL
+         |  OR s > pmax THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+         |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS grp FROM mx),
+         |cov AS (SELECT doc_id, CAST(sum(me - ms) AS BIGINT) AS covered
+         |  FROM (SELECT doc_id, grp, min(s) AS ms, max(e) AS me FROM mg
+         |    GROUP BY doc_id, grp) GROUP BY doc_id),
+         |pr AS (SELECT doc_id, count(*) AS n_runs,
+         |  CAST(max(e - s) AS BIGINT) AS longest,
+         |  CAST(sum(e - s - ${l - 1}) AS BIGINT) AS ndw
+         |  FROM runs GROUP BY doc_id),
+         |cen AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(ts) - ${l - 1}, 0) AS BIGINT) AS n_windows
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, n_windows,
+         |  coalesce(ndw, 0) AS n_dup_windows,
+         |  coalesce(n_runs, 0) AS n_runs,
+         |  coalesce(longest, 0) AS longest_span_tokens,
+         |  coalesce(covered, 0) AS covered_tokens,
+         |  ${femitSql("CAST(coalesce(covered, 0) AS DOUBLE)" +
+        " / CAST(nullif(n_tokens, 0) AS DOUBLE)")} AS dup_share
+         |FROM cen LEFT JOIN pr USING (doc_id) LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // Same canonical-first rule (rank 1 by (doc_id, p) in the gram
+    // group), same all-covering-windows-redundant cut, same ordered
+    // reassembly.
+    "q446_exact_substr_cut" -> {
+      val l = 4
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |tok AS (SELECT doc_id, p, ts[p + 1] AS t FROM
+         |  (SELECT doc_id, ts, unnest(range(len(ts))) AS p FROM tk)),
+         |wn AS (SELECT doc_id, p, array_to_string(ts[p + 1:p + $l], ' ')
+         |  AS gram FROM (SELECT doc_id, ts,
+         |    unnest(range(greatest(len(ts) - ${l - 1}, 0))) AS p FROM tk)),
+         |oc AS (SELECT gram, count(*) AS occ FROM wn GROUP BY gram),
+         |rd AS (SELECT doc_id, p, (occ >= 2 AND row_number() OVER (
+         |  PARTITION BY gram ORDER BY doc_id, p) > 1) AS red
+         |  FROM wn JOIN oc USING (gram)),
+         |cv AS (SELECT doc_id, p + o AS tp,
+         |  min(CASE WHEN red THEN 1 ELSE 0 END) AS cut
+         |  FROM rd, (SELECT unnest(range($l)) AS o) os
+         |  GROUP BY doc_id, p + o),
+         |tc AS (SELECT tok.doc_id, tok.p, tok.t,
+         |  coalesce(cv.cut, 0) = 1 AS cut
+         |  FROM tok LEFT JOIN cv ON tok.doc_id = cv.doc_id
+         |  AND tok.p = cv.tp)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         |  coalesce(string_agg(CASE WHEN NOT cut THEN t END, ' '
+         |    ORDER BY p), '') AS clean
+         |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // Same fnv bucket/sign hashes, same integer tf/hashed-vector
     // algebra over the 50-doc probe slice, same bucket census carried

@@ -938,32 +938,58 @@ object Sim {
         .where(col("rnk") <= k).select("u", "w", "sim")
         .localCheckpoint() // delta count + next round + audit
     }
+    // Zero-padded stage labels (ADVICE r13): "r10" < "r2" in string
+    // order would scramble the audit for maxRounds >= 10; two digits
+    // keep label order = round order (and the cap keeps it honest).
+    require(maxRounds <= 99, s"maxRounds $maxRounds exceeds label width")
     var g = g0
-    var stages = Vector[(String, DataFrame, Long)](("r0_seed", g0, g0.count()))
+    var stages = Vector[(String, DataFrame, Long)](("r00_seed", g0, g0.count()))
     var converged = false
     for (r <- 1 to maxRounds) {
       if (!converged) {
         val gNew = round(g)
         val delta = gNew.join(g, Seq("u", "w"), "left_anti").count()
-        stages :+= ((s"r$r", gNew, delta))
+        stages :+= ((f"r$r%02d", gNew, delta))
         if (delta == 0L) converged = true
         g = gNew
       } else {
         // fixpoint: later rounds reproduce the converged graph verbatim
-        stages :+= ((s"r$r", g, 0L))
+        stages :+= ((f"r$r%02d", g, 0L))
       }
     }
     (v, stages)
   }
 
-  def nnDescent(emb: DataFrame, k: Int = 5, nlist: Int = 16,
-                capNbr: Int = 32, auditN: Int = 50,
-                maxRounds: Int = 3): DataFrame = {
+  /** Every NN-descent stage graph as ONE persistable frame
+    * (stage, delta_edges, u, w, sim) — the materialization unit of the
+    * fingerprint-stamped `nn_graph_store` (VERDICT r13 item 3: q417
+    * and q435 each re-ran the whole stage chain per pass; the chain is
+    * a per-fixture BUILD, its consumers are probes). The per-stage
+    * delta rides along as a column so the audit needs no re-diff. */
+  def nnDescentStageFrame(emb: DataFrame, k: Int = 5, nlist: Int = 16,
+                          capNbr: Int = 32, maxRounds: Int = 3): DataFrame = {
+    val (_, stages) = nnDescentStages(emb, k, nlist, capNbr, maxRounds)
+    stages.map { case (label, g, delta) =>
+      g.select(lit(label).as("stage"), lit(delta).as("delta_edges"),
+        col("u"), col("w"), col("sim"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The q417 per-stage recall audit, driven from a pre-built stage
+    * frame ([[nnDescentStageFrame]], usually read back from the
+    * stamped store): recomputes only the bounded exact top-k over the
+    * `auditN` query slice and joins it against the stored graphs — the
+    * expensive stage chain is never re-run. Output is identical to the
+    * historical from-scratch q417 row set. */
+  def nnDescentAudit(emb: DataFrame, stageFrame: DataFrame, k: Int = 5,
+                     auditN: Int = 50): DataFrame = {
     import graft.rel.Queries.{dsum, femit}
-    val (v, stages) = nnDescentStages(emb, k, nlist, capNbr, maxRounds)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", norm(col("v")))
+    // q is a cheap filtered projection — recomputed per consumer so the
+    // audit plan stays scan-only (no checkpoint RDD in the probe path)
     val q = v.where(col("vec_id") < auditN)
-      .select(col("vec_id").as("u"), col("v").as("qv"),
-        col("norm").as("qn"))
+      .select(col("vec_id").as("u"), col("v").as("qv"), col("norm").as("qn"))
     val wEx = Window.partitionBy("u").orderBy(col("sim").desc, col("w").asc)
     val exact = v.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("u"))
@@ -971,24 +997,30 @@ object Sim {
         cosine(col("v"), col("qv"), col("norm"), col("qn")).as("sim"))
       .withColumn("rnk", row_number().over(wEx))
       .where(col("rnk") <= k).select("u", "w")
-      .localCheckpoint() // joined against every stage
-    def audit(g: DataFrame, stage: String, delta: Long): DataFrame = {
-      val edges = g.count()
-      val hits = g.where(col("u") < auditN)
-        .join(exact, Seq("u", "w"), "left_semi")
-        .groupBy("u").agg(count(lit(1)).as("h"))
-      val rec = q.select("u").join(hits, Seq("u"), "left")
-        .agg(count(lit(1)).as("n_audit"),
-          dsum(coalesce(col("h"), lit(0L)).cast("double") / lit(k.toDouble))
-            .as("sr"))
-      rec.select(lit(stage).as("stage"), col("n_audit"),
-        lit(edges).as("n_edges"), lit(delta).as("delta_edges"),
+    val stageMeta = stageFrame.groupBy("stage")
+      .agg(count(lit(1)).as("n_edges"), min(col("delta_edges")).as("delta_edges"))
+    val hits = stageFrame.where(col("u") < auditN)
+      .join(exact, Seq("u", "w"), "left_semi")
+      .groupBy("stage", "u").agg(count(lit(1)).as("h"))
+    // every (query, stage) cell, zero-filled — both grids are bounded
+    val qGrid = q.select("u")
+      .crossJoin(broadcast(stageFrame.select("stage").distinct()))
+    val rec = qGrid.join(hits, Seq("stage", "u"), "left")
+      .groupBy("stage").agg(count(lit(1)).as("n_audit"),
+        dsum(coalesce(col("h"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("sr"))
+    rec.join(stageMeta, Seq("stage"))
+      .select(col("stage"), col("n_audit"), col("n_edges"),
+        col("delta_edges"),
         femit(col("sr") / col("n_audit").cast("double")).as("avg_recall"))
-    }
-    stages.map { case (label, g, delta) => audit(g, label, delta) }
-      .reduce(_ unionAll _)
       .orderBy("stage")
   }
+
+  def nnDescent(emb: DataFrame, k: Int = 5, nlist: Int = 16,
+                capNbr: Int = 32, auditN: Int = 50,
+                maxRounds: Int = 3): DataFrame =
+    nnDescentAudit(emb,
+      nnDescentStageFrame(emb, k, nlist, capNbr, maxRounds), k, auditN)
 
   /** MUTUAL-kNN clustering over the converged NN-descent graph — the
     * reciprocal-nearest-neighbor pruning step (the core of RNN-DBSCAN,
@@ -1010,9 +1042,18 @@ object Sim {
     * table; CC rounds are the q65 loop (driver-paced, localCheckpoint
     * per round); the census is O(distinct sizes). */
   def mutualKnnClusters(emb: DataFrame, k: Int = 5, nlist: Int = 16,
-                        capNbr: Int = 32, maxRounds: Int = 3): DataFrame = {
-    val (v, stages) = nnDescentStages(emb, k, nlist, capNbr, maxRounds)
-    val g = stages.last._2
+                        capNbr: Int = 32, maxRounds: Int = 3): DataFrame =
+    mutualKnnFromStages(emb,
+      nnDescentStageFrame(emb, k, nlist, capNbr, maxRounds))
+
+  /** [[mutualKnnClusters]] driven from a pre-built stage frame (the
+    * stamped `nn_graph_store`): consumes only the LAST stage (the
+    * converged graph — zero-padded labels make max(stage) the final
+    * round) and runs reciprocity + CC + census from there. */
+  def mutualKnnFromStages(emb: DataFrame, stageFrame: DataFrame): DataFrame = {
+    val lastStage = stageFrame.agg(max(col("stage"))).head().getString(0)
+    val g = stageFrame.where(col("stage") === lastStage)
+      .select("u", "w", "sim")
     val mutual = g.select("u", "w")
       .join(g.select(col("w").as("u"), col("u").as("w")), Seq("u", "w"),
         "left_semi")
@@ -1022,7 +1063,7 @@ object Sim {
     val nEdges = mutual.count()
     val comp = graft.llm.Dedup.connectedComponents(mutual)
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("sz"))
-    val nTotal = v.count()
+    val nTotal = emb.count()
     val hist = sizes.groupBy("sz")
       .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
       .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))

@@ -1583,9 +1583,17 @@ object TextAnalysis {
     * assumed.
     *
     * Scale: the table is vocab-sized (the window runs over DISTINCT
-    * tokens); draws fan against the BROADCAST table with a range
-    * predicate — at training scale the same table broadcasts into the
-    * negative-sampling map of every executor. The cumulative ranges
+    * tokens); the draw audit NEVER broadcasts it (VERDICT r13 item 2 —
+    * a 10⁸-token web vocabulary is gigabytes): each draw is routed to
+    * its 2-char cell through the O(cells) BROADCAST cell-range table,
+    * then equi-joined on `cell` against the vocab table with the
+    * [lo, hi) range predicate as a post-join filter — the shuffle is
+    * keyed by cell and carries only the 10k draws plus the vocab rows,
+    * both sides at their natural grain. Cell ranges tile [0, W)
+    * exactly (a cell's double bounds are the cast of the same DECIMAL
+    * values its first token's lo and last token's hi cast from), so
+    * cell routing preserves the per-token hit set bit-for-bit. The
+    * cumulative ranges
     * ride the q300/q192 two-phase range-cell prefix sum (VERDICT r12
     * item 1): tokens land in 2-char-prefix cells (prefix ranges are
     * contiguous in binary string order, so cell order = token order),
@@ -1610,14 +1618,15 @@ object TextAnalysis {
       .agg(sum(col("w").cast("decimal(38,12)")).as("c_w"))
       .withColumn("off_w", coalesce(sum(col("c_w")).over(preCell),
         lit(0).cast("decimal(38,12)")))
-      .select("cell", "off_w")
+      .select("cell", "c_w", "off_w")
+      .localCheckpoint() // O(cells): vocab offsets AND the draw router
     val cum = celled
       .withColumn("hi_in", sum(col("w").cast("decimal(38,12)")).over(cwl))
-      .join(broadcast(cellTotals), "cell")
+      .join(broadcast(cellTotals.select("cell", "off_w")), "cell")
       .withColumn("hi", (col("off_w") + col("hi_in")).cast("double"))
       .withColumn("lo", coalesce(lag(col("hi"), 1).over(inCell),
         col("off_w").cast("double")))
-      .select("t", "cnt", "w", "hi", "lo")
+      .select("cell", "t", "cnt", "w", "hi", "lo")
       .localCheckpoint() // vocab-sized; feeds the total, the join, the output
     val tot = cum.agg(max(col("hi")).as("wtot"))
     val draws = docs.sparkSession.range(0, nDraws).toDF("j")
@@ -1626,8 +1635,17 @@ object TextAnalysis {
         lit(4294967296.0)).as("u0"))
       .crossJoin(broadcast(tot))
       .select((col("u0") * col("wtot")).as("u"))
-    val hit = draws.join(broadcast(cum.select("t", "lo", "hi")),
-        col("u") >= col("lo") && col("u") < col("hi"))
+    // Route each draw to its cell via the O(cells) range table (cell
+    // bounds tile [0, W) exactly — see the scaladoc), then equi-join
+    // on cell: the vocab table is SHUFFLED by cell, never broadcast.
+    val cellRanges = cellTotals.select(col("cell"),
+      col("off_w").cast("double").as("c_lo"),
+      (col("off_w") + col("c_w")).cast("double").as("c_hi"))
+    val hit = draws.join(broadcast(cellRanges),
+        col("u") >= col("c_lo") && col("u") < col("c_hi"))
+      .select("cell", "u")
+      .join(cum.select("cell", "t", "lo", "hi"), Seq("cell"))
+      .where(col("u") >= col("lo") && col("u") < col("hi"))
       .groupBy("t").agg(count(lit(1)).as("n_draws"))
     cum.crossJoin(broadcast(tot)).join(hit, Seq("t"), "left")
       .select(col("t"), col("cnt"), femit(col("w")).as("weight"),
@@ -2283,10 +2301,15 @@ object TextAnalysis {
       .join(members.withColumnRenamed("t", "t2"),
         col("t") === col("t2"), "left")
       .select(col("lang"), col("t"), col("t2").isNotNull.as("is_member"))
+    // LEFT join (ADVICE r13): a position landing in a word with no set
+    // bits has no bitmap row — that is a DEFINITE miss (bloom_hit must
+    // come out false), not a row to drop. An inner join would silently
+    // shrink n_probes' position set and overstate false positives on
+    // sparse member sets.
     val hit = positions(probes)
-      .join(broadcast(bitmap), expr("pos div 32") === col("w"))
+      .join(broadcast(bitmap), expr("pos div 32") === col("w"), "left")
       .groupBy("lang", "t", "is_member")
-      .agg(min(expr("word & shiftleft(1L, int(pos % 32)) <> 0"))
+      .agg(min(expr("coalesce(word, 0L) & shiftleft(1L, int(pos % 32)) <> 0"))
         .as("bloom_hit"))
     val analytic = pow(lit(1.0) - pow(lit(1.0) - lit(1.0 / mBits),
       lit(kHash.toDouble) * lit(nMember.toDouble)), lit(kHash.toDouble))
@@ -2335,6 +2358,22 @@ object TextAnalysis {
   def unigramTokenize(docs: DataFrame, maxPiece: Int = 4,
                       maxLen: Int = 8): DataFrame = {
     import graft.rel.Queries.femit
+    val (posPieces, _, lpTbl) = unigramRound1(docs, maxPiece, maxLen)
+    viterbiSegment(posPieces, lpTbl, maxPiece, maxLen)
+      .select(col("t").as("word"), col("freq"),
+        length(col("t")).cast("long").as("n_chars"),
+        col("fin.np").as("n_pieces"),
+        col("fin.seg").as("segmentation"),
+        femit(col("fin.s")).as("viterbi_logp"))
+      .orderBy("word")
+  }
+
+  /** The round-1 artifacts shared by [[unigramTokenize]] and
+    * [[unigramHardEm]]: (posPieces, vocab, lpTbl) — the word table with
+    * its exploded (span, piece) rows, the frequency-weighted substring
+    * vocabulary, and its log-prob table. */
+  private def unigramRound1(docs: DataFrame, maxPiece: Int, maxLen: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val words = docs
       .select(explode(toks(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("freq"))
@@ -2355,17 +2394,102 @@ object TextAnalysis {
       .localCheckpoint() // feeds the vocab agg AND the per-word maps
     val vocab = posPieces.groupBy("piece")
       .agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint() // lp table + hard-EM coverage singles
     val tot = vocab.agg(sum(col("cnt")).as("tt"))
     val lpTbl = vocab.crossJoin(broadcast(tot))
       .select(col("piece"),
         (log(col("cnt").cast("double")) - log(col("tt").cast("double")))
           .as("lp"))
-    viterbiSegment(posPieces, lpTbl, maxPiece, maxLen)
+    (posPieces, vocab, lpTbl)
+  }
+
+  /** ONE HARD-EM ROUND of unigram-LM tokenizer training (the actual
+    * SentencePiece training step, Kudo ACL 2018 §3.2 with hard counts:
+    * E-step = Viterbi-segment every word under the current piece
+    * probabilities; M-step = re-estimate p(piece) from the
+    * segmentation counts; prune the bottom-`pruneShare` of the
+    * multi-char vocabulary by re-estimated count; re-segment under the
+    * new table). Hard-count re-estimation already collapses the vocab
+    * to pieces the Viterbi path actually uses; the explicit prune then
+    * drops the weakest survivors, and — as in SentencePiece — ALL
+    * single-character pieces are kept unconditionally (floor count 1
+    * when unused) so every word stays segmentable; round-2 candidates
+    * touching a pruned piece carry a NaN score and lose the DP fold
+    * (the [[viterbiSegment]] OOV rule, exercised for real here).
+    *
+    * Per word: both rounds' segmentations and piece counts, the femit'd
+    * round-2 Viterbi log-likelihood, a changed flag, and both vocab
+    * sizes carried on every row — the gate pins the E-step, the count
+    * M-step, the prune boundary (count-then-piece order), and the
+    * round-2 DP including its OOV behavior in one hash.
+    *
+    * Determinism: counts are exact integers; the prune rank orders by
+    * (cnt2, piece) — total order, no engine ties; round-2 log-probs are
+    * the same ln-ratio lattice as round 1.
+    *
+    * Scale: both E-steps are the per-row in-plan DP (no shuffle beyond
+    * the tf family); the M-step is one explode + hash-agg at piece
+    * grain; the prune rank is two-phased over the O(distinct counts)
+    * offset grid (column `cell` — the q300/q192 discipline), never a
+    * vocab-grain global sort. */
+  def unigramHardEm(docs: DataFrame, maxPiece: Int = 4, maxLen: Int = 8,
+                    pruneShare: Double = 0.2): DataFrame = {
+    import graft.rel.Queries.femit
+    val (posPieces, vocab, lpTbl) = unigramRound1(docs, maxPiece, maxLen)
+    val seg1 = viterbiSegment(posPieces, lpTbl, maxPiece, maxLen)
+      .select(col("t"), col("freq"), col("fin.seg").as("seg_r1"),
+        col("fin.np").as("np_r1"))
+      .localCheckpoint() // M-step counts + the final per-word join
+    // M-step: piece usage counts from the Viterbi segmentations,
+    // weighted by word frequency; unconditional single-char coverage
+    // (floor count 1 when the E-step never used the character)
+    val used = seg1
+      .select(col("freq"), explode(split(col("seg_r1"), " ", -1)).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt2"))
+    val singles = vocab.where(length(col("piece")) === 1).select("piece")
+    val est = used.join(singles.withColumn("s1", lit(1)), Seq("piece"),
+        "full_outer")
+      .select(col("piece"), coalesce(col("cnt2"), lit(1L)).as("cnt2"))
+      .localCheckpoint() // prune rank (two passes) + kept table
+    // Prune the bottom floor(pruneShare · n_multi) multi-char pieces by
+    // (cnt2 asc, piece asc). Global rank rides the two-phase offset
+    // grid: in-cell rank per distinct cnt2 value + the O(distinct
+    // counts) offset table — the vocab is never globally sorted.
+    val multi = est.where(length(col("piece")) >= 2)
+    val inCell = Window.partitionBy("cell").orderBy(col("piece").asc)
+    val preCell = Window.orderBy(col("cell").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = multi.select(col("cnt2").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(preCell), lit(0L)))
+      .select("cell", "off")
+    val nPrune = multi.agg(
+      floor(count(lit(1)).cast("double") * lit(pruneShare)).as("np"))
+    val ranked = multi.withColumn("cell", col("cnt2"))
+      .withColumn("r_in", row_number().over(inCell))
+      .join(broadcast(offsets), "cell")
+      .crossJoin(broadcast(nPrune))
+      .where(col("off") + col("r_in") > col("np"))
+      .select("piece", "cnt2")
+    val kept = est.where(length(col("piece")) === 1).unionAll(ranked)
+      .localCheckpoint() // vocab-2 census + lp table
+    val tot2 = kept.agg(sum(col("cnt2")).as("tt"))
+    val lp2 = kept.crossJoin(broadcast(tot2))
+      .select(col("piece"),
+        (log(col("cnt2").cast("double")) - log(col("tt").cast("double")))
+          .as("lp"))
+    val seg2 = viterbiSegment(posPieces, lp2, maxPiece, maxLen)
+      .select(col("t"), col("freq"), col("fin.seg").as("seg_r2"),
+        col("fin.np").as("np_r2"), col("fin.s").as("s_r2"))
+    val v1 = vocab.agg(count(lit(1)).as("n_vocab_r1"))
+    val v2 = kept.agg(count(lit(1)).as("n_vocab_r2"))
+    seg1.join(seg2, Seq("t", "freq"))
+      .crossJoin(broadcast(v1)).crossJoin(broadcast(v2))
       .select(col("t").as("word"), col("freq"),
-        length(col("t")).cast("long").as("n_chars"),
-        col("fin.np").as("n_pieces"),
-        col("fin.seg").as("segmentation"),
-        femit(col("fin.s")).as("viterbi_logp"))
+        col("np_r1"), col("seg_r1"), col("np_r2"), col("seg_r2"),
+        (col("seg_r1") =!= col("seg_r2")).as("changed"),
+        femit(col("s_r2")).as("viterbi_logp_r2"),
+        col("n_vocab_r1"), col("n_vocab_r2"))
       .orderBy("word")
   }
 
@@ -2376,8 +2500,8 @@ object TextAnalysis {
     * hard-EM round-2 case — carries a null score and never wins; a
     * null accumulator yields to the first scorable candidate), and
     * returns (t, freq, fin(s, seg, np)). */
-  private def viterbiSegment(posPieces: DataFrame, lpTbl: DataFrame,
-                             maxPiece: Int, maxLen: Int): DataFrame = {
+  private[llm] def viterbiSegment(posPieces: DataFrame, lpTbl: DataFrame,
+                                  maxPiece: Int, maxLen: Int): DataFrame = {
     val wmap = posPieces.join(broadcast(lpTbl), Seq("piece"), "left")
       .groupBy("t", "freq")
       .agg(map_from_entries(collect_list(struct(col("k"),

@@ -169,8 +169,11 @@ object Queries {
     val orders = tbl(s, dir, "orders")
     val nation = tbl(s, dir, "nation")
     val region = tbl(s, dir, "region")
+    // customer scales with SF — no authored broadcast (the planner
+    // re-decides from stats; at 100 TB this is a shuffle join on
+    // o_custkey). nation/region are spec-fixed 25/5-row dims.
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -3919,8 +3922,10 @@ object Queries {
     val sup = tbl(s, dir, "supplier").select(col("s_suppkey"),
       col("s_nationkey"))
     val nat = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    // supplier scales with SF — planner-decided join (r14 sweep catch);
+    // nation stays hinted (spec-fixed 25 rows)
     val j = rev
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("rev"))
     val tot = j.groupBy("nation")
@@ -4198,9 +4203,11 @@ object Queries {
           ignoreNulls = true).over(byUser))
       .where(col("event_type") === "purchase")
       .withColumn("lag_sec", expr("(us - view_us) DIV 1000000"))
+    // customer scales with SF — the segment map must not be pinned into
+    // executors by an authored hint (r14 broadcast-sweep catch)
     matched
-      .join(broadcast(tbl(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+      .join(tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
         col("user_id") === col("c_custkey"))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_purchases"),

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Avro Object-Container-File sink/source built directly on the public
+  * avro-core API (`org.apache.avro.file.{DataFileWriter,DataFileReader}`
+  * — the spark-avro connector is not on this classpath, and the OCF
+  * layer is the part a pipeline meeting `.avro` drops actually needs):
+  * completes the interchange-format family (q50 JSON, q57 CSV, q62 ORC,
+  * q243 XML) under the same lossless-oracle contract.
+  *
+  * Scale: one OCF per input partition, written/streamed entirely
+  * executor-side (`foreachPartition` / per-file record iterator — the
+  * shape every distributed Avro sink and source uses); the driver
+  * touches only the O(files) name list. Deflate codec: JDK-native, no
+  * extra dependency, and OCF blocks stay independently decodable.
+  *
+  * Ref: the reference has no Avro surface — extension operator in the
+  * E-interchange family.
+  */
+object AvroBlob {
+
+  /** Avro record schema of the (doc_id, lang, text) projection the
+    * round trip carries (a string literal so executor lambdas capture
+    * text, not this module). */
+  val DocSchemaJson: String =
+    """{"type":"record","name":"Doc","namespace":"graft","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"lang","type":"string"},
+      |{"name":"text","type":"string"}]}""".stripMargin
+
+  /** Write `df`'s (doc_id, lang, text) projection as one Avro OCF per
+    * non-empty partition under `outDir` (cleared first — rerun
+    * idempotence, the Scratch-dir convention). */
+  def writeAvro(df: DataFrame, outDir: String): Unit = {
+    val dirPath = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dirPath)
+    val old = dirPath.toFile.listFiles()
+    if (old != null) old.filter(_.getName.endsWith(".avro")).foreach(_.delete())
+    val schemaJson = DocSchemaJson
+    val out = outDir
+    df.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("text"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val w = new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema)
+          val fw = new org.apache.avro.file.DataFileWriter(w)
+          fw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          fw.create(schema, new java.io.File(f"$out/part-$pid%05d.avro"))
+          try it.foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("doc_id", r.getLong(0))
+            rec.put("lang", r.getString(1))
+            rec.put("text", r.getString(2))
+            fw.append(rec)
+          } finally fw.close()
+        }
+      }
+  }
+
+  /** Read every `.avro` OCF under `dir` back as a (doc_id, lang, text)
+    * DataFrame — one task per file, records streamed (never the whole
+    * file as one object). `DataFileReader` itself verifies the OCF
+    * magic and per-block sync markers, so corruption fails loudly. */
+  def readAvro(spark: SparkSession, dir: String): DataFrame = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    val schemaJson = DocSchemaJson
+    import spark.implicits._
+    spark.createDataset(files.toSeq)
+      .repartition(math.max(files.length, 1))
+      .flatMap { path =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val rdr = new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord](schema)
+        val dfr = new org.apache.avro.file.DataFileReader(
+          new java.io.File(path), rdr)
+        new Iterator[(Long, String, String)] {
+          def hasNext: Boolean = {
+            val h = dfr.hasNext
+            if (!h) dfr.close()
+            h
+          }
+          def next(): (Long, String, String) = {
+            val r = dfr.next()
+            (r.get("doc_id").asInstanceOf[Long],
+              r.get("lang").toString, r.get("text").toString)
+          }
+        }
+      }.toDF("doc_id", "lang", "text")
+  }
+}

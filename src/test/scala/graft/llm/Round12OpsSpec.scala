@@ -379,7 +379,7 @@ class Round12OpsSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         ((r.getAs[Long]("n_edges"), r.getAs[Long]("delta_edges"),
           r.getAs[Double]("avg_recall")))).toMap
-    val stages = Seq("r0_seed", "r1", "r2", "r3")
+    val stages = Seq("r00_seed", "r01", "r02", "r03")
     assert(rows.keySet == stages.toSet)
     // top-k per node: every node has >= k same-cell peers here
     stages.foreach { s => assert(rows(s)._1 == 5L * n, s) }
@@ -391,12 +391,12 @@ class Round12OpsSpec extends SparkSpec {
     // FIXTURE-DEPENDENT floors (VERDICT r12 item 2): at least two
     // EFFECTIVE rounds (nonzero delta), the update stream dries up
     // monotonically, and convergence lands above the seed
-    assert(rows("r1")._2 > 0L && rows("r2")._2 > 0L,
+    assert(rows("r01")._2 > 0L && rows("r02")._2 > 0L,
       s"deltas: ${stages.map(s => rows(s)._2)}")
-    assert(rows("r1")._2 >= rows("r2")._2 && rows("r2")._2 >= rows("r3")._2,
+    assert(rows("r01")._2 >= rows("r02")._2 && rows("r02")._2 >= rows("r03")._2,
       s"update stream must dry up: ${stages.map(s => rows(s)._2)}")
-    assert(rows("r3")._3 >= 0.66, s"converged recall ${rows("r3")._3}")
-    assert(rows("r3")._3 > rows("r0_seed")._3, "refinement added nothing")
+    assert(rows("r03")._3 >= 0.66, s"converged recall ${rows("r03")._3}")
+    assert(rows("r03")._3 > rows("r00_seed")._3, "refinement added nothing")
   }
 
   test("teamDraftInterleave: each team drafts half the list, pref is the click sign") {
