@@ -198,6 +198,23 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // Avro SCHEMA EVOLUTION: the q445 container files read through a
+    // reader schema that drops `text` and adds a defaulted `quality` —
+    // avro-core's resolution must skip the dropped field and
+    // materialize the default (min=max=-1 proves it), with the
+    // surviving columns still lossless against the original parquet.
+    "q447_avro_evolution" -> ((s, dir) => {
+      val out = Scratch.dir("avro_docs_evo")
+      sources.AvroBlob.writeAvro(
+        tbl(s, dir, "documents").select("doc_id", "lang", "text"), out)
+      sources.AvroBlob.readAvroEvolved(s, out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+        .orderBy("lang")
+    }),
     // A REAL Structured Streaming execution at the gate: the file-source
     // stream drains documents.parquet in bounded micro-batches
     // (maxFilesPerTrigger), a stateless quality projection runs per
@@ -914,6 +931,12 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q447_avro_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(-1 AS BIGINT) AS min_quality,
+        |  CAST(-1 AS BIGINT) AS max_quality
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q60_stream_ingest" ->
       """SELECT lang, count(*) AS n_docs,

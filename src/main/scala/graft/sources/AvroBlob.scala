@@ -62,6 +62,51 @@ object AvroBlob {
       }
   }
 
+  /** EVOLVED reader schema (q447): drops `text`, adds a defaulted
+    * `quality` — the two Avro schema-resolution moves a consumer makes
+    * when the producer's schema marches ahead (spec: "Schema
+    * Resolution" — reader fields absent from the writer take their
+    * default; writer fields absent from the reader are skipped
+    * without decoding). */
+  val DocReaderSchemaJson: String =
+    """{"type":"record","name":"Doc","namespace":"graft","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"lang","type":"string"},
+      |{"name":"quality","type":"long","default":-1}]}""".stripMargin
+
+  /** Read `.avro` OCFs written under [[DocSchemaJson]] through the
+    * EVOLVED reader schema — avro-core performs the resolution (the
+    * skipped `text` field is never materialized; `quality` comes from
+    * its default). */
+  def readAvroEvolved(spark: SparkSession, dir: String): DataFrame = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    val readerJson = DocReaderSchemaJson
+    import spark.implicits._
+    spark.createDataset(files.toSeq)
+      .repartition(math.max(files.length, 1))
+      .flatMap { path =>
+        val reader = new org.apache.avro.Schema.Parser().parse(readerJson)
+        val rdr = new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]()
+        rdr.setExpected(reader)
+        val dfr = new org.apache.avro.file.DataFileReader(
+          new java.io.File(path), rdr)
+        new Iterator[(Long, String, Long)] {
+          def hasNext: Boolean = {
+            val h = dfr.hasNext
+            if (!h) dfr.close()
+            h
+          }
+          def next(): (Long, String, Long) = {
+            val r = dfr.next()
+            (r.get("doc_id").asInstanceOf[Long], r.get("lang").toString,
+              r.get("quality").asInstanceOf[Long])
+          }
+        }
+      }.toDF("doc_id", "lang", "quality")
+  }
+
   /** Read every `.avro` OCF under `dir` back as a (doc_id, lang, text)
     * DataFrame — one task per file, records streamed (never the whole
     * file as one object). `DataFileReader` itself verifies the OCF

@@ -260,6 +260,22 @@ class Round14OpsSpec extends SparkSpec {
     assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty)
   }
 
+  test("q447 evolved read resolves defaults and skips the dropped field") {
+    val dir = java.nio.file.Files.createTempDirectory("avro-evo").toString
+    val in = docs.select("doc_id", "lang", "text").limit(50)
+    graft.sources.AvroBlob.writeAvro(in, dir)
+    val evo = graft.sources.AvroBlob.readAvroEvolved(spark, dir)
+    assert(evo.columns.toSeq == Seq("doc_id", "lang", "quality"))
+    val rows = evo.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getAs[Long]("quality") == -1L),
+      "reader-schema default not materialized")
+    // surviving fields still lossless
+    val a = evo.select("doc_id", "lang")
+    val b = in.select("doc_id", "lang")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   // ---- nn_graph_store refactor ----
 
   test("store-fed nnDescent audit == from-scratch audit through a parquet round trip") {
