@@ -397,6 +397,23 @@ object ScaleProbe {
     }
     out ++= s""""maxsim":{${ms.mkString(",")}},"""
 
+    // --- incremental exact-substring probe (q448 shape; r14): fixed
+    // batch vs 1x/9x history through the gram-bucketed store —
+    // O(batch) holds iff probe time is ~flat in h (the q75 claim for
+    // the exact member of the dedup family).
+    val esp = Seq(1, 9).map { h =>
+      val hist = spark.read.parquet(s"$work/docs_x10")
+        .where(col("doc_id") >= 10000000L && col("doc_id") < (h + 1) * 10000000L)
+      rel.Layout.writeBucketedBy(
+        llm.Dedup.exactSubstrStore(hist, "doc_id", "text"),
+        s"scale_exsub_x$h", 8, "gram")
+      val (n, t) = time(llm.Dedup.incrementalExactSubstr(
+        batch, spark.table(s"scale_exsub_x$h"), "doc_id", "text").count())
+      println(s"SCALEPROBE exsubprobe h$h: $t s, $n docs")
+      s""""h$h":{"sec":$t,"docs":$n}"""
+    }
+    out ++= s""""exsubprobe":{${esp.mkString(",")}},"""
+
     // --- quantile-sketch store lifecycle (q441 shape; r14 / VERDICT
     // r13 item 7): each generation summarizes only its own batch and
     // serving reads O(N/step) persisted summary rows, so the whole

@@ -1429,6 +1429,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The L-window gram table of a corpus slice: (doc_id, pos, gram)
+    * with the gram as its literal L-token string — the PERSISTED form
+    * of the exact-substring store (the naming chain trades strings for
+    * joins when everything is in one pass; a cross-generation store
+    * must carry the content itself, at the honest O(tokens × L)
+    * storage cost — the same trade Lee et al.'s on-disk suffix array
+    * makes). */
+  private def lWindowGrams(docs: DataFrame, idCol: String, textCol: String,
+                           windowL: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " ", -1), t => t =!= "").as("ts"))
+      .select(col("doc_id"),
+        posexplode(transform(col("ts"),
+          (_, i) => array_join(slice(col("ts"), i + 1, lit(windowL)), " ")))
+          .as(Seq("pos", "gram")))
+      .withColumn("n", size(split(col("gram"), " ", -1)))
+      .where(col("n") === windowL).drop("n")
+
+  /** History-side exact-substring store: distinct L-grams with their
+    * occurrence counts — write it bucketed BY GRAM so the incremental
+    * probe's join is exchange-free on the store side (the q75 store
+    * discipline applied to the q444 family). */
+  def exactSubstrStore(history: DataFrame, idCol: String, textCol: String,
+                       windowL: Int = 4): DataFrame =
+    lWindowGrams(history, idCol, textCol, windowL)
+      .groupBy("gram").agg(count(lit(1)).as("n_hist"))
+
+  /** INCREMENTAL exact-substring dedup: probe a NEW batch's L-windows
+    * against the persisted history store — O(batch) work per
+    * increment, never a rescan of history (the q75/q392/q141 store
+    * lifecycle completing the dedup-family symmetry for the exact
+    * member). Per batch doc: window count, windows whose gram exists
+    * in history, maximal contaminated runs, longest contaminated span
+    * — the per-document report a crawl pipeline reads before
+    * admitting the batch.
+    *
+    * Scale: the batch grams hash-join the gram-bucketed store (store
+    * side exchange-free, PlanSpec-pinned); runs/census ride
+    * doc-partitioned windows over batch grain only. */
+  def incrementalExactSubstr(batch: DataFrame, store: DataFrame,
+                             idCol: String, textCol: String,
+                             windowL: Int = 4): DataFrame = {
+    import graft.rel.Queries.femit
+    val hits = lWindowGrams(batch, idCol, textCol, windowL)
+      .join(store, Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = hits
+      .withColumn("isl", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) + lit(windowL)).as("end"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("end") - col("start") - lit(windowL) + 1L)
+          .as("n_hist_windows"),
+        max(col("end") - col("start")).as("longest_span_tokens"))
+    exactSubstrCensus(batch, idCol, textCol, windowL)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_hist_windows"), lit(0L)).as("n_hist_windows"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_span_tokens"), lit(0L))
+          .as("longest_span_tokens"),
+        femit(coalesce(col("n_hist_windows"), lit(0L)).cast("double") /
+          nullif(col("n_windows"), lit(0L)).cast("double"))
+          .as("hist_share"))
+      .orderBy("doc_id")
+  }
+
   /** The ExactSubstr CUT — the transform Lee et al. actually apply
     * (remove every duplicated span, keep one canonical occurrence):
     * an L-window is REDUNDANT iff its content is duplicated AND this

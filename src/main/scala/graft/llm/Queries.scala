@@ -1834,6 +1834,33 @@ object Queries {
     // duplicated span, reassemble survivors (see Dedup.exactSubstrCut)
     "q446_exact_substr_cut" -> ((s, dir) =>
       Dedup.exactSubstrCut(tbl(s, dir, "documents"), "doc_id", "text")),
+    // Incremental exact-substring probe of a new batch against the
+    // persisted gram-bucketed history store — the q75 lifecycle for
+    // the exact member of the dedup family (even = history, odd =
+    // batch; see Dedup.incrementalExactSubstr). Store build is
+    // idempotent per fixture (the q75 marker pattern).
+    "q448_incremental_exact_substr" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+      val marker = java.nio.file.Paths.get(
+        graft.Scratch.dir("exact_substr_store_marker"))
+      val stamp = dir + "\n" +
+        graft.Scratch.fingerprint(s"$dir/documents.parquet")
+      val fresh_? = s.catalog.tableExists("exact_substr_store_bkt") &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          "UTF-8") == stamp
+      if (!fresh_?) {
+        graft.rel.Layout.writeBucketedBy(
+          Dedup.exactSubstrStore(history, "doc_id", "text"),
+          "exact_substr_store_bkt", 8, "gram")
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+      }
+      Dedup.incrementalExactSubstr(batch,
+        s.table("exact_substr_store_bkt"), "doc_id", "text")
+    }),
     // MaxScore upper-bound-pruned BM25 top-k with the losslessness
     // certification columns (see TextAnalysis.maxScoreTopK)
     "q434_maxscore_topk" -> ((s, dir) =>
@@ -6807,6 +6834,41 @@ object Queries {
          |  coalesce(string_agg(CASE WHEN NOT cut THEN t END, ' '
          |    ORDER BY p), '') AS clean
          |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // Recomputes BOTH generations' window grams from scratch and joins
+    // batch to the distinct history gram set — the Spark side's
+    // persist / bucketed read-back must be lossless to match; same
+    // islands/census algebra as q444.
+    "q448_incremental_exact_substr" -> {
+      val l = 4
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |wn AS (SELECT doc_id, p, array_to_string(ts[p + 1:p + $l], ' ')
+         |  AS gram FROM (SELECT doc_id, ts,
+         |    unnest(range(greatest(len(ts) - ${l - 1}, 0))) AS p FROM tk)),
+         |hist AS (SELECT DISTINCT gram FROM wn WHERE doc_id % 2 = 0),
+         |bt AS (SELECT doc_id, p FROM wn WHERE doc_id % 2 = 1
+         |  AND gram IN (SELECT gram FROM hist)),
+         |isl AS (SELECT doc_id, p, p - row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY p) AS isl FROM bt),
+         |runs AS (SELECT doc_id, min(p) AS s, max(p) + $l AS e
+         |  FROM isl GROUP BY doc_id, isl),
+         |pr AS (SELECT doc_id, count(*) AS n_runs,
+         |  CAST(sum(e - s - ${l - 1}) AS BIGINT) AS nhw,
+         |  CAST(max(e - s) AS BIGINT) AS longest
+         |  FROM runs GROUP BY doc_id),
+         |cen AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(ts) - ${l - 1}, 0) AS BIGINT) AS n_windows
+         |  FROM tk WHERE doc_id % 2 = 1)
+         |SELECT doc_id, n_tokens, n_windows,
+         |  coalesce(nhw, 0) AS n_hist_windows,
+         |  coalesce(n_runs, 0) AS n_runs,
+         |  coalesce(longest, 0) AS longest_span_tokens,
+         |  ${femitSql("CAST(coalesce(nhw, 0) AS DOUBLE)" +
+        " / CAST(nullif(n_windows, 0) AS DOUBLE)")} AS hist_share
+         |FROM cen LEFT JOIN pr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     // Same fnv bucket/sign hashes, same integer tf/hashed-vector
     // algebra over the 50-doc probe slice, same bucket census carried

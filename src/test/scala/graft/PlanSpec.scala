@@ -221,6 +221,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q448 probe rides the gram-bucketed exact-substring store (r14)") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val fresh = docs.where(col("doc_id") % 2 === 1)
+      rel.Layout.writeBucketedBy(
+        llm.Dedup.exactSubstrStore(history, "doc_id", "text"),
+        "exact_substr_store_plan", 8, "gram")
+      val probe = llm.Dedup.incrementalExactSubstr(
+        fresh, spark.table("exact_substr_store_plan"), "doc_id", "text")
+      val p = finalPlan(probe).split("== Initial Plan ==").head
+      assert(p.contains("Bucketed: true"), p.take(1500))
+      assert(!p.contains("disabled by query planner"), p.take(1500))
+      // exactly one gram-key exchange: the batch windows' — the store
+      // side reads its buckets directly
+      assert("exchange hashpartitioning\\(gram".r
+        .findAllIn(p.toLowerCase).size == 1, p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q100 store merge and the next probe both ride the bucket layout") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape

@@ -260,6 +260,50 @@ class Round14OpsSpec extends SparkSpec {
     assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty)
   }
 
+  test("q448 incremental probe == from-scratch batch-vs-history brute force") {
+    // history doc 0 holds the 6-token span; batch docs 1 (contaminated)
+    // and 3 (clean); store persisted bucketed, then probed
+    val texts = Map(
+      0L -> "p q r s t u x1 y1 z1",
+      1L -> "a1 p q r s t u b1",
+      3L -> "u1 u2 u3 u4 u5 u6")
+    val df = texts.toSeq.toDF("doc_id", "text")
+    val history = df.where($"doc_id" % 2 === 0)
+    val batch = df.where($"doc_id" % 2 === 1)
+    graft.rel.Layout.writeBucketedBy(
+      Dedup.exactSubstrStore(history, "doc_id", "text"),
+      "exact_substr_spec_store", 8, "gram")
+    val got = Dedup.incrementalExactSubstr(batch,
+        spark.table("exact_substr_spec_store"), "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_hist_windows"),
+          r.getAs[Long]("n_runs"),
+          r.getAs[Long]("longest_span_tokens")))).toMap
+    // brute force: batch window grams vs the history gram set
+    val l = 4
+    def grams(t: String) = {
+      val ts = t.split(" ").toSeq
+      (0 to ts.length - l).map(p => (p, ts.slice(p, p + l).mkString(" ")))
+    }
+    val hist = texts.filter(_._1 % 2 == 0).values.flatMap(grams(_).map(_._2)).toSet
+    texts.filter(_._1 % 2 == 1).foreach { case (id, t) =>
+      val hits = grams(t).filter(g => hist(g._2)).map(_._1)
+      val runs = hits.foldLeft(List[(Int, Int)]()) { (acc, p) =>
+        acc match {
+          case (s, e) :: rest if p == e + 1 => (s, p) :: rest
+          case _ => (p, p) :: acc
+        }
+      }
+      val expect = ((grams(t).size.toLong, hits.size.toLong,
+        runs.size.toLong,
+        runs.map { case (s, e) => e + l - s }.maxOption.getOrElse(0).toLong))
+      assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
+    }
+    // the fixture exercises both the contaminated and the clean path
+    assert(got(1L)._2 == 3L && got(1L)._4 == 6L && got(3L)._2 == 0L)
+  }
+
   test("q447 evolved read resolves defaults and skips the dropped field") {
     val dir = java.nio.file.Files.createTempDirectory("avro-evo").toString
     val in = docs.select("doc_id", "lang", "text").limit(50)
