@@ -357,6 +357,11 @@ object ScaleProbe {
     // stays ~linear under the nlist ladder.
     val nnd = Seq((1, 16), (10, 160)).flatMap { case (k, nl) =>
       val rep = replicateEmb(k).localCheckpoint()
+      // untimed warmup at this (scale, nlist) — the stream-probe
+      // convention: r14 measured x10_r1 at 3.4x its steady state
+      // because the first query at a new scale pays codegen/JIT and
+      // cold shuffle paths inside its timing
+      llm.Sim.nnDescent(rep, nlist = nl, maxRounds = 1).collect()
       Seq(1, 3).map { mr =>
         val (rows, t) = time(
           llm.Sim.nnDescent(rep, nlist = nl, maxRounds = mr).collect())

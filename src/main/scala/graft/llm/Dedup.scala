@@ -1335,8 +1335,9 @@ object Dedup {
     * [[exactSubstrCut]]: (doc_id, pos, nm) for every position with a
     * full L-token window, where nm is an injective min-position label
     * of the window's token content (equal nm ⇔ identical L-gram). */
-  private def exactSubstrNamed(docs: DataFrame, idCol: String,
-                               textCol: String, windowL: Int): DataFrame = {
+  private[llm] def exactSubstrNamed(docs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    windowL: Int = 4): DataFrame = {
     require(windowL >= 2 && (windowL & (windowL - 1)) == 0,
       "windowL must be a power of two >= 2")
     val tok = docs.select(col(idCol).as("doc_id"),
@@ -1519,9 +1520,18 @@ object Dedup {
     * window's occurrence count, the dedup family's usual skew, never
     * a global sort); reassembly is the per-doc regroup. */
   def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
-                     windowL: Int = 4): DataFrame = {
-    val named = exactSubstrNamed(docs, idCol, textCol, windowL)
-      .localCheckpoint() // occurrence counts + canonical ranks
+                     windowL: Int = 4): DataFrame =
+    exactSubstrCutFromNamed(docs,
+      exactSubstrNamed(docs, idCol, textCol, windowL).localCheckpoint(),
+      idCol, textCol, windowL)
+
+  /** [[exactSubstrCut]] driven from a pre-built named-window table
+    * (the stamped `exact_substr_named_store` — the naming chain is the
+    * expensive per-fixture build q444 declares from scratch; the cut
+    * is its repeated consumer, the q417/q435 store discipline). */
+  def exactSubstrCutFromNamed(docs: DataFrame, named: DataFrame,
+                              idCol: String, textCol: String,
+                              windowL: Int = 4): DataFrame = {
     val wNm = Window.partitionBy("nm").orderBy(col("doc_id").asc,
       col("pos").asc)
     val redundant = named.join(

@@ -1831,9 +1831,12 @@ object Queries {
     "q444_exact_substr" -> ((s, dir) =>
       Dedup.exactSubstrRuns(tbl(s, dir, "documents"), "doc_id", "text")),
     // The ExactSubstr CUT transform: remove every non-canonical
-    // duplicated span, reassemble survivors (see Dedup.exactSubstrCut)
+    // duplicated span, reassemble survivors; the naming chain comes
+    // from the stamped exact_substr_named_store (q444 stays the
+    // from-scratch declaration — see Dedup.exactSubstrCutFromNamed)
     "q446_exact_substr_cut" -> ((s, dir) =>
-      Dedup.exactSubstrCut(tbl(s, dir, "documents"), "doc_id", "text")),
+      Dedup.exactSubstrCutFromNamed(tbl(s, dir, "documents"),
+        exactSubstrNamedStore(s, dir), "doc_id", "text")),
     // Incremental exact-substring probe of a new batch against the
     // persisted gram-bucketed history store — the q75 lifecycle for
     // the exact member of the dedup family (even = history, odd =
@@ -3110,6 +3113,15 @@ object Queries {
   private def nnGraphStore(s: SparkSession, dir: String): DataFrame =
     stampedStore(s, dir, "nn_graph_store", "embeddings")(
       Sim.nnDescentStageFrame(tbl(s, dir, "embeddings")))
+
+  /** q444's named-window table (the prefix-doubling chain's output:
+    * every full L-window position with its injective content label),
+    * materialized once per fixture; q446's cut transform consumes it
+    * (VERDICT r13 item 3's discipline applied to the new family —
+    * q444 stays the from-scratch declaration). */
+  private def exactSubstrNamedStore(s: SparkSession, dir: String): DataFrame =
+    stampedStore(s, dir, "exact_substr_named_store", "documents")(
+      Dedup.exactSubstrNamed(tbl(s, dir, "documents"), "doc_id", "text"))
 
   private def exactPairStore(s: SparkSession, dir: String): DataFrame = {
     val out = graft.Scratch.dir("exact_pair_store")
