@@ -1826,17 +1826,21 @@ object Queries {
     "q443_unigram_hard_em" -> ((s, dir) =>
       TextAnalysis.unigramHardEm(tbl(s, dir, "documents"))),
     // Lee et al. ExactSubstr: prefix-doubling position naming decides
-    // exact duplicated L-token windows; per-doc run/coverage census
-    // (see Dedup.exactSubstrRuns)
+    // exact duplicated L-token windows; per-doc run/coverage census.
+    // L=6 is deliberately NON-dyadic — the chain doubles to m=4 then
+    // finishes with one composite round (name_4(p), name_4(p+2)), the
+    // same construction that expresses the paper's L=50 at web scale
+    // (see Dedup.exactSubstrRuns / exactSubstrNamed)
     "q444_exact_substr" -> ((s, dir) =>
-      Dedup.exactSubstrRuns(tbl(s, dir, "documents"), "doc_id", "text")),
+      Dedup.exactSubstrRuns(tbl(s, dir, "documents"), "doc_id", "text",
+        windowL = 6)),
     // The ExactSubstr CUT transform: remove every non-canonical
     // duplicated span, reassemble survivors; the naming chain comes
     // from the stamped exact_substr_named_store (q444 stays the
     // from-scratch declaration — see Dedup.exactSubstrCutFromNamed)
     "q446_exact_substr_cut" -> ((s, dir) =>
       Dedup.exactSubstrCutFromNamed(tbl(s, dir, "documents"),
-        exactSubstrNamedStore(s, dir), "doc_id", "text")),
+        exactSubstrNamedStore(s, dir), "doc_id", "text", windowL = 6)),
     // Incremental exact-substring probe of a new batch against the
     // persisted gram-bucketed history store — the q75 lifecycle for
     // the exact member of the dedup family (even = history, odd =
@@ -1848,7 +1852,10 @@ object Queries {
       val batch = docs.where(col("doc_id") % 2 === 1)
       val marker = java.nio.file.Paths.get(
         graft.Scratch.dir("exact_substr_store_marker"))
-      val stamp = dir + "\n" +
+      // v2: 128-bit-hash store (g1, g2, n_hist) at L=6 — the version
+      // tag in the stamp forces a rebuild over any r14 literal-gram
+      // store left on disk
+      val stamp = "v2:L6\n" + dir + "\n" +
         graft.Scratch.fingerprint(s"$dir/documents.parquet")
       val fresh_? = s.catalog.tableExists("exact_substr_store_bkt") &&
         java.nio.file.Files.exists(marker) &&
@@ -1856,13 +1863,13 @@ object Queries {
           "UTF-8") == stamp
       if (!fresh_?) {
         graft.rel.Layout.writeBucketedBy(
-          Dedup.exactSubstrStore(history, "doc_id", "text"),
-          "exact_substr_store_bkt", 8, "gram")
+          Dedup.exactSubstrStore(history, "doc_id", "text", windowL = 6),
+          "exact_substr_store_bkt", 8, "g1", "g2")
         java.nio.file.Files.createDirectories(marker.getParent)
         java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
       }
       Dedup.incrementalExactSubstr(batch,
-        s.table("exact_substr_store_bkt"), "doc_id", "text")
+        s.table("exact_substr_store_bkt"), "doc_id", "text", windowL = 6)
     }),
     // MaxScore upper-bound-pruned BM25 top-k with the losslessness
     // certification columns (see TextAnalysis.maxScoreTopK)
@@ -3120,8 +3127,9 @@ object Queries {
     * (VERDICT r13 item 3's discipline applied to the new family —
     * q444 stays the from-scratch declaration). */
   private def exactSubstrNamedStore(s: SparkSession, dir: String): DataFrame =
-    stampedStore(s, dir, "exact_substr_named_store", "documents")(
-      Dedup.exactSubstrNamed(tbl(s, dir, "documents"), "doc_id", "text"))
+    stampedStore(s, dir, "exact_substr_named_store_l6", "documents")(
+      Dedup.exactSubstrNamed(tbl(s, dir, "documents"), "doc_id", "text",
+        windowL = 6))
 
   private def exactPairStore(s: SparkSession, dir: String): DataFrame = {
     val out = graft.Scratch.dir("exact_pair_store")
@@ -6772,9 +6780,11 @@ object Queries {
     // Brute-force twin of the prefix-doubling naming: every L-token
     // window as a string, duplicated iff it occurs >= 2 times anywhere,
     // then the identical gaps-and-islands run algebra and running-max
-    // interval merge.
+    // interval merge. L=6 exercises the composite (non-power-of-two)
+    // naming round — the oracle knows nothing of the naming chain, it
+    // just enumerates literal 6-gram strings.
     "q444_exact_substr" -> {
-      val l = 4
+      val l = 6
       s"""WITH tk AS (SELECT doc_id,
          |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
          |  FROM documents),
@@ -6817,10 +6827,11 @@ object Queries {
          |ORDER BY doc_id""".stripMargin
     },
     // Same canonical-first rule (rank 1 by (doc_id, p) in the gram
-    // group), same all-covering-windows-redundant cut, same ordered
-    // reassembly.
+    // group — the Spark side computes it as a min-struct aggregate,
+    // same total order), same all-covering-windows-redundant cut, same
+    // ordered reassembly.
     "q446_exact_substr_cut" -> {
-      val l = 4
+      val l = 6
       s"""WITH tk AS (SELECT doc_id,
          |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
          |  FROM documents),
@@ -6848,11 +6859,12 @@ object Queries {
          |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // Recomputes BOTH generations' window grams from scratch and joins
-    // batch to the distinct history gram set — the Spark side's
-    // persist / bucketed read-back must be lossless to match; same
-    // islands/census algebra as q444.
+    // batch to the distinct history gram set BY LITERAL STRING — the
+    // Spark side's 128-bit-hash store + bucketed read-back must be
+    // collision-free and lossless to match; same islands/census
+    // algebra as q444.
     "q448_incremental_exact_substr" -> {
-      val l = 4
+      val l = 6
       s"""WITH tk AS (SELECT doc_id,
          |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
          |  FROM documents),

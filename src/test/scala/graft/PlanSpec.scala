@@ -221,7 +221,7 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
-  test("q448 probe rides the gram-bucketed exact-substring store (r14)") {
+  test("q448 probe rides the hash-bucketed exact-substring store (r14/r15)") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape
     try {
@@ -230,18 +230,37 @@ class PlanSpec extends SparkSpec {
       val history = docs.where(col("doc_id") % 2 === 0)
       val fresh = docs.where(col("doc_id") % 2 === 1)
       rel.Layout.writeBucketedBy(
-        llm.Dedup.exactSubstrStore(history, "doc_id", "text"),
-        "exact_substr_store_plan", 8, "gram")
+        llm.Dedup.exactSubstrStore(history, "doc_id", "text", windowL = 6),
+        "exact_substr_store_plan", 8, "g1", "g2")
       val probe = llm.Dedup.incrementalExactSubstr(
-        fresh, spark.table("exact_substr_store_plan"), "doc_id", "text")
+        fresh, spark.table("exact_substr_store_plan"), "doc_id", "text",
+        windowL = 6)
       val p = finalPlan(probe).split("== Initial Plan ==").head
       assert(p.contains("Bucketed: true"), p.take(1500))
       assert(!p.contains("disabled by query planner"), p.take(1500))
-      // exactly one gram-key exchange: the batch windows' — the store
-      // side reads its buckets directly
-      assert("exchange hashpartitioning\\(gram".r
+      // exactly one hash-key exchange: the batch windows' — the store
+      // side reads its (g1, g2) buckets directly; the store schema is
+      // the r15 128-bit-hash pair, no literal gram column anywhere
+      assert("exchange hashpartitioning\\(g1".r
         .findAllIn(p.toLowerCase).size == 1, p.take(1500))
+      assert(!spark.table("exact_substr_store_plan").columns.contains("gram"),
+        "store must carry hash pairs, not literal grams")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q446 cut carries no per-name-group sort window (r15)") {
+    // The r14 VERDICT's one weak row: the canonical-occurrence pick ran
+    // a row_number window partitioned by the content-derived name group
+    // — an uncapped skew sort at web scale (a boilerplate gram's group
+    // holds 10^8+ occurrences). r15 replaced it with a min-struct/count
+    // aggregate + join; the cut's physical plan must now be entirely
+    // window-free (reassembly is a groupBy, the store probe a join).
+    val df = SparkEntry.queries("q446_exact_substr_cut")(spark, sf0001)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty,
+      s"q446 must not sort any window partition: ${wins.map(_.partitionSpec)}")
   }
 
   test("q100 store merge and the next probe both ride the bucket layout") {

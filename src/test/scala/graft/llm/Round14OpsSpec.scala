@@ -187,6 +187,66 @@ class Round14OpsSpec extends SparkSpec {
     assert(got(3L)._3 == 0L && got(4L)._2 == 0L)
   }
 
+  test("exactSubstr composite naming: non-dyadic L matches brute force (r15)") {
+    // L=3 (compose(name_2, 1)), L=5 (compose(name_4, 1)) and
+    // L=6 (compose(name_4, 2)) all decide EXACTLY the same duplicated
+    // windows as literal L-gram enumeration — the composite round's
+    // injectivity, pinned against the same reference the dyadic L=4
+    // test uses. The fixture's 6-token shared span 'p q r s t u'
+    // yields 6-L+1 duplicated windows at each L.
+    val texts = Map(
+      0L -> "p q r s t u x1 y1 z1",
+      1L -> "a1 p q r s t u b1",
+      2L -> "aa bb cc dd ee ff",
+      3L -> "u1 u2 u3 u4 u5 u6",
+      4L -> "s1 s2",
+      5L -> "x2 aa bb cc dd y2",
+      6L -> "x3 cc dd ee ff y3")
+    val df = texts.toSeq.toDF("doc_id", "text")
+    Seq(3, 5, 6).foreach { l =>
+      val got = Dedup.exactSubstrRuns(df, "doc_id", "text", windowL = l)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_windows"),
+            r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_runs"),
+            r.getAs[Long]("longest_span_tokens"),
+            r.getAs[Long]("covered_tokens")))).toMap
+      val ref = exactSubstrRef(texts, l)
+      assert(got.keySet == texts.keySet, s"L=$l")
+      ref.foreach { case (id, (nt, nw, ndw, nr, longest, cov)) =>
+        assert(got(id) == ((nt.toLong, nw.toLong, ndw.toLong, nr.toLong,
+          longest.toLong, cov.toLong)), s"L=$l doc $id: got ${got(id)}")
+      }
+      // the shared 6-token span must be found at every L <= 6
+      assert(got(0L)._3 == (6 - l + 1).toLong, s"L=$l dup windows")
+      assert(got(0L)._5 == 6L, s"L=$l longest span")
+    }
+  }
+
+  test("exactSubstrCut at non-dyadic L matches the brute-force cut (r15)") {
+    // 14-token span: long enough that its >= L-1-deep interior is
+    // non-empty at L=6 too (a span needs > 2(L-1) tokens to have any
+    // token covered ONLY by redundant windows)
+    val span = (0 to 13).map(i => s"s$i").mkString(" ")
+    val texts = Map(0L -> span, 1L -> s"a1 $span b1",
+      2L -> "u1 u2 u3 u4 u5")
+    val df = texts.toSeq.toDF("doc_id", "text")
+    Seq(3, 6).foreach { l =>
+      val got = Dedup.exactSubstrCut(df, "doc_id", "text", windowL = l)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"),
+            r.getAs[String]("clean")))).toMap
+      val ref = exactCutRef(texts, l)
+      ref.foreach { case (id, (nt, nc, clean)) =>
+        assert(got(id) == ((nt.toLong, nc.toLong, clean)),
+          s"L=$l doc $id: ${got(id)}")
+      }
+      assert(got(0L)._2 == 0L && got(0L)._3 == span, s"L=$l canonical kept")
+      assert(got(1L)._2 > 0L, s"L=$l interior cut happened")
+    }
+  }
+
   private def exactCutRef(texts: Map[Long, String], l: Int) = {
     val toks = texts.map { case (id, t) =>
       id -> t.split(" ", -1).filter(_.nonEmpty).toSeq }
@@ -270,9 +330,11 @@ class Round14OpsSpec extends SparkSpec {
     val df = texts.toSeq.toDF("doc_id", "text")
     val history = df.where($"doc_id" % 2 === 0)
     val batch = df.where($"doc_id" % 2 === 1)
-    graft.rel.Layout.writeBucketedBy(
-      Dedup.exactSubstrStore(history, "doc_id", "text"),
-      "exact_substr_spec_store", 8, "gram")
+    val store = Dedup.exactSubstrStore(history, "doc_id", "text")
+    // r15: the store carries the 128-bit hash pair, never literal grams
+    assert(store.columns.sorted.toSeq == Seq("g1", "g2", "n_hist"))
+    graft.rel.Layout.writeBucketedBy(store,
+      "exact_substr_spec_store", 8, "g1", "g2")
     val got = Dedup.incrementalExactSubstr(batch,
         spark.table("exact_substr_spec_store"), "doc_id", "text")
       .collect()
