@@ -13,6 +13,42 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** r15 (the q446 lesson): windows PARTITIONED by a content-derived
+    * group column sort one task per group value, and a group keyed by
+    * corpus CONTENT (a gram's name, an LSH band bucket, a signature)
+    * has no cardinality cap — a boilerplate cookie-banner gram holds
+    * 10^8+ occurrences at web scale, so such a window is a skew sort
+    * unless something bounds or subdivides the group. Flags every
+    * WindowExec whose partition keys are ALL drawn from the
+    * content-group name families below with no structural mitigation:
+    *  - a co-key outside the families (doc_id, a salt column, a query
+    *    id) subdivides the group;
+    *  - a WindowGroupLimit below caps the per-group work (rank<=k);
+    *  - a limit head below bounds the whole input.
+    * Everything else is the q446-r14 failure shape. */
+  private def unsaltedContentWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    val fams = Set("nm", "gram", "band", "bkey", "bucket", "bval", "sig",
+      "shingle", "g1", "g2", "pk", "minhash", "simhash", "phash", "fp")
+    def boundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
+        case _: org.apache.spark.sql.execution.LocalLimitExec => ()
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
+        case _: org.apache.spark.sql.execution.CollectLimitExec => ()
+        case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => ()
+      }.isDefined
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty =>
+        val keys = w.partitionSpec
+          .flatMap(_.references.toSeq.map(_.name.toLowerCase)).distinct
+        if (keys.nonEmpty && keys.forall(fams.contains) && !boundedBelow(w))
+          Some(s"window partitioned by content group (${keys.mkString(",")})")
+        else None
+    }.flatten
+  }
+
   test("q36 at-scale: candidate generation is one grouped shuffle, no self-join") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale join shape
@@ -713,7 +749,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("registry sweep: single-partition windows and broadcast hints stay bounded grain (r13/r14)") {
+  test("registry sweep: global windows, broadcast hints and content-group windows stay bounded grain (r13/r14/r15)") {
     // VERDICT r12 item 1: the q300/q192/q411 cell-grain pin, extended
     // to the WHOLE registry. A WindowExec with an empty partitionSpec
     // sorts its input in ONE task, so it is admissible only over
@@ -820,6 +856,9 @@ class PlanSpec extends SparkSpec {
       "q432_bloom_filter", "q436_ips_eval",
       // the SQL hint-surface demo: BROADCAST(c) is the demonstrated form
       "q256_join_hints")
+    // Adjudicated content-keyed windows (r15 sweep): each entry's
+    // window group is bounded at its definition site.
+    val allowContentWin: Set[String] = Set.empty
     def boundedBcast(p: LogicalPlan): Boolean = {
       val names = p.output.map(_.name.toLowerCase)
       // spec-fixed TPC-H dims: every leaf is region (5 rows) or nation
@@ -873,10 +912,48 @@ class PlanSpec extends SparkSpec {
           }
         case _ => ()
       }
+      // r15, the q446 lesson: no window may be partitioned purely by a
+      // content-derived group (nm/gram/band/bucket/sig families) with
+      // no cap, salt, or subdividing co-key — see unsaltedContentWindows
+      if (!allowContentWin.contains(name))
+        unsaltedContentWindows(df.queryExecution.sparkPlan)
+          .foreach(msg => bad += s"$name: $msg")
     }
     assert(bad.isEmpty,
       s"${bad.size} unbounded single-partition windows / broadcasts:\n" +
       bad.mkString("\n"))
+  }
+
+  test("content-window detector flags a re-skewed q446-shaped plan (r15)") {
+    // The detector must catch exactly the r14 failure shape: a
+    // row_number window partitioned by a content-derived gram column
+    // over corpus-grain rows (no cap, no salt, no co-key)...
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val grams = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "gram")))
+    val skewed = grams.withColumn("rk",
+      row_number().over(W.partitionBy("gram")
+        .orderBy(col("doc_id"), col("pos"))))
+    skewed.collect()
+    assert(unsaltedContentWindows(skewed.queryExecution.sparkPlan).nonEmpty,
+      "detector missed the re-skewed gram window")
+    // ...while passing the mitigated forms: a doc_id co-key subdivides
+    // the group, and a rank<=k the planner rewrites through
+    // WindowGroupLimit caps it
+    val cokeyed = grams.withColumn("rk",
+      row_number().over(W.partitionBy("gram", "doc_id").orderBy("pos")))
+    cokeyed.collect()
+    assert(unsaltedContentWindows(cokeyed.queryExecution.sparkPlan).isEmpty,
+      "doc_id co-key wrongly flagged")
+    val capped = grams.withColumn("rk",
+        row_number().over(W.partitionBy("gram")
+          .orderBy(col("doc_id"), col("pos"))))
+      .where(col("rk") <= 3)
+    capped.collect()
+    assert(unsaltedContentWindows(capped.queryExecution.sparkPlan).isEmpty,
+      "WindowGroupLimit-capped rank wrongly flagged")
   }
 
   test("q417 nn-descent is equi-join only: no cartesian, no corpus global sort (r12)") {
