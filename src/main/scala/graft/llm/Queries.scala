@@ -1825,6 +1825,12 @@ object Queries {
     // coverage, re-segment (see TextAnalysis.unigramHardEm)
     "q443_unigram_hard_em" -> ((s, dir) =>
       TextAnalysis.unigramHardEm(tbl(s, dir, "documents"))),
+    // R=2 hard-EM rounds of unigram-LM tokenizer training — three
+    // Viterbi E-steps, two count-M-step+prune rounds, and the
+    // per-round convergence report (vocab sizes, changed-word counts)
+    // carried on every row (see TextAnalysis.unigramEmRounds)
+    "q449_unigram_em_rounds" -> ((s, dir) =>
+      TextAnalysis.unigramEmRounds(tbl(s, dir, "documents"))),
     // Lee et al. ExactSubstr: prefix-doubling position naming decides
     // exact duplicated L-token windows; per-doc run/coverage census.
     // L=6 is deliberately NON-dyadic — the chain doubles to m=4 then
@@ -2146,6 +2152,35 @@ object Queries {
        |f$sfx AS MATERIALIZED (SELECT t, freq, len, $fin AS fin
        |  FROM d$sfx$maxLen)""".stripMargin
   }
+
+  /** The hard-EM M-STEP + PRUNE CTE block of the q449 oracle (the
+    * q443 M-step generalized to a reusable suffix): piece counts from
+    * segmentation table `prev` weighted by freq, single-char coverage
+    * floor from `sing`, bottom-`pruneShare` multi-char prune by
+    * (cnt2, piece), and the re-estimated log-prob table lpt$sfx over
+    * kept$sfx. */
+  private def unigramMStepCtes(prev: String, sfx: String,
+                               pruneShare: Double): String =
+    s"""u$sfx AS (SELECT freq, unnest(string_split((fin).seg, ' ')) AS piece
+       |  FROM $prev),
+       |cn$sfx AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt2
+       |  FROM u$sfx GROUP BY piece),
+       |est$sfx AS (SELECT coalesce(c.piece, s.piece) AS piece,
+       |  coalesce(c.cnt2, 1) AS cnt2
+       |  FROM cn$sfx c FULL OUTER JOIN sing s ON c.piece = s.piece),
+       |mlt$sfx AS (SELECT piece, cnt2 FROM est$sfx WHERE length(piece) >= 2),
+       |npr$sfx AS (SELECT CAST(floor(count(*) * $pruneShare) AS BIGINT) AS np
+       |  FROM mlt$sfx),
+       |rk$sfx AS (SELECT piece, cnt2, row_number() OVER (
+       |  ORDER BY cnt2 ASC, piece ASC) AS r FROM mlt$sfx),
+       |kept$sfx AS MATERIALIZED (SELECT piece, cnt2 FROM est$sfx
+       |  WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt2 FROM rk$sfx WHERE r > (SELECT np FROM npr$sfx)),
+       |tot$sfx AS (SELECT CAST(sum(cnt2) AS BIGINT) AS tt FROM kept$sfx),
+       |lpt$sfx AS MATERIALIZED (SELECT piece, ln(CAST(cnt2 AS DOUBLE))
+       |  - ln((SELECT CAST(tt AS DOUBLE) FROM tot$sfx)) AS lp
+       |  FROM kept$sfx)""".stripMargin
 
   /** DuckDB twin of [[Dedup.connectedComponents]] over the q18 pair set:
     * the recursive CTE transitive-closes the same edges, so min(reach)
@@ -6777,6 +6812,35 @@ object Queries {
          |  (SELECT count(*) FROM vocab) AS n_vocab_r1,
          |  (SELECT count(*) FROM kept) AS n_vocab_r2
          |FROM fa JOIN fb ON fa.t = fb.t ORDER BY word""".stripMargin,
+    // Both prune rounds replayed end to end: round 1 = the q442 CTE
+    // chain, then TWO M-step+prune blocks and THREE unrolled Viterbi
+    // DPs; convergence census (vocab sizes, changed-word counts)
+    // recomputed as scalar subqueries exactly like the Spark
+    // broadcast crossJoins.
+    "q449_unigram_em_rounds" ->
+      s"""WITH $unigramR1Ctes,
+         |sing AS (SELECT piece FROM vocab WHERE length(piece) = 1),
+         |${unigramDpCtes("lpt", "a", 4, 8)},
+         |${unigramMStepCtes("fa", "2", 0.2)},
+         |${unigramDpCtes("lpt2", "b", 4, 8)},
+         |${unigramMStepCtes("fb", "3", 0.2)},
+         |${unigramDpCtes("lpt3", "c", 4, 8)}
+         |SELECT fa.t AS word, fa.freq,
+         |  (fa.fin).np AS np_r1, (fb.fin).np AS np_r2, (fc.fin).np AS np_r3,
+         |  (fa.fin).seg AS seg_r1, (fb.fin).seg AS seg_r2,
+         |  (fc.fin).seg AS seg_r3,
+         |  ((fa.fin).seg <> (fb.fin).seg) AS changed_r2,
+         |  ((fb.fin).seg <> (fc.fin).seg) AS changed_r3,
+         |  ${femitSql("(fc.fin).s")} AS viterbi_logp_r3,
+         |  (SELECT count(*) FROM vocab) AS n_vocab_r1,
+         |  (SELECT count(*) FROM kept2) AS n_vocab_r2,
+         |  (SELECT count(*) FROM kept3) AS n_vocab_r3,
+         |  (SELECT count(*) FROM fa a2 JOIN fb b2 ON a2.t = b2.t
+         |    WHERE (a2.fin).seg <> (b2.fin).seg) AS n_changed_r2,
+         |  (SELECT count(*) FROM fb b3 JOIN fc c3 ON b3.t = c3.t
+         |    WHERE (b3.fin).seg <> (c3.fin).seg) AS n_changed_r3
+         |FROM fa JOIN fb ON fa.t = fb.t JOIN fc ON fa.t = fc.t
+         |ORDER BY word""".stripMargin,
     // Brute-force twin of the prefix-doubling naming: every L-token
     // window as a string, duplicated iff it occurs >= 2 times anywhere,
     // then the identical gaps-and-islands run algebra and running-max

@@ -2440,21 +2440,43 @@ object TextAnalysis {
       .select(col("t"), col("freq"), col("fin.seg").as("seg_r1"),
         col("fin.np").as("np_r1"))
       .localCheckpoint() // M-step counts + the final per-word join
-    // M-step: piece usage counts from the Viterbi segmentations,
-    // weighted by word frequency; unconditional single-char coverage
-    // (floor count 1 when the E-step never used the character)
-    val used = seg1
-      .select(col("freq"), explode(split(col("seg_r1"), " ", -1)).as("piece"))
-      .groupBy("piece").agg(sum(col("freq")).as("cnt2"))
     val singles = vocab.where(length(col("piece")) === 1).select("piece")
+    val kept = emStep(seg1, "seg_r1", singles, pruneShare)
+    val lp2 = lpFrom(kept)
+    val seg2 = viterbiSegment(posPieces, lp2, maxPiece, maxLen)
+      .select(col("t"), col("freq"), col("fin.seg").as("seg_r2"),
+        col("fin.np").as("np_r2"), col("fin.s").as("s_r2"))
+    val v1 = vocab.agg(count(lit(1)).as("n_vocab_r1"))
+    val v2 = kept.agg(count(lit(1)).as("n_vocab_r2"))
+    seg1.join(seg2, Seq("t", "freq"))
+      .crossJoin(broadcast(v1)).crossJoin(broadcast(v2))
+      .select(col("t").as("word"), col("freq"),
+        col("np_r1"), col("seg_r1"), col("np_r2"), col("seg_r2"),
+        (col("seg_r1") =!= col("seg_r2")).as("changed"),
+        femit(col("s_r2")).as("viterbi_logp_r2"),
+        col("n_vocab_r1"), col("n_vocab_r2"))
+      .orderBy("word")
+  }
+
+  /** One hard-EM M-STEP + PRUNE from a segmentation frame (t, freq,
+    * `segCol`): piece usage counts weighted by word frequency,
+    * unconditional single-char coverage (floor count 1 when the E-step
+    * never used the character — the SentencePiece rule keeping every
+    * word segmentable), then the bottom-floor(pruneShare · n_multi)
+    * multi-char prune by (cnt2 asc, piece asc). The global prune rank
+    * rides the two-phase offset grid: in-cell rank per distinct cnt2
+    * value + the O(distinct-counts) offset table — the vocabulary is
+    * never globally sorted. Returns the kept (piece, cnt2) table,
+    * localCheckpointed (census + lp + next round consume it). */
+  private def emStep(seg: DataFrame, segCol: String, singles: DataFrame,
+                     pruneShare: Double): DataFrame = {
+    val used = seg
+      .select(col("freq"), explode(split(col(segCol), " ", -1)).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt2"))
     val est = used.join(singles.withColumn("s1", lit(1)), Seq("piece"),
         "full_outer")
       .select(col("piece"), coalesce(col("cnt2"), lit(1L)).as("cnt2"))
       .localCheckpoint() // prune rank (two passes) + kept table
-    // Prune the bottom floor(pruneShare · n_multi) multi-char pieces by
-    // (cnt2 asc, piece asc). Global rank rides the two-phase offset
-    // grid: in-cell rank per distinct cnt2 value + the O(distinct
-    // counts) offset table — the vocab is never globally sorted.
     val multi = est.where(length(col("piece")) >= 2)
     val inCell = Window.partitionBy("cell").orderBy(col("piece").asc)
     val preCell = Window.orderBy(col("cell").asc)
@@ -2471,25 +2493,89 @@ object TextAnalysis {
       .crossJoin(broadcast(nPrune))
       .where(col("off") + col("r_in") > col("np"))
       .select("piece", "cnt2")
-    val kept = est.where(length(col("piece")) === 1).unionAll(ranked)
-      .localCheckpoint() // vocab-2 census + lp table
-    val tot2 = kept.agg(sum(col("cnt2")).as("tt"))
-    val lp2 = kept.crossJoin(broadcast(tot2))
+    est.where(length(col("piece")) === 1).unionAll(ranked)
+      .localCheckpoint() // vocab census + lp table + next round's M-step
+  }
+
+  /** ln(cnt) − ln(Σcnt) piece log-probs from a kept (piece, cnt2)
+    * table — the scalar total rides a broadcast crossJoin. */
+  private def lpFrom(kept: DataFrame): DataFrame = {
+    val tot = kept.agg(sum(col("cnt2")).as("tt"))
+    kept.crossJoin(broadcast(tot))
       .select(col("piece"),
         (log(col("cnt2").cast("double")) - log(col("tt").cast("double")))
           .as("lp"))
-    val seg2 = viterbiSegment(posPieces, lp2, maxPiece, maxLen)
-      .select(col("t"), col("freq"), col("fin.seg").as("seg_r2"),
-        col("fin.np").as("np_r2"), col("fin.s").as("s_r2"))
-    val v1 = vocab.agg(count(lit(1)).as("n_vocab_r1"))
-    val v2 = kept.agg(count(lit(1)).as("n_vocab_r2"))
-    seg1.join(seg2, Seq("t", "freq"))
-      .crossJoin(broadcast(v1)).crossJoin(broadcast(v2))
-      .select(col("t").as("word"), col("freq"),
-        col("np_r1"), col("seg_r1"), col("np_r2"), col("seg_r2"),
-        (col("seg_r1") =!= col("seg_r2")).as("changed"),
-        femit(col("s_r2")).as("viterbi_logp_r2"),
-        col("n_vocab_r1"), col("n_vocab_r2"))
+  }
+
+  /** R-ROUND hard-EM unigram-LM tokenizer training ([[unigramHardEm]]'s
+    * single round generalized — SentencePiece iterates
+    * EM-with-prune toward a vocabulary target, it never stops after
+    * one round): round r Viterbi-segments every word under lp_r (the
+    * in-plan DP), re-estimates piece counts from those segmentations,
+    * prunes the bottom-share multi-char pieces, and hands lp_{r+1} to
+    * round r+1 — R prune rounds, R+1 E-steps, segmentations
+    * seg_r1..seg_r{R+1}. Pieces pruned in round r can never reappear:
+    * the DP scores them NaN and the fold yields (the OOV rule).
+    *
+    * The CONVERGENCE REPORT is carried on every row: per-round vocab
+    * sizes (n_vocab_r1..r{R+1}) and changed-word counts
+    * (n_changed_r2..r{R+1}, words whose segmentation differs from the
+    * previous round) — the two curves a training pipeline watches to
+    * stop early.
+    *
+    * Determinism/scale: exactly the q443 lattice per round — the
+    * E-step DP is in-plan (no shuffle beyond the tf family), the
+    * M-step one explode + hash-agg at piece grain, the prune two-phased
+    * over the O(distinct-counts) offset grid, never a vocab-grain
+    * global sort; per-round frames are localCheckpointed so round r+1
+    * never replays round r's DP; the scalar census/changed counts ride
+    * broadcast crossJoins. */
+  def unigramEmRounds(docs: DataFrame, rounds: Int = 2, maxPiece: Int = 4,
+                      maxLen: Int = 8, pruneShare: Double = 0.2): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    import graft.rel.Queries.femit
+    val (posPieces, vocab, lpTbl) = unigramRound1(docs, maxPiece, maxLen)
+    val singles = vocab.where(length(col("piece")) === 1).select("piece")
+      .localCheckpoint() // every round's coverage floor
+    var lp = lpTbl
+    var vocabSizes = List(vocab.agg(count(lit(1)).as("n_vocab_r1")))
+    var segs = List.empty[DataFrame]
+    for (r <- 1 to rounds + 1) {
+      val seg = viterbiSegment(posPieces, lp, maxPiece, maxLen)
+        .select(col("t"), col("freq"), col("fin.seg").as(s"seg_r$r"),
+          col("fin.np").as(s"np_r$r"), col("fin.s").as(s"s_r$r"))
+        .localCheckpoint() // M-step + the final multi-way join
+      segs = segs :+ seg
+      if (r <= rounds) {
+        val kept = emStep(seg, s"seg_r$r", singles, pruneShare)
+        vocabSizes = vocabSizes :+
+          kept.agg(count(lit(1)).as(s"n_vocab_r${r + 1}"))
+        lp = lpFrom(kept)
+      }
+    }
+    val joined = segs.reduce(_.join(_, Seq("t", "freq")))
+    val changedCols = (2 to rounds + 1).map(r =>
+      (col(s"seg_r${r - 1}") =!= col(s"seg_r$r")).as(s"changed_r$r"))
+    val perWord = joined.select(
+        joined.columns.map(col) ++ changedCols: _*)
+      .localCheckpoint() // changed-count census + final select
+    val changedCensus = perWord.agg(
+      sum(when(col("changed_r2"), 1L).otherwise(0L)).as("n_changed_r2"),
+      (3 to rounds + 1).map(r =>
+        sum(when(col(s"changed_r$r"), 1L).otherwise(0L))
+          .as(s"n_changed_r$r")): _*)
+    val withCensus = vocabSizes.foldLeft(
+        perWord.crossJoin(broadcast(changedCensus)))(
+      (df, v) => df.crossJoin(broadcast(v)))
+    val last = rounds + 1
+    withCensus.select(
+      Seq(col("t").as("word"), col("freq")) ++
+        (1 to last).map(r => col(s"np_r$r")) ++
+        (1 to last).map(r => col(s"seg_r$r")) ++
+        (2 to last).map(r => col(s"changed_r$r")) :+
+        femit(col(s"s_r$last")).as(s"viterbi_logp_r$last") :++
+        (1 to last).map(r => col(s"n_vocab_r$r")) :++
+        (2 to last).map(r => col(s"n_changed_r$r")): _*)
       .orderBy("word")
   }
 

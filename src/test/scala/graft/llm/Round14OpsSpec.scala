@@ -104,6 +104,94 @@ class Round14OpsSpec extends SparkSpec {
       "fixture never re-segmented — weak test")
   }
 
+  /** R-round generalization of [[hardEmRef]] mirroring
+    * [[TextAnalysis.unigramEmRounds]]: R M-step+prune rounds, R+1
+    * segmentations, per-round vocab sizes and changed-word counts. */
+  private def emRoundsRef(words: Map[String, Long], maxPiece: Int,
+                          pruneShare: Double, rounds: Int) = {
+    val cnt1 = scala.collection.mutable.Map[String, Long]()
+    words.foreach { case (w, f) =>
+      for (i <- 1 to w.length; j <- math.max(0, i - maxPiece) until i)
+        cnt1.updateWith(w.substring(j, i))(c => Some(c.getOrElse(0L) + f))
+    }
+    val singles = cnt1.keys.filter(_.length == 1).toSet
+    def lpOf(cnt: Map[String, Long]) = {
+      val tot = cnt.values.sum
+      cnt.map { case (p, c) =>
+        p -> (math.log(c.toDouble) - math.log(tot.toDouble)) }
+    }
+    var lp = lpOf(cnt1.toMap)
+    var segs = List.empty[Map[String, (Double, List[String])]]
+    var vocabSizes = List(cnt1.size)
+    var nChanged = List.empty[Int]
+    for (r <- 1 to rounds + 1) {
+      val seg = words.map { case (w, _) =>
+        w -> viterbiRef(w, lp, maxPiece).get }
+      if (segs.nonEmpty)
+        nChanged = nChanged :+
+          words.keys.count(w => segs.last(w)._2 != seg(w)._2)
+      segs = segs :+ seg
+      if (r <= rounds) {
+        val cnt2 = scala.collection.mutable.Map[String, Long]()
+        words.foreach { case (w, f) =>
+          seg(w)._2.foreach(p =>
+            cnt2.updateWith(p)(c => Some(c.getOrElse(0L) + f))) }
+        singles.foreach(p => if (!cnt2.contains(p)) cnt2(p) = 1L)
+        val multi = cnt2.toSeq.filter(_._1.length >= 2)
+          .sortBy(e => (e._2, e._1))
+        val nPrune = math.floor(multi.size * pruneShare).toInt
+        val kept = cnt2.toMap -- multi.take(nPrune).map(_._1)
+        vocabSizes = vocabSizes :+ kept.size
+        lp = lpOf(kept)
+      }
+    }
+    (segs, vocabSizes, nChanged)
+  }
+
+  test("q449 two EM rounds match the plain-Scala reference incl. convergence census (r15)") {
+    val lines = Seq("aba aba aba cab cab abacab dd dd ddd",
+      "aba cab dd x yz yz", "cabcab abab dddd yzyz")
+    val df = lines.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEmRounds(df, rounds = 2).collect()
+      .map(r => r.getAs[String]("word") -> r).toMap
+    val words = lines.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+      .filter(_._1.length <= 8)
+    val (segs, vocabSizes, nChanged) = emRoundsRef(words, 4, 0.2, 2)
+    assert(got.keySet == words.keySet)
+    words.keys.foreach { w =>
+      (1 to 3).foreach { r =>
+        assert(got(w).getAs[String](s"seg_r$r")
+          == segs(r - 1)(w)._2.mkString(" "), s"$w seg_r$r")
+        assert(got(w).getAs[Long](s"np_r$r")
+          == segs(r - 1)(w)._2.size.toLong, s"$w np_r$r")
+        assert(got(w).getAs[Long](s"n_vocab_r$r")
+          == vocabSizes(r - 1).toLong, s"n_vocab_r$r")
+      }
+      (2 to 3).foreach { r =>
+        assert(got(w).getAs[Boolean](s"changed_r$r")
+          == (segs(r - 2)(w)._2 != segs(r - 1)(w)._2), s"$w changed_r$r")
+        assert(got(w).getAs[Long](s"n_changed_r$r")
+          == nChanged(r - 2).toLong, s"n_changed_r$r")
+      }
+      assert(math.abs(got(w).getAs[Double]("viterbi_logp_r3")
+        - segs(2)(w)._1) < 1e-6, s"$w logp_r3")
+    }
+    // the fixture must exercise BOTH prune rounds: each shrinks the
+    // vocab, and the second round still re-segments some word
+    assert(vocabSizes(2) < vocabSizes(1) && vocabSizes(1) < vocabSizes(0))
+    assert(nChanged(1) > 0, "round 2 never re-segmented — weak fixture")
+    // round 1 of the R-round chain == the single-round q443 operator
+    val hard = TextAnalysis.unigramHardEm(df).collect()
+      .map(r => r.getAs[String]("word") ->
+        ((r.getAs[String]("seg_r1"), r.getAs[String]("seg_r2")))).toMap
+    words.keys.foreach { w =>
+      assert(hard(w)._1 == got(w).getAs[String]("seg_r1"), s"$w r1 parity")
+      assert(hard(w)._2 == got(w).getAs[String]("seg_r2"), s"$w r2 parity")
+    }
+  }
+
   test("viterbiSegment: unscorable HEAD candidate yields (the hard-EM OOV fold)") {
     // word "ab": dp2's candidate list is j=0 ('ab') then j=1 ('b').
     // With 'ab' out of vocabulary the head candidate is NaN — the fold
