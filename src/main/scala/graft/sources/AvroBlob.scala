@@ -37,7 +37,8 @@ object AvroBlob {
     val dirPath = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(dirPath)
     val old = dirPath.toFile.listFiles()
-    if (old != null) old.filter(_.getName.endsWith(".avro")).foreach(_.delete())
+    if (old != null) old.filter(f => f.getName.endsWith(".avro")
+      || f.getName.endsWith(".avro.tmp")).foreach(_.delete())
     val schemaJson = DocSchemaJson
     val out = outDir
     df.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
@@ -45,19 +46,38 @@ object AvroBlob {
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val tc = org.apache.spark.TaskContext.get()
           val pid = org.apache.spark.TaskContext.getPartitionId()
+          val attempt = if (tc == null) 0L else tc.taskAttemptId()
           val w = new org.apache.avro.generic.GenericDatumWriter[
             org.apache.avro.generic.GenericRecord](schema)
           val fw = new org.apache.avro.file.DataFileWriter(w)
           fw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-          fw.create(schema, new java.io.File(f"$out/part-$pid%05d.avro"))
-          try it.foreach { r =>
-            val rec = new org.apache.avro.generic.GenericData.Record(schema)
-            rec.put("doc_id", r.getLong(0))
-            rec.put("lang", r.getString(1))
-            rec.put("text", r.getString(2))
-            fw.append(rec)
-          } finally fw.close()
+          // ADVICE r14: task-commit discipline — write an
+          // attempt-unique temp file and atomically rename on success,
+          // so a retry or speculative duplicate never interleaves with
+          // an in-flight attempt's bytes (last committed rename wins)
+          val fin = new java.io.File(f"$out/part-$pid%05d.avro")
+          val tmp = new java.io.File(
+            f"$out/.part-$pid%05d-a$attempt%d.avro.tmp")
+          fw.create(schema, tmp)
+          var ok = false
+          try {
+            it.foreach { r =>
+              val rec = new org.apache.avro.generic.GenericData.Record(schema)
+              rec.put("doc_id", r.getLong(0))
+              rec.put("lang", r.getString(1))
+              rec.put("text", r.getString(2))
+              fw.append(rec)
+            }
+            ok = true
+          } finally {
+            fw.close()
+            if (ok) java.nio.file.Files.move(tmp.toPath, fin.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            else tmp.delete()
+          }
         }
       }
   }
@@ -79,8 +99,7 @@ object AvroBlob {
     * skipped `text` field is never materialized; `quality` comes from
     * its default). */
   def readAvroEvolved(spark: SparkSession, dir: String): DataFrame = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    val files = avroFiles(dir)
     val readerJson = DocReaderSchemaJson
     import spark.implicits._
     spark.createDataset(files.toSeq)
@@ -92,6 +111,7 @@ object AvroBlob {
         rdr.setExpected(reader)
         val dfr = new org.apache.avro.file.DataFileReader(
           new java.io.File(path), rdr)
+        closeAtTaskEnd(dfr)
         new Iterator[(Long, String, Long)] {
           def hasNext: Boolean = {
             val h = dfr.hasNext
@@ -107,13 +127,31 @@ object AvroBlob {
       }.toDF("doc_id", "lang", "quality")
   }
 
+  /** File list of an OCF directory, FAILING FAST when the directory is
+    * missing or holds no `.avro` files (ADVICE r14: an empty DataFrame
+    * here silently reads as "zero rows written", masking a wrong
+    * path). */
+  private def avroFiles(dir: String): Seq[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"no .avro files under $dir")
+    files.toSeq
+  }
+
+  /** Close the per-file reader at task end even when a consumer stops
+    * before exhaustion (a `limit` head abandons the iterator mid-file
+    * — ADVICE r14); the exhaustion-path close stays for eager release,
+    * double-close is a no-op on the underlying channel. */
+  private def closeAtTaskEnd(c: java.io.Closeable): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => c.close()))
+
   /** Read every `.avro` OCF under `dir` back as a (doc_id, lang, text)
     * DataFrame — one task per file, records streamed (never the whole
     * file as one object). `DataFileReader` itself verifies the OCF
     * magic and per-block sync markers, so corruption fails loudly. */
   def readAvro(spark: SparkSession, dir: String): DataFrame = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    val files = avroFiles(dir)
     val schemaJson = DocSchemaJson
     import spark.implicits._
     spark.createDataset(files.toSeq)
@@ -124,6 +162,7 @@ object AvroBlob {
           org.apache.avro.generic.GenericRecord](schema)
         val dfr = new org.apache.avro.file.DataFileReader(
           new java.io.File(path), rdr)
+        closeAtTaskEnd(dfr)
         new Iterator[(Long, String, String)] {
           def hasNext: Boolean = {
             val h = dfr.hasNext

@@ -820,8 +820,22 @@ class PlanSpec extends SparkSpec {
     // REAL corpus-grain hints: q3/q213 broadcast(customer),
     // q202 broadcast(supplier) — both tables scale with SF.
     val allowBcast: Set[String] = Set(
-      // persisted-index probes: centroid/cell tables read from catalog
-      "q106_ann_index_probe", "q114_ann_index_append",
+      // persisted-index probes: centroid/cell tables read from the
+      // catalog (nlist grain) + the literal-bounded query slice
+      "q106_ivf_persisted", "q114_ivf_update",
+      // two-phase offset-grid broadcasts (ADVICE r14: these passed by
+      // the 'cell' column name before; the name is the codebase's
+      // marker for the O(distinct-cell) offset table a two-phase
+      // window ships, but it is not structural evidence — each entry's
+      // grid is bounded by construction at its definition site:
+      // deciles/thresholds/day-grain/distinct-count grids, and
+      // localCheckpoint erases the aggregate that built them)
+      "q166_auc", "q168_skyline", "q198_pareto_abc", "q199_decile_lift",
+      "q274_kruskal_wallis", "q300_heaps_law", "q360_negative_sampling",
+      "q382_qini_uplift", "q386_auc_bootstrap", "q411_average_precision",
+      "q439_quantile_sketch", "q441_quantile_store",
+      // centroid table at k grain (k=8 refinement)
+      "q47_kmeans_refine",
       // literal-bounded query/audit slices (vec_id < nQuery heads,
       // anchor/outlier/query-token slices), usually checkpointed
       "q21_cosine_knn", "q32_cosine_knn_native", "q37_ann_knn",
@@ -860,7 +874,12 @@ class PlanSpec extends SparkSpec {
     // window group is bounded at its definition site.
     val allowContentWin: Set[String] = Set.empty
     def boundedBcast(p: LogicalPlan): Boolean = {
-      val names = p.output.map(_.name.toLowerCase)
+      // ADVICE r14: no name-based acceptance — a 'cell'/'cid' output
+      // column is not boundedness evidence (a vocab-grain table can
+      // carry one, the exact r13-item-2 failure). Only STRUCTURAL
+      // evidence passes: scalar aggregate, limit head, local relation,
+      // bounded range, or the fixed TPC-H dims; everything else goes
+      // through the per-query allowlist with a written justification.
       // spec-fixed TPC-H dims: every leaf is region (5 rows) or nation
       // (25 rows) — cardinality fixed regardless of scale factor
       val leaves = p.collectLeaves()
@@ -878,7 +897,7 @@ class PlanSpec extends SparkSpec {
         case r: LRange => r.numElements <= BigInt(4096)
         case _ => false
       }
-      names.contains("cell") || names.contains("cid") || dimLeavesOnly ||
+      dimLeavesOnly ||
         p.collectFirst {
           case a: LAgg if a.groupingExpressions.isEmpty => ()
           case _: LGlobalLimit => ()

@@ -454,6 +454,27 @@ class Round14OpsSpec extends SparkSpec {
     assert(got(1L)._2 == 3L && got(1L)._4 == 6L && got(3L)._2 == 0L)
   }
 
+  test("readAvro fails fast on an empty dir and survives a limit head (r15)") {
+    // ADVICE r14: a missing/empty dir must throw, not read as 0 rows
+    val empty = java.nio.file.Files.createTempDirectory("avro-empty").toString
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroBlob.readAvro(spark, empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroBlob.readAvroEvolved(spark, empty + "/absent")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("avro-lim").toString
+    graft.sources.AvroBlob.writeAvro(
+      docs.select("doc_id", "lang", "text").limit(100), dir)
+    // a limit head abandons the per-file iterator mid-stream — the
+    // task-completion listener closes the reader; rows still correct
+    val head = graft.sources.AvroBlob.readAvro(spark, dir).limit(3).collect()
+    assert(head.length == 3)
+    // the temp-file/rename commit leaves no stale .tmp files behind
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.endsWith(".tmp")), "stale tmp files")
+  }
+
   test("q447 evolved read resolves defaults and skips the dropped field") {
     val dir = java.nio.file.Files.createTempDirectory("avro-evo").toString
     val in = docs.select("doc_id", "lang", "text").limit(50)
