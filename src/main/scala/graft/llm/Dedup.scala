@@ -521,20 +521,31 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // Convergence is detected INSIDE the per-round aggregate (r15
+    // optimization, guide §2.4): each node's previous label rides the
+    // union as a second column (non-null only on the node's own labels
+    // row, so max() recovers it), and "changed" is a filter on the
+    // just-checkpointed next — the old separate next ⋈ labels
+    // node-grain shuffle join per round is gone.
+    val labelT = labels.schema("label").dataType
     var converged = false
     while (!converged) {
       val msgs = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast(labelT).as("old"))
       val jump = labels.join(
           labels.select(col("node").as("jn"), col("label").as("jl")),
           col("label") === col("jn"))
-        .select(col("node"), col("jl").as("label"))
-      val next = labels.unionAll(msgs).unionAll(jump)
-        .groupBy("node").agg(min(col("label")).as("label"))
+        .select(col("node"), col("jl").as("label"),
+          lit(null).cast(labelT).as("old"))
+      val next = labels.select(col("node"), col("label"),
+          col("label").as("old"))
+        .unionAll(msgs).unionAll(jump)
+        .groupBy("node").agg(min(col("label")).as("label"),
+          max(col("old")).as("old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.where(col("label") =!= col("old")).isEmpty
+      labels = next.select("node", "label")
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }

@@ -474,12 +474,26 @@ object Graph {
       e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-    for (r <- 1 to rounds) {
+    // Early exit at the fixpoint (r15 optimization, guide §1.2 "don't
+    // compute things you throw away"): edges only ever LEAVE the set
+    // (two semi-joins), so an unchanged count proves an unchanged set
+    // and every later round is a no-op recount of the same edges. The
+    // declared result — the k-core at `rounds` rounds — is identical;
+    // the per-round count rides the already-materialized checkpoint.
+    und = und.localCheckpoint()
+    var prev = und.count()
+    var r = 1
+    var fixed = false
+    while (r <= rounds && !fixed) {
       val keep = degrees(und).where(col("deg") >= k).select("node")
       und = und
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-      if (r < rounds) und = und.localCheckpoint()
+        .localCheckpoint()
+      val c = und.count()
+      fixed = c == prev
+      prev = c
+      r += 1
     }
     degrees(und).where(col("deg") >= k)
       .select(col("node"), col("deg")).orderBy("node")
@@ -564,7 +578,13 @@ object Graph {
       .withColumn("p", (col("n") * lit(2654435761L)) % lit(1048576L))
       .localCheckpoint()
     var mis: DataFrame = null
-    for (r <- 1 to rounds) {
+    // Early exit once the live set empties (r15 optimization): every
+    // remaining round selects from an empty frame — two joins, a
+    // checkpoint and an agg per round that provably produce zero MIS
+    // rows. The emptiness probe rides the just-checkpointed live set.
+    var r = 1
+    var drained = false
+    while (r <= rounds && !drained) {
       val nbr = dirE.join(live.select(col("n").as("v"), col("p").as("pv")),
           Seq("v"))
         .groupBy("u").agg(min(struct(col("pv"), col("v"))).as("mn"))
@@ -578,6 +598,8 @@ object Graph {
         .unionAll(dirE.join(sel.select(col("n").as("u")), Seq("u"),
           "left_semi").select(col("v").as("n")))
       live = live.join(gone, Seq("n"), "left_anti").localCheckpoint()
+      drained = live.isEmpty
+      r += 1
     }
     mis.orderBy("n")
       .select(col("n").as("node"), col("p").as("priority"),
@@ -618,7 +640,14 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint()
     val curve = scala.collection.mutable.Buffer((0L, e.count()))
-    for (r <- 1 to rounds) {
+    // Early exit at the fixpoint (r15 optimization): peeling only
+    // removes edges, so an unchanged count proves an unchanged set —
+    // every later round re-enumerates the same wedges (the expensive
+    // step) to recount the same edges. The declared curve is identical:
+    // post-fixpoint rows are filled with the fixed count.
+    var r = 1
+    var fixed = false
+    while (r <= rounds && !fixed) {
       val wedges = e.select(col("a").as("x"), col("b").as("y"))
         .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x"))
         .where(col("y") < col("z"))
@@ -631,8 +660,12 @@ object Graph {
         .where(col("s") >= (k - 2).toLong)
       e = e.join(sup.select("a", "b"), Seq("a", "b"), "left_semi")
         .localCheckpoint()
-      curve += ((r.toLong, e.count()))
+      val c = e.count()
+      fixed = c == curve(r - 1)._2
+      curve += ((r.toLong, c))
+      r += 1
     }
+    while (r <= rounds) { curve += ((r.toLong, curve(r - 1)._2)); r += 1 }
     curve.toSeq.toDF("round", "n_edges").orderBy("round")
   }
 }
