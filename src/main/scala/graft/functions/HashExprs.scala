@@ -102,4 +102,28 @@ object HashExprs {
     * higher-order function body). */
   def fnv1a32(sqlExpr: String, seed: Long = Fnv1a32.Seed): Column =
     expr(s"fnv1a32($sqlExpr, ${seed}L)")
+
+  /** Fold a CONSTANT suffix into an existing FNV-1a 32 state column:
+    * because FNV-1a consumes code points strictly left to right,
+    * `fnv1a32(concat(x, suffix)) == fnvFoldConst(fnv1a32(x), suffix)`
+    * — and the right-hand side unrolls to `suffix.length` cheap long
+    * ops (xor, mul, mask) instead of re-hashing all of `x` plus a
+    * per-row string concat allocation. The multi-hash operators
+    * (perceptual coefficients: 64 suffixed hashes per token; Bloom
+    * positions: kHash per token) hash one shared prefix once and fold
+    * each constant suffix, bit-identical to the concat form the
+    * DuckDB oracles recompute (r15 optimization, guide §1.2 item 2 /
+    * §4 "expression choice"). */
+  def fnvFoldConst(h: Column, suffix: String): Column = {
+    import org.apache.spark.sql.functions.lit
+    var acc = h
+    var i = 0
+    while (i < suffix.length) {
+      val c = suffix.codePointAt(i)
+      acc = (acc.bitwiseXOR(lit(c.toLong)) * lit(16777619L))
+        .bitwiseAND(lit(0xFFFFFFFFL))
+      i += Character.charCount(c)
+    }
+    acc
+  }
 }

@@ -242,13 +242,21 @@ object Multimodal {
     * doc-grain partial sums only). */
   def perceptualCoeffs(docs: DataFrame, dim: Int = 64): DataFrame = {
     graft.functions.HashExprs.register(docs.sparkSession)
+    // One full token hash + the ':p' prefix folded once per row; each
+    // of the 64 suffixed hashes is then a 1-2-step constant fold on
+    // that shared state — bit-identical to fnv1a32(concat(tok,':pj'))
+    // but without 64 per-row string concats + re-hashes (r15, guide
+    // §4; q373 6.55 -> see OPTIMIZATION_r15.md).
     val sums = (0 until dim).map { j =>
-      sum(graft.functions.HashExprs.fnv1a32(s"concat(tok, ':p$j')")
+      sum(graft.functions.HashExprs.fnvFoldConst(col("hp"), j.toString)
         % 1024L - 512L).as(s"s$j")
     }
     docs
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' ', -1), t -> t != '')")).as("tok"))
+      .select(col("doc_id"),
+        graft.functions.HashExprs.fnvFoldConst(
+          graft.functions.HashExprs.fnv1a32("tok"), ":p").as("hp"))
       .groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
   }

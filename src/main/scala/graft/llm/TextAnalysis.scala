@@ -2286,11 +2286,17 @@ object TextAnalysis {
       .distinct()
       .localCheckpoint() // members, probes, and the exact labels
     val members = tok.where(col("lang") === memberLang).select("t").distinct()
-    def positions(df: DataFrame): DataFrame =
+    // shared-prefix FNV fold: hash t once, fold the ':bN' constant
+    // suffixes — bit-identical to fnv1a32(concat(t, ':bN')) without
+    // kHash per-row concats + re-hashes (r15, guide §4)
+    def positions(df: DataFrame): DataFrame = {
+      val hb = graft.functions.HashExprs.fnvFoldConst(
+        graft.functions.HashExprs.fnv1a32("t"), ":b")
       df.select(col("*"),
         explode(array((0 until kHash).map(i =>
-          pmod(graft.functions.HashExprs.fnv1a32(s"concat(t, ':b$i')"),
+          pmod(graft.functions.HashExprs.fnvFoldConst(hb, i.toString),
             lit(mBits.toLong))): _*)).as("pos"))
+    }
     val bitmap = positions(members)
       .select(expr("pos div 32").as("w"),
         expr("shiftleft(1L, int(pos % 32))").as("m"))

@@ -36,6 +36,28 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // The r15 shared-prefix optimization contract: folding a constant
+  // suffix into an existing FNV state (Column arithmetic) must equal
+  // hashing the concatenation — over the full unicode range including
+  // surrogate pairs in both prefix and suffix, and over the suffix
+  // shapes the optimized operators use (':p'+j, ':b'+i).
+  test("fnvFoldConst(fnv1a32(x), sfx) == fnv1a32(x ++ sfx) (r15)") {
+    import spark.implicits._
+    val suffixes = Seq(":p0", ":p63", ":b3", "", "日😀")
+    val texts = Seq("", "a", "tok", "ä日😀", "x:y|z", "𝔘𝔘𝔘")
+    val rows = for (t <- texts; sfx <- suffixes) yield (t, t + sfx, sfx)
+    val df = rows.toDF("t", "cat", "sfx").localCheckpoint()
+    functions.HashExprs.register(spark)
+    suffixes.foreach { sfx =>
+      val got = df.where(col("sfx") === sfx).select(
+        functions.HashExprs.fnvFoldConst(
+          functions.HashExprs.fnv1a32("t"), sfx).as("fold"),
+        functions.HashExprs.fnv1a32("cat").as("whole"))
+      assert(got.where(col("fold") =!= col("whole")).isEmpty,
+        s"fold != concat hash for suffix '$sfx'")
+    }
+  }
+
   // The emission-canonicalization property (VERDICT r8 item 2): femit
   // must never emit a signbit-set zero or a NaN for ANY double input —
   // those are exactly the byte-level encodings a cross-engine hash
