@@ -43,13 +43,21 @@ object Graph {
     import s.implicits._
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .where(col("a") =!= col("b"))
+    // r15: the edge set is loop-invariant and each round references the
+    // previous distance frame TWICE (frontier join + re-min union), so
+    // the un-checkpointed declarative form duplicated the whole prefix
+    // per reference — exponential subtree copies, parquet re-scanned
+    // 2^iters times. One invariant checkpoint + one per-round
+    // checkpoint makes the executed work linear in iters (guide §2.4;
+    // the q47/q65 discipline). Values are unchanged — exact integers.
     val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      .distinct().localCheckpoint()
     var d = Seq((source, 0L)).toDF("node", "dist")
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       val next = d.join(e, d("node") === e("a"))
         .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
       d = d.unionAll(next).groupBy("node").agg(min(col("dist")).as("dist"))
+      if (r < iters) d = d.localCheckpoint()
     }
     d
   }
@@ -239,14 +247,23 @@ object Graph {
 
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    // r15: e/nodes/outw are loop-invariant, and each round reads the
+    // previous ranks frame TWICE (contribution join + dangling-mass
+    // anti-join) — un-checkpointed, the plan duplicated the whole
+    // prefix per reference (2^iters subtree copies; the q124 explain
+    // carried 162 parquet scans). Invariants checkpoint once, ranks
+    // once per round — executed work now linear in iters (guide
+    // §2.4/§5). Values unchanged: every float sum rides dsum.
     val e = edges.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val nc = nodes.agg(count(lit(1)).cast("double").as("n"))
     val outw = e.groupBy("src").agg(sum(col("weight")).as("outw"))
+      .localCheckpoint()
     var ranks = nodes.crossJoin(broadcast(nc))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val sums = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outw, "src")
         .select(col("dst").as("node"),
@@ -262,6 +279,7 @@ object Graph {
             + lit(damping)
               * (coalesce(col("s"), lit(0.0)) + col("dmass") / col("n")))
             .as("rank"))
+      if (it < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), Queries.femit(col("rank")).as("rank"))
   }
@@ -279,7 +297,10 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
+    // r15: same exponential-lineage fix as [[pageRank]] — invariants
+    // checkpoint once, ranks once per round; dsum keeps values exact.
     val e = edges.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val sd = seeds.select(col("node")).distinct()
@@ -295,8 +316,9 @@ object Graph {
           .otherwise(lit(0.0)).as("restart"))
       .localCheckpoint()
     val outw = e.groupBy("src").agg(sum(col("weight")).as("outw"))
+      .localCheckpoint()
     var ranks = restart.select(col("node"), col("restart").as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val sums = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outw, "src")
         .select(col("dst").as("node"),
@@ -312,6 +334,7 @@ object Graph {
             + lit(damping)
               * (coalesce(col("s"), lit(0.0)) + col("dmass") * col("restart")))
             .as("rank"))
+      if (it < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), Queries.femit(col("rank")).as("rank"))
   }
@@ -375,28 +398,39 @@ object Graph {
     * zeros where a side never reinforces. */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"hits needs iters >= 1, got $iters")
+    // r15: same exponential-lineage fix as [[pageRank]] — e/nodes are
+    // loop-invariant, and each round's vector is read twice (raw agg +
+    // its own L1 total, then the next round's join), so the
+    // un-checkpointed plan re-executed the whole prefix per reference
+    // (the q233 explain carried 276 parquet scans). One checkpoint per
+    // vector per round; dsum keeps every total order-independent.
     val e = edges.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     var hubs = nodes.withColumn("h", lit(1.0))
     var auths: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("weight") * col("h")).as("t"))
         .groupBy("node").agg(Queries.dsum(col("t")).as("ar"))
+        .localCheckpoint() // read twice: L1 total + normalize join
       val aTot = aRaw.agg(Queries.dsum(col("ar")).as("tot"))
       auths = nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("node"),
           coalesce(col("ar") / col("tot"), lit(0.0)).as("a"))
+        .localCheckpoint()
       val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), (col("weight") * col("a")).as("t"))
         .groupBy("node").agg(Queries.dsum(col("t")).as("hr"))
+        .localCheckpoint() // read twice: L1 total + normalize join
       val hTot = hRaw.agg(Queries.dsum(col("hr")).as("tot"))
       hubs = nodes.join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("node"),
           coalesce(col("hr") / col("tot"), lit(0.0)).as("h"))
+      if (it < iters) hubs = hubs.localCheckpoint()
     }
     nodes.join(auths, Seq("node"), "left").join(hubs, Seq("node"), "left")
       .select(col("node"), Queries.femit(col("a")).as("auth"),
