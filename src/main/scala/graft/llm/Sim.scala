@@ -2442,6 +2442,7 @@ object Sim {
         .agg(dsum(col("xc") * col("v")).as("dot"))
       val w = xc.join(dot, "vec_id").groupBy("dim")
         .agg(dsum(col("xc") * col("dot")).as("w"))
+        .localCheckpoint() // read twice per round: norm + next v (r15)
       nrm = w.agg(sqrt(dsum(col("w") * col("w"))).as("nrm"))
       v = w.crossJoin(broadcast(nrm))
         .select(col("dim"), (col("w") / col("nrm")).as("v"))

@@ -2194,9 +2194,13 @@ object Queries {
     * 0), component weights at 1e-300 in M-step divisions (a fully
     * collapsed component would emit NaN means), and the n=1 init
     * variance pins to the floor instead of dividing by n−1 = 0. */
-  def gmmEmOn(xs: DataFrame): DataFrame = {
+  def gmmEmOn(xs0: DataFrame): DataFrame = {
     def floorVar(c: Column): Column = greatest(c, lit(1e-12))
     def floorW(c: Column): Column = greatest(c, lit(1e-300))
+    // r15: the sample frame feeds the init moments plus every E-step —
+    // un-checkpointed, the nested params lineage re-ran the upstream
+    // scan 4x (the bhFdrOn move; values unchanged, dsum throughout).
+    val xs = xs0.localCheckpoint()
     val base = xs.agg(
       count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"),
       dsum(col("x")).as("sx"), dsum(col("x") * col("x")).as("sxx"))
@@ -5286,9 +5290,13 @@ object Queries {
         sqrt((col("n") * col("sxx") - col("sx").cast("decimal(38,0)") * col("sx"))
           .cast("double")
           / (col("n").cast("double") * (col("n") - lit(1)))).as("sd"))
+    // r15: the standardized frame feeds 3 gradient steps + the loss
+    // pass — un-checkpointed, each execution re-scanned events twice
+    // (feature read + nested moment agg). Values unchanged.
     val base = ev.crossJoin(broadcast(st))
       .select(((col("vu").cast("double") - col("mu")) / col("sd")).as("x"),
         col("y"), col("nd"))
+      .localCheckpoint()
     def p: Column = lit(1.0) / (lit(1.0) + exp(-(col("w0") + col("w1") * col("x"))))
     var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"))
     for (_ <- 1 to 3) {
