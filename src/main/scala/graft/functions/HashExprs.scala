@@ -126,4 +126,21 @@ object HashExprs {
     }
     acc
   }
+
+  /** Fold the decimal rendering of an integer column in [0, 100) into
+    * an FNV-1a state — bit-identical to hashing
+    * `concat(x, cast(i AS STRING))` after [[fnvFoldConst]]'s prefix.
+    * The derandomized bootstrap operators explode each row ×B and
+    * hashed `concat(id, ':', b, ...)` per replicate; with this fold
+    * the id prefix hashes once per ROW and each replicate pays 1-2
+    * long ops (r15, guide §4). Caller contract: 0 <= i < 100. */
+  def fnvFoldSmallInt(h: Column, i: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, lit, when}
+    def step(acc: Column, c: Column): Column =
+      (acc.bitwiseXOR(c) * lit(16777619L)).bitwiseAND(lit(0xFFFFFFFFL))
+    val tens = (floor(i / lit(10)) + lit(48)).cast("long")
+    val ones = (i % lit(10) + lit(48)).cast("long")
+    when(i < 10, step(h, (i + lit(48)).cast("long")))
+      .otherwise(step(step(h, tens), ones))
+  }
 }

@@ -4683,13 +4683,15 @@ object Queries {
     graft.functions.HashExprs.register(s)
     val b = 32
     val ev = events(s, dir).select(col("event_type"), col("event_id"), col("value"))
-    val u = (graft.functions.HashExprs.fnv1a32(
-      "concat(cast(event_id as string), ':', cast(b as string))") % 16777216L)
-      .cast("double") / lit(16777216.0)
+    // r15: shared-prefix FNV fold per replicate (see poissonBootstrap)
+    val u = (graft.functions.HashExprs.fnvFoldSmallInt(col("hpre"), col("b"))
+      % 16777216L).cast("double") / lit(16777216.0)
     val wExpr = PoissonCdf.zipWithIndex.foldRight(lit(5)) { case ((c, k), e) =>
       when(u < lit(c), lit(k)).otherwise(e)
     }
     val reps = ev
+      .withColumn("hpre", graft.functions.HashExprs.fnvFoldConst(
+        graft.functions.HashExprs.fnv1a32("cast(event_id as string)"), ":"))
       .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("w", wExpr)
       .groupBy("event_type", "b")
@@ -5543,11 +5545,18 @@ object Queries {
   def poissonBootstrap(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val B = 40
+    // r15: the replicate draw hashed concat(id, ':', b, ':boot') per
+    // exploded row — B id re-hashes + string builds per event. The id
+    // prefix now hashes ONCE per event; each replicate folds its 1-2
+    // digits + the ':boot' constant as long arithmetic (bit-identical;
+    // see HashExprs.fnvFoldSmallInt and the PropertySpec pin).
     val ev = events(s, dir).where(col("value").isNotNull)
       .select(col("event_type"), col("event_id"), col("value"))
-    val u = graft.functions.HashExprs.fnv1a32(
-      "concat(cast(event_id as string), ':', cast(b as string), ':boot')")
-      .cast("double") / lit(4294967296.0)
+    val hpre = graft.functions.HashExprs.fnvFoldConst(
+      graft.functions.HashExprs.fnv1a32("cast(event_id as string)"), ":")
+    val u = graft.functions.HashExprs.fnvFoldConst(
+      graft.functions.HashExprs.fnvFoldSmallInt(col("hpre"), col("b")),
+      ":boot").cast("double") / lit(4294967296.0)
     val w = when(u < 0.36787944117144233, 0L)
       .when(u < 0.7357588823428847, 1L)
       .when(u < 0.9196986029286058, 2L)
@@ -5556,7 +5565,7 @@ object Queries {
       .when(u < 0.9994058151824183, 5L)
       .otherwise(6L)
     val means = ev
-      .select(col("event_type"), col("event_id"), col("value"),
+      .select(col("event_type"), col("value"), hpre.as("hpre"),
         explode(expr(s"sequence(0, ${B - 1})")).as("b"))
       .withColumn("w", w)
       .groupBy("event_type", "b")
@@ -6633,14 +6642,18 @@ object Queries {
   def aucBootstrap(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val B = 40
+    // r15: shared-prefix FNV fold per replicate (see poissonBootstrap)
     val perScore = events(s, dir)
       .where(col("value").isNotNull)
-      .select(col("value").as("score"), col("event_id"),
+      .select(col("value").as("score"),
+        graft.functions.HashExprs.fnvFoldConst(
+          graft.functions.HashExprs.fnv1a32("cast(event_id as string)"),
+          ":").as("hpre"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
-    val u = graft.functions.HashExprs.fnv1a32(
-      "concat(cast(event_id as string), ':', cast(b as string), ':boot')")
-      .cast("double") / lit(4294967296.0)
+    val u = graft.functions.HashExprs.fnvFoldConst(
+      graft.functions.HashExprs.fnvFoldSmallInt(col("hpre"), col("b")),
+      ":boot").cast("double") / lit(4294967296.0)
     val w = when(u < 0.36787944117144233, 0L)
       .when(u < 0.7357588823428847, 1L)
       .when(u < 0.9196986029286058, 2L)
