@@ -58,6 +58,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // The replicate-id companion: folding the decimal digits of b in
+  // [0, 100) must equal hashing concat(x, ':', cast(b as string)) —
+  // the exact expression the bootstrap operators replaced.
+  test("fnvFoldSmallInt(h, b) == fnv1a32(concat(x, ':', b)) for b in 0..99 (r15)") {
+    import spark.implicits._
+    functions.HashExprs.register(spark)
+    val df = (0 until 100).map(b => ("ev" + (b * 37) + "x", b)).toDF("t", "b")
+    val hpre = functions.HashExprs.fnvFoldConst(
+      functions.HashExprs.fnv1a32("t"), ":")
+    val got = df.select(
+      functions.HashExprs.fnvFoldSmallInt(hpre, col("b")).as("fold"),
+      functions.HashExprs
+        .fnv1a32("concat(t, ':', cast(b as string))").as("whole"))
+    assert(got.where(col("fold") =!= col("whole")).isEmpty)
+  }
+
   // The emission-canonicalization property (VERDICT r8 item 2): femit
   // must never emit a signbit-set zero or a NaN for ANY double input —
   // those are exactly the byte-level encodings a cross-engine hash
