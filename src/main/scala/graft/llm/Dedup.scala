@@ -1183,7 +1183,16 @@ object Dedup {
       k = 3, nBuckets = 64, bandSize = 4, threshold = thresholds.min)
       .localCheckpoint() // one candidate+verify pass feeds every rung
     val total = docs.count() // 1-row scalar control flow (q47 precedent)
-    thresholds.map { t =>
+    // r15 (guide §2.6): the rungs are INDEPENDENT sweeps over the same
+    // checkpointed pair table, but each one blocks the driver through
+    // its CC fixpoint loop of small jobs — run them from driver
+    // threads so one rung's jobs back-fill the others' tails. Result
+    // order is pinned by the map-then-reduce over the threshold list
+    // (Future.sequence preserves it) + the closing orderBy.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rungs = Future.sequence(thresholds.map { t => Future {
       val p = pairs.where(col("jaccard") >= t)
       val stats = connectedComponents(p)
         .agg(count(lit(1)).as("n_dup_docs"),
@@ -1197,7 +1206,9 @@ object Dedup {
         femit((lit(total).cast("double") -
           (col("n_dup_docs") - col("n_components")).cast("double")) /
           lit(total).cast("double")).as("retained_share"))
-    }.reduce(_ unionAll _).orderBy("threshold")
+    }})
+    Await.result(rungs, Duration.Inf).reduce(_ unionAll _)
+      .orderBy("threshold")
   }
 
   /** Cross-source duplication matrix: for every ordered source pair
