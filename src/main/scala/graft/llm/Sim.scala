@@ -817,10 +817,17 @@ object Sim {
         .withColumn(s"p$i",
           when(teamA, pick(col("aa"))).otherwise(pick(col("ab"))))
     }
-    val picks = (1 to depth).map(i =>
-      base.select(col("qid"), lit(i.toLong).as("step"),
-        col(s"p$i").as("vec_id"), col(s"t$i").as("team")))
-      .reduce(_ unionAll _)
+    // r15: ONE explode instead of a depth-way unionAll of selects —
+    // the union legs pruned different p$i/t$i columns, so no two
+    // subtrees were identical and exchange reuse never fired: every
+    // leg re-ran BOTH ranking pool passes (80 parquet scans / 120
+    // windows in the q418 before-plan). Same rows, one pass.
+    val picks = base.select(col("qid"),
+        explode(array((1 to depth).map(i =>
+          struct(lit(i.toLong).as("step"), col(s"p$i").as("vec_id"),
+            col(s"t$i").as("team"))): _*)).as("pk"))
+      .select(col("qid"), col("pk.step").as("step"),
+        col("pk.vec_id").as("vec_id"), col("pk.team").as("team"))
     picks.join(relTab, Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(sum(when(col("team") === 0L, coalesce(col("rel"), lit(0L)))

@@ -3566,10 +3566,15 @@ object Queries {
           col(s"phi_${k - 1}_$j")
             - col(s"phi_${k}_$k") * col(s"phi_${k - 1}_${k - j}"))
     }
-    val out = (1 to maxLag).map(k =>
-      df.select(lit(k.toLong).as("lag"), femit(col(s"r$k")).as("acf"),
-        femit(col(s"phi_${k}_$k")).as("pacf")))
-    out.reduce(_ unionAll _).orderBy("lag")
+    // r15: one explode instead of a maxLag-way unionAll of selects over
+    // the un-checkpointed 1-row lattice — the legs pruned different
+    // phi columns, so each re-ran the whole ACF chain (the q418 fix).
+    df.select(explode(array((1 to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag"), femit(col(s"r$k")).as("acf"),
+          femit(col(s"phi_${k}_$k")).as("pacf"))): _*)).as("o"))
+      .select(col("o.lag").as("lag"), col("o.acf").as("acf"),
+        col("o.pacf").as("pacf"))
+      .orderBy("lag")
   }
 
   /** Theta-method forecast (Assimakopoulos &amp; Nikolopoulos 2000 —
